@@ -9,7 +9,12 @@ object SparkEntry {
   val registry: Seq[Q] =
     analytics.StarQueries.all ++
       operators.RelationalOps.all ++
-      operators.ValidationQueries.all
+      operators.ValidationQueries.all ++
+      operators.Dedup.all ++
+      operators.Similarity.all ++
+      operators.TextAnalysis.all ++
+      operators.EventOps.all ++
+      operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table (the batch faces of the
+  * streaming operators in graft.streaming — same logical plans a Structured
+  * Streaming job runs incrementally with a watermark).
+  *
+  * Sessionization uses microsecond-exact integer gap arithmetic
+  * (`unix_micros`) so gap comparisons are deterministic; window frames carry
+  * `event_id` as the tiebreaker for a total order.
+  */
+object EventOps {
+
+  private val SessionGapUs = 1800L * 1000 * 1000 // 30 min
+
+  val all: Seq[Q] = Seq(
+    // Tumbling-window aggregation: hourly counts + fixed-point value sums.
+    // Streaming twin: groupBy(window($"ts", "1 hour"), $"event_type").
+    Q(
+      "ev1_hourly_agg",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(
+            date_trunc("hour", col("ts")).as("hour"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            (sum(round(col("value") * 10000).cast("long")).cast("double") / 10000.0)
+              .as("total_value"))
+          .orderBy("hour", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+             |  CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)/10000.0 AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)
+    ),
+
+    // Sessionization: 30-minute-gap sessions per user via lag + running sum.
+    // Streaming twin: flatMapGroupsWithState with a session-gap timeout.
+    Q(
+      "ev2_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapped = Tables(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn(
+            "new_session",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1L)
+              .otherwise(0L))
+          .withColumn(
+            "session_id",
+            sum(col("new_session"))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        gapped
+          .groupBy("user_id", "session_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"))
+          .orderBy("user_id", "session_id")
+      },
+      Some(s"""WITH g AS (
+              |  SELECT user_id, ts, event_id,
+              |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+              |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapUs
+              |         THEN 1 ELSE 0 END AS new_session
+              |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |sid AS (
+              |  SELECT user_id, ts,
+              |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+              |  FROM g)
+              |SELECT user_id, session_id, count(*) AS n_events,
+              |  min(ts) AS session_start, max(ts) AS session_end
+              |FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+    ),
+
+    // Top-2 purchases per user: ranking window with deterministic tiebreak.
+    Q(
+      "ev3_top_purchases_per_user",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
+        Tables(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 2)
+          .select("user_id", "rn", "event_id", "value")
+          .orderBy("user_id", "rn")
+      },
+      Some("""SELECT user_id, rn, event_id, value FROM (
+             |  SELECT user_id, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+             |  FROM events WHERE event_type = 'purchase')
+             |WHERE rn <= 2 ORDER BY user_id, rn""".stripMargin)
+    ),
+
+    // JSON property extraction from the props column.
+    Q(
+      "ev4_json_extract",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+             |FROM events ORDER BY event_id""".stripMargin)
+    )
+  )
+}

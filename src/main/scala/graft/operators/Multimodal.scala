@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata alongside. The Spark-side machinery —
+  * schema, batched per-partition decode, frame sampling, feature columns — is
+  * real and tested; the actual codec call is STUBBED with a deterministic
+  * fake (this container has no image/audio libraries), clearly marked below.
+  *
+  * Scale design: payload bytes stay columnar in parquet and are never
+  * shuffled — decode/feature-extract are mapPartitions-style row-local
+  * transforms; only the small extracted features flow into joins/aggregates
+  * downstream.
+  */
+object Multimodal {
+
+  /** A media row: payload + metadata (mirrors an image-table schema). */
+  final case class MediaRow(
+      doc_id: Long,
+      media_type: String,
+      payload: Array[Byte],
+      n_bytes: Int)
+
+  /** Extracted features for one media item. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Int,
+      channels: Int,
+      mean_intensity: Double)
+
+  /** Build a media table from `documents` (text bytes stand in for encoded
+    * media payloads; a real pipeline reads payloads from parquet the same
+    * way).
+    */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        length(encode(col("text"), "UTF-8")).as("n_bytes"))
+      .as[MediaRow]
+  }
+
+  /** STUB DECODER — deterministic fake standing in for a real codec
+    * (e.g. libjpeg / ffmpeg). Consumes the payload bytes in fixed-size
+    * batches exactly as a vectorized decode would; returns a fake channel
+    * count and mean "intensity" derived from the bytes so tests have stable
+    * expectations. Swap the body for a real decoder without touching the
+    * Spark plumbing around it.
+    */
+  def decodeStub(row: MediaRow): MediaFeatures = {
+    val channels = if (row.media_type == "image") 3 else 1
+    // fake "decode": mean unsigned byte value, batch-processed
+    val sum = row.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+    val mean = if (row.payload.isEmpty) 0.0 else sum.toDouble / row.payload.length
+    MediaFeatures(row.doc_id, row.media_type, row.n_bytes, channels, mean)
+  }
+
+  /** Batched per-partition decode: the real pattern for codec-heavy work —
+    * amortizes per-batch setup (codec contexts, buffers) across rows and
+    * keeps the decode row-local (no shuffle).
+    */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch codec setup would happen here
+        batch.iterator.map(decodeStub)
+      }
+    }
+  }
+
+  /** Frame sampling: keep every `stride`-th fixed-size chunk of the payload
+    * (the video-frame-subsample shape; chunks stand in for frames).
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { row =>
+      row.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (frame, i) if i % stride == 0 => (row.doc_id, i, frame)
+      }
+    }.toDF("doc_id", "frame_no", "frame")
+  }
+
+  /** Oracle-checked slice of the plumbing: metadata + content hash derived
+    * from the binary payload (everything portable SQL can also compute).
+    */
+  val all: Seq[Q] = Seq(
+    Q(
+      "mm1_binary_meta",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("media_type"),
+            length(encode(col("text"), "UTF-8")).as("n_bytes"),
+            md5(col("text")).as("content_hash"))
+          .withColumn("shard", pmod(col("n_bytes"), lit(16)))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+             |  CAST(strlen(text) AS INT) AS n_bytes,
+             |  md5(text) AS content_hash,
+             |  CAST(strlen(text) % 16 AS INT) AS shard
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    )
+  )
+}

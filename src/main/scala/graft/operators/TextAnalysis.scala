@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token statistics,
+  * quality scoring, heuristic language ID, and content fingerprinting.
+  * Everything is per-row expression work (split / higher-order functions /
+  * md5) — zero shuffle, so throughput is scan-bound at any scale; the only
+  * shuffles below are the final deterministic ORDER BYs for the oracle
+  * compare, which a production pipeline would drop.
+  *
+  * All derived numbers are ratios of exact integers (token counts, byte
+  * lengths), so double results are bit-identical across engines.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def stopwordSqlList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val all: Seq[Q] = Seq(
+    // Token counting: whitespace tokens + chars-per-token.
+    Q(
+      "tx1_token_stats",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens"),
+            length(col("text")).as("len_chars"),
+            (col("n_chars") === length(col("text"))).as("len_matches"))
+          .withColumn(
+            "chars_per_token",
+            (col("len_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_tokens, len_chars,
+             |  len_matches, CAST(len_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS chars_per_token
+             |FROM (SELECT doc_id,
+             |        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |        CAST(length(text) AS INT) AS len_chars,
+             |        n_chars = length(text) AS len_matches
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Quality scoring: stopword ratio + length heuristics → {low,medium,high}.
+    Q(
+      "tx2_quality_score",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).as("n_tokens"),
+            expr(s"size(filter(split(text, ' '), t -> t IN ($stopwordSqlList)))")
+              .as("n_stop"))
+          .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+          .withColumn(
+            "quality",
+            when(col("n_tokens") < 20, "low")
+              .when(col("stop_ratio") > 0.25, "low")
+              .when(col("n_tokens") > 60, "high")
+              .otherwise("medium"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, n_tokens, n_stop,
+              |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+              |  CASE WHEN n_tokens < 20 THEN 'low'
+              |       WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.25 THEN 'low'
+              |       WHEN n_tokens > 60 THEN 'high'
+              |       ELSE 'medium' END AS quality
+              |FROM (SELECT doc_id,
+              |        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+              |        CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopwordSqlList))) AS INT) AS n_stop
+              |      FROM documents)
+              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Heuristic language ID: English-stopword hits vs the labeled lang.
+    // (A real n-gram model plugs into the same per-row shape.)
+    Q(
+      "tx3_lang_id",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            col("lang"),
+            expr(s"size(filter(split(text, ' '), t -> t IN ($stopwordSqlList)))")
+              .as("en_hits"))
+          .withColumn("predicted", when(col("en_hits") >= 3, "en").otherwise("unk"))
+          .withColumn("agrees", col("predicted") === col("lang"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, en_hits,
+              |  CASE WHEN en_hits >= 3 THEN 'en' ELSE 'unk' END AS predicted,
+              |  (CASE WHEN en_hits >= 3 THEN 'en' ELSE 'unk' END) = lang AS agrees
+              |FROM (SELECT doc_id, lang,
+              |        CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stopwordSqlList))) AS INT) AS en_hits
+              |      FROM documents)
+              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Content fingerprinting: full-text hash + leading-shingle hash
+    // (the cheap building blocks for incremental / prefix dedup).
+    Q(
+      "tx4_fingerprint",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            md5(col("text")).as("fp_full"),
+            md5(concat_ws(" ", slice(split(col("text"), " "), 1, 5))).as("fp_head"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS fp_full,
+             |  md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp_head
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    )
+  )
+}
