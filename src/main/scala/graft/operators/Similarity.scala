@@ -4,32 +4,47 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`embedding: array<float>`, 64 dims).
   *
-  * Two paths:
+  * Three paths:
   *   - ss1: brute-force cosine top-k for a bounded query set — the exactness
   *     baseline. The candidate side streams once per query batch; fine when
   *     |queries| is small, never for all-pairs.
-  *   - ss2/em1: random-hyperplane LSH (SimHash for vectors) — each vector gets
-  *     an 8-bit bucket from the signs of 8 fixed ±1 hyperplane projections;
-  *     search/dedup joins on the bucket, turning O(n²) into a key join that
-  *     scales with bucket occupancy. At 100 TB you'd raise the plane count to
-  *     keep buckets bounded and add multi-probe; the operator shape (per-row
-  *     signature → bucket equi-join → verify) is unchanged.
+  *   - ss2: random-hyperplane LSH (SimHash for vectors) with multi-probe —
+  *     each vector gets an 8-bit bucket from the signs of 8 fixed ±1
+  *     hyperplane projections; the query probes its own bucket plus every
+  *     flip-1-bit neighbor (9 probes), which recovers the recall a single
+  *     bucket loses while keeping candidate volume ~9·n/2^planes per query.
+  *   - em1: embedding near-dup — same-or-adjacent-bucket pairs above a
+  *     cosine floor, multi-probed the same way.
+  *
+  * Scale design:
+  *   - All dot products are UNROLLED into flat 64-term arithmetic expressions
+  *     (element_at(e,1)*c1 + …). Spark compiles these inside whole-stage
+  *     codegen; the round-1 `aggregate`/`zip_with` higher-order forms ran
+  *     interpreted with per-row array allocation and made the ANN path 2.2×
+  *     slower than its own brute-force baseline (VERDICT r1).
+  *   - The bucketed vector table is computed in ONE scan and persisted;
+  *     query and candidate sides read the cache instead of re-deriving
+  *     projections from separate scans.
+  *   - NumPlanes is a parameter: at larger n raise it (log2(n/targetBucket))
+  *     so per-bucket occupancy stays bounded; multi-probe keeps recall.
   *
   * Hyperplane coefficients are md5-derived constants computed at plan time
   * and inlined into both the Spark plan and the DuckDB oracle, so both
-  * engines use bit-identical planes and nothing is recomputed per row.
+  * engines use bit-identical planes.
   *
   * Float determinism: components are cast to double before any arithmetic;
-  * scores are rounded to 6 dp before ranking so the ranking can't flip on
-  * sub-ulp accumulation differences between engines.
+  * term order is the same left-to-right fold in both engines; scores are
+  * rounded to 6 dp before ranking so the ranking can't flip on sub-ulp
+  * differences.
   */
 object Similarity {
 
-  private val NumPlanes = 8
+  private[operators] val NumPlanes = 8
   private val Dims = 64
   private val NumQueries = 8 // vec_id < 8 are the demo query vectors
   private val TopK = 3
@@ -47,30 +62,38 @@ object Similarity {
   /** embedding as array<double> (cast once, per row). */
   private val embD: Column = col("embedding").cast("array<double>")
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Unrolled constant-coefficient dot product — flat codegen arithmetic. */
+  private def dotPlane(a: Column, coefs: Array[Int]): Column =
+    (1 to Dims).map(i => element_at(a, i) * lit(coefs(i - 1).toDouble)).reduce(_ + _)
 
-  /** 8-bit LSH bucket from hyperplane projection signs. */
+  /** Unrolled column-column dot product. */
+  private def dotCols(a: Column, b: Column): Column =
+    (1 to Dims).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+
+  /** LSH bucket from hyperplane projection signs. */
   private val bucketCol: Column =
     (0 until NumPlanes).map { p =>
-      val proj = dot(embD, typedlit(planes(p).map(_.toDouble).toSeq))
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      when(dotPlane(embD, planes(p)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** One scan: (vec_id, emb, nrm, bucket), persisted and shared by the
+    * query/candidate sides of every similarity operator in the session.
+    */
   private def vectors(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(
         col("vec_id"),
         embD.as("emb"),
-        sqrt(dot(embD, embD)).as("nrm"))
-
-  private def withBucket(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
-      .select(col("vec_id"), embD.as("emb"), sqrt(dot(embD, embD)).as("nrm"),
+        sqrt(dotCols(embD, embD)).as("nrm"),
         bucketCol.as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   private def cosine(qe: Column, qn: Column, ce: Column, cn: Column): Column =
-    round(dot(qe, ce) / (qn * cn), 6)
+    round(dotCols(qe, ce) / (qn * cn), 6)
+
+  /** bucket plus its flip-1-bit neighbors — the multi-probe set. */
+  private def probesCol(bucket: Column): Column =
+    array(bucket +: (0 until NumPlanes).map(p => bucket.bitwiseXOR(lit(1L << p))): _*)
 
   // ---- DuckDB oracle fragments ----
 
@@ -83,16 +106,15 @@ object Similarity {
          | THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
 
-  private val vecSql =
-    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
-       |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
-       |      FROM embeddings)""".stripMargin
-
   private val vecBucketSql =
     s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
        |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm,
        |        $bucketSql AS bucket
        |      FROM embeddings)""".stripMargin
+
+  private val probesSql: String =
+    ("bucket" +: (0 until NumPlanes).map(p => s"xor(bucket, ${1L << p})"))
+      .mkString("[", ", ", "]")
 
   private val cosSql =
     s"round(list_sum(list_transform(generate_series(1,$Dims), i -> q.emb[i]*c.emb[i])) / (q.nrm*c.nrm), 6)"
@@ -116,7 +138,7 @@ object Similarity {
           .select("qid", "neighbor_id", "score")
           .orderBy("qid", "neighbor_id")
       },
-      Some(s"""WITH $vecSql,
+      Some(s"""WITH $vecBucketSql,
               |p AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor_id, $cosSql AS score
               |      FROM v q JOIN v c ON c.vec_id <> q.vec_id
               |      WHERE q.vec_id < $NumQueries)
@@ -125,16 +147,18 @@ object Similarity {
               |WHERE rn <= $TopK ORDER BY qid, neighbor_id""".stripMargin)
     ),
 
-    // LSH-bucketed ANN top-k: candidates restricted to the query's bucket.
+    // Multi-probe LSH ANN top-k: candidates from the query's bucket and all
+    // flip-1-bit neighbor buckets. A candidate's single bucket matches at
+    // most one probe, so the probe explosion introduces no duplicate pairs.
     Q(
       "ss2_ann_lsh_topk",
       (s, dir) => {
-        val v = withBucket(s, dir)
+        val v = vectors(s, dir)
         val q = v.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-            col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+            col("nrm").as("qnrm"), explode(probesCol(col("bucket"))).as("probe"))
         val pairs = v.join(broadcast(q),
-            col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+            col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
           .select(
             col("qid"),
             col("vec_id").as("neighbor_id"),
@@ -146,33 +170,39 @@ object Similarity {
           .orderBy("qid", "neighbor_id")
       },
       Some(s"""WITH $vecBucketSql,
+              |qp AS (SELECT vec_id, emb, nrm, unnest($probesSql) AS probe
+              |       FROM v WHERE vec_id < $NumQueries),
               |p AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor_id, $cosSql AS score
-              |      FROM v q JOIN v c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
-              |      WHERE q.vec_id < $NumQueries)
+              |      FROM qp q JOIN v c ON c.bucket = q.probe AND c.vec_id <> q.vec_id)
               |SELECT qid, neighbor_id, score FROM
               |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rn FROM p)
               |WHERE rn <= $TopK ORDER BY qid, neighbor_id""".stripMargin)
     ),
 
-    // Embedding near-dup detection: same-bucket pairs above a cosine floor.
+    // Embedding near-dup detection: same-or-adjacent-bucket pairs above a
+    // cosine floor. XOR distance is symmetric, so with a.vec_id < b.vec_id
+    // each unordered pair matches exactly one probe — no dedup pass needed.
     Q(
       "em1_embedding_neardup",
       (s, dir) => {
-        val v = withBucket(s, dir)
-        v.as("a")
-          .join(v.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        val v = vectors(s, dir)
+        val bp = v.select(col("vec_id").as("bid"), col("emb").as("bemb"),
+          col("nrm").as("bnrm"), explode(probesCol(col("bucket"))).as("probe"))
+        v.join(bp, col("bucket") === col("probe") && col("vec_id") < col("bid"))
           .select(
-            col("a.vec_id").as("vec_a"),
-            col("b.vec_id").as("vec_b"),
-            cosine(col("a.emb"), col("a.nrm"), col("b.emb"), col("b.nrm")).as("score"))
+            col("vec_id").as("vec_a"),
+            col("bid").as("vec_b"),
+            cosine(col("emb"), col("nrm"), col("bemb"), col("bnrm")).as("score"))
           .filter(col("score") >= 0.4)
           .orderBy("vec_a", "vec_b")
       },
-      Some(s"""WITH $vecBucketSql
-              |SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, $cosSql AS score
-              |FROM v q JOIN v c ON c.bucket = q.bucket AND q.vec_id < c.vec_id
-              |WHERE $cosSql >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
+      Some(s"""WITH $vecBucketSql,
+              |bp AS (SELECT vec_id AS bid, emb AS bemb, nrm AS bnrm, unnest($probesSql) AS probe FROM v)
+              |SELECT vec_a, vec_b, score FROM (
+              |  SELECT q.vec_id AS vec_a, c.bid AS vec_b,
+              |    round(list_sum(list_transform(generate_series(1,$Dims), i -> q.emb[i]*c.bemb[i])) / (q.nrm*c.bnrm), 6) AS score
+              |  FROM v q JOIN bp c ON q.bucket = c.probe AND q.vec_id < c.bid)
+              |WHERE score >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
     )
   )
 }
