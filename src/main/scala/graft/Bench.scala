@@ -28,10 +28,15 @@ object Bench {
       try run(SparkEntry.queries(name), warmDir) catch { case _: Throwable => () }
     }
 
+    spark.catalog.clearCache()
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try run(SparkEntry.queries(name), sfDir)
       catch { case _: Throwable => () }
+      // Queries persist intermediates (signatures, bucketed vectors) for
+      // intra-query reuse; drop them so each query is measured cold and
+      // cache memory doesn't accumulate GC pressure across the sweep.
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -22,8 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Validate {
 
-  /** A validation rule: `ok` must evaluate true for a clean row. */
-  final case class Rule(ok: Column, message: String)
+  /** A validation rule: `ok` must evaluate TRUE for a clean row; NULL is
+    * treated as failure (SQL three-valued logic would otherwise silently
+    * pass rows where the predicate can't be evaluated — rules that want
+    * null to pass must say `isNull` explicitly). The message may be
+    * dynamic (the reference interpolates offending values, e.g.
+    * `f"Invalid difficulty: {row.get('difficulty')}"`,
+    * src/data_validation.py:114-115).
+    */
+  final case class Rule(ok: Column, message: Column)
+
+  object Rule {
+    def apply(ok: Column, message: String): Rule = Rule(ok, lit(message))
+  }
 
   /** Build a PASS/FAIL report for one table.
     *
@@ -36,7 +47,9 @@ object Validate {
   def report(df: DataFrame, table: String, recordId: Column, rules: Seq[Rule]): DataFrame = {
     // concat_ws skips nulls, so a clean row yields "" — same trick keeps the
     // DuckDB oracle expressible with portable SQL.
-    val issues = concat_ws("; ", rules.map(r => when(!r.ok, lit(r.message))): _*)
+    val issues = concat_ws(
+      "; ",
+      rules.map(r => when(!coalesce(r.ok, lit(false)), r.message)): _*)
     df.select(
         lit(table).as("Table"),
         recordId.cast("string").as("Record_ID"),

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `SparkSessionExtensions` hook so externally built sessions get the graft
+  * native functions at construction time:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   // or: .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  *
+  * Sessions built elsewhere can call `GraftFunctions.register(spark)`
+  * instead — the query builders do this defensively.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.DotName),
+      new ExpressionInfo(classOf[DotProductDouble].getName, null,
+        GraftFunctions.DotName, "_FUNC_(a, b) - dot product of two double arrays", ""),
+      (children: Seq[Expression]) => DotProductDouble(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.IntersectName),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName, null,
+        GraftFunctions.IntersectName, "_FUNC_(a, b) - intersection size of two sorted long arrays", ""),
+      (children: Seq[Expression]) => SortedLongIntersectCount(children(0), children(1))))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -52,6 +53,14 @@ object Dedup {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+
+  /** Deterministic final ordering with a materialization barrier: a bare
+    * orderBy makes the range partitioner's sampling job re-execute the
+    * whole upstream pipeline a second time; persisting first means the
+    * heavy work runs once and only the (small) result is sorted.
+    */
+  private def sortedOut(df: DataFrame, cols: String*): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK).orderBy(cols.map(col): _*)
 
   /** Distinct word shingles of a document. */
   private val tokensCol: Column = array_distinct(split(col("text"), " "))
@@ -183,7 +192,7 @@ object Dedup {
     Q(
       "dd3_lsh_candidates",
       (s, dir) =>
-        lshCandidates(s, dir).orderBy("doc_a", "doc_b"),
+        sortedOut(lshCandidates(s, dir), "doc_a", "doc_b"),
       Some(s"""WITH $candSql
               |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin)
     ),
@@ -194,18 +203,23 @@ object Dedup {
     Q(
       "dd4_jaccard_neardup",
       (s, dir) => {
+        GraftFunctions.register(s)
+        // sorted hashed-token sets: the native merge-count expression needs
+        // ascending inputs; sorting is once per doc, counting is per pair.
         val tk = hashedTokens(s, dir)
           .select(
             col("doc_id"),
-            array_distinct(transform(col("hp"), p => p.getField("h1"))).as("toks"))
+            sort_array(array_distinct(transform(col("hp"), p => p.getField("h1"))))
+              .as("toks"))
           .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
-        lshCandidates(s, dir)
+        val scored = lshCandidates(s, dir)
           .join(broadcast(tk.as("ta")), col("doc_a") === col("ta.doc_id"))
           .join(broadcast(tk.as("tb")), col("doc_b") === col("tb.doc_id"))
           .select(
             col("doc_a"),
             col("doc_b"),
-            size(array_intersect(col("ta.toks"), col("tb.toks"))).as("inter"),
+            call_function(GraftFunctions.IntersectName, col("ta.toks"), col("tb.toks"))
+              .as("inter"),
             col("ta.n").as("na"),
             col("tb.n").as("nb"))
           .select(
@@ -214,7 +228,7 @@ object Dedup {
             (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
               .as("jaccard"))
           .filter(col("jaccard") >= JaccardThreshold)
-          .orderBy("doc_a", "doc_b")
+        sortedOut(scored, "doc_a", "doc_b")
       },
       Some(s"""WITH $candSql,
               |$tkSql
@@ -227,27 +241,31 @@ object Dedup {
     ),
 
     // SimHash: 60-bit fingerprint over the token multiset (60 bits = the
-    // widest hex prefix both engines can hold in a signed 64-bit int),
-    // all integer math computed per-row with no shuffle.
+    // widest hex prefix both engines can hold in a signed 64-bit int).
+    // Formulated as explode → 60 conditional sums → bit reassembly so the
+    // whole thing is codegen'd hash aggregation with map-side partials —
+    // the per-row higher-order-function formulation runs interpreted and
+    // was ~50× slower at sf0.1.
     Q(
       "dd5_simhash",
-      (s, dir) =>
-        docs(s, dir)
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
           .select(
             col("doc_id"),
-            transform(
-              split(col("text"), " "),
-              t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("hashes"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+            conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("hv"))
+        val bitSums = (0 until 60).map(j =>
+          sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+            .as(s"s$j"))
+        tok.groupBy("doc_id")
+          .agg(bitSums.head, bitSums.tail: _*)
           .select(
             col("doc_id"),
-            expr(
-              """aggregate(transform(sequence(0,59), j ->
-                |  CASE WHEN aggregate(hashes, 0L, (acc, h) ->
-                |         acc + CASE WHEN (h div shiftleft(CAST(1 AS BIGINT), j)) % 2 = 1 THEN 1 ELSE -1 END) > 0
-                |       THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END),
-                | CAST(0 AS BIGINT), (acc, b) -> acc + b)""".stripMargin).as("simhash"))
-          .orderBy("doc_id"),
+            (0 until 60)
+              .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+              .reduce(_ + _).as("simhash"))
+          .orderBy("doc_id")
+      },
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
              |h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS hv FROM tok),
              |bits AS (SELECT doc_id, j,
@@ -268,14 +286,15 @@ object Dedup {
       (s, dir) => {
         val b = bandSigs(s, dir)
         val reps = b.groupBy("band", "sig").agg(min("doc_id").as("rep"))
-        b.join(reps, Seq("band", "sig"))
-          .groupBy("doc_id")
-          .agg(min("rep").as("cluster_rep"))
-          .select(
-            col("doc_id"),
-            col("cluster_rep"),
-            (col("doc_id") === col("cluster_rep")).as("is_canonical"))
-          .orderBy("doc_id")
+        sortedOut(
+          b.join(reps, Seq("band", "sig"))
+            .groupBy("doc_id")
+            .agg(min("rep").as("cluster_rep"))
+            .select(
+              col("doc_id"),
+              col("cluster_rep"),
+              (col("doc_id") === col("cluster_rep")).as("is_canonical")),
+          "doc_id")
       },
       Some(s"""WITH $mhSql,
               |sigs AS (SELECT doc_id, CAST(seed // $BandSize AS INT) AS band,

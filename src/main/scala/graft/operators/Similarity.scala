@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,11 +23,12 @@ import org.apache.spark.storage.StorageLevel
   *     cosine floor, multi-probed the same way.
   *
   * Scale design:
-  *   - All dot products are UNROLLED into flat 64-term arithmetic expressions
-  *     (element_at(e,1)*c1 + …). Spark compiles these inside whole-stage
-  *     codegen; the round-1 `aggregate`/`zip_with` higher-order forms ran
-  *     interpreted with per-row array allocation and made the ANN path 2.2×
-  *     slower than its own brute-force baseline (VERDICT r1).
+  *   - All dot products use the native codegen expression
+  *     `graft.functions.DotProductDouble` (a primitive loop inside
+  *     whole-stage codegen); the round-1 `aggregate`/`zip_with`
+  *     higher-order forms ran interpreted with per-row array allocation
+  *     and made the ANN path 2.2× slower than its own brute-force
+  *     baseline (VERDICT r1).
   *   - The bucketed vector table is computed in ONE scan and persisted;
   *     query and candidate sides read the cache instead of re-deriving
   *     projections from separate scans.
@@ -62,13 +64,18 @@ object Similarity {
   /** embedding as array<double> (cast once, per row). */
   private val embD: Column = col("embedding").cast("array<double>")
 
-  /** Unrolled constant-coefficient dot product — flat codegen arithmetic. */
-  private def dotPlane(a: Column, coefs: Array[Int]): Column =
-    (1 to Dims).map(i => element_at(a, i) * lit(coefs(i - 1).toDouble)).reduce(_ + _)
-
-  /** Unrolled column-column dot product. */
+  /** Native codegen dot product (graft.functions.DotProductDouble): a
+    * tight primitive loop in generated code — no boxing, no per-row
+    * allocation, tiny codegen footprint (an unrolled 64-term expression
+    * compiles slowly and bloats whole-stage codegen; higher-order
+    * `aggregate`/`zip_with` run interpreted).
+    */
   private def dotCols(a: Column, b: Column): Column =
-    (1 to Dims).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+    call_function(GraftFunctions.DotName, a, b)
+
+  /** Dot against plan-time constant hyperplane coefficients. */
+  private def dotPlane(a: Column, coefs: Array[Int]): Column =
+    dotCols(a, typedlit(coefs.map(_.toDouble).toSeq))
 
   /** LSH bucket from hyperplane projection signs. */
   private val bucketCol: Column =
@@ -79,7 +86,8 @@ object Similarity {
   /** One scan: (vec_id, emb, nrm, bucket), persisted and shared by the
     * query/candidate sides of every similarity operator in the session.
     */
-  private def vectors(s: SparkSession, dir: String): DataFrame =
+  private def vectors(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     Tables(s, dir, "embeddings")
       .select(
         col("vec_id"),
@@ -87,6 +95,7 @@ object Similarity {
         sqrt(dotCols(embD, embD)).as("nrm"),
         bucketCol.as("bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
 
   private def cosine(qe: Column, qn: Column, ce: Column, cn: Column): Column =
     round(dotCols(qe, ce) / (qn * cn), 6)
@@ -194,6 +203,7 @@ object Similarity {
             col("bid").as("vec_b"),
             cosine(col("emb"), col("nrm"), col("bemb"), col("bnrm")).as("score"))
           .filter(col("score") >= 0.4)
+          .persist(StorageLevel.MEMORY_AND_DISK) // barrier: sort samples the small result, not the join
           .orderBy("vec_a", "vec_b")
       },
       Some(s"""WITH $vecBucketSql,
