@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.recipes.Schemas
+import org.apache.spark.sql.functions.col
+import java.nio.file.{Files, Paths}
+
+/** Event-driven truncate-reload (S8/§2.9): dropping a new file version
+  * into the landing area replaces the warehouse table wholesale —
+  * WRITE_TRUNCATE semantics — and the filename router only admits
+  * `backups/&#42;.csv` keys, renaming `recipe`→`recipes`.
+  */
+class IncrementalLoadSpec extends SparkSpec {
+
+  test("filename predicate admits only backups/*.csv") {
+    import spark.implicits._
+    val checks = Seq(
+      "bucket/backups/users.csv" -> true,
+      "bucket/backups/recipe.csv" -> true,
+      "bucket/tmp/users.csv" -> false,
+      "bucket/backups/users.txt" -> false)
+    val got = checks.map(_._1).toDF("f")
+      .select(col("f"), IncrementalLoad.isLoadable(col("f")).as("ok"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    checks.foreach { case (f, want) => assert(got(f) === want, f) }
+  }
+
+  test("table router strips path/suffix and renames recipe→recipes") {
+    import spark.implicits._
+    val got = Seq("a/backups/recipe.csv", "a/backups/users.csv", "a/backups/steps.csv")
+      .toDF("f").select(IncrementalLoad.tableNameFor(col("f")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("recipes", "users", "steps"))
+  }
+
+  test("each new file version truncate-reloads the table (last write wins)") {
+    val root = Files.createTempDirectory("incload").toString
+    val landing = s"$root/landing"
+    val warehouse = s"$root/warehouse/users"
+    val checkpoint = s"$root/chk"
+    Files.createDirectories(Paths.get(s"$landing/backups"))
+
+    def drop(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(s"$landing/backups/$name"),
+        ("user_id,username,email,created_at" +: rows).mkString("\n").getBytes)
+
+    def load(): Unit =
+      IncrementalLoad.truncateReloadStream(
+        spark, landing, "*.csv", Schemas.usersTable, warehouse, checkpoint)
+        .awaitTermination()
+
+    // batch 1: two users
+    drop("users_v1.csv", Seq(
+      "u1,Alice,a@example.com,2025-01-01 00:00:00.000000+00:00",
+      "u2,Bob,b@example.com,2025-01-01 00:00:00.000000+00:00"))
+    load()
+    assert(spark.read.parquet(warehouse).count() === 2)
+
+    // batch 2: a single replacement row — table must equal ONLY this batch
+    drop("users_v2.csv", Seq(
+      "u9,Zoe,z@example.com,2025-02-02 00:00:00.000000+00:00"))
+    load()
+    val after = spark.read.parquet(warehouse)
+    assert(after.count() === 1)
+    assert(after.select("user_id").head().getString(0) === "u9")
+  }
+}
