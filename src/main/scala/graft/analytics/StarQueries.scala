@@ -154,19 +154,29 @@ object StarQueries {
              |GROUP BY c_name ORDER BY actions DESC, c_name LIMIT 10""".stripMargin)
     ),
 
-    // Q8: most complex recipe = max bridge rows per parent, top-1
-    // (reference README.md:477-480).
+    // Q8: most complex recipe = max bridge rows per parent, carrying the
+    // parent dim's attributes (reference README.md:477-480 joins
+    // recipes⋈steps for the title — J4). Plan shape: aggregate the bridge,
+    // take the top-1 FIRST, then broadcast-join the single row back to the
+    // parent table — the parent join touches one row instead of every
+    // group, which is the shape that survives a 100× scale-up.
     Q(
       "q8_widest_order",
-      (s, dir) =>
-        Tables(s, dir, "lineitem")
+      (s, dir) => {
+        val top = Tables(s, dir, "lineitem")
           .groupBy(col("l_orderkey"))
           .agg(count(lit(1)).as("n_items"))
           .orderBy(desc("n_items"), asc("l_orderkey"))
-          .limit(1),
-      Some("""SELECT l_orderkey, count(*) AS n_items
-             |FROM lineitem GROUP BY l_orderkey
-             |ORDER BY n_items DESC, l_orderkey LIMIT 1""".stripMargin)
+          .limit(1)
+        val o = Tables(s, dir, "orders")
+        broadcast(top).join(o, top("l_orderkey") === o("o_orderkey"))
+          .select(col("l_orderkey"), col("o_orderpriority"), col("n_items"))
+      },
+      Some("""SELECT l_orderkey, o_orderpriority, n_items
+             |FROM (SELECT l_orderkey, count(*) AS n_items
+             |      FROM lineitem GROUP BY l_orderkey
+             |      ORDER BY n_items DESC, l_orderkey LIMIT 1)
+             |JOIN orders ON l_orderkey = o_orderkey""".stripMargin)
     ),
 
     // Q9: nested aggregation — avg per-parent count (reference README.md:491-492).
