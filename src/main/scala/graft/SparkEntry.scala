@@ -16,6 +16,7 @@ object SparkEntry {
       operators.TextAnalysis.all ++
       operators.EventOps.all ++
       operators.Multimodal.all ++
+      operators.ExtendedOps.all ++
       recipes.Seed.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
