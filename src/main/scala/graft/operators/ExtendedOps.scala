@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Extension operators beyond the reference's surface (SURVEY.md §7 item
@@ -44,6 +45,37 @@ object ExtendedOps {
       Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n
              |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
              |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+    ),
+
+    // As-of join — an operator Spark lacks natively, composed the
+    // scale-right way: instead of a per-row range self-join (quadratic in
+    // events-per-user), union the two sides and take ONE window pass per
+    // user ordered by event time, carrying the last view id forward with
+    // last(..., ignoreNulls). One shuffle on user_id, state O(1) per row.
+    // (user_id, ts) is unique in this corpus, so the `v.ts <= p.ts`
+    // as-of semantics and the window formulation coincide exactly —
+    // DuckDB's native ASOF JOIN is the oracle.
+    Q(
+      "aj1_asof_last_view",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        val w = Window.partitionBy("user_id").orderBy("ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn(
+            "last_view",
+            last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true)
+              .over(w))
+          .filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "last_view")
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, v.event_id AS last_view
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             |  ON p.user_id = v.user_id AND p.ts >= v.ts
+             |ORDER BY p.event_id""".stripMargin)
     ),
 
     // Set operations: urgent-order customers minus high-priority overlap,
