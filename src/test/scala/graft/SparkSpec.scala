@@ -14,6 +14,8 @@ object TestSpark {
       .master("local[4]")
       .appName("graft-tests")
       .withExtensions(new functions.GraftExtensions)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{SparkSpec, TestSpark}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import java.nio.file.Files
+
+/** The scale techniques must be provably equivalent (salting) and
+  * provably shuffle-free / pruned (bucketing, partitioning) — asserted
+  * on the physical plans, not just the results.
+  */
+class ScaleTechniquesSpec extends SparkSpec {
+
+  private def events = graft.Tables(spark, TestSpark.Sf0001, "events")
+
+  test("salted two-phase aggregation equals the direct groupBy exactly") {
+    val direct = events.groupBy(col("user_id").as("_key"))
+      .agg(count(lit(1)).as("n"))
+    val salted = ScaleTechniques.saltedCount(events, col("user_id"), saltBuckets = 8)
+    assert(rowSet(salted) === rowSet(direct))
+  }
+
+  test("salted aggregation spreads a single hot key over salt buckets") {
+    import spark.implicits._
+    // one key carrying 100k rows — the all-in-one-reducer scenario
+    val hot = spark.range(100000).select(lit("hot").as("k"), col("id"))
+      .unionAll(spark.range(50).select(lit("cold").as("k"), col("id")))
+    val out = ScaleTechniques.saltedAgg(hot, col("k"), 8, Seq(
+      (count(lit(1)), (c: String) => sum(col(c)), "n"),
+      (sum(col("id")), (c: String) => sum(col(c)), "total")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("hot")._1 === 100000L)
+    assert(out("hot")._2 === (0L until 100000L).sum)
+    assert(out("cold")._1 === 50L)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    val o = graft.Tables(s, TestSpark.Sf0001, "orders")
+    val li = graft.Tables(s, TestSpark.Sf0001, "lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_b")
+
+    val joined = s.table("orders_b").join(
+      s.table("lineitem_b"),
+      col("o_orderkey") === col("l_orderkey"))
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty, "bucket-co-located join must not shuffle")
+    assert(joined.count() === li.count())
+  }
+
+  test("partitioned layout prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("parts").toString
+    events.write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    val formatted = scan.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PartitionFilters"), formatted.take(400))
+    assert(
+      formatted.contains("isnotnull(event_type") ||
+        formatted.contains("event_type#"),
+      "partition filter present in scan")
+    // only the matching partition's rows are read
+    assert(scan.count() === events.filter("event_type = 'purchase'").count())
+  }
+}
