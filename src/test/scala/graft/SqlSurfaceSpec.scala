@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The engine's queries are equally expressible through `spark.sql` over
+  * registered views — the SQL face of the same Catalyst plans (the
+  * reference's analytics run as SQL in its warehouse; a user can keep
+  * writing SQL here).
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("spark.sql over registered views matches the DataFrame plan results") {
+    val dir = TestSpark.Sf0001
+    Seq("lineitem", "part", "orders").foreach { t =>
+      Tables(spark, dir, t).createOrReplaceTempView(t)
+    }
+    val sql = spark.sql(
+      """SELECT p_name, count(*) AS frequency
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_name ORDER BY frequency DESC, p_name LIMIT 5""".stripMargin)
+    val df = SparkEntry.queries("q1_ingredient_freq")(spark, dir)
+    assert(rowSet(sql) === rowSet(df))
+  }
+
+  test("registered native functions are callable from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
+    assert(r.getDouble(0) === 11.0)
+  }
+
+  test("scalar subqueries compile through Catalyst (reference Q4 shape)") {
+    Tables(spark, TestSpark.Sf0001, "orders").createOrReplaceTempView("orders")
+    val r = spark.sql(
+      """SELECT
+        |  (SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS f_cnt,
+        |  (SELECT count(*) FROM orders) AS all_cnt""".stripMargin).head()
+    assert(r.getLong(0) > 0 && r.getLong(1) >= r.getLong(0))
+  }
+}
