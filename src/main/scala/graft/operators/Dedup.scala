@@ -99,8 +99,11 @@ object Dedup {
           .as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-  /** (doc_id, band, sig) band keys — the LSH bucket id is the ","-joined
-    * band slice of the signature.
+  /** (doc_id, band, sig) band keys — the LSH bucket id is a 60-bit hash
+    * of the ","-joined band slice, so the self-join shuffles and compares
+    * 8-byte longs instead of ~130-char strings (hash computed identically
+    * by the DuckDB oracle; a 60-bit collision would merge two buckets in
+    * both engines alike).
     */
   private def bandSigs(s: SparkSession, dir: String): DataFrame =
     signatures(s, dir)
@@ -109,10 +112,14 @@ object Dedup {
         posexplode(transform(
           sequence(lit(0), lit(NumBands - 1)),
           b =>
-            concat_ws(
-              ",",
-              slice(col("sig"), b * lit(BandSize) + lit(1), lit(BandSize))
-                .cast("array<string>")))))
+            conv(
+              substring(
+                md5(concat_ws(
+                  ",",
+                  slice(col("sig"), b * lit(BandSize) + lit(1), lit(BandSize))
+                    .cast("array<string>"))),
+                1, 15),
+              16, 10).cast("long"))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
 
   /** Candidate near-dup pairs: docs sharing any full band signature.
@@ -139,11 +146,15 @@ object Dedup {
        |mh AS (SELECT doc_id, seed, min((h1 + seed * h2) % $Mod) AS minhash
        |       FROM hp CROSS JOIN range($NumHashes) t(seed) GROUP BY doc_id, seed)""".stripMargin
 
+  /** Band keys hashed to 60-bit longs, mirroring bandSigs. */
+  private val sigsSql =
+    s"""sigs AS (SELECT doc_id, CAST(seed // $BandSize AS INT) AS band,
+       |                CAST('0x' || substr(md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)), 1, 15) AS BIGINT) AS sig
+       |         FROM mh GROUP BY doc_id, band)""".stripMargin
+
   private val candSql =
     s"""$mhSql,
-       |sigs AS (SELECT doc_id, CAST(seed // $BandSize AS INT) AS band,
-       |                string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS sig
-       |         FROM mh GROUP BY doc_id, band),
+       |$sigsSql,
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM sigs a JOIN sigs b
        |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
@@ -297,9 +308,7 @@ object Dedup {
           "doc_id")
       },
       Some(s"""WITH $mhSql,
-              |sigs AS (SELECT doc_id, CAST(seed // $BandSize AS INT) AS band,
-              |                string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS sig
-              |         FROM mh GROUP BY doc_id, band),
+              |$sigsSql,
               |m AS (SELECT band, sig, min(doc_id) AS rep FROM sigs GROUP BY band, sig)
               |SELECT doc_id, cluster_rep, doc_id = cluster_rep AS is_canonical FROM (
               |  SELECT s.doc_id, min(m.rep) AS cluster_rep
