@@ -85,18 +85,31 @@ object Dedup {
 
   /** Cached (doc_id, sig: array<long>) minhash signatures:
     * sig(i) = min over tokens of (h1 + i*h2) mod 2^32.
+    *
+    * Formulated as explode(token)×explode(seed) → codegen'd partial MIN
+    * aggregation → per-doc array reassembly. The per-row higher-order
+    * form (transform over seeds × transform over tokens) runs
+    * interpreted AND — worse — projection collapse re-inlines the md5
+    * token hashing into all NumHashes lambda bodies unless a
+    * materialization barrier sits between them (measured 22s vs 3s at
+    * sf0.1). The explode form needs no barrier: the hash columns are
+    * bound attributes below the aggregation, and map-side partials keep
+    * the shuffle at docs×NumHashes rows regardless of token count.
     */
   private def signatures(s: SparkSession, dir: String): DataFrame =
     hashedTokens(s, dir)
+      .select(col("doc_id"), explode(col("hp")).as("p"))
       .select(
         col("doc_id"),
-        transform(
-          sequence(lit(0), lit(NumHashes - 1)),
-          i =>
-            array_min(transform(
-              col("hp"),
-              p => pmod(p.getField("h1") + i.cast("long") * p.getField("h2"), lit(Mod)))))
-          .as("sig"))
+        col("p.h1").as("h1"),
+        col("p.h2").as("h2"),
+        explode(sequence(lit(0), lit(NumHashes - 1))).as("seed"))
+      .groupBy("doc_id", "seed")
+      .agg(min(pmod(col("h1") + col("seed").cast("long") * col("h2"), lit(Mod))).as("mh"))
+      .groupBy("doc_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("seed"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** (doc_id, band, sig) band keys — the LSH bucket id is a 60-bit hash
