@@ -328,6 +328,63 @@ object Dedup {
               |  FROM sigs s JOIN m ON s.band = m.band AND s.sig = m.sig
               |  GROUP BY s.doc_id)
               |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // n-gram (bigram-shingle) Jaccard: ORDER-SENSITIVE near-dup scoring.
+    // Word-set Jaccard (dd4) calls two docs with shuffled word order
+    // identical; bigram shingles don't. Verified over the word-level LSH
+    // candidates (a superset: bigram similarity implies word-set
+    // similarity); at larger scale you'd band on bigram minhashes with
+    // the same machinery. Shingle sets are hashed to sorted longs and
+    // merge-counted natively, as in dd4.
+    Q(
+      "dd7_ngram_jaccard",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val words = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val bg = words.select(
+          col("doc_id"),
+          sort_array(array_distinct(
+            when(size(col("words")) >= 2,
+              transform(
+                sequence(lit(1), size(col("words")) - 1),
+                i => conv(substring(md5(concat(
+                  element_at(col("words"), i), lit(" "),
+                  element_at(col("words"), i + 1))), 1, 8), 16, 10).cast("long")))
+              .otherwise(typedlit(Seq.empty[Long])))).as("bg"))
+          .select(col("doc_id"), col("bg"), size(col("bg")).as("n"))
+        val scored = lshCandidates(s, dir)
+          .join(broadcast(bg.as("ba")), col("doc_a") === col("ba.doc_id"))
+          .join(broadcast(bg.as("bb")), col("doc_b") === col("bb.doc_id"))
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            call_function(GraftFunctions.IntersectName, col("ba.bg"), col("bb.bg"))
+              .as("inter"),
+            col("ba.n").as("na"),
+            col("bb.n").as("nb"))
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+              .as("ngram_jaccard"))
+          .filter(col("ngram_jaccard") >= 0.8)
+        sortedOut(scored, "doc_a", "doc_b")
+      },
+      Some(s"""WITH $candSql,
+              |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+              |bg AS (SELECT doc_id,
+              |         list_distinct(list_transform(generate_series(1, len(words) - 1),
+              |           i -> CAST('0x' || substr(md5(words[i] || ' ' || words[i + 1]), 1, 8) AS BIGINT))) AS bg
+              |       FROM w)
+              |SELECT doc_a, doc_b, ngram_jaccard FROM (
+              |  SELECT doc_a, doc_b,
+              |    CAST(len(list_intersect(ba.bg, bb.bg)) AS DOUBLE) /
+              |      (len(ba.bg) + len(bb.bg) - len(list_intersect(ba.bg, bb.bg))) AS ngram_jaccard
+              |  FROM cand JOIN bg ba ON doc_a = ba.doc_id JOIN bg bb ON doc_b = bb.doc_id)
+              |WHERE ngram_jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 }

@@ -98,6 +98,30 @@ object TextAnalysis {
               |ORDER BY doc_id""".stripMargin)
     ),
 
+    // BPE-ish regex tokenization: alpha runs / digit runs / single
+    // punctuation as separate subword tokens — the pre-tokenizer shape a
+    // byte-pair encoder consumes (vs tx1's whitespace tokens).
+    Q(
+      "tx5_regex_tokens",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)").as("sub"),
+            size(split(col("text"), " ")).as("n_ws_tokens"))
+          .select(
+            col("doc_id"),
+            size(col("sub")).as("n_subword_tokens"),
+            size(array_distinct(col("sub"))).as("n_distinct_subwords"),
+            col("n_ws_tokens"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_subword_tokens,
+             |  CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INT) AS n_distinct_subwords,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
     // Content fingerprinting: full-text hash + leading-shingle hash
     // (the cheap building blocks for incremental / prefix dedup).
     Q(
