@@ -83,6 +83,32 @@ object Similarity {
       when(dotPlane(embD, planes(p)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  // ---- IVF coarse quantizer ----
+
+  private[operators] val NumCells = 16
+
+  /** centroids(c)(d) ∈ {-1, 1}, md5-derived like the planes — plan-time
+    * constants shared bit-for-bit with the oracle. (A production IVF
+    * trains these with k-means; the operator shape — assign to argmax-dot
+    * cell, probe the top cells — is identical.)
+    */
+  private val centroids: Array[Array[Int]] =
+    Array.tabulate(NumCells, Dims) { (c, d) =>
+      if ((Integer.parseInt(md5hex(s"ivf${c}_$d").substring(0, 4), 16) & 1) == 1) 1 else -1
+    }
+
+  /** Dot against every centroid, as an array column (16 native dots). */
+  private def centroidDots(e: Column): Column =
+    array((0 until NumCells).map(c => dotPlane(e, centroids(c))): _*)
+
+  /** IVF cell id = 1-based index of the max centroid dot (first match on
+    * ties, same rule as DuckDB list_position).
+    */
+  private def cellCol(e: Column): Column = {
+    val d = centroidDots(e)
+    array_position(d, array_max(d))
+  }
+
   /** Prepare any (vec_id, embedding) frame: cast, norm, LSH bucket —
     * one scan, persisted. Public so callers (and tests) can run the
     * operators over their own vector sets.
@@ -93,7 +119,8 @@ object Similarity {
         col("vec_id"),
         embD.as("emb"),
         sqrt(dotCols(embD, embD)).as("nrm"),
-        bucketCol.as("bucket"))
+        bucketCol.as("bucket"),
+        cellCol(embD).as("cell"))
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -150,6 +177,18 @@ object Similarity {
   private def probesCol(bucket: Column): Column =
     array(bucket +: (0 until NumPlanes).map(p => bucket.bitwiseXOR(lit(1L << p))): _*)
 
+  /** The query's 2 nearest cells (best + runner-up by centroid dot) —
+    * the IVF probe list.
+    */
+  private def cellProbesCol(e: Column): Column = {
+    val d = centroidDots(e)
+    val best = array_position(d, array_max(d))
+    val masked = transform(
+      sequence(lit(1), lit(NumCells)),
+      j => when(j.cast("long") === best, lit(Double.MinValue)).otherwise(element_at(d, j)))
+    array(best, array_position(masked, array_max(masked)))
+  }
+
   // ---- DuckDB oracle fragments ----
 
   /** DuckDB: same hyperplane bucket, coefficients inlined as an int list. */
@@ -166,6 +205,19 @@ object Similarity {
        |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm,
        |        $bucketSql AS bucket
        |      FROM embeddings)""".stripMargin
+
+  /** v plus the IVF cell (computed from the centroid-dot list). */
+  private def vcSql =
+    s"""vd AS (SELECT vec_id, emb, nrm, bucket,
+       |  $centroidDotsSql AS d FROM v),
+       |vc AS (SELECT vec_id, emb, nrm, bucket, list_position(d, list_max(d)) AS cell FROM vd)""".stripMargin
+
+  /** DuckDB: centroid-dot list with inlined ±1 coefficient lists. */
+  private val centroidDotsSql: String =
+    (0 until NumCells).map { c =>
+      val coefs = centroids(c).mkString("[", ",", "]")
+      s"""list_sum(list_transform(generate_series(1,$Dims), i -> emb[i] * ($coefs)[i]))"""
+    }.mkString("[", ",\n   ", "]")
 
   private val probesSql: String =
     ("bucket" +: (0 until NumPlanes).map(p => s"xor(bucket, ${1L << p})"))
@@ -207,6 +259,51 @@ object Similarity {
               |SELECT qid, neighbor_id, score FROM
               |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rn FROM p)
               |WHERE rn <= $TopK ORDER BY qid, neighbor_id""".stripMargin)
+    ),
+
+    // IVF ANN top-k: the inverted-file counterpart of ss2 — vectors are
+    // assigned to the argmax-dot centroid cell; a query probes its 2
+    // nearest cells (nprobe=2 of 16 → ~12.5% of the corpus scanned).
+    // Same recall caveat as ss2 on this isotropic corpus; on clustered
+    // data the cells align with the clusters and recall approaches 1.
+    Q(
+      "ss3_ivf_topk",
+      (s, dir) => {
+        val v = vectors(s, dir)
+        val q = v.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+            col("nrm").as("qnrm"), explode(cellProbesCol(col("emb"))).as("probe"))
+        val pairs = v.join(broadcast(q),
+            col("cell") === col("probe") && col("vec_id") =!= col("qid"))
+          .select(
+            col("qid"),
+            col("vec_id").as("neighbor_id"),
+            cosine(col("qemb"), col("qnrm"), col("emb"), col("nrm")).as("score"))
+        val w = Window.partitionBy(col("qid")).orderBy(desc("score"), asc("neighbor_id"))
+        pairs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= TopK)
+          .select("qid", "neighbor_id", "score")
+          .orderBy("qid", "neighbor_id")
+      },
+      Some {
+        val minD = "-1.7976931348623157e308"
+        s"""WITH $vecBucketSql,
+           |$vcSql,
+           |qd AS (SELECT vec_id, emb, nrm, d FROM vd WHERE vec_id < $NumQueries),
+           |qp AS (SELECT vec_id, emb, nrm, unnest([
+           |    list_position(d, list_max(d)),
+           |    list_position(
+           |      list_transform(generate_series(1, $NumCells),
+           |        j -> CASE WHEN j = list_position(d, list_max(d)) THEN $minD ELSE d[j] END),
+           |      list_max(list_transform(generate_series(1, $NumCells),
+           |        j -> CASE WHEN j = list_position(d, list_max(d)) THEN $minD ELSE d[j] END)))
+           |  ]) AS probe FROM qd),
+           |p AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor_id, $cosSql AS score
+           |      FROM qp q JOIN vc c ON c.cell = q.probe AND c.vec_id <> q.vec_id)
+           |SELECT qid, neighbor_id, score FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rn FROM p)
+           |WHERE rn <= $TopK ORDER BY qid, neighbor_id""".stripMargin
+      }
     ),
 
     // Embedding near-dup detection: same-or-adjacent-bucket pairs above a
