@@ -148,6 +148,26 @@ object Similarity {
       .orderBy("qid", "neighbor_id")
   }
 
+  /** IVF ANN top-k over a prepared vector frame: candidates restricted
+    * to the query's 2 nearest centroid cells (nprobe=2).
+    */
+  def ivfTopK(v: DataFrame, numQueries: Int, topK: Int): DataFrame = {
+    val q = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"), explode(cellProbesCol(col("emb"))).as("probe"))
+    val pairs = v.join(broadcast(q),
+        col("cell") === col("probe") && col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("vec_id").as("neighbor_id"),
+        cosine(col("qemb"), col("qnrm"), col("emb"), col("nrm")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("score"), asc("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("qid", "neighbor_id", "score")
+      .orderBy("qid", "neighbor_id")
+  }
+
   /** Multi-probe LSH ANN top-k: candidates restricted to the query's
     * bucket plus its flip-1-bit neighbors. A candidate's single bucket
     * matches at most one probe, so the probe explosion introduces no
@@ -268,23 +288,7 @@ object Similarity {
     // data the cells align with the clusters and recall approaches 1.
     Q(
       "ss3_ivf_topk",
-      (s, dir) => {
-        val v = vectors(s, dir)
-        val q = v.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-            col("nrm").as("qnrm"), explode(cellProbesCol(col("emb"))).as("probe"))
-        val pairs = v.join(broadcast(q),
-            col("cell") === col("probe") && col("vec_id") =!= col("qid"))
-          .select(
-            col("qid"),
-            col("vec_id").as("neighbor_id"),
-            cosine(col("qemb"), col("qnrm"), col("emb"), col("nrm")).as("score"))
-        val w = Window.partitionBy(col("qid")).orderBy(desc("score"), asc("neighbor_id"))
-        pairs.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= TopK)
-          .select("qid", "neighbor_id", "score")
-          .orderBy("qid", "neighbor_id")
-      },
+      (s, dir) => ivfTopK(vectors(s, dir), NumQueries, TopK),
       Some {
         val minD = "-1.7976931348623157e308"
         s"""WITH $vecBucketSql,

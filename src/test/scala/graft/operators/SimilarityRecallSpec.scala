@@ -49,5 +49,13 @@ class SimilarityRecallSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val exactHits = (0 until nQueries).count(q => exact.get(q.toLong).contains(1000L + q))
     assert(exactHits === nQueries, "every twin is the true nearest neighbor")
+
+    // IVF path: a twin at cosine ~0.995 lands in the query's own or
+    // runner-up centroid cell almost always — nprobe=2 must find most.
+    val ivf = Similarity.ivfTopK(v, nQueries, topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivfHits = (0 until nQueries).count(q => ivf.get(q.toLong).contains(1000L + q))
+    val ivfRecall = ivfHits.toDouble / nQueries
+    assert(ivfRecall >= 0.8, s"IVF planted-twin recall $ivfRecall ($ivfHits/$nQueries)")
   }
 }
