@@ -77,6 +77,9 @@ object ValidationQueries {
       (s, dir) =>
         ordersReport(s, dir)
           .unionAll(lineitemReport(s, dir))
+          // barrier: the deterministic sort's range-sampling job would
+          // otherwise run the whole report pipeline twice
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           .orderBy("Table", "Record_ID"),
       Some(
         s"""SELECT * FROM ($ordersReportSql UNION ALL $lineitemReportSql)
