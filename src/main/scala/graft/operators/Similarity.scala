@@ -335,6 +335,48 @@ object Similarity {
               |    round(list_sum(list_transform(generate_series(1,$Dims), i -> q.emb[i]*c.bemb[i])) / (q.nrm*c.bnrm), 6) AS score
               |  FROM v q JOIN bp c ON q.bucket = c.probe AND q.vec_id < c.bid)
               |WHERE score >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
+    ),
+
+    // int8 quantization: the embedding-storage compression path (4× fewer
+    // bytes than float32, 8×(+scale) fewer than these double pipelines).
+    // Per-vector symmetric max-abs scaling; q_i = floor(x_i/scale*127+0.5)
+    // — floor(x+0.5), not round(), because Spark rounds half-up and DuckDB
+    // half-even; floor is bit-identical in both. The query reports the
+    // reconstruction quality: cosine between the original and the
+    // dequantized vector, which stays ≥ 0.999 at int8 for these inputs.
+    Q(
+      "em2_quantized_cosine",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val scale = array_max(transform(embD, x => abs(x))) / 127.0
+        val withQ = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), embD.as("emb"), scale.as("scale"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val dequantized = transform(
+          col("emb"),
+          x => floor(x / col("scale") * 127.0 + 0.5).cast("double") * col("scale") / 127.0)
+        withQ
+          .select(col("vec_id"), col("emb"), col("scale"), dequantized.as("deq"))
+          .select(
+            col("vec_id"),
+            round(col("scale"), 6).as("scale6"),
+            round(
+              call_function(GraftFunctions.DotName, col("emb"), col("deq")) /
+                (sqrt(call_function(GraftFunctions.DotName, col("emb"), col("emb"))) *
+                  sqrt(call_function(GraftFunctions.DotName, col("deq"), col("deq")))),
+              6).as("recon_cosine"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |sc AS (SELECT vec_id, emb, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale FROM e),
+             |dq AS (SELECT vec_id, emb, scale,
+             |         list_transform(emb, x -> floor(x / scale * 127.0 + 0.5) * scale / 127.0) AS deq
+             |       FROM sc)
+             |SELECT vec_id, round(scale, 6) AS scale6,
+             |  round(list_sum(list_transform(generate_series(1, 64), i -> emb[i] * deq[i])) /
+             |    (sqrt(list_sum(list_transform(emb, x -> x * x))) *
+             |     sqrt(list_sum(list_transform(deq, x -> x * x)))), 6) AS recon_cosine
+             |FROM dq ORDER BY vec_id""".stripMargin)
     )
   )
 }
