@@ -45,6 +45,55 @@ class EventStreamsSpec extends SparkSpec {
     assert(rowSet(streamed) === rowSet(batch))
   }
 
+  test("watermark drops events that arrive later than the lateness bound") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("late").toString
+    val landing = s"$root/in"
+    val chk = s"$root/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+
+    def drop(name: String, rows: Seq[(Long, String, java.sql.Timestamp, Double, String, Long)]): Unit =
+      rows.toDF("event_id", "event_type", "ts", "value", "props", "user_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$landing/$name")
+
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-06-01 $h%02d:30:00")
+    val schema = Seq((1L, "view", ts(1), 1.0, "{}", 1L))
+      .toDF("event_id", "event_type", "ts", "value", "props", "user_id").schema
+
+    val outDir = s"$root/out"
+    def run(): Unit =
+      spark.readStream.schema(schema).parquet(s"$landing/*")
+        .transform(EventStreams.hourlyAgg(_, watermark = "1 hour"))
+        .writeStream
+        // append mode emits only FINALIZED (watermark-passed) windows;
+        // foreachBatch+parquet persists them across restarts of the query
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(outDir): Unit
+        }
+        .start().awaitTermination()
+
+    // batch 1: events at 01:30 and 05:30 — watermark advances to 04:30,
+    // finalizing (and emitting) the 01:00 window
+    drop("b1", Seq(
+      (1L, "view", ts(1), 1.0, "{}", 1L),
+      (2L, "view", ts(5), 1.0, "{}", 1L)))
+    run()
+    // batch 2: a straggler for the already-finalized 01:00 window plus a
+    // fresh event — the straggler is beyond the lateness bound and dropped
+    drop("b2", Seq(
+      (3L, "view", ts(1), 99.0, "{}", 1L),
+      (4L, "view", ts(9), 1.0, "{}", 1L)))
+    run()
+
+    val out = spark.read.parquet(outDir)
+    val w1 = out.filter("hour = timestamp'2024-06-01 01:00:00'").collect()
+    assert(w1.length === 1, "01:00 window finalized exactly once")
+    assert(w1.head.getAs[Long]("n") === 1, "the late straggler was dropped, not merged")
+  }
+
   test("streaming session windows equal the batch gap-sessionization") {
     val streamed = runStream("sessions_out")(EventStreams.sessionize(_))
     // batch twin: ev2's lag/running-sum sessions, reduced to the same
