@@ -28,5 +28,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedLongIntersectCount].getName, null,
         GraftFunctions.IntersectName, "_FUNC_(a, b) - intersection size of two sorted long arrays", ""),
       (children: Seq[Expression]) => SortedLongIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.BottomKName),
+      new ExpressionInfo(classOf[BottomKLongs].getName, null,
+        GraftFunctions.BottomKName, "_FUNC_(col, k) - k smallest distinct longs (KMV sketch)", ""),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(s"k must be a literal, got $other")
+        }
+        BottomKLongs(children(0), k)
+      }))
   }
 }

@@ -30,22 +30,35 @@ object GraftFunctions {
   /** |a ∩ b| for two ASC-SORTED array<long> columns (merge count). */
   val IntersectName = "graft_sorted_intersect_count"
 
+  /** bottom-k distinct-value sketch aggregate over a long column. */
+  val BottomKName = "graft_bottom_k"
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(getClass.getName, null, name, usage, "")
 
-  /** Idempotently register both functions in this session's registry. */
+  /** Idempotently register the functions in this session's registry
+    * (per-function guards: a session built with GraftExtensions may
+    * already have a subset).
+    */
   def register(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier(DotName))) {
-      reg.registerFunction(
-        FunctionIdentifier(DotName),
-        info(DotName, "_FUNC_(a, b) - dot product of two double arrays"),
-        (children: Seq[Expression]) => DotProductDouble(children(0), children(1)))
-      reg.registerFunction(
-        FunctionIdentifier(IntersectName),
-        info(IntersectName, "_FUNC_(a, b) - intersection size of two sorted long arrays"),
-        (children: Seq[Expression]) => SortedLongIntersectCount(children(0), children(1)))
-    }
+    def ensure(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.registerFunction(FunctionIdentifier(name), info(name, usage), builder)
+    ensure(DotName, "_FUNC_(a, b) - dot product of two double arrays")(
+      children => DotProductDouble(children(0), children(1)))
+    ensure(IntersectName, "_FUNC_(a, b) - intersection size of two sorted long arrays")(
+      children => SortedLongIntersectCount(children(0), children(1)))
+    ensure(BottomKName, "_FUNC_(col, k) - k smallest distinct longs (KMV sketch)")(
+      children => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(s"k must be a literal, got $other")
+        }
+        // bare AggregateFunction: the analyzer wraps it in an
+        // AggregateExpression during UnresolvedFunction resolution
+        BottomKLongs(children(0), k)
+      })
   }
 }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,6 +46,48 @@ object ExtendedOps {
       Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n
              |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
              |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+    ),
+
+    // KMV bottom-k sketch via the custom TypedImperativeAggregate
+    // (graft.functions.BottomKLongs): a mergeable distinct sketch with
+    // map-side partial aggregation like any built-in agg. The sketch and
+    // the derived estimate ((k-1)·2^32 / h_(k)) are deterministic, so the
+    // oracle recomputes them exactly — unlike approx_count_distinct's
+    // engine-specific HLL (ap1 handles that with a bounded-error check).
+    Q(
+      "bk1_bottomk_sketch",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val k = 64
+        val ev = Tables(s, dir, "events")
+          .select(
+            col("event_type"),
+            conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+              .cast("long").as("h"))
+        ev.groupBy(col("event_type"))
+          .agg(
+            countDistinct(col("h")).as("exact_distinct"),
+            call_function(GraftFunctions.BottomKName, col("h"), lit(k)).as("sketch"))
+          .select(
+            col("event_type"),
+            col("exact_distinct"),
+            size(col("sketch")).as("sketch_size"),
+            when(size(col("sketch")) < k, col("exact_distinct").cast("double"))
+              .otherwise(lit((k - 1).toDouble * 4294967296.0) / element_at(col("sketch"), k))
+              .as("estimated_distinct"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (SELECT event_type,
+             |            CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+             |          FROM events),
+             |sk AS (SELECT event_type, count(DISTINCT h) AS exact_distinct,
+             |         list_sort(list_distinct(list(h)))[1:64] AS sketch
+             |       FROM h GROUP BY event_type)
+             |SELECT event_type, exact_distinct,
+             |  CAST(len(sketch) AS INT) AS sketch_size,
+             |  CASE WHEN len(sketch) < 64 THEN CAST(exact_distinct AS DOUBLE)
+             |       ELSE 63.0 * 4294967296.0 / sketch[64] END AS estimated_distinct
+             |FROM sk ORDER BY event_type""".stripMargin)
     ),
 
     // As-of join — an operator Spark lacks natively, composed the
