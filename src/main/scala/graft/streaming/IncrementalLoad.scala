@@ -55,7 +55,8 @@ object IncrementalLoad {
       .option("header", true)
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSSxxx")
       .option("maxFilesPerTrigger", 1) // one load job per file event
-      .csv(s"$landingDir/backups/$csvName")
+      .option("pathGlobFilter", csvName) // route: only this table's file
+      .csv(s"$landingDir/backups/")
       .withColumn("_file", input_file_name())
       .filter(isLoadable(col("_file")))
       .drop("_file")

@@ -33,6 +33,30 @@ class IncrementalLoadSpec extends SparkSpec {
     assert(got === Seq("recipes", "users", "steps"))
   }
 
+  test("loadAllAvailableNow routes all five reference CSVs into the warehouse") {
+    val root = Files.createTempDirectory("incload-all").toString
+    val landing = s"$root/landing"
+    Files.createDirectories(Paths.get(s"$landing/backups"))
+    // stage the golden CSVs as the landing drop (reference filenames)
+    Seq("users.csv", "recipe.csv", "ingredients.csv", "steps.csv", "interactions.csv")
+      .foreach { f =>
+        Files.copy(
+          Paths.get(s"/root/reference/output/$f"),
+          Paths.get(s"$landing/backups/$f"))
+      }
+    IncrementalLoad.loadAllAvailableNow(spark, landing, s"$root/wh", s"$root/chk")
+    val counts = Map(
+      "users" -> 11L, "recipes" -> 20L, "ingredients" -> 120L,
+      "steps" -> 65L, "interactions" -> 50L)
+    counts.foreach { case (table, n) =>
+      assert(spark.read.parquet(s"$root/wh/$table").count() === n, table)
+    }
+    // recipe.csv landed in the renamed `recipes` table with typed columns
+    val r = spark.read.parquet(s"$root/wh/recipes")
+    assert(r.schema("prep_time_minutes").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+  }
+
   test("each new file version truncate-reloads the table (last write wins)") {
     val root = Files.createTempDirectory("incload").toString
     val landing = s"$root/landing"
