@@ -53,6 +53,16 @@ class SeedSpec extends SparkSpec {
       "interaction_id NOT RLIKE '^int_[0-9]{4}$'").count() === 0)
   }
 
+  test("generator scales: 100× recipe count keeps shape and determinism") {
+    val big = Seed.syntheticRecipes(spark, 1900)
+    assert(big.count() === 1900)
+    val ing = Normalize.ingredients(big)
+    val perRecipe = ing.groupBy("recipe_id").count()
+    assert(perRecipe.filter("count < 3 OR count > 8").count() === 0)
+    // ids remain unique at scale (the hash-derived fields never collide on id)
+    assert(big.select("recipe_id").distinct().count() === 1900)
+  }
+
   test("seeded documents normalize + validate 100% clean") {
     val asStrings = star.map { case (k, v) => k -> CsvIO.stringified(v) }
     val report = RecipeValidation.validateAll(asStrings)
