@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
 
 /** Structured Streaming twins of the batch event operators in
   * `graft.operators.EventOps` — the same logical aggregations run
@@ -49,4 +50,37 @@ object EventStreams {
         col("user_id"),
         col("w.start").as("session_start"),
         col("n_events"))
+
+  /** Running per-user engagement state carried in the typed state store
+    * (`KeyValueGroupedDataset.mapGroupsWithState`): cumulative event
+    * count, purchase count, and peak value. Custom per-key state the
+    * built-in aggregations don't express — the reference-world "user
+    * engagement profile" kept incrementally current.
+    *
+    * State per key is one `UserStats` (three numbers): bounded,
+    * partition-local, updated per micro-batch with no reprocessing of
+    * history.
+    */
+  final case class UserStats(n_events: Long, n_purchases: Long, peak_value: Double)
+
+  def runningUserStats(events: DataFrame): Dataset[(Long, UserStats)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserStats, (Long, UserStats)] {
+        (user: Long, rows: Iterator[(Long, String, Double)], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(0L, 0L, Double.MinValue))
+          val next = rows.foldLeft(prev) { case (acc, (_, typ, v)) =>
+            UserStats(
+              acc.n_events + 1,
+              acc.n_purchases + (if (typ == "purchase") 1 else 0),
+              math.max(acc.peak_value, v))
+          }
+          state.update(next)
+          user -> next
+      }
+  }
 }

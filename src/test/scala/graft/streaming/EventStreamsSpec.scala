@@ -94,6 +94,45 @@ class EventStreamsSpec extends SparkSpec {
     assert(w1.head.getAs[Long]("n") === 1, "the late straggler was dropped, not merged")
   }
 
+  test("typed mapGroupsWithState carries running per-user stats across batches") {
+    val root = java.nio.file.Files.createTempDirectory("ustats").toString
+    val landing = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+
+    // split the event log into two chronological halves dropped as
+    // separate files — state must accumulate across the micro-batches
+    val ev = eventsBatch.orderBy("ts")
+    val n = ev.count()
+    ev.limit((n / 2).toInt).write.mode("overwrite").parquet(s"$landing/h1")
+
+    val outDir = s"$root/out"
+    def run(): Unit =
+      spark.readStream.schema(eventsBatch.schema).parquet(s"$landing/*")
+        .transform(df => EventStreams.runningUserStats(df).toDF("user_id", "stats"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$root/chk")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(outDir): Unit
+        }
+        .start().awaitTermination()
+
+    run()
+    ev.exceptAll(ev.limit((n / 2).toInt)).write.mode("overwrite").parquet(s"$landing/h2")
+    run()
+
+    // last update per user must equal the batch totals over ALL events
+    val got = spark.read.parquet(outDir)
+      .select(col("user_id"), col("stats.n_events"), col("stats.n_purchases"))
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("n_purchases").as("n_purchases"))
+    val want = eventsBatch.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+    assert(rowSet(got) === rowSet(want))
+  }
+
   test("streaming session windows equal the batch gap-sessionization") {
     val streamed = runStream("sessions_out")(EventStreams.sessionize(_))
     // batch twin: ev2's lag/running-sum sessions, reduced to the same
