@@ -135,6 +135,47 @@ object Dedup {
               16, 10).cast("long"))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
 
+  /** Iterate min-label propagation THROUGH the LSH buckets to a fixed
+    * point: connected components over the bucket-sharing graph, the full
+    * transitive closure dd6's single pass approximates. Each iteration
+    * is two grouped aggregations (bucket-min of member labels, then
+    * doc-min over the doc's buckets); labels are monotone non-increasing
+    * so the loop converges within the component diameter. The driver
+    * only ever compares convergence COUNTS — no rows leave the cluster.
+    *
+    * (Pointer jumping alone is NOT sufficient here: a non-minimal doc
+    * whose bucket-mates are all larger is its own one-pass root even
+    * when connected to a smaller doc through an intermediate — the
+    * labels must re-flow through shared buckets, not just rep pointers.)
+    */
+  def clusterDocuments(s: SparkSession, dir: String, maxIter: Int = 10): DataFrame = {
+    val b = bandSigs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = b.groupBy("band", "sig").agg(min("doc_id").as("bmin"))
+      .join(b, Seq("band", "sig"))
+      .groupBy("doc_id").agg(min("bmin").as("cluster_rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val bucketMin = b.join(labels, Seq("doc_id"))
+        .groupBy("band", "sig").agg(min("cluster_rep").as("bmin"))
+      val next = b.join(bucketMin, Seq("band", "sig"))
+        .groupBy("doc_id").agg(min("bmin").as("cluster_rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.cluster_rep") =!= col("o.cluster_rep"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(
+      col("doc_id"),
+      col("cluster_rep"),
+      (col("doc_id") === col("cluster_rep")).as("is_canonical"))
+  }
+
   /** Candidate near-dup pairs: docs sharing any full band signature.
     * Shuffle key is the band bucket; payload is (long, long) ids only.
     */

@@ -69,6 +69,25 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("fixed-point clustering reaches the true connected components of the bucket graph") {
+    val cc = Dedup.clusterDocuments(spark, dir).cache()
+    // every LSH candidate pair must share a final cluster
+    val cand = q("dd3_lsh_candidates")
+    val labels = cc.select(col("doc_id"), col("cluster_rep"))
+    val unmerged = cand
+      .join(labels.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("cluster_rep", "ra"), Seq("doc_a"))
+      .join(labels.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("cluster_rep", "rb"), Seq("doc_b"))
+      .filter(col("ra") =!= col("rb"))
+      .count()
+    assert(unmerged === 0, "connected docs must share a cluster at the fixed point")
+    // reps are true fixed points: every rep is canonical
+    val reps = cc.select(col("cluster_rep")).distinct()
+    val canon = cc.filter("is_canonical").select(col("doc_id").as("cluster_rep"))
+    assert(reps.exceptAll(canon).count() === 0)
+  }
+
   test("ss2 ANN is a faithful subset search: scores exact, ranks correct within candidates") {
     // On this isotropic corpus (max pairwise cosine ~0.48) recall tracks
     // the probed fraction by construction — the >=0.9-recall contract is
