@@ -54,6 +54,30 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(joined.count() === li.count())
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force sort-merge
+    // shrink the skew thresholds so test-sized data triggers the handling
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+
+    import s.implicits._
+    // one hot key carrying ~300k fact rows; 50 cold keys with ~20 each
+    val fact = s.range(300000).select(lit(1L).as("k"), col("id").as("payload"))
+      .unionAll(s.range(1000).select((col("id") % 50 + 2).as("k"), col("id").as("payload")))
+    val dim = s.range(60).select(col("id").as("k"), (col("id") * 10).as("v"))
+    // no downstream operator may require the join's output partitioning,
+    // or AQE (correctly) refuses to split the skewed partitions
+    val joined = fact.join(dim, Seq("k"))
+    // execute THIS frame's own QueryExecution so its adaptive plan is final
+    assert(joined.collect().length === 301000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"), s"AQE skew handling not engaged:\n${plan.take(1500)}")
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val dir = Files.createTempDirectory("parts").toString
     events.write.partitionBy("event_type").mode("overwrite").parquet(dir)
