@@ -99,11 +99,12 @@ class EventStreamsSpec extends SparkSpec {
     val landing = s"$root/in"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
 
-    // split the event log into two chronological halves dropped as
-    // separate files — state must accumulate across the micro-batches
-    val ev = eventsBatch.orderBy("ts")
-    val n = ev.count()
-    ev.limit((n / 2).toInt).write.mode("overwrite").parquet(s"$landing/h1")
+    // split the event log into two halves on a deterministic predicate
+    // (a twice-evaluated limit could disagree on ties) — state must
+    // accumulate across the micro-batches
+    val ev = eventsBatch
+    val mid = ev.count() / 2
+    ev.filter(col("event_id") < mid).write.mode("overwrite").parquet(s"$landing/h1")
 
     val outDir = s"$root/out"
     def run(): Unit =
@@ -119,7 +120,7 @@ class EventStreamsSpec extends SparkSpec {
         .start().awaitTermination()
 
     run()
-    ev.exceptAll(ev.limit((n / 2).toInt)).write.mode("overwrite").parquet(s"$landing/h2")
+    ev.filter(col("event_id") >= mid).write.mode("overwrite").parquet(s"$landing/h2")
     run()
 
     // last update per user must equal the batch totals over ALL events
