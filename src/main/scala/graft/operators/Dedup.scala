@@ -37,7 +37,9 @@ import org.apache.spark.storage.StorageLevel
   *     (long, long) pairs, never token arrays or document bodies.
   *   - dd6 is the 100 TB product: per-doc duplicate-cluster assignment
   *     (min doc_id over shared LSH buckets) — output linear in n, no pair
-  *     materialization at all. Keep rows where is_canonical to dedup.
+  *     materialization at all. Keep rows where is_canonical to dedup;
+  *     `clusterDocuments` iterates it to the connected-components fixed
+  *     point when full transitive closure is required.
   *
   * Reference anchor: the reference has no dedup of its own; these extend
   * its exact-match spirit (document IDs are unique keys,
@@ -74,9 +76,10 @@ object Dedup {
           conv(substring(md5(t), 1, 8), 16, 10).cast("long").as("h1"),
           conv(substring(md5(t), 9, 8), 16, 10).cast("long").as("h2")))
 
-  /** Cached (doc_id, hp: array<struct<h1,h2>>) — materialization barrier so
-    * the md5s are computed exactly once, not re-inlined into every one of
-    * the 104 derived-hash lambdas by projection collapse.
+  /** Cached (doc_id, hp: array<struct<h1,h2>>): the digest work happens
+    * once and is shared by the signature pipeline and the verification
+    * token tables (dd4/dd7 derive their sorted hashed-token arrays from
+    * this cache instead of re-hashing the corpus).
     */
   private def hashedTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
