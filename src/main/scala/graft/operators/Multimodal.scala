@@ -88,6 +88,19 @@ object Multimodal {
     }.toDF("doc_id", "frame_no", "frame")
   }
 
+  /** STUB RESIZE — deterministic fake standing in for a real image/audio
+    * resampler: keep every `factor`-th payload byte (nearest-neighbor
+    * downsampling on the byte plane). Row-local like the decode; swap the
+    * body for a real resampler without touching the Spark plumbing.
+    */
+  def resizeStub(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { row =>
+      val resized = row.payload.grouped(factor).map(_.head).toArray
+      row.copy(payload = resized, n_bytes = resized.length)
+    }
+  }
+
   /** Oracle-checked slices of the plumbing. mm1 is pure column work; mm2
     * runs the REAL typed mapPartitions decode path (the stub decoder is
     * deterministic — mean unsigned byte value — so DuckDB can recompute
@@ -130,6 +143,28 @@ object Multimodal {
              |  CAST(list_sum(list_transform(generate_series(1, strlen(text)),
              |         i -> ascii(text[i]))) AS DOUBLE) / strlen(text) AS mean_intensity
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Resize: the typed downsampling path end-to-end — every 4th payload
+    // byte survives; the oracle recomputes the surviving characters.
+    Q(
+      "mm4_resize",
+      (s, dir) =>
+        resizeStub(mediaTable(s, dir), factor = 4)
+          .toDF()
+          .select(
+            col("doc_id"),
+            col("n_bytes").as("resized_bytes"),
+            decode(col("payload"), "UTF-8").as("resized_payload"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(p) AS INT) AS resized_bytes,
+             |  array_to_string(p, '') AS resized_payload
+             |FROM (SELECT doc_id,
+             |        list_transform(generate_series(0, CAST((strlen(text) - 1) // 4 AS INT)),
+             |          i -> text[CAST(i * 4 + 1 AS INT)]) AS p
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)
     ),
 
     // Frame sampling: every 2nd 32-byte chunk of the payload (frames

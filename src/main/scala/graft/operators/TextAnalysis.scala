@@ -19,6 +19,15 @@ object TextAnalysis {
 
   private def stopwordSqlList = Stopwords.map(w => s"'$w'").mkString(", ")
 
+  // Rabin–Karp rolling-hash parameters (tx6): h(w) = Σ c_j·B^(k-1-j) mod M
+  // over each k-char window. Polynomial powers are plan-time constants so
+  // per-window evaluation is a flat codegen'd sum in both engines.
+  private val RollK = 8
+  private val RollB = 257L
+  private val RollM = 1000000007L
+  private val RollPows: Seq[Long] =
+    (0 until RollK).scanLeft(1L)((p, _) => p * RollB % RollM).take(RollK).reverse
+
   val all: Seq[Q] = Seq(
     // Token counting: whitespace tokens + chars-per-token.
     Q(
@@ -120,6 +129,45 @@ object TextAnalysis {
              |  CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INT) AS n_distinct_subwords,
              |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Rolling-hash fingerprinting (Rabin–Karp over 8-char windows): the
+    // winnowing building block — per-doc min window hash (a bottom-1
+    // sample of the window-hash set, robust to edits outside the minimal
+    // window) plus the distinct-window count. A streaming implementation
+    // updates the hash incrementally; a columnar engine evaluates each
+    // window's polynomial directly — same function, scan-bound.
+    Q(
+      "tx6_rolling_fingerprint",
+      (s, dir) => {
+        // guard: Spark's sequence(1, 0) counts DOWN, so short texts must
+        // yield an empty window list explicitly (DuckDB's generate_series
+        // is empty there)
+        val hashExpr =
+          s"""CASE WHEN length(text) >= $RollK THEN
+             |  transform(sequence(1, length(text) - ${RollK - 1}), i ->
+             |    (${(0 until RollK).map(j =>
+                   s"ascii(substring(text, i + $j, 1)) * ${RollPows(j)}L").mkString(" + ")}) % ${RollM}L)
+             |ELSE array() END""".stripMargin
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), expr(hashExpr).as("wh"))
+          .select(
+            col("doc_id"),
+            size(col("wh")).as("n_windows"),
+            array_min(col("wh")).as("min_window_hash"),
+            size(array_distinct(col("wh"))).as("n_distinct_windows"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(len(wh) AS INT) AS n_windows,
+              |  list_min(wh) AS min_window_hash,
+              |  CAST(len(list_distinct(wh)) AS INT) AS n_distinct_windows
+              |FROM (SELECT doc_id,
+              |        list_transform(generate_series(1, greatest(strlen(text) - ${RollK - 1}, 0)), i ->
+              |          (${(0 until RollK).map(j =>
+                         s"CAST(ascii(text[CAST(i + $j AS INT)]) AS BIGINT) * ${RollPows(j)}").mkString(" + ")}) % $RollM) AS wh
+              |      FROM documents)
+              |ORDER BY doc_id""".stripMargin)
     ),
 
     // Content fingerprinting: full-text hash + leading-shingle hash
