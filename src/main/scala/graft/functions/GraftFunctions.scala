@@ -33,6 +33,9 @@ object GraftFunctions {
   /** bottom-k distinct-value sketch aggregate over a long column. */
   val BottomKName = "graft_bottom_k"
 
+  /** Rabin-Karp rolling-hash window array over a string column. */
+  val RollingHashName = "graft_rolling_hash"
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(getClass.getName, null, name, usage, "")
 
@@ -49,6 +52,15 @@ object GraftFunctions {
       children => DotProductDouble(children(0), children(1)))
     ensure(IntersectName, "_FUNC_(a, b) - intersection size of two sorted long arrays")(
       children => SortedLongIntersectCount(children(0), children(1)))
+    ensure(RollingHashName, "_FUNC_(text, k, b, m) - Rabin-Karp window hashes")(
+      children => {
+        def litInt(e: Expression): Long = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toLong
+          case other => throw new IllegalArgumentException(s"literal required, got $other")
+        }
+        RollingHashWindows(children(0), litInt(children(1)).toInt,
+          litInt(children(2)), litInt(children(3)))
+      })
     ensure(BottomKName, "_FUNC_(col, k) - k smallest distinct longs (KMV sketch)")(
       children => {
         val k = children(1) match {

@@ -134,23 +134,19 @@ object TextAnalysis {
     // Rolling-hash fingerprinting (Rabin–Karp over 8-char windows): the
     // winnowing building block — per-doc min window hash (a bottom-1
     // sample of the window-hash set, robust to edits outside the minimal
-    // window) plus the distinct-window count. A streaming implementation
-    // updates the hash incrementally; a columnar engine evaluates each
-    // window's polynomial directly — same function, scan-bound.
+    // window) plus the distinct-window count. Uses the native
+    // graft_rolling_hash expression: a TRUE incremental rolling update
+    // in generated code — the SQL per-window polynomial form ran 25×
+    // slower at sf0.1 (interpreted substring+ascii per window byte).
     Q(
       "tx6_rolling_fingerprint",
       (s, dir) => {
-        // guard: Spark's sequence(1, 0) counts DOWN, so short texts must
-        // yield an empty window list explicitly (DuckDB's generate_series
-        // is empty there)
-        val hashExpr =
-          s"""CASE WHEN length(text) >= $RollK THEN
-             |  transform(sequence(1, length(text) - ${RollK - 1}), i ->
-             |    (${(0 until RollK).map(j =>
-                   s"ascii(substring(text, i + $j, 1)) * ${RollPows(j)}L").mkString(" + ")}) % ${RollM}L)
-             |ELSE array() END""".stripMargin
+        graft.functions.GraftFunctions.register(s)
         Tables(s, dir, "documents")
-          .select(col("doc_id"), expr(hashExpr).as("wh"))
+          .select(
+            col("doc_id"),
+            call_function(graft.functions.GraftFunctions.RollingHashName,
+              col("text"), lit(RollK), lit(RollB), lit(RollM)).as("wh"))
           .select(
             col("doc_id"),
             size(col("wh")).as("n_windows"),
