@@ -14,6 +14,10 @@ run / fork := true
 // Pass forked-run stdout straight through (no "[info] " prefix) so the
 // driver's JSON parse of Bench's single output line succeeds.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The driver keeps only the final ~2000 chars of output; sbt's
+// "[success] Total time..." trailer after Bench's JSON line would eat
+// ~80 of them and can push the JSON's head out of the capture window.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -31,3 +35,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+Global / excludeLintKeys += showSuccess

@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark sweep: every `bench = true` registry query against
+  * SPARK_GRAFT_SF_DIR, one JSON summary line on stdout for the driver.
+  *
+  * Output-size constraint: the driver keeps only the final ~2000 chars of
+  * the run's output, so the stdout line uses 2-decimal times, the sf
+  * basename, and omits `errors` when empty; the full-precision record
+  * (per-query seconds, errors, total) is always written to
+  * BENCH_FULL.json alongside.
+  *
+  * Self-honesty: a query that throws is recorded in `errors` (and still
+  * contributes its elapsed time) instead of silently benching as ~0s —
+  * a plan-time failure must not masquerade as a speedup.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,15 +34,20 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
+    // Constant-size queries (bench = false, e.g. the seed-derived recipe
+    // star analytics) are excluded: they don't read sfDir, so timing them
+    // adds noise, not scaling signal. They remain in Verify/CORRECTNESS.
+    val names = SparkEntry.registry.filter(_.bench).map(_.name)
+
     // Warm-up sweep at the smallest SF: exercises the same plans so JIT /
     // codegen / parquet-footer first-touch cost doesn't land on whichever
     // query the measured sweep happens to run first.
     val warmDir = "/root/testdata/sf0.001"
-    val names = SparkEntry.registry.map(_.name) // stable registry order
     if (new java.io.File(warmDir).exists()) names.foreach { name =>
       try run(SparkEntry.queries(name), warmDir) catch { case _: Throwable => () }
     }
 
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = names.map { name =>
       // Untimed inter-query cleanup: drop per-query persisted
       // intermediates and force a GC so the ContextCleaner reaps
@@ -38,13 +58,36 @@ object Bench {
       System.gc()
       val t0 = System.nanoTime()
       try run(SparkEntry.queries(name), sfDir)
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(80)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => " "
+      case c => c.toString
+    }
+    // 2-decimal, trailing zeros stripped ("0.30" -> "0.3", "1.00" -> "1").
+    def fmt(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
+    def line(f: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      val errJson =
+        if (errors.isEmpty) ""
+        else errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+          .mkString(",\"errors\":{", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"${
+        new java.io.File(sfDir).getName}"$errJson}"""
+    }
+    Files.writeString(Paths.get("BENCH_FULL.json"), line(_.toString) + "\n")
+    println(line(fmt))
     spark.stop()
   }
 }

@@ -17,7 +17,8 @@ object SparkEntry {
       operators.EventOps.all ++
       operators.Multimodal.all ++
       operators.ExtendedOps.all ++
-      recipes.Seed.all
+      recipes.Seed.all ++
+      recipes.RecipeStarQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

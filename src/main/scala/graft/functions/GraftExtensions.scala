@@ -29,6 +29,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.IntersectName, "_FUNC_(a, b) - intersection size of two sorted long arrays", ""),
       (children: Seq[Expression]) => SortedLongIntersectCount(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.RollingHashName),
+      new ExpressionInfo(classOf[RollingHashWindows].getName, null,
+        GraftFunctions.RollingHashName, "_FUNC_(text, k, b, m) - Rabin-Karp window hashes", ""),
+      (children: Seq[Expression]) => {
+        def litLong(e: Expression): Long = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toLong
+          case other => throw new IllegalArgumentException(s"literal required, got $other")
+        }
+        RollingHashWindows(children(0), litLong(children(1)).toInt,
+          litLong(children(2)), litLong(children(3)))
+      }))
+    ext.injectFunction((
       FunctionIdentifier(GraftFunctions.BottomKName),
       new ExpressionInfo(classOf[BottomKLongs].getName, null,
         GraftFunctions.BottomKName, "_FUNC_(col, k) - k smallest distinct longs (KMV sketch)", ""),

@@ -21,7 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RollingHashWindows(child: Expression, k: Int, b: Long, m: Long)
     extends UnaryExpression {
 
-  require(k > 0 && b > 0 && m > 1 && m * b > 0, "parameters must fit in long math")
+  // Hot-loop bounds: `(byte & 0xff) * bPow` reaches 255·(m-1) and
+  // `h * b + byte` reaches (m-1)·b + 255 — require both to fit in a long
+  // so any future parameterization fails fast instead of silently
+  // corrupting hashes (the old `m * b > 0` check passed e.g. m≈2^61, b=2).
+  require(
+    k > 0 && b > 0 && m > 1 &&
+      m <= Long.MaxValue / 256 && b <= (Long.MaxValue - 255) / m,
+    "parameters must fit in long math: need m <= 2^63/256 and b <= (2^63-255)/m")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = GraftFunctions.RollingHashName

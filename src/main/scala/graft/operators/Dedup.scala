@@ -173,6 +173,10 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // The returned frame depends only on the (persisted) final labels, so
+    // the band-key cache can go now; the caller owns the labels' cache
+    // lifetime (materialize-and-unpersist, or clearCache at query end).
+    b.unpersist()
     labels.select(
       col("doc_id"),
       col("cluster_rep"),

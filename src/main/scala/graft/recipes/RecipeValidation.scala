@@ -43,13 +43,17 @@ object RecipeValidation {
     Rule(col(f).isNotNull && col(f) =!= "", s"Missing $f")
 
   /** `float(x) <= 0` try/except pair (data_validation.py:109-113): exactly
-    * one of the two rules can fire.
+    * one of the two rules can fire. DictReader always yields "" (never a
+    * missing key) for these columns and `float('')` raises, so a
+    * null/empty field fires the non-numeric message — Spark reads empty
+    * CSV fields as null, hence the bare `parsed.isNotNull` check covers
+    * the reference's empty-string path too.
     */
   private def numericPair(f: String, invalidMsg: String, nonNumericMsg: String): Seq[Rule] = {
     val parsed = expr(s"try_cast($f AS DOUBLE)")
     Seq(
       Rule(parsed.isNull || parsed > 0, invalidMsg), // fires only when numeric
-      Rule(col(f).isNull || parsed.isNotNull, nonNumericMsg))
+      Rule(parsed.isNotNull, nonNumericMsg))
   }
 
   /** users checks (data_validation.py:122-129). Email must match at the

@@ -72,7 +72,7 @@ object Seed {
 
   // ---- the flagship recipe (reference data, src/insert_recipe.py:19-55) ----
 
-  private val FlagshipIngredients: Seq[(String, Double, String)] = Seq(
+  private[recipes] val FlagshipIngredients: Seq[(String, Double, String)] = Seq(
     ("Chicken (washed)", 300, "grams"), ("Onion", 2, "count"),
     ("Tomato", 1, "count"), ("Ginger Garlic Paste", 1, "tbsp"),
     ("Salt", 1, "tbsp"), ("Chicken Masala", 1, "tbsp"),
@@ -80,7 +80,7 @@ object Seed {
     ("Garam Masala", 0.5, "tbsp"), ("Chilli Powder", 0.5, "tbsp"),
     ("Water", 250, "ml"), ("Oil", 2, "tbsp"))
 
-  private val FlagshipSteps: Seq[String] = Seq(
+  private[recipes] val FlagshipSteps: Seq[String] = Seq(
     "Chop onion and tomato finely.", "Heat oil in pan (high flame).",
     "Sauté onions until golden brown.", "Add ginger garlic paste, mix 1 min.",
     "Add masalas, mix properly.", "Add chicken, cook 5 min to soak water.",
@@ -208,7 +208,9 @@ object Seed {
               |  ${pickSql(Difficulties, "diff", "i")} AS difficulty,
               |  TIMESTAMP '$BaseTs' - to_days(CAST(${hSql("cdays", "i")} % 365 + 1 AS INT)) AS created_at,
               |  CAST(${hSql("ning5", "i")} % 6 + 3 AS INT) AS n_ingredients
-              |FROM (SELECT range AS i FROM range(19)) ORDER BY recipe_id""".stripMargin)
+              |FROM (SELECT range AS i FROM range(19)) ORDER BY recipe_id""".stripMargin),
+      // constant-size generator output — no sfDir scaling signal to bench
+      bench = false
     ),
 
     // F11 weighted choice + nullable rating + event-time arithmetic: the
@@ -231,7 +233,8 @@ object Seed {
            |       THEN ([3,4,5,5])[${hSql("irateval", "i")} % 4 + 1] END AS rating,
            |  TIMESTAMP '$BaseTs' - to_days(CAST(${hSql("idays", "i")} % 31 AS INT)) AS ts
            |FROM (SELECT range AS i FROM range(50)) ORDER BY interaction_id""".stripMargin
-      }
+      },
+      bench = false
     )
   )
 }
