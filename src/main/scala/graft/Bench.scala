@@ -37,7 +37,11 @@ object Bench {
     // Constant-size queries (bench = false, e.g. the seed-derived recipe
     // star analytics) are excluded: they don't read sfDir, so timing them
     // adds noise, not scaling signal. They remain in Verify/CORRECTNESS.
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the sweep (local iteration;
+    // the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.registry.filter(_.bench).map(_.name)
+      .filter(n => only.forall(_.contains(n)))
 
     // Warm-up sweep at the smallest SF: exercises the same plans so JIT /
     // codegen / parquet-footer first-touch cost doesn't land on whichever

@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.IntersectName, "_FUNC_(a, b) - intersection size of two sorted long arrays", ""),
       (children: Seq[Expression]) => SortedLongIntersectCount(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.BigramName),
+      new ExpressionInfo(classOf[BigramMd5Hashes].getName, null,
+        GraftFunctions.BigramName, "_FUNC_(text) - sorted distinct md5 bigram-shingle hashes", ""),
+      (children: Seq[Expression]) => BigramMd5Hashes(children(0))))
+    ext.injectFunction((
       FunctionIdentifier(GraftFunctions.RollingHashName),
       new ExpressionInfo(classOf[RollingHashWindows].getName, null,
         GraftFunctions.RollingHashName, "_FUNC_(text, k, b, m) - Rabin-Karp window hashes", ""),

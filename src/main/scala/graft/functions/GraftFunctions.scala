@@ -36,6 +36,9 @@ object GraftFunctions {
   /** Rabin-Karp rolling-hash window array over a string column. */
   val RollingHashName = "graft_rolling_hash"
 
+  /** sorted distinct md5 bigram-shingle hashes of a space-separated string. */
+  val BigramName = "graft_bigram_hashes"
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(getClass.getName, null, name, usage, "")
 
@@ -61,6 +64,8 @@ object GraftFunctions {
         RollingHashWindows(children(0), litInt(children(1)).toInt,
           litInt(children(2)), litInt(children(3)))
       })
+    ensure(BigramName, "_FUNC_(text) - sorted distinct md5 bigram-shingle hashes")(
+      children => BigramMd5Hashes(children(0)))
     ensure(BottomKName, "_FUNC_(col, k) - k smallest distinct longs (KMV sketch)")(
       children => {
         val k = children(1) match {

@@ -383,25 +383,19 @@ object Dedup {
     // identical; bigram shingles don't. Verified over the word-level LSH
     // candidates (a superset: bigram similarity implies word-set
     // similarity); at larger scale you'd band on bigram minhashes with
-    // the same machinery. Shingle sets are hashed to sorted longs and
-    // merge-counted natively, as in dd4.
+    // the same machinery. Shingle hashing runs in the native
+    // BigramMd5Hashes expression (one codegen'd pass per doc, digesting
+    // byte slices in place — the interpreted transform+md5+conv chain it
+    // replaces was the single most expensive query in the r2 bench);
+    // sorted outputs are merge-counted natively, as in dd4.
     Q(
       "dd7_ngram_jaccard",
       (s, dir) => {
         GraftFunctions.register(s)
-        val words = docs(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("words"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val bg = words.select(
-          col("doc_id"),
-          sort_array(array_distinct(
-            when(size(col("words")) >= 2,
-              transform(
-                sequence(lit(1), size(col("words")) - 1),
-                i => conv(substring(md5(concat(
-                  element_at(col("words"), i), lit(" "),
-                  element_at(col("words"), i + 1))), 1, 8), 16, 10).cast("long")))
-              .otherwise(typedlit(Seq.empty[Long])))).as("bg"))
+        val bg = docs(s, dir)
+          .select(
+            col("doc_id"),
+            call_function(GraftFunctions.BigramName, col("text")).as("bg"))
           .select(col("doc_id"), col("bg"), size(col("bg")).as("n"))
         val scored = lshCandidates(s, dir)
           .join(broadcast(bg.as("ba")), col("doc_a") === col("ba.doc_id"))
