@@ -17,6 +17,7 @@ object SparkEntry {
       operators.EventOps.all ++
       operators.Multimodal.all ++
       operators.ExtendedOps.all ++
+      operators.ScaleTechniques.all ++
       recipes.Seed.all ++
       recipes.RecipeStarQueries.all
 

@@ -62,7 +62,8 @@ object Dedup {
     * heavy work runs once and only the (small) result is sorted.
     */
   private def sortedOut(df: DataFrame, cols: String*): DataFrame =
-    df.persist(StorageLevel.MEMORY_AND_DISK).orderBy(cols.map(col): _*)
+    graft.CacheScope.track(df.persist(StorageLevel.MEMORY_AND_DISK))
+      .orderBy(cols.map(col): _*)
 
   /** Distinct word shingles of a document. */
   private val tokensCol: Column = array_distinct(split(col("text"), " "))
@@ -82,9 +83,10 @@ object Dedup {
     * this cache instead of re-hashing the corpus).
     */
   private def hashedTokens(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), hashPairsCol.as("hp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.CacheScope.track(
+      docs(s, dir)
+        .select(col("doc_id"), hashPairsCol.as("hp"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Cached (doc_id, sig: array<long>) minhash signatures:
     * sig(i) = min over tokens of (h1 + i*h2) mod 2^32.
@@ -99,9 +101,9 @@ object Dedup {
     * bound attributes below the aggregation, and map-side partials keep
     * the shuffle at docs×NumHashes rows regardless of token count.
     */
-  private def signatures(s: SparkSession, dir: String): DataFrame =
-    hashedTokens(s, dir)
-      .select(col("doc_id"), explode(col("hp")).as("p"))
+  /** (doc_id, sig: array<long>) from a (doc_id, hp) hashed-token frame. */
+  private def sigArrayOf(ht: DataFrame): DataFrame =
+    ht.select(col("doc_id"), explode(col("hp")).as("p"))
       .select(
         col("doc_id"),
         col("p.h1").as("h1"),
@@ -113,17 +115,19 @@ object Dedup {
       .agg(transform(
         sort_array(collect_list(struct(col("seed"), col("mh")))),
         x => x.getField("mh")).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-  /** (doc_id, band, sig) band keys — the LSH bucket id is a 60-bit hash
-    * of the ","-joined band slice, so the self-join shuffles and compares
-    * 8-byte longs instead of ~130-char strings (hash computed identically
-    * by the DuckDB oracle; a 60-bit collision would merge two buckets in
-    * both engines alike).
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    graft.CacheScope.track(
+      sigArrayOf(hashedTokens(s, dir)).persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** (doc_id, band, sig) banding of a signature-array frame — the LSH
+    * bucket id is a 60-bit hash of the ","-joined band slice, so the
+    * self-join shuffles and compares 8-byte longs instead of ~130-char
+    * strings (hash computed identically by the DuckDB oracle; a 60-bit
+    * collision would merge two buckets in both engines alike).
     */
-  private def bandSigs(s: SparkSession, dir: String): DataFrame =
-    signatures(s, dir)
-      .select(
+  private def bandingOf(sig: DataFrame): DataFrame =
+    sig.select(
         col("doc_id"),
         posexplode(transform(
           sequence(lit(0), lit(NumBands - 1)),
@@ -137,6 +141,18 @@ object Dedup {
                 1, 15),
               16, 10).cast("long"))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
+
+  private def bandSigs(s: SparkSession, dir: String): DataFrame =
+    bandingOf(signatures(s, dir))
+
+  /** Band signatures of an arbitrary (doc_id, text, ...) frame — the same
+    * minhash→banding math the batch queries run, exposed un-persisted so
+    * `StreamingDedup.nearDedupBatch` can key its incremental bucket state
+    * on it (a doc near-duplicates an already-accepted doc iff any band
+    * signature collides, P = 1-(1-J^13)^8).
+    */
+  private[graft] def bandSignatures(docsDf: DataFrame): DataFrame =
+    bandingOf(sigArrayOf(docsDf.select(col("doc_id"), hashPairsCol.as("hp"))))
 
   /** Iterate min-label propagation THROUGH the LSH buckets to a fixed
     * point: connected components over the bucket-sharing graph, the full
@@ -153,18 +169,20 @@ object Dedup {
     */
   def clusterDocuments(s: SparkSession, dir: String, maxIter: Int = 10): DataFrame = {
     val b = bandSigs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = b.groupBy("band", "sig").agg(min("doc_id").as("bmin"))
-      .join(b, Seq("band", "sig"))
-      .groupBy("doc_id").agg(min("bmin").as("cluster_rep"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = graft.CacheScope.track(
+      b.groupBy("band", "sig").agg(min("doc_id").as("bmin"))
+        .join(b, Seq("band", "sig"))
+        .groupBy("doc_id").agg(min("bmin").as("cluster_rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val bucketMin = b.join(labels, Seq("doc_id"))
         .groupBy("band", "sig").agg(min("cluster_rep").as("bmin"))
-      val next = b.join(bucketMin, Seq("band", "sig"))
-        .groupBy("doc_id").agg(min("bmin").as("cluster_rep"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val next = graft.CacheScope.track(
+        b.join(bucketMin, Seq("band", "sig"))
+          .groupBy("doc_id").agg(min("bmin").as("cluster_rep"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
       val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.cluster_rep") =!= col("o.cluster_rep"))
         .count()

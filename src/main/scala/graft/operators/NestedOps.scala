@@ -40,7 +40,8 @@ object NestedOps {
             col("col.qty").as("qty"))
           // barrier: don't re-run the collect_list aggregation for the
           // sort's range-sampling pass
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(d => graft.CacheScope.track(
+            d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
           .orderBy("l_orderkey", "item_no")
       },
       Some("""WITH n AS (

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -43,4 +44,33 @@ object ScaleTechniques {
   def saltedCount(df: DataFrame, key: Column, saltBuckets: Int = 16): DataFrame =
     saltedAgg(df, key, saltBuckets,
       Seq((count(lit(1)), (c: String) => sum(col(c)), "n")))
+
+  /** Oracle-checked proof that salting is answer-preserving: the Spark
+    * side routes the per-user event rollup through the two-phase salted
+    * aggregation (events has hot users — the 100 TB skew case), while the
+    * oracle is the PLAIN aggregation — identical output is the whole
+    * point. The value sum uses the fixed-point convention (round(x*1e4)
+    * summed as longs, one final divide) so the result is independent of
+    * partition/salt-bucket addition order in both engines.
+    */
+  val all: Seq[Q] = Seq(
+    Q(
+      "st1_salted_agg",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        saltedAgg(ev, col("user_id"), saltBuckets = 16, Seq(
+          (count(lit(1)), (c: String) => sum(col(c)), "n_events"),
+          (sum(round(col("value") * 10000).cast("long")),
+            (c: String) => sum(col(c)), "v4")))
+          .select(
+            col("_key").as("user_id"),
+            col("n_events"),
+            (col("v4").cast("double") / 10000.0).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    )
+  )
 }

@@ -32,8 +32,12 @@ import org.apache.spark.storage.StorageLevel
   *   - The bucketed vector table is computed in ONE scan and persisted;
   *     query and candidate sides read the cache instead of re-deriving
   *     projections from separate scans.
-  *   - NumPlanes is a parameter: at larger n raise it (log2(n/targetBucket))
-  *     so per-bucket occupancy stays bounded; multi-probe keeps recall.
+  *   - The plane count scales with the corpus: `autoNumPlanes(n)` =
+  *     ceil(log2(n/targetBucket)) keeps per-bucket occupancy (and so the
+  *     per-query candidate volume) bounded as n grows; multi-probe keeps
+  *     recall (SimilarityRecallSpec asserts both at 1× and 10× corpus).
+  *     The registry queries pin numPlanes = 8 because their DuckDB
+  *     oracles inline the same 8 planes.
   *
   * Hyperplane coefficients are md5-derived constants computed at plan time
   * and inlined into both the Spark plan and the DuckDB oracle, so both
@@ -46,20 +50,40 @@ import org.apache.spark.storage.StorageLevel
   */
 object Similarity {
 
+  /** Default plane count — what the fixed-size registry queries (and
+    * their inlined DuckDB oracles) use. Library callers with other corpus
+    * sizes should use [[autoNumPlanes]]/[[prepareAuto]] instead.
+    */
   private[operators] val NumPlanes = 8
   private val Dims = 64
   private val NumQueries = 8 // vec_id < 8 are the demo query vectors
   private val TopK = 3
 
+  /** numPlanes = ceil(log2(n / targetBucket)), floored at 4: per-bucket
+    * occupancy stays ~targetBucket as n grows, so the per-query candidate
+    * volume under multi-probe is ~(numPlanes+1)·targetBucket — bounded,
+    * instead of scaling linearly with the corpus. Recall degrades only
+    * logarithmically: a twin at cosine ≥ 0.99 disagrees with a plane with
+    * p ≈ 0.01, so P(Hamming ≤ 1) stays ≥ 0.99 even at 20 planes.
+    */
+  def autoNumPlanes(n: Long, targetBucket: Int = 16): Int =
+    math.max(4, math.ceil(math.log(math.max(1L, n).toDouble / targetBucket) /
+      math.log(2.0)).toInt)
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** planes(p)(d) ∈ {-1, 1}, derived from md5(p ++ "_" ++ d). */
-  private val planes: Array[Array[Int]] =
-    Array.tabulate(NumPlanes, Dims) { (p, d) =>
+  /** plane(p)(d) ∈ {-1, 1}, derived from md5(p ++ "_" ++ d) — the family
+    * is defined for every p, so widening the plane count reuses the same
+    * leading planes (cached per index).
+    */
+  private val planeCache = scala.collection.concurrent.TrieMap.empty[Int, Array[Int]]
+  private def plane(p: Int): Array[Int] =
+    planeCache.getOrElseUpdate(p, Array.tabulate(Dims) { d =>
       if ((Integer.parseInt(md5hex(s"${p}_$d").substring(0, 4), 16) & 1) == 1) 1 else -1
-    }
+    })
+  private def planes: Array[Array[Int]] = Array.tabulate(NumPlanes)(plane)
 
   /** embedding as array<double> (cast once, per row). */
   private val embD: Column = col("embedding").cast("array<double>")
@@ -78,9 +102,9 @@ object Similarity {
     dotCols(a, typedlit(coefs.map(_.toDouble).toSeq))
 
   /** LSH bucket from hyperplane projection signs. */
-  private val bucketCol: Column =
-    (0 until NumPlanes).map { p =>
-      when(dotPlane(embD, planes(p)) > 0, lit(1L << p)).otherwise(lit(0L))
+  private def bucketColFor(numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      when(dotPlane(embD, plane(p)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   // ---- IVF coarse quantizer ----
@@ -113,15 +137,29 @@ object Similarity {
     * one scan, persisted. Public so callers (and tests) can run the
     * operators over their own vector sets.
     */
-  def prepare(s: SparkSession, raw: DataFrame): DataFrame = {
+  def prepare(s: SparkSession, raw: DataFrame,
+      numPlanes: Int = NumPlanes): DataFrame = {
     GraftFunctions.register(s)
-    raw.select(
-        col("vec_id"),
-        embD.as("emb"),
-        sqrt(dotCols(embD, embD)).as("nrm"),
-        bucketCol.as("bucket"),
-        cellCol(embD).as("cell"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.CacheScope.track(
+      raw.select(
+          col("vec_id"),
+          embD.as("emb"),
+          sqrt(dotCols(embD, embD)).as("nrm"),
+          bucketColFor(numPlanes).as("bucket"),
+          cellCol(embD).as("cell"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** [[prepare]] with the plane count auto-scaled to the corpus size
+    * (one count() pass — at warehouse scale, feed table-stat row counts
+    * instead). Returns the prepared frame and the chosen plane count;
+    * pass the latter to the `numPlanes` parameter of the search
+    * operators so probing matches the index.
+    */
+  def prepareAuto(s: SparkSession, raw: DataFrame,
+      targetBucket: Int = 16): (DataFrame, Int) = {
+    val numPlanes = autoNumPlanes(raw.count(), targetBucket)
+    (prepare(s, raw, numPlanes), numPlanes)
   }
 
   /** One scan over the testdata `embeddings` table, shared by the
@@ -173,10 +211,11 @@ object Similarity {
     * matches at most one probe, so the probe explosion introduces no
     * duplicate pairs.
     */
-  def annTopK(v: DataFrame, numQueries: Int, topK: Int): DataFrame = {
+  def annTopK(v: DataFrame, numQueries: Int, topK: Int,
+      numPlanes: Int = NumPlanes): DataFrame = {
     val q = v.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-        col("nrm").as("qnrm"), explode(probesCol(col("bucket"))).as("probe"))
+        col("nrm").as("qnrm"), explode(probesCol(col("bucket"), numPlanes)).as("probe"))
     val pairs = v.join(broadcast(q),
         col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
       .select(
@@ -194,8 +233,8 @@ object Similarity {
     round(dotCols(qe, ce) / (qn * cn), 6)
 
   /** bucket plus its flip-1-bit neighbors — the multi-probe set. */
-  private def probesCol(bucket: Column): Column =
-    array(bucket +: (0 until NumPlanes).map(p => bucket.bitwiseXOR(lit(1L << p))): _*)
+  private[operators] def probesCol(bucket: Column, numPlanes: Int = NumPlanes): Column =
+    array(bucket +: (0 until numPlanes).map(p => bucket.bitwiseXOR(lit(1L << p))): _*)
 
   /** The query's 2 nearest cells (best + runner-up by centroid dot) —
     * the IVF probe list.
@@ -325,7 +364,8 @@ object Similarity {
             col("bid").as("vec_b"),
             cosine(col("emb"), col("nrm"), col("bemb"), col("bnrm")).as("score"))
           .filter(col("score") >= 0.4)
-          .persist(StorageLevel.MEMORY_AND_DISK) // barrier: sort samples the small result, not the join
+          // barrier: sort samples the small result, not the join
+          .transform(d => graft.CacheScope.track(d.persist(StorageLevel.MEMORY_AND_DISK)))
           .orderBy("vec_a", "vec_b")
       },
       Some(s"""WITH $vecBucketSql,
@@ -349,9 +389,10 @@ object Similarity {
       (s, dir) => {
         GraftFunctions.register(s)
         val scale = array_max(transform(embD, x => abs(x))) / 127.0
-        val withQ = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), embD.as("emb"), scale.as("scale"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val withQ = graft.CacheScope.track(
+          Tables(s, dir, "embeddings")
+            .select(col("vec_id"), embD.as("emb"), scale.as("scale"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
         val dequantized = transform(
           col("emb"),
           x => floor(x / col("scale") * 127.0 + 0.5).cast("double") * col("scale") / 127.0)

@@ -79,7 +79,8 @@ object ValidationQueries {
           .unionAll(lineitemReport(s, dir))
           // barrier: the deterministic sort's range-sampling job would
           // otherwise run the whole report pipeline twice
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(d => graft.CacheScope.track(
+            d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
           .orderBy("Table", "Record_ID"),
       Some(
         s"""SELECT * FROM ($ordersReportSql UNION ALL $lineitemReportSql)

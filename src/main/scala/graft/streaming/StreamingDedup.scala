@@ -40,6 +40,64 @@ object StreamingDedup {
     materialized
   }
 
+  /** Incremental NEAR-dup suppression: the streaming twin of `Dedup.dd6`.
+    * State is the LSH bucket table of every accepted document — one
+    * (band, sig, doc_id) row per band (8 longs/doc, far smaller than the
+    * corpus). A new document is suppressed iff any of its 8 band
+    * signatures collides with state (the same 1-(1-J^13)^8 candidate
+    * rule the batch pipeline bands on — a 0.9-Jaccard near-dup that is
+    * NOT byte-identical still collides with ≥ 0.9 probability);
+    * batch-internal near-dups resolve min-doc_id-first via one
+    * label-propagation pass over shared buckets (dd6's rule). Accepted
+    * documents' buckets are appended to state; each micro-batch is one
+    * semi-join + one anti-join against state, no recomputation over
+    * history.
+    *
+    * Returns the accepted (canonical) rows of the batch.
+    */
+  def nearDedupBatch(spark: SparkSession, batch: DataFrame, stateDir: String): DataFrame = {
+    // eager: the band-sig pipeline (two aggregations) runs once, and the
+    // later state append must not re-evaluate it against updated state
+    val sigs = graft.operators.Dedup.bandSignatures(batch).localCheckpoint(true)
+    val survivors =
+      if (new java.io.File(stateDir).exists()) {
+        val seen = spark.read.parquet(stateDir).select("band", "sig")
+        val hit = sigs.join(seen, Seq("band", "sig"), "left_semi")
+          .select("doc_id").distinct()
+        sigs.join(hit, Seq("doc_id"), "left_anti")
+      } else sigs
+    // batch-internal: min doc_id over shared buckets keeps one canonical
+    // doc per near-dup group arriving in the same batch
+    val reps = survivors.groupBy("band", "sig").agg(min("doc_id").as("rep"))
+    val keep = survivors.join(reps, Seq("band", "sig"))
+      .groupBy("doc_id").agg(min("rep").as("cluster_rep"))
+      .filter(col("doc_id") === col("cluster_rep"))
+      .select("doc_id")
+    val acceptedSigs = survivors.join(keep, Seq("doc_id"))
+      .select("band", "sig", "doc_id")
+      .localCheckpoint(true)
+    acceptedSigs.write.mode("append").parquet(stateDir)
+    batch.join(acceptedSigs.select("doc_id").distinct(), Seq("doc_id"))
+  }
+
+  /** Always-on variant of [[nearDedupBatch]]. */
+  def nearDedupStream(
+      spark: SparkSession,
+      landingDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      stateDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        nearDedupBatch(batch.sparkSession, batch, stateDir): Unit
+      }
+      .start()
+
   /** Always-on variant: stream a landing directory of document parquet
     * files into the canonical store with exactly-once-per-file semantics.
     */

@@ -30,6 +30,40 @@ class StreamingDedupSpec extends SparkSpec {
       === Set("alpha", "beta", "gamma"))
   }
 
+  test("near-dup state suppresses a NON-identical near-duplicate across batches") {
+    val state = Files.createTempDirectory("neardup-state").toString + "/buckets"
+
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    // one word changed out of 30 -> word-set Jaccard 29/31 ~ 0.94: not
+    // byte-identical (exact dedup would pass it), but bands collide
+    val nearDup = base.replace("w17", "zz")
+    val unrelated = (1 to 30).map(i => s"u$i").mkString(" ")
+
+    val b1 = Seq((1L, base)).toDF("doc_id", "text")
+    val a1 = StreamingDedup.nearDedupBatch(spark, b1, state)
+      .collect().map(_.getLong(0)).toSet
+    assert(a1 === Set(1L))
+
+    val b2 = Seq((7L, nearDup), (8L, unrelated)).toDF("doc_id", "text")
+    val a2 = StreamingDedup.nearDedupBatch(spark, b2, state)
+      .collect().map(_.getLong(0)).toSet
+    assert(a2 === Set(8L), "near-dup of an accepted doc must be suppressed")
+
+    // replay of an already-accepted doc is suppressed too (J = 1)
+    val b3 = Seq((9L, unrelated)).toDF("doc_id", "text")
+    assert(StreamingDedup.nearDedupBatch(spark, b3, state).count() === 0)
+  }
+
+  test("near-dup batch-internal group collapses to the smallest doc_id") {
+    val state = Files.createTempDirectory("neardup-state2").toString + "/buckets"
+    val base = (1 to 30).map(i => s"v$i").mkString(" ")
+    val b = Seq((5L, base.replace("v3", "aa")), (2L, base), (4L, "short unrelated text"))
+      .toDF("doc_id", "text")
+    val accepted = StreamingDedup.nearDedupBatch(spark, b, state)
+      .collect().map(_.getLong(0)).toSet
+    assert(accepted === Set(2L, 4L), "min doc_id canonical, near-dup 5 collapsed")
+  }
+
   test("streaming wrapper dedups file drops with exactly-once semantics") {
     val root = Files.createTempDirectory("dedup-stream").toString
     val landing = s"$root/landing"
