@@ -19,7 +19,8 @@ object SparkEntry {
       operators.ExtendedOps.all ++
       operators.ScaleTechniques.all ++
       recipes.Seed.all ++
-      recipes.RecipeStarQueries.all
+      recipes.RecipeStarQueries.all ++
+      recipes.RecipeGoldenQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
