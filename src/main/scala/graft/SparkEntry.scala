@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Multimodal.all ++
       operators.ExtendedOps.all ++
       operators.ScaleTechniques.all ++
+      operators.Sampling.all ++
       recipes.Seed.all ++
       recipes.RecipeStarQueries.all ++
       recipes.RecipeGoldenQueries.all

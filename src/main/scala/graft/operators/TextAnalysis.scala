@@ -180,6 +180,46 @@ object TextAnalysis {
       Some("""SELECT doc_id, md5(text) AS fp_full,
              |  md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp_head
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Repetition-based quality signal (the C4/Gopher duplicate-n-gram
+    // heuristic): the fraction of bigram occurrences that are repeats of
+    // an earlier bigram in the same document. Distinct counting rides the
+    // native BigramMd5Hashes expression (sorted-distinct hashes in one
+    // codegen'd pass), so the whole query is scan-bound with zero shuffle
+    // — the shape a per-document quality filter must have at 100 TB.
+    Q(
+      "tx7_repetition",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            greatest(size(split(col("text"), " ")) - 1, lit(0)).as("n_bigrams"),
+            size(call_function(graft.functions.GraftFunctions.BigramName, col("text")))
+              .as("n_distinct_bigrams"))
+          .select(
+            col("doc_id"),
+            col("n_bigrams"),
+            col("n_distinct_bigrams"),
+            when(col("n_bigrams") > 0,
+              round(lit(1.0) -
+                col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 6))
+              .otherwise(lit(0.0)).as("dup_fraction"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             |b AS (SELECT doc_id,
+             |        greatest(len(words) - 1, 0) AS n_bigrams,
+             |        len(list_distinct(list_transform(generate_series(1, len(words) - 1),
+             |          i -> CAST('0x' || substr(md5(words[i] || ' ' || words[i + 1]), 1, 8) AS BIGINT))))
+             |          AS n_distinct_bigrams
+             |      FROM w)
+             |SELECT doc_id, n_bigrams, n_distinct_bigrams,
+             |  CASE WHEN n_bigrams > 0
+             |       THEN round(1 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 6)
+             |       ELSE 0.0 END AS dup_fraction
+             |FROM b ORDER BY doc_id""".stripMargin)
     )
   )
 }
