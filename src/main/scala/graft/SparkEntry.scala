@@ -19,6 +19,7 @@ object SparkEntry {
       operators.ExtendedOps.all ++
       operators.ScaleTechniques.all ++
       operators.Sampling.all ++
+      operators.Decontamination.all ++
       recipes.Seed.all ++
       recipes.RecipeStarQueries.all ++
       recipes.RecipeGoldenQueries.all

@@ -34,6 +34,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.BigramName, "_FUNC_(text) - sorted distinct md5 bigram-shingle hashes", ""),
       (children: Seq[Expression]) => BigramMd5Hashes(children(0))))
     ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.NgramName),
+      new ExpressionInfo(classOf[NgramMd5Hashes].getName, null,
+        GraftFunctions.NgramName, "_FUNC_(text, n) - sorted distinct md5 word n-gram hashes", ""),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(s"n must be a literal, got $other")
+        }
+        NgramMd5Hashes(children(0), n)
+      }))
+    ext.injectFunction((
       FunctionIdentifier(GraftFunctions.RollingHashName),
       new ExpressionInfo(classOf[RollingHashWindows].getName, null,
         GraftFunctions.RollingHashName, "_FUNC_(text, k, b, m) - Rabin-Karp window hashes", ""),

@@ -39,6 +39,9 @@ object GraftFunctions {
   /** sorted distinct md5 bigram-shingle hashes of a space-separated string. */
   val BigramName = "graft_bigram_hashes"
 
+  /** sorted distinct md5 word n-gram hashes of a space-separated string. */
+  val NgramName = "graft_ngram_hashes"
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(getClass.getName, null, name, usage, "")
 
@@ -66,6 +69,14 @@ object GraftFunctions {
       })
     ensure(BigramName, "_FUNC_(text) - sorted distinct md5 bigram-shingle hashes")(
       children => BigramMd5Hashes(children(0)))
+    ensure(NgramName, "_FUNC_(text, n) - sorted distinct md5 word n-gram hashes")(
+      children => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(s"n must be a literal, got $other")
+        }
+        NgramMd5Hashes(children(0), n)
+      })
     ensure(BottomKName, "_FUNC_(col, k) - k smallest distinct longs (KMV sketch)")(
       children => {
         val k = children(1) match {
