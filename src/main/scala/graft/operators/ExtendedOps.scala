@@ -146,6 +146,61 @@ object ExtendedOps {
              |     INTERSECT
              |     SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'))
              |ORDER BY side, o_custkey""".stripMargin)
+    ),
+
+    // PV1: pivot (long-to-wide) — status × priority revenue matrix.
+    // Spark's relational pivot with EXPLICIT pivot values: without them
+    // the planner runs an extra distinct-collect job to discover the
+    // columns, which at 100 TB is a full extra scan; with them the pivot
+    // compiles to one pass of conditional aggregation (same plan as the
+    // CASE-WHEN oracle) with map-side partial aggregation. Money sums use
+    // the fixed-point cents convention (StarQueries scaladoc) so results
+    // are partition-order independent and engine-identical.
+    Q(
+      "pv1_pivot_status_priority",
+      (s, dir) => {
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(sum(cents))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS "1-URGENT",
+             |  SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS "2-HIGH",
+             |  SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS "3-MEDIUM",
+             |  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS "4-NOT SPECIFIED",
+             |  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS "5-LOW"
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+
+    // WQ1: exact interpolated percentiles (quantile type 7, the
+    // percentile_cont semantics) of order quantity per return flag.
+    // Exact percentiles need the full value multiset per group — fine
+    // for a low-cardinality group-by (Spark's ObjectHashAggregate
+    // buffers per group); at 100 TB with high-cardinality groups you'd
+    // switch to approx_percentile (t-digest, mergeable partial aggs).
+    // l_quantity is integral, so the (n-1)p linear interpolation lands
+    // on .0/.25/.5/.75 — binary-exact across engines.
+    Q(
+      "wq1_quantity_percentiles",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("p25"),
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.75)").as("p75"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS p25,
+             |  quantile_cont(l_quantity, 0.5) AS p50,
+             |  quantile_cont(l_quantity, 0.75) AS p75,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     )
   )
 }

@@ -220,6 +220,86 @@ object TextAnalysis {
              |       THEN round(1 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 6)
              |       ELSE 0.0 END AS dup_fraction
              |FROM b ORDER BY doc_id""".stripMargin)
+    ),
+
+    // PII detection/redaction — the scrub step a training corpus runs
+    // before anything ships. The synthetic tables carry no literal PII,
+    // so the query first RENDERS a deterministic contact string per
+    // customer (email + phone derived from c_custkey by integer
+    // arithmetic — identical in any engine), then runs the actual
+    // operator under test: regex redaction with per-category counts.
+    // Per-row regex work inside codegen, zero shuffle — the only shape
+    // that survives a 100 TB scrub. Patterns are RE2-safe (character
+    // classes + bounded repeats, no backrefs) so Java and DuckDB agree.
+    Q(
+      "tx8_pii_redact",
+      (s, dir) => {
+        val email = concat(lit("user"), col("c_custkey").cast("string"), lit("@example.com"))
+        val phone = concat(
+          (col("c_custkey") % 90 + 10).cast("string"), lit("-"),
+          lpad(((col("c_custkey") * 7919) % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((col("c_custkey") * 104729) % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((col("c_custkey") * 1299709) % 10000).cast("string"), 4, "0"))
+        val profile = concat(
+          lit("Contact "), col("c_name"), lit(" <"), email, lit("> or call "),
+          phone, lit(" about "), col("c_mktsegment"))
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        Tables(s, dir, "customer")
+          .select(
+            col("c_custkey"),
+            regexp_count(profile, lit(emailRe)).as("n_emails"),
+            regexp_count(profile, lit(phoneRe)).as("n_phones"),
+            regexp_replace(
+              regexp_replace(profile, emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>").as("redacted"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH p AS (
+             |  SELECT c_custkey,
+             |    'Contact ' || c_name || ' <user' || CAST(c_custkey AS VARCHAR) ||
+             |    '@example.com> or call ' ||
+             |    CAST(c_custkey % 90 + 10 AS VARCHAR) || '-' ||
+             |    lpad(CAST((c_custkey * 7919) % 1000 AS VARCHAR), 3, '0') || '-' ||
+             |    lpad(CAST((c_custkey * 104729) % 1000 AS VARCHAR), 3, '0') || '-' ||
+             |    lpad(CAST((c_custkey * 1299709) % 10000 AS VARCHAR), 4, '0') ||
+             |    ' about ' || c_mktsegment AS profile
+             |  FROM customer)
+             |SELECT c_custkey,
+             |  CAST(len(regexp_extract_all(profile, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+             |  CAST(len(regexp_extract_all(profile, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+             |  regexp_replace(
+             |    regexp_replace(profile, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+             |FROM p ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // Token-length histogram — the corpus-shape diagnostic behind batch
+    // sizing and truncation policy. Bucketing is per-row integer math
+    // (no width_bucket: DuckDB lacks it), the aggregate is a 20-key
+    // groupBy — partial map-side combine makes this a near-free full
+    // scan at any corpus size.
+    Q(
+      "tx9_length_histogram",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(size(split(col("text"), " ")).as("n_tokens"))
+          .withColumn("bucket",
+            least(floor(col("n_tokens") / lit(10)), lit(19L)))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min("n_tokens").as("min_tokens"),
+            max("n_tokens").as("max_tokens"))
+          .withColumn("bucket_lo", col("bucket") * 10)
+          .orderBy("bucket"),
+      Some("""SELECT bucket, count(*) AS n_docs,
+             |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+             |  bucket * 10 AS bucket_lo
+             |FROM (SELECT CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |        least(CAST(floor(len(string_split(text, ' ')) / 10.0) AS BIGINT), 19) AS bucket
+             |      FROM documents)
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)
     )
   )
 }
