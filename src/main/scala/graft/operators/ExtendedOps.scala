@@ -201,6 +201,67 @@ object ExtendedOps {
              |  quantile_cont(l_quantity, 0.75) AS p75,
              |  count(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // WF1: cumulative + full-partition analytics in ONE window pass:
+    // running order total, order sequence number, and each order's share
+    // of the customer's lifetime spend. One shuffle on o_custkey serves
+    // all three frames (running, row_number, partition total) — Spark
+    // plans a single Window node; the unbounded-preceding running frame
+    // streams per partition with O(1) state. Money in fixed-point cents.
+    Q(
+      "wf1_running_customer_spend",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            cents.as("cents"))
+          .withColumn("order_seq", row_number().over(w).cast("long"))
+          .withColumn("running_cents",
+            sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("lifetime_cents",
+            sum(col("cents")).over(Window.partitionBy("o_custkey")))
+          .withColumn("spend_share",
+            round(col("cents").cast("double") / col("lifetime_cents"), 6))
+          .select("o_custkey", "o_orderkey", "order_seq", "running_cents",
+            "lifetime_cents", "spend_share")
+          .orderBy("o_custkey", "order_seq")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+             |SELECT o_custkey, o_orderkey,
+             |  CAST(row_number() OVER w AS BIGINT) AS order_seq,
+             |  SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+             |  SUM(cents) OVER (PARTITION BY o_custkey) AS lifetime_cents,
+             |  round(CAST(cents AS DOUBLE) / SUM(cents) OVER (PARTITION BY o_custkey), 6) AS spend_share
+             |FROM o
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, order_seq""".stripMargin)
+    ),
+
+    // A10: CUBE — all four (priority × status) grouping combinations in
+    // one pass plus per-column GROUPING flags (the NULL-vs-subtotal
+    // disambiguators). Spark expands the cube into an internal Expand
+    // node feeding one hash aggregate: still a single scan + shuffle at
+    // any scale, vs four separate group-bys re-reading the fact table.
+    Q(
+      "a10_cube_priority_status",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .cube(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+            grouping(col("o_orderstatus")).cast("int").as("g_status"))
+          .orderBy(
+            asc_nulls_first("o_orderpriority"),
+            asc_nulls_first("o_orderstatus")),
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+             |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+             |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+             |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+             |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
     )
   )
 }

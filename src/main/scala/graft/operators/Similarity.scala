@@ -418,6 +418,44 @@ object Similarity {
              |    (sqrt(list_sum(list_transform(emb, x -> x * x))) *
              |     sqrt(list_sum(list_transform(deq, x -> x * x)))), 6) AS recon_cosine
              |FROM dq ORDER BY vec_id""".stripMargin)
+    ),
+
+    // EM3: per-label centroids — the k-means/IVF building block and the
+    // class-prototype summary a labeled corpus ships with. Distributed
+    // shape: posexplode to (label, dim, value) and ONE groupBy on the
+    // composite key — dimension-parallel, no per-group vector buffering,
+    // so it scales to any row count and any dimension (a collect_list of
+    // whole vectors per label would bottleneck on the biggest class).
+    // Element sums use the fixed-point convention (floor(x·1e6 + 0.5) as
+    // BIGINT — see em2's scaladoc on Spark-vs-DuckDB round()) so the sum
+    // is partition-order independent and the derived double centroid is
+    // bit-identical across engines.
+    Q(
+      "em3_label_centroids",
+      (s, dir) =>
+        Tables(s, dir, "embeddings")
+          .select(col("label"), posexplode(embD).as(Seq("dim", "v")))
+          .groupBy(col("label"), col("dim"))
+          .agg(
+            sum(floor(col("v") * 1000000 + 0.5).cast("long")).as("fx_sum"),
+            count(lit(1)).as("n"))
+          .select(
+            col("label"),
+            col("dim"),
+            (col("fx_sum").cast("double") / (col("n") * 1000000).cast("double"))
+              .as("centroid"),
+            col("n"))
+          .orderBy("label", "dim"),
+      Some("""WITH e AS (
+             |  SELECT label,
+             |    unnest(generate_series(0, len(embedding) - 1)) AS dim,
+             |    unnest(list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS fx
+             |  FROM embeddings)
+             |SELECT label, dim,
+             |  CAST(SUM(fx) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS centroid,
+             |  count(*) AS n
+             |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin)
     )
   )
 }

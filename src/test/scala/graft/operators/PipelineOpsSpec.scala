@@ -53,6 +53,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cellTotal === direct)
   }
 
+  test("em3: one centroid row per (label, dim), n = label population") {
+    val rows = graft.SparkEntry.queries("em3_label_centroids")(spark, dir).collect()
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val byLabel = emb.groupBy("label").count().collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    assert(rows.length === byLabel.size * 64)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") === byLabel(r.getAs[Int]("label")))
+      val c = r.getAs[Double]("centroid")
+      assert(c > -10 && c < 10) // sane magnitude for unit-ish embeddings
+    }
+  }
+
+  test("wf1: running total reaches the lifetime total at the last order") {
+    val rows = graft.SparkEntry.queries("wf1_running_customer_spend")(spark, dir)
+      .collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.foreach { case (_, orders) =>
+      val sorted = orders.sortBy(_.getAs[Long]("order_seq"))
+      assert(sorted.map(_.getAs[Long]("order_seq")).toSeq ===
+        (1L to sorted.length.toLong))
+      assert(sorted.last.getAs[Long]("running_cents") ===
+        sorted.last.getAs[Long]("lifetime_cents"))
+      assert(sorted.map(_.getAs[Long]("running_cents")).toSeq ===
+        sorted.map(_.getAs[Long]("running_cents")).toSeq.sorted)
+    }
+  }
+
+  test("a10: cube covers all grouping combinations with correct flags") {
+    val rows = graft.SparkEntry.queries("a10_cube_priority_status")(spark, dir)
+      .collect()
+    val grand = rows.filter(r => r.getAs[Int]("g_priority") == 1 &&
+      r.getAs[Int]("g_status") == 1)
+    assert(grand.length === 1)
+    val total = graft.Tables(spark, dir, "orders").count()
+    assert(grand.head.getAs[Long]("n") === total)
+    rows.foreach { r =>
+      assert((r.getAs[String]("o_orderpriority") == null) ===
+        (r.getAs[Int]("g_priority") == 1))
+      assert((r.getAs[String]("o_orderstatus") == null) ===
+        (r.getAs[Int]("g_status") == 1))
+    }
+    // detail rows sum to the grand total
+    val detail = rows.filter(r => r.getAs[Int]("g_priority") == 0 &&
+      r.getAs[Int]("g_status") == 0)
+    assert(detail.map(_.getAs[Long]("n")).sum === total)
+  }
+
   test("wq1: percentiles are ordered and inside the value range") {
     val rows = graft.SparkEntry.queries("wq1_quantity_percentiles")(spark, dir).collect()
     assert(rows.nonEmpty)
