@@ -39,7 +39,18 @@ import org.apache.spark.storage.StorageLevel
 object Decontamination {
 
   /** n-gram width; 5 ≈ sentence-fragment granularity on this corpus. */
-  private val N = 5
+  private[graft] val N = 5
+
+  /** (doc_id, g) distinct n-grams of any (doc_id, text) frame — shared
+    * by the batch queries and the streaming twin.
+    */
+  private[graft] def gramsOf(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(
+      col("doc_id"),
+      explode(call_function(GraftFunctions.NgramName, col("text"), lit(N)))
+        .as("g"))
+  }
 
   /** (doc_id, split, g) — one row per DISTINCT n-gram per document. */
   private def grams(s: SparkSession, dir: String): DataFrame = {
@@ -53,6 +64,13 @@ object Decontamination {
         explode(call_function(GraftFunctions.NgramName, col("text"), lit(N)))
           .as("g"))
   }
+
+  /** The distinct train-split gram index — build once (persist or write
+    * bucketed by `g`), probe many times; the static side of the
+    * streaming contamination check.
+    */
+  def trainGramIndex(s: SparkSession, dir: String): DataFrame =
+    grams(s, dir).filter(col("split") === "train").select("g").distinct()
 
   /** Shared oracle CTE: the same split + gram extraction in DuckDB SQL.
     * `words[i:i+${N - 1}]` is the 1-based inclusive slice = N words; its

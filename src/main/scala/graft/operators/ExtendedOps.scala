@@ -262,6 +262,71 @@ object ExtendedOps {
              |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status
              |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
              |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+    ),
+
+    // AP2: approx_percentile — the mergeable quantile sketch (Greenwald-
+    // Khanna in Spark) that replaces wq1's exact per-group multiset at
+    // 100 TB: partial sketches combine map-side like any agg, memory is
+    // O(accuracy), not O(rows). Sketch internals are engine-specific, so
+    // (ap1 convention) the oracle checks the exact column and a bounded
+    // absolute error of the approximation; l_quantity is integral so the
+    // exact median is engine-identical.
+    Q(
+      "ap2_approx_percentile",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("exact_p50"),
+            (abs(expr("approx_percentile(l_quantity, 0.5, 10000)") -
+              expr("percentile(l_quantity, 0.5)")) <= 1.0)
+              .as("approx_within_1"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS exact_p50,
+             |  true AS approx_within_1
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // RJ1: range join without an equi key — purchases within ±5 minutes
+    // of each error event, ANY user. Naive form (`ON abs(tp - te) <= W`)
+    // has no equality predicate, so Spark plans a broadcast/cartesian
+    // nested-loop — O(|errors|·|purchases|), dead at scale. The scale
+    // form here bins time into W-width buckets, EXPLODES the probe side
+    // into its 3 adjacent bins, and equi-joins on the bin — a partitioned
+    // hash join whose per-key fan-in is bounded by event density per
+    // window, with the exact range check as a post-predicate INSIDE the
+    // join condition (left join keeps zero-match errors). Each purchase
+    // copy matches a given error in at most one bin, so no dedup pass is
+    // needed. Same trick generalizes to any band/range join (genomics
+    // intervals, geo tiles).
+    Q(
+      "rj1_range_join_binned",
+      (s, dir) => {
+        val winUs = 300000000L // 5 min in microseconds
+        val ev = Tables(s, dir, "events")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), unix_micros(col("ts")).as("eus"))
+          .withColumn("bin", expr(s"eus DIV $winUs"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(unix_micros(col("ts")).as("pus"))
+          .withColumn("bin",
+            explode(array(expr(s"pus DIV $winUs - 1"), expr(s"pus DIV $winUs"),
+              expr(s"pus DIV $winUs + 1"))))
+        errors
+          .join(purchases,
+            errors("bin") === purchases("bin") &&
+              abs(col("pus") - col("eus")) <= winUs,
+            "left")
+          .groupBy("event_id")
+          .agg(count(col("pus")).as("n_nearby_purchases"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS eus FROM events WHERE event_type = 'error'),
+             |p AS (SELECT epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase')
+             |SELECT event_id, count(p.pus) AS n_nearby_purchases
+             |FROM e LEFT JOIN p ON abs(p.pus - e.eus) <= 300000000
+             |GROUP BY event_id ORDER BY event_id""".stripMargin)
     )
   )
 }

@@ -300,6 +300,49 @@ object TextAnalysis {
              |        least(CAST(floor(len(string_split(text, ' ')) / 10.0) AS BIGINT), 19) AS bucket
              |      FROM documents)
              |GROUP BY bucket ORDER BY bucket""".stripMargin)
+    ),
+
+    // TF-IDF-style salient terms: top-3 terms per document by
+    // tf × (N/df) rarity. The damping log() usually applied to N/df is
+    // floating point whose last ULP is libm-specific, so for
+    // engine-exact results the score is the UNdamped ratio in fixed
+    // point: tf·10⁶·N integer-DIV df — same ranking family, bit-exact
+    // everywhere, ties broken lexicographically. Shape at scale: tf is
+    // one shuffle on (doc, term), df one map-side-combined shuffle on
+    // term, the df join is term-keyed (AQE broadcasts the vocabulary
+    // when small), the corpus size joins as a 1-row cross, and top-3 is
+    // a per-doc window — no driver-side anything.
+    Q(
+      "tx10_tfidf_terms",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id").orderBy(desc("score_fx"), asc("term"))
+        tf.join(df, "term")
+          .crossJoin(n)
+          .withColumn("score_fx", expr("tf * 1000000 * n_docs DIV df"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "term", "tf", "df", "score_fx", "rank")
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+             |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT doc_id, term, tf, df, score_fx, rank FROM (
+             |  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+             |    tf.tf * 1000000 * n.n_docs // dfx.df AS score_fx,
+             |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY tf.tf * 1000000 * n.n_docs // dfx.df DESC, tf.term) AS BIGINT) AS rank
+             |  FROM tf JOIN dfx USING (term), n)
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
     )
   )
 }
