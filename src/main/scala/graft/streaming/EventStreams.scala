@@ -61,6 +61,43 @@ object EventStreams {
     * partition-local, updated per micro-batch with no reprocessing of
     * history.
     */
+  /** STREAM-STREAM interval join — the streaming twin of the batch
+    * `rj1_range_join_binned`: pair every error with the purchases that
+    * happen within ±5 minutes of it, both sides live. Spark rejects
+    * stream-stream joins with no equality predicate (state would be a
+    * cross product), so the same time-bin key that fixes the batch plan
+    * serves here: purchases explode into their 3 adjacent 5-minute bins
+    * and the join is EQUI on the bin with the exact range as residual —
+    * at most one bin copy matches a given error, so no dedup is needed.
+    * The watermarks + the event-time range in the condition bound the
+    * join state: each side buffers only rows younger than
+    * watermark + window, evicted as the watermark advances — the
+    * property that lets the join run forever. State is hash-partitioned
+    * on the bin key like any shuffle.
+    */
+  def nearbyPurchases(
+      errors: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val winUs = 300000000L // 5 minutes
+    val e = errors
+      .select(col("event_id").as("error_id"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", watermark)
+      .withColumn("bin", expr(s"unix_micros(error_ts) DIV $winUs"))
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+      .withColumn("bin", explode(array(
+        expr(s"unix_micros(purchase_ts) DIV $winUs - 1"),
+        expr(s"unix_micros(purchase_ts) DIV $winUs"),
+        expr(s"unix_micros(purchase_ts) DIV $winUs + 1"))))
+    e.join(
+        p,
+        e("bin") === p("bin") &&
+          expr("purchase_ts BETWEEN error_ts - INTERVAL 5 MINUTES AND error_ts + INTERVAL 5 MINUTES"))
+      .drop("bin")
+  }
+
   final case class UserStats(n_events: Long, n_purchases: Long, peak_value: Double)
 
   def runningUserStats(events: DataFrame): Dataset[(Long, UserStats)] = {

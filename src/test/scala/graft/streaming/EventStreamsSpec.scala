@@ -94,6 +94,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(w1.head.getAs[Long]("n") === 1, "the late straggler was dropped, not merged")
   }
 
+  test("stream-stream interval join equals the batch range-join answer") {
+    def side(t: String) = spark.readStream
+      .schema(eventsBatch.schema).parquet(stagedDir)
+      .filter(col("event_type") === t)
+    EventStreams.nearbyPurchases(side("error"), side("purchase"))
+      .writeStream
+      .format("memory").queryName("ssjoin_out")
+      .outputMode("append") // stream-stream joins emit in append mode
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val streamed = spark.table("ssjoin_out").select("error_id", "purchase_id")
+
+    val e = eventsBatch.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("ets"))
+    val p = eventsBatch.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val batch = e.join(p,
+        abs(unix_micros(col("pts")) - unix_micros(col("ets"))) <= 300000000L)
+      .select("error_id", "purchase_id")
+    assert(streamed.count() > 0)
+    assert(rowSet(streamed) === rowSet(batch))
+  }
+
   test("typed mapGroupsWithState carries running per-user stats across batches") {
     val root = java.nio.file.Files.createTempDirectory("ustats").toString
     val landing = s"$root/in"
