@@ -327,6 +327,33 @@ object ExtendedOps {
              |SELECT event_id, count(p.pus) AS n_nearby_purchases
              |FROM e LEFT JOIN p ON abs(p.pus - e.eus) <= 300000000
              |GROUP BY event_id ORDER BY event_id""".stripMargin)
+    ),
+
+    // RJ2: the SAME interval join written naively — `ON abs(tp-te) <= W`
+    // with no equi key — relying on the graft.plans.RangeJoinBinning
+    // optimizer rule to apply rj1's rewrite automatically. Driver-
+    // verifying this alongside rj1 proves the rule is answer-preserving
+    // on real data, not just plan-shaped (the spec asserts the
+    // nested-loop is gone).
+    Q(
+      "rj2_range_join_rule",
+      (s, dir) => {
+        graft.plans.RangeJoinBinning.install(s)
+        val ev = Tables(s, dir, "events")
+        val e = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), unix_micros(col("ts")).as("eus"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(unix_micros(col("ts")).as("pus"))
+        e.join(p, abs(col("pus") - col("eus")) <= 300000000L, "left")
+          .groupBy("event_id")
+          .agg(count(col("pus")).as("n_nearby_purchases"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, epoch_us(ts) AS eus FROM events WHERE event_type = 'error'),
+             |p AS (SELECT epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase')
+             |SELECT event_id, count(p.pus) AS n_nearby_purchases
+             |FROM e LEFT JOIN p ON abs(p.pus - e.eus) <= 300000000
+             |GROUP BY event_id ORDER BY event_id""".stripMargin)
     )
   )
 }
