@@ -96,6 +96,33 @@ object EventOps {
              |WHERE rn <= 2 ORDER BY user_id, rn""".stripMargin)
     ),
 
+    // EV5: the SAME top-2-per-user query as ev3, executed by the custom
+    // TopKPerKey operator stack (graft.plans): the optimizer rule
+    // replaces the Filter+Window pair with partial per-partition bounded
+    // heaps -> hash exchange -> final per-key rank emission, so the
+    // shuffle carries <= k rows per (partition, key) instead of every
+    // purchase, and nothing is globally sorted but the k survivors.
+    // Driver-verifying it against the identical oracle as ev3 proves the
+    // whole-operator extension answer-preserving, not just plan-shaped.
+    Q(
+      "ev5_topk_per_key",
+      (s, dir) => {
+        graft.plans.TopKPerKey.install(s)
+        val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
+        Tables(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 2)
+          .select("user_id", "rn", "event_id", "value")
+          .orderBy("user_id", "rn")
+      },
+      Some("""SELECT user_id, rn, event_id, value FROM (
+             |  SELECT user_id, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+             |  FROM events WHERE event_type = 'purchase')
+             |WHERE rn <= 2 ORDER BY user_id, rn""".stripMargin)
+    ),
+
     // JSON property extraction from the props column.
     Q(
       "ev4_json_extract",

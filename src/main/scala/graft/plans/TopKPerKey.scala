@@ -1,0 +1,228 @@
+package graft.plans
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Whole-operator Catalyst extension: per-key top-k behind the standard
+  * window idiom.
+  *
+  * The idiomatic Spark form —
+  * {{{ row_number().over(Window.partitionBy(K).orderBy(O)) <= k }}} —
+  * SORTS every partition's full row set in the window operator and then
+  * throws away everything below rank k. At 100 TB that is a full shuffle
+  * of the fact table followed by an n·log(n) sort per key group, for an
+  * output k rows per key.
+  *
+  * This module swaps in the right algorithm without changing user code:
+  *
+  *  - [[TopKViaRowNumber]] (optimizer rule) recognizes
+  *    `Filter(rank cmp lit, Window(row_number over (K, O)))` — the shape
+  *    the main optimizer batches normalize that idiom to — and replaces
+  *    it with the [[TopKPerKeyRank]] logical node (rank attribute keeps
+  *    its exprId, so downstream projections are untouched).
+  *  - [[TopKStrategy]] plans it as PARTIAL per-input-partition bounded
+  *    heaps (each partition reduces to ≤ k rows per key present — the
+  *    map-side combine of top-k) → hash exchange on K (inserted by
+  *    EnsureRequirements from the final node's required distribution) →
+  *    FINAL per-key heaps + rank emission. No sort of anything but the
+  *    k survivors per key; shuffle volume is ≤ k rows per (partition,
+  *    key) instead of the whole table.
+  *
+  * Heap state per task is bounded by (keys-in-partition × k) rows — the
+  * same rows the window sort would hold, minus everything it would sort
+  * and discard. Ties rank nondeterministically exactly like
+  * `row_number` (callers add a tiebreak column to O for determinism).
+  *
+  * Active via `GraftExtensions` (rule + strategy injection) or
+  * [[TopKPerKey.install]] on a live session. `ev5_topk_per_key` is the
+  * driver-oracle-checked twin of the window-form `ev3`.
+  */
+object TopKPerKey {
+
+  /** Idempotently activate rule + strategy on an existing session. */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(TopKViaRowNumber)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKViaRowNumber
+    }
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+  }
+
+  /** Bounded-heap top-k of one input partition. Shared by the partial
+    * pass (emitRank = None: reduce to candidates) and the final pass
+    * (emitRank = Some(attr): per-key rank 1..k in heap-sorted order).
+    */
+  private[plans] def partitionTopK(
+      iter: Iterator[InternalRow],
+      part: Seq[Expression],
+      order: Seq[SortOrder],
+      k: Int,
+      inputAttrs: Seq[Attribute],
+      emitRank: Option[Attribute]): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(part, inputAttrs)
+    val ord = RowOrdering.create(order, inputAttrs)
+    val worstFirst = ord.reverse // heap head = currently worst kept row
+    val heaps =
+      new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = keyProj(row)
+      var q = heaps.get(key)
+      if (q == null) {
+        q = new java.util.PriorityQueue[InternalRow](k + 1, worstFirst)
+        heaps.put(key.copy(), q)
+      }
+      if (q.size < k) q.add(row.copy())
+      else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
+    }
+    emitRank match {
+      case None =>
+        heaps.values().asScala.iterator.flatMap(_.asScala.iterator)
+      case Some(rank) =>
+        val proj = UnsafeProjection.create(inputAttrs :+ rank, inputAttrs :+ rank)
+        val rankRow = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        heaps.values().asScala.iterator.flatMap { q =>
+          val arr = q.toArray(new Array[InternalRow](q.size))
+          java.util.Arrays.sort(arr, ord)
+          arr.iterator.zipWithIndex.map { case (r, i) =>
+            rankRow.update(0, i + 1)
+            proj(joined(r, rankRow))
+          }
+        }
+    }
+  }
+}
+
+/** Logical per-key top-k by rank: output = child.output :+ rankAttr,
+  * where rankAttr keeps the window alias's exprId.
+  */
+case class TopKPerKeyRank(
+    part: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: LogicalPlan) extends logical.UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+/** Rewrite `Filter(rank cmp lit)` directly above a single-expression
+  * `row_number` Window into [[TopKPerKeyRank]]. Runs in the user batch
+  * (after predicate pushdown / cast unwrapping have normalized the
+  * shape); idempotent because the rewrite removes the Filter+Window pair
+  * it matches on.
+  */
+object TopKViaRowNumber extends Rule[LogicalPlan] {
+
+  private def intLit(e: Expression): Option[Int] = e match {
+    case Literal(v: Int, IntegerType) => Some(v)
+    case Literal(v: Long, LongType) if v <= Int.MaxValue => Some(v.toInt)
+    case _ => None
+  }
+
+  /** rank-limit k expressed by the filter, if the condition is a single
+    * comparison of the rank column (possibly cast) with a literal.
+    */
+  private def limitOf(cond: Expression, rank: Attribute): Option[Int] = {
+    def isRank(e: Expression): Boolean = e match {
+      case a: Attribute => a.semanticEquals(rank)
+      case c: Cast => isRank(c.child)
+      case _ => false
+    }
+    cond match {
+      case LessThanOrEqual(r, l) if isRank(r) => intLit(l)
+      case LessThan(r, l) if isRank(r) => intLit(l).map(_ - 1)
+      case GreaterThanOrEqual(l, r) if isRank(r) => intLit(l)
+      case GreaterThan(l, r) if isRank(r) => intLit(l).map(_ - 1)
+      case EqualTo(r, l) if isRank(r) => intLit(l).filter(_ == 1)
+      case EqualTo(l, r) if isRank(r) => intLit(l).filter(_ == 1)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ logical.Filter(cond, w: logical.Window)
+        if w.windowExpressions.size == 1 &&
+          w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
+      w.windowExpressions.head match {
+        case al @ Alias(WindowExpression(_: RowNumber, _), _) =>
+          limitOf(cond, al.toAttribute) match {
+            case Some(k) if k >= 1 && k <= 10000000 =>
+              TopKPerKeyRank(w.partitionSpec, w.orderSpec, k, al.toAttribute, w.child)
+            case _ => f
+          }
+        case _ => f
+      }
+  }
+}
+
+/** Plan [[TopKPerKeyRank]] as partial → (exchange) → final. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyRank(part, order, k, rankAttr, child) =>
+      FinalTopKPerKeyExec(part, order, k, rankAttr,
+        PartialTopKPerKeyExec(part, order, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Map-side combine: reduce every input partition to ≤ k rows per key
+  * it contains. No distribution requirement — runs where the data is.
+  */
+case class PartialTopKPerKeyExec(
+    part: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (p, o, kk, attrs) = (part, order, k, child.output)
+    child.execute().mapPartitions(
+      TopKPerKey.partitionTopK(_, p, o, kk, attrs, emitRank = None),
+      preservesPartitioning = true)
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
+
+/** Per-key merge + rank emission; requires co-location on the keys
+  * (EnsureRequirements inserts the hash exchange above the partial).
+  */
+case class FinalTopKPerKeyExec(
+    part: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(part) :: Nil
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (p, o, kk, attrs, rank) = (part, order, k, child.output, rankAttr)
+    child.execute().mapPartitions(
+      TopKPerKey.partitionTopK(_, p, o, kk, attrs, emitRank = Some(rank)),
+      preservesPartitioning = false)
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}
