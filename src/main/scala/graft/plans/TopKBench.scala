@@ -1,0 +1,88 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Micro-benchmark: the built-in window row_number top-k vs the
+  * TopKPerKey operator on an inflated purchase log (`events` ×
+  * REPLICATE copies, value jittered so ranks differ per copy). Prints
+  * one JSON line with both timings and shuffle volume.
+  *
+  * Measured at ×256 (5.1M rows, 32 cores, sf0.1):
+  * window 1.34s vs topk 0.61s (2.2×), equal shuffle bytes. Spark ≥ 3.5
+  * already bounds the shuffle itself (InferWindowGroupLimit inserts a
+  * sort-based partial group limit below the exchange), so the bytes
+  * match — the heap stack's win is CPU: it replaces the full
+  * per-partition map-side sort, the post-shuffle sort, and the Window
+  * operator re-ranking pass with O(n log k) heap upkeep and direct rank
+  * emission.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  *     SPARK_GRAFT_TOPK_REPLICATE=256 sbt "runMain graft.plans.TopKBench"
+  */
+object TopKBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_TOPK_REPLICATE", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = graft.Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("copy", explode(sequence(lit(1), lit(replicate))))
+      .select(
+        col("user_id"),
+        (col("event_id") * replicate + col("copy")).as("event_id"),
+        (col("value") + col("copy") * 0.001).as("value"))
+      .persist()
+    val n = base.count() // materialize once, outside both timings
+
+    val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
+    def query() = base
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+
+    // Shuffle-volume listener: wall-clock on local[N] understates the
+    // operator's advantage (a single-JVM shuffle is a memcpy); bytes
+    // moved through the exchange is the cluster-relevant number.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+        }
+      }
+    })
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(install: Boolean): (Double, Long) = {
+      spark.experimental.extraOptimizations = Nil
+      spark.experimental.extraStrategies = Nil
+      if (install) TopKPerKey.install(spark)
+      Thread.sleep(500) // let prior listener events drain
+      shuffleBytes.set(0L)
+      val sec = time(query().write.format("noop").mode("overwrite").save())
+      Thread.sleep(500)
+      (sec, shuffleBytes.get())
+    }
+    run(install = false); run(install = true) // warm-up both plans
+    val (windowSec, windowBytes) = run(install = false)
+    val (topkSec, topkBytes) = run(install = true)
+    println(f"""{"rows":$n,"window_sec":$windowSec%.2f,"topk_sec":$topkSec%.2f,""" +
+      f""""window_shuffle_mb":${windowBytes / 1e6}%.1f,"topk_shuffle_mb":${topkBytes / 1e6}%.1f,""" +
+      f""""shuffle_reduction":${windowBytes.toDouble / math.max(topkBytes, 1)}%.1f}""")
+    spark.stop()
+  }
+}
