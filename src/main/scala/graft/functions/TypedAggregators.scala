@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator`s — the modern Dataset UDAF tier (SURVEY.md §2.10),
+  * complementing the lower-level `TypedImperativeAggregate`
+  * ([[BottomKLongs]]): declarative zero/reduce/merge/finish with
+  * Encoder-managed buffers, usable both on typed Datasets
+  * (`ds.select(agg.toColumn)`) and as an untyped column function
+  * (`functions.udaf(agg)`).
+  *
+  * Buffers are fixed-point longs (cents × integral weight), so partial
+  * aggregation and merge are exact integer arithmetic — associative,
+  * commutative, and bit-identical across partitionings and engines; only
+  * `finish` divides into a double.
+  */
+object TypedAggregators {
+
+  /** (value cents, weight) running totals. */
+  final case class WSum(cents: Long, weight: Long)
+
+  /** Quantity-weighted mean price: Σ(cents(p)·q) / (100·Σq).
+    * Input (price, integral-valued weight); null-free inputs expected
+    * (filter upstream).
+    */
+  object WeightedMeanPrice extends Aggregator[(Double, Double), WSum, Double] {
+    override def zero: WSum = WSum(0L, 0L)
+    override def reduce(b: WSum, in: (Double, Double)): WSum = {
+      val cents = math.round(in._1 * 100) // round-half-up, exact on 2-dec money
+      val w = in._2.toLong
+      WSum(b.cents + cents * w, b.weight + w)
+    }
+    override def merge(a: WSum, b: WSum): WSum =
+      WSum(a.cents + b.cents, a.weight + b.weight)
+    override def finish(b: WSum): Double =
+      if (b.weight == 0) Double.NaN
+      else b.cents.toDouble / (100.0 * b.weight.toDouble)
+    override def bufferEncoder: Encoder[WSum] = Encoders.product[WSum]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+}

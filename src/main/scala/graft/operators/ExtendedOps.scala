@@ -329,6 +329,31 @@ object ExtendedOps {
              |GROUP BY event_id ORDER BY event_id""".stripMargin)
     ),
 
+    // AF1: quantity-weighted mean price per return flag through the
+    // typed Aggregator API (functions.udaf bridge) — the modern UDAF
+    // surface next to bk1's TypedImperativeAggregate. The buffer is
+    // exact fixed-point integers, so partial/merge are associative and
+    // partition-order independent; the oracle recomputes the same
+    // integer arithmetic. Plans like any built-in agg: partial
+    // ObjectHashAggregate -> shuffle on the group key -> final.
+    Q(
+      "af1_weighted_avg_price",
+      (s, dir) => {
+        val wmean = udaf(graft.functions.TypedAggregators.WeightedMeanPrice)
+        Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            wmean(col("l_extendedprice"), col("l_quantity")).as("w_avg_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             |    / (100.0 * CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)) AS w_avg_price,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
     // RJ2: the SAME interval join written naively — `ON abs(tp-te) <= W`
     // with no equi key — relying on the graft.plans.RangeJoinBinning
     // optimizer rule to apply rj1's rewrite automatically. Driver-
