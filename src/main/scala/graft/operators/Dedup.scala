@@ -167,8 +167,19 @@ object Dedup {
     * when connected to a smaller doc through an intermediate — the
     * labels must re-flow through shared buckets, not just rep pointers.)
     */
-  def clusterDocuments(s: SparkSession, dir: String, maxIter: Int = 10): DataFrame = {
-    val b = bandSigs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+  def clusterDocuments(s: SparkSession, dir: String, maxIter: Int = 10): DataFrame =
+    clusterBands(bandSigs(s, dir), maxIter)
+
+  /** Same fixed-point clustering over an arbitrary (doc_id, text, ...)
+    * frame — the corpus-pipeline entry point (near-dedup runs AFTER
+    * quality/language/exact filters, so the band table must come from
+    * the filtered frame, not the raw table).
+    */
+  private[graft] def clusterFrame(docs: DataFrame, maxIter: Int = 10): DataFrame =
+    clusterBands(bandSignatures(docs), maxIter)
+
+  private def clusterBands(bands: DataFrame, maxIter: Int): DataFrame = {
+    val b = bands.persist(StorageLevel.MEMORY_AND_DISK)
     var labels = graft.CacheScope.track(
       b.groupBy("band", "sig").agg(min("doc_id").as("bmin"))
         .join(b, Seq("band", "sig"))
