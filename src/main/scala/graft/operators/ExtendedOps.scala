@@ -14,8 +14,10 @@ object ExtendedOps {
   val all: Seq[Q] = Seq(
     // HLL sketch: approx_count_distinct next to the exact count. The
     // sketch value is engine-specific, so the oracle checks the exact
-    // column and the bounded relative error of the approximation
-    // (HLL++ at default rsd=0.05 is well within 10% here).
+    // column plus a bounded relative error of the approximation. The
+    // band is 25% = 5× the default rsd (0.05): HLL++'s error tail at
+    // 5 sigma is negligible for any corpus or implementation revision,
+    // so the boolean cannot flake the way a band at 2 sigma could.
     Q(
       "ap1_approx_distinct",
       (s, dir) =>
@@ -25,10 +27,10 @@ object ExtendedOps {
             countDistinct(col("user_id")).as("exact_users"),
             (abs(approx_count_distinct(col("user_id")).cast("double") -
               countDistinct(col("user_id"))) /
-              countDistinct(col("user_id")) <= 0.1).as("approx_within_10pct"))
+              countDistinct(col("user_id")) <= 0.25).as("approx_within_band"))
           .orderBy("event_type"),
       Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
-             |  true AS approx_within_10pct
+             |  true AS approx_within_band
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
@@ -167,12 +169,15 @@ object ExtendedOps {
           .agg(sum(cents))
           .orderBy("o_orderstatus")
       },
+      // Each SUM is wrapped in CAST(... AS BIGINT): DuckDB widens
+      // SUM(BIGINT) to HUGEINT (int128) while Spark stays LongType, and
+      // the driver's compare is type-sensitive even when values agree.
       Some("""SELECT o_orderstatus,
-             |  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS "1-URGENT",
-             |  SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS "2-HIGH",
-             |  SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS "3-MEDIUM",
-             |  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS "4-NOT SPECIFIED",
-             |  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS "5-LOW"
+             |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS "1-URGENT",
+             |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS "2-HIGH",
+             |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS "3-MEDIUM",
+             |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS "4-NOT SPECIFIED",
+             |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS "5-LOW"
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     ),
 
@@ -208,7 +213,11 @@ object ExtendedOps {
     // of the customer's lifetime spend. One shuffle on o_custkey serves
     // all three frames (running, row_number, partition total) — Spark
     // plans a single Window node; the unbounded-preceding running frame
-    // streams per partition with O(1) state. Money in fixed-point cents.
+    // streams per partition with O(1) state. Money in fixed-point cents;
+    // the share is fixed-point micros (cents*1e6 DIV lifetime) so the
+    // compare is integer-exact, never a double-representation tie. The
+    // oracle window SUMs are CAST back to BIGINT (DuckDB widens to
+    // HUGEINT, the driver hash is type-sensitive).
     Q(
       "wf1_running_customer_spend",
       (s, dir) => {
@@ -222,22 +231,23 @@ object ExtendedOps {
             sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .withColumn("lifetime_cents",
             sum(col("cents")).over(Window.partitionBy("o_custkey")))
-          .withColumn("spend_share",
-            round(col("cents").cast("double") / col("lifetime_cents"), 6))
+          .withColumn("share_micros",
+            expr("(cents * 1000000L) DIV lifetime_cents"))
           .select("o_custkey", "o_orderkey", "order_seq", "running_cents",
-            "lifetime_cents", "spend_share")
+            "lifetime_cents", "share_micros")
           .orderBy("o_custkey", "order_seq")
       },
       Some("""WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
-             |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
-             |SELECT o_custkey, o_orderkey,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+             |w AS (SELECT o_custkey, o_orderkey, cents,
              |  CAST(row_number() OVER w AS BIGINT) AS order_seq,
-             |  SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
-             |  SUM(cents) OVER (PARTITION BY o_custkey) AS lifetime_cents,
-             |  round(CAST(cents AS DOUBLE) / SUM(cents) OVER (PARTITION BY o_custkey), 6) AS spend_share
+             |  CAST(SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+             |  CAST(SUM(cents) OVER (PARTITION BY o_custkey) AS BIGINT) AS lifetime_cents
              |FROM o
-             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-             |ORDER BY o_custkey, order_seq""".stripMargin)
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+             |SELECT o_custkey, o_orderkey, order_seq, running_cents, lifetime_cents,
+             |  (cents * 1000000) // lifetime_cents AS share_micros
+             |FROM w ORDER BY o_custkey, order_seq""".stripMargin)
     ),
 
     // A10: CUBE — all four (priority × status) grouping combinations in

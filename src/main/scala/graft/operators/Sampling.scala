@@ -23,13 +23,13 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** bucket ∈ [0,100): Spark side of the shared hash. */
-  private[operators] def bucket(tag: String, id: Column): Column =
+  private[graft] def bucket(tag: String, id: Column): Column =
     pmod(
       conv(substring(md5(concat(lit(tag + ":"), id.cast("string"))), 1, 8), 16, 10)
         .cast("long"),
       lit(100))
 
-  private[operators] def bucketSql(tag: String, id: String): String =
+  private[graft] def bucketSql(tag: String, id: String): String =
     s"CAST('0x' || substr(md5('$tag:' || CAST($id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
 
   /** 80/10/10 train/val/test assignment for any keyed frame. */

@@ -435,6 +435,7 @@ object Similarity {
       (s, dir) =>
         Tables(s, dir, "embeddings")
           .select(col("label"), posexplode(embD).as(Seq("dim", "v")))
+          .withColumn("dim", col("dim").cast("long"))
           .groupBy(col("label"), col("dim"))
           .agg(
             sum(floor(col("v") * 1000000 + 0.5).cast("long")).as("fx_sum"),

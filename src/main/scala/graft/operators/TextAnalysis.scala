@@ -195,9 +195,10 @@ object TextAnalysis {
         Tables(s, dir, "documents")
           .select(
             col("doc_id"),
-            greatest(size(split(col("text"), " ")) - 1, lit(0)).as("n_bigrams"),
+            greatest(size(split(col("text"), " ")) - 1, lit(0)).cast("long")
+              .as("n_bigrams"),
             size(call_function(graft.functions.GraftFunctions.BigramName, col("text")))
-              .as("n_distinct_bigrams"))
+              .cast("long").as("n_distinct_bigrams"))
           .select(
             col("doc_id"),
             col("n_bigrams"),

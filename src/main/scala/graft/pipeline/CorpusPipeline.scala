@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.Tables
+import graft.{Q, Tables}
 import graft.operators.{Decontamination, Dedup, Sampling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -55,7 +55,10 @@ object CorpusPipeline {
     df.filter(toks >= 20 && stops.cast("double") / toks <= 0.25)
   }
 
-  def run(spark: SparkSession, sfDir: String, outDir: String): Report = {
+  private final case class Built(
+      report: Report, clean: DataFrame, persisted: Seq[DataFrame])
+
+  private def build(spark: SparkSession, sfDir: String): Built = {
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val input = docs.count()
@@ -87,8 +90,12 @@ object CorpusPipeline {
 
     val split = Sampling.hashSplit(near, col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val Seq(train, validation, test) = Seq("train", "val", "test")
-      .map(s => split.filter(col("split") === s).count())
+    // one aggregation job for all three tallies, not a pass per split
+    val tallies = split.agg(
+      coalesce(sum(when(col("split") === "train", 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("split") === "val", 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("split") === "test", 1L).otherwise(0L)), lit(0L))).head()
+    val Seq(train, validation, test) = (0 to 2).map(tallies.getLong)
 
     // decontamination: drop test docs sharing any 5-gram with train
     val trainGrams = Decontamination
@@ -101,15 +108,120 @@ object CorpusPipeline {
     val clean = split.join(dirtyTest, Seq("doc_id"), "left_anti")
     val testClean = clean.filter(col("split") === "test").count()
 
-    clean.write.mode("overwrite")
+    Built(
+      Report(input, afterQuality, afterLang, afterExact, afterNear,
+        train, validation, test, testClean),
+      clean,
+      Seq(english, exact, near, split))
+  }
+
+  def run(spark: SparkSession, sfDir: String, outDir: String): Report = {
+    val b = build(spark, sfDir)
+    b.clean.write.mode("overwrite")
       .option("compression", "zstd")
       .partitionBy("split")
       .parquet(outDir)
 
-    Seq(english, exact, near, split).foreach(_.unpersist())
-    Report(input, afterQuality, afterLang, afterExact, afterNear,
-      train, validation, test, testClean)
+    b.persisted.foreach(_.unpersist())
+    // Dedup.clusterFrame persists CacheScope-tracked band/label frames
+    // that outlive this call; all counts and the lake write are done, so
+    // release them here rather than leaking one set per pipeline run.
+    graft.CacheScope.release()
+    b.report
   }
+
+  /** One-row frame of the composed pipeline's [[Report]] accounting —
+    * the oracle-checkable surface of the END-TO-END composition (every
+    * stage is individually oracle-verified; this proves the counts of
+    * the stages chained together). No lake write: the accounting is the
+    * product here.
+    */
+  def accountingFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = build(spark, sfDir)
+    b.persisted.foreach(_.unpersist())
+    graft.CacheScope.release()
+    val r = b.report
+    import spark.implicits._
+    Seq((r.input, r.afterQuality, r.afterLang, r.afterExact, r.afterNear,
+      r.train, r.validation, r.test, r.testClean))
+      .toDF("input", "after_quality", "after_lang", "after_exact",
+        "after_near", "train", "val", "test", "test_clean")
+  }
+
+  /** CP1 oracle: the full composition recomputed in SQL. Quality/lang
+    * filters, windowed exact dedup, the Dedup minhash→banding math
+    * (identical CTEs to dd2/dd6's oracle), near-dedup as true connected
+    * components via a recursive transitive closure over the
+    * bucket-sharing graph (the fixed point clusterFrame iterates to),
+    * the sp1 hash split, and the dc2 gram-overlap check.
+    */
+  private val accountingSql: String = {
+    val splitCase =
+      s"""CASE WHEN ${Sampling.bucketSql("split", "doc_id")} < 80 THEN 'train'
+         |            WHEN ${Sampling.bucketSql("split", "doc_id")} < 90 THEN 'val'
+         |            ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE
+       |qf AS (SELECT doc_id, text, lang,
+       |         len(string_split(text, ' ')) AS toks,
+       |         len(list_filter(string_split(text, ' '),
+       |           t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS stops
+       |       FROM documents),
+       |quality AS (SELECT doc_id, text, lang FROM qf
+       |            WHERE toks >= 20 AND CAST(stops AS DOUBLE) / toks <= 0.25),
+       |en AS (SELECT doc_id, text FROM quality WHERE lang = 'en'),
+       |ex AS (SELECT doc_id, text FROM (
+       |         SELECT doc_id, text,
+       |           min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM en)
+       |       WHERE doc_id = keep),
+       |dtok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM ex),
+       |hp AS (SELECT doc_id,
+       |         CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h1,
+       |         CAST('0x' || substr(md5(token), 9, 8) AS BIGINT) AS h2
+       |       FROM dtok),
+       |mh AS (SELECT doc_id, seed, min((h1 + seed * h2) % 4294967296) AS minhash
+       |       FROM hp CROSS JOIN range(104) t(seed) GROUP BY doc_id, seed),
+       |sigs AS (SELECT doc_id, CAST(seed // 13 AS INT) AS band,
+       |           CAST('0x' || substr(md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)), 1, 15) AS BIGINT) AS sig
+       |         FROM mh GROUP BY doc_id, band),
+       |edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+       |          FROM sigs a JOIN sigs b
+       |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id <> b.doc_id),
+       |reach(doc_id, r) AS (
+       |  SELECT doc_id, doc_id FROM ex
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc_id),
+       |labels AS (SELECT doc_id, min(r) AS rep FROM reach GROUP BY doc_id),
+       |near AS (SELECT ex.doc_id, ex.text FROM ex
+       |         JOIN labels ON ex.doc_id = labels.doc_id
+       |         WHERE ex.doc_id = labels.rep),
+       |sp AS (SELECT doc_id, text, $splitCase AS split FROM near),
+       |wd AS (SELECT doc_id, split, string_split(text, ' ') AS words FROM sp),
+       |gg AS (SELECT doc_id, split,
+       |         unnest(list_distinct(list_transform(
+       |           generate_series(1, len(words) - 4),
+       |           i -> CAST('0x' || substr(md5(array_to_string(words[i:i + 4], ' ')), 1, 8) AS BIGINT)))) AS g
+       |       FROM wd),
+       |tr AS (SELECT DISTINCT g FROM gg WHERE split = 'train'),
+       |te AS (SELECT doc_id, g FROM gg WHERE split = 'test'),
+       |dirty AS (SELECT DISTINCT doc_id FROM te SEMI JOIN tr ON te.g = tr.g)
+       |SELECT
+       |  (SELECT count(*) FROM documents) AS input,
+       |  (SELECT count(*) FROM quality) AS after_quality,
+       |  (SELECT count(*) FROM en) AS after_lang,
+       |  (SELECT count(*) FROM ex) AS after_exact,
+       |  (SELECT count(*) FROM near) AS after_near,
+       |  (SELECT count(*) FROM sp WHERE split = 'train') AS train,
+       |  (SELECT count(*) FROM sp WHERE split = 'val') AS "val",
+       |  (SELECT count(*) FROM sp WHERE split = 'test') AS test,
+       |  (SELECT count(*) FROM sp WHERE split = 'test'
+       |     AND doc_id NOT IN (SELECT doc_id FROM dirty)) AS test_clean""".stripMargin
+  }
+
+  /** Registry entry: the composed pipeline's accounting, driver-verified. */
+  val all: Seq[Q] = Seq(
+    Q("cp1_corpus_accounting",
+      (s, dir) => accountingFrame(s, dir),
+      Some(accountingSql)))
 
   /** CLI: sfDir outDir → one JSON report line. */
   def main(args: Array[String]): Unit = {

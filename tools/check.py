@@ -2,7 +2,19 @@
 """Local stand-in for the driver's correctness gate (NOT part of the shipped
 library). Runs DuckDB on every oracle in outDir/oracle_sql.json against the
 testdata tables, loads the matching Spark parquet result, and compares
-sorted rows/columns exactly.
+sorted rows/columns exactly — INCLUDING result column types.
+
+The driver's hash is type/format-sensitive: a DuckDB HUGEINT (what
+SUM(BIGINT) widens to) against a Spark BIGINT fails the driver even when
+every value is equal. Earlier versions of this script compared through
+pandas DataFrames, which silently coerce HUGEINT -> float64/int64 and
+NULL-bearing int columns -> float64, so that class of mismatch PASSed
+locally while failing the driver (round-3 pv1/wf1). This version:
+  * compares `rel.types` per column (oracle vs the Spark parquet read),
+  * fetches rows via fetchall() (native Python values, no pandas
+    coercion), so a Decimal-vs-float or int-vs-float divergence that the
+    DataFrame path would mask shows up as a type diff.
+This is the local-gate contract: PASS here must predict hash_match=true.
 
 Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
 """
@@ -18,6 +30,23 @@ def norm(v):
     return v
 
 
+def sort_key(row):
+    # None/mixed types aren't mutually comparable; key on (isNone, type, repr)
+    # — deterministic and identical for equal multisets on both sides.
+    return [(v is None, str(type(v)), str(v)) for v in row]
+
+
+def cols_types_rows(rel):
+    """(sorted cols, {col: type-str}, sorted rows projected in sorted-col order)."""
+    cols = list(rel.columns)
+    types = {c: str(t) for c, t in zip(cols, rel.types)}
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = sorted(
+        (tuple(norm(r[i]) for i in order) for r in rel.fetchall()),
+        key=sort_key)
+    return sorted(cols), types, rows
+
+
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -30,18 +59,21 @@ def main():
         if only and name not in only:
             continue
         try:
-            exp = con.sql(sql)
-            ecols = sorted(exp.columns)
-            erows = sorted(map(tuple, exp.df()[ecols].map(norm).itertuples(index=False)))
-            got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'")
-            gcols = sorted(got.columns)
-            grows = sorted(map(tuple, got.df()[gcols].map(norm).itertuples(index=False)))
+            ecols, etypes, erows = cols_types_rows(con.sql(sql))
+            gcols, gtypes, grows = cols_types_rows(
+                con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'"))
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
             continue
+        tdiff = {c: (etypes.get(c), gtypes.get(c))
+                 for c in set(etypes) | set(gtypes)
+                 if etypes.get(c) != gtypes.get(c)}
         if ecols != gcols:
             print(f"FAIL {name}: cols oracle={ecols} spark={gcols}")
+            n_fail += 1
+        elif tdiff:
+            print(f"FAIL {name}: type mismatch (oracle, spark) per col: {tdiff}")
             n_fail += 1
         elif erows != grows:
             diffs = [(a, b) for a, b in zip(erows, grows) if a != b]
