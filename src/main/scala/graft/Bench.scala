@@ -52,8 +52,19 @@ object Bench {
       try run(SparkEntry.queries(name), warmDir) catch { case _: Throwable => () }
     }
 
+    // Machine-load context: a shared box can inflate CPU-saturating
+    // queries up to ~2x run-to-run (round-3's dd3 12.2s->21.3s was load,
+    // not code — it cost a round of comparability to prove). Recording
+    // loadavg start/end plus a second run of the slowest queries lets a
+    // reader separate load artifacts from real regressions in-artifact.
+    def loadavg(): String =
+      try Files.readString(Paths.get("/proc/loadavg")).trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg()
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = names.map { name =>
+    def timed(name: String, dir: String): (String, Double) = {
       // Untimed inter-query cleanup: drop per-query persisted
       // intermediates and force a GC so the ContextCleaner reaps
       // accumulated broadcast/shuffle state — without this, queries late
@@ -61,15 +72,29 @@ object Bench {
       // (observed 5-10x inflation on trivial queries at sweep position 40).
       spark.catalog.clearCache()
       System.gc()
+      // Reset session-global experimental hooks: ev5/rj2 install their
+      // optimizer rule/strategy inside the query fn, and without this
+      // every LATER query (including ev3, the documented built-in-window
+      // baseline ev5 is compared against) silently benches the rewritten
+      // plan. Answers are unaffected (the rules are answer-preserving);
+      // the ev3-vs-ev5 comparison is what this protects.
+      spark.experimental.extraOptimizations = Nil
+      spark.experimental.extraStrategies = Nil
       val t0 = System.nanoTime()
-      try run(SparkEntry.queries(name), sfDir)
+      try run(SparkEntry.queries(name), dir)
       catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(80)
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val results = names.map(timed(_, sfDir))
     val total = results.map(_._2).sum
+    // Second run of the 3 slowest: if run2 << run1 the first number was
+    // load/GC noise, not plan cost. (Cleanup inside timed() keeps caches
+    // from making run2 trivially fast — this re-executes the full plan.)
+    val rerun = results.sortBy(-_._2).take(3).map { case (n, _) => timed(n, sfDir) }
+    val loadEnd = loadavg()
 
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -96,8 +121,11 @@ object Bench {
         if (errors.isEmpty) ""
         else errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
           .mkString(",\"errors\":{", ",", "}")
+      val rerunJson = rerun
+        .map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString(""","rerun":{""", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$othersJson,"sf":"${
-        new java.io.File(sfDir).getName}"$errJson}"""
+        new java.io.File(sfDir).getName}","load":{"start":"$loadStart","end":"$loadEnd"}$rerunJson$errJson}"""
     }
     Files.writeString(Paths.get("BENCH_FULL.json"), line(_.toString, results.size) + "\n")
     println(line(fmt, 40))

@@ -19,6 +19,17 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingDedup {
 
+  /** State-existence probe through Hadoop's FileSystem API, so the state
+    * dir can live on ANY supported filesystem (hdfs://, s3a://, file:)
+    * — a plain java.io.File check silently returns false for non-local
+    * URIs, which would skip the history anti-join every batch and break
+    * the dedup guarantee exactly where it matters.
+    */
+  private def stateExists(spark: SparkSession, stateDir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
   /** Dedup one batch against the state dir; returns the new canonical
     * rows that were appended. Idempotent per unique content.
     */
@@ -28,7 +39,7 @@ object StreamingDedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
     val fresh =
-      if (new java.io.File(stateDir).exists()) {
+      if (stateExists(spark, stateDir)) {
         val seen = spark.read.parquet(stateDir).select("fingerprint")
         fingerprinted.join(seen, Seq("fingerprint"), "left_anti")
       } else fingerprinted
@@ -60,7 +71,7 @@ object StreamingDedup {
     // later state append must not re-evaluate it against updated state
     val sigs = graft.operators.Dedup.bandSignatures(batch).localCheckpoint(true)
     val survivors =
-      if (new java.io.File(stateDir).exists()) {
+      if (stateExists(spark, stateDir)) {
         val seen = spark.read.parquet(stateDir).select("band", "sig")
         val hit = sigs.join(seen, Seq("band", "sig"), "left_semi")
           .select("doc_id").distinct()
