@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * one JSON line with both timings and shuffle volume.
   *
   * Measured at ×256 (5.1M rows, 32 cores, sf0.1):
-  * window 1.34s vs topk 0.61s (2.2×), equal shuffle bytes. Spark ≥ 3.5
-  * already bounds the shuffle itself (InferWindowGroupLimit inserts a
-  * sort-based partial group limit below the exchange), so the bytes
-  * match — the heap stack's win is CPU: it replaces the full
-  * per-partition map-side sort, the post-shuffle sort, and the Window
-  * operator re-ranking pass with O(n log k) heap upkeep and direct rank
-  * emission.
+  * window 1.34s vs topk 0.61s (2.2×), equal shuffle bytes; re-measured
+  * after the memory-bounded rework (evicting partial heaps + streaming
+  * final rank over a spill-capable sort of the reduced rows) at
+  * window 1.17s vs topk 0.63s (1.9× — same band, run-to-run load).
+  * Spark ≥ 3.5 already bounds the shuffle itself (InferWindowGroupLimit
+  * inserts a sort-based partial group limit below the exchange), so the
+  * bytes match — the heap stack's win is CPU: it replaces the full
+  * per-partition map-side sort and the Window operator re-ranking pass
+  * with O(n log k) heap upkeep; the only remaining sort is over the
+  * k-per-key-per-task reduced set.
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
   *     SPARK_GRAFT_TOPK_REPLICATE=256 sbt "runMain graft.plans.TopKBench"

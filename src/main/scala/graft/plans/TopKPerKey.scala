@@ -39,21 +39,42 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *  - [[TopKStrategy]] plans it as PARTIAL per-input-partition bounded
   *    heaps (O(n·log k) upkeep, no sort buffer) → hash exchange on K
   *    (inserted by EnsureRequirements from the final node's required
-  *    distribution) → FINAL per-key heaps + direct rank emission — no
-  *    sorts, no Window operator. Measured 2.2× over the built-in plan at
-  *    5.1M rows / 32 cores with identical shuffle bytes
-  *    ([[TopKBench]]).
+  *    distribution) → FINAL streaming rank over key-sorted input — the
+  *    map-side full sort and the Window operator are gone. Measured
+  *    2.2× over the built-in plan at 5.1M rows / 32 cores with
+  *    identical shuffle bytes ([[TopKBench]]).
   *
-  * Heap state per task is bounded by (keys-in-partition × k) rows — the
-  * same rows the window sort would hold, minus everything it would sort
-  * and discard. Ties rank nondeterministically exactly like
-  * `row_number` (callers add a tiebreak column to O for determinism).
+  * Memory safety at 100 TB — both passes are bounded at ANY key
+  * cardinality:
+  *
+  *  - The PARTIAL heap table is capped at
+  *    `spark.graft.topk.maxHeapKeys` keys (default 1M). On overflow the
+  *    first-seen key's current top-k is EMITTED downstream and its heap
+  *    dropped — correctness-preserving, because any row in the true
+  *    partition top-k for a key beats all but < k rows of the whole
+  *    partition, hence beats all but < k rows of whichever emitted
+  *    chunk contains it: the union of a key's chunk top-k's is a
+  *    superset of the partition top-k. Eviction only costs extra
+  *    shuffled rows (≤ k per chunk), degrading toward what the
+  *    built-in WindowGroupLimit plan always ships.
+  *  - The FINAL pass declares a required child ordering of (K, O), so
+  *    EnsureRequirements plans Spark's spill-capable SortExec over the
+  *    ALREADY-REDUCED shuffle input (≤ k rows per key per map task),
+  *    and rank emission is a streaming group scan with O(1) state —
+  *    no per-key table at all.
+  *
+  * Ties rank nondeterministically exactly like `row_number` (callers
+  * add a tiebreak column to O for determinism).
   *
   * Active via `GraftExtensions` (rule + strategy injection) or
   * [[TopKPerKey.install]] on a live session. `ev5_topk_per_key` is the
   * driver-oracle-checked twin of the window-form `ev3`.
   */
 object TopKPerKey {
+
+  /** Cap on distinct keys held by one partial-pass task (keys × k rows). */
+  val MaxHeapKeysConf = "spark.graft.topk.maxHeapKeys"
+  val MaxHeapKeysDefault = 1 << 20
 
   /** Idempotently activate rule + strategy on an existing session. */
   def install(spark: SparkSession): Unit = synchronized {
@@ -67,48 +88,95 @@ object TopKPerKey {
     }
   }
 
-  /** Bounded-heap top-k of one input partition. Shared by the partial
-    * pass (emitRank = None: reduce to candidates) and the final pass
-    * (emitRank = Some(attr): per-key rank 1..k in heap-sorted order).
+  /** Bounded-heap top-k reduction of one input partition (the partial
+    * pass). The heap table never exceeds `maxKeys` entries: on overflow
+    * the first-seen key's chunk is emitted downstream and dropped (see
+    * the memory-safety contract in the object scaladoc), lazily — an
+    * evicted chunk flows straight to the shuffle writer, it is never
+    * re-buffered here.
     */
-  private[plans] def partitionTopK(
+  private[plans] def partialTopK(
       iter: Iterator[InternalRow],
       part: Seq[Expression],
       order: Seq[SortOrder],
       k: Int,
       inputAttrs: Seq[Attribute],
-      emitRank: Option[Attribute]): Iterator[InternalRow] = {
-    val keyProj = UnsafeProjection.create(part, inputAttrs)
-    val ord = RowOrdering.create(order, inputAttrs)
-    val worstFirst = ord.reverse // heap head = currently worst kept row
-    val heaps =
+      maxKeys: Int): Iterator[InternalRow] = new Iterator[InternalRow] {
+    private val keyProj = UnsafeProjection.create(part, inputAttrs)
+    private val ord = RowOrdering.create(order, inputAttrs)
+    private val worstFirst = ord.reverse // heap head = currently worst kept row
+    private val heaps =
       new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-    while (iter.hasNext) {
-      val row = iter.next()
-      val key = keyProj(row)
-      var q = heaps.get(key)
-      if (q == null) {
-        q = new java.util.PriorityQueue[InternalRow](k + 1, worstFirst)
-        heaps.put(key.copy(), q)
-      }
-      if (q.size < k) q.add(row.copy())
-      else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
-    }
-    emitRank match {
-      case None =>
-        heaps.values().asScala.iterator.flatMap(_.asScala.iterator)
-      case Some(rank) =>
-        val proj = UnsafeProjection.create(inputAttrs :+ rank, inputAttrs :+ rank)
-        val rankRow = new GenericInternalRow(1)
-        val joined = new JoinedRow
-        heaps.values().asScala.iterator.flatMap { q =>
-          val arr = q.toArray(new Array[InternalRow](q.size))
-          java.util.Arrays.sort(arr, ord)
-          arr.iterator.zipWithIndex.map { case (r, i) =>
-            rankRow.update(0, i + 1)
-            proj(joined(r, rankRow))
+    private var pending: Iterator[InternalRow] = Iterator.empty
+    private var drained = false
+
+    private def advance(): Unit =
+      while (!pending.hasNext && !drained) {
+        if (iter.hasNext) {
+          val row = iter.next()
+          val key = keyProj(row)
+          var q = heaps.get(key)
+          if (q == null) {
+            q = new java.util.PriorityQueue[InternalRow](k + 1, worstFirst)
+            heaps.put(key.copy(), q)
+            if (heaps.size() > maxKeys) { // evict first-seen key's chunk
+              val it = heaps.entrySet().iterator()
+              val eldest = it.next()
+              it.remove()
+              pending = eldest.getValue.asScala.iterator
+            }
           }
+          if (q.size < k) q.add(row.copy())
+          else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
+        } else {
+          drained = true
+          pending = heaps.values().asScala.iterator.flatMap(_.asScala.iterator)
         }
+      }
+
+    override def hasNext: Boolean = { advance(); pending.hasNext }
+    override def next(): InternalRow = { advance(); pending.next() }
+  }
+
+  /** Streaming rank emission over (K, O)-sorted input (the final pass):
+    * one group counter, no per-key state — rows of a key arrive
+    * contiguous and best-first, so the first k are ranks 1..k and the
+    * rest are skipped.
+    */
+  private[plans] def streamingRank(
+      iter: Iterator[InternalRow],
+      part: Seq[Expression],
+      order: Seq[SortOrder],
+      k: Int,
+      inputAttrs: Seq[Attribute],
+      rank: Attribute): Iterator[InternalRow] = new Iterator[InternalRow] {
+    private val keyProj = UnsafeProjection.create(part, inputAttrs)
+    private val proj = UnsafeProjection.create(inputAttrs :+ rank, inputAttrs :+ rank)
+    private val rankRow = new GenericInternalRow(1)
+    private val joined = new JoinedRow
+    private var curKey: UnsafeRow = null
+    private var curRank = 0
+    private var nextRow: InternalRow = null
+
+    private def advance(): Unit =
+      while (nextRow == null && iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        if (curKey == null || key != curKey) {
+          curKey = key.copy()
+          curRank = 0
+        }
+        curRank += 1
+        if (curRank <= k) nextRow = row
+      }
+
+    override def hasNext: Boolean = { advance(); nextRow != null }
+    override def next(): InternalRow = {
+      advance()
+      val r = nextRow
+      nextRow = null
+      rankRow.update(0, curRank)
+      proj(joined(r, rankRow))
     }
   }
 }
@@ -200,7 +268,8 @@ object TopKStrategy extends SparkStrategy {
 }
 
 /** Map-side combine: reduce every input partition to ≤ k rows per key
-  * it contains. No distribution requirement — runs where the data is.
+  * chunk it holds. No distribution requirement — runs where the data
+  * is; heap memory capped at `spark.graft.topk.maxHeapKeys` keys.
   */
 case class PartialTopKPerKeyExec(
     part: Seq[Expression],
@@ -211,16 +280,21 @@ case class PartialTopKPerKeyExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
     val (p, o, kk, attrs) = (part, order, k, child.output)
+    val maxKeys = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(TopKPerKey.MaxHeapKeysConf,
+        TopKPerKey.MaxHeapKeysDefault.toString).toInt
     child.execute().mapPartitions(
-      TopKPerKey.partitionTopK(_, p, o, kk, attrs, emitRank = None),
+      TopKPerKey.partialTopK(_, p, o, kk, attrs, maxKeys),
       preservesPartitioning = true)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
 }
 
-/** Per-key merge + rank emission; requires co-location on the keys
-  * (EnsureRequirements inserts the hash exchange above the partial).
+/** Rank emission; requires co-location on the keys (EnsureRequirements
+  * inserts the hash exchange above the partial) and (K, O) ordering
+  * (EnsureRequirements plans a spill-capable SortExec over the reduced
+  * shuffle input), so the scan itself holds O(1) state.
   */
 case class FinalTopKPerKeyExec(
     part: Seq[Expression],
@@ -233,10 +307,13 @@ case class FinalTopKPerKeyExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(part) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    (part.map(SortOrder(_, Ascending)) ++ order) :: Nil
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
   override protected def doExecute(): RDD[InternalRow] = {
     val (p, o, kk, attrs, rank) = (part, order, k, child.output, rankAttr)
     child.execute().mapPartitions(
-      TopKPerKey.partitionTopK(_, p, o, kk, attrs, emitRank = Some(rank)),
+      TopKPerKey.streamingRank(_, p, o, kk, attrs, rank),
       preservesPartitioning = false)
   }
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =

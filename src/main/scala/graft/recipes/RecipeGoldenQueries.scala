@@ -17,20 +17,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object RecipeGoldenQueries {
 
-  private val GoldenDir = "/root/reference/output"
+  /** The harness default: the reference's own CSV exports. */
+  val DefaultGoldenDir = "/root/reference/output"
 
-  private def tables(s: SparkSession): RecipeAnalytics.Tables = Map(
-    "users" -> CsvIO.readTyped(s, s"$GoldenDir/users.csv", Schemas.usersTable),
-    "recipes" -> CsvIO.readTyped(s, s"$GoldenDir/recipe.csv", Schemas.recipesTable),
-    "ingredients" -> CsvIO.readTyped(s, s"$GoldenDir/ingredients.csv", Schemas.ingredientsTable),
-    "steps" -> CsvIO.readTyped(s, s"$GoldenDir/steps.csv", Schemas.stepsTable),
-    "interactions" -> CsvIO.readTyped(s, s"$GoldenDir/interactions.csv", Schemas.interactionsTable))
+  /** Load the five CSV-export tables from ANY directory — the
+    * library-facing entry point: a user points this at their own
+    * `users.csv`/`recipe.csv`/… exports and feeds the result to any
+    * [[RecipeAnalytics]] query. The registry entries below use the
+    * default (the published golden files) so the driver oracle checks
+    * the published numbers.
+    */
+  def tables(s: SparkSession,
+      dir: String = DefaultGoldenDir): RecipeAnalytics.Tables = Map(
+    "users" -> CsvIO.readTyped(s, s"$dir/users.csv", Schemas.usersTable),
+    "recipes" -> CsvIO.readTyped(s, s"$dir/recipe.csv", Schemas.recipesTable),
+    "ingredients" -> CsvIO.readTyped(s, s"$dir/ingredients.csv", Schemas.ingredientsTable),
+    "steps" -> CsvIO.readTyped(s, s"$dir/steps.csv", Schemas.stepsTable),
+    "interactions" -> CsvIO.readTyped(s, s"$dir/interactions.csv", Schemas.interactionsTable))
 
   // DuckDB reads the same files; only the queried columns matter, so
   // auto-inferred types (VARCHAR names/titles, BIGINT prep minutes) align
   // with the Spark schema for every expression used here.
   private def csv(name: String): String =
-    s"read_csv_auto('$GoldenDir/$name.csv', header=true)"
+    s"read_csv_auto('$DefaultGoldenDir/$name.csv', header=true)"
 
   private def q(name: String)(spark: RecipeAnalytics.Tables => DataFrame,
       oracle: String): Q =

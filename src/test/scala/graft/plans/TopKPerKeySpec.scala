@@ -63,6 +63,34 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got === expected(1))
   }
 
+  test("bounded heap table: eviction path is exact at key cardinality >> resident keys") {
+    // 50k distinct keys across 7 partitions with only 16 resident heaps
+    // per task — thousands of evictions per partition; the emitted-chunk
+    // union must still reduce to exactly the window semantics.
+    spark.conf.set(TopKPerKey.MaxHeapKeysConf, "16")
+    try {
+      val n = 200000
+      val df = spark.range(n)
+        .selectExpr("id % 50000 AS key", "(id * 2654435761) % 1000000 AS value", "id")
+        .repartition(7)
+      val w = Window.partitionBy("key").orderBy(desc("value"), asc("id"))
+      val out = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      val plan = planOf(out)
+      assert(plan.contains("PartialTopKPerKey"), plan.take(800))
+      val want = (0L until n)
+        .map(id => (id % 50000, (id * 2654435761L) % 1000000, id))
+        .groupBy(_._1)
+        .flatMap { case (key, rows) =>
+          rows.sortBy(r => (-r._2, r._3)).take(2).zipWithIndex.map {
+            case ((_, v, id), idx) => (key, v, id, idx + 1)
+          }
+        }.toSet
+      val got = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      assert(got === want)
+    } finally spark.conf.unset(TopKPerKey.MaxHeapKeysConf)
+  }
+
   test("multi-window-function filters are not rewritten") {
     val w = Window.partitionBy("key").orderBy(desc("value"), asc("id"))
     val df = planted

@@ -73,4 +73,16 @@ class RecipeAnalyticsSpec extends SparkSpec {
       .map(r => r(0).toString -> r(1).asInstanceOf[Long])
     assert(views === Seq("Easy" -> 9L, "Medium" -> 9L, "Hard" -> 8L))
   }
+
+  test("RecipeGoldenQueries.tables is directory-parametric (user exports)") {
+    // a user's own export directory: same file layout, any location
+    val dir = java.nio.file.Files.createTempDirectory("user-exports")
+    Seq("users", "recipe", "ingredients", "steps", "interactions").foreach { f =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${TestSpark.GoldenDir}/$f.csv"),
+        dir.resolve(s"$f.csv"))
+    }
+    val userTables = RecipeGoldenQueries.tables(spark, dir.toString)
+    assert(rows(RecipeAnalytics.avgPrepTime(userTables)) === Seq(Seq(65.3)))
+  }
 }
