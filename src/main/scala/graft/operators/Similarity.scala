@@ -36,8 +36,15 @@ import org.apache.spark.storage.StorageLevel
   *     ceil(log2(n/targetBucket)) keeps per-bucket occupancy (and so the
   *     per-query candidate volume) bounded as n grows; multi-probe keeps
   *     recall (SimilarityRecallSpec asserts both at 1× and 10× corpus).
-  *     The registry queries pin numPlanes = 8 because their DuckDB
-  *     oracles inline the same 8 planes.
+  *     The registry queries USE the auto-scaled count — the oracle SQL
+  *     recomputes np from count(*) and gates its inlined planes on it,
+  *     so both engines agree at any scale factor.
+  *   - IVF centroids come in two variants behind one cell interface:
+  *     the md5-derived deterministic set (the oracle path — both engines
+  *     recompute it bit-for-bit) and k-means-trained centroids
+  *     ([[trainCentroids]]/[[prepareTrained]]/[[ivfTopKTrained]], the
+  *     production shape — SimilarityRecallSpec measures the recall gain
+  *     on clustered data).
   *
   * Hyperplane coefficients are md5-derived constants computed at plan time
   * and inlined into both the Spark plan and the DuckDB oracle, so both
@@ -50,9 +57,10 @@ import org.apache.spark.storage.StorageLevel
   */
 object Similarity {
 
-  /** Default plane count — what the fixed-size registry queries (and
-    * their inlined DuckDB oracles) use. Library callers with other corpus
-    * sizes should use [[autoNumPlanes]]/[[prepareAuto]] instead.
+  /** Default plane count for direct [[prepare]]/[[annTopK]] calls on
+    * mid-sized vector sets. The registry queries use
+    * [[prepareAuto]]'s count-scaled value instead (as should library
+    * callers with growing corpora).
     */
   private[operators] val NumPlanes = 8
   private val Dims = 64
@@ -65,10 +73,18 @@ object Similarity {
     * instead of scaling linearly with the corpus. Recall degrades only
     * logarithmically: a twin at cosine ≥ 0.99 disagrees with a plane with
     * p ≈ 0.01, so P(Hamming ≤ 1) stays ≥ 0.99 even at 20 planes.
+    *
+    * Computed in INTEGER arithmetic (smallest p with targetBucket·2^p ≥
+    * n) so it agrees with the DuckDB oracle's `ceil(log2(...))` even
+    * when n/targetBucket is an exact power of two, where a float
+    * `log(n)/log(2)` can land an ulp above the integer and ceil one too
+    * high.
     */
-  def autoNumPlanes(n: Long, targetBucket: Int = 16): Int =
-    math.max(4, math.ceil(math.log(math.max(1L, n).toDouble / targetBucket) /
-      math.log(2.0)).toInt)
+  def autoNumPlanes(n: Long, targetBucket: Int = 16): Int = {
+    var p = 4
+    while ((targetBucket.toLong << p) < n && p < 40) p += 1
+    p
+  }
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -83,7 +99,6 @@ object Similarity {
     planeCache.getOrElseUpdate(p, Array.tabulate(Dims) { d =>
       if ((Integer.parseInt(md5hex(s"${p}_$d").substring(0, 4), 16) & 1) == 1) 1 else -1
     })
-  private def planes: Array[Array[Int]] = Array.tabulate(NumPlanes)(plane)
 
   /** embedding as array<double> (cast once, per row). */
   private val embD: Column = col("embedding").cast("array<double>")
@@ -133,12 +148,71 @@ object Similarity {
     array_position(d, array_max(d))
   }
 
+  // ---- trained IVF (k-means centroids behind the same cell interface) ----
+
+  /** Per-centroid score array for ARBITRARY (e.g. k-means-trained)
+    * centroids: e·c − ‖c‖²/2, whose argmax is the EUCLIDEAN-nearest
+    * centroid (‖e−c‖² = ‖e‖² − 2(e·c − ‖c‖²/2)) — the assignment rule
+    * k-means itself optimizes. For the fixed ±1 centroids every ‖c‖² is
+    * equal, which is why the oracle path can use the raw dot.
+    */
+  private def scoresFor(e: Column, cents: Array[Array[Double]]): Column =
+    array(cents.map(c =>
+      dotCols(e, typedlit(c.toSeq)) - lit(c.map(x => x * x).sum / 2.0)): _*)
+
+  private def cellColFor(e: Column, cents: Array[Array[Double]]): Column = {
+    val d = scoresFor(e, cents)
+    array_position(d, array_max(d))
+  }
+
+  private def cellProbesColFor(e: Column, cents: Array[Array[Double]]): Column = {
+    val d = scoresFor(e, cents)
+    val best = array_position(d, array_max(d))
+    val masked = transform(
+      sequence(lit(1), lit(cents.length)),
+      j => when(j.cast("long") === best, lit(Double.MinValue)).otherwise(element_at(d, j)))
+    array(best, array_position(masked, array_max(masked)))
+  }
+
+  /** K-means-trained IVF centroids over any (vec_id, embedding) frame —
+    * the production 100 TB index shape (MLlib's KMeans uses the
+    * distributed k-means|| initializer, so training itself scales; the
+    * fixed md5-derived centroids remain the ORACLE variant because two
+    * engines can recompute them bit-for-bit, which no trained model
+    * guarantees). Deterministic for a fixed seed.
+    */
+  def trainCentroids(raw: DataFrame, k: Int = NumCells,
+      seed: Long = 42L, maxIter: Int = 20): Array[Array[Double]] = {
+    val feats = raw.select(
+      org.apache.spark.ml.functions.array_to_vector(embD).as("features"))
+    new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(feats)
+      .clusterCenters.map(_.toArray)
+  }
+
+  /** [[prepare]] with cells assigned to trained centroids. */
+  def prepareTrained(s: SparkSession, raw: DataFrame,
+      cents: Array[Array[Double]], numPlanes: Int = NumPlanes): DataFrame =
+    prepareImpl(s, raw, numPlanes, cellColFor(embD, cents))
+
+  /** [[ivfTopK]] probing the 2 nearest TRAINED cells; `v` must come from
+    * [[prepareTrained]] with the same centroids.
+    */
+  def ivfTopKTrained(v: DataFrame, cents: Array[Array[Double]],
+      numQueries: Int, topK: Int): DataFrame =
+    ivfImpl(v, numQueries, topK, e => cellProbesColFor(e, cents))
+
   /** Prepare any (vec_id, embedding) frame: cast, norm, LSH bucket —
     * one scan, persisted. Public so callers (and tests) can run the
     * operators over their own vector sets.
     */
   def prepare(s: SparkSession, raw: DataFrame,
-      numPlanes: Int = NumPlanes): DataFrame = {
+      numPlanes: Int = NumPlanes): DataFrame =
+    prepareImpl(s, raw, numPlanes, cellCol(embD))
+
+  private def prepareImpl(s: SparkSession, raw: DataFrame,
+      numPlanes: Int, cell: Column): DataFrame = {
     GraftFunctions.register(s)
     graft.CacheScope.track(
       raw.select(
@@ -146,7 +220,7 @@ object Similarity {
           embD.as("emb"),
           sqrt(dotCols(embD, embD)).as("nrm"),
           bucketColFor(numPlanes).as("bucket"),
-          cellCol(embD).as("cell"))
+          cell.as("cell"))
         .persist(StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -163,10 +237,14 @@ object Similarity {
   }
 
   /** One scan over the testdata `embeddings` table, shared by the
-    * query/candidate sides of every similarity operator in the session.
+    * query/candidate sides of every similarity operator in the session
+    * (identical prepare plans hit one cache entry). Plane count is
+    * AUTO-SCALED to the corpus ([[autoNumPlanes]]) — the oracle SQL
+    * recomputes the same count-derived value, so the registry queries
+    * stay oracle-exact at any scale factor.
     */
-  private def vectors(s: SparkSession, dir: String): DataFrame =
-    prepare(s, Tables(s, dir, "embeddings"))
+  private def vectors(s: SparkSession, dir: String): (DataFrame, Int) =
+    prepareAuto(s, Tables(s, dir, "embeddings"))
 
   /** Exact cosine top-k for the query rows (vec_id < numQueries) over a
     * prepared vector frame — the brute-force baseline.
@@ -189,10 +267,14 @@ object Similarity {
   /** IVF ANN top-k over a prepared vector frame: candidates restricted
     * to the query's 2 nearest centroid cells (nprobe=2).
     */
-  def ivfTopK(v: DataFrame, numQueries: Int, topK: Int): DataFrame = {
+  def ivfTopK(v: DataFrame, numQueries: Int, topK: Int): DataFrame =
+    ivfImpl(v, numQueries, topK, e => cellProbesCol(e))
+
+  private def ivfImpl(v: DataFrame, numQueries: Int, topK: Int,
+      probes: Column => Column): DataFrame = {
     val q = v.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-        col("nrm").as("qnrm"), explode(cellProbesCol(col("emb"))).as("probe"))
+        col("nrm").as("qnrm"), explode(probes(col("emb"))).as("probe"))
     val pairs = v.join(broadcast(q),
         col("cell") === col("probe") && col("vec_id") =!= col("qid"))
       .select(
@@ -250,20 +332,35 @@ object Similarity {
 
   // ---- DuckDB oracle fragments ----
 
-  /** DuckDB: same hyperplane bucket, coefficients inlined as an int list. */
+  /** Planes inlined into the oracle (bounds n at 16·2^16 ≈ 1M vectors —
+    * far above any testdata SF; per-plane terms beyond `np` are gated
+    * off, so the active planes always equal the Spark side's).
+    */
+  private val MaxOraclePlanes = 16
+
+  /** DuckDB: same hyperplane bucket, coefficients inlined as int lists,
+    * each plane gated on the count-derived plane count `np.np` — the
+    * SQL twin of [[bucketColFor]] at [[autoNumPlanes]] planes.
+    */
   private val bucketSql: String =
-    (0 until NumPlanes).map { p =>
-      val coefs = planes(p).mkString("[", ",", "]")
-      s"""(CASE WHEN list_sum(list_transform(generate_series(1,$Dims),
+    (0 until MaxOraclePlanes).map { p =>
+      val coefs = plane(p).mkString("[", ",", "]")
+      s"""(CASE WHEN $p < np.np AND list_sum(list_transform(generate_series(1,$Dims),
          |   i -> CAST(embedding[i] AS DOUBLE) * ($coefs)[i])) > 0
          | THEN ${1L << p} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
 
+  /** np = the oracle's [[autoNumPlanes]]: ceil(log2(n/16)) floored at 4.
+    * (n/16.0 is exact in binary and log2 of an exact power of two is
+    * exact, so the ceil agrees with the Spark side's integer loop.)
+    */
   private val vecBucketSql =
-    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+    s"""np AS (SELECT greatest(4, CAST(ceil(log2(count(*) / 16.0)) AS INT)) AS np FROM embeddings),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
        |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm,
-       |        $bucketSql AS bucket
-       |      FROM embeddings)""".stripMargin
+       |        $bucketSql AS bucket,
+       |        np.np AS np
+       |      FROM embeddings CROSS JOIN np)""".stripMargin
 
   /** v plus the IVF cell (computed from the centroid-dot list). */
   private def vcSql =
@@ -278,9 +375,11 @@ object Similarity {
       s"""list_sum(list_transform(generate_series(1,$Dims), i -> emb[i] * ($coefs)[i]))"""
     }.mkString("[", ",\n   ", "]")
 
+  /** bucket + flip-1-bit probes for the row's own np — the SQL twin of
+    * [[probesCol]] with the auto-scaled plane count.
+    */
   private val probesSql: String =
-    ("bucket" +: (0 until NumPlanes).map(p => s"xor(bucket, ${1L << p})"))
-      .mkString("[", ", ", "]")
+    "([bucket] || list_transform(generate_series(0, np - 1), p -> xor(bucket, (1::BIGINT << p))))"
 
   private val cosSql =
     s"round(list_sum(list_transform(generate_series(1,$Dims), i -> q.emb[i]*c.emb[i])) / (q.nrm*c.nrm), 6)"
@@ -289,7 +388,7 @@ object Similarity {
     // Brute-force cosine top-k (exact baseline, bounded query set).
     Q(
       "ss1_cosine_topk",
-      (s, dir) => bruteTopK(vectors(s, dir), NumQueries, TopK),
+      (s, dir) => bruteTopK(vectors(s, dir)._1, NumQueries, TopK),
       Some(s"""WITH $vecBucketSql,
               |p AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor_id, $cosSql AS score
               |      FROM v q JOIN v c ON c.vec_id <> q.vec_id
@@ -299,17 +398,21 @@ object Similarity {
               |WHERE rn <= $TopK ORDER BY qid, neighbor_id""".stripMargin)
     ),
 
-    // Multi-probe LSH ANN top-k. NOTE on recall: the synthetic embeddings
-    // are isotropic (measured max pairwise cosine ~0.48, mean ~0), so the
-    // exact "neighbors" are barely-correlated vectors and ANY sublinear
-    // index has recall ~ the scanned fraction — measured ~0.13 here at a
-    // 9/256-bucket probe budget, exactly the hyperplane-LSH theoretical
-    // value. On data with real neighbor structure (cosine >= 0.95 twins)
-    // the same operator measures >= 0.9 recall — see
-    // SimilarityRecallSpec's planted-neighbor test.
+    // Multi-probe LSH ANN top-k, plane count auto-scaled to the corpus
+    // (both engines derive it from count(*)). NOTE on recall: the
+    // synthetic embeddings are isotropic (measured max pairwise cosine
+    // ~0.48, mean ~0), so the exact "neighbors" are barely-correlated
+    // vectors and ANY sublinear index has recall ~ the scanned fraction
+    // — (np+1)/2^np of the corpus at the multi-probe budget, exactly the
+    // hyperplane-LSH theoretical value. On data with real neighbor
+    // structure (cosine >= 0.95 twins) the same operator measures >= 0.9
+    // recall — see SimilarityRecallSpec's planted-neighbor test.
     Q(
       "ss2_ann_lsh_topk",
-      (s, dir) => annTopK(vectors(s, dir), NumQueries, TopK),
+      (s, dir) => {
+        val (v, np) = vectors(s, dir)
+        annTopK(v, NumQueries, TopK, np)
+      },
       Some(s"""WITH $vecBucketSql,
               |qp AS (SELECT vec_id, emb, nrm, unnest($probesSql) AS probe
               |       FROM v WHERE vec_id < $NumQueries),
@@ -327,7 +430,7 @@ object Similarity {
     // data the cells align with the clusters and recall approaches 1.
     Q(
       "ss3_ivf_topk",
-      (s, dir) => ivfTopK(vectors(s, dir), NumQueries, TopK),
+      (s, dir) => ivfTopK(vectors(s, dir)._1, NumQueries, TopK),
       Some {
         val minD = "-1.7976931348623157e308"
         s"""WITH $vecBucketSql,
@@ -355,9 +458,9 @@ object Similarity {
     Q(
       "em1_embedding_neardup",
       (s, dir) => {
-        val v = vectors(s, dir)
+        val (v, np) = vectors(s, dir)
         val bp = v.select(col("vec_id").as("bid"), col("emb").as("bemb"),
-          col("nrm").as("bnrm"), explode(probesCol(col("bucket"))).as("probe"))
+          col("nrm").as("bnrm"), explode(probesCol(col("bucket"), np)).as("probe"))
         v.join(bp, col("bucket") === col("probe") && col("vec_id") < col("bid"))
           .select(
             col("vec_id").as("vec_a"),

@@ -59,6 +59,57 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(ivfRecall >= 0.8, s"IVF planted-twin recall $ivfRecall ($ivfHits/$nQueries)")
   }
 
+  /** Trained IVF: on data with CLUSTER structure, k-means centroids
+    * align cells with the clusters, so a query's own cell holds its true
+    * neighbors; the fixed md5-derived centroids cut clusters along
+    * arbitrary hyperplane boundaries and scatter members across cells
+    * beyond the nprobe=2 budget. Same operator, same nprobe — the
+    * centroid quality is the only variable.
+    */
+  test("k-means-trained IVF beats the untrained index at equal nprobe on clustered data") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    val dims = 64
+    val nClusters = 16
+    val perCluster = 25
+    val nQueries = nClusters
+
+    val centers = (0 until nClusters).map(_ => Array.fill(dims)(4.0 * rnd.nextGaussian()))
+    def member(c: Array[Double]): Array[Float] =
+      c.map(x => (x + rnd.nextGaussian()).toFloat)
+    // queries 0..15: one member per cluster; corpus 1000+: the rest
+    val rows =
+      centers.zipWithIndex.map { case (c, i) => (i.toLong, member(c)) } ++
+        centers.zipWithIndex.flatMap { case (c, i) =>
+          (0 until perCluster).map(j => (1000L + i * perCluster + j, member(c)))
+        }
+    val raw = rows.toDF("vec_id", "embedding")
+
+    def recallOf(found: Array[org.apache.spark.sql.Row],
+        truth: Map[Long, Set[Long]]): Double =
+      found.groupBy(_.getLong(0)).map { case (q, rs) =>
+        rs.map(_.getLong(1)).toSet.intersect(truth(q)).size.toDouble / 3
+      }.sum / nQueries
+
+    val v = Similarity.prepare(spark, raw)
+    val truth = Similarity.bruteTopK(v, nQueries, topK = 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val untrained = recallOf(Similarity.ivfTopK(v, nQueries, topK = 3).collect(), truth)
+    v.unpersist()
+
+    val cents = Similarity.trainCentroids(raw)
+    val vT = Similarity.prepareTrained(spark, raw, cents)
+    val trained = recallOf(
+      Similarity.ivfTopKTrained(vT, cents, nQueries, topK = 3).collect(), truth)
+    vT.unpersist()
+
+    info(f"IVF recall@3, nprobe=2: trained $trained%.3f vs untrained $untrained%.3f")
+    assert(trained > untrained,
+      s"trained recall $trained must beat untrained $untrained at nprobe=2")
+    assert(trained >= 0.9, s"trained recall $trained")
+  }
+
   /** Auto-scaled plane count: at 10× the corpus the index must not scan
     * 10× the candidates — autoNumPlanes deepens the bucket space so
     * candidates-per-query stays ~(numPlanes+1)·targetBucket while
