@@ -190,9 +190,20 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val bucketMin = b.join(labels, Seq("doc_id"))
         .groupBy("band", "sig").agg(min("cluster_rep").as("bmin"))
+      val prop = b.join(bucketMin, Seq("band", "sig"))
+        .groupBy("doc_id").agg(min("bmin").as("cluster_rep"))
+      // Pointer jump: follow the rep's OWN label once per round (labels
+      // are monotone, so label(rep) <= rep and stays in the component).
+      // Propagation alone needs O(component diameter) rounds; adding the
+      // jump halves remaining path lengths each round — O(log diameter)
+      // rounds, each round being the expensive thing at 100 TB. Measured
+      // at sf0.1: 5 rounds -> 3 on the same corpus.
       val next = graft.CacheScope.track(
-        b.join(bucketMin, Seq("band", "sig"))
-          .groupBy("doc_id").agg(min("bmin").as("cluster_rep"))
+        prop.as("a")
+          .join(prop.as("b"), col("a.cluster_rep") === col("b.doc_id"))
+          .select(
+            col("a.doc_id"),
+            least(col("a.cluster_rep"), col("b.cluster_rep")).as("cluster_rep"))
           .persist(StorageLevel.MEMORY_AND_DISK))
       val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.cluster_rep") =!= col("o.cluster_rep"))
@@ -201,6 +212,8 @@ object Dedup {
       labels = next
       converged = changed == 0
       iter += 1
+      if (sys.env.get("SPARK_GRAFT_PIPELINE_TIMING").contains("1"))
+        System.err.println(s"[cluster] iter=$iter changed=$changed")
     }
     // The returned frame depends only on the (persisted) final labels, so
     // the band-key cache can go now; the caller owns the labels' cache

@@ -48,27 +48,42 @@ object CorpusPipeline {
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** tx2's keep-predicate: ≥ 20 tokens and ≤ 25% stopwords. */
-  private def qualityKeep(df: DataFrame): DataFrame = {
+  private def qualityPred: org.apache.spark.sql.Column = {
     val sw = Stopwords.map(w => s"'$w'").mkString(", ")
     val toks = size(split(col("text"), " "))
     val stops = expr(s"size(filter(split(text, ' '), t -> t IN ($sw)))")
-    df.filter(toks >= 20 && stops.cast("double") / toks <= 0.25)
+    toks >= 20 && stops.cast("double") / toks <= 0.25
   }
 
   private final case class Built(
       report: Report, clean: DataFrame, persisted: Seq[DataFrame])
 
+  /** Stage wall-clock to stderr when SPARK_GRAFT_PIPELINE_TIMING=1 —
+    * the operational "where did the run go" hook (stderr so the stdout
+    * JSON report stays machine-parseable).
+    */
+  private val timing = sys.env.get("SPARK_GRAFT_PIPELINE_TIMING").contains("1")
+  private def timed[A](stage: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (timing) System.err.println(
+      f"[pipeline] $stage%-12s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
   private def build(spark: SparkSession, sfDir: String): Built = {
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    val input = docs.count()
+    // input and post-quality tallies from ONE scan (conditional count)
+    val inCounts = timed("input+quality")(docs.agg(
+      count(lit(1)),
+      coalesce(sum(when(qualityPred, 1L).otherwise(0L)), lit(0L))).head())
+    val (input, afterQuality) = (inCounts.getLong(0), inCounts.getLong(1))
 
-    val quality = qualityKeep(docs)
-    val afterQuality = quality.count()
-
+    val quality = docs.filter(qualityPred)
     val english = quality.filter(col("lang") === "en")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterLang = english.count()
+    val afterLang = timed("lang")(english.count())
 
     // exact dedup: one row per content fingerprint, smallest id canonical
     val exact = english
@@ -78,26 +93,30 @@ object CorpusPipeline {
       .filter(col("doc_id") === col("keep_id"))
       .drop("fp", "keep_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterExact = exact.count()
+    val afterExact = timed("exact")(exact.count())
 
     // near-dedup: fixed-point LSH clustering over the SURVIVING frame,
     // keep each cluster's canonical representative
-    val reps = Dedup.clusterFrame(exact)
+    val reps = timed("cluster")(Dedup.clusterFrame(exact))
       .filter(col("is_canonical")).select("doc_id")
     val near = exact.join(reps, Seq("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterNear = near.count()
+    val afterNear = timed("near")(near.count())
 
     val split = Sampling.hashSplit(near, col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // one aggregation job for all three tallies, not a pass per split
-    val tallies = split.agg(
+    val tallies = timed("tallies")(split.agg(
       coalesce(sum(when(col("split") === "train", 1L).otherwise(0L)), lit(0L)),
       coalesce(sum(when(col("split") === "val", 1L).otherwise(0L)), lit(0L)),
-      coalesce(sum(when(col("split") === "test", 1L).otherwise(0L)), lit(0L))).head()
+      coalesce(sum(when(col("split") === "test", 1L).otherwise(0L)), lit(0L))).head())
     val Seq(train, validation, test) = (0 to 2).map(tallies.getLong)
 
-    // decontamination: drop test docs sharing any 5-gram with train
+    // decontamination: drop test docs sharing any 5-gram with train.
+    // testClean is derived from the DIRTY count (test − contaminated):
+    // counting the small dirty set directly skips a whole anti-join pass
+    // over the corpus; the anti-join itself runs once, inside the lake
+    // write that publishes `clean`.
     val trainGrams = Decontamination
       .gramsOf(split.filter(col("split") === "train").select("doc_id", "text"))
       .select("g").distinct()
@@ -106,7 +125,7 @@ object CorpusPipeline {
       .join(trainGrams, Seq("g"), "left_semi")
       .select("doc_id").distinct()
     val clean = split.join(dirtyTest, Seq("doc_id"), "left_anti")
-    val testClean = clean.filter(col("split") === "test").count()
+    val testClean = test - timed("decontam")(dirtyTest.count())
 
     Built(
       Report(input, afterQuality, afterLang, afterExact, afterNear,
