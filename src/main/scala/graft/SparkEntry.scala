@@ -20,6 +20,7 @@ object SparkEntry {
       operators.ScaleTechniques.all ++
       operators.Sampling.all ++
       operators.Decontamination.all ++
+      operators.Packing.all ++
       pipeline.CorpusPipeline.all ++
       recipes.Seed.all ++
       recipes.RecipeStarQueries.all ++
