@@ -48,6 +48,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NgramMd5Hashes(children(0), n)
       }))
     ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.TokenStatsName),
+      new ExpressionInfo(classOf[TokenStats].getName, null,
+        GraftFunctions.TokenStatsName,
+        "_FUNC_(text, stopwords) - struct(n_tokens, n_stop) in one byte pass", ""),
+      (children: Seq[Expression]) => {
+        val stops = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              data: org.apache.spark.sql.catalyst.util.ArrayData, _) =>
+            data.toObjectArray(org.apache.spark.sql.types.StringType)
+              .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+          case other =>
+            throw new IllegalArgumentException(s"stopwords must be a literal array, got $other")
+        }
+        TokenStats(children(0), stops)
+      }))
+    ext.injectFunction((
       FunctionIdentifier(GraftFunctions.RollingHashName),
       new ExpressionInfo(classOf[RollingHashWindows].getName, null,
         GraftFunctions.RollingHashName, "_FUNC_(text, k, b, m) - Rabin-Karp window hashes", ""),

@@ -42,8 +42,20 @@ object GraftFunctions {
   /** sorted distinct md5 word n-gram hashes of a space-separated string. */
   val NgramName = "graft_ngram_hashes"
 
+  /** struct(n_tokens, n_stop) of a space-separated string, one byte pass. */
+  val TokenStatsName = "graft_token_stats"
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(getClass.getName, null, name, usage, "")
+
+  /** Extract a literal array<string> argument (typedlit / SQL array()). */
+  private def stringArrayLiteral(e: Expression): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(data: ArrayData, _) =>
+      data.toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+    case other =>
+      throw new IllegalArgumentException(s"stopwords must be a literal array, got $other")
+  }
 
   /** Idempotently register the functions in this session's registry
     * (per-function guards: a session built with GraftExtensions may
@@ -77,6 +89,9 @@ object GraftFunctions {
         }
         NgramMd5Hashes(children(0), n)
       })
+    ensure(TokenStatsName,
+      "_FUNC_(text, stopwords) - struct(n_tokens, n_stop) in one byte pass")(
+      children => TokenStats(children(0), stringArrayLiteral(children(1))))
     ensure(BottomKName, "_FUNC_(col, k) - k smallest distinct longs (KMV sketch)")(
       children => {
         val k = children(1) match {

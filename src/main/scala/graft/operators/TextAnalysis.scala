@@ -54,15 +54,24 @@ object TextAnalysis {
     ),
 
     // Quality scoring: stopword ratio + length heuristics → {low,medium,high}.
+    // Token+stopword tallies come from the native TokenStats expression
+    // (one codegen'd byte pass; the size(split)+size(filter(...)) chain
+    // it replaces materialized the token array twice and ran the
+    // membership lambda interpreted — the wrong shape for a predicate
+    // that reads every byte of the corpus).
     Q(
       "tx2_quality_score",
-      (s, dir) =>
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         Tables(s, dir, "documents")
           .select(
             col("doc_id"),
-            size(split(col("text"), " ")).as("n_tokens"),
-            expr(s"size(filter(split(text, ' '), t -> t IN ($stopwordSqlList)))")
-              .as("n_stop"))
+            call_function(graft.functions.GraftFunctions.TokenStatsName,
+              col("text"), typedlit(Stopwords)).as("ts"))
+          .select(
+            col("doc_id"),
+            col("ts.n_tokens").as("n_tokens"),
+            col("ts.n_stop").as("n_stop"))
           .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
           .withColumn(
             "quality",
@@ -70,7 +79,8 @@ object TextAnalysis {
               .when(col("stop_ratio") > 0.25, "low")
               .when(col("n_tokens") > 60, "high")
               .otherwise("medium"))
-          .orderBy("doc_id"),
+          .orderBy("doc_id")
+      },
       Some(s"""SELECT doc_id, n_tokens, n_stop,
               |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
               |  CASE WHEN n_tokens < 20 THEN 'low'
@@ -88,16 +98,18 @@ object TextAnalysis {
     // (A real n-gram model plugs into the same per-row shape.)
     Q(
       "tx3_lang_id",
-      (s, dir) =>
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         Tables(s, dir, "documents")
           .select(
             col("doc_id"),
             col("lang"),
-            expr(s"size(filter(split(text, ' '), t -> t IN ($stopwordSqlList)))")
-              .as("en_hits"))
+            call_function(graft.functions.GraftFunctions.TokenStatsName,
+              col("text"), typedlit(Stopwords)).getField("n_stop").as("en_hits"))
           .withColumn("predicted", when(col("en_hits") >= 3, "en").otherwise("unk"))
           .withColumn("agrees", col("predicted") === col("lang"))
-          .orderBy("doc_id"),
+          .orderBy("doc_id")
+      },
       Some(s"""SELECT doc_id, lang, en_hits,
               |  CASE WHEN en_hits >= 3 THEN 'en' ELSE 'unk' END AS predicted,
               |  (CASE WHEN en_hits >= 3 THEN 'en' ELSE 'unk' END) = lang AS agrees

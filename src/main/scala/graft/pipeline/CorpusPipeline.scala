@@ -47,12 +47,16 @@ object CorpusPipeline {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  /** tx2's keep-predicate: ≥ 20 tokens and ≤ 25% stopwords. */
+  /** tx2's keep-predicate: ≥ 20 tokens and ≤ 25% stopwords — via the
+    * native TokenStats expression (one codegen'd byte pass; this
+    * predicate reads every byte of the corpus, so it must not run an
+    * interpreted per-token lambda).
+    */
   private def qualityPred: org.apache.spark.sql.Column = {
-    val sw = Stopwords.map(w => s"'$w'").mkString(", ")
-    val toks = size(split(col("text"), " "))
-    val stops = expr(s"size(filter(split(text, ' '), t -> t IN ($sw)))")
-    toks >= 20 && stops.cast("double") / toks <= 0.25
+    val ts = call_function(graft.functions.GraftFunctions.TokenStatsName,
+      col("text"), typedlit(Stopwords))
+    ts.getField("n_tokens") >= 20 &&
+      ts.getField("n_stop").cast("double") / ts.getField("n_tokens") <= 0.25
   }
 
   private final case class Built(
@@ -72,6 +76,7 @@ object CorpusPipeline {
   }
 
   private def build(spark: SparkSession, sfDir: String): Built = {
+    graft.functions.GraftFunctions.register(spark) // qualityPred's TokenStats
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     // input and post-quality tallies from ONE scan (conditional count)
