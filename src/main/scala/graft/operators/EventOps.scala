@@ -134,6 +134,57 @@ object EventOps {
           .orderBy("event_id"),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
              |FROM events ORDER BY event_id""".stripMargin)
+    ),
+
+    // EV6: conversion funnel — per user, the first view and the first
+    // purchase AT OR AFTER it (sequential pattern matching, the
+    // product-analytics staple). Shape: ONE window pass per user carries
+    // a seen-view flag forward, then one aggregation derives both funnel
+    // stages — a single shuffle on user_id, no self-join of the event
+    // log against itself (the naive `purchases JOIN views ON ts >=`
+    // form is quadratic per user). Timestamps stay integer micros so
+    // the compare is exact; (user_id, ts) is unique in this corpus
+    // (aj1's documented property), so the seen-view ordering is total.
+    Q(
+      "ev6_funnel",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("us")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("seen_view",
+            max(when(col("event_type") === "view", 1).otherwise(0)).over(w))
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", col("us"))).as("first_view_us"),
+            min(when(col("event_type") === "purchase" && col("seen_view") === 1,
+              col("us"))).as("conv_us"))
+          .filter(col("first_view_us").isNotNull)
+          .select(
+            col("user_id"),
+            col("first_view_us"),
+            col("conv_us"),
+            col("conv_us").isNotNull.as("converted"),
+            expr("(conv_us - first_view_us) DIV 1000000").as("secs_to_convert"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+             |          FROM events WHERE event_type IN ('view', 'purchase')),
+             |f AS (SELECT user_id, event_type, us,
+             |        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |          OVER (PARTITION BY user_id ORDER BY us
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_view
+             |      FROM e),
+             |g AS (SELECT user_id,
+             |        min(CASE WHEN event_type = 'view' THEN us END) AS first_view_us,
+             |        min(CASE WHEN event_type = 'purchase' AND seen_view = 1 THEN us END) AS conv_us
+             |      FROM f GROUP BY user_id)
+             |SELECT user_id, first_view_us, conv_us,
+             |  conv_us IS NOT NULL AS converted,
+             |  (conv_us - first_view_us) // 1000000 AS secs_to_convert
+             |FROM g WHERE first_view_us IS NOT NULL ORDER BY user_id""".stripMargin)
     )
   )
 }

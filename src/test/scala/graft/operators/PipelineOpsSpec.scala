@@ -111,4 +111,20 @@ class PipelineOpsSpec extends SparkSpec {
       assert(p25 >= 1.0 && p75 <= 50.0)
     }
   }
+
+  test("ev6: conversions are at-or-after the first view; flags consistent") {
+    val rows = graft.SparkEntry.queries("ev6_funnel")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val converted = r.getAs[Boolean]("converted")
+      assert(converted === !r.isNullAt(r.fieldIndex("conv_us")))
+      if (converted) {
+        assert(r.getAs[Long]("conv_us") >= r.getAs[Long]("first_view_us"))
+        assert(r.getAs[Long]("secs_to_convert") >= 0L)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("secs_to_convert")))
+      }
+    }
+    assert(rows.exists(_.getAs[Boolean]("converted")))
+  }
 }
