@@ -179,46 +179,54 @@ object Dedup {
     clusterBands(bandSignatures(docs), maxIter)
 
   private def clusterBands(bands: DataFrame, maxIter: Int): DataFrame = {
-    val b = bands.persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = graft.CacheScope.track(
-      b.groupBy("band", "sig").agg(min("doc_id").as("bmin"))
-        .join(b, Seq("band", "sig"))
-        .groupBy("doc_id").agg(min("bmin").as("cluster_rep"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    // Eager localCheckpoint: band signatures are computed ONCE and —
+    // critically — the logical plan is SEVERED. An iterative fixed point
+    // must truncate lineage every round: the self-joins below duplicate
+    // the upstream subtree, so with plain persist the analyzed plan
+    // grows geometrically per iteration and every later action (in the
+    // loop AND downstream of the returned labels) pays
+    // analysis/canonicalization time on the whole history — measured as
+    // a 20× blowup of the corpus pipeline's post-cluster stages at
+    // sf0.1 before severing. (At cluster scale use reliable
+    // checkpoint() for fault tolerance; localCheckpoint trades
+    // executor-loss recomputability for zero external storage.)
+    val b = bands.localCheckpoint(true)
+    // Pointer jump: follow the rep's OWN label once per round (labels
+    // are monotone, so label(rep) <= rep and stays in the component).
+    // Propagation alone needs O(component diameter) rounds; adding the
+    // jump halves remaining path lengths each round — O(log diameter)
+    // rounds, each round being the expensive thing at 100 TB.
+    def jump(prop: DataFrame): DataFrame =
+      prop.as("a")
+        .join(prop.as("b"), col("a.cluster_rep") === col("b.doc_id"))
+        .select(
+          col("a.doc_id"),
+          least(col("a.cluster_rep"), col("b.cluster_rep")).as("cluster_rep"))
+    var labels =
+      jump(
+        b.groupBy("band", "sig").agg(min("doc_id").as("bmin"))
+          .join(b, Seq("band", "sig"))
+          .groupBy("doc_id").agg(min("bmin").as("cluster_rep")))
+        .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val bucketMin = b.join(labels, Seq("doc_id"))
+      val prop = b.join(labels, Seq("doc_id"))
         .groupBy("band", "sig").agg(min("cluster_rep").as("bmin"))
-      val prop = b.join(bucketMin, Seq("band", "sig"))
+        .join(b, Seq("band", "sig"))
         .groupBy("doc_id").agg(min("bmin").as("cluster_rep"))
-      // Pointer jump: follow the rep's OWN label once per round (labels
-      // are monotone, so label(rep) <= rep and stays in the component).
-      // Propagation alone needs O(component diameter) rounds; adding the
-      // jump halves remaining path lengths each round — O(log diameter)
-      // rounds, each round being the expensive thing at 100 TB. Measured
-      // at sf0.1: 5 rounds -> 3 on the same corpus.
-      val next = graft.CacheScope.track(
-        prop.as("a")
-          .join(prop.as("b"), col("a.cluster_rep") === col("b.doc_id"))
-          .select(
-            col("a.doc_id"),
-            least(col("a.cluster_rep"), col("b.cluster_rep")).as("cluster_rep"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+      val next = jump(prop).localCheckpoint(true) // sever this round
       val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.cluster_rep") =!= col("o.cluster_rep"))
         .count()
-      labels.unpersist()
-      labels = next
+      labels = next // superseded checkpoint blocks are GC-reaped
       converged = changed == 0
       iter += 1
       if (sys.env.get("SPARK_GRAFT_PIPELINE_TIMING").contains("1"))
         System.err.println(s"[cluster] iter=$iter changed=$changed")
     }
-    // The returned frame depends only on the (persisted) final labels, so
-    // the band-key cache can go now; the caller owns the labels' cache
-    // lifetime (materialize-and-unpersist, or clearCache at query end).
-    b.unpersist()
+    // Returned frame is a shallow projection of the checkpointed labels,
+    // so downstream plans never see the iteration history at all.
     labels.select(
       col("doc_id"),
       col("cluster_rep"),

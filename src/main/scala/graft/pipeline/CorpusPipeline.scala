@@ -79,16 +79,21 @@ object CorpusPipeline {
     graft.functions.GraftFunctions.register(spark) // qualityPred's TokenStats
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    // input and post-quality tallies from ONE scan (conditional count)
-    val inCounts = timed("input+quality")(docs.agg(
+    // Action discipline: the pipeline's cost at small-to-mid SF is bound
+    // by the NUMBER of Spark actions, not data volume (profiled — see
+    // BENCH_NOTES). input/quality/lang tallies come from ONE scan;
+    // after-near comes from the split tallies; only frames with ≥ 2
+    // consumers are persisted (exact: clustering + the rejoin; split:
+    // tallies + gram sides + lake write).
+    val inCounts = timed("counts")(docs.agg(
       count(lit(1)),
-      coalesce(sum(when(qualityPred, 1L).otherwise(0L)), lit(0L))).head())
-    val (input, afterQuality) = (inCounts.getLong(0), inCounts.getLong(1))
+      coalesce(sum(when(qualityPred, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(qualityPred && col("lang") === "en", 1L).otherwise(0L)),
+        lit(0L))).head())
+    val (input, afterQuality, afterLang) =
+      (inCounts.getLong(0), inCounts.getLong(1), inCounts.getLong(2))
 
-    val quality = docs.filter(qualityPred)
-    val english = quality.filter(col("lang") === "en")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterLang = timed("lang")(english.count())
+    val english = docs.filter(qualityPred && col("lang") === "en")
 
     // exact dedup: one row per content fingerprint, smallest id canonical
     val exact = english
@@ -105,8 +110,6 @@ object CorpusPipeline {
     val reps = timed("cluster")(Dedup.clusterFrame(exact))
       .filter(col("is_canonical")).select("doc_id")
     val near = exact.join(reps, Seq("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterNear = timed("near")(near.count())
 
     val split = Sampling.hashSplit(near, col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -116,6 +119,7 @@ object CorpusPipeline {
       coalesce(sum(when(col("split") === "val", 1L).otherwise(0L)), lit(0L)),
       coalesce(sum(when(col("split") === "test", 1L).otherwise(0L)), lit(0L))).head())
     val Seq(train, validation, test) = (0 to 2).map(tallies.getLong)
+    val afterNear = train + validation + test
 
     // decontamination: drop test docs sharing any 5-gram with train.
     // testClean is derived from the DIRTY count (test − contaminated):
@@ -136,7 +140,7 @@ object CorpusPipeline {
       Report(input, afterQuality, afterLang, afterExact, afterNear,
         train, validation, test, testClean),
       clean,
-      Seq(english, exact, near, split))
+      Seq(exact, split))
   }
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Report = {
