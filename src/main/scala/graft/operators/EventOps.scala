@@ -185,6 +185,38 @@ object EventOps {
              |  conv_us IS NOT NULL AS converted,
              |  (conv_us - first_view_us) // 1000000 AS secs_to_convert
              |FROM g WHERE first_view_us IS NOT NULL ORDER BY user_id""".stripMargin)
+    ),
+
+    // EV7: cohort retention — users bucketed by first-activity week,
+    // counted distinct in each subsequent week (the retention matrix
+    // behind every engagement dashboard). One window pass assigns the
+    // cohort, one distinct-aggregation builds the matrix: two shuffles
+    // total (user_id, then the (cohort, offset) key with partial
+    // distinct), never a per-week self-join. Week offsets are integer
+    // micro arithmetic on UTC week boundaries — exact in both engines.
+    Q(
+      "ev7_cohort_retention",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id")
+        Tables(s, dir, "events")
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .withColumn("cohort_week", min("wk").over(byUser))
+          .groupBy(
+            col("cohort_week"),
+            expr("(unix_micros(wk) - unix_micros(cohort_week)) DIV 604800000000")
+              .as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      // DuckDB's date_trunc('week') yields DATE (hour yields TIMESTAMP);
+      // cast to TIMESTAMP to match Spark — caught by the type-sensitive
+      // local gate before it could become a driver hash miss.
+      Some("""WITH e AS (SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
+             |f AS (SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_week FROM e)
+             |SELECT cohort_week,
+             |  (epoch_us(wk) - epoch_us(cohort_week)) // 604800000000 AS week_offset,
+             |  count(DISTINCT user_id) AS active_users
+             |FROM f GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)
     )
   )
 }
