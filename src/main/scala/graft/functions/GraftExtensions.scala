@@ -64,6 +64,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TokenStats(children(0), stops)
       }))
     ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.MinhashName),
+      new ExpressionInfo(classOf[MinhashSigs].getName, null,
+        GraftFunctions.MinhashName,
+        "_FUNC_(text, k) - k-wide minhash signature array", ""),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(s"k must be a literal, got $other")
+        }
+        MinhashSigs(children(0), k)
+      }))
+    ext.injectFunction((
       FunctionIdentifier(GraftFunctions.RollingHashName),
       new ExpressionInfo(classOf[RollingHashWindows].getName, null,
         GraftFunctions.RollingHashName, "_FUNC_(text, k, b, m) - Rabin-Karp window hashes", ""),

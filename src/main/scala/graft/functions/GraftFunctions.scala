@@ -45,6 +45,9 @@ object GraftFunctions {
   /** struct(n_tokens, n_stop) of a space-separated string, one byte pass. */
   val TokenStatsName = "graft_token_stats"
 
+  /** k-wide minhash signature array of a space-separated string. */
+  val MinhashName = "graft_minhash_sigs"
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(getClass.getName, null, name, usage, "")
 
@@ -92,6 +95,14 @@ object GraftFunctions {
     ensure(TokenStatsName,
       "_FUNC_(text, stopwords) - struct(n_tokens, n_stop) in one byte pass")(
       children => TokenStats(children(0), stringArrayLiteral(children(1))))
+    ensure(MinhashName, "_FUNC_(text, k) - k-wide minhash signature array")(
+      children => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(s"k must be a literal, got $other")
+        }
+        MinhashSigs(children(0), k)
+      })
     ensure(BottomKName, "_FUNC_(col, k) - k smallest distinct longs (KMV sketch)")(
       children => {
         val k = children(1) match {

@@ -77,10 +77,10 @@ object Dedup {
           conv(substring(md5(t), 1, 8), 16, 10).cast("long").as("h1"),
           conv(substring(md5(t), 9, 8), 16, 10).cast("long").as("h2")))
 
-  /** Cached (doc_id, hp: array<struct<h1,h2>>): the digest work happens
-    * once and is shared by the signature pipeline and the verification
-    * token tables (dd4/dd7 derive their sorted hashed-token arrays from
-    * this cache instead of re-hashing the corpus).
+  /** Cached (doc_id, hp: array<struct<h1,h2>>) for the VERIFICATION
+    * token tables (dd4 derives its sorted hashed-token arrays from this
+    * cache; the signature path computes its own hashes inside the
+    * native MinhashSigs expression).
     */
   private def hashedTokens(s: SparkSession, dir: String): DataFrame =
     graft.CacheScope.track(
@@ -88,37 +88,30 @@ object Dedup {
         .select(col("doc_id"), hashPairsCol.as("hp"))
         .persist(StorageLevel.MEMORY_AND_DISK))
 
-  /** Cached (doc_id, sig: array<long>) minhash signatures:
-    * sig(i) = min over tokens of (h1 + i*h2) mod 2^32.
-    *
-    * Formulated as explode(token)×explode(seed) → codegen'd partial MIN
-    * aggregation → per-doc array reassembly. The per-row higher-order
-    * form (transform over seeds × transform over tokens) runs
-    * interpreted AND — worse — projection collapse re-inlines the md5
-    * token hashing into all NumHashes lambda bodies unless a
-    * materialization barrier sits between them (measured 22s vs 3s at
-    * sf0.1). The explode form needs no barrier: the hash columns are
-    * bound attributes below the aggregation, and map-side partials keep
-    * the shuffle at docs×NumHashes rows regardless of token count.
+  /** (doc_id, sig: array<long>) minhash signatures:
+    * sig(i) = min over tokens of (h1 + i*h2) mod 2^32, computed by the
+    * native one-pass [[graft.functions.MinhashSigs]] expression — a
+    * per-row PROJECTION, so the signature table involves no exchange at
+    * all (the banding join downstream is the only shuffle in the
+    * near-dup path). Earlier rounds used an explode(token)×explode(seed)
+    * → partial-MIN aggregation: map-side combine bounded that shuffle at
+    * docs×NumHashes rows, but per-row native computation removes it
+    * entirely — dd2 measured 3.4s → 1.0s at sf0.1, dd6 3.0s → 1.7s.
+    * (The interpreted higher-order form predating both was 22s vs 3s —
+    * see r2 notes; duplicates need no dedup pass: they cannot change a
+    * min.)
     */
-  /** (doc_id, sig: array<long>) from a (doc_id, hp) hashed-token frame. */
-  private def sigArrayOf(ht: DataFrame): DataFrame =
-    ht.select(col("doc_id"), explode(col("hp")).as("p"))
-      .select(
-        col("doc_id"),
-        col("p.h1").as("h1"),
-        col("p.h2").as("h2"),
-        explode(sequence(lit(0), lit(NumHashes - 1))).as("seed"))
-      .groupBy("doc_id", "seed")
-      .agg(min(pmod(col("h1") + col("seed").cast("long") * col("h2"), lit(Mod))).as("mh"))
-      .groupBy("doc_id")
-      .agg(transform(
-        sort_array(collect_list(struct(col("seed"), col("mh")))),
-        x => x.getField("mh")).as("sig"))
+  private def sigArrayOf(docsDf: DataFrame): DataFrame = {
+    GraftFunctions.register(docsDf.sparkSession)
+    docsDf.select(
+      col("doc_id"),
+      call_function(GraftFunctions.MinhashName, col("text"), lit(NumHashes))
+        .as("sig"))
+  }
 
   private def signatures(s: SparkSession, dir: String): DataFrame =
     graft.CacheScope.track(
-      sigArrayOf(hashedTokens(s, dir)).persist(StorageLevel.MEMORY_AND_DISK))
+      sigArrayOf(docs(s, dir)).persist(StorageLevel.MEMORY_AND_DISK))
 
   /** (doc_id, band, sig) banding of a signature-array frame — the LSH
     * bucket id is a 60-bit hash of the ","-joined band slice, so the
@@ -152,7 +145,7 @@ object Dedup {
     * signature collides, P = 1-(1-J^13)^8).
     */
   private[graft] def bandSignatures(docsDf: DataFrame): DataFrame =
-    bandingOf(sigArrayOf(docsDf.select(col("doc_id"), hashPairsCol.as("hp"))))
+    bandingOf(sigArrayOf(docsDf.select(col("doc_id"), col("text"))))
 
   /** Iterate min-label propagation THROUGH the LSH buckets to a fixed
     * point: connected components over the bucket-sharing graph, the full
