@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** MinhashSigs must be bit-identical to the composable chain it
+  * replaced: sig(i) = min over tokens of
+  * pmod(h1 + i*h2, 2^32), where (h1, h2) are
+  * conv(substring(md5(token), 1|9, 8), 16, 10) — including empty
+  * tokens from repeated/trailing spaces, single-token and empty
+  * strings, duplicate tokens (min-invariant), and non-ASCII bytes.
+  */
+class MinhashSigsSpec extends SparkSpec {
+
+  private val cases = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b",
+    "oneword",
+    "",
+    "trailing space ",
+    " leading",
+    "double  space",
+    "rep rep rep rep", // duplicates cannot change a min
+    "naïve café déjà vu", // multi-byte UTF-8
+    "x "
+  )
+
+  test("native minhash signatures == interpreted md5 chain") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val k = 16
+    val words = split(col("text"), " ")
+    val hp = transform(words, t => struct(
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(t), 9, 8), 16, 10).cast("long").as("h2")))
+    val ref = transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hp,
+        p => pmod(p.getField("h1") + i.cast("long") * p.getField("h2"),
+          lit(4294967296L)))))
+    val rows = cases.toDF("text")
+      .select(
+        call_function(GraftFunctions.MinhashName, col("text"), lit(k)).as("native"),
+        ref.as("reference"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+    assert(rows.length === cases.length)
+  }
+}
