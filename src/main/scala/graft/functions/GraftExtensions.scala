@@ -64,6 +64,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TokenStats(children(0), stops)
       }))
     ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.AgreeName),
+      new ExpressionInfo(classOf[PositionalAgreeCount].getName, null,
+        GraftFunctions.AgreeName,
+        "_FUNC_(a, b) - positions where two long arrays agree", ""),
+      (children: Seq[Expression]) => PositionalAgreeCount(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier(GraftFunctions.MinhashName),
       new ExpressionInfo(classOf[MinhashSigs].getName, null,
         GraftFunctions.MinhashName,

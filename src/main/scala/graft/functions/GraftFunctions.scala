@@ -48,6 +48,9 @@ object GraftFunctions {
   /** k-wide minhash signature array of a space-separated string. */
   val MinhashName = "graft_minhash_sigs"
 
+  /** # positions where two equal-length long arrays agree. */
+  val AgreeName = "graft_positional_agree_count"
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(getClass.getName, null, name, usage, "")
 
@@ -95,6 +98,8 @@ object GraftFunctions {
     ensure(TokenStatsName,
       "_FUNC_(text, stopwords) - struct(n_tokens, n_stop) in one byte pass")(
       children => TokenStats(children(0), stringArrayLiteral(children(1))))
+    ensure(AgreeName, "_FUNC_(a, b) - positions where two long arrays agree")(
+      children => PositionalAgreeCount(children(0), children(1)))
     ensure(MinhashName, "_FUNC_(text, k) - k-wide minhash signature array")(
       children => {
         val k = children(1) match {
@@ -146,6 +151,53 @@ case class DotProductDouble(left: Expression, right: Expression)
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** # positions i where a(i) == b(i) over two long arrays (zipped to the
+  * shorter length) — the MinHash signature-agreement counter (dd8). The
+  * zip_with + aggregate higher-order form runs interpreted at
+  * ~1µs/element, which dominates the estimator's cost at millions of
+  * candidate pairs; this is the same primitive loop inside whole-stage
+  * codegen.
+  */
+case class PositionalAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must be array<long>; callers in graft.operators guarantee it
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = GraftFunctions.AgreeName
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $cnt++;
+         |}
+         |${ev.value} = $cnt;
        """.stripMargin
     })
 

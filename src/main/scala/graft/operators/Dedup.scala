@@ -470,6 +470,45 @@ object Dedup {
               |      (len(ba.bg) + len(bb.bg) - len(list_intersect(ba.bg, bb.bg))) AS ngram_jaccard
               |  FROM cand JOIN bg ba ON doc_a = ba.doc_id JOIN bg bb ON doc_b = bb.doc_id)
               |WHERE ngram_jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // DD8: the MinHash Jaccard ESTIMATOR — E[agreeing signature
+    // positions / k] = J, the estimate a 100 TB pipeline uses when the
+    // exact verify pass (dd4's token-set intersection) is too expensive
+    // to run on every candidate: the signatures are ALREADY materialized
+    // for banding, so the estimate costs one zipped compare per pair and
+    // reads no document bytes at all. Deterministic (same derived hash
+    // family both engines), so the oracle recomputes it exactly.
+    Q(
+      "dd8_minhash_estimate",
+      (s, dir) => {
+        val sg = signatures(s, dir)
+        val scored = lshCandidates(s, dir)
+          .join(broadcast(sg.select(col("doc_id"), col("sig").as("sig_a"))),
+            col("doc_a") === col("doc_id")).drop("doc_id")
+          .join(broadcast(sg.select(col("doc_id"), col("sig").as("sig_b"))),
+            col("doc_b") === col("doc_id")).drop("doc_id")
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            call_function(GraftFunctions.AgreeName, col("sig_a"), col("sig_b"))
+              .as("n_agree"))
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            col("n_agree"),
+            round(col("n_agree").cast("double") / NumHashes, 6).as("est_jaccard"))
+          .filter(col("est_jaccard") >= JaccardThreshold)
+        sortedOut(scored, "doc_a", "doc_b")
+      },
+      Some(s"""WITH $candSql,
+              |sg AS (SELECT doc_id, list(minhash ORDER BY seed) AS sig FROM mh GROUP BY doc_id)
+              |SELECT doc_a, doc_b, n_agree, est_jaccard FROM (
+              |  SELECT doc_a, doc_b,
+              |    CAST(len(list_filter(generate_series(1, $NumHashes), i -> a.sig[i] = b.sig[i])) AS INT) AS n_agree,
+              |    round(CAST(len(list_filter(generate_series(1, $NumHashes), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $NumHashes, 6) AS est_jaccard
+              |  FROM cand JOIN sg a ON doc_a = a.doc_id JOIN sg b ON doc_b = b.doc_id)
+              |WHERE est_jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 }
