@@ -41,6 +41,31 @@ class StreamingPackingSpec extends SparkSpec {
     assert(firstBatchSpans.subsetOf(incremental))
   }
 
+  test("streaming wrapper packs file drops exactly once, offsets carried") {
+    val root = Files.createTempDirectory("stream-pack-wrap").toString
+    val (landing, state, spans, chk) =
+      (s"$root/landing", s"$root/state", s"$root/spans", s"$root/chk")
+    Files.createDirectories(java.nio.file.Paths.get(landing))
+
+    def drop(rows: Seq[(Long, String, String)], name: String): Unit =
+      df(rows).coalesce(1).write.mode("overwrite").parquet(s"$landing/$name")
+
+    val schema = df(batch1).schema
+    drop(batch1, "f1")
+    StreamingPacking.packStream(spark, s"$landing/*", schema, state, spans, chk)
+      .awaitTermination()
+    drop(batch2, "f2")
+    StreamingPacking.packStream(spark, s"$landing/*", schema, state, spans, chk)
+      .awaitTermination()
+
+    // the wrapper must equal two explicit incremental batches
+    val (st2, sp2) = (s"$root/ref-state", s"$root/ref-spans")
+    StreamingPacking.packBatch(spark, df(batch1), st2, sp2)
+    StreamingPacking.packBatch(spark, df(batch2), st2, sp2)
+    assert(spark.read.parquet(spans).collect().toSet
+      === spark.read.parquet(sp2).collect().toSet)
+  }
+
   test("offsets continue across batches: no sequence overlap or gap per shard") {
     val root = Files.createTempDirectory("stream-pack2").toString
     val (st, sp) = (s"$root/state", s"$root/spans")
