@@ -45,6 +45,45 @@ object ScaleTechniques {
     saltedAgg(df, key, saltBuckets,
       Seq((count(lit(1)), (c: String) => sum(col(c)), "n")))
 
+  /** Salt-replicate shuffle join for a skewed fact key — the commoner
+    * 100 TB killer than skewed aggregation: one hot key routes its whole
+    * fact volume through a single reducer of the shuffle join. Fix: the
+    * FACT side gets a per-row salt in [0, saltBuckets); the DIM side is
+    * replicated once per salt value; the join key becomes (key, salt),
+    * spreading the hot key over `saltBuckets` reducers. Exactly equal to
+    * the plain join for any join semantics that are per-row (each fact
+    * row still meets every dim row of its key exactly once — in the one
+    * replica carrying its salt). Cost: |dim| × saltBuckets rows shuffled
+    * on the dim side — the trade is sized by saltBuckets, and the dim
+    * side is the small one (else you'd salt the other way around).
+    *
+    * AQE's runtime skew split (asserted in ScaleTechniquesSpec) handles
+    * the same problem reactively when it CAN rewrite the plan; explicit
+    * salting is the form that works under any planner — e.g. when the
+    * join's output partitioning is consumed downstream, the case where
+    * AQE declines to split (documented in the spec).
+    *
+    * The salt must be uniform per fact ROW, not derived from the key —
+    * `pmod(event_id, buckets)`-style row identity is ideal (deterministic
+    * and uniform); never a function of the join key alone (that would
+    * re-concentrate the hot key).
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      factKey: Column,
+      factSalt: Column,
+      dim: DataFrame,
+      dimKey: Column,
+      saltBuckets: Int): DataFrame = {
+    val saltedFact = fact.withColumn("_salt", pmod(factSalt, lit(saltBuckets)))
+    val replicatedDim = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFact
+      .join(replicatedDim,
+        factKey === dimKey && saltedFact("_salt") === replicatedDim("_salt"))
+      .drop("_salt")
+  }
+
   /** Oracle-checked proof that salting is answer-preserving: the Spark
     * side routes the per-user event rollup through the two-phase salted
     * aggregation (events has hot users — the 100 TB skew case), while the
@@ -71,6 +110,35 @@ object ScaleTechniques {
       Some("""SELECT user_id, count(*) AS n_events,
              |  CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+    ),
+
+    // ST2: the salted SHUFFLE JOIN, oracle-proven answer-preserving the
+    // same way st1 proves salted aggregation: Spark runs events ⋈
+    // customer through saltedJoin (salt = event_id — per-row identity,
+    // uniform across the hot key's rows), the oracle runs the PLAIN
+    // join. SHUFFLE_HASH hints keep both sides shuffled (the 100 TB
+    // plan: at real scale the dim side is past broadcast size), so the
+    // salt genuinely re-keys an exchange rather than decorating a
+    // broadcast. Value sums use the fixed-point convention, independent
+    // of salt-bucket addition order.
+    Q(
+      "st2_salted_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events").hint("shuffle_hash")
+        val cust = Tables(s, dir, "customer").hint("shuffle_hash")
+        saltedJoin(ev, col("user_id"), col("event_id"), cust, col("c_custkey"),
+          saltBuckets = 16)
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            (sum(round(col("value") * 10000).cast("long")).cast("double") / 10000.0)
+              .as("total_value"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     )
   )
 }

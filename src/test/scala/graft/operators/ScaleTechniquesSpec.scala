@@ -34,6 +34,25 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(out("cold")._1 === 50L)
   }
 
+  test("salted join equals the plain join and spreads the hot key") {
+    import spark.implicits._
+    // one hot key carrying 100k fact rows against a 60-row dim side
+    val fact = spark.range(100000).select(lit(1L).as("k"), col("id").as("payload"))
+      .unionAll(spark.range(500).select((col("id") % 50 + 2).as("k"), col("id").as("payload")))
+    val dim = spark.range(60).select(col("id").as("dk"), (col("id") * 10).as("v"))
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val salted = ScaleTechniques
+      .saltedJoin(fact, col("k"), col("payload"), dim, col("dk"), saltBuckets = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    assert(rowSet(salted) === rowSet(plain))
+    // the hot key's fact rows really are spread: every salt bucket holds some
+    val spread = fact.filter(col("k") === 1L)
+      .withColumn("_salt", pmod(col("payload"), lit(8)))
+      .groupBy("_salt").count().collect()
+    assert(spread.length === 8)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
