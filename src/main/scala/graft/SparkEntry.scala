@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Decontamination.all ++
       operators.Packing.all ++
       pipeline.CorpusPipeline.all ++
+      streaming.StreamingQueries.all ++
       recipes.Seed.all ++
       recipes.RecipeStarQueries.all ++
       recipes.RecipeGoldenQueries.all

@@ -76,7 +76,9 @@ object StreamingPacking {
   }
 
   /** Always-on variant: stream a landing directory of document parquet
-    * files into the packed-span store.
+    * files into the packed-span store. `maxFilesPerTrigger` bounds each
+    * micro-batch (the backpressure knob a production ingest sets so one
+    * bulk landing doesn't become one giant batch).
     */
   def packStream(
       spark: SparkSession,
@@ -84,9 +86,11 @@ object StreamingPacking {
       schema: org.apache.spark.sql.types.StructType,
       stateDir: String,
       spansDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream
-      .schema(schema)
+      checkpointDir: String,
+      maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(landingDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -95,4 +99,5 @@ object StreamingPacking {
         packBatch(batch.sparkSession, batch, stateDir, spansDir): Unit
       }
       .start()
+  }
 }
