@@ -389,6 +389,40 @@ object ExtendedOps {
              |SELECT event_id, count(p.pus) AS n_nearby_purchases
              |FROM e LEFT JOIN p ON abs(p.pus - e.eus) <= 300000000
              |GROUP BY event_id ORDER BY event_id""".stripMargin)
+    ),
+
+    // RJ3: the point-in-interval join written naively — `p.t BETWEEN
+    // e.lo AND e.hi` with no equi key, the other common range-join idiom
+    // (rj1/rj2 cover the symmetric |a-b| <= w band). Per purchase, count
+    // the error events whose 10-minute aftermath window contains it.
+    // Without the RangeJoinBinning interval rewrite this plans as a
+    // broadcast-nested-loop (no equality conjunct); with it, the
+    // interval side explodes into its overlapped bins
+    // (sequence(lo DIV W, hi DIV W), W from
+    // spark.graft.rangeJoin.binWidth) and the planner gets a shuffled
+    // equi join on the bin — the left-outer point side stays
+    // unduplicated, so zero-error purchases survive with count 0.
+    Q(
+      "rj3_interval_join_rule",
+      (s, dir) => {
+        graft.plans.RangeJoinBinning.install(s)
+        val ev = Tables(s, dir, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), unix_micros(col("ts")).as("pus"))
+        val e = ev.filter(col("event_type") === "error")
+          .select(unix_micros(col("ts")).as("eus"))
+        p.join(e,
+            col("pus") >= col("eus") && col("pus") <= col("eus") + 600000000L,
+            "left")
+          .groupBy("event_id")
+          .agg(count(col("eus")).as("n_recent_errors"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase'),
+             |e AS (SELECT epoch_us(ts) AS eus FROM events WHERE event_type = 'error')
+             |SELECT event_id, count(e.eus) AS n_recent_errors
+             |FROM p LEFT JOIN e ON pus >= eus AND pus <= eus + 600000000
+             |GROUP BY event_id ORDER BY event_id""".stripMargin)
     )
   )
 }

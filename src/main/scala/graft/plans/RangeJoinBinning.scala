@@ -8,8 +8,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
 
 /** Optimizer rule: rewrite a range join with NO equi key —
-  * `A JOIN B ON abs(a.t - b.t) <= w` — into the binned equi-join form,
-  * automatically.
+  * `A JOIN B ON abs(a.t - b.t) <= w`, or the interval shapes
+  * `a.t BETWEEN b.lo AND b.hi` / `b.t - w <= a.t <= b.t` — into the
+  * binned equi-join form, automatically.
   *
   * Written naively, that join has no equality predicate, so Spark can
   * only plan a broadcast-nested-loop / cartesian product:
@@ -30,6 +31,23 @@ import org.apache.spark.sql.types.LongType
   * OUTER joins (left-preservation is unaffected: a left row with no
   * in-range partner matches no bin copy). Long (e.g. epoch-micros)
   * operands only — `unix_micros(ts)` upstream puts timestamps in scope.
+  *
+  * The INTERVAL shapes (point-in-interval: one side contributes a point
+  * `pt`, the other a data-carried interval `[lo, hi]` — which is what
+  * `a.t BETWEEN b.lo AND b.hi` and the one-sided band
+  * `b.t - w <= a.t <= b.t` both desugar to as two inequality conjuncts)
+  * have no literal width to bin by, so the bin width comes from
+  * `spark.graft.rangeJoin.binWidth` (micros-scale default 300000000 =
+  * 5 min). The INTERVAL side is exploded into `sequence(lo DIV W,
+  * hi DIV W)` bin copies — correctness never depends on W; W only tunes
+  * copies-per-row (intervals spanning many bins) against per-bin fan-in
+  * (bins matching many points), exactly the knob production range-join
+  * implementations expose as a bin-size hint. A matching pair agrees in
+  * exactly one bin copy (the point's own bin), so no dedup is needed.
+  * For LEFT OUTER joins the exploded side must be the non-preserved
+  * (right) side — exploding the preserved side would multiply its
+  * zero-match rows — so an interval-on-the-left outer join is left
+  * untouched.
   *
   * Fires only when the join has no equality conjunct already (after the
   * rewrite the join HAS one, so the rule is idempotent by construction).
@@ -68,14 +86,66 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, jt, Some(cond), hint)
         if (jt == Inner || jt == LeftOuter) && !hasEquiKey(cond, j) =>
-      val oriented = splitConjunctivePredicates(cond).iterator
+      val conjuncts = splitConjunctivePredicates(cond)
+      val oriented = conjuncts.iterator
         .flatMap(rangePattern(_).iterator)
         .flatMap { case (x, y, w) => orient(x, y, left, right).map { case (l, r) => (l, r, w) } }
         .nextOption()
       oriented match {
         case Some((lTime, rTime, w)) => rewrite(j, jt, hint, lTime, rTime, w)
-        case None => j
+        case None =>
+          intervalPattern(conjuncts, j) match {
+            case Some(shape) if jt == Inner || shape.ptOnLeft =>
+              rewriteInterval(j, jt, hint, shape)
+            case _ => j
+          }
       }
+  }
+
+  /** A detected point-in-interval join: `pt` (from one side) constrained
+    * into the data-carried `[lo, hi]` of the other side.
+    */
+  private case class IntervalShape(
+      ptOnLeft: Boolean, pt: Expression, lo: Expression, hi: Expression)
+
+  /** Find `pt >= lo AND pt <= hi` (any orientation, strict or not) where
+    * pt is a Long expression of one side and BOTH bounds are Long
+    * expressions of the other side. Strict bounds are fine: binning only
+    * needs the bin range to COVER the match range; the original
+    * conjuncts stay as the residual predicate.
+    */
+  private def intervalPattern(
+      conjuncts: Seq[Expression], j: Join): Option[IntervalShape] = {
+    // each inequality yields a (pointCandidate, bound, isLowerBound) view
+    // from both of its operands' perspectives
+    final case class B(pt: Expression, bound: Expression, lower: Boolean)
+    val bounds = conjuncts.flatMap {
+      case GreaterThanOrEqual(x, y) => Seq(B(x, y, lower = true), B(y, x, lower = false))
+      case GreaterThan(x, y) => Seq(B(x, y, lower = true), B(y, x, lower = false))
+      case LessThanOrEqual(x, y) => Seq(B(x, y, lower = false), B(y, x, lower = true))
+      case LessThan(x, y) => Seq(B(x, y, lower = false), B(y, x, lower = true))
+      case _ => Nil
+    }
+    val pairs = for {
+      l <- bounds.iterator if l.lower
+      u <- bounds.iterator if !u.lower && l.pt.semanticEquals(u.pt)
+    } yield (l.pt, l.bound, u.bound)
+    pairs.flatMap { case (pt, lo, hi) =>
+      if (pt.dataType != LongType || lo.dataType != LongType || hi.dataType != LongType) {
+        None
+      } else {
+        val ptLeft = pt.references.nonEmpty && pt.references.subsetOf(j.left.outputSet)
+        val ptRight = pt.references.nonEmpty && pt.references.subsetOf(j.right.outputSet)
+        if (!ptLeft && !ptRight) None
+        else {
+          val other = if (ptLeft) j.right.outputSet else j.left.outputSet
+          if (lo.references.nonEmpty && lo.references.subsetOf(other) &&
+            hi.references.nonEmpty && hi.references.subsetOf(other))
+            Some(IntervalShape(ptLeft, pt, lo, hi))
+          else None
+        }
+      }
+    }.nextOption()
   }
 
   /** Any conjunct already equating a left expression with a right one
@@ -117,6 +187,37 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
     val newRight =
       Generate(Explode(rBins), Nil, outer = false, None, Seq(rBinAttr), j.right)
     val newCond = And(EqualTo(lBin.toAttribute, rBinAttr), j.condition.get)
+    Project(j.output, Join(newLeft, newRight, jt, Some(newCond), hint))
+  }
+
+  /** Bin width for interval shapes (no literal width in the predicate). */
+  private def intervalBinWidth: Long =
+    conf.getConfString("spark.graft.rangeJoin.binWidth", "300000000").toLong
+
+  /** Point side: bin projection. Interval side: explode into every bin
+    * the interval overlaps (`sequence(lo DIV W, hi DIV W)`). The point
+    * falls in exactly one bin, so a true match pairs with exactly one
+    * interval copy — superset coverage + the original residual = exact.
+    */
+  private def rewriteInterval(
+      j: Join, jt: JoinType, hint: JoinHint, shape: IntervalShape): LogicalPlan = {
+    val width = Literal(intervalBinWidth, LongType)
+    val ptBin = Alias(IntegralDivide(shape.pt, width), "graft_bin_pt")()
+    // timeZoneId must be supplied by hand: the analyzer's ResolveTimeZone
+    // has already run, and a TimeZoneAware expression without it is
+    // unresolved — failing the optimizer's plan validation
+    val binSeq = Sequence(
+      IntegralDivide(shape.lo, width), IntegralDivide(shape.hi, width),
+      None, Some(conf.sessionLocalTimeZone))
+    val ivBinAttr = AttributeReference("graft_bin_iv", LongType)()
+    val (newLeft, newRight) =
+      if (shape.ptOnLeft)
+        (Project(j.left.output :+ ptBin, j.left),
+          Generate(Explode(binSeq), Nil, outer = false, None, Seq(ivBinAttr), j.right))
+      else
+        (Generate(Explode(binSeq), Nil, outer = false, None, Seq(ivBinAttr), j.left),
+          Project(j.right.output :+ ptBin, j.right))
+    val newCond = And(EqualTo(ptBin.toAttribute, ivBinAttr), j.condition.get)
     Project(j.output, Join(newLeft, newRight, jt, Some(newCond), hint))
   }
 }

@@ -59,6 +59,68 @@ class RangeJoinBinningSpec extends SparkSpec {
     assert(viaRule === handBuilt)
   }
 
+  test("interval shape (pt BETWEEN lo AND hi) plans as an equi join") {
+    val pts = Seq((1L, 100L), (2L, 250L), (3L, 9999L)).toDF("p_id", "pt")
+    val ivs = Seq((10L, 90L, 110L), (11L, 200L, 260L), (12L, 240L, 255L))
+      .toDF("iv_id", "lo", "hi")
+    val joined = pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("p_id", "iv_id")
+    val plan = planOf(joined)
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+    assert(plan.contains("graft_bin_pt"), plan)
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 11L), (2L, 12L)))
+  }
+
+  test("interval shape works when the interval side is on the left (inner)") {
+    val ivs = Seq((10L, 90L, 110L), (11L, 500L, 600L)).toDF("iv_id", "lo", "hi")
+    val pts = Seq((1L, 100L), (2L, 550L), (3L, 10L)).toDF("p_id", "pt")
+    val joined = ivs.join(pts, col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("iv_id", "p_id")
+    val plan = planOf(joined)
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 1L), (11L, 2L)))
+  }
+
+  test("one-sided band (t - w <= pt <= t) plans as an equi join") {
+    val pts = Seq((1L, 100L), (2L, 250L)).toDF("p_id", "pt")
+    val ts = Seq((10L, 120L), (11L, 500L)).toDF("t_id", "t")
+    // pt within the 50 units BEFORE t
+    val joined = pts.join(ts,
+      col("pt") >= col("t") - 50L && col("pt") <= col("t"))
+      .select("p_id", "t_id")
+    val plan = planOf(joined)
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L)))
+  }
+
+  test("left-outer interval keeps zero-match point rows exactly once") {
+    val pts = Seq((1L, 100L), (2L, 99999L)).toDF("p_id", "pt")
+    val ivs = Seq((10L, 90L, 110L)).toDF("iv_id", "lo", "hi")
+    val joined = pts.join(ivs,
+      col("pt") >= col("lo") && col("pt") <= col("hi"), "left")
+    assert(!planOf(joined).contains("NestedLoop"), planOf(joined).take(500))
+    val got = joined.collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    assert(got === Set((1L, Some(10L)), (2L, None)))
+  }
+
+  test("left-outer with the interval on the LEFT is not rewritten") {
+    // exploding the preserved side would multiply zero-match rows;
+    // the rule must leave this shape to the nested-loop planner
+    val ivs = Seq((10L, 90L, 110L), (11L, 5000L, 6000L)).toDF("iv_id", "lo", "hi")
+    val pts = Seq((1L, 100L)).toDF("p_id", "pt")
+    val joined = ivs.join(pts,
+      col("pt") >= col("lo") && col("pt") <= col("hi"), "left")
+    val plan = planOf(joined)
+    assert(!plan.contains("graft_bin"), plan)
+    val got = joined.collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+    assert(got === Set((10L, Some(1L)), (11L, None)))
+  }
+
   test("joins that already have an equi key are untouched") {
     val a = Seq((1L, 5L)).toDF("id", "t1")
     val b = Seq((1L, 8L)).toDF("id2", "t2")
