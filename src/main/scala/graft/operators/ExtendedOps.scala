@@ -13,11 +13,15 @@ object ExtendedOps {
 
   val all: Seq[Q] = Seq(
     // HLL sketch: approx_count_distinct next to the exact count. The
-    // sketch value is engine-specific, so the oracle checks the exact
-    // column plus a bounded relative error of the approximation. The
-    // band is 25% = 5× the default rsd (0.05): HLL++'s error tail at
-    // 5 sigma is negligible for any corpus or implementation revision,
-    // so the boolean cannot flake the way a band at 2 sigma could.
+    // sketch value is engine-specific (the raw estimate can never
+    // hash-match a DuckDB recomputation), so what the oracle compares is
+    // the exact column plus the approximation's ERROR-BAND INDEX:
+    // floor(relative error / 0.25) — 0 for anything within 25% (= 5× the
+    // default rsd 0.05, far past HLL++'s error tail for any corpus or
+    // implementation revision), and a diagnosable magnitude (1 = 25-50%
+    // off, 2 = 50-75% off, ...) rather than a bare boolean mismatch if
+    // the estimator ever drifts. ExtendedOpsSpec asserts the raw
+    // estimate's bound directly.
     Q(
       "ap1_approx_distinct",
       (s, dir) =>
@@ -25,12 +29,15 @@ object ExtendedOps {
           .groupBy(col("event_type"))
           .agg(
             countDistinct(col("user_id")).as("exact_users"),
-            (abs(approx_count_distinct(col("user_id")).cast("double") -
-              countDistinct(col("user_id"))) /
-              countDistinct(col("user_id")) <= 0.25).as("approx_within_band"))
+            approx_count_distinct(col("user_id")).as("approx_users"))
+          .select(
+            col("event_type"),
+            col("exact_users"),
+            floor(abs(col("approx_users").cast("double") - col("exact_users")) /
+              col("exact_users") / 0.25).cast("int").as("approx_err_band"))
           .orderBy("event_type"),
       Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
-             |  true AS approx_within_band
+             |  CAST(0 AS INT) AS approx_err_band
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
     ),
 
@@ -278,9 +285,9 @@ object ExtendedOps {
     // Khanna in Spark) that replaces wq1's exact per-group multiset at
     // 100 TB: partial sketches combine map-side like any agg, memory is
     // O(accuracy), not O(rows). Sketch internals are engine-specific, so
-    // (ap1 convention) the oracle checks the exact column and a bounded
-    // absolute error of the approximation; l_quantity is integral so the
-    // exact median is engine-identical.
+    // (ap1 convention) the oracle checks the exact column and the
+    // approximation's absolute-error index: floor(|approx − exact| / 1
+    // quantity unit) — 0 expected, a diagnosable magnitude on drift.
     Q(
       "ap2_approx_percentile",
       (s, dir) =>
@@ -288,13 +295,16 @@ object ExtendedOps {
           .groupBy(col("l_returnflag"))
           .agg(
             expr("percentile(l_quantity, 0.5)").as("exact_p50"),
-            (abs(expr("approx_percentile(l_quantity, 0.5, 10000)") -
-              expr("percentile(l_quantity, 0.5)")) <= 1.0)
-              .as("approx_within_1"))
+            expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_p50"))
+          .select(
+            col("l_returnflag"),
+            col("exact_p50"),
+            floor(abs(col("approx_p50") - col("exact_p50")) / 1.0).cast("int")
+              .as("approx_err_units"))
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              |  quantile_cont(l_quantity, 0.5) AS exact_p50,
-             |  true AS approx_within_1
+             |  CAST(0 AS INT) AS approx_err_units
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
 
