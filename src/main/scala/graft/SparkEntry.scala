@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Sampling.all ++
       operators.Decontamination.all ++
       operators.Packing.all ++
+      operators.LakeMaintenance.all ++
       pipeline.CorpusPipeline.all ++
       streaming.StreamingQueries.all ++
       recipes.Seed.all ++
