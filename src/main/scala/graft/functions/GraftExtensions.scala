@@ -82,6 +82,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashSigs(children(0), k)
       }))
     ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.BandSigsName),
+      new ExpressionInfo(classOf[MinhashBandSigs].getName, null,
+        GraftFunctions.BandSigsName,
+        "_FUNC_(text, k, bandSize, gram) - fused minhash LSH band signatures", ""),
+      (children: Seq[Expression]) => {
+        def litInt(e: Expression): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(s"literal required, got $other")
+        }
+        MinhashBandSigs(children(0), litInt(children(1)), litInt(children(2)),
+          litInt(children(3)))
+      }))
+    ext.injectFunction((
       FunctionIdentifier(GraftFunctions.RollingHashName),
       new ExpressionInfo(classOf[RollingHashWindows].getName, null,
         GraftFunctions.RollingHashName, "_FUNC_(text, k, b, m) - Rabin-Karp window hashes", ""),

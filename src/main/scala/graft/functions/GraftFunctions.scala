@@ -48,6 +48,9 @@ object GraftFunctions {
   /** k-wide minhash signature array of a space-separated string. */
   val MinhashName = "graft_minhash_sigs"
 
+  /** fused minhash→LSH band-signature array (k, bandSize, gram). */
+  val BandSigsName = "graft_minhash_band_sigs"
+
   /** # positions where two equal-length long arrays agree. */
   val AgreeName = "graft_positional_agree_count"
 
@@ -107,6 +110,16 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(s"k must be a literal, got $other")
         }
         MinhashSigs(children(0), k)
+      })
+    ensure(BandSigsName,
+      "_FUNC_(text, k, bandSize, gram) - fused minhash LSH band signatures")(
+      children => {
+        def litInt(e: Expression): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(s"literal required, got $other")
+        }
+        MinhashBandSigs(children(0), litInt(children(1)), litInt(children(2)),
+          litInt(children(3)))
       })
     ensure(BottomKName, "_FUNC_(col, k) - k smallest distinct longs (KMV sketch)")(
       children => {

@@ -113,30 +113,31 @@ object Dedup {
     graft.CacheScope.track(
       sigArrayOf(docs(s, dir)).persist(StorageLevel.MEMORY_AND_DISK))
 
-  /** (doc_id, band, sig) banding of a signature-array frame — the LSH
-    * bucket id is a 60-bit hash of the ","-joined band slice, so the
-    * self-join shuffles and compares 8-byte longs instead of ~130-char
-    * strings (hash computed identically by the DuckDB oracle; a 60-bit
-    * collision would merge two buckets in both engines alike).
+  /** (doc_id, band, sig) LSH banding computed by the FUSED native
+    * [[graft.functions.MinhashBandSigs]] expression: minhash → band
+    * hashing in one byte pass per document, never materializing the
+    * k-long signature array or the per-band
+    * slice → cast(array<string>) → concat_ws → md5 → conv column chain
+    * it replaces. The bucket id is a 60-bit hash of the ","-joined band
+    * slice, so the self-join shuffles and compares 8-byte longs instead
+    * of ~130-char strings (hash computed identically by the DuckDB
+    * oracle; a 60-bit collision would merge two buckets in both engines
+    * alike). `gram` = 2 bands adjacent-pair shingles (dd7's
+    * order-sensitive candidates); gram-2 callers must drop docs with
+    * fewer than two tokens — no shingle, no band (the oracle's bigram
+    * CTE drops them the same way).
     */
-  private def bandingOf(sig: DataFrame): DataFrame =
-    sig.select(
+  private def bandSigsOf(docsDf: DataFrame, gram: Int = 1): DataFrame = {
+    GraftFunctions.register(docsDf.sparkSession)
+    docsDf.select(
         col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), lit(NumBands - 1)),
-          b =>
-            conv(
-              substring(
-                md5(concat_ws(
-                  ",",
-                  slice(col("sig"), b * lit(BandSize) + lit(1), lit(BandSize))
-                    .cast("array<string>"))),
-                1, 15),
-              16, 10).cast("long"))))
+        posexplode(call_function(GraftFunctions.BandSigsName,
+          col("text"), lit(NumHashes), lit(BandSize), lit(gram))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
+  }
 
   private def bandSigs(s: SparkSession, dir: String): DataFrame =
-    bandingOf(signatures(s, dir))
+    bandSigsOf(docs(s, dir))
 
   /** Band signatures of an arbitrary (doc_id, text, ...) frame — the same
     * minhash→banding math the batch queries run, exposed un-persisted so
@@ -145,7 +146,7 @@ object Dedup {
     * signature collides, P = 1-(1-J^13)^8).
     */
   private[graft] def bandSignatures(docsDf: DataFrame): DataFrame =
-    bandingOf(sigArrayOf(docsDf.select(col("doc_id"), col("text"))))
+    bandSigsOf(docsDf.select(col("doc_id"), col("text")))
 
   /** Iterate min-label propagation THROUGH the LSH buckets to a fixed
     * point: connected components over the bucket-sharing graph, the full
@@ -226,18 +227,30 @@ object Dedup {
       (col("doc_id") === col("cluster_rep")).as("is_canonical"))
   }
 
-  /** Candidate near-dup pairs: docs sharing any full band signature.
-    * Shuffle key is the band bucket; payload is (long, long) ids only.
+  /** Candidate pairs from a band table: docs sharing any full band
+    * signature. Shuffle key is the band bucket; payload is (long, long)
+    * ids only.
     */
-  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val b = bandSigs(s, dir)
+  private def candidatesFrom(b: DataFrame): DataFrame =
     b.as("a")
       .join(b.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-  }
+
+  /** Word-shingle candidate near-dup pairs (dd3/dd4/dd8). */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    candidatesFrom(bandSigs(s, dir))
+
+  /** Bigram-shingle candidates (dd7): the banding runs over the SAME
+    * shingle family the verification scores, so the candidate set is
+    * self-consistent rather than a word-level superset. Docs without a
+    * single bigram (< 2 tokens) carry no band, hence the filter.
+    */
+  private def bigramLshCandidates(s: SparkSession, dir: String): DataFrame =
+    candidatesFrom(
+      bandSigsOf(docs(s, dir).filter(col("text").contains(" ")), gram = 2))
 
   // ---- shared DuckDB oracle CTEs (recompute the same derived-hash LSH) ----
 
@@ -271,6 +284,30 @@ object Dedup {
       |         list_distinct(list_transform(string_split(text, ' '),
       |           t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))) AS toks
       |       FROM documents)""".stripMargin
+
+  /** Bigram-shingle banding + candidates, mirroring bandSigsOf(gram=2):
+    * same derived-hash minhash family over `"w_i w_{i+1}"` shingles.
+    * Docs with fewer than two tokens produce no bigram rows and so no
+    * bands — the Spark side's `contains(" ")` filter, expressed by data.
+    */
+  private val bcandSql =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |bgr AS (SELECT doc_id,
+       |          unnest(list_transform(generate_series(1, len(words) - 1),
+       |            i -> words[i] || ' ' || words[i + 1])) AS bg
+       |        FROM w),
+       |bhp AS (SELECT DISTINCT doc_id,
+       |          CAST('0x' || substr(md5(bg), 1, 8) AS BIGINT) AS h1,
+       |          CAST('0x' || substr(md5(bg), 9, 8) AS BIGINT) AS h2
+       |        FROM bgr),
+       |bmh AS (SELECT doc_id, seed, min((h1 + seed * h2) % $Mod) AS minhash
+       |        FROM bhp CROSS JOIN range($NumHashes) t(seed) GROUP BY doc_id, seed),
+       |bsigs AS (SELECT doc_id, CAST(seed // $BandSize AS INT) AS band,
+       |            CAST('0x' || substr(md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)), 1, 15) AS BIGINT) AS sig
+       |          FROM bmh GROUP BY doc_id, band),
+       |bcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bsigs a JOIN bsigs b
+       |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
   val all: Seq[Q] = Seq(
     // Exact dedup. The groupBy key is a 16-byte digest, not the document
@@ -423,14 +460,14 @@ object Dedup {
 
     // n-gram (bigram-shingle) Jaccard: ORDER-SENSITIVE near-dup scoring.
     // Word-set Jaccard (dd4) calls two docs with shuffled word order
-    // identical; bigram shingles don't. Verified over the word-level LSH
-    // candidates (a superset: bigram similarity implies word-set
-    // similarity); at larger scale you'd band on bigram minhashes with
-    // the same machinery. Shingle hashing runs in the native
-    // BigramMd5Hashes expression (one codegen'd pass per doc, digesting
-    // byte slices in place — the interpreted transform+md5+conv chain it
-    // replaces was the single most expensive query in the r2 bench);
-    // sorted outputs are merge-counted natively, as in dd4.
+    // identical; bigram shingles don't. Candidates come from BIGRAM
+    // minhash banding (the fused MinhashBandSigs expression, gram=2) —
+    // the same shingle family the verification scores, so the candidate
+    // set is self-consistent and smaller than the word-level superset
+    // earlier rounds verified against. Shingle hashing runs in the
+    // native BigramMd5Hashes expression (one codegen'd pass per doc,
+    // digesting byte slices in place); sorted outputs are merge-counted
+    // natively, as in dd4.
     Q(
       "dd7_ngram_jaccard",
       (s, dir) => {
@@ -440,7 +477,7 @@ object Dedup {
             col("doc_id"),
             call_function(GraftFunctions.BigramName, col("text")).as("bg"))
           .select(col("doc_id"), col("bg"), size(col("bg")).as("n"))
-        val scored = lshCandidates(s, dir)
+        val scored = bigramLshCandidates(s, dir)
           .join(broadcast(bg.as("ba")), col("doc_a") === col("ba.doc_id"))
           .join(broadcast(bg.as("bb")), col("doc_b") === col("bb.doc_id"))
           .select(
@@ -458,17 +495,16 @@ object Dedup {
           .filter(col("ngram_jaccard") >= 0.8)
         sortedOut(scored, "doc_a", "doc_b")
       },
-      Some(s"""WITH $candSql,
-              |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-              |bg AS (SELECT doc_id,
-              |         list_distinct(list_transform(generate_series(1, len(words) - 1),
-              |           i -> CAST('0x' || substr(md5(words[i] || ' ' || words[i + 1]), 1, 8) AS BIGINT))) AS bg
-              |       FROM w)
+      Some(s"""WITH $bcandSql,
+              |bgt AS (SELECT doc_id,
+              |          list_distinct(list_transform(generate_series(1, len(words) - 1),
+              |            i -> CAST('0x' || substr(md5(words[i] || ' ' || words[i + 1]), 1, 8) AS BIGINT))) AS bg
+              |        FROM w)
               |SELECT doc_a, doc_b, ngram_jaccard FROM (
               |  SELECT doc_a, doc_b,
               |    CAST(len(list_intersect(ba.bg, bb.bg)) AS DOUBLE) /
               |      (len(ba.bg) + len(bb.bg) - len(list_intersect(ba.bg, bb.bg))) AS ngram_jaccard
-              |  FROM cand JOIN bg ba ON doc_a = ba.doc_id JOIN bg bb ON doc_b = bb.doc_id)
+              |  FROM bcand JOIN bgt ba ON doc_a = ba.doc_id JOIN bgt bb ON doc_b = bb.doc_id)
               |WHERE ngram_jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin)
     ),
 

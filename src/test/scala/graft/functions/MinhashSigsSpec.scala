@@ -48,4 +48,52 @@ class MinhashSigsSpec extends SparkSpec {
     }
     assert(rows.length === cases.length)
   }
+
+  test("fused band signatures == banding the native signature column chain") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val (k, bandSize) = (104, 13)
+    val numBands = k / bandSize
+    // the column-level banding the fused expression replaces
+    val sig = call_function(GraftFunctions.MinhashName, col("text"), lit(k))
+    val ref = transform(
+      sequence(lit(0), lit(numBands - 1)),
+      b => conv(
+        substring(
+          md5(concat_ws(",",
+            slice(sig, b * lit(bandSize) + lit(1), lit(bandSize)).cast("array<string>"))),
+          1, 15),
+        16, 10).cast("long"))
+    val rows = cases.toDF("text")
+      .select(
+        call_function(GraftFunctions.BandSigsName,
+          col("text"), lit(k), lit(bandSize), lit(1)).as("fused"),
+        ref.as("reference"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    assert(rows.length === cases.length)
+  }
+
+  test("gram=2 band signatures band the bigram shingle family") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // reordering words changes bigram bands; word-set banding would not
+    val df = Seq(
+      ("w x y z w x y z w x y z w x y z", "same"),
+      ("x w z y x w z y x w z y x w z y", "shuffled"))
+      .toDF("text", "tag")
+      .select(col("tag"),
+        call_function(GraftFunctions.BandSigsName,
+          col("text"), lit(104), lit(13), lit(2)).as("bands"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(df("same") !== df("shuffled"))
+    // and identical texts agree, all 8 bands
+    val twice = Seq("p q r s p q r s", "p q r s p q r s").toDF("text")
+      .select(call_function(GraftFunctions.BandSigsName,
+        col("text"), lit(104), lit(13), lit(2)).as("bands"))
+      .collect().map(_.getSeq[Long](0))
+    assert(twice(0) === twice(1))
+    assert(twice(0).length === 8)
+  }
 }
