@@ -6,6 +6,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
@@ -89,11 +90,9 @@ object TopKPerKey {
   }
 
   /** Bounded-heap top-k reduction of one input partition (the partial
-    * pass). The heap table never exceeds `maxKeys` entries: on overflow
-    * the first-seen key's chunk is emitted downstream and dropped (see
-    * the memory-safety contract in the object scaladoc), lazily — an
-    * evicted chunk flows straight to the shuffle writer, it is never
-    * re-buffered here.
+    * pass), as an iterator over [[PartialTopKRuntime]] — the same state
+    * object the codegen path drives. Evicted chunks (key-cardinality
+    * overflow) flow straight downstream here, never re-buffered.
     */
   private[plans] def partialTopK(
       iter: Iterator[InternalRow],
@@ -102,35 +101,21 @@ object TopKPerKey {
       k: Int,
       inputAttrs: Seq[Attribute],
       maxKeys: Int): Iterator[InternalRow] = new Iterator[InternalRow] {
-    private val keyProj = UnsafeProjection.create(part, inputAttrs)
-    private val ord = RowOrdering.create(order, inputAttrs)
-    private val worstFirst = ord.reverse // heap head = currently worst kept row
-    private val heaps =
-      new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-    private var pending: Iterator[InternalRow] = Iterator.empty
+    private val state = new PartialTopKRuntime(
+      UnsafeProjection.create(part, inputAttrs),
+      RowOrdering.create(order, inputAttrs), k, maxKeys)
+    private var pending: java.util.Iterator[InternalRow] =
+      java.util.Collections.emptyIterator()
     private var drained = false
 
     private def advance(): Unit =
       while (!pending.hasNext && !drained) {
         if (iter.hasNext) {
-          val row = iter.next()
-          val key = keyProj(row)
-          var q = heaps.get(key)
-          if (q == null) {
-            q = new java.util.PriorityQueue[InternalRow](k + 1, worstFirst)
-            heaps.put(key.copy(), q)
-            if (heaps.size() > maxKeys) { // evict first-seen key's chunk
-              val it = heaps.entrySet().iterator()
-              val eldest = it.next()
-              it.remove()
-              pending = eldest.getValue.asScala.iterator
-            }
-          }
-          if (q.size < k) q.add(row.copy())
-          else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
+          state.update(iter.next())
+          if (state.hasEvicted) pending = state.takeEvicted()
         } else {
           drained = true
-          pending = heaps.values().asScala.iterator.flatMap(_.asScala.iterator)
+          pending = state.drain()
         }
       }
 
@@ -178,6 +163,96 @@ object TopKPerKey {
       rankRow.update(0, curRank)
       proj(joined(r, rankRow))
     }
+  }
+}
+
+/** Per-partition bounded-heap state shared by the interpreted and
+  * generated partial passes. One entry per key (≤ maxKeys), each a
+  * (k+1)-capacity worst-first heap; overflow evicts the first-seen key's
+  * chunk (see the memory-safety contract in [[TopKPerKey]]'s scaladoc).
+  * Public only because janino-generated code must call it.
+  */
+final class PartialTopKRuntime(
+    keyProj: UnsafeProjection,
+    ord: Ordering[InternalRow],
+    k: Int,
+    maxKeys: Int) {
+  private val worstFirst = ord.reverse // heap head = currently worst kept row
+  private val heaps =
+    new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+  // chunks dropped on key-cardinality overflow, awaiting emission; the
+  // interpreted iterator drains after every update (streaming), the
+  // generated pipeline drains in drain() — either way each chunk is
+  // ≤ k rows the built-in plan would have shuffled anyway
+  private val evictedChunks =
+    new java.util.ArrayDeque[java.util.PriorityQueue[InternalRow]]()
+
+  def update(row: InternalRow): Unit = {
+    val key = keyProj(row)
+    var q = heaps.get(key)
+    if (q == null) {
+      q = new java.util.PriorityQueue[InternalRow](k + 1, worstFirst)
+      heaps.put(key.copy(), q)
+      if (heaps.size() > maxKeys) { // evict first-seen key's chunk
+        val it = heaps.entrySet().iterator()
+        val eldest = it.next()
+        it.remove()
+        evictedChunks.add(eldest.getValue)
+      }
+    }
+    if (q.size < k) q.add(row.copy())
+    else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.add(row.copy()) }
+  }
+
+  def hasEvicted: Boolean = !evictedChunks.isEmpty
+
+  /** Stream out (and forget) the pending evicted chunks. */
+  def takeEvicted(): java.util.Iterator[InternalRow] = {
+    val mine = new java.util.ArrayList[java.util.PriorityQueue[InternalRow]](evictedChunks)
+    evictedChunks.clear()
+    flatten(mine.iterator())
+  }
+
+  /** Everything still held: leftover evicted chunks, then the heap
+    * contents (call after input is exhausted).
+    */
+  def drain(): java.util.Iterator[InternalRow] = {
+    val parts = new java.util.ArrayList[java.util.PriorityQueue[InternalRow]](evictedChunks)
+    evictedChunks.clear()
+    parts.addAll(heaps.values())
+    flatten(parts.iterator())
+  }
+
+  private def flatten(
+      outer: java.util.Iterator[java.util.PriorityQueue[InternalRow]])
+      : java.util.Iterator[InternalRow] =
+    new java.util.Iterator[InternalRow] {
+      private var inner: java.util.Iterator[InternalRow] =
+        java.util.Collections.emptyIterator()
+      override def hasNext: Boolean = {
+        while (!inner.hasNext && outer.hasNext) inner = outer.next().iterator()
+        inner.hasNext
+      }
+      override def next(): InternalRow = { hasNext; inner.next() }
+    }
+}
+
+/** Driver-built, executor-run factory for [[PartialTopKRuntime]] — the
+  * single reference object the generated code needs (projection and
+  * ordering are themselves codegen'd on the executor).
+  */
+final class PartialTopKFactory(
+    part: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    inputAttrs: Seq[Attribute]) extends Serializable {
+  def create(): PartialTopKRuntime = {
+    val maxKeys = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(TopKPerKey.MaxHeapKeysConf,
+        TopKPerKey.MaxHeapKeysDefault.toString).toInt
+    new PartialTopKRuntime(
+      UnsafeProjection.create(part, inputAttrs),
+      RowOrdering.create(order, inputAttrs), k, maxKeys)
   }
 }
 
@@ -270,12 +345,26 @@ object TopKStrategy extends SparkStrategy {
 /** Map-side combine: reduce every input partition to ≤ k rows per key
   * chunk it holds. No distribution requirement — runs where the data
   * is; heap memory capped at `spark.graft.topk.maxHeapKeys` keys.
+  *
+  * Implements whole-stage codegen as a BLOCKING operator (the SortExec
+  * pattern): the upstream pipeline (scan → filter → project) pushes rows
+  * straight into the heap table — no iterator hop, no per-row virtual
+  * dispatch at the operator boundary — and the produce loop then streams
+  * the reduced rows to the shuffle writer. `doExecute` remains the
+  * interpreted fallback (codegen disabled / fallback paths); both drive
+  * the same [[PartialTopKRuntime]]. One asymmetry: under key-cardinality
+  * overflow the generated pipeline emits evicted chunks at drain time
+  * rather than mid-input (a blocking codegen stage cannot yield inside
+  * the input phase), so pathological cardinality holds the evicted rows
+  * — the rows the built-in plan would shuffle anyway — until input ends;
+  * the interpreted path streams them immediately.
   */
 case class PartialTopKPerKeyExec(
     part: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan) extends UnaryExecNode
+    with org.apache.spark.sql.execution.BlockingOperatorWithCodegen {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
@@ -287,6 +376,56 @@ case class PartialTopKPerKeyExec(
       TopKPerKey.partialTopK(_, p, o, kk, attrs, maxKeys),
       preservesPartitioning = true)
   }
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].inputRDDs()
+
+  // rows are copied into the heaps, so upstream variables need not be
+  // pre-evaluated for us (we consume the row form)
+  override def usedInputs: AttributeSet = AttributeSet.empty
+
+  private var stateTerm: String = _
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val needInput = ctx.addMutableState(
+      org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.JAVA_BOOLEAN,
+      "topkNeedInput", v => s"$v = true;")
+    stateTerm = ctx.addMutableState(classOf[PartialTopKRuntime].getName, "topkState")
+    val factoryTerm = ctx.addReferenceObj("topkFactory",
+      new PartialTopKFactory(part, order, k, child.output),
+      classOf[PartialTopKFactory].getName)
+    val addInput = ctx.addNewFunction("addTopKInput",
+      s"""
+         |private void addTopKInput() throws java.io.IOException {
+         |  ${child.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin, inlineToOuterClass = true)
+    // raw java.util.Iterator: janino has no generics
+    val iterTerm = ctx.addMutableState("java.util.Iterator", "topkOutput")
+    val outputRow = ctx.freshName("topkRow")
+    s"""
+       |if ($needInput) {
+       |  $stateTerm = $factoryTerm.create();
+       |  $addInput();
+       |  $iterTerm = $stateTerm.drain();
+       |  $needInput = false;
+       |}
+       |while ($limitNotReachedCond $iterTerm.hasNext()) {
+       |  org.apache.spark.sql.catalyst.InternalRow $outputRow =
+       |    (org.apache.spark.sql.catalyst.InternalRow) $iterTerm.next();
+       |  ${consume(ctx, null, outputRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  override def doConsume(
+      ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String =
+    s"""
+       |${row.code}
+       |$stateTerm.update(${row.value});
+     """.stripMargin
+
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
 }

@@ -91,6 +91,27 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset(TopKPerKey.MaxHeapKeysConf)
   }
 
+  test("partial pass participates in whole-stage codegen (no fallback)") {
+    val s = spark.newSession()
+    // compile failures must throw, not silently fall back to interpreted
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    TopKPerKey.install(s)
+    import s.implicits._
+    val df = (1 to 400).map(i => (s"k${i % 7}", (i * 37) % 100, i.toLong))
+      .toDF("key", "value", "id").repartition(11)
+    val w = Window.partitionBy("key").orderBy(desc("value"), asc("id"))
+    val out = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    // execute FIRST: under AQE, CollapseCodegenStages runs per query
+    // stage at materialization, so the pre-execution plan has no '*'
+    // codegen markers anywhere
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got === expected(3))
+    val plan = out.queryExecution.executedPlan.toString
+    // '*(n)' prefix = node is inside a WholeStageCodegen region
+    assert("""\*\(\d+\) PartialTopKPerKey""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("multi-window-function filters are not rewritten") {
     val w = Window.partitionBy("key").orderBy(desc("value"), asc("id"))
     val df = planted
