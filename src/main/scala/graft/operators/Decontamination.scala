@@ -77,7 +77,7 @@ object Decontamination {
     * space-joined form is byte-identical to the Spark expression's window
     * slice even for empty tokens from repeated spaces.
     */
-  private val gramCte: String =
+  private[graft] val gramCte: String =
     s"""d AS (SELECT doc_id, string_split(text, ' ') AS words,
        |  CASE WHEN ${Sampling.bucketSql("split", "doc_id")} < 80 THEN 'train'
        |       WHEN ${Sampling.bucketSql("split", "doc_id")} < 90 THEN 'val'

@@ -60,6 +60,13 @@ object StreamingQueries {
       root.resolve("checkpoint"))
   }
 
+  private def splitDocs(s: SparkSession, dir: String, split: String) =
+    graft.operators.Sampling
+      .hashSplit(Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"))
+      .filter(col("split") === split)
+      .select("doc_id", "text")
+
   val all: Seq[Q] = Seq(
     // SM1: StreamingPacking's AvailableNow wrapper run to completion over
     // a three-file landing replay (maxFilesPerTrigger=1 → three real
@@ -150,6 +157,96 @@ object StreamingQueries {
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
              |  CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)/10000.0 AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+      bench = false
+    ),
+
+    // SM3: StreamingDedup's exact-dedup wrapper run to drain over the
+    // same ordered three-file replay: per batch, fingerprint → in-batch
+    // min-doc_id dedup → anti-join against the persistent fingerprint
+    // state → append survivors. The final state table must equal dd1's
+    // batch answer (first-arriving doc per content = global min doc_id,
+    // because the replay is doc_id-ordered across batches) — the
+    // incremental-equals-batch contract that makes the streaming form
+    // safe to deploy.
+    Q(
+      "sm3_stream_dedup",
+      (s, dir) => {
+        val (landing, state, _, ckpt) = tempDirs("graft_sm3")
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        stageOrderedChunks(docs, "doc_id", Seq(170L, 340L), landing)
+        StreamingDedup.dedupStream(
+          s, landing.toString, docs.schema, state.toString, ckpt.toString)
+          .awaitTermination()
+        s.read.parquet(state.toString)
+          .select("doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT min(doc_id) AS doc_id, min(text) AS text
+             |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin),
+      bench = false
+    ),
+
+    // SM4: StreamingDecontamination's STREAM-STATIC semi join run to
+    // drain: the batch-built train-gram index is the static side, the
+    // test split replays as a stream, flagged doc_ids land in parquet
+    // exactly once. Oracle = dc1/dc2's dirty set (the same gram CTE).
+    Q(
+      "sm4_stream_decontam",
+      (s, dir) => {
+        val (landing, _, _, ckpt) = tempDirs("graft_sm4")
+        val out = Files.createTempDirectory("graft_sm4_out").toString
+        val test = splitDocs(s, dir, "test")
+        stageOrderedChunks(test, "doc_id", Seq(250L), landing)
+        val trainGrams = graft.operators.Decontamination.trainGramIndex(s, dir)
+        StreamingDecontamination.flagStream(
+          landing.toString, test.schema, trainGrams, out, ckpt.toString)
+          .awaitTermination()
+        s.read.parquet(out).select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""WITH ${graft.operators.Decontamination.gramCte}
+              |SELECT DISTINCT doc_id FROM te SEMI JOIN tr ON te.g = tr.g
+              |ORDER BY doc_id""".stripMargin),
+      bench = false
+    ),
+
+    // SM5: the STREAM-STREAM interval join (EventStreams.nearbyPurchases)
+    // run to drain: errors and purchases are two live file streams, the
+    // join key is the 5-minute time bin (stream-stream joins REQUIRE an
+    // equality predicate; the exact ±5 min range rides as residual), and
+    // the watermarks bound the state store. The emitted pair set must
+    // equal the batch interval join the rj1/rj2/rj3 oracles compute.
+    Q(
+      "sm5_stream_interval_join",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_sm5")
+        val eLanding = Files.createDirectories(root.resolve("errors"))
+        val pLanding = Files.createDirectories(root.resolve("purchases"))
+        val ev = Tables(s, dir, "events")
+          .select("event_id", "ts", "event_type")
+        stageOrderedChunks(
+          ev.filter(col("event_type") === "error"), "event_id", Nil, eLanding)
+        stageOrderedChunks(
+          ev.filter(col("event_type") === "purchase"), "event_id", Nil, pLanding)
+        val schema = s.read.parquet(eLanding.toString).schema
+        val joined = EventStreams.nearbyPurchases(
+          s.readStream.schema(schema).parquet(eLanding.toString),
+          s.readStream.schema(schema).parquet(pLanding.toString))
+        val sinkName = s"graft_sm5_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        joined.writeStream
+          .format("memory")
+          .queryName(sinkName)
+          .option("checkpointLocation", root.resolve("checkpoint").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.table(sinkName)
+          .select(col("error_id"), col("purchase_id"))
+          .orderBy("error_id", "purchase_id")
+      },
+      Some("""WITH e AS (SELECT event_id AS error_id, epoch_us(ts) AS eus FROM events WHERE event_type = 'error'),
+             |p AS (SELECT event_id AS purchase_id, epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase')
+             |SELECT error_id, purchase_id FROM e JOIN p ON abs(pus - eus) <= 300000000
+             |ORDER BY error_id, purchase_id""".stripMargin),
       bench = false
     )
   )
