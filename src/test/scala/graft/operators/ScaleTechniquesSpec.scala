@@ -97,6 +97,33 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(plan.contains("skew=true"), s"AQE skew handling not engaged:\n${plan.take(1500)}")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // the 100 TB decontamination enhancement promised in
+    // Decontamination's scaladoc: a bloom filter built from the small
+    // (creation) side is pushed into the probe side's scan, so most
+    // probe rows die before the shuffle
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    val ev = graft.Tables(s, TestSpark.Sf0001, "events")
+    ev.write.mode("overwrite").parquet(s"$dir/events")
+    val probe = s.read.parquet(s"$dir/events").select("event_id", "user_id", "value")
+    // the injector fires only when the creation side carries a SELECTIVE
+    // filter predicate — which is exactly the decontamination shape
+    // (small filtered set probing the big corpus)
+    val build = s.read.parquet(s"$dir/events")
+      .filter(col("event_type") === "error").select(col("event_id").as("eid"))
+    val joined = probe.join(build, col("event_id") === col("eid"))
+    val expected = ev.filter(col("event_type") === "error").count()
+    assert(joined.count() === expected)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+      plan.take(2000))
+  }
+
   test("partitioned layout prunes partitions at the scan") {
     val dir = Files.createTempDirectory("parts").toString
     events.write.partitionBy("event_type").mode("overwrite").parquet(dir)
