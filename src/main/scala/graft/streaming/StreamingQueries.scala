@@ -60,6 +60,20 @@ object StreamingQueries {
       root.resolve("checkpoint"))
   }
 
+  /** Stage one header'd CSV file version into `backups` with an explicit
+    * mtime (versions replay in mtime order, like object-store events).
+    */
+  private def stageCsvVersion(
+      df: DataFrame, backups: Path, name: String, mtimeMs: Long): Unit = {
+    val tmp = Files.createTempDirectory(s"graft_csv_$name")
+    df.coalesce(1).write.mode("overwrite").option("header", true).csv(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".csv"))
+      .findFirst().get()
+    val dest = backups.resolve(name)
+    Files.move(part, dest)
+    Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+  }
+
   private def splitDocs(s: SparkSession, dir: String, split: String) =
     graft.operators.Sampling
       .hashSplit(Tables(s, dir, "documents").select(col("doc_id"), col("text")),
@@ -247,6 +261,41 @@ object StreamingQueries {
              |p AS (SELECT event_id AS purchase_id, epoch_us(ts) AS pus FROM events WHERE event_type = 'purchase')
              |SELECT error_id, purchase_id FROM e JOIN p ON abs(pus - eus) <= 300000000
              |ORDER BY error_id, purchase_id""".stripMargin),
+      bench = false
+    ),
+
+    // SM6: the event-driven WRITE_TRUNCATE warehouse load (the
+    // reference's GCS→BigQuery loader contract, IncrementalLoad) run to
+    // drain over TWO file versions of one table landing in mtime order:
+    // a stale half-table CSV, then the full CSV. maxFilesPerTrigger=1
+    // makes each version its own load event; every event replaces the
+    // warehouse table wholesale, so the final table must equal the LAST
+    // version — the last-write-wins semantics the reference's
+    // write_disposition=WRITE_TRUNCATE guarantees. Driver-verifying the
+    // warehouse content against the events table proves the full
+    // route-filter-reload path (P5 filename guard, CSV schema read,
+    // truncate overwrite) through the streaming runtime.
+    Q(
+      "sm6_stream_truncate_reload",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_sm6")
+        val landing = root.resolve("landing")
+        val backups = Files.createDirectories(landing.resolve("backups"))
+        val ev = Tables(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        stageCsvVersion(ev.filter(col("event_id") < 5000), backups,
+          "events_v1.csv", 1000000000000L)
+        stageCsvVersion(ev, backups, "events_v2.csv", 1000000060000L)
+        IncrementalLoad.truncateReloadStream(
+          s, landing.toString, "events_v*.csv", ev.schema,
+          root.resolve("warehouse").toString,
+          root.resolve("checkpoint").toString)
+          .awaitTermination()
+        s.read.parquet(root.resolve("warehouse").toString)
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, value
+             |FROM events ORDER BY event_id""".stripMargin),
       bench = false
     )
   )
