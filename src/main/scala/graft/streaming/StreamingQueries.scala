@@ -297,6 +297,90 @@ object StreamingQueries {
       Some("""SELECT event_id, user_id, event_type, value
              |FROM events ORDER BY event_id""".stripMargin),
       bench = false
+    ),
+
+    // SM7: the built-in stateful SESSION operator (`session_window`,
+    // EventStreams.sessionize) run to drain in complete mode over the
+    // ordered replay. Session semantics — merge events within a
+    // 30-minute gap — must coincide with ev2's lag/running-sum batch
+    // formulation, so the oracle is ev2's CTE reduced to the streaming
+    // operator's output columns (user_id, session_start, n_events).
+    Q(
+      "sm7_stream_sessions",
+      (s, dir) => {
+        val (landing, _, _, ckpt) = tempDirs("graft_sm7")
+        val ev = Tables(s, dir, "events").select("event_id", "ts", "user_id")
+        stageOrderedChunks(ev, "event_id", Seq(3000L, 6000L), landing)
+        val schema = s.read.parquet(landing.toString).schema
+        val sessions = EventStreams.sessionize(
+          s.readStream.schema(schema).parquet(landing.toString))
+        val sinkName = s"graft_sm7_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        sessions.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.table(sinkName)
+          .select("user_id", "session_start", "n_events")
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sid AS (
+             |  SELECT user_id, ts,
+             |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+             |  FROM g)
+             |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+             |FROM sid GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin),
+      bench = false
+    ),
+
+    // SM8: custom typed state via mapGroupsWithState
+    // (EventStreams.runningUserStats) run to drain: per user, cumulative
+    // event/purchase counts and peak value carried in the state store
+    // across three micro-batches. Each batch emits the user's running
+    // totals; all three stats are MONOTONE, so max() per user over the
+    // update-mode emissions IS the final state — which must equal the
+    // plain batch aggregation over the whole log.
+    Q(
+      "sm8_stream_user_stats",
+      (s, dir) => {
+        val (landing, _, _, ckpt) = tempDirs("graft_sm8")
+        val ev = Tables(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        stageOrderedChunks(ev, "event_id", Seq(3000L, 6000L), landing)
+        val schema = s.read.parquet(landing.toString).schema
+        val stats = EventStreams.runningUserStats(
+          s.readStream.schema(schema).parquet(landing.toString))
+          .toDF("user_id", "stats")
+        val sinkName = s"graft_sm8_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        stats.writeStream
+          .format("memory").queryName(sinkName)
+          .outputMode("update")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.table(sinkName)
+          .groupBy("user_id")
+          .agg(
+            max(col("stats.n_events")).as("n_events"),
+            max(col("stats.n_purchases")).as("n_purchases"),
+            max(col("stats.peak_value")).as("peak_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+             |  max(value) AS peak_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      bench = false
     )
   )
 }
