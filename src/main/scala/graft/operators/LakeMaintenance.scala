@@ -68,6 +68,31 @@ object LakeMaintenance {
     }
   }
 
+  /** Cluster a lake by a sort key: `repartitionByRange(n, keys)` +
+    * `sortWithinPartitions` gives every output file a DISJOINT key range
+    * (range exchange assigns non-overlapping key intervals to tasks), so
+    * parquet column min/max statistics — per file footer and per row
+    * group — let a selective reader skip everything but the files whose
+    * interval contains the predicate. This is the sorted-clustering pass
+    * (the 1-D case of z-ordering) run alongside compaction: compaction
+    * fixes FILE COUNT, clustering fixes FILE RELEVANCE.
+    * LakeMaintenanceSpec asserts the written footers' ranges really are
+    * disjoint; the lk2 registry query proves content preservation.
+    */
+  def clusterBy(
+      df: org.apache.spark.sql.DataFrame,
+      outDir: String,
+      numFiles: Int,
+      partitionKeys: Seq[org.apache.spark.sql.Column],
+      sortKeys: Seq[org.apache.spark.sql.Column] = Nil): Unit =
+    // range-partition on partitionKeys ONLY: a composite range key would
+    // let one partition-key value straddle a file boundary, breaking the
+    // one-file-per-predicate property; sortKeys refine order inside each
+    // file for row-group locality
+    df.repartitionByRange(numFiles, partitionKeys: _*)
+      .sortWithinPartitions(partitionKeys ++ sortKeys: _*)
+      .write.mode("overwrite").option("compression", "zstd").parquet(outDir)
+
   /** LK1: fragment → compact → prove content preservation. The query
     * stages the documents table as a lang-partitioned lake written by 48
     * over-parallel tasks (the fragmentation every incremental ingest
@@ -100,6 +125,27 @@ object LakeMaintenance {
       },
       Some("""SELECT doc_id, lang, source, md5(text) AS text_md5
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // LK2: sort-clustered rewrite — events re-laid-out by user_id so a
+    // per-user read touches one file instead of all of them. Content
+    // preservation is the oracle-checked invariant; the disjoint
+    // per-file key ranges (the thing that makes the layout useful) are
+    // asserted from the parquet footers in LakeMaintenanceSpec.
+    Q(
+      "lk2_cluster_layout",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_lk2")
+        val out = root.resolve("clustered").toString
+        clusterBy(
+          Tables(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
+          out, numFiles = 8, Seq(col("user_id")), Seq(col("event_id")))
+        s.read.parquet(out)
+          .select("event_id", "user_id", "event_type", "value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type, value
+             |FROM events ORDER BY event_id""".stripMargin)
     )
   )
 }

@@ -47,6 +47,30 @@ class LakeMaintenanceSpec extends SparkSpec {
     assert(rowSet(after) === rowSet(before))
   }
 
+  test("clusterBy writes files with disjoint sort-key ranges") {
+    val out = Files.createTempDirectory("graft_lk_cluster").resolve("clustered").toString
+    val ev = graft.Tables(spark, TestSpark.Sf0001, "events")
+      .select("event_id", "user_id", "event_type")
+    LakeMaintenance.clusterBy(ev, out, numFiles = 6,
+      Seq(col("user_id")), Seq(col("event_id")))
+
+    val files = parquetFiles(out)
+    assert(files.size === 6)
+    // per-file user_id ranges from the data itself (what the footer
+    // min/max stats encode) must not overlap: a user_id predicate then
+    // touches exactly one file
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.toString)
+        .agg(min("user_id"), max("user_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) => assert(hiA < loB, ranges)
+      case _ =>
+    }
+    assert(spark.read.parquet(out).count() === ev.count())
+  }
+
   test("unpartitioned lake compacts to a single directory") {
     val root = Files.createTempDirectory("graft_lk_flat")
     val frag = root.resolve("frag").toString
