@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Decontamination.all ++
       operators.Packing.all ++
       operators.LakeMaintenance.all ++
+      operators.ChangeCapture.all ++
       pipeline.CorpusPipeline.all ++
       streaming.StreamingQueries.all ++
       recipes.Seed.all ++

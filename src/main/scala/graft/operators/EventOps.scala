@@ -217,6 +217,60 @@ object EventOps {
              |  (epoch_us(wk) - epoch_us(cohort_week)) // 604800000000 AS week_offset,
              |  count(DISTINCT user_id) AS active_users
              |FROM f GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)
+    ),
+
+    // EV8: gap-fill / resample — regularize an irregular event stream
+    // onto an hourly grid with last-observation-carried-forward, the
+    // time-series prep every downstream forecaster/feature store wants.
+    // Shape at scale: one groupBy(user, hour) with map-side combine, one
+    // groupBy(user) for the per-user span, the grid is explode(sequence)
+    // — rows generated distributed, proportional to span not to events —
+    // then a user-keyed join + ONE window pass for the carry-forward.
+    // Every shuffle is on user_id, so AQE reuses one partitioning.
+    // Values are fixed-point (ev1's convention) so sums are
+    // order-independent; the grid starts at each user's first
+    // observation, so LOCF never reads before the partition start.
+    Q(
+      "ev8_gapfill_locf",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .filter(col("user_id") % 23 === 0)
+          .select(
+            col("user_id"),
+            date_trunc("hour", col("ts")).as("h"),
+            round(col("value") * 10000).cast("long").as("v_fx"))
+        val obs = ev.groupBy("user_id", "h").agg(sum("v_fx").as("hour_fx"))
+        val grid = ev.groupBy("user_id")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(
+            col("user_id"),
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(obs, Seq("user_id", "h"), "left")
+          .select(
+            col("user_id"), col("h"),
+            last(col("hour_fx"), ignoreNulls = true).over(w).as("filled_fx"),
+            col("hour_fx").isNull.as("gap"))
+          .orderBy("user_id", "h")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS h,
+             |    CAST(round(value * 10000) AS BIGINT) AS v_fx
+             |  FROM events WHERE user_id % 23 = 0),
+             |obs AS (
+             |  SELECT user_id, h, CAST(SUM(v_fx) AS BIGINT) AS hour_fx
+             |  FROM e GROUP BY user_id, h),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+             |  FROM e GROUP BY user_id)
+             |SELECT g.user_id, g.h,
+             |  last_value(o.hour_fx IGNORE NULLS) OVER (
+             |    PARTITION BY g.user_id ORDER BY g.h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_fx,
+             |  o.hour_fx IS NULL AS gap
+             |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+             |ORDER BY g.user_id, g.h""".stripMargin)
     )
   )
 }

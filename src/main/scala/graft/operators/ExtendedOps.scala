@@ -257,6 +257,53 @@ object ExtendedOps {
              |FROM w ORDER BY o_custkey, order_seq""".stripMargin)
     ),
 
+    // WF2: the navigation/distribution window surface — lag/lead deltas
+    // along each customer's order history plus ntile quartile,
+    // percent_rank and cume_dist within each priority class. Two window
+    // specs → two shuffles (customer-keyed, priority-keyed); Spark plans
+    // one Window node per spec and evaluates all functions that share a
+    // spec in the same pass. Money is fixed-point cents (wf1's
+    // convention); percent_rank/cume_dist are ratios of exact row counts
+    // so the doubles compare bit-identically. Both orderings carry
+    // o_orderkey as the unique tiebreaker — lag/lead and ntile are
+    // frame-order-sensitive, so a non-total order would be
+    // nondeterministic on ties.
+    Q(
+      "wf2_nav_distribution",
+      (s, dir) => {
+        val w1 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val w2 = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+        Tables(s, dir, "orders")
+          .select(
+            col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("o_orderpriority"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .withColumn("prev_cents", lag("cents", 1).over(w1))
+          .withColumn("next_cents", lead("cents", 1).over(w1))
+          .withColumn("delta_cents", col("cents") - col("prev_cents"))
+          .withColumn("price_quartile", ntile(4).over(w2))
+          .withColumn("price_pct_rank", percent_rank().over(w2))
+          .withColumn("price_cume_dist", cume_dist().over(w2))
+          .select(
+            "o_orderkey", "o_custkey", "cents", "prev_cents", "next_cents",
+            "delta_cents", "price_quartile", "price_pct_rank", "price_cume_dist")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+             |SELECT o_orderkey, o_custkey, cents,
+             |  lag(cents) OVER w1 AS prev_cents,
+             |  lead(cents) OVER w1 AS next_cents,
+             |  cents - lag(cents) OVER w1 AS delta_cents,
+             |  CAST(ntile(4) OVER w2 AS INT) AS price_quartile,
+             |  percent_rank() OVER w2 AS price_pct_rank,
+             |  cume_dist() OVER w2 AS price_cume_dist
+             |FROM o
+             |WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             |       w2 AS (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)
+    ),
+
     // A10: CUBE — all four (priority × status) grouping combinations in
     // one pass plus per-column GROUPING flags (the NULL-vs-subtotal
     // disambiguators). Spark expands the cube into an internal Expand

@@ -77,6 +77,50 @@ object Sampling {
               |WHERE ${bucketSql("strat", "event_id")} <
               |  CASE event_type WHEN 'purchase' THEN 50 WHEN 'error' THEN 2 ELSE 10 END
               |ORDER BY event_id""".stripMargin)
+    ),
+
+    // Corpus mixture: resample sources to target weights — the data-mix
+    // step every LM training run does (upweight curated sources, thin
+    // the crawl). A weight w means each doc yields floor(w) copies plus
+    // one more iff its hash bucket falls under frac(w)·100 — so the
+    // EXPECTED multiplicity is exactly w, per-doc assignment is
+    // deterministic/rerunnable, and execution is a per-row projection +
+    // explode(sequence(1, copies)): no shuffle, no sampling state,
+    // copies carry a copy_idx so downstream packing/shuffling can
+    // distinguish epochs. Weights here: src0/src1 ×2.5 (upsample),
+    // src2/src3 ×1.0 (keep), everything else ×0.25 (thin).
+    // Spark's sequence(1, 0) would DESCEND ([1,0]) rather than return
+    // empty, so zero-copy rows are filtered before the explode.
+    Q(
+      "sp3_corpus_mixture",
+      (s, dir) => {
+        val curated = col("source").isin("src0", "src1")
+        val kept = col("source").isin("src2", "src3")
+        val base = when(curated, 2).when(kept, 1).otherwise(0)
+        val fracPct = when(curated, 50).when(kept, 0).otherwise(25)
+        val copies = base +
+          when(bucket("mix", col("doc_id")) < fracPct, 1).otherwise(0)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), copies.as("copies"))
+          .filter(col("copies") >= 1)
+          .select(
+            col("doc_id"), col("source"),
+            explode(sequence(lit(1), col("copies"))).as("copy_idx"))
+          .orderBy("doc_id", "copy_idx")
+      },
+      Some(s"""WITH c AS (
+              |  SELECT doc_id, source,
+              |    (CASE WHEN source IN ('src0','src1') THEN 2
+              |          WHEN source IN ('src2','src3') THEN 1 ELSE 0 END
+              |     + CASE WHEN ${bucketSql("mix", "doc_id")} <
+              |         (CASE WHEN source IN ('src0','src1') THEN 50
+              |               WHEN source IN ('src2','src3') THEN 0 ELSE 25 END)
+              |       THEN 1 ELSE 0 END) AS copies
+              |  FROM documents)
+              |SELECT doc_id, source,
+              |  CAST(unnest(generate_series(1, copies)) AS INT) AS copy_idx
+              |FROM c WHERE copies >= 1
+              |ORDER BY doc_id, copy_idx""".stripMargin)
     )
   )
 }

@@ -356,6 +356,72 @@ object TextAnalysis {
              |      ORDER BY tf.tf * 1000000 * n.n_docs // dfx.df DESC, tf.term) AS BIGINT) AS rank
              |  FROM tf JOIN dfx USING (term), n)
              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
+    ),
+
+    // Gopher-style repetition/quality rule table (Rae et al. 2021,
+    // "Scaling Language Models" §A1.1 — public filter heuristics): mean
+    // word length in [3,10], ≥80% of words contain an alphabetic
+    // character, symbol-to-word ratio (# and ellipsis) ≤ 0.1, ≥2
+    // stopword hits, ≥10 words. Each metric is a ratio of exact integer
+    // tallies (so the doubles are bit-identical across engines), the
+    // whole rule table is one projection pass — at 100 TB this runs as
+    // a scan predicate exactly like tx2's quality gate, and the flags
+    // feed the corpus pipeline's quality stage.
+    Q(
+      "tx11_gopher_rules",
+      (s, dir) => {
+        val words = split(col("text"), " ")
+        val nWords = size(words)
+        val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
+        val nStop = size(filter(words, w => w.isInCollection(Stopwords)))
+        val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+        val nEllipsis =
+          (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            nWords.as("n_words"),
+            length(col("text")).as("len_chars"),
+            nAlpha.as("n_alpha"),
+            nStop.as("n_stop"),
+            // nEllipsis is Column `/` (double) — exact (the diff is a
+            // multiple of 3), so the int cast is lossless in both engines
+            (nHash + nEllipsis).cast("int").as("n_symbols"))
+          .select(
+            col("doc_id"), col("n_words"), col("n_alpha"), col("n_stop"), col("n_symbols"),
+            ((col("len_chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
+              .as("mean_word_len"),
+            (col("n_alpha").cast("double") / col("n_words")).as("alpha_frac"),
+            (col("n_symbols").cast("double") / col("n_words")).as("symbol_ratio"))
+          .withColumn(
+            "pass",
+            col("mean_word_len").between(3.0, 10.0) &&
+              col("alpha_frac") >= 0.8 &&
+              col("symbol_ratio") <= 0.1 &&
+              col("n_stop") >= 2 &&
+              col("n_words") >= 10)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT doc_id,
+              |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+              |    CAST(length(text) AS INT) AS len_chars,
+              |    CAST(len(list_filter(string_split(text, ' '),
+              |      w -> regexp_matches(w, '[A-Za-z]'))) AS INT) AS n_alpha,
+              |    CAST(len(list_filter(string_split(text, ' '),
+              |      w -> w IN ($stopwordSqlList))) AS INT) AS n_stop,
+              |    CAST((length(text) - length(replace(text, '#', '')))
+              |      + (length(text) - length(replace(text, '...', ''))) / 3 AS INT) AS n_symbols
+              |  FROM documents)
+              |SELECT doc_id, n_words, n_alpha, n_stop, n_symbols,
+              |  CAST(len_chars - (n_words - 1) AS DOUBLE) / n_words AS mean_word_len,
+              |  CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+              |  CAST(n_symbols AS DOUBLE) / n_words AS symbol_ratio,
+              |  (CAST(len_chars - (n_words - 1) AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0)
+              |    AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+              |    AND CAST(n_symbols AS DOUBLE) / n_words <= 0.1
+              |    AND n_stop >= 2 AND n_words >= 10 AS pass
+              |FROM m ORDER BY doc_id""".stripMargin)
     )
   )
 }
