@@ -93,6 +93,73 @@ object LakeMaintenance {
       .sortWithinPartitions(partitionKeys ++ sortKeys: _*)
       .write.mode("overwrite").option("compression", "zstd").parquet(outDir)
 
+  /** Morton/Z-value: interleave the low `bits` bits of x (even bit
+    * positions) and y (odd positions). Adjacent z values are adjacent in
+    * BOTH source dimensions, so range-partitioning on z gives every
+    * output file a bounding BOX in (x, y) — the 2-D generalization of
+    * `clusterBy`'s disjoint 1-D ranges. Pure bit arithmetic, fully
+    * codegen'd, no UDF.
+    */
+  def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The same interleave as ANSI SQL (for the DuckDB oracle). */
+  private[graft] def zValueSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " + ", ")")
+
+  /** Z-order clustering: grade both dimensions onto a 256-cell
+    * EQUAL-DEPTH grid (each cell holds ~1/256 of the rows), interleave
+    * to a Morton key, range-partition + sort on it. Every output file
+    * then covers a rectangle of (x, y) QUANTILE space: selective
+    * predicates on EITHER dimension skip files by footer min/max — the
+    * property a 1-D sort only gives its leading key. Equal-depth, not
+    * equal-width: a skewed dimension (this corpus's value column packs
+    * most rows into the bottom tenth of its range) collapses an
+    * equal-width grid onto a few cells and the interleave degenerates
+    * to a 1-D sort on the other key — measured before this was rewritten.
+    *
+    * The grade map is the dimension's exact CDF built on its
+    * DISTINCT-VALUE table (groupBy(x).count → running sum), then
+    * broadcast back — the same shape a production OPTIMIZE ZORDER gets
+    * from sampled range boundaries, exact here so reruns and the DuckDB
+    * oracle are bit-identical. The single-partition running sum is over
+    * distinct values only (bounded cardinality by construction of a
+    * bucketable dimension); swap in approxQuantile boundaries for
+    * genuinely unbounded dims. Appends `z` to the written schema.
+    */
+  def zCluster(
+      df: org.apache.spark.sql.DataFrame,
+      outDir: String,
+      numFiles: Int,
+      x: String,
+      y: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    def gradeMap(c: String, alias: String) = {
+      val ordered = Window.orderBy(col(c))
+      df.groupBy(col(c)).agg(count(lit(1)).as("_n"))
+        .withColumn("_cum",
+          coalesce(sum(col("_n")).over(
+            ordered.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("_tot",
+          sum(col("_n")).over(
+            ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col(c), expr("_cum * 256 DIV _tot").as(alias))
+    }
+    df.join(broadcast(gradeMap(x, "_xb")), Seq(x))
+      .join(broadcast(gradeMap(y, "_yb")), Seq(y))
+      .withColumn("z", zValue(col("_xb"), col("_yb"), 8))
+      .select(df.columns.map(col) :+ col("z"): _*)
+      .repartitionByRange(numFiles, col("z"))
+      .sortWithinPartitions("z")
+      .write.mode("overwrite").option("compression", "zstd").parquet(outDir)
+  }
+
   /** LK1: fragment → compact → prove content preservation. The query
     * stages the documents table as a lang-partitioned lake written by 48
     * over-parallel tasks (the fragmentation every incremental ingest
@@ -146,6 +213,44 @@ object LakeMaintenance {
       },
       Some("""SELECT event_id, user_id, event_type, value
              |FROM events ORDER BY event_id""".stripMargin)
+    ),
+
+    // LK3: z-order rewrite — events clustered on (user_id, value-bucket)
+    // jointly, so both per-user reads AND value-range scans skip files.
+    // Content + the Morton key are the oracle-checked invariants (the
+    // oracle recomputes grid bounds and the 16-term bit interleave from
+    // the raw table); the 2-D skipping advantage over a 1-D sort is
+    // measured from per-file bounds in LakeMaintenanceSpec.
+    Q(
+      "lk3_zorder_layout",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_lk3")
+        val out = root.resolve("zordered").toString
+        zCluster(
+          Tables(s, dir, "events")
+            .select(col("event_id"), col("user_id"),
+              floor(col("value")).cast("long").as("vbucket")),
+          out, numFiles = 16, x = "user_id", y = "vbucket")
+        s.read.parquet(out)
+          .select("event_id", "user_id", "vbucket", "z")
+          .orderBy("event_id")
+      },
+      Some(s"""WITH e AS (SELECT event_id, user_id,
+              |            CAST(floor(value) AS BIGINT) AS vbucket FROM events),
+              |xm AS (SELECT user_id,
+              |         CAST(COALESCE(SUM(_n) OVER (ORDER BY user_id
+              |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |           * 256 // SUM(_n) OVER () AS BIGINT) AS xb
+              |       FROM (SELECT user_id, count(*) AS _n FROM e GROUP BY user_id)),
+              |ym AS (SELECT vbucket,
+              |         CAST(COALESCE(SUM(_n) OVER (ORDER BY vbucket
+              |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |           * 256 // SUM(_n) OVER () AS BIGINT) AS yb
+              |       FROM (SELECT vbucket, count(*) AS _n FROM e GROUP BY vbucket))
+              |SELECT event_id, user_id, vbucket,
+              |  ${zValueSql("xb", "yb", 8)} AS z
+              |FROM e JOIN xm USING (user_id) JOIN ym USING (vbucket)
+              |ORDER BY event_id""".stripMargin)
     )
   )
 }

@@ -71,6 +71,40 @@ class LakeMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === ev.count())
   }
 
+  test("z-order layout skips files on the NON-leading dimension; 1-D sort cannot") {
+    val root = Files.createTempDirectory("graft_lk_z")
+    val zDir = root.resolve("zordered").toString
+    val sDir = root.resolve("sorted").toString
+    val ev = graft.Tables(spark, TestSpark.Sf0001, "events")
+      .select(col("event_id"), col("user_id"),
+        floor(col("value")).cast("long").as("vbucket"))
+    LakeMaintenance.zCluster(ev, zDir, numFiles = 8, x = "user_id", y = "vbucket")
+    LakeMaintenance.clusterBy(ev, sDir, numFiles = 8, Seq(col("user_id")))
+
+    // per-file (min,max) of vbucket — what the parquet footer stats
+    // encode and what a reader's file-skipping consults
+    def vRanges(dir: String): Seq[(Long, Long)] = parquetFiles(dir).map { f =>
+      val r = spark.read.parquet(f.toString).agg(min("vbucket"), max("vbucket")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val r = ev.agg(min("vbucket"),
+      expr("percentile(vbucket, 0.25)").cast("long")).head()
+    val (v0, hi) = (r.getLong(0), r.getLong(1))
+    // predicate on the non-leading dimension: the lowest-QUANTILE quarter
+    // of rows (the value dim is skewed; a range-quarter predicate would
+    // match most rows and no layout could skip files on it)
+    def touched(ranges: Seq[(Long, Long)]): Int =
+      ranges.count { case (lo, hiF) => !(hiF < v0 || lo > hi) }
+    val zTouched = touched(vRanges(zDir))
+    val sTouched = touched(vRanges(sDir))
+    // the user-sorted layout interleaves vbucket everywhere: every file
+    // intersects; the z-layout must skip at least a third of the files
+    assert(sTouched === 8, s"sorted layout expected to touch all files, got $sTouched")
+    assert(zTouched <= 5, s"z-layout touched $zTouched of 8 files")
+    // and the rewrite preserves row count
+    assert(spark.read.parquet(zDir).count() === ev.count())
+  }
+
   test("unpartitioned lake compacts to a single directory") {
     val root = Files.createTempDirectory("graft_lk_flat")
     val frag = root.resolve("frag").toString
