@@ -54,6 +54,9 @@ object GraftFunctions {
   /** # positions where two equal-length long arrays agree. */
   val AgreeName = "graft_positional_agree_count"
 
+  /** Misra–Gries heavy-hitters sketch aggregate over a long column. */
+  val MisraGriesName = "graft_misra_gries"
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(getClass.getName, null, name, usage, "")
 
@@ -130,6 +133,14 @@ object GraftFunctions {
         // bare AggregateFunction: the analyzer wraps it in an
         // AggregateExpression during UnresolvedFunction resolution
         BottomKLongs(children(0), k)
+      })
+    ensure(MisraGriesName, "_FUNC_(col, m) - Misra-Gries heavy-hitter sketch")(
+      children => {
+        val m = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(s"m must be a literal, got $other")
+        }
+        MisraGriesLongs(children(0), m)
       })
   }
 }

@@ -422,6 +422,48 @@ object TextAnalysis {
               |    AND CAST(n_symbols AS DOUBLE) / n_words <= 0.1
               |    AND n_stop >= 2 AND n_words >= 10 AS pass
               |FROM m ORDER BY doc_id""".stripMargin)
+    ),
+
+    // HH1: exact vocabulary heavy hitters (tokens with ≥ 2% share) by
+    // sketch + verify — the two-pass shape that works when the
+    // vocabulary itself is too large to shuffle. Pass 1 aggregates a
+    // 64-counter Misra–Gries sketch (custom mergeable
+    // TypedImperativeAggregate, map-side partials like any built-in
+    // agg) whose candidates PROVABLY superset every token above
+    // 1/65 ≈ 1.5% < 2%; pass 2 exact-counts ONLY candidate tokens (a
+    // broadcast 64-key join filters the explode), so the groupBy
+    // shuffles O(sketch) keys, never O(vocabulary). The two passes cost
+    // two scans; at 100 TB that beats one scan + a billion-key shuffle.
+    // The verify pass makes the answer EXACT — the DuckDB oracle is the
+    // plain exact query, not an error band.
+    Q(
+      "hh1_heavy_hitters",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val toks = Tables(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .withColumn("h",
+            conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+        val sketch = toks.agg(
+          call_function(graft.functions.GraftFunctions.MisraGriesName,
+            col("h"), lit(64)).as("mg"),
+          count(lit(1)).as("n_tokens"))
+        val cands = sketch
+          .select(explode(col("mg")).as("c"), col("n_tokens"))
+          .select(col("c.item").as("h"), col("n_tokens"))
+        toks.join(broadcast(cands), Seq("h"))
+          .groupBy(col("tok"), col("n_tokens"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * 50 >= col("n_tokens"))
+          .select(col("tok"), col("cnt"),
+            expr("cnt * 10000 DIV n_tokens").as("share_bps"))
+          .orderBy("tok")
+      },
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+             |n AS (SELECT count(*) AS n_tokens FROM t),
+             |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
+             |SELECT tok, cnt, cnt * 10000 // n_tokens AS share_bps
+             |FROM c, n WHERE cnt * 50 >= n_tokens ORDER BY tok""".stripMargin)
     )
   )
 }
