@@ -33,6 +33,36 @@ import org.apache.spark.sql.functions._
   */
 object ChangeCapture {
 
+  /** Snapshot A (yesterday's order book): every 7th key missing. */
+  def snapshotA(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      .filter(col("o_orderkey") % 7 =!= 0)
+
+  /** Snapshot B (today's): every 5th key missing, every 3rd repriced. */
+  def snapshotB(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      .filter(col("o_orderkey") % 5 =!= 0)
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 10)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+
+  /** The A→B changelog: one full-outer join, unchanged rows dropped. */
+  def changelog(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    snapshotA(s, dir).alias("a")
+      .join(snapshotB(s, dir).alias("b"),
+        col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+      .filter(
+        col("a.o_orderkey").isNull || col("b.o_orderkey").isNull ||
+          col("a.o_totalprice") =!= col("b.o_totalprice"))
+      .select(
+        coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+        when(col("a.o_orderkey").isNull, "insert")
+          .when(col("b.o_orderkey").isNull, "delete")
+          .otherwise("update").as("change_type"),
+        col("a.o_totalprice").as("old_price"),
+        col("b.o_totalprice").as("new_price"))
+
   val all: Seq[Q] = Seq(
     // CDC: diff two order-book snapshots into a changelog. Snapshot A
     // (yesterday) drops every 7th key; snapshot B (today) drops every
@@ -43,28 +73,7 @@ object ChangeCapture {
     // table size.
     Q(
       "cd1_snapshot_diff",
-      (s, dir) => {
-        val o = Tables(s, dir, "orders").select("o_orderkey", "o_totalprice")
-        val snapA = o.filter(col("o_orderkey") % 7 =!= 0)
-        val snapB = o.filter(col("o_orderkey") % 5 =!= 0)
-          .select(
-            col("o_orderkey"),
-            when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 10)
-              .otherwise(col("o_totalprice")).as("o_totalprice"))
-        snapA.alias("a")
-          .join(snapB.alias("b"), col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
-          .filter(
-            col("a.o_orderkey").isNull || col("b.o_orderkey").isNull ||
-              col("a.o_totalprice") =!= col("b.o_totalprice"))
-          .select(
-            coalesce(col("a.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
-            when(col("a.o_orderkey").isNull, "insert")
-              .when(col("b.o_orderkey").isNull, "delete")
-              .otherwise("update").as("change_type"),
-            col("a.o_totalprice").as("old_price"),
-            col("b.o_totalprice").as("new_price"))
-          .orderBy("o_orderkey")
-      },
+      (s, dir) => changelog(s, dir).orderBy("o_orderkey"),
       Some("""WITH a AS (
              |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
              |b AS (

@@ -381,6 +381,44 @@ object StreamingQueries {
              |  max(value) AS peak_value
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
       bench = false
+    ),
+
+    // SM9: copy-on-write MERGE apply — ChangeCapture's A→B changelog
+    // replayed as three key-ordered micro-batches into the
+    // bucket-partitioned snapshot-A lake via StreamingMerge (per batch:
+    // rewrite only the buckets the batch's keys hash into; delete =
+    // anti-join, upsert = anti-join + union). Draining the stream must
+    // reproduce snapshot B exactly — the oracle recomputes B from the
+    // raw orders table, so a dropped delete, double-applied upsert, or
+    // bucket routing error all hash-mismatch. The incremental successor
+    // to sm6's truncate-reload: same trigger lifecycle, O(churn) work.
+    Q(
+      "sm9_stream_cdc_apply",
+      (s, dir) => {
+        val (landing, state, _, ckpt) = tempDirs("graft_sm9")
+        val snapA = graft.operators.ChangeCapture.snapshotA(s, dir)
+        StreamingMerge.seedSnapshot(snapA, "o_orderkey", state.toString, numBuckets = 8)
+        stageOrderedChunks(
+          graft.operators.ChangeCapture.changelog(s, dir),
+          "o_orderkey", Seq(5000L, 10000L), landing)
+        val schema = s.read.parquet(landing.toString).schema
+        StreamingMerge.applyChangesStream(
+          s, landing.toString, schema, "o_orderkey", state.toString,
+          numBuckets = 8, ckpt.toString,
+          toUpsert = ch =>
+            ch.select(col("o_orderkey"), col("new_price").as("o_totalprice")),
+          maxFilesPerTrigger = Some(1))
+          .awaitTermination()
+        s.read.parquet(state.toString)
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+             |       ELSE o_totalprice END AS o_totalprice
+             |FROM orders WHERE o_orderkey % 5 <> 0
+             |ORDER BY o_orderkey""".stripMargin),
+      bench = false
     )
   )
 }

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** StreamingMerge invariants beyond sm9's oracle row-hash: delete/upsert
+  * semantics per batch, and the copy-on-write guarantee — buckets a
+  * batch doesn't touch keep their files byte-identical (same mtime).
+  */
+class StreamingMergeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def readState(path: String) =
+    spark.read.parquet(path).select("k", "v").orderBy("k")
+
+  test("applyBatch rewrites only affected buckets; others keep their files") {
+    val state = Files.createTempDirectory("graft_merge_spec").resolve("state").toString
+    val snap = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (8L, "e")).toDF("k", "v")
+    StreamingMerge.seedSnapshot(snap, "k", state, numBuckets = 4)
+
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileStamps(bucket: Int): Map[String, Long] =
+      fs.listStatus(new Path(s"$state/bucket=$bucket")).toSeq
+        .map(f => f.getPath.getName -> f.getModificationTime).toMap
+    val untouched2 = fileStamps(2)
+    val untouched3 = fileStamps(3)
+
+    // batch touches buckets 0 (update k=0, insert k=4, delete k=8) and 1 (delete k=1)
+    val batch = Seq(
+      (0L, "update", "A"), (4L, "insert", "X"), (8L, "delete", null),
+      (1L, "delete", null)).toDF("k", "change_type", "new_v")
+    StreamingMerge.applyBatch(spark, batch, "k", state, numBuckets = 4, batchId = 0L,
+      toUpsert = ch => ch.select(col("k"), col("new_v").as("v")))
+
+    assert(readState(state).as[(Long, String)].collect().toSeq ===
+      Seq((0L, "A"), (2L, "c"), (3L, "d"), (4L, "X")))
+    // copy-on-write: buckets 2 and 3 were not rewritten
+    assert(fileStamps(2) === untouched2)
+    assert(fileStamps(3) === untouched3)
+  }
+
+  test("sequential batches compose: later upsert wins, re-insert after delete works") {
+    val state = Files.createTempDirectory("graft_merge_spec2").resolve("state").toString
+    StreamingMerge.seedSnapshot(Seq((1L, "a")).toDF("k", "v"), "k", state, numBuckets = 2)
+    val apply = (rows: Seq[(Long, String, String)], id: Long) =>
+      StreamingMerge.applyBatch(spark, rows.toDF("k", "change_type", "new_v"),
+        "k", state, numBuckets = 2, batchId = id,
+        toUpsert = ch => ch.select(col("k"), col("new_v").as("v")))
+    apply(Seq((1L, "delete", null), (2L, "insert", "b")), 0L)
+    apply(Seq((1L, "insert", "a2"), (2L, "update", "b2")), 1L)
+    assert(readState(state).as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a2"), (2L, "b2")))
+  }
+}
