@@ -271,6 +271,49 @@ object EventOps {
              |  o.hour_fx IS NULL AS gap
              |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
              |ORDER BY g.user_id, g.h""".stripMargin)
+    ),
+
+    // EV9: per-user z-score outliers — the streaming-adjacent anomaly
+    // gate (flag events far from the user's own distribution). Moments
+    // come from EXACT integer sums (n, Σfx, Σfx²) in one map-side-
+    // combined groupBy, then mean/σ/z are a FIXED double expression tree
+    // over those integers — every op is IEEE-correctly-rounded (÷, ×,
+    // −, sqrt), so both engines produce bit-identical doubles; neither
+    // engine's built-in stddev is used (accumulation order would
+    // differ). σ=0 users yield z=NaN which fails the |z| filter in both
+    // engines. One shuffle for moments, broadcast join back, scan-side
+    // filter — at 100 TB the moment table is |users| rows.
+    Q(
+      "ev9_zscore_outliers",
+      (s, dir) => {
+        val f = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            round(col("value") * 10000).cast("long").as("fx"))
+        val st = f.groupBy("user_id").agg(
+          count(lit(1)).as("n"),
+          sum("fx").as("s1"),
+          sum(col("fx") * col("fx")).as("s2"))
+        val m = col("s1").cast("double") / col("n")
+        val z = (col("fx").cast("double") - m) /
+          sqrt(col("s2").cast("double") / col("n") - m * m)
+        f.join(broadcast(st), Seq("user_id"))
+          .select(col("event_id"), col("user_id"), col("value"), z.as("z"))
+          .filter(abs(col("z")) > 2.5)
+          .orderBy("event_id")
+      },
+      Some("""WITH f AS (SELECT event_id, user_id, value,
+             |            CAST(round(value * 10000) AS BIGINT) AS fx FROM events),
+             |st AS (SELECT user_id, count(*) AS n,
+             |         CAST(SUM(fx) AS BIGINT) AS s1,
+             |         CAST(SUM(fx * fx) AS BIGINT) AS s2
+             |       FROM f GROUP BY user_id),
+             |z AS (SELECT f.event_id, f.user_id, f.value,
+             |        (CAST(fx AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+             |          sqrt(CAST(s2 AS DOUBLE) / n
+             |               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS z
+             |      FROM f JOIN st USING (user_id))
+             |SELECT event_id, user_id, value, z FROM z
+             |WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin)
     )
   )
 }

@@ -157,6 +157,38 @@ object ExtendedOps {
              |ORDER BY side, o_custkey""".stripMargin)
     ),
 
+    // U2: bag-semantics set ops — EXCEPT ALL / INTERSECT ALL preserve
+    // multiplicity (a customer with 3 urgent and 1 high order appears
+    // twice in the difference), which is what reconciliation queries
+    // actually need; the u1 set variants collapse counts. Spark plans
+    // these as a single aggregate-of-signed-counts + generate, not a
+    // per-row sort-merge — one shuffle each.
+    Q(
+      "u2_bag_set_ops",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        val high = o.filter(col("o_orderpriority") === "2-HIGH")
+          .select(col("o_custkey"))
+        urgent.exceptAll(high).withColumn("side", lit("urgent_surplus"))
+          .unionAll(urgent.intersectAll(high).withColumn("side", lit("both")))
+          .groupBy("side", "o_custkey").agg(count(lit(1)).as("n"))
+          .orderBy("side", "o_custkey")
+      },
+      Some("""SELECT side, o_custkey, count(*) AS n FROM (
+             |  SELECT o_custkey, 'urgent_surplus' AS side FROM
+             |    (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |     EXCEPT ALL
+             |     SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+             |  UNION ALL
+             |  SELECT o_custkey, 'both' AS side FROM
+             |    (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |     INTERSECT ALL
+             |     SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'))
+             |GROUP BY side, o_custkey ORDER BY side, o_custkey""".stripMargin)
+    ),
+
     // PV1: pivot (long-to-wide) — status × priority revenue matrix.
     // Spark's relational pivot with EXPLICIT pivot values: without them
     // the planner runs an extra distinct-collect job to discover the
