@@ -247,6 +247,43 @@ object ExtendedOps {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
 
+    // WQ2: robust dispersion — per-group median, MAD (median absolute
+    // deviation) and the |x−med| > 3·MAD outlier tally. MAD is the
+    // robust σ (immune to the heavy tail that poisons mean/stddev
+    // gates); the shape is two scans + two BROADCAST joins of 3-row
+    // medians — nothing wide shuffles. percentile() is Spark's exact
+    // interpolated percentile = DuckDB quantile_cont, the equivalence
+    // wq1 already pins down.
+    Q(
+      "wq2_mad_robust",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem").select("l_returnflag", "l_quantity")
+        val med = li.groupBy("l_returnflag")
+          .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+        val d = li.join(broadcast(med), Seq("l_returnflag"))
+          .withColumn("adev", abs(col("l_quantity") - col("med")))
+        val m2 = d.groupBy("l_returnflag", "med")
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        d.select("l_returnflag", "adev")
+          .join(broadcast(m2), Seq("l_returnflag"))
+          .groupBy("l_returnflag", "med", "mad")
+          .agg(sum(when(col("adev") > lit(3) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH med AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+             |            FROM lineitem GROUP BY 1),
+             |d AS (SELECT l.l_returnflag, med, abs(l_quantity - med) AS adev
+             |      FROM lineitem l JOIN med USING (l_returnflag)),
+             |m2 AS (SELECT l_returnflag, med, quantile_cont(adev, 0.5) AS mad
+             |       FROM d GROUP BY 1, 2)
+             |SELECT d.l_returnflag, m2.med, m2.mad,
+             |  CAST(count(*) FILTER (WHERE d.adev > 3 * m2.mad) AS BIGINT) AS n_outliers
+             |FROM d JOIN m2 USING (l_returnflag)
+             |GROUP BY d.l_returnflag, m2.med, m2.mad
+             |ORDER BY l_returnflag""".stripMargin)
+    ),
+
     // WF1: cumulative + full-partition analytics in ONE window pass:
     // running order total, order sequence number, and each order's share
     // of the customer's lifetime spend. One shuffle on o_custkey serves

@@ -560,6 +560,42 @@ object Similarity {
              |  CAST(SUM(fx) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS centroid,
              |  count(*) AS n
              |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin)
+    ),
+
+    // EM4: signed random projection (Achlioptas/JL) — compress 64-d
+    // embeddings to 16 dense features y_p = (1/√16)·⟨x, s_p⟩ with the
+    // SAME md5-derived ±1 plane family the LSH index uses, so sign(y)
+    // IS the 16-plane LSH code (emitted as the bitmask). Distances are
+    // preserved in expectation (JL): downstream clustering/dedup can run
+    // on 4× less data. Per-row projection work only — 16 native codegen
+    // dots, zero shuffle; the scale factor 0.25 is exact binary so both
+    // engines' doubles agree bit-for-bit.
+    Q(
+      "em4_rp_compress",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val rpDims = 16
+        val rp = array((0 until rpDims).map(p =>
+          lit(0.25) * dotPlane(embD, plane(p))): _*)
+        val signs = (1 to rpDims).map(p =>
+          when(element_at(col("rp"), p) > 0, lit(1 << (p - 1))).otherwise(lit(0)))
+          .reduce(_ + _).cast("int")
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"), rp.as("rp"))
+          .select(col("vec_id"), col("rp"), signs.as("sign_code"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val planesSql = (0 until 16).map { p =>
+          val coefs = plane(p).mkString("[", ",", "]")
+          s"0.25 * list_sum(list_transform(generate_series(1, $Dims), i -> CAST(embedding[i] AS DOUBLE) * ($coefs)[i]))"
+        }.mkString("[\n   ", ",\n   ", "]")
+        s"""WITH r AS (SELECT vec_id, $planesSql AS rp FROM embeddings)
+           |SELECT vec_id, rp,
+           |  CAST(list_sum(list_transform(generate_series(1, 16),
+           |    p -> CASE WHEN rp[p] > 0 THEN (1 << (p - 1)) ELSE 0 END)) AS INT) AS sign_code
+           |FROM r ORDER BY vec_id""".stripMargin
+      }
     )
   )
 }

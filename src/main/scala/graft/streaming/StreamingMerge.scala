@@ -77,8 +77,10 @@ object StreamingMerge {
       .withColumn("_bucket", pmod(col(keyCol), lit(numBuckets.toLong)))
       .cache()
     try {
-      // O(numBuckets)-bounded driver list — which bucket dirs to rewrite
-      val affected = b.select("_bucket").distinct().collect().map(_.getLong(0)).sorted
+      // O(numBuckets)-bounded driver value (ONE aggregated row, like
+      // Dedup's convergence counts) — which bucket dirs to rewrite
+      val affected = b.agg(collect_set(col("_bucket")))
+        .head().getSeq[Long](0).sorted
       val fs = new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
       affected.foreach { bk =>
         val dir = new Path(s"$statePath/bucket=$bk")
