@@ -251,6 +251,39 @@ object LakeMaintenance {
               |  ${zValueSql("xb", "yb", 8)} AS z
               |FROM e JOIN xm USING (user_id) JOIN ym USING (vbucket)
               |ORDER BY event_id""".stripMargin)
+    ),
+
+    // LK4: schema evolution at read — the lake reality that writers
+    // upgrade before readers. batch=1 files carry (doc_id, source);
+    // batch=2 files add n_chars. `mergeSchema` unions the footers and
+    // old files surface the new column as NULL — no rewrite of history,
+    // which at 100 TB is the only affordable option. The oracle
+    // recomputes the union (old rows with NULL n_chars) from the raw
+    // table. Per-file footer merging is metadata work; the scan itself
+    // stays pushdown/pruning-capable on the common columns.
+    Q(
+      "lk4_schema_evolution",
+      (s, dir) => {
+        val root = Files.createTempDirectory("graft_lk4")
+        val lake = root.resolve("lake").toString
+        val docs = Tables(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "source") // the v1 writer: no n_chars yet
+          .write.parquet(s"$lake/batch=1")
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .select("doc_id", "source", "n_chars") // the upgraded writer
+          .write.parquet(s"$lake/batch=2")
+        s.read.option("mergeSchema", "true").parquet(lake)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("batch").cast("int").as("batch"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars, 1 AS batch
+             |FROM documents WHERE doc_id % 2 = 0
+             |UNION ALL
+             |SELECT doc_id, source, n_chars, 2 AS batch
+             |FROM documents WHERE doc_id % 2 <> 0
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }
