@@ -49,6 +49,30 @@ class MisraGriesSpec extends SparkSpec {
     }
   }
 
+  test("guarantees hold for pinned-seed random streams at every m") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.{Seed => GenSeed}
+    for (seed <- 0 until 4) {
+      val items = Gen.listOfN(400, Gen.frequency(
+        5 -> Gen.choose(0L, 5L), // few hot items
+        1 -> Gen.choose(100L, 1000L))) // long tail
+        .pureApply(Gen.Parameters.default, GenSeed(seed.toLong))
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      for (m <- Seq(4, 10, 24)) {
+        val sk = sketch(items, m, parts = 2 + seed)
+        assert(sk.size <= m)
+        val bound = items.size / (m + 1)
+        truth.foreach { case (item, t) =>
+          if (t > bound)
+            assert(sk.contains(item), s"seed=$seed m=$m: missing $item (count $t > $bound)")
+          sk.get(item).foreach { est =>
+            assert(est <= t && est >= t - bound, s"seed=$seed m=$m item=$item est=$est truth=$t")
+          }
+        }
+      }
+    }
+  }
+
   test("hh1 sketch+verify equals the exact heavy-hitters computation") {
     val viaSketch = graft.SparkEntry.queries("hh1_heavy_hitters")(spark, TestSpark.Sf0001)
     val toks = graft.Tables(spark, TestSpark.Sf0001, "documents")
