@@ -28,6 +28,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getDouble(0) === 11.0)
   }
 
+  test("custom aggregates are callable from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_misra_gries(v, 2) AS mg, graft_bottom_k(v, 3) AS bk
+        |FROM VALUES (1L), (1L), (1L), (2L), (9L) AS t(v)""".stripMargin).head()
+    val mg = r.getSeq[org.apache.spark.sql.Row](0).map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // the heavy item (count 3 of 5) survives with est >= 3 - N/(m+1)
+    assert(mg.getOrElse(1L, 0L) >= 2L)
+    assert(r.getSeq[Long](1) === Seq(1L, 2L, 9L))
+  }
+
   test("scalar subqueries compile through Catalyst (reference Q4 shape)") {
     Tables(spark, TestSpark.Sf0001, "orders").createOrReplaceTempView("orders")
     val r = spark.sql(
