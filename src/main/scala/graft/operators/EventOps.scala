@@ -314,6 +314,32 @@ object EventOps {
              |      FROM f JOIN st USING (user_id))
              |SELECT event_id, user_id, value, z FROM z
              |WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin)
+    ),
+
+    // EV10: SLIDING-window aggregation — 7-day weekly-active-users
+    // advancing daily, the one window shape ev1's tumbling windows
+    // don't cover. Spark's window(ts, '7 days', '1 day') assigns each
+    // event to exactly 7 epoch-aligned windows; the oracle derives the
+    // same membership by exploding each event into day-truncated starts
+    // t-0d..t-6d. Cost model: the explode is a per-row ×7 projection
+    // (slide ratio), then ONE map-side-combined distinct aggregation —
+    // at 100 TB pick slide granularity by that ratio, never by
+    // self-joining the window spans. Streaming twin: identical groupBy
+    // under a watermark.
+    Q(
+      "ev10_sliding_wau",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(window(col("ts"), "7 days", "1 day").as("w"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+          .select(col("w.start").as("w_start"), col("wau"))
+          .orderBy("w_start"),
+      Some("""WITH e AS (SELECT user_id,
+             |            CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+             |x AS (SELECT user_id, d - k * INTERVAL 1 DAY AS w_start
+             |      FROM e CROSS JOIN unnest(generate_series(0, 6)) AS t(k))
+             |SELECT w_start, count(DISTINCT user_id) AS wau
+             |FROM x GROUP BY w_start ORDER BY w_start""".stripMargin)
     )
   )
 }

@@ -121,6 +121,40 @@ object Sampling {
               |  CAST(unnest(generate_series(1, copies)) AS INT) AS copy_idx
               |FROM c WHERE copies >= 1
               |ORDER BY doc_id, copy_idx""".stripMargin)
+    ),
+
+    // Per-domain cap: keep at most k docs per source, selected by
+    // deterministic hash order — the corpus-curation guard against one
+    // crawl domain dominating the mix. Hash order makes the kept set a
+    // uniform-without-replacement sample that is STABLE across reruns
+    // and appends (a new arrival displaces at most one survivor), unlike
+    // reservoir sampling whose kept set churns with partition order.
+    // One shuffle on source; Spark ≥3.5 bounds it via
+    // InferWindowGroupLimit (≤k rows per key leave each map task), and
+    // the TopKPerKey stack (ev5) subsumes this exact shape when
+    // installed.
+    Q(
+      "sp4_domain_cap",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hk = conv(
+          substring(md5(concat(lit("cap:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long")
+        val w = Window.partitionBy("source").orderBy("hk", "doc_id")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), hk.as("hk"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 12)
+          .select("doc_id", "source", "rk")
+          .orderBy("source", "rk")
+      },
+      Some("""SELECT doc_id, source, rk FROM (
+             |  SELECT doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY CAST('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+             |               doc_id) AS BIGINT) AS rk
+             |  FROM documents)
+             |WHERE rk <= 12 ORDER BY source, rk""".stripMargin)
     )
   )
 }
