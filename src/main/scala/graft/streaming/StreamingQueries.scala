@@ -419,6 +419,55 @@ object StreamingQueries {
              |FROM orders WHERE o_orderkey % 5 <> 0
              |ORDER BY o_orderkey""".stripMargin),
       bench = false
+    ),
+
+    // SM10: SLIDING windows through the streaming runtime — ev10's
+    // 7-day/1-day weekly-active-users aggregation run as a real
+    // three-micro-batch file stream (complete mode, so every window
+    // emits after drain). Sliding windows multiply state by the slide
+    // ratio (each event lives in 7 open windows); the watermark bounds
+    // it in an always-on deployment. Oracle = ev10's SQL verbatim.
+    Q(
+      "sm10_stream_sliding",
+      (s, dir) => {
+        val (landing, _, _, ckpt) = tempDirs("graft_sm10")
+        val ev = s.read.parquet(s"$dir/events.parquet")
+        stageOrderedChunks(ev, "event_id", Seq(3000L, 6000L), landing)
+        val sinkName = s"graft_sm10_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val raw = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+        // streaming exact-distinct: countDistinct isn't incrementally
+        // aggregable, so stream the (window, user) pre-aggregation —
+        // the standard two-level distinct — and finish the count on
+        // the drained sink table.
+        val perUser =
+          (if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          else raw)
+            .groupBy(window(col("ts"), "7 days", "1 day").as("w"), col("user_id"))
+            .agg(count(lit(1)).as("n"))
+        perUser.writeStream
+          .format("memory")
+          .queryName(sinkName)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.table(sinkName)
+          .groupBy(col("w.start").as("w_start"))
+          .agg(count(lit(1)).as("wau"))
+          .orderBy("w_start")
+      },
+      // ev10's oracle, verbatim (EventOps.scala keeps the commentary)
+      Some("""WITH e AS (SELECT user_id,
+             |            CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events),
+             |x AS (SELECT user_id, d - k * INTERVAL 1 DAY AS w_start
+             |      FROM e CROSS JOIN unnest(generate_series(0, 6)) AS t(k))
+             |SELECT w_start, count(DISTINCT user_id) AS wau
+             |FROM x GROUP BY w_start ORDER BY w_start""".stripMargin),
+      bench = false
     )
   )
 }
