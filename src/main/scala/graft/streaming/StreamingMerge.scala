@@ -64,6 +64,22 @@ object StreamingMerge {
       .start()
   }
 
+  /** Remove leftover `.merge_*` staging directories from merges that
+    * crashed BEFORE their rename commit — the vacuum every
+    * copy-on-write lake runs periodically. Safe under live readers and
+    * writers: a staging dir is only ever renamed away by its own batch,
+    * so anything still named `.merge_*` is dead (and dot-prefixed, so
+    * readers never see it). Returns the deleted paths.
+    */
+  def vacuum(spark: SparkSession, statePath: String): Seq[String] = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".merge_"))
+      .map { s => fs.delete(s.getPath, true); s.getPath.toString }
+  }
+
   /** One MERGE application: rewrite exactly the affected buckets. */
   private[streaming] def applyBatch(
       spark: SparkSession,

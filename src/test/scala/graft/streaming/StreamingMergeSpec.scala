@@ -42,6 +42,19 @@ class StreamingMergeSpec extends SparkSpec {
     assert(fileStamps(3) === untouched3)
   }
 
+  test("vacuum removes only crashed-merge staging dirs, never live buckets") {
+    val state = Files.createTempDirectory("graft_merge_vac").resolve("state").toString
+    StreamingMerge.seedSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k", state, 2)
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a merge that died between write and rename
+    fs.mkdirs(new Path(s"$state/.merge_7_bucket=1"))
+    val deleted = StreamingMerge.vacuum(spark, state)
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) === Seq(".merge_7_bucket=1"))
+    assert(fs.exists(new Path(s"$state/bucket=0")) && fs.exists(new Path(s"$state/bucket=1")))
+    assert(readState(state).count() === 2)
+    assert(StreamingMerge.vacuum(spark, state).isEmpty) // idempotent
+  }
+
   test("sequential batches compose: later upsert wins, re-insert after delete works") {
     val state = Files.createTempDirectory("graft_merge_spec2").resolve("state").toString
     StreamingMerge.seedSnapshot(Seq((1L, "a")).toDF("k", "v"), "k", state, numBuckets = 2)
