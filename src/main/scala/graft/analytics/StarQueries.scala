@@ -209,6 +209,31 @@ object StarQueries {
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE l_returnflag = 'R'
              |GROUP BY o_orderpriority ORDER BY views DESC, o_orderpriority""".stripMargin)
+    ),
+
+    // Q11: the SQL FRONT-END as a driver-verified row — the identical
+    // query TEXT runs through spark.sql over registered views and
+    // through DuckDB. The correlated EXISTS is the planning exercise:
+    // Catalyst de-correlates it to a left-semi hash join (never a
+    // per-row subquery), which is what keeps it linear at 100 TB.
+    Q(
+      "q11_sql_exists",
+      (s, dir) => {
+        Seq("orders", "lineitem").foreach(t =>
+          Tables(s, dir, t).createOrReplaceTempView(t))
+        s.sql("""SELECT o_orderpriority, count(*) AS n
+                |FROM orders
+                |WHERE EXISTS (SELECT 1 FROM lineitem
+                |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+                |GROUP BY o_orderpriority
+                |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
     )
   )
 }

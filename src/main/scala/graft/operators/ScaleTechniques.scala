@@ -139,6 +139,41 @@ object ScaleTechniques {
              |  CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
              |FROM events JOIN customer ON user_id = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+
+    // ST3: dynamic partition pruning — the scale feature static pruning
+    // can't give: the fact side is lang-partitioned, the dim side's
+    // filter is only known at RUN time (here a filtered scan of the
+    // nation table mapped to lang codes), and Spark injects the dim's
+    // key set into the fact scan as a partition filter, so only 2 of 5
+    // partition directories are read. At 100 TB this is the difference
+    // between scanning a week and scanning the whole lake when joining
+    // facts to a filtered dimension. The DPP subquery in the fact
+    // scan's PartitionFilters is asserted in ScaleTechniquesSpec; the
+    // oracle checks the answer from the raw table.
+    Q(
+      "st3_dpp_join",
+      (s, dir) => {
+        val root = java.nio.file.Files.createTempDirectory("graft_st3")
+        val lake = root.resolve("lake").toString
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), col("lang"))
+          .write.partitionBy("lang").parquet(lake)
+        val fact = s.read.parquet(lake)
+        // runtime-filtered dim: lang codes derived from a DIFFERENT
+        // table's scan (nation rows), so the filter can't constant-fold
+        val dim = Tables(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_3", "NATION_5"))
+          .select(
+            when(col("n_name") === "NATION_3", "de").otherwise("fr").as("lang"))
+        fact.join(dim, Seq("lang"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+             |FROM documents WHERE lang IN ('de', 'fr')
+             |GROUP BY lang ORDER BY lang""".stripMargin)
     )
   )
 }

@@ -464,6 +464,50 @@ object TextAnalysis {
              |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
              |SELECT tok, cnt, cnt * 10000 // n_tokens AS share_bps
              |FROM c, n WHERE cnt * 50 >= n_tokens ORDER BY tok""".stripMargin)
+    ),
+
+    // TX12: character-trigram profiles per language — the features a
+    // production language identifier actually uses (word lists break on
+    // unsegmented scripts; char n-grams don't). Top-5 trigrams per lang
+    // by frequency. The explode is a per-row ×(len−2) projection (no
+    // UDF: transform over an index sequence + substring), the count is
+    // one map-side-combined shuffle on (lang, gram), top-5 is a bounded
+    // per-lang window — the same shape as tx10's per-doc terms.
+    Q(
+      "tx12_char_trigrams",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Spark's sequence(1, n) DESCENDS for n < 1, so short texts get
+        // an explicit empty gram list (DuckDB's generate_series is
+        // already empty there).
+        val gramList = when(
+          length(col("text")) >= 3,
+          transform(
+            sequence(lit(1), length(col("text")) - 2),
+            i => col("text").substr(i, lit(3))))
+          .otherwise(array().cast("array<string>"))
+        val counts = Tables(s, dir, "documents")
+          .select(col("lang"), explode(gramList).as("gram"))
+          .groupBy("lang", "gram")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("lang").orderBy(desc("n"), asc("gram"))
+        counts
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select("lang", "rk", "gram", "n")
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH g AS (
+             |  SELECT lang,
+             |    unnest(list_transform(generate_series(1, length(text) - 2),
+             |      i -> substr(text, i, 3))) AS gram
+             |  FROM documents),
+             |c AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY lang, gram)
+             |SELECT lang, rk, gram, n FROM (
+             |  SELECT lang, gram, n,
+             |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS BIGINT) AS rk
+             |  FROM c)
+             |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)
     )
   )
 }

@@ -138,4 +138,12 @@ class ScaleTechniquesSpec extends SparkSpec {
     // only the matching partition's rows are read
     assert(scan.count() === events.filter("event_type = 'purchase'").count())
   }
+
+  test("st3's fact scan carries a dynamic partition pruning filter") {
+    val df = graft.SparkEntry.queries("st3_dpp_join")(spark, graft.TestSpark.Sf0001)
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("dynamicpruning"),
+      formatted.take(1500))
+  }
 }
