@@ -57,6 +57,9 @@ object GraftFunctions {
   /** Misra–Gries heavy-hitters sketch aggregate over a long column. */
   val MisraGriesName = "graft_misra_gries"
 
+  /** all character n-grams of a string, in order. */
+  val CharNgramsName = "graft_char_ngrams"
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(getClass.getName, null, name, usage, "")
 
@@ -141,6 +144,14 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(s"m must be a literal, got $other")
         }
         MisraGriesLongs(children(0), m)
+      })
+    ensure(CharNgramsName, "_FUNC_(s, n) - all character n-grams of s")(
+      children => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(s"n must be a literal, got $other")
+        }
+        CharNgrams(children(0), n)
       })
   }
 }

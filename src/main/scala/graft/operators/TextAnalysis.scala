@@ -477,17 +477,16 @@ object TextAnalysis {
       "tx12_char_trigrams",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        // Spark's sequence(1, n) DESCENDS for n < 1, so short texts get
-        // an explicit empty gram list (DuckDB's generate_series is
-        // already empty there).
-        val gramList = when(
-          length(col("text")) >= 3,
-          transform(
-            sequence(lit(1), length(col("text")) - 2),
-            i => col("text").substr(i, lit(3))))
-          .otherwise(array().cast("array<string>"))
+        // native one-pass gram expression (CharNgrams): the
+        // transform-over-sequence chain it replaces runs interpreted
+        // and re-walks the string per substr — O(len²) per row
+        graft.functions.GraftFunctions.register(s)
         val counts = Tables(s, dir, "documents")
-          .select(col("lang"), explode(gramList).as("gram"))
+          .select(
+            col("lang"),
+            explode(call_function(
+              graft.functions.GraftFunctions.CharNgramsName,
+              col("text"), lit(3))).as("gram"))
           .groupBy("lang", "gram")
           .agg(count(lit(1)).as("n"))
         val w = Window.partitionBy("lang").orderBy(desc("n"), asc("gram"))
