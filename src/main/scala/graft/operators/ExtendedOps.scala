@@ -57,6 +57,29 @@ object ExtendedOps {
              |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
     ),
 
+    // A11: explicit GROUPING SETS — the third grouping shape next to
+    // ROLLUP (a9) and CUBE (a10): exactly the requested combinations
+    // ((priority), (status), ()) in ONE pass, where separate queries
+    // would scan three times. Spark expands the sets with a single
+    // Expand node feeding one aggregation — the same map-side-combined
+    // shuffle as a plain groupBy.
+    Q(
+      "a11_grouping_sets",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq.empty),
+            col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(
+            asc_nulls_first("o_orderpriority"),
+            asc_nulls_first("o_orderstatus")),
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+             |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin)
+    ),
+
     // KMV bottom-k sketch via the custom TypedImperativeAggregate
     // (graft.functions.BottomKLongs): a mergeable distinct sketch with
     // map-side partial aggregation like any built-in agg. The sketch and
