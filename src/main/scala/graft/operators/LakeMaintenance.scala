@@ -54,18 +54,30 @@ object LakeMaintenance {
       if (depth == 0) Seq(p)
       else fs.listStatus(p).toSeq.filter(_.isDirectory)
         .flatMap(d => leafDirs(d.getPath, depth - 1))
-    leafDirs(in, partitionCols.size).sortBy(_.toString).map { dir =>
-      val files = fs.listStatus(dir).toSeq
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      val bytes = files.map(_.getLen).sum
-      val n = math.max(1L, (bytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
-      val rel = in.toUri.relativize(dir.toUri).toString.stripSuffix("/")
-      val dest = if (rel.isEmpty) outDir else s"$outDir/$rel"
-      spark.read.parquet(dir.toString)
-        .repartition(n)
-        .write.mode("overwrite").option("compression", "zstd").parquet(dest)
-      PartitionCompaction(if (rel.isEmpty) "." else rel, files.size, bytes, n)
-    }
+    val dirs = leafDirs(in, partitionCols.size).sortBy(_.toString)
+    // partition rewrites are independent — fan them out as concurrent
+    // Spark jobs (the scheduler interleaves their tasks), keeping the
+    // returned accounting in directory order
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, dirs.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.traverse(dirs) { dir =>
+      Future {
+        val files = fs.listStatus(dir).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val bytes = files.map(_.getLen).sum
+        val n = math.max(1L, (bytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
+        val rel = in.toUri.relativize(dir.toUri).toString.stripSuffix("/")
+        val dest = if (rel.isEmpty) outDir else s"$outDir/$rel"
+        spark.read.parquet(dir.toString)
+          .repartition(n)
+          .write.mode("overwrite").option("compression", "zstd").parquet(dest)
+        PartitionCompaction(if (rel.isEmpty) "." else rel, files.size, bytes, n)
+      }
+    }, Duration.Inf)
+    finally pool.shutdown()
   }
 
   /** Cluster a lake by a sort key: `repartitionByRange(n, keys)` +
