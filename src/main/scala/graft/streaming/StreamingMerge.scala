@@ -98,22 +98,36 @@ object StreamingMerge {
       val affected = b.agg(collect_set(col("_bucket")))
         .head().getSeq[Long](0).sorted
       val fs = new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      affected.foreach { bk =>
-        val dir = new Path(s"$statePath/bucket=$bk")
-        val changes = b.filter(col("_bucket") === bk).drop("_bucket")
-        val upserts = toUpsert(changes.filter(col("change_type") =!= "delete"))
-        val next =
-          if (fs.exists(dir))
-            spark.read.parquet(dir.toString)
-              .join(broadcast(changes.select(keyCol)), Seq(keyCol), "left_anti")
-              .unionByName(upserts)
-          else upserts
-        // write beside, then rename — the rename is the commit point
-        val tmp = new Path(s"$statePath/.merge_${batchId}_bucket=$bk")
-        next.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(dir)) fs.delete(dir, true)
-        fs.rename(tmp, dir)
-      }
+      // bucket rewrites are independent — fan them out as concurrent
+      // jobs (compact()'s pattern). A mid-batch crash leaves some
+      // buckets applied and some not, in ANY order; that is safe
+      // because the checkpoint replays the whole batch and the apply
+      // is idempotent (re-anti-joining the same keys and re-unioning
+      // the same upserts reproduces the same bucket content).
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(8, affected.size)))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.traverse(affected.toSeq) { bk =>
+        Future {
+          val dir = new Path(s"$statePath/bucket=$bk")
+          val changes = b.filter(col("_bucket") === bk).drop("_bucket")
+          val upserts = toUpsert(changes.filter(col("change_type") =!= "delete"))
+          val next =
+            if (fs.exists(dir))
+              spark.read.parquet(dir.toString)
+                .join(broadcast(changes.select(keyCol)), Seq(keyCol), "left_anti")
+                .unionByName(upserts)
+            else upserts
+          // write beside, then rename — the rename is the commit point
+          val tmp = new Path(s"$statePath/.merge_${batchId}_bucket=$bk")
+          next.write.mode("overwrite").parquet(tmp.toString)
+          if (fs.exists(dir)) fs.delete(dir, true)
+          fs.rename(tmp, dir)
+        }
+      }, Duration.Inf)
+      finally pool.shutdown()
     } finally b.unpersist()
   }
 }
