@@ -122,6 +122,20 @@ object Similarity {
       when(dotPlane(embD, plane(p)) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  // ---- product quantization codebooks (em5) ----
+  // declared BEFORE `all`: the oracle SQL strings are built eagerly at
+  // object init, so forward references would read zero/null here
+
+  private[operators] val PqSubspaces = 8
+  private[operators] val PqSubDim = Dims / PqSubspaces
+  private val PqCells = 16
+
+  /** pqCentroid(s)(c)(d) ∈ {-1, 1}, md5-derived like the planes. */
+  private[operators] val pqCentroid: Array[Array[Array[Int]]] =
+    Array.tabulate(PqSubspaces, PqCells, PqSubDim) { (s, c, d) =>
+      if ((Integer.parseInt(md5hex(s"pq${s}_${c}_$d").substring(0, 4), 16) & 1) == 1) 1 else -1
+    }
+
   // ---- IVF coarse quantizer ----
 
   private[operators] val NumCells = 16
@@ -595,6 +609,44 @@ object Similarity {
            |  CAST(list_sum(list_transform(generate_series(1, 16),
            |    p -> CASE WHEN rp[p] > 0 THEN (1 << (p - 1)) ELSE 0 END)) AS INT) AS sign_code
            |FROM r ORDER BY vec_id""".stripMargin
+      }
+    ),
+
+    // EM5: product quantization — the third vector-compression tier
+    // (em2 int8 scalar, em4 dense JL, em5 PQ): the 64-d vector becomes
+    // 8 sub-space codes of 4 bits each (argmax-dot cell among 16
+    // md5-derived ±1 centroids per 8-d slice), i.e. 4 bytes per vector,
+    // 64× smaller. A production PQ trains per-subspace k-means exactly
+    // as ss3's trained-IVF tier does for its cells; the operator shape —
+    // slice, per-cell dot table, argmax code, ADC lookups downstream —
+    // is identical, and the deterministic codebooks keep the oracle
+    // exact. Argmax ties (possible: ±1 codebooks collide) resolve
+    // first-match in BOTH engines (array_position / list_position).
+    // Per-row projection work only: 8×16 native 8-term dots, no shuffle.
+    Q(
+      "em5_pq_codes",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val codes = array((0 until PqSubspaces).map { sub =>
+          val subVec = slice(embD, sub * PqSubDim + 1, PqSubDim)
+          val dots = array((0 until PqCells).map(c =>
+            dotCols(subVec, typedlit(pqCentroid(sub)(c).map(_.toDouble).toSeq))): _*)
+          array_position(dots, array_max(dots)).cast("int")
+        }: _*)
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"), codes.as("codes"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val codesSql = (0 until PqSubspaces).map { sub =>
+          val dots = (0 until PqCells).map { c =>
+            val coefs = pqCentroid(sub)(c).mkString("[", ",", "]")
+            s"list_sum(list_transform(generate_series(1, $PqSubDim), i -> CAST(embedding[${sub * PqSubDim} + i] AS DOUBLE) * ($coefs)[i]))"
+          }.mkString("[", ", ", "]")
+          s"CAST(list_position($dots, list_max($dots)) AS INT)"
+        }.mkString("[\n   ", ",\n   ", "]")
+        s"""SELECT vec_id, $codesSql AS codes
+           |FROM embeddings ORDER BY vec_id""".stripMargin
       }
     )
   )

@@ -159,4 +159,29 @@ class SimilarityRecallSpec extends SparkSpec {
       v.unpersist()
     }
   }
+
+  test("PQ codes reconstruct a direction positively correlated with the source") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("em5_pq_codes")(spark, graft.TestSpark.Sf0001)
+      .join(
+        graft.Tables(spark, graft.TestSpark.Sf0001, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),
+        Seq("vec_id"))
+      .select(col("codes"), col("emb"))
+      .as[(Seq[Int], Seq[Double])].collect()
+    assert(rows.nonEmpty)
+    val cosines = rows.map { case (codes, emb) =>
+      val recon = codes.zipWithIndex.flatMap { case (code, s) =>
+        Similarity.pqCentroid(s)(code - 1).map(_.toDouble) // codes are 1-based
+      }
+      val dot = recon.zip(emb).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(recon.map(x => x * x).sum) * math.sqrt(emb.map(x => x * x).sum))
+    }
+    // every subspace picks its max-dot centroid among 16 draws, so the
+    // reconstruction should rarely anti-correlate and must correlate
+    // positively on average (the JL/PQ direction-preservation property)
+    assert(cosines.sum / cosines.length > 0.1,
+      s"mean reconstruction cosine ${cosines.sum / cosines.length}")
+    assert(cosines.count(_ < 0) <= cosines.length / 20, "too many anti-correlated rows")
+  }
 }
