@@ -145,6 +145,88 @@ object Decontamination {
               |SELECT doc_id FROM d
               |WHERE split = 'test' AND doc_id NOT IN (SELECT doc_id FROM dirty)
               |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // DC3: FUZZY decontamination — a test document leaks even when it is
+    // a near-duplicate (paraphrase-level edit, boilerplate re-wrap) of a
+    // train document that exact gram overlap (dc1/dc2) misses or
+    // over-triggers on. Shape: bigram minhash→LSH banding on BOTH splits
+    // (the fused MinhashBandSigs native expression), candidates = band
+    // collisions ACROSS the split boundary (a co-partitioned (band, sig)
+    // join — never test×train all-pairs), then the exact bigram-Jaccard
+    // verify pass ≥ 0.8 and a per-test-doc report. This is dd7's
+    // machinery pointed at the train/test boundary — the fuzzy
+    // decontamination modern corpus pipelines run alongside the exact
+    // one.
+    Q(
+      "dc3_fuzzy_decontam",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val split = Sampling.hashSplit(
+            Tables(s, dir, "documents").select("doc_id", "text"), col("doc_id"))
+          .filter(col("split").isin("train", "test") && col("text").contains(" "))
+        val bands = split
+          .select(col("doc_id"), col("split"),
+            posexplode(call_function(GraftFunctions.BandSigsName,
+              col("text"), lit(Dedup.NumHashes), lit(Dedup.BandSize), lit(2))))
+          .select(col("doc_id"), col("split"), col("pos").as("band"), col("col").as("sig"))
+        val cand = bands.filter(col("split") === "test")
+          .select(col("doc_id").as("test_id"), col("band"), col("sig"))
+          .join(
+            bands.filter(col("split") === "train")
+              .select(col("doc_id").as("train_id"), col("band"), col("sig")),
+            Seq("band", "sig"))
+          .select("test_id", "train_id").distinct()
+        val bg = split
+          .select(col("doc_id"),
+            call_function(GraftFunctions.BigramName, col("text")).as("bg"))
+          .select(col("doc_id"), col("bg"), size(col("bg")).as("n"))
+        cand
+          .join(bg.as("bt"), col("test_id") === col("bt.doc_id"))
+          .join(bg.as("br"), col("train_id") === col("br.doc_id"))
+          .select(col("test_id"), col("train_id"),
+            call_function(GraftFunctions.IntersectName, col("bt.bg"), col("br.bg"))
+              .as("inter"),
+            col("bt.n").as("na"), col("br.n").as("nb"))
+          .select(col("test_id"), col("train_id"),
+            (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+              .as("j"))
+          .filter(col("j") >= 0.8)
+          .groupBy("test_id")
+          .agg(count(lit(1)).as("n_train_matches"), max(col("j")).as("max_jaccard"))
+          .orderBy("test_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text,
+              |  CASE WHEN ${Sampling.bucketSql("split", "doc_id")} < 80 THEN 'train'
+              |       WHEN ${Sampling.bucketSql("split", "doc_id")} < 90 THEN 'val'
+              |       ELSE 'test' END AS split
+              |  FROM documents WHERE contains(text, ' ')),
+              |w AS (SELECT doc_id, split, string_split(text, ' ') AS words FROM d),
+              |bgr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 1),
+              |          i -> words[i] || ' ' || words[i + 1])) AS bg FROM w),
+              |bhp AS (SELECT DISTINCT doc_id,
+              |          CAST('0x' || substr(md5(bg), 1, 8) AS BIGINT) AS h1,
+              |          CAST('0x' || substr(md5(bg), 9, 8) AS BIGINT) AS h2 FROM bgr),
+              |bmh AS (SELECT doc_id, seed, min((h1 + seed * h2) % ${Dedup.Mod}) AS minhash
+              |        FROM bhp CROSS JOIN range(${Dedup.NumHashes}) t(seed) GROUP BY doc_id, seed),
+              |bsigs AS (SELECT doc_id, CAST(seed // ${Dedup.BandSize} AS INT) AS band,
+              |            CAST('0x' || substr(md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)), 1, 15) AS BIGINT) AS sig
+              |          FROM bmh GROUP BY doc_id, band),
+              |cand AS (SELECT DISTINCT t.doc_id AS test_id, r.doc_id AS train_id
+              |         FROM bsigs t JOIN d dt ON t.doc_id = dt.doc_id
+              |         JOIN bsigs r ON t.band = r.band AND t.sig = r.sig
+              |         JOIN d dr ON r.doc_id = dr.doc_id
+              |         WHERE dt.split = 'test' AND dr.split = 'train'),
+              |bgt AS (SELECT doc_id,
+              |          list_distinct(list_transform(generate_series(1, len(words) - 1),
+              |            i -> CAST('0x' || substr(md5(words[i] || ' ' || words[i + 1]), 1, 8) AS BIGINT))) AS bg
+              |        FROM w),
+              |j AS (SELECT test_id, train_id,
+              |        CAST(len(list_intersect(bt.bg, br.bg)) AS DOUBLE) /
+              |          (len(bt.bg) + len(br.bg) - len(list_intersect(bt.bg, br.bg))) AS j
+              |      FROM cand JOIN bgt bt ON test_id = bt.doc_id JOIN bgt br ON train_id = br.doc_id)
+              |SELECT test_id, count(*) AS n_train_matches, max(j) AS max_jaccard
+              |FROM j WHERE j >= 0.8 GROUP BY test_id ORDER BY test_id""".stripMargin)
     )
   )
 }

@@ -51,7 +51,7 @@ object Dedup {
   private[operators] val BandSize = 13 // rows per band
   private[operators] val NumBands = NumHashes / BandSize // 8
   private val JaccardThreshold = 0.9
-  private val Mod = 4294967296L // 2^32
+  private[operators] val Mod = 4294967296L // 2^32
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
