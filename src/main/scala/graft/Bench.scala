@@ -64,6 +64,21 @@ object Bench {
     val loadStart = loadavg()
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Per-query attribution telemetry (BENCH_FULL.json only): GC time
+    // spent inside the timed window and cache bytes materialized by the
+    // query (read BEFORE the inter-query clearCache). A future dd3-style
+    // 2-3x swing is then attributable from the artifact alone: high gc_ms
+    // -> memory pressure/sweep environment; cache_mb 0 on a query whose
+    // plan persists an intermediate -> the persist was lost (recompute).
+    val telemetry = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def cachedMb(): Long =
+      spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum / (1024 * 1024)
     def timed(name: String, dir: String): (String, Double) = {
       // Untimed inter-query cleanup: drop per-query persisted
       // intermediates and force a GC so the ContextCleaner reaps
@@ -80,13 +95,16 @@ object Bench {
       // the ev3-vs-ev5 comparison is what this protects.
       spark.experimental.extraOptimizations = Nil
       spark.experimental.extraStrategies = Nil
+      val gc0 = gcMs()
       val t0 = System.nanoTime()
       try run(SparkEntry.queries(name), dir)
       catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(80)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      telemetry(name) = (gcMs() - gc0, cachedMb())
+      name -> sec
     }
     val results = names.map(timed(_, sfDir))
     val total = results.map(_._2).sum
@@ -127,7 +145,14 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$othersJson,"sf":"${
         new java.io.File(sfDir).getName}","load":{"start":"$loadStart","end":"$loadEnd"}$rerunJson$errJson}"""
     }
-    Files.writeString(Paths.get("BENCH_FULL.json"), line(_.toString, results.size) + "\n")
+    // Telemetry rides only in BENCH_FULL.json (stdout budget is ~2000
+    // chars); a rerun query's entry reflects its LAST (rerun) window.
+    val teleJson = telemetry
+      .map { case (k, (gc, mb)) => "\"" + esc(k) + s"""":{"gc_ms":$gc,"cache_mb":$mb}""" }
+      .mkString(""","telemetry":{""", ",", "}")
+    Files.writeString(
+      Paths.get("BENCH_FULL.json"),
+      line(_.toString, results.size).stripSuffix("}") + teleJson + "}\n")
     println(line(fmt, 40))
     spark.stop()
   }

@@ -136,8 +136,17 @@ object Dedup {
       .select(col("doc_id"), col("pos").as("band"), col("col").as("sig"))
   }
 
+  /** Persisted band table: the fused minhash×banding pass is the
+    * expensive producer shared by dd3/dd4/dd6/dd8 AND by both sides of
+    * `candidatesFrom`'s self-join — without the persist it recomputes
+    * once per reference (the r5 driver artifact recorded dd3/dd4 at
+    * 2.4–3.5× their r4 times for exactly this reason; `signatures`
+    * below never lost its persist). MEMORY_AND_DISK + CacheScope, same
+    * discipline as `signatures`.
+    */
   private def bandSigs(s: SparkSession, dir: String): DataFrame =
-    bandSigsOf(docs(s, dir))
+    graft.CacheScope.track(
+      bandSigsOf(docs(s, dir)).persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Band signatures of an arbitrary (doc_id, text, ...) frame — the same
     * minhash→banding math the batch queries run, exposed un-persisted so
@@ -249,8 +258,9 @@ object Dedup {
     * single bigram (< 2 tokens) carry no band, hence the filter.
     */
   private def bigramLshCandidates(s: SparkSession, dir: String): DataFrame =
-    candidatesFrom(
-      bandSigsOf(docs(s, dir).filter(col("text").contains(" ")), gram = 2))
+    candidatesFrom(graft.CacheScope.track(
+      bandSigsOf(docs(s, dir).filter(col("text").contains(" ")), gram = 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)))
 
   // ---- shared DuckDB oracle CTEs (recompute the same derived-hash LSH) ----
 
@@ -350,8 +360,11 @@ object Dedup {
     ),
 
     // Candidate verification: exact Jaccard over hashed distinct-token sets,
-    // LSH candidates only. The token table is n rows and broadcast; the
-    // intersection runs on 8-byte longs.
+    // LSH candidates only; the intersection runs on 8-byte longs. The
+    // token table is the WHOLE corpus (n rows), so the join strategy is
+    // left to AQE: at bench SFs it broadcasts, at 100 TB it picks a
+    // shuffle/sort join co-partitioned on doc_id — a forced broadcast()
+    // here would be a guaranteed OOM at scale (VERDICT r5 #2).
     Q(
       "dd4_jaccard_neardup",
       (s, dir) => {
@@ -365,8 +378,8 @@ object Dedup {
               .as("toks"))
           .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
         val scored = lshCandidates(s, dir)
-          .join(broadcast(tk.as("ta")), col("doc_a") === col("ta.doc_id"))
-          .join(broadcast(tk.as("tb")), col("doc_b") === col("tb.doc_id"))
+          .join(tk.as("ta"), col("doc_a") === col("ta.doc_id"))
+          .join(tk.as("tb"), col("doc_b") === col("tb.doc_id"))
           .select(
             col("doc_a"),
             col("doc_b"),
@@ -477,9 +490,11 @@ object Dedup {
             col("doc_id"),
             call_function(GraftFunctions.BigramName, col("text")).as("bg"))
           .select(col("doc_id"), col("bg"), size(col("bg")).as("n"))
+        // bg is full-corpus-sized: no broadcast hint — AQE broadcasts at
+        // bench SFs and switches to a shuffle join at scale (VERDICT r5 #2).
         val scored = bigramLshCandidates(s, dir)
-          .join(broadcast(bg.as("ba")), col("doc_a") === col("ba.doc_id"))
-          .join(broadcast(bg.as("bb")), col("doc_b") === col("bb.doc_id"))
+          .join(bg.as("ba"), col("doc_a") === col("ba.doc_id"))
+          .join(bg.as("bb"), col("doc_b") === col("bb.doc_id"))
           .select(
             col("doc_a"),
             col("doc_b"),
@@ -519,10 +534,12 @@ object Dedup {
       "dd8_minhash_estimate",
       (s, dir) => {
         val sg = signatures(s, dir)
+        // sg is full-corpus-sized: strategy left to AQE (broadcast at
+        // bench SFs, shuffle join on doc_id at scale — VERDICT r5 #2).
         val scored = lshCandidates(s, dir)
-          .join(broadcast(sg.select(col("doc_id"), col("sig").as("sig_a"))),
+          .join(sg.select(col("doc_id"), col("sig").as("sig_a")),
             col("doc_a") === col("doc_id")).drop("doc_id")
-          .join(broadcast(sg.select(col("doc_id"), col("sig").as("sig_b"))),
+          .join(sg.select(col("doc_id"), col("sig").as("sig_b")),
             col("doc_b") === col("doc_id")).drop("doc_id")
           .select(
             col("doc_a"),

@@ -140,10 +140,19 @@ object LakeMaintenance {
     * DISTINCT-VALUE table (groupBy(x).count → running sum), then
     * broadcast back — the same shape a production OPTIMIZE ZORDER gets
     * from sampled range boundaries, exact here so reruns and the DuckDB
-    * oracle are bit-identical. The single-partition running sum is over
-    * distinct values only (bounded cardinality by construction of a
-    * bucketable dimension); swap in approxQuantile boundaries for
-    * genuinely unbounded dims. Appends `z` to the written schema.
+    * oracle are bit-identical (Spark's and DuckDB's approx-percentile
+    * sketches would not agree, which is why the exact CDF stays).
+    *
+    * The running sum is a TWO-LEVEL prefix sum, not a global
+    * single-partition window (the r5 scale-killer: `Window.orderBy`
+    * with no partitioning serializes every distinct value through one
+    * task and OOMs on a high-cardinality dimension). Level 1
+    * range-partitions the distinct table and window-sums WITHIN each
+    * range partition; level 2 collects one (pid, subtotal) row per
+    * partition — P rows, driver-side by construction — and broadcasts
+    * the per-partition starting offsets back. Exact CDF, every stage
+    * parallel, driver traffic O(shuffle partitions). Appends `z` to the
+    * written schema.
     */
   def zCluster(
       df: org.apache.spark.sql.DataFrame,
@@ -152,19 +161,34 @@ object LakeMaintenance {
       x: String,
       y: String): Unit = {
     import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
     def gradeMap(c: String, alias: String) = {
-      val ordered = Window.orderBy(col(c))
-      df.groupBy(col(c)).agg(count(lit(1)).as("_n"))
+      val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      // distinct-value counts, range-partitioned so partition-id order ==
+      // value order (equal keys never straddle a range boundary)
+      val ranged = graft.CacheScope.track(
+        df.groupBy(col(c)).agg(count(lit(1)).as("_n"))
+          .repartitionByRange(parts, col(c))
+          .withColumn("_pid", spark_partition_id())
+          .persist())
+      val subtotal = ranged.groupBy("_pid").agg(sum("_n").as("_pn"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val total = subtotal.map(_._2).sum
+      val offDf = spark.createDataFrame(
+        subtotal.map(_._1).zip(subtotal.map(_._2).scanLeft(0L)(_ + _)).toSeq)
+        .toDF("_pid", "_off")
+      val local = Window.partitionBy("_pid").orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ranged.join(broadcast(offDf), Seq("_pid"))
         .withColumn("_cum",
-          coalesce(sum(col("_n")).over(
-            ordered.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("_tot",
-          sum(col("_n")).over(
-            ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .select(col(c), expr("_cum * 256 DIV _tot").as(alias))
+          coalesce(sum(col("_n")).over(local), lit(0L)) + col("_off"))
+        .select(col(c), expr(s"_cum * 256 DIV ${total}L").as(alias))
     }
-    df.join(broadcast(gradeMap(x, "_xb")), Seq(x))
-      .join(broadcast(gradeMap(y, "_yb")), Seq(y))
+    // grade-map join strategy left to AQE: the map is distinct-value-
+    // sized — broadcast when small, shuffle join on a high-cardinality
+    // dimension (same rationale as the dedup verify joins, VERDICT r5 #2)
+    df.join(gradeMap(x, "_xb"), Seq(x))
+      .join(gradeMap(y, "_yb"), Seq(y))
       .withColumn("z", zValue(col("_xb"), col("_yb"), 8))
       .select(df.columns.map(col) :+ col("z"): _*)
       .repartitionByRange(numFiles, col("z"))

@@ -584,6 +584,11 @@ object Similarity {
     // on 4× less data. Per-row projection work only — 16 native codegen
     // dots, zero shuffle; the scale factor 0.25 is exact binary so both
     // engines' doubles agree bit-for-bit.
+    //
+    // Output shape: one scalar row per (vec_id, plane) — em3's exploded
+    // form — rather than an array<double> column, which the driver's
+    // pandas comparator cannot sort/hash (r5 red row). The array form
+    // stays available to library callers via the pre-explode projection.
     Q(
       "em4_rp_compress",
       (s, dir) => {
@@ -597,18 +602,28 @@ object Similarity {
         Tables(s, dir, "embeddings")
           .select(col("vec_id"), rp.as("rp"))
           .select(col("vec_id"), col("rp"), signs.as("sign_code"))
-          .orderBy("vec_id")
+          .select(col("vec_id"), col("sign_code"), posexplode(col("rp")))
+          .select(
+            col("vec_id"),
+            col("pos").as("plane"),
+            col("col").as("proj"),
+            col("sign_code"))
+          .orderBy("vec_id", "plane")
       },
       Some {
         val planesSql = (0 until 16).map { p =>
           val coefs = plane(p).mkString("[", ",", "]")
           s"0.25 * list_sum(list_transform(generate_series(1, $Dims), i -> CAST(embedding[i] AS DOUBLE) * ($coefs)[i]))"
         }.mkString("[\n   ", ",\n   ", "]")
-        s"""WITH r AS (SELECT vec_id, $planesSql AS rp FROM embeddings)
-           |SELECT vec_id, rp,
-           |  CAST(list_sum(list_transform(generate_series(1, 16),
-           |    p -> CASE WHEN rp[p] > 0 THEN (1 << (p - 1)) ELSE 0 END)) AS INT) AS sign_code
-           |FROM r ORDER BY vec_id""".stripMargin
+        s"""WITH r AS (SELECT vec_id, $planesSql AS rp FROM embeddings),
+           |s AS (
+           |  SELECT vec_id, rp,
+           |    CAST(list_sum(list_transform(generate_series(1, 16),
+           |      p -> CASE WHEN rp[p] > 0 THEN (1 << (p - 1)) ELSE 0 END)) AS INT) AS sign_code
+           |  FROM r)
+           |SELECT vec_id, CAST(p - 1 AS INT) AS plane, rp[p] AS proj, sign_code
+           |FROM s CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS p) g
+           |ORDER BY vec_id, plane""".stripMargin
       }
     ),
 
@@ -623,6 +638,10 @@ object Similarity {
     // exact. Argmax ties (possible: ±1 codebooks collide) resolve
     // first-match in BOTH engines (array_position / list_position).
     // Per-row projection work only: 8×16 native 8-term dots, no shuffle.
+    //
+    // Output shape: one scalar row per (vec_id, subspace) — exploded like
+    // em3 — so the driver's pandas comparator can sort/hash it (the
+    // array<int> form was the r5 red row).
     Q(
       "em5_pq_codes",
       (s, dir) => {
@@ -635,7 +654,12 @@ object Similarity {
         }: _*)
         Tables(s, dir, "embeddings")
           .select(col("vec_id"), codes.as("codes"))
-          .orderBy("vec_id")
+          .select(col("vec_id"), posexplode(col("codes")))
+          .select(
+            col("vec_id"),
+            col("pos").as("subspace"),
+            col("col").as("code"))
+          .orderBy("vec_id", "subspace")
       },
       Some {
         val codesSql = (0 until PqSubspaces).map { sub =>
@@ -645,8 +669,10 @@ object Similarity {
           }.mkString("[", ", ", "]")
           s"CAST(list_position($dots, list_max($dots)) AS INT)"
         }.mkString("[\n   ", ",\n   ", "]")
-        s"""SELECT vec_id, $codesSql AS codes
-           |FROM embeddings ORDER BY vec_id""".stripMargin
+        s"""WITH c AS (SELECT vec_id, $codesSql AS codes FROM embeddings)
+           |SELECT vec_id, CAST(p - 1 AS INT) AS subspace, codes[p] AS code
+           |FROM c CROSS JOIN (SELECT unnest(generate_series(1, $PqSubspaces)) AS p) g
+           |ORDER BY vec_id, subspace""".stripMargin
       }
     )
   )

@@ -64,19 +64,32 @@ object StreamingMerge {
       .start()
   }
 
-  /** Remove leftover `.merge_*` staging directories from merges that
-    * crashed BEFORE their rename commit — the vacuum every
-    * copy-on-write lake runs periodically. Safe under live readers and
-    * writers: a staging dir is only ever renamed away by its own batch,
-    * so anything still named `.merge_*` is dead (and dot-prefixed, so
-    * readers never see it). Returns the deleted paths.
+  /** Remove leftover `.merge_*` staging and `.old_*` displaced-bucket
+    * directories from merges that crashed mid-commit — the vacuum every
+    * copy-on-write lake runs periodically. Only dirs whose mtime is older
+    * than `olderThanMs` are deleted: a fresh `.merge_*` dir may belong to
+    * an IN-FLIGHT batch (written, not yet renamed in) and a fresh
+    * `.old_*` dir may be the only surviving copy of a bucket mid-swap —
+    * deleting either would break the commit in progress. Pick a
+    * retention comfortably above the longest batch duration (default
+    * 24 h, a lake-maintenance norm), and do not run vacuum concurrently
+    * with an active merge query against the same `statePath` unless the
+    * retention honors that bound. Dot-prefixed dirs are invisible to
+    * readers either way. Returns the deleted paths.
     */
-  def vacuum(spark: SparkSession, statePath: String): Seq[String] = {
+  def vacuum(
+      spark: SparkSession,
+      statePath: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - olderThanMs
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".merge_"))
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith(".merge_") ||
+          s.getPath.getName.startsWith(".old_")) &&
+        s.getModificationTime <= cutoff)
       .map { s => fs.delete(s.getPath, true); s.getPath.toString }
   }
 
@@ -112,6 +125,18 @@ object StreamingMerge {
       try Await.result(Future.traverse(affected.toSeq) { bk =>
         Future {
           val dir = new Path(s"$statePath/bucket=$bk")
+          // Crash recovery: a prior attempt that died between
+          // "rename live aside" and "rename staging in" leaves the
+          // bucket dir missing and its ONLY surviving copy under
+          // `.old_*` — restore it before reading, or every
+          // pre-existing row in the bucket silently vanishes from the
+          // rebuilt state. (`.old` dirs are per-batch-unique; at most
+          // one can exist with the live dir missing.)
+          val olds = fs.globStatus(new Path(s"$statePath/.old_*_bucket=$bk"))
+            .toSeq.map(_.getPath)
+          if (!fs.exists(dir)) olds.headOption.foreach { o =>
+            require(fs.rename(o, dir), s"restore of displaced bucket $o failed")
+          }
           val changes = b.filter(col("_bucket") === bk).drop("_bucket")
           val upserts = toUpsert(changes.filter(col("change_type") =!= "delete"))
           val next =
@@ -120,11 +145,26 @@ object StreamingMerge {
                 .join(broadcast(changes.select(keyCol)), Seq(keyCol), "left_anti")
                 .unionByName(upserts)
             else upserts
-          // write beside, then rename — the rename is the commit point
+          // Commit protocol: write staging beside the live dir, rename
+          // the live dir ASIDE (never delete-then-rename: a crash in
+          // that window loses the bucket), rename staging in, then
+          // delete the displaced copy. Every window is recoverable —
+          // before the aside-rename the live dir is intact; between the
+          // two renames the `.old` restore above recovers; after the
+          // commit rename the new content is live and `.old` is
+          // redundant. All rename/delete booleans are checked: a false
+          // fails the batch so the checkpoint never commits over a
+          // half-applied swap.
           val tmp = new Path(s"$statePath/.merge_${batchId}_bucket=$bk")
           next.write.mode("overwrite").parquet(tmp.toString)
-          if (fs.exists(dir)) fs.delete(dir, true)
-          fs.rename(tmp, dir)
+          val old = new Path(s"$statePath/.old_${batchId}_bucket=$bk")
+          if (fs.exists(old)) // prior attempt of THIS batch died post-commit
+            require(fs.delete(old, true), s"delete of stale $old failed")
+          if (fs.exists(dir))
+            require(fs.rename(dir, old), s"aside-rename of $dir failed")
+          require(fs.rename(tmp, dir), s"commit rename of $tmp failed")
+          if (fs.exists(old))
+            require(fs.delete(old, true), s"delete of displaced $old failed")
         }
       }, Duration.Inf)
       finally pool.shutdown()

@@ -162,7 +162,12 @@ class SimilarityRecallSpec extends SparkSpec {
 
   test("PQ codes reconstruct a direction positively correlated with the source") {
     import spark.implicits._
+    // em5 emits exploded (vec_id, subspace, code) rows (driver-comparable
+    // shape); re-group to per-vector code arrays for reconstruction.
     val rows = graft.SparkEntry.queries("em5_pq_codes")(spark, graft.TestSpark.Sf0001)
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("subspace"), col("code")))).as("sc"))
+      .select(col("vec_id"), expr("transform(sc, x -> x.code)").as("codes"))
       .join(
         graft.Tables(spark, graft.TestSpark.Sf0001, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")),

@@ -42,17 +42,43 @@ class StreamingMergeSpec extends SparkSpec {
     assert(fileStamps(3) === untouched3)
   }
 
-  test("vacuum removes only crashed-merge staging dirs, never live buckets") {
+  test("vacuum removes only stale staging dirs, never live buckets or fresh staging") {
     val state = Files.createTempDirectory("graft_merge_vac").resolve("state").toString
     StreamingMerge.seedSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k", state, 2)
     val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // simulate a merge that died between write and rename
     fs.mkdirs(new Path(s"$state/.merge_7_bucket=1"))
-    val deleted = StreamingMerge.vacuum(spark, state)
+    // default retention (24h): the just-written staging dir could belong
+    // to an in-flight batch, so vacuum must NOT touch it
+    assert(StreamingMerge.vacuum(spark, state).isEmpty)
+    assert(fs.exists(new Path(s"$state/.merge_7_bucket=1")))
+    // negative retention = "everything is stale" (test-only shortcut)
+    val deleted = StreamingMerge.vacuum(spark, state, olderThanMs = -60000)
     assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) === Seq(".merge_7_bucket=1"))
     assert(fs.exists(new Path(s"$state/bucket=0")) && fs.exists(new Path(s"$state/bucket=1")))
     assert(readState(state).count() === 2)
-    assert(StreamingMerge.vacuum(spark, state).isEmpty) // idempotent
+    assert(StreamingMerge.vacuum(spark, state, olderThanMs = -60000).isEmpty) // idempotent
+  }
+
+  test("crash between aside-rename and commit rename: replay restores the bucket") {
+    val state = Files.createTempDirectory("graft_merge_crash").resolve("state").toString
+    StreamingMerge.seedSnapshot(
+      Seq((0L, "a"), (2L, "b"), (4L, "c")).toDF("k", "v"), "k", state, numBuckets = 2)
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the worst crash window of batch 5 on bucket 0: live dir
+    // already renamed aside, staging not yet renamed in
+    assert(fs.rename(new Path(s"$state/bucket=0"), new Path(s"$state/.old_5_bucket=0")))
+    fs.mkdirs(new Path(s"$state/.merge_5_bucket=0")) // dead staging remnant
+    assert(!fs.exists(new Path(s"$state/bucket=0")))
+    // checkpoint replays batch 5
+    StreamingMerge.applyBatch(spark,
+      Seq((0L, "update", "A")).toDF("k", "change_type", "new_v"),
+      "k", state, numBuckets = 2, batchId = 5L,
+      toUpsert = ch => ch.select(col("k"), col("new_v").as("v")))
+    // k=2 and k=4 lived ONLY in the displaced copy — they must survive
+    assert(readState(state).as[(Long, String)].collect().toSeq ===
+      Seq((0L, "A"), (2L, "b"), (4L, "c")))
+    assert(!fs.exists(new Path(s"$state/.old_5_bucket=0"))) // swap completed
   }
 
   test("sequential batches compose: later upsert wins, re-insert after delete works") {

@@ -69,7 +69,16 @@ def main():
         tdiff = {c: (etypes.get(c), gtypes.get(c))
                  for c in set(etypes) | set(gtypes)
                  if etypes.get(c) != gtypes.get(c)}
-        if ecols != gcols:
+        # The driver sorts results through pandas, which cannot hash
+        # array/list cells ("unhashable type: numpy.ndarray" — round-5
+        # em4/em5). Reject nested output types outright so a local PASS
+        # keeps predicting hash_match=true.
+        nested = {c: t for c, t in {**etypes, **gtypes}.items()
+                  if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST"))}
+        if nested:
+            print(f"FAIL {name}: nested output types (driver cannot hash): {nested}")
+            n_fail += 1
+        elif ecols != gcols:
             print(f"FAIL {name}: cols oracle={ecols} spark={gcols}")
             n_fail += 1
         elif tdiff:
