@@ -280,9 +280,13 @@ object EventOps {
     // over those integers — every op is IEEE-correctly-rounded (÷, ×,
     // −, sqrt), so both engines produce bit-identical doubles; neither
     // engine's built-in stddev is used (accumulation order would
-    // differ). σ=0 users yield z=NaN which fails the |z| filter in both
-    // engines. One shuffle for moments, broadcast join back, scan-side
-    // filter — at 100 TB the moment table is |users| rows.
+    // differ). σ=0 users yield z=NaN — and BOTH engines order NaN above
+    // every float, so `abs(z) > 2.5` alone would INCLUDE those rows;
+    // the explicit NOT-isnan predicate below encodes the intended
+    // exclusion rather than leaning on two engines agreeing on NaN
+    // comparison semantics. One shuffle for moments, broadcast join
+    // back, scan-side filter — at 100 TB the moment table is |users|
+    // rows.
     Q(
       "ev9_zscore_outliers",
       (s, dir) => {
@@ -298,7 +302,7 @@ object EventOps {
           sqrt(col("s2").cast("double") / col("n") - m * m)
         f.join(broadcast(st), Seq("user_id"))
           .select(col("event_id"), col("user_id"), col("value"), z.as("z"))
-          .filter(abs(col("z")) > 2.5)
+          .filter(!isnan(col("z")) && abs(col("z")) > 2.5)
           .orderBy("event_id")
       },
       Some("""WITH f AS (SELECT event_id, user_id, value,
@@ -313,7 +317,7 @@ object EventOps {
              |               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS z
              |      FROM f JOIN st USING (user_id))
              |SELECT event_id, user_id, value, z FROM z
-             |WHERE abs(z) > 2.5 ORDER BY event_id""".stripMargin)
+             |WHERE NOT isnan(z) AND abs(z) > 2.5 ORDER BY event_id""".stripMargin)
     ),
 
     // EV10: SLIDING-window aggregation — 7-day weekly-active-users

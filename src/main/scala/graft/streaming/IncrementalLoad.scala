@@ -20,6 +20,32 @@ import org.apache.spark.sql.types.StructType
   */
 object IncrementalLoad {
 
+  /** Post-load verification ledger: warehouse path → rows counted by
+    * reading the table BACK after the overwrite — the reference loader's
+    * `get_table().num_rows` post-check
+    * (bigquery_loader_function/main.py:47-48). Read-back, not
+    * `batch.count()`: the point is to verify what actually landed.
+    */
+  private val postLoadCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  /** Rows the last completed load left at `warehousePath` (read back
+    * post-overwrite), if a load ran in this session.
+    */
+  def lastLoadedRowCount(warehousePath: String): Option[Long] =
+    Option(postLoadCounts.get(warehousePath))
+
+  /** One (warehouse_path, num_rows) row per table loaded this session —
+    * the report surface for callers that want the reference's num_rows
+    * check as a frame.
+    */
+  def loadSummary(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      postLoadCounts.asScala.toSeq.sortBy(_._1))
+      .toDF("warehouse_path", "num_rows")
+  }
+
   /** P5: process only `backups/&#42;.csv` object keys
     * (bigquery_loader_function/main.py:20-22).
     */
@@ -63,11 +89,16 @@ object IncrementalLoad {
     in.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // WRITE_TRUNCATE: full refresh, exactly like the reference's
           // BigQuery load_job write_disposition.
           batch.write.mode("overwrite").parquet(warehousePath)
+          // post-load verification: read the table back and count, the
+          // reference's num_rows check (main.py:47-48)
+          val n = batch.sparkSession.read.parquet(warehousePath).count()
+          postLoadCounts.put(warehousePath, n)
+          System.err.println(s"[load] batch=$batchId $warehousePath num_rows=$n")
         }
       }
       .start()

@@ -50,6 +50,14 @@ class IncrementalLoadSpec extends SparkSpec {
       "steps" -> 65L, "interactions" -> 50L)
     counts.foreach { case (table, n) =>
       assert(spark.read.parquet(s"$root/wh/$table").count() === n, table)
+      // the post-load read-back check surfaced the same number
+      assert(IncrementalLoad.lastLoadedRowCount(s"$root/wh/$table") === Some(n), table)
+    }
+    // and the summary frame carries one (path, num_rows) row per table
+    val summary = IncrementalLoad.loadSummary(spark)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (table, n) =>
+      assert(summary(s"$root/wh/$table") === n, table)
     }
     // recipe.csv landed in the renamed `recipes` table with typed columns
     val r = spark.read.parquet(s"$root/wh/recipes")
