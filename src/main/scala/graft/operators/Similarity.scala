@@ -217,6 +217,57 @@ object Similarity {
       numQueries: Int, topK: Int): DataFrame =
     ivfImpl(v, numQueries, topK, e => cellProbesColFor(e, cents))
 
+  // ---- trained PQ (k-means codebooks behind em5's code interface) ----
+
+  /** Per-subspace k-means PQ codebooks — the production tier of em5's
+    * product quantizer, trained exactly as [[trainCentroids]] trains the
+    * IVF cells but independently per 8-d slice
+    * (`codebooks(sub)(cell)(dim)`). The md5-derived ±1 codebooks remain
+    * the ORACLE variant (two engines recompute them bit-for-bit, which
+    * no trained model guarantees); these minimize actual per-subspace
+    * quantization error instead. Deterministic for a fixed seed; each
+    * subspace gets seed+sub so the k slices don't share initializations.
+    * Training cost: `subspaces` MLlib k-means runs over an 8-d
+    * projection — distributed k-means|| under the hood, so the trainer
+    * itself holds at corpus scale.
+    */
+  def trainPqCodebooks(raw: DataFrame, subspaces: Int = PqSubspaces,
+      cells: Int = PqCells, seed: Long = 42L,
+      maxIter: Int = 20): Array[Array[Array[Double]]] =
+    Array.tabulate(subspaces) { sub =>
+      val feats = raw.select(
+        org.apache.spark.ml.functions.array_to_vector(
+          slice(embD, sub * PqSubDim + 1, PqSubDim)).as("features"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(cells).setSeed(seed + sub).setMaxIter(maxIter)
+        .fit(feats)
+        .clusterCenters.map(_.toArray)
+    }
+
+  /** PQ code array against arbitrary (trained) codebooks: per subspace,
+    * the EUCLIDEAN-nearest cell via the same `e·c − ‖c‖²/2` argmax trick
+    * as trained IVF (for the ±1 oracle books every ‖c‖² ties, collapsing
+    * to em5's raw-dot argmax). 1-based codes, matching em5. Per-row
+    * projection only — no shuffle.
+    */
+  def pqCodesFor(e: Column, books: Array[Array[Array[Double]]]): Column =
+    array(books.indices.map { sub =>
+      val subVec = slice(e, sub * PqSubDim + 1, PqSubDim)
+      val d = array(books(sub).map(c =>
+        dotCols(subVec, typedlit(c.toSeq)) - lit(c.map(x => x * x).sum / 2.0)): _*)
+      array_position(d, array_max(d)).cast("int")
+    }: _*)
+
+  /** (vec_id, codes) for a raw (vec_id, embedding) frame under trained
+    * codebooks — the library entry point mirroring em5's registry shape
+    * pre-explode.
+    */
+  def pqEncodeTrained(s: SparkSession, raw: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    GraftFunctions.register(s)
+    raw.select(col("vec_id"), pqCodesFor(embD, books).as("codes"))
+  }
+
   /** Prepare any (vec_id, embedding) frame: cast, norm, LSH bucket —
     * one scan, persisted. Public so callers (and tests) can run the
     * operators over their own vector sets.

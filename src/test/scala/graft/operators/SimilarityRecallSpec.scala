@@ -189,4 +189,43 @@ class SimilarityRecallSpec extends SparkSpec {
       s"mean reconstruction cosine ${cosines.sum / cosines.length}")
     assert(cosines.count(_ < 0) <= cosines.length / 20, "too many anti-correlated rows")
   }
+
+  test("k-means-trained PQ codebooks beat the ±1 oracle codebooks on reconstruction") {
+    import spark.implicits._
+    val raw = graft.Tables(spark, graft.TestSpark.Sf0001, "embeddings")
+    val withEmb = raw.select(
+      col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+    def encodeAndCollect(books: Array[Array[Array[Double]]]): Array[(Seq[Int], Seq[Double])] =
+      Similarity.pqEncodeTrained(spark, raw, books)
+        .join(withEmb, Seq("vec_id"))
+        .select(col("codes"), col("emb"))
+        .as[(Seq[Int], Seq[Double])].collect()
+
+    // (mean reconstruction cosine, mean squared reconstruction error)
+    def quality(rows: Array[(Seq[Int], Seq[Double])],
+        books: Array[Array[Array[Double]]]): (Double, Double) = {
+      val per = rows.map { case (codes, emb) =>
+        val recon = codes.zipWithIndex.flatMap { case (code, s) =>
+          books(s)(code - 1) // codes are 1-based
+        }
+        val dot = recon.zip(emb).map { case (a, b) => a * b }.sum
+        val cos = dot / (math.sqrt(recon.map(x => x * x).sum) *
+          math.sqrt(emb.map(x => x * x).sum))
+        val mse = recon.zip(emb).map { case (a, b) => (a - b) * (a - b) }.sum / emb.length
+        (cos, mse)
+      }
+      (per.map(_._1).sum / per.length, per.map(_._2).sum / per.length)
+    }
+
+    val pm1Books = Array.tabulate(8, 16)((s, c) =>
+      Similarity.pqCentroid(s)(c).map(_.toDouble))
+    val trainedBooks = Similarity.trainPqCodebooks(raw)
+    val (pm1Cos, pm1Mse) = quality(encodeAndCollect(pm1Books), pm1Books)
+    val (trCos, trMse) = quality(encodeAndCollect(trainedBooks), trainedBooks)
+    // trained cells minimize actual per-subspace quantization error;
+    // the ±1 family only ever captures direction
+    assert(trMse < pm1Mse, s"trained mse $trMse vs ±1 mse $pm1Mse")
+    assert(trCos > pm1Cos, s"trained cos $trCos vs ±1 cos $pm1Cos")
+  }
 }
