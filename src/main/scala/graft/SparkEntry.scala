@@ -24,6 +24,7 @@ object SparkEntry {
       operators.LakeMaintenance.all ++
       operators.ChangeCapture.all ++
       pipeline.CorpusPipeline.all ++
+      sources.DocStoreQueries.all ++
       streaming.StreamingQueries.all ++
       recipes.Seed.all ++
       recipes.RecipeStarQueries.all ++
