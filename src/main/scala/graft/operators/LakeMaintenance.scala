@@ -171,8 +171,13 @@ object LakeMaintenance {
           .repartitionByRange(parts, col(c))
           .withColumn("_pid", spark_partition_id())
           .persist())
+      // O(shuffle partitions)-bounded driver value, fetched as ONE
+      // aggregated row (the same accounting discipline as
+      // StreamingMerge's affected-bucket list)
       val subtotal = ranged.groupBy("_pid").agg(sum("_n").as("_pn"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        .agg(collect_list(struct(col("_pid"), col("_pn"))).as("s"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
       val total = subtotal.map(_._2).sum
       val offDf = spark.createDataFrame(
         subtotal.map(_._1).zip(subtotal.map(_._2).scanLeft(0L)(_ + _)).toSeq)
