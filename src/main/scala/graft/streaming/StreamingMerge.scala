@@ -90,7 +90,9 @@ object StreamingMerge {
         (s.getPath.getName.startsWith(".merge_") ||
           s.getPath.getName.startsWith(".old_")) &&
         s.getModificationTime <= cutoff)
-      .map { s => fs.delete(s.getPath, true); s.getPath.toString }
+      // only report dirs that were actually removed
+      .flatMap(s =>
+        if (fs.delete(s.getPath, true)) Some(s.getPath.toString) else None)
   }
 
   /** One MERGE application: rewrite exactly the affected buckets. */
