@@ -191,26 +191,34 @@ private[sources] class DocPageReaderFactory(readSchema: StructType)
         new Configuration())
       private val in = fs.open(new Path(page.file))
       in.seek(page.start)
-      private val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, "UTF-8"))
+      private val buf = new java.io.BufferedInputStream(in, 64 * 1024)
       private val mapper = new ObjectMapper()
+      // byte-exact position tracking (a BufferedReader.readLine would
+      // lose the \n-vs-\r\n distinction and let the reader run past its
+      // page boundary into the next partition's documents)
       private var consumed = page.start
       private var row: InternalRow = _
 
       override def next(): Boolean = {
         if (consumed >= page.end) return false
-        val line = reader.readLine()
-        if (line == null) return false
-        consumed += line.getBytes("UTF-8").length + 1 // newline
-        if (line.trim.isEmpty) next()
-        else {
+        val bytes = new java.io.ByteArrayOutputStream(256)
+        var b = buf.read()
+        while (b != -1 && b != '\n') {
+          consumed += 1
+          bytes.write(b)
+          b = buf.read()
+        }
+        if (b == '\n') consumed += 1
+        val line = bytes.toString("UTF-8").stripSuffix("\r").trim
+        if (line.nonEmpty) {
           row = DocJson.toRow(mapper.readTree(line), readSchema)
           true
-        }
+        } else if (b == -1) false
+        else next()
       }
 
       override def get(): InternalRow = row
-      override def close(): Unit = reader.close()
+      override def close(): Unit = buf.close()
     }
   }
 }

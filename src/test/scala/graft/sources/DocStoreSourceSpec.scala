@@ -75,6 +75,24 @@ class DocStoreSourceSpec extends SparkSpec {
     assert(messages(e).exists(m => m != null && m.contains("declared schema")))
   }
 
+  test("CRLF line endings: byte accounting keeps pages disjoint (no dup/loss)") {
+    val dir = java.nio.file.Files.createTempDirectory("docstore_crlf").toString
+    val docs = (0 until 11).map(i => s"""{"user_id": "u$i", "username": "name$i"}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/coll.jsonl"),
+      docs.mkString("\r\n").getBytes("UTF-8")) // \r\n separators, no trailing newline
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("username",
+        org.apache.spark.sql.types.StringType)))
+    val df = spark.read.format("docstore").schema(schema)
+      .option("pageSize", 3).load(s"$dir/coll.jsonl")
+    val got = df.collect().map(_.getString(0)).sorted
+    assert(got === (0 until 11).map(i => s"u$i").sorted.toArray)
+    assert(df.rdd.getNumPartitions === 4) // ceil(11/3)
+  }
+
   test("directory of collection files reads as one collection") {
     val dir = java.nio.file.Files.createTempDirectory("docstore_dir").toString
     java.nio.file.Files.copy(
