@@ -300,7 +300,10 @@ object EventOps {
         val m = col("s1").cast("double") / col("n")
         val z = (col("fx").cast("double") - m) /
           sqrt(col("s2").cast("double") / col("n") - m * m)
-        f.join(broadcast(st), Seq("user_id"))
+        // st is |users|-sized — join strategy left to AQE (broadcast at
+        // bench SFs, shuffle join on user_id when the user base outgrows
+        // a broadcast; same principle as the dedup verify joins)
+        f.join(st, Seq("user_id"))
           .select(col("event_id"), col("user_id"), col("value"), z.as("z"))
           .filter(!isnan(col("z")) && abs(col("z")) > 2.5)
           .orderBy("event_id")
