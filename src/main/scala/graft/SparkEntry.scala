@@ -9,6 +9,7 @@ object SparkEntry {
   val registry: Seq[Q] =
     analytics.StarQueries.all ++
       operators.RelationalOps.all ++
+      operators.AsofJoin.all ++
       operators.NestedOps.all ++
       operators.ValidationQueries.all ++
       operators.Dedup.all ++

@@ -122,74 +122,6 @@ object ExtendedOps {
              |FROM sk ORDER BY event_type""".stripMargin)
     ),
 
-    // As-of join — an operator Spark lacks natively, composed the
-    // scale-right way: instead of a per-row range self-join (quadratic in
-    // events-per-user), union the two sides and take ONE window pass per
-    // user ordered by event time, carrying the last view id forward with
-    // last(..., ignoreNulls). One shuffle on user_id, state O(1) per row.
-    // (user_id, ts) is unique in this corpus, so the `v.ts <= p.ts`
-    // as-of semantics and the window formulation coincide exactly —
-    // DuckDB's native ASOF JOIN is the oracle.
-    Q(
-      "aj1_asof_last_view",
-      (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .filter(col("event_type").isin("view", "purchase"))
-          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-        val w = Window.partitionBy("user_id").orderBy("ts")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ev.withColumn(
-            "last_view",
-            last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true)
-              .over(w))
-          .filter(col("event_type") === "purchase")
-          .select("event_id", "user_id", "last_view")
-          .orderBy("event_id")
-      },
-      Some("""SELECT p.event_id, p.user_id, v.event_id AS last_view
-             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-             |  ON p.user_id = v.user_id AND p.ts >= v.ts
-             |ORDER BY p.event_id""".stripMargin)
-    ),
-
-    // AJ2: as-of join with TOLERANCE — the telemetry/finance variant
-    // (match the latest quote/view only if it is fresh enough). Same
-    // single window pass as aj1, additionally carrying the matched
-    // row's timestamp so staleness is a per-row integer-microsecond
-    // comparison; matches older than 1h null out. DuckDB's ASOF plus a
-    // staleness CASE is the oracle.
-    Q(
-      "aj2_asof_tolerance",
-      (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .filter(col("event_type").isin("view", "purchase"))
-          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-        val w = Window.partitionBy("user_id").orderBy("ts")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val viewId = when(col("event_type") === "view", col("event_id"))
-        val viewUs = when(col("event_type") === "view", unix_micros(col("ts")))
-        ev.withColumn("last_view", last(viewId, ignoreNulls = true).over(w))
-          .withColumn("last_view_us", last(viewUs, ignoreNulls = true).over(w))
-          .filter(col("event_type") === "purchase")
-          .select(
-            col("event_id"), col("user_id"),
-            when(unix_micros(col("ts")) - col("last_view_us") <= 3600000000L,
-              col("last_view")).as("fresh_view"),
-            (unix_micros(col("ts")) - col("last_view_us") <= 3600000000L)
-              .as("is_fresh"))
-          .orderBy("event_id")
-      },
-      Some("""SELECT p.event_id, p.user_id,
-             |  CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
-             |       THEN v.event_id END AS fresh_view,
-             |  epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000 AS is_fresh
-             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-             |  ON p.user_id = v.user_id AND p.ts >= v.ts
-             |ORDER BY p.event_id""".stripMargin)
-    ),
-
     // Set operations: urgent-order customers minus high-priority overlap,
     // plus the intersection — EXCEPT/INTERSECT with DISTINCT semantics.
     Q(

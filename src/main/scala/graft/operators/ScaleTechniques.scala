@@ -174,6 +174,62 @@ object ScaleTechniques {
       Some("""SELECT lang, count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
              |FROM documents WHERE lang IN ('de', 'fr')
              |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
+    // ST4: bucketed co-located join — the write-time answer to shuffle
+    // cost that salting (st2) and AQE can't give: both tables are
+    // written ONCE bucketed 8-ways on the join key, and every subsequent
+    // join *and* aggregation on that key runs with zero exchanges — the
+    // scan's bucket layout IS the join's required partitioning, and it
+    // survives through the join into the per-key aggregate. At 100 TB
+    // this converts the recurring per-query fact shuffle into a one-time
+    // layout cost, the same trade lk2/lk3 make for scan locality.
+    // ScaleTechniquesSpec asserts the plan property (no ShuffleExchange
+    // upstream of the join with broadcast off); this row proves the
+    // answer equals the plain-parquet join. The per-customer spend uses
+    // the fixed-point convention, independent of bucket addition order.
+    Q(
+      "st4_bucketed_join",
+      (s, dir) => {
+        bucketedPair(s, dir)
+        // group on the FACT side's key: the join's output keeps the
+        // orders scan's bucket partitioning under every strategy
+        // (broadcast included), so the aggregate needs no exchange
+        s.table("graft_st4_orders")
+          .join(s.table("graft_st4_customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_custkey"), col("c_name"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            (sum(round(col("o_totalprice") * 10000).cast("long"))
+              .cast("double") / 10000.0).as("spend"))
+          .select(
+            col("o_custkey").as("c_custkey"), col("c_name"),
+            col("n_orders"), col("spend"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, count(*) AS n_orders,
+             |  CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS spend
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin)
     )
   )
+
+  /** Write orders + customer bucketed 8-ways on their join key into the
+    * session catalog (idempotent per session; external parquet under a
+    * temp dir so nothing lands in the repo). Bucket count is the
+    * config knob that would be sized to cluster parallelism at scale.
+    */
+  def bucketedPair(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    Seq(("orders", "o_custkey"), ("customer", "c_custkey")).foreach {
+      case (t, key) =>
+        val table = s"graft_st4_$t"
+        if (!s.catalog.tableExists(table)) {
+          val root = java.nio.file.Files.createTempDirectory("graft_st4")
+          Tables(s, dir, t).write
+            .option("path", root.resolve(t).toString)
+            .bucketBy(8, key).sortBy(key)
+            .saveAsTable(table)
+        }
+    }
 }

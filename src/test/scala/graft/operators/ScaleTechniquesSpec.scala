@@ -73,6 +73,25 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(joined.count() === li.count())
   }
 
+  test("st4's bucketed join AND per-key aggregate run with zero exchanges") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    ScaleTechniques.bucketedPair(s, TestSpark.Sf0001)
+    // st4's shape minus the presentation orderBy (which legitimately
+    // range-partitions): join + groupBy must both ride the bucket layout
+    val agg = s.table("graft_st4_orders")
+      .join(s.table("graft_st4_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"))
+    val shuffles = agg.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty,
+      s"bucketed join+agg must not shuffle:\n${agg.queryExecution.executedPlan}")
+    assert(agg.count() === 150)
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     val s = spark.newSession()
     s.conf.set("spark.sql.adaptive.enabled", "true")
