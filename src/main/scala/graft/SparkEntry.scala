@@ -15,6 +15,7 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
+      operators.Chunking.all ++
       operators.EventOps.all ++
       operators.Multimodal.all ++
       operators.ExtendedOps.all ++

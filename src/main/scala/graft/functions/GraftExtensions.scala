@@ -117,5 +117,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         BottomKLongs(children(0), k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.BloomName),
+      new ExpressionInfo(classOf[BloomMightContainLong].getName, null,
+        GraftFunctions.BloomName,
+        "_FUNC_(col, bloomBytes) - serialized-bloom membership probe", ""),
+      (children: Seq[Expression]) => {
+        val bytes = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Array[Byte], _) => v
+          case other =>
+            throw new IllegalArgumentException(s"bloom bytes must be a binary literal, got $other")
+        }
+        BloomMightContainLong(children(0), bytes)
+      }))
   }
 }

@@ -60,6 +60,9 @@ object GraftFunctions {
   /** all character n-grams of a string, in order. */
   val CharNgramsName = "graft_char_ngrams"
 
+  /** bloom-membership probe of a long column (serialized filter literal). */
+  val BloomName = "graft_bloom_might_contain"
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(getClass.getName, null, name, usage, "")
 
@@ -152,6 +155,15 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(s"n must be a literal, got $other")
         }
         CharNgrams(children(0), n)
+      })
+    ensure(BloomName, "_FUNC_(col, bloomBytes) - serialized-bloom membership probe")(
+      children => {
+        val bytes = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Array[Byte], _) => v
+          case other =>
+            throw new IllegalArgumentException(s"bloom bytes must be a binary literal, got $other")
+        }
+        BloomMightContainLong(children(0), bytes)
       })
   }
 }

@@ -227,6 +227,42 @@ object Decontamination {
               |      FROM cand JOIN bgt bt ON test_id = bt.doc_id JOIN bgt br ON train_id = br.doc_id)
               |SELECT test_id, count(*) AS n_train_matches, max(j) AS max_jaccard
               |FROM j WHERE j >= 0.8 GROUP BY test_id ORDER BY test_id""".stripMargin)
+    ),
+
+    // DC4: scrub the TRAIN side — the direction where volume lives. dc1/
+    // dc2 probe the bounded test set against the train gram index; a
+    // corpus release must also answer the converse: which TRAIN documents
+    // carry eval-set content (they leak benchmark answers into the
+    // model). At 100 TB the train side is the whole corpus, so the probe
+    // is fronted by a BLOOM FILTER of the (bounded) test grams as a
+    // codegen'd scan predicate — graft_bloom_might_contain, the explicit
+    // form of the runtime-bloom join optimization — killing ~97% of
+    // train gram rows inside the scan before any shuffle. The exact
+    // semi-join against the distinct test grams then removes bloom false
+    // positives, so the result is EXACTLY the unfiltered join's (the
+    // oracle runs no bloom), and the bloom is pure pre-shuffle volume
+    // reduction. Filter construction scans only the test split.
+    Q(
+      "dc4_train_scrub",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val g = graft.CacheScope.track(
+          grams(s, dir).persist(StorageLevel.MEMORY_AND_DISK))
+        val testGrams = g.filter(col("split") === "test").select("g").distinct()
+        val bloom = graft.functions.BloomMightContainLong
+          .serializedBloom(testGrams, "g")
+        g.filter(col("split") === "train")
+          .filter(call_function(GraftFunctions.BloomName, col("g"), lit(bloom)))
+          .join(testGrams, Seq("g"), "left_semi")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_leaked_grams"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $gramCte
+              |SELECT g.doc_id, count(*) AS n_leaked_grams
+              |FROM g JOIN (SELECT DISTINCT g FROM te) t ON g.g = t.g
+              |WHERE g.split = 'train'
+              |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)
     )
   )
 }
