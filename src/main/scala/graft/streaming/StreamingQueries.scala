@@ -468,6 +468,53 @@ object StreamingQueries {
              |SELECT w_start, count(DISTINCT user_id) AS wau
              |FROM x GROUP BY w_start ORDER BY w_start""".stripMargin),
       bench = false
+    ),
+
+    // SM11: stream-static AS-OF join (aj1's streaming twin): purchases
+    // arrive as three micro-batches; each batch is as-of joined against
+    // the static view table via the same AsofJoin operator the batch
+    // row uses. Per-probe-row independence is what makes the as-of
+    // incrementally computable with NO cross-batch state: a probe row's
+    // match depends only on the static build side, so batch-at-a-time
+    // equals one-shot — the property this row proves through the real
+    // streaming runtime (checkpointed foreachBatch, append sink).
+    // Oracle: aj1's SQL, verbatim.
+    Q(
+      "sm11_stream_asof",
+      (s, dir) => {
+        val (landing, _, _, ckpt) = tempDirs("graft_sm11")
+        val out = Files.createTempDirectory("graft_sm11_out").toString
+        val ev = Tables(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        stageOrderedChunks(purchases, "event_id", Seq(3000L, 6000L), landing)
+        val views = ev.filter(col("event_type") === "view")
+        val schema = s.read.parquet(landing.toString).schema
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.operators.AsofJoin.asofBackward(
+              batch, views,
+              keys = Seq("user_id"), probeTime = "ts", buildTime = "ts",
+              payload = Seq("event_id" -> "last_view"), left = true)
+              .select("event_id", "user_id", "last_view")
+              .write.mode("append").parquet(out)
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(out).orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, v.event_id AS last_view
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             |  ON p.user_id = v.user_id AND p.ts >= v.ts
+             |ORDER BY p.event_id""".stripMargin),
+      bench = false
     )
   )
 }
