@@ -155,6 +155,44 @@ object Sampling {
              |               doc_id) AS BIGINT) AS rk
              |  FROM documents)
              |WHERE rk <= 12 ORDER BY source, rk""".stripMargin)
+    ),
+
+    // SP5: WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    // exponential keys): per source, keep the k docs with smallest
+    // -ln(u)/w where u is the doc's md5-uniform and w its weight (here
+    // n_chars — longer docs proportionally likelier). This is the
+    // quality-weighted corpus subselection step (sample 10% favoring
+    // high-quality docs) with sp4's operational properties: no rand(),
+    // so membership is rerun/append-stable and engine-reproducible, and
+    // the same single shuffle on source with InferWindowGroupLimit
+    // bounding rows leaving each map task. u is offset by +0.5/2^32 so
+    // ln never sees 0; keys are md5-spaced ~1e-5 apart at corpus scale,
+    // far beyond any cross-engine 1-ulp ln/div divergence, and the
+    // OUTPUT carries no float — only (source, doc_id, rank).
+    Q(
+      "sp5_weighted_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = (conv(
+          substring(md5(concat(lit("wrs:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("double") + 0.5) / 4294967296.0
+        val key = -log(u) / greatest(col("n_chars").cast("double"), lit(1.0))
+        val w = Window.partitionBy("source").orderBy("key", "doc_id")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"), key.as("key"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 12)
+          .select("doc_id", "source", "rk")
+          .orderBy("source", "rk")
+      },
+      Some("""SELECT doc_id, source, rk FROM (
+             |  SELECT doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+             |      -ln((CAST('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5) / 4294967296.0)
+             |        / greatest(CAST(n_chars AS DOUBLE), 1.0),
+             |      doc_id) AS BIGINT) AS rk
+             |  FROM documents)
+             |WHERE rk <= 12 ORDER BY source, rk""".stripMargin)
     )
   )
 }
