@@ -130,5 +130,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         BloomMightContainLong(children(0), bytes)
       }))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.CharEntropyName),
+      new ExpressionInfo(classOf[CharEntropy].getName, null,
+        GraftFunctions.CharEntropyName,
+        "_FUNC_(s) - per-code-point Shannon entropy (log2)", ""),
+      (children: Seq[Expression]) => CharEntropy(children(0))))
   }
 }

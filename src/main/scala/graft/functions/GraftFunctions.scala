@@ -63,6 +63,9 @@ object GraftFunctions {
   /** bloom-membership probe of a long column (serialized filter literal). */
   val BloomName = "graft_bloom_might_contain"
 
+  /** per-code-point Shannon entropy (log2) of a string, one pass. */
+  val CharEntropyName = "graft_char_entropy"
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(getClass.getName, null, name, usage, "")
 
@@ -165,6 +168,8 @@ object GraftFunctions {
         }
         BloomMightContainLong(children(0), bytes)
       })
+    ensure(CharEntropyName, "_FUNC_(s) - per-code-point Shannon entropy (log2)")(
+      children => CharEntropy(children(0)))
   }
 }
 

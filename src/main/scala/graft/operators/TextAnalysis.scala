@@ -507,6 +507,39 @@ object TextAnalysis {
              |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS BIGINT) AS rk
              |  FROM c)
              |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)
+    ),
+
+    // TX13: per-document character entropy — the compression-proxy
+    // quality signal (repetitive boilerplate reads low, noise reads
+    // high; filters cut both tails). Native one-pass CharEntropy
+    // expression (no per-char explode, no shuffle); DuckDB's entropy()
+    // aggregate over exploded code points is the oracle. Both engines
+    // round to 6 dp so summation-order ulps can't flip the compare;
+    // the bucket column shows the filter-decision form.
+    Q(
+      "tx13_char_entropy",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val ent = round(call_function(
+          graft.functions.GraftFunctions.CharEntropyName, col("text")), 6)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), ent.as("char_entropy"))
+          .withColumn("quality_band",
+            when(col("char_entropy") < 3.5, "low")
+              .when(col("char_entropy") > 5.5, "high")
+              .otherwise("mid"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, round(ent, 6) AS char_entropy,
+             |  CASE WHEN round(ent, 6) < 3.5 THEN 'low'
+             |       WHEN round(ent, 6) > 5.5 THEN 'high'
+             |       ELSE 'mid' END AS quality_band
+             |FROM (
+             |  SELECT doc_id, entropy(c) AS ent
+             |  FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+             |        FROM documents)
+             |  GROUP BY doc_id)
+             |ORDER BY doc_id""".stripMargin)
     )
   )
 }
