@@ -383,6 +383,26 @@ object Similarity {
   private[operators] def probesCol(bucket: Column, numPlanes: Int = NumPlanes): Column =
     array(bucket +: (0 until numPlanes).map(p => bucket.bitwiseXOR(lit(1L << p))): _*)
 
+  /** Ordered near-dup pairs (vec_a < vec_b, cosine >= 0.4) from
+    * same-or-adjacent-bucket probes — shared by em1 (the pair report)
+    * and em6 (the SemDeDup keep decision). Persisted + tracked;
+    * CacheManager dedupes the identical plan across both queries, so a
+    * sweep builds the pair table once. The sort/aggregate above it
+    * samples the small persisted result, not the join.
+    */
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame = {
+    val (v, np) = vectors(s, dir)
+    val bp = v.select(col("vec_id").as("bid"), col("emb").as("bemb"),
+      col("nrm").as("bnrm"), explode(probesCol(col("bucket"), np)).as("probe"))
+    v.join(bp, col("bucket") === col("probe") && col("vec_id") < col("bid"))
+      .select(
+        col("vec_id").as("vec_a"),
+        col("bid").as("vec_b"),
+        cosine(col("emb"), col("nrm"), col("bemb"), col("bnrm")).as("score"))
+      .filter(col("score") >= 0.4)
+      .transform(d => graft.CacheScope.track(d.persist(StorageLevel.MEMORY_AND_DISK)))
+  }
+
   /** The query's 2 nearest cells (best + runner-up by centroid dot) —
     * the IVF probe list.
     */
@@ -522,20 +542,7 @@ object Similarity {
     // each unordered pair matches exactly one probe — no dedup pass needed.
     Q(
       "em1_embedding_neardup",
-      (s, dir) => {
-        val (v, np) = vectors(s, dir)
-        val bp = v.select(col("vec_id").as("bid"), col("emb").as("bemb"),
-          col("nrm").as("bnrm"), explode(probesCol(col("bucket"), np)).as("probe"))
-        v.join(bp, col("bucket") === col("probe") && col("vec_id") < col("bid"))
-          .select(
-            col("vec_id").as("vec_a"),
-            col("bid").as("vec_b"),
-            cosine(col("emb"), col("nrm"), col("bemb"), col("bnrm")).as("score"))
-          .filter(col("score") >= 0.4)
-          // barrier: sort samples the small result, not the join
-          .transform(d => graft.CacheScope.track(d.persist(StorageLevel.MEMORY_AND_DISK)))
-          .orderBy("vec_a", "vec_b")
-      },
+      (s, dir) => neardupPairs(s, dir).orderBy("vec_a", "vec_b"),
       Some(s"""WITH $vecBucketSql,
               |bp AS (SELECT vec_id AS bid, emb AS bemb, nrm AS bnrm, unnest($probesSql) AS probe FROM v)
               |SELECT vec_a, vec_b, score FROM (
@@ -725,6 +732,44 @@ object Similarity {
            |FROM c CROSS JOIN (SELECT unnest(generate_series(1, $PqSubspaces)) AS p) g
            |ORDER BY vec_id, subspace""".stripMargin
       }
+    ),
+
+    // EM6: the SemDeDup keep decision — semantic dedup by embedding
+    // near-duplicates. A vector is DROPPED iff it has a near-dup
+    // neighbor with a smaller id; since em1's pair table is ordered
+    // (vec_a < vec_b), that is exactly "appears as vec_b" — one
+    // aggregation over the shared persisted pair table, no transitive
+    // closure (greedy smallest-id-survives, the standard deterministic
+    // SemDeDup policy). Output is linear in corpus size: per vector,
+    // keep flag + how many smaller near-dups evicted it.
+    Q(
+      "em6_semantic_keep",
+      (s, dir) => {
+        val evictors = neardupPairs(s, dir)
+          .groupBy(col("vec_b").as("vec_id"))
+          .agg(count(lit(1)).as("n_smaller_dups"))
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"))
+          .join(evictors, Seq("vec_id"), "left")
+          .select(
+            col("vec_id"),
+            coalesce(col("n_smaller_dups"), lit(0L)).as("n_smaller_dups"),
+            col("n_smaller_dups").isNull.as("keep"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $vecBucketSql,
+              |bp AS (SELECT vec_id AS bid, emb AS bemb, nrm AS bnrm, unnest($probesSql) AS probe FROM v),
+              |pairs AS (SELECT vec_a, vec_b FROM (
+              |  SELECT q.vec_id AS vec_a, c.bid AS vec_b,
+              |    round(list_sum(list_transform(generate_series(1,$Dims), i -> q.emb[i]*c.bemb[i])) / (q.nrm*c.bnrm), 6) AS score
+              |  FROM v q JOIN bp c ON q.bucket = c.probe AND q.vec_id < c.bid)
+              |  WHERE score >= 0.4),
+              |ev AS (SELECT vec_b AS vec_id, count(*) AS n_smaller_dups FROM pairs GROUP BY vec_b)
+              |SELECT e.vec_id,
+              |  coalesce(ev.n_smaller_dups, 0) AS n_smaller_dups,
+              |  ev.vec_id IS NULL AS keep
+              |FROM embeddings e LEFT JOIN ev ON e.vec_id = ev.vec_id
+              |ORDER BY e.vec_id""".stripMargin)
     )
   )
 }
