@@ -245,11 +245,96 @@ object CorpusPipeline {
        |     AND doc_id NOT IN (SELECT doc_id FROM dirty)) AS test_clean""".stripMargin
   }
 
-  /** Registry entry: the composed pipeline's accounting, driver-verified. */
+  /** CP2: the PACKAGING funnel that follows cp1's hygiene pass — the
+    * round-6 curation tier composed end-to-end with per-stage counts:
+    *
+    *   train split → entropy quality band (tx13's mid band) →
+    *   weighted per-source cap (sp5's exponential keys, k=12) →
+    *   chunk-window yield (ch1's 32/24 windows)
+    *
+    * Every stage is a per-row flag or bounded window — no stage adds a
+    * corpus-sized shuffle beyond sp5's per-source window — and the
+    * chunk yield is computed arithmetically (last_k + 1 per doc), not
+    * by materializing chunk rows, so the accounting itself is scan-
+    * bound. Stage names carry an ordinal prefix so the output sorts in
+    * funnel order in any engine.
+    */
+  private def packagingFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val train = Sampling
+      .hashSplit(
+        Tables(s, dir, "documents").select("doc_id", "source", "text", "n_chars"),
+        col("doc_id"))
+      .filter(col("split") === "train")
+    val entR = round(call_function(
+      graft.functions.GraftFunctions.CharEntropyName, col("text")), 6)
+    val banded = train.withColumn("ent", entR)
+      .filter(col("ent") >= 3.5 && col("ent") <= 5.5)
+    val u = (conv(
+      substring(md5(concat(lit("wrs:"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("double") + 0.5) / 4294967296.0
+    val key = -log(u) / greatest(col("n_chars").cast("double"), lit(1.0))
+    val capped = banded
+      .withColumn("key", key)
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("source").orderBy("key", "doc_id")))
+      .filter(col("rk") <= 12)
+    // chunk yield without materializing chunks: last_k + 1 per doc
+    val lastK = floor(
+      (greatest(size(split(col("text"), " ")) - graft.operators.Chunking.Width,
+        lit(0)) + (graft.operators.Chunking.Stride - 1)) /
+        graft.operators.Chunking.Stride).cast("long")
+    val counts = train.agg(count(lit(1)).as("n1"))
+      .crossJoin(banded.agg(count(lit(1)).as("n2")))
+      .crossJoin(capped.agg(count(lit(1)).as("n3")))
+      .crossJoin(capped.agg(
+        coalesce(sum(lastK + 1L), lit(0L)).as("n4")))
+    counts.select(expr(
+      """stack(4,
+        |  '1_train_split', n1,
+        |  '2_entropy_band', n2,
+        |  '3_weighted_cap', n3,
+        |  '4_chunk_yield', n4) AS (stage, n_docs)""".stripMargin))
+      .orderBy("stage")
+  }
+
+  private val packagingSql: String = {
+    val w = graft.operators.Chunking.Width
+    val st = graft.operators.Chunking.Stride
+    s"""WITH t AS (SELECT doc_id, source, text, n_chars FROM documents
+       |           WHERE ${Sampling.bucketSql("split", "doc_id")} < 80),
+       |ed AS (SELECT doc_id, round(entropy(c), 6) AS ent
+       |       FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM t)
+       |       GROUP BY doc_id),
+       |q AS (SELECT t.* FROM t JOIN ed ON t.doc_id = ed.doc_id
+       |      WHERE ed.ent >= 3.5 AND ed.ent <= 5.5),
+       |cap AS (SELECT doc_id, text FROM (
+       |          SELECT doc_id, text, row_number() OVER (PARTITION BY source ORDER BY
+       |            -ln((CAST('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5) / 4294967296.0)
+       |              / greatest(CAST(n_chars AS DOUBLE), 1.0),
+       |            doc_id) AS rk
+       |          FROM q)
+       |        WHERE rk <= 12),
+       |ch AS (SELECT CAST(coalesce(SUM(
+       |         (greatest(len(string_split(text, ' ')) - $w, 0) + ${st - 1}) // $st + 1), 0) AS BIGINT) AS n
+       |       FROM cap)
+       |SELECT stage, n_docs FROM (
+       |  SELECT '1_train_split' AS stage, count(*) AS n_docs FROM t
+       |  UNION ALL SELECT '2_entropy_band', count(*) FROM q
+       |  UNION ALL SELECT '3_weighted_cap', count(*) FROM cap
+       |  UNION ALL SELECT '4_chunk_yield', n FROM ch)
+       |ORDER BY stage""".stripMargin
+  }
+
+  /** Registry entries: the composed pipelines' accounting, driver-verified. */
   val all: Seq[Q] = Seq(
     Q("cp1_corpus_accounting",
       (s, dir) => accountingFrame(s, dir),
-      Some(accountingSql)))
+      Some(accountingSql)),
+    Q("cp2_packaging_accounting",
+      (s, dir) => packagingFrame(s, dir),
+      Some(packagingSql)))
 
   /** CLI: sfDir outDir → one JSON report line. */
   def main(args: Array[String]): Unit = {
