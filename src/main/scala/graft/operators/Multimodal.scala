@@ -183,6 +183,64 @@ object Multimodal {
              |        unnest(generate_series(0, CAST((strlen(text) - 1) // 32 AS INT))) AS u
              |      FROM documents)
              |WHERE u % 2 = 0 ORDER BY doc_id, frame_no""".stripMargin)
+    ),
+
+    // MM5: perceptual-hash near-dup over the media payloads — image
+    // dedup's difference-hash (dHash) shape on the byte plane: 32
+    // gradient bits from 33 evenly spaced payload samples, then the
+    // SimHash pairing discipline (dd5): candidates share one of four
+    // 8-bit bands (never all-pairs), survivors verified by hamming
+    // distance on the full hash. A real deployment swaps the sampled
+    // byte gradient for the resized-grayscale gradient the decode stub
+    // stands in for; banding, verification, and the integer-only hash
+    // algebra (both engines compute identical BIGINTs) are the
+    // deliverable. One shuffle on (band-slot, band-value).
+    Q(
+      "mm5_phash_neardup",
+      (s, dir) => {
+        val h = expr(
+          """aggregate(
+            |  transform(sequence(0, 31), i ->
+            |    IF(ascii(substring(text, CAST(i * length(text) / 33 AS INT) + 1, 1)) >
+            |       ascii(substring(text, CAST((i + 1) * length(text) / 33 AS INT) + 1, 1)),
+            |       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+            |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+        val hashes = graft.CacheScope.track(
+          Tables(s, dir, "documents")
+            .filter(col("doc_id") % 2 === 0) // the image half of the corpus
+            .select(col("doc_id"), h.as("h"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val bands = hashes.select(
+          col("doc_id"), col("h"), explode(sequence(lit(0), lit(3))).as("k"))
+          .withColumn("band", expr("shiftright(h, CAST(k * 8 AS INT)) & 255"))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(
+            col("a.doc_id").as("doc_a"), col("a.h").as("ha"),
+            col("b.doc_id").as("doc_b"), col("b.h").as("hb"))
+          .distinct()
+        cand
+          .withColumn("hamming",
+            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+          .filter(col("hamming") <= 8)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    CAST(list_sum(list_transform(generate_series(0, 31), i ->
+             |      CASE WHEN ascii(substr(text, (i * length(text)) // 33 + 1, 1)) >
+             |                ascii(substr(text, ((i + 1) * length(text)) // 33 + 1, 1))
+             |           THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |b AS (SELECT doc_id, h, unnest(generate_series(0, 3)) AS k FROM h),
+             |bb AS (SELECT doc_id, h, k, (h >> CAST(k * 8 AS INT)) & 255 AS band FROM b),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.h AS ha, c.doc_id AS doc_b, c.h AS hb
+             |         FROM bb a JOIN bb c ON a.k = c.k AND a.band = c.band AND a.doc_id < c.doc_id)
+             |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+             |FROM cand WHERE bit_count(xor(ha, hb)) <= 8
+             |ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 }
