@@ -10,6 +10,10 @@ import sys
 
 def main():
     text = open(sys.argv[1]).read()
+    # formatted mode prints its own "===== Subqueries =====" section inside
+    # a query's plan (DPP/scalar subqueries) — fold it into the owning
+    # query's block instead of treating it as a query
+    text = re.sub(r"^===== Subqueries =====$", "-- subqueries --", text, flags=re.M)
     blocks = re.split(r"^===== (\S+) =====$", text, flags=re.M)[1:]
     for name, body in zip(blocks[::2], blocks[1::2]):
         # formatted mode prints the tree, then per-node detail sections that
