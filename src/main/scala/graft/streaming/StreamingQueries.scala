@@ -515,6 +515,38 @@ object StreamingQueries {
              |  ON p.user_id = v.user_id AND p.ts >= v.ts
              |ORDER BY p.event_id""".stripMargin),
       bench = false
+    ),
+
+    // SM12: streaming document chunking (ch1's streaming twin). The
+    // chunker is a stateless per-row map, so the streaming form needs
+    // no state store at all — each micro-batch chunks its own documents
+    // and appends; the drained sink must equal the one-shot batch
+    // chunking. This is the ingest shape a landing corpus runs: chunk
+    // on arrival, append to the training store. Oracle: ch1's SQL,
+    // verbatim.
+    Q(
+      "sm12_stream_chunk",
+      (s, dir) => {
+        val (landing, _, _, ckpt) = tempDirs("graft_sm12")
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        stageOrderedChunks(docs, "doc_id", Seq(170L, 340L), landing)
+        val sinkName = s"graft_sm12_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        graft.operators.Chunking.chunk(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing.toString))
+          .writeStream
+          .format("memory")
+          .queryName(sinkName)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.table(sinkName).orderBy("doc_id", "chunk_idx")
+      },
+      // ch1's oracle, verbatim (Chunking.scala keeps the commentary)
+      Some(graft.operators.Chunking.all.head.oracle.get),
+      bench = false
     )
   )
 }

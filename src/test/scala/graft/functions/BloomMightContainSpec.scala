@@ -28,6 +28,20 @@ class BloomMightContainSpec extends SparkSpec {
     assert(fp < probes * 0.06, s"fp rate ${fp.toDouble / probes} far above fpp")
   }
 
+  test("stays inside whole-stage codegen (doGenCode path, not interpreted eval)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val bloom = BloomMightContainLong.serializedBloom(Seq(1L, 2L).toDF("g"), "g")
+    // range source, not a local Seq — ConvertToLocalRelation would
+    // constant-fold a local relation away and leave no codegen stage
+    val df = spark.range(10)
+      .filter(call_function(GraftFunctions.BloomName, col("id"), lit(bloom)))
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(gen.contains("mightContainLong"),
+      s"expression not in generated code:\n${gen.take(800)}")
+  }
+
   test("null input yields null, not a match") {
     GraftFunctions.register(spark)
     val bloom = BloomMightContainLong.serializedBloom(

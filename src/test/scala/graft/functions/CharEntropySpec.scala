@@ -27,6 +27,20 @@ class CharEntropySpec extends SparkSpec {
     assert(math.abs(h("éé") - 0.0) < 1e-12)
   }
 
+  test("stays inside whole-stage codegen (doGenCode path, not interpreted eval)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // range source, not a local Seq — ConvertToLocalRelation would
+    // constant-fold a local relation away and leave no codegen stage
+    val df = spark.range(4)
+      .select(concat(lit("txt"), col("id").cast("string")).as("s"))
+      .select(call_function(GraftFunctions.CharEntropyName, col("s")).as("h"))
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(gen.contains("graft.functions.CharEntropy.compute"),
+      s"expression not in generated code:\n${gen.take(800)}")
+  }
+
   test("callable from SQL and null-safe") {
     GraftFunctions.register(spark)
     val rows = spark.sql(
