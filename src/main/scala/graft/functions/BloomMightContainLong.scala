@@ -43,6 +43,18 @@ case class BloomMightContainLong(child: Expression, bloomBytes: Array[Byte])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // content-based equality: the default case-class equals compares the
+  // byte ARRAY by reference, so two probes built from identical
+  // serialized filters would never be semanticEquals — defeating
+  // CacheManager plan matching and common-subexpression elimination
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContainLong =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
 }
 
 object BloomMightContainLong {

@@ -191,12 +191,13 @@ object ScaleTechniques {
     Q(
       "st4_bucketed_join",
       (s, dir) => {
-        bucketedPair(s, dir)
+        val ordersT = bucketedTable(s, dir, "orders")
+        val customerT = bucketedTable(s, dir, "customer")
         // group on the FACT side's key: the join's output keeps the
         // orders scan's bucket partitioning under every strategy
         // (broadcast included), so the aggregate needs no exchange
-        s.table("graft_st4_orders")
-          .join(s.table("graft_st4_customer"),
+        s.table(ordersT)
+          .join(s.table(customerT),
             col("o_custkey") === col("c_custkey"))
           .groupBy(col("o_custkey"), col("c_name"))
           .agg(
@@ -216,20 +217,25 @@ object ScaleTechniques {
   )
 
   /** Write orders + customer bucketed 8-ways on their join key into the
-    * session catalog (idempotent per session; external parquet under a
-    * temp dir so nothing lands in the repo). Bucket count is the
-    * config knob that would be sized to cluster parallelism at scale.
+    * session catalog (idempotent per session AND per source dir — the
+    * table name carries a digest of `dir`, so Bench's warm-up sweep at
+    * sf0.001 cannot leave stale small-SF tables for the measured sweep
+    * at the target SF to silently reuse; external parquet under a temp
+    * dir so nothing lands in the repo). Bucket count is the config knob
+    * that would be sized to cluster parallelism at scale.
     */
-  def bucketedPair(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    Seq(("orders", "o_custkey"), ("customer", "c_custkey")).foreach {
-      case (t, key) =>
-        val table = s"graft_st4_$t"
-        if (!s.catalog.tableExists(table)) {
-          val root = java.nio.file.Files.createTempDirectory("graft_st4")
-          Tables(s, dir, t).write
-            .option("path", root.resolve(t).toString)
-            .bucketBy(8, key).sortBy(key)
-            .saveAsTable(table)
-        }
+  def bucketedTable(s: org.apache.spark.sql.SparkSession, dir: String, t: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val key = if (t == "orders") "o_custkey" else "c_custkey"
+    val table = s"graft_st4_${t}_$digest"
+    if (!s.catalog.tableExists(table)) {
+      val root = java.nio.file.Files.createTempDirectory("graft_st4")
+      Tables(s, dir, t).write
+        .option("path", root.resolve(t).toString)
+        .bucketBy(8, key).sortBy(key)
+        .saveAsTable(table)
     }
+    table
+  }
 }

@@ -269,17 +269,24 @@ object CorpusPipeline {
       .filter(col("split") === "train")
     val entR = round(call_function(
       graft.functions.GraftFunctions.CharEntropyName, col("text")), 6)
-    val banded = train.withColumn("ent", entR)
-      .filter(col("ent") >= 3.5 && col("ent") <= 5.5)
+    // persisted: three of the four count branches share this subtree —
+    // without the persist the full-corpus entropy pass runs three times
+    val banded = graft.CacheScope.track(
+      train.withColumn("ent", entR)
+        .filter(col("ent") >= 3.5 && col("ent") <= 5.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val u = (conv(
       substring(md5(concat(lit("wrs:"), col("doc_id").cast("string"))), 1, 8),
       16, 10).cast("double") + 0.5) / 4294967296.0
     val key = -log(u) / greatest(col("n_chars").cast("double"), lit(1.0))
-    val capped = banded
-      .withColumn("key", key)
-      .withColumn("rk",
-        row_number().over(Window.partitionBy("source").orderBy("key", "doc_id")))
-      .filter(col("rk") <= 12)
+    // persisted: two branches (doc count + chunk-yield sum) share it
+    val capped = graft.CacheScope.track(
+      banded
+        .withColumn("key", key)
+        .withColumn("rk",
+          row_number().over(Window.partitionBy("source").orderBy("key", "doc_id")))
+        .filter(col("rk") <= 12)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // chunk yield without materializing chunks: last_k + 1 per doc
     val lastK = floor(
       (greatest(size(split(col("text"), " ")) - graft.operators.Chunking.Width,

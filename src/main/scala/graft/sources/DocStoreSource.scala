@@ -127,13 +127,15 @@ private[sources] class DocStoreScan(
     * (no parse), and its output is O(n / pageSize) partition descriptors.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = FileSystem.get(
-      new java.net.URI(path).getScheme match {
-        case null => new java.net.URI("file:///")
-        case _    => new java.net.URI(path)
-      },
-      new Configuration())
-    val root = new Path(path)
+    // the SESSION's Hadoop conf, not a bare `new Configuration()`:
+    // spark.hadoop.* settings (credentials, endpoints, fs.defaultFS)
+    // must reach the filesystem, and a scheme-less path must resolve
+    // against fs.defaultFS exactly as spark.read.parquet would
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val root0 = new Path(path)
+    val fs = root0.getFileSystem(conf)
+    val root = fs.makeQualified(root0)
     val files =
       if (fs.getFileStatus(root).isDirectory)
         fs.listStatus(root).filter(_.isFile).map(_.getPath)
@@ -173,22 +175,32 @@ private[sources] class DocStoreScan(
     }.toArray[InputPartition]
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new DocPageReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // snapshot the session's Hadoop conf on the DRIVER and ship the
+    // entries with the (serializable) factory — executors have no
+    // SparkSession.active, and a bare `new Configuration()` there would
+    // drop every spark.hadoop.* setting the read was planned with
+    import scala.jdk.CollectionConverters._
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val entries = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    new DocPageReaderFactory(required, entries)
+  }
 }
 
-private[sources] class DocPageReaderFactory(readSchema: StructType)
+private[sources] class DocPageReaderFactory(
+    readSchema: StructType, confEntries: Array[(String, String)])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[DocPage]
     new PartitionReader[InternalRow] {
-      private val fs = FileSystem.get(
-        new java.net.URI(page.file).getScheme match {
-          case null => new java.net.URI("file:///")
-          case _    => new java.net.URI(page.file)
-        },
-        new Configuration())
+      private val conf = {
+        val c = new Configuration(false)
+        confEntries.foreach { case (k, v) => c.set(k, v) }
+        c
+      }
+      private val fs = new Path(page.file).getFileSystem(conf)
       private val in = fs.open(new Path(page.file))
       in.seek(page.start)
       private val buf = new java.io.BufferedInputStream(in, 64 * 1024)
@@ -199,22 +211,28 @@ private[sources] class DocPageReaderFactory(readSchema: StructType)
       private var consumed = page.start
       private var row: InternalRow = _
 
+      // a LOOP, not recursion: next() overrides an interface method, so
+      // scalac cannot tail-call-optimize it, and a long run of blank
+      // lines inside one page would otherwise grow the stack per line
       override def next(): Boolean = {
-        if (consumed >= page.end) return false
-        val bytes = new java.io.ByteArrayOutputStream(256)
-        var b = buf.read()
-        while (b != -1 && b != '\n') {
-          consumed += 1
-          bytes.write(b)
-          b = buf.read()
+        while (consumed < page.end) {
+          val bytes = new java.io.ByteArrayOutputStream(256)
+          var b = buf.read()
+          while (b != -1 && b != '\n') {
+            consumed += 1
+            bytes.write(b)
+            b = buf.read()
+          }
+          if (b == '\n') consumed += 1
+          val line = bytes.toString("UTF-8").stripSuffix("\r").trim
+          if (line.nonEmpty) {
+            row = DocJson.toRow(mapper.readTree(line), readSchema)
+            return true
+          }
+          if (b == -1) return false
+          // blank/whitespace-only line: keep scanning this page
         }
-        if (b == '\n') consumed += 1
-        val line = bytes.toString("UTF-8").stripSuffix("\r").trim
-        if (line.nonEmpty) {
-          row = DocJson.toRow(mapper.readTree(line), readSchema)
-          true
-        } else if (b == -1) false
-        else next()
+        false
       }
 
       override def get(): InternalRow = row

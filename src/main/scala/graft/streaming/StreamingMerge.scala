@@ -70,12 +70,17 @@ object StreamingMerge {
     * than `olderThanMs` are deleted: a fresh `.merge_*` dir may belong to
     * an IN-FLIGHT batch (written, not yet renamed in) and a fresh
     * `.old_*` dir may be the only surviving copy of a bucket mid-swap —
-    * deleting either would break the commit in progress. Pick a
-    * retention comfortably above the longest batch duration (default
-    * 24 h, a lake-maintenance norm), and do not run vacuum concurrently
-    * with an active merge query against the same `statePath` unless the
-    * retention honors that bound. Dot-prefixed dirs are invisible to
-    * readers either way. Returns the deleted paths.
+    * deleting either would break the commit in progress. Age alone is
+    * NOT sufficient for `.old_*` dirs (rename preserves mtime, so the
+    * displaced copy carries the bucket's original write time): any
+    * `.old_*_bucket=k` whose live `bucket=k` is missing is skipped
+    * unconditionally — it is the bucket's only copy, and the next merge
+    * replay restores it. Pick a retention comfortably above the longest
+    * batch duration (default 24 h, a lake-maintenance norm), and do not
+    * run vacuum concurrently with an active merge query against the
+    * same `statePath` unless the retention honors that bound.
+    * Dot-prefixed dirs are invisible to readers either way. Returns the
+    * deleted paths.
     */
   def vacuum(
       spark: SparkSession,
@@ -84,12 +89,24 @@ object StreamingMerge {
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cutoff = System.currentTimeMillis() - olderThanMs
+    // A `.old_*_bucket=k` whose live `bucket=k` is MISSING is the only
+    // surviving copy of that bucket (crash between the aside-rename and
+    // the commit rename) — and rename preserves mtime, so the age test
+    // alone cannot protect it: the dir carries the bucket's original
+    // write time, not the rename time. Never delete those; applyBatch's
+    // replay restores them.
+    def soleSurvivor(name: String): Boolean =
+      name.startsWith(".old_") && {
+        val bucket = name.substring(name.indexOf("_bucket=") + 1)
+        name.contains("_bucket=") && !fs.exists(new Path(s"$statePath/$bucket"))
+      }
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(s => s.isDirectory &&
         (s.getPath.getName.startsWith(".merge_") ||
           s.getPath.getName.startsWith(".old_")) &&
-        s.getModificationTime <= cutoff)
+        s.getModificationTime <= cutoff &&
+        !soleSurvivor(s.getPath.getName))
       // only report dirs that were actually removed
       .flatMap(s =>
         if (fs.delete(s.getPath, true)) Some(s.getPath.toString) else None)

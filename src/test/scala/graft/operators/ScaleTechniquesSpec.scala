@@ -76,11 +76,12 @@ class ScaleTechniquesSpec extends SparkSpec {
   test("st4's bucketed join AND per-key aggregate run with zero exchanges") {
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
-    ScaleTechniques.bucketedPair(s, TestSpark.Sf0001)
+    val ordersT = ScaleTechniques.bucketedTable(s, TestSpark.Sf0001, "orders")
+    val customerT = ScaleTechniques.bucketedTable(s, TestSpark.Sf0001, "customer")
     // st4's shape minus the presentation orderBy (which legitimately
     // range-partitions): join + groupBy must both ride the bucket layout
-    val agg = s.table("graft_st4_orders")
-      .join(s.table("graft_st4_customer"),
+    val agg = s.table(ordersT)
+      .join(s.table(customerT),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_custkey"), col("c_name"))
       .agg(count(lit(1)).as("n_orders"))

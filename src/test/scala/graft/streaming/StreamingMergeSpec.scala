@@ -60,6 +60,25 @@ class StreamingMergeSpec extends SparkSpec {
     assert(StreamingMerge.vacuum(spark, state, olderThanMs = -60000).isEmpty) // idempotent
   }
 
+  test("vacuum never deletes an .old dir that is a bucket's only copy") {
+    val state = Files.createTempDirectory("graft_merge_sole").resolve("state").toString
+    StreamingMerge.seedSnapshot(Seq((0L, "a"), (1L, "b")).toDF("k", "v"), "k", state, 2)
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash window: bucket=1 renamed aside, commit rename never happened.
+    // rename preserves mtime, so ANY retention (here: "everything is
+    // stale") would age-qualify the .old dir — the live-dir-missing
+    // guard must still protect it.
+    assert(fs.rename(new Path(s"$state/bucket=1"), new Path(s"$state/.old_9_bucket=1")))
+    assert(StreamingMerge.vacuum(spark, state, olderThanMs = -60000).isEmpty)
+    assert(fs.exists(new Path(s"$state/.old_9_bucket=1")), "sole survivor deleted")
+    // once the bucket is live again the displaced copy is redundant and
+    // age-based deletion applies
+    assert(fs.rename(new Path(s"$state/.old_9_bucket=1"), new Path(s"$state/bucket=1")))
+    fs.mkdirs(new Path(s"$state/.old_10_bucket=1"))
+    val deleted = StreamingMerge.vacuum(spark, state, olderThanMs = -60000)
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) === Seq(".old_10_bucket=1"))
+  }
+
   test("crash between aside-rename and commit rename: replay restores the bucket") {
     val state = Files.createTempDirectory("graft_merge_crash").resolve("state").toString
     StreamingMerge.seedSnapshot(
