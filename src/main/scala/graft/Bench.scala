@@ -7,14 +7,30 @@ import java.nio.file.{Files, Paths}
   *
   * Output-size constraint: the driver keeps only the final ~2000 chars of
   * the run's output, so the stdout line uses 2-decimal times, the sf
-  * basename, omits `errors` when empty, and lists only the 40 slowest
+  * basename, omits `errors` when empty, and lists only the slowest
   * queries plus an `others` rollup (the full registry outgrew the window
   * at ~77 entries); the full-precision record (every query's seconds,
-  * errors, total) is always written to BENCH_FULL.json alongside.
+  * errors, telemetry, total) is always written to BENCH_FULL.json
+  * alongside. If the widened rerun/io sections would push the line past
+  * the window, the shown-query count shrinks to fit — attribution
+  * evidence outranks tail entries.
   *
   * Self-honesty: a query that throws is recorded in `errors` (and still
   * contributes its elapsed time) instead of silently benching as ~0s —
   * a plan-time failure must not masquerade as a speedup.
+  *
+  * Attribution telemetry (per timed window, listener-drained so events
+  * can't bleed between queries): GC ms, cache MB, input/output/shuffle
+  * bytes, and summed executor task ms. A swing with flat bytes + flat
+  * task-ms but inflated wall time is scheduler/box noise; inflated
+  * task-ms with flat bytes is CPU contention; inflated bytes is a plan
+  * or fixture change — the r6 lk1 question ("I/O contention or
+  * regression?") becomes answerable from the artifact alone.
+  *
+  * Rerun policy: the 3 slowest queries PLUS every query whose first run
+  * exceeds 2x its best driver-recorded time from the prior rounds
+  * (bench_prior.json, checked in) — the r6 verdict's ask, replacing the
+  * top-3-only rule under which q5/q1/lk3-style swings went unattributed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,8 +57,9 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the sweep (local iteration;
     // the driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val names = SparkEntry.registry.filter(_.bench).map(_.name)
-      .filter(n => only.forall(_.contains(n)))
+    val benched = SparkEntry.registry.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name)))
+    val names = benched.map(_.name)
 
     // Warm-up sweep at the smallest SF: exercises the same plans so JIT /
     // codegen / parquet-footer first-touch cost doesn't land on whichever
@@ -51,11 +68,20 @@ object Bench {
     if (new java.io.File(warmDir).exists()) names.foreach { name =>
       try run(SparkEntry.queries(name), warmDir) catch { case _: Throwable => () }
     }
+    TempDirs.sweep()
+
+    // Scenario fixtures (Q.stage) land OUTSIDE the timed windows: a
+    // query's recorded time is the operator, not its fixture write
+    // (st3's prior number was mostly its own setup write — r6 verdict).
+    // Staged dirs are content-keyed and session-lifetime, so reruns
+    // reuse them and TempDirs.sweep() between queries leaves them alone.
+    benched.foreach(q => q.stage.foreach(st =>
+      try st(spark, sfDir) catch { case _: Throwable => () }))
 
     // Machine-load context: a shared box can inflate CPU-saturating
     // queries up to ~2x run-to-run (round-3's dd3 12.2s->21.3s was load,
     // not code — it cost a round of comparability to prove). Recording
-    // loadavg start/end plus a second run of the slowest queries lets a
+    // loadavg start/end plus reruns of the slowest/swung queries lets a
     // reader separate load artifacts from real regressions in-artifact.
     def loadavg(): String =
       try Files.readString(Paths.get("/proc/loadavg")).trim
@@ -63,14 +89,46 @@ object Bench {
       catch { case _: Throwable => "" }
     val loadStart = loadavg()
 
+    // Best driver-recorded prior-round time per query (bench_prior.json,
+    // regenerated each round from the driver's BENCH_r{N}.json): the 2x
+    // rerun trigger's reference. Absent file or query -> no trigger.
+    val prior: Map[String, Double] =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(Files.readString(Paths.get("bench_prior.json")))
+        import scala.jdk.CollectionConverters._
+        node.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+      } catch { case _: Throwable => Map.empty }
+
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // Per-query attribution telemetry (BENCH_FULL.json only): GC time
-    // spent inside the timed window and cache bytes materialized by the
-    // query (read BEFORE the inter-query clearCache). A future dd3-style
-    // 2-3x swing is then attributable from the artifact alone: high gc_ms
-    // -> memory pressure/sweep environment; cache_mb 0 on a query whose
-    // plan persists an intermediate -> the persist was lost (recompute).
-    val telemetry = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    // Per-query attribution telemetry: (gc_ms, cache_mb, in_kb, out_kb,
+    // shuffle_kb, task_ms). Cache is read BEFORE the inter-query
+    // clearCache; byte/task counters come from a task-end listener,
+    // drained before each snapshot so stage-end stragglers can't book
+    // against the wrong query.
+    final case class Tele(gc: Long, cacheMb: Long, inKb: Long, outKb: Long,
+        shKb: Long, taskMs: Long)
+    val telemetry = scala.collection.mutable.LinkedHashMap[String, Tele]()
+    val io = new org.apache.spark.scheduler.SparkListener {
+      import java.util.concurrent.atomic.AtomicLong
+      val in = new AtomicLong; val out = new AtomicLong
+      val sh = new AtomicLong; val task = new AtomicLong
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          in.addAndGet(m.inputMetrics.bytesRead)
+          out.addAndGet(m.outputMetrics.bytesWritten)
+          sh.addAndGet(m.shuffleReadMetrics.totalBytesRead +
+            m.shuffleWriteMetrics.bytesWritten)
+          task.addAndGet(m.executorRunTime)
+        }
+      }
+      def snap(): (Long, Long, Long, Long) = {
+        org.apache.spark.graft.BusFlush.flush(spark.sparkContext)
+        (in.get, out.get, sh.get, task.get)
+      }
+    }
+    spark.sparkContext.addSparkListener(io)
     def gcMs(): Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -81,11 +139,13 @@ object Bench {
         .map(i => i.memSize + i.diskSize).sum / (1024 * 1024)
     def timed(name: String, dir: String): (String, Double) = {
       // Untimed inter-query cleanup: drop per-query persisted
-      // intermediates and force a GC so the ContextCleaner reaps
-      // accumulated broadcast/shuffle state — without this, queries late
-      // in the sweep measure the prior queries' garbage, not themselves
-      // (observed 5-10x inflation on trivial queries at sweep position 40).
+      // intermediates, reclaim the previous query's scratch dirs, and
+      // force a GC so the ContextCleaner reaps accumulated broadcast/
+      // shuffle state — without this, queries late in the sweep measure
+      // the prior queries' garbage, not themselves (observed 5-10x
+      // inflation on trivial queries at sweep position 40).
       spark.catalog.clearCache()
+      TempDirs.sweep()
       System.gc()
       // Reset session-global experimental hooks: ev5/rj2 install their
       // optimizer rule/strategy inside the query fn, and without this
@@ -95,6 +155,7 @@ object Bench {
       // the ev3-vs-ev5 comparison is what this protects.
       spark.experimental.extraOptimizations = Nil
       spark.experimental.extraStrategies = Nil
+      val (in0, out0, sh0, task0) = io.snap()
       val gc0 = gcMs()
       val t0 = System.nanoTime()
       try run(SparkEntry.queries(name), dir)
@@ -103,16 +164,31 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(80)
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      telemetry(name) = (gcMs() - gc0, cachedMb())
+      val cache = cachedMb()
+      val (in1, out1, sh1, task1) = io.snap()
+      telemetry(name) = Tele(gcMs() - gc0, cache, (in1 - in0) >> 10,
+        (out1 - out0) >> 10, (sh1 - sh0) >> 10, task1 - task0)
       name -> sec
     }
     val results = names.map(timed(_, sfDir))
     val total = results.map(_._2).sum
-    // Second run of the 3 slowest: if run2 << run1 the first number was
-    // load/GC noise, not plan cost. (Cleanup inside timed() keeps caches
-    // from making run2 trivially fast — this re-executes the full plan.)
-    val rerun = results.sortBy(-_._2).take(3).map { case (n, _) => timed(n, sfDir) }
+    // Rerun pass: if run2 << run1 the first number was load/GC noise, not
+    // plan cost. (Cleanup inside timed() keeps caches from making run2
+    // trivially fast — this re-executes the full plan.) Set = 3 slowest
+    // + every >2x-vs-prior swing, slowest first, capped at 12 so a
+    // pathological round can't double the sweep.
+    val rerunSet = {
+      val slowest = results.sortBy(-_._2).take(3).map(_._1)
+      val swung = results.collect {
+        case (n, s) if prior.get(n).exists(p => s > 2 * p) => n
+      }
+      val ordered = results.sortBy(-_._2).map(_._1)
+        .filter(n => slowest.contains(n) || swung.contains(n))
+      ordered.take(12)
+    }
+    val rerun = rerunSet.map(timed(_, sfDir))
     val loadEnd = loadavg()
+    TempDirs.sweep()
 
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -142,18 +218,32 @@ object Bench {
       val rerunJson = rerun
         .map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString(""","rerun":{""", ",", "}")
+      // Attribution for exactly the queries a reader will question (the
+      // rerun set), compact: [in_kb, out_kb, shuffle_kb, task_s] of the
+      // LAST (rerun) window — comparable against prior rounds' numbers.
+      val ioJson =
+        if (rerun.isEmpty) ""
+        else rerun.flatMap { case (k, _) => telemetry.get(k).map(t =>
+          "\"" + esc(k) + s"""":[${t.inKb},${t.outKb},${t.shKb},${fmt(t.taskMs / 1000.0)}]""") }
+          .mkString(""","io_kb_task_s":{""", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$othersJson,"sf":"${
-        new java.io.File(sfDir).getName}","load":{"start":"$loadStart","end":"$loadEnd"}$rerunJson$errJson}"""
+        new java.io.File(sfDir).getName}","load":{"start":"$loadStart","end":"$loadEnd"}$rerunJson$ioJson$errJson}"""
     }
-    // Telemetry rides only in BENCH_FULL.json (stdout budget is ~2000
-    // chars); a rerun query's entry reflects its LAST (rerun) window.
+    // Full telemetry rides in BENCH_FULL.json (no stdout budget there);
+    // a rerun query's entry reflects its LAST (rerun) window.
     val teleJson = telemetry
-      .map { case (k, (gc, mb)) => "\"" + esc(k) + s"""":{"gc_ms":$gc,"cache_mb":$mb}""" }
+      .map { case (k, t) => "\"" + esc(k) +
+        s"""":{"gc_ms":${t.gc},"cache_mb":${t.cacheMb},"in_kb":${t.inKb},"out_kb":${
+          t.outKb},"shuffle_kb":${t.shKb},"task_ms":${t.taskMs}}""" }
       .mkString(""","telemetry":{""", ",", "}")
     Files.writeString(
       Paths.get("BENCH_FULL.json"),
       line(_.toString, results.size).stripSuffix("}") + teleJson + "}\n")
-    println(line(fmt, 40))
+    // Fit the stdout line inside the driver's tail window: shrink the
+    // shown-query tail before ever dropping rerun/io attribution.
+    val out = (40 to 20 by -5).view.map(k => line(fmt, k))
+      .find(_.length <= 1900).getOrElse(line(fmt, 20))
+    println(out)
     spark.stop()
   }
 }

@@ -10,12 +10,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *               None for operators not expressible in portable SQL (the
   *               driver then records a weaker rows-only check)
   * @param bench  include in the timed benchmark sweep
+  * @param stage  optional idempotent setup (scenario inputs the operator
+  *               consumes but is not itself — st3's partitioned lake,
+  *               st4's bucketed tables, lk1's fragmented input). Bench
+  *               runs it OUTSIDE the timed window so the recorded time is
+  *               the operator, not its fixture write; `fn` must also call
+  *               it (idempotently) so Verify and ad-hoc use need no
+  *               separate step.
   */
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = true)
+    bench: Boolean = true,
+    stage: Option[(SparkSession, String) => Unit] = None)
 
 object Tables {
   val names: Seq[String] = Seq(

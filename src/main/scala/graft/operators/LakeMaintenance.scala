@@ -201,26 +201,38 @@ object LakeMaintenance {
       .write.mode("overwrite").option("compression", "zstd").parquet(outDir)
   }
 
+  /** LK1's scenario input: the documents table staged as a
+    * lang-partitioned lake written by 48 over-parallel tasks — the
+    * fragmentation every incremental ingest produces. Staged once per
+    * source dir (content is deterministic per dir) and reused by reruns:
+    * the fixture write is SETUP, not the operator, so Bench runs it
+    * outside the timed window (the r6 lk1 number was ~2/3 fixture write,
+    * which is what made it hostage to box-level I/O contention).
+    */
+  private def lk1Fragmented(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"lk1frag_${graft.TempDirs.dirKey(dir)}") { p =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"), col("lang"))
+        .repartition(48)
+        .write.mode("overwrite").partitionBy("lang")
+        .parquet(p.resolve("fragmented").toString)
+    }.resolve("fragmented").toString
+
   /** LK1: fragment → compact → prove content preservation. The query
-    * stages the documents table as a lang-partitioned lake written by 48
-    * over-parallel tasks (the fragmentation every incremental ingest
-    * produces), compacts it to target size, and returns the compacted
-    * lake's CONTENT (doc_id, lang, source, md5(text)) — which must equal
-    * the source table exactly, the invariant that makes compaction safe
-    * to run under live readers. File-count arithmetic is asserted in
-    * LakeMaintenanceSpec (filesystem facts aren't SQL-oracle-expressible).
+    * compacts the staged fragmented lake ([[lk1Fragmented]]) to target
+    * size and returns the compacted lake's CONTENT (doc_id, lang,
+    * source, md5(text)) — which must equal the source table exactly, the
+    * invariant that makes compaction safe to run under live readers.
+    * File-count arithmetic is asserted in LakeMaintenanceSpec
+    * (filesystem facts aren't SQL-oracle-expressible).
     */
   val all: Seq[Q] = Seq(
     Q(
       "lk1_compaction",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_lk1")
-        val frag = root.resolve("fragmented").toString
-        val compacted = root.resolve("compacted").toString
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text"), col("source"), col("lang"))
-          .repartition(48)
-          .write.partitionBy("lang").parquet(frag)
+        val frag = lk1Fragmented(s, dir)
+        val compacted =
+          graft.TempDirs.create("graft_lk1").resolve("compacted").toString
         compact(s, frag, compacted, targetFileSizeBytes = 4L << 20,
           partitionCols = Seq("lang"))
         s.read.parquet(compacted)
@@ -232,7 +244,8 @@ object LakeMaintenance {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, lang, source, md5(text) AS text_md5
-             |FROM documents ORDER BY doc_id""".stripMargin)
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      stage = Some((s, dir) => { lk1Fragmented(s, dir); () })
     ),
 
     // LK2: sort-clustered rewrite — events re-laid-out by user_id so a
@@ -243,7 +256,7 @@ object LakeMaintenance {
     Q(
       "lk2_cluster_layout",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_lk2")
+        val root = graft.TempDirs.create("graft_lk2")
         val out = root.resolve("clustered").toString
         clusterBy(
           Tables(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
@@ -265,7 +278,7 @@ object LakeMaintenance {
     Q(
       "lk3_zorder_layout",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_lk3")
+        val root = graft.TempDirs.create("graft_lk3")
         val out = root.resolve("zordered").toString
         zCluster(
           Tables(s, dir, "events")
@@ -305,7 +318,7 @@ object LakeMaintenance {
     Q(
       "lk4_schema_evolution",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_lk4")
+        val root = graft.TempDirs.create("graft_lk4")
         val lake = root.resolve("lake").toString
         val docs = Tables(s, dir, "documents")
         docs.filter(col("doc_id") % 2 === 0)

@@ -154,12 +154,7 @@ object ScaleTechniques {
     Q(
       "st3_dpp_join",
       (s, dir) => {
-        val root = java.nio.file.Files.createTempDirectory("graft_st3")
-        val lake = root.resolve("lake").toString
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), col("n_chars"), col("lang"))
-          .write.partitionBy("lang").parquet(lake)
-        val fact = s.read.parquet(lake)
+        val fact = s.read.parquet(st3Lake(s, dir))
         // runtime-filtered dim: lang codes derived from a DIFFERENT
         // table's scan (nation rows), so the filter can't constant-fold
         val dim = Tables(s, dir, "nation")
@@ -173,7 +168,8 @@ object ScaleTechniques {
       },
       Some("""SELECT lang, count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
              |FROM documents WHERE lang IN ('de', 'fr')
-             |GROUP BY lang ORDER BY lang""".stripMargin)
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      stage = Some((s, dir) => { st3Lake(s, dir); () })
     ),
 
     // ST4: bucketed co-located join — the write-time answer to shuffle
@@ -212,30 +208,66 @@ object ScaleTechniques {
       Some("""SELECT c_custkey, c_name, count(*) AS n_orders,
              |  CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS spend
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin)
+             |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin),
+      stage = Some((s, dir) => {
+        bucketedTable(s, dir, "orders")
+        bucketedTable(s, dir, "customer")
+        ()
+      })
     )
   )
+
+  /** ST3's scenario input: the documents table staged as a
+    * lang-partitioned lake, once per source dir ([[graft.TempDirs.staged]]
+    * keyed by a dir digest). The write is the FIXTURE the DPP join reads,
+    * not the operator under test, so Bench stages it outside the timed
+    * window — before this split st3's recorded time was mostly its own
+    * setup write (r6 verdict, bench-honesty item).
+    */
+  private def st3Lake(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"st3lake_${graft.TempDirs.dirKey(dir)}") { p =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang")
+        .parquet(p.resolve("lake").toString)
+    }.resolve("lake").toString
+
+  private val bucketedTableLock = new Object
 
   /** Write orders + customer bucketed 8-ways on their join key into the
     * session catalog (idempotent per session AND per source dir — the
     * table name carries a digest of `dir`, so Bench's warm-up sweep at
     * sf0.001 cannot leave stale small-SF tables for the measured sweep
-    * at the target SF to silently reuse; external parquet under a temp
-    * dir so nothing lands in the repo). Bucket count is the config knob
-    * that would be sized to cluster parallelism at scale.
+    * at the target SF to silently reuse; external parquet under a
+    * session-staged dir so nothing lands in the repo and reruns reuse the
+    * layout). The whole check-then-act is serialized on a lock so two
+    * concurrent callers (parallel suites sharing a session) can't race
+    * one another into a double write. If the staged files survive from an
+    * earlier JVM whose catalog died with it, the existing layout is
+    * re-registered with bucketed-table DDL instead of rewritten. Bucket
+    * count is the config knob that would be sized to cluster parallelism
+    * at scale.
     */
-  def bucketedTable(s: org.apache.spark.sql.SparkSession, dir: String, t: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val key = if (t == "orders") "o_custkey" else "c_custkey"
-    val table = s"graft_st4_${t}_$digest"
-    if (!s.catalog.tableExists(table)) {
-      val root = java.nio.file.Files.createTempDirectory("graft_st4")
-      Tables(s, dir, t).write
-        .option("path", root.resolve(t).toString)
-        .bucketBy(8, key).sortBy(key)
-        .saveAsTable(table)
+  def bucketedTable(s: org.apache.spark.sql.SparkSession, dir: String, t: String): String =
+    bucketedTableLock.synchronized {
+      val digest = graft.TempDirs.dirKey(dir)
+      val key = if (t == "orders") "o_custkey" else "c_custkey"
+      val table = s"graft_st4_${t}_$digest"
+      if (!s.catalog.tableExists(table)) {
+        var wrote = false
+        val root = graft.TempDirs.staged(s"st4_${t}_$digest") { p =>
+          Tables(s, dir, t).write
+            .option("path", p.resolve(t).toString)
+            .bucketBy(8, key).sortBy(key)
+            .saveAsTable(table)
+          wrote = true
+        }
+        if (!wrote)
+          s.sql(s"""CREATE TABLE $table (${Tables(s, dir, t).schema.toDDL})
+                   |USING PARQUET
+                   |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                   |LOCATION '${root.resolve(t)}'""".stripMargin)
+      }
+      table
     }
-    table
-  }
 }

@@ -42,7 +42,7 @@ object StreamingQueries {
       df: DataFrame, orderCol: String, bounds: Seq[Long], landing: Path): Unit = {
     val ranges = (Long.MinValue +: bounds).zip(bounds :+ Long.MaxValue)
     ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
-      val tmp = Files.createTempDirectory(s"graft_chunk_$i")
+      val tmp = graft.TempDirs.create(s"graft_chunk_$i")
       df.filter(col(orderCol) >= lo && col(orderCol) < hi)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
@@ -54,7 +54,7 @@ object StreamingQueries {
   }
 
   private def tempDirs(prefix: String): (Path, Path, Path, Path) = {
-    val root = Files.createTempDirectory(prefix)
+    val root = graft.TempDirs.create(prefix)
     (Files.createDirectories(root.resolve("landing")),
       root.resolve("state"), root.resolve("spans"),
       root.resolve("checkpoint"))
@@ -65,7 +65,7 @@ object StreamingQueries {
     */
   private def stageCsvVersion(
       df: DataFrame, backups: Path, name: String, mtimeMs: Long): Unit = {
-    val tmp = Files.createTempDirectory(s"graft_csv_$name")
+    val tmp = graft.TempDirs.create(s"graft_csv_$name")
     df.coalesce(1).write.mode("overwrite").option("header", true).csv(tmp.toString)
     val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".csv"))
       .findFirst().get()
@@ -208,7 +208,7 @@ object StreamingQueries {
       "sm4_stream_decontam",
       (s, dir) => {
         val (landing, _, _, ckpt) = tempDirs("graft_sm4")
-        val out = Files.createTempDirectory("graft_sm4_out").toString
+        val out = graft.TempDirs.create("graft_sm4_out").toString
         val test = splitDocs(s, dir, "test")
         stageOrderedChunks(test, "doc_id", Seq(250L), landing)
         val trainGrams = graft.operators.Decontamination.trainGramIndex(s, dir)
@@ -232,7 +232,7 @@ object StreamingQueries {
     Q(
       "sm5_stream_interval_join",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_sm5")
+        val root = graft.TempDirs.create("graft_sm5")
         val eLanding = Files.createDirectories(root.resolve("errors"))
         val pLanding = Files.createDirectories(root.resolve("purchases"))
         val ev = Tables(s, dir, "events")
@@ -278,7 +278,7 @@ object StreamingQueries {
     Q(
       "sm6_stream_truncate_reload",
       (s, dir) => {
-        val root = Files.createTempDirectory("graft_sm6")
+        val root = graft.TempDirs.create("graft_sm6")
         val landing = root.resolve("landing")
         val backups = Files.createDirectories(landing.resolve("backups"))
         val ev = Tables(s, dir, "events")
@@ -483,7 +483,7 @@ object StreamingQueries {
       "sm11_stream_asof",
       (s, dir) => {
         val (landing, _, _, ckpt) = tempDirs("graft_sm11")
-        val out = Files.createTempDirectory("graft_sm11_out").toString
+        val out = graft.TempDirs.create("graft_sm11_out").toString
         val ev = Tables(s, dir, "events")
         val purchases = ev.filter(col("event_type") === "purchase")
           .select("event_id", "user_id", "ts")

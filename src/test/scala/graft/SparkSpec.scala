@@ -14,8 +14,10 @@ object TestSpark {
       .master("local[4]")
       .appName("graft-tests")
       .withExtensions(new functions.GraftExtensions)
+      // staged(): session-lifetime + shutdown-hook deletion — before this
+      // every test JVM left its warehouse dir behind (58 orphans found)
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+        TempDirs.staged("test_warehouse")(_ => ()).resolve("wh").toString)
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
