@@ -22,12 +22,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * What is real here (and tested):
   *   - the full V2 stack: `TableProvider` → `Table` → `ScanBuilder` →
   *     `Scan`/`Batch` → `InputPartition` → `PartitionReader`;
-  *   - pagination as the PARALLELISM unit: the planner walks the
-  *     collection once like a cursor, emitting one `InputPartition` per
-  *     `pageSize` documents, so a collection of n docs scans with
-  *     ceil(n/pageSize) tasks — the property that lets a document-store
-  *     export fan out across executors instead of serializing through
-  *     one cursor consumer;
+  *   - SIZE-SPLIT planning (the default, `planMode=split`): partitions
+  *     are cut from file LENGTHS alone — `ceil(len / splitSize)` byte
+  *     ranges per file, O(#files) driver work and ZERO file-content
+  *     reads at plan time (asserted in DocStoreSplitSpec). Readers own
+  *     lines by the standard split convention (a split starting
+  *     mid-line skips to the first line past its start; a line
+  *     straddling a split's end belongs to the split it starts in), so
+  *     pointing the connector at a 100 TB collection plans in listing
+  *     time, not read time — the r6 scale fix;
+  *   - CURSOR pagination (opt-in, `planMode=cursor`): the planner walks
+  *     the collection once like a store cursor, emitting one
+  *     `InputPartition` per `pageSize` documents (blank lines excluded,
+  *     so every page carries exactly `pageSize` real documents) — the
+  *     structural analogue of the modeled page-token API, kept for the
+  *     doc-count-exact semantics at fixture scale;
+  *   - LIMIT pushdown (`SupportsPushDownLimit`): the reference's
+  *     connectivity probe is `collection.limit(1).stream()`
+  *     (`cloud_function/main.py:29-33`); here a `limit(n)` stops cursor
+  *     planning after `ceil(n / pageSize)` pages (a `limit(1)` probe
+  *     plans ONE page and the plan-time walk stops at its boundary) and
+  *     caps every reader at `n` rows in both modes;
   *   - column pruning (`SupportsPushDownRequiredColumns`): a projection
   *     reaches the reader, which materializes ONLY the required fields
   *     of each document (a document store returns whole documents; the
@@ -37,19 +52,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *     contract as `CorpusIO`/`Normalize.readDocs`.
   *
   * What is a sandbox stand-in: the "store" is JSONL files (one document
-  * per line), and the planner's cursor walk builds the page index by a
-  * single sequential byte scan recording the offset of every
-  * `pageSize`-th document. Against a real store the same
-  * `planInputPartitions` would ask the store's cursor API for page
-  * tokens; everything from `InputPartition` down is unchanged. Filter
-  * pushdown is deliberately absent — the modeled cursor API returns
-  * whole collections, and claiming pushdown the backend can't serve
-  * would be a lie in the plan.
+  * per line). Against a real store, split planning maps to the store's
+  * shard/token metadata and cursor planning to its page-token API;
+  * everything from `InputPartition` down is unchanged. Filter pushdown
+  * is deliberately absent — the modeled cursor API returns whole
+  * collections, and claiming pushdown the backend can't serve would be
+  * a lie in the plan.
   *
   * Usage:
   * {{{
   *   spark.read.format("graft.sources.DocStoreSource") // or "docstore"
   *     .schema(Schemas.userDoc)
+  *     .option("splitSize", 32 << 20)  // split mode (default)
+  *     .option("planMode", "cursor")   // or: exact pageSize-doc pages
   *     .option("pageSize", 300)
   *     .load(dir) // a .jsonl file or a directory of them
   * }}}
@@ -83,96 +98,166 @@ private[sources] class DocStoreTable(
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val path = Option(options.get("path")).orElse(Option(props.get("path")))
+    def opt(k: String) = Option(options.get(k)).orElse(Option(props.get(k)))
+    val path = opt("path")
       .getOrElse(throw new IllegalArgumentException("docstore: no path given"))
-    val pageSize = Option(options.get("pageSize"))
-      .orElse(Option(props.get("pageSize"))).map(_.toInt).getOrElse(300)
+    val pageSize = opt("pageSize").map(_.toInt).getOrElse(300)
     require(pageSize > 0, s"docstore: pageSize must be positive, got $pageSize")
-    new DocStoreScanBuilder(tableSchema, path, pageSize)
+    val splitSize = opt("splitSize").map(_.toLong).getOrElse(128L << 20)
+    require(splitSize > 0, s"docstore: splitSize must be positive, got $splitSize")
+    val mode = opt("planMode").getOrElse("split")
+    require(mode == "split" || mode == "cursor",
+      s"docstore: planMode must be split or cursor, got $mode")
+    new DocStoreScanBuilder(tableSchema, path, pageSize, splitSize, mode)
   }
 }
 
 private[sources] class DocStoreScanBuilder(
-    fullSchema: StructType, path: String, pageSize: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    fullSchema: StructType, path: String, pageSize: Int,
+    splitSize: Long, mode: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
+  private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new DocStoreScan(required, path, pageSize)
+  /** Partial push (returns false): planning and every reader are capped,
+    * but a page/split can hold more rows than `limit`, so Spark keeps
+    * its global Limit on top — the honest contract.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
+
+  override def build(): Scan =
+    new DocStoreScan(required, path, pageSize, splitSize, mode, limit)
 }
 
-/** One cursor page: documents in `file` between byte offsets
-  * [`start`, `end`). Offsets always fall on line boundaries by
-  * construction of the planner's index walk.
+/** One unit of scan parallelism: bytes of `file` in [`start`, `end`).
+  *
+  * `aligned = true` (cursor pages): both offsets fall exactly on line
+  * boundaries by construction of the planner's index walk — the reader
+  * starts at `start` and stops before `end`.
+  *
+  * `aligned = false` (size splits): offsets are arbitrary, and the
+  * reader applies the standard split convention — skip to the first
+  * line starting after `start` (unless `start` is 0), then read every
+  * line that STARTS at a position <= `end`, even past `end` (the next
+  * split symmetrically discards its leading partial line). Every line is
+  * read by exactly one split.
+  *
+  * `rowLimit >= 0` caps the rows this reader emits (pushed limit).
   */
-private[sources] case class DocPage(file: String, start: Long, end: Long)
+private[sources] case class DocPage(
+    file: String, start: Long, end: Long,
+    aligned: Boolean = true, rowLimit: Int = -1)
   extends InputPartition
 
 private[sources] class DocStoreScan(
-    required: StructType, path: String, pageSize: Int)
+    required: StructType, path: String, pageSize: Int,
+    splitSize: Long, mode: String, limit: Int)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"docstore path=$path pageSize=$pageSize required=${required.fieldNames.mkString(",")}"
+    s"docstore path=$path planMode=$mode pageSize=$pageSize splitSize=$splitSize " +
+      s"pushedLimit=${if (limit >= 0) limit else "none"} " +
+      s"required=${required.fieldNames.mkString(",")}"
 
-  /** The cursor walk: one sequential pass per collection file, cutting a
-    * page boundary every `pageSize` documents. Driver-side by design —
-    * this is the planning metadata a store's cursor API hands out as
-    * page tokens; its cost is one streaming read of the collection
-    * (no parse), and its output is O(n / pageSize) partition descriptors.
-    */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def hadoopConf() =
     // the SESSION's Hadoop conf, not a bare `new Configuration()`:
     // spark.hadoop.* settings (credentials, endpoints, fs.defaultFS)
     // must reach the filesystem, and a scheme-less path must resolve
     // against fs.defaultFS exactly as spark.read.parquet would
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sessionState.newHadoopConf()
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
+  private def collectionFiles(fs: FileSystem, root: Path) =
+    if (fs.getFileStatus(root).isDirectory)
+      fs.listStatus(root).filter(_.isFile)
+        .filter(s => !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_"))
+        .sortBy(_.getPath.toString)
+    else Array(fs.getFileStatus(root))
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = hadoopConf()
     val root0 = new Path(path)
     val fs = root0.getFileSystem(conf)
     val root = fs.makeQualified(root0)
-    val files =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).filter(_.isFile).map(_.getPath)
-          .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
-          .sortBy(_.toString)
-      else Array(root)
-    files.flatMap { f =>
+    val files = collectionFiles(fs, root)
+    if (mode == "split") planSplits(files) else planCursor(fs, files)
+  }
+
+  /** Size-split planning: byte ranges cut from the listing's file
+    * lengths — NO file content is opened on the driver (DocStoreSplitSpec
+    * asserts zero bytes read through the filesystem during planning).
+    * O(#files) metadata work however large the collection; the listing
+    * itself is the same one any scan needs.
+    */
+  private def planSplits(files: Array[org.apache.hadoop.fs.FileStatus]): Array[InputPartition] =
+    files.flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + splitSize - 1) / splitSize)
+      (0L until n).map { i =>
+        DocPage(st.getPath.toString, i * splitSize,
+          math.min((i + 1) * splitSize, len), aligned = false, rowLimit = limit)
+      }
+    }.toArray[InputPartition]
+
+  /** The cursor walk: one sequential pass per collection file, cutting a
+    * page boundary every `pageSize` NON-BLANK documents (blank and
+    * whitespace-only lines are excluded from the count, mirroring the
+    * reader's skip — so pages never run short). Driver-side by design —
+    * this is the planning metadata a store's cursor API hands out as
+    * page tokens; its cost is one streaming read of the collection (no
+    * parse), its output O(n / pageSize) partition descriptors. A pushed
+    * limit stops the walk at `ceil(limit / pageSize)` pages — the
+    * reference's limit-1 probe plans one page and reads one.
+    */
+  private def planCursor(
+      fs: FileSystem, files: Array[org.apache.hadoop.fs.FileStatus]): Array[InputPartition] = {
+    val pagesWanted = if (limit >= 0) (limit.toLong + pageSize - 1) / pageSize else Long.MaxValue
+    val pages = scala.collection.mutable.ArrayBuffer.empty[DocPage]
+    val it = files.iterator
+    while (it.hasNext && pages.size < pagesWanted) {
+      val f = it.next().getPath
       val len = fs.getFileStatus(f).getLen
       val in = fs.open(f)
-      val pages = scala.collection.mutable.ArrayBuffer.empty[DocPage]
       try {
         val buf = new Array[Byte](64 * 1024)
         var pageStart = 0L
         var pos = 0L
         var docsInPage = 0
+        var sawContent = false
         var read = in.read(buf)
-        while (read > 0) {
+        var done = false
+        while (read > 0 && !done) {
           var i = 0
-          while (i < read) {
-            if (buf(i) == '\n') {
-              docsInPage += 1
+          while (i < read && !done) {
+            val b = buf(i)
+            if (b == '\n') {
+              if (sawContent) docsInPage += 1
+              sawContent = false
               if (docsInPage == pageSize) {
-                pages += DocPage(f.toString, pageStart, pos + i + 1)
+                pages += DocPage(f.toString, pageStart, pos + i + 1, rowLimit = limit)
                 pageStart = pos + i + 1
                 docsInPage = 0
+                done = pages.size >= pagesWanted
               }
-            }
+            } else if (b != '\r' && b != ' ' && b != '\t') sawContent = true
             i += 1
           }
           pos += read
-          read = in.read(buf)
+          read = if (done) -1 else in.read(buf)
         }
         // trailing page: a final doc without a newline still counts
-        if (pageStart < len) pages += DocPage(f.toString, pageStart, len)
+        if (!done && pageStart < len)
+          pages += DocPage(f.toString, pageStart, len, rowLimit = limit)
       } finally in.close()
-      pages
-    }.toArray[InputPartition]
+    }
+    pages.toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -209,13 +294,28 @@ private[sources] class DocPageReaderFactory(
       // lose the \n-vs-\r\n distinction and let the reader run past its
       // page boundary into the next partition's documents)
       private var consumed = page.start
+      private var emitted = 0
       private var row: InternalRow = _
+
+      // Unaligned (size-split) partitions apply the standard split
+      // convention: a split starting mid-file discards through the first
+      // newline (the previous split owns that line — including the case
+      // where `start` already sits on a line boundary: the previous
+      // split's `lineStart <= end` read it), then owns every line whose
+      // START position is <= its `end`, reading past `end` if the last
+      // line straddles it. Exactly-once by symmetry of the two rules.
+      if (!page.aligned && page.start > 0) {
+        var b = buf.read()
+        while (b != -1 && b != '\n') { consumed += 1; b = buf.read() }
+        if (b == '\n') consumed += 1
+      }
 
       // a LOOP, not recursion: next() overrides an interface method, so
       // scalac cannot tail-call-optimize it, and a long run of blank
       // lines inside one page would otherwise grow the stack per line
       override def next(): Boolean = {
-        while (consumed < page.end) {
+        if (page.rowLimit >= 0 && emitted >= page.rowLimit) return false
+        while (if (page.aligned) consumed < page.end else consumed <= page.end) {
           val bytes = new java.io.ByteArrayOutputStream(256)
           var b = buf.read()
           while (b != -1 && b != '\n') {
@@ -227,6 +327,7 @@ private[sources] class DocPageReaderFactory(
           val line = bytes.toString("UTF-8").stripSuffix("\r").trim
           if (line.nonEmpty) {
             row = DocJson.toRow(mapper.readTree(line), readSchema)
+            emitted += 1
             return true
           }
           if (b == -1) return false
@@ -256,13 +357,15 @@ object DocStoreQueries {
   import org.apache.spark.sql.functions._
 
   val all: Seq[Q] = Seq(
-    // DS1: flat collection scan through the V2 stack; timestamps
+    // DS1: flat collection scan through the V2 stack in CURSOR mode
+    // (exact 4-doc pages — the modeled page-token path); timestamps
     // compared as epoch micros (both engines' native integer form).
     Q(
       "ds1_docstore_scan",
       (s, _) =>
         s.read.format("docstore")
           .schema(graft.recipes.Schemas.userDoc)
+          .option("planMode", "cursor")
           .option("pageSize", 4)
           .load(s"$FixtureDir/users.jsonl")
           .select(
@@ -281,13 +384,16 @@ object DocStoreQueries {
     ),
 
     // DS2: nested array<struct> through the connector's recursive
-    // converter, exploded to scalar rows for the driver comparator.
+    // converter, exploded to scalar rows for the driver comparator —
+    // in SPLIT mode (the 100 TB default) with a splitSize small enough
+    // that the fixture planning yields several unaligned byte ranges,
+    // so the split ownership convention is oracle-checked too.
     Q(
       "ds2_docstore_nested",
       (s, _) =>
         s.read.format("docstore")
           .schema(graft.recipes.Schemas.recipeDoc)
-          .option("pageSize", 7)
+          .option("splitSize", 1024)
           .load(s"$FixtureDir/recipes.jsonl")
           .select(col("recipe_id"), explode(col("ingredients")).as("i"))
           .select(

@@ -16,6 +16,7 @@ class DocStoreSourceSpec extends SparkSpec {
       pageSize: Int): DataFrame =
     spark.read.format("docstore")
       .schema(schema)
+      .option("planMode", "cursor") // this spec pins the exact-page mode
       .option("pageSize", pageSize)
       .load(s"${TestSpark.FixtureDir}/$file")
 
@@ -87,6 +88,7 @@ class DocStoreSourceSpec extends SparkSpec {
       org.apache.spark.sql.types.StructField("username",
         org.apache.spark.sql.types.StringType)))
     val df = spark.read.format("docstore").schema(schema)
+      .option("planMode", "cursor")
       .option("pageSize", 3).load(s"$dir/coll.jsonl")
     val got = df.collect().map(_.getString(0)).sorted
     assert(got === (0 until 11).map(i => s"u$i").sorted.toArray)
@@ -102,6 +104,7 @@ class DocStoreSourceSpec extends SparkSpec {
       java.nio.file.Paths.get(s"${TestSpark.FixtureDir}/users.jsonl"),
       java.nio.file.Paths.get(s"$dir/part-1.jsonl"))
     val both = spark.read.format("docstore").schema(Schemas.userDoc)
+      .option("planMode", "cursor")
       .option("pageSize", 4).load(dir)
     assert(both.count() === 22) // 11 docs per copy
     assert(both.rdd.getNumPartitions === 6) // ceil(11/4) pages per file
