@@ -25,7 +25,18 @@ import org.apache.spark.sql.types.StructType
   *     formats (Delta/Iceberg/Hudi) commit the same rewrite as a
   *     manifest swap; the directory-rename here is the same protocol
   *     with the filesystem as the manifest, crash-safe per bucket
-  *     because the rename is the commit point.
+  *     because the rename is the commit point;
+  *   - a PER-BATCH MANIFEST brackets the k bucket swaps (Iceberg's
+  *     idea with the filesystem as the log): `.manifest_<batchId>` —
+  *     written to a tmp name and single-renamed in BEFORE the first
+  *     swap, deleted AFTER the last — lists the batch's buckets. The
+  *     k renames are still physically non-atomic, but a crash between
+  *     them is now DETECTABLE (the manifest survives → [[pendingBatches]]
+  *     is non-empty → the snapshot may be a mixed prefix) and
+  *     REPLAYABLE (the checkpoint re-runs the batch; per-bucket
+  *     recovery restores displaced copies; the apply is idempotent).
+  *     No manifest ⇒ no batch in flight ⇒ the live dirs are a
+  *     consistent snapshot — the invariant readers and vacuum key on.
   */
 object StreamingMerge {
 
@@ -82,6 +93,19 @@ object StreamingMerge {
     * Dot-prefixed dirs are invisible to readers either way. Returns the
     * deleted paths.
     */
+  /** Batches whose manifest is still present — i.e. in flight, or
+    * crashed mid-swap and awaiting checkpoint replay. Empty ⇒ the live
+    * bucket dirs are a consistent committed snapshot.
+    */
+  def pendingBatches(spark: SparkSession, statePath: String): Seq[Long] = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(".manifest_") && !n.endsWith(".tmp"))
+      .map(_.stripPrefix(".manifest_").toLong).sorted
+  }
+
   def vacuum(
       spark: SparkSession,
       statePath: String,
@@ -89,6 +113,16 @@ object StreamingMerge {
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cutoff = System.currentTimeMillis() - olderThanMs
+    // Manifest-first rule: a `.merge_B_*`/`.old_B_*` dir whose
+    // `.manifest_B` still exists belongs to a pending (in-flight or
+    // replayable-crashed) batch — NEVER reaped, at any age; the replay
+    // owns those files. The age heuristic below only governs dirs from
+    // pre-manifest writers or post-completion cleanup crashes.
+    val pending = pendingBatches(spark, statePath).toSet
+    def batchOf(name: String): Option[Long] = {
+      val core = name.stripPrefix(".merge_").stripPrefix(".old_")
+      core.takeWhile(_ != '_').toLongOption
+    }
     // A `.old_*_bucket=k` whose live `bucket=k` is MISSING is the only
     // surviving copy of that bucket (crash between the aside-rename and
     // the commit rename) — and rename preserves mtime, so the age test
@@ -101,18 +135,44 @@ object StreamingMerge {
         name.contains("_bucket=") && !fs.exists(new Path(s"$statePath/$bucket"))
       }
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory &&
-        (s.getPath.getName.startsWith(".merge_") ||
-          s.getPath.getName.startsWith(".old_")) &&
-        s.getModificationTime <= cutoff &&
-        !soleSurvivor(s.getPath.getName))
-      // only report dirs that were actually removed
-      .flatMap(s =>
+    else {
+      val entries = fs.listStatus(root).toSeq
+      val staleDirs = entries
+        .filter(s => s.isDirectory &&
+          (s.getPath.getName.startsWith(".merge_") ||
+            s.getPath.getName.startsWith(".old_")) &&
+          !batchOf(s.getPath.getName).exists(pending.contains) &&
+          s.getModificationTime <= cutoff &&
+          !soleSurvivor(s.getPath.getName))
+      // An aged manifest with NO surviving dirs of its batch is a
+      // completion-cleanup straggler (crash after the last old-delete,
+      // before the manifest delete): the live dirs are fully committed,
+      // so retiring it restores the no-pending ⇒ consistent signal.
+      val liveBatches = entries
+        .filter(_.isDirectory).flatMap(s => batchOf(s.getPath.getName)).toSet
+      val staleManifests = entries
+        .filter(s => !s.isDirectory &&
+          s.getPath.getName.startsWith(".manifest_") &&
+          !s.getPath.getName.endsWith(".tmp") &&
+          s.getModificationTime <= cutoff &&
+          !s.getPath.getName.stripPrefix(".manifest_").toLongOption
+            .exists(liveBatches.contains))
+      // only report entries that were actually removed
+      (staleDirs ++ staleManifests).flatMap(s =>
         if (fs.delete(s.getPath, true)) Some(s.getPath.toString) else None)
+    }
   }
 
-  /** One MERGE application: rewrite exactly the affected buckets. */
+  /** Test-only fault injection: throw right after this bucket's commit
+    * rename — the exact "between two bucket renames" crash window the
+    * manifest protocol exists for (StreamingMergeSpec drives it; always
+    * None in production paths).
+    */
+  private[streaming] var crashAfterBucket: Option[Long] = None
+
+  /** One MERGE application: rewrite exactly the affected buckets,
+    * bracketed by the per-batch manifest (scaladoc above).
+    */
   private[streaming] def applyBatch(
       spark: SparkSession,
       batch: DataFrame,
@@ -130,6 +190,17 @@ object StreamingMerge {
       val affected = b.agg(collect_set(col("_bucket")))
         .head().getSeq[Long](0).sorted
       val fs = new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // Manifest in (tmp write + single rename = atomic publish): from
+      // here until the delete below, readers/vacuum treat batchId as
+      // pending. A replay of a crashed attempt refreshes it in place.
+      val manifest = new Path(s"$statePath/.manifest_$batchId")
+      val manifestTmp = new Path(s"$statePath/.manifest_$batchId.tmp")
+      val mOut = fs.create(manifestTmp, true)
+      try mOut.write(affected.mkString("\n").getBytes("UTF-8"))
+      finally mOut.close()
+      if (fs.exists(manifest))
+        require(fs.delete(manifest, false), s"refresh of $manifest failed")
+      require(fs.rename(manifestTmp, manifest), s"publish of $manifest failed")
       // bucket rewrites are independent — fan them out as concurrent
       // jobs (compact()'s pattern). A mid-batch crash leaves some
       // buckets applied and some not, in ANY order; that is safe
@@ -153,6 +224,13 @@ object StreamingMerge {
           // one can exist with the live dir missing.)
           val olds = fs.globStatus(new Path(s"$statePath/.old_*_bucket=$bk"))
             .toSeq.map(_.getPath)
+          // the at-most-one-.old invariant holds only under the single-
+          // writer contract; if two merge queries ever share a statePath,
+          // fail loudly instead of lexicographically restoring a stale
+          // copy ('.old_19_...' sorts before '.old_2_...')
+          require(olds.size <= 1,
+            s"multiple displaced copies for bucket $bk (${olds.mkString(", ")}): " +
+              s"statePath is being written by more than one merge query")
           if (!fs.exists(dir)) olds.headOption.foreach { o =>
             require(fs.rename(o, dir), s"restore of displaced bucket $o failed")
           }
@@ -182,11 +260,19 @@ object StreamingMerge {
           if (fs.exists(dir))
             require(fs.rename(dir, old), s"aside-rename of $dir failed")
           require(fs.rename(tmp, dir), s"commit rename of $tmp failed")
+          if (crashAfterBucket.contains(bk))
+            throw new RuntimeException(s"injected crash after bucket $bk commit")
           if (fs.exists(old))
             require(fs.delete(old, true), s"delete of displaced $old failed")
         }
       }, Duration.Inf)
       finally pool.shutdown()
+      // every bucket committed and its displaced copy reclaimed: the
+      // manifest delete is the batch's completion commit (atomic) —
+      // after it, pendingBatches is empty and the snapshot is declared
+      // consistent. A crash just before this line leaves a manifest
+      // with no surviving dirs; vacuum retires it by age.
+      require(fs.delete(manifest, false), s"completion delete of $manifest failed")
     } finally b.unpersist()
   }
 }

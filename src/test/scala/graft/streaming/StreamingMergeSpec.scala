@@ -112,4 +112,60 @@ class StreamingMergeSpec extends SparkSpec {
     assert(readState(state).as[(Long, String)].collect().toSeq ===
       Seq((1L, "a2"), (2L, "b2")))
   }
+
+  test("manifest brackets the batch: a crash between bucket renames is detectable and replayable") {
+    val state = Files.createTempDirectory("graft_merge_manifest").resolve("state").toString
+    StreamingMerge.seedSnapshot(
+      Seq((0L, "a0"), (1L, "a1"), (2L, "a2"), (3L, "a3")).toDF("k", "v"),
+      "k", state, numBuckets = 2)
+    val batch = Seq((0L, "update", "b0"), (1L, "update", "b1"))
+      .toDF("k", "change_type", "new_v")
+    def applyB(): Unit = StreamingMerge.applyBatch(spark, batch, "k", state,
+      numBuckets = 2, batchId = 7L,
+      toUpsert = ch => ch.select(col("k"), col("new_v").as("v")))
+
+    // die right after bucket 0's commit rename — the mid-batch window
+    // where some buckets carry new content and some old
+    StreamingMerge.crashAfterBucket = Some(0L)
+    try intercept[Exception](applyB())
+    finally StreamingMerge.crashAfterBucket = None
+
+    // DETECTABLE: the manifest survives the crash, so the snapshot is
+    // flagged as a possibly-mixed prefix instead of silently trusted
+    assert(StreamingMerge.pendingBatches(spark, state) === Seq(7L))
+
+    // REPLAYABLE: re-running the same batch (the checkpoint's contract)
+    // restores a consistent committed snapshot...
+    applyB()
+    assert(StreamingMerge.pendingBatches(spark, state).isEmpty)
+    assert(readState(state).as[(Long, String)].collect().toSeq ===
+      Seq((0L, "b0"), (1L, "b1"), (2L, "a2"), (3L, "a3")))
+    // ...with no staging or displaced leftovers
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftovers = fs.listStatus(new Path(state)).map(_.getPath.getName)
+      .filter(n => n.startsWith(".merge_") || n.startsWith(".old_") ||
+        n.startsWith(".manifest_"))
+    assert(leftovers.isEmpty, s"leftovers: ${leftovers.mkString(", ")}")
+  }
+
+  test("two displaced copies for one bucket fail loudly instead of restoring a stale one") {
+    val state = Files.createTempDirectory("graft_merge_dup_old").resolve("state").toString
+    StreamingMerge.seedSnapshot(Seq((0L, "a")).toDF("k", "v"), "k", state, numBuckets = 1)
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the single-writer invariant violated: two .old copies (e.g. two
+    // merge queries sharing a statePath); lexicographic glob order would
+    // pick .old_19 over .old_2 — the GUARD must fire instead
+    fs.mkdirs(new Path(s"$state/.old_19_bucket=0"))
+    fs.mkdirs(new Path(s"$state/.old_2_bucket=0"))
+    require(fs.delete(new Path(s"$state/bucket=0"), true))
+    val e = intercept[Exception] {
+      StreamingMerge.applyBatch(spark,
+        Seq((0L, "update", "x")).toDF("k", "change_type", "new_v"),
+        "k", state, numBuckets = 1, batchId = 21L,
+        toUpsert = ch => ch.select(col("k"), col("new_v").as("v")))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("more than one merge query")))
+  }
 }
