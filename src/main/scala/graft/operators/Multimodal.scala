@@ -7,8 +7,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata alongside. The Spark-side machinery —
   * schema, batched per-partition decode, frame sampling, feature columns — is
-  * real and tested; the actual codec call is STUBBED with a deterministic
-  * fake (this container has no image/audio libraries), clearly marked below.
+  * real and tested. Two codec tiers plug into it: the in-JVM
+  * `javax.imageio` path ([[decodeImage]]/[[resizeImage]] — real PNG/BMP
+  * raster decode, spec-driven over encoded fixtures) and a deterministic
+  * STUB ([[decodeStub]]/[[resizeStub]]) standing in for the native codecs
+  * this container lacks (libjpeg/ffmpeg), which stays the ORACLE variant
+  * because DuckDB can recompute its arithmetic.
   *
   * Scale design: payload bytes stay columnar in parquet and are never
   * shuffled — decode/feature-extract are mapPartitions-style row-local
@@ -62,16 +66,49 @@ object Multimodal {
     MediaFeatures(row.doc_id, row.media_type, row.n_bytes, channels, mean)
   }
 
+  /** REAL CODEC tier — `javax.imageio` (PNG/BMP/GIF decode ship with the
+    * JVM; no native libraries needed): channels = the raster's band
+    * count, mean_intensity = the mean of every pixel's every band value
+    * (0–255) — the actual quantity the stub's mean-byte fake stands in
+    * for. Plugs into the SAME [[extractFeatures]] plumbing as
+    * [[decodeStub]]; the stub stays the ORACLE variant (DuckDB can
+    * recompute mean code points, not PNG rasters), this is the variant
+    * MultimodalImageSpec drives over real encoded images.
+    */
+  def decodeImage(row: MediaRow): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+    require(img != null, s"payload of doc ${row.doc_id} is not a decodable image")
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    var sum = 0L
+    var n = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        var b = 0
+        while (b < bands) { sum += raster.getSample(x, y, b); n += 1; b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    MediaFeatures(row.doc_id, row.media_type, row.n_bytes, bands,
+      if (n == 0) 0.0 else sum.toDouble / n)
+  }
+
   /** Batched per-partition decode: the real pattern for codec-heavy work —
     * amortizes per-batch setup (codec contexts, buffers) across rows and
-    * keeps the decode row-local (no shuffle).
+    * keeps the decode row-local (no shuffle). `decoder` selects the codec
+    * ([[decodeStub]] for the oracle-checked fake, [[decodeImage]] for the
+    * real in-JVM image path) without touching the plumbing.
     */
-  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64,
+      decoder: MediaRow => MediaFeatures = decodeStub): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch codec setup would happen here
-        batch.iterator.map(decodeStub)
+        batch.iterator.map(decoder)
       }
     }
   }
@@ -98,6 +135,35 @@ object Multimodal {
     media.map { row =>
       val resized = row.payload.grouped(factor).map(_.head).toArray
       row.copy(payload = resized, n_bytes = resized.length)
+    }
+  }
+
+  /** REAL RESIZE — decode, nearest-neighbor rescale to `width`x`height`
+    * via Graphics2D, re-encode with `javax.imageio` (PNG by default:
+    * lossless, so a round-trip preserves pixel values exactly — what the
+    * resize spec asserts). Same row-local map shape as [[resizeStub]].
+    */
+  def resizeImage(media: Dataset[MediaRow], width: Int, height: Int,
+      format: String = "png"): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { row =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+      require(img != null, s"payload of doc ${row.doc_id} is not a decodable image")
+      val out = new java.awt.image.BufferedImage(width, height,
+        if (img.getType == java.awt.image.BufferedImage.TYPE_CUSTOM)
+          java.awt.image.BufferedImage.TYPE_INT_RGB
+        else img.getType)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g.drawImage(img, 0, 0, width, height, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(out, format, bos),
+        s"no $format encoder available")
+      val bytes = bos.toByteArray
+      row.copy(payload = bytes, n_bytes = bytes.length)
     }
   }
 
