@@ -44,7 +44,21 @@ import org.apache.spark.sql.functions._
   * inline single-purpose formulation rounds 4–5 carried in ExtendedOps
   * (aj1/aj2 keep their names and exact output contracts) into a
   * reusable two-frame API with both directions, left/inner semantics,
-  * multi-column payloads, and deterministic equal-timestamp ties.
+  * and multi-column payloads.
+  *
+  * Tie determinism: a probe row at time t matches build rows at exactly
+  * t (tag 0 sorts before tag 1). If the BUILD side carries DUPLICATE
+  * (key, time) rows, the window's order is completed by the payload
+  * struct itself (field-wise ascending), so the GREATEST payload among
+  * the tied build rows wins — rerun-stable by construction rather than
+  * partition-order luck (requires payload fields to be orderable types,
+  * which every SQL-comparable column is; maps are not). Note the
+  * cross-engine caveat: DuckDB's ASOF JOIN makes its own arbitrary pick
+  * among tied build rows, so ORACLE equality additionally relies on
+  * (key, time) being unique in the corpus — true here (aj1–aj3/sm11
+  * build sides are unique by construction); with duplicate build
+  * timestamps this API stays deterministic but may differ from another
+  * engine's tie choice.
   */
 object AsofJoin {
 
@@ -93,9 +107,14 @@ object AsofJoin {
       .withColumn("__t", col(probeTime))
       .withColumn("__pay", lit(null).cast(b.schema("__pay").dataType))
       .withColumn("__tag", lit(1))
+    // __pay completes the order among duplicate build (key, time) rows:
+    // last() then deterministically returns the greatest payload instead
+    // of whichever tied row the in-partition sort happened to place last
+    // (probe rows' null __pay is never consulted across tags — __tag
+    // already separates them)
     val ordered =
-      if (forward) Seq(col("__t").desc, col("__tag").asc)
-      else Seq(col("__t").asc, col("__tag").asc)
+      if (forward) Seq(col("__t").desc, col("__tag").asc, col("__pay").asc)
+      else Seq(col("__t").asc, col("__tag").asc, col("__pay").asc)
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(ordered: _*)

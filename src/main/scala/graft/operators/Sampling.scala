@@ -32,6 +32,26 @@ object Sampling {
   private[graft] def bucketSql(tag: String, id: String): String =
     s"CAST('0x' || substr(md5('$tag:' || CAST($id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
 
+  /** Efraimidis–Spirakis weighted-sampling key: −ln(u)/w with u the
+    * row's md5-uniform (offset +0.5/2^32 so ln never sees 0) and w its
+    * weight floored at 1 — smallest-k per group = weighted sample
+    * without replacement. ONE definition shared by sp5 and cp2's
+    * packaging funnel (both Scala and SQL forms): a tweak to either
+    * constant desynchronizing the two queries was the advisor's r6
+    * drift risk, and the fix is this helper.
+    */
+  private[graft] def wrsKey(id: Column, weight: Column): Column = {
+    val u = (conv(
+      substring(md5(concat(lit("wrs:"), id.cast("string"))), 1, 8),
+      16, 10).cast("double") + 0.5) / 4294967296.0
+    -log(u) / greatest(weight.cast("double"), lit(1.0))
+  }
+
+  /** The same key as ANSI SQL for the DuckDB oracle. */
+  private[graft] def wrsKeySql(id: String, weight: String): String =
+    s"-ln((CAST('0x' || substr(md5('wrs:' || CAST($id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5) / 4294967296.0)" +
+      s" / greatest(CAST($weight AS DOUBLE), 1.0)"
+
   /** 80/10/10 train/val/test assignment for any keyed frame. */
   def hashSplit(df: DataFrame, id: Column, tag: String = "split"): DataFrame = {
     val b = bucket(tag, id)
@@ -173,10 +193,7 @@ object Sampling {
       "sp5_weighted_sample",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val u = (conv(
-          substring(md5(concat(lit("wrs:"), col("doc_id").cast("string"))), 1, 8),
-          16, 10).cast("double") + 0.5) / 4294967296.0
-        val key = -log(u) / greatest(col("n_chars").cast("double"), lit(1.0))
+        val key = wrsKey(col("doc_id"), col("n_chars"))
         val w = Window.partitionBy("source").orderBy("key", "doc_id")
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("source"), key.as("key"))
@@ -185,14 +202,13 @@ object Sampling {
           .select("doc_id", "source", "rk")
           .orderBy("source", "rk")
       },
-      Some("""SELECT doc_id, source, rk FROM (
-             |  SELECT doc_id, source,
-             |    CAST(row_number() OVER (PARTITION BY source ORDER BY
-             |      -ln((CAST('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5) / 4294967296.0)
-             |        / greatest(CAST(n_chars AS DOUBLE), 1.0),
-             |      doc_id) AS BIGINT) AS rk
-             |  FROM documents)
-             |WHERE rk <= 12 ORDER BY source, rk""".stripMargin)
+      Some(s"""SELECT doc_id, source, rk FROM (
+              |  SELECT doc_id, source,
+              |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+              |      ${wrsKeySql("doc_id", "n_chars")},
+              |      doc_id) AS BIGINT) AS rk
+              |  FROM documents)
+              |WHERE rk <= 12 ORDER BY source, rk""".stripMargin)
     )
   )
 }

@@ -275,10 +275,9 @@ object CorpusPipeline {
       train.withColumn("ent", entR)
         .filter(col("ent") >= 3.5 && col("ent") <= 5.5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val u = (conv(
-      substring(md5(concat(lit("wrs:"), col("doc_id").cast("string"))), 1, 8),
-      16, 10).cast("double") + 0.5) / 4294967296.0
-    val key = -log(u) / greatest(col("n_chars").cast("double"), lit(1.0))
+    // ONE definition with sp5 (Sampling.wrsKey): the cap membership here
+    // must stay bit-identical to sp5's sample or the funnel counts drift
+    val key = Sampling.wrsKey(col("doc_id"), col("n_chars"))
     // persisted: two branches (doc count + chunk-yield sum) share it
     val capped = graft.CacheScope.track(
       banded
@@ -318,8 +317,7 @@ object CorpusPipeline {
        |      WHERE ed.ent >= 3.5 AND ed.ent <= 5.5),
        |cap AS (SELECT doc_id, text FROM (
        |          SELECT doc_id, text, row_number() OVER (PARTITION BY source ORDER BY
-       |            -ln((CAST('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5) / 4294967296.0)
-       |              / greatest(CAST(n_chars AS DOUBLE), 1.0),
+       |            ${Sampling.wrsKeySql("doc_id", "n_chars")},
        |            doc_id) AS rk
        |          FROM q)
        |        WHERE rk <= 12),

@@ -74,4 +74,18 @@ class AsofJoinSpec extends SparkSpec {
       .select("id", "v").as[(Long, String)].collect().toMap
     assert(got === expected)
   }
+
+  test("duplicate build (key, time) rows: the greatest payload wins, rerun-stable") {
+    val p = probe((1L, 10L, 150L))
+    // three build rows at the SAME (key, time) in hostile input orders;
+    // without the payload tiebreak, last() returns partition-order luck
+    val orders = Seq(
+      Seq("alpha", "mid", "zz"), Seq("zz", "alpha", "mid"), Seq("mid", "zz", "alpha"))
+    val results = orders.map { vs =>
+      val b = build(vs.map(v => (10L, 100L, v)): _*).repartition(3)
+      AsofJoin.asofBackward(p, b, Seq("k"), "t", "t", Seq("v" -> "v"))
+        .select("v").as[String].collect().toSeq
+    }
+    assert(results.forall(_ === Seq("zz")), s"tie pick not deterministic: $results")
+  }
 }
