@@ -93,6 +93,29 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(agg.count() === 150)
   }
 
+  test("a staged bucket layout outlives the catalog: DDL re-registration keeps zero-exchange") {
+    // first session writes the layout; dropping the table models a NEW
+    // JVM whose in-memory catalog died while the staged files survived
+    // (SIGKILL skipped the TempDirs shutdown hook)
+    val s1 = spark.newSession()
+    val t1 = ScaleTechniques.bucketedTable(s1, TestSpark.Sf0001, "orders")
+    val expected = s1.table(t1).count()
+    s1.sql(s"DROP TABLE $t1")
+
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ordersT = ScaleTechniques.bucketedTable(s2, TestSpark.Sf0001, "orders")
+    val customerT = ScaleTechniques.bucketedTable(s2, TestSpark.Sf0001, "customer")
+    assert(s2.table(ordersT).count() === expected) // re-registered, not rewritten
+    val joined = s2.table(ordersT).join(
+      s2.table(customerT), col("o_custkey") === col("c_custkey"))
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty,
+      "re-registered bucketed table lost its layout metadata (join shuffled)")
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     val s = spark.newSession()
     s.conf.set("spark.sql.adaptive.enabled", "true")
