@@ -89,9 +89,11 @@ object Bench {
       catch { case _: Throwable => "" }
     val loadStart = loadavg()
 
-    // Best driver-recorded prior-round time per query (bench_prior.json,
-    // regenerated each round from the driver's BENCH_r{N}.json): the 2x
-    // rerun trigger's reference. Absent file or query -> no trigger.
+    // Best recorded time per query across prior driver artifacts AND
+    // the builder's own sweeps (bench_prior.json, regenerated each
+    // round): the 2x rerun trigger's reference — "best known" maximizes
+    // trigger sensitivity without ever suppressing a real regression.
+    // Absent file or query -> no trigger.
     val prior: Map[String, Double] =
       try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
