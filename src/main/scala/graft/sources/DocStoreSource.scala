@@ -95,7 +95,8 @@ private[sources] class DocStoreTable(
   override def name(): String = s"docstore(${props.get("path")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     def opt(k: String) = Option(options.get(k)).orElse(Option(props.get(k)))
@@ -108,13 +109,16 @@ private[sources] class DocStoreTable(
     val mode = opt("planMode").getOrElse("split")
     require(mode == "split" || mode == "cursor",
       s"docstore: planMode must be split or cursor, got $mode")
-    new DocStoreScanBuilder(tableSchema, path, pageSize, splitSize, mode)
+    val maxFiles = opt("maxFilesPerTrigger").map(_.toInt)
+    maxFiles.foreach(n => require(n > 0,
+      s"docstore: maxFilesPerTrigger must be positive, got $n"))
+    new DocStoreScanBuilder(tableSchema, path, pageSize, splitSize, mode, maxFiles)
   }
 }
 
 private[sources] class DocStoreScanBuilder(
     fullSchema: StructType, path: String, pageSize: Int,
-    splitSize: Long, mode: String)
+    splitSize: Long, mode: String, maxFilesPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
 
@@ -131,7 +135,8 @@ private[sources] class DocStoreScanBuilder(
   override def pushLimit(l: Int): Boolean = { limit = l; false }
 
   override def build(): Scan =
-    new DocStoreScan(required, path, pageSize, splitSize, mode, limit)
+    new DocStoreScan(required, path, pageSize, splitSize, mode, limit,
+      maxFilesPerTrigger)
 }
 
 /** One unit of scan parallelism: bytes of `file` in [`start`, `end`).
@@ -155,25 +160,29 @@ private[sources] case class DocPage(
   extends InputPartition
 
 private[sources] class DocStoreScan(
-    required: StructType, path: String, pageSize: Int,
-    splitSize: Long, mode: String, limit: Int)
+    required: StructType, private[sources] val path: String, pageSize: Int,
+    splitSize: Long, private[sources] val mode: String, limit: Int,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DocStoreMicroBatchStream(this, maxFilesPerTrigger)
   override def description(): String =
     s"docstore path=$path planMode=$mode pageSize=$pageSize splitSize=$splitSize " +
       s"pushedLimit=${if (limit >= 0) limit else "none"} " +
       s"required=${required.fieldNames.mkString(",")}"
 
-  private def hadoopConf() =
+  private[sources] def hadoopConf() =
     // the SESSION's Hadoop conf, not a bare `new Configuration()`:
     // spark.hadoop.* settings (credentials, endpoints, fs.defaultFS)
     // must reach the filesystem, and a scheme-less path must resolve
     // against fs.defaultFS exactly as spark.read.parquet would
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
-  private def collectionFiles(fs: FileSystem, root: Path) =
+  private[sources] def collectionFiles(fs: FileSystem, root: Path) =
     if (fs.getFileStatus(root).isDirectory)
       fs.listStatus(root).filter(_.isFile)
         .filter(s => !s.getPath.getName.startsWith(".") &&
@@ -197,14 +206,16 @@ private[sources] class DocStoreScan(
     * itself is the same one any scan needs.
     */
   private def planSplits(files: Array[org.apache.hadoop.fs.FileStatus]): Array[InputPartition] =
-    files.flatMap { st =>
-      val len = st.getLen
-      val n = math.max(1L, (len + splitSize - 1) / splitSize)
-      (0L until n).map { i =>
-        DocPage(st.getPath.toString, i * splitSize,
-          math.min((i + 1) * splitSize, len), aligned = false, rowLimit = limit)
-      }
-    }.toArray[InputPartition]
+    files.flatMap(st => splitPages(st.getPath.toString, st.getLen))
+      .toArray[InputPartition]
+
+  private[sources] def splitPages(file: String, len: Long): Seq[DocPage] = {
+    val n = math.max(1L, (len + splitSize - 1) / splitSize)
+    (0L until n).map { i =>
+      DocPage(file, i * splitSize,
+        math.min((i + 1) * splitSize, len), aligned = false, rowLimit = limit)
+    }
+  }
 
   /** The cursor walk: one sequential pass per collection file, cutting a
     * page boundary every `pageSize` NON-BLANK documents (blank and
@@ -222,42 +233,49 @@ private[sources] class DocStoreScan(
     val pages = scala.collection.mutable.ArrayBuffer.empty[DocPage]
     val it = files.iterator
     while (it.hasNext && pages.size < pagesWanted) {
-      val f = it.next().getPath
-      val len = fs.getFileStatus(f).getLen
-      val in = fs.open(f)
-      try {
-        val buf = new Array[Byte](64 * 1024)
-        var pageStart = 0L
-        var pos = 0L
-        var docsInPage = 0
-        var sawContent = false
-        var read = in.read(buf)
-        var done = false
-        while (read > 0 && !done) {
-          var i = 0
-          while (i < read && !done) {
-            val b = buf(i)
-            if (b == '\n') {
-              if (sawContent) docsInPage += 1
-              sawContent = false
-              if (docsInPage == pageSize) {
-                pages += DocPage(f.toString, pageStart, pos + i + 1, rowLimit = limit)
-                pageStart = pos + i + 1
-                docsInPage = 0
-                done = pages.size >= pagesWanted
-              }
-            } else if (b != '\r' && b != ' ' && b != '\t') sawContent = true
-            i += 1
-          }
-          pos += read
-          read = if (done) -1 else in.read(buf)
-        }
-        // trailing page: a final doc without a newline still counts
-        if (!done && pageStart < len)
-          pages += DocPage(f.toString, pageStart, len, rowLimit = limit)
-      } finally in.close()
+      val st = it.next()
+      pages ++= cursorPages(fs, st.getPath, st.getLen, pagesWanted - pages.size)
     }
     pages.toArray[InputPartition]
+  }
+
+  /** One file's cursor walk, emitting at most `wanted` pages. */
+  private[sources] def cursorPages(
+      fs: FileSystem, f: Path, len: Long, wanted: Long): Seq[DocPage] = {
+    val pages = scala.collection.mutable.ArrayBuffer.empty[DocPage]
+    val in = fs.open(f)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var pageStart = 0L
+      var pos = 0L
+      var docsInPage = 0
+      var sawContent = false
+      var read = in.read(buf)
+      var done = false
+      while (read > 0 && !done) {
+        var i = 0
+        while (i < read && !done) {
+          val b = buf(i)
+          if (b == '\n') {
+            if (sawContent) docsInPage += 1
+            sawContent = false
+            if (docsInPage == pageSize) {
+              pages += DocPage(f.toString, pageStart, pos + i + 1, rowLimit = limit)
+              pageStart = pos + i + 1
+              docsInPage = 0
+              done = pages.size >= wanted
+            }
+          } else if (b != '\r' && b != ' ' && b != '\t') sawContent = true
+          i += 1
+        }
+        pos += read
+        read = if (done) -1 else in.read(buf)
+      }
+      // trailing page: a final doc without a newline still counts
+      if (!done && pageStart < len)
+        pages += DocPage(f.toString, pageStart, len, rowLimit = limit)
+    } finally in.close()
+    pages.toSeq
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -271,6 +289,122 @@ private[sources] class DocStoreScan(
     val entries = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
     new DocPageReaderFactory(required, entries)
   }
+}
+
+/** Streaming offset: the set of collection files fully consumed, with
+  * the length each was admitted at (files are IMMUTABLE once they
+  * appear — the object-store landing contract the reference's export
+  * jobs follow; a "growing" collection grows by NEW files). Serialized
+  * with SORTED keys so offset equality — how Spark decides "no new
+  * data" — is stable across runs. At millions of files per directory a
+  * production source compacts this seen-set into the checkpoint's
+  * metadata log exactly as Spark's FileStreamSource does; the offset
+  * here carries it inline, bounded by files-per-collection.
+  */
+private[sources] case class DocStoreOffset(files: Map[String, Long])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    val f = root.putObject("files")
+    files.toSeq.sortBy(_._1).foreach { case (k, v) => f.put(k, v) }
+    m.writeValueAsString(root)
+  }
+}
+
+private[sources] object DocStoreOffset {
+  def fromJson(s: String): DocStoreOffset = {
+    val node = new ObjectMapper().readTree(s).get("files")
+    import scala.jdk.CollectionConverters._
+    DocStoreOffset(
+      node.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap)
+  }
+}
+
+/** The docstore cursor as a genuine Structured Streaming source: each
+  * micro-batch admits the NEW collection files since the last committed
+  * offset (sorted-name order, `maxFilesPerTrigger` per batch under
+  * admission control) and plans them with the scan's configured mode —
+  * size splits or exact cursor pages — through the same
+  * `DocPage`/reader stack as the batch path. Implements
+  * `SupportsTriggerAvailableNow` (the end target is snapshotted once,
+  * then drained batch-by-batch) so `Trigger.AvailableNow` replays a
+  * landing directory as a real multi-batch run; the checkpoint's offset
+  * is the resume cursor — a restarted query consumes exactly the files
+  * that appeared since, never re-reading or skipping one
+  * (DocStoreStreamSpec proves both).
+  */
+private[sources] class DocStoreMicroBatchStream(
+    scan: DocStoreScan, maxFilesPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset, ReadLimit, ReadMaxFiles}
+
+  private var availableNowTarget: Option[Map[String, Long]] = None
+
+  private def listing(): Map[String, Long] = {
+    val conf = scan.hadoopConf()
+    val root0 = new Path(scan.path)
+    val fs = root0.getFileSystem(conf)
+    val root = fs.makeQualified(root0)
+    if (!fs.exists(root)) Map.empty
+    else scan.collectionFiles(fs, root)
+      .map(st => st.getPath.toString -> st.getLen).toMap
+  }
+
+  override def initialOffset(): StreamOffset = DocStoreOffset(Map.empty)
+
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val current = availableNowTarget.getOrElse(listing())
+    val seen = start.asInstanceOf[DocStoreOffset].files
+    val fresh = (current.keySet -- seen.keySet).toSeq.sorted
+    val admitted = limit match {
+      case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
+      case _ => fresh
+    }
+    DocStoreOffset(seen ++ admitted.map(f => f -> current(f)))
+  }
+
+  override def reportLatestOffset(): StreamOffset =
+    DocStoreOffset(availableNowTarget.getOrElse(listing()))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(listing())
+
+  override def planInputPartitions(
+      start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[DocStoreOffset].files
+    val target = end.asInstanceOf[DocStoreOffset].files
+    val fresh = (target.keySet -- seen.keySet).toSeq.sorted
+    if (scan.mode == "split")
+      fresh.flatMap(f => scan.splitPages(f, target(f))).toArray[InputPartition]
+    else {
+      val conf = scan.hadoopConf()
+      fresh.flatMap { f =>
+        val p = new Path(f)
+        scan.cursorPages(p.getFileSystem(conf), p, target(f), Long.MaxValue)
+      }.toArray[InputPartition]
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def deserializeOffset(json: String): StreamOffset =
+    DocStoreOffset.fromJson(json)
+
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] class DocPageReaderFactory(
@@ -410,6 +544,56 @@ object DocStoreQueries {
               |        columns={'recipe_id':'VARCHAR',
               |                 'ingredients':'STRUCT(name VARCHAR, quantity DOUBLE, unit VARCHAR)[]'}))
               |ORDER BY recipe_id, ing_name, quantity""".stripMargin),
+      bench = false
+    ),
+
+    // SM13: the docstore MICRO-BATCH tier end-to-end — the users
+    // collection staged as a two-file landing, drained by a real
+    // checkpointed AvailableNow run (one admitted file per batch via
+    // the source's admission control), parquet sink read back. The
+    // oracle reads the ORIGINAL fixture: streaming the collection
+    // file-by-file must lose/duplicate nothing vs the one-shot read.
+    Q(
+      "sm13_docstore_stream",
+      (s, _) => {
+        import org.apache.spark.sql.functions._
+        val root = graft.TempDirs.create("graft_sm13")
+        val landing = root.resolve("landing")
+        java.nio.file.Files.createDirectories(landing)
+        val lines = java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get(s"$FixtureDir/users.jsonl"))
+        import scala.jdk.CollectionConverters._
+        val (a, b) = lines.asScala.toSeq.splitAt(6)
+        java.nio.file.Files.write(landing.resolve("batch-0.jsonl"),
+          (a.mkString("\n") + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.write(landing.resolve("batch-1.jsonl"),
+          (b.mkString("\n") + "\n").getBytes("UTF-8"))
+        val out = root.resolve("out").toString
+        val q = s.readStream.format("docstore")
+          .schema(graft.recipes.Schemas.userDoc)
+          .option("planMode", "cursor").option("pageSize", 4)
+          .option("maxFilesPerTrigger", 1)
+          .load(landing.toString)
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .select(
+            col("user_id"), col("username"), col("email"), col("role"),
+            unix_micros(col("created_at")).as("created_us"))
+          .orderBy("user_id")
+      },
+      Some(s"""SELECT user_id, username, email, role,
+              |  epoch_us(created_at) AS created_us
+              |FROM read_json('$FixtureDir/users.jsonl',
+              |  format='newline_delimited',
+              |  columns={'user_id':'VARCHAR','username':'VARCHAR',
+              |           'email':'VARCHAR','role':'VARCHAR',
+              |           'created_at':'TIMESTAMP WITH TIME ZONE'})
+              |ORDER BY user_id""".stripMargin),
       bench = false
     )
   )
