@@ -32,9 +32,15 @@ import org.apache.spark.sql.functions._
   */
 object LakeMaintenance {
 
-  /** One partition directory's compaction accounting. */
+  /** One partition directory's compaction accounting. `rewritten =
+    * false` marks a directory [[compactInPlace]]'s threshold skipped
+    * (already compact): its files were neither read nor written — at
+    * 100 TB the nightly pass must only pay for the fragmented fraction
+    * of the lake, not rewrite the whole of it every night.
+    */
   final case class PartitionCompaction(
-      partition: String, inputFiles: Long, inputBytes: Long, outputFiles: Int)
+      partition: String, inputFiles: Long, inputBytes: Long, outputFiles: Int,
+      rewritten: Boolean = true)
 
   /** Compact `inDir` (a parquet lake laid out as `partitionCols`
     * key=value directories; Nil = unpartitioned) into `outDir` with
@@ -48,8 +54,10 @@ object LakeMaintenance {
       partitionCols: Seq[String] = Nil): Seq[PartitionCompaction] = {
     require(targetFileSizeBytes > 0, "targetFileSizeBytes must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
-    val in = new Path(inDir)
-    val fs = in.getFileSystem(conf)
+    val in0 = new Path(inDir)
+    val fs = in0.getFileSystem(conf)
+    // qualified for the same bare-label relativize as compactInPlace
+    val in = fs.makeQualified(in0)
     def leafDirs(p: Path, depth: Int): Seq[Path] =
       if (depth == 0) Seq(p)
       else fs.listStatus(p).toSeq.filter(_.isDirectory)
@@ -75,6 +83,96 @@ object LakeMaintenance {
           .repartition(n)
           .write.mode("overwrite").option("compression", "zstd").parquet(dest)
         PartitionCompaction(if (rel.isEmpty) "." else rel, files.size, bytes, n)
+      }
+    }, Duration.Inf)
+    finally pool.shutdown()
+  }
+
+  /** IN-PLACE compaction under live readers — the production nightly
+    * pass. Differences from [[compact]]:
+    *
+    *   - THRESHOLDED: a directory already at (or below)
+    *     `max(targetOutputCount, minInputFiles)` files is skipped
+    *     untouched (`rewritten = false` in the accounting) — the run
+    *     costs I/O proportional to the FRAGMENTED fraction of the lake;
+    *   - CRASH-SAFE SWAP, StreamingMerge's aside-rename protocol: the
+    *     rewrite lands in a dot-prefixed staging sibling (invisible to
+    *     readers), the live dir is renamed ASIDE (never deleted first),
+    *     staging renames in, then the displaced copy is deleted. A crash
+    *     between the two renames leaves the only copy under
+    *     `.compact_old_*`; the next run's recovery sweep restores it
+    *     before planning, so re-running the pass IS the repair.
+    *
+    * Readers see each partition atomically switch from fragmented to
+    * compacted (the rename is the commit point per directory);
+    * cross-partition atomicity is not needed because content is
+    * IDENTICAL either way — compaction changes layout, not data.
+    */
+  def compactInPlace(
+      spark: SparkSession,
+      dir: String,
+      targetFileSizeBytes: Long,
+      partitionCols: Seq[String] = Nil,
+      minInputFiles: Int = 2): Seq[PartitionCompaction] = {
+    require(targetFileSizeBytes > 0, "targetFileSizeBytes must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in0 = new Path(dir)
+    val fs = in0.getFileSystem(conf)
+    // qualified so relativize against listStatus's qualified children
+    // yields the bare partition label, not a full URI
+    val in = fs.makeQualified(in0)
+    def leafDirs(p: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .filterNot(_.getPath.getName.startsWith("."))
+        .flatMap(d => leafDirs(d.getPath, depth - 1))
+    // recovery sweep: a prior run that died between the aside-rename and
+    // the commit rename left the partition's ONLY copy displaced —
+    // restore it before planning this run's work
+    def recover(p: Path, depth: Int): Unit =
+      if (depth > 0) fs.listStatus(p).toSeq.filter(_.isDirectory).foreach { d =>
+        val name = d.getPath.getName
+        if (name.startsWith(".compact_old_")) {
+          val live = new Path(p, name.stripPrefix(".compact_old_"))
+          if (!fs.exists(live))
+            require(fs.rename(d.getPath, live), s"restore of $d failed")
+          else require(fs.delete(d.getPath, true), s"cleanup of stale $d failed")
+        } else if (name.startsWith(".compact_tmp_")) {
+          // staging from a crashed attempt: never committed, safe to drop
+          require(fs.delete(d.getPath, true), s"cleanup of stale $d failed")
+        } else recover(d.getPath, depth - 1)
+      }
+    recover(if (partitionCols.isEmpty) in.getParent else in, partitionCols.size)
+    val dirs = leafDirs(in, partitionCols.size).sortBy(_.toString)
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, dirs.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.traverse(dirs) { d =>
+      Future {
+        val files = fs.listStatus(d).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val bytes = files.map(_.getLen).sum
+        val n = math.max(1L, (bytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
+        val rel = in.toUri.relativize(d.toUri).toString.stripSuffix("/")
+        val partition = if (rel.isEmpty) "." else rel
+        if (files.size <= math.max(n, minInputFiles))
+          PartitionCompaction(partition, files.size, bytes, files.size,
+            rewritten = false)
+        else {
+          val parent = d.getParent
+          val tmp = new Path(parent, s".compact_tmp_${d.getName}")
+          val old = new Path(parent, s".compact_old_${d.getName}")
+          spark.read.parquet(d.toString)
+            .repartition(n)
+            .write.mode("overwrite").option("compression", "zstd")
+            .parquet(tmp.toString)
+          require(fs.rename(d, old), s"aside-rename of $d failed")
+          require(fs.rename(tmp, d), s"commit rename of $tmp failed")
+          require(fs.delete(old, true), s"delete of displaced $old failed")
+          PartitionCompaction(partition, files.size, bytes, n)
+        }
       }
     }, Duration.Inf)
     finally pool.shutdown()
@@ -305,6 +403,36 @@ object LakeMaintenance {
               |  ${zValueSql("xb", "yb", 8)} AS z
               |FROM e JOIN xm USING (user_id) JOIN ym USING (vbucket)
               |ORDER BY event_id""".stripMargin)
+    ),
+
+    // LK5: the IN-PLACE compaction protocol end-to-end — fragment a
+    // scratch lake, compact it in place (thresholded swap under the
+    // crash-safe rename protocol), and prove the content survived
+    // byte-for-byte. Scratch is per-invocation (in-place MUTATES its
+    // input, so lk1's shared staged fixture cannot be reused);
+    // bench=false — lk1 already carries compaction throughput, and this
+    // row's time would be dominated by its own fixture write.
+    Q(
+      "lk5_inplace_compaction",
+      (s, dir) => {
+        val lake = graft.TempDirs.create("graft_lk5").resolve("lake").toString
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source"), col("lang"))
+          .repartition(24)
+          .write.partitionBy("lang").parquet(lake)
+        compactInPlace(s, lake, targetFileSizeBytes = 4L << 20,
+          partitionCols = Seq("lang"))
+        s.read.parquet(lake)
+          .select(
+            col("doc_id"),
+            col("lang").cast("string").as("lang"),
+            col("source"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, md5(text) AS text_md5
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      bench = false
     ),
 
     // LK4: schema evolution at read — the lake reality that writers

@@ -163,10 +163,29 @@ private[sources] class DocStoreScan(
     required: StructType, private[sources] val path: String, pageSize: Int,
     splitSize: Long, private[sources] val mode: String, limit: Int,
     maxFilesPerTrigger: Option[Int] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Collection byte size from the LISTING (no content reads — the same
+    * O(#files) metadata as split planning), so Catalyst's join planning
+    * sees a real sizeInBytes instead of the conservative default: a
+    * small dimension collection read through the connector becomes
+    * broadcast-eligible exactly like a small parquet table would.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long =
+      try {
+        val conf = hadoopConf()
+        val root0 = new Path(path)
+        val fs = root0.getFileSystem(conf)
+        collectionFiles(fs, fs.makeQualified(root0)).map(_.getLen).sum
+      } catch { case _: Throwable => Long.MaxValue }
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new DocStoreMicroBatchStream(this, maxFilesPerTrigger)

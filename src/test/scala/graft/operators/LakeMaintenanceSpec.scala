@@ -105,6 +105,76 @@ class LakeMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).count() === ev.count())
   }
 
+  test("in-place compaction: fragmented partitions swap atomically, compact ones untouched") {
+    val root = Files.createTempDirectory("graft_lk_inplace")
+    val lake = root.resolve("lake").toString
+    val docs = graft.Tables(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+    docs.repartition(12).write.partitionBy("lang").parquet(lake)
+    val before = spark.read.parquet(lake)
+      .select(col("doc_id"), md5(col("text")).as("h")).collect().map(_.toString).sorted
+
+    val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val langs = fs.listStatus(new Path(lake)).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+    // pre-compact ONE partition to a single file so the threshold skips it
+    val compactLang = langs.head
+    val one = spark.read.parquet(s"$lake/$compactLang")
+      .repartition(1).cache()
+    one.count()
+    fs.delete(new Path(s"$lake/$compactLang"), true)
+    one.write.parquet(s"$lake/$compactLang")
+    one.unpersist()
+    val stampBefore = parquetFiles(s"$lake/$compactLang")
+      .map(p => p.getName -> fs.getFileStatus(p).getModificationTime).toMap
+
+    val stats = LakeMaintenance.compactInPlace(
+      spark, lake, targetFileSizeBytes = 64L << 20, Seq("lang"))
+    // the pre-compacted partition was skipped: flagged AND byte-untouched
+    val skipped = stats.filter(!_.rewritten)
+    assert(skipped.map(_.partition).contains(s"$compactLang"),
+      s"expected $compactLang skipped; got $stats")
+    val stampAfter = parquetFiles(s"$lake/$compactLang")
+      .map(p => p.getName -> fs.getFileStatus(p).getModificationTime).toMap
+    assert(stampAfter === stampBefore, "skipped partition's files must be untouched")
+    // every fragmented partition collapsed to its target count (1 file)
+    langs.tail.foreach { l =>
+      assert(parquetFiles(s"$lake/$l").size === 1, s"lang=$l not compacted")
+    }
+    // no staging/displaced leftovers, content preserved bit-for-bit
+    val leftovers = fs.listStatus(new Path(lake))
+      .map(_.getPath.getName).filter(_.startsWith("."))
+    assert(leftovers.isEmpty, s"leftovers: ${leftovers.mkString(",")}")
+    val after = spark.read.parquet(lake)
+      .select(col("doc_id"), md5(col("text")).as("h")).collect().map(_.toString).sorted
+    assert(after === before)
+  }
+
+  test("in-place compaction recovers a partition displaced by a crashed prior run") {
+    val root = Files.createTempDirectory("graft_lk_recover")
+    val lake = root.resolve("lake").toString
+    graft.Tables(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), col("text"), col("lang"))
+      .repartition(6).write.partitionBy("lang").parquet(lake)
+    val before = spark.read.parquet(lake)
+      .select(col("doc_id"), md5(col("text")).as("h")).collect().map(_.toString).sorted
+
+    // simulate the crash window: live dir renamed aside, commit never ran
+    val fs = new Path(lake).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(new Path(lake)).filter(_.isDirectory)
+      .map(_.getPath).minBy(_.getName)
+    require(fs.rename(victim,
+      new Path(victim.getParent, s".compact_old_${victim.getName}")))
+
+    LakeMaintenance.compactInPlace(
+      spark, lake, targetFileSizeBytes = 64L << 20, Seq("lang"))
+    val after = spark.read.parquet(lake)
+      .select(col("doc_id"), md5(col("text")).as("h")).collect().map(_.toString).sorted
+    assert(after === before, "recovery must restore the displaced partition")
+    assert(!fs.listStatus(new Path(lake))
+      .exists(_.getPath.getName.startsWith(".")), "no dot leftovers")
+  }
+
   test("unpartitioned lake compacts to a single directory") {
     val root = Files.createTempDirectory("graft_lk_flat")
     val frag = root.resolve("frag").toString

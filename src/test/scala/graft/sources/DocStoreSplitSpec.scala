@@ -113,6 +113,22 @@ class DocStoreSplitSpec extends SparkSpec {
     assert(df.collect().length === 3)
   }
 
+  test("the scan reports listing-derived statistics: small collections broadcast") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("docstore").schema(Schemas.userDoc)
+      .load(s"${TestSpark.FixtureDir}/users.jsonl")
+    val fixtureBytes = java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"${TestSpark.FixtureDir}/users.jsonl"))
+    // Catalyst's stats for the V2 relation come from estimateStatistics
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes === BigInt(fixtureBytes))
+    // ...which makes the tiny collection broadcast-eligible in a join
+    val joined = spark.read.parquet(s"${TestSpark.Sf0001}/customer.parquet")
+      .join(df, col("c_custkey").cast("string") === col("user_id"))
+    val bhj = joined.queryExecution.executedPlan.toString
+    assert(bhj.contains("BroadcastHashJoin") || bhj.contains("BroadcastExchange"),
+      s"small docstore side should broadcast:\n$bhj")
+  }
+
   test("split and cursor modes agree on the fixture collections") {
     def read(opts: Map[String, String]) = {
       val r = spark.read.format("docstore").schema(Schemas.recipeDoc)
