@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types._
@@ -90,13 +90,22 @@ class DocStoreSource extends TableProvider
 
 private[sources] class DocStoreTable(
     tableSchema: StructType, props: java.util.Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"docstore(${props.get("path")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder = {
+    val path = Option(info.options.get("path")).orElse(Option(props.get("path")))
+      .getOrElse(throw new IllegalArgumentException("docstore: no path given"))
+    new DocStoreWriteBuilder(path, info.schema())
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     def opt(k: String) = Option(options.get(k)).orElse(Option(props.get(k)))
@@ -495,6 +504,132 @@ private[sources] class DocPageReaderFactory(
   }
 }
 
+/** The WRITE side of the connector — the Firestore-export inverse: rows
+  * become one JSON document per line, landed as immutable part files
+  * (exactly the contract the streaming reader's offset model assumes).
+  * The commit protocol is the standard V2 two-phase shape: every task
+  * writes a dot-prefixed temp file (invisible to readers and to the
+  * planner's listing filter), its commit message carries the temp name,
+  * and the DRIVER's commit renames all temps into place — a failed or
+  * speculative task's temp is deleted by abort and never becomes
+  * visible. `mode("overwrite")` maps to TRUNCATE: pre-existing part
+  * files are removed inside the same driver commit, after every temp
+  * has landed.
+  */
+private[sources] class DocStoreWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true
+    this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new DocStoreBatchWrite(path, schema, doTruncate)
+    }
+}
+
+private[sources] case class DocWriteCommit(tempFile: String)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class DocStoreBatchWrite(
+    path: String, schema: StructType, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  private def fsFor() = {
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val root = new Path(path)
+    (root.getFileSystem(conf), root)
+  }
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo):
+      org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val (fs, root) = fsFor()
+    fs.mkdirs(root)
+    import scala.jdk.CollectionConverters._
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    new DocStoreWriterFactory(path, schema,
+      conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray)
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val (fs, root) = fsFor()
+    val existing =
+      if (truncate)
+        fs.listStatus(root).toSeq.filter(s => s.isFile &&
+          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+          .map(_.getPath)
+      else Seq.empty
+    messages.collect { case DocWriteCommit(tmp) =>
+      val t = new Path(tmp)
+      val visible = new Path(root, t.getName.stripPrefix(".tmp-"))
+      require(fs.rename(t, visible), s"docstore commit rename of $t failed")
+    }
+    // truncate AFTER the new files land: a reader mid-commit sees old,
+    // mixed, or new content but never an empty collection
+    existing.foreach(p =>
+      require(fs.delete(p, false), s"docstore truncate of $p failed"))
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val (fs, _) = fsFor()
+    messages.collect { case DocWriteCommit(tmp) =>
+      fs.delete(new Path(tmp), false)
+    }
+  }
+}
+
+private[sources] class DocStoreWriterFactory(
+    path: String, schema: StructType, confEntries: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long):
+      org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val conf = {
+        val c = new Configuration(false)
+        confEntries.foreach { case (k, v) => c.set(k, v) }
+        c
+      }
+      // taskId in the temp name keeps speculative/retried attempts of
+      // the same partition from colliding; only the committed attempt's
+      // message reaches commit(), the rest are aborted
+      private val tmp = new Path(
+        s"$path/.tmp-part-$partitionId-$taskId.jsonl")
+      private val fs = tmp.getFileSystem(conf)
+      // no .crc sidecars: the local checksum FS would otherwise shadow
+      // every committed part file with a stray dot-file after the rename
+      fs.setWriteChecksum(false)
+      private val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 64 * 1024)
+      private val mapper = new ObjectMapper()
+
+      override def write(row: InternalRow): Unit = {
+        out.write(mapper.writeValueAsBytes(DocJson.fromRow(mapper, row, schema)))
+        out.write('\n')
+      }
+
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        out.close()
+        DocWriteCommit(tmp.toString)
+      }
+
+      override def abort(): Unit = {
+        out.close()
+        fs.delete(tmp, false)
+      }
+
+      override def close(): Unit = ()
+    }
+}
+
 /** Registry rows driving the docstore connector through the driver's
   * DuckDB oracle: both engines read the SAME collection files (the
   * checked-in fixture collections mirroring the reference's Firestore
@@ -566,6 +701,31 @@ object DocStoreQueries {
       bench = false
     ),
 
+    // DS3: the WRITE side round-trip — the documents table exported
+    // through the connector's two-phase commit (rows → escaped JSONL
+    // part files) and read back through its scan. The oracle reads the
+    // ORIGINAL parquet table: export + re-import must be the identity,
+    // including texts with embedded quotes/newlines. Reads sfDir (so it
+    // scales), but the write dominates → bench=false like the sinks.
+    Q(
+      "ds3_docstore_roundtrip",
+      (s, dir) => {
+        val out = graft.TempDirs.create("graft_ds3").resolve("coll").toString
+        graft.Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+          .write.format("docstore").mode("append").save(out)
+        s.read.format("docstore")
+          .schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("text", StringType),
+            StructField("lang", StringType), StructField("source", StringType))))
+          .load(out)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, text, lang, source
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      bench = false
+    ),
+
     // SM13: the docstore MICRO-BATCH tier end-to-end — the users
     // collection staged as a two-file landing, drained by a real
     // checkpointed AvailableNow run (one admitted file per batch via
@@ -630,6 +790,58 @@ private[sources] object DocJson {
       val child = node.get(f.name)
       if (child == null || child.isNull) null else convert(child, f.dataType)
     }.asInstanceOf[Array[Any]])
+
+  /** The serialization inverse of [[toRow]] — catalyst `InternalRow` →
+    * Jackson document. NULL fields are written as JSON null (the
+    * document-store convention [[toRow]] reads back as SQL NULL);
+    * timestamps round-trip micro-exactly through ISO-8601 UTC (the wire
+    * format [[convert]] parses). Jackson escapes embedded newlines and
+    * control characters, so every document stays one physical line —
+    * the invariant the readers' line accounting depends on.
+    */
+  def fromRow(mapper: ObjectMapper, row: InternalRow,
+      schema: StructType): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val node = mapper.createObjectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case StringType  => node.put(f.name, row.getUTF8String(i).toString)
+        case IntegerType => node.put(f.name, row.getInt(i))
+        case LongType    => node.put(f.name, row.getLong(i))
+        case DoubleType  => node.put(f.name, row.getDouble(i))
+        case FloatType   => node.put(f.name, row.getFloat(i))
+        case BooleanType => node.put(f.name, row.getBoolean(i))
+        case TimestampType =>
+          val us = row.getLong(i)
+          node.put(f.name, java.time.Instant.EPOCH
+            .plus(us, java.time.temporal.ChronoUnit.MICROS).toString)
+        case st: StructType =>
+          node.set[JsonNode](f.name, fromRow(mapper, row.getStruct(i, st.size), st))
+        case ArrayType(el, _) =>
+          val arr = node.putArray(f.name)
+          val data = row.getArray(i)
+          (0 until data.numElements()).foreach { j =>
+            if (data.isNullAt(j)) arr.addNull()
+            else el match {
+              case StringType  => arr.add(data.getUTF8String(j).toString)
+              case IntegerType => arr.add(data.getInt(j))
+              case LongType    => arr.add(data.getLong(j))
+              case DoubleType  => arr.add(data.getDouble(j))
+              case FloatType   => arr.add(data.getFloat(j))
+              case BooleanType => arr.add(data.getBoolean(j))
+              case st: StructType =>
+                arr.add(fromRow(mapper, data.getStruct(j, st.size), st))
+              case other => throw new UnsupportedOperationException(
+                s"docstore write: unsupported array element type $other")
+            }
+          }
+        case other =>
+          throw new UnsupportedOperationException(
+            s"docstore write: unsupported type $other")
+      }
+    }
+    node
+  }
 
   private def convert(n: JsonNode, dt: DataType): Any = dt match {
     case StringType  => UTF8String.fromString(n.asText())
