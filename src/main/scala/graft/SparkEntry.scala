@@ -17,6 +17,7 @@ object SparkEntry {
       operators.TextAnalysis.all ++
       operators.Chunking.all ++
       operators.EventOps.all ++
+      operators.GraphOps.all ++
       operators.Multimodal.all ++
       operators.ExtendedOps.all ++
       operators.ScaleTechniques.all ++

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed iterative graph analytics — PageRank as the flagship.
+  *
+  * Why this belongs in a training-data engine: link-graph authority is a
+  * standard document-quality prior for web-scale corpus curation (crawl
+  * frontiers and quality-weighted sampling both key on it), and it is
+  * the canonical "iterative joins at scale" shape — the same loop
+  * discipline as [[Dedup]]'s connected components (dd6).
+  *
+  * Design for 100 TB:
+  *   - NO vertex-centric framework, no driver-side adjacency: each
+  *     iteration is two shuffles (rank join on `src`, contribution
+  *     aggregation on `dst`) that Catalyst plans like any other join —
+  *     AQE broadcasts the rank side while it is small and falls back to
+  *     sort-merge when it is not.
+  *   - Lineage severed per iteration with eager `localCheckpoint` —
+  *     without it the self-referential loop grows the analyzed plan
+  *     geometrically (measured 20× post-loop planning blowup on dd6
+  *     before severing; reliable `checkpoint()` is the cluster-grade
+  *     swap-in for executor-loss recovery).
+  *   - FIXED-POINT INTEGER arithmetic throughout (ranks are longs
+  *     scaled by [[Scale]]): long sums are associative, so the result
+  *     is bit-identical on any partitioning, any engine — float
+  *     PageRank would drift with aggregation order and could never
+  *     hash-match a second engine. Precision cost: one unit in 1e9 per
+  *     floor, bounded by `iterations × 2` units total.
+  *   - Fixed iteration count, no convergence probe: a delta-count per
+  *     round is an extra action (and at web scale the norm is a fixed
+  *     budget anyway); K is the caller's knob.
+  *
+  * Semantics: the classic damped walk. Per iteration each node keeps
+  * `(1-d)/N` teleport mass plus `d ×` the sum of in-neighbour
+  * contributions `rank(src) × w / outw(src)`. Mass on dangling nodes
+  * (no out-edges) leaks — the variant that needs no global dangling
+  * redistribution (an extra all-to-one aggregate per round); document
+  * rankings are insensitive to it and the oracle mirrors it exactly.
+  *
+  * Overflow bounds (all longs): `rank ≤ Scale = 1e9`, so `rank × w`
+  * needs `w ≤ 9.2e9` — per-edge multiplicity at any realistic corpus;
+  * `damping × contrib ≤ 100 × Scale`.
+  */
+object GraphOps {
+
+  /** Fixed-point denominator: rank 1.0 ≡ 1e9. */
+  val Scale = 1000000000L
+
+  /** Damped PageRank over an edge list.
+    *
+    * @param nodes      one `node: long` column, the full vertex set
+    *                   (isolated vertices keep teleport mass only)
+    * @param edges      `src, dst, w` (longs); parallel edges should be
+    *                   pre-aggregated into `w`
+    * @param iterations fixed number of damped-walk rounds
+    * @param dampingPct damping factor in percent (85 ≡ the classic 0.85)
+    * @return `node, rank` with `rank` the Scale-scaled long
+    */
+  def pageRank(
+      nodes: DataFrame, edges: DataFrame,
+      iterations: Int = 5, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+
+    // vertex set and weighted out-degree are loop-invariant: compute
+    // once, sever, reuse every round
+    val v = nodes.select(col("node").cast("long").as("node"))
+      .localCheckpoint(true)
+    val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+    val e = edges.join(outw, "src")
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"),
+        col("w").cast("long").as("w"), col("outw").cast("long").as("outw"))
+      .localCheckpoint(true)
+
+    val n = v.count()
+    require(n > 0, "pageRank: empty vertex set")
+    val base = (Scale * (100 - dampingPct) / 100) / n
+
+    var ranks = v.withColumn("rank", lit(Scale / n))
+    for (_ <- 0 until iterations) {
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .select(e("dst"), expr("(rank * w) div outw").as("c"))
+        .groupBy("dst").agg(sum("c").as("c"))
+      ranks = v.join(contribs, v("node") === contribs("dst"), "left")
+        .select(v("node"),
+          (lit(base) + expr(s"($dampingPct * coalesce(c, 0L)) div 100"))
+            .as("rank"))
+        .localCheckpoint(true) // sever this round's lineage
+    }
+    ranks
+  }
+
+  /** One unrolled damped-walk round as oracle SQL — MUST stay the exact
+    * integer-arithmetic mirror of the loop body above (same operation
+    * order, same floor divisions), or the bit-identical guarantee dies.
+    */
+  private def prIterSql(i: Int): String =
+    s"""r$i AS (
+       |  SELECT n.node,
+       |         -- 150000000 = (Scale * 15) / 100 precomputed: DuckDB
+       |         -- evaluates 1000000000 * 15 in INT32 and overflows
+       |         150000000 // (SELECT n FROM nn)
+       |           + (85 * COALESCE(s.c, 0)) // 100 AS rank
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst, CAST(SUM((r.rank * e.w) // o.outw) AS BIGINT) AS c
+       |    FROM edges e
+       |    JOIN r${i - 1} r ON r.node = e.src
+       |    JOIN outw o ON o.src = e.src
+       |    GROUP BY e.dst) s ON s.dst = n.node)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    // GR1: authority over the session-transition graph. Nodes are the
+    // event payload keys (`props.k`), edges the per-user consecutive
+    // transitions between them (lag over (ts, event_id)), weighted by
+    // transition count — the events stream read as a browsing graph.
+    // Five damped rounds; oracle unrolls the identical integer loop.
+    Q(
+      "gr1_pagerank",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("node"))
+          .filter(col("node").isNotNull)
+        val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val edges = ev
+          .withColumn("src", lag("node", 1).over(byTime))
+          .filter(col("src").isNotNull)
+          .select(col("src"), col("node").as("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        pageRank(ev.select("node").distinct(), edges, iterations = 5)
+          .select(col("node"), col("rank").as("rank_fp"))
+          .orderBy("node")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, ts, event_id,
+              |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS node
+              |  FROM events
+              |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+              |trans AS (
+              |  SELECT node AS dst,
+              |         lag(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+              |  FROM ev),
+              |edges AS (
+              |  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+              |  FROM trans WHERE src IS NOT NULL GROUP BY src, dst),
+              |nodes AS (SELECT DISTINCT node FROM ev),
+              |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+              |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+              |         FROM edges GROUP BY src),
+              |r0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS rank
+              |       FROM nodes),
+              |${(1 to 5).map(prIterSql).mkString(",\n")}
+              |SELECT node, rank AS rank_fp FROM r5 ORDER BY node""".stripMargin)
+    )
+  )
+}

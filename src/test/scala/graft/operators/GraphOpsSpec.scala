@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.GraphOps.{pageRank, Scale}
+
+/** Closed-form and invariant checks for the fixed-point PageRank loop.
+  * Expected values are hand-derived with the SAME integer floor
+  * arithmetic the operator defines (base = floor(floor(0.15·S)/N);
+  * contribution = floor(rank·w/outw); damped = floor(85·c/100)) — the
+  * point is bit-exactness, not approximate agreement.
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ranksOf(
+      nodes: Seq[Long], edges: Seq[(Long, Long, Long)],
+      iters: Int): Map[Long, Long] =
+    pageRank(nodes.toDF("node"), edges.toDF("src", "dst", "w"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("two-node chain matches hand-computed fixed-point values") {
+    // A -> B. N=2: init = 5e8 each, base = floor(15e7/2) = 75e6.
+    // Iter 1: A gets base only; B gets base + floor(85 * 5e8 / 100).
+    val r1 = ranksOf(Seq(1L, 2L), Seq((1L, 2L, 1L)), iters = 1)
+    assert(r1(1L) == 75000000L)
+    assert(r1(2L) == 75000000L + 85L * 500000000L / 100L)
+    // Iter 2: B's inflow is iter-1 A = base.
+    val r2 = ranksOf(Seq(1L, 2L), Seq((1L, 2L, 1L)), iters = 2)
+    assert(r2(1L) == 75000000L)
+    assert(r2(2L) == 75000000L + 85L * 75000000L / 100L)
+  }
+
+  test("weighted out-edges split mass proportionally with floor division") {
+    // A -> B (w=3), A -> C (w=1); N=3: init = 333333333, base = 5e7.
+    // contrib(B) = floor(init*3/4), contrib(C) = floor(init*1/4).
+    val init = Scale / 3
+    val r = ranksOf(Seq(1L, 2L, 3L),
+      Seq((1L, 2L, 3L), (1L, 3L, 1L)), iters = 1)
+    assert(r(2L) == 50000000L + 85L * (init * 3L / 4L) / 100L)
+    assert(r(3L) == 50000000L + 85L * (init * 1L / 4L) / 100L)
+    assert(r(1L) == 50000000L)
+  }
+
+  test("2-cycle converges to equal ranks and conserves mass within floor loss") {
+    val r = ranksOf(Seq(1L, 2L), Seq((1L, 2L, 1L), (2L, 1L, 1L)), iters = 8)
+    assert(r(1L) == r(2L)) // symmetric graph, symmetric fixed point
+    // each round loses at most a few units to floors; 8 rounds × 2 nodes
+    val total = r.values.sum
+    assert(total <= Scale && total >= Scale - 100L,
+      s"mass $total drifted outside the floor-loss band")
+  }
+
+  test("isolated and dangling nodes hold exactly the teleport base") {
+    // 1 -> 2; 3 isolated. Dangling node 2 keeps no outflow (leak), but
+    // its own NEXT rank is still base; isolated 3 is base every round.
+    val r = ranksOf(Seq(1L, 2L, 3L), Seq((1L, 2L, 1L)), iters = 3)
+    val base = 150000000L / 3L
+    assert(r(1L) == base)
+    assert(r(3L) == base)
+    assert(r(2L) == base + 85L * base / 100L) // inflow from 1's base rank
+  }
+
+  test("result is deterministic across repeated runs and repartitionings") {
+    val edges = (0L until 200L).map(i => (i % 17L, (i * 7L) % 17L, 1L + i % 3L))
+    val nodes = (0L until 17L)
+    val a = ranksOf(nodes, edges, iters = 4)
+    val b = pageRank(nodes.toDF("node").repartition(7),
+      edges.toDF("src", "dst", "w").repartition(5), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+}
