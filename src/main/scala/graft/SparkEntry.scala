@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Decontamination.all ++
       operators.Packing.all ++
       operators.LakeMaintenance.all ++
+      operators.SnapshotLog.all ++
       operators.ChangeCapture.all ++
       pipeline.CorpusPipeline.all ++
       sources.DocStoreQueries.all ++

@@ -1,0 +1,430 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.{Q, Tables}
+
+/** Iceberg-style snapshot log: an immutable-file table format with
+  * atomic manifest commits, time travel, copy-on-write deletes, and
+  * snapshot expiry — the missing "history" half of [[graft.streaming.StreamingMerge]]'s
+  * copy-on-write protocol (merge keeps only the latest state; this
+  * keeps every committed version addressable).
+  *
+  * Layout under `root`:
+  * {{{
+  *   data/c<snap>_<uuid>/part-*.parquet   immutable data files (never
+  *                                        rewritten — a "delete" writes
+  *                                        NEW filtered files)
+  *   snap/v<%08d>.manifest                one snapshot: header line
+  *                                        (id/parent/operation/total
+  *                                        rows/schema DDL) + one
+  *                                        `relpath<TAB>rowcount` line
+  *                                        per data file
+  * }}}
+  *
+  * Per-file row counts live in the manifest (as Iceberg keeps them in
+  * file metadata), so a snapshot's total row count — and any pruning a
+  * planner wants to do on it — is driver-side metadata, never a data
+  * read.
+  *
+  * Commit protocol (same primitive as StreamingMerge's batch manifest,
+  * generalized to a log): write `*.manifest.tmp`, then a single
+  * `rename` publishes it. A snapshot exists iff its manifest file
+  * exists; the current snapshot is the max id. Data files are written
+  * BEFORE the manifest rename, so a crash at any point leaves either
+  * the old snapshot live (manifest absent — the orphaned data dir is
+  * reclaimed by [[expire]]) or the new one fully live. Concurrent
+  * writers race on the rename: the loser's rename returns false and
+  * [[commit]] retries against the new current snapshot (optimistic
+  * concurrency, Iceberg's model).
+  *
+  * 100 TB judgment: manifests are O(#files) text read on the DRIVER —
+  * the same planning-scale metadata every table format (Iceberg, Delta)
+  * keeps; no data byte is ever read to plan. [[read]] hands the file
+  * list to the parquet source, so pushdown/pruning/codegen are exactly
+  * a plain scan's. [[deleteWhere]]'s candidate discovery is one
+  * predicate-pushed scan projecting only `input_file_name()` (row-group
+  * stats skip non-matching files' row groups); only files that actually
+  * contain matches are rewritten. At full scale the discovery scan
+  * would consult manifest-level min/max stats instead — the header has
+  * room, the scan path is the honest local[32] stand-in.
+  */
+object SnapshotLog {
+
+  /** One immutable data file: manifest-relative path + its row count. */
+  final case class FileEntry(path: String, rows: Long)
+
+  /** One committed snapshot's metadata. `rows` is the TOTAL row count
+    * of the table at this snapshot (sum of its files' counts).
+    */
+  final case class Snapshot(
+      id: Long, parent: Long, operation: String, rows: Long,
+      schemaDdl: String, files: Seq[FileEntry])
+
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String, id: Long): Path =
+    new Path(f"$root/snap/v$id%08d.manifest")
+
+  /** Highest committed snapshot id, 0 if the log is empty. */
+  def currentId(spark: SparkSession, root: String): Long = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(s"$root/snap")
+    if (!fs.exists(dir)) 0L
+    else
+      fs.listStatus(dir).iterator.map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+        .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
+        .foldLeft(0L)(math.max)
+  }
+
+  /** Load one snapshot's manifest (header + file list). */
+  def snapshot(spark: SparkSession, root: String, id: Long): Snapshot = {
+    val fs = fsOf(spark, root)
+    val p = manifestPath(root, id)
+    require(fs.exists(p), s"snapshot $id does not exist under $root")
+    val in = fs.open(p)
+    val text =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+          .foreach(n => buf.write(chunk, 0, n))
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    val lines = text.split('\n').toSeq
+    // header: id<TAB>parent<TAB>operation<TAB>totalRows<TAB>schemaDDL
+    val Array(hid, parent, op, rows, ddl) = lines.head.split('\t')
+    val files = lines.tail.filter(_.nonEmpty).map { l =>
+      val i = l.lastIndexOf('\t')
+      FileEntry(l.substring(0, i), l.substring(i + 1).toLong)
+    }
+    Snapshot(hid.toLong, parent.toLong, op, rows.toLong, ddl, files)
+  }
+
+  /** All snapshots, oldest first — the table's history. */
+  def history(spark: SparkSession, root: String): Seq[Snapshot] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(s"$root/snap")
+    if (!fs.exists(dir)) Seq.empty
+    else
+      fs.listStatus(dir).iterator.map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+        .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
+        .toSeq.sorted.map(snapshot(spark, root, _))
+  }
+
+  /** Read the table at snapshot `asOf` (default: current). The file
+    * list goes straight to the parquet source — the scan keeps full
+    * pushdown/pruning. An empty snapshot reads as 0 rows with the
+    * schema recorded at commit time.
+    */
+  def read(spark: SparkSession, root: String, asOf: Long = 0L): DataFrame = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    val s = snapshot(spark, root, id)
+    if (s.files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], StructType.fromDDL(s.schemaDdl))
+    else spark.read.parquet(s.files.map(f => s"$root/${f.path}"): _*)
+  }
+
+  /** Append `df` as a new snapshot; returns the committed id. */
+  def append(spark: SparkSession, root: String, df: DataFrame): Long =
+    commit(spark, root, df, "append", keepBase = true)
+
+  /** Replace the table content with `df` (history stays addressable). */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame): Long =
+    commit(spark, root, df, "overwrite", keepBase = false)
+
+  /** Copy-on-write delete: rewrite ONLY the files that contain rows
+    * matching `pred`, drop the matches, and commit (untouched files are
+    * carried by reference — at 100 TB a delete touching 0.1% of files
+    * rewrites 0.1% of the data). If no file matches, the current
+    * snapshot id is returned and NO new snapshot is committed (a no-op
+    * delete should not grow history).
+    */
+  def deleteWhere(spark: SparkSession, root: String, pred: Column): Long = {
+    val base = currentId(spark, root)
+    require(base > 0, s"deleteWhere on empty log $root")
+    val snap = snapshot(spark, root, base)
+    if (snap.files.isEmpty) return base
+    val scan = spark.read.parquet(snap.files.map(f => s"$root/${f.path}"): _*)
+    // bounded driver value — O(#matching files), planning-scale metadata
+    // (same class as StreamingMerge's affected-bucket set). The scan
+    // projects only the virtual file-name column under the pushed
+    // predicate, so parquet stats skip clean files' row groups.
+    val hit = scan.filter(pred)
+      .select(input_file_name().as("f"))
+      .agg(collect_set(col("f"))).head().getSeq[String](0)
+    if (hit.isEmpty) return base
+    val hitRel = hit.map(relativize(_)).toSet
+    val keep = snap.files.filterNot(f => hitRel(f.path))
+    val rewritten = spark.read
+      .parquet(hitRel.toSeq.sorted.map(f => s"$root/$f"): _*)
+      .filter(!pred)
+    commitFiles(spark, root, rewritten, "delete", keep)
+  }
+
+  /** `input_file_name()` URIs → the manifest's root-relative form.
+    * Every data file lives under `root/data/`, so the relative path is
+    * the suffix starting at its unique `data/` component.
+    */
+  private def relativize(uri: String): String = {
+    val i = uri.lastIndexOf("/data/")
+    require(i >= 0, s"file $uri not under a snapshot-log data dir")
+    uri.substring(i + 1)
+  }
+
+  private def commit(spark: SparkSession, root: String, df: DataFrame,
+      operation: String, keepBase: Boolean): Long = {
+    val base = currentId(spark, root)
+    val carried =
+      if (keepBase && base > 0) snapshot(spark, root, base).files else Seq.empty
+    commitFiles(spark, root, df, operation, carried)
+  }
+
+  /** Write `df`'s files, count rows per file (one small job — the counts
+    * become manifest metadata, as Iceberg records them at write time),
+    * then publish (carried ++ new) as the next snapshot via tmp-write +
+    * rename. Retries the rename against a fresh current id if a
+    * concurrent committer wins the race — for `append` the carried list
+    * is recomputed, so both writers' rows survive (Iceberg's optimistic
+    * append).
+    */
+  private def commitFiles(spark: SparkSession, root: String, df: DataFrame,
+      operation: String, carried0: Seq[FileEntry]): Long = {
+    val fs = fsOf(spark, root)
+    var attempt = 0
+    var carried = carried0
+    var base = currentId(spark, root)
+    val dataDir =
+      s"data/c${base + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(s"$root/$dataDir")
+    // per-file counts: O(#files) rows reduced to one driver value — the
+    // same bounded-metadata class as the delete's hit-file set. An empty
+    // task can still emit a file; the listing is the source of truth and
+    // absent files count 0.
+    val counted = spark.read.parquet(s"$root/$dataDir")
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      .agg(collect_list(struct(col("f"), col("n")))).head().getSeq[Row](0)
+      .map(r => relativize(r.getString(0)) -> r.getLong(1)).toMap
+    val written = fs.listStatus(new Path(s"$root/$dataDir")).iterator
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(n => s"$dataDir/$n").toSeq.sorted
+      .map(p => FileEntry(p, counted.getOrElse(p, 0L)))
+    val ddl = df.schema.toDDL.replace("\t", " ").replace("\n", " ")
+    while (true) {
+      val next = base + 1
+      val total = (carried ++ written).iterator.map(_.rows).sum
+      val m = manifestPath(root, next)
+      val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      fs.mkdirs(m.getParent)
+      val out = fs.create(tmp, true)
+      try out.write(
+        ((s"$next\t$base\t$operation\t$total\t$ddl") +:
+          (carried ++ written).map(f => s"${f.path}\t${f.rows}"))
+          .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      // rename-to-existing returns false: the loser never clobbers the
+      // winner's snapshot. Retry from the NEW current state.
+      if (!fs.exists(m) && fs.rename(tmp, m)) return next
+      fs.delete(tmp, false)
+      attempt += 1
+      require(attempt < 20, s"commit to $root lost ${attempt} races; aborting")
+      base = currentId(spark, root)
+      if (operation == "append")
+        carried = snapshot(spark, root, base).files
+      else
+        // overwrite/delete computed their content against a stale base;
+        // replaying it blindly would silently drop the winner's commit.
+        throw new IllegalStateException(
+          s"$operation to $root conflicted with concurrent snapshot $base; " +
+            "recompute against the new current snapshot and retry")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Row-level changes between two snapshots (`fromId` → `toId`): each
+    * output row is a table row tagged `change = insert|delete`. Computed
+    * from the FILE diff of the two manifests — only files added or
+    * removed between the snapshots are read, never the full table, so a
+    * delete touching 0.1% of a 100 TB table diffs ~0.2% of the data
+    * (removed originals + rewritten survivors). Rows carried unchanged
+    * through a copy-on-write rewrite cancel out under multiset
+    * difference (`exceptAll`), which makes the result invariant to
+    * WHICH files a delete happened to rewrite — the property that gives
+    * it a clean relational oracle. This is Iceberg's changelog-read
+    * semantics for CoW tables.
+    *
+    * The `exceptAll` pair shuffles only the delta files' rows on the
+    * full row value — delta-sized, partitioned, no driver state.
+    */
+  def changes(spark: SparkSession, root: String, fromId: Long, toId: Long): DataFrame = {
+    require(fromId < toId, s"changes requires fromId < toId, got $fromId >= $toId")
+    val from = snapshot(spark, root, fromId)
+    val to = snapshot(spark, root, toId)
+    val fromPaths = from.files.map(_.path).toSet
+    val toPaths = to.files.map(_.path).toSet
+    def readFiles(paths: Seq[String], ddl: String): DataFrame =
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
+      else spark.read.parquet(paths.sorted.map(p => s"$root/$p"): _*)
+    val added = readFiles(to.files.collect {
+      case f if !fromPaths(f.path) => f.path }, to.schemaDdl)
+    val removed = readFiles(from.files.collect {
+      case f if !toPaths(f.path) => f.path }, from.schemaDdl)
+    added.exceptAll(removed).withColumn("change", lit("insert"))
+      .unionByName(removed.exceptAll(added).withColumn("change", lit("delete")))
+  }
+
+  /** Expire all but the latest `keepLast` snapshots: their manifests are
+    * deleted first (no reader can plan from them afterwards), then every
+    * data file referenced ONLY by expired snapshots is reclaimed.
+    * Returns (#manifests, #data files) removed. O(#files) driver
+    * metadata work, zero data reads.
+    */
+  def expire(spark: SparkSession, root: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val fs = fsOf(spark, root)
+    val all = history(spark, root)
+    if (all.size <= keepLast) return (0, 0)
+    val (gone, kept) = all.splitAt(all.size - keepLast)
+    val live = kept.iterator.flatMap(_.files).map(_.path).toSet
+    gone.foreach(s => require(
+      fs.delete(manifestPath(root, s.id), false),
+      s"expire of snapshot ${s.id} manifest failed"))
+    val dead = gone.iterator.flatMap(_.files).map(_.path).toSet.diff(live)
+    dead.foreach(f => fs.delete(new Path(s"$root/$f"), false))
+    // a data dir whose files are all reclaimed is empty — drop it too
+    dead.map(f => f.substring(0, f.lastIndexOf('/'))).foreach { d =>
+      val p = new Path(s"$root/$d")
+      if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true)
+    }
+    (gone.size, dead.size)
+  }
+
+  // ---- registry queries ------------------------------------------------
+
+  /** Staged four-snapshot log over `orders` (append batch i =
+    * o_orderkey % 3 == i for i in 0..2, then a copy-on-write delete of
+    * the 'F' rows). Deterministic per source dir, so reruns reuse it and
+    * the timed queries measure READS, not the staging writes.
+    */
+  private def ordersLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttlog_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      (0 to 2).foreach { b =>
+        append(s, root, orders.filter(pmod(col("o_orderkey"), lit(3)) === b))
+      }
+      // v4: copy-on-write delete of the 'F' rows (tt2/tt3 read both sides)
+      deleteWhere(s, root, col("o_orderstatus") === "F")
+    }.resolve("log").toString
+
+  val all: Seq[Q] = Seq(
+    // TT1: time travel — read the table AS OF snapshot 2 (first two of
+    // three appends) and return its full content. The oracle recomputes
+    // that prefix from the raw table; a hash match proves the manifest
+    // pinned exactly the right immutable files.
+    Q(
+      "tt1_time_travel",
+      (s, dir) => {
+        val root = ordersLog(s, dir)
+        read(s, root, asOf = 2L)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |WHERE o_orderkey % 3 <= 1 ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { ordersLog(s, dir); () })
+    ),
+
+    // TT2: copy-on-write delete isolation — after v4 dropped the 'F'
+    // rows, v3 still reads the FULL table (history is immutable) and
+    // current reads the filtered one. Both checked per-status with
+    // count + key-sum so a file accidentally rewritten in place (the
+    // classic CoW bug) flips the v3 rows.
+    Q(
+      "tt2_cow_delete",
+      (s, dir) => {
+        val root = ordersLog(s, dir)
+        def tally(df: DataFrame, snap: Int) = df
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("snap", lit(snap))
+          .select("snap", "o_orderstatus", "n", "key_sum")
+        tally(read(s, root, asOf = 3L), 3)
+          .unionByName(tally(read(s, root), 4))
+          .orderBy("snap", "o_orderstatus")
+      },
+      Some("""SELECT 3 AS snap, o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders GROUP BY o_orderstatus
+             |UNION ALL
+             |SELECT 4, o_orderstatus, count(*),
+             |       CAST(sum(o_orderkey) AS BIGINT)
+             |FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus
+             |ORDER BY snap, o_orderstatus""".stripMargin),
+      stage = Some((s, dir) => { ordersLog(s, dir); () })
+    ),
+
+    // TT3: the history table itself — (id, operation, total rows) per
+    // snapshot, straight from manifest metadata (zero data reads); the
+    // oracle recomputes each snapshot's total from the raw table.
+    // bench=false: it times manifest reads, not an engine operator.
+    Q(
+      "tt3_snapshot_history",
+      (s, dir) => {
+        val root = ordersLog(s, dir)
+        val h = history(s, root)
+          .map(sn => (sn.id, sn.operation, sn.rows))
+        import s.implicits._
+        h.toDF("snapshot_id", "operation", "n_rows")
+          .orderBy("snapshot_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT 1 AS snapshot_id, 'append' AS operation,
+             |         (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_rows
+             |  UNION ALL SELECT 2, 'append',
+             |         (SELECT count(*) FROM orders WHERE o_orderkey % 3 <= 1)
+             |  UNION ALL SELECT 3, 'append',
+             |         (SELECT count(*) FROM orders)
+             |  UNION ALL SELECT 4, 'delete',
+             |         (SELECT count(*) FROM orders WHERE o_orderstatus <> 'F'))
+             |SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id, operation,
+             |       CAST(n_rows AS BIGINT) AS n_rows
+             |FROM b ORDER BY snapshot_id""".stripMargin),
+      bench = false,
+      stage = Some((s, dir) => { ordersLog(s, dir); () })
+    ),
+
+    // TT4: incremental changelog read — changes(1→2) must be exactly the
+    // batch-2 inserts, and changes(3→4) exactly the CoW-deleted 'F'
+    // rows with NO spurious inserts (carried rewrites cancel under
+    // exceptAll). The oracle recomputes both deltas relationally.
+    Q(
+      "tt4_snapshot_changes",
+      (s, dir) => {
+        val root = ordersLog(s, dir)
+        changes(s, root, 1L, 2L).withColumn("to_snap", lit(2))
+          .unionByName(changes(s, root, 3L, 4L).withColumn("to_snap", lit(4)))
+          .select("to_snap", "change", "o_orderkey", "o_custkey", "o_orderstatus")
+          .orderBy("to_snap", "change", "o_orderkey")
+      },
+      Some("""SELECT 2 AS to_snap, 'insert' AS change,
+             |       o_orderkey, o_custkey, o_orderstatus
+             |FROM orders WHERE o_orderkey % 3 = 1
+             |UNION ALL
+             |SELECT 4, 'delete', o_orderkey, o_custkey, o_orderstatus
+             |FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY to_snap, change, o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { ordersLog(s, dir); () })
+    )
+  )
+}

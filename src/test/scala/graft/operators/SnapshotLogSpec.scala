@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** SnapshotLog invariants beyond tt1–tt3's oracle row-hashes: manifest
+  * atomicity and immutability (a delete never rewrites a carried file),
+  * per-file row counts as pure metadata, no-op delete not growing
+  * history, expiry reclaiming exactly the unreferenced files, and the
+  * commit protocol's crash and race behavior.
+  */
+class SnapshotLogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def newRoot(): String =
+    Files.createTempDirectory("graft_snaplog_spec").resolve("log").toString
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("append/read roundtrip and time travel pin exact prefixes") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root, Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    SnapshotLog.append(spark, root, Seq((3, "c")).toDF("k", "v"))
+    assert(SnapshotLog.currentId(spark, root) === 2L)
+    assert(rowSet(SnapshotLog.read(spark, root, asOf = 1L)) ===
+      rowSet(Seq((1, "a"), (2, "b")).toDF("k", "v")))
+    assert(rowSet(SnapshotLog.read(spark, root)) ===
+      rowSet(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")))
+  }
+
+  test("manifest rows are total table rows, computed without data reads") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root, (1 to 10).toDF("k"))
+    SnapshotLog.append(spark, root, (11 to 15).toDF("k"))
+    SnapshotLog.overwrite(spark, root, (1 to 3).toDF("k"))
+    val h = SnapshotLog.history(spark, root)
+    assert(h.map(s => (s.id, s.operation, s.rows)) ===
+      Seq((1L, "append", 10L), (2L, "append", 15L), (3L, "overwrite", 3L)))
+    // per-file counts sum to the header total in every snapshot
+    h.foreach(s => assert(s.files.map(_.rows).sum === s.rows))
+  }
+
+  test("copy-on-write delete carries untouched files byte-identical") {
+    val root = newRoot()
+    // two appends → two data dirs; delete hits only the second's rows
+    SnapshotLog.append(spark, root,
+      Seq((1, "keep"), (2, "keep")).toDF("k", "tag").coalesce(1))
+    SnapshotLog.append(spark, root,
+      Seq((3, "keep"), (4, "drop")).toDF("k", "tag").coalesce(1))
+    val before = SnapshotLog.snapshot(spark, root, 2L)
+    val stamps = before.files.map { f =>
+      f.path -> fs(root).getFileStatus(new Path(s"$root/${f.path}")).getModificationTime
+    }.toMap
+
+    SnapshotLog.deleteWhere(spark, root, col("tag") === "drop")
+    val after = SnapshotLog.snapshot(spark, root, 3L)
+    assert(after.operation === "delete")
+    assert(after.rows === 3L)
+    // the v1 file is carried by reference: same path, same mtime
+    val carried = after.files.map(_.path).toSet.intersect(before.files.map(_.path).toSet)
+    assert(carried.nonEmpty)
+    carried.foreach { p =>
+      assert(fs(root).getFileStatus(new Path(s"$root/$p")).getModificationTime
+        === stamps(p))
+    }
+    // v2 still reads the full pre-delete content (history is immutable)
+    assert(rowSet(SnapshotLog.read(spark, root, asOf = 2L)).size === 4)
+    assert(rowSet(SnapshotLog.read(spark, root)).size === 3)
+  }
+
+  test("no-op delete returns current id and commits nothing") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root, Seq((1, "a")).toDF("k", "v"))
+    assert(SnapshotLog.deleteWhere(spark, root, col("k") === 99) === 1L)
+    assert(SnapshotLog.history(spark, root).size === 1)
+  }
+
+  test("expire reclaims exactly the files no kept snapshot references") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root, Seq((1, "a")).toDF("k", "v").coalesce(1))
+    SnapshotLog.append(spark, root, Seq((2, "b")).toDF("k", "v").coalesce(1))
+    SnapshotLog.overwrite(spark, root, Seq((9, "z")).toDF("k", "v").coalesce(1))
+    val liveFiles = SnapshotLog.snapshot(spark, root, 3L).files.map(_.path)
+    val (manifests, dataFiles) = SnapshotLog.expire(spark, root, keepLast = 1)
+    assert(manifests === 2)
+    // v1's file + v2's file die (v2 carried v1's, but neither is in v3)
+    assert(dataFiles === 2)
+    liveFiles.foreach(p => assert(fs(root).exists(new Path(s"$root/$p"))))
+    assert(rowSet(SnapshotLog.read(spark, root)) ===
+      rowSet(Seq((9, "z")).toDF("k", "v")))
+    intercept[IllegalArgumentException] {
+      SnapshotLog.snapshot(spark, root, 1L)
+    }
+  }
+
+  test("a crashed commit (tmp manifest, orphan data dir) is invisible to readers") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root, Seq((1, "a")).toDF("k", "v"))
+    // simulate a writer that died after data write, before rename
+    val f = fs(root)
+    f.mkdirs(new Path(s"$root/data/c2_deadbeef"))
+    val out = f.create(new Path(s"$root/snap/v00000002.manifest.tmp.dead"), true)
+    out.write("garbage".getBytes("UTF-8")); out.close()
+    assert(SnapshotLog.currentId(spark, root) === 1L)
+    assert(rowSet(SnapshotLog.read(spark, root)) ===
+      rowSet(Seq((1, "a")).toDF("k", "v")))
+  }
+
+  test("append against an externally advanced log carries the new current's files") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root, Seq((1, "a")).toDF("k", "v"))
+    // an external committer (another session) publishes v2 behind our back:
+    // copy v1's manifest to v2 — same files, new id
+    val f = fs(root)
+    val v1 = new Path(f"$root/snap/v${1L}%08d.manifest")
+    val v2 = new Path(f"$root/snap/v${2L}%08d.manifest")
+    org.apache.hadoop.fs.FileUtil.copy(f, v1, f, v2, false,
+      spark.sparkContext.hadoopConfiguration)
+    val id = SnapshotLog.append(spark, root, Seq((2, "b")).toDF("k", "v"))
+    assert(id === 3L)
+    // v3 carried the files of the CURRENT snapshot (v2), not a stale base
+    assert(rowSet(SnapshotLog.read(spark, root)) ===
+      rowSet(Seq((1, "a"), (2, "b")).toDF("k", "v")))
+  }
+
+  test("two concurrent appends both survive (optimistic commit converges)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = newRoot()
+    SnapshotLog.append(spark, root, Seq((0, "base")).toDF("k", "v"))
+    // whichever interleaving the scheduler picks — clean serialization or a
+    // lost rename + retry — the log must converge to all three rows with
+    // one snapshot per committer
+    val winners = Await.result(Future.sequence(Seq(
+      Future(SnapshotLog.append(spark, root, Seq((1, "x")).toDF("k", "v"))),
+      Future(SnapshotLog.append(spark, root, Seq((2, "y")).toDF("k", "v"))))),
+      2.minutes)
+    assert(winners.toSet.size === 2)
+    assert(SnapshotLog.currentId(spark, root) === winners.max)
+    assert(rowSet(SnapshotLog.read(spark, root)) ===
+      rowSet(Seq((0, "base"), (1, "x"), (2, "y")).toDF("k", "v")))
+  }
+
+  test("changes reads only delta files and carried rewrites cancel") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root,
+      Seq((1, "keep"), (2, "keep")).toDF("k", "tag").coalesce(1))
+    SnapshotLog.append(spark, root,
+      Seq((3, "keep"), (4, "drop"), (5, "drop")).toDF("k", "tag").coalesce(1))
+    SnapshotLog.deleteWhere(spark, root, col("tag") === "drop")
+
+    // append delta: exactly the batch-2 rows, all inserts
+    val d12 = SnapshotLog.changes(spark, root, 1L, 2L)
+    assert(rowSet(d12) === rowSet(
+      Seq((3, "keep", "insert"), (4, "drop", "insert"), (5, "drop", "insert"))
+        .toDF("k", "tag", "change")))
+
+    // CoW delete delta: the dropped rows as deletes, NO spurious inserts
+    // for the carried survivor (row 3 was rewritten but is unchanged, so
+    // it cancels under exceptAll)
+    val d23 = SnapshotLog.changes(spark, root, 2L, 3L)
+    assert(rowSet(d23) === rowSet(
+      Seq((4, "drop", "delete"), (5, "drop", "delete"))
+        .toDF("k", "tag", "change")))
+
+    // spanning read composes: 1→3 nets out to the surviving insert only
+    val d13 = SnapshotLog.changes(spark, root, 1L, 3L)
+    assert(rowSet(d13) === rowSet(
+      Seq((3, "keep", "insert")).toDF("k", "tag", "change")))
+
+    // the delta read must NOT touch the untouched v1 file: its rows never
+    // appear in any diff above, and changes(1,2)'s plan reads one file
+    val planned = d12.queryExecution.executedPlan.toString
+    val v1File = SnapshotLog.snapshot(spark, root, 1L).files.head.path
+    assert(!planned.contains(v1File.substring(v1File.lastIndexOf('/') + 1)))
+
+    intercept[IllegalArgumentException] {
+      SnapshotLog.changes(spark, root, 2L, 2L)
+    }
+  }
+
+  test("empty append commits a readable zero-row snapshot with schema") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root,
+      Seq((1, "a")).toDF("k", "v").filter(lit(false)))
+    val df = SnapshotLog.read(spark, root)
+    assert(df.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(df.isEmpty)
+  }
+}
