@@ -169,6 +169,51 @@ object SnapshotLog {
     commitFiles(spark, root, rewritten, "delete", keep)
   }
 
+  /** Copy-on-write MERGE (upsert): table rows whose `keyCols` match a
+    * `source` row are REPLACED by it; source rows matching nothing are
+    * appended — Delta/Iceberg `MERGE INTO ... WHEN MATCHED THEN UPDATE
+    * WHEN NOT MATCHED THEN INSERT` semantics, with the whole source row
+    * as the update. `source` must be key-unique (multiple source rows
+    * per key would make the replace ambiguous — the same precondition
+    * Delta enforces at runtime).
+    *
+    * CoW discipline mirrors [[deleteWhere]]: a key-semi-join discovery
+    * scan finds the files that actually contain matched keys (O(#hit
+    * files) driver metadata); ONLY those are rewritten (their unmatched
+    * rows carried into the rewrite), everything else is carried by
+    * reference. At 100 TB an upsert touching 0.1% of keys rewrites the
+    * files holding that 0.1% — plus one shuffle of source against the
+    * hit files' rows, never the full table.
+    */
+  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    val base = currentId(spark, root)
+    require(base > 0, s"mergeInto on empty log $root")
+    val snap = snapshot(spark, root, base)
+    if (snap.files.isEmpty)
+      return commitFiles(spark, root, source, "merge", Seq.empty)
+    val scan = spark.read.parquet(snap.files.map(f => s"$root/${f.path}"): _*)
+    val keys = source.select(keyCols.map(col): _*).distinct()
+    // bounded driver value — O(#matching files); file column projected
+    // BEFORE the join (input_file_name is per-scan-row, and Spark 4
+    // rejects nondeterministic expressions inside aggregates)
+    val hit = scan.select(input_file_name().as("__f"), col("*"))
+      .join(keys, keyCols, "left_semi")
+      .select(col("__f")).distinct()
+      .agg(collect_set(col("__f"))).head().getSeq[String](0)
+    val hitRel = hit.map(relativize(_)).toSet
+    val carried = snap.files.filterNot(f => hitRel(f.path))
+    val survivors =
+      if (hitRel.isEmpty) scan.limit(0)
+      else spark.read
+        .parquet(hitRel.toSeq.sorted.map(f => s"$root/$f"): _*)
+        .join(keys, keyCols, "left_anti")
+    commitFiles(spark, root,
+      survivors.unionByName(source.select(scan.columns.map(col): _*)),
+      "merge", carried)
+  }
+
   /** `input_file_name()` URIs → the manifest's root-relative form.
     * Every data file lives under `root/data/`, so the relative path is
     * the suffix starting at its unique `data/` component.
@@ -327,6 +372,28 @@ object SnapshotLog {
       deleteWhere(s, root, col("o_orderstatus") === "F")
     }.resolve("log").toString
 
+  /** Staged two-snapshot merge log over `orders`: one full append, then
+    * one CoW MERGE whose source updates every key ≡ 0 (mod 10) to
+    * status 'X' and inserts a shifted copy of every key ≡ 1 (mod 10)
+    * as status 'N' — exercising both WHEN MATCHED and WHEN NOT MATCHED
+    * arms in a single commit. Separate from [[ordersLog]] so tt1–tt4's
+    * shared fixture stays immutable.
+    */
+  private def mergeLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttmerge_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.repartition(4))
+      val src = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .unionByName(
+          orders.filter(pmod(col("o_orderkey"), lit(10)) === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+            .withColumn("o_orderstatus", lit("N")))
+      mergeInto(s, root, src, Seq("o_orderkey"))
+    }.resolve("log").toString
+
   val all: Seq[Q] = Seq(
     // TT1: time travel — read the table AS OF snapshot 2 (first two of
     // three appends) and return its full content. The oracle recomputes
@@ -425,6 +492,29 @@ object SnapshotLog {
              |FROM orders WHERE o_orderstatus = 'F'
              |ORDER BY to_snap, change, o_orderkey""".stripMargin),
       stage = Some((s, dir) => { ordersLog(s, dir); () })
+    ),
+
+    // TT5: copy-on-write MERGE — after upserting (update keys ≡0 mod 10
+    // to 'X', insert shifted keys ≡1 mod 10 as 'N') the current snapshot
+    // must read as exactly the relational merge result; the oracle
+    // recomputes it from the raw table. Full-content hash, so a dropped
+    // survivor row, a double-applied update, or a lost carried file all
+    // flip the row hash.
+    Q(
+      "tt5_merge_upsert",
+      (s, dir) => {
+        val root = mergeLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |       CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+             |            ELSE o_orderstatus END AS o_orderstatus
+             |FROM orders
+             |UNION ALL
+             |SELECT o_orderkey + 10000000, o_custkey, 'N'
+             |FROM orders WHERE o_orderkey % 10 = 1
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { mergeLog(s, dir); () })
     )
   )
 }

@@ -184,6 +184,54 @@ class SnapshotLogSpec extends SparkSpec {
     }
   }
 
+  test("mergeInto upserts copy-on-write: only hit files rewritten") {
+    val root = newRoot()
+    // two files: keys 1-2 and keys 3-4; the merge touches only 3
+    SnapshotLog.append(spark, root,
+      Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1))
+    SnapshotLog.append(spark, root,
+      Seq((3, "c"), (4, "d")).toDF("k", "v").coalesce(1))
+    val before = SnapshotLog.snapshot(spark, root, 2L)
+    val stamps = before.files.map { f =>
+      f.path -> fs(root).getFileStatus(new Path(s"$root/${f.path}")).getModificationTime
+    }.toMap
+
+    val id = SnapshotLog.mergeInto(spark, root,
+      Seq((3, "C2"), (9, "new")).toDF("k", "v"), Seq("k"))
+    assert(id === 3L)
+    val after = SnapshotLog.snapshot(spark, root, 3L)
+    assert(after.operation === "merge")
+    // matched key updated, unmatched source inserted, survivors kept
+    assert(rowSet(SnapshotLog.read(spark, root)) === rowSet(
+      Seq((1, "a"), (2, "b"), (3, "C2"), (4, "d"), (9, "new")).toDF("k", "v")))
+    // the untouched keys-1-2 file is carried by reference (same mtime);
+    // the keys-3-4 file was rewritten (its path is gone from v3)
+    val carried = after.files.map(_.path).toSet.intersect(stamps.keySet)
+    assert(carried.nonEmpty)
+    carried.foreach { p =>
+      assert(fs(root).getFileStatus(new Path(s"$root/$p")).getModificationTime
+        === stamps(p))
+    }
+    // history is immutable: v2 still reads the pre-merge content
+    assert(rowSet(SnapshotLog.read(spark, root, asOf = 2L)) === rowSet(
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")))
+    // changelog of the merge: delete of the old row, inserts of new ones
+    assert(rowSet(SnapshotLog.changes(spark, root, 2L, 3L)) === rowSet(
+      Seq((3, "c", "delete"), (3, "C2", "insert"), (9, "new", "insert"))
+        .toDF("k", "v", "change")))
+  }
+
+  test("mergeInto with no matched keys appends without rewriting any file") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root, Seq((1, "a")).toDF("k", "v").coalesce(1))
+    val before = SnapshotLog.snapshot(spark, root, 1L).files.map(_.path).toSet
+    SnapshotLog.mergeInto(spark, root, Seq((2, "b")).toDF("k", "v"), Seq("k"))
+    val after = SnapshotLog.snapshot(spark, root, 2L)
+    assert(before.subsetOf(after.files.map(_.path).toSet))
+    assert(rowSet(SnapshotLog.read(spark, root)) ===
+      rowSet(Seq((1, "a"), (2, "b")).toDF("k", "v")))
+  }
+
   test("empty append commits a readable zero-row snapshot with schema") {
     val root = newRoot()
     SnapshotLog.append(spark, root,
