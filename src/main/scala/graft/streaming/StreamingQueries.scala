@@ -53,6 +53,22 @@ object StreamingQueries {
     }
   }
 
+  /** Stage heterogeneous batch DataFrames (CDC-style: each batch is its
+    * own content, not a key range of one frame) as single-file parquets
+    * with strictly increasing mtimes, so the file stream source replays
+    * them as distinct micro-batches in sequence order.
+    */
+  private def stageBatches(dfs: Seq[DataFrame], landing: Path): Unit =
+    dfs.zipWithIndex.foreach { case (df, i) =>
+      val tmp = graft.TempDirs.create(s"graft_batch_$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = landing.resolve(f"batch-$i%03d.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+
   private def tempDirs(prefix: String): (Path, Path, Path, Path) = {
     val root = graft.TempDirs.create(prefix)
     (Files.createDirectories(root.resolve("landing")),
@@ -546,6 +562,63 @@ object StreamingQueries {
       },
       // ch1's oracle, verbatim (Chunking.scala keeps the commentary)
       Some(graft.operators.Chunking.all.head.oracle.get),
+      bench = false
+    ),
+
+    // SM14: streaming upsert into the SnapshotLog table format — three
+    // CDC micro-batches (full seed, then two update/insert waves)
+    // applied via foreachBatch { mergeInto }, so the log gains one
+    // time-travelable snapshot per batch and the drained CURRENT
+    // snapshot must equal the relational replay of all three upserts.
+    // The apply is IDEMPOTENT for key-unique batches (replaying a batch
+    // re-replaces rows with identical values), which is exactly what
+    // foreachBatch's at-least-once contract needs: a crash between a
+    // merge commit and the checkpoint commit replays into the same
+    // final state. Oracle: the three-wave CASE replay over orders.
+    Q(
+      "sm14_stream_snapshot_merge",
+      (s, dir) => {
+        val (landing, state, _, ckpt) = tempDirs("graft_sm14")
+        val root = state.resolve("log").toString
+        val orders = Tables(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+        val wave2 = orders.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+          .withColumn("o_orderstatus", lit("U"))
+        val wave3 = orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("o_orderstatus", lit("W"))
+          .unionByName(
+            orders.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+              .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L))
+              .withColumn("o_orderstatus", lit("Z")))
+        stageBatches(Seq(orders, wave2, wave3), landing)
+        s.readStream.schema(orders.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sp = batch.sparkSession
+            if (graft.operators.SnapshotLog.currentId(sp, root) == 0L)
+              graft.operators.SnapshotLog.append(sp, root, batch)
+            else
+              graft.operators.SnapshotLog.mergeInto(
+                sp, root, batch, Seq("o_orderkey"))
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        graft.operators.SnapshotLog.read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |       CASE WHEN o_orderkey % 7 = 0 THEN 'W'
+             |            WHEN o_orderkey % 5 = 0 THEN 'U'
+             |            ELSE o_orderstatus END AS o_orderstatus
+             |FROM orders
+             |UNION ALL
+             |SELECT o_orderkey + 20000000, o_custkey, 'Z'
+             |FROM orders WHERE o_orderkey % 11 = 0
+             |ORDER BY o_orderkey""".stripMargin),
       bench = false
     )
   )
