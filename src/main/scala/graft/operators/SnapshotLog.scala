@@ -122,14 +122,23 @@ object SnapshotLog {
     * list goes straight to the parquet source — the scan keeps full
     * pushdown/pruning. An empty snapshot reads as 0 rows with the
     * schema recorded at commit time.
+    *
+    * The scan is pinned to the MANIFEST's schema, not the files'
+    * footers: each snapshot reads with exactly the schema it committed
+    * (no footer sampling, no mergeSchema job), and a snapshot whose
+    * append WIDENED the schema reads carried older files with the new
+    * columns as null — Iceberg's add-column evolution, resolved from
+    * metadata alone. Time travel to a pre-widening snapshot still
+    * yields the narrow schema, because that manifest recorded it.
     */
   def read(spark: SparkSession, root: String, asOf: Long = 0L): DataFrame = {
     val id = if (asOf > 0) asOf else currentId(spark, root)
     val s = snapshot(spark, root, id)
+    val schema = StructType.fromDDL(s.schemaDdl)
     if (s.files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], StructType.fromDDL(s.schemaDdl))
-    else spark.read.parquet(s.files.map(f => s"$root/${f.path}"): _*)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema)
+      .parquet(s.files.map(f => s"$root/${f.path}"): _*)
   }
 
   /** Append `df` as a new snapshot; returns the committed id. */
@@ -224,12 +233,32 @@ object SnapshotLog {
     uri.substring(i + 1)
   }
 
+  /** Additive schema evolution for append: the committed table schema
+    * is the base schema plus any NEW columns the appended frame brings
+    * (same-name columns must keep their type — no silent retype). An
+    * append missing an existing column still records it, so older data
+    * stays addressable and the new files read it as null.
+    */
+  private def mergeSchemas(base: StructType, add: StructType): StructType = {
+    val byName = base.fields.map(f => f.name -> f).toMap
+    add.fields.foreach { f =>
+      byName.get(f.name).foreach(b => require(b.dataType == f.dataType,
+        s"column ${f.name} would change type ${b.dataType} -> ${f.dataType}"))
+    }
+    StructType(base.fields ++ add.fields.filterNot(f => byName.contains(f.name)))
+  }
+
   private def commit(spark: SparkSession, root: String, df: DataFrame,
       operation: String, keepBase: Boolean): Long = {
     val base = currentId(spark, root)
-    val carried =
-      if (keepBase && base > 0) snapshot(spark, root, base).files else Seq.empty
-    commitFiles(spark, root, df, operation, carried)
+    val prev = if (base > 0) Some(snapshot(spark, root, base)) else None
+    val carried = if (keepBase) prev.map(_.files).getOrElse(Seq.empty) else Seq.empty
+    val schema = prev match {
+      case Some(p) if keepBase =>
+        mergeSchemas(StructType.fromDDL(p.schemaDdl), df.schema)
+      case _ => df.schema
+    }
+    commitFiles(spark, root, df, operation, carried, schema)
   }
 
   /** Write `df`'s files, count rows per file (one small job — the counts
@@ -241,7 +270,9 @@ object SnapshotLog {
     * append).
     */
   private def commitFiles(spark: SparkSession, root: String, df: DataFrame,
-      operation: String, carried0: Seq[FileEntry]): Long = {
+      operation: String, carried0: Seq[FileEntry],
+      tableSchema0: StructType = null): Long = {
+    var tableSchema = Option(tableSchema0).getOrElse(df.schema)
     val fs = fsOf(spark, root)
     var attempt = 0
     var carried = carried0
@@ -261,8 +292,8 @@ object SnapshotLog {
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       .map(n => s"$dataDir/$n").toSeq.sorted
       .map(p => FileEntry(p, counted.getOrElse(p, 0L)))
-    val ddl = df.schema.toDDL.replace("\t", " ").replace("\n", " ")
     while (true) {
+      val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
       val next = base + 1
       val total = (carried ++ written).iterator.map(_.rows).sum
       val m = manifestPath(root, next)
@@ -281,8 +312,14 @@ object SnapshotLog {
       attempt += 1
       require(attempt < 20, s"commit to $root lost ${attempt} races; aborting")
       base = currentId(spark, root)
-      if (operation == "append")
-        carried = snapshot(spark, root, base).files
+      if (operation == "append") {
+        // the winner may itself have widened the schema — re-merge so
+        // the retried manifest records the union, not our stale view
+        val winner = snapshot(spark, root, base)
+        carried = winner.files
+        tableSchema =
+          mergeSchemas(StructType.fromDDL(winner.schemaDdl), tableSchema)
+      }
       else
         // overwrite/delete computed their content against a stale base;
         // replaying it blindly would silently drop the winner's commit.

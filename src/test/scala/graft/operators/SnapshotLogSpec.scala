@@ -232,6 +232,32 @@ class SnapshotLogSpec extends SparkSpec {
       rowSet(Seq((1, "a"), (2, "b")).toDF("k", "v")))
   }
 
+  test("append widening the schema evolves old rows to null, time travel keeps the narrow view") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root, Seq((1, "a")).toDF("k", "v"))
+    SnapshotLog.append(spark, root,
+      Seq((2, "b", 7.5)).toDF("k", "v", "score"))
+    // current reads the union schema; the v1 file's missing column is
+    // resolved to null from manifest metadata (no footer merge job)
+    val cur = SnapshotLog.read(spark, root)
+    assert(cur.schema.fieldNames.toSeq === Seq("k", "v", "score"))
+    assert(rowSet(cur) === rowSet(
+      Seq((1, "a", Option.empty[Double]), (2, "b", Some(7.5)))
+        .toDF("k", "v", "score")))
+    // the pre-widening snapshot still reads with its own narrow schema
+    assert(SnapshotLog.read(spark, root, asOf = 1L).schema.fieldNames.toSeq
+      === Seq("k", "v"))
+    // an append MISSING an existing column keeps it in the table schema
+    SnapshotLog.append(spark, root, Seq((3, "c")).toDF("k", "v"))
+    val v3 = SnapshotLog.read(spark, root)
+    assert(v3.schema.fieldNames.toSeq === Seq("k", "v", "score"))
+    assert(v3.filter(col("k") === 2).select("score").head().getDouble(0) === 7.5)
+    // same-name column may not silently change type
+    intercept[IllegalArgumentException] {
+      SnapshotLog.append(spark, root, Seq((4, 9)).toDF("k", "v"))
+    }
+  }
+
   test("empty append commits a readable zero-row snapshot with schema") {
     val root = newRoot()
     SnapshotLog.append(spark, root,
