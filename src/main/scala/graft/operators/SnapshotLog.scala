@@ -54,8 +54,15 @@ import graft.{Q, Tables}
   */
 object SnapshotLog {
 
-  /** One immutable data file: manifest-relative path + its row count. */
-  final case class FileEntry(path: String, rows: Long)
+  /** One immutable data file: manifest-relative path + its row count +
+    * per-column min/max stats (string-rendered; numeric columns compare
+    * as decimals, string/date/timestamp columns lexically — both
+    * order-preserving for their types). Empty map = no stats recorded
+    * (legacy manifests, or all-null columns) — pruning then keeps the
+    * file, never skips it.
+    */
+  final case class FileEntry(path: String, rows: Long,
+      stats: Map[String, (String, String)] = Map.empty)
 
   /** One committed snapshot's metadata. `rows` is the TOTAL row count
     * of the table at this snapshot (sum of its files' counts).
@@ -66,6 +73,49 @@ object SnapshotLog {
 
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- stats encoding: `col=min,max;col=min,max` with URL-encoded
+  // tokens, so values containing tabs/newlines/separators can never
+  // corrupt the TSV manifest. "-" marks a file with no stats.
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def statsField(stats: Map[String, (String, String)]): String =
+    if (stats.isEmpty) "-"
+    else stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s"${enc(c)}=${enc(mn)},${enc(mx)}"
+    }.mkString(";")
+
+  private def parseStats(field: String): Map[String, (String, String)] =
+    if (field == "-" || field.isEmpty) Map.empty
+    else field.split(';').iterator.map { kv =>
+      val Array(c, mm) = kv.split('=')
+      val Array(mn, mx) = mm.split(',')
+      dec(c) -> (dec(mn), dec(mx))
+    }.toMap
+
+  /** Columns worth per-file min/max stats: types whose rendered form
+    * compares order-faithfully (numerics via decimal parse; string,
+    * date, and zero-padded timestamp renderings lexically).
+    */
+  private def statCols(schema: StructType): Seq[String] =
+    schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        f.dataType == org.apache.spark.sql.types.StringType ||
+        f.dataType == org.apache.spark.sql.types.DateType ||
+        f.dataType == org.apache.spark.sql.types.TimestampType => f.name
+    }.toSeq
+
+  /** a > b under the column type's order (decimal for numerics —
+    * doubles render scientific, so lexical would lie — else lexical).
+    */
+  private def statGt(dt: org.apache.spark.sql.types.DataType,
+      a: String, b: String): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType => BigDecimal(a) > BigDecimal(b)
+    case _ => a > b
+  }
 
   private def manifestPath(root: String, id: Long): Path =
     new Path(f"$root/snap/v$id%08d.manifest")
@@ -99,9 +149,14 @@ object SnapshotLog {
     val lines = text.split('\n').toSeq
     // header: id<TAB>parent<TAB>operation<TAB>totalRows<TAB>schemaDDL
     val Array(hid, parent, op, rows, ddl) = lines.head.split('\t')
+    // file line: path<TAB>rows[<TAB>stats] — 2-field lines are legacy
+    // pre-stats manifests and parse with empty stats
     val files = lines.tail.filter(_.nonEmpty).map { l =>
-      val i = l.lastIndexOf('\t')
-      FileEntry(l.substring(0, i), l.substring(i + 1).toLong)
+      l.split('\t') match {
+        case Array(p2, n) => FileEntry(p2, n.toLong)
+        case Array(p2, n, st) => FileEntry(p2, n.toLong, parseStats(st))
+        case _ => throw new IllegalStateException(s"bad manifest line: $l")
+      }
     }
     Snapshot(hid.toLong, parent.toLong, op, rows.toLong, ddl, files)
   }
@@ -139,6 +194,45 @@ object SnapshotLog {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     else spark.read.schema(schema)
       .parquet(s.files.map(f => s"$root/${f.path}"): _*)
+  }
+
+  /** Range read with manifest-stats file pruning: files whose recorded
+    * `[min,max]` on `column` cannot intersect `[lower, upper]` are
+    * dropped at PLANNING time, on the driver, from metadata alone —
+    * Iceberg's file-skipping. The residual filter still applies (stats
+    * prune files, not rows), so the result is correct whether or not
+    * any file was skipped; a file without stats for the column is
+    * conservatively kept. Bounds are string-rendered and interpreted in
+    * the column's type (decimal compare for numerics, lexical for
+    * string/date/timestamp). `None` = unbounded on that side.
+    *
+    * On a range-clustered 100 TB table (e.g. appends routed through
+    * `repartitionByRange`) a narrow band touches O(band) files; the
+    * scan never opens — or even lists — the rest.
+    */
+  def readRange(spark: SparkSession, root: String, column: String,
+      lower: Option[String], upper: Option[String], asOf: Long = 0L): DataFrame = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    val s = snapshot(spark, root, id)
+    val schema = StructType.fromDDL(s.schemaDdl)
+    require(schema.fieldNames.contains(column), s"no column $column in snapshot $id")
+    val dt = schema(column).dataType
+    val kept = s.files.filter { f =>
+      f.stats.get(column) match {
+        case Some((mn, mx)) =>
+          upper.forall(u => !statGt(dt, mn, u)) &&
+            lower.forall(l => !statGt(dt, l, mx))
+        case None => true
+      }
+    }
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(kept.map(f => s"$root/${f.path}"): _*)
+    val c = col(column)
+    val withLo = lower.map(l => base.filter(c >= lit(l).cast(dt))).getOrElse(base)
+    upper.map(u => withLo.filter(c <= lit(u).cast(dt))).getOrElse(withLo)
   }
 
   /** Append `df` as a new snapshot; returns the committed id. */
@@ -280,18 +374,33 @@ object SnapshotLog {
     val dataDir =
       s"data/c${base + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$dataDir")
-    // per-file counts: O(#files) rows reduced to one driver value — the
-    // same bounded-metadata class as the delete's hit-file set. An empty
-    // task can still emit a file; the listing is the source of truth and
-    // absent files count 0.
+    // per-file counts + min/max column stats: O(#files) rows reduced to
+    // one driver value — the same bounded-metadata class as the
+    // delete's hit-file set, and the same single job (count and stats
+    // share the map-side combine). An empty task can still emit a file;
+    // the listing is the source of truth and absent files count 0.
+    val sc = statCols(df.schema)
+    val statAggs = sc.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
     val counted = spark.read.parquet(s"$root/$dataDir")
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
-      .agg(collect_list(struct(col("f"), col("n")))).head().getSeq[Row](0)
-      .map(r => relativize(r.getString(0)) -> r.getLong(1)).toMap
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"), statAggs: _*)
+      .agg(collect_list(struct(col("*")))).head().getSeq[Row](0)
+      .map { r =>
+        val stats = sc.zipWithIndex.flatMap { case (c, i) =>
+          val (mn, mx) = (r.getString(2 + 2 * i), r.getString(3 + 2 * i))
+          if (mn == null || mx == null) None else Some(c -> (mn, mx))
+        }.toMap
+        relativize(r.getString(0)) -> (r.getLong(1), stats)
+      }.toMap
     val written = fs.listStatus(new Path(s"$root/$dataDir")).iterator
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       .map(n => s"$dataDir/$n").toSeq.sorted
-      .map(p => FileEntry(p, counted.getOrElse(p, 0L)))
+      .map { p =>
+        val (n, stats) = counted.getOrElse(p, (0L, Map.empty[String, (String, String)]))
+        FileEntry(p, n, stats)
+      }
     while (true) {
       val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
       val next = base + 1
@@ -302,7 +411,8 @@ object SnapshotLog {
       val out = fs.create(tmp, true)
       try out.write(
         ((s"$next\t$base\t$operation\t$total\t$ddl") +:
-          (carried ++ written).map(f => s"${f.path}\t${f.rows}"))
+          (carried ++ written).map(f =>
+            s"${f.path}\t${f.rows}\t${statsField(f.stats)}"))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       // rename-to-existing returns false: the loser never clobbers the
@@ -431,6 +541,19 @@ object SnapshotLog {
       mergeInto(s, root, src, Seq("o_orderkey"))
     }.resolve("log").toString
 
+  /** Staged range-clustered log: one append routed through
+    * `repartitionByRange(8, o_orderkey)`, so each data file covers a
+    * disjoint key band and the manifest's per-file min/max make narrow
+    * reads prune to O(band) files.
+    */
+  private def rangeLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttrange_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      append(s, root, orders.repartitionByRange(8, col("o_orderkey")))
+    }.resolve("log").toString
+
   val all: Seq[Q] = Seq(
     // TT1: time travel — read the table AS OF snapshot 2 (first two of
     // three appends) and return its full content. The oracle recomputes
@@ -552,6 +675,24 @@ object SnapshotLog {
              |FROM orders WHERE o_orderkey % 10 = 1
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { mergeLog(s, dir); () })
+    ),
+
+    // TT6: manifest-stats pruned range read — a narrow key band over
+    // the range-clustered log. Correctness never depends on pruning
+    // (the residual filter runs either way); SnapshotLogSpec asserts
+    // the plan-side property (inputFiles shrinks to the overlapping
+    // band). The oracle is the plain relational range scan.
+    Q(
+      "tt6_stats_pruned_read",
+      (s, dir) => {
+        val root = rangeLog(s, dir)
+        readRange(s, root, "o_orderkey", Some("3000"), Some("6000"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderkey BETWEEN 3000 AND 6000
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { rangeLog(s, dir); () })
     )
   )
 }

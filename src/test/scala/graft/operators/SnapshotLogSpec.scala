@@ -258,6 +258,57 @@ class SnapshotLogSpec extends SparkSpec {
     }
   }
 
+  test("manifest stats prune range reads to overlapping files only") {
+    val root = newRoot()
+    // three disjoint-band files (coalesced appends)
+    SnapshotLog.append(spark, root,
+      Seq((1, "a"), (10, "b")).toDF("k", "v").coalesce(1))
+    SnapshotLog.append(spark, root,
+      Seq((11, "c"), (20, "d")).toDF("k", "v").coalesce(1))
+    SnapshotLog.append(spark, root,
+      Seq((21, "e"), (30, "f")).toDF("k", "v").coalesce(1))
+    // stats recorded and carried through append
+    val snap = SnapshotLog.snapshot(spark, root, 3L)
+    assert(snap.files.size === 3)
+    snap.files.foreach(f => assert(f.stats.contains("k") && f.stats.contains("v")))
+
+    // narrow band plans exactly the one overlapping file
+    val mid = SnapshotLog.readRange(spark, root, "k", Some("12"), Some("15"))
+    assert(mid.inputFiles.length === 1)
+    assert(mid.count() === 0) // band 12..15 has no rows, but file 11..20 overlaps
+    val hit = SnapshotLog.readRange(spark, root, "k", Some("11"), Some("20"))
+    assert(hit.inputFiles.length === 1)
+    assert(rowSet(hit) === rowSet(Seq((11, "c"), (20, "d")).toDF("k", "v")))
+    // string column prunes lexically
+    val sv = SnapshotLog.readRange(spark, root, "v", Some("e"), None)
+    assert(sv.inputFiles.length === 1)
+    assert(rowSet(sv) === rowSet(Seq((21, "e"), (30, "f")).toDF("k", "v")))
+    // unbounded read keeps everything; residual filter still correct
+    assert(SnapshotLog.readRange(spark, root, "k", None, None).count() === 6)
+    // no overlap at all → zero files, empty frame with the right schema
+    val none = SnapshotLog.readRange(spark, root, "k", Some("99"), None)
+    assert(none.inputFiles.isEmpty && none.isEmpty)
+    assert(none.schema.fieldNames.toSeq === Seq("k", "v"))
+  }
+
+  test("legacy 2-field manifest lines parse with empty stats and are never pruned") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root, Seq((5, "x")).toDF("k", "v").coalesce(1))
+    // rewrite the manifest in the pre-stats format
+    val f = fs(root)
+    val m = new Path(f"$root/snap/v${1L}%08d.manifest")
+    val snap = SnapshotLog.snapshot(spark, root, 1L)
+    val legacy = (Seq(s"1\t0\tappend\t1\t${snap.schemaDdl}") ++
+      snap.files.map(fe => s"${fe.path}\t${fe.rows}")).mkString("\n")
+    val out = f.create(m, true)
+    out.write(legacy.getBytes("UTF-8")); out.close()
+    val re = SnapshotLog.snapshot(spark, root, 1L)
+    assert(re.files.head.stats.isEmpty)
+    // stats-less file is conservatively kept even for a non-overlapping band
+    assert(SnapshotLog.readRange(spark, root, "k", Some("99"), None)
+      .inputFiles.length === 1)
+  }
+
   test("empty append commits a readable zero-row snapshot with schema") {
     val root = newRoot()
     SnapshotLog.append(spark, root,
