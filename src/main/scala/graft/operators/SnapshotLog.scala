@@ -474,6 +474,30 @@ object SnapshotLog {
       .unionByName(removed.exceptAll(added).withColumn("change", lit("delete")))
   }
 
+  /** OPTIMIZE: rewrite the current content into `numFiles` files
+    * range-clustered on `clusterBy`, committed as a new snapshot with
+    * operation `optimize` — Delta's OPTIMIZE ZORDER restricted to 1-D
+    * range clustering (for 2-D, feed
+    * [[graft.operators.LakeMaintenance.zCluster]]'s interleaved key as
+    * the cluster column). Content is bit-preserved: the new snapshot
+    * holds exactly the old rows, so [[changes]](pre, post) is EMPTY —
+    * every rewritten row cancels under the multiset diff — and time
+    * travel to the pre-optimize snapshot still sees the old layout.
+    * After the rewrite, per-file manifest stats on `clusterBy` form
+    * non-overlapping bands, which is what makes [[readRange]] prune
+    * narrow reads to O(band) files; compaction and clustering in one
+    * pass, one shuffle (the range exchange).
+    */
+  def optimize(spark: SparkSession, root: String, clusterBy: String,
+      numFiles: Int): Long = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val base = currentId(spark, root)
+    require(base > 0, s"optimize on empty log $root")
+    val cur = read(spark, root)
+    commitFiles(spark, root,
+      cur.repartitionByRange(numFiles, col(clusterBy)), "optimize", Seq.empty)
+  }
+
   /** Expire all but the latest `keepLast` snapshots: their manifests are
     * deleted first (no reader can plan from them afterwards), then every
     * data file referenced ONLY by expired snapshots is reclaimed.
@@ -552,6 +576,22 @@ object SnapshotLog {
       val orders = Tables(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
       append(s, root, orders.repartitionByRange(8, col("o_orderkey")))
+    }.resolve("log").toString
+
+  /** Staged optimize log: two interleaved appends (round-robin
+    * repartition, so every file spans nearly the full key range), then
+    * one OPTIMIZE clustering into 8 range-disjoint files.
+    */
+  private def optimizeLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttopt_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .repartition(4))
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .repartition(4))
+      optimize(s, root, clusterBy = "o_orderkey", numFiles = 8)
     }.resolve("log").toString
 
   val all: Seq[Q] = Seq(
@@ -693,6 +733,23 @@ object SnapshotLog {
              |WHERE o_orderkey BETWEEN 3000 AND 6000
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { rangeLog(s, dir); () })
+    ),
+
+    // TT7: OPTIMIZE preserves content bit-exactly — the full table read
+    // AFTER two interleaved appends + a clustered rewrite must
+    // hash-match the raw table (a dropped/duplicated row in the rewrite
+    // flips the hash). The layout half of the claim (8 disjoint stat
+    // bands, narrow reads pruning to 1 file, changelog-empty commit) is
+    // plan-level and asserted in SnapshotLogSpec.
+    Q(
+      "tt7_optimize_rewrite",
+      (s, dir) => {
+        val root = optimizeLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { optimizeLog(s, dir); () })
     )
   )
 }

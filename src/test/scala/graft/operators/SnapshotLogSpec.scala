@@ -309,6 +309,38 @@ class SnapshotLogSpec extends SparkSpec {
       .inputFiles.length === 1)
   }
 
+  test("optimize clusters into disjoint stat bands with a zero-change commit") {
+    val root = newRoot()
+    // interleaved appends: every file spans nearly the full key range,
+    // so pre-optimize a narrow read prunes nothing
+    (0 until 4).foreach { i =>
+      SnapshotLog.append(spark, root,
+        (i until 40 by 4).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1))
+    }
+    val pre = SnapshotLog.currentId(spark, root)
+    assert(SnapshotLog.readRange(spark, root, "k", Some("10"), Some("12"))
+      .inputFiles.length === 4)
+
+    val post = SnapshotLog.optimize(spark, root, clusterBy = "k", numFiles = 4)
+    val snap = SnapshotLog.snapshot(spark, root, post)
+    assert(snap.operation === "optimize")
+    // content bit-preserved: the optimize commit is changelog-empty
+    assert(SnapshotLog.changes(spark, root, pre, post).isEmpty)
+    assert(SnapshotLog.read(spark, root).count() === 40)
+    // clustered layout: per-file key bands are pairwise disjoint...
+    val bands = snap.files.map(f => f.stats("k"))
+      .map { case (mn, mx) => (mn.toInt, mx.toInt) }.sortBy(_._1)
+    bands.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo)
+      case _ =>
+    }
+    // ...so the same narrow read now plans exactly one file
+    assert(SnapshotLog.readRange(spark, root, "k", Some("10"), Some("12"))
+      .inputFiles.length === 1)
+    // pre-optimize snapshot still time-travels to the old layout
+    assert(SnapshotLog.read(spark, root, asOf = pre).count() === 40)
+  }
+
   test("empty append commits a readable zero-row snapshot with schema") {
     val root = newRoot()
     SnapshotLog.append(spark, root,
