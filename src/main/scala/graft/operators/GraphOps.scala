@@ -96,6 +96,67 @@ object GraphOps {
     ranks
   }
 
+  /** Undirected connected components: `node, component` with
+    * `component` = the smallest node id in the component (a canonical,
+    * partitioning-independent label — no floats, no randomness, so the
+    * result hash-matches any engine's transitive closure).
+    *
+    * Hash-min label propagation with POINTER JUMPING: each round first
+    * takes the min label over neighbours (one edge⋈label shuffle + one
+    * agg), then compresses paths by relabelling through the label's own
+    * label (`label ← label(label)`, one self-join) — the combination
+    * converges in O(log n) rounds on any topology where plain
+    * min-propagation needs O(diameter) (a 1M-node path: ~20 rounds vs
+    * 1M). Same loop discipline as [[pageRank]] and dd6: per-round
+    * `localCheckpoint` severs the self-referential lineage, and the
+    * convergence probe is a bounded `limit(1).count` existence check,
+    * not a full materialization.
+    *
+    * Edges are symmetrized and deduped internally; the vertex set is
+    * `nodes` ∪ both edge endpoints, so dangling edge endpoints cannot
+    * orphan a label lookup and isolated vertices come back as singleton
+    * components.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIterations: Int = 50): DataFrame = {
+    val ends = edges.select(col("src").cast("long").as("node"))
+      .unionByName(edges.select(col("dst").cast("long").as("node")))
+    val v = nodes.select(col("node").cast("long").as("node"))
+      .unionByName(ends).distinct().localCheckpoint(true)
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .unionByName(edges.select(col("dst").cast("long").as("src"),
+        col("src").cast("long").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+
+    var labels = v.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIterations) {
+      // 1) neighbour min: the smallest label any in-neighbour carries
+      val nbr = e.join(labels, e("src") === labels("node"))
+        .groupBy(e("dst").as("n2")).agg(min("label").as("nl"))
+      val stepped = labels.join(nbr, labels("node") === nbr("n2"), "left")
+        .select(labels("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // 2) pointer jump: follow the label one hop (labels are node ids,
+      // and every label value is a node in v, so the lookup is total)
+      val l2 = stepped.select(col("node").as("jn"), col("label").as("jl"))
+      val jumped = stepped.join(l2, stepped("label") === l2("jn"))
+        .select(stepped("node"), l2("jl").as("label"))
+        .localCheckpoint(true)
+      val changed = jumped.as("a")
+        .join(labels.as("b"), col("a.node") === col("b.node"))
+        .filter(col("a.label") =!= col("b.label"))
+        .limit(1).count()
+      converged = changed == 0L
+      labels = jumped
+      round += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** One unrolled damped-walk round as oracle SQL — MUST stay the exact
     * integer-arithmetic mirror of the loop body above (same operation
     * order, same floor divisions), or the bit-identical guarantee dies.
@@ -157,6 +218,53 @@ object GraphOps {
               |       FROM nodes),
               |${(1 to 5).map(prIterSql).mkString(",\n")}
               |SELECT node, rank AS rank_fp FROM r5 ORDER BY node""".stripMargin)
+    ),
+
+    // GR2: undirected components of the RECURRING-transition graph —
+    // edges are session transitions seen ≥5 times (the threshold keeps
+    // habitual navigation paths and drops one-off hops, leaving a
+    // multi-component graph at this corpus). Component labels are min
+    // node ids, so the DuckDB transitive-closure oracle hash-matches
+    // exactly; the Spark side never materializes a closure — hash-min +
+    // pointer jumping is O(E log N) total work.
+    Q(
+      "gr2_components",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("node"))
+          .filter(col("node").isNotNull)
+        val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val edges = ev
+          .withColumn("src", lag("node", 1).over(byTime))
+          .filter(col("src").isNotNull)
+          .groupBy(col("src"), col("node").as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 5)
+          .select("src", "dst")
+        connectedComponents(ev.select("node").distinct(), edges)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE ev AS (
+             |  SELECT user_id, ts, event_id,
+             |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+             |  FROM events
+             |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+             |trans AS (
+             |  SELECT node AS dst,
+             |         lag(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+             |  FROM ev),
+             |e0 AS (SELECT src, dst FROM trans WHERE src IS NOT NULL
+             |       GROUP BY src, dst HAVING count(*) >= 5),
+             |edges AS (SELECT src, dst FROM e0 WHERE src <> dst
+             |          UNION SELECT dst, src FROM e0 WHERE src <> dst),
+             |nodes AS (SELECT DISTINCT node FROM ev),
+             |reach(a, b) AS (
+             |  SELECT node, node FROM nodes
+             |  UNION
+             |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+             |SELECT a AS node, CAST(min(b) AS BIGINT) AS component
+             |FROM reach GROUP BY a ORDER BY node""".stripMargin)
     )
   )
 }

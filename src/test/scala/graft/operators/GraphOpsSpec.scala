@@ -61,6 +61,42 @@ class GraphOpsSpec extends SparkSpec {
     assert(r(2L) == base + 85L * base / 100L) // inflow from 1's base rank
   }
 
+  private def compsOf(
+      nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.connectedComponents(
+      nodes.toDF("node"), edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("connected components label by min id across paths, cycles, and isolates") {
+    // path 1-2-3-4 (directed arbitrarily), cycle 10-11-12, isolate 20,
+    // dangling endpoint 30 appearing only in an edge
+    val comps = compsOf(
+      nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L),
+      edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
+        (12L, 10L), (30L, 31L)))
+    assert(comps === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("connected components converge on a long path (pointer jumping, not diameter)") {
+    // a 64-node path has diameter 63; hash-min alone would need 63
+    // rounds — the maxIterations=50 default only converges because the
+    // pointer jump compresses paths logarithmically
+    val n = 64L
+    val comps = compsOf(
+      nodes = (0L until n),
+      edges = (1L until n).map(i => (i - 1, i)))
+    assert(comps.values.toSet === Set(0L))
+    // and is invariant under edge direction + partitioning
+    val flipped = GraphOps.connectedComponents(
+      (0L until n).toDF("node").repartition(7),
+      (1L until n).map(i => (i, i - 1)).toDF("src", "dst").repartition(5))
+      .as[(Long, Long)].collect().toMap
+    assert(flipped === comps)
+  }
+
   test("result is deterministic across repeated runs and repartitionings") {
     val edges = (0L until 200L).map(i => (i % 17L, (i * 7L) % 17L, 1L + i % 3L))
     val nodes = (0L until 17L)
