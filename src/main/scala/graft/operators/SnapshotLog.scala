@@ -457,8 +457,13 @@ object SnapshotLog {
     */
   def changes(spark: SparkSession, root: String, fromId: Long, toId: Long): DataFrame = {
     require(fromId < toId, s"changes requires fromId < toId, got $fromId >= $toId")
-    val from = snapshot(spark, root, fromId)
+    require(fromId >= 0, s"changes fromId must be >= 0, got $fromId")
     val to = snapshot(spark, root, toId)
+    // fromId = 0 is the virtual empty table before the first commit, so
+    // changes(0, x) is snapshot x's full content as inserts
+    val from =
+      if (fromId == 0) Snapshot(0L, 0L, "empty", 0L, to.schemaDdl, Seq.empty)
+      else snapshot(spark, root, fromId)
     val fromPaths = from.files.map(_.path).toSet
     val toPaths = to.files.map(_.path).toSet
     def readFiles(paths: Seq[String], ddl: String): DataFrame =
@@ -472,6 +477,27 @@ object SnapshotLog {
       case f if !toPaths(f.path) => f.path }, from.schemaDdl)
     added.exceptAll(removed).withColumn("change", lit("insert"))
       .unionByName(removed.exceptAll(added).withColumn("change", lit("delete")))
+  }
+
+  /** The table's full CDC feed: one [[changes]] delta per snapshot
+    * transition in `(fromId, toId]`, each tagged with the snapshot id
+    * that produced it — Delta's change-data-feed read, reconstructed
+    * from manifests alone. `fromId = 0` starts before the first commit,
+    * so the feed opens with snapshot 1's content as inserts. The plan
+    * is a union of per-transition file-diff reads: each branch touches
+    * only that transition's delta files, so replaying a year of history
+    * on a 100 TB table costs the sum of the year's churn, not
+    * #snapshots × table size. Downstream consumers (a streaming
+    * foreachBatch, an incremental materialized view) can checkpoint the
+    * last applied snapshot id and resume the feed from it.
+    */
+  def changelog(spark: SparkSession, root: String, fromId: Long = 0L,
+      toId: Long = 0L): DataFrame = {
+    val hi = if (toId > 0) toId else currentId(spark, root)
+    require(fromId < hi, s"changelog requires fromId < toId, got [$fromId, $hi]")
+    (fromId until hi).map { i =>
+      changes(spark, root, i, i + 1).withColumn("snapshot_id", lit(i + 1))
+    }.reduce(_ unionByName _)
   }
 
   /** OPTIMIZE: rewrite the current content into `numFiles` files
@@ -750,6 +776,35 @@ object SnapshotLog {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { optimizeLog(s, dir); () })
+    ),
+
+    // TT8: the full change-data feed — replaying ordersLog's history
+    // (three appends + the CoW delete) as per-snapshot tagged deltas
+    // must yield each append batch as inserts and the delete's rows as
+    // deletes, nothing else (carried rewrites cancel per transition).
+    // The oracle reconstructs the same feed relationally.
+    Q(
+      "tt8_changelog_feed",
+      (s, dir) => {
+        val root = ordersLog(s, dir)
+        changelog(s, root)
+          .select("snapshot_id", "change", "o_orderkey", "o_custkey", "o_orderstatus")
+          .orderBy("snapshot_id", "change", "o_orderkey")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS snapshot_id, 'insert' AS change,
+             |       o_orderkey, o_custkey, o_orderstatus
+             |FROM orders WHERE o_orderkey % 3 = 0
+             |UNION ALL
+             |SELECT 2, 'insert', o_orderkey, o_custkey, o_orderstatus
+             |FROM orders WHERE o_orderkey % 3 = 1
+             |UNION ALL
+             |SELECT 3, 'insert', o_orderkey, o_custkey, o_orderstatus
+             |FROM orders WHERE o_orderkey % 3 = 2
+             |UNION ALL
+             |SELECT 4, 'delete', o_orderkey, o_custkey, o_orderstatus
+             |FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY snapshot_id, change, o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { ordersLog(s, dir); () })
     )
   )
 }

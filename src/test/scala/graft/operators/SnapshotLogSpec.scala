@@ -341,6 +341,25 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, root, asOf = pre).count() === 40)
   }
 
+  test("changelog replays history as per-snapshot deltas from snapshot zero") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root, Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1))
+    SnapshotLog.mergeInto(spark, root, Seq((2, "B"), (3, "c")).toDF("k", "v"), Seq("k"))
+    SnapshotLog.deleteWhere(spark, root, col("k") === 1)
+    val feed = SnapshotLog.changelog(spark, root)
+      .as[(Int, String, String, Long)].collect().toSet
+    assert(feed === Set(
+      (1, "a", "insert", 1L), (2, "b", "insert", 1L),    // snapshot 1: seed
+      (2, "b", "delete", 2L), (2, "B", "insert", 2L),    // snapshot 2: update...
+      (3, "c", "insert", 2L),                            // ...and insert
+      (1, "a", "delete", 3L)))                           // snapshot 3: delete
+    // resuming from a checkpointed snapshot id yields only the tail
+    assert(SnapshotLog.changelog(spark, root, fromId = 2).count() === 1)
+    intercept[IllegalArgumentException] {
+      SnapshotLog.changelog(spark, root, fromId = 3)
+    }
+  }
+
   test("empty append commits a readable zero-row snapshot with schema") {
     val root = newRoot()
     SnapshotLog.append(spark, root,
