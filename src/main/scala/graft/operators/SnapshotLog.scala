@@ -36,7 +36,7 @@ import graft.{Q, Tables}
   * exists; the current snapshot is the max id. Data files are written
   * BEFORE the manifest rename, so a crash at any point leaves either
   * the old snapshot live (manifest absent — the orphaned data dir is
-  * reclaimed by [[expire]]) or the new one fully live. Concurrent
+  * reclaimed by [[vacuumOrphans]]) or the new one fully live. Concurrent
   * writers race on the rename: the loser's rename returns false and
   * [[commit]] retries against the new current snapshot (optimistic
   * concurrency, Iceberg's model).
@@ -548,6 +548,34 @@ object SnapshotLog {
       if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true)
     }
     (gone.size, dead.size)
+  }
+
+  /** Reclaim ORPHANED data dirs: dirs no surviving manifest references —
+    * the debris of commits that crashed between the data write and the
+    * manifest rename (and of losing commit-race retries, whose data dir
+    * was written once but superseded). A dir younger than `graceMs` is
+    * kept: it may belong to an IN-FLIGHT commit whose manifest rename
+    * simply hasn't happened yet — the same age guard
+    * [[graft.streaming.StreamingMerge.vacuum]] applies to its staging
+    * dirs. Returns the reclaimed dir count. O(#dirs) driver metadata
+    * work, zero data reads; run it alongside [[expire]] as the
+    * periodic table-maintenance pair.
+    */
+  def vacuumOrphans(spark: SparkSession, root: String,
+      graceMs: Long = 3600000L): Int = {
+    val fs = fsOf(spark, root)
+    val dataRoot = new Path(s"$root/data")
+    if (!fs.exists(dataRoot)) return 0
+    val referenced = history(spark, root).iterator.flatMap(_.files)
+      .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val orphans = fs.listStatus(dataRoot).iterator
+      .filter(st => st.isDirectory)
+      .filter(st => !referenced(s"data/${st.getPath.getName}"))
+      .filter(st => st.getModificationTime < cutoff)
+      .toSeq
+    orphans.foreach(st => fs.delete(st.getPath, true))
+    orphans.size
   }
 
   // ---- registry queries ------------------------------------------------

@@ -360,6 +360,27 @@ class SnapshotLogSpec extends SparkSpec {
     }
   }
 
+  test("vacuumOrphans reclaims crashed-commit debris but spares young and referenced dirs") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root, Seq((1, "a")).toDF("k", "v"))
+    val f = fs(root)
+    // a commit that died after its data write, before the manifest rename
+    val dead = new Path(s"$root/data/c2_deadbeef")
+    f.mkdirs(dead)
+    f.setTimes(dead, System.currentTimeMillis() - 7200000L, -1)
+    // an in-flight commit's fresh dir — must survive the sweep
+    f.mkdirs(new Path(s"$root/data/c2_inflight"))
+
+    assert(SnapshotLog.vacuumOrphans(spark, root) === 1)
+    assert(!f.exists(dead))
+    assert(f.exists(new Path(s"$root/data/c2_inflight")))
+    // referenced dirs untouched; the table still reads
+    assert(rowSet(SnapshotLog.read(spark, root)) ===
+      rowSet(Seq((1, "a")).toDF("k", "v")))
+    // idempotent: nothing left to reclaim at this grace
+    assert(SnapshotLog.vacuumOrphans(spark, root) === 0)
+  }
+
   test("empty append commits a readable zero-row snapshot with schema") {
     val root = newRoot()
     SnapshotLog.append(spark, root,
