@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Packing.all ++
       operators.LakeMaintenance.all ++
       operators.SnapshotLog.all ++
+      operators.IncrementalView.all ++
       operators.ChangeCapture.all ++
       pipeline.CorpusPipeline.all ++
       sources.DocStoreQueries.all ++

@@ -307,13 +307,18 @@ object SnapshotLog {
       .agg(collect_set(col("__f"))).head().getSeq[String](0)
     val hitRel = hit.map(relativize(_)).toSet
     val carried = snap.files.filterNot(f => hitRel(f.path))
+    // a USING join moves the key columns to the FRONT of its output —
+    // re-select the table's own column order, or the rewrite would
+    // silently reorder the table's physical (and manifest) schema
+    val tableCols = scan.columns.map(col).toSeq
     val survivors =
       if (hitRel.isEmpty) scan.limit(0)
       else spark.read
         .parquet(hitRel.toSeq.sorted.map(f => s"$root/$f"): _*)
         .join(keys, keyCols, "left_anti")
+        .select(tableCols: _*)
     commitFiles(spark, root,
-      survivors.unionByName(source.select(scan.columns.map(col): _*)),
+      survivors.unionByName(source.select(tableCols: _*)),
       "merge", carried)
   }
 
@@ -466,15 +471,21 @@ object SnapshotLog {
       else snapshot(spark, root, fromId)
     val fromPaths = from.files.map(_.path).toSet
     val toPaths = to.files.map(_.path).toSet
-    def readFiles(paths: Seq[String], ddl: String): DataFrame =
+    // both sides read under the TO snapshot's schema: by-name parquet
+    // resolution makes the diff robust to physical column order, and
+    // under additive evolution the from side reads new columns as null
+    // (so a carried old row still cancels against its carried copy —
+    // both sides render it identically)
+    val schema = StructType.fromDDL(to.schemaDdl)
+    def readFiles(paths: Seq[String]): DataFrame =
       if (paths.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
-      else spark.read.parquet(paths.sorted.map(p => s"$root/$p"): _*)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(paths.sorted.map(p => s"$root/$p"): _*)
     val added = readFiles(to.files.collect {
-      case f if !fromPaths(f.path) => f.path }, to.schemaDdl)
+      case f if !fromPaths(f.path) => f.path })
     val removed = readFiles(from.files.collect {
-      case f if !toPaths(f.path) => f.path }, from.schemaDdl)
+      case f if !toPaths(f.path) => f.path })
     added.exceptAll(removed).withColumn("change", lit("insert"))
       .unionByName(removed.exceptAll(added).withColumn("change", lit("delete")))
   }
@@ -647,6 +658,11 @@ object SnapshotLog {
         .repartition(4))
       optimize(s, root, clusterBy = "o_orderkey", numFiles = 8)
     }.resolve("log").toString
+
+  /** The tt-family staged orders log, exposed for cross-operator
+    * fixtures ([[IncrementalView]]'s iv1 folds its change feed).
+    */
+  def stagedOrdersLog(s: SparkSession, dir: String): String = ordersLog(s, dir)
 
   val all: Seq[Q] = Seq(
     // TT1: time travel — read the table AS OF snapshot 2 (first two of

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The IVM fold's algebra: deltas apply with the right sign, emptied
+  * groups leave the view, and the maintained view equals the
+  * from-scratch aggregation after every kind of commit — the invariant
+  * iv1 then proves through the driver oracle at sf scale.
+  */
+class IncrementalViewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def newRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_iv_spec")
+      .resolve("log").toString
+
+  private def viewOf(root: String): Map[String, (Long, Long)] =
+    IncrementalView.materialize(spark, root, Seq("g"), Seq("x"))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, n, sx) => g -> (n, sx) }.toMap
+
+  private def directOf(root: String): Map[String, (Long, Long)] =
+    SnapshotLog.read(spark, root)
+      .groupBy("g").agg(count(lit(1)), sum("x"))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, n, sx) => g -> (n, sx) }.toMap
+
+  test("fold tracks appends, upserts, and deletes; emptied groups vanish") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root,
+      Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L)).toDF("g", "k", "x"))
+    assert(viewOf(root) === Map("a" -> (2L, 30L), "b" -> (1L, 30L)))
+
+    // MERGE moves key 2 from group a to group c (delete+insert delta)
+    SnapshotLog.mergeInto(spark, root,
+      Seq(("c", 2L, 25L)).toDF("g", "k", "x"), Seq("k"))
+    assert(viewOf(root) === Map(
+      "a" -> (1L, 10L), "b" -> (1L, 30L), "c" -> (1L, 25L)))
+    assert(viewOf(root) === directOf(root))
+
+    // deleting group b's only row removes the group entirely
+    SnapshotLog.deleteWhere(spark, root, col("g") === "b")
+    assert(viewOf(root) === Map("a" -> (1L, 10L), "c" -> (1L, 25L)))
+    assert(viewOf(root) === directOf(root))
+    assert(!IncrementalView
+      .materialize(spark, root, Seq("g"), Seq("x"))
+      .select("g").as[String].collect().contains("b"))
+  }
+
+  test("applyDelta from empty state equals aggregating the delta's inserts") {
+    val delta = Seq(("a", 5L, "insert"), ("a", 7L, "insert"), ("b", 1L, "insert"))
+      .toDF("g", "x", "change")
+    val v = IncrementalView.applyDelta(None, delta, Seq("g"), Seq("x"))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, n, sx) => g -> (n, sx) }.toMap
+    assert(v === Map("a" -> (2L, 12L), "b" -> (1L, 1L)))
+  }
+}
