@@ -255,7 +255,14 @@ object SnapshotLog {
     require(base > 0, s"deleteWhere on empty log $root")
     val snap = snapshot(spark, root, base)
     if (snap.files.isEmpty) return base
-    val scan = spark.read.parquet(snap.files.map(f => s"$root/${f.path}"): _*)
+    // every read is pinned to the snapshot's schema: after additive
+    // evolution the hit files may be NARROWER than the table (pinning
+    // nulls the missing columns so the predicate can reference them),
+    // and the rewrite must commit under the TABLE schema, not whatever
+    // width the rewritten files happened to have
+    val tableSchema = StructType.fromDDL(snap.schemaDdl)
+    val scan = spark.read.schema(tableSchema)
+      .parquet(snap.files.map(f => s"$root/${f.path}"): _*)
     // bounded driver value — O(#matching files), planning-scale metadata
     // (same class as StreamingMerge's affected-bucket set). The scan
     // projects only the virtual file-name column under the pushed
@@ -266,10 +273,10 @@ object SnapshotLog {
     if (hit.isEmpty) return base
     val hitRel = hit.map(relativize(_)).toSet
     val keep = snap.files.filterNot(f => hitRel(f.path))
-    val rewritten = spark.read
+    val rewritten = spark.read.schema(tableSchema)
       .parquet(hitRel.toSeq.sorted.map(f => s"$root/$f"): _*)
       .filter(!pred)
-    commitFiles(spark, root, rewritten, "delete", keep)
+    commitFiles(spark, root, rewritten, "delete", keep, tableSchema)
   }
 
   /** Copy-on-write MERGE (upsert): table rows whose `keyCols` match a
@@ -296,7 +303,12 @@ object SnapshotLog {
     val snap = snapshot(spark, root, base)
     if (snap.files.isEmpty)
       return commitFiles(spark, root, source, "merge", Seq.empty)
-    val scan = spark.read.parquet(snap.files.map(f => s"$root/${f.path}"): _*)
+    // reads pinned to the snapshot's schema and the rewrite committed
+    // under it — post-evolution, hit files may be narrower than the
+    // table, and the rewrite must not narrow the recorded schema
+    val tableSchema = StructType.fromDDL(snap.schemaDdl)
+    val scan = spark.read.schema(tableSchema)
+      .parquet(snap.files.map(f => s"$root/${f.path}"): _*)
     val keys = source.select(keyCols.map(col): _*).distinct()
     // bounded driver value — O(#matching files); file column projected
     // BEFORE the join (input_file_name is per-scan-row, and Spark 4
@@ -313,13 +325,13 @@ object SnapshotLog {
     val tableCols = scan.columns.map(col).toSeq
     val survivors =
       if (hitRel.isEmpty) scan.limit(0)
-      else spark.read
+      else spark.read.schema(tableSchema)
         .parquet(hitRel.toSeq.sorted.map(f => s"$root/$f"): _*)
         .join(keys, keyCols, "left_anti")
         .select(tableCols: _*)
     commitFiles(spark, root,
       survivors.unionByName(source.select(tableCols: _*)),
-      "merge", carried)
+      "merge", carried, tableSchema)
   }
 
   /** `input_file_name()` URIs → the manifest's root-relative form.

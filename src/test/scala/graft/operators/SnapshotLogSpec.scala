@@ -381,6 +381,29 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.vacuumOrphans(spark, root) === 0)
   }
 
+  test("CoW delete and merge after widening keep the evolved table schema") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root, Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1))
+    SnapshotLog.append(spark, root,
+      Seq((3, "c", 9.0)).toDF("k", "v", "score").coalesce(1))
+    // delete hits only the OLD narrow file — the rewrite must still
+    // commit under the evolved 3-column schema, and the predicate may
+    // reference the widened column (null on old rows)
+    SnapshotLog.deleteWhere(spark, root, col("k") === 1 && col("score").isNull)
+    val afterDelete = SnapshotLog.read(spark, root)
+    assert(afterDelete.schema.fieldNames.toSeq === Seq("k", "v", "score"))
+    assert(rowSet(afterDelete) === rowSet(
+      Seq((2, "b", Option.empty[Double]), (3, "c", Some(9.0)))
+        .toDF("k", "v", "score")))
+    // merge touching the narrow file's row keeps the wide schema too
+    SnapshotLog.mergeInto(spark, root,
+      Seq((2, "B", 5.5)).toDF("k", "v", "score"), Seq("k"))
+    val afterMerge = SnapshotLog.read(spark, root)
+    assert(afterMerge.schema.fieldNames.toSeq === Seq("k", "v", "score"))
+    assert(rowSet(afterMerge) === rowSet(
+      Seq((2, "B", 5.5), (3, "c", 9.0)).toDF("k", "v", "score")))
+  }
+
   test("empty append commits a readable zero-row snapshot with schema") {
     val root = newRoot()
     SnapshotLog.append(spark, root,
