@@ -82,6 +82,46 @@ object IncrementalView {
     state.get
   }
 
+  /** Operation tag recording which table snapshot a view commit
+    * reflects: `refresh=<tableSnapshotId>`.
+    */
+  private def cursorOf(spark: SparkSession, viewRoot: String): Long =
+    if (SnapshotLog.currentId(spark, viewRoot) == 0L) 0L
+    else {
+      val op = SnapshotLog
+        .snapshot(spark, viewRoot, SnapshotLog.currentId(spark, viewRoot))
+        .operation
+      require(op.startsWith("refresh="), s"not a view log: operation $op")
+      op.stripPrefix("refresh=").toLong
+    }
+
+  /** Transactionally-consistent incremental refresh: the view lives in
+    * its OWN [[SnapshotLog]], and each refresh commit's operation tag
+    * records the table snapshot it reflects (`refresh=<id>`) — cursor
+    * and output commit in ONE atomic manifest rename, so a crash
+    * anywhere leaves either the old view (with its old cursor) or the
+    * new view (with the new one); re-running refresh after any crash is
+    * a no-op or a clean catch-up, never a double-apply. Each refresh
+    * folds only `changelog(applied, current]` — churn-sized work — and
+    * the view keeps its own time-travelable history as a bonus.
+    * Returns the table snapshot id the view now reflects.
+    */
+  def refresh(spark: SparkSession, viewRoot: String, tableRoot: String,
+      keys: Seq[String], sumCols: Seq[String]): Long = {
+    val applied = cursorOf(spark, viewRoot)
+    val cur = SnapshotLog.currentId(spark, tableRoot)
+    require(cur >= applied,
+      s"view at $viewRoot reflects snapshot $applied but table is at $cur")
+    if (cur == applied) return applied
+    val delta = SnapshotLog.changelog(spark, tableRoot, applied, cur)
+      .drop("snapshot_id")
+    val state =
+      if (applied == 0L) None else Some(SnapshotLog.read(spark, viewRoot))
+    val next = applyDelta(state, delta, keys, sumCols)
+    SnapshotLog.overwriteAs(spark, viewRoot, next, s"refresh=$cur")
+    cur
+  }
+
   val all: Seq[Q] = Seq(
     // IV1: the per-status (count, key-sum) view maintained INCREMENTALLY
     // across ordersLog's whole history (3 appends + CoW delete) must
@@ -104,6 +144,48 @@ object IncrementalView {
              |FROM orders WHERE o_orderstatus <> 'F'
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
       stage = Some((s, dir) => { SnapshotLog.stagedOrdersLog(s, dir); () })
+    ),
+
+    // IV2: the transactional refresh loop — a view in its own snapshot
+    // log, refreshed TWICE against a mutating table (seed → refresh →
+    // append + CoW delete → refresh). The second refresh folds only the
+    // two new snapshots' churn (its cursor, recorded in the view's own
+    // commit, proves where it resumed). Final view must equal the
+    // from-scratch aggregation of the final table — the oracle.
+    Q(
+      "iv2_view_refresh",
+      (s, dir) => {
+        val view = refreshedViewLog(s, dir)
+        SnapshotLog.read(s, view)
+          .select(col("o_orderstatus"), col("n"),
+            col("sum_o_orderkey").as("key_sum"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders WHERE o_orderstatus <> 'O'
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      stage = Some((s, dir) => { refreshedViewLog(s, dir); () })
     )
   )
+
+  /** Staged two-refresh view: its own table log (even keys, then odd
+    * keys, then a CoW delete of the 'O' rows) with a refresh after the
+    * first append and another after the delete — the second one starts
+    * from cursor 1 and folds only snapshots 2..3.
+    */
+  private def refreshedViewLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ivview_${graft.TempDirs.dirKey(dir)}") { p =>
+      val table = p.resolve("table").toString
+      val view = p.resolve("view").toString
+      val orders = graft.Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val keys = Seq("o_orderstatus")
+      val sums = Seq("o_orderkey")
+      SnapshotLog.append(s, table, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      refresh(s, view, table, keys, sums)
+      SnapshotLog.append(s, table, orders.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+      SnapshotLog.deleteWhere(s, table, col("o_orderstatus") === "O")
+      refresh(s, view, table, keys, sums)
+    }.resolve("view").toString
 }

@@ -243,6 +243,19 @@ object SnapshotLog {
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long =
     commit(spark, root, df, "overwrite", keepBase = false)
 
+  /** Overwrite under a caller-supplied operation tag — lets a consumer
+    * record ITS state (e.g. [[IncrementalView.refresh]]'s applied-table
+    * cursor) atomically inside the snapshot commit, the same trick
+    * Kafka's transactional consumers use (offsets committed with the
+    * output). Tags must be tab/newline-free (manifest TSV).
+    */
+  private[operators] def overwriteAs(spark: SparkSession, root: String,
+      df: DataFrame, operation: String): Long = {
+    require(!operation.exists(c => c == '\t' || c == '\n'),
+      s"operation tag may not contain tab/newline: $operation")
+    commit(spark, root, df, operation, keepBase = false)
+  }
+
   /** Copy-on-write delete: rewrite ONLY the files that contain rows
     * matching `pred`, drop the matches, and commit (untouched files are
     * carried by reference — at 100 TB a delete touching 0.1% of files

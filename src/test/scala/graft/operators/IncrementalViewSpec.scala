@@ -49,6 +49,34 @@ class IncrementalViewSpec extends SparkSpec {
       .select("g").as[String].collect().contains("b"))
   }
 
+  test("refresh commits view and cursor atomically; re-refresh is a no-op") {
+    val base = java.nio.file.Files.createTempDirectory("graft_iv_refresh")
+    val table = base.resolve("table").toString
+    val view = base.resolve("view").toString
+    SnapshotLog.append(spark, table,
+      Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("g", "k", "x"))
+    assert(IncrementalView.refresh(spark, view, table, Seq("g"), Seq("x")) === 1L)
+    assert(SnapshotLog.snapshot(spark, view, 1L).operation === "refresh=1")
+    // nothing new: no-op, no snapshot growth (idempotent crash replay)
+    assert(IncrementalView.refresh(spark, view, table, Seq("g"), Seq("x")) === 1L)
+    assert(SnapshotLog.currentId(spark, view) === 1L)
+
+    // two more table commits; one refresh folds both
+    SnapshotLog.append(spark, table, Seq(("a", 3L, 5L)).toDF("g", "k", "x"))
+    SnapshotLog.deleteWhere(spark, table, col("g") === "b")
+    assert(IncrementalView.refresh(spark, view, table, Seq("g"), Seq("x")) === 3L)
+    assert(SnapshotLog.snapshot(spark, view, 2L).operation === "refresh=3")
+    val v = SnapshotLog.read(spark, view)
+      .as[(String, Long, Long)].collect()
+      .map { case (g, n, sx) => g -> (n, sx) }.toMap
+    assert(v === Map("a" -> (2L, 15L)))
+    // the view keeps its own history: snapshot 1 is the pre-delete view
+    val v1 = SnapshotLog.read(spark, view, asOf = 1L)
+      .as[(String, Long, Long)].collect()
+      .map { case (g, n, sx) => g -> (n, sx) }.toMap
+    assert(v1 === Map("a" -> (1L, 10L), "b" -> (1L, 20L)))
+  }
+
   test("applyDelta from empty state equals aggregating the delta's inserts") {
     val delta = Seq(("a", 5L, "insert"), ("a", 7L, "insert"), ("b", 1L, "insert"))
       .toDF("g", "x", "change")
