@@ -405,6 +405,39 @@ object Dedup {
               |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // Candidate verification by EDIT DISTANCE — the character-level
+    // complement to dd4's token-set Jaccard (catches reorder-free edits
+    // the set view washes out, e.g. in-place typo/number perturbations).
+    // Bounded-prefix levenshtein: O(P²) per pair with P fixed at 160
+    // chars, so a pair costs ~26k cell ops regardless of document size —
+    // the standard truncation that keeps DP verification affordable at
+    // corpus scale (full-text DP on 100 KB docs would be 10^10 ops per
+    // pair). Runs on LSH candidates only, never all pairs; both engines
+    // compute the identical integer DP, so the gate is exact.
+    Q(
+      "dd9_edit_verify",
+      (s, dir) => {
+        val txt = docs(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 160).as("t"))
+        val scored = lshCandidates(s, dir)
+          .join(txt.as("xa"), col("doc_a") === col("xa.doc_id"))
+          .join(txt.as("xb"), col("doc_b") === col("xb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("xa.t"), col("xb.t")).cast("long").as("edit_dist"))
+          .filter(col("edit_dist") <= 40)
+        sortedOut(scored, "doc_a", "doc_b")
+      },
+      Some(s"""WITH $candSql
+              |SELECT doc_a, doc_b, edit_dist FROM (
+              |  SELECT c.doc_a, c.doc_b,
+              |         CAST(levenshtein(substr(da.text, 1, 160),
+              |                          substr(db.text, 1, 160)) AS BIGINT) AS edit_dist
+              |  FROM cand c
+              |  JOIN documents da ON da.doc_id = c.doc_a
+              |  JOIN documents db ON db.doc_id = c.doc_b)
+              |WHERE edit_dist <= 40 ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
     // SimHash: 60-bit fingerprint over the token multiset (60 bits = the
     // widest hex prefix both engines can hold in a signed 64-bit int).
     // Formulated as explode → 60 conditional sums → bit reassembly so the
