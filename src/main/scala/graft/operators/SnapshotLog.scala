@@ -91,8 +91,12 @@ object SnapshotLog {
   private def parseStats(field: String): Map[String, (String, String)] =
     if (field == "-" || field.isEmpty) Map.empty
     else field.split(';').iterator.map { kv =>
-      val Array(c, mm) = kv.split('=')
-      val Array(mn, mx) = mm.split(',')
+      // -1 limits: an empty-string min/max encodes as an EMPTY token
+      // (URLEncoder("") = ""), and Java's default split drops trailing
+      // empties — without the limit a committed manifest whose string
+      // column held "" would be permanently unreadable (MatchError)
+      val Array(c, mm) = kv.split("=", -1)
+      val Array(mn, mx) = mm.split(",", -1)
       dec(c) -> (dec(mn), dec(mx))
     }.toMap
 
@@ -220,8 +224,12 @@ object SnapshotLog {
     val kept = s.files.filter { f =>
       f.stats.get(column) match {
         case Some((mn, mx)) =>
-          upper.forall(u => !statGt(dt, mn, u)) &&
-            lower.forall(l => !statGt(dt, l, mx))
+          // unparseable numeric stats (NaN/Infinity renderings) must
+          // degrade to "cannot skip", not fail the read at planning
+          try {
+            upper.forall(u => !statGt(dt, mn, u)) &&
+              lower.forall(l => !statGt(dt, l, mx))
+          } catch { case _: NumberFormatException => true }
         case None => true
       }
     }
@@ -286,9 +294,12 @@ object SnapshotLog {
     if (hit.isEmpty) return base
     val hitRel = hit.map(relativize(_)).toSet
     val keep = snap.files.filterNot(f => hitRel(f.path))
+    // NULL-predicate rows must SURVIVE the rewrite: under three-valued
+    // logic a NULL row fails both filter(pred) and filter(!pred), so a
+    // bare !pred would silently drop rows the delete never matched
     val rewritten = spark.read.schema(tableSchema)
       .parquet(hitRel.toSeq.sorted.map(f => s"$root/$f"): _*)
-      .filter(!pred)
+      .filter(!coalesce(pred, lit(false)))
     commitFiles(spark, root, rewritten, "delete", keep, tableSchema)
   }
 
@@ -314,12 +325,24 @@ object SnapshotLog {
     val base = currentId(spark, root)
     require(base > 0, s"mergeInto on empty log $root")
     val snap = snapshot(spark, root, base)
-    if (snap.files.isEmpty)
-      return commitFiles(spark, root, source, "merge", Seq.empty)
     // reads pinned to the snapshot's schema and the rewrite committed
     // under it — post-evolution, hit files may be narrower than the
-    // table, and the rewrite must not narrow the recorded schema
+    // table, and the rewrite must not narrow the recorded schema.
+    // Source columns must also KEEP the table's types: unionByName
+    // would otherwise coerce (int ∪ long → long) and write files
+    // physically wider than the recorded DDL, poisoning every later
+    // pinned-schema read — the same no-silent-retype rule append's
+    // mergeSchemas enforces.
     val tableSchema = StructType.fromDDL(snap.schemaDdl)
+    tableSchema.fields.foreach { f =>
+      source.schema.fields.find(_.name == f.name).foreach(sf =>
+        require(sf.dataType == f.dataType,
+          s"merge source column ${f.name} is ${sf.dataType}, table has ${f.dataType}"))
+    }
+    if (snap.files.isEmpty)
+      return commitFiles(spark, root,
+        source.select(tableSchema.fieldNames.map(col).toSeq: _*),
+        "merge", Seq.empty, tableSchema)
     val scan = spark.read.schema(tableSchema)
       .parquet(snap.files.map(f => s"$root/${f.path}"): _*)
     val keys = source.select(keyCols.map(col): _*).distinct()
@@ -346,6 +369,26 @@ object SnapshotLog {
       survivors.unionByName(source.select(tableCols: _*)),
       "merge", carried, tableSchema)
   }
+
+  /** Atomically publish `tmp` as `m`, failing (false) if `m` already
+    * exists — the commit protocol's one primitive. Local filesystems
+    * get a hard link (atomic EEXIST failure at the syscall); remote
+    * filesystems rely on no-replace rename semantics (HDFS's rename
+    * returns false on an existing destination). The caller deletes
+    * `tmp` on the failure path.
+    */
+  private def publish(fs: FileSystem, tmp: Path, m: Path): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(m.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else !fs.exists(m) && fs.rename(tmp, m)
 
   /** `input_file_name()` URIs → the manifest's root-relative form.
     * Every data file lives under `root/data/`, so the relative path is
@@ -445,9 +488,14 @@ object SnapshotLog {
             s"${f.path}\t${f.rows}\t${statsField(f.stats)}"))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      // rename-to-existing returns false: the loser never clobbers the
-      // winner's snapshot. Retry from the NEW current state.
-      if (!fs.exists(m) && fs.rename(tmp, m)) return next
+      // publish must be atomic no-replace: on HDFS, rename to an
+      // existing destination returns false; on the LOCAL filesystem
+      // (specs, bench) Hadoop's rename is POSIX rename, which silently
+      // REPLACES the destination — the exists() pre-check alone is a
+      // TOCTOU window where two racing committers both publish and one
+      // snapshot is lost. There, hard-LINK the tmp into place:
+      // link(2) fails EEXIST atomically, so exactly one racer wins.
+      if (publish(fs, tmp, m)) return next
       fs.delete(tmp, false)
       attempt += 1
       require(attempt < 20, s"commit to $root lost ${attempt} races; aborting")
@@ -500,8 +548,17 @@ object SnapshotLog {
     // resolution makes the diff robust to physical column order, and
     // under additive evolution the from side reads new columns as null
     // (so a carried old row still cancels against its carried copy —
-    // both sides render it identically)
+    // both sides render it identically). A RETYPED column (possible via
+    // overwrite, which replaces the schema wholesale) has no sound diff
+    // — fail with the contract, not a parquet conversion error.
     val schema = StructType.fromDDL(to.schemaDdl)
+    StructType.fromDDL(from.schemaDdl).fields.foreach { f =>
+      schema.fields.find(_.name == f.name).foreach(tf =>
+        require(tf.dataType == f.dataType,
+          s"changes($fromId, $toId) spans a retype of column ${f.name} " +
+            s"(${f.dataType} -> ${tf.dataType}); no row-level diff is defined " +
+            "across an overwrite that changed column types"))
+    }
     def readFiles(paths: Seq[String]): DataFrame =
       if (paths.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)

@@ -41,16 +41,10 @@ object StreamingQueries {
   private def stageOrderedChunks(
       df: DataFrame, orderCol: String, bounds: Seq[Long], landing: Path): Unit = {
     val ranges = (Long.MinValue +: bounds).zip(bounds :+ Long.MaxValue)
-    ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
-      val tmp = graft.TempDirs.create(s"graft_chunk_$i")
-      df.filter(col(orderCol) >= lo && col(orderCol) < hi)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val dest = landing.resolve(f"chunk-$i%03d.parquet")
-      Files.move(part, dest)
-      Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000000000L + i * 60000L))
-    }
+    stageBatches(
+      ranges.map { case (lo, hi) =>
+        df.filter(col(orderCol) >= lo && col(orderCol) < hi)
+      }, landing)
   }
 
   /** Stage heterogeneous batch DataFrames (CDC-style: each batch is its
@@ -62,8 +56,11 @@ object StreamingQueries {
     dfs.zipWithIndex.foreach { case (df, i) =>
       val tmp = graft.TempDirs.create(s"graft_batch_$i")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
       val dest = landing.resolve(f"batch-$i%03d.parquet")
       Files.move(part, dest)
       Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000000000L + i * 60000L))

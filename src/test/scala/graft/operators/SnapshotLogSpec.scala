@@ -404,6 +404,44 @@ class SnapshotLogSpec extends SparkSpec {
       Seq((2, "B", 5.5), (3, "c", 9.0)).toDF("k", "v", "score")))
   }
 
+  test("deleteWhere keeps NULL-predicate rows in rewritten files") {
+    val root = newRoot()
+    // one file holding a matching row AND a null-status row: the rewrite
+    // must keep the null row (it did not match the delete predicate)
+    SnapshotLog.append(spark, root,
+      Seq((1, Some("F")), (2, None), (3, Some("O")))
+        .toDF("k", "status").coalesce(1))
+    SnapshotLog.deleteWhere(spark, root, col("status") === "F")
+    assert(rowSet(SnapshotLog.read(spark, root)) === rowSet(
+      Seq((2, Option.empty[String]), (3, Some("O"))).toDF("k", "status")))
+    // and the changelog reports ONLY the matched row as deleted
+    assert(rowSet(SnapshotLog.changes(spark, root, 1L, 2L)) === rowSet(
+      Seq((1, Some("F"), "delete")).toDF("k", "status", "change")))
+  }
+
+  test("empty-string column values roundtrip through manifest stats") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root,
+      Seq((1, ""), (2, "")).toDF("k", "v").coalesce(1))
+    val snap = SnapshotLog.snapshot(spark, root, 1L)
+    assert(snap.files.head.stats("v") === ("", ""))
+    assert(SnapshotLog.read(spark, root).count() === 2)
+    // pruning still sound: a band above "" skips nothing it shouldn't
+    assert(SnapshotLog.readRange(spark, root, "v", Some(""), Some(""))
+      .count() === 2)
+  }
+
+  test("mergeInto rejects a source that would retype a table column") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root, Seq((1, 10L)).toDF("k", "x"))
+    // x: long in the table, int in the source — unionByName would
+    // silently coerce and write files wider than the recorded DDL
+    intercept[IllegalArgumentException] {
+      SnapshotLog.mergeInto(spark, root,
+        Seq((2, 20)).toDF("k", "x"), Seq("k"))
+    }
+  }
+
   test("empty append commits a readable zero-row snapshot with schema") {
     val root = newRoot()
     SnapshotLog.append(spark, root,
