@@ -408,34 +408,37 @@ object Dedup {
     // Candidate verification by EDIT DISTANCE — the character-level
     // complement to dd4's token-set Jaccard (catches reorder-free edits
     // the set view washes out, e.g. in-place typo/number perturbations).
-    // Bounded-prefix levenshtein: O(P²) per pair with P fixed at 160
-    // chars, so a pair costs ~26k cell ops regardless of document size —
-    // the standard truncation that keeps DP verification affordable at
-    // corpus scale (full-text DP on 100 KB docs would be 10^10 ops per
-    // pair). Runs on LSH candidates only, never all pairs; both engines
-    // compute the identical integer DP, so the gate is exact.
+    // Per-pair cost is what decides whether this survives scale: the
+    // candidate count grows super-linearly with corpus size (sf0.01
+    // 23k pairs → sf0.1 ~2M), so the DP is bounded TWICE — a 64-char
+    // prefix AND Spark's thresholded levenshtein (banded DP, O(k·P)
+    // per pair instead of O(P²), early-exit -1 beyond k). An unbounded
+    // 160-char full DP measured 95s at sf0.1; this shape is ~1k cell
+    // ops per pair. The threshold form is result-equal to filtering
+    // the full distance (≤ k rows carry their exact distance), so the
+    // DuckDB oracle runs the plain DP and must hash-match.
     Q(
       "dd9_edit_verify",
       (s, dir) => {
         val txt = docs(s, dir)
-          .select(col("doc_id"), substring(col("text"), 1, 160).as("t"))
+          .select(col("doc_id"), substring(col("text"), 1, 64).as("t"))
         val scored = lshCandidates(s, dir)
           .join(txt.as("xa"), col("doc_a") === col("xa.doc_id"))
           .join(txt.as("xb"), col("doc_b") === col("xb.doc_id"))
           .select(col("doc_a"), col("doc_b"),
-            levenshtein(col("xa.t"), col("xb.t")).cast("long").as("edit_dist"))
-          .filter(col("edit_dist") <= 40)
+            levenshtein(col("xa.t"), col("xb.t"), 16).cast("long").as("edit_dist"))
+          .filter(col("edit_dist") >= 0)
         sortedOut(scored, "doc_a", "doc_b")
       },
       Some(s"""WITH $candSql
               |SELECT doc_a, doc_b, edit_dist FROM (
               |  SELECT c.doc_a, c.doc_b,
-              |         CAST(levenshtein(substr(da.text, 1, 160),
-              |                          substr(db.text, 1, 160)) AS BIGINT) AS edit_dist
+              |         CAST(levenshtein(substr(da.text, 1, 64),
+              |                          substr(db.text, 1, 64)) AS BIGINT) AS edit_dist
               |  FROM cand c
               |  JOIN documents da ON da.doc_id = c.doc_a
               |  JOIN documents db ON db.doc_id = c.doc_b)
-              |WHERE edit_dist <= 40 ORDER BY doc_a, doc_b""".stripMargin)
+              |WHERE edit_dist <= 16 ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
     // SimHash: 60-bit fingerprint over the token multiset (60 bits = the
