@@ -157,6 +157,49 @@ object GraphOps {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Single-source shortest paths, FIXED-ROUND Bellman-Ford: after
+    * `rounds` relaxations the result is exactly `min cost over paths of
+    * ≤ rounds hops` — a deterministic quantity whether or not the
+    * distances have converged, which is what makes an engine-exact
+    * oracle possible (the DuckDB mirror unrolls the identical integer
+    * relaxation; no convergence probe, no float drift). Costs are LONG
+    * edge weights summed exactly.
+    *
+    * Each round is one dist⋈edges shuffle + one min-agg — the same
+    * two-shuffle discipline as [[pageRank]], lineage severed per round.
+    * Unreachable-within-`rounds` nodes are absent from the result (no
+    * sentinel infinities to overflow).
+    */
+  def shortestPaths(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint(true)
+    for (_ <- 0 until rounds) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** One unrolled relaxation round as oracle SQL — the exact integer
+    * mirror of the loop body in [[shortestPaths]].
+    */
+  private def spIterSql(i: Int): String =
+    s"""d$i AS (
+       |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+       |    SELECT node, dist FROM d${i - 1}
+       |    UNION ALL
+       |    SELECT e.dst AS node, p.dist + e.w AS dist
+       |    FROM d${i - 1} p JOIN edges e ON e.src = p.node)
+       |  GROUP BY node)""".stripMargin
+
   /** One unrolled damped-walk round as oracle SQL — MUST stay the exact
     * integer-arithmetic mirror of the loop body above (same operation
     * order, same floor divisions), or the bit-identical guarantee dies.
@@ -265,6 +308,47 @@ object GraphOps {
              |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
              |SELECT a AS node, CAST(min(b) AS BIGINT) AS component
              |FROM reach GROUP BY a ORDER BY node""".stripMargin)
+    ),
+
+    // GR3: hop distances (unit-weight SSSP) from the smallest node of
+    // the transition graph, 6 fixed Bellman-Ford rounds — "how many
+    // clicks from the entry page", the navigation-depth read of the
+    // session graph. Fixed rounds make the answer exact without a
+    // convergence probe; the oracle unrolls the identical relaxation.
+    Q(
+      "gr3_shortest_paths",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("node"))
+          .filter(col("node").isNotNull)
+        val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val edges = ev
+          .withColumn("src", lag("node", 1).over(byTime))
+          .filter(col("src").isNotNull && col("src") =!= col("node"))
+          .select(col("src"), col("node").as("dst")).distinct()
+          .withColumn("w", lit(1L))
+        // single aggregated row — bounded driver fetch
+        val source = ev.agg(min("node")).head().getLong(0)
+        shortestPaths(edges, source, rounds = 6)
+          .orderBy("node")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, ts, event_id,
+              |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS node
+              |  FROM events
+              |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+              |trans AS (
+              |  SELECT node AS dst,
+              |         lag(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+              |  FROM ev),
+              |edges AS (
+              |  SELECT DISTINCT src, dst, CAST(1 AS BIGINT) AS w
+              |  FROM trans WHERE src IS NOT NULL AND src <> dst),
+              |d0 AS (SELECT (SELECT min(node) FROM ev) AS node,
+              |              CAST(0 AS BIGINT) AS dist),
+              |${(1 to 6).map(spIterSql).mkString(",\n")}
+              |SELECT node, dist FROM d6 ORDER BY node""".stripMargin)
     )
   )
 }

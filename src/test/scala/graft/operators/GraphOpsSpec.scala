@@ -97,6 +97,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(flipped === comps)
   }
 
+  test("fixed-round shortest paths take the cheaper route and respect the hop budget") {
+    // 1→2 (cost 10), 1→3 (1), 3→2 (2): best 1→2 is via 3, cost 3.
+    // 2→4 (1): reachable only with ≥3 rounds. 5 is unreachable.
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L), (2L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val d3 = GraphOps.shortestPaths(edges, source = 1L, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d3 === Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 4L))
+    // with 2 rounds, 4 is reached only via the expensive direct edge
+    // (1→2 in round 1, 2→4 in round 2): dist = 11, not yet the optimum
+    val d2 = GraphOps.shortestPaths(edges, source = 1L, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d2(4L) === 11L)
+    assert(d2(2L) === 3L)
+    // 0 rounds: just the source
+    assert(GraphOps.shortestPaths(edges, 1L, 0)
+      .as[(Long, Long)].collect().toMap === Map(1L -> 0L))
+  }
+
   test("result is deterministic across repeated runs and repartitionings") {
     val edges = (0L until 200L).map(i => (i % 17L, (i * 7L) % 17L, 1L + i % 3L))
     val nodes = (0L until 17L)
