@@ -41,6 +41,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -203,7 +204,7 @@ object Bench {
       val s = f"$v%.2f"
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
-    def line(f: Double => String, keep: Int): String = {
+    def line(f: Double => String, keep: Int, errCap: Int = 5): String = {
       // stdout budget: the registry outgrew the driver's ~2000-char tail
       // window at ~77 entries, so the printed line carries the `keep`
       // slowest queries (the scaling signal) plus an `others` rollup;
@@ -213,10 +214,15 @@ object Bench {
       val othersJson =
         if (folded.isEmpty) ""
         else s""","others":{"n":${folded.size},"sec":${f(folded.map(_._2).sum)}}"""
+      // Stdout shows at most 5 errors at 40 chars each (full messages
+      // always ride in BENCH_FULL.json) — r7's seven 80-char errors
+      // alone cost ~900 chars and pushed the line past the driver's
+      // tail window, so the artifact recorded parsed:null.
       val errJson =
         if (errors.isEmpty) ""
-        else errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
-          .mkString(",\"errors\":{", ",", "}")
+        else errors.take(errCap).map { case (k, v) =>
+          "\"" + esc(k) + "\":\"" + esc(v.take(if (errCap > 5) 200 else 40)) + "\"" }
+          .mkString(s""","n_errors":${errors.size},"errors":{""", ",", "}")
       val rerunJson = rerun
         .map { case (k, v) => "\"" + k + "\":" + f(v) }
         .mkString(""","rerun":{""", ",", "}")
@@ -240,11 +246,12 @@ object Bench {
       .mkString(""","telemetry":{""", ",", "}")
     Files.writeString(
       Paths.get("BENCH_FULL.json"),
-      line(_.toString, results.size).stripSuffix("}") + teleJson + "}\n")
+      line(_.toString, results.size, errCap = Int.MaxValue)
+        .stripSuffix("}") + teleJson + "}\n")
     // Fit the stdout line inside the driver's tail window: shrink the
     // shown-query tail before ever dropping rerun/io attribution.
-    val out = (40 to 20 by -5).view.map(k => line(fmt, k))
-      .find(_.length <= 1900).getOrElse(line(fmt, 20))
+    val out = (40 to 5 by -5).view.map(k => line(fmt, k))
+      .find(_.length <= 1900).getOrElse(line(fmt, 5))
     println(out)
     spark.stop()
   }

@@ -32,17 +32,36 @@ object Tables {
 
   /** Parquet scan; Catalyst pushes projections/filters into the scan.
     *
-    * `events.ts` is physically TIMESTAMP(NANOS), which Spark only reads as a
-    * nano-epoch LongType (via spark.sql.legacy.parquet.nanosAsLong=true, set
-    * by every graft session). We truncate to microseconds — integer DIV, same
-    * semantics DuckDB applies when it narrows nanos to its micro timestamps —
-    * so both engines see identical timestamp values.
+    * Timestamp physical types have varied across driver testdata
+    * generations, so every read is normalized to plain `TimestampType`
+    * (UTC-instant) columns:
+    *   - TIMESTAMP(NANOS) parquet arrives as a nano-epoch LongType (via
+    *     spark.sql.legacy.parquet.nanosAsLong=true, set by every graft
+    *     session); we truncate to microseconds — integer DIV, the same
+    *     narrowing DuckDB applies to its micro timestamps.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    *     TIMESTAMP_NTZ under Spark 4's parquet inference; functions like
+    *     `unix_micros` reject NTZ, so we cast to TimestampType — under
+    *     the session's UTC zone the cast is value-preserving and matches
+    *     DuckDB's naive read of the same bytes.
+    * Both rewrites happen above the scan, so pushdown/pruning on other
+    * columns is unaffected.
     */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    } else df
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalize(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Normalize timestamp-bearing columns to `TimestampType` (see [[apply]]).
+    * Safe on any frame, batch or streaming; no-op when nothing matches.
+    */
+  def normalize(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{col, expr}
+    val legacyNanos =
+      if (df.columns.contains("ts") && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      else df
+    legacyNanos.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(legacyNanos)((d, c) => d.withColumn(c, col(c).cast(TimestampType)))
   }
 }

@@ -136,5 +136,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.CharEntropyName,
         "_FUNC_(s) - per-code-point Shannon entropy (log2)", ""),
       (children: Seq[Expression]) => CharEntropy(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.JaroWinklerName),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, null,
+        GraftFunctions.JaroWinklerName,
+        "_FUNC_(a, b) - Jaro-Winkler similarity", ""),
+      (children: Seq[Expression]) =>
+        JaroWinklerSimilarity(children(0), children(1))))
   }
 }

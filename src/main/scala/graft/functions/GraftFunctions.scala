@@ -66,6 +66,9 @@ object GraftFunctions {
   /** per-code-point Shannon entropy (log2) of a string, one pass. */
   val CharEntropyName = "graft_char_entropy"
 
+  /** Jaro-Winkler similarity of two strings (DuckDB-compatible). */
+  val JaroWinklerName = "graft_jaro_winkler"
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(getClass.getName, null, name, usage, "")
 
@@ -170,6 +173,8 @@ object GraftFunctions {
       })
     ensure(CharEntropyName, "_FUNC_(s) - per-code-point Shannon entropy (log2)")(
       children => CharEntropy(children(0)))
+    ensure(JaroWinklerName, "_FUNC_(a, b) - Jaro-Winkler similarity")(
+      children => JaroWinklerSimilarity(children(0), children(1)))
   }
 }
 

@@ -149,18 +149,16 @@ object StreamingQueries {
       "sm2_stream_hourly",
       (s, dir) => {
         val (landing, _, _, ckpt) = tempDirs("graft_sm2")
-        val ev = s.read.parquet(s"$dir/events.parquet")
+        val ev = Tables(s, dir, "events")
         stageOrderedChunks(ev, "event_id", Seq(3000L, 6000L), landing)
         val sinkName = s"graft_sm2_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         val raw = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(landing.toString)
-        // events.ts is TIMESTAMP(NANOS) → LongType under nanosAsLong;
-        // same micros truncation Tables() applies on the batch side
-        val stream =
-          (if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-          else raw)
+        // ts arrives already normalized to TimestampType by Tables();
+        // the staged landing chunks carry that schema, so the stream
+        // needs no further conversion.
+        val stream = raw
             .groupBy(window(col("ts"), "1 hour"), col("event_type"))
             .agg(
               count(lit(1)).as("n"),
@@ -444,7 +442,7 @@ object StreamingQueries {
       "sm10_stream_sliding",
       (s, dir) => {
         val (landing, _, _, ckpt) = tempDirs("graft_sm10")
-        val ev = s.read.parquet(s"$dir/events.parquet")
+        val ev = Tables(s, dir, "events")
         stageOrderedChunks(ev, "event_id", Seq(3000L, 6000L), landing)
         val sinkName = s"graft_sm10_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         val raw = s.readStream.schema(ev.schema)
@@ -454,10 +452,7 @@ object StreamingQueries {
         // aggregable, so stream the (window, user) pre-aggregation —
         // the standard two-level distinct — and finish the count on
         // the drained sink table.
-        val perUser =
-          (if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-            raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-          else raw)
+        val perUser = raw
             .groupBy(window(col("ts"), "7 days", "1 day").as("w"), col("user_id"))
             .agg(count(lit(1)).as("n"))
         perUser.writeStream
