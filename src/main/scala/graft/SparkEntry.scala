@@ -23,6 +23,7 @@ object SparkEntry {
       operators.ScaleTechniques.all ++
       operators.Sampling.all ++
       operators.Decontamination.all ++
+      operators.RecordLinkage.all ++
       operators.Packing.all ++
       operators.LakeMaintenance.all ++
       operators.SnapshotLog.all ++

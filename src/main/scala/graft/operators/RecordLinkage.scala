@@ -15,11 +15,14 @@ import graft.functions.GraftFunctions
   * [[graft.functions.JaroWinklerSimilarity]], so
   * the scoring loop stays inside whole-stage codegen instead of a UDF).
   *
-  * Scale shape: the blocking key is the join key, so candidates are
-  * generated by a plain shuffle-hash/sort-merge equi-join that
-  * co-partitions both sides by block — no broadcast of the corpus, no
-  * cross join. Cost is Σ|block|², the classic linkage tradeoff: pick
-  * keys that bound block size (first token + language both do here).
+  * Scale shape: the blocking key is the join key, so candidates come
+  * from an equi-join — never a cross join. Cost is Σ|block|², the
+  * classic linkage tradeoff: pick keys that bound block size (first
+  * token and language both do here). The expensive parts are spread
+  * explicitly: the probe side is round-robined before the join (pair
+  * MATERIALIZATION parallelism) and candidates are reshuffled by pair
+  * before scoring (pair SCORING parallelism) — each in-code comment
+  * below carries the measured serial-collapse it prevents.
   * Multi-pass blocking (rl2) unions candidates from two independent
   * keys before scoring — the standard recall fix for any single key's
   * blind spots — and dedups pairs BEFORE the expensive score so each
@@ -57,10 +60,31 @@ object RecordLinkage {
       (s, dir) => {
         GraftFunctions.register(s)
         val d = docs(s, dir)
-        val a = d.select(col("doc_id").as("doc_a"), col("head").as("head_a"), col("w1"))
+        // The corpus arrives as one parquet split at this SF, and the
+        // dim side broadcasts — so without a spread the ENTIRE
+        // Σ|block|² pair materialization probes in a single task
+        // (measured: 9 task-seconds at 9s wall). Round-robin the probe
+        // side first: each task probes its share of docs against the
+        // broadcast block table. At cluster scale the same shape holds
+        // (broadcast the smaller deduped key table, spread the probe);
+        // when neither side broadcasts this becomes a salted SMJ like
+        // st2's.
+        val n = s.sessionState.conf.numShufflePartitions
+        val a = d.repartition(n)
+          .select(col("doc_id").as("doc_a"), col("head").as("head_a"), col("w1"))
         val b = d.select(col("doc_id").as("doc_b"), col("head").as("head_b"), col("w1"))
         val cand = a.join(b, a("w1") === b("w1") && col("doc_a") < col("doc_b"))
-        score(cand, 0.9)
+        // Blocking keys are few and skewed (a ~30-word vocabulary), so
+        // the join leaves every candidate of a block in one task — and
+        // the JW scoring would run there too (measured: 16 task-seconds
+        // at 16s wall, zero parallelism). Reshuffle candidates by pair
+        // before scoring: linear in candidates, restores full fan-out,
+        // and is exactly what a 1000-executor run needs when one block
+        // holds a hot key. The partition count is pinned because AQE
+        // coalesces a column-only repartition by BYTES (~80 MB of pairs
+        // → 2 partitions), re-serializing the CPU-bound scoring stage.
+        // rl2 gets its spread from distinct()'s full-width shuffle.
+        score(cand.repartition(n, col("doc_a"), col("doc_b")), 0.9)
       },
       Some("""WITH d AS (SELECT doc_id, substr(text,1,80) AS head,
              |                  split_part(text,' ',1) AS w1 FROM documents)
@@ -74,9 +98,11 @@ object RecordLinkage {
       (s, dir) => {
         GraftFunctions.register(s)
         val d = docs(s, dir)
+        val n = s.sessionState.conf.numShufflePartitions
         def side(suffix: String, keys: Seq[String]) =
-          d.select((Seq(col("doc_id").as(s"doc_$suffix"),
-            col("head").as(s"head_$suffix")) ++ keys.map(col)): _*)
+          (if (suffix == "a") d.repartition(n) else d)
+            .select((Seq(col("doc_id").as(s"doc_$suffix"),
+              col("head").as(s"head_$suffix")) ++ keys.map(col)): _*)
         // pass 1: first token; pass 2: (lang, length bucket). Union THEN
         // distinct so overlapping candidates score once, not twice.
         val p1 = side("a", Seq("w1")).join(side("b", Seq("w1")), "w1")
