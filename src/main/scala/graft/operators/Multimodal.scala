@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata alongside. The Spark-side machinery —
   * schema, batched per-partition decode, frame sampling, feature columns — is
-  * real and tested. Two codec tiers plug into it: the in-JVM
+  * real and tested. Three codec tiers plug into it: the in-JVM
   * `javax.imageio` path ([[decodeImage]]/[[resizeImage]] — real PNG/BMP
-  * raster decode, spec-driven over encoded fixtures) and a deterministic
+  * raster decode, spec-driven over encoded fixtures), the in-JVM
+  * `javax.sound.sampled` path ([[decodeAudio]] — real WAV/PCM parse +
+  * RMS level, spec-driven over encoded fixtures), and a deterministic
   * STUB ([[decodeStub]]/[[resizeStub]]) standing in for the native codecs
-  * this container lacks (libjpeg/ffmpeg), which stays the ORACLE variant
-  * because DuckDB can recompute its arithmetic.
+  * this container lacks (libjpeg/ffmpeg video), which stays the ORACLE
+  * variant because DuckDB can recompute its arithmetic.
   *
   * Scale design: payload bytes stay columnar in parquet and are never
   * shuffled — decode/feature-extract are mapPartitions-style row-local
@@ -96,6 +98,78 @@ object Multimodal {
       if (n == 0) 0.0 else sum.toDouble / n)
   }
 
+  /** Extracted features for one audio item (the audio analogue of
+    * [[MediaFeatures]]): PCM stream facts plus RMS level.
+    */
+  final case class AudioFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      channels: Int,
+      sample_rate: Double,
+      n_frames: Long,
+      duration_s: Double,
+      rms: Double)
+
+  /** REAL AUDIO CODEC tier — `javax.sound.sampled` (WAV/AIFF/AU PCM
+    * parse ships with the JVM; no native libraries): container header →
+    * (channels, sample rate, frame count, duration), then one pass over
+    * the 16-bit PCM samples for the RMS level — the loudness feature a
+    * training-data audio filter cuts on (silence / clipped uploads).
+    * Row-local like [[decodeImage]]; plugs into [[extractAs]].
+    */
+  def decodeAudio(row: MediaRow): AudioFeatures = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(row.payload))
+    try {
+      val fmt = in.getFormat
+      require(
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16,
+        s"doc ${row.doc_id}: only 16-bit signed PCM supported, got $fmt")
+      val big = fmt.isBigEndian
+      val buf = new Array[Byte](8192)
+      var ss = 0.0
+      var n = 0L
+      var carry = -1 // pending first byte of a split sample across reads
+      var read = in.read(buf)
+      while (read > 0) {
+        var i = 0
+        if (carry >= 0 && read >= 1) {
+          val v = if (big) (carry << 8) | (buf(0) & 0xff)
+                  else ((buf(0) & 0xff) << 8) | carry
+          val s16 = v.toShort / 32768.0
+          ss += s16 * s16; n += 1; i = 1; carry = -1
+        }
+        while (i + 1 < read) {
+          val v = if (big) ((buf(i) & 0xff) << 8) | (buf(i + 1) & 0xff)
+                  else ((buf(i + 1) & 0xff) << 8) | (buf(i) & 0xff)
+          val s16 = v.toShort / 32768.0
+          ss += s16 * s16; n += 1; i += 2
+        }
+        if (i < read) carry = buf(i) & 0xff
+        read = in.read(buf)
+      }
+      val frames = in.getFrameLength
+      AudioFeatures(row.doc_id, row.n_bytes, fmt.getChannels,
+        fmt.getSampleRate.toDouble, frames,
+        if (fmt.getFrameRate > 0) frames / fmt.getFrameRate.toDouble else 0.0,
+        if (n == 0) 0.0 else math.sqrt(ss / n))
+    } finally in.close()
+  }
+
+  /** [[extractFeatures]] generalized over the output row type, so codec
+    * tiers with different feature schemas ([[decodeAudio]]) reuse the
+    * identical batched per-partition plumbing.
+    */
+  def extractAs[T: org.apache.spark.sql.Encoder](
+      media: Dataset[MediaRow], batchSize: Int, decoder: MediaRow => T): Dataset[T] =
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch codec setup would happen here
+        batch.iterator.map(decoder)
+      }
+    }
+
   /** Batched per-partition decode: the real pattern for codec-heavy work —
     * amortizes per-batch setup (codec contexts, buffers) across rows and
     * keeps the decode row-local (no shuffle). `decoder` selects the codec
@@ -105,12 +179,7 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64,
       decoder: MediaRow => MediaFeatures = decodeStub): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        // per-batch codec setup would happen here
-        batch.iterator.map(decoder)
-      }
-    }
+    extractAs(media, batchSize, decoder)
   }
 
   /** Frame sampling: keep every `stride`-th fixed-size chunk of the payload
