@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Sampling.all ++
       operators.Decontamination.all ++
       operators.RecordLinkage.all ++
+      operators.BpeTrainer.all ++
       operators.Packing.all ++
       operators.LakeMaintenance.all ++
       operators.SnapshotLog.all ++
