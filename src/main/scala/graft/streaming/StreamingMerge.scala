@@ -26,17 +26,19 @@ import org.apache.spark.sql.types.StructType
   *     manifest swap; the directory-rename here is the same protocol
   *     with the filesystem as the manifest, crash-safe per bucket
   *     because the rename is the commit point;
-  *   - a PER-BATCH MANIFEST brackets the k bucket swaps (Iceberg's
-  *     idea with the filesystem as the log): `.manifest_<batchId>` —
-  *     written to a tmp name and single-renamed in BEFORE the first
-  *     swap, deleted AFTER the last — lists the batch's buckets. The
-  *     k renames are still physically non-atomic, but a crash between
-  *     them is now DETECTABLE (the manifest survives → [[pendingBatches]]
-  *     is non-empty → the snapshot may be a mixed prefix) and
-  *     REPLAYABLE (the checkpoint re-runs the batch; per-bucket
-  *     recovery restores displaced copies; the apply is idempotent).
-  *     No manifest ⇒ no batch in flight ⇒ the live dirs are a
-  *     consistent snapshot — the invariant readers and vacuum key on.
+  *   - a PER-BATCH MANIFEST makes the k bucket swaps ATOMIC to readers
+  *     (Iceberg's idea with the filesystem as the log):
+  *     `.manifest_<batchId>` — written to a tmp name and single-renamed
+  *     in BEFORE the first swap — lists the batch's buckets; every
+  *     displaced pre-batch copy (`.old_<B>_bucket=k`) survives until
+  *     the batch completes; the manifest DELETE is the commit point (a
+  *     single atomic filesystem op). [[readCommitted]] keys on it:
+  *     manifest present ⇒ substitute the surviving `.old` copies and
+  *     return exactly the pre-batch snapshot; manifest gone ⇒ the live
+  *     dirs ARE the post-batch snapshot. A crash between renames is
+  *     additionally REPLAYABLE (the checkpoint re-runs the batch;
+  *     per-bucket recovery restores displaced copies; the apply is
+  *     idempotent), and vacuum keys on the same no-manifest invariant.
   */
 object StreamingMerge {
 
@@ -104,6 +106,62 @@ object StreamingMerge {
     else fs.listStatus(root).toSeq.map(_.getPath.getName)
       .filter(n => n.startsWith(".manifest_") && !n.endsWith(".tmp"))
       .map(_.stripPrefix(".manifest_").toLong).sorted
+  }
+
+  /** SNAPSHOT-ISOLATED read of the bucketed state: always the last
+    * COMMITTED batch's content, even while a batch is mid-swap or died
+    * between bucket renames.
+    *
+    * Protocol: no manifest ⇒ the live dirs are consistent — read them.
+    * A pending manifest for batch B ⇒ for each affected bucket, prefer
+    * the displaced `.old_B_bucket=k` copy (its pre-B version, which
+    * [[applyBatch]] keeps alive until after the commit point) and fall
+    * back to the live dir (bucket not yet swapped). Unaffected buckets
+    * read live. The result is exactly the pre-B snapshot; after the
+    * manifest delete (the atomic commit) the same call returns the
+    * post-B snapshot. Readers therefore never observe a mixed prefix —
+    * the property a k-rename commit cannot give on its own.
+    *
+    * Concurrency: consistent against a CRASHED or stalled writer (the
+    * recovery-read case). Against an actively RUNNING writer the
+    * listing and the scan race the writer's renames like any
+    * non-locking lake read; schedule recovery reads or rely on the
+    * post-commit cleanup window like other CoW lake readers.
+    */
+  def readCommitted(spark: SparkSession, statePath: String): DataFrame = {
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = spark.read.parquet(statePath)
+    val pending = pendingBatches(spark, statePath)
+    if (pending.isEmpty) live
+    else {
+      // single-writer contract: at most one batch can be mid-commit
+      require(pending.size == 1,
+        s"multiple pending batches $pending under $statePath: " +
+          "statePath is being written by more than one merge query")
+      val bId = pending.head
+      val affected = {
+        val in = fs.open(new Path(s"$statePath/.manifest_$bId"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map(_.toLong).toSeq
+        finally in.close()
+      }
+      val displaced = affected.filter(k =>
+        fs.exists(new Path(s"$statePath/.old_${bId}_bucket=$k")))
+      if (displaced.isEmpty) live
+      else {
+        val bucketType = live.schema("bucket").dataType
+        // partition-pruned live scan of every bucket we are not
+        // substituting, then the displaced pre-batch copies with their
+        // partition value restored
+        val kept = live.filter(!col("bucket").isin(displaced.map(Long.box): _*))
+        displaced.foldLeft(kept) { (acc, k) =>
+          acc.unionByName(
+            spark.read.parquet(s"$statePath/.old_${bId}_bucket=$k")
+              .withColumn("bucket", lit(k).cast(bucketType)))
+        }
+      }
+    }
   }
 
   def vacuum(
@@ -262,17 +320,29 @@ object StreamingMerge {
           require(fs.rename(tmp, dir), s"commit rename of $tmp failed")
           if (crashAfterBucket.contains(bk))
             throw new RuntimeException(s"injected crash after bucket $bk commit")
-          if (fs.exists(old))
-            require(fs.delete(old, true), s"delete of displaced $old failed")
+          // NOTE: the displaced `.old` copy is NOT deleted here — it is
+          // the bucket's pre-batch version, and [[readCommitted]] needs
+          // every affected bucket's pre-batch copy to survive until the
+          // whole batch commits, or a reader during the swap window
+          // could only reconstruct a mixed prefix.
         }
       }, Duration.Inf)
       finally pool.shutdown()
-      // every bucket committed and its displaced copy reclaimed: the
-      // manifest delete is the batch's completion commit (atomic) —
-      // after it, pendingBatches is empty and the snapshot is declared
-      // consistent. A crash just before this line leaves a manifest
-      // with no surviving dirs; vacuum retires it by age.
+      // every bucket committed: the manifest delete is the batch's
+      // COMMIT POINT, and it is a single atomic filesystem operation.
+      // Before it, readCommitted substitutes the surviving `.old` copies
+      // and reconstructs the pre-batch snapshot; after it, the live dirs
+      // are the post-batch snapshot. No ordering of the k bucket renames
+      // is ever observable through the committed-read path.
       require(fs.delete(manifest, false), s"completion delete of $manifest failed")
+      // displaced-copy cleanup strictly AFTER the commit point: a crash
+      // in this loop leaves only redundant `.old` dirs (manifest gone ⇒
+      // readers take the live dirs), which vacuum retires by age.
+      affected.foreach { bk =>
+        val old = new Path(s"$statePath/.old_${batchId}_bucket=$bk")
+        if (fs.exists(old))
+          require(fs.delete(old, true), s"delete of displaced $old failed")
+      }
     } finally b.unpersist()
   }
 }

@@ -420,7 +420,10 @@ object StreamingQueries {
             ch.select(col("o_orderkey"), col("new_price").as("o_totalprice")),
           maxFilesPerTrigger = Some(1))
           .awaitTermination()
-        s.read.parquet(state.toString)
+        // committed-read path: identical to a plain read once the last
+        // batch's manifest is gone, and the snapshot-isolation the
+        // protocol guarantees is what StreamingMergeSpec crash-tests
+        StreamingMerge.readCommitted(s, state.toString)
           .select("o_orderkey", "o_totalprice")
           .orderBy("o_orderkey")
       },

@@ -148,6 +148,48 @@ class StreamingMergeSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"leftovers: ${leftovers.mkString(", ")}")
   }
 
+  test("readCommitted is snapshot-isolated: pre-batch during a crashed swap, post-batch after") {
+    val state = Files.createTempDirectory("graft_merge_iso").resolve("state").toString
+    StreamingMerge.seedSnapshot(
+      Seq((0L, "a0"), (1L, "a1"), (2L, "a2"), (3L, "a3")).toDF("k", "v"),
+      "k", state, numBuckets = 2)
+    val batch = Seq((0L, "update", "b0"), (1L, "update", "b1"))
+      .toDF("k", "change_type", "new_v")
+    def applyB(): Unit = StreamingMerge.applyBatch(spark, batch, "k", state,
+      numBuckets = 2, batchId = 9L,
+      toUpsert = ch => ch.select(col("k"), col("new_v").as("v")))
+
+    // Construct the canonical mid-swap crash state DETERMINISTICALLY
+    // (the injected-crash path races the other bucket's concurrent
+    // future): manifest published for buckets {0, 1}; bucket 0 fully
+    // swapped (live = post-batch, displaced pre-batch copy beside it);
+    // bucket 1 untouched. This is exactly the state a crash between the
+    // two commit renames leaves behind.
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mOut = fs.create(new Path(s"$state/.manifest_9"), true)
+    try mOut.write("0\n1".getBytes("UTF-8")) finally mOut.close()
+    require(fs.rename(new Path(s"$state/bucket=0"), new Path(s"$state/.old_9_bucket=0")))
+    Seq((0L, "b0"), (2L, "a2")).toDF("k", "v")
+      .write.parquet(s"$state/bucket=0")
+
+    val plain = readState(state).as[(Long, String)].collect().toSeq
+    assert(plain === Seq((0L, "b0"), (1L, "a1"), (2L, "a2"), (3L, "a3")),
+      "precondition: the raw dir read DOES observe the mixed prefix")
+
+    // ...but the committed read reconstructs the pre-batch snapshot
+    // from the surviving displaced copies — no mixed state observable
+    val committed = StreamingMerge.readCommitted(spark, state)
+      .select("k", "v").orderBy("k").as[(Long, String)].collect().toSeq
+    assert(committed === Seq((0L, "a0"), (1L, "a1"), (2L, "a2"), (3L, "a3")))
+
+    // replay to completion: the manifest delete commits the batch
+    // atomically, and the same call now returns the post-batch snapshot
+    applyB()
+    val after = StreamingMerge.readCommitted(spark, state)
+      .select("k", "v").orderBy("k").as[(Long, String)].collect().toSeq
+    assert(after === Seq((0L, "b0"), (1L, "b1"), (2L, "a2"), (3L, "a3")))
+  }
+
   test("two displaced copies for one bucket fail loudly instead of restoring a stale one") {
     val state = Files.createTempDirectory("graft_merge_dup_old").resolve("state").toString
     StreamingMerge.seedSnapshot(Seq((0L, "a")).toDF("k", "v"), "k", state, numBuckets = 1)
