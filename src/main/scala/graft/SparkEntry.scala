@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Decontamination.all ++
       operators.RecordLinkage.all ++
       operators.BpeTrainer.all ++
+      operators.Profiling.all ++
       operators.Packing.all ++
       operators.LakeMaintenance.all ++
       operators.SnapshotLog.all ++

@@ -349,6 +349,101 @@ object GraphOps {
               |              CAST(0 AS BIGINT) AS dist),
               |${(1 to 6).map(spIterSql).mkString(",\n")}
               |SELECT node, dist FROM d6 ORDER BY node""".stripMargin)
+    ),
+
+    // GR4: triangle census + global clustering coefficient of the
+    // undirected transition graph. The scale design is DEGREE-ORDERED
+    // ORIENTATION (the standard trick): orient every undirected edge
+    // from its lower-(degree, id) endpoint to the higher, so each
+    // triangle is counted exactly once AND the wedge join's fan-out per
+    // node is bounded by the oriented out-degree — O(E^1.5) total work
+    // and no hub-node quadratic blow-up, where the naive shared-center
+    // join explodes on the highest-degree vertex. The oracle counts the
+    // same triangles from the canonical u<v edge list; wedge totals are
+    // Σ C(deg, 2) on both sides.
+    Q(
+      "gr4_triangles",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("node"))
+          .filter(col("node").isNotNull)
+        val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val und = ev
+          .withColumn("prev", lag("node", 1).over(byTime))
+          .filter(col("prev").isNotNull && col("prev") =!= col("node"))
+          .select(
+            least(col("prev"), col("node")).as("u"),
+            greatest(col("prev"), col("node")).as("v"))
+          .distinct()
+        val deg = und.select(col("u").as("node"))
+          .unionAll(und.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        // orient u→v when (deg(u), u) < (deg(v), v); carry the head
+        // endpoint's (deg, id) so the wedge join can order its two arms
+        // without another lookup
+        val du = deg.select(col("node").as("u"), col("deg").as("du"))
+        val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+        val oriented = und.join(du, "u").join(dv, "v")
+          .select(
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("u"))
+              .otherwise(col("v")).as("src"),
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("v"))
+              .otherwise(col("u")).as("dst"),
+            when(col("du") < col("dv") ||
+              (col("du") === col("dv") && col("u") < col("v")), col("dv"))
+              .otherwise(col("du")).as("ddst"))
+        val o1 = oriented.select(col("src"), col("dst").as("a"), col("ddst").as("da"))
+        val o2 = oriented.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+        // wedge (src; a, b) with a <ₒ b in the orientation order; the
+        // closing edge a→b is oriented the same way by transitivity
+        val wedges = o1.join(o2, Seq("src"))
+          .filter(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")))
+          .select(col("a"), col("b"))
+        val closing = oriented.select(col("src").as("a"), col("dst").as("b"))
+        val tri = wedges.join(closing, Seq("a", "b"), "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+        val stats = deg.agg(
+          count(lit(1)).as("n_nodes"),
+          (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
+        val edgeCount = und.agg(count(lit(1)).as("n_edges"))
+        stats.crossJoin(edgeCount).crossJoin(tri)
+          .select(
+            col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+            round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+              .as("clustering"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, ts, event_id,
+             |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS node
+             |  FROM events
+             |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+             |trans AS (
+             |  SELECT node AS dst,
+             |         lag(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+             |  FROM ev),
+             |edges AS (
+             |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+             |  FROM trans WHERE src IS NOT NULL AND src <> dst),
+             |deg AS (
+             |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+             |  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+             |  GROUP BY node),
+             |tri AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+             |  FROM edges e1
+             |  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+             |  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+             |       (SELECT CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) FROM deg) AS n_wedges,
+             |       (SELECT n_triangles FROM tri) AS n_triangles,
+             |       ROUND(3.0 * (SELECT n_triangles FROM tri) /
+             |             (SELECT SUM(deg * (deg - 1)) // 2 FROM deg), 6) AS clustering
+             |""".stripMargin)
     )
   )
 }

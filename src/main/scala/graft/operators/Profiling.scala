@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Data profiling: per-column statistics of a fact table in ONE scan —
+  * the first job every ingest/quality pipeline runs over a new drop.
+  *
+  * Scale design: the naive profiler scans once per column; this one
+  * computes every column's (count, nulls, distinct, min, max, mean) in
+  * a single aggregate over a single scan and unpivots the one result
+  * row with `stack`. Exact distinct counts over multiple columns make
+  * Catalyst plan an Expand (one duplicated stream per distinct column)
+  * — still one scan, with map-side partial aggregation per stream; at
+  * 100 TB swap `count_distinct` for `approx_count_distinct` (ap1's
+  * sketch tier) and the Expand disappears. The mean follows the
+  * repo-wide fixed-point convention (StarQueries scaladoc) so the
+  * DuckDB oracle hash-matches bit-for-bit.
+  */
+object Profiling {
+
+  private val Columns = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val all: Seq[Q] = Seq(
+    Q(
+      "dp1_column_profile",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val aggs = Columns.flatMap { c =>
+          Seq(
+            count(col(c)).as(s"${c}_n"),
+            (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_distinct"),
+            min(col(c)).as(s"${c}_min"),
+            max(col(c)).as(s"${c}_max"),
+            (sum(round(col(c) * 10000).cast("long")).cast("double") / 10000.0 /
+              count(col(c))).as(s"${c}_mean"))
+        }
+        li.agg(aggs.head, aggs.tail: _*)
+          .selectExpr(
+            s"stack(${Columns.size}, " + Columns.map(c =>
+              s"'$c', ${c}_n, ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max, ${c}_mean")
+              .mkString(", ") +
+              ") as (col_name, n_values, n_nulls, n_distinct, min_val, max_val, mean_val)")
+          .orderBy("col_name")
+      },
+      Some(Columns.map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(COUNT($c) AS BIGINT) AS n_values,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  MIN($c) AS min_val, MAX($c) AS max_val,
+           |  CAST(SUM(CAST(ROUND($c * 10000) AS BIGINT)) AS DOUBLE)/10000.0/COUNT($c) AS mean_val
+           |FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
+  )
+}
