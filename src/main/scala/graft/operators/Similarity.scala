@@ -537,6 +537,107 @@ object Similarity {
       }
     ),
 
+    // SS4: the full billion-scale ANN funnel — IVF coarse quantizer +
+    // PQ asymmetric-distance shortlist + exact re-rank — composed from
+    // ss3's cells and em5's codes. The scale property: the candidate
+    // scoring touches ONLY each candidate's 4-byte PQ code (per-query
+    // distance tables against the codebooks, 8 lookups + adds per
+    // candidate), never the 64-d vector; full embeddings are fetched by
+    // id ONLY for the 32-row-per-query shortlist's exact re-rank — at
+    // 100 TB the index (codes + cells) is ~64x smaller than the corpus
+    // and the funnel's I/O is shortlist-sized. Every stage is
+    // deterministic (argmax ties first-match, approx ties by id), so
+    // the DuckDB oracle replays the identical funnel bit-for-bit.
+    Q(
+      "ss4_ivfpq_topk",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val (v, _) = vectors(s, dir)
+        val shortlistN = 32
+        // 4-bit-per-subspace PQ code of a corpus vector (em5's rule,
+        // over the prepared double emb)
+        val codesCol = array((0 until PqSubspaces).map { sub =>
+          val subVec = slice(col("emb"), sub * PqSubDim + 1, PqSubDim)
+          val dots = array((0 until PqCells).map(c =>
+            dotCols(subVec, typedlit(pqCentroid(sub)(c).map(_.toDouble).toSeq))): _*)
+          array_position(dots, array_max(dots)).cast("int")
+        }: _*)
+        val coded = v.select(col("vec_id"), col("cell"), codesCol.as("codes"))
+        val q = v.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+            col("nrm").as("qnrm"), explode(cellProbesCol(col("emb"))).as("probe"))
+        // ADC: dot(query-subvector, codebook[code]) per subspace, summed
+        // in fixed order — the candidate's embedding is never read
+        val approx = (0 until PqSubspaces).map { sub =>
+          val qSub = slice(col("qemb"), sub * PqSubDim + 1, PqSubDim)
+          val cb = typedlit(pqCentroid(sub).map(_.map(_.toDouble).toSeq).toSeq)
+          dotCols(qSub, element_at(cb, element_at(col("codes"), sub + 1)))
+        }.reduce(_ + _)
+        val cand = coded.join(broadcast(q),
+            col("cell") === col("probe") && col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qemb"), col("qnrm"),
+            col("vec_id").as("neighbor_id"), approx.as("approx"))
+        val wA = Window.partitionBy(col("qid")).orderBy(desc("approx"), asc("neighbor_id"))
+        val short = cand.withColumn("rn", row_number().over(wA))
+          .filter(col("rn") <= shortlistN)
+          .select("qid", "qemb", "qnrm", "neighbor_id")
+        // exact re-rank: fetch full vectors for the shortlist only
+        val full = v.select(col("vec_id").as("neighbor_id"),
+          col("emb").as("cemb"), col("nrm").as("cnrm"))
+        val wS = Window.partitionBy(col("qid")).orderBy(desc("score"), asc("neighbor_id"))
+        short.join(full, Seq("neighbor_id"))
+          .select(col("qid"), col("neighbor_id"),
+            cosine(col("qemb"), col("qnrm"), col("cemb"), col("cnrm")).as("score"))
+          .withColumn("rn", row_number().over(wS))
+          .filter(col("rn") <= TopK)
+          .select("qid", "neighbor_id", "score")
+          .orderBy("qid", "neighbor_id")
+      },
+      Some {
+        val minD = "-1.7976931348623157e308"
+        val codesSql = (0 until PqSubspaces).map { sub =>
+          val dots = (0 until PqCells).map { c =>
+            val coefs = pqCentroid(sub)(c).mkString("[", ",", "]")
+            s"list_sum(list_transform(generate_series(1, $PqSubDim), i -> emb[${sub * PqSubDim} + i] * ($coefs)[i]))"
+          }.mkString("[", ", ", "]")
+          s"CAST(list_position($dots, list_max($dots)) AS INT)"
+        }.mkString("[\n     ", ",\n     ", "]")
+        val approxSql = (0 until PqSubspaces).map { sub =>
+          val cb = pqCentroid(sub).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+          s"""list_sum(list_transform(generate_series(1, $PqSubDim),
+             |    i -> q.emb[${sub * PqSubDim} + i] * ($cb)[k.codes[${sub + 1}]][i]))""".stripMargin
+        }.mkString("(", "\n  + ", ")")
+        s"""WITH $vecBucketSql,
+           |$vcSql,
+           |codes AS (SELECT vec_id, $codesSql AS codes FROM v),
+           |qd AS (SELECT vec_id, emb, nrm, d FROM vd WHERE vec_id < $NumQueries),
+           |qp AS (SELECT vec_id, emb, nrm, unnest([
+           |    list_position(d, list_max(d)),
+           |    list_position(
+           |      list_transform(generate_series(1, $NumCells),
+           |        j -> CASE WHEN j = list_position(d, list_max(d)) THEN $minD ELSE d[j] END),
+           |      list_max(list_transform(generate_series(1, $NumCells),
+           |        j -> CASE WHEN j = list_position(d, list_max(d)) THEN $minD ELSE d[j] END)))
+           |  ]) AS probe FROM qd),
+           |cand AS (
+           |  SELECT q.vec_id AS qid, q.emb AS qemb, q.nrm AS qnrm,
+           |         c.vec_id AS neighbor_id, $approxSql AS approx
+           |  FROM qp q
+           |  JOIN vc c ON c.cell = q.probe AND c.vec_id <> q.vec_id
+           |  JOIN codes k ON k.vec_id = c.vec_id),
+           |short AS (SELECT qid, qemb, qnrm, neighbor_id FROM
+           |    (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, neighbor_id) AS rn
+           |     FROM cand) WHERE rn <= 32),
+           |p AS (SELECT s.qid, s.neighbor_id,
+           |        round(list_sum(list_transform(generate_series(1,$Dims),
+           |          i -> s.qemb[i]*c.emb[i])) / (s.qnrm*c.nrm), 6) AS score
+           |      FROM short s JOIN v c ON c.vec_id = s.neighbor_id)
+           |SELECT qid, neighbor_id, score FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rn FROM p)
+           |WHERE rn <= $TopK ORDER BY qid, neighbor_id""".stripMargin
+      }
+    ),
+
     // Embedding near-dup detection: same-or-adjacent-bucket pairs above a
     // cosine floor. XOR distance is symmetric, so with a.vec_id < b.vec_id
     // each unordered pair matches exactly one probe — no dedup pass needed.
