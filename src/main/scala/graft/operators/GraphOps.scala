@@ -369,13 +369,20 @@ object GraphOps {
             get_json_object(col("props"), "$.k").cast("long").as("node"))
           .filter(col("node").isNotNull)
         val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val und = ev
+        // und feeds five consumers (wedges twice, closing, degree stats,
+        // edge count): persisting it cuts the expensive subtree — the
+        // full event scan + per-user window + distinct — to ONE
+        // derivation; everything downstream is O(E) rows. (Persisting
+        // deg/oriented too was measured slower: columnar-encode
+        // overhead and lost broadcast choices on tiny tables.)
+        val und = graft.CacheScope.track(ev
           .withColumn("prev", lag("node", 1).over(byTime))
           .filter(col("prev").isNotNull && col("prev") =!= col("node"))
           .select(
             least(col("prev"), col("node")).as("u"),
             greatest(col("prev"), col("node")).as("v"))
           .distinct()
+          .persist())
         val deg = und.select(col("u").as("node"))
           .unionAll(und.select(col("v").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))
