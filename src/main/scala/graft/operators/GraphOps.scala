@@ -370,19 +370,22 @@ object GraphOps {
           .filter(col("node").isNotNull)
         val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
         // und feeds five consumers (wedges twice, closing, degree stats,
-        // edge count): persisting it cuts the expensive subtree — the
-        // full event scan + per-user window + distinct — to ONE
-        // derivation; everything downstream is O(E) rows. (Persisting
-        // deg/oriented too was measured slower: columnar-encode
-        // overhead and lost broadcast choices on tiny tables.)
-        val und = graft.CacheScope.track(ev
+        // edge count): EAGER localCheckpoint cuts the expensive subtree
+        // — the full event scan + per-user window + distinct — to ONE
+        // derivation before the main job; everything downstream is O(E)
+        // rows. Measured at sf0.1/32 cores: lazy persist() 6.6s at 162
+        // task-s (the five branches' stages race to compute the
+        // not-yet-cached IMR partitions in parallel), unpersisted 3.0s,
+        // eager checkpoint 2.0s at 0.7 task-s — the same loop
+        // discipline gr1-gr3 use.
+        val und = (ev
           .withColumn("prev", lag("node", 1).over(byTime))
           .filter(col("prev").isNotNull && col("prev") =!= col("node"))
           .select(
             least(col("prev"), col("node")).as("u"),
             greatest(col("prev"), col("node")).as("v"))
           .distinct()
-          .persist())
+          .localCheckpoint(true))
         val deg = und.select(col("u").as("node"))
           .unionAll(und.select(col("v").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))
