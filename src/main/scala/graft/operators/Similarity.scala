@@ -335,6 +335,55 @@ object Similarity {
   def ivfTopK(v: DataFrame, numQueries: Int, topK: Int): DataFrame =
     ivfImpl(v, numQueries, topK, e => cellProbesCol(e))
 
+  /** The full IVF + PQ + exact-re-rank ANN funnel over a prepared
+    * vector frame (ss4's operator): probe 2 cells, score candidates by
+    * asymmetric distance against the PQ codebooks (the candidate's
+    * 4-byte code only — never its vector), keep a `shortlistN` shortlist
+    * per query, fetch full embeddings by id for the exact cosine
+    * re-rank. Deterministic end to end.
+    */
+  def ivfPqTopK(v: DataFrame, numQueries: Int, topK: Int,
+      shortlistN: Int = 32): DataFrame = {
+    // 4-bit-per-subspace PQ code of a corpus vector (em5's rule, over
+    // the prepared double emb)
+    val codesCol = array((0 until PqSubspaces).map { sub =>
+      val subVec = slice(col("emb"), sub * PqSubDim + 1, PqSubDim)
+      val dots = array((0 until PqCells).map(c =>
+        dotCols(subVec, typedlit(pqCentroid(sub)(c).map(_.toDouble).toSeq))): _*)
+      array_position(dots, array_max(dots)).cast("int")
+    }: _*)
+    val coded = v.select(col("vec_id"), col("cell"), codesCol.as("codes"))
+    val q = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"), explode(cellProbesCol(col("emb"))).as("probe"))
+    // ADC: dot(query-subvector, codebook[code]) per subspace, summed
+    // in fixed order — the candidate's embedding is never read
+    val approx = (0 until PqSubspaces).map { sub =>
+      val qSub = slice(col("qemb"), sub * PqSubDim + 1, PqSubDim)
+      val cb = typedlit(pqCentroid(sub).map(_.map(_.toDouble).toSeq).toSeq)
+      dotCols(qSub, element_at(cb, element_at(col("codes"), sub + 1)))
+    }.reduce(_ + _)
+    val cand = coded.join(broadcast(q),
+        col("cell") === col("probe") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qemb"), col("qnrm"),
+        col("vec_id").as("neighbor_id"), approx.as("approx"))
+    val wA = Window.partitionBy(col("qid")).orderBy(desc("approx"), asc("neighbor_id"))
+    val short = cand.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= shortlistN)
+      .select("qid", "qemb", "qnrm", "neighbor_id")
+    // exact re-rank: fetch full vectors for the shortlist only
+    val full = v.select(col("vec_id").as("neighbor_id"),
+      col("emb").as("cemb"), col("nrm").as("cnrm"))
+    val wS = Window.partitionBy(col("qid")).orderBy(desc("score"), asc("neighbor_id"))
+    short.join(full, Seq("neighbor_id"))
+      .select(col("qid"), col("neighbor_id"),
+        cosine(col("qemb"), col("qnrm"), col("cemb"), col("cnrm")).as("score"))
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= topK)
+      .select("qid", "neighbor_id", "score")
+      .orderBy("qid", "neighbor_id")
+  }
+
   private def ivfImpl(v: DataFrame, numQueries: Int, topK: Int,
       probes: Column => Column): DataFrame = {
     val q = v.filter(col("vec_id") < numQueries)
@@ -552,46 +601,7 @@ object Similarity {
       "ss4_ivfpq_topk",
       (s, dir) => {
         GraftFunctions.register(s)
-        val (v, _) = vectors(s, dir)
-        val shortlistN = 32
-        // 4-bit-per-subspace PQ code of a corpus vector (em5's rule,
-        // over the prepared double emb)
-        val codesCol = array((0 until PqSubspaces).map { sub =>
-          val subVec = slice(col("emb"), sub * PqSubDim + 1, PqSubDim)
-          val dots = array((0 until PqCells).map(c =>
-            dotCols(subVec, typedlit(pqCentroid(sub)(c).map(_.toDouble).toSeq))): _*)
-          array_position(dots, array_max(dots)).cast("int")
-        }: _*)
-        val coded = v.select(col("vec_id"), col("cell"), codesCol.as("codes"))
-        val q = v.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-            col("nrm").as("qnrm"), explode(cellProbesCol(col("emb"))).as("probe"))
-        // ADC: dot(query-subvector, codebook[code]) per subspace, summed
-        // in fixed order — the candidate's embedding is never read
-        val approx = (0 until PqSubspaces).map { sub =>
-          val qSub = slice(col("qemb"), sub * PqSubDim + 1, PqSubDim)
-          val cb = typedlit(pqCentroid(sub).map(_.map(_.toDouble).toSeq).toSeq)
-          dotCols(qSub, element_at(cb, element_at(col("codes"), sub + 1)))
-        }.reduce(_ + _)
-        val cand = coded.join(broadcast(q),
-            col("cell") === col("probe") && col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("qemb"), col("qnrm"),
-            col("vec_id").as("neighbor_id"), approx.as("approx"))
-        val wA = Window.partitionBy(col("qid")).orderBy(desc("approx"), asc("neighbor_id"))
-        val short = cand.withColumn("rn", row_number().over(wA))
-          .filter(col("rn") <= shortlistN)
-          .select("qid", "qemb", "qnrm", "neighbor_id")
-        // exact re-rank: fetch full vectors for the shortlist only
-        val full = v.select(col("vec_id").as("neighbor_id"),
-          col("emb").as("cemb"), col("nrm").as("cnrm"))
-        val wS = Window.partitionBy(col("qid")).orderBy(desc("score"), asc("neighbor_id"))
-        short.join(full, Seq("neighbor_id"))
-          .select(col("qid"), col("neighbor_id"),
-            cosine(col("qemb"), col("qnrm"), col("cemb"), col("cnrm")).as("score"))
-          .withColumn("rn", row_number().over(wS))
-          .filter(col("rn") <= TopK)
-          .select("qid", "neighbor_id", "score")
-          .orderBy("qid", "neighbor_id")
+        ivfPqTopK(vectors(s, dir)._1, NumQueries, TopK)
       },
       Some {
         val minD = "-1.7976931348623157e308"

@@ -57,6 +57,21 @@ class SimilarityRecallSpec extends SparkSpec {
     val ivfHits = (0 until nQueries).count(q => ivf.get(q.toLong).contains(1000L + q))
     val ivfRecall = ivfHits.toDouble / nQueries
     assert(ivfRecall >= 0.8, s"IVF planted-twin recall $ivfRecall ($ivfHits/$nQueries)")
+
+    // Full IVF+PQ+re-rank funnel (ss4's operator): the twin must both
+    // survive the PQ shortlist (a near-identical vector codes to the
+    // same or adjacent codewords, so its asymmetric-distance score
+    // ranks near the top) AND win the exact re-rank. The funnel can
+    // only lose twins the plain IVF probe already lost, plus shortlist
+    // misses — so its recall is bounded by ivfRecall and must stay
+    // within a small margin of it.
+    val funnel = Similarity.ivfPqTopK(v, nQueries, topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fHits = (0 until nQueries).count(q => funnel.get(q.toLong).contains(1000L + q))
+    val fRecall = fHits.toDouble / nQueries
+    assert(fRecall >= ivfRecall - 0.1,
+      s"funnel planted-twin recall $fRecall vs IVF $ivfRecall")
+    assert(fRecall >= 0.75, s"funnel planted-twin recall $fRecall ($fHits/$nQueries)")
   }
 
   /** Trained IVF: on data with CLUSTER structure, k-means centroids
