@@ -269,23 +269,26 @@ object CorpusPipeline {
       .filter(col("split") === "train")
     val entR = round(call_function(
       graft.functions.GraftFunctions.CharEntropyName, col("text")), 6)
-    // persisted: three of the four count branches share this subtree —
-    // without the persist the full-corpus entropy pass runs three times
-    val banded = graft.CacheScope.track(
-      train.withColumn("ent", entR)
-        .filter(col("ent") >= 3.5 && col("ent") <= 5.5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // EAGERLY materialized: three of the four count branches share this
+    // subtree AND they are sibling stages of ONE crossJoin action — a
+    // lazy persist makes them race the uncached partitions and re-run
+    // the full-corpus entropy pass per branch (the gr4 lesson, see
+    // GraphOps scaladoc; measured there: lazy persist 2x slower than no
+    // cache). localCheckpoint(true) computes the pass once, up front.
+    val banded = train.withColumn("ent", entR)
+      .filter(col("ent") >= 3.5 && col("ent") <= 5.5)
+      .localCheckpoint(true)
     // ONE definition with sp5 (Sampling.wrsKey): the cap membership here
     // must stay bit-identical to sp5's sample or the funnel counts drift
     val key = Sampling.wrsKey(col("doc_id"), col("n_chars"))
-    // persisted: two branches (doc count + chunk-yield sum) share it
-    val capped = graft.CacheScope.track(
-      banded
-        .withColumn("key", key)
-        .withColumn("rk",
-          row_number().over(Window.partitionBy("source").orderBy("key", "doc_id")))
-        .filter(col("rk") <= 12)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // eagerly materialized for the same reason: two sibling branches
+    // (doc count + chunk-yield sum) of the same action share it
+    val capped = banded
+      .withColumn("key", key)
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("source").orderBy("key", "doc_id")))
+      .filter(col("rk") <= 12)
+      .localCheckpoint(true)
     // chunk yield without materializing chunks: last_k + 1 per doc
     val lastK = floor(
       (greatest(size(split(col("text"), " ")) - graft.operators.Chunking.Width,
