@@ -1,0 +1,48 @@
+package graft
+
+/** Partitioning-independence: the repo's determinism claims (fixed-point
+  * money sums, scaled-integer ranks, id tie-breaks) say results are
+  * IDENTICAL under any parallelism — the property that lets a 32-thread
+  * local run and a 1000-executor cluster hash-match the same oracle.
+  * Run determinism-sensitive queries under three shuffle-partition
+  * settings and require row-identical output.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  // float aggregation order (q2), window ranks + top-k (q7), LSH band
+  // grouping (dd5), salted two-phase agg (st1), fixed-point pagerank
+  // (gr1), funnel shortlist (ss4)
+  private val Sensitive = Seq(
+    "q2_avg_order_value",
+    "q7_customer_leaderboard",
+    "dd5_simhash",
+    "st1_salted_agg",
+    "gr1_pagerank",
+    "ss4_ivfpq_topk")
+
+  private def rows(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    df.collect().map(_.toString).toSeq
+  }
+
+  test("sensitive queries are row-identical under 1, 5, and 32 shuffle partitions") {
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    try {
+      val results = Seq("1", "5", "32").map { n =>
+        spark.conf.set(key, n)
+        spark.catalog.clearCache()
+        n -> Sensitive.map(q => q -> rows(q)).toMap
+      }
+      val (refN, ref) = results.head
+      for ((n, got) <- results.tail; q <- Sensitive) {
+        assert(got(q) === ref(q),
+          s"$q differs between $refN and $n shuffle partitions")
+        assert(got(q).nonEmpty, s"$q returned no rows")
+      }
+    } finally {
+      spark.conf.set(key, orig)
+      spark.catalog.clearCache()
+    }
+  }
+}
