@@ -441,6 +441,92 @@ object Dedup {
               |WHERE edit_dist <= 16 ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // DD10: EXACT-SUBSTRING scrub — the "Deduplicating Training Data
+    // Makes Language Models Better" operator shape: any token span
+    // covered by an 8-gram that occurs more than once in the corpus is
+    // removed from every document, and the text is reassembled from the
+    // surviving tokens. (The published method builds a suffix array;
+    // the fixed-width-gram formulation is the standard distributed
+    // approximation of it — window W bounds the memory of every step.)
+    //
+    // Scale shape: gram construction is ROW-LOCAL (a transform over the
+    // token array — no explode of the corpus into gram rows until the
+    // count, which aggregates map-side first); the duplicate-gram table
+    // and the coverage join are co-partitioned on the gram hash; the
+    // rebuild is one groupBy(doc). Nothing is quadratic, nothing is
+    // driver-side.
+    Q(
+      "dd10_substring_scrub",
+      (s, dir) => {
+        val W = 8
+        // the corpus arrives as one parquet split at these SFs, and the
+        // gram construction is the md5-heavy stage — round-robin it
+        // wide first (rl1's lesson: a single input split serializes
+        // every row-local stage built on it)
+        val toks = docs(s, dir)
+          .repartition(s.sessionState.conf.numShufflePartitions)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        // gram i (1-based) = 60-bit hash of tokens i..i+W-1, built
+        // IN-ROW over the token array; only (doc_id, i, gram-long) rows
+        // ever shuffle — 8-byte keys, never gram text
+        val grams = toks.select(
+            col("doc_id"), col("toks"),
+            transform(
+              sequence(lit(1), greatest(size(col("toks")) - (W - 1), lit(0))),
+              i => conv(substring(md5(concat_ws(" ", slice(col("toks"), i, lit(W)))),
+                1, 15), 16, 10).cast("long")).as("grams"))
+          .select(col("doc_id"), posexplode(col("grams")))
+          .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gram"))
+        val dup = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).select("gram")
+        // duplicated-gram START positions per doc (dup-bounded, not
+        // corpus-bounded); coverage expansion happens in-row below
+        val starts = grams.join(dup, "gram")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_set(col("i"))).as("starts"))
+        // the scrub itself is ROW-LOCAL: expand starts to covered
+        // positions, drop covered tokens by index, reassemble — the
+        // corpus is never exploded to token rows
+        toks.join(starts, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            col("toks"),
+            array_distinct(flatten(transform(
+              coalesce(col("starts"), array().cast("array<int>")),
+              st => sequence(st, st + (W - 1))))).as("cov"))
+          .select(
+            col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            size(col("cov")).cast("long").as("n_removed"),
+            concat_ws(" ",
+              filter(col("toks"), (t, i) =>
+                !array_contains(col("cov"), i + 1))).as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |g AS (SELECT doc_id, i,
+             |        CAST('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15) AS BIGINT) AS gram
+             |      FROM d, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS t(i)),
+             |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+             |covered AS (
+             |  SELECT DISTINCT g.doc_id, g.i + k.k AS pos
+             |  FROM g JOIN dup USING (gram),
+             |       unnest(generate_series(0, 7)) AS k(k)),
+             |toks AS (SELECT doc_id, i AS pos, toks[i] AS tok
+             |         FROM d, unnest(generate_series(1, len(toks))) AS t(i)),
+             |kept AS (SELECT tk.* FROM toks tk LEFT JOIN covered c
+             |           ON c.doc_id = tk.doc_id AND c.pos = tk.pos
+             |         WHERE c.pos IS NULL),
+             |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+             |        FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(len(d.toks) AS INT) AS n_tokens,
+             |       CAST(len(d.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+             |       coalesce(r.clean_text, '') AS clean_text
+             |FROM d LEFT JOIN reb r USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)
+    ),
+
     // SimHash: 60-bit fingerprint over the token multiset (60 bits = the
     // widest hex prefix both engines can hold in a signed 64-bit int).
     // Formulated as explode → 60 conditional sums → bit reassembly so the
