@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Locks in the physical-plan properties the scale story depends on —
+  * the ones PLANS.md audits by hand. A regression that turns top-k into
+  * a global sort, drops a pushed filter, or adds a nested-loop join
+  * fails HERE, not in a round-later bench reading.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val Dir = "/root/testdata/sf0.001"
+
+  /** Operator-tree section of the formatted plan (the per-node detail
+    * repeats operator names; count the tree only — tools/plans.py rule).
+    */
+  private def tree(name: String): String = {
+    val full = SparkEntry.queries(name)(spark, Dir)
+      .queryExecution.explainString(FormattedMode)
+    val cut = full.indexOf("\n(1) ")
+    if (cut >= 0) full.substring(0, cut) else full
+  }
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).size
+
+  test("top-k analytics compile to TakeOrderedAndProject, never a global sort") {
+    for (q <- Seq("q1_ingredient_freq", "q5_top_returned_part", "q7_customer_leaderboard")) {
+      val t = tree(q)
+      assert(t.contains("TakeOrderedAndProject"), s"$q lost its top-k operator")
+      assert(count(t, "\\bSort\\b") === 0, s"$q plans a global sort:\n$t")
+    }
+  }
+
+  test("value predicates reach the parquet scan (PushedFilters)") {
+    val full = SparkEntry.queries("p7_filter_pushdown")(spark, Dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(full.contains("PushedFilters:"), "no pushdown section at all")
+    assert(
+      full.contains("GreaterThan") || full.contains("EqualTo") ||
+        full.contains("LessThan"),
+      s"only null-filters pushed:\n$full")
+  }
+
+  test("star joins broadcast the dims — no shuffle on the fact side of q5") {
+    val t = tree("q5_top_returned_part")
+    assert(t.contains("BroadcastHashJoin"), s"q5 dim join is not broadcast:\n$t")
+    assert(count(t, "Exchange") <= 2, s"q5 has unexpected exchanges:\n$t")
+  }
+
+  test("no nested-loop or cartesian joins anywhere in the headline plans") {
+    for (q <- Seq("q1_ingredient_freq", "q5_top_returned_part",
+        "j1_revenue_per_nation", "rl1_blocked_linkage", "aj1_asof_last_view",
+        "dd10_substring_scrub", "ss4_ivfpq_topk")) {
+      val t = tree(q)
+      assert(!t.contains("BroadcastNestedLoopJoin") && !t.contains("CartesianProduct"),
+        s"$q contains a nested-loop/cartesian join:\n$t")
+    }
+  }
+
+  test("events scan yields TimestampType directly — no cast above the scan on ts") {
+    val full = SparkEntry.queries("ev2_sessionize")(spark, Dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(full.contains("ts:timestamp") || !full.contains("timestamp_ntz"),
+      s"events.ts is not a plain timestamp at the scan:\n$full")
+  }
+}
