@@ -56,6 +56,49 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  // ---- exact-substring scrub primitives (dd10 + the sm15 streaming
+  // twin share these; semantics documented at dd10's registry entry) ----
+
+  /** Gram width of the substring scrub. */
+  private[graft] val ScrubW = 8
+
+  /** In-row 60-bit hashes of every width-`w` token gram (1-based start
+    * positions): only 8-byte keys ever shuffle, never gram text.
+    */
+  private[graft] def gramHashesCol(toks: Column, w: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (w - 1), lit(0))),
+      i => conv(substring(md5(concat_ws(" ", slice(toks, i, lit(w)))), 1, 15),
+        16, 10).cast("long"))
+
+  /** (doc_id, i, gram) occurrence rows from a (doc_id, toks) frame. */
+  private[graft] def gramOccurrences(toksDf: DataFrame, w: Int): DataFrame =
+    toksDf.select(
+        col("doc_id"),
+        posexplode(gramHashesCol(col("toks"), w)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gram"))
+
+  /** ROW-LOCAL scrub of a (doc_id, toks, starts) frame: expand the
+    * sorted duplicated-gram start list to covered positions, drop
+    * covered tokens by index, reassemble — the corpus is never exploded
+    * to token rows.
+    */
+  private[graft] def scrubFrame(joined: DataFrame, w: Int): DataFrame =
+    joined
+      .select(
+        col("doc_id"),
+        col("toks"),
+        array_distinct(flatten(transform(
+          coalesce(col("starts"), array().cast("array<int>")),
+          st => sequence(st, st + (w - 1))))).as("cov"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        concat_ws(" ",
+          filter(col("toks"), (t, i) =>
+            !array_contains(col("cov"), i + 1))).as("clean_text"))
+
   /** Deterministic final ordering with a materialization barrier: a bare
     * orderBy makes the range partitioner's sampling job re-execute the
     * whole upstream pipeline a second time; persisting first means the
@@ -458,7 +501,6 @@ object Dedup {
     Q(
       "dd10_substring_scrub",
       (s, dir) => {
-        val W = 8
         // the corpus arrives as one parquet split at these SFs, and the
         // gram construction is the md5-heavy stage — round-robin it
         // wide first (rl1's lesson: a single input split serializes
@@ -466,41 +508,16 @@ object Dedup {
         val toks = docs(s, dir)
           .repartition(s.sessionState.conf.numShufflePartitions)
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        // gram i (1-based) = 60-bit hash of tokens i..i+W-1, built
-        // IN-ROW over the token array; only (doc_id, i, gram-long) rows
-        // ever shuffle — 8-byte keys, never gram text
-        val grams = toks.select(
-            col("doc_id"), col("toks"),
-            transform(
-              sequence(lit(1), greatest(size(col("toks")) - (W - 1), lit(0))),
-              i => conv(substring(md5(concat_ws(" ", slice(col("toks"), i, lit(W)))),
-                1, 15), 16, 10).cast("long")).as("grams"))
-          .select(col("doc_id"), posexplode(col("grams")))
-          .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gram"))
+        val grams = gramOccurrences(toks, ScrubW)
         val dup = grams.groupBy("gram").agg(count(lit(1)).as("n"))
           .filter(col("n") > 1).select("gram")
         // duplicated-gram START positions per doc (dup-bounded, not
-        // corpus-bounded); coverage expansion happens in-row below
+        // corpus-bounded); coverage expansion happens in-row in
+        // scrubFrame
         val starts = grams.join(dup, "gram")
           .groupBy("doc_id")
           .agg(sort_array(collect_set(col("i"))).as("starts"))
-        // the scrub itself is ROW-LOCAL: expand starts to covered
-        // positions, drop covered tokens by index, reassemble — the
-        // corpus is never exploded to token rows
-        toks.join(starts, Seq("doc_id"), "left")
-          .select(
-            col("doc_id"),
-            col("toks"),
-            array_distinct(flatten(transform(
-              coalesce(col("starts"), array().cast("array<int>")),
-              st => sequence(st, st + (W - 1))))).as("cov"))
-          .select(
-            col("doc_id"),
-            size(col("toks")).as("n_tokens"),
-            size(col("cov")).cast("long").as("n_removed"),
-            concat_ws(" ",
-              filter(col("toks"), (t, i) =>
-                !array_contains(col("cov"), i + 1))).as("clean_text"))
+        scrubFrame(toks.join(starts, Seq("doc_id"), "left"), ScrubW)
           .orderBy("doc_id")
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

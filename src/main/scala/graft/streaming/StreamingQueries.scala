@@ -211,6 +211,58 @@ object StreamingQueries {
       bench = false
     ),
 
+    // SM15: the streaming exact-substring scrub (dd10's operational
+    // twin): three replayed micro-batches, each scrubbed against the
+    // grams seen so far (persistent gram-count state + the batch's own
+    // grams), cleaned docs appended exactly once. PREFIX-CONSISTENT
+    // like sm3 — a doc emitted in batch 1 is not re-scrubbed when
+    // batch 3 duplicates one of its grams — and the oracle replays
+    // that: an occurrence is covered iff its gram's cumulative count
+    // through its OWN batch reaches 2.
+    Q(
+      "sm15_stream_scrub",
+      (s, dir) => {
+        val (landing, state, _, ckpt) = tempDirs("graft_sm15")
+        val out = graft.TempDirs.create("graft_sm15_out").toString
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        stageOrderedChunks(docs, "doc_id", Seq(170L, 340L), landing)
+        StreamingScrub.scrubStream(
+          s, landing.toString, docs.schema, state.toString, out, ckpt.toString)
+          .awaitTermination()
+        s.read.parquet(out)
+          .select("doc_id", "n_tokens", "n_removed", "clean_text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             |            CASE WHEN doc_id < 170 THEN 1
+             |                 WHEN doc_id < 340 THEN 2 ELSE 3 END AS b
+             |          FROM documents),
+             |g AS (SELECT doc_id, b, i,
+             |        CAST('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15) AS BIGINT) AS gram
+             |      FROM d, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS t(i)),
+             |cnt AS (SELECT gram, b, count(*) AS n FROM g GROUP BY gram, b),
+             |cum AS (SELECT gram, b, SUM(n) OVER (PARTITION BY gram ORDER BY b) AS c FROM cnt),
+             |dupb AS (SELECT gram, b FROM cum WHERE c >= 2),
+             |covered AS (
+             |  SELECT DISTINCT g.doc_id, g.i + k.k AS pos
+             |  FROM g JOIN dupb ON dupb.gram = g.gram AND dupb.b = g.b,
+             |       unnest(generate_series(0, 7)) AS k(k)),
+             |toks AS (SELECT doc_id, i AS pos, toks[i] AS tok
+             |         FROM d, unnest(generate_series(1, len(toks))) AS t(i)),
+             |kept AS (SELECT tk.* FROM toks tk LEFT JOIN covered c
+             |           ON c.doc_id = tk.doc_id AND c.pos = tk.pos
+             |         WHERE c.pos IS NULL),
+             |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             |               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+             |        FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(len(d.toks) AS INT) AS n_tokens,
+             |       CAST(len(d.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+             |       coalesce(r.clean_text, '') AS clean_text
+             |FROM d LEFT JOIN reb r USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      bench = false
+    ),
+
     // SM4: StreamingDecontamination's STREAM-STATIC semi join run to
     // drain: the batch-built train-gram index is the static side, the
     // test split replays as a stream, flagged doc_ids land in parquet
