@@ -26,6 +26,8 @@ class SqlSurfaceSpec extends SparkSpec {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head()
     assert(r.getDouble(0) === 11.0)
+    val jw = spark.sql("SELECT graft_jaro_winkler('abc', 'abc') AS s").head()
+    assert(jw.getDouble(0) === 1.0)
   }
 
   test("custom aggregates are callable from SQL") {
