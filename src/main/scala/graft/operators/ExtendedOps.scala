@@ -276,6 +276,55 @@ object ExtendedOps {
              |ORDER BY l_returnflag""".stripMargin)
     ),
 
+    // WQ3: EXACT weighted median via group histograms + prefix sums —
+    // the scale-correct form. A sort-the-rows median shuffles and
+    // sorts the fact table; this reduces each group to its VALUE
+    // HISTOGRAM first (groupBy (group, value) with map-side partials —
+    // the only corpus-sized pass), then runs the cumulative-weight
+    // window over histogram rows (values-per-group rows, ~50 here, not
+    // fact rows — the lk3/zCluster discipline: no window ever sees
+    // corpus-sized partitions). Weights are fixed-point cents summed as
+    // BIGINT, so the half-total comparison is integer-exact in both
+    // engines; the median is the smallest value whose cumulative weight
+    // reaches half the group total (2*cum >= total avoids division).
+    Q(
+      "wq3_weighted_median",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hist = Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+        val cum = hist.withColumn("cw",
+          sum("w").over(Window.partitionBy("l_returnflag")
+            .orderBy("l_quantity")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = hist.groupBy("l_returnflag").agg(sum("w").as("tw"))
+        cum.join(broadcast(tot), Seq("l_returnflag"))
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy("l_returnflag")
+          .agg(min("l_quantity").as("weighted_median"),
+            max(col("tw")).as("total_weight_cents"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH hist AS (
+             |  SELECT l_returnflag, l_quantity,
+             |         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+             |  FROM lineitem GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT l_returnflag, l_quantity, w,
+             |         CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+             |  FROM hist),
+             |tot AS (SELECT l_returnflag, CAST(SUM(w) AS BIGINT) AS tw FROM hist GROUP BY 1)
+             |SELECT c.l_returnflag,
+             |       MIN(c.l_quantity) AS weighted_median,
+             |       CAST(MAX(t.tw) AS BIGINT) AS total_weight_cents
+             |FROM cum c JOIN tot t USING (l_returnflag)
+             |WHERE c.cw * 2 >= t.tw
+             |GROUP BY c.l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)
+    ),
+
     // WF1: cumulative + full-partition analytics in ONE window pass:
     // running order total, order sequence number, and each order's share
     // of the customer's lifetime spend. One shuffle on o_custkey serves
