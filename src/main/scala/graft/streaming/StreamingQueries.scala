@@ -263,6 +263,36 @@ object StreamingQueries {
       bench = false
     ),
 
+    // SM16: streaming record linkage (rl1's operational twin). The
+    // drained output EQUALS the batch operator's answer — every
+    // unordered pair meets exactly once (batch-internal when both
+    // arrive together, cross-batch when the later one arrives) — so
+    // the oracle is rl1's SQL verbatim.
+    Q(
+      "sm16_stream_linkage",
+      (s, dir) => {
+        val (landing, state, _, ckpt) = tempDirs("graft_sm16")
+        val out = graft.TempDirs.create("graft_sm16_out").toString
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        stageOrderedChunks(docs, "doc_id", Seq(170L, 340L), landing)
+        StreamingLinkage.linkStream(
+          s, landing.toString, docs.schema, state.toString, out, ckpt.toString)
+          .awaitTermination()
+        s.read.parquet(out)
+          .select("doc_a", "doc_b", "sim")
+          .orderBy("doc_a", "doc_b")
+      },
+      // rl1's oracle, verbatim (RecordLinkage.scala keeps the commentary)
+      Some("""WITH d AS (SELECT doc_id, substr(text,1,80) AS head,
+             |                  split_part(text,' ',1) AS w1 FROM documents)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       ROUND(jaro_winkler_similarity(a.head, b.head), 6) AS sim
+             |FROM d a JOIN d b ON a.w1 = b.w1 AND a.doc_id < b.doc_id
+             |WHERE ROUND(jaro_winkler_similarity(a.head, b.head), 6) >= 0.9
+             |ORDER BY doc_a, doc_b""".stripMargin),
+      bench = false
+    ),
+
     // SM4: StreamingDecontamination's STREAM-STATIC semi join run to
     // drain: the batch-built train-gram index is the static side, the
     // test split replays as a stream, flagged doc_ids land in parquet
