@@ -94,13 +94,24 @@ object Bench {
     // the builder's own sweeps (bench_prior.json, regenerated each
     // round): the 2x rerun trigger's reference — "best known" maximizes
     // trigger sensitivity without ever suppressing a real regression.
-    // Absent file or query -> no trigger.
-    val prior: Map[String, Double] =
+    // Absent file or query -> no trigger. Two formats: legacy flat
+    // {name: wall_sec} and the task-primary {name: {"wall": w,
+    // "task": t}} — task-seconds are load-insensitive (a loaded box
+    // stretches wall while task-time stays flat), so where a task floor
+    // exists the swing trigger keys on it (prior._2) and wall becomes
+    // the secondary signal.
+    val prior: Map[String, (Double, Option[Double])] =
       try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(Files.readString(Paths.get("bench_prior.json")))
         import scala.jdk.CollectionConverters._
-        node.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+        node.properties().asScala.map { e =>
+          val v = e.getValue
+          if (v.isObject)
+            e.getKey -> (v.get("wall").asDouble(),
+              Option(v.get("task")).map(_.asDouble()))
+          else e.getKey -> (v.asDouble(), None)
+        }.toMap
       } catch { case _: Throwable => Map.empty }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -182,8 +193,16 @@ object Bench {
     // pathological round can't double the sweep.
     val rerunSet = {
       val slowest = results.sortBy(-_._2).take(3).map(_._1)
+      // Task-seconds outrank wall for the swing test where a task floor
+      // exists: wall-only swings on a flat task profile are box load,
+      // which the rerun exists to prove, so both still trigger it —
+      // but a task-seconds swing is flagged even when wall looks calm.
+      def taskS(n: String): Option[Double] =
+        telemetry.get(n).map(_.taskMs / 1000.0)
       val swung = results.collect {
-        case (n, s) if prior.get(n).exists(p => s > 2 * p) => n
+        case (n, s) if prior.get(n).exists { case (wall, task) =>
+          s > 2 * wall || task.exists(t => taskS(n).exists(_ > 2 * t))
+        } => n
       }
       val ordered = results.sortBy(-_._2).map(_._1)
         .filter(n => slowest.contains(n) || swung.contains(n))
@@ -204,24 +223,35 @@ object Bench {
       val s = f"$v%.2f"
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
-    def line(f: Double => String, keep: Int, errCap: Int = 5): String = {
+    def line(f: Double => String, keep: Int, errCap: Int = 5,
+        errLen: Int = 40): String = {
       // stdout budget: the registry outgrew the driver's ~2000-char tail
       // window at ~77 entries, so the printed line carries the `keep`
       // slowest queries (the scaling signal) plus an `others` rollup;
       // BENCH_FULL.json always carries every query.
       val (shown, folded) = results.sortBy(-_._2).splitAt(keep)
       val qs = shown.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      // PRIMARY per-query metric: summed executor task-seconds of the
+      // same queries — load-insensitive where wall is not (a busy box
+      // stretches wall with a flat task profile), so round-over-round
+      // comparison should key on task_s first and treat `queries`
+      // (wall) as the secondary, noise-bearing signal.
+      val taskJson = shown.flatMap { case (k, _) =>
+        telemetry.get(k).map(t => "\"" + k + "\":" + f(t.taskMs / 1000.0)) }
+        .mkString(""","task_s":{""", ",", "}")
       val othersJson =
         if (folded.isEmpty) ""
-        else s""","others":{"n":${folded.size},"sec":${f(folded.map(_._2).sum)}}"""
-      // Stdout shows at most 5 errors at 40 chars each (full messages
-      // always ride in BENCH_FULL.json) — r7's seven 80-char errors
-      // alone cost ~900 chars and pushed the line past the driver's
-      // tail window, so the artifact recorded parsed:null.
+        else s""","others":{"n":${folded.size},"sec":${f(folded.map(_._2).sum)},"task_s":${
+          f(folded.flatMap(p => telemetry.get(p._1)).map(_.taskMs).sum / 1000.0)}}"""
+      // Stdout shows at most 5 errors at 40 chars each; BENCH_FULL.json
+      // carries every message untruncated (errLen = MaxValue there) —
+      // r7's seven 80-char errors alone cost ~900 chars and pushed the
+      // line past the driver's tail window, so the artifact recorded
+      // parsed:null.
       val errJson =
         if (errors.isEmpty) ""
         else errors.take(errCap).map { case (k, v) =>
-          "\"" + esc(k) + "\":\"" + esc(v.take(if (errCap > 5) 200 else 40)) + "\"" }
+          "\"" + esc(k) + "\":\"" + esc(v.take(errLen)) + "\"" }
           .mkString(s""","n_errors":${errors.size},"errors":{""", ",", "}")
       val rerunJson = rerun
         .map { case (k, v) => "\"" + k + "\":" + f(v) }
@@ -234,7 +264,7 @@ object Bench {
         else rerun.flatMap { case (k, _) => telemetry.get(k).map(t =>
           "\"" + esc(k) + s"""":[${t.inKb},${t.outKb},${t.shKb},${fmt(t.taskMs / 1000.0)}]""") }
           .mkString(""","io_kb_task_s":{""", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$othersJson,"sf":"${
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$taskJson$othersJson,"sf":"${
         new java.io.File(sfDir).getName}","load":{"start":"$loadStart","end":"$loadEnd"}$rerunJson$ioJson$errJson}"""
     }
     // Full telemetry rides in BENCH_FULL.json (no stdout budget there);
@@ -246,7 +276,7 @@ object Bench {
       .mkString(""","telemetry":{""", ",", "}")
     Files.writeString(
       Paths.get("BENCH_FULL.json"),
-      line(_.toString, results.size, errCap = Int.MaxValue)
+      line(_.toString, results.size, errCap = Int.MaxValue, errLen = Int.MaxValue)
         .stripSuffix("}") + teleJson + "}\n")
     // Fit the stdout line inside the driver's tail window: shrink the
     // shown-query tail before ever dropping rerun/io attribution.

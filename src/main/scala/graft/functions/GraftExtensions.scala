@@ -48,6 +48,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NgramMd5Hashes(children(0), n)
       }))
     ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.PosNgramName),
+      new ExpressionInfo(classOf[PositionalNgramMd5Hashes].getName, null,
+        GraftFunctions.PosNgramName,
+        "_FUNC_(text, n) - positional 60-bit md5 word n-gram hashes", ""),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(s"n must be a literal, got $other")
+        }
+        PositionalNgramMd5Hashes(children(0), n)
+      }))
+    ext.injectFunction((
       FunctionIdentifier(GraftFunctions.TokenStatsName),
       new ExpressionInfo(classOf[TokenStats].getName, null,
         GraftFunctions.TokenStatsName,

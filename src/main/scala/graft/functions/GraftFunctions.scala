@@ -42,6 +42,9 @@ object GraftFunctions {
   /** sorted distinct md5 word n-gram hashes of a space-separated string. */
   val NgramName = "graft_ngram_hashes"
 
+  /** positional (unsorted) 60-bit md5 word n-gram hashes, one per window. */
+  val PosNgramName = "graft_ngram_pos_hashes"
+
   /** struct(n_tokens, n_stop) of a space-separated string, one byte pass. */
   val TokenStatsName = "graft_token_stats"
 
@@ -112,6 +115,14 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(s"n must be a literal, got $other")
         }
         NgramMd5Hashes(children(0), n)
+      })
+    ensure(PosNgramName, "_FUNC_(text, n) - positional 60-bit md5 word n-gram hashes")(
+      children => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(s"n must be a literal, got $other")
+        }
+        PositionalNgramMd5Hashes(children(0), n)
       })
     ensure(TokenStatsName,
       "_FUNC_(text, stopwords) - struct(n_tokens, n_stop) in one byte pass")(

@@ -119,9 +119,18 @@ object BpeTrainer {
         val (l, r, f) = (row.getString(0), row.getString(1), row.getLong(2))
         merges += Merge(k, l, r, f)
         val prev = syms
-        syms = prev.map(w => w.copy(syms = applyMerge(w.syms, l, r))).persist()
-        if (k % checkpointEvery == 0) syms = syms.localCheckpoint(true)
-        else syms.foreach(_ => ())
+        if (k % checkpointEvery == 0) {
+          // checkpoint rounds: localCheckpoint returns a NEW dataset, so
+          // the intermediate mapped dataset must be unpersisted itself
+          // or its cache entry leaks every checkpointEvery rounds (the
+          // final syms.unpersist() can't release it)
+          val mapped = prev.map(w => w.copy(syms = applyMerge(w.syms, l, r))).persist()
+          syms = mapped.localCheckpoint(true)
+          mapped.unpersist()
+        } else {
+          syms = prev.map(w => w.copy(syms = applyMerge(w.syms, l, r))).persist()
+          syms.foreach(_ => ())
+        }
         prev.unpersist()
       }
       k += 1

@@ -64,18 +64,35 @@ object Dedup {
 
   /** In-row 60-bit hashes of every width-`w` token gram (1-based start
     * positions): only 8-byte keys ever shuffle, never gram text.
+    *
+    * Short docs (< w tokens) MUST yield an empty array explicitly:
+    * Spark's sequence(1, 0) DESCENDS to [1, 0] (the same gotcha as
+    * Sampling.scala's range note), and the descending index 0 would make
+    * slice() throw at runtime. DuckDB's generate_series(1, 0) is empty,
+    * so the guard also keeps the two engines' semantics aligned.
     */
   private[graft] def gramHashesCol(toks: Column, w: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (w - 1), lit(0))),
-      i => conv(substring(md5(concat_ws(" ", slice(toks, i, lit(w)))), 1, 15),
-        16, 10).cast("long"))
+    when(size(toks) >= w,
+      transform(
+        sequence(lit(1), size(toks) - (w - 1)),
+        i => conv(substring(md5(concat_ws(" ", slice(toks, i, lit(w)))), 1, 15),
+          16, 10).cast("long")))
+      .otherwise(array().cast("array<long>"))
 
-  /** (doc_id, i, gram) occurrence rows from a (doc_id, toks) frame. */
-  private[graft] def gramOccurrences(toksDf: DataFrame, w: Int): DataFrame =
-    toksDf.select(
+  /** (doc_id, i, gram) occurrence rows from a (doc_id, text) frame.
+    * The native codegen'd [[graft.functions.PositionalNgramMd5Hashes]]
+    * emits hashes in window order, so `posexplode` recovers the 1-based
+    * start position — one static call per row instead of the interpreted
+    * transform-over-sequence md5-hex chain (BENCH_NOTES named that chain
+    * over 2.7M grams as dd10's cost center; dd7's native swap measured
+    * 2.8×). `gramHashesCol` remains as the interpreted reference form
+    * that PositionalNgramSpec checks bit-parity against.
+    */
+  private[graft] def gramOccurrences(textDf: DataFrame, w: Int): DataFrame =
+    textDf.select(
         col("doc_id"),
-        posexplode(gramHashesCol(col("toks"), w)))
+        posexplode(call_function(
+          graft.functions.GraftFunctions.PosNgramName, col("text"), lit(w))))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gram"))
 
   /** ROW-LOCAL scrub of a (doc_id, toks, starts) frame: expand the
@@ -501,14 +518,16 @@ object Dedup {
     Q(
       "dd10_substring_scrub",
       (s, dir) => {
+        GraftFunctions.register(s)
         // the corpus arrives as one parquet split at these SFs, and the
         // gram construction is the md5-heavy stage — round-robin it
         // wide first (rl1's lesson: a single input split serializes
         // every row-local stage built on it)
-        val toks = docs(s, dir)
+        val base = docs(s, dir)
           .repartition(s.sessionState.conf.numShufflePartitions)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        val grams = gramOccurrences(toks, ScrubW)
+          .select(col("doc_id"), col("text"))
+        val toks = base.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val grams = gramOccurrences(base, ScrubW)
         val dup = grams.groupBy("gram").agg(count(lit(1)).as("n"))
           .filter(col("n") > 1).select("gram")
         // duplicated-gram START positions per doc (dup-bounded, not

@@ -4,7 +4,6 @@ import graft.{Q, Tables}
 import graft.operators.{Decontamination, Dedup, Sampling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** The composed training-corpus pipeline — every hygiene operator the
   * library provides, in the order a 100 TB pretraining ingest runs them:
@@ -59,9 +58,6 @@ object CorpusPipeline {
       ts.getField("n_stop").cast("double") / ts.getField("n_tokens") <= 0.25
   }
 
-  private final case class Built(
-      report: Report, clean: DataFrame, persisted: Seq[DataFrame])
-
   /** Stage wall-clock to stderr when SPARK_GRAFT_PIPELINE_TIMING=1 —
     * the operational "where did the run go" hook (stderr so the stdout
     * JSON report stays machine-parseable).
@@ -75,106 +71,113 @@ object CorpusPipeline {
     r
   }
 
-  private def build(spark: SparkSession, sfDir: String): Built = {
+  /** SINGLE-ACTION accounting (the r8 verdict's ask): every stage is a
+    * per-row FLAG column, every funnel count a conditional aggregate of
+    * ONE final aggregation — so the driver-action count no longer
+    * scales with the number of stages. The prior shape ran a driver
+    * action per funnel tier (counts, exact.count, tallies,
+    * dirty.count); at small SF those sequential scheduler+planning
+    * round-trips dominated data time and were the rerun-confirmed
+    * source of cp1's chronic bench swing. The only remaining actions
+    * are one corpus materialization and the near-dup fixed point's
+    * convergence checks (inherent to iteration).
+    *
+    * Scale shape: the flagged corpus is shuffled ONCE by doc_id; the
+    * exact-dedup survivor set arrives by aggregate-then-join (its
+    * groupBy shuffles only (16-byte fp, 8-byte id) pairs with map-side
+    * combine — text never rides the fingerprint shuffle, unlike a
+    * window-over-fp formulation), and the near-rep and dirty-doc joins
+    * reuse the same doc_id partitioning.
+    *
+    * Returns (accounting: 1-row lazy frame, clean: the publishable
+    * corpus). Materializing `accounting` is one job end to end.
+    */
+  private def build(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(spark) // qualityPred's TokenStats
     val docs = Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
-    // Action discipline: the pipeline's cost at small-to-mid SF is bound
-    // by the NUMBER of Spark actions, not data volume (profiled — see
-    // BENCH_NOTES). input/quality/lang tallies come from ONE scan;
-    // after-near comes from the split tallies; only frames with ≥ 2
-    // consumers are persisted (exact: clustering + the rejoin; split:
-    // tallies + gram sides + lake write).
-    val inCounts = timed("counts")(docs.agg(
-      count(lit(1)),
-      coalesce(sum(when(qualityPred, 1L).otherwise(0L)), lit(0L)),
-      coalesce(sum(when(qualityPred && col("lang") === "en", 1L).otherwise(0L)),
-        lit(0L))).head())
-    val (input, afterQuality, afterLang) =
-      (inCounts.getLong(0), inCounts.getLong(1), inCounts.getLong(2))
-
-    val english = docs.filter(qualityPred && col("lang") === "en")
-
-    // exact dedup: one row per content fingerprint, smallest id canonical
-    val exact = english
-      .withColumn("fp", md5(col("text")))
-      .withColumn("keep_id", min("doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
-      .filter(col("doc_id") === col("keep_id"))
-      .drop("fp", "keep_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val afterExact = timed("exact")(exact.count())
-
-    // near-dedup: fixed-point LSH clustering over the SURVIVING frame,
-    // keep each cluster's canonical representative
-    val reps = timed("cluster")(Dedup.clusterFrame(exact))
-      .filter(col("is_canonical")).select("doc_id")
-    val near = exact.join(reps, Seq("doc_id"))
-
-    val split = Sampling.hashSplit(near, col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // one aggregation job for all three tallies, not a pass per split
-    val tallies = timed("tallies")(split.agg(
-      coalesce(sum(when(col("split") === "train", 1L).otherwise(0L)), lit(0L)),
-      coalesce(sum(when(col("split") === "val", 1L).otherwise(0L)), lit(0L)),
-      coalesce(sum(when(col("split") === "test", 1L).otherwise(0L)), lit(0L))).head())
-    val Seq(train, validation, test) = (0 to 2).map(tallies.getLong)
-    val afterNear = train + validation + test
-
-    // decontamination: drop test docs sharing any 5-gram with train.
-    // testClean is derived from the DIRTY count (test − contaminated):
-    // counting the small dirty set directly skips a whole anti-join pass
-    // over the corpus; the anti-join itself runs once, inside the lake
-    // write that publishes `clean`.
+    val base = docs
+      .withColumn("q", qualityPred)
+      .withColumn("e", qualityPred && col("lang") === "en")
+    // exact dedup survivors: min doc_id per content fingerprint among
+    // quality English rows
+    val exactIds = base.filter(col("e"))
+      .select(md5(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("is_exact"))
+    // ONE eager materialization of the flagged corpus: consumed by the
+    // cluster fixed point, both gram branches, and the final
+    // aggregation — localCheckpoint so those sibling consumers never
+    // race an uncached persist (the gr4 lesson)
+    val flags = timed("flags")(Sampling.hashSplit(
+        base.join(exactIds, Seq("doc_id"), "left")
+          .withColumn("is_exact", coalesce(col("is_exact"), lit(false))),
+        col("doc_id"))
+      .localCheckpoint(true))
+    // near-dedup: fixed-point LSH clustering over the exact survivors,
+    // each cluster's canonical representative survives
+    val reps = timed("cluster")(Dedup.clusterFrame(
+        flags.filter(col("is_exact")).select("doc_id", "text")))
+      .filter(col("is_canonical"))
+      .select(col("doc_id"), lit(true).as("is_near"))
+    val near = flags.join(reps, Seq("doc_id"), "left")
+      .withColumn("is_near", coalesce(col("is_near"), lit(false)))
+    // decontamination flag: a near-surviving test doc sharing any
+    // 5-gram with the near-surviving train split is dirty
     val trainGrams = Decontamination
-      .gramsOf(split.filter(col("split") === "train").select("doc_id", "text"))
+      .gramsOf(near.filter(col("is_near") && col("split") === "train")
+        .select("doc_id", "text"))
       .select("g").distinct()
-    val dirtyTest = Decontamination
-      .gramsOf(split.filter(col("split") === "test").select("doc_id", "text"))
+    val dirty = Decontamination
+      .gramsOf(near.filter(col("is_near") && col("split") === "test")
+        .select("doc_id", "text"))
       .join(trainGrams, Seq("g"), "left_semi")
       .select("doc_id").distinct()
-    val clean = split.join(dirtyTest, Seq("doc_id"), "left_anti")
-    val testClean = test - timed("decontam")(dirtyTest.count())
-
-    Built(
-      Report(input, afterQuality, afterLang, afterExact, afterNear,
-        train, validation, test, testClean),
-      clean,
-      Seq(exact, split))
+      .withColumn("is_dirty", lit(true))
+    val tagged = near.join(dirty, Seq("doc_id"), "left")
+      .withColumn("is_dirty", coalesce(col("is_dirty"), lit(false)))
+    def cnt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val accounting = tagged.agg(
+      count(lit(1)).as("input"),
+      cnt(col("q")).as("after_quality"),
+      cnt(col("e")).as("after_lang"),
+      cnt(col("is_exact")).as("after_exact"),
+      cnt(col("is_near")).as("after_near"),
+      cnt(col("is_near") && col("split") === "train").as("train"),
+      cnt(col("is_near") && col("split") === "val").as("val"),
+      cnt(col("is_near") && col("split") === "test").as("test"),
+      cnt(col("is_near") && col("split") === "test" && !col("is_dirty"))
+        .as("test_clean"))
+    val clean = tagged.filter(col("is_near") && !col("is_dirty"))
+      .select("doc_id", "text", "lang", "source", "split")
+    (accounting, clean)
   }
 
   def run(spark: SparkSession, sfDir: String, outDir: String): Report = {
-    val b = build(spark, sfDir)
-    b.clean.write.mode("overwrite")
+    val (accounting, clean) = build(spark, sfDir)
+    val r = timed("accounting")(accounting.head())
+    clean.write.mode("overwrite")
       .option("compression", "zstd")
       .partitionBy("split")
       .parquet(outDir)
-
-    b.persisted.foreach(_.unpersist())
-    // Dedup.clusterFrame persists CacheScope-tracked band/label frames
-    // that outlive this call; all counts and the lake write are done, so
-    // release them here rather than leaking one set per pipeline run.
+    // Dedup.clusterFrame may leave CacheScope-tracked frames; all counts
+    // and the lake write are done, so release them rather than leaking
+    // one set per pipeline run (checkpoint blocks are GC-reaped).
     graft.CacheScope.release()
-    b.report
+    Report(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
   }
 
   /** One-row frame of the composed pipeline's [[Report]] accounting —
     * the oracle-checkable surface of the END-TO-END composition (every
     * stage is individually oracle-verified; this proves the counts of
     * the stages chained together). No lake write: the accounting is the
-    * product here.
+    * product here. LAZY: the caller's materialization is the pipeline's
+    * one non-iterative action.
     */
-  def accountingFrame(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = build(spark, sfDir)
-    b.persisted.foreach(_.unpersist())
-    graft.CacheScope.release()
-    val r = b.report
-    import spark.implicits._
-    Seq((r.input, r.afterQuality, r.afterLang, r.afterExact, r.afterNear,
-      r.train, r.validation, r.test, r.testClean))
-      .toDF("input", "after_quality", "after_lang", "after_exact",
-        "after_near", "train", "val", "test", "test_clean")
-  }
+  def accountingFrame(spark: SparkSession, sfDir: String): DataFrame =
+    build(spark, sfDir)._1
 
   /** CP1 oracle: the full composition recomputed in SQL. Quality/lang
     * filters, windowed exact dedup, the Dedup minhash→banding math

@@ -29,7 +29,8 @@ object StreamingLinkage {
 
   private def stateExists(spark: SparkSession, stateDir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(stateDir)
-    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && fs.listStatus(path).nonEmpty
   }
 
   private def projected(batch: DataFrame): DataFrame =
@@ -45,11 +46,22 @@ object StreamingLinkage {
       .filter(col("sim") >= Threshold)
       .select(col("doc_a"), col("doc_b"), col("sim"))
 
-  /** Link one batch against the state dir; appends the batch's
-    * projections to state and returns the new match pairs (canonical
-    * doc_a < doc_b).
+  /** Link one batch against the state dir; overwrites this batch's
+    * state partition with its projections and returns the new match
+    * pairs (canonical doc_a < doc_b).
+    *
+    * REPLAY-IDEMPOTENT (foreachBatch is at-least-once): state is keyed
+    * by batchId and the read excludes the current id, so a crash after
+    * the state write and a replay cannot join the batch against its own
+    * projections — which would emit self-pairs (sim 1.0) and duplicate
+    * cross pairs. The `sid =!= doc_id` guard is belt-and-braces for the
+    * same failure shape.
     */
-  def linkBatch(spark: SparkSession, batch: DataFrame, stateDir: String): DataFrame = {
+  def linkBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      stateDir: String,
+      batchId: Long): DataFrame = {
     GraftFunctions.register(spark)
     val d = projected(batch)
     // batch-internal: id-ordered pairs within the arriving batch
@@ -61,8 +73,10 @@ object StreamingLinkage {
     val candidates =
       if (stateExists(spark, stateDir)) {
         val st = spark.read.parquet(stateDir)
+          .filter(col("batch") =!= batchId)
           .select(col("doc_id").as("sid"), col("head").as("shead"), col("w1"))
         val cross = st.join(d, "w1")
+          .filter(col("sid") =!= col("doc_id"))
           .select(
             least(col("sid"), col("doc_id")).as("doc_a"),
             greatest(col("sid"), col("doc_id")).as("doc_b"),
@@ -70,15 +84,16 @@ object StreamingLinkage {
             when(col("sid") < col("doc_id"), col("head")).otherwise(col("shead")).as("head_b"))
         cross.unionByName(internal)
       } else internal
-    // sever lineage BEFORE the state append: the returned frame must
+    // sever lineage BEFORE the state write: the returned frame must
     // not re-join a state dir that now already contains this batch
     val out = score(candidates).localCheckpoint(true)
-    d.write.mode("append").parquet(stateDir)
+    d.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
     out
   }
 
   /** File-stream wrapper: one staged file per micro-batch; match pairs
-    * append to `outDir`, blocking projections accumulate in `stateDir`.
+    * land under `outDir/batch=<id>` (idempotent on replay), blocking
+    * projections accumulate per-batch in `stateDir`.
     */
   def linkStream(
       spark: SparkSession,
@@ -93,10 +108,10 @@ object StreamingLinkage {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          linkBatch(batch.sparkSession, batch, stateDir)
-            .write.mode("append").parquet(outDir)
+          linkBatch(batch.sparkSession, batch, stateDir, batchId)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
 }

@@ -140,21 +140,34 @@ object StreamingMerge {
         s"multiple pending batches $pending under $statePath: " +
           "statePath is being written by more than one merge query")
       val bId = pending.head
-      val affected = {
+      // manifest lines: "<bucket>" (pre-existing) or "<bucket>:new"
+      // (created by the in-flight batch). A new bucket never gets an
+      // `.old` aside-copy — there is no pre-batch dir to displace — so
+      // after its commit rename the live dir holds POST-batch rows;
+      // without the marker those rows would leak into the reconstructed
+      // pre-batch snapshot alongside other buckets' pre-batch rows (a
+      // mixed prefix, the exact thing this read path forbids).
+      val parsed = {
         val in = fs.open(new Path(s"$statePath/.manifest_$bId"))
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).map(_.toLong).toSeq
+          .filter(_.nonEmpty).map { ln =>
+            val i = ln.indexOf(':')
+            if (i < 0) (ln.toLong, false)
+            else (ln.substring(0, i).toLong, ln.substring(i + 1) == "new")
+          }.toSeq
         finally in.close()
       }
-      val displaced = affected.filter(k =>
+      val newBuckets = parsed.collect { case (k, true) => k }
+      val displaced = parsed.collect { case (k, false) => k }.filter(k =>
         fs.exists(new Path(s"$statePath/.old_${bId}_bucket=$k")))
-      if (displaced.isEmpty) live
+      val excluded = displaced ++ newBuckets
+      if (excluded.isEmpty) live
       else {
         val bucketType = live.schema("bucket").dataType
-        // partition-pruned live scan of every bucket we are not
-        // substituting, then the displaced pre-batch copies with their
-        // partition value restored
-        val kept = live.filter(!col("bucket").isin(displaced.map(Long.box): _*))
+        // partition-pruned live scan of every bucket we are neither
+        // substituting nor excluding as batch-created, then the
+        // displaced pre-batch copies with their partition value restored
+        val kept = live.filter(!col("bucket").isin(excluded.map(Long.box): _*))
         displaced.foldLeft(kept) { (acc, k) =>
           acc.unionByName(
             spark.read.parquet(s"$statePath/.old_${bId}_bucket=$k")
@@ -250,15 +263,25 @@ object StreamingMerge {
       val fs = new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
       // Manifest in (tmp write + single rename = atomic publish): from
       // here until the delete below, readers/vacuum treat batchId as
-      // pending. A replay of a crashed attempt refreshes it in place.
+      // pending. Each affected bucket is marked pre-existing ("<k>") or
+      // created-by-this-batch ("<k>:new") so readCommitted can exclude
+      // new buckets from the pre-batch snapshot. A replay of a crashed
+      // attempt KEEPS the first attempt's manifest: the affected set is
+      // deterministic from the checkpointed batch, and re-probing
+      // fs.exists after a partial commit would mis-mark a bucket the
+      // prior attempt already created as pre-existing.
       val manifest = new Path(s"$statePath/.manifest_$batchId")
-      val manifestTmp = new Path(s"$statePath/.manifest_$batchId.tmp")
-      val mOut = fs.create(manifestTmp, true)
-      try mOut.write(affected.mkString("\n").getBytes("UTF-8"))
-      finally mOut.close()
-      if (fs.exists(manifest))
-        require(fs.delete(manifest, false), s"refresh of $manifest failed")
-      require(fs.rename(manifestTmp, manifest), s"publish of $manifest failed")
+      if (!fs.exists(manifest)) {
+        val manifestTmp = new Path(s"$statePath/.manifest_$batchId.tmp")
+        val lines = affected.map { k =>
+          if (fs.exists(new Path(s"$statePath/bucket=$k"))) k.toString
+          else s"$k:new"
+        }
+        val mOut = fs.create(manifestTmp, true)
+        try mOut.write(lines.mkString("\n").getBytes("UTF-8"))
+        finally mOut.close()
+        require(fs.rename(manifestTmp, manifest), s"publish of $manifest failed")
+      }
       // bucket rewrites are independent — fan them out as concurrent
       // jobs (compact()'s pattern). A mid-batch crash leaves some
       // buckets applied and some not, in ANY order; that is safe

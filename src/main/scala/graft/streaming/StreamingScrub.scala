@@ -19,28 +19,48 @@ import org.apache.spark.sql.types.StructType
   * exactly this: an occurrence is covered iff its gram's cumulative
   * count over batches ≤ its own batch reaches 2.
   *
-  * 100 TB shape: state is one (gram, n) row per distinct gram —
-  * appended per batch, aggregated at read, far smaller than the corpus
-  * — and each batch does one join of ITS grams (8-byte keys) against
-  * that state; the scrub itself is row-local (`Dedup.scrubFrame`).
+  * REPLAY-IDEMPOTENT: foreachBatch is at-least-once, so both the state
+  * append and the output append are keyed by batchId and written with
+  * overwrite — a crash between the two and a replay rewrites the same
+  * `batch=<id>` partitions instead of double-counting the batch's own
+  * grams (which would over-scrub it) or duplicating output rows. The
+  * state read excludes the current batch's partition for the same
+  * reason: a replayed batch must see exactly the pre-batch state.
+  *
+  * 100 TB shape: state is one (gram, n) row per distinct gram per batch
+  * — aggregated at read, far smaller than the corpus — and each batch
+  * does one join of ITS grams (8-byte keys) against that state; the
+  * scrub itself is row-local (`Dedup.scrubFrame`).
   */
 object StreamingScrub {
 
   private def stateExists(spark: SparkSession, stateDir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(stateDir)
-    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // at least one committed batch partition (not just a crashed shell)
+    fs.exists(path) && fs.listStatus(path).nonEmpty
   }
 
-  /** Scrub one batch against the gram-count state; appends the batch's
-    * (gram, n) counts to the state and returns the scrubbed rows.
+  /** Scrub one batch against the gram-count state; overwrites this
+    * batch's (gram, n) state partition and returns the scrubbed rows.
     */
-  def scrubBatch(spark: SparkSession, batch: DataFrame, stateDir: String): DataFrame = {
-    val toks = batch.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val grams = Dedup.gramOccurrences(toks, Dedup.ScrubW)
+  def scrubBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      stateDir: String,
+      batchId: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val base = batch.select(col("doc_id"), col("text"))
+    val toks = base.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val grams = Dedup.gramOccurrences(base, Dedup.ScrubW)
     val batchCounts = grams.groupBy("gram").agg(count(lit(1)).as("n"))
     val totals =
       if (stateExists(spark, stateDir)) {
-        val seen = spark.read.parquet(stateDir).groupBy("gram").agg(sum("n").as("n_seen"))
+        // partition discovery surfaces `batch`; excluding this batch's id
+        // makes a replay see exactly the pre-batch state
+        val seen = spark.read.parquet(stateDir)
+          .filter(col("batch") =!= batchId)
+          .groupBy("gram").agg(sum("n").as("n_seen"))
         batchCounts.join(seen, Seq("gram"), "left")
           .select(col("gram"), (col("n") + coalesce(col("n_seen"), lit(0L))).as("n_total"))
       } else batchCounts.select(col("gram"), col("n").as("n_total"))
@@ -48,17 +68,18 @@ object StreamingScrub {
     val starts = grams.join(dup, "gram")
       .groupBy("doc_id")
       .agg(sort_array(collect_set(col("i"))).as("starts"))
-    // sever lineage BEFORE the state append: the returned frame must not
+    // sever lineage BEFORE the state write: the returned frame must not
     // re-evaluate its dup decision against a state dir that now already
     // contains this batch's counts
     val out = Dedup.scrubFrame(toks.join(starts, Seq("doc_id"), "left"), Dedup.ScrubW)
       .localCheckpoint(true)
-    batchCounts.write.mode("append").parquet(stateDir)
+    batchCounts.write.mode("overwrite").parquet(s"$stateDir/batch=$batchId")
     out
   }
 
   /** File-stream wrapper: one staged file per micro-batch, scrubbed
-    * rows appended to `outDir`, gram counts accumulated in `stateDir`.
+    * rows landed under `outDir/batch=<id>` (idempotent on replay), gram
+    * counts accumulated per-batch in `stateDir`.
     */
   def scrubStream(
       spark: SparkSession,
@@ -73,10 +94,10 @@ object StreamingScrub {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          scrubBatch(batch.sparkSession, batch, stateDir)
-            .write.mode("append").parquet(outDir)
+          scrubBatch(batch.sparkSession, batch, stateDir, batchId)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
 }

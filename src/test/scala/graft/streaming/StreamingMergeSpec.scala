@@ -190,6 +190,42 @@ class StreamingMergeSpec extends SparkSpec {
     assert(after === Seq((0L, "b0"), (1L, "b1"), (2L, "a2"), (3L, "a3")))
   }
 
+  test("readCommitted excludes a batch-created bucket from the pre-batch snapshot") {
+    val state = Files.createTempDirectory("graft_merge_newb").resolve("state").toString
+    // seed puts everything in bucket 0; the batch INSERTS the first-ever
+    // key of bucket 1, so bucket 1 has no pre-batch dir and no .old copy
+    StreamingMerge.seedSnapshot(
+      Seq((0L, "a0"), (2L, "a2")).toDF("k", "v"), "k", state, numBuckets = 2)
+    val fs = new Path(state).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // canonical crash window, constructed deterministically: manifest
+    // published for {0 pre-existing, 1 new}; NEW bucket 1 already
+    // commit-renamed (live = post-batch); bucket 0 not yet swapped
+    val mOut = fs.create(new Path(s"$state/.manifest_4"), true)
+    try mOut.write("0\n1:new".getBytes("UTF-8")) finally mOut.close()
+    Seq((1L, "b1")).toDF("k", "v").write.parquet(s"$state/bucket=1")
+
+    val plain = readState(state).as[(Long, String)].collect().toSeq
+    assert(plain === Seq((0L, "a0"), (1L, "b1"), (2L, "a2")),
+      "precondition: the raw dir read DOES observe the mixed prefix")
+
+    // committed read: bucket 1 did not exist pre-batch, so its
+    // post-batch rows must NOT ride alongside bucket 0's pre-batch rows
+    val committed = StreamingMerge.readCommitted(spark, state)
+      .select("k", "v").orderBy("k").as[(Long, String)].collect().toSeq
+    assert(committed === Seq((0L, "a0"), (2L, "a2")))
+
+    // replay to completion: post-commit the insert is visible
+    StreamingMerge.applyBatch(spark,
+      Seq((1L, "insert", "b1"), (0L, "update", "b0")).toDF("k", "change_type", "new_v"),
+      "k", state, numBuckets = 2, batchId = 4L,
+      toUpsert = ch => ch.select(col("k"), col("new_v").as("v")))
+    val after = StreamingMerge.readCommitted(spark, state)
+      .select("k", "v").orderBy("k").as[(Long, String)].collect().toSeq
+    assert(after === Seq((0L, "b0"), (1L, "b1"), (2L, "a2")))
+    assert(StreamingMerge.pendingBatches(spark, state).isEmpty)
+  }
+
   test("two displaced copies for one bucket fail loudly instead of restoring a stale one") {
     val state = Files.createTempDirectory("graft_merge_dup_old").resolve("state").toString
     StreamingMerge.seedSnapshot(Seq((0L, "a")).toDF("k", "v"), "k", state, numBuckets = 1)
