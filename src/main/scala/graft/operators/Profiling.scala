@@ -21,6 +21,29 @@ object Profiling {
 
   private val Columns = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** The 100 TB profile: identical per-column stats with
+    * `approx_count_distinct` (HyperLogLog++) replacing the exact
+    * multi-column distinct — ONE scan and NO Expand, because sketches
+    * merge where exact distinct must deduplicate (dp1's scaladoc swap,
+    * now in code; PlanShapeSpec asserts the Expand-free plan). Returns
+    * the one wide aggregate row; `rsd` is the sketch's target relative
+    * standard deviation (Spark's 0.05 default).
+    */
+  def approxProfile(df: org.apache.spark.sql.DataFrame,
+      columns: Seq[String], rsd: Double = 0.05): org.apache.spark.sql.DataFrame = {
+    val aggs = columns.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}_n"),
+        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+        approx_count_distinct(col(c), rsd).as(s"${c}_approx"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"),
+        (sum(round(col(c) * 10000).cast("long")).cast("double") / 10000.0 /
+          count(col(c))).as(s"${c}_mean"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       "dp1_column_profile",
@@ -49,6 +72,43 @@ object Profiling {
            |  CAST(COUNT($c) AS BIGINT) AS n_values,
            |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
            |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  MIN($c) AS min_val, MAX($c) AS max_val,
+           |  CAST(SUM(CAST(ROUND($c * 10000) AS BIGINT)) AS DOUBLE)/10000.0/COUNT($c) AS mean_val
+           |FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+      bench = true
+    ),
+
+    // DP2: the sketch-tier profile. The PRODUCT is approxProfile's
+    // Expand-free single scan; the exact-distinct branch here exists
+    // only to ORACLE it (HLL estimates differ across engines, so the
+    // driver-checkable surface is ap1's banded-error shape: exact count
+    // + floor(relative error / 0.25), 0 at every profiled column's
+    // cardinality under the 5% rsd sketch). Production calls
+    // approxProfile alone — one scan, no Expand, mergeable partials.
+    Q(
+      "dp2_approx_profile",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val approx = approxProfile(li, Columns)
+        val exactAggs = Columns.map(c => countDistinct(col(c)).as(s"${c}_exact"))
+        val exact = li.agg(exactAggs.head, exactAggs.tail: _*)
+        approx.crossJoin(exact)
+          .selectExpr(
+            s"stack(${Columns.size}, " + Columns.map(c =>
+              s"'$c', ${c}_n, ${c}_nulls, ${c}_exact, " +
+                s"CAST(FLOOR(ABS(CAST(${c}_approx AS DOUBLE) - ${c}_exact) / ${c}_exact / 0.25) AS INT), " +
+                s"${c}_min, ${c}_max, ${c}_mean")
+              .mkString(", ") +
+              ") as (col_name, n_values, n_nulls, n_distinct, approx_err_band, min_val, max_val, mean_val)")
+          .orderBy("col_name")
+      },
+      Some(Columns.map(c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(COUNT($c) AS BIGINT) AS n_values,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(0 AS INT) AS approx_err_band,
            |  MIN($c) AS min_val, MAX($c) AS max_val,
            |  CAST(SUM(CAST(ROUND($c * 10000) AS BIGINT)) AS DOUBLE)/10000.0/COUNT($c) AS mean_val
            |FROM lineitem""".stripMargin)

@@ -211,6 +211,32 @@ object StreamingQueries {
       bench = false
     ),
 
+    // SM17: exact dedup on the ENGINE's state store (flatMapGroupsWithState
+    // + RocksDB provider) — the same three-batch replay and the same dd1
+    // oracle as sm3, but the fingerprint state lives inside the
+    // streaming engine's checkpointed per-key store instead of an
+    // operator-managed parquet table. Proves the built-in state path a
+    // production 100 TB stream would use, alongside the parquet-state
+    // design.
+    Q(
+      "sm17_statestore_dedup",
+      (s, dir) => {
+        val (landing, _, _, ckpt) = tempDirs("graft_sm17")
+        val out = graft.TempDirs.create("graft_sm17_out").toString
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        stageOrderedChunks(docs, "doc_id", Seq(170L, 340L), landing)
+        StateStoreDedup.dedupStreamRocksDb(
+          s, landing.toString, docs.schema, out, ckpt.toString)
+        s.read.parquet(out)
+          .select("doc_id", "text")
+          .orderBy("doc_id")
+      },
+      // sm3's (= dd1's) oracle, verbatim
+      Some("""SELECT min(doc_id) AS doc_id, min(text) AS text
+             |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin),
+      bench = false
+    ),
+
     // SM15: the streaming exact-substring scrub (dd10's operational
     // twin): three replayed micro-batches, each scrubbed against the
     // grams seen so far (persistent gram-count state + the batch's own

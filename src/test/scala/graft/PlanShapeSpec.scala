@@ -58,6 +58,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("approxProfile is Expand-free; the exact profile pays one Expand") {
+    val li = spark.read.parquet(s"$Dir/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_discount", "l_tax")
+    val approx = graft.operators.Profiling.approxProfile(li, cols)
+      .queryExecution.explainString(FormattedMode)
+    assert(!approx.contains("Expand"),
+      s"sketch profile must not duplicate the stream per distinct column:\n$approx")
+    // the contrast that motivates dp2: the same stats with exact
+    // multi-column distinct DO plan an Expand
+    val exact = li.agg(
+      org.apache.spark.sql.functions.countDistinct(org.apache.spark.sql.functions.col("l_quantity")),
+      org.apache.spark.sql.functions.countDistinct(org.apache.spark.sql.functions.col("l_discount")))
+      .queryExecution.explainString(FormattedMode)
+    assert(exact.contains("Expand"), "contrast case lost its Expand")
+  }
+
   test("events scan yields TimestampType directly — no cast above the scan on ts") {
     val full = SparkEntry.queries("ev2_sessionize")(spark, Dir)
       .queryExecution.explainString(FormattedMode)
