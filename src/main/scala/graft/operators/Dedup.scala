@@ -278,10 +278,21 @@ object Dedup {
         .groupBy("band", "sig").agg(min("cluster_rep").as("bmin"))
         .join(b, Seq("band", "sig"))
         .groupBy("doc_id").agg(min("bmin").as("cluster_rep"))
-      val next = jump(prop).localCheckpoint(true) // sever this round
-      val changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.cluster_rep") =!= col("o.cluster_rep"))
-        .count()
+      // Convergence detection rides the checkpoint job itself via an
+      // `observe` node over the new-vs-old join — ONE job per round
+      // instead of checkpoint + a separate count. Each round of an
+      // iterative fixed point is driver-round-trip-bound at the tail
+      // (the last rounds move a handful of labels), so halving the
+      // per-round job count halves the tail's cost — the same
+      // action-count discipline as cp1's one-pass accounting.
+      val obs = org.apache.spark.sql.Observation()
+      val next = jump(prop).as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .observe(obs, coalesce(sum(when(col("n.cluster_rep") =!= col("o.cluster_rep"), 1L)
+          .otherwise(0L)), lit(0L)).as("changed"))
+        .select(col("doc_id"), col("n.cluster_rep").as("cluster_rep"))
+        .localCheckpoint(true) // sever this round; materialization fires the observe
+      val changed = obs.get("changed").asInstanceOf[Long]
       labels = next // superseded checkpoint blocks are GC-reaped
       converged = changed == 0
       iter += 1

@@ -143,14 +143,19 @@ object GraphOps {
       // 2) pointer jump: follow the label one hop (labels are node ids,
       // and every label value is a node in v, so the lookup is total)
       val l2 = stepped.select(col("node").as("jn"), col("label").as("jl"))
+      // convergence count rides the checkpoint job via `observe` — one
+      // job per round instead of checkpoint + a separate count (the
+      // clusterBands discipline; the tail rounds of a fixed point are
+      // driver-round-trip-bound, not data-bound)
+      val obs = org.apache.spark.sql.Observation()
       val jumped = stepped.join(l2, stepped("label") === l2("jn"))
-        .select(stepped("node"), l2("jl").as("label"))
-        .localCheckpoint(true)
-      val changed = jumped.as("a")
+        .select(stepped("node"), l2("jl").as("label")).as("a")
         .join(labels.as("b"), col("a.node") === col("b.node"))
-        .filter(col("a.label") =!= col("b.label"))
-        .limit(1).count()
-      converged = changed == 0L
+        .observe(obs, coalesce(sum(when(col("a.label") =!= col("b.label"), 1L)
+          .otherwise(0L)), lit(0L)).as("changed"))
+        .select(col("a.node").as("node"), col("a.label").as("label"))
+        .localCheckpoint(true)
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = jumped
       round += 1
     }
