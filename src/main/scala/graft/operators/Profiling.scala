@@ -79,6 +79,64 @@ object Profiling {
       bench = true
     ),
 
+    // DP3: second-moment statistics (correlation, covariance, stddev)
+    // per group — the numeric-relationship half of a column profile.
+    // Cross-engine float determinism comes from the repo's fixed-point
+    // discipline taken one moment higher: values are scaled to exact
+    // integers (quantity as-is, price in cents), the five power sums
+    // accumulate EXACTLY (Spark decimal(38,0), DuckDB HUGEINT — a
+    // double sum of Σy² ≈ 6e19 would round), and only the final
+    // formula runs in IEEE doubles, written operation-for-operation
+    // identically in both engines. One scan, one shuffle of 6 numbers
+    // per group — the textbook map-side-combinable shape; at 100 TB
+    // this is the same cost as a COUNT.
+    Q(
+      "dp3_numeric_stats",
+      (s, dir) => {
+        val xi = round(col("l_quantity")).cast("decimal(38,0)")
+        val yi = round(col("l_extendedprice") * 100).cast("decimal(38,0)")
+        val g = Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(xi).as("sx"), sum(yi).as("sy"),
+            sum(xi * xi).as("sxx"), sum(yi * yi).as("syy"),
+            sum(xi * yi).as("sxy"))
+        val cNum = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+        val nd = col("n").cast("double")
+        g.select(
+            col("l_returnflag"),
+            col("n").as("n_rows"),
+            round(cNum / (sqrt(vx) * sqrt(vy)), 6).as("corr_qty_price"),
+            // cent-scale back to dollars: xy carries one factor of 100
+            round(cNum / (nd * (nd - 1)) / 100.0, 6).as("covar_qty_price"),
+            round(sqrt(vx / (nd * (nd - 1))), 6).as("std_qty"),
+            round(sqrt(vy / (nd * (nd - 1))) / 100.0, 6).as("std_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH g AS (
+             |  SELECT l_returnflag,
+             |    COUNT(*) AS n,
+             |    SUM(CAST(ROUND(l_quantity) AS HUGEINT)) AS sx,
+             |    SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sy,
+             |    SUM(CAST(ROUND(l_quantity) AS HUGEINT) * CAST(ROUND(l_quantity) AS HUGEINT)) AS sxx,
+             |    SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT) * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS syy,
+             |    SUM(CAST(ROUND(l_quantity) AS HUGEINT) * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag,
+             |  CAST(n AS BIGINT) AS n_rows,
+             |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_qty_price,
+             |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) / 100.0, 6) AS covar_qty_price,
+             |  ROUND(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS std_qty,
+             |  ROUND(sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+             |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) / 100.0, 6) AS std_price
+             |FROM g ORDER BY l_returnflag""".stripMargin)),
+
     // DP2: the sketch-tier profile. The PRODUCT is approxProfile's
     // Expand-free single scan; the exact-distinct branch here exists
     // only to ORACLE it (HLL estimates differ across engines, so the

@@ -11,14 +11,17 @@ class PartitionInvarianceSpec extends SparkSpec {
 
   // float aggregation order (q2), window ranks + top-k (q7), LSH band
   // grouping (dd5), salted two-phase agg (st1), fixed-point pagerank
-  // (gr1), funnel shortlist (ss4)
+  // (gr1), funnel shortlist (ss4), HLL sketch merge order (dp2), the
+  // one-pass flag-aggregated funnel over the cluster fixed point (cp1)
   private val Sensitive = Seq(
     "q2_avg_order_value",
     "q7_customer_leaderboard",
     "dd5_simhash",
     "st1_salted_agg",
     "gr1_pagerank",
-    "ss4_ivfpq_topk")
+    "ss4_ivfpq_topk",
+    "dp2_approx_profile",
+    "cp1_corpus_accounting")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
