@@ -268,6 +268,72 @@ object Similarity {
     raw.select(col("vec_id"), pqCodesFor(embD, books).as("codes"))
   }
 
+  // ---- exact fixed-round k-means (em7: the ORACLE-variant clusterer) --
+
+  /** Fixed-round Lloyd's k-means over the embedding column with
+    * ENGINE-INDEPENDENT arithmetic — the oracle-variant counterpart to
+    * [[trainCentroids]]'s MLlib tier (same relationship em5's ±1 books
+    * have to [[trainPqCodebooks]]): deterministic init (the k smallest
+    * vec_ids' vectors), vectors held in integer micro-units
+    * (round(x·1e6)), centroid means re-rounded to micro-units, and the
+    * assignment argmax `2·x·c − ‖c‖²` evaluated on exact integers — the
+    * dot products stay under 2^53, so the native double dot is EXACT
+    * and order-free, and two engines agree bit-for-bit. Ties break to
+    * the smallest cluster id.
+    *
+    * Scale shape per round: one row-local scoring pass (k native dots
+    * against literal centroids — no join, no shuffle), one
+    * map-side-combined (cluster, dim) sum whose result is a bounded
+    * k×dims driver value. Rounds are fixed (not converged) for the
+    * same reason gr3 fixes Bellman-Ford rounds: a deterministic
+    * quantity with an exact cross-engine oracle. Clusters cannot empty
+    * under seed-point init in round 1; a later empty cluster keeps its
+    * previous centroid.
+    */
+  def kmeansAssign(s: SparkSession, raw: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    GraftFunctions.register(s)
+    import org.apache.spark.storage.StorageLevel
+    val x6Frame = graft.CacheScope.track(
+      raw.select(
+          col("vec_id"),
+          transform(embD, v => round(v * 1000000.0)).as("x6"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    // deterministic init: the k smallest vec_ids in id order
+    val seeds = x6Frame.orderBy("vec_id").head(k)
+    var cents: Seq[Seq[Double]] =
+      seeds.map(_.getSeq[Double](1)).toSeq
+    def assignCol: Column = {
+      val scores = array(cents.map(c =>
+        lit(2.0) * dotCols(col("x6"), typedlit(c)) -
+          lit(c.map(v => v * v).sum)): _*)
+      array_position(scores, array_max(scores)).cast("int")
+    }
+    for (_ <- 1 to rounds) {
+      val sums = x6Frame
+        .select(col("vec_id"), assignCol.as("cluster"), posexplode(col("x6")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("col").cast("long")).as("s6"), count(lit(1)).as("cnt"))
+        .head(k * cents.head.size) // bounded: k x dims rows
+      val byCluster = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCluster.get(i + 1) match {
+          case Some(rows) =>
+            val dim = old.size
+            val c = Array.fill(dim)(0.0)
+            // floor(x + 0.5), NOT round(): Java's round and SQL ROUND
+            // disagree on negative half-values (floor-based vs
+            // away-from-zero) — the oracle uses FLOOR(x + 0.5) verbatim
+            rows.foreach(r =>
+              c(r.getInt(1)) = math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5))
+            c.toSeq
+          case None => old // empty cluster keeps its centroid
+        }
+      }
+    }
+    x6Frame.select(col("vec_id"), assignCol.as("cluster"))
+  }
+
   /** Prepare any (vec_id, embedding) frame: cast, norm, LSH bucket —
     * one scan, persisted. Public so callers (and tests) can run the
     * operators over their own vector sets.
@@ -881,6 +947,48 @@ object Similarity {
               |  ev.vec_id IS NULL AS keep
               |FROM embeddings e LEFT JOIN ev ON e.vec_id = ev.vec_id
               |ORDER BY e.vec_id""".stripMargin)
+    ),
+
+    // EM7: exact fixed-round k-means assignment (kmeansAssign's
+    // scaladoc carries the arithmetic contract). One Lloyd's round,
+    // k=4: assign under the seed centroids, recompute integer-unit
+    // means, output the assignment under the updated centroids — the
+    // oracle unrolls the identical integer pipeline (init → a1 → c1 →
+    // a2). The MLlib tier (trainCentroids) remains the production
+    // clusterer; this is the engine-independent variant with an exact
+    // cross-engine answer, em5-to-trained-PQ's relationship.
+    Q(
+      "em7_kmeans_assign",
+      (s, dir) =>
+        kmeansAssign(s, Tables(s, dir, "embeddings"), k = 4, rounds = 1)
+          .orderBy("vec_id"),
+      Some(s"""WITH x AS (
+             |  SELECT vec_id, i - 1 AS dim,
+             |         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+             |  FROM embeddings, unnest(generate_series(1, $Dims)) AS t(i)),
+             |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS c
+             |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+             |c0 AS (SELECT s.c, x.dim, x.x6 AS c6 FROM seed s JOIN x USING (vec_id)),
+             |n0 AS (SELECT c, SUM(c6 * c6) AS ncc FROM c0 GROUP BY c),
+             |s1 AS (SELECT x.vec_id, c0.c, 2 * SUM(x.x6 * c0.c6) AS dot2
+             |       FROM x JOIN c0 USING (dim) GROUP BY x.vec_id, c0.c),
+             |a1 AS (SELECT vec_id, c AS cluster FROM (
+             |         SELECT s1.vec_id, s1.c,
+             |                row_number() OVER (PARTITION BY s1.vec_id
+             |                  ORDER BY s1.dot2 - n0.ncc DESC, s1.c ASC) AS rk
+             |         FROM s1 JOIN n0 USING (c)) WHERE rk = 1),
+             |c1 AS (SELECT a1.cluster AS c, x.dim,
+             |              CAST(FLOOR(CAST(SUM(x.x6) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS c6
+             |       FROM a1 JOIN x USING (vec_id) GROUP BY a1.cluster, x.dim),
+             |n1 AS (SELECT c, SUM(c6 * c6) AS ncc FROM c1 GROUP BY c),
+             |s2 AS (SELECT x.vec_id, c1.c, 2 * SUM(x.x6 * c1.c6) AS dot2
+             |       FROM x JOIN c1 USING (dim) GROUP BY x.vec_id, c1.c),
+             |a2 AS (SELECT vec_id, c AS cluster FROM (
+             |         SELECT s2.vec_id, s2.c,
+             |                row_number() OVER (PARTITION BY s2.vec_id
+             |                  ORDER BY s2.dot2 - n1.ncc DESC, s2.c ASC) AS rk
+             |         FROM s2 JOIN n1 USING (c)) WHERE rk = 1)
+             |SELECT vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin)
     )
   )
 }

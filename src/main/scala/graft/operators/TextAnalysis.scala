@@ -540,6 +540,62 @@ object TextAnalysis {
              |        FROM documents)
              |  GROUP BY doc_id)
              |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // TX14: unigram log-probability scoring — the language-model
+    // quality filter shape (CCNet's perplexity cut with the corpus's
+    // own unigram model standing in for the external LM): P(t) =
+    // corpus frequency, doc score = mean ln P(t) over its tokens; low
+    // scores flag rare-token soup (boilerplate, code, mojibake).
+    //
+    // Determinism discipline: each token's ln P is rounded to 1e-6 and
+    // summed as an INTEGER (order-free; a double mean would depend on
+    // shuffle order), divided once at the end — the fixed-point mean
+    // convention. Scale shape: one explode of the corpus, a frequency
+    // table aggregated map-side, the model join left to AQE (a
+    // real-corpus unigram table is broadcast-sized after pruning;
+    // here it rides whatever AQE picks), one per-doc aggregation.
+    Q(
+      "tx14_unigram_logprob",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+        val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        val total = freq.agg(sum("c").as("t"))
+        toks.join(freq, "tok").crossJoin(total)
+          .select(
+            col("doc_id"),
+            round(log(col("c").cast("double") / col("t")) * 1000000.0)
+              .cast("long").as("lp6"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tok"),
+            (sum(col("lp6")).cast("double") / 1000000.0 / count(lit(1)))
+              .as("mean_logp"))
+          .select(
+            col("doc_id"), col("n_tok"),
+            round(col("mean_logp"), 6).as("mean_logp"),
+            (col("mean_logp") >= -4.0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, tok FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |    FROM documents)
+             |  WHERE tok <> ''),
+             |fr AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+             |tot AS (SELECT sum(c) AS t FROM fr),
+             |sc AS (
+             |  SELECT doc_id,
+             |    CAST(count(*) AS BIGINT) AS n_tok,
+             |    CAST(SUM(CAST(ROUND(ln(CAST(c AS DOUBLE) / t) * 1000000) AS BIGINT)) AS DOUBLE)
+             |      / 1000000.0 / count(*) AS mean_logp
+             |  FROM tk JOIN fr USING (tok) CROSS JOIN tot
+             |  GROUP BY doc_id)
+             |SELECT doc_id, n_tok, ROUND(mean_logp, 6) AS mean_logp,
+             |  mean_logp >= -4.0 AS keep
+             |FROM sc ORDER BY doc_id""".stripMargin)
     )
   )
 }
