@@ -301,6 +301,8 @@ object Similarity {
         .persist(StorageLevel.MEMORY_AND_DISK))
     // deterministic init: the k smallest vec_ids in id order
     val seeds = x6Frame.orderBy("vec_id").head(k)
+    require(seeds.length == k,
+      s"kmeansAssign: k=$k but only ${seeds.length} vectors")
     var cents: Seq[Seq[Double]] =
       seeds.map(_.getSeq[Double](1)).toSeq
     def assignCol: Column = {

@@ -237,6 +237,48 @@ object StreamingQueries {
       bench = false
     ),
 
+    // SM18: score-as-you-ingest unigram quality scoring (tx14's
+    // operational twin): three replayed micro-batches, each document
+    // scored under the unigram model accumulated through its OWN batch
+    // — prefix-consistent like sm15, and the oracle replays the
+    // cumulative-counts-through-own-batch rule with the same fixed-
+    // point integer mean.
+    Q(
+      "sm18_stream_scoring",
+      (s, dir) => {
+        val (landing, state, _, ckpt) = tempDirs("graft_sm18")
+        val out = graft.TempDirs.create("graft_sm18_out").toString
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        stageOrderedChunks(docs, "doc_id", Seq(170L, 340L), landing)
+        StreamingScoring.scoreStream(
+          s, landing.toString, docs.schema, state.toString, out, ckpt.toString)
+          .awaitTermination()
+        s.read.parquet(out)
+          .select("doc_id", "n_tok", "mean_logp")
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+             |            CASE WHEN doc_id < 170 THEN 1
+             |                 WHEN doc_id < 340 THEN 2 ELSE 3 END AS b
+             |          FROM documents),
+             |tk AS (SELECT doc_id, b, tok FROM (
+             |         SELECT doc_id, b, unnest(string_split(text, ' ')) AS tok FROM d)
+             |       WHERE tok <> ''),
+             |cnt AS (SELECT tok, b, count(*) AS n FROM tk GROUP BY tok, b),
+             |cum AS (SELECT tok, b, SUM(n) OVER (PARTITION BY tok ORDER BY b) AS c FROM cnt),
+             |tot AS (SELECT b, SUM(nb) OVER (ORDER BY b) AS t
+             |        FROM (SELECT b, count(*) AS nb FROM tk GROUP BY b)),
+             |sc AS (SELECT tk.doc_id,
+             |         CAST(count(*) AS BIGINT) AS n_tok,
+             |         ROUND(CAST(SUM(CAST(ROUND(ln(CAST(cum.c AS DOUBLE) / tot.t) * 1000000) AS BIGINT)) AS DOUBLE)
+             |           / 1000000.0 / count(*), 6) AS mean_logp
+             |       FROM tk JOIN cum ON cum.tok = tk.tok AND cum.b = tk.b
+             |               JOIN tot ON tot.b = tk.b
+             |       GROUP BY tk.doc_id)
+             |SELECT doc_id, n_tok, mean_logp FROM sc ORDER BY doc_id""".stripMargin),
+      bench = false
+    ),
+
     // SM15: the streaming exact-substring scrub (dd10's operational
     // twin): three replayed micro-batches, each scrubbed against the
     // grams seen so far (persistent gram-count state + the batch's own
