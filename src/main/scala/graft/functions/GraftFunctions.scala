@@ -66,6 +66,10 @@ object GraftFunctions {
   /** bloom-membership probe of a long column (serialized filter literal). */
   val BloomName = "graft_bloom_might_contain"
 
+  /** bloom-filter-building aggregate over a long column (write-side twin
+    * of [[BloomName]]; serialized spark-sketch filter out). */
+  val BloomAggName = "graft_bloom_agg"
+
   /** per-code-point Shannon entropy (log2) of a string, one pass. */
   val CharEntropyName = "graft_char_entropy"
 
@@ -181,6 +185,16 @@ object GraftFunctions {
             throw new IllegalArgumentException(s"bloom bytes must be a binary literal, got $other")
         }
         BloomMightContainLong(children(0), bytes)
+      })
+    ensure(BloomAggName,
+      "_FUNC_(col, expectedItems, fpp) - build a serialized bloom filter")(
+      children => {
+        def litNum(e: Expression): String = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString
+          case other => throw new IllegalArgumentException(s"literal required, got $other")
+        }
+        BloomAggLong(children(0), litNum(children(1)).toLong,
+          litNum(children(2)).toDouble)
       })
     ensure(CharEntropyName, "_FUNC_(s) - per-code-point Shannon entropy (log2)")(
       children => CharEntropy(children(0)))

@@ -590,6 +590,44 @@ object ExtendedOps {
              |SELECT event_id, count(e.eus) AS n_recent_errors
              |FROM p LEFT JOIN e ON pus >= eus AND pus <= eus + 600000000
              |GROUP BY event_id ORDER BY event_id""".stripMargin)
+    ),
+
+    // AP3: sketch ROLLUP — the property that makes sketches worth
+    // storing: per-DAY HLL sketches (Datasketches, `hll_sketch_agg`)
+    // union-merge into per-MONTH distincts WITHOUT rescanning the raw
+    // data. At 100 TB this is the difference between "distinct users
+    // per month" costing a month of scan vs merging 30 kilobyte-sized
+    // daily sketches a scheduled job already materialized — partial
+    // reaggregation, the same reason every metrics store keeps sketches
+    // not counts. The exact branch exists only to oracle it (ap1's
+    // banded-error convention: HLL estimates are engine-specific, so
+    // the checkable surface is the exact count + an error-band index,
+    // 0 within 25% — far past the ~1.6% rsd of the lgK=12 sketch).
+    Q(
+      "ap3_sketch_rollup",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val daily = ev
+          .groupBy(date_trunc("DAY", col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val monthly = daily
+          .groupBy(date_trunc("MONTH", col("day")).as("month"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        val exact = ev
+          .groupBy(date_trunc("MONTH", col("ts")).as("month"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        exact.join(monthly, "month")
+          .select(
+            col("month").cast("date").as("month"),
+            col("exact_users"),
+            floor(abs(col("approx_users").cast("double") - col("exact_users")) /
+              col("exact_users") / 0.25).cast("int").as("approx_err_band"))
+          .orderBy("month")
+      },
+      Some("""SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             |  count(DISTINCT user_id) AS exact_users,
+             |  CAST(0 AS INT) AS approx_err_band
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 }

@@ -171,5 +171,85 @@ object Profiling {
            |  CAST(SUM(CAST(ROUND($c * 10000) AS BIGINT)) AS DOUBLE)/10000.0/COUNT($c) AS mean_val
            |FROM lineitem""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")))
+  ,
+
+    // DP4: distribution-drift profile — Population Stability Index of
+    // `value` per event_type between two event populations (even vs odd
+    // event_id — the deterministic stand-in for reference-window vs
+    // current-window). The shape every production training pipeline
+    // runs on each new data drop: histogram both populations on a FIXED
+    // binning, then PSI = Σ (p_b - q_b)·ln(p_b / q_b) flags columns
+    // whose distribution moved (>0.25 = investigate).
+    //
+    // Scale: one scan + one (event_type, bin) count shuffle of 10 rows
+    // per type per side — COUNT-class cost at 100 TB. The global
+    // [min,max] is a single-row scalar aggregate (broadcast cross-join,
+    // the q4 pattern). Cross-engine float determinism: the bin edges
+    // and smoothed ratios are pure IEEE arithmetic both engines compute
+    // identically; only ln() is libm-variable, so each bin's PSI term
+    // is quantized to micro-units BEFORE the sum (tx14's fixed-point
+    // discipline) and the final score rounds to 6 places. Bins empty in
+    // BOTH populations are skipped identically by both engines (they
+    // never appear in the grouped counts); smoothing (+0.5 per bin,
+    // +5.0 = +0.5·10 per total) keeps one-sided-empty bins finite.
+    Q(
+      "dp4_drift_profile",
+      (s, dir) => {
+        val nBins = 10
+        val ev = Tables(s, dir, "events").filter(col("value").isNotNull)
+        val mm = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        val binned = ev.crossJoin(broadcast(mm))
+          .select(
+            col("event_type"),
+            (col("event_id") % 2 === 0).as("is_ref"),
+            least(floor((col("value") - col("lo")) /
+              ((col("hi") - col("lo")) / nBins.toDouble)), lit((nBins - 1).toDouble))
+              .cast("int").as("bin"))
+        val counts = binned.groupBy(col("event_type"), col("bin"))
+          .agg(
+            sum(when(col("is_ref"), 1L).otherwise(0L)).as("r"),
+            sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c"))
+        val totals = counts.groupBy(col("event_type"))
+          .agg(sum(col("r")).as("nr"), sum(col("c")).as("nc"))
+        val p = (col("r").cast("double") + 0.5) / (col("nr").cast("double") + 5.0)
+        val q = (col("c").cast("double") + 0.5) / (col("nc").cast("double") + 5.0)
+        counts.join(totals, "event_type")
+          .select(
+            col("event_type"), col("nr"), col("nc"),
+            round((p - q) * log(p / q) * 1000000.0).cast("long").as("t6"))
+          .groupBy(col("event_type"))
+          .agg(
+            max(col("nr")).as("n_ref"),
+            max(col("nc")).as("n_cur"),
+            round(sum(col("t6")).cast("double") / 1000000.0, 6).as("psi"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+             |mm AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+             |b AS (
+             |  SELECT event_type, event_id % 2 = 0 AS is_ref,
+             |    CAST(LEAST(FLOOR((value - lo) / ((hi - lo) / 10.0)), 9.0) AS INT) AS bin
+             |  FROM ev CROSS JOIN mm),
+             |cnt AS (
+             |  SELECT event_type, bin,
+             |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r,
+             |    SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS c
+             |  FROM b GROUP BY event_type, bin),
+             |tot AS (SELECT event_type, SUM(r) AS nr, SUM(c) AS nc
+             |        FROM cnt GROUP BY event_type),
+             |terms AS (
+             |  SELECT cnt.event_type, nr, nc,
+             |    CAST(ROUND(((CAST(r AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 5.0)
+             |              - (CAST(c AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 5.0))
+             |      * ln(((CAST(r AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 5.0))
+             |         / ((CAST(c AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 5.0)))
+             |      * 1000000.0) AS BIGINT) AS t6
+             |  FROM cnt JOIN tot ON cnt.event_type = tot.event_type)
+             |SELECT event_type,
+             |  CAST(MAX(nr) AS BIGINT) AS n_ref,
+             |  CAST(MAX(nc) AS BIGINT) AS n_cur,
+             |  ROUND(CAST(SUM(t6) AS DOUBLE) / 1000000.0, 6) AS psi
+             |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin)
+    )
   )
 }

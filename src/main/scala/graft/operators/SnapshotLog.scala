@@ -79,7 +79,8 @@ object SnapshotLog {
     * file, never skips it.
     */
   final case class FileEntry(path: String, rows: Long,
-      stats: Map[String, (String, String)] = Map.empty)
+      stats: Map[String, (String, String)] = Map.empty,
+      blooms: Map[String, String] = Map.empty)
 
   /** One committed snapshot's metadata. `rows` is the TOTAL row count
     * of the table at this snapshot (sum of its files' counts).
@@ -178,17 +179,35 @@ object SnapshotLog {
     } finally in.close()
   }
 
-  // file line: path<TAB>rows[<TAB>stats] — 2-field lines are legacy
-  // pre-stats entries and parse with empty stats
+  // ---- bloom encoding: `col=base64;col=base64` (spark-sketch wire
+  // bytes). URL-encoded column name cannot contain '=', so the FIRST
+  // '=' splits name from payload (base64's own '=' padding is safe);
+  // base64's alphabet has no ';' or tab. "-" marks no blooms.
+  private def bloomsField(blooms: Map[String, String]): String =
+    if (blooms.isEmpty) "-"
+    else blooms.toSeq.sortBy(_._1).map { case (c, b64) => s"${enc(c)}=$b64" }
+      .mkString(";")
+
+  private def parseBlooms(field: String): Map[String, String] =
+    if (field == "-" || field.isEmpty) Map.empty
+    else field.split(';').iterator.map { kv =>
+      val Array(c, b64) = kv.split("=", 2)
+      dec(c) -> b64
+    }.toMap
+
+  // file line: path<TAB>rows[<TAB>stats[<TAB>blooms]] — shorter lines
+  // are legacy entries and parse with the missing fields empty
   private def parseFileLine(l: String): FileEntry =
     l.split('\t') match {
       case Array(p2, n) => FileEntry(p2, n.toLong)
       case Array(p2, n, st) => FileEntry(p2, n.toLong, parseStats(st))
+      case Array(p2, n, st, bl) =>
+        FileEntry(p2, n.toLong, parseStats(st), parseBlooms(bl))
       case _ => throw new IllegalStateException(s"bad file line: $l")
     }
 
   private def fileLine(f: FileEntry): String =
-    s"${f.path}\t${f.rows}\t${statsField(f.stats)}"
+    s"${f.path}\t${f.rows}\t${statsField(f.stats)}\t${bloomsField(f.blooms)}"
 
   /** Parse one manifest WITHOUT opening its file lists — O(#commits)
     * bytes, the metadata an append needs to carry its parent forward.
@@ -318,9 +337,82 @@ object SnapshotLog {
     upper.map(u => withLo.filter(c <= lit(u).cast(dt))).getOrElse(withLo)
   }
 
+  /** Per-file bloom recording: build a filter over each listed (long or
+    * integral) column per written data file, sized for `expectedPerFile`
+    * items at `fpp`. Overfull files degrade to a higher fpp — more
+    * false positives, never false negatives, so pruning stays correct.
+    */
+  final case class BloomSpec(cols: Seq[String],
+      expectedPerFile: Long = 100000L, fpp: Double = 0.0001)
+
   /** Append `df` as a new snapshot; returns the committed id. */
   def append(spark: SparkSession, root: String, df: DataFrame): Long =
     commit(spark, root, df, "append", keepBase = true)
+
+  /** Append recording per-file bloom filters on `blooms.cols` — the
+    * skip index for point reads that min/max stats cannot serve: on an
+    * append-ordered (or any non-key-clustered) 100 TB table every
+    * file's key range overlaps the whole domain, so [[readRange]] prunes
+    * nothing, while a bloom answers "does this FILE possibly hold key
+    * k?" per file from manifest metadata alone. Iceberg/Parquet record
+    * the same filters at write time for the same reason. Blooms ride
+    * the file-list entries: carried forward by reference on later
+    * appends, dropped on CoW rewrite (rewritten files lose them —
+    * [[readPoint]] then conservatively keeps those files).
+    */
+  def appendBloomed(spark: SparkSession, root: String, df: DataFrame,
+      blooms: BloomSpec): Long =
+    commit(spark, root, df, "append", keepBase = true, bloomSpec = Some(blooms))
+
+  /** Point read with bloom + min/max file pruning: files whose recorded
+    * stats exclude `value` OR whose bloom filter rules it out are
+    * dropped at planning time, on the driver, from metadata alone. The
+    * residual `column = value` filter still applies (blooms prune
+    * files, not rows; false positives just mean an extra file is read),
+    * so the result is correct whether or not any file was skipped. A
+    * file without a bloom for the column is conservatively kept.
+    */
+  def readPoint(spark: SparkSession, root: String, column: String,
+      value: Long, asOf: Long = 0L): DataFrame = {
+    val (kept, schema) = pointFiles(spark, root, column, value, asOf)
+    val dt = schema(column).dataType
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(kept.map(f => s"$root/${f.path}"): _*)
+    base.filter(col(column) === lit(value).cast(dt))
+  }
+
+  /** The file entries a [[readPoint]] would scan — exposed so tests can
+    * assert the PRUNING (files skipped), not just the answer.
+    */
+  private[graft] def pointFiles(spark: SparkSession, root: String,
+      column: String, value: Long, asOf: Long = 0L): (Seq[FileEntry], StructType) = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    val s = snapshot(spark, root, id)
+    val schema = StructType.fromDDL(s.schemaDdl)
+    require(schema.fieldNames.contains(column), s"no column $column in snapshot $id")
+    val dt = schema(column).dataType
+    val v = value.toString
+    val kept = s.files.filter { f =>
+      val rangeKeeps = f.stats.get(column) match {
+        case Some((mn, mx)) =>
+          try !statGt(dt, mn, v) && !statGt(dt, v, mx)
+          catch { case _: NumberFormatException => true }
+        case None => true
+      }
+      rangeKeeps && (f.blooms.get(column) match {
+        case Some(b64) =>
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(b64)))
+            .mightContainLong(value)
+        case None => true
+      })
+    }
+    (kept, schema)
+  }
 
   /** Replace the table content with `df` (history stays addressable). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long =
@@ -510,7 +602,8 @@ object SnapshotLog {
   }
 
   private def commit(spark: SparkSession, root: String, df: DataFrame,
-      operation: String, keepBase: Boolean): Long = {
+      operation: String, keepBase: Boolean,
+      bloomSpec: Option[BloomSpec] = None): Long = {
     val base = currentId(spark, root)
     // append carries the parent's file LISTS by reference — the parent's
     // inventory is never opened, so append metadata I/O is O(#commits),
@@ -526,7 +619,7 @@ object SnapshotLog {
         mergeSchemas(StructType.fromDDL(p.schemaDdl), df.schema)
       case _ => df.schema
     }
-    commitFiles(spark, root, df, operation, refs, inline, schema)
+    commitFiles(spark, root, df, operation, refs, inline, schema, bloomSpec)
   }
 
   /** Write `df`'s files, count rows per file (one small job — the counts
@@ -543,7 +636,8 @@ object SnapshotLog {
   private def commitFiles(spark: SparkSession, root: String, df: DataFrame,
       operation: String, carriedRefs0: Seq[ListRef],
       carriedInline0: Seq[FileEntry],
-      tableSchema0: StructType = null): Long = {
+      tableSchema0: StructType = null,
+      bloomSpec: Option[BloomSpec] = None): Long = {
     var tableSchema = Option(tableSchema0).getOrElse(df.schema)
     val fs = fsOf(spark, root)
     var attempt = 0
@@ -553,15 +647,22 @@ object SnapshotLog {
     val dataDir =
       s"data/c${base + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$dataDir")
-    // per-file counts + min/max column stats: O(#files) rows reduced to
-    // one driver value — the same bounded-metadata class as the
-    // delete's hit-file set, and the same single job (count and stats
-    // share the map-side combine). An empty task can still emit a file;
-    // the listing is the source of truth and absent files count 0.
+    // per-file counts + min/max column stats (+ optional per-file bloom
+    // filters): O(#files) rows reduced to one driver value — the same
+    // bounded-metadata class as the delete's hit-file set, and the same
+    // single job (count, stats, and blooms share the map-side combine).
+    // An empty task can still emit a file; the listing is the source of
+    // truth and absent files count 0.
     val sc = statCols(df.schema)
+    val bloomCols = bloomSpec.map(_.cols).getOrElse(Nil)
+    if (bloomCols.nonEmpty) graft.functions.GraftFunctions.register(spark)
     val statAggs = sc.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"mn_$c"),
-      max(col(c)).cast("string").as(s"mx_$c")))
+      max(col(c)).cast("string").as(s"mx_$c"))) ++
+      bloomSpec.toSeq.flatMap(bs => bs.cols.map(c =>
+        call_function(graft.functions.GraftFunctions.BloomAggName,
+          col(c).cast("long"), lit(bs.expectedPerFile), lit(bs.fpp))
+          .as(s"bf_$c")))
     val counted = spark.read.parquet(s"$root/$dataDir")
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("n"), statAggs: _*)
@@ -571,14 +672,19 @@ object SnapshotLog {
           val (mn, mx) = (r.getString(2 + 2 * i), r.getString(3 + 2 * i))
           if (mn == null || mx == null) None else Some(c -> (mn, mx))
         }.toMap
-        relativize(r.getString(0)) -> (r.getLong(1), stats)
+        val blooms = bloomCols.zipWithIndex.flatMap { case (c, j) =>
+          Option(r.getAs[Array[Byte]](2 + 2 * sc.size + j)).map(b =>
+            c -> java.util.Base64.getEncoder.encodeToString(b))
+        }.toMap
+        relativize(r.getString(0)) -> ((r.getLong(1), stats, blooms))
       }.toMap
     val written = fs.listStatus(new Path(s"$root/$dataDir")).iterator
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       .map(n => s"$dataDir/$n").toSeq.sorted
       .map { p =>
-        val (n, stats) = counted.getOrElse(p, (0L, Map.empty[String, (String, String)]))
-        FileEntry(p, n, stats)
+        val (n, stats, blooms) = counted.getOrElse(p,
+          (0L, Map.empty[String, (String, String)], Map.empty[String, String]))
+        FileEntry(p, n, stats, blooms)
       }
     while (true) {
       val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
@@ -877,6 +983,20 @@ object SnapshotLog {
       optimize(s, root, clusterBy = "o_orderkey", numFiles = 8)
     }.resolve("log").toString
 
+  /** Staged bloom-indexed log: one append routed through round-robin
+    * `repartition(8)`, so every data file spans nearly the FULL
+    * o_orderkey range — the layout where min/max stats prune nothing
+    * and per-file blooms are the only skip index that works.
+    */
+  private def bloomLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttbloom_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      appendBloomed(s, root, orders.repartition(8),
+        BloomSpec(Seq("o_orderkey"), expectedPerFile = 25000L, fpp = 0.0001))
+    }.resolve("log").toString
+
   /** The tt-family staged orders log, exposed for cross-operator
     * fixtures ([[IncrementalView]]'s iv1 folds its change feed).
     */
@@ -1067,6 +1187,33 @@ object SnapshotLog {
              |FROM orders WHERE o_orderstatus = 'F'
              |ORDER BY snapshot_id, change, o_orderkey""".stripMargin),
       stage = Some((s, dir) => { ordersLog(s, dir); () })
+    ),
+
+    // TT9: bloom-pruned point reads — three key probes (min key, an
+    // absent key, max key) against the round-robin-appended log, where
+    // every file's [min,max] covers the probes and ONLY the per-file
+    // blooms skip. The residual filter makes the answer correct
+    // regardless of pruning (the oracle knows nothing of blooms);
+    // SnapshotLogSpec asserts the skipping itself. The probed keys are
+    // derived from one single-row aggregate (bounded driver value).
+    Q(
+      "tt9_bloom_point_read",
+      (s, dir) => {
+        val root = bloomLog(s, dir)
+        val mm = Tables(s, dir, "orders")
+          .agg(min("o_orderkey"), max("o_orderkey")).head()
+        Seq(mm.getLong(0), mm.getLong(0) + 17L, mm.getLong(1)).distinct
+          .map(k => readPoint(s, root, "o_orderkey", k))
+          .reduce(_ unionByName _)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderkey IN (
+             |    SELECT min(o_orderkey) FROM orders
+             |    UNION ALL SELECT min(o_orderkey) + 17 FROM orders
+             |    UNION ALL SELECT max(o_orderkey) FROM orders)
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { bloomLog(s, dir); () })
     )
   )
 }

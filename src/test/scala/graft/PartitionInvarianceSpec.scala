@@ -12,7 +12,8 @@ class PartitionInvarianceSpec extends SparkSpec {
   // float aggregation order (q2), window ranks + top-k (q7), LSH band
   // grouping (dd5), salted two-phase agg (st1), fixed-point pagerank
   // (gr1), funnel shortlist (ss4), HLL sketch merge order (dp2), the
-  // one-pass flag-aggregated funnel over the cluster fixed point (cp1)
+  // one-pass flag-aggregated funnel over the cluster fixed point (cp1),
+  // quantized-log PSI sums + datasketches HLL union order (dp4, ap3)
   private val Sensitive = Seq(
     "q2_avg_order_value",
     "q7_customer_leaderboard",
@@ -21,7 +22,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "gr1_pagerank",
     "ss4_ivfpq_topk",
     "dp2_approx_profile",
-    "cp1_corpus_accounting")
+    "cp1_corpus_accounting",
+    "dp4_drift_profile",
+    "ap3_sketch_rollup")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
