@@ -193,6 +193,55 @@ object GraphOps {
     dist
   }
 
+  /** Fixed-round k-core peel: `rounds` iterations of "drop every node
+    * with degree < k, then drop its edges". After full convergence the
+    * survivors are exactly the k-core; after a FIXED round count they
+    * are a deterministic superset — the same exactness-without-a-probe
+    * deal as [[shortestPaths]], which is what gives it an engine-exact
+    * unrolled oracle. Returns `(node, degree)` over the surviving
+    * subgraph's edges.
+    *
+    * Each round is one degree aggregation plus two semi-joins of the
+    * edge list against the surviving-node set — all key-partitioned
+    * shuffles, no driver data, lineage severed per round like the other
+    * fixed-point loops. At 100 TB the edge list re-shuffles by the same
+    * key every round, so AQE/bucketing keeps the exchange reusable;
+    * rounds is small (most peels converge in a handful) and each round
+    * strictly shrinks the data.
+    *
+    * `edges` must be undirected pairs; symmetrized and deduped here.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .unionByName(edges.select(col("dst").cast("long").as("src"),
+        col("src").cast("long").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      // symmetric edge list ⇒ degree = out-degree
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+        .localCheckpoint(true)
+      e = e
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst").localCheckpoint(true)
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
+  /** One unrolled peel round as oracle SQL — the exact mirror of the
+    * loop body in [[kCore]].
+    */
+  private def kcIterSql(i: Int, k: Int): String =
+    s"""v$i AS (SELECT src AS node FROM e${i - 1}
+       |        GROUP BY src HAVING count(*) >= $k),
+       |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+       |        JOIN v$i a ON e.src = a.node
+       |        JOIN v$i b ON e.dst = b.node)""".stripMargin
+
   /** One unrolled relaxation round as oracle SQL — the exact integer
     * mirror of the loop body in [[shortestPaths]].
     */
@@ -459,6 +508,43 @@ object GraphOps {
              |       ROUND(3.0 * (SELECT n_triangles FROM tri) /
              |             (SELECT SUM(deg * (deg - 1)) // 2 FROM deg), 6) AS clustering
              |""".stripMargin)
+    ),
+
+    // GR5: k-core extraction (k=3, 3 peel rounds) over the undirected
+    // transition graph — the dense backbone the periphery hangs off,
+    // the standard graph-cleanup step before community/influence work.
+    // Fixed rounds keep the answer engine-exact (gr3's trick); the
+    // oracle unrolls the identical peel.
+    Q(
+      "gr5_kcore",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("node"))
+          .filter(col("node").isNotNull)
+        val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val edges = ev
+          .withColumn("src", lag("node", 1).over(byTime))
+          .filter(col("src").isNotNull && col("src") =!= col("node"))
+          .select(col("src"), col("node").as("dst")).distinct()
+        kCore(edges, k = 3, rounds = 3).orderBy("node")
+      },
+      Some(s"""WITH ev AS (
+              |  SELECT user_id, ts, event_id,
+              |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS node
+              |  FROM events
+              |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+              |trans AS (
+              |  SELECT node AS dst,
+              |         lag(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+              |  FROM ev),
+              |und AS (SELECT DISTINCT src, dst FROM trans
+              |        WHERE src IS NOT NULL AND src <> dst),
+              |e0 AS (SELECT src, dst FROM und
+              |       UNION SELECT dst, src FROM und),
+              |${(1 to 3).map(kcIterSql(_, 3)).mkString(",\n")}
+              |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+              |FROM e3 GROUP BY src ORDER BY node""".stripMargin)
     )
   )
 }

@@ -129,5 +129,72 @@ object RecordLinkage {
              |       ROUND(jaro_winkler_similarity(head_a, head_b), 6) AS sim
              |FROM cand
              |WHERE ROUND(jaro_winkler_similarity(head_a, head_b), 6) >= 0.9
-             |ORDER BY doc_a, doc_b""".stripMargin)))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // RL3: the entity-resolution COMPLETION — match pairs are only half
+    // an ER system; the product is the golden record. rl1's blocked
+    // matches become an undirected match graph, transitive closure
+    // (pointer-jumped [[GraphOps.connectedComponents]] — A~B and B~C
+    // merge even when A,C were never directly compared) groups docs
+    // into entities, and each entity elects its golden member: most
+    // content (max n_chars), smallest doc_id on ties — both
+    // deterministic, so the whole pipeline stays engine-exact. Scale:
+    // the closure runs on MATCH pairs (bounded by the linkage
+    // threshold), never on the corpus; everything else is
+    // key-partitioned joins/aggs on entity ids.
+    Q(
+      "rl3_golden_record",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val d = docs(s, dir)
+        val n = s.sessionState.conf.numShufflePartitions
+        val a = d.repartition(n)
+          .select(col("doc_id").as("doc_a"), col("head").as("head_a"), col("w1"))
+        val b = d.select(col("doc_id").as("doc_b"), col("head").as("head_b"), col("w1"))
+        val cand = a.join(b, a("w1") === b("w1") && col("doc_a") < col("doc_b"))
+        val m = score(cand.repartition(n, col("doc_a"), col("doc_b")), 0.9)
+        val nodes = m.select(col("doc_a").as("node"))
+          .unionByName(m.select(col("doc_b").as("node"))).distinct()
+        val comp = GraphOps.connectedComponents(nodes,
+          m.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        val members = comp.join(
+          Tables(s, dir, "documents")
+            .select(col("doc_id").as("node"), col("n_chars")), "node")
+        val sizes = members.groupBy(col("component").as("entity"))
+          .agg(count(lit(1)).as("n_members"), max(col("n_chars")).as("max_chars"))
+        val golden = members.join(sizes,
+            members("component") === sizes("entity") &&
+              members("n_chars") === sizes("max_chars"))
+          .groupBy(col("entity")).agg(min(col("node")).as("golden_doc"))
+        sizes.join(golden, "entity")
+          .select(col("entity"), col("n_members"), col("max_chars"),
+            col("golden_doc"))
+          .orderBy("entity")
+      },
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id, substr(text,1,80) AS head,
+             |         split_part(text,' ',1) AS w1 FROM documents),
+             |m AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM d a JOIN d b ON a.w1 = b.w1 AND a.doc_id < b.doc_id
+             |  WHERE ROUND(jaro_winkler_similarity(a.head, b.head), 6) >= 0.9),
+             |e AS (SELECT doc_a AS src, doc_b AS dst FROM m
+             |      UNION SELECT doc_b, doc_a FROM m),
+             |nodes AS (SELECT DISTINCT src AS node FROM e),
+             |reach(a, b) AS (
+             |  SELECT node, node FROM nodes
+             |  UNION
+             |  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+             |lab AS (SELECT a AS node, CAST(min(b) AS BIGINT) AS entity
+             |        FROM reach GROUP BY a),
+             |mem AS (SELECT l.node, l.entity, doc.n_chars
+             |        FROM lab l JOIN documents doc ON doc.doc_id = l.node),
+             |sz AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_members,
+             |              CAST(max(n_chars) AS BIGINT) AS max_chars
+             |       FROM mem GROUP BY entity)
+             |SELECT s.entity, s.n_members, s.max_chars,
+             |       CAST((SELECT min(node) FROM mem
+             |             WHERE mem.entity = s.entity
+             |               AND mem.n_chars = s.max_chars) AS BIGINT) AS golden_doc
+             |FROM sz s ORDER BY entity""".stripMargin)))
 }

@@ -279,6 +279,58 @@ object StreamingQueries {
       bench = false
     ),
 
+    // SM19: streaming sketch maintenance — ap3's rollup as production
+    // runs it: each micro-batch writes its per-day HLL sketches to a
+    // batchId-keyed state dir (overwrite per id = replay-idempotent at
+    // the FILE level, and HLL union is idempotent at the MERGE level —
+    // re-unioning a replayed batch's sketch is a no-op on the
+    // registers, a double safety the counting states sm15/sm16 need
+    // prefix bookkeeping for). The month answer merges state sketches
+    // without rescanning raw events; the oracle is ap3's verbatim (the
+    // exact branch is oracle scaffolding, as there).
+    Q(
+      "sm19_stream_sketch",
+      (s, dir) => {
+        val (landing, state, _, ckpt) = tempDirs("graft_sm19")
+        val ev = Tables(s, dir, "events")
+        stageOrderedChunks(ev, "event_id", Seq(3000L, 6000L), landing)
+        val raw = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+        raw.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch
+              .groupBy(date_trunc("DAY", col("ts")).as("day"))
+              .agg(hll_sketch_agg(col("user_id")).as("sk"))
+              .write.mode("overwrite")
+              .parquet(s"$state/batch=$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        val monthly = s.read.parquet(state.toString)
+          .groupBy(date_trunc("MONTH", col("day")).as("month"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        val exact = ev
+          .groupBy(date_trunc("MONTH", col("ts")).as("month"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        exact.join(monthly, "month")
+          .select(
+            col("month").cast("date").as("month"),
+            col("exact_users"),
+            floor(abs(col("approx_users").cast("double") - col("exact_users")) /
+              col("exact_users") / 0.25).cast("int").as("approx_err_band"))
+          .orderBy("month")
+      },
+      Some("""SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             |  count(DISTINCT user_id) AS exact_users,
+             |  CAST(0 AS INT) AS approx_err_band
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = false
+    ),
+
     // SM15: the streaming exact-substring scrub (dd10's operational
     // twin): three replayed micro-batches, each scrubbed against the
     // grams seen so far (persistent gram-count state + the batch's own

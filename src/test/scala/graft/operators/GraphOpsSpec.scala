@@ -125,4 +125,34 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  private def kcoreOf(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] =
+    GraphOps.kCore(edges.toDF("src", "dst"), k, rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("kCore peels pendants and keeps the dense core") {
+    // triangle 1-2-3 with pendant chain 3-4, 4-5: k=2 drops 5 (deg 1)
+    // in round 1, then 4 (its remaining deg 1) in round 2; the
+    // triangle survives at degree 2 each
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(kcoreOf(tri, k = 2, rounds = 3) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // one round only: 5 is gone, 4 still present with its edge to 3
+    val r1 = kcoreOf(tri, k = 2, rounds = 1)
+    assert(r1(4L) === 1L && r1(3L) === 3L)
+  }
+
+  test("kCore fixed rounds are a deterministic superset of the converged core") {
+    // 4-clique + a long tail: the clique is the 3-core; the tail peels
+    // one node per round, so round counts differ but never disagree on
+    // surviving-node degrees they both report
+    val clique = for {
+      a <- 1L to 4L; b <- (a + 1) to 4L
+    } yield (a, b)
+    val tail = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val r2 = kcoreOf(clique ++ tail, k = 3, rounds = 2)
+    val r5 = kcoreOf(clique ++ tail, k = 3, rounds = 5)
+    assert(r5 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    r5.keys.foreach(n => assert(r2.contains(n)))
+  }
 }
