@@ -997,6 +997,27 @@ object SnapshotLog {
         BloomSpec(Seq("o_orderkey"), expectedPerFile = 25000L, fpp = 0.0001))
     }.resolve("log").toString
 
+  /** Staged maintenance log: [[ordersLog]]'s four snapshots, then the
+    * periodic maintenance pair — expire all but the last two snapshots
+    * and vacuum orphaned dirs — so the registry row reads a table whose
+    * history was actually truncated and debris actually reclaimed. Its
+    * own fixture (never the shared [[ordersLog]]: tt1–tt4 time-travel
+    * into snapshots this one deletes).
+    */
+  private def maintLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttmaint_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      (0 to 2).foreach { b =>
+        append(s, root, orders.filter(pmod(col("o_orderkey"), lit(3)) === b))
+      }
+      deleteWhere(s, root, col("o_orderstatus") === "F")
+      val (manifests, _) = expire(s, root, keepLast = 2)
+      require(manifests == 2, s"expected 2 expired manifests, got $manifests")
+      vacuumOrphans(s, root, graceMs = 0L)
+    }.resolve("log").toString
+
   /** The tt-family staged orders log, exposed for cross-operator
     * fixtures ([[IncrementalView]]'s iv1 folds its change feed).
     */
@@ -1214,6 +1235,25 @@ object SnapshotLog {
              |    UNION ALL SELECT max(o_orderkey) FROM orders)
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { bloomLog(s, dir); () })
+    ),
+
+    // TT10: read-after-maintenance — the periodic expire+vacuum pair
+    // ran against this log's history (fixture asserts 2 manifests
+    // actually expired) and the CURRENT table must read back exactly:
+    // history truncation and debris reclamation may never touch live
+    // data. The oracle recomputes the post-delete content from the raw
+    // table; the live-file liveness logic it exercises (a file
+    // referenced by ANY surviving snapshot survives) is the invariant
+    // that makes retention safe to automate at 100 TB.
+    Q(
+      "tt10_expire_vacuum",
+      (s, dir) => {
+        val root = maintLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { maintLog(s, dir); () })
     )
   )
 }
