@@ -837,6 +837,52 @@ object SnapshotLog {
       Seq.empty, Seq.empty)
   }
 
+  /** Targeted small-file compaction — the INCREMENTAL optimize: bin-pack
+    * every data file under `smallBytes` into ~`targetBytes` outputs and
+    * carry every other file BY REFERENCE, untouched. [[optimize]]'s
+    * full rewrite is the right tool after a clustering change; at
+    * 100 TB routine maintenance cannot rewrite the table to fix
+    * streaming's small-file debris — this rewrites O(small) bytes and
+    * O(touched lists) metadata, Iceberg's binPack rewrite. Content is
+    * bit-preserved ([[changes]] across the commit is empty); a log with
+    * at most one small file is left alone (no history growth).
+    *
+    * File sizes come from the filesystem listing — O(#files) driver
+    * metadata calls, zero data reads, same class as the manifest read.
+    */
+  def optimizeBinPack(spark: SparkSession, root: String,
+      smallBytes: Long, targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(smallBytes > 0 && targetBytes > 0, "byte thresholds must be positive")
+    val base = currentId(spark, root)
+    require(base > 0, s"optimizeBinPack on empty log $root")
+    val fs = fsOf(spark, root)
+    val raw = rawManifest(spark, root, base)
+    val groups = raw.refs.map(r => r -> readFileList(fs, root, r.path))
+    def sizeOf(f: FileEntry): Long =
+      fs.getFileStatus(new Path(s"$root/${f.path}")).getLen
+    val smallIn = (raw.inline ++ groups.flatMap(_._2))
+      .filter(f => sizeOf(f) < smallBytes).map(_.path).toSet
+    if (smallIn.size <= 1) return base
+    // manifest-tree CoW carry, deleteWhere's discipline: lists with no
+    // small file ride by reference; touched lists dissolve their large
+    // survivors into the commit's new list
+    val (intact, touched) = groups.partition {
+      case (_, fl) => !fl.exists(f => smallIn(f.path)) }
+    val carriedInline = (raw.inline ++ touched.flatMap(_._2))
+      .filterNot(f => smallIn(f.path))
+    val tableSchema = StructType.fromDDL(raw.schemaDdl)
+    val smallPaths = smallIn.toSeq.sorted
+    val totalBytes = (raw.inline ++ touched.flatMap(_._2))
+      .filter(f => smallIn(f.path)).map(sizeOf).sum
+    val outFiles = math.max(1, (totalBytes / targetBytes).toInt +
+      (if (totalBytes % targetBytes > 0) 1 else 0))
+    val packed = spark.read.schema(tableSchema)
+      .parquet(smallPaths.map(p2 => s"$root/$p2"): _*)
+      .coalesce(outFiles)
+    commitFiles(spark, root, packed, "optimize-binpack",
+      intact.map(_._1), carriedInline, tableSchema)
+  }
+
   /** Expire all but the latest `keepLast` snapshots: their manifests are
     * deleted first (no reader can plan from them afterwards), then every
     * data file referenced ONLY by expired snapshots is reclaimed.
@@ -1016,6 +1062,33 @@ object SnapshotLog {
       val (manifests, _) = expire(s, root, keepLast = 2)
       require(manifests == 2, s"expected 2 expired manifests, got $manifests")
       vacuumOrphans(s, root, graceMs = 0L)
+    }.resolve("log").toString
+
+  /** Staged bin-pack log: one large append (single file), then eight
+    * tiny appends (streaming's small-file debris shape), then the
+    * targeted compaction — small files pack, the large file must ride
+    * untouched.
+    */
+  private def binpackLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttbinpack_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .coalesce(1))
+      (0 to 7).foreach { b =>
+        append(s, root, orders.filter(
+          pmod(col("o_orderkey"), lit(2)) === 1 &&
+            pmod(col("o_orderkey"), lit(16)) === 2 * b + 1).coalesce(1))
+      }
+      // threshold between the tiny shard size and the big file's:
+      // ~1/16 of rows per small file vs 1/2 — 1/4 of the large file's
+      // bytes cleanly separates them at every SF
+      val fs = fsOf(s, root)
+      val big = snapshot(s, root, 1L).files.head
+      val thresh = fs.getFileStatus(
+        new Path(s"$root/${big.path}")).getLen / 4
+      optimizeBinPack(s, root, smallBytes = thresh)
     }.resolve("log").toString
 
   /** The tt-family staged orders log, exposed for cross-operator
@@ -1254,6 +1327,23 @@ object SnapshotLog {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
              |WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { maintLog(s, dir); () })
+    ),
+
+    // TT11: read after targeted small-file compaction — eight tiny
+    // appends packed into O(1) files while the large first append rode
+    // by reference (SnapshotLogSpec asserts the carry byte-identical
+    // and the file-count drop); the oracle proves content
+    // bit-preservation, the property that lets the compactor run
+    // unattended against a live 100 TB table.
+    Q(
+      "tt11_binpack_compaction",
+      (s, dir) => {
+        val root = binpackLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { binpackLog(s, dir); () })
     )
   )
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.SparkSpec
 import graft.functions.GraftFunctions
 import java.nio.file.Files
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -80,5 +81,33 @@ class SnapshotBloomSpec extends SparkSpec {
     assert(rowSet(SnapshotLog.readPoint(spark, root, "k", 500L)) ===
       rowSet(a.filter(col("k") === 500L)))
     assert(SnapshotLog.readPoint(spark, root, "k", 501L).count() === 0L)
+  }
+
+  test("binpack packs only small files and carries large ones untouched") {
+    val root = newRoot()
+    val big = spark.range(0, 20000).select(col("id").as("k"))
+    SnapshotLog.append(spark, root, big.coalesce(1))
+    (0 until 6).foreach(i =>
+      SnapshotLog.append(spark, root,
+        spark.range(100000L + i * 10, 100000L + i * 10 + 10)
+          .select(col("id").as("k")).coalesce(1)))
+    val before = SnapshotLog.snapshot(spark, root,
+      SnapshotLog.currentId(spark, root))
+    assert(before.files.size === 7)
+    val bigPath = SnapshotLog.snapshot(spark, root, 1L).files.head.path
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bigStamp = fs.getFileStatus(new Path(s"$root/$bigPath")).getModificationTime
+
+    val thresh = fs.getFileStatus(new Path(s"$root/$bigPath")).getLen / 2
+    val id = SnapshotLog.optimizeBinPack(spark, root, smallBytes = thresh)
+    val after = SnapshotLog.snapshot(spark, root, id)
+    // 6 tiny files became 1; the big file is the SAME file, not a copy
+    assert(after.files.size === 2, s"expected 2 files, got ${after.files.size}")
+    assert(after.files.exists(_.path === bigPath), "large file must carry by path")
+    assert(fs.getFileStatus(new Path(s"$root/$bigPath")).getModificationTime
+      === bigStamp, "large file must not be rewritten")
+    // content bit-preserved; a second binpack is a no-op (no history growth)
+    assert(SnapshotLog.read(spark, root).count() === 20060L)
+    assert(SnapshotLog.optimizeBinPack(spark, root, smallBytes = thresh) === id)
   }
 }
