@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data profiling: per-column statistics of a fact table in ONE scan —
@@ -209,11 +210,15 @@ object Profiling {
           .agg(
             sum(when(col("is_ref"), 1L).otherwise(0L)).as("r"),
             sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c"))
-        val totals = counts.groupBy(col("event_type"))
-          .agg(sum(col("r")).as("nr"), sum(col("c")).as("nc"))
+        // per-type totals as a WINDOW over the already-grouped counts
+        // (≤ nBins rows per type), not a totals-join — a join branch
+        // would recompute the counts subtree and scan events twice
+        val w = Window.partitionBy(col("event_type"))
         val p = (col("r").cast("double") + 0.5) / (col("nr").cast("double") + 5.0)
         val q = (col("c").cast("double") + 0.5) / (col("nc").cast("double") + 5.0)
-        counts.join(totals, "event_type")
+        counts
+          .withColumn("nr", sum(col("r")).over(w))
+          .withColumn("nc", sum(col("c")).over(w))
           .select(
             col("event_type"), col("nr"), col("nc"),
             round((p - q) * log(p / q) * 1000000.0).cast("long").as("t6"))
@@ -235,16 +240,19 @@ object Profiling {
              |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r,
              |    SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS c
              |  FROM b GROUP BY event_type, bin),
-             |tot AS (SELECT event_type, SUM(r) AS nr, SUM(c) AS nc
-             |        FROM cnt GROUP BY event_type),
+             |tot AS (
+             |  SELECT event_type, bin, r, c,
+             |    SUM(r) OVER (PARTITION BY event_type) AS nr,
+             |    SUM(c) OVER (PARTITION BY event_type) AS nc
+             |  FROM cnt),
              |terms AS (
-             |  SELECT cnt.event_type, nr, nc,
+             |  SELECT event_type, nr, nc,
              |    CAST(ROUND(((CAST(r AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 5.0)
              |              - (CAST(c AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 5.0))
              |      * ln(((CAST(r AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 5.0))
              |         / ((CAST(c AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 5.0)))
              |      * 1000000.0) AS BIGINT) AS t6
-             |  FROM cnt JOIN tot ON cnt.event_type = tot.event_type)
+             |  FROM tot)
              |SELECT event_type,
              |  CAST(MAX(nr) AS BIGINT) AS n_ref,
              |  CAST(MAX(nc) AS BIGINT) AS n_cur,
