@@ -25,6 +25,8 @@ object SparkEntry {
       operators.Decontamination.all ++
       operators.RecordLinkage.all ++
       operators.BpeTrainer.all ++
+      operators.Classification.all ++
+      operators.InvertedIndex.all ++
       operators.Profiling.all ++
       operators.Packing.all ++
       operators.LakeMaintenance.all ++

@@ -60,6 +60,9 @@ object GraftFunctions {
   /** Misra–Gries heavy-hitters sketch aggregate over a long column. */
   val MisraGriesName = "graft_misra_gries"
 
+  /** Count-Min frequency sketch aggregate over a string column. */
+  val CountMinName = "graft_count_min"
+
   /** all character n-grams of a string, in order. */
   val CharNgramsName = "graft_char_ngrams"
 
@@ -168,6 +171,14 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(s"m must be a literal, got $other")
         }
         MisraGriesLongs(children(0), m)
+      })
+    ensure(CountMinName, "_FUNC_(col, d, w) - Count-Min frequency sketch (d x w longs)")(
+      children => {
+        def litInt(e: Expression): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(s"literal required, got $other")
+        }
+        CountMinLongs(children(0), litInt(children(1)), litInt(children(2)))
       })
     ensure(CharNgramsName, "_FUNC_(s, n) - all character n-grams of s")(
       children => {
