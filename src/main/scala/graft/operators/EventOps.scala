@@ -16,6 +16,31 @@ object EventOps {
 
   private val SessionGapUs = 1800L * 1000 * 1000 // 30 min
 
+  /** Hourly OHLC bars per event type over a (event_id, ts, event_type,
+    * value) frame. open/close are min_by/max_by over an EXACT composite
+    * ordering key — micros·1e6 + event_id as DECIMAL(38,0), overflow-
+    * free and total even under duplicate timestamps — so the picked
+    * values are deterministic, not first-row-wins. One scan, one
+    * map-side-combined aggregation on (type, hour): min_by/max_by
+    * partials carry a single (key, value) pair each, so the shuffle
+    * moves O(groups), never the events. Volume follows the repo-wide
+    * fixed-point sum convention.
+    */
+  def ohlcBars(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = unix_micros(col("ts")).cast("decimal(38,0)") * 1000000 +
+      col("event_id")
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        min_by(col("value"), k).as("open_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        max_by(col("value"), k).as("close_v"),
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 10000).cast("long")).cast("double") / 10000.0)
+          .as("volume"))
+  }
+
   val all: Seq[Q] = Seq(
     // Tumbling-window aggregation: hourly counts + fixed-point value sums.
     // Streaming twin: groupBy(window($"ts", "1 hour"), $"event_type").
@@ -359,6 +384,22 @@ object EventOps {
              |      FROM e CROSS JOIN unnest(generate_series(0, 6)) AS t(k))
              |SELECT w_start, count(DISTINCT user_id) AS wau
              |FROM x GROUP BY w_start ORDER BY w_start""".stripMargin)
+    ),
+
+    // EV11: hourly OHLC bars per event type — the time-series
+    // downsampling shape (open/high/low/close + volume per bucket);
+    // see [[ohlcBars]] for the determinism + shuffle story.
+    Q(
+      "ev11_ohlc_bars",
+      (s, dir) =>
+        ohlcBars(Tables(s, dir, "events")).orderBy("event_type", "hour"),
+      Some("""SELECT event_type, date_trunc('hour', ts) AS hour,
+             |  arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id) AS open_v,
+             |  max(value) AS high_v, min(value) AS low_v,
+             |  arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id) AS close_v,
+             |  count(*) AS n_events,
+             |  CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)/10000.0 AS volume
+             |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin)
     )
   )
 }

@@ -122,6 +122,85 @@ object ExtendedOps {
              |FROM sk ORDER BY event_type""".stripMargin)
     ),
 
+    // CM1: Count-Min frequency sketch (custom mergeable
+    // TypedImperativeAggregate) built over every event's user key, then
+    // point-probed for ten users against their exact counts. The
+    // sketch's md5-slice bucketing is bit-reproducible in SQL (the bk1
+    // digest idiom), so the oracle recomputes the d×w counter table and
+    // the min-over-rows probe EXACTLY — no error band needed. Scale
+    // shape: one map-side-combined pass reduces any scan to d·w longs
+    // per group; probes are O(d) array reads against the one-row
+    // sketch, never a corpus-keyed shuffle (the point-query complement
+    // to hh1's TOP-k sketch).
+    Q(
+      "cm1_countmin_probe",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val d = 4
+        val w = 512
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("user_id").cast("string").as("x"))
+        val sketch = ev.agg(
+          call_function(GraftFunctions.CountMinName,
+            col("x"), lit(d), lit(w)).as("cm"))
+        val exact = ev.filter(col("user_id").between(0, 9))
+          .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        // row-i bucket of the probe, same md5-slice formula as the agg
+        def bucket(i: Int) =
+          (conv(substring(md5(col("user_id").cast("string")), 1 + 8 * i, 8),
+            16, 10).cast("long") % w).cast("int")
+        val est = (0 until d).map(i =>
+          element_at(col("cm"), lit(i * w) + bucket(i) + 1))
+          .reduce(least(_, _))
+        exact.crossJoin(broadcast(sketch))
+          .select(
+            col("user_id"), col("exact_n"), est.as("cm_est"),
+            (est - col("exact_n")).as("overcount"))
+          .orderBy("user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, CAST(user_id AS VARCHAR) AS x FROM events),
+             |rows_i AS (SELECT unnest(range(0, 4)) AS i),
+             |b AS (SELECT i, CAST('0x' || substr(md5(x), 1 + 8*i, 8) AS BIGINT) % 512 AS bkt
+             |      FROM ev CROSS JOIN rows_i),
+             |counters AS (SELECT i, bkt, CAST(count(*) AS BIGINT) AS c
+             |             FROM b GROUP BY i, bkt),
+             |ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+             |       FROM events WHERE user_id BETWEEN 0 AND 9 GROUP BY user_id),
+             |pb AS (SELECT user_id, i,
+             |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1 + 8*i, 8) AS BIGINT) % 512 AS bkt
+             |       FROM ex CROSS JOIN rows_i),
+             |est AS (SELECT user_id, min(COALESCE(c, 0)) AS cm_est
+             |        FROM pb LEFT JOIN counters USING (i, bkt) GROUP BY user_id)
+             |SELECT user_id, exact_n, cm_est, cm_est - exact_n AS overcount
+             |FROM est JOIN ex USING (user_id) ORDER BY user_id""".stripMargin)
+    ),
+
+    // A12: pivot to a wide table — per-priority counts spread across
+    // status columns. The status VALUES are passed explicitly: pivot
+    // without them runs a distinct-values discovery job over the fact
+    // table first (an extra scan a 100 TB pipeline never wants) and
+    // makes the output schema data-dependent; with them the plan is the
+    // same one map-side-combined aggregation as a plain groupBy.
+    Q(
+      "a12_pivot_status",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(
+            col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("n_f"),
+            coalesce(col("O"), lit(0L)).as("n_o"),
+            coalesce(col("P"), lit(0L)).as("n_p"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+             |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+             |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
     // Set operations: urgent-order customers minus high-priority overlap,
     // plus the intersection — EXCEPT/INTERSECT with DISTINCT semantics.
     Q(

@@ -258,6 +258,51 @@ object Profiling {
              |  CAST(MAX(nc) AS BIGINT) AS n_cur,
              |  ROUND(CAST(SUM(t6) AS DOUBLE) / 1000000.0, 6) AS psi
              |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // DP5: full pairwise correlation matrix of the profiled columns in
+    // ONE scan — every per-column and cross-column decimal power sum
+    // rides a single wide aggregate (no per-pair passes, no Expand),
+    // and the 6 Pearson coefficients are derived from those exact
+    // integer sums in a one-row projection before `stack` unpivots
+    // them. Same determinism contract as dp3: sums are
+    // DECIMAL(38,0)-exact, the float math is a fixed expression over
+    // exact inputs, so the oracle matches bit-for-bit. At 100 TB the
+    // scan is the cost; the aggregate state is O(columns²) longs.
+    Q(
+      "dp5_correlation_matrix",
+      (s, dir) => {
+        def xi(c: String) = round(col(c) * 10000).cast("decimal(38,0)")
+        val pairs = Columns.combinations(2).map(p => (p(0), p(1))).toSeq
+        val aggs = Seq(count(lit(1)).as("n")) ++
+          Columns.map(c => sum(xi(c)).as(s"s_$c")) ++
+          Columns.map(c => sum(xi(c) * xi(c)).as(s"ss_$c")) ++
+          pairs.map { case (a, b) => sum(xi(a) * xi(b)).as(s"sp_${a}_$b") }
+        val g = Tables(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+        def corrExpr(a: String, b: String): String =
+          s"ROUND(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) / " +
+            s"(SQRT(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) * " +
+            s"SQRT(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE))), 6)"
+        g.selectExpr(
+            "n",
+            s"stack(${pairs.size}, " + pairs.map { case (a, b) =>
+              s"'$a', '$b', ${corrExpr(a, b)}"
+            }.mkString(", ") + ") as (col_a, col_b, corr)")
+          .select(col("col_a"), col("col_b"), col("n").as("n_rows"), col("corr"))
+          .orderBy("col_a", "col_b")
+      },
+      Some {
+        val pairs = Columns.combinations(2).map(p => (p(0), p(1))).toSeq
+        def hx(c: String) = s"CAST(ROUND($c * 10000) AS HUGEINT)"
+        pairs.map { case (a, b) =>
+          s"""SELECT '$a' AS col_a, '$b' AS col_b,
+             |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  ROUND(CAST(COUNT(*) * SUM(${hx(a)} * ${hx(b)}) - SUM(${hx(a)}) * SUM(${hx(b)}) AS DOUBLE) /
+             |    (SQRT(CAST(COUNT(*) * SUM(${hx(a)} * ${hx(a)}) - SUM(${hx(a)}) * SUM(${hx(a)}) AS DOUBLE)) *
+             |     SQRT(CAST(COUNT(*) * SUM(${hx(b)} * ${hx(b)}) - SUM(${hx(b)}) * SUM(${hx(b)}) AS DOUBLE))), 6) AS corr
+             |FROM lineitem""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+      }
     )
   )
 }

@@ -817,6 +817,61 @@ object StreamingQueries {
              |FROM orders WHERE o_orderkey % 11 = 0
              |ORDER BY o_orderkey""".stripMargin),
       bench = false
+    ),
+
+    // SM20: classify-as-you-ingest — nb1's operational twin. The NB
+    // model is FIT ONCE on the batch training split (a trained
+    // classifier is a static artifact a production stream broadcasts,
+    // unlike sm18's cumulative LM), persisted so micro-batches don't
+    // re-aggregate the training corpus, then each replayed test chunk
+    // is scored independently: per-doc prediction depends only on the
+    // doc and the fixed model, so stream output == batch output row
+    // for row and nb1's oracle applies verbatim. Batch writes are
+    // batchId-keyed overwrites (sm16's replay-idempotency rule).
+    Q(
+      "sm20_stream_classify",
+      (s, dir) => {
+        val (landing, _, _, ckpt) = tempDirs("graft_sm20")
+        val out = graft.TempDirs.create("graft_sm20_out").toString
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val train = d.filter(col("doc_id") % 2 === 0)
+          .select(col("lang").as("label"), split(col("text"), " ").as("toks"))
+        val (classes0, model0) = graft.operators.Classification
+          .fit(train, "label", "toks")
+        val classes = graft.CacheScope.track(classes0.persist())
+        val model = graft.CacheScope.track(model0.persist())
+        stageOrderedChunks(
+          d.filter(col("doc_id") % 2 === 1), "doc_id", Seq(170L, 340L), landing)
+        s.readStream.schema(d.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val b = batch
+              .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+            graft.operators.Classification.predict(b, classes, model)
+              .join(b.select(col("doc_id"), col("lang").as("actual_lang")), "doc_id")
+              .select(
+                col("doc_id"), col("pred_label"), col("score6"),
+                col("actual_lang"),
+                (col("pred_label") === col("actual_lang")).as("correct"))
+              .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(out)
+          .select("doc_id", "pred_label", "score6", "actual_lang", "correct")
+          .orderBy("doc_id")
+      },
+      // nb1's oracle, verbatim: the fixed-model stream drains to the
+      // batch answer
+      graft.operators.Classification.all
+        .find(_.name == "nb1_naive_bayes").flatMap(_.oracle),
+      bench = false
     )
   )
 }

@@ -24,7 +24,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     "dp2_approx_profile",
     "cp1_corpus_accounting",
     "dp4_drift_profile",
-    "ap3_sketch_rollup")
+    "ap3_sketch_rollup",
+    // fixed-point NB log-sums + smallest-label argmax tie-break
+    "nb1_naive_bayes",
+    // min_by/max_by composite-key tie-break + fixed-point volume
+    "ev11_ohlc_bars",
+    // Count-Min partial-sketch merge (exact elementwise addition)
+    "cm1_countmin_probe")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")

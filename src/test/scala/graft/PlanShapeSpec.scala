@@ -74,6 +74,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(exact.contains("Expand"), "contrast case lost its Expand")
   }
 
+  test("ix1's two-stage digest aggregation plans no Expand stream") {
+    // the naive shape (countDistinct(doc_id) mixed with plain aggs over
+    // occurrences) duplicates the corpus stream per distinct column;
+    // the (term, doc) pre-aggregation keeps one stream, both stages
+    // map-side combined
+    val t = tree("ix1_inverted_index")
+    assert(!t.contains("Expand"), s"ix1 regressed to an Expand plan:\n$t")
+    assert(count(t, "HashAggregate") >= 4, s"ix1 lost its two-stage agg:\n$t")
+  }
+
   test("events scan yields TimestampType directly — no cast above the scan on ts") {
     val full = SparkEntry.queries("ev2_sessionize")(spark, Dir)
       .queryExecution.explainString(FormattedMode)
