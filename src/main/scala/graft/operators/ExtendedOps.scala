@@ -175,32 +175,6 @@ object ExtendedOps {
              |FROM est JOIN ex USING (user_id) ORDER BY user_id""".stripMargin)
     ),
 
-    // A12: pivot to a wide table — per-priority counts spread across
-    // status columns. The status VALUES are passed explicitly: pivot
-    // without them runs a distinct-values discovery job over the fact
-    // table first (an extra scan a 100 TB pipeline never wants) and
-    // makes the output schema data-dependent; with them the plan is the
-    // same one map-side-combined aggregation as a plain groupBy.
-    Q(
-      "a12_pivot_status",
-      (s, dir) =>
-        Tables(s, dir, "orders")
-          .groupBy(col("o_orderpriority"))
-          .pivot("o_orderstatus", Seq("F", "O", "P"))
-          .agg(count(lit(1)))
-          .select(
-            col("o_orderpriority"),
-            coalesce(col("F"), lit(0L)).as("n_f"),
-            coalesce(col("O"), lit(0L)).as("n_o"),
-            coalesce(col("P"), lit(0L)).as("n_p"))
-          .orderBy("o_orderpriority"),
-      Some("""SELECT o_orderpriority,
-             |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
-             |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
-             |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
-             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
-    ),
-
     // Set operations: urgent-order customers minus high-priority overlap,
     // plus the intersection — EXCEPT/INTERSECT with DISTINCT semantics.
     Q(
