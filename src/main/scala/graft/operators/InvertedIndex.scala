@@ -120,6 +120,65 @@ object InvertedIndex {
           |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.tok = 'stream'
           |WHERE a.tok = 'batch'
           |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)
+    ),
+
+    // IX3: BM25-ranked retrieval (k1=1.2, b=0.75, Lucene's +1 idf) for
+    // an OR query — the scoring tier above ix1/ix2. Only the query's
+    // terms survive the first filter, so every join input is
+    // postings-sized, never corpus-sized; df comes from counting the
+    // already-unique (doc, term) tf rows; the length norm uses
+    // len·N/Σlen (exact integer product, one double division) instead
+    // of a pre-divided avgdl so no intermediate rounding leaks in.
+    // Per-term contributions are fixed-point-rounded to 1e-6 longs
+    // BEFORE the per-doc sum (tx14's order-free discipline), and the
+    // top-20 is TakeOrdered with a doc_id tie-break — deterministic
+    // end to end. 100 TB: docLen is a corpus-wide (doc, len) table —
+    // one map-side-combined agg — and everything downstream is
+    // O(postings of 3 terms).
+    Q(
+      "ix3_bm25_search",
+      (s, dir) => {
+        val terms = Seq("spark", "join", "window")
+        val k1 = 1.2
+        val b = 0.75
+        val occ = occurrences(Tables(s, dir, "documents"))
+        val docLen = occ.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        val stats = docLen.agg(
+          count(lit(1)).as("n_docs"), sum("len").as("n_toks"))
+        val tf = occ.filter(col("tok").isin(terms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val contrib = tf
+          .join(broadcast(dfT), "tok")
+          .join(docLen, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(
+            col("doc_id"),
+            round(
+              log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+                (col("tf") / (col("tf") + lit(k1) * (lit(1.0 - b) +
+                  lit(b) * (col("len") * col("n_docs")).cast("double") / col("n_toks")))) *
+                1000000.0).cast("long").as("c6"))
+        contrib.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms_hit"), sum("c6").as("score6"))
+          .orderBy(desc("score6"), asc("doc_id"))
+          .limit(20)
+      },
+      Some(OracleOcc +
+        """, dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM occ GROUP BY doc_id),
+          |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len) AS BIGINT) AS n_toks FROM dl),
+          |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM occ
+          |       WHERE tok IN ('spark', 'join', 'window') GROUP BY doc_id, tok),
+          |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+          |c AS (SELECT doc_id,
+          |        CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+          |          (tf / (tf + 1.2 * (1.0 - 0.75 +
+          |            0.75 * CAST(len * n_docs AS DOUBLE) / n_toks))) * 1000000) AS BIGINT) AS c6
+          |      FROM tf JOIN dfs USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+          |  CAST(sum(c6) AS BIGINT) AS score6
+          |FROM c GROUP BY doc_id
+          |ORDER BY score6 DESC, doc_id ASC LIMIT 20""".stripMargin)
     )
   )
 }

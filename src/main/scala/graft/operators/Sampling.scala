@@ -209,6 +209,46 @@ object Sampling {
               |      doc_id) AS BIGINT) AS rk
               |  FROM documents)
               |WHERE rk <= 12 ORDER BY source, rk""".stripMargin)
+    ),
+
+    // SP6: temperature-scaled source weights (α = 0.5) — the
+    // multilingual-LM mixing rule (sample p_s ∝ n_s^α) that upweights
+    // small sources relative to raw proportions, DERIVED from corpus
+    // statistics rather than hand-set like sp3's fixed weights.
+    // Determinism: each source's n^α is quantized to a 1e-6 long
+    // FIRST, so the normalizing denominator is an exact integer sum
+    // (double addition over the ~20-source table would be
+    // partition-order sensitive); the weight and target-doc-count are
+    // then single double divisions over exact integers. One scan, one
+    // tiny (≤ sources) aggregate — zero shuffle beyond the group-by.
+    Q(
+      "sp6_temperature_weights",
+      (s, dir) => {
+        val n = Tables(s, dir, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val q = n.withColumn("q6",
+          round(sqrt(col("n_docs").cast("double")) * 1000000.0).cast("long"))
+        val tot = q.agg(
+          sum("q6").as("q_tot"), sum("n_docs").as("total_docs"))
+        q.crossJoin(broadcast(tot))
+          .select(
+            col("source"), col("n_docs"),
+            round(col("q6").cast("double") * 1000000.0 / col("q_tot"))
+              .cast("long").as("weight_ppm"),
+            round(col("q6").cast("double") * col("total_docs") / col("q_tot"))
+              .cast("long").as("target_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+             |q AS (SELECT source, n_docs,
+             |        CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS q6
+             |      FROM n),
+             |tot AS (SELECT CAST(sum(q6) AS BIGINT) AS q_tot,
+             |               CAST(sum(n_docs) AS BIGINT) AS total_docs FROM q)
+             |SELECT source, n_docs,
+             |  CAST(round(CAST(q6 AS DOUBLE) * 1000000 / q_tot) AS BIGINT) AS weight_ppm,
+             |  CAST(round(CAST(q6 AS DOUBLE) * total_docs / q_tot) AS BIGINT) AS target_docs
+             |FROM q CROSS JOIN tot ORDER BY source""".stripMargin)
     )
   )
 }

@@ -596,6 +596,75 @@ object TextAnalysis {
              |SELECT doc_id, n_tok, ROUND(mean_logp, 6) AS mean_logp,
              |  mean_logp >= -4.0 AS keep
              |FROM sc ORDER BY doc_id""".stripMargin)
+    ),
+
+    // TX16: bigram CONDITIONAL-LM scoring — the step up from tx14's
+    // unigram model toward the KenLM-style n-gram filters CCNet-class
+    // pipelines actually run: P(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V)
+    // (Laplace over the successor distribution; c(w1,·) counts w1's
+    // bigram starts so the conditional sums to 1). Bigrams come from
+    // ONE per-doc window pass (lead over pos — row-local after a
+    // single doc_id shuffle, never a corpus self-join); the count
+    // model aggregates map-side; per-bigram log-probs are rounded to
+    // 1e-6 longs before the per-doc sum (the tx14 discipline). Docs
+    // with < 2 tokens have no bigrams and drop out — both engines
+    // agree. At 100 TB the bigram model outgrows broadcast; the join
+    // rides AQE on (w1, w2) keys exactly like dd7's gram joins.
+    Q(
+      "tx16_bigram_logprob",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val occ = Tables(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("pos"), col("col").as("tok"))
+          .filter(col("tok") =!= "")
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val bigrams = occ
+          .withColumn("w2", lead(col("tok"), 1).over(w))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+        val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+        val vocab = occ.agg(countDistinct(col("tok")).as("v"))
+        bigrams
+          .join(c2, Seq("w1", "w2")).join(c1, "w1").crossJoin(broadcast(vocab))
+          .select(
+            col("doc_id"),
+            round(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))) *
+              1000000.0).cast("long").as("lp6"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            (sum(col("lp6")).cast("double") / 1000000.0 / count(lit(1)))
+              .as("mean_logp"))
+          .select(
+            col("doc_id"), col("n_bigrams"),
+            round(col("mean_logp"), 6).as("mean_logp"),
+            (col("mean_logp") >= -4.5).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             |occ AS (SELECT doc_id, pos, tok FROM (
+             |  SELECT doc_id, CAST(unnest(range(1, len(l)+1)) AS INT) AS pos,
+             |         unnest(l) AS tok FROM t)
+             |  WHERE tok <> ''),
+             |bg AS (SELECT doc_id, tok AS w1,
+             |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+             |       FROM occ),
+             |bigrams AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+             |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY w1, w2),
+             |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+             |vv AS (SELECT count(DISTINCT tok) AS v FROM occ),
+             |sc AS (
+             |  SELECT doc_id,
+             |    CAST(count(*) AS BIGINT) AS n_bigrams,
+             |    CAST(SUM(CAST(ROUND(ln((c2 + 1.0) / (c1 + v)) * 1000000) AS BIGINT)) AS DOUBLE)
+             |      / 1000000.0 / count(*) AS mean_logp
+             |  FROM bigrams JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+             |  GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, ROUND(mean_logp, 6) AS mean_logp,
+             |  mean_logp >= -4.5 AS keep
+             |FROM sc ORDER BY doc_id""".stripMargin)
     )
   )
 }

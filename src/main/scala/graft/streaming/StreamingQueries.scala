@@ -872,6 +872,58 @@ object StreamingQueries {
       graft.operators.Classification.all
         .find(_.name == "nb1_naive_bayes").flatMap(_.oracle),
       bench = false
+    ),
+
+    // SM21: streaming OHLC bars — ev11's twin through the real
+    // streaming aggregation runtime (sm2's shape: windowed groupBy,
+    // complete mode, memory sink, AvailableNow drain). min_by/max_by
+    // are declarative aggs, so their partials merge across micro-
+    // batches exactly like count/sum — the exact composite key makes
+    // the merged open/close independent of batch arrival order, which
+    // is the whole point of the twin: drain == batch answer, oracle
+    // verbatim.
+    Q(
+      "sm21_stream_ohlc",
+      (s, dir) => {
+        val (landing, _, _, ckpt) = tempDirs("graft_sm21")
+        val ev = Tables(s, dir, "events")
+        stageOrderedChunks(ev, "event_id", Seq(3000L, 6000L), landing)
+        val sinkName =
+          s"graft_sm21_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val raw = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+        val k = unix_micros(col("ts")).cast("decimal(38,0)") * 1000000 +
+          col("event_id")
+        raw
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(
+            min_by(col("value"), k).as("open_v"),
+            max(col("value")).as("high_v"),
+            min(col("value")).as("low_v"),
+            max_by(col("value"), k).as("close_v"),
+            count(lit(1)).as("n_events"),
+            (sum(round(col("value") * 10000).cast("long")).cast("double") / 10000.0)
+              .as("volume"))
+          .writeStream
+          .format("memory")
+          .queryName(sinkName)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.table(sinkName)
+          .select(
+            col("event_type"), col("window.start").as("hour"),
+            col("open_v"), col("high_v"), col("low_v"), col("close_v"),
+            col("n_events"), col("volume"))
+          .orderBy("event_type", "hour")
+      },
+      // ev11's oracle, verbatim
+      graft.operators.EventOps.all
+        .find(_.name == "ev11_ohlc_bars").flatMap(_.oracle),
+      bench = false
     )
   )
 }

@@ -30,7 +30,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // min_by/max_by composite-key tie-break + fixed-point volume
     "ev11_ohlc_bars",
     // Count-Min partial-sketch merge (exact elementwise addition)
-    "cm1_countmin_probe")
+    "cm1_countmin_probe",
+    // fixed-point BM25 contributions + top-20 doc_id tie-break
+    "ix3_bm25_search",
+    // quantized n^alpha terms make the normalizer an exact integer sum
+    "sp6_temperature_weights")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")

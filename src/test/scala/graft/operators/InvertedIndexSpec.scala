@@ -59,6 +59,38 @@ class InvertedIndexSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("ix3 BM25 matches an independent single-node scorer") {
+    val docs = graft.Tables(spark, TestSpark.Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+    val terms = Seq("spark", "join", "window")
+    val (k1, b) = (1.2, 0.75)
+    val nonEmpty = docs.filter(_._2.nonEmpty)
+    val nDocs = nonEmpty.size.toLong
+    val nToks = nonEmpty.map(_._2.size.toLong).sum
+    val dfT = terms.map(t =>
+      t -> nonEmpty.count(_._2.contains(t)).toLong).toMap
+    val expected = nonEmpty.flatMap { case (id, toks) =>
+      val hits = terms.filter(toks.contains)
+      if (hits.isEmpty) None
+      else {
+        val score6 = hits.map { t =>
+          val tf = toks.count(_ == t).toDouble
+          val idf = math.log((nDocs - dfT(t) + 0.5) / (dfT(t) + 0.5) + 1.0)
+          val norm = tf / (tf + k1 * (1.0 - b +
+            b * (toks.size.toLong * nDocs).toDouble / nToks))
+          math.round(idf * norm * 1000000.0)
+        }.sum
+        Some((id, hits.size.toLong, score6))
+      }
+    }.sortBy { case (id, _, s) => (-s, id) }.take(20)
+
+    val got = graft.SparkEntry.queries("ix3_bm25_search")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    assert(got.size === 20)
+  }
+
   test("ix1 digest is consistent with materialized postings") {
     val digest = graft.SparkEntry.queries("ix1_inverted_index")(spark, TestSpark.Sf0001)
     val fromPostings = InvertedIndex.postings(
