@@ -378,6 +378,69 @@ object ExtendedOps {
              |ORDER BY l_returnflag""".stripMargin)
     ),
 
+    // WQ4: winsorized statistics — clip each group's values to its own
+    // exact [P1, P99] band, report the clip tallies and the clipped
+    // fixed-point mean. The robust-preprocessing step feature pipelines
+    // run before z-scoring (wq2's MAD gates OUTLIERS; winsorizing KEEPS
+    // the row with a bounded value). Shape: one percentile pass per
+    // group (Spark exact `percentile` = DuckDB quantile_cont, the wq1
+    // equivalence), then one broadcast join of the ≤|groups|-row band
+    // table back onto the scan — nothing corpus-sized shuffles twice.
+    // The clipped mean follows the fixed-point convention over clipped
+    // values, which are either raw inputs or the group's own band
+    // edges — deterministic on both engines.
+    Q(
+      "wq4_winsorized_stats",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select("l_returnflag", "l_extendedprice")
+        val bands = li.groupBy("l_returnflag")
+          .agg(
+            expr("percentile(l_extendedprice, 0.01)").as("p01"),
+            expr("percentile(l_extendedprice, 0.99)").as("p99"))
+        li.join(broadcast(bands), Seq("l_returnflag"))
+          .select(
+            col("l_returnflag"), col("p01"), col("p99"),
+            least(greatest(col("l_extendedprice"), col("p01")), col("p99"))
+              .as("clipped"),
+            (col("l_extendedprice") < col("p01")).cast("long").as("lo"),
+            (col("l_extendedprice") > col("p99")).cast("long").as("hi"))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("lo").as("n_clipped_low"),
+            sum("hi").as("n_clipped_high"),
+            max("p01").as("p01"),
+            max("p99").as("p99"),
+            (sum(round(col("clipped") * 10000).cast("long")).cast("double") /
+              10000.0 / count(lit(1))).as("winsorized_mean"))
+          .select(
+            col("l_returnflag"), col("n"), col("n_clipped_low"),
+            col("n_clipped_high"), round(col("p01"), 6).as("p01"),
+            round(col("p99"), 6).as("p99"),
+            round(col("winsorized_mean"), 6).as("winsorized_mean"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH b AS (
+             |  SELECT l_returnflag,
+             |         quantile_cont(l_extendedprice, 0.01) AS p01,
+             |         quantile_cont(l_extendedprice, 0.99) AS p99
+             |  FROM lineitem GROUP BY 1),
+             |c AS (
+             |  SELECT l.l_returnflag, p01, p99,
+             |         LEAST(GREATEST(l_extendedprice, p01), p99) AS clipped,
+             |         CAST(l_extendedprice < p01 AS BIGINT) AS lo,
+             |         CAST(l_extendedprice > p99 AS BIGINT) AS hi
+             |  FROM lineitem l JOIN b USING (l_returnflag))
+             |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(SUM(lo) AS BIGINT) AS n_clipped_low,
+             |  CAST(SUM(hi) AS BIGINT) AS n_clipped_high,
+             |  ROUND(MAX(p01), 6) AS p01, ROUND(MAX(p99), 6) AS p99,
+             |  ROUND(CAST(SUM(CAST(ROUND(clipped * 10000) AS BIGINT)) AS DOUBLE)
+             |    / 10000.0 / count(*), 6) AS winsorized_mean
+             |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
     // WF1: cumulative + full-partition analytics in ONE window pass:
     // running order total, order sequence number, and each order's share
     // of the customer's lifetime spend. One shuffle on o_custkey serves

@@ -924,6 +924,45 @@ object StreamingQueries {
       graft.operators.EventOps.all
         .find(_.name == "ev11_ohlc_bars").flatMap(_.oracle),
       bench = false
+    ),
+
+    // SM22: watermark-bounded streaming dedup via the BUILT-IN
+    // `dropDuplicatesWithinWatermark` — the engine-managed-state
+    // counterpart to sm3's explicit fingerprint-state design (and
+    // sm17's flatMapGroupsWithState): state eviction is the
+    // WATERMARK's job, so a 100 TB stream's dedup state is bounded by
+    // the delay window instead of growing forever. The delay here
+    // exceeds the replayed span, so the drain equals a global
+    // DISTINCT; only the KEY columns are emitted because the API keeps
+    // an arbitrary first-seen row per key — emitting payload columns
+    // would hash-compare nondeterministically, the keys never do.
+    Q(
+      "sm22_dedup_within_watermark",
+      (s, dir) => {
+        val (landing, _, _, ckpt) = tempDirs("graft_sm22")
+        val ev = Tables(s, dir, "events")
+        stageOrderedChunks(ev, "event_id", Seq(3000L, 6000L), landing)
+        val sinkName =
+          s"graft_sm22_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+          .withWatermark("ts", "30 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+          .writeStream
+          .format("memory")
+          .queryName(sinkName)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.table(sinkName).orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin),
+      bench = false
     )
   )
 }
