@@ -441,6 +441,38 @@ object ExtendedOps {
              |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
 
+    // WF3: ntile decile segmentation — the RFM-style customer banding
+    // move: spread each priority's orders across 10 equal-count value
+    // deciles, then profile each band (count + fixed-point spend).
+    // ntile's band boundaries depend only on the SORTED position, and
+    // the (o_totalprice, o_orderkey) tie-break makes that order total,
+    // so band assignment is partition-order deterministic. One window
+    // shuffle on the partition key, one map-side-combined aggregate —
+    // the window state is a counter, not a buffer.
+    Q(
+      "wf3_ntile_deciles",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables(s, dir, "orders")
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy("o_orderpriority", "decile")
+          .agg(
+            count(lit(1)).as("n"),
+            (sum(round(col("o_totalprice") * 100).cast("long"))
+              .cast("double") / 100.0).as("band_total"))
+          .orderBy("o_orderpriority", "decile")
+      },
+      Some("""WITH d AS (
+             |  SELECT o_orderpriority, o_totalprice,
+             |    CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+             |  FROM orders)
+             |SELECT o_orderpriority, decile, count(*) AS n,
+             |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS band_total
+             |FROM d GROUP BY 1, 2 ORDER BY o_orderpriority, decile""".stripMargin)
+    ),
+
     // WF1: cumulative + full-partition analytics in ONE window pass:
     // running order total, order sequence number, and each order's share
     // of the customer's lifetime spend. One shuffle on o_custkey serves

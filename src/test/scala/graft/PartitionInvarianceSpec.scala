@@ -34,7 +34,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // fixed-point BM25 contributions + top-20 doc_id tie-break
     "ix3_bm25_search",
     // quantized n^alpha terms make the normalizer an exact integer sum
-    "sp6_temperature_weights")
+    "sp6_temperature_weights",
+    // per-doc lead() bigrams + fixed-point conditional log-prob mean
+    "tx16_bigram_logprob",
+    // total-ordered ntile banding + fixed-point band totals
+    "wf3_ntile_deciles")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
