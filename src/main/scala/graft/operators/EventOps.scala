@@ -400,6 +400,87 @@ object EventOps {
              |  count(*) AS n_events,
              |  CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)/10000.0 AS volume
              |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin)
+    ),
+
+    // EV12: gap-fill by LINEAR INTERPOLATION — ev8's carry-forward
+    // sibling for quantities that trend rather than hold (sensor
+    // readings, balances). Same per-user grid; each gap hour gets
+    // prev + (next−prev)·Δ/span with INTEGER floor division over
+    // fixed-point values and epoch-hour indices, so the interpolated
+    // series is bit-deterministic (no double ratio) and both grid
+    // endpoints are observations by construction, so prev/next always
+    // exist. Two window passes over the same user_id partitioning ev8
+    // uses (backward carry + forward carry) — AQE reuses one shuffle.
+    Q(
+      "ev12_gapfill_interp",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .filter(col("user_id") % 23 === 0)
+          .select(
+            col("user_id"),
+            date_trunc("hour", col("ts")).as("h"),
+            round(col("value") * 10000).cast("long").as("v_fx"))
+        val obs = ev.groupBy("user_id", "h").agg(sum("v_fx").as("hour_fx"))
+        val grid = ev.groupBy("user_id")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(
+            col("user_id"),
+            explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        val joined = grid.join(obs, Seq("user_id", "h"), "left")
+          .withColumn("h_idx", expr("unix_micros(h) div 3600000000"))
+          .withColumn("obs_idx",
+            when(col("hour_fx").isNotNull, col("h_idx")))
+        val back = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        joined
+          .withColumn("prev_fx", last(col("hour_fx"), ignoreNulls = true).over(back))
+          .withColumn("prev_idx", last(col("obs_idx"), ignoreNulls = true).over(back))
+          .withColumn("next_fx", first(col("hour_fx"), ignoreNulls = true).over(fwd))
+          .withColumn("next_idx", first(col("obs_idx"), ignoreNulls = true).over(fwd))
+          .select(
+            col("user_id"), col("h"),
+            when(col("hour_fx").isNotNull, col("hour_fx"))
+              .otherwise(col("prev_fx") +
+                expr("(next_fx - prev_fx) * (h_idx - prev_idx) div (next_idx - prev_idx)"))
+              .as("interp_fx"),
+            col("hour_fx").isNull.as("gap"))
+          .orderBy("user_id", "h")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS h,
+             |    CAST(round(value * 10000) AS BIGINT) AS v_fx
+             |  FROM events WHERE user_id % 23 = 0),
+             |obs AS (
+             |  SELECT user_id, h, CAST(SUM(v_fx) AS BIGINT) AS hour_fx
+             |  FROM e GROUP BY user_id, h),
+             |grid AS (
+             |  SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+             |  FROM e GROUP BY user_id),
+             |j AS (
+             |  SELECT g.user_id, g.h, o.hour_fx,
+             |    epoch_us(g.h) // 3600000000 AS h_idx,
+             |    CASE WHEN o.hour_fx IS NOT NULL
+             |         THEN epoch_us(g.h) // 3600000000 END AS obs_idx
+             |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h),
+             |w AS (
+             |  SELECT user_id, h, hour_fx, h_idx,
+             |    last_value(hour_fx IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_fx,
+             |    last_value(obs_idx IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_idx,
+             |    first_value(hour_fx IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_fx,
+             |    first_value(obs_idx IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_idx
+             |  FROM j)
+             |SELECT user_id, h,
+             |  CASE WHEN hour_fx IS NOT NULL THEN hour_fx
+             |       ELSE prev_fx + (next_fx - prev_fx) * (h_idx - prev_idx)
+             |            // (next_idx - prev_idx) END AS interp_fx,
+             |  hour_fx IS NULL AS gap
+             |FROM w ORDER BY user_id, h""".stripMargin)
     )
   )
 }

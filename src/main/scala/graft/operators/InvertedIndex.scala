@@ -94,7 +94,10 @@ object InvertedIndex {
             sum(col("tf")).as("cf"),
             min(col("doc_id")).as("min_doc"),
             max(col("doc_id")).as("max_doc"),
-            sum(col("doc_id")).as("doc_sum"),
+            // occurrence-weighted: each of a doc's tf occurrences
+            // contributes doc_id once (the full gate caught the
+            // unweighted sum(doc_id) drifting from the oracle)
+            sum(col("doc_id") * col("tf")).as("doc_sum"),
             sum(col("ps")).as("pos_sum"))
           .orderBy("term"),
       Some(OracleOcc +

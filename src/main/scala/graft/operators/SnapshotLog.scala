@@ -337,6 +337,41 @@ object SnapshotLog {
     upper.map(u => withLo.filter(c <= lit(u).cast(dt))).getOrElse(withLo)
   }
 
+  /** METADATA-ONLY aggregate: COUNT(*) plus per-column MIN/MAX for a
+    * snapshot, answered from the manifest alone — zero data files
+    * opened (Iceberg's `SELECT count(*)` fast path). Row count is the
+    * sum of per-file counts; min/max fold the recorded per-file stats
+    * under the column's type ordering. A column missing stats on ANY
+    * live file yields null bounds (metadata cannot answer — the caller
+    * falls back to a scan), never a wrong value. At 100 TB this reads
+    * kilobytes of manifest where the scan path reads the table;
+    * SnapshotStatsOnlySpec proves the independence by deleting the
+    * data files and still answering.
+    */
+  def statsSummary(spark: SparkSession, root: String,
+      columns: Seq[String], asOf: Long = 0L): DataFrame = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    val s = snapshot(spark, root, id)
+    val schema = StructType.fromDDL(s.schemaDdl)
+    val nRows = s.files.map(_.rows).sum
+    val out = columns.sorted.map { c =>
+      require(schema.fieldNames.contains(c), s"no column $c in snapshot $id")
+      val dt = schema(c).dataType
+      val perFile = s.files.map(_.stats.get(c))
+      val bounds =
+        if (s.files.nonEmpty && perFile.forall(_.isDefined)) {
+          val mins = perFile.flatten.map(_._1)
+          val maxs = perFile.flatten.map(_._2)
+          Some((
+            mins.reduce((a, b) => if (statGt(dt, a, b)) b else a),
+            maxs.reduce((a, b) => if (statGt(dt, a, b)) a else b)))
+        } else None
+      (c, nRows, bounds.map(_._1).orNull, bounds.map(_._2).orNull)
+    }
+    import spark.implicits._
+    out.toDF("col_name", "n_rows", "min_val", "max_val")
+  }
+
   /** Per-file bloom recording: build a filter over each listed (long or
     * integral) column per written data file, sized for `expectedPerFile`
     * items at `fpp`. Overfull files degrade to a higher fpp — more
@@ -1344,6 +1379,31 @@ object SnapshotLog {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { binpackLog(s, dir); () })
+    ),
+
+    // TT12: metadata-only COUNT/MIN/MAX — answered entirely from the
+    // manifest's per-file row counts and min/max stats, zero data
+    // files opened ([[statsSummary]]; SnapshotStatsOnlySpec deletes
+    // the data files and the answer survives). Integer columns only in
+    // the oracle row: the manifest renders bounds as strings, and
+    // integer rendering is engine-identical where double rendering is
+    // not.
+    Q(
+      "tt12_stats_only_query",
+      (s, dir) => {
+        val root = rangeLog(s, dir)
+        statsSummary(s, root, Seq("o_orderkey", "o_custkey"))
+          .orderBy("col_name")
+      },
+      Some("""SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(min(o_custkey) AS VARCHAR) AS min_val,
+             |  CAST(max(o_custkey) AS VARCHAR) AS max_val FROM orders
+             |UNION ALL
+             |SELECT 'o_orderkey', CAST(count(*) AS BIGINT),
+             |  CAST(min(o_orderkey) AS VARCHAR),
+             |  CAST(max(o_orderkey) AS VARCHAR) FROM orders
+             |ORDER BY col_name""".stripMargin),
+      stage = Some((s, dir) => { rangeLog(s, dir); () })
     )
   )
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** tt12's claim made falsifiable: [[SnapshotLog.statsSummary]] answers
+  * COUNT/MIN/MAX from the manifest ALONE. Proof: delete every data
+  * file; the stats answer is unchanged while a data read now fails.
+  */
+class SnapshotStatsOnlySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshLog(): String = {
+    val root = Files.createTempDirectory("stats_only").resolve("log").toString
+    val df = (1L to 100L).map(i => (i, i % 7, s"s$i")).toDF("k", "g", "payload")
+    SnapshotLog.append(spark, root, df.repartition(4))
+    SnapshotLog.append(spark, root,
+      (101L to 130L).map(i => (i, i % 7, s"s$i")).toDF("k", "g", "payload"))
+    root
+  }
+
+  test("statsSummary answers from metadata; deleting data files doesn't change it") {
+    val root = freshLog()
+    def summary() = rowSet(
+      SnapshotLog.statsSummary(spark, root, Seq("k", "g")).orderBy("col_name"))
+    val before = summary()
+    assert(before.exists(r => r.contains("k") && r.contains("130") && r.contains("1")))
+    assert(before.forall(_.contains("130"))) // n_rows = 130 on both rows
+
+    // destroy every data file; manifests stay
+    val dataFiles = Files.walk(java.nio.file.Paths.get(root)).iterator()
+    val toDelete = scala.collection.mutable.ArrayBuffer.empty[Path]
+    dataFiles.forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet")) toDelete += p
+    }
+    assert(toDelete.nonEmpty, "fixture should have data files")
+    toDelete.foreach(Files.delete)
+
+    assert(summary() === before, "metadata-only answer must survive data loss")
+    intercept[Exception] {
+      SnapshotLog.read(spark, root).collect()
+    }
+  }
+
+  test("a column missing stats on any file yields null bounds, exact count") {
+    val root = Files.createTempDirectory("stats_null").resolve("log").toString
+    // boolean columns are not stats-worthy -> no recorded bounds
+    SnapshotLog.append(spark, root,
+      (1L to 10L).map(i => (i, i % 2 == 0)).toDF("k", "flag"))
+    val rows = SnapshotLog.statsSummary(spark, root, Seq("flag"))
+      .collect()
+    assert(rows.length === 1)
+    assert(rows(0).getLong(1) === 10L)
+    assert(rows(0).isNullAt(2) && rows(0).isNullAt(3))
+  }
+}
