@@ -53,11 +53,14 @@ case class CountMinLongs(
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val bytes = v.asInstanceOf[UTF8String].getBytes
-      val hex = CountMinLongs.md5Hex(bytes)
+      // raw digest bytes: row i's bucket is the big-endian unsigned int
+      // of bytes [4i, 4i+4) — bit-identical to parseLong(hex slice)
+      // without the per-row hex string (ThreadLocal digest like the
+      // gram hashers; update() runs once per input row)
+      val dg = CountMinLongs.digest(v.asInstanceOf[UTF8String].getBytes)
       var i = 0
       while (i < d) {
-        val bkt = (java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16) % w).toInt
+        val bkt = (CountMinLongs.slice32(dg, i) % w).toInt
         buffer(i * w + bkt) += 1L
         i += 1
       }
@@ -95,20 +98,27 @@ case class CountMinLongs(
 }
 
 object CountMinLongs {
-  /** Lowercase md5 hex of `bytes` — matches SQL engines' md5(). */
-  private[functions] def md5Hex(bytes: Array[Byte]): String = {
-    val digest = MessageDigest.getInstance("MD5").digest(bytes)
-    val sb = new java.lang.StringBuilder(32)
-    digest.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  private[functions] def digest(bytes: Array[Byte]): Array[Byte] = {
+    val d = md5.get()
+    d.reset()
+    d.digest(bytes)
   }
+
+  /** Big-endian unsigned int of digest bytes [4i, 4i+4) — exactly
+    * parseLong(hexDigest.substring(8i, 8i+8), 16), byte-for-byte.
+    */
+  private[functions] def slice32(dg: Array[Byte], i: Int): Long =
+    (((dg(4 * i) & 0xffL) << 24) | ((dg(4 * i + 1) & 0xffL) << 16) |
+      ((dg(4 * i + 2) & 0xffL) << 8) | (dg(4 * i + 3) & 0xffL))
 
   /** The row-i bucket of a string item — the single definition the
     * aggregate, the Spark-side probe expression, and the SQL oracle all
     * encode (kept here so a drift is a compile-site, not a data bug).
     */
   def bucket(item: String, i: Int, w: Int): Int =
-    (java.lang.Long.parseLong(
-      md5Hex(item.getBytes(StandardCharsets.UTF_8)).substring(8 * i, 8 * i + 8),
-      16) % w).toInt
+    (slice32(digest(item.getBytes(StandardCharsets.UTF_8)), i) % w).toInt
 }

@@ -46,13 +46,18 @@ object Classification {
     */
   def fit(train: DataFrame, labelCol: String, toksCol: String)
       : (DataFrame, DataFrame) = {
-    val toks = train
+    // ONE corpus explode+shuffle: every other statistic (per-class
+    // token totals, vocab size) derives from the (label, tok) counts —
+    // the derive-from-grouped-counts move dp4 uses, instead of three
+    // corpus-sized aggregation passes
+    val counts = train
       .select(col(labelCol).as("label"), explode(col(toksCol)).as("tok"))
       .filter(col("tok") =!= "")
+      .groupBy("label", "tok").agg(count(lit(1)).as("cnt"))
     val nDocs = train.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_docs"))
-    val nToks = toks.groupBy("label").agg(count(lit(1)).as("n_toks"))
-    val vocab = toks.agg(countDistinct(col("tok")).as("v"))
+    val nToks = counts.groupBy("label").agg(sum("cnt").as("n_toks"))
+    val vocab = counts.agg(countDistinct(col("tok")).as("v"))
     val total = train.agg(count(lit(1)).as("total_docs"))
     val classes = nDocs.join(nToks, "label").crossJoin(vocab).crossJoin(total)
       .select(
@@ -60,7 +65,6 @@ object Classification {
         lp6(col("n_docs").cast("double") / col("total_docs")).as("prior6"),
         lp6(lit(1.0) / (col("n_toks") + col("v"))).as("def6"),
         (col("n_toks") + col("v")).as("denom"))
-    val counts = toks.groupBy("label", "tok").agg(count(lit(1)).as("cnt"))
     val model = counts.join(classes, "label")
       .select(
         col("label"), col("tok"),

@@ -26,20 +26,29 @@ object EventOps {
     * moves O(groups), never the events. Volume follows the repo-wide
     * fixed-point sum convention.
     */
-  def ohlcBars(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val k = unix_micros(col("ts")).cast("decimal(38,0)") * 1000000 +
-      col("event_id")
+  def ohlcBars(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     events
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
-      .agg(
-        min_by(col("value"), k).as("open_v"),
-        max(col("value")).as("high_v"),
-        min(col("value")).as("low_v"),
-        max_by(col("value"), k).as("close_v"),
-        count(lit(1)).as("n_events"),
-        (sum(round(col("value") * 10000).cast("long")).cast("double") / 10000.0)
-          .as("volume"))
-  }
+      .agg(ohlcAggs.head, ohlcAggs.tail: _*)
+
+  /** The exact composite ordering key open/close pick by:
+    * micros·1e6 + event_id as DECIMAL(38,0) — total even under
+    * duplicate timestamps, overflow-free. ONE definition shared by the
+    * batch bars and the sm21 streaming twin (so the twin cannot drift
+    * from the oracle it claims verbatim).
+    */
+  def ohlcKey: org.apache.spark.sql.Column =
+    unix_micros(col("ts")).cast("decimal(38,0)") * 1000000 + col("event_id")
+
+  /** The five OHLC aggregates + fixed-point volume over [[ohlcKey]]. */
+  def ohlcAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    min_by(col("value"), ohlcKey).as("open_v"),
+    max(col("value")).as("high_v"),
+    min(col("value")).as("low_v"),
+    max_by(col("value"), ohlcKey).as("close_v"),
+    count(lit(1)).as("n_events"),
+    (sum(round(col("value") * 10000).cast("long")).cast("double") / 10000.0)
+      .as("volume"))
 
   val all: Seq[Q] = Seq(
     // Tumbling-window aggregation: hourly counts + fixed-point value sums.

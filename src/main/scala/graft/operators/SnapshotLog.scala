@@ -357,9 +357,12 @@ object SnapshotLog {
     val out = columns.sorted.map { c =>
       require(schema.fieldNames.contains(c), s"no column $c in snapshot $id")
       val dt = schema(c).dataType
-      val perFile = s.files.map(_.stats.get(c))
+      // zero-row files constrain nothing (append() tolerates empty
+      // tasks, which record no stats) — they must not null the bounds
+      val live = s.files.filter(_.rows > 0)
+      val perFile = live.map(_.stats.get(c))
       val bounds =
-        if (s.files.nonEmpty && perFile.forall(_.isDefined)) {
+        if (live.nonEmpty && perFile.forall(_.isDefined)) {
           val mins = perFile.flatten.map(_._1)
           val maxs = perFile.flatten.map(_._2)
           Some((

@@ -614,10 +614,9 @@ object TextAnalysis {
       "tx16_bigram_logprob",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val occ = Tables(s, dir, "documents")
-          .select(col("doc_id"), posexplode(split(col("text"), " ")))
-          .select(col("doc_id"), col("pos"), col("col").as("tok"))
-          .filter(col("tok") =!= "")
+        // the ix* tier's tokenization, verbatim — one definition of
+        // "occurrence" across retrieval and LM scoring
+        val occ = InvertedIndex.occurrences(Tables(s, dir, "documents"))
         val w = Window.partitionBy("doc_id").orderBy("pos")
         val bigrams = occ
           .withColumn("w2", lead(col("tok"), 1).over(w))

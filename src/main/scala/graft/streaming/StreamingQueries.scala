@@ -893,18 +893,10 @@ object StreamingQueries {
         val raw = s.readStream.schema(ev.schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(landing.toString)
-        val k = unix_micros(col("ts")).cast("decimal(38,0)") * 1000000 +
-          col("event_id")
+        val aggs = graft.operators.EventOps.ohlcAggs
         raw
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(
-            min_by(col("value"), k).as("open_v"),
-            max(col("value")).as("high_v"),
-            min(col("value")).as("low_v"),
-            max_by(col("value"), k).as("close_v"),
-            count(lit(1)).as("n_events"),
-            (sum(round(col("value") * 10000).cast("long")).cast("double") / 10000.0)
-              .as("volume"))
+          .agg(aggs.head, aggs.tail: _*)
           .writeStream
           .format("memory")
           .queryName(sinkName)

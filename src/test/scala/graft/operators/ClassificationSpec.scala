@@ -1,8 +1,6 @@
 package graft.operators
 
 import graft.{SparkEntry, SparkSpec, TestSpark}
-import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions._
 
 /** Naive Bayes classifier (nb1): checked against an independent plain-
   * Scala NB implementation on a hand-built corpus, plus shape/sanity on
@@ -89,21 +87,7 @@ class ClassificationSpec extends SparkSpec {
     assert(rows.forall(r => r.getBoolean(4) === (r.getString(1) == r.getString(3))))
   }
 
-  test("nb1 is invariant to input partitioning") {
-    val base = SparkEntry.queries("nb1_naive_bayes")(spark, TestSpark.Sf0001)
-    val baseRows = rowSet(base)
-    withSQLConf("spark.sql.shuffle.partitions" -> "7") {
-      val again = SparkEntry.queries("nb1_naive_bayes")(spark, TestSpark.Sf0001)
-      assert(rowSet(again) === baseRows)
-    }
-  }
-
-  private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
-    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kv.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
+  // partition invariance is covered by PartitionInvarianceSpec, which
+  // runs nb1 under 1/5/32 shuffle partitions alongside the other
+  // determinism-sensitive queries
 }
