@@ -76,6 +76,9 @@ object GraftFunctions {
   /** per-code-point Shannon entropy (log2) of a string, one pass. */
   val CharEntropyName = "graft_char_entropy"
 
+  /** NFC + casefold + control-strip + whitespace-collapse, one pass. */
+  val NormalizeTextName = "graft_normalize_text"
+
   /** Jaro-Winkler similarity of two strings (DuckDB-compatible). */
   val JaroWinklerName = "graft_jaro_winkler"
 
@@ -209,6 +212,9 @@ object GraftFunctions {
       })
     ensure(CharEntropyName, "_FUNC_(s) - per-code-point Shannon entropy (log2)")(
       children => CharEntropy(children(0)))
+    ensure(NormalizeTextName,
+      "_FUNC_(s) - NFC + lowercase + control-strip + whitespace-collapse")(
+      children => NormalizeText(children(0)))
     ensure(JaroWinklerName, "_FUNC_(a, b) - Jaro-Winkler similarity")(
       children => JaroWinklerSimilarity(children(0), children(1)))
   }

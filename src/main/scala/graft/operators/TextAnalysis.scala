@@ -664,6 +664,44 @@ object TextAnalysis {
              |SELECT doc_id, n_bigrams, ROUND(mean_logp, 6) AS mean_logp,
              |  mean_logp >= -4.5 AS keep
              |FROM sc ORDER BY doc_id""".stripMargin)
+    ),
+
+    // TX17: canonical text normalization via the native one-pass
+    // [[graft.functions.NormalizeText]] expression (NFC + lowercase +
+    // control-strip + whitespace-collapse — the stage before
+    // tokenization/dedup so byte variants shingle identically). The
+    // row perturbs each document into a messy variant (case flips,
+    // leading/trailing runs, tabs) and proves normalization recovers
+    // the canonical form; DuckDB recomputes with
+    // nfc_normalize+lower+regexp. Non-ASCII semantics (combining
+    // marks, unicode spaces) are pinned in NormalizeTextSpec — the
+    // driver corpus is ASCII, where the engines provably agree.
+    Q(
+      "tx17_normalize_text",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val messy = concat(
+          lit("  "), upper(col("text")), lit(" \t "), col("text"), lit("\n"))
+        Tables(s, dir, "documents")
+          .select(
+            col("doc_id"), col("text"),
+            call_function(graft.functions.GraftFunctions.NormalizeTextName,
+              messy).as("norm"))
+          .select(
+            col("doc_id"),
+            length(col("norm")).cast("long").as("n_chars"),
+            (col("norm") === concat(col("text"), lit(" "), col("text")))
+              .as("roundtrip"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  length(trim(regexp_replace(lower(nfc_normalize(
+             |    '  ' || upper(text) || ' ' || chr(9) || ' ' || text || chr(10))),
+             |    '\s+', ' ', 'g'))) AS n_chars,
+             |  trim(regexp_replace(lower(nfc_normalize(
+             |    '  ' || upper(text) || ' ' || chr(9) || ' ' || text || chr(10))),
+             |    '\s+', ' ', 'g')) = (text || ' ' || text) AS roundtrip
+             |FROM documents ORDER BY doc_id""".stripMargin)
     )
   )
 }

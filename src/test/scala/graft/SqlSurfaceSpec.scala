@@ -28,6 +28,11 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getDouble(0) === 11.0)
     val jw = spark.sql("SELECT graft_jaro_winkler('abc', 'abc') AS s").head()
     assert(jw.getDouble(0) === 1.0)
+    val nt = spark.sql("SELECT graft_normalize_text('  A\tB  ') AS t").head()
+    assert(nt.getString(0) === "a b")
+    val cm = spark.sql(
+      "SELECT graft_count_min(x, 2, 8) AS cm FROM VALUES ('a'), ('a') AS t(x)").head()
+    assert(cm.getSeq[Long](0).sum === 4L) // 2 rows x 2 occurrences
   }
 
   test("custom aggregates are callable from SQL") {
