@@ -196,5 +196,109 @@ object RecordLinkage {
              |       CAST((SELECT min(node) FROM mem
              |             WHERE mem.entity = s.entity
              |               AND mem.n_chars = s.max_chars) AS BIGINT) AS golden_doc
-             |FROM sz s ORDER BY entity""".stripMargin)))
+             |FROM sz s ORDER BY entity""".stripMargin)),
+
+    // RL4: Fellegi–Sunter probabilistic linkage — the TRAINED weights
+    // tier above rl1's fixed threshold. A deterministic "clerically
+    // reviewed" subset of the blocked candidates ((doc_a+doc_b)%3=0,
+    // labeled match when the head similarity clears 0.95) estimates
+    // each comparison field's m = P(agree|match) and u =
+    // P(agree|non-match) with Laplace smoothing; unlabeled pairs then
+    // score Σ_k ln(m/u) for agreeing fields and ln((1−m)/(1−u)) for
+    // disagreeing ones, each weight fixed-point-rounded to a 1e-6 long
+    // BEFORE the sum (tx14's discipline), link when the log-likelihood
+    // ratio is ≥ 0. Training is ONE aggregate over the labeled pairs
+    // (a 1-row m/u table broadcast back); scoring is a projection over
+    // candidates — the same blocked-equi-join scale shape as rl1, with
+    // the trained decision replacing the hand threshold.
+    Q(
+      "rl4_fellegi_sunter",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val d = docs(s, dir)
+        val n = s.sessionState.conf.numShufflePartitions
+        val a = d.repartition(n).select(
+          col("doc_id").as("doc_a"), col("head").as("head_a"),
+          col("lang").as("lang_a"), col("len_bucket").as("lb_a"), col("w1"))
+        val b = d.select(
+          col("doc_id").as("doc_b"), col("head").as("head_b"),
+          col("lang").as("lang_b"), col("len_bucket").as("lb_b"), col("w1"))
+        val feat = a.join(b, a("w1") === b("w1") && col("doc_a") < col("doc_b"))
+          .repartition(n, col("doc_a"), col("doc_b"))
+          .withColumn("sim", round(jw(col("head_a"), col("head_b")), 6))
+          .select(
+            col("doc_a"), col("doc_b"),
+            (col("lang_a") === col("lang_b")).as("f1"),
+            (col("lb_a") === col("lb_b")).as("f2"),
+            (col("sim") >= 0.85).as("f3"),
+            (col("sim") >= 0.95).as("is_match"),
+            ((col("doc_a") + col("doc_b")) % 3 === 0).as("labeled"))
+        val fs = Seq("f1", "f2", "f3")
+        val trainAggs =
+          Seq(
+            sum(when(col("is_match"), 1L).otherwise(0L)).as("nm"),
+            sum(when(!col("is_match"), 1L).otherwise(0L)).as("nn")) ++
+            fs.flatMap(f => Seq(
+              sum(when(col(f) && col("is_match"), 1L).otherwise(0L)).as(s"${f}_m"),
+              sum(when(col(f) && !col("is_match"), 1L).otherwise(0L)).as(s"${f}_u")))
+        val weights = feat.filter(col("labeled"))
+          .agg(trainAggs.head, trainAggs.tail: _*)
+          .select(fs.flatMap { f =>
+            val m = (col(s"${f}_m") + lit(1.0)) / (col("nm") + lit(2.0))
+            val u = (col(s"${f}_u") + lit(1.0)) / (col("nn") + lit(2.0))
+            Seq(
+              round(log(m / u) * 1000000.0).cast("long").as(s"${f}_agree6"),
+              round(log((lit(1.0) - m) / (lit(1.0) - u)) * 1000000.0)
+                .cast("long").as(s"${f}_dis6"))
+          }: _*)
+        val score6 = fs.map(f =>
+          when(col(f), col(s"${f}_agree6")).otherwise(col(s"${f}_dis6")))
+          .reduce(_ + _)
+        feat.filter(!col("labeled"))
+          .crossJoin(broadcast(weights))
+          .select(
+            col("doc_a"), col("doc_b"), score6.as("score6"),
+            (score6 >= 0L).as("linked"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, substr(text,1,80) AS head, lang,
+             |                  n_chars // 20 AS len_bucket,
+             |                  split_part(text,' ',1) AS w1 FROM documents),
+             |feat AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    a.lang = b.lang AS f1,
+             |    a.len_bucket = b.len_bucket AS f2,
+             |    ROUND(jaro_winkler_similarity(a.head, b.head), 6) >= 0.85 AS f3,
+             |    ROUND(jaro_winkler_similarity(a.head, b.head), 6) >= 0.95 AS is_match,
+             |    (a.doc_id + b.doc_id) % 3 = 0 AS labeled
+             |  FROM d a JOIN d b ON a.w1 = b.w1 AND a.doc_id < b.doc_id),
+             |tr AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+             |    CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+             |    CAST(SUM(CASE WHEN f1 AND is_match THEN 1 ELSE 0 END) AS BIGINT) AS f1_m,
+             |    CAST(SUM(CASE WHEN f1 AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS f1_u,
+             |    CAST(SUM(CASE WHEN f2 AND is_match THEN 1 ELSE 0 END) AS BIGINT) AS f2_m,
+             |    CAST(SUM(CASE WHEN f2 AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS f2_u,
+             |    CAST(SUM(CASE WHEN f3 AND is_match THEN 1 ELSE 0 END) AS BIGINT) AS f3_m,
+             |    CAST(SUM(CASE WHEN f3 AND NOT is_match THEN 1 ELSE 0 END) AS BIGINT) AS f3_u
+             |  FROM feat WHERE labeled),
+             |w AS (
+             |  SELECT
+             |    CAST(round(ln(((f1_m + 1.0)/(nm + 2.0)) / ((f1_u + 1.0)/(nn + 2.0))) * 1000000) AS BIGINT) AS f1_agree6,
+             |    CAST(round(ln((1.0 - (f1_m + 1.0)/(nm + 2.0)) / (1.0 - (f1_u + 1.0)/(nn + 2.0))) * 1000000) AS BIGINT) AS f1_dis6,
+             |    CAST(round(ln(((f2_m + 1.0)/(nm + 2.0)) / ((f2_u + 1.0)/(nn + 2.0))) * 1000000) AS BIGINT) AS f2_agree6,
+             |    CAST(round(ln((1.0 - (f2_m + 1.0)/(nm + 2.0)) / (1.0 - (f2_u + 1.0)/(nn + 2.0))) * 1000000) AS BIGINT) AS f2_dis6,
+             |    CAST(round(ln(((f3_m + 1.0)/(nm + 2.0)) / ((f3_u + 1.0)/(nn + 2.0))) * 1000000) AS BIGINT) AS f3_agree6,
+             |    CAST(round(ln((1.0 - (f3_m + 1.0)/(nm + 2.0)) / (1.0 - (f3_u + 1.0)/(nn + 2.0))) * 1000000) AS BIGINT) AS f3_dis6
+             |  FROM tr)
+             |SELECT doc_a, doc_b,
+             |  (CASE WHEN f1 THEN f1_agree6 ELSE f1_dis6 END
+             |   + CASE WHEN f2 THEN f2_agree6 ELSE f2_dis6 END
+             |   + CASE WHEN f3 THEN f3_agree6 ELSE f3_dis6 END) AS score6,
+             |  (CASE WHEN f1 THEN f1_agree6 ELSE f1_dis6 END
+             |   + CASE WHEN f2 THEN f2_agree6 ELSE f2_dis6 END
+             |   + CASE WHEN f3 THEN f3_agree6 ELSE f3_dis6 END) >= 0 AS linked
+             |FROM feat CROSS JOIN w WHERE NOT labeled
+             |ORDER BY doc_a, doc_b""".stripMargin)))
 }
