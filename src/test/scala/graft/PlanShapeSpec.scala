@@ -84,6 +84,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(t, "HashAggregate") >= 4, s"ix1 lost its two-stage agg:\n$t")
   }
 
+  test("ix3's BM25 joins are postings-sized and top-20 is TakeOrdered, not Sort") {
+    val t = tree("ix3_bm25_search")
+    assert(t.contains("TakeOrderedAndProject"), s"ix3 lost its top-k operator:\n$t")
+    assert(!t.contains("CartesianProduct"), s"ix3 plans a cartesian:\n$t")
+    // the df/stats sides are broadcast (3 terms / 1 row) — the corpus
+    // never shuffles into a sort-merge join for them
+    assert(count(t, "BroadcastHashJoin") >= 1, s"ix3 lost its broadcast joins:\n$t")
+  }
+
+  test("rl4's only nested-loop join is the 1-row broadcast weight table") {
+    val t = tree("rl4_fellegi_sunter")
+    assert(!t.contains("CartesianProduct"), s"rl4 plans a cartesian:\n$t")
+    // candidates come from the blocking equi-join, never a cross join
+    assert(count(t, "BroadcastNestedLoopJoin") <= 1,
+      s"rl4 has unexpected nested-loop joins:\n$t")
+    assert(count(t, "BroadcastHashJoin") + count(t, "SortMergeJoin") >= 1,
+      s"rl4 lost its blocking equi-join:\n$t")
+  }
+
   test("events scan yields TimestampType directly — no cast above the scan on ts") {
     val full = SparkEntry.queries("ev2_sessionize")(spark, Dir)
       .queryExecution.explainString(FormattedMode)
