@@ -223,16 +223,21 @@ object RecordLinkage {
         val b = d.select(
           col("doc_id").as("doc_b"), col("head").as("head_b"),
           col("lang").as("lang_b"), col("len_bucket").as("lb_b"), col("w1"))
-        val feat = a.join(b, a("w1") === b("w1") && col("doc_a") < col("doc_b"))
-          .repartition(n, col("doc_a"), col("doc_b"))
-          .withColumn("sim", round(jw(col("head_a"), col("head_b")), 6))
-          .select(
-            col("doc_a"), col("doc_b"),
-            (col("lang_a") === col("lang_b")).as("f1"),
-            (col("lb_a") === col("lb_b")).as("f2"),
-            (col("sim") >= 0.85).as("f3"),
-            (col("sim") >= 0.95).as("is_match"),
-            ((col("doc_a") + col("doc_b")) % 3 === 0).as("labeled"))
+        // persisted: both the training aggregate and the scoring probe
+        // consume `feat` — without the persist the Σ|block|² candidate
+        // join materializes twice per run (CacheScope per repo rule)
+        val feat = graft.CacheScope.track(
+          a.join(b, a("w1") === b("w1") && col("doc_a") < col("doc_b"))
+            .repartition(n, col("doc_a"), col("doc_b"))
+            .withColumn("sim", round(jw(col("head_a"), col("head_b")), 6))
+            .select(
+              col("doc_a"), col("doc_b"),
+              (col("lang_a") === col("lang_b")).as("f1"),
+              (col("lb_a") === col("lb_b")).as("f2"),
+              (col("sim") >= 0.85).as("f3"),
+              (col("sim") >= 0.95).as("is_match"),
+              ((col("doc_a") + col("doc_b")) % 3 === 0).as("labeled"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val fs = Seq("f1", "f2", "f3")
         val trainAggs =
           Seq(

@@ -354,12 +354,12 @@ object SnapshotLog {
     val s = snapshot(spark, root, id)
     val schema = StructType.fromDDL(s.schemaDdl)
     val nRows = s.files.map(_.rows).sum
+    // zero-row files constrain nothing (append() tolerates empty
+    // tasks, which record no stats) — they must not null the bounds
+    val live = s.files.filter(_.rows > 0)
     val out = columns.sorted.map { c =>
       require(schema.fieldNames.contains(c), s"no column $c in snapshot $id")
       val dt = schema(c).dataType
-      // zero-row files constrain nothing (append() tolerates empty
-      // tasks, which record no stats) — they must not null the bounds
-      val live = s.files.filter(_.rows > 0)
       val perFile = live.map(_.stats.get(c))
       val bounds =
         if (live.nonEmpty && perFile.forall(_.isDefined)) {

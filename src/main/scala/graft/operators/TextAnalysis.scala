@@ -680,11 +680,17 @@ object TextAnalysis {
       "tx17_normalize_text",
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
+        // pre-clean control bytes on BOTH engines: inside the 0x00-0x1f
+        // / DEL range, Java's whitespace set (VT, FS..US) and RE2's \\s
+        // disagree, so a regenerated corpus containing any control byte
+        // would diverge native-vs-oracle; after the strip, the only
+        // whitespace in play is {space, tab, newline}, where they agree
+        val clean = regexp_replace(col("text"), "[\\x00-\\x1f\\x7f]", "")
         val messy = concat(
-          lit("  "), upper(col("text")), lit(" \t "), col("text"), lit("\n"))
+          lit("  "), upper(clean), lit(" \t "), clean, lit("\n"))
         Tables(s, dir, "documents")
           .select(
-            col("doc_id"), col("text"),
+            col("doc_id"), clean.as("text"),
             call_function(graft.functions.GraftFunctions.NormalizeTextName,
               messy).as("norm"))
           .select(
@@ -694,14 +700,18 @@ object TextAnalysis {
               .as("roundtrip"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id,
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |    regexp_replace(text, '[\x00-\x1f\x7f]', '', 'g') AS text
+             |  FROM documents)
+             |SELECT doc_id,
              |  length(trim(regexp_replace(lower(nfc_normalize(
              |    '  ' || upper(text) || ' ' || chr(9) || ' ' || text || chr(10))),
              |    '\s+', ' ', 'g'))) AS n_chars,
              |  trim(regexp_replace(lower(nfc_normalize(
              |    '  ' || upper(text) || ' ' || chr(9) || ' ' || text || chr(10))),
              |    '\s+', ' ', 'g')) = (text || ' ' || text) AS roundtrip
-             |FROM documents ORDER BY doc_id""".stripMargin)
+             |FROM c ORDER BY doc_id""".stripMargin)
     )
   )
 }
