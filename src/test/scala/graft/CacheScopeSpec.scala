@@ -9,6 +9,12 @@ class CacheScopeSpec extends SparkSpec {
   test("no net cache growth across a double sweep with release() between") {
     spark.catalog.clearCache() // normalize whatever earlier suites left
     CacheScope.release()
+    // earlier suites may have left localCheckpoint blocks that neither
+    // clearCache nor release can (or should) remove — the claim under
+    // test is NET growth from the graft-tracked caches, so measure the
+    // delta against this baseline rather than absolute zero (the
+    // absolute form was suite-order dependent)
+    val baseline = spark.sparkContext.getRDDStorageInfo.length
 
     // dd4 persists hashed tokens + signatures + the sort barrier; ss2 the
     // prepared vector table; em2 its scale table — the heavy shared caches.
@@ -25,8 +31,10 @@ class CacheScopeSpec extends SparkSpec {
     CacheScope.release()
     val cachedAfterSecond = spark.sparkContext.getRDDStorageInfo.length
 
-    assert(cachedAfterFirst === 0, s"blocks still cached: $cachedAfterFirst")
-    assert(cachedAfterSecond === 0, s"net growth: $cachedAfterSecond blocks")
+    assert(cachedAfterFirst === baseline,
+      s"blocks still cached: $cachedAfterFirst vs baseline $baseline")
+    assert(cachedAfterSecond === baseline,
+      s"net growth: $cachedAfterSecond vs baseline $baseline")
     assert(CacheScope.size === 0)
   }
 }
