@@ -38,7 +38,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // per-doc lead() bigrams + fixed-point conditional log-prob mean
     "tx16_bigram_logprob",
     // total-ordered ntile banding + fixed-point band totals
-    "wf3_ntile_deciles")
+    "wf3_ntile_deciles",
+    // trained m/u weights from one agg + fixed-point LLR sums
+    "rl4_fellegi_sunter",
+    // integer floor-division interpolation over window carries
+    "ev12_gapfill_interp")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
