@@ -545,6 +545,59 @@ object GraphOps {
               |${(1 to 3).map(kcIterSql(_, 3)).mkString(",\n")}
               |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
               |FROM e3 GROUP BY src ORDER BY node""".stripMargin)
+    ),
+
+    // GR6: bipartite projection with hot-node capping — the
+    // co-purchase matrix (customer×part → part–part co-counts), the
+    // item-item backbone of every "customers also bought" recommender.
+    // The scale trap is the per-user quadratic pair fanout: one
+    // customer with 10k purchases alone contributes 50M pairs. The
+    // standard fix — cap each user's contribution to their TOP-N items
+    // BEFORE pairing (deterministic: count desc, partkey asc) — bounds
+    // fanout at N(N−1)/2 pairs per customer regardless of skew, and
+    // the oracle proves the capped projection exactly. Shapes: one
+    // (cust, part) map-side-combined count, one bounded per-cust
+    // window, one self-equi-join on cust (never all-pairs), one pair
+    // count, TakeOrdered top-20.
+    Q(
+      "gr6_copurchase_projection",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val capN = 10
+        val bought = Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("cust").orderBy(desc("cnt"), asc("part"))
+        val capped = bought
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= capN)
+          .select("cust", "part")
+        val a = capped.select(col("cust"), col("part").as("part_a"))
+        val b = capped.select(col("cust"), col("part").as("part_b"))
+        a.join(b, Seq("cust"))
+          .filter(col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b")
+          .agg(count(lit(1)).as("co_customers"))
+          .orderBy(desc("co_customers"), asc("part_a"), asc("part_b"))
+          .limit(20)
+      },
+      Some("""WITH bought AS (
+             |  SELECT o_custkey AS cust, l_partkey AS part, count(*) AS cnt
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  GROUP BY 1, 2),
+             |capped AS (
+             |  SELECT cust, part FROM (
+             |    SELECT cust, part,
+             |      row_number() OVER (PARTITION BY cust ORDER BY cnt DESC, part ASC) AS rk
+             |    FROM bought)
+             |  WHERE rk <= 10)
+             |SELECT a.part AS part_a, b.part AS part_b,
+             |  CAST(count(*) AS BIGINT) AS co_customers
+             |FROM capped a JOIN capped b ON a.cust = b.cust AND a.part < b.part
+             |GROUP BY 1, 2
+             |ORDER BY co_customers DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin)
     )
   )
 }

@@ -493,6 +493,30 @@ object Similarity {
       .orderBy("qid", "neighbor_id")
   }
 
+  /** RANGE search: every neighbor with cosine ≥ `minSim`, via the same
+    * multi-probe LSH candidate generation as [[annTopK]] — the
+    * unbounded-output sibling of top-k (dedup-threshold sweeps, "find
+    * everything this similar" audits). Same scale shape: candidates
+    * come from bucket-equi-join probes of the broadcast query set, the
+    * threshold filter is a projection, and nothing all-pairs ever
+    * materializes; output size is data-bound, not k-bound, which is
+    * precisely why production range search must stay bucket-pruned.
+    */
+  def annRange(v: DataFrame, numQueries: Int, minSim: Double,
+      numPlanes: Int = NumPlanes): DataFrame = {
+    val q = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"), explode(probesCol(col("bucket"), numPlanes)).as("probe"))
+    v.join(broadcast(q),
+        col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("vec_id").as("neighbor_id"),
+        cosine(col("qemb"), col("qnrm"), col("emb"), col("nrm")).as("score"))
+      .filter(col("score") >= minSim)
+      .orderBy("qid", "neighbor_id")
+  }
+
   private def cosine(qe: Column, qn: Column, ce: Column, cn: Column): Column =
     round(dotCols(qe, ce) / (qn * cn), 6)
 
@@ -623,6 +647,26 @@ object Similarity {
               |SELECT qid, neighbor_id, score FROM
               |  (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rn FROM p)
               |WHERE rn <= $TopK ORDER BY qid, neighbor_id""".stripMargin)
+    ),
+
+    // SS5: LSH range search — all bucket-candidate neighbors with
+    // cosine >= 0.25 (the unbounded-output sibling of ss2's top-k; see
+    // annRange). The oracle reproduces the deterministic probe set and
+    // threshold exactly, so the approximate candidate generation is
+    // itself the verified contract, same as ss2/ss3.
+    Q(
+      "ss5_range_search",
+      (s, dir) => {
+        val (v, np) = vectors(s, dir)
+        annRange(v, NumQueries, 0.25, np)
+      },
+      Some(s"""WITH $vecBucketSql,
+              |qp AS (SELECT vec_id, emb, nrm, unnest($probesSql) AS probe
+              |       FROM v WHERE vec_id < $NumQueries),
+              |p AS (SELECT q.vec_id AS qid, c.vec_id AS neighbor_id, $cosSql AS score
+              |      FROM qp q JOIN v c ON c.bucket = q.probe AND c.vec_id <> q.vec_id)
+              |SELECT qid, neighbor_id, score FROM p
+              |WHERE score >= 0.25 ORDER BY qid, neighbor_id""".stripMargin)
     ),
 
     // IVF ANN top-k: the inverted-file counterpart of ss2 — vectors are
