@@ -122,6 +122,75 @@ object IncrementalView {
     cur
   }
 
+  /** One JOIN-view maintenance step — the textbook delta-join identity
+    * ΔV = ΔA⋈B_pre ∪ A_pre⋈ΔB ∪ ΔA⋈ΔB, with inserts/deletes as ±1
+    * signs (an update is delete+insert in the change feed, so it flows
+    * through unchanged). The maintained view is a MULTISET — rows with
+    * a multiplicity `m` — folded exactly like [[applyDelta]]'s counts;
+    * `m = 0` rows leave the view. Each step's work is churn-sized join
+    * traffic: the pre-states join only against deltas, never against
+    * each other (the full A⋈B re-join is precisely what IVM exists to
+    * avoid). `outCols` names the view's columns (from both inputs).
+    */
+  def applyJoinDelta(state: Option[DataFrame],
+      aPre: DataFrame, dA: Option[DataFrame],
+      bPre: DataFrame, dB: Option[DataFrame],
+      joinKey: String, outCols: Seq[String]): DataFrame = {
+    def signed(d: DataFrame) = d.withColumn("sign",
+      when(col("change") === "insert", lit(1L)).otherwise(lit(-1L)))
+    val out = outCols.map(col)
+    val parts = Seq(
+      dA.map(da => signed(da).join(bPre, joinKey).select(out :+ col("sign"): _*)),
+      dB.map(db => aPre.join(signed(db), joinKey).select(out :+ col("sign"): _*)),
+      (dA, dB) match {
+        case (Some(da), Some(db)) =>
+          val a = signed(da).withColumnRenamed("sign", "sign_a")
+          val b = signed(db).withColumnRenamed("sign", "sign_b")
+          Some(a.join(b, joinKey)
+            .select(out :+ (col("sign_a") * col("sign_b")).as("sign"): _*))
+        case _ => None
+      }).flatten
+    require(parts.nonEmpty, "at least one side must have a delta")
+    val deltaAgg = parts.reduce(_ unionByName _)
+      .groupBy(out: _*).agg(sum(col("sign")).as("d_m"))
+    val folded = state match {
+      case None => deltaAgg.select(out :+ col("d_m").as("m"): _*)
+      case Some(st) =>
+        st.join(deltaAgg, outCols, "full_outer").select(
+          out :+ (coalesce(col("m"), lit(0L)) +
+            coalesce(col("d_m"), lit(0L))).as("m"): _*)
+    }
+    folded.filter(col("m") > 0)
+  }
+
+  /** Materialize an A⋈B join view by folding both logs' aligned
+    * snapshot transitions — pre-states come from TIME TRAVEL on each
+    * log, so every step sees exactly the states the delta-join
+    * identity requires, without keeping copies.
+    */
+  def materializeJoin(spark: SparkSession, rootA: String, rootB: String,
+      joinKey: String, outCols: Seq[String]): DataFrame = {
+    val hiA = SnapshotLog.currentId(spark, rootA)
+    val hiB = SnapshotLog.currentId(spark, rootB)
+    require(hiA > 0 && hiB > 0, "materializeJoin over an empty log")
+    // pre-state at transition i: snapshot i (empty for i = 0 — read()
+    // treats asOf=0 as "current", so the bootstrap empties explicitly);
+    // a log whose history ended keeps its final state
+    def pre(root: String, hi: Long, i: Long): DataFrame = {
+      val snap = SnapshotLog.read(spark, root, asOf = math.max(math.min(i, hi), 1L))
+      if (i == 0) snap.limit(0) else snap
+    }
+    var state: Option[DataFrame] = None
+    (0L until math.max(hiA, hiB)).foreach { i =>
+      val dA = if (i < hiA) Some(SnapshotLog.changes(spark, rootA, i, i + 1)) else None
+      val dB = if (i < hiB) Some(SnapshotLog.changes(spark, rootB, i, i + 1)) else None
+      state = Some(applyJoinDelta(state,
+          pre(rootA, hiA, i), dA, pre(rootB, hiB, i), dB, joinKey, outCols)
+        .localCheckpoint(true))
+    }
+    state.get
+  }
+
   val all: Seq[Q] = Seq(
     // IV1: the per-status (count, key-sum) view maintained INCREMENTALLY
     // across ordersLog's whole history (3 appends + CoW delete) must
@@ -166,8 +235,69 @@ object IncrementalView {
              |FROM orders WHERE o_orderstatus <> 'O'
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
       stage = Some((s, dir) => { refreshedViewLog(s, dir); () })
+    ),
+
+    // IV3: incremental JOIN-view maintenance — the delta-join identity
+    // (applyJoinDelta) folded across TWO mutating logs with different
+    // history lengths (orders side: append → CoW delete → MERGE price
+    // update; customer side: append → MERGE name update). The
+    // maintained multiset view must equal the from-scratch join of
+    // both FINAL states — the oracle reproduces those states
+    // relationally. A wrong sign on any of the three delta joins, a
+    // missed ΔA⋈ΔB term, or a stale pre-state all break the hash.
+    Q(
+      "iv3_join_view",
+      (s, dir) => {
+        val (ra, rb) = joinViewLogs(s, dir)
+        materializeJoin(s, ra, rb, "custkey",
+          Seq("o_orderkey", "custkey", "cents", "c_name"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderkey, o_custkey AS custkey,
+             |    CAST(round(o_totalprice * 100) AS BIGINT)
+             |      + CASE WHEN o_orderkey % 7 = 0 THEN 1000 ELSE 0 END AS cents
+             |  FROM orders WHERE o_orderkey % 5 <> 0),
+             |b AS (
+             |  SELECT c_custkey AS custkey,
+             |    CASE WHEN c_custkey % 10 = 0 THEN 'X' || c_name ELSE c_name END AS c_name
+             |  FROM customer)
+             |SELECT o_orderkey, custkey, cents, c_name, CAST(1 AS BIGINT) AS m
+             |FROM a JOIN b USING (custkey) ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { joinViewLogs(s, dir); () })
     )
   )
+
+  /** iv3's staged pair of logs: the orders side mutates three times
+    * (append, CoW delete of key≡0 mod 5, MERGE +1000 cents on key≡0
+    * mod 7), the customer side twice (append, MERGE 'X'-prefix on
+    * key≡0 mod 10) — deliberately different history lengths so the
+    * aligned fold exercises the one-sided-delta path.
+    */
+  private def joinViewLogs(s: SparkSession, dir: String): (String, String) = {
+    val p = graft.TempDirs.staged(s"ivjoin_${graft.TempDirs.dirKey(dir)}") { p =>
+      val rootA = p.resolve("a").toString
+      val rootB = p.resolve("b").toString
+      val a = graft.Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      SnapshotLog.append(s, rootA, a)
+      SnapshotLog.deleteWhere(s, rootA, pmod(col("o_orderkey"), lit(5)) === 0)
+      SnapshotLog.mergeInto(s, rootA,
+        SnapshotLog.read(s, rootA)
+          .filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("cents", col("cents") + 1000L),
+        Seq("o_orderkey"))
+      val b = graft.Tables(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      SnapshotLog.append(s, rootB, b)
+      SnapshotLog.mergeInto(s, rootB,
+        b.filter(pmod(col("custkey"), lit(10)) === 0)
+          .withColumn("c_name", concat(lit("X"), col("c_name"))),
+        Seq("custkey"))
+    }
+    (p.resolve("a").toString, p.resolve("b").toString)
+  }
 
   /** Staged two-refresh view: its own table log (even keys, then odd
     * keys, then a CoW delete of the 'O' rows) with a refresh after the

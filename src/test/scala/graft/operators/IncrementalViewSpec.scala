@@ -85,4 +85,45 @@ class IncrementalViewSpec extends SparkSpec {
       .map { case (g, n, sx) => g -> (n, sx) }.toMap
     assert(v === Map("a" -> (2L, 12L), "b" -> (1L, 1L)))
   }
+
+  test("join-view fold equals the direct join across two mutating logs") {
+    val rootA = newRoot()
+    val rootB = newRoot()
+    // A: 3 snapshots (append, delete k=2, update k=3's payload)
+    SnapshotLog.append(spark, rootA,
+      Seq((1L, 10L, "a1"), (2L, 10L, "a2"), (3L, 20L, "a3")).toDF("k", "fk", "pa"))
+    SnapshotLog.deleteWhere(spark, rootA, col("k") === 2L)
+    SnapshotLog.mergeInto(spark, rootA,
+      Seq((3L, 20L, "a3v2")).toDF("k", "fk", "pa"), Seq("k"))
+    // B: 2 snapshots; the SECOND transition changes B while A also
+    // changes (transition 2 pairs A's delete with nothing on B;
+    // transition alignment exercises one-sided deltas), and the FIRST
+    // bootstrap is pure delta-x-delta
+    SnapshotLog.append(spark, rootB,
+      Seq((10L, "b10"), (20L, "b20")).toDF("fk", "pb"))
+    SnapshotLog.mergeInto(spark, rootB,
+      Seq((20L, "b20v2")).toDF("fk", "pb"), Seq("fk"))
+    val view = IncrementalView.materializeJoin(spark, rootA, rootB,
+        "fk", Seq("k", "fk", "pa", "pb"))
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    val direct = SnapshotLog.read(spark, rootA)
+      .join(SnapshotLog.read(spark, rootB), "fk")
+      .select(col("k"), col("fk"), col("pa"), col("pb"), lit(1L).as("m"))
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    assert(view === direct)
+    assert(view === Set(
+      (1L, 10L, "a1", "b10", 1L),
+      (3L, 20L, "a3v2", "b20v2", 1L)))
+  }
+
+  test("delta-x-delta cross term: same-batch inserts on both sides join once") {
+    val rootA = newRoot()
+    val rootB = newRoot()
+    SnapshotLog.append(spark, rootA, Seq((1L, 5L, "a")).toDF("k", "fk", "pa"))
+    SnapshotLog.append(spark, rootB, Seq((5L, "b")).toDF("fk", "pb"))
+    val view = IncrementalView.materializeJoin(spark, rootA, rootB,
+        "fk", Seq("k", "fk", "pa", "pb"))
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    assert(view === Set((1L, 5L, "a", "b", 1L)))
+  }
 }
