@@ -127,10 +127,12 @@ object IncrementalView {
     * signs (an update is delete+insert in the change feed, so it flows
     * through unchanged). The maintained view is a MULTISET — rows with
     * a multiplicity `m` — folded exactly like [[applyDelta]]'s counts;
-    * `m = 0` rows leave the view. Each step's work is churn-sized join
-    * traffic: the pre-states join only against deltas, never against
+    * `m = 0` rows leave the view. Each step's join OUTPUT is
+    * churn-sized: pre-states join only against deltas, never against
     * each other (the full A⋈B re-join is precisely what IVM exists to
-    * avoid). `outCols` names the view's columns (from both inputs).
+    * avoid). The pre-state SCAN is still table-sized here; a 100 TB
+    * deployment buckets the pre-state on the join key so each delta
+    * touches only its matching buckets. `outCols` names the view's columns (from both inputs).
     */
   def applyJoinDelta(state: Option[DataFrame],
       aPre: DataFrame, dA: Option[DataFrame],
