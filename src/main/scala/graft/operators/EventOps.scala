@@ -411,6 +411,47 @@ object EventOps {
              |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin)
     ),
 
+    // EV13: exponentially time-decayed popularity — trending-now
+    // ranking where each event contributes 2^(−age/half_life) with a
+    // 7-day half-life. Determinism rules: the decay anchor is the
+    // corpus's own max(ts) (data-derived — `now()` would make the
+    // answer a function of wall clock), ages are exact integer
+    // microsecond differences, and each event's decayed weight is
+    // fixed-point-rounded to a 1e-6 long BEFORE the per-type sum
+    // (tx14's discipline — a double Σ2^(−age) would be partition-order
+    // sensitive). One scan + one 1-row anchor broadcast + one
+    // map-side-combined aggregation.
+    Q(
+      "ev13_decayed_popularity",
+      (s, dir) => {
+        val halfLifeUs = 7.0 * 24 * 3600 * 1000000 // 7 days in micros
+        val ev = Tables(s, dir, "events")
+        val anchor = ev.agg(max(unix_micros(col("ts"))).as("t0"))
+        ev.crossJoin(broadcast(anchor))
+          .select(
+            col("event_type"),
+            round(pow(2.0, -(col("t0") - unix_micros(col("ts")))
+              .cast("double") / halfLifeUs) * 1000000.0)
+              .cast("long").as("w6"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_events"),
+            (sum(col("w6")).cast("double") / 1000000.0).as("decayed_count"))
+          .select(col("event_type"), col("n_events"),
+            round(col("decayed_count"), 6).as("decayed_count"))
+          .orderBy(desc("decayed_count"), asc("event_type"))
+      },
+      Some("""WITH t0 AS (SELECT max(epoch_us(ts)) AS t0 FROM events),
+             |w AS (SELECT event_type,
+             |        CAST(round(pow(2.0, -CAST(t0 - epoch_us(ts) AS DOUBLE)
+             |          / 604800000000.0) * 1000000) AS BIGINT) AS w6
+             |      FROM events CROSS JOIN t0)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  ROUND(CAST(SUM(w6) AS DOUBLE) / 1000000.0, 6) AS decayed_count
+             |FROM w GROUP BY event_type
+             |ORDER BY decayed_count DESC, event_type ASC""".stripMargin)
+    ),
+
     // EV12: gap-fill by LINEAR INTERPOLATION — ev8's carry-forward
     // sibling for quantities that trend rather than hold (sensor
     // readings, balances). Same per-user grid; each gap hour gets

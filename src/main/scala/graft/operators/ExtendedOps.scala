@@ -776,6 +776,61 @@ object ExtendedOps {
              |  count(DISTINCT user_id) AS exact_users,
              |  CAST(0 AS INT) AS approx_err_band
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // AP4: sketch-algebra intersection — the audience-overlap estimate.
+    // HLL sketches union natively but cannot intersect, so the overlap
+    // between two event types' user sets comes from inclusion-
+    // exclusion over three union-able estimates: |A∩B| ≈ |A| + |B| −
+    // |A∪B|. One pass builds every per-type sketch; the pair estimates
+    // then merge SKETCHES (kilobytes), never rescanning events — how a
+    // metrics store answers "overlap between any two segments" at
+    // 100 TB. Inclusion-exclusion amplifies the sketch's relative
+    // error, so this is only sound when the overlap is a large
+    // fraction of either side (here user sets nearly coincide); the
+    // oracle uses ap1's banded-error convention against the exact
+    // overlap (band 0 = within 25%).
+    Q(
+      "ap4_sketch_intersection",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"), col("user_id"))
+        val sk = ev.groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+        val a = sk.select(col("event_type").as("type_a"),
+          col("sk").as("sk_a"), col("est").as("est_a"))
+        val b = sk.select(col("event_type").as("type_b"),
+          col("sk").as("sk_b"), col("est").as("est_b"))
+        val pairs = a.join(b, col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"),
+            (col("est_a") + col("est_b") -
+              hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+              .as("approx_overlap"))
+        // dedupe (type, user) BEFORE the pair join: the join fans out
+        // per matching pair of rows, so deduping after would square
+        // the per-user event multiplicity first
+        val tu = ev.distinct()
+        val exact = tu.as("x").join(tu.as("y"),
+            col("x.user_id") === col("y.user_id") &&
+              col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("type_a"),
+            col("y.event_type").as("type_b"))
+          .agg(count(lit(1)).as("exact_overlap"))
+        exact.join(pairs, Seq("type_a", "type_b"))
+          .select(
+            col("type_a"), col("type_b"), col("exact_overlap"),
+            floor(abs(col("approx_overlap").cast("double") - col("exact_overlap")) /
+              col("exact_overlap") / 0.25).cast("int").as("approx_err_band"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+             |SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |  CAST(count(*) AS BIGINT) AS exact_overlap,
+             |  CAST(0 AS INT) AS approx_err_band
+             |FROM tu a JOIN tu b
+             |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin)
     )
   )
 }
