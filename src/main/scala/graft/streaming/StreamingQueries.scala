@@ -955,6 +955,37 @@ object StreamingQueries {
       Some("""SELECT DISTINCT user_id, event_type FROM events
              |ORDER BY user_id, event_type""".stripMargin),
       bench = false
+    ),
+
+    // SM23: per-user running enrichment on the arbitrary-state API v2
+    // (transformWithState + StatefulProcessor + named ValueState,
+    // RocksDB provider as the API requires) — the third point on the
+    // streaming-state spectrum after sm3 (operator-managed parquet
+    // state) and sm17 (flatMapGroupsWithState). The event_id-ordered
+    // replay is ts-ordered (the generator's ids are time-monotone), so
+    // the drained enrichment equals the batch window computation — the
+    // oracle.
+    Q(
+      "sm23_statev2_enrich",
+      (s, dir) => {
+        val (landing, _, _, ckpt) = tempDirs("graft_sm23")
+        val out = graft.TempDirs.create("graft_sm23_out").toString
+        val ev = Tables(s, dir, "events")
+        stageOrderedChunks(ev, "event_id", Seq(3000L, 6000L), landing)
+        StateV2Enrich.enrichStreamRocksDb(
+          s, landing.toString, ev.schema, out, ckpt.toString)
+        s.read.parquet(out)
+          .select("event_id", "user_id", "seq", "cum_fx")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |  CAST(row_number() OVER w AS BIGINT) AS seq,
+             |  CAST(SUM(CAST(round(value * 10000) AS BIGINT)) OVER (
+             |    w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_fx
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin),
+      bench = false
     )
   )
 }
