@@ -927,6 +927,53 @@ object SnapshotLog {
     * Returns (#manifests, #data files) removed. O(#files) driver
     * metadata work, zero data reads.
     */
+  // ---- named refs (Iceberg-style tags): a ref file under refs/
+  // pins a snapshot id to a stable name — metadata-only, atomic via
+  // the same write-beside + rename discipline as manifest commits ----
+
+  private def refPath(root: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid ref name: $name")
+    new Path(s"$root/refs/$name")
+  }
+
+  /** Pin snapshot `id` (default: current) under `name`. Re-tagging an
+    * existing name moves it — the rename replaces the ref atomically,
+    * so readers see the old pin or the new one, never a torn ref.
+    */
+  def tag(spark: SparkSession, root: String, name: String,
+      id: Long = 0L): Long = {
+    val fs = fsOf(spark, root)
+    val target = if (id > 0) id else currentId(spark, root)
+    require(target > 0 && fs.exists(manifestPath(root, target)),
+      s"cannot tag missing snapshot $target")
+    val ref = refPath(root, name)
+    fs.mkdirs(ref.getParent)
+    val tmp = new Path(ref.getParent, s".${name}_${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(target.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(ref)) fs.delete(ref, false)
+    require(fs.rename(tmp, ref), s"ref rename failed for $name")
+    target
+  }
+
+  /** The snapshot id a tag pins; fails on an unknown tag. */
+  def tagId(spark: SparkSession, root: String, name: String): Long = {
+    val fs = fsOf(spark, root)
+    val ref = refPath(root, name)
+    require(fs.exists(ref), s"unknown tag $name")
+    val len = fs.getFileStatus(ref).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(ref)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, "UTF-8").trim.toLong
+  }
+
+  /** Time-travel read by NAME — the audit/rollback handle a warehouse
+    * exposes ("read the `q3-close` tag") without callers tracking ids.
+    */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
+    read(spark, root, asOf = tagId(spark, root, name))
+
   def expire(spark: SparkSession, root: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val fs = fsOf(spark, root)
@@ -1407,6 +1454,24 @@ object SnapshotLog {
              |  CAST(max(o_orderkey) AS VARCHAR) FROM orders
              |ORDER BY col_name""".stripMargin),
       stage = Some((s, dir) => { rangeLog(s, dir); () })
+    ),
+
+    // TT13: named refs — ordersLog's pre-delete snapshot (v3, the full
+    // table) pinned as tag "audit" and read BY NAME. The ref is a
+    // metadata file moved atomically, so readers see a consistent pin;
+    // the oracle is the full-orders content that only the pre-delete
+    // snapshot has (the current snapshot dropped the 'F' rows — a read
+    // that ignored the tag and served current breaks the hash).
+    Q(
+      "tt13_tagged_read",
+      (s, dir) => {
+        val root = stagedOrdersLog(s, dir)
+        tag(s, root, "audit", id = 3L)
+        readTag(s, root, "audit").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { stagedOrdersLog(s, dir); () })
     )
   )
 }

@@ -56,4 +56,23 @@ class SnapshotStatsOnlySpec extends SparkSpec {
     assert(rows(0).getLong(1) === 10L)
     assert(rows(0).isNullAt(2) && rows(0).isNullAt(3))
   }
+
+  test("tags pin snapshots by name, move atomically, reject missing ids") {
+    val root = freshLog() // 2 snapshots
+    SnapshotLog.tag(spark, root, "first", id = 1L)
+    assert(SnapshotLog.tagId(spark, root, "first") === 1L)
+    assert(SnapshotLog.readTag(spark, root, "first").count() === 100L)
+    // default pins current
+    assert(SnapshotLog.tag(spark, root, "tip") === 2L)
+    assert(SnapshotLog.readTag(spark, root, "tip").count() === 130L)
+    // re-tag moves the pin
+    SnapshotLog.tag(spark, root, "first", id = 2L)
+    assert(SnapshotLog.readTag(spark, root, "first").count() === 130L)
+    intercept[IllegalArgumentException] {
+      SnapshotLog.tag(spark, root, "nope", id = 9L)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.tagId(spark, root, "never-created")
+    }
+  }
 }
