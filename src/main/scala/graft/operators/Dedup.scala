@@ -692,6 +692,53 @@ object Dedup {
               |WHERE ngram_jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // DD12: ASYMMETRIC containment — |A∩B|/|A| per direction over the
+    // same persisted band-table candidates and bigram shingles as dd7.
+    // Jaccard misses subset documents (a quote inside a larger doc:
+    // J = |A|/|B| small while containment(A) ≈ 1); the containment
+    // pair (c_a, c_b) separates "near-identical" from "A inside B".
+    // Candidate recall here is the shared MinHash banding's (tuned for
+    // Jaccard); a production subset-hunt pairs this measure with an
+    // asymmetric candidate scheme — the MEASURE and its plumbing are
+    // what this row pins. Native sorted-merge intersect; both
+    // directions from ONE intersection.
+    Q(
+      "dd12_containment",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val bg = docs(s, dir)
+          .select(
+            col("doc_id"),
+            call_function(GraftFunctions.BigramName, col("text")).as("bg"))
+          .select(col("doc_id"), col("bg"), size(col("bg")).as("n"))
+        val scored = bigramLshCandidates(s, dir)
+          .join(bg.as("ba"), col("doc_a") === col("ba.doc_id"))
+          .join(bg.as("bb"), col("doc_b") === col("bb.doc_id"))
+          .select(
+            col("doc_a"), col("doc_b"),
+            call_function(GraftFunctions.IntersectName, col("ba.bg"), col("bb.bg"))
+              .as("inter"),
+            col("ba.n").as("na"), col("bb.n").as("nb"))
+          .select(
+            col("doc_a"), col("doc_b"),
+            round(col("inter").cast("double") / col("na"), 6).as("cont_a"),
+            round(col("inter").cast("double") / col("nb"), 6).as("cont_b"))
+          .filter(col("cont_a") >= 0.9 || col("cont_b") >= 0.9)
+        sortedOut(scored, "doc_a", "doc_b")
+      },
+      Some(s"""WITH $bcandSql,
+              |bgt AS (SELECT doc_id,
+              |          list_distinct(list_transform(generate_series(1, len(words) - 1),
+              |            i -> CAST('0x' || substr(md5(words[i] || ' ' || words[i + 1]), 1, 8) AS BIGINT))) AS bg
+              |        FROM w)
+              |SELECT doc_a, doc_b, cont_a, cont_b FROM (
+              |  SELECT doc_a, doc_b,
+              |    ROUND(CAST(len(list_intersect(ba.bg, bb.bg)) AS DOUBLE) / len(ba.bg), 6) AS cont_a,
+              |    ROUND(CAST(len(list_intersect(ba.bg, bb.bg)) AS DOUBLE) / len(bb.bg), 6) AS cont_b
+              |  FROM bcand JOIN bgt ba ON doc_a = ba.doc_id JOIN bgt bb ON doc_b = bb.doc_id)
+              |WHERE cont_a >= 0.9 OR cont_b >= 0.9 ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
     // DD8: the MinHash Jaccard ESTIMATOR — E[agreeing signature
     // positions / k] = J, the estimate a 100 TB pipeline uses when the
     // exact verify pass (dd4's token-set intersection) is too expensive
