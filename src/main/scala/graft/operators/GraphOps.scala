@@ -272,6 +272,10 @@ object GraphOps {
        |    JOIN outw o ON o.src = e.src
        |    GROUP BY e.dst) s ON s.dst = n.node)""".stripMargin
 
+
+  /** gr6's per-customer pair-fanout cap (top-N items before pairing). */
+  private val CoPurchaseCap = 10
+
   val all: Seq[Q] = Seq(
     // GR1: authority over the session-transition graph. Nodes are the
     // event payload keys (`props.k`), edges the per-user consecutive
@@ -563,7 +567,7 @@ object GraphOps {
       "gr6_copurchase_projection",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val capN = 10
+        val capN = CoPurchaseCap
         val bought = Tables(s, dir, "lineitem")
           .join(Tables(s, dir, "orders"),
             col("l_orderkey") === col("o_orderkey"))
@@ -583,21 +587,22 @@ object GraphOps {
           .orderBy(desc("co_customers"), asc("part_a"), asc("part_b"))
           .limit(20)
       },
-      Some("""WITH bought AS (
-             |  SELECT o_custkey AS cust, l_partkey AS part, count(*) AS cnt
-             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |  GROUP BY 1, 2),
-             |capped AS (
-             |  SELECT cust, part FROM (
-             |    SELECT cust, part,
-             |      row_number() OVER (PARTITION BY cust ORDER BY cnt DESC, part ASC) AS rk
-             |    FROM bought)
-             |  WHERE rk <= 10)
-             |SELECT a.part AS part_a, b.part AS part_b,
-             |  CAST(count(*) AS BIGINT) AS co_customers
-             |FROM capped a JOIN capped b ON a.cust = b.cust AND a.part < b.part
-             |GROUP BY 1, 2
-             |ORDER BY co_customers DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin)
+      // the cap is interpolated so the two engines cannot drift
+      Some(s"""WITH bought AS (
+              |  SELECT o_custkey AS cust, l_partkey AS part, count(*) AS cnt
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |  GROUP BY 1, 2),
+              |capped AS (
+              |  SELECT cust, part FROM (
+              |    SELECT cust, part,
+              |      row_number() OVER (PARTITION BY cust ORDER BY cnt DESC, part ASC) AS rk
+              |    FROM bought)
+              |  WHERE rk <= $CoPurchaseCap)
+              |SELECT a.part AS part_a, b.part AS part_b,
+              |  CAST(count(*) AS BIGINT) AS co_customers
+              |FROM capped a JOIN capped b ON a.cust = b.cust AND a.part < b.part
+              |GROUP BY 1, 2
+              |ORDER BY co_customers DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin)
     )
   )
 }

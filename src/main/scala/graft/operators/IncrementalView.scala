@@ -168,7 +168,11 @@ object IncrementalView {
   /** Materialize an A⋈B join view by folding both logs' aligned
     * snapshot transitions — pre-states come from TIME TRAVEL on each
     * log, so every step sees exactly the states the delta-join
-    * identity requires, without keeping copies.
+    * identity requires, without keeping copies. Superseded per-step
+    * checkpoints are released by the ContextCleaner once unreferenced
+    * — the same per-round `localCheckpoint` discipline as
+    * [[GraphOps.pageRank]] and [[materialize]] (storage is bounded by
+    * the handful of in-flight rounds, not the history length).
     */
   def materializeJoin(spark: SparkSession, rootA: String, rootB: String,
       joinKey: String, outCols: Seq[String]): DataFrame = {

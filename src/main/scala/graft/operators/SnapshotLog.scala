@@ -937,8 +937,11 @@ object SnapshotLog {
   }
 
   /** Pin snapshot `id` (default: current) under `name`. Re-tagging an
-    * existing name moves it — the rename replaces the ref atomically,
-    * so readers see the old pin or the new one, never a torn ref.
+    * existing name moves it — the OVERWRITE rename (FileContext, the
+    * Hadoop API whose overwrite rename is atomic where the filesystem
+    * supports it) replaces the ref in one step, so readers see the old
+    * pin or the new one, never a missing or torn ref. Tagged snapshots
+    * are retention-protected: [[expire]] rescues pinned ids.
     */
   def tag(spark: SparkSession, root: String, name: String,
       id: Long = 0L): Long = {
@@ -951,9 +954,24 @@ object SnapshotLog {
     val tmp = new Path(ref.getParent, s".${name}_${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(target.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(ref)) fs.delete(ref, false)
-    require(fs.rename(tmp, ref), s"ref rename failed for $name")
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(ref.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, ref, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     target
+  }
+
+  /** Whether `name` pins anything. */
+  def hasTag(spark: SparkSession, root: String, name: String): Boolean =
+    fsOf(spark, root).exists(refPath(root, name))
+
+  /** Every snapshot id currently pinned by a ref. */
+  def tagIds(spark: SparkSession, root: String): Set[Long] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(s"$root/refs")
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).iterator
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .map(s => tagId(spark, root, s.getPath.getName)).toSet
   }
 
   /** The snapshot id a tag pins; fails on an unknown tag. */
@@ -979,7 +997,14 @@ object SnapshotLog {
     val fs = fsOf(spark, root)
     val all = history(spark, root)
     if (all.size <= keepLast) return (0, 0)
-    val (gone, kept) = all.splitAt(all.size - keepLast)
+    // TAGGED snapshots are retention-protected (Iceberg's rule): a tag
+    // is a promise readTag keeps working across maintenance, so a
+    // pinned snapshot moves to the kept side regardless of age
+    val pinned = tagIds(spark, root)
+    val (gone0, kept0) = all.splitAt(all.size - keepLast)
+    val (rescued, gone) = gone0.partition(s => pinned(s.id))
+    val kept = rescued ++ kept0
+    if (gone.isEmpty) return (0, 0)
     // file-list liveness mirrors data-file liveness: collect refs from
     // BOTH sides before any manifest is deleted
     val keptRefs = kept.iterator
@@ -1457,21 +1482,30 @@ object SnapshotLog {
     ),
 
     // TT13: named refs — ordersLog's pre-delete snapshot (v3, the full
-    // table) pinned as tag "audit" and read BY NAME. The ref is a
-    // metadata file moved atomically, so readers see a consistent pin;
-    // the oracle is the full-orders content that only the pre-delete
-    // snapshot has (the current snapshot dropped the 'F' rows — a read
-    // that ignored the tag and served current breaks the hash).
+    // table) pinned as tag "audit" and read BY NAME. The tag write
+    // happens in the STAGE hook (fixture setup, outside the timed
+    // window and idempotent — re-tagging the same id is a no-op pin
+    // move), so the benched row times the read, per the tt-row basis;
+    // the ref itself is additive metadata under refs/, leaving the
+    // manifests tt1–tt4 read untouched. The oracle is the full-orders
+    // content only the pre-delete snapshot has — a read that ignored
+    // the tag and served current breaks the hash.
     Q(
       "tt13_tagged_read",
       (s, dir) => {
         val root = stagedOrdersLog(s, dir)
-        tag(s, root, "audit", id = 3L)
+        // self-staging per the Q contract, but write-free once staged:
+        // the benched window only ever resolves the existing ref
+        if (!hasTag(s, root, "audit")) tag(s, root, "audit", id = 3L)
         readTag(s, root, "audit").orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
              |ORDER BY o_orderkey""".stripMargin),
-      stage = Some((s, dir) => { stagedOrdersLog(s, dir); () })
+      stage = Some((s, dir) => {
+        val root = stagedOrdersLog(s, dir)
+        if (!hasTag(s, root, "audit")) tag(s, root, "audit", id = 3L)
+        ()
+      })
     )
   )
 }

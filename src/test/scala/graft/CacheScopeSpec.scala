@@ -31,10 +31,13 @@ class CacheScopeSpec extends SparkSpec {
     CacheScope.release()
     val cachedAfterSecond = spark.sparkContext.getRDDStorageInfo.length
 
-    assert(cachedAfterFirst === baseline,
-      s"blocks still cached: $cachedAfterFirst vs baseline $baseline")
-    assert(cachedAfterSecond === baseline,
-      s"net growth: $cachedAfterSecond vs baseline $baseline")
+    // <= not ===: the ContextCleaner may GC-unpersist OTHER suites'
+    // stale checkpoint blocks mid-test, legitimately dropping the
+    // count BELOW baseline; only growth is a failure
+    assert(cachedAfterFirst <= baseline,
+      s"net cache growth: $cachedAfterFirst vs baseline $baseline")
+    assert(cachedAfterSecond <= baseline,
+      s"net cache growth: $cachedAfterSecond vs baseline $baseline")
     assert(CacheScope.size === 0)
   }
 }

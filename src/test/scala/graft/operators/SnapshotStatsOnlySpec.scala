@@ -75,4 +75,19 @@ class SnapshotStatsOnlySpec extends SparkSpec {
       SnapshotLog.tagId(spark, root, "never-created")
     }
   }
+
+  test("expire rescues tagged snapshots; readTag survives maintenance") {
+    val root = freshLog() // snapshots 1 and 2
+    SnapshotLog.append(spark, root,
+      (201L to 210L).map(i => (i, i % 7, s"s$i")).toDF("k", "g", "payload")) // 3
+    SnapshotLog.tag(spark, root, "pin1", id = 1L)
+    // keepLast=1 would normally drop snapshots 1 and 2; the pin rescues 1
+    SnapshotLog.expire(spark, root, keepLast = 1)
+    assert(SnapshotLog.readTag(spark, root, "pin1").count() === 100L,
+      "tagged snapshot must survive retention")
+    intercept[Exception] {
+      SnapshotLog.read(spark, root, asOf = 2L).collect() // unpinned: expired
+    }
+    assert(SnapshotLog.read(spark, root).count() === 140L) // current intact
+  }
 }

@@ -1,9 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
-import java.nio.file.attribute.FileTime
-import java.nio.file.{Files, Path}
-import org.apache.spark.sql.DataFrame
+import java.nio.file.Files
 import org.apache.spark.sql.types.StructType
 
 /** The engine-state-store dedup twin (sm17): first-seen-wins through
@@ -21,19 +19,6 @@ class StateStoreDedupSpec extends SparkSpec {
   private val schema: StructType =
     Seq((1L, "x")).toDF("doc_id", "text").schema
 
-  private def stage(landing: Path, i: Int, df: DataFrame): Unit = {
-    val tmp = Files.createTempDirectory(s"ssd_stage_$i")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val listing = Files.list(tmp)
-    val part =
-      try listing.filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
-      finally listing.close()
-    val dest = landing.resolve(f"batch-$i%03d.parquet")
-    Files.move(part, dest)
-    Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000000000L + i * 60000L))
-  }
-
   test("dedups across batches and across a kill-and-resume restart") {
     val root = Files.createTempDirectory("ssd_resume")
     val landing = Files.createDirectories(root.resolve("landing"))
@@ -42,8 +27,8 @@ class StateStoreDedupSpec extends SparkSpec {
 
     // run 1: two batches; 'alpha' collapses within batch 0 (min doc_id),
     // 'beta' repeats across batches
-    stage(landing, 0, Seq((3L, "alpha"), (1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"))
-    stage(landing, 1, Seq((7L, "beta"), (8L, "gamma")).toDF("doc_id", "text"))
+    ReplayStaging.stage(landing, 0, Seq((3L, "alpha"), (1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"))
+    ReplayStaging.stage(landing, 1, Seq((7L, "beta"), (8L, "gamma")).toDF("doc_id", "text"))
     StateStoreDedup.dedupStreamRocksDb(spark, landing.toString, schema, out, ckpt)
     val after1 = spark.read.parquet(out)
       .as[(Long, String)].collect().sortBy(_._1).toSeq
@@ -51,8 +36,8 @@ class StateStoreDedupSpec extends SparkSpec {
 
     // kill happened (the query drained and stopped); new files land; a
     // RESTART from the same checkpoint must remember alpha/beta/gamma
-    stage(landing, 2, Seq((11L, "alpha"), (12L, "delta")).toDF("doc_id", "text"))
-    stage(landing, 3, Seq((13L, "delta"), (14L, "gamma")).toDF("doc_id", "text"))
+    ReplayStaging.stage(landing, 2, Seq((11L, "alpha"), (12L, "delta")).toDF("doc_id", "text"))
+    ReplayStaging.stage(landing, 3, Seq((13L, "delta"), (14L, "gamma")).toDF("doc_id", "text"))
     StateStoreDedup.dedupStreamRocksDb(spark, landing.toString, schema, out, ckpt)
     val after2 = spark.read.parquet(out)
       .as[(Long, String)].collect().sortBy(_._1).toSeq

@@ -1,11 +1,9 @@
 package graft.streaming
 
-import java.nio.file.attribute.FileTime
-import java.nio.file.{Files, Path}
+import java.nio.file.Files
 import java.sql.Timestamp
 
 import graft.SparkSpec
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types.StructType
 
 /** The arbitrary-state-v2 enrichment (sm23): per-user running
@@ -24,19 +22,6 @@ class StateV2EnrichSpec extends SparkSpec {
   private val schema: StructType =
     Seq((1L, ts(0L), 1L, 1.0)).toDF("event_id", "ts", "user_id", "value").schema
 
-  private def stage(landing: Path, i: Int, df: DataFrame): Unit = {
-    val tmp = Files.createTempDirectory(s"sv2_stage_$i")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val listing = Files.list(tmp)
-    val part =
-      try listing.filter(_.getFileName.toString.endsWith(".parquet"))
-        .findFirst().get()
-      finally listing.close()
-    val dest = landing.resolve(f"batch-$i%03d.parquet")
-    Files.move(part, dest)
-    Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000000000L + i * 60000L))
-  }
-
   test("running fold is batch-order exact and survives a kill-and-resume") {
     val root = Files.createTempDirectory("sv2_resume")
     val landing = Files.createDirectories(root.resolve("landing"))
@@ -45,7 +30,7 @@ class StateV2EnrichSpec extends SparkSpec {
 
     // batch 0: user 1's rows deliberately staged out of ts order — the
     // handler must fold (e1, e2) by ts, not arrival
-    stage(landing, 0, Seq(
+    ReplayStaging.stage(landing, 0, Seq(
       (2L, ts(2000L), 1L, 0.5),
       (1L, ts(1000L), 1L, 1.0),
       (3L, ts(1500L), 2L, 2.0)).toDF("event_id", "ts", "user_id", "value"))
@@ -58,7 +43,7 @@ class StateV2EnrichSpec extends SparkSpec {
       (3L, 2L, 1L, 20000L)))
 
     // restart: user 1's fold must CONTINUE from (n=2, cum=1.5)
-    stage(landing, 1, Seq(
+    ReplayStaging.stage(landing, 1, Seq(
       (4L, ts(3000L), 1L, 0.25),
       (5L, ts(3500L), 2L, 1.0)).toDF("event_id", "ts", "user_id", "value"))
     StateV2Enrich.enrichStreamRocksDb(spark, landing.toString, schema, out, ckpt)
