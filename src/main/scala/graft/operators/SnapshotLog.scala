@@ -139,6 +139,58 @@ object SnapshotLog {
     case _ => a > b
   }
 
+  // ---- hash-bucket layout: a DERIVED per-file stat (reserved name
+  // `__bucket:<col>:<n>`, min/max of pmod(hash(col), n) over the file's
+  // rows) recorded beside the real column stats. [[optimizeBucketed]]
+  // clusters the data so each file covers a narrow bucket band; readers
+  // that know which buckets a key set hashes into ([[readBuckets]])
+  // then plan O(matching buckets) files from the manifest alone — the
+  // layout that makes IncrementalView's delta-joins read churn-sized
+  // pre-states instead of the table. CoW rewrites recompute the stat
+  // for their rewritten files (bands may widen, never lie), so the
+  // layout survives maintenance without a re-bucket.
+
+  private def bucketStatName(column: String, n: Int): String =
+    s"__bucket:$column:$n"
+
+  /** The bucket id expression the layout records: non-negative,
+    * engine-stable (murmur3 via `hash`), long-rendered so the stat band
+    * compares numerically.
+    */
+  private def bucketExpr(column: String, n: Int): Column =
+    pmod(hash(col(column)), lit(n)).cast("long")
+
+  /** Derived bucket stats to recompute for a rewrite, inferred from the
+    * stat names the parent's files already carry — a CoW commit keeps
+    * whatever bucket layout the table declared (its rewritten files get
+    * fresh, possibly wider, bands; carried files keep theirs).
+    */
+  private def inheritedBucketStats(files: Seq[FileEntry],
+      schema: StructType): Seq[(String, Column)] =
+    files.iterator.flatMap(_.stats.keys)
+      .filter(_.startsWith("__bucket:")).toSet.toSeq.sorted.flatMap { name =>
+        val parts = name.split(':')
+        if (parts.length == 3 && schema.fieldNames.contains(parts(1)))
+          Some(name -> bucketExpr(parts(1), parts(2).toInt))
+        else None
+      }
+
+  /** The declared bucket count for `column` at a snapshot, if any file
+    * carries its bucket stat (the layout is a file property; mixed
+    * layouts resolve to the largest n — pruning under any recorded n is
+    * correct, absent-stat files are always kept).
+    */
+  def bucketLayout(spark: SparkSession, root: String, column: String,
+      asOf: Long = 0L): Option[Int] = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    if (id == 0) return None
+    val prefix = s"__bucket:$column:"
+    snapshot(spark, root, id).files.iterator
+      .flatMap(_.stats.keys).filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toInt)
+      .foldLeft(Option.empty[Int])((a, n) => Some(math.max(a.getOrElse(0), n)))
+  }
+
   private def manifestPath(root: String, id: Long): Path =
     new Path(f"$root/snap/v$id%08d.manifest")
 
@@ -452,6 +504,50 @@ object SnapshotLog {
     (kept, schema)
   }
 
+  /** Bucket-pruned read: only the rows of `column`'s hash buckets in
+    * `buckets`, planned from the manifest's per-file bucket-stat bands —
+    * files whose recorded band cannot intersect the set are dropped on
+    * the driver, files without the stat are conservatively kept, and the
+    * residual bucket filter applies either way (pruning can only skip
+    * work, never change the answer). The read a delta-join hands its
+    * pre-state: on an [[optimizeBucketed]] table a delta touching k of n
+    * buckets scans ~k/n of the files.
+    */
+  def readBuckets(spark: SparkSession, root: String, column: String,
+      numBuckets: Int, buckets: Set[Long], asOf: Long = 0L): DataFrame = {
+    val (kept, schema) = bucketFilesOf(spark, root, column, numBuckets, buckets, asOf)
+    val base =
+      if (kept.isEmpty || buckets.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema)
+        .parquet(kept.map(f => s"$root/${f.path}"): _*)
+    base.filter(bucketExpr(column, numBuckets).isin(buckets.toSeq: _*))
+  }
+
+  /** The file entries a [[readBuckets]] would scan — exposed so tests
+    * can assert the pruning itself, not just the answer.
+    */
+  private[graft] def bucketFilesOf(spark: SparkSession, root: String,
+      column: String, numBuckets: Int, buckets: Set[Long],
+      asOf: Long = 0L): (Seq[FileEntry], StructType) = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    val s = snapshot(spark, root, id)
+    val schema = StructType.fromDDL(s.schemaDdl)
+    require(schema.fieldNames.contains(column), s"no column $column in snapshot $id")
+    val name = bucketStatName(column, numBuckets)
+    val kept = s.files.filter { f =>
+      f.stats.get(name) match {
+        case Some((mn, mx)) =>
+          try {
+            val (lo, hi) = (mn.toLong, mx.toLong)
+            buckets.exists(b => b >= lo && b <= hi)
+          } catch { case _: NumberFormatException => true }
+        case None => true
+      }
+    }
+    (kept, schema)
+  }
+
   /** Replace the table content with `df` (history stays addressable). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long =
     commit(spark, root, df, "overwrite", keepBase = false)
@@ -516,7 +612,8 @@ object SnapshotLog {
       .parquet(hitRel.toSeq.sorted.map(f => s"$root/$f"): _*)
       .filter(!coalesce(pred, lit(false)))
     commitFiles(spark, root, rewritten, "delete",
-      intact.map(_._1), keepInline, tableSchema)
+      intact.map(_._1), keepInline, tableSchema,
+      derivedStats = inheritedBucketStats(allFiles, tableSchema))
   }
 
   /** Copy-on-write MERGE (upsert): table rows whose `keyCols` match a
@@ -591,7 +688,8 @@ object SnapshotLog {
         .select(tableCols: _*)
     commitFiles(spark, root,
       survivors.unionByName(source.select(tableCols: _*)),
-      "merge", intact.map(_._1), carriedInline, tableSchema)
+      "merge", intact.map(_._1), carriedInline, tableSchema,
+      derivedStats = inheritedBucketStats(allFiles, tableSchema))
   }
 
   /** Atomically publish `tmp` as `m`, failing (false) if `m` already
@@ -675,7 +773,8 @@ object SnapshotLog {
       operation: String, carriedRefs0: Seq[ListRef],
       carriedInline0: Seq[FileEntry],
       tableSchema0: StructType = null,
-      bloomSpec: Option[BloomSpec] = None): Long = {
+      bloomSpec: Option[BloomSpec] = None,
+      derivedStats: Seq[(String, Column)] = Nil): Long = {
     var tableSchema = Option(tableSchema0).getOrElse(df.schema)
     val fs = fsOf(spark, root)
     var attempt = 0
@@ -685,18 +784,19 @@ object SnapshotLog {
     val dataDir =
       s"data/c${base + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$dataDir")
-    // per-file counts + min/max column stats (+ optional per-file bloom
-    // filters): O(#files) rows reduced to one driver value — the same
+    // per-file counts + min/max column stats (+ derived layout stats,
+    // e.g. the bucket band, + optional per-file bloom filters):
+    // O(#files) rows reduced to one driver value — the same
     // bounded-metadata class as the delete's hit-file set, and the same
     // single job (count, stats, and blooms share the map-side combine).
     // An empty task can still emit a file; the listing is the source of
     // truth and absent files count 0.
-    val sc = statCols(df.schema)
+    val sc = statCols(df.schema).map(c => c -> col(c)) ++ derivedStats
     val bloomCols = bloomSpec.map(_.cols).getOrElse(Nil)
     if (bloomCols.nonEmpty) graft.functions.GraftFunctions.register(spark)
-    val statAggs = sc.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"mn_$c"),
-      max(col(c)).cast("string").as(s"mx_$c"))) ++
+    val statAggs = sc.zipWithIndex.flatMap { case ((_, e), i) => Seq(
+      min(e).cast("string").as(s"mn_$i"),
+      max(e).cast("string").as(s"mx_$i")) } ++
       bloomSpec.toSeq.flatMap(bs => bs.cols.map(c =>
         call_function(graft.functions.GraftFunctions.BloomAggName,
           col(c).cast("long"), lit(bs.expectedPerFile), lit(bs.fpp))
@@ -706,7 +806,7 @@ object SnapshotLog {
       .agg(count(lit(1)).as("n"), statAggs: _*)
       .agg(collect_list(struct(col("*")))).head().getSeq[Row](0)
       .map { r =>
-        val stats = sc.zipWithIndex.flatMap { case (c, i) =>
+        val stats = sc.zipWithIndex.flatMap { case ((c, _), i) =>
           val (mn, mx) = (r.getString(2 + 2 * i), r.getString(3 + 2 * i))
           if (mn == null || mx == null) None else Some(c -> (mn, mx))
         }.toMap
@@ -875,6 +975,31 @@ object SnapshotLog {
       Seq.empty, Seq.empty)
   }
 
+  /** OPTIMIZE into a HASH-BUCKET layout: rewrite the current content
+    * range-clustered on `pmod(hash(bucketBy), numBuckets)` and record
+    * each file's bucket band as a derived manifest stat — the key-
+    * co-location layout for join-shaped access ([[optimize]]'s range
+    * clustering serves range scans; hash buckets serve equi-joins and
+    * point lookups whose keys are uniformly spread). After the rewrite
+    * [[readBuckets]] plans a k-bucket read as ~k/numBuckets of the
+    * files from the manifest alone; later CoW commits keep the stat on
+    * their rewritten files (bands may widen until the next re-bucket —
+    * widened bands prune less, never wrongly). Content is bit-preserved
+    * ([[changes]] across the commit is empty), same as [[optimize]].
+    */
+  def optimizeBucketed(spark: SparkSession, root: String, bucketBy: String,
+      numBuckets: Int): Long = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    val base = currentId(spark, root)
+    require(base > 0, s"optimizeBucketed on empty log $root")
+    val cur = read(spark, root)
+    commitFiles(spark, root,
+      cur.repartitionByRange(numBuckets, bucketExpr(bucketBy, numBuckets)),
+      "optimize-bucket", Seq.empty, Seq.empty,
+      derivedStats = Seq(bucketStatName(bucketBy, numBuckets) ->
+        bucketExpr(bucketBy, numBuckets)))
+  }
+
   /** Targeted small-file compaction — the INCREMENTAL optimize: bin-pack
     * every data file under `smallBytes` into ~`targetBytes` outputs and
     * carry every other file BY REFERENCE, untouched. [[optimize]]'s
@@ -918,7 +1043,9 @@ object SnapshotLog {
       .parquet(smallPaths.map(p2 => s"$root/$p2"): _*)
       .coalesce(outFiles)
     commitFiles(spark, root, packed, "optimize-binpack",
-      intact.map(_._1), carriedInline, tableSchema)
+      intact.map(_._1), carriedInline, tableSchema,
+      derivedStats =
+        inheritedBucketStats(raw.inline ++ groups.flatMap(_._2), tableSchema))
   }
 
   /** Expire all but the latest `keepLast` snapshots: their manifests are

@@ -116,6 +116,106 @@ class IncrementalViewSpec extends SparkSpec {
       (3L, 20L, "a3v2", "b20v2", 1L)))
   }
 
+  test("refreshJoin: cursors commit atomically, folds are incremental, re-run is a no-op") {
+    val base = java.nio.file.Files.createTempDirectory("graft_iv_jref")
+    val rootA = base.resolve("a").toString
+    val rootB = base.resolve("b").toString
+    val view = base.resolve("view").toString
+    val cols = Seq("k", "fk", "pa", "pb")
+    SnapshotLog.append(spark, rootA,
+      Seq((1L, 10L, "a1"), (2L, 10L, "a2"), (3L, 20L, "a3")).toDF("k", "fk", "pa"))
+    SnapshotLog.append(spark, rootB,
+      Seq((10L, "b10"), (20L, "b20")).toDF("fk", "pb"))
+    // bootstrap
+    assert(IncrementalView.refreshJoin(spark, view, rootA, rootB, "fk", cols)
+      === ((1L, 1L)))
+    assert(SnapshotLog.snapshot(spark, view, 1L).operation === "refreshjoin=1,1")
+    // no-op re-run: no snapshot growth (idempotent crash replay)
+    assert(IncrementalView.refreshJoin(spark, view, rootA, rootB, "fk", cols)
+      === ((1L, 1L)))
+    assert(SnapshotLog.currentId(spark, view) === 1L)
+    // mutate BOTH sides (delete on A, update on B, insert on A), one
+    // refresh folds the whole window as one transition
+    SnapshotLog.deleteWhere(spark, rootA, col("k") === 2L)
+    SnapshotLog.append(spark, rootA, Seq((4L, 20L, "a4")).toDF("k", "fk", "pa"))
+    SnapshotLog.mergeInto(spark, rootB,
+      Seq((20L, "b20v2")).toDF("fk", "pb"), Seq("fk"))
+    assert(IncrementalView.refreshJoin(spark, view, rootA, rootB, "fk", cols)
+      === ((3L, 2L)))
+    val got = SnapshotLog.read(spark, view)
+      .as[(Long, Long, String, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 10L, "a1", "b10", 1L),
+      (3L, 20L, "a3", "b20v2", 1L),
+      (4L, 20L, "a4", "b20v2", 1L)))
+    // the view keeps its own history: snapshot 1 is the bootstrap join
+    assert(SnapshotLog.read(spark, view, asOf = 1L).count() === 3L)
+  }
+
+  test("refreshJoin on bucketed inputs prunes pre-state files and stays exact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_iv_jbucket")
+    val rootA = base.resolve("a").toString
+    val rootB = base.resolve("b").toString
+    val view = base.resolve("view").toString
+    val cols = Seq("k", "fk", "pa", "pb")
+    val n = 8
+    SnapshotLog.append(spark, rootA,
+      (1L to 64L).map(k => (k, k % 16, s"a$k")).toDF("k", "fk", "pa")
+        .repartition(4))
+    SnapshotLog.optimizeBucketed(spark, rootA, "fk", n)
+    SnapshotLog.append(spark, rootB,
+      (0L to 15L).map(f => (f, s"b$f")).toDF("fk", "pb").repartition(4))
+    SnapshotLog.optimizeBucketed(spark, rootB, "fk", n)
+    IncrementalView.refreshJoin(spark, view, rootA, rootB, "fk", cols)
+    // a SINGLE-KEY delta on A: B's pre-state read must prune to the
+    // buckets that one fk hashes into — a strict subset of B's files
+    SnapshotLog.append(spark, rootA, Seq((100L, 5L, "a100")).toDF("k", "fk", "pa"))
+    val bAll = SnapshotLog.snapshot(spark, rootB,
+      SnapshotLog.currentId(spark, rootB)).files
+    val dA = SnapshotLog.changes(spark, rootA, 2L, 3L)
+    val pre = IncrementalView.preState(spark, rootB, 2L, "fk", Some(dA))
+    assert(pre.inputFiles.nonEmpty && pre.inputFiles.length < bAll.size,
+      s"pre-state not pruned: ${pre.inputFiles.length} of ${bAll.size}")
+    // and the pruned pre-state holds exactly the delta-bucket's rows
+    val deltaBucket = spark.range(1)
+      .select(pmod(hash(lit(5L)), lit(n)).cast("long")).head().getLong(0)
+    assert(rowSet(pre) === rowSet(SnapshotLog.read(spark, rootB, asOf = 2L)
+      .filter(pmod(hash(col("fk")), lit(n)).cast("long") === deltaBucket)))
+    IncrementalView.refreshJoin(spark, view, rootA, rootB, "fk", cols)
+    val direct = SnapshotLog.read(spark, rootA)
+      .join(SnapshotLog.read(spark, rootB), "fk")
+      .select(col("k"), col("fk"), col("pa"), col("pb"), lit(1L).as("m"))
+    assert(rowSet(SnapshotLog.read(spark, view)) === rowSet(direct))
+  }
+
+  test("minmax fold: monotone inserts, delete-touched recompute, vanishing group") {
+    val base = java.nio.file.Files.createTempDirectory("graft_iv_mm")
+    val table = base.resolve("table").toString
+    val view = base.resolve("view").toString
+    val keys = Seq("g")
+    val mm = Seq("x")
+    SnapshotLog.append(spark, table,
+      Seq(("a", 1L, 10L), ("a", 2L, 50L), ("b", 3L, 7L)).toDF("g", "k", "x"))
+    assert(IncrementalView.refreshMinMax(spark, view, table, keys, mm) === 1L)
+    def v(): Map[String, (Long, Long, Long)] =
+      SnapshotLog.read(spark, view).as[(String, Long, Long, Long)]
+        .collect().map { case (g, n, mn, mx) => g -> (n, mn, mx) }.toMap
+    assert(v() === Map("a" -> (2L, 10L, 50L), "b" -> (1L, 7L, 7L)))
+    // insert-only refresh folds monotonically (no recompute needed)
+    SnapshotLog.append(spark, table, Seq(("a", 4L, 3L)).toDF("g", "k", "x"))
+    IncrementalView.refreshMinMax(spark, view, table, keys, mm)
+    assert(v() === Map("a" -> (3L, 3L, 50L), "b" -> (1L, 7L, 7L)))
+    // delete group a's MAX row (the case the additive fold cannot do)
+    // and ALL of group b (the group must vanish)
+    SnapshotLog.deleteWhere(spark, table, col("x") === 50L || col("g") === "b")
+    IncrementalView.refreshMinMax(spark, view, table, keys, mm)
+    assert(v() === Map("a" -> (2L, 3L, 10L)))
+    // re-run is a no-op
+    val snaps = SnapshotLog.currentId(spark, view)
+    IncrementalView.refreshMinMax(spark, view, table, keys, mm)
+    assert(SnapshotLog.currentId(spark, view) === snaps)
+  }
+
   test("delta-x-delta cross term: same-batch inserts on both sides join once") {
     val rootA = newRoot()
     val rootB = newRoot()
