@@ -23,8 +23,12 @@ import graft.{Q, Tables}
   *   snap/v<%08d>.manifest                one snapshot: header line
   *                                        (id/parent/operation/total
   *                                        rows/schema DDL) + one
-  *                                        `M<TAB>listpath<TAB>files<TAB>rows`
+  *                                        `M<TAB>listpath<TAB>files<TAB>rows<TAB>band`
   *                                        line per referenced file list
+  *                                        (band = the list's aggregated
+  *                                        per-column min/max — pruned
+  *                                        reads skip whole lists from
+  *                                        the manifest alone)
   *   snap/l_<snap>_<uuid>.list            one immutable FILE LIST: a
   *                                        `relpath<TAB>rowcount<TAB>stats`
   *                                        line per data file it tracks
@@ -208,9 +212,16 @@ object SnapshotLog {
 
   /** One file-list reference inside a manifest: relative path plus the
     * file/row subtotals recorded beside it (so carrying a list forward
-    * never requires opening it).
+    * never requires opening it) and the list's aggregated per-column
+    * stat BAND (min-of-mins/max-of-maxs over its files, recorded only
+    * for columns every live file has stats for) — Iceberg's
+    * manifest-list partition summaries: a planner skips a whole list
+    * whose band cannot match, so a narrow read on a million-file table
+    * opens O(matching lists) list files, not O(#lists). Empty band =
+    * legacy line or no foldable stats — the list is always opened.
     */
-  private final case class ListRef(path: String, nFiles: Int, rows: Long)
+  private final case class ListRef(path: String, nFiles: Int, rows: Long,
+      band: Map[String, (String, String)] = Map.empty)
 
   /** A parsed manifest before file-list resolution: `refs` are the v2
     * tree references; `inline` are legacy flat-manifest file lines (a
@@ -274,8 +285,12 @@ object SnapshotLog {
     val body = lines.tail.filter(_.nonEmpty)
     val (refLines, inlineLines) = body.partition(_.startsWith("M\t"))
     val refs = refLines.map { l =>
-      val Array(_, lp, n, r) = l.split('\t')
-      ListRef(lp, n.toInt, r.toLong)
+      l.split('\t') match {
+        case Array(_, lp, n, r) => ListRef(lp, n.toInt, r.toLong)
+        case Array(_, lp, n, r, bd) =>
+          ListRef(lp, n.toInt, r.toLong, parseStats(bd))
+        case _ => throw new IllegalStateException(s"bad manifest line: $l")
+      }
     }
     RawManifest(hid.toLong, parent.toLong, op, rows.toLong, ddl,
       refs, inlineLines.map(parseFileLine))
@@ -286,20 +301,59 @@ object SnapshotLog {
     readTextFile(fs, new Path(s"$root/$rel")).split('\n').toSeq
       .filter(_.nonEmpty).map(parseFileLine)
 
-  /** Write a new immutable file list; returns its ListRef. No atomic
+  /** Order for a recorded stat key, if a sound one is known: numeric
+    * for numeric schema columns and derived `__bucket:` stats, the
+    * type's order for other schema columns, None otherwise (no band is
+    * recorded for it).
+    */
+  private def statCmp(name: String,
+      schema: StructType): Option[(String, String) => Boolean] =
+    if (name.startsWith("__bucket:"))
+      Some((a, b) => BigDecimal(a) > BigDecimal(b))
+    else schema.fields.find(_.name == name)
+      .map(f => (a: String, b: String) => statGt(f.dataType, a, b))
+
+  /** Aggregate a file list's per-file stats into its manifest BAND:
+    * min-of-mins / max-of-maxs per stat key. A live file whose stats
+    * map is entirely EMPTY (legacy entry — unknown content) vetoes the
+    * whole band; a live file merely missing ONE key recorded elsewhere
+    * is safe to fold past (missing-with-stats means the column was
+    * all-null there, or absent pre-evolution — rows that can never
+    * match a range/point/bucket predicate on it). Unparseable values
+    * drop that key, never the read.
+    */
+  private def bandOf(entries: Seq[FileEntry],
+      schema: StructType): Map[String, (String, String)] = {
+    val live = entries.filter(_.rows > 0)
+    if (live.isEmpty || live.exists(_.stats.isEmpty)) return Map.empty
+    val keys: Seq[String] = live.iterator.flatMap(_.stats.keySet).toSet.toSeq
+    keys.flatMap { k =>
+      statCmp(k, schema).flatMap { gt =>
+        val vals = live.flatMap(_.stats.get(k))
+        try Some(k -> (
+          vals.map(_._1).reduce((a, b) => if (gt(a, b)) b else a),
+          vals.map(_._2).reduce((a, b) => if (gt(a, b)) a else b)))
+        catch { case _: NumberFormatException => None }
+      }
+    }.toMap
+  }
+
+  /** Write a new immutable file list; returns its ListRef (with the
+    * band [[bandOf]] aggregates from the entries' stats). No atomic
     * publish needed: the uuid name is unreferenced until some manifest's
     * rename points at it (a lost commit race strands it for
     * [[vacuumOrphans]]).
     */
   private def writeFileList(fs: FileSystem, root: String, snapId: Long,
-      entries: Seq[FileEntry]): ListRef = {
+      entries: Seq[FileEntry], schema: StructType): ListRef = {
     val rel = s"snap/l_${snapId}_${java.util.UUID.randomUUID().toString.take(8)}.list"
     val p = new Path(s"$root/$rel")
     fs.mkdirs(p.getParent)
     val out = fs.create(p, false)
     try out.write(entries.map(fileLine).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    ListRef(rel, entries.size, entries.iterator.map(_.rows).sum)
+    ListRef(rel, entries.size, entries.iterator.map(_.rows).sum,
+      bandOf(entries, schema))
   }
 
   /** Load one snapshot's full metadata (manifest + its file lists). */
@@ -362,23 +416,8 @@ object SnapshotLog {
     */
   def readRange(spark: SparkSession, root: String, column: String,
       lower: Option[String], upper: Option[String], asOf: Long = 0L): DataFrame = {
-    val id = if (asOf > 0) asOf else currentId(spark, root)
-    val s = snapshot(spark, root, id)
-    val schema = StructType.fromDDL(s.schemaDdl)
-    require(schema.fieldNames.contains(column), s"no column $column in snapshot $id")
+    val (kept, schema) = rangeFiles(spark, root, column, lower, upper, asOf)
     val dt = schema(column).dataType
-    val kept = s.files.filter { f =>
-      f.stats.get(column) match {
-        case Some((mn, mx)) =>
-          // unparseable numeric stats (NaN/Infinity renderings) must
-          // degrade to "cannot skip", not fail the read at planning
-          try {
-            upper.forall(u => !statGt(dt, mn, u)) &&
-              lower.forall(l => !statGt(dt, l, mx))
-          } catch { case _: NumberFormatException => true }
-        case None => true
-      }
-    }
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -387,6 +426,42 @@ object SnapshotLog {
     val c = col(column)
     val withLo = lower.map(l => base.filter(c >= lit(l).cast(dt))).getOrElse(base)
     upper.map(u => withLo.filter(c <= lit(u).cast(dt))).getOrElse(withLo)
+  }
+
+  /** True iff a recorded `[mn, mx]` can intersect `[lower, upper]`
+    * under `dt`'s order. Unparseable stats (NaN/Infinity renderings)
+    * degrade to "cannot skip", never fail the read at planning.
+    */
+  private def rangeIntersects(dt: org.apache.spark.sql.types.DataType,
+      mn: String, mx: String,
+      lower: Option[String], upper: Option[String]): Boolean =
+    try upper.forall(u => !statGt(dt, mn, u)) &&
+      lower.forall(l => !statGt(dt, l, mx))
+    catch { case _: NumberFormatException => true }
+
+  /** The file entries a [[readRange]] would scan — two-level pruning:
+    * whole file LISTS whose manifest band excludes the range are
+    * skipped WITHOUT being opened (O(matching lists) planning I/O on a
+    * many-list table), then the opened lists' files prune on their own
+    * stats. A list or file without a usable band/stat is kept.
+    */
+  private[graft] def rangeFiles(spark: SparkSession, root: String,
+      column: String, lower: Option[String], upper: Option[String],
+      asOf: Long = 0L): (Seq[FileEntry], StructType) = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    val fs = fsOf(spark, root)
+    val raw = rawManifest(spark, root, id)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    require(schema.fieldNames.contains(column), s"no column $column in snapshot $id")
+    val dt = schema(column).dataType
+    def keeps(stats: Map[String, (String, String)]): Boolean =
+      stats.get(column) match {
+        case Some((mn, mx)) => rangeIntersects(dt, mn, mx, lower, upper)
+        case None => true
+      }
+    val kept = (raw.inline ++ raw.refs.filter(r => keeps(r.band))
+      .flatMap(r => readFileList(fs, root, r.path))).filter(f => keeps(f.stats))
+    (kept, schema)
   }
 
   /** METADATA-ONLY aggregate: COUNT(*) plus per-column MIN/MAX for a
@@ -480,19 +555,23 @@ object SnapshotLog {
   private[graft] def pointFiles(spark: SparkSession, root: String,
       column: String, value: Long, asOf: Long = 0L): (Seq[FileEntry], StructType) = {
     val id = if (asOf > 0) asOf else currentId(spark, root)
-    val s = snapshot(spark, root, id)
-    val schema = StructType.fromDDL(s.schemaDdl)
+    val fs = fsOf(spark, root)
+    val raw = rawManifest(spark, root, id)
+    val schema = StructType.fromDDL(raw.schemaDdl)
     require(schema.fieldNames.contains(column), s"no column $column in snapshot $id")
     val dt = schema(column).dataType
     val v = value.toString
-    val kept = s.files.filter { f =>
-      val rangeKeeps = f.stats.get(column) match {
-        case Some((mn, mx)) =>
-          try !statGt(dt, mn, v) && !statGt(dt, v, mx)
-          catch { case _: NumberFormatException => true }
+    def bandKeeps(stats: Map[String, (String, String)]): Boolean =
+      stats.get(column) match {
+        case Some((mn, mx)) => rangeIntersects(dt, mn, mx, Some(v), Some(v))
         case None => true
       }
-      rangeKeeps && (f.blooms.get(column) match {
+    // list-level band prune first (blooms are per-file; a skipped list
+    // is never opened, so its blooms are never even read)
+    val files = raw.inline ++ raw.refs.filter(r => bandKeeps(r.band))
+      .flatMap(r => readFileList(fs, root, r.path))
+    val kept = files.filter { f =>
+      bandKeeps(f.stats) && (f.blooms.get(column) match {
         case Some(b64) =>
           org.apache.spark.util.sketch.BloomFilter.readFrom(
             new java.io.ByteArrayInputStream(
@@ -531,12 +610,13 @@ object SnapshotLog {
       column: String, numBuckets: Int, buckets: Set[Long],
       asOf: Long = 0L): (Seq[FileEntry], StructType) = {
     val id = if (asOf > 0) asOf else currentId(spark, root)
-    val s = snapshot(spark, root, id)
-    val schema = StructType.fromDDL(s.schemaDdl)
+    val fs = fsOf(spark, root)
+    val raw = rawManifest(spark, root, id)
+    val schema = StructType.fromDDL(raw.schemaDdl)
     require(schema.fieldNames.contains(column), s"no column $column in snapshot $id")
     val name = bucketStatName(column, numBuckets)
-    val kept = s.files.filter { f =>
-      f.stats.get(name) match {
+    def keeps(stats: Map[String, (String, String)]): Boolean =
+      stats.get(name) match {
         case Some((mn, mx)) =>
           try {
             val (lo, hi) = (mn.toLong, mx.toLong)
@@ -544,7 +624,8 @@ object SnapshotLog {
           } catch { case _: NumberFormatException => true }
         case None => true
       }
-    }
+    val kept = (raw.inline ++ raw.refs.filter(r => keeps(r.band))
+      .flatMap(r => readFileList(fs, root, r.path))).filter(f => keeps(f.stats))
     (kept, schema)
   }
 
@@ -831,7 +912,8 @@ object SnapshotLog {
       // nor inherited inline entries — e.g. an overwrite to empty)
       val newEntries = carriedInline ++ written
       val newRef =
-        if (newEntries.nonEmpty) Some(writeFileList(fs, root, next, newEntries))
+        if (newEntries.nonEmpty)
+          Some(writeFileList(fs, root, next, newEntries, tableSchema))
         else None
       val refs = carriedRefs ++ newRef
       val total = refs.iterator.map(_.rows).sum
@@ -841,7 +923,8 @@ object SnapshotLog {
       val out = fs.create(tmp, true)
       try out.write(
         ((s"$next\t$base\t$operation\t$total\t$ddl") +:
-          refs.map(r => s"M\t${r.path}\t${r.nFiles}\t${r.rows}"))
+          refs.map(r =>
+            s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}"))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       // publish must be atomic no-replace: on HDFS, rename to an
