@@ -986,6 +986,65 @@ object StreamingQueries {
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
              |ORDER BY event_id""".stripMargin),
       bench = false
+    ),
+
+    // SM24: EVENT-TIME session windows with TIMER-driven timeout
+    // emission on the state API v2 (TimeMode.EventTime + registerTimer
+    // + handleExpiredTimer, RocksDB provider) — the state-BOUNDING half
+    // sm23 leaves unexercised: a session emits either when a later
+    // event exceeds the 12 h gap or when the watermark passes its
+    // end+gap timer, after which the key's state is CLEARED. Two
+    // far-future sentinel batches (user −1, never emitted) advance the
+    // watermark past every real timer so the drain closes all sessions
+    // deterministically. The oracle is DuckDB's lag/running-sum
+    // sessionization of the same table — row-for-row equality proves
+    // both closure paths agree with the batch semantics.
+    Q(
+      "sm24_session_timeout",
+      (s, dir) => {
+        val (landing, _, _, ckpt) = tempDirs("graft_sm24")
+        val out = graft.TempDirs.create("graft_sm24_out").toString
+        val ev = Tables(s, dir, "events")
+        val gapUs = 12L * 3600 * 1000000L
+        val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+        def sentinel(id: Long, plusDays: Int) =
+          s.range(1).select(
+            lit(id).as("event_id"),
+            lit(new java.sql.Timestamp(maxTs.getTime + plusDays * 86400000L))
+              .as("ts"),
+            lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+            lit(0.0).as("value"), lit("").as("props"))
+        stageBatches(
+          Seq(
+            ev.filter(col("event_id") < 3000),
+            ev.filter(col("event_id") >= 3000 && col("event_id") < 6000),
+            ev.filter(col("event_id") >= 6000),
+            sentinel(9000001L, 35), sentinel(9000002L, 36)),
+          landing)
+        SessionTimeout.sessionStreamRocksDb(
+          s, landing.toString, ev.schema, gapUs, out, ckpt.toString)
+        s.read.parquet(out)
+          .select("user_id", "start_us", "end_us", "n_events", "sum_fx")
+          .orderBy("user_id", "start_us")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             |         CAST(round(value * 10000) AS BIGINT) AS v_fx
+             |  FROM events),
+             |o AS (
+             |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+             |                   OR ts_us - lag(ts_us) OVER w > 43200000000
+             |                 THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+             |s AS (
+             |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+             |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM o)
+             |SELECT user_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+             |       count(*) AS n_events, CAST(sum(v_fx) AS BIGINT) AS sum_fx
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, start_us""".stripMargin),
+      bench = false
     )
   )
 }
