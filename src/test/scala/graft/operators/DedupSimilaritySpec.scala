@@ -88,6 +88,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(reps.exceptAll(canon).count() === 0)
   }
 
+  test("maintained ANN index equals a rebuild, including a re-embed upsert") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx")
+      .resolve("log").toString
+    def vecs(ids: Seq[Long], salt: Int) = ids.map { i =>
+      (i, Array.tabulate(64)(d => ((i * 31 + d * 7 + salt) % 13 - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    // initial build, an extension batch, then a RE-EMBED of id 2 (the
+    // merge's WHEN MATCHED arm: the stored index row must be replaced)
+    SnapshotLog.append(spark, root, Similarity.indexRows(spark, vecs(0L to 5L, 0), 4))
+    SnapshotLog.mergeInto(spark, root,
+      Similarity.indexRows(spark, vecs(6L to 9L, 0), 4), Seq("vec_id"))
+    SnapshotLog.mergeInto(spark, root,
+      Similarity.indexRows(spark, vecs(Seq(2L), 9), 4), Seq("vec_id"))
+    val rebuilt = Similarity.indexRows(spark,
+      vecs(Seq(2L), 9).unionByName(vecs((0L to 9L).filter(_ != 2L), 0)), 4)
+    assert(rowSet(SnapshotLog.read(spark, root)) === rowSet(rebuilt))
+  }
+
   test("ss2 ANN is a faithful subset search: scores exact, ranks correct within candidates") {
     // On this isotropic corpus (max pairwise cosine ~0.48) recall tracks
     // the probed fraction by construction — the >=0.9-recall contract is
