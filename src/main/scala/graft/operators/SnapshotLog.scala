@@ -84,7 +84,8 @@ object SnapshotLog {
     */
   final case class FileEntry(path: String, rows: Long,
       stats: Map[String, (String, String)] = Map.empty,
-      blooms: Map[String, String] = Map.empty)
+      blooms: Map[String, String] = Map.empty,
+      ids: Map[String, Int] = Map.empty)
 
   /** One committed snapshot's metadata. `rows` is the TOTAL row count
     * of the table at this snapshot (sum of its files' counts).
@@ -188,10 +189,19 @@ object SnapshotLog {
       asOf: Long = 0L): Option[Int] = {
     val id = if (asOf > 0) asOf else currentId(spark, root)
     if (id == 0) return None
-    val prefix = s"__bucket:$column:"
+    val raw = rawManifest(spark, root, id)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    if (!schema.fieldNames.contains(column)) return None
+    val curIds = currentIdsOf(raw, schema)._1
     snapshot(spark, root, id).files.iterator
-      .flatMap(_.stats.keys).filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix).toInt)
+      .flatMap { f =>
+        // the stat key embeds the file's PHYSICAL name for the column
+        physNameIn(f, column, curIds).toSeq.flatMap { p =>
+          val prefix = s"__bucket:$p:"
+          f.stats.keys.filter(_.startsWith(prefix))
+            .map(_.stripPrefix(prefix).toInt)
+        }
+      }
       .foldLeft(Option.empty[Int])((a, n) => Some(math.max(a.getOrElse(0), n)))
   }
 
@@ -226,10 +236,14 @@ object SnapshotLog {
   /** A parsed manifest before file-list resolution: `refs` are the v2
     * tree references; `inline` are legacy flat-manifest file lines (a
     * pre-tree manifest is all-inline; a tree manifest is all-refs).
+    * `ids` is the snapshot's name→field-id map (empty = pre-field-id
+    * manifest, resolved by name); `lastColId` the high-water id so new
+    * columns never reuse a retired id.
     */
   private final case class RawManifest(id: Long, parent: Long,
       operation: String, rows: Long, schemaDdl: String,
-      refs: Seq[ListRef], inline: Seq[FileEntry])
+      refs: Seq[ListRef], inline: Seq[FileEntry],
+      ids: Map[String, Int] = Map.empty, lastColId: Int = 0)
 
   private def readTextFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -258,19 +272,41 @@ object SnapshotLog {
       dec(c) -> b64
     }.toMap
 
-  // file line: path<TAB>rows[<TAB>stats[<TAB>blooms]] — shorter lines
-  // are legacy entries and parse with the missing fields empty
+  // ---- field-id encoding: `name=id;name=id` with URL-encoded names
+  // ("-" = none). Ids are the table's COLUMN IDENTITY across
+  // rename/drop (Iceberg's field ids): the manifest header carries the
+  // current name→id map, each data-file entry the map in effect when
+  // the file was written, and reads resolve by id, so a renamed
+  // column's old files keep reading correctly without a rewrite.
+  private def idsField(ids: Map[String, Int]): String =
+    if (ids.isEmpty) "-"
+    else ids.toSeq.sortBy(_._1).map { case (c, i) => s"${enc(c)}=$i" }
+      .mkString(";")
+
+  private def parseIds(field: String): Map[String, Int] =
+    if (field == "-" || field.isEmpty) Map.empty
+    else field.split(';').iterator.map { kv =>
+      val Array(c, i) = kv.split("=", -1)
+      dec(c) -> i.toInt
+    }.toMap
+
+  // file line: path<TAB>rows[<TAB>stats[<TAB>blooms[<TAB>ids]]] —
+  // shorter lines are legacy entries and parse with the missing fields
+  // empty
   private def parseFileLine(l: String): FileEntry =
     l.split('\t') match {
       case Array(p2, n) => FileEntry(p2, n.toLong)
       case Array(p2, n, st) => FileEntry(p2, n.toLong, parseStats(st))
       case Array(p2, n, st, bl) =>
         FileEntry(p2, n.toLong, parseStats(st), parseBlooms(bl))
+      case Array(p2, n, st, bl, ids) =>
+        FileEntry(p2, n.toLong, parseStats(st), parseBlooms(bl), parseIds(ids))
       case _ => throw new IllegalStateException(s"bad file line: $l")
     }
 
   private def fileLine(f: FileEntry): String =
-    s"${f.path}\t${f.rows}\t${statsField(f.stats)}\t${bloomsField(f.blooms)}"
+    s"${f.path}\t${f.rows}\t${statsField(f.stats)}\t${bloomsField(f.blooms)}" +
+      s"\t${idsField(f.ids)}"
 
   /** Parse one manifest WITHOUT opening its file lists — O(#commits)
     * bytes, the metadata an append needs to carry its parent forward.
@@ -280,8 +316,15 @@ object SnapshotLog {
     val p = manifestPath(root, id)
     require(fs.exists(p), s"snapshot $id does not exist under $root")
     val lines = readTextFile(fs, p).split('\n').toSeq
-    // header: id<TAB>parent<TAB>operation<TAB>totalRows<TAB>schemaDDL
-    val Array(hid, parent, op, rows, ddl) = lines.head.split('\t')
+    // header: id<TAB>parent<TAB>op<TAB>totalRows<TAB>schemaDDL
+    // [<TAB>fieldIds<TAB>lastColId] — the two id fields are absent on
+    // pre-field-id manifests
+    val h = lines.head.split('\t')
+    require(h.length >= 5, s"bad manifest header: ${lines.head}")
+    val Array(hid, parent, op, rows, ddl) = h.take(5)
+    val (hIds, hLast) =
+      if (h.length >= 7) (parseIds(h(5)), h(6).toInt)
+      else (Map.empty[String, Int], 0)
     val body = lines.tail.filter(_.nonEmpty)
     val (refLines, inlineLines) = body.partition(_.startsWith("M\t"))
     val refs = refLines.map { l =>
@@ -293,8 +336,19 @@ object SnapshotLog {
       }
     }
     RawManifest(hid.toLong, parent.toLong, op, rows.toLong, ddl,
-      refs, inlineLines.map(parseFileLine))
+      refs, inlineLines.map(parseFileLine), hIds, hLast)
   }
+
+  /** The snapshot's name→id map plus high-water id, with the legacy
+    * fallback (pre-field-id manifest: ids assigned by position — a
+    * DETERMINISTIC assignment, but rename/drop on such a table is
+    * refused until its files carry ids; see [[renameColumn]]).
+    */
+  private def currentIdsOf(raw: RawManifest,
+      schema: StructType): (Map[String, Int], Int) =
+    if (raw.ids.nonEmpty) (raw.ids, raw.lastColId)
+    else (schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }
+      .toMap, schema.fields.length)
 
   /** Resolve one referenced file list (immutable, uuid-named). */
   private def readFileList(fs: FileSystem, root: String, rel: String): Seq[FileEntry] =
@@ -392,13 +446,61 @@ object SnapshotLog {
     */
   def read(spark: SparkSession, root: String, asOf: Long = 0L): DataFrame = {
     val id = if (asOf > 0) asOf else currentId(spark, root)
-    val s = snapshot(spark, root, id)
-    val schema = StructType.fromDDL(s.schemaDdl)
-    if (s.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema)
-      .parquet(s.files.map(f => s"$root/${f.path}"): _*)
+    val fs = fsOf(spark, root)
+    val raw = rawManifest(spark, root, id)
+    val files = raw.inline ++
+      raw.refs.flatMap(r => readFileList(fs, root, r.path))
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    resolvedRead(spark, root, files, schema, currentIdsOf(raw, schema)._1)
   }
+
+  /** Read `files` under `schema`, resolving columns by FIELD ID: each
+    * file's recorded name→id map projects its physical columns onto
+    * the current names, so files written before a [[renameColumn]]
+    * keep reading correctly and a dropped-then-readded name never
+    * resurrects old data (the new column has a new id). Id-less legacy
+    * files resolve by name. Files group by the projection they induce
+    * — on a table that never renamed that is ONE group with an
+    * identity projection, i.e. exactly the single pinned-schema scan
+    * this generalizes; after a rename it is one extra scan branch per
+    * distinct historical mapping, unioned by name.
+    */
+  private def resolvedRead(spark: SparkSession, root: String,
+      files: Seq[FileEntry], schema: StructType,
+      curIds: Map[String, Int]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    def projectionOf(f: FileEntry): Seq[Option[String]] =
+      schema.fields.toSeq.map { c =>
+        if (f.ids.isEmpty) Some(c.name)
+        else curIds.get(c.name).flatMap(id =>
+          f.ids.collectFirst { case (phys, i) if i == id => phys })
+      }
+    files.groupBy(projectionOf).toSeq.sortBy(_._2.head.path)
+      .map { case (proj, group) =>
+        val physFields = schema.fields.toSeq.zip(proj).collect {
+          case (c, Some(phys)) =>
+            org.apache.spark.sql.types.StructField(phys, c.dataType, nullable = true)
+        }
+        spark.read.schema(StructType(physFields))
+          .parquet(group.map(f => s"$root/${f.path}"): _*)
+          .select(schema.fields.toSeq.zip(proj).map {
+            case (c, Some(phys)) => col(phys).as(c.name)
+            case (c, None) => lit(null).cast(c.dataType).as(c.name)
+          }: _*)
+      }.reduce(_ unionByName _)
+  }
+
+  /** The PHYSICAL name under which file `f` recorded data/stats for
+    * current column `cur` — the file's own name for cur's field id
+    * (exact across renames), or `cur` itself for id-less legacy files;
+    * None when the file predates the column.
+    */
+  private def physNameIn(f: FileEntry, cur: String,
+      curIds: Map[String, Int]): Option[String] =
+    if (f.ids.isEmpty) Some(cur)
+    else curIds.get(cur).flatMap(id =>
+      f.ids.collectFirst { case (p, i) if i == id => p })
 
   /** Range read with manifest-stats file pruning: files whose recorded
     * `[min,max]` on `column` cannot intersect `[lower, upper]` are
@@ -416,13 +518,11 @@ object SnapshotLog {
     */
   def readRange(spark: SparkSession, root: String, column: String,
       lower: Option[String], upper: Option[String], asOf: Long = 0L): DataFrame = {
-    val (kept, schema) = rangeFiles(spark, root, column, lower, upper, asOf)
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    val (kept, schema) = rangeFiles(spark, root, column, lower, upper, id)
+    val raw = rawManifest(spark, root, id)
     val dt = schema(column).dataType
-    val base =
-      if (kept.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema)
-        .parquet(kept.map(f => s"$root/${f.path}"): _*)
+    val base = resolvedRead(spark, root, kept, schema, currentIdsOf(raw, schema)._1)
     val c = col(column)
     val withLo = lower.map(l => base.filter(c >= lit(l).cast(dt))).getOrElse(base)
     upper.map(u => withLo.filter(c <= lit(u).cast(dt))).getOrElse(withLo)
@@ -454,13 +554,22 @@ object SnapshotLog {
     val schema = StructType.fromDDL(raw.schemaDdl)
     require(schema.fieldNames.contains(column), s"no column $column in snapshot $id")
     val dt = schema(column).dataType
-    def keeps(stats: Map[String, (String, String)]): Boolean =
+    val curIds = currentIdsOf(raw, schema)._1
+    def bandKeeps(stats: Map[String, (String, String)]): Boolean =
       stats.get(column) match {
         case Some((mn, mx)) => rangeIntersects(dt, mn, mx, lower, upper)
         case None => true
       }
-    val kept = (raw.inline ++ raw.refs.filter(r => keeps(r.band))
-      .flatMap(r => readFileList(fs, root, r.path))).filter(f => keeps(f.stats))
+    // per-file stats live under the file's PHYSICAL column name —
+    // resolved through its field ids, so pruning stays exact across
+    // renames (bands are remapped by the rename commit itself)
+    def fileKeeps(f: FileEntry): Boolean =
+      physNameIn(f, column, curIds).flatMap(f.stats.get) match {
+        case Some((mn, mx)) => rangeIntersects(dt, mn, mx, lower, upper)
+        case None => true
+      }
+    val kept = (raw.inline ++ raw.refs.filter(r => bandKeeps(r.band))
+      .flatMap(r => readFileList(fs, root, r.path))).filter(fileKeeps)
     (kept, schema)
   }
 
@@ -479,7 +588,9 @@ object SnapshotLog {
       columns: Seq[String], asOf: Long = 0L): DataFrame = {
     val id = if (asOf > 0) asOf else currentId(spark, root)
     val s = snapshot(spark, root, id)
+    val raw = rawManifest(spark, root, id)
     val schema = StructType.fromDDL(s.schemaDdl)
+    val curIds = currentIdsOf(raw, schema)._1
     val nRows = s.files.map(_.rows).sum
     // zero-row files constrain nothing (append() tolerates empty
     // tasks, which record no stats) — they must not null the bounds
@@ -487,7 +598,7 @@ object SnapshotLog {
     val out = columns.sorted.map { c =>
       require(schema.fieldNames.contains(c), s"no column $c in snapshot $id")
       val dt = schema(c).dataType
-      val perFile = live.map(_.stats.get(c))
+      val perFile = live.map(f => physNameIn(f, c, curIds).flatMap(f.stats.get))
       val bounds =
         if (live.nonEmpty && perFile.forall(_.isDefined)) {
           val mins = perFile.flatten.map(_._1)
@@ -539,14 +650,12 @@ object SnapshotLog {
     */
   def readPoint(spark: SparkSession, root: String, column: String,
       value: Long, asOf: Long = 0L): DataFrame = {
-    val (kept, schema) = pointFiles(spark, root, column, value, asOf)
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    val (kept, schema) = pointFiles(spark, root, column, value, id)
+    val raw = rawManifest(spark, root, id)
     val dt = schema(column).dataType
-    val base =
-      if (kept.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema)
-        .parquet(kept.map(f => s"$root/${f.path}"): _*)
-    base.filter(col(column) === lit(value).cast(dt))
+    resolvedRead(spark, root, kept, schema, currentIdsOf(raw, schema)._1)
+      .filter(col(column) === lit(value).cast(dt))
   }
 
   /** The file entries a [[readPoint]] would scan — exposed so tests can
@@ -561,17 +670,24 @@ object SnapshotLog {
     require(schema.fieldNames.contains(column), s"no column $column in snapshot $id")
     val dt = schema(column).dataType
     val v = value.toString
+    val curIds = currentIdsOf(raw, schema)._1
     def bandKeeps(stats: Map[String, (String, String)]): Boolean =
       stats.get(column) match {
         case Some((mn, mx)) => rangeIntersects(dt, mn, mx, Some(v), Some(v))
         case None => true
       }
     // list-level band prune first (blooms are per-file; a skipped list
-    // is never opened, so its blooms are never even read)
+    // is never opened, so its blooms are never even read); file-level
+    // stats and blooms resolve through the file's physical name
     val files = raw.inline ++ raw.refs.filter(r => bandKeeps(r.band))
       .flatMap(r => readFileList(fs, root, r.path))
     val kept = files.filter { f =>
-      bandKeeps(f.stats) && (f.blooms.get(column) match {
+      val phys = physNameIn(f, column, curIds)
+      val rangeKeeps = phys.flatMap(f.stats.get) match {
+        case Some((mn, mx)) => rangeIntersects(dt, mn, mx, Some(v), Some(v))
+        case None => true
+      }
+      rangeKeeps && (phys.flatMap(f.blooms.get) match {
         case Some(b64) =>
           org.apache.spark.util.sketch.BloomFilter.readFrom(
             new java.io.ByteArrayInputStream(
@@ -594,12 +710,13 @@ object SnapshotLog {
     */
   def readBuckets(spark: SparkSession, root: String, column: String,
       numBuckets: Int, buckets: Set[Long], asOf: Long = 0L): DataFrame = {
-    val (kept, schema) = bucketFilesOf(spark, root, column, numBuckets, buckets, asOf)
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    val (kept, schema) = bucketFilesOf(spark, root, column, numBuckets, buckets, id)
+    val raw = rawManifest(spark, root, id)
     val base =
-      if (kept.isEmpty || buckets.isEmpty)
+      if (buckets.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema)
-        .parquet(kept.map(f => s"$root/${f.path}"): _*)
+      else resolvedRead(spark, root, kept, schema, currentIdsOf(raw, schema)._1)
     base.filter(bucketExpr(column, numBuckets).isin(buckets.toSeq: _*))
   }
 
@@ -614,18 +731,21 @@ object SnapshotLog {
     val raw = rawManifest(spark, root, id)
     val schema = StructType.fromDDL(raw.schemaDdl)
     require(schema.fieldNames.contains(column), s"no column $column in snapshot $id")
-    val name = bucketStatName(column, numBuckets)
-    def keeps(stats: Map[String, (String, String)]): Boolean =
-      stats.get(name) match {
-        case Some((mn, mx)) =>
-          try {
-            val (lo, hi) = (mn.toLong, mx.toLong)
-            buckets.exists(b => b >= lo && b <= hi)
-          } catch { case _: NumberFormatException => true }
-        case None => true
-      }
-    val kept = (raw.inline ++ raw.refs.filter(r => keeps(r.band))
-      .flatMap(r => readFileList(fs, root, r.path))).filter(f => keeps(f.stats))
+    val curIds = currentIdsOf(raw, schema)._1
+    def bandIn(mm: (String, String)): Boolean =
+      try {
+        val (lo, hi) = (mm._1.toLong, mm._2.toLong)
+        buckets.exists(b => b >= lo && b <= hi)
+      } catch { case _: NumberFormatException => true }
+    def bandKeeps(stats: Map[String, (String, String)]): Boolean =
+      stats.get(bucketStatName(column, numBuckets)).forall(bandIn)
+    // the file-level bucket stat embeds the file's PHYSICAL column name
+    def fileKeeps(f: FileEntry): Boolean =
+      physNameIn(f, column, curIds)
+        .flatMap(p => f.stats.get(bucketStatName(p, numBuckets)))
+        .forall(bandIn)
+    val kept = (raw.inline ++ raw.refs.filter(r => bandKeeps(r.band))
+      .flatMap(r => readFileList(fs, root, r.path))).filter(fileKeeps)
     (kept, schema)
   }
 
@@ -667,8 +787,8 @@ object SnapshotLog {
     // and the rewrite must commit under the TABLE schema, not whatever
     // width the rewritten files happened to have
     val tableSchema = StructType.fromDDL(raw.schemaDdl)
-    val scan = spark.read.schema(tableSchema)
-      .parquet(allFiles.map(f => s"$root/${f.path}"): _*)
+    val (tableIds, lastColId) = currentIdsOf(raw, tableSchema)
+    val scan = resolvedRead(spark, root, allFiles, tableSchema, tableIds)
     // bounded driver value — O(#matching files), planning-scale metadata
     // (same class as StreamingMerge's affected-bucket set). The scan
     // projects only the virtual file-name column under the pushed
@@ -689,12 +809,14 @@ object SnapshotLog {
     // NULL-predicate rows must SURVIVE the rewrite: under three-valued
     // logic a NULL row fails both filter(pred) and filter(!pred), so a
     // bare !pred would silently drop rows the delete never matched
-    val rewritten = spark.read.schema(tableSchema)
-      .parquet(hitRel.toSeq.sorted.map(f => s"$root/$f"): _*)
-      .filter(!coalesce(pred, lit(false)))
+    val rewritten =
+      resolvedRead(spark, root, allFiles.filter(f => hitRel(f.path)),
+        tableSchema, tableIds)
+        .filter(!coalesce(pred, lit(false)))
     commitFiles(spark, root, rewritten, "delete",
       intact.map(_._1), keepInline, tableSchema,
-      derivedStats = inheritedBucketStats(allFiles, tableSchema))
+      derivedStats = inheritedBucketStats(allFiles, tableSchema),
+      tableIds0 = tableIds, lastColId0 = lastColId)
   }
 
   /** Copy-on-write MERGE (upsert): table rows whose `keyCols` match a
@@ -731,6 +853,7 @@ object SnapshotLog {
     // pinned-schema read — the same no-silent-retype rule append's
     // mergeSchemas enforces.
     val tableSchema = StructType.fromDDL(raw.schemaDdl)
+    val (tableIds, lastColId) = currentIdsOf(raw, tableSchema)
     tableSchema.fields.foreach { f =>
       source.schema.fields.find(_.name == f.name).foreach(sf =>
         require(sf.dataType == f.dataType,
@@ -739,9 +862,9 @@ object SnapshotLog {
     if (allFiles.isEmpty)
       return commitFiles(spark, root,
         source.select(tableSchema.fieldNames.map(col).toSeq: _*),
-        "merge", Seq.empty, Seq.empty, tableSchema)
-    val scan = spark.read.schema(tableSchema)
-      .parquet(allFiles.map(f => s"$root/${f.path}"): _*)
+        "merge", Seq.empty, Seq.empty, tableSchema,
+        tableIds0 = tableIds, lastColId0 = lastColId)
+    val scan = resolvedRead(spark, root, allFiles, tableSchema, tableIds)
     val keys = source.select(keyCols.map(col): _*).distinct()
     // bounded driver value — O(#matching files); file column projected
     // BEFORE the join (input_file_name is per-scan-row, and Spark 4
@@ -763,14 +886,15 @@ object SnapshotLog {
     val tableCols = scan.columns.map(col).toSeq
     val survivors =
       if (hitRel.isEmpty) scan.limit(0)
-      else spark.read.schema(tableSchema)
-        .parquet(hitRel.toSeq.sorted.map(f => s"$root/$f"): _*)
+      else resolvedRead(spark, root, allFiles.filter(f => hitRel(f.path)),
+        tableSchema, tableIds)
         .join(keys, keyCols, "left_anti")
         .select(tableCols: _*)
     commitFiles(spark, root,
       survivors.unionByName(source.select(tableCols: _*)),
       "merge", intact.map(_._1), carriedInline, tableSchema,
-      derivedStats = inheritedBucketStats(allFiles, tableSchema))
+      derivedStats = inheritedBucketStats(allFiles, tableSchema),
+      tableIds0 = tableIds, lastColId0 = lastColId)
   }
 
   /** Atomically publish `tmp` as `m`, failing (false) if `m` already
@@ -803,6 +927,117 @@ object SnapshotLog {
     uri.substring(i + 1)
   }
 
+  // ---- field-id schema evolution: rename/drop as METADATA-ONLY
+  // commits. Data files never rewrite — reads resolve columns by id
+  // ([[resolvedRead]]), so files written under the old name keep
+  // reading correctly, and a dropped name re-added later gets a NEW id
+  // (old data never resurrects). Iceberg's evolution model. ----
+
+  /** Apply a column-name edit to a manifest BAND's keys (plain column
+    * keys and `__bucket:<col>:<n>` layout keys both embed the name).
+    * None drops the key; this is what keeps band pruning sound when a
+    * name is renamed away and later reused by a different column.
+    */
+  private def editBandKeys(band: Map[String, (String, String)],
+      edit: String => Option[String]): Map[String, (String, String)] =
+    band.flatMap { case (k, v) =>
+      if (k.startsWith("__bucket:")) {
+        val parts = k.split(':')
+        edit(parts(1)).map(nn => s"__bucket:$nn:${parts(2)}" -> v)
+      } else edit(k).map(_ -> v)
+    }
+
+  /** Rename/drop resolve old files BY ID, so every live file must
+    * carry ids — a table with pre-field-id files must rewrite them
+    * first ([[optimize]]); refusing here beats silently misreading.
+    */
+  private def requireAllFilesCarryIds(spark: SparkSession, root: String,
+      raw: RawManifest): Unit = {
+    val fs = fsOf(spark, root)
+    val files = raw.inline ++ raw.refs.flatMap(r => readFileList(fs, root, r.path))
+    require(files.forall(_.ids.nonEmpty),
+      s"schema evolution on $root needs field ids on every live file; " +
+        "rewrite pre-field-id files first (optimize)")
+  }
+
+  /** Rename a column WITHOUT touching data — a metadata-only commit:
+    * new schema DDL, same field id under the new name, every file list
+    * carried by reference (bands re-keyed). Old files keep reading
+    * correctly because reads resolve by id; time travel to a
+    * pre-rename snapshot still shows the old name (its manifest
+    * recorded it).
+    */
+  def renameColumn(spark: SparkSession, root: String,
+      from: String, to: String): Long = {
+    val base = currentId(spark, root)
+    require(base > 0, s"renameColumn on empty log $root")
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid column name: $to")
+    val raw = rawManifest(spark, root, base)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    require(schema.fieldNames.contains(from), s"no column $from in $root")
+    require(!schema.fieldNames.contains(to), s"column $to already exists in $root")
+    requireAllFilesCarryIds(spark, root, raw)
+    val (ids, last) = currentIdsOf(raw, schema)
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    commitMetadata(spark, root, raw, newSchema,
+      (ids - from) + (to -> ids(from)), last, "rename",
+      editKey = c => Some(if (c == from) to else c))
+  }
+
+  /** Drop a column WITHOUT touching data — metadata-only, like
+    * [[renameColumn]]. The id retires with the name: re-adding the
+    * name later assigns a NEW id, so the dropped data never reappears.
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    val base = currentId(spark, root)
+    require(base > 0, s"dropColumn on empty log $root")
+    val raw = rawManifest(spark, root, base)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    require(schema.fieldNames.contains(name), s"no column $name in $root")
+    require(schema.fields.length > 1, "cannot drop the only column")
+    requireAllFilesCarryIds(spark, root, raw)
+    val (ids, last) = currentIdsOf(raw, schema)
+    commitMetadata(spark, root, raw,
+      StructType(schema.fields.filterNot(_.name == name)),
+      ids - name, last, "drop-column",
+      editKey = c => if (c == name) None else Some(c))
+  }
+
+  /** Publish a metadata-only snapshot: the parent's refs (bands
+    * re-keyed) and inline entries carried verbatim, a new header. Same
+    * atomic rename protocol; a lost race fails loudly (the caller's
+    * intent must be recomputed against the new current schema).
+    */
+  private def commitMetadata(spark: SparkSession, root: String,
+      raw: RawManifest, schema: StructType, ids: Map[String, Int],
+      lastColId: Int, operation: String,
+      editKey: String => Option[String]): Long = {
+    val fs = fsOf(spark, root)
+    val next = raw.id + 1
+    val refs = raw.refs.map(r => r.copy(band = editBandKeys(r.band, editKey)))
+    val ddl = schema.toDDL.replace("\t", " ").replace("\n", " ")
+    val m = manifestPath(root, next)
+    val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(m.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(
+      ((s"$next\t${raw.id}\t$operation\t${raw.rows}\t$ddl" +
+        s"\t${idsField(ids)}\t$lastColId") +:
+        (refs.map(r =>
+          s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+          raw.inline.map(fileLine)))
+        .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!publish(fs, tmp, m)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"$operation on $root conflicted with a concurrent snapshot; " +
+          "recompute against the new current schema and retry")
+    }
+    next
+  }
+
   /** Additive schema evolution for append: the committed table schema
     * is the base schema plus any NEW columns the appended frame brings
     * (same-name columns must keep their type — no silent retype). An
@@ -818,6 +1053,19 @@ object SnapshotLog {
     StructType(base.fields ++ add.fields.filterNot(f => byName.contains(f.name)))
   }
 
+  /** Fresh ids for fields `baseIds` doesn't know, appended after
+    * `baseLast` — a retired id is never reused, so a dropped-then-
+    * readded name gets a NEW identity and old data stays dead.
+    */
+  private def assignNewIds(schema: StructType, baseIds: Map[String, Int],
+      baseLast: Int): (Map[String, Int], Int) = {
+    var last = baseLast
+    val ids = schema.fields.map { f =>
+      f.name -> baseIds.getOrElse(f.name, { last += 1; last })
+    }.toMap
+    (ids, last)
+  }
+
   private def commit(spark: SparkSession, root: String, df: DataFrame,
       operation: String, keepBase: Boolean,
       bloomSpec: Option[BloomSpec] = None): Long = {
@@ -831,12 +1079,31 @@ object SnapshotLog {
       if (keepBase) prev.map(p => (p.refs, p.inline))
         .getOrElse((Seq.empty[ListRef], Seq.empty[FileEntry]))
       else (Seq.empty[ListRef], Seq.empty[FileEntry])
-    val schema = prev match {
+    val (schema, ids, last) = prev match {
       case Some(p) if keepBase =>
-        mergeSchemas(StructType.fromDDL(p.schemaDdl), df.schema)
-      case _ => df.schema
+        val ps = StructType.fromDDL(p.schemaDdl)
+        val (pIds, pLast) = currentIdsOf(p, ps)
+        val merged = mergeSchemas(ps, df.schema)
+        val (mIds, mLast) = assignNewIds(merged, pIds, pLast)
+        (merged, mIds, mLast)
+      case Some(p) =>
+        // overwrite replaces the schema wholesale, but a same-name
+        // same-type column keeps its identity (its history stays
+        // diffable); anything else is a new column with a new id
+        val ps = StructType.fromDDL(p.schemaDdl)
+        val (pIds, pLast) = currentIdsOf(p, ps)
+        val keep = ps.fields
+          .filter(pf => df.schema.fields.exists(f =>
+            f.name == pf.name && f.dataType == pf.dataType))
+          .map(pf => pf.name -> pIds(pf.name)).toMap
+        val (oIds, oLast) = assignNewIds(df.schema, keep, pLast)
+        (df.schema, oIds, oLast)
+      case None =>
+        val (nIds, nLast) = assignNewIds(df.schema, Map.empty, 0)
+        (df.schema, nIds, nLast)
     }
-    commitFiles(spark, root, df, operation, refs, inline, schema, bloomSpec)
+    commitFiles(spark, root, df, operation, refs, inline, schema, bloomSpec,
+      tableIds0 = ids, lastColId0 = last)
   }
 
   /** Write `df`'s files, count rows per file (one small job — the counts
@@ -855,8 +1122,13 @@ object SnapshotLog {
       carriedInline0: Seq[FileEntry],
       tableSchema0: StructType = null,
       bloomSpec: Option[BloomSpec] = None,
-      derivedStats: Seq[(String, Column)] = Nil): Long = {
+      derivedStats: Seq[(String, Column)] = Nil,
+      tableIds0: Map[String, Int] = Map.empty,
+      lastColId0: Int = 0): Long = {
     var tableSchema = Option(tableSchema0).getOrElse(df.schema)
+    var (tableIds, lastColId) =
+      if (tableIds0.nonEmpty) (tableIds0, lastColId0)
+      else assignNewIds(tableSchema, Map.empty, 0)
     val fs = fsOf(spark, root)
     var attempt = 0
     var carriedRefs = carriedRefs0
@@ -905,12 +1177,19 @@ object SnapshotLog {
           (0L, Map.empty[String, (String, String)], Map.empty[String, String]))
         FileEntry(p, n, stats, blooms)
       }
+    val dfCols = df.columns.toSet
     while (true) {
       val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
       val next = base + 1
+      // this commit's files carry the CURRENT name→id mapping (their
+      // physical names ARE the current names), restricted to the
+      // columns the frame actually wrote; re-stamped per attempt
+      // because a lost race can renumber freshly added columns
+      val stamped = written.map(f =>
+        f.copy(ids = tableIds.filter { case (n, _) => dfCols(n) }))
       // the commit's one new file list (absent when it neither wrote
       // nor inherited inline entries — e.g. an overwrite to empty)
-      val newEntries = carriedInline ++ written
+      val newEntries = carriedInline ++ stamped
       val newRef =
         if (newEntries.nonEmpty)
           Some(writeFileList(fs, root, next, newEntries, tableSchema))
@@ -922,7 +1201,8 @@ object SnapshotLog {
       fs.mkdirs(m.getParent)
       val out = fs.create(tmp, true)
       try out.write(
-        ((s"$next\t$base\t$operation\t$total\t$ddl") +:
+        ((s"$next\t$base\t$operation\t$total\t$ddl" +
+          s"\t${idsField(tableIds)}\t$lastColId") +:
           refs.map(r =>
             s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}"))
           .mkString("\n").getBytes("UTF-8"))
@@ -942,11 +1222,17 @@ object SnapshotLog {
       if (operation == "append") {
         // the winner may itself have widened the schema — re-merge so
         // the retried manifest records the union, not our stale view
+        // (ids too: the winner's assignments take precedence; our new
+        // columns renumber after its high-water id)
         val winner = rawManifest(spark, root, base)
         carriedRefs = winner.refs
         carriedInline = winner.inline
-        tableSchema =
-          mergeSchemas(StructType.fromDDL(winner.schemaDdl), tableSchema)
+        val ws = StructType.fromDDL(winner.schemaDdl)
+        val (wIds, wLast) = currentIdsOf(winner, ws)
+        tableSchema = mergeSchemas(ws, tableSchema)
+        val (nIds, nLast) = assignNewIds(tableSchema, wIds, wLast)
+        tableIds = nIds
+        lastColId = nLast
       }
       else
         // overwrite/delete computed their content against a stale base;
@@ -999,15 +1285,16 @@ object SnapshotLog {
             s"(${f.dataType} -> ${tf.dataType}); no row-level diff is defined " +
             "across an overwrite that changed column types"))
     }
-    def readFiles(paths: Seq[String]): DataFrame =
-      if (paths.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema)
-        .parquet(paths.sorted.map(p => s"$root/$p"): _*)
-    val added = readFiles(to.files.collect {
-      case f if !fromPaths(f.path) => f.path })
-    val removed = readFiles(from.files.collect {
-      case f if !toPaths(f.path) => f.path })
+    // both sides resolve by field id under the TO snapshot's mapping,
+    // so a diff spanning a rename compares the same logical columns
+    val toIds = {
+      val rawTo = rawManifest(spark, root, toId)
+      currentIdsOf(rawTo, schema)._1
+    }
+    def readFiles(files: Seq[FileEntry]): DataFrame =
+      resolvedRead(spark, root, files.sortBy(_.path), schema, toIds)
+    val added = readFiles(to.files.filter(f => !fromPaths(f.path)))
+    val removed = readFiles(from.files.filter(f => !toPaths(f.path)))
     added.exceptAll(removed).withColumn("change", lit("insert"))
       .unionByName(removed.exceptAll(added).withColumn("change", lit("delete")))
   }
@@ -1117,18 +1404,19 @@ object SnapshotLog {
     val carriedInline = (raw.inline ++ touched.flatMap(_._2))
       .filterNot(f => smallIn(f.path))
     val tableSchema = StructType.fromDDL(raw.schemaDdl)
-    val smallPaths = smallIn.toSeq.sorted
-    val totalBytes = (raw.inline ++ touched.flatMap(_._2))
-      .filter(f => smallIn(f.path)).map(sizeOf).sum
+    val (tableIds, lastColId) = currentIdsOf(raw, tableSchema)
+    val smallEntries = (raw.inline ++ touched.flatMap(_._2))
+      .filter(f => smallIn(f.path))
+    val totalBytes = smallEntries.map(sizeOf).sum
     val outFiles = math.max(1, (totalBytes / targetBytes).toInt +
       (if (totalBytes % targetBytes > 0) 1 else 0))
-    val packed = spark.read.schema(tableSchema)
-      .parquet(smallPaths.map(p2 => s"$root/$p2"): _*)
+    val packed = resolvedRead(spark, root, smallEntries, tableSchema, tableIds)
       .coalesce(outFiles)
     commitFiles(spark, root, packed, "optimize-binpack",
       intact.map(_._1), carriedInline, tableSchema,
       derivedStats =
-        inheritedBucketStats(raw.inline ++ groups.flatMap(_._2), tableSchema))
+        inheritedBucketStats(raw.inline ++ groups.flatMap(_._2), tableSchema),
+      tableIds0 = tableIds, lastColId0 = lastColId)
   }
 
   /** Expire all but the latest `keepLast` snapshots: their manifests are
