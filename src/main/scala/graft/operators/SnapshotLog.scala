@@ -1699,6 +1699,25 @@ object SnapshotLog {
       optimizeBinPack(s, root, smallBytes = thresh)
     }.resolve("log").toString
 
+  /** Staged rename-evolution log: even keys appended under the
+    * original column name, a metadata-only RENAME, odd keys appended
+    * under the new name, then a CoW delete filtering on the renamed
+    * column — so the final read must stitch files from BOTH naming
+    * eras by field id and the delete's predicate must reach pre-rename
+    * files correctly.
+    */
+  private def renameLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttrename_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      renameColumn(s, root, "o_orderstatus", "status")
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .withColumnRenamed("o_orderstatus", "status"))
+      deleteWhere(s, root, col("status") === "F")
+    }.resolve("log").toString
+
   /** The tt-family staged orders log, exposed for cross-operator
     * fixtures ([[IncrementalView]]'s iv1 folds its change feed).
     */
@@ -2004,6 +2023,26 @@ object SnapshotLog {
         if (!hasTag(s, root, "audit")) tag(s, root, "audit", id = 3L)
         ()
       })
+    ),
+
+    // TT14: field-id rename evolution — half the table written under
+    // the OLD column name, half under the new one after a
+    // metadata-only rename, then a CoW delete predicated on the
+    // renamed column. The full read must resolve both eras' files by
+    // field id and the delete must have dropped 'F' rows from BOTH
+    // eras; the oracle is the plain relational result under the new
+    // name. A by-name resolver would null out the pre-rename half and
+    // break the hash.
+    Q(
+      "tt14_rename_evolution",
+      (s, dir) => {
+        val root = renameLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus AS status
+             |FROM orders WHERE o_orderstatus <> 'F'
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { renameLog(s, dir); () })
     )
   )
 }
