@@ -455,9 +455,11 @@ object EventOps {
     // EV12: gap-fill by LINEAR INTERPOLATION — ev8's carry-forward
     // sibling for quantities that trend rather than hold (sensor
     // readings, balances). Same per-user grid; each gap hour gets
-    // prev + (next−prev)·Δ/span with INTEGER floor division over
-    // fixed-point values and epoch-hour indices, so the interpolated
-    // series is bit-deterministic (no double ratio) and both grid
+    // prev + (next−prev)·Δ/span with TRUNCATING integer division
+    // (both Spark's `div` and DuckDB's `//` round toward zero, so a
+    // downward-trending gap's value truncates toward zero, not the
+    // floor) over fixed-point values and epoch-hour indices, so the
+    // interpolated series is bit-deterministic (no double ratio) and both grid
     // endpoints are observations by construction, so prev/next always
     // exist. Two window passes over the same user_id partitioning ev8
     // uses (backward carry + forward carry) — AQE reuses one shuffle.

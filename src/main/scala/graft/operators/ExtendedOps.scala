@@ -806,7 +806,8 @@ object ExtendedOps {
           .select(col("type_a"), col("type_b"),
             (col("est_a") + col("est_b") -
               hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
-              .as("approx_overlap"))
+              .as("approx_overlap"),
+            (col("est_a") + col("est_b")).as("est_sum"))
         // dedupe (type, user) BEFORE the pair join: the join fans out
         // per matching pair of rows, so deduping after would square
         // the per-user event multiplicity first
@@ -817,11 +818,20 @@ object ExtendedOps {
           .groupBy(col("x.event_type").as("type_a"),
             col("y.event_type").as("type_b"))
           .agg(count(lit(1)).as("exact_overlap"))
+        // the accepted band derives from the MECHANISM, not the data:
+        // inclusion–exclusion error is bounded by the three sketches'
+        // errors, each ~1.6% (lgK=12), so 5% of (|A|+|B|) is ~3σ of
+        // the estimator regardless of how small the overlap itself is;
+        // the 25%-of-exact term keeps the old relative check for large
+        // overlaps. A regenerated corpus with tiny overlaps stays in
+        // band 0 because the sketch-scale term dominates there.
         exact.join(pairs, Seq("type_a", "type_b"))
           .select(
             col("type_a"), col("type_b"), col("exact_overlap"),
             floor(abs(col("approx_overlap").cast("double") - col("exact_overlap")) /
-              col("exact_overlap") / 0.25).cast("int").as("approx_err_band"))
+              (col("exact_overlap") * 0.25 +
+                col("est_sum").cast("double") * 0.05))
+              .cast("int").as("approx_err_band"))
           .orderBy("type_a", "type_b")
       },
       Some("""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)

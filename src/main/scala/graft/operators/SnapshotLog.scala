@@ -599,8 +599,16 @@ object SnapshotLog {
       require(schema.fieldNames.contains(c), s"no column $c in snapshot $id")
       val dt = schema(c).dataType
       val perFile = live.map(f => physNameIn(f, c, curIds).flatMap(f.stats.get))
+      // a live file whose stats map is entirely EMPTY is a legacy
+      // entry — unknown content, metadata cannot answer (null bounds,
+      // caller falls back to a scan). A file merely missing THIS
+      // column's entry recorded stats for others, which means the
+      // column is all-null (or absent pre-evolution) there — exactly
+      // like a scan, such rows contribute nothing to min/max, so the
+      // remaining files' bounds fold to the true answer.
       val bounds =
-        if (live.nonEmpty && perFile.forall(_.isDefined)) {
+        if (live.nonEmpty && !live.exists(_.stats.isEmpty) &&
+          perFile.flatten.nonEmpty) {
           val mins = perFile.flatten.map(_._1)
           val maxs = perFile.flatten.map(_._2)
           Some((
@@ -1462,14 +1470,28 @@ object SnapshotLog {
   def hasTag(spark: SparkSession, root: String, name: String): Boolean =
     fsOf(spark, root).exists(refPath(root, name))
 
-  /** Every snapshot id currently pinned by a ref. */
+  /** Remove a tag — retention protection is reversible: the next
+    * [[expire]] may reclaim the formerly pinned snapshot. Returns
+    * whether the ref existed.
+    */
+  def dropTag(spark: SparkSession, root: String, name: String): Boolean =
+    fsOf(spark, root).delete(refPath(root, name), false)
+
+  /** Every snapshot id currently pinned by a ref. A corrupted or
+    * foreign file under refs/ is SKIPPED, not thrown on — one bad ref
+    * must not permanently block every expire run (retention protects
+    * what it can parse; an unparseable ref protects nothing).
+    */
   def tagIds(spark: SparkSession, root: String): Set[Long] = {
     val fs = fsOf(spark, root)
     val dir = new Path(s"$root/refs")
     if (!fs.exists(dir)) Set.empty
     else fs.listStatus(dir).iterator
       .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
-      .map(s => tagId(spark, root, s.getPath.getName)).toSet
+      .flatMap { s =>
+        try Some(tagId(spark, root, s.getPath.getName))
+        catch { case _: NumberFormatException => None }
+      }.toSet
   }
 
   /** The snapshot id a tag pins; fails on an unknown tag. */
@@ -1562,6 +1584,14 @@ object SnapshotLog {
       .filter(st => st.getPath.getName.startsWith("l_") &&
         st.getPath.getName.endsWith(".list"))
       .filter(st => !refLists(s"snap/${st.getPath.getName}"))
+      .filter(st => st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, false))
+    // dot-prefixed temp refs stranded by a tag() crash between create
+    // and rename: same no-reference + age rule (tagIds ignores them,
+    // so they are pure debris)
+    val refsDir = new Path(s"$root/refs")
+    if (fs.exists(refsDir)) fs.listStatus(refsDir).iterator
+      .filter(st => st.isFile && st.getPath.getName.startsWith("."))
       .filter(st => st.getModificationTime < cutoff)
       .foreach(st => fs.delete(st.getPath, false))
     orphans.size

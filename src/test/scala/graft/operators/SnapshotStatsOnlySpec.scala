@@ -57,6 +57,50 @@ class SnapshotStatsOnlySpec extends SparkSpec {
     assert(rows(0).isNullAt(2) && rows(0).isNullAt(3))
   }
 
+  test("a file where the column is all-null folds past; bounds come from the rest") {
+    val root = Files.createTempDirectory("stats_partial").resolve("log").toString
+    SnapshotLog.append(spark, root,
+      Seq((1L, Some(5L)), (2L, Some(9L))).toDF("k", "v"))
+    // second file: v entirely null — its rows cannot move min/max, so
+    // the summary must still answer (5, 9), exactly like a scan
+    SnapshotLog.append(spark, root,
+      Seq((3L, Option.empty[Long])).toDF("k", "v"))
+    val r = SnapshotLog.statsSummary(spark, root, Seq("v")).collect()(0)
+    assert(r.getLong(1) === 3L)
+    assert(r.getString(2) === "5" && r.getString(3) === "9")
+  }
+
+  test("dropTag reverses retention protection; corrupted refs are skipped") {
+    val root = freshLog()
+    SnapshotLog.tag(spark, root, "pin", id = 1L)
+    assert(SnapshotLog.tagIds(spark, root) === Set(1L))
+    // a foreign/corrupted file under refs/ must not break tagIds
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val junk = new org.apache.hadoop.fs.Path(s"$root/refs/junk")
+    val out = fs.create(junk, true)
+    try out.write("not-a-number".getBytes("UTF-8")) finally out.close()
+    assert(SnapshotLog.tagIds(spark, root) === Set(1L))
+    // dropTag makes the snapshot expirable again
+    assert(SnapshotLog.dropTag(spark, root, "pin"))
+    assert(!SnapshotLog.hasTag(spark, root, "pin"))
+    assert(SnapshotLog.tagIds(spark, root) === Set.empty)
+    val (gone, _) = SnapshotLog.expire(spark, root, keepLast = 1)
+    assert(gone === 1)
+  }
+
+  test("vacuumOrphans reclaims aged dot-temp refs from crashed tags") {
+    val root = freshLog()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/refs"))
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/refs/.crashed_123")
+    val out = fs.create(tmp, true)
+    try out.write("2".getBytes("UTF-8")) finally out.close()
+    SnapshotLog.vacuumOrphans(spark, root, graceMs = 0L)
+    assert(!fs.exists(tmp), "aged temp ref must be reclaimed")
+  }
+
   test("tags pin snapshots by name, move atomically, reject missing ids") {
     val root = freshLog() // 2 snapshots
     SnapshotLog.tag(spark, root, "first", id = 1L)
