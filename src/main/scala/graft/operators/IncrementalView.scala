@@ -143,12 +143,19 @@ object IncrementalView {
     * r9 verdict flagged. `outCols` names the view's columns (from both
     * inputs).
     */
-  def applyJoinDelta(state: Option[DataFrame],
+  /** The delta-join identity's three terms as ONE signed changelog of
+    * `outCols` rows: sign +1/−1 per row (ΔA⋈ΔB's sign is the product —
+    * delete×delete re-inserts, per the identity), rendered back as an
+    * insert/delete `change` column so any downstream fold that consumes
+    * changelogs ([[applyDelta]], the m-fold) applies unchanged.
+    */
+  private def joinDeltaChangelog(
       aPre: DataFrame, dA: Option[DataFrame],
       bPre: DataFrame, dB: Option[DataFrame],
       joinKey: String, outCols: Seq[String]): DataFrame = {
     def signed(d: DataFrame) = d.withColumn("sign",
       when(col("change") === "insert", lit(1L)).otherwise(lit(-1L)))
+        .drop("change")
     val out = outCols.map(col)
     val parts = Seq(
       dA.map(da => signed(da).join(bPre, joinKey).select(out :+ col("sign"): _*)),
@@ -162,8 +169,20 @@ object IncrementalView {
         case _ => None
       }).flatten
     require(parts.nonEmpty, "at least one side must have a delta")
-    val deltaAgg = parts.reduce(_ unionByName _)
-      .groupBy(out: _*).agg(sum(col("sign")).as("d_m"))
+    parts.reduce(_ unionByName _)
+      .withColumn("change",
+        when(col("sign") === 1L, lit("insert")).otherwise(lit("delete")))
+      .drop("sign")
+  }
+
+  def applyJoinDelta(state: Option[DataFrame],
+      aPre: DataFrame, dA: Option[DataFrame],
+      bPre: DataFrame, dB: Option[DataFrame],
+      joinKey: String, outCols: Seq[String]): DataFrame = {
+    val out = outCols.map(col)
+    val changelog = joinDeltaChangelog(aPre, dA, bPre, dB, joinKey, outCols)
+    val sign = when(col("change") === "insert", lit(1L)).otherwise(lit(-1L))
+    val deltaAgg = changelog.groupBy(out: _*).agg(sum(sign).as("d_m"))
     val folded = state match {
       case None => deltaAgg.select(out :+ col("d_m").as("m"): _*)
       case Some(st) =>
@@ -204,14 +223,15 @@ object IncrementalView {
     * view reflects, committed atomically with the output (iv2's
     * cursor-in-own-log discipline, extended to two inputs).
     */
-  private def joinCursorOf(spark: SparkSession, viewRoot: String): (Long, Long) =
+  private def joinCursorOf(spark: SparkSession, viewRoot: String,
+      prefix: String = "refreshjoin="): (Long, Long) =
     if (SnapshotLog.currentId(spark, viewRoot) == 0L) (0L, 0L)
     else {
       val op = SnapshotLog
         .snapshot(spark, viewRoot, SnapshotLog.currentId(spark, viewRoot))
         .operation
-      require(op.startsWith("refreshjoin="), s"not a join-view log: operation $op")
-      val Array(a, b) = op.stripPrefix("refreshjoin=").split(',')
+      require(op.startsWith(prefix), s"not a $prefix view log: operation $op")
+      val Array(a, b) = op.stripPrefix(prefix).split(',')
       (a.toLong, b.toLong)
     }
 
@@ -286,6 +306,46 @@ object IncrementalView {
       preState(spark, rootB, bApplied, joinKey, dA), dB,
       joinKey, outCols)
     SnapshotLog.overwriteAs(spark, viewRoot, next, s"refreshjoin=$aCur,$bCur")
+    (aCur, bCur)
+  }
+
+  /** Transactional incremental refresh of a JOIN+GROUP BY view (the
+    * classic summary table: `SELECT keys, count(*), sum(c)… FROM A
+    * JOIN B GROUP BY keys`) — the composition of [[refreshJoin]]'s
+    * delta-join terms and [[applyDelta]]'s additive fold, WITHOUT ever
+    * materializing the join itself: the three churn-sized delta-join
+    * terms form a signed changelog that folds straight into the
+    * aggregate state, so maintenance cost is churn × join fan-out and
+    * the stored view is group-count-sized. Cursor protocol and
+    * bucket-pruned pre-states exactly as [[refreshJoin]]
+    * (`refreshjoinagg=a,b` tag). Returns the (idA, idB) reflected.
+    */
+  def refreshJoinAgg(spark: SparkSession, viewRoot: String,
+      rootA: String, rootB: String, joinKey: String,
+      keys: Seq[String], sumCols: Seq[String]): (Long, Long) = {
+    val (aApplied, bApplied) =
+      joinCursorOf(spark, viewRoot, prefix = "refreshjoinagg=")
+    val aCur = SnapshotLog.currentId(spark, rootA)
+    val bCur = SnapshotLog.currentId(spark, rootB)
+    require(aCur > 0 && bCur > 0, "refreshJoinAgg over an empty input log")
+    require(aCur >= aApplied && bCur >= bApplied,
+      s"view at $viewRoot reflects ($aApplied,$bApplied) but inputs are at ($aCur,$bCur)")
+    if (aCur == aApplied && bCur == bApplied) return (aApplied, bApplied)
+    val dA =
+      if (aCur > aApplied) Some(SnapshotLog.changes(spark, rootA, aApplied, aCur))
+      else None
+    val dB =
+      if (bCur > bApplied) Some(SnapshotLog.changes(spark, rootB, bApplied, bCur))
+      else None
+    val changelog = joinDeltaChangelog(
+      preState(spark, rootA, aApplied, joinKey, dB), dA,
+      preState(spark, rootB, bApplied, joinKey, dA), dB,
+      joinKey, (keys ++ sumCols).distinct)
+    val state =
+      if (aApplied == 0L && bApplied == 0L) None
+      else Some(SnapshotLog.read(spark, viewRoot))
+    val next = applyDelta(state, changelog, keys, sumCols)
+    SnapshotLog.overwriteAs(spark, viewRoot, next, s"refreshjoinagg=$aCur,$bCur")
     (aCur, bCur)
   }
 
@@ -516,6 +576,37 @@ object IncrementalView {
              |WHERE NOT (o_orderstatus = 'P' OR o_orderkey % 7 = 0)
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
       stage = Some((s, dir) => { refreshedMinMaxLog(s, dir); () })
+    ),
+
+    // IV6: JOIN+GROUP BY summary view maintained WITHOUT materializing
+    // the join — refreshJoinAgg folds the three churn-sized delta-join
+    // terms straight into the per-segment (count, cents-sum) state,
+    // bootstrapped once and refreshed once after a CoW delete on the
+    // orders side + a MERGE segment rename on the customer side. Final
+    // view must equal the from-scratch join+aggregate of both final
+    // states — the oracle; a wrong sign in any term, a double-counted
+    // ΔA⋈ΔB, or a stale cursor all move the sums.
+    Q(
+      "iv6_join_agg_view",
+      (s, dir) => {
+        val view = refreshedJoinAggLog(s, dir)
+        SnapshotLog.read(s, view)
+          .select(col("seg"), col("n"), col("sum_cents"))
+          .orderBy("seg")
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderkey, o_custkey AS custkey,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders WHERE o_orderkey % 4 <> 0),
+             |b AS (
+             |  SELECT c_custkey AS custkey,
+             |    CASE WHEN c_custkey % 9 = 0 THEN 'ALTERED'
+             |         ELSE c_mktsegment END AS seg
+             |  FROM customer)
+             |SELECT seg, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM a JOIN b USING (custkey)
+             |GROUP BY seg ORDER BY seg""".stripMargin),
+      stage = Some((s, dir) => { refreshedJoinAggLog(s, dir); () })
     )
   )
 
@@ -550,6 +641,38 @@ object IncrementalView {
       refreshJoin(s, view, rootA, rootB, "custkey", outCols)
     }
     (p.resolve("a").toString, p.resolve("b").toString, p.resolve("view").toString)
+  }
+
+  /** iv6's staged triple: like iv4's (bucketed inputs, bootstrap,
+    * mutate both sides, incremental refresh) but the maintained state
+    * is the per-segment (count, cents-sum) AGGREGATE — the join is
+    * never stored.
+    */
+  private def refreshedJoinAggLog(s: SparkSession, dir: String): String = {
+    val p = graft.TempDirs.staged(s"ivjagg_${graft.TempDirs.dirKey(dir)}") { p =>
+      val rootA = p.resolve("a").toString
+      val rootB = p.resolve("b").toString
+      val view = p.resolve("view").toString
+      val a = graft.Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      SnapshotLog.append(s, rootA, a)
+      SnapshotLog.optimizeBucketed(s, rootA, "custkey", 16)
+      val b = graft.Tables(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("seg"))
+      SnapshotLog.append(s, rootB, b)
+      SnapshotLog.optimizeBucketed(s, rootB, "custkey", 16)
+      refreshJoinAgg(s, view, rootA, rootB, "custkey",
+        keys = Seq("seg"), sumCols = Seq("cents"))
+      SnapshotLog.deleteWhere(s, rootA, pmod(col("o_orderkey"), lit(4)) === 0)
+      SnapshotLog.mergeInto(s, rootB,
+        b.filter(pmod(col("custkey"), lit(9)) === 0)
+          .withColumn("seg", lit("ALTERED")),
+        Seq("custkey"))
+      refreshJoinAgg(s, view, rootA, rootB, "custkey",
+        keys = Seq("seg"), sumCols = Seq("cents"))
+    }
+    p.resolve("view").toString
   }
 
   /** iv5's staged two-refresh min/max view log: even keys, refresh,

@@ -42,7 +42,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // trained m/u weights from one agg + fixed-point LLR sums
     "rl4_fellegi_sunter",
     // integer floor-division interpolation over window carries
-    "ev12_gapfill_interp")
+    "ev12_gapfill_interp",
+    // one-fold delta-join bootstrap: multiset m-fold must not depend
+    // on how the signed changelog partitions
+    "iv3_join_view")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")

@@ -109,4 +109,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(full.contains("ts:timestamp") || !full.contains("timestamp_ntz"),
       s"events.ts is not a plain timestamp at the scan:\n$full")
   }
+
+  test("iv3's bootstrap is ONE join fold — the per-transition replay is gone") {
+    val t = tree("iv3_join_view")
+    val joins = count(t, "SortMergeJoin") + count(t, "BroadcastHashJoin") +
+      count(t, "ShuffledHashJoin")
+    // the empty-pre-state terms fold away (PropagateEmptyRelation);
+    // only the deltaXdelta join — here the full bootstrap join — remains
+    assert(joins === 1, s"iv3 plans $joins joins (expected exactly 1):\n$t")
+    assert(!t.contains("BroadcastNestedLoopJoin") && !t.contains("CartesianProduct"),
+      s"iv3 contains a nested-loop/cartesian join:\n$t")
+  }
+
+  test("a never-renamed snapshot log reads as ONE scan group (no resolver Union)") {
+    val t = tree("tt1_time_travel")
+    assert(!t.contains("Union"),
+      s"identity fast path lost — plain log read plans a Union:\n$t")
+  }
+
+  test("ss6 searches the persisted maintained index, cached on both join sides") {
+    val t = tree("ss6_maintained_ann_index")
+    assert(count(t, "InMemoryTableScan") >= 2,
+      s"maintained index not reused across the join sides:\n$t")
+    assert(!t.contains("CartesianProduct") && !t.contains("BroadcastNestedLoopJoin"),
+      s"ss6 contains a nested-loop/cartesian join:\n$t")
+  }
 }

@@ -188,6 +188,36 @@ class IncrementalViewSpec extends SparkSpec {
     assert(rowSet(SnapshotLog.read(spark, view)) === rowSet(direct))
   }
 
+  test("refreshJoinAgg maintains the summary without materializing the join") {
+    val base = java.nio.file.Files.createTempDirectory("graft_iv_jagg")
+    val rootA = base.resolve("a").toString
+    val rootB = base.resolve("b").toString
+    val view = base.resolve("view").toString
+    SnapshotLog.append(spark, rootA,
+      Seq((1L, 10L, 5L), (2L, 10L, 7L), (3L, 20L, 11L)).toDF("k", "fk", "x"))
+    SnapshotLog.append(spark, rootB,
+      Seq((10L, "g1"), (20L, "g2")).toDF("fk", "g"))
+    IncrementalView.refreshJoinAgg(spark, view, rootA, rootB, "fk",
+      keys = Seq("g"), sumCols = Seq("x"))
+    def v(): Map[String, (Long, Long)] =
+      SnapshotLog.read(spark, view).as[(String, Long, Long)]
+        .collect().map { case (g, n, sx) => g -> (n, sx) }.toMap
+    assert(v() === Map("g1" -> (2L, 12L), "g2" -> (1L, 11L)))
+    assert(SnapshotLog.snapshot(spark, view, 1L).operation === "refreshjoinagg=1,1")
+    // mutate both sides: delete k=1 (A), move fk=20 to group g3 (B);
+    // the refresh folds ONE window and never stores the join
+    SnapshotLog.deleteWhere(spark, rootA, col("k") === 1L)
+    SnapshotLog.mergeInto(spark, rootB, Seq((20L, "g3")).toDF("fk", "g"), Seq("fk"))
+    IncrementalView.refreshJoinAgg(spark, view, rootA, rootB, "fk",
+      keys = Seq("g"), sumCols = Seq("x"))
+    assert(v() === Map("g1" -> (1L, 7L), "g3" -> (1L, 11L)))
+    // no-op re-run: cursor already current, no snapshot growth
+    val snaps = SnapshotLog.currentId(spark, view)
+    IncrementalView.refreshJoinAgg(spark, view, rootA, rootB, "fk",
+      keys = Seq("g"), sumCols = Seq("x"))
+    assert(SnapshotLog.currentId(spark, view) === snaps)
+  }
+
   test("minmax fold: monotone inserts, delete-touched recompute, vanishing group") {
     val base = java.nio.file.Files.createTempDirectory("graft_iv_mm")
     val table = base.resolve("table").toString
