@@ -988,7 +988,7 @@ object SnapshotLog {
     val (ids, last) = currentIdsOf(raw, schema)
     val newSchema = StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
-    commitMetadata(spark, root, raw, newSchema,
+    commitMetadata(spark, root, base, raw, newSchema,
       (ids - from) + (to -> ids(from)), last, "rename",
       editKey = c => Some(if (c == from) to else c))
   }
@@ -1006,23 +1006,45 @@ object SnapshotLog {
     require(schema.fields.length > 1, "cannot drop the only column")
     requireAllFilesCarryIds(spark, root, raw)
     val (ids, last) = currentIdsOf(raw, schema)
-    commitMetadata(spark, root, raw,
+    commitMetadata(spark, root, base, raw,
       StructType(schema.fields.filterNot(_.name == name)),
       ids - name, last, "drop-column",
       editKey = c => if (c == name) None else Some(c))
   }
 
-  /** Publish a metadata-only snapshot: the parent's refs (bands
-    * re-keyed) and inline entries carried verbatim, a new header. Same
-    * atomic rename protocol; a lost race fails loudly (the caller's
-    * intent must be recomputed against the new current schema).
+  /** ROLLBACK: make snapshot `toId`'s state current again as a NEW
+    * metadata-only commit — the target's file lists carried by
+    * reference under a fresh head (operation `rollback=<toId>`), its
+    * schema and field ids restored with it. Zero data movement,
+    * O(#commits) metadata, and the mistaken snapshots stay addressable
+    * for audit until [[expire]] reclaims them — Iceberg's
+    * rollback-to-snapshot, the incident verb every production table
+    * eventually needs.
     */
-  private def commitMetadata(spark: SparkSession, root: String,
+  def rollback(spark: SparkSession, root: String, toId: Long): Long = {
+    val base = currentId(spark, root)
+    require(base > 0, s"rollback on empty log $root")
+    require(toId > 0 && toId <= base, s"cannot roll back to snapshot $toId")
+    if (toId == base) return base
+    val target = rawManifest(spark, root, toId)
+    val schema = StructType.fromDDL(target.schemaDdl)
+    val (ids, last) = currentIdsOf(target, schema)
+    commitMetadata(spark, root, base, target, schema, ids, last,
+      s"rollback=$toId", editKey = Some(_))
+  }
+
+  /** Publish a metadata-only snapshot: the source manifest's refs
+    * (bands re-keyed) and inline entries carried verbatim under a new
+    * header committed as `base + 1`. Same atomic rename protocol; a
+    * lost race fails loudly (the caller's intent must be recomputed
+    * against the new current snapshot).
+    */
+  private def commitMetadata(spark: SparkSession, root: String, base: Long,
       raw: RawManifest, schema: StructType, ids: Map[String, Int],
       lastColId: Int, operation: String,
       editKey: String => Option[String]): Long = {
     val fs = fsOf(spark, root)
-    val next = raw.id + 1
+    val next = base + 1
     val refs = raw.refs.map(r => r.copy(band = editBandKeys(r.band, editKey)))
     val ddl = schema.toDDL.replace("\t", " ").replace("\n", " ")
     val m = manifestPath(root, next)
@@ -1030,7 +1052,7 @@ object SnapshotLog {
     fs.mkdirs(m.getParent)
     val out = fs.create(tmp, true)
     try out.write(
-      ((s"$next\t${raw.id}\t$operation\t${raw.rows}\t$ddl" +
+      ((s"$next\t$base\t$operation\t${raw.rows}\t$ddl" +
         s"\t${idsField(ids)}\t$lastColId") +:
         (refs.map(r =>
           s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
@@ -1729,6 +1751,23 @@ object SnapshotLog {
       optimizeBinPack(s, root, smallBytes = thresh)
     }.resolve("log").toString
 
+  /** Staged rollback log: three appends, a CoW delete of the 'F' rows
+    * (the "incident"), then ROLLBACK to the pre-delete snapshot — the
+    * current read must be the full table again, via carried file
+    * lists, zero data movement.
+    */
+  private def rollbackLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttroll_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      (0 to 2).foreach { b =>
+        append(s, root, orders.filter(pmod(col("o_orderkey"), lit(3)) === b))
+      }
+      deleteWhere(s, root, col("o_orderstatus") === "F")
+      rollback(s, root, toId = 3L)
+    }.resolve("log").toString
+
   /** Staged rename-evolution log: even keys appended under the
     * original column name, a metadata-only RENAME, odd keys appended
     * under the new name, then a CoW delete filtering on the renamed
@@ -2073,6 +2112,24 @@ object SnapshotLog {
              |FROM orders WHERE o_orderstatus <> 'F'
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { renameLog(s, dir); () })
+    ),
+
+    // TT15: metadata-only ROLLBACK — after a bad CoW delete, the table
+    // rolls back to the pre-delete snapshot as a NEW head that carries
+    // the target's file lists by reference (zero data movement). The
+    // current read must be the full table again; the mistaken delete
+    // stays addressable in history. The oracle is the full-orders
+    // content — a rollback that kept serving the post-delete state (or
+    // that copied/corrupted files) breaks the hash.
+    Q(
+      "tt15_rollback",
+      (s, dir) => {
+        val root = rollbackLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { rollbackLog(s, dir); () })
     )
   )
 }

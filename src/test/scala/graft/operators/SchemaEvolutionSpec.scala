@@ -115,6 +115,34 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(rowSet(got) === rowSet(want))
   }
 
+  test("rollback restores a prior state metadata-only; history survives") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    SnapshotLog.deleteWhere(spark, root, col("k") === 2L)
+    SnapshotLog.rollback(spark, root, toId = 1L)
+    // head = snapshot 3, content = snapshot 1's, via CARRIED lists
+    assert(SnapshotLog.currentId(spark, root) === 3L)
+    assert(rowSet(SnapshotLog.read(spark, root)) ===
+      rowSet(Seq((1L, "a"), (2L, "b")).toDF("k", "v")))
+    assert(SnapshotLog.snapshot(spark, root, 3L).operation === "rollback=1")
+    assert(SnapshotLog.snapshot(spark, root, 3L).files.map(_.path) ===
+      SnapshotLog.snapshot(spark, root, 1L).files.map(_.path))
+    // the mistaken delete stays addressable
+    assert(SnapshotLog.read(spark, root, asOf = 2L).count() === 1L)
+    // rollback to current is a no-op; out-of-range refused
+    assert(SnapshotLog.rollback(spark, root, 3L) === 3L)
+    intercept[IllegalArgumentException] { SnapshotLog.rollback(spark, root, 9L) }
+    // a rollback head also survives rename/append on top
+    SnapshotLog.renameColumn(spark, root, "v", "name")
+    SnapshotLog.append(spark, root, Seq((3L, "c")).toDF("k", "name"))
+    assert(rowSet(SnapshotLog.read(spark, root)) ===
+      rowSet(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")))
+    // expire keeps the carried lists live through the rollback head
+    SnapshotLog.expire(spark, root, keepLast = 2)
+    assert(rowSet(SnapshotLog.read(spark, root)) ===
+      rowSet(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")))
+  }
+
   test("rename refuses conflicts and pre-field-id files") {
     val root = newRoot()
     SnapshotLog.append(spark, root, Seq((1L, "a")).toDF("k", "v"))
