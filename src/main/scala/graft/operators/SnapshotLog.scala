@@ -315,7 +315,11 @@ object SnapshotLog {
     val fs = fsOf(spark, root)
     val p = manifestPath(root, id)
     require(fs.exists(p), s"snapshot $id does not exist under $root")
-    val lines = readTextFile(fs, p).split('\n').toSeq
+    parseManifest(readTextFile(fs, p))
+  }
+
+  private def parseManifest(text: String): RawManifest = {
+    val lines = text.split('\n').toSeq
     // header: id<TAB>parent<TAB>op<TAB>totalRows<TAB>schemaDDL
     // [<TAB>fieldIds<TAB>lastColId] — the two id fields are absent on
     // pre-field-id manifests
@@ -757,6 +761,128 @@ object SnapshotLog {
     (kept, schema)
   }
 
+  // ---- write-audit-publish (WAP): stage an append that NO reader
+  // sees, audit the staged rows in isolation, then publish atomically
+  // (or discard). The pattern production pipelines use to gate a
+  // batch behind data-quality checks without a side table: staged
+  // data files and their file list are written up front; publishing
+  // is ONE manifest rename that splices the staged list into the
+  // current head — so between stage and publish the table can keep
+  // committing (even renaming columns: staged files carry field ids
+  // stamped at stage time, and ids are stable identities). ----
+
+  private def stagedPath(root: String, key: String): Path = {
+    require(key.matches("[A-Za-z0-9_-]+"), s"invalid staged key: $key")
+    new Path(s"$root/snap/s_$key.staged")
+  }
+
+  /** Stage `df` as an invisible pending append; returns the staged key.
+    * The frame's columns must be a subset of the table's (same types) —
+    * WAP audits batches of the table's shape, it does not evolve the
+    * schema (use a real append for that).
+    */
+  def stageAppend(spark: SparkSession, root: String, df: DataFrame): String = {
+    val base = currentId(spark, root)
+    require(base > 0, s"stageAppend on empty log $root (bootstrap with append)")
+    val raw = rawManifest(spark, root, base)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    df.schema.fields.foreach { f =>
+      val t = schema.fields.find(_.name == f.name)
+      require(t.isDefined, s"staged column ${f.name} not in table schema")
+      require(t.get.dataType == f.dataType,
+        s"staged column ${f.name} is ${f.dataType}, table has ${t.get.dataType}")
+    }
+    val (curIds, last) = currentIdsOf(raw, schema)
+    val fs = fsOf(spark, root)
+    val stagedIds = curIds.filter { case (n, _) => df.columns.contains(n) }
+    val written = writeDataFiles(spark, root, df, base + 1, None, Nil)
+      .map(f => f.copy(ids = stagedIds))
+    val ref = writeFileList(fs, root, 0L, written, schema)
+    val key = java.util.UUID.randomUUID().toString.take(8)
+    val ddl = df.schema.toDDL.replace("\t", " ").replace("\n", " ")
+    val p = stagedPath(root, key)
+    val out = fs.create(p, false)
+    try out.write(
+      (s"0\t$base\tstaged-append\t${ref.rows}\t$ddl" +
+        s"\t${idsField(stagedIds)}\t$last" +
+        s"\nM\t${ref.path}\t${ref.nFiles}\t${ref.rows}\t${statsField(ref.band)}")
+        .getBytes("UTF-8"))
+    finally out.close()
+    key
+  }
+
+  /** Read ONLY the staged rows (the audit view) — the table itself
+    * still reads without them.
+    */
+  def auditStaged(spark: SparkSession, root: String, key: String): DataFrame = {
+    val fs = fsOf(spark, root)
+    val p = stagedPath(root, key)
+    require(fs.exists(p), s"unknown staged key $key")
+    val staged = parseManifest(readTextFile(fs, p))
+    val files = staged.refs.flatMap(r => readFileList(fs, root, r.path))
+    resolvedRead(spark, root, files,
+      StructType.fromDDL(staged.schemaDdl), staged.ids)
+  }
+
+  /** Publish a staged append: one manifest rename splices the staged
+    * file list into the current head (append-style retry on a lost
+    * race). Refuses if any staged column was DROPPED since staging —
+    * silently discarding audited data would defeat the audit.
+    */
+  def publishStaged(spark: SparkSession, root: String, key: String): Long = {
+    val fs = fsOf(spark, root)
+    val sp = stagedPath(root, key)
+    require(fs.exists(sp), s"unknown staged key $key")
+    val staged = parseManifest(readTextFile(fs, sp))
+    var attempt = 0
+    while (true) {
+      val base = currentId(spark, root)
+      val head = rawManifest(spark, root, base)
+      val schema = StructType.fromDDL(head.schemaDdl)
+      val (ids, last) = currentIdsOf(head, schema)
+      require(staged.ids.values.toSet.subsetOf(ids.values.toSet),
+        s"staged key $key holds columns dropped from the table since " +
+          "staging; discardStaged and re-stage")
+      val next = base + 1
+      val ddl = schema.toDDL.replace("\t", " ").replace("\n", " ")
+      val refs = head.refs ++ staged.refs
+      val m = manifestPath(root, next)
+      val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(
+        ((s"$next\t$base\tpublish-append\t${head.rows + staged.rows}\t$ddl" +
+          s"\t${idsField(ids)}\t$last") +:
+          (refs.map(r =>
+            s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+            head.inline.map(fileLine)))
+          .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      if (publish(fs, tmp, m)) {
+        fs.delete(sp, false)
+        return next
+      }
+      fs.delete(tmp, false)
+      attempt += 1
+      require(attempt < 20, s"publishStaged to $root lost $attempt races; aborting")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Abandon a staged append: its data files, file list, and
+    * descriptor are reclaimed immediately.
+    */
+  def discardStaged(spark: SparkSession, root: String, key: String): Unit = {
+    val fs = fsOf(spark, root)
+    val sp = stagedPath(root, key)
+    require(fs.exists(sp), s"unknown staged key $key")
+    val staged = parseManifest(readTextFile(fs, sp))
+    val files = staged.refs.flatMap(r => readFileList(fs, root, r.path))
+    files.map(f => f.path.substring(0, f.path.lastIndexOf('/'))).distinct
+      .foreach(d => fs.delete(new Path(s"$root/$d"), true))
+    staged.refs.foreach(r => fs.delete(new Path(s"$root/${r.path}"), false))
+    fs.delete(sp, false)
+  }
+
   /** Replace the table content with `df` (history stays addressable). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long =
     commit(spark, root, df, "overwrite", keepBase = false)
@@ -1147,33 +1273,22 @@ object SnapshotLog {
     * survive (Iceberg's optimistic append); a lost attempt's freshly
     * written file list is stranded for [[vacuumOrphans]].
     */
-  private def commitFiles(spark: SparkSession, root: String, df: DataFrame,
-      operation: String, carriedRefs0: Seq[ListRef],
-      carriedInline0: Seq[FileEntry],
-      tableSchema0: StructType = null,
-      bloomSpec: Option[BloomSpec] = None,
-      derivedStats: Seq[(String, Column)] = Nil,
-      tableIds0: Map[String, Int] = Map.empty,
-      lastColId0: Int = 0): Long = {
-    var tableSchema = Option(tableSchema0).getOrElse(df.schema)
-    var (tableIds, lastColId) =
-      if (tableIds0.nonEmpty) (tableIds0, lastColId0)
-      else assignNewIds(tableSchema, Map.empty, 0)
+  /** Write `df`'s parquet files under a fresh data dir and return their
+    * FileEntries: per-file counts + min/max column stats (+ derived
+    * layout stats, e.g. the bucket band, + optional per-file bloom
+    * filters) — O(#files) rows reduced to one driver value, the same
+    * bounded-metadata class as the delete's hit-file set, and the same
+    * single job (count, stats, and blooms share the map-side combine).
+    * An empty task can still emit a file; the listing is the source of
+    * truth and absent files count 0.
+    */
+  private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
+      idHint: Long, bloomSpec: Option[BloomSpec],
+      derivedStats: Seq[(String, Column)]): Seq[FileEntry] = {
     val fs = fsOf(spark, root)
-    var attempt = 0
-    var carriedRefs = carriedRefs0
-    var carriedInline = carriedInline0
-    var base = currentId(spark, root)
     val dataDir =
-      s"data/c${base + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+      s"data/c${idHint}_${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$root/$dataDir")
-    // per-file counts + min/max column stats (+ derived layout stats,
-    // e.g. the bucket band, + optional per-file bloom filters):
-    // O(#files) rows reduced to one driver value — the same
-    // bounded-metadata class as the delete's hit-file set, and the same
-    // single job (count, stats, and blooms share the map-side combine).
-    // An empty task can still emit a file; the listing is the source of
-    // truth and absent files count 0.
     val sc = statCols(df.schema).map(c => c -> col(c)) ++ derivedStats
     val bloomCols = bloomSpec.map(_.cols).getOrElse(Nil)
     if (bloomCols.nonEmpty) graft.functions.GraftFunctions.register(spark)
@@ -1199,7 +1314,7 @@ object SnapshotLog {
         }.toMap
         relativize(r.getString(0)) -> ((r.getLong(1), stats, blooms))
       }.toMap
-    val written = fs.listStatus(new Path(s"$root/$dataDir")).iterator
+    fs.listStatus(new Path(s"$root/$dataDir")).iterator
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       .map(n => s"$dataDir/$n").toSeq.sorted
       .map { p =>
@@ -1207,6 +1322,27 @@ object SnapshotLog {
           (0L, Map.empty[String, (String, String)], Map.empty[String, String]))
         FileEntry(p, n, stats, blooms)
       }
+  }
+
+  private def commitFiles(spark: SparkSession, root: String, df: DataFrame,
+      operation: String, carriedRefs0: Seq[ListRef],
+      carriedInline0: Seq[FileEntry],
+      tableSchema0: StructType = null,
+      bloomSpec: Option[BloomSpec] = None,
+      derivedStats: Seq[(String, Column)] = Nil,
+      tableIds0: Map[String, Int] = Map.empty,
+      lastColId0: Int = 0): Long = {
+    var tableSchema = Option(tableSchema0).getOrElse(df.schema)
+    var (tableIds, lastColId) =
+      if (tableIds0.nonEmpty) (tableIds0, lastColId0)
+      else assignNewIds(tableSchema, Map.empty, 0)
+    val fs = fsOf(spark, root)
+    var attempt = 0
+    var carriedRefs = carriedRefs0
+    var carriedInline = carriedInline0
+    var base = currentId(spark, root)
+    val written =
+      writeDataFiles(spark, root, df, base + 1, bloomSpec, derivedStats)
     val dfCols = df.columns.toSet
     while (true) {
       val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
@@ -1586,7 +1722,20 @@ object SnapshotLog {
     val dataRoot = new Path(s"$root/data")
     if (!fs.exists(dataRoot)) return 0
     val hist = history(spark, root)
-    val referenced = hist.iterator.flatMap(_.files)
+    val snapDir = new Path(s"$root/snap")
+    // STAGED (write-audit-publish) appends are live by intent even
+    // though no manifest references them yet — their lists and data
+    // dirs are protected until publishStaged/discardStaged decides
+    val stagedRaws =
+      if (!fs.exists(snapDir)) Seq.empty
+      else fs.listStatus(snapDir).iterator
+        .filter(st => !st.isDirectory &&
+          st.getPath.getName.startsWith("s_") &&
+          st.getPath.getName.endsWith(".staged"))
+        .map(st => parseManifest(readTextFile(fs, st.getPath))).toSeq
+    val stagedFiles = stagedRaws.flatMap(_.refs)
+      .flatMap(r => readFileList(fs, root, r.path))
+    val referenced = (hist.iterator.flatMap(_.files) ++ stagedFiles.iterator)
       .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     val orphans = fs.listStatus(dataRoot).iterator
@@ -1598,9 +1747,9 @@ object SnapshotLog {
     // stranded file LISTS (lost commit races, crashes before the
     // manifest rename): same no-reference + age rule; reclaimed beside
     // the data dirs but not counted in the returned dir tally
-    val refLists = hist.iterator
-      .flatMap(s => rawManifest(spark, root, s.id).refs).map(_.path).toSet
-    val snapDir = new Path(s"$root/snap")
+    val refLists = (hist.iterator
+      .flatMap(s => rawManifest(spark, root, s.id).refs) ++
+      stagedRaws.iterator.flatMap(_.refs)).map(_.path).toSet
     if (fs.exists(snapDir)) fs.listStatus(snapDir).iterator
       .filter(st => !st.isDirectory)
       .filter(st => st.getPath.getName.startsWith("l_") &&
@@ -1766,6 +1915,21 @@ object SnapshotLog {
       }
       deleteWhere(s, root, col("o_orderstatus") === "F")
       rollback(s, root, toId = 3L)
+    }.resolve("log").toString
+
+  /** Staged write-audit-publish log: even keys appended normally, odd
+    * keys STAGED (invisible), then published after the audit window —
+    * current must read the union, via the spliced staged list.
+    */
+  private def wapLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttwap_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      val key = stageAppend(s, root,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+      publishStaged(s, root, key)
     }.resolve("log").toString
 
   /** Staged rename-evolution log: even keys appended under the
@@ -2130,6 +2294,23 @@ object SnapshotLog {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { rollbackLog(s, dir); () })
+    ),
+
+    // TT16: write-audit-publish — half the table staged invisibly and
+    // published after the audit window (one manifest rename splicing
+    // the staged file list into the head). The current read must be
+    // the full union; a stage that leaked into readers early, or a
+    // publish that lost the staged rows, breaks the hash. The
+    // isolation/audit/discard semantics are WapSpec's.
+    Q(
+      "tt16_wap_publish",
+      (s, dir) => {
+        val root = wapLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { wapLog(s, dir); () })
     )
   )
 }
