@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -44,6 +44,22 @@ object IncrementalView {
     * @param keys    grouping columns
     * @param sumCols columns to maintain sums for
     */
+  /** Null-safe full-outer alignment of a state frame and a delta-agg
+    * frame on the group keys — `<=>` plus coalesced key output, so a
+    * NULL group key is ONE group exactly as groupBy treats it (plain
+    * using-column equality would never match the two sides' null-key
+    * rows and the fold would fork the group).
+    */
+  private def alignOnKeys(state: DataFrame, deltaAgg: DataFrame,
+      keys: Seq[String], joinType: String): DataFrame = {
+    val s = state.as("_s")
+    val d = deltaAgg.as("_d")
+    s.join(d, keys.map(k => col(s"_s.$k") <=> col(s"_d.$k")).reduce(_ && _),
+      joinType)
+  }
+  private def keyOut(keys: Seq[String]): Seq[Column] =
+    keys.map(k => coalesce(col(s"_s.$k"), col(s"_d.$k")).as(k))
+
   def applyDelta(state: Option[DataFrame], delta: DataFrame,
       keys: Seq[String], sumCols: Seq[String]): DataFrame = {
     val sign = when(col("change") === "insert", lit(1L)).otherwise(lit(-1L))
@@ -56,12 +72,13 @@ object IncrementalView {
           keys.map(col) ++ Seq(col("d_n").as("n")) ++
             sumCols.map(c => col(s"d_sum_$c").as(s"sum_$c")): _*)
       case Some(st) =>
-        st.join(deltaAgg, keys, "full_outer").select(
-          keys.map(col) ++ Seq(
-            (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n")) ++
+        alignOnKeys(st, deltaAgg, keys, "full_outer").select(
+          keyOut(keys) ++ Seq(
+            (coalesce(col("_s.n"), lit(0L)) +
+              coalesce(col("_d.d_n"), lit(0L))).as("n")) ++
             sumCols.map(c =>
-              (coalesce(col(s"sum_$c"), lit(0L)) +
-                coalesce(col(s"d_sum_$c"), lit(0L))).as(s"sum_$c")): _*)
+              (coalesce(col(s"_s.sum_$c"), lit(0L)) +
+                coalesce(col(s"_d.d_sum_$c"), lit(0L))).as(s"sum_$c")): _*)
     }
     // a group whose membership reached zero leaves the view entirely
     folded.filter(col("n") > 0)
@@ -88,16 +105,16 @@ object IncrementalView {
   }
 
   /** Operation tag recording which table snapshot a view commit
-    * reflects: `refresh=<tableSnapshotId>`.
+    * reflects: `<prefix><tableSnapshotId>` — read from the manifest
+    * HEADER alone (no file-list resolution).
     */
-  private def cursorOf(spark: SparkSession, viewRoot: String): Long =
-    if (SnapshotLog.currentId(spark, viewRoot) == 0L) 0L
-    else {
-      val op = SnapshotLog
-        .snapshot(spark, viewRoot, SnapshotLog.currentId(spark, viewRoot))
-        .operation
-      require(op.startsWith("refresh="), s"not a view log: operation $op")
-      op.stripPrefix("refresh=").toLong
+  private def cursorOf(spark: SparkSession, viewRoot: String,
+      prefix: String = "refresh="): Long =
+    SnapshotLog.headOperation(spark, viewRoot) match {
+      case None => 0L
+      case Some(op) =>
+        require(op.startsWith(prefix), s"not a $prefix view log: operation $op")
+        op.stripPrefix(prefix).toLong
     }
 
   /** Transactionally-consistent incremental refresh: the view lives in
@@ -186,9 +203,10 @@ object IncrementalView {
     val folded = state match {
       case None => deltaAgg.select(out :+ col("d_m").as("m"): _*)
       case Some(st) =>
-        st.join(deltaAgg, outCols, "full_outer").select(
-          out :+ (coalesce(col("m"), lit(0L)) +
-            coalesce(col("d_m"), lit(0L))).as("m"): _*)
+        // null-safe: view rows may carry NULL in any out column
+        alignOnKeys(st, deltaAgg, outCols, "full_outer").select(
+          keyOut(outCols) :+ (coalesce(col("_s.m"), lit(0L)) +
+            coalesce(col("_d.d_m"), lit(0L))).as("m"): _*)
     }
     folded.filter(col("m") > 0)
   }
@@ -225,14 +243,12 @@ object IncrementalView {
     */
   private def joinCursorOf(spark: SparkSession, viewRoot: String,
       prefix: String = "refreshjoin="): (Long, Long) =
-    if (SnapshotLog.currentId(spark, viewRoot) == 0L) (0L, 0L)
-    else {
-      val op = SnapshotLog
-        .snapshot(spark, viewRoot, SnapshotLog.currentId(spark, viewRoot))
-        .operation
-      require(op.startsWith(prefix), s"not a $prefix view log: operation $op")
-      val Array(a, b) = op.stripPrefix(prefix).split(',')
-      (a.toLong, b.toLong)
+    SnapshotLog.headOperation(spark, viewRoot) match {
+      case None => (0L, 0L)
+      case Some(op) =>
+        require(op.startsWith(prefix), s"not a $prefix view log: operation $op")
+        val Array(a, b) = op.stripPrefix(prefix).split(',')
+        (a.toLong, b.toLong)
     }
 
   /** Distinct hash buckets a delta's join keys land in under an n-bucket
@@ -284,28 +300,46 @@ object IncrementalView {
     */
   def refreshJoin(spark: SparkSession, viewRoot: String,
       rootA: String, rootB: String,
-      joinKey: String, outCols: Seq[String]): (Long, Long) = {
-    val (aApplied, bApplied) = joinCursorOf(spark, viewRoot)
+      joinKey: String, outCols: Seq[String]): (Long, Long) =
+    refreshTwoInput(spark, viewRoot, rootA, rootB, joinKey, "refreshjoin=") {
+      (state, aPre, dA, bPre, dB) =>
+        applyJoinDelta(state, aPre, dA, bPre, dB, joinKey, outCols)
+    }
+
+  /** The shared two-input refresh protocol ([[refreshJoin]] and
+    * [[refreshJoinAgg]] differ only in the fold): read the two-cursor
+    * tag, window each input as `changes(applied, current)` —
+    * checkpointed, because each delta feeds up to three join terms
+    * plus the bucket probe and must compute ONCE, not per consumer —
+    * hand the fold bucket-pruned pre-states, and commit output +
+    * cursors in one atomic rename.
+    */
+  private def refreshTwoInput(spark: SparkSession, viewRoot: String,
+      rootA: String, rootB: String, joinKey: String, prefix: String)(
+      fold: (Option[DataFrame], DataFrame, Option[DataFrame],
+        DataFrame, Option[DataFrame]) => DataFrame): (Long, Long) = {
+    val (aApplied, bApplied) = joinCursorOf(spark, viewRoot, prefix)
     val aCur = SnapshotLog.currentId(spark, rootA)
     val bCur = SnapshotLog.currentId(spark, rootB)
-    require(aCur > 0 && bCur > 0, "refreshJoin over an empty input log")
+    require(aCur > 0 && bCur > 0, s"$prefix refresh over an empty input log")
     require(aCur >= aApplied && bCur >= bApplied,
       s"view at $viewRoot reflects ($aApplied,$bApplied) but inputs are at ($aCur,$bCur)")
     if (aCur == aApplied && bCur == bApplied) return (aApplied, bApplied)
     val dA =
-      if (aCur > aApplied) Some(SnapshotLog.changes(spark, rootA, aApplied, aCur))
+      if (aCur > aApplied)
+        Some(SnapshotLog.changes(spark, rootA, aApplied, aCur).localCheckpoint(true))
       else None
     val dB =
-      if (bCur > bApplied) Some(SnapshotLog.changes(spark, rootB, bApplied, bCur))
+      if (bCur > bApplied)
+        Some(SnapshotLog.changes(spark, rootB, bApplied, bCur).localCheckpoint(true))
       else None
     val state =
       if (aApplied == 0L && bApplied == 0L) None
       else Some(SnapshotLog.read(spark, viewRoot))
-    val next = applyJoinDelta(state,
+    val next = fold(state,
       preState(spark, rootA, aApplied, joinKey, dB), dA,
-      preState(spark, rootB, bApplied, joinKey, dA), dB,
-      joinKey, outCols)
-    SnapshotLog.overwriteAs(spark, viewRoot, next, s"refreshjoin=$aCur,$bCur")
+      preState(spark, rootB, bApplied, joinKey, dA), dB)
+    SnapshotLog.overwriteAs(spark, viewRoot, next, s"$prefix$aCur,$bCur")
     (aCur, bCur)
   }
 
@@ -322,32 +356,14 @@ object IncrementalView {
     */
   def refreshJoinAgg(spark: SparkSession, viewRoot: String,
       rootA: String, rootB: String, joinKey: String,
-      keys: Seq[String], sumCols: Seq[String]): (Long, Long) = {
-    val (aApplied, bApplied) =
-      joinCursorOf(spark, viewRoot, prefix = "refreshjoinagg=")
-    val aCur = SnapshotLog.currentId(spark, rootA)
-    val bCur = SnapshotLog.currentId(spark, rootB)
-    require(aCur > 0 && bCur > 0, "refreshJoinAgg over an empty input log")
-    require(aCur >= aApplied && bCur >= bApplied,
-      s"view at $viewRoot reflects ($aApplied,$bApplied) but inputs are at ($aCur,$bCur)")
-    if (aCur == aApplied && bCur == bApplied) return (aApplied, bApplied)
-    val dA =
-      if (aCur > aApplied) Some(SnapshotLog.changes(spark, rootA, aApplied, aCur))
-      else None
-    val dB =
-      if (bCur > bApplied) Some(SnapshotLog.changes(spark, rootB, bApplied, bCur))
-      else None
-    val changelog = joinDeltaChangelog(
-      preState(spark, rootA, aApplied, joinKey, dB), dA,
-      preState(spark, rootB, bApplied, joinKey, dA), dB,
-      joinKey, (keys ++ sumCols).distinct)
-    val state =
-      if (aApplied == 0L && bApplied == 0L) None
-      else Some(SnapshotLog.read(spark, viewRoot))
-    val next = applyDelta(state, changelog, keys, sumCols)
-    SnapshotLog.overwriteAs(spark, viewRoot, next, s"refreshjoinagg=$aCur,$bCur")
-    (aCur, bCur)
-  }
+      keys: Seq[String], sumCols: Seq[String]): (Long, Long) =
+    refreshTwoInput(spark, viewRoot, rootA, rootB, joinKey, "refreshjoinagg=") {
+      (state, aPre, dA, bPre, dB) =>
+        applyDelta(state,
+          joinDeltaChangelog(aPre, dA, bPre, dB, joinKey,
+            (keys ++ sumCols).distinct),
+          keys, sumCols)
+    }
 
   /** One maintenance step for a non-additive (count, min, max) view —
     * the delete-aware fold: groups the delta only INSERTED into fold
@@ -378,12 +394,13 @@ object IncrementalView {
         max(when(col("change") === "delete", lit(1)).otherwise(lit(0)))
           .as("d_del"): _*)
     // exact re-aggregation of ONLY the delete-touched groups, from the
-    // post-delta table — churn-bounded by construction
+    // post-delta table — churn-bounded by construction (null-safe
+    // semi-join: a NULL group key is a group like any other)
     val touched = deltaAgg.filter(col("d_del") === 1)
       .select(keys.map(col): _*)
     val rAggs = mmCols.flatMap(c => Seq(
       min(col(c)).as(s"r_min_$c"), max(col(c)).as(s"r_max_$c")))
-    val recomputed = current.join(touched, keys, "left_semi")
+    val recomputed = alignOnKeys(current, touched, keys, "left_semi")
       .groupBy(keys.map(col): _*)
       .agg(rAggs.head, rAggs.tail: _*)
     val folded = state match {
@@ -396,31 +413,25 @@ object IncrementalView {
       case Some(st) =>
         // least/greatest skip nulls (null = "no bound from this side"),
         // which is exactly the fold identity needed here
-        st.join(deltaAgg, keys, "full_outer").select(
-          keys.map(col) ++ Seq(
-            (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n")) ++
+        alignOnKeys(st, deltaAgg, keys, "full_outer").select(
+          keyOut(keys) ++ Seq(
+            (coalesce(col("_s.n"), lit(0L)) +
+              coalesce(col("_d.d_n"), lit(0L))).as("n")) ++
             mmCols.flatMap(c => Seq(
-              least(col(s"min_$c"), col(s"d_min_$c")).as(s"min_$c"),
-              greatest(col(s"max_$c"), col(s"d_max_$c")).as(s"max_$c"))): _*)
+              least(col(s"_s.min_$c"), col(s"_d.d_min_$c")).as(s"min_$c"),
+              greatest(col(s"_s.max_$c"), col(s"_d.d_max_$c")).as(s"max_$c"))): _*)
     }
-    folded.join(recomputed, keys, "left_outer")
+    alignOnKeys(folded, recomputed, keys, "left_outer")
       .select(
-        keys.map(col) ++ Seq(col("n")) ++
+        keys.map(k => col(s"_s.$k").as(k)) ++ Seq(col("_s.n").as("n")) ++
           mmCols.flatMap(c => Seq(
-            coalesce(col(s"r_min_$c"), col(s"min_$c")).as(s"min_$c"),
-            coalesce(col(s"r_max_$c"), col(s"max_$c")).as(s"max_$c"))): _*)
+            coalesce(col(s"_d.r_min_$c"), col(s"_s.min_$c")).as(s"min_$c"),
+            coalesce(col(s"_d.r_max_$c"), col(s"_s.max_$c")).as(s"max_$c"))): _*)
       .filter(col("n") > 0)
   }
 
   private def mmCursorOf(spark: SparkSession, viewRoot: String): Long =
-    if (SnapshotLog.currentId(spark, viewRoot) == 0L) 0L
-    else {
-      val op = SnapshotLog
-        .snapshot(spark, viewRoot, SnapshotLog.currentId(spark, viewRoot))
-        .operation
-      require(op.startsWith("refreshmm="), s"not a min/max view log: operation $op")
-      op.stripPrefix("refreshmm=").toLong
-    }
+    cursorOf(spark, viewRoot, prefix = "refreshmm=")
 
   /** Transactional incremental refresh for a (count, min, max) view —
     * [[refresh]]'s protocol (cursor-in-own-log, atomic commit, folds

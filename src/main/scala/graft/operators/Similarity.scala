@@ -345,16 +345,24 @@ object Similarity {
     prepareImpl(s, raw, numPlanes, cellCol(embD))
 
   private def prepareImpl(s: SparkSession, raw: DataFrame,
+      numPlanes: Int, cell: Column): DataFrame =
+    graft.CacheScope.track(
+      indexProjection(s, raw, numPlanes, cell)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** THE prepared-index projection — one definition, so [[prepare]]'s
+    * session cache and [[indexRows]]' stored index can never drift
+    * (ss6's maintained-equals-rebuilt contract rests on it).
+    */
+  private def indexProjection(s: SparkSession, raw: DataFrame,
       numPlanes: Int, cell: Column): DataFrame = {
     GraftFunctions.register(s)
-    graft.CacheScope.track(
-      raw.select(
-          col("vec_id"),
-          embD.as("emb"),
-          sqrt(dotCols(embD, embD)).as("nrm"),
-          bucketColFor(numPlanes).as("bucket"),
-          cell.as("cell"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+    raw.select(
+      col("vec_id"),
+      embD.as("emb"),
+      sqrt(dotCols(embD, embD)).as("nrm"),
+      bucketColFor(numPlanes).as("bucket"),
+      cell.as("cell"))
   }
 
   /** The prepared-index ROW projection, un-persisted — exactly
@@ -366,15 +374,8 @@ object Similarity {
     * Per-row and deterministic, so a maintained index is row-identical
     * to a from-scratch rebuild at the same plane count.
     */
-  def indexRows(s: SparkSession, raw: DataFrame, numPlanes: Int): DataFrame = {
-    GraftFunctions.register(s)
-    raw.select(
-      col("vec_id"),
-      embD.as("emb"),
-      sqrt(dotCols(embD, embD)).as("nrm"),
-      bucketColFor(numPlanes).as("bucket"),
-      cellCol(embD).as("cell"))
-  }
+  def indexRows(s: SparkSession, raw: DataFrame, numPlanes: Int): DataFrame =
+    indexProjection(s, raw, numPlanes, cellCol(embD))
 
   /** [[prepare]] with the plane count auto-scaled to the corpus size
     * (one count() pass — at warehouse scale, feed table-stat row counts

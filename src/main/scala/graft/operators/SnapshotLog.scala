@@ -168,17 +168,30 @@ object SnapshotLog {
   /** Derived bucket stats to recompute for a rewrite, inferred from the
     * stat names the parent's files already carry — a CoW commit keeps
     * whatever bucket layout the table declared (its rewritten files get
-    * fresh, possibly wider, bands; carried files keep theirs).
+    * fresh, possibly wider, bands; carried files keep theirs). The
+    * stat key embeds the PHYSICAL column name of the file that
+    * recorded it, so each is resolved to the current name through that
+    * file's field ids — a rename between the re-bucket and the rewrite
+    * must not silently drop the layout.
     */
   private def inheritedBucketStats(files: Seq[FileEntry],
-      schema: StructType): Seq[(String, Column)] =
-    files.iterator.flatMap(_.stats.keys)
-      .filter(_.startsWith("__bucket:")).toSet.toSeq.sorted.flatMap { name =>
+      schema: StructType, curIds: Map[String, Int]): Seq[(String, Column)] = {
+    val idToCur = curIds.map(_.swap)
+    files.iterator.flatMap { f =>
+      f.stats.keys.filter(_.startsWith("__bucket:")).flatMap { name =>
         val parts = name.split(':')
-        if (parts.length == 3 && schema.fieldNames.contains(parts(1)))
-          Some(name -> bucketExpr(parts(1), parts(2).toInt))
-        else None
+        if (parts.length != 3) None
+        else {
+          val cur =
+            if (f.ids.isEmpty) Some(parts(1))
+            else f.ids.get(parts(1)).flatMap(idToCur.get)
+          cur.filter(schema.fieldNames.contains)
+            .map(c => (c, parts(2).toInt))
+        }
       }
+    }.toSet.toSeq.sorted
+      .map { case (c, n) => bucketStatName(c, n) -> bucketExpr(c, n) }
+  }
 
   /** The declared bucket count for `column` at a snapshot, if any file
     * carries its bucket stat (the layout is a file property; mixed
@@ -372,19 +385,22 @@ object SnapshotLog {
       .map(f => (a: String, b: String) => statGt(f.dataType, a, b))
 
   /** Aggregate a file list's per-file stats into its manifest BAND:
-    * min-of-mins / max-of-maxs per stat key. A live file whose stats
-    * map is entirely EMPTY (legacy entry — unknown content) vetoes the
-    * whole band; a live file merely missing ONE key recorded elsewhere
-    * is safe to fold past (missing-with-stats means the column was
-    * all-null there, or absent pre-evolution — rows that can never
-    * match a range/point/bucket predicate on it). Unparseable values
-    * drop that key, never the read.
+    * min-of-mins / max-of-maxs per stat key, recorded ONLY for keys
+    * EVERY live file carries. A file missing a key is not necessarily
+    * empty for that logical column — its stats may live under an older
+    * physical name (post-rename list mixing eras) or the derived
+    * `__bucket:` stat may simply not have been computed for it — so a
+    * partial fold would under-cover and list-level pruning would
+    * silently drop its rows; intersection-of-keys is the sound rule
+    * (per-FILE pruning still resolves such files individually through
+    * their ids). Unparseable values drop that key, never the read.
     */
   private def bandOf(entries: Seq[FileEntry],
       schema: StructType): Map[String, (String, String)] = {
     val live = entries.filter(_.rows > 0)
     if (live.isEmpty || live.exists(_.stats.isEmpty)) return Map.empty
-    val keys: Seq[String] = live.iterator.flatMap(_.stats.keySet).toSet.toSeq
+    val keys: Seq[String] =
+      live.map(_.stats.keySet).reduce(_ intersect _).toSeq
     keys.flatMap { k =>
       statCmp(k, schema).flatMap { gt =>
         val vals = live.flatMap(_.stats.get(k))
@@ -412,6 +428,16 @@ object SnapshotLog {
     finally out.close()
     ListRef(rel, entries.size, entries.iterator.map(_.rows).sum,
       bandOf(entries, schema))
+  }
+
+  /** The head snapshot's operation tag WITHOUT resolving file lists —
+    * O(header) I/O for cursor readers ([[IncrementalView]]'s
+    * `refresh*` protocols store their cursor there).
+    */
+  private[operators] def headOperation(spark: SparkSession,
+      root: String): Option[String] = {
+    val id = currentId(spark, root)
+    if (id == 0L) None else Some(rawManifest(spark, root, id).operation)
   }
 
   /** Load one snapshot's full metadata (manifest + its file lists). */
@@ -834,10 +860,19 @@ object SnapshotLog {
     val sp = stagedPath(root, key)
     require(fs.exists(sp), s"unknown staged key $key")
     val staged = parseManifest(readTextFile(fs, sp))
+    val stagedListPaths = staged.refs.map(_.path).toSet
     var attempt = 0
     while (true) {
       val base = currentId(spark, root)
       val head = rawManifest(spark, root, base)
+      // idempotent crash replay: a publish that renamed its manifest
+      // but died before deleting the descriptor must NOT splice the
+      // staged list a second time — if the head already references it,
+      // finish the cleanup and return
+      if (head.refs.exists(r => stagedListPaths(r.path))) {
+        fs.delete(sp, false)
+        return base
+      }
       val schema = StructType.fromDDL(head.schemaDdl)
       val (ids, last) = currentIdsOf(head, schema)
       require(staged.ids.values.toSet.subsetOf(ids.values.toSet),
@@ -869,13 +904,23 @@ object SnapshotLog {
   }
 
   /** Abandon a staged append: its data files, file list, and
-    * descriptor are reclaimed immediately.
+    * descriptor are reclaimed immediately. Refuses when any snapshot
+    * already references the staged list — a crashed publish leaves the
+    * descriptor behind AND the data live; discarding then would
+    * corrupt the table (re-run [[publishStaged]] instead, which
+    * detects the splice and just cleans up).
     */
   def discardStaged(spark: SparkSession, root: String, key: String): Unit = {
     val fs = fsOf(spark, root)
     val sp = stagedPath(root, key)
     require(fs.exists(sp), s"unknown staged key $key")
     val staged = parseManifest(readTextFile(fs, sp))
+    val stagedListPaths = staged.refs.map(_.path).toSet
+    val referenced = history(spark, root).iterator
+      .flatMap(s => rawManifest(spark, root, s.id).refs)
+      .exists(r => stagedListPaths(r.path))
+    require(!referenced,
+      s"staged key $key was already published; run publishStaged to clean up")
     val files = staged.refs.flatMap(r => readFileList(fs, root, r.path))
     files.map(f => f.path.substring(0, f.path.lastIndexOf('/'))).distinct
       .foreach(d => fs.delete(new Path(s"$root/$d"), true))
@@ -949,7 +994,7 @@ object SnapshotLog {
         .filter(!coalesce(pred, lit(false)))
     commitFiles(spark, root, rewritten, "delete",
       intact.map(_._1), keepInline, tableSchema,
-      derivedStats = inheritedBucketStats(allFiles, tableSchema),
+      derivedStats = inheritedBucketStats(allFiles, tableSchema, tableIds),
       tableIds0 = tableIds, lastColId0 = lastColId)
   }
 
@@ -1027,7 +1072,7 @@ object SnapshotLog {
     commitFiles(spark, root,
       survivors.unionByName(source.select(tableCols: _*)),
       "merge", intact.map(_._1), carriedInline, tableSchema,
-      derivedStats = inheritedBucketStats(allFiles, tableSchema),
+      derivedStats = inheritedBucketStats(allFiles, tableSchema, tableIds),
       tableIds0 = tableIds, lastColId0 = lastColId)
   }
 
@@ -1505,10 +1550,16 @@ object SnapshotLog {
     require(numFiles >= 1, "numFiles must be >= 1")
     val base = currentId(spark, root)
     require(base > 0, s"optimize on empty log $root")
+    // field ids must carry through the rewrite — resetting them would
+    // re-bind retired ids to different columns in cross-commit diffs
+    val raw = rawManifest(spark, root, base)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    val (ids, last) = currentIdsOf(raw, schema)
     val cur = read(spark, root)
     commitFiles(spark, root,
       cur.repartitionByRange(numFiles, col(clusterBy)), "optimize",
-      Seq.empty, Seq.empty)
+      Seq.empty, Seq.empty, schema,
+      tableIds0 = ids, lastColId0 = last)
   }
 
   /** OPTIMIZE into a HASH-BUCKET layout: rewrite the current content
@@ -1528,12 +1579,17 @@ object SnapshotLog {
     require(numBuckets >= 1, "numBuckets must be >= 1")
     val base = currentId(spark, root)
     require(base > 0, s"optimizeBucketed on empty log $root")
+    // same id carry-through as optimize
+    val raw = rawManifest(spark, root, base)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    val (ids, last) = currentIdsOf(raw, schema)
     val cur = read(spark, root)
     commitFiles(spark, root,
       cur.repartitionByRange(numBuckets, bucketExpr(bucketBy, numBuckets)),
-      "optimize-bucket", Seq.empty, Seq.empty,
+      "optimize-bucket", Seq.empty, Seq.empty, schema,
       derivedStats = Seq(bucketStatName(bucketBy, numBuckets) ->
-        bucketExpr(bucketBy, numBuckets)))
+        bucketExpr(bucketBy, numBuckets)),
+      tableIds0 = ids, lastColId0 = last)
   }
 
   /** Targeted small-file compaction — the INCREMENTAL optimize: bin-pack
@@ -1581,7 +1637,7 @@ object SnapshotLog {
     commitFiles(spark, root, packed, "optimize-binpack",
       intact.map(_._1), carriedInline, tableSchema,
       derivedStats =
-        inheritedBucketStats(raw.inline ++ groups.flatMap(_._2), tableSchema),
+        inheritedBucketStats(raw.inline ++ groups.flatMap(_._2), tableSchema, tableIds),
       tableIds0 = tableIds, lastColId0 = lastColId)
   }
 
@@ -1636,9 +1692,11 @@ object SnapshotLog {
     fsOf(spark, root).delete(refPath(root, name), false)
 
   /** Every snapshot id currently pinned by a ref. A corrupted or
-    * foreign file under refs/ is SKIPPED, not thrown on — one bad ref
-    * must not permanently block every expire run (retention protects
-    * what it can parse; an unparseable ref protects nothing).
+    * foreign file under refs/ — bad content OR a name refPath would
+    * reject — is SKIPPED, not thrown on: one bad ref must not
+    * permanently block every expire run (retention protects what it
+    * can parse; an unparseable ref protects nothing). Reads the listed
+    * files directly, so no name validation can throw.
     */
   def tagIds(spark: SparkSession, root: String): Set[Long] = {
     val fs = fsOf(spark, root)
@@ -1647,8 +1705,8 @@ object SnapshotLog {
     else fs.listStatus(dir).iterator
       .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
       .flatMap { s =>
-        try Some(tagId(spark, root, s.getPath.getName))
-        catch { case _: NumberFormatException => None }
+        try Some(readTextFile(fs, s.getPath).trim.toLong)
+        catch { case scala.util.control.NonFatal(_) => None }
       }.toSet
   }
 

@@ -246,6 +246,37 @@ class IncrementalViewSpec extends SparkSpec {
     assert(SnapshotLog.currentId(spark, view) === snaps)
   }
 
+  test("NULL group keys fold as one group across every view kind") {
+    // additive fold: a null-key group must aggregate, not fork
+    val base = java.nio.file.Files.createTempDirectory("graft_iv_null")
+    val table = base.resolve("table").toString
+    val view = base.resolve("view").toString
+    SnapshotLog.append(spark, table,
+      Seq((Option.empty[String], 1L, 10L), (Some("a"), 2L, 5L),
+        (Option.empty[String], 3L, 7L)).toDF("g", "k", "x"))
+    IncrementalView.refresh(spark, view, table, Seq("g"), Seq("x"))
+    SnapshotLog.deleteWhere(spark, table, col("k") === 1L)
+    IncrementalView.refresh(spark, view, table, Seq("g"), Seq("x"))
+    val v = SnapshotLog.read(spark, view)
+      .as[(Option[String], Long, Long)].collect()
+      .map { case (g, n, sx) => g -> (n, sx) }.toMap
+    assert(v === Map(Option.empty[String] -> (1L, 7L), Some("a") -> (1L, 5L)),
+      "null-key group must fold deletes like any other group")
+    // min/max fold: delete-touched NULL group must recompute
+    val mmView = base.resolve("mm").toString
+    val t2 = base.resolve("t2").toString
+    SnapshotLog.append(spark, t2,
+      Seq((Option.empty[String], 1L, 50L), (Option.empty[String], 2L, 10L))
+        .toDF("g", "k", "x"))
+    IncrementalView.refreshMinMax(spark, mmView, t2, Seq("g"), Seq("x"))
+    SnapshotLog.deleteWhere(spark, t2, col("x") === 50L)
+    IncrementalView.refreshMinMax(spark, mmView, t2, Seq("g"), Seq("x"))
+    val mm = SnapshotLog.read(spark, mmView)
+      .as[(Option[String], Long, Long, Long)].collect().toSeq
+    assert(mm === Seq((Option.empty[String], 1L, 10L, 10L)),
+      "deleted max of a null-key group must recompute")
+  }
+
   test("delta-x-delta cross term: same-batch inserts on both sides join once") {
     val rootA = newRoot()
     val rootB = newRoot()

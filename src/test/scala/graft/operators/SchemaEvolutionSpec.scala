@@ -143,6 +143,56 @@ class SchemaEvolutionSpec extends SparkSpec {
       rowSet(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")))
   }
 
+  test("optimize carries field ids — a retired id is never re-bound") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "x"))
+    SnapshotLog.dropColumn(spark, root, "v") // ids now {k:1, x:3}
+    val preOpt = SnapshotLog.currentId(spark, root)
+    SnapshotLog.optimizeBucketed(spark, root, "k", 2)
+    // a positional id reset would re-bind x to the retired id 2 and
+    // the optimize commit would stop being change-free
+    assert(SnapshotLog.changes(spark, root, preOpt, preOpt + 1).count() === 0L,
+      "optimize must be a zero-change commit across drop/rename history")
+    assert(rowSet(SnapshotLog.read(spark, root)) ===
+      rowSet(Seq((1L, 10L), (2L, 20L)).toDF("k", "x")))
+    // re-adding the dropped name after the optimize still starts empty
+    SnapshotLog.append(spark, root, Seq((3L, 30L, "new")).toDF("k", "x", "v"))
+    assert(SnapshotLog.read(spark, root)
+      .filter(col("v").isNotNull).count() === 1L)
+  }
+
+  test("CoW rewrite after a rename keeps the bucket layout (via ids)") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root,
+      (1L to 32L).map(i => (i, s"v$i")).toDF("k", "v").repartition(2))
+    SnapshotLog.optimizeBucketed(spark, root, "k", 4)
+    SnapshotLog.renameColumn(spark, root, "k", "key")
+    SnapshotLog.deleteWhere(spark, root, col("key") === 7L)
+    assert(SnapshotLog.bucketLayout(spark, root, "key") === Some(4),
+      "rewrite dropped the layout stat after the rename")
+    val got = SnapshotLog.readBuckets(spark, root, "key", 4, Set(2L))
+    val want = SnapshotLog.read(spark, root)
+      .filter(pmod(hash(col("key")), lit(4)).cast("long") === 2L)
+    assert(rowSet(got) === rowSet(want))
+  }
+
+  test("list bands stay sound when a rewrite mixes stat-name eras") {
+    val root = newRoot()
+    // ONE list holding two range-disjoint files, then a rename and a
+    // CoW delete touching only the second file: the new list mixes a
+    // survivor (stats under 'k') with a rewrite (stats under 'key') —
+    // a partial band fold would skip the list for the survivor's range
+    SnapshotLog.append(spark, root,
+      (0L to 39L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(2, col("k")))
+    SnapshotLog.renameColumn(spark, root, "k", "key")
+    SnapshotLog.deleteWhere(spark, root, col("key") === 35L)
+    val got = SnapshotLog.readRange(spark, root, "key", Some("5"), Some("8"))
+    assert(rowSet(got) ===
+      rowSet((5L to 8L).map(i => (i, s"v$i")).toDF("key", "v")))
+  }
+
   test("rename refuses conflicts and pre-field-id files") {
     val root = newRoot()
     SnapshotLog.append(spark, root, Seq((1L, "a")).toDF("k", "v"))

@@ -80,6 +80,11 @@ class SnapshotStatsOnlySpec extends SparkSpec {
     val junk = new org.apache.hadoop.fs.Path(s"$root/refs/junk")
     val out = fs.create(junk, true)
     try out.write("not-a-number".getBytes("UTF-8")) finally out.close()
+    // a foreign NAME (chars refPath rejects) must be skipped too, not
+    // just foreign content — one editor backup must not block expire
+    val weird = new org.apache.hadoop.fs.Path(s"$root/refs/audit~bak")
+    val out3 = fs.create(weird, true)
+    try out3.write("also junk".getBytes("UTF-8")) finally out3.close()
     assert(SnapshotLog.tagIds(spark, root) === Set(1L))
     // dropTag makes the snapshot expirable again
     assert(SnapshotLog.dropTag(spark, root, "pin"))

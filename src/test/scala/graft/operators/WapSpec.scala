@@ -76,6 +76,40 @@ class WapSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, root).count() === 2L)
   }
 
+  test("publish replay after a crash between rename and cleanup is a no-op") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root, Seq((1L, "a")).toDF("k", "v"))
+    val key = SnapshotLog.stageAppend(spark, root, Seq((2L, "b")).toDF("k", "v"))
+    // capture the descriptor, publish, then resurrect the descriptor —
+    // the state a crash between manifest rename and descriptor delete
+    // leaves behind
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sp = new org.apache.hadoop.fs.Path(s"$root/snap/s_$key.staged")
+    val in = fs.open(sp)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+        .foreach(n => buf.write(chunk, 0, n))
+      buf.toByteArray
+    } finally in.close()
+    assert(SnapshotLog.publishStaged(spark, root, key) === 2L)
+    val out = fs.create(sp, true)
+    try out.write(bytes) finally out.close()
+    // replay must DETECT the splice, clean up, and not double the rows
+    assert(SnapshotLog.publishStaged(spark, root, key) === 2L)
+    assert(!fs.exists(sp))
+    assert(SnapshotLog.read(spark, root).count() === 2L)
+    // and a discard in that state must refuse (data is live)
+    val out2 = fs.create(sp, true)
+    try out2.write(bytes) finally out2.close()
+    intercept[IllegalArgumentException] {
+      SnapshotLog.discardStaged(spark, root, key)
+    }
+    fs.delete(sp, false)
+  }
+
   test("stageAppend rejects schema drift") {
     val root = newRoot()
     SnapshotLog.append(spark, root, Seq((1L, "a")).toDF("k", "v"))
