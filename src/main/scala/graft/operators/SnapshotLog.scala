@@ -8,7 +8,11 @@ import org.apache.spark.sql.types.StructType
 import graft.{Q, Tables}
 
 /** Iceberg-style snapshot log: an immutable-file table format with
-  * atomic manifest commits, time travel, copy-on-write deletes, and
+  * atomic manifest commits, time travel, copy-on-write
+  * delete/merge, field-id schema evolution ([[renameColumn]]/
+  * [[dropColumn]] as metadata-only commits), metadata-only
+  * [[rollback]], write-audit-publish staging ([[stageAppend]]),
+  * stat/bloom/bucket file pruning with manifest-level list bands, and
   * snapshot expiry — the missing "history" half of [[graft.streaming.StreamingMerge]]'s
   * copy-on-write protocol (merge keeps only the latest state; this
   * keeps every committed version addressable).
