@@ -667,6 +667,28 @@ object SnapshotLog {
   def append(spark: SparkSession, root: String, df: DataFrame): Long =
     commit(spark, root, df, "append", keepBase = true)
 
+  /** Append INTO an existing hash-bucket layout: rows route through
+    * the same `pmod(hash(col), n)` range clustering as
+    * [[optimizeBucketed]] and the new files record their bucket bands
+    * — so growth keeps [[readBuckets]] pruning sharp instead of
+    * degrading to conservative keeps until the next re-bucket. The
+    * table's declared layout is the default (`numBuckets = 0` reads it
+    * from [[bucketLayout]]); pass an explicit n to seed a layout with
+    * the first append.
+    */
+  def appendBucketed(spark: SparkSession, root: String, df: DataFrame,
+      bucketBy: String, numBuckets: Int = 0): Long = {
+    val n =
+      if (numBuckets > 0) numBuckets
+      else bucketLayout(spark, root, bucketBy).getOrElse(
+        throw new IllegalArgumentException(
+          s"no bucket layout on $bucketBy under $root; pass numBuckets"))
+    commit(spark, root,
+      df.repartitionByRange(math.max(1, n), bucketExpr(bucketBy, n)),
+      "append", keepBase = true,
+      derivedStats = Seq(bucketStatName(bucketBy, n) -> bucketExpr(bucketBy, n)))
+  }
+
   /** Append recording per-file bloom filters on `blooms.cols` — the
     * skip index for point reads that min/max stats cannot serve: on an
     * append-ordered (or any non-key-clustered) 100 TB table every
@@ -1273,7 +1295,8 @@ object SnapshotLog {
 
   private def commit(spark: SparkSession, root: String, df: DataFrame,
       operation: String, keepBase: Boolean,
-      bloomSpec: Option[BloomSpec] = None): Long = {
+      bloomSpec: Option[BloomSpec] = None,
+      derivedStats: Seq[(String, Column)] = Nil): Long = {
     val base = currentId(spark, root)
     // append carries the parent's file LISTS by reference — the parent's
     // inventory is never opened, so append metadata I/O is O(#commits),
@@ -1308,7 +1331,7 @@ object SnapshotLog {
         (df.schema, nIds, nLast)
     }
     commitFiles(spark, root, df, operation, refs, inline, schema, bloomSpec,
-      tableIds0 = ids, lastColId0 = last)
+      derivedStats = derivedStats, tableIds0 = ids, lastColId0 = last)
   }
 
   /** Write `df`'s files, count rows per file (one small job — the counts

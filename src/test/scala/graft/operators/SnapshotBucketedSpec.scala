@@ -76,6 +76,31 @@ class SnapshotBucketedSpec extends SparkSpec {
     assert(rowSet(got) === rowSet(want))
   }
 
+  test("appendBucketed keeps growth prunable — and whole LISTS skip by band") {
+    val root = seeded()
+    // a bucketed append inherits the declared layout (n read from the
+    // table) and records bands — its rows stay bucket-prunable
+    SnapshotLog.appendBucketed(spark, root,
+      (100L to 131L).map(k => (k, s"v$k")).toDF("k", "v"), "k")
+    val got = SnapshotLog.readBuckets(spark, root, "k", N, Set(5L))
+    val want = SnapshotLog.read(spark, root)
+      .filter(pmod(hash(col("k")), lit(N)).cast("long") === 5L)
+    assert(rowSet(got) === rowSet(want))
+    // with TWO bucketed lists, a band mismatch skips a whole list: the
+    // single-bucket probe's kept files are a strict subset of both
+    // lists' files, proving per-list + per-file pruning compose
+    val all = SnapshotLog.snapshot(spark, root,
+      SnapshotLog.currentId(spark, root)).files
+    val (kept, _) = SnapshotLog.bucketFilesOf(spark, root, "k", N, Set(5L))
+    assert(kept.size < all.size,
+      s"no pruning across bucketed lists: ${kept.size} of ${all.size}")
+    // seeding a layout on a fresh column errors without an explicit n
+    intercept[IllegalArgumentException] {
+      SnapshotLog.appendBucketed(spark, root,
+        Seq((1L, "x")).toDF("k", "v"), "v")
+    }
+  }
+
   test("files appended after the re-bucket are conservatively kept") {
     val root = seeded()
     // a plain append records no bucket stat — its file must be KEPT by
