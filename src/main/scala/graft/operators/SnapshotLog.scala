@@ -169,6 +169,13 @@ object SnapshotLog {
   private def bucketExpr(column: String, n: Int): Column =
     pmod(hash(col(column)), lit(n)).cast("long")
 
+  /** The one derived-stat spec a bucketed writer records — shared by
+    * [[optimizeBucketed]] and [[appendBucketed]] so the layout encoding
+    * cannot drift between them.
+    */
+  private def bucketDerived(column: String, n: Int): Seq[(String, Column)] =
+    Seq(bucketStatName(column, n) -> bucketExpr(column, n))
+
   /** Derived bucket stats to recompute for a rewrite, inferred from the
     * stat names the parent's files already carry — a CoW commit keeps
     * whatever bucket layout the table declared (its rewritten files get
@@ -206,20 +213,29 @@ object SnapshotLog {
       asOf: Long = 0L): Option[Int] = {
     val id = if (asOf > 0) asOf else currentId(spark, root)
     if (id == 0) return None
+    val fs = fsOf(spark, root)
     val raw = rawManifest(spark, root, id)
     val schema = StructType.fromDDL(raw.schemaDdl)
     if (!schema.fieldNames.contains(column)) return None
+    def maxN(ns: Iterator[Int]): Option[Int] =
+      ns.foldLeft(Option.empty[Int])((a, n) => Some(math.max(a.getOrElse(0), n)))
+    // fast path: list BANDS already carry the layout key (re-keyed to
+    // current names by rename commits), so the common discovery is
+    // O(#commits) manifest bytes — no list is opened. Only a table
+    // whose bands lost the key (mixed-era lists) pays the per-file
+    // scan, which resolves physical names through ids.
+    val prefix = s"__bucket:$column:"
+    val fromBands = maxN(raw.refs.iterator.flatMap(_.band.keys)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toInt))
+    if (fromBands.isDefined) return fromBands
     val curIds = currentIdsOf(raw, schema)._1
-    snapshot(spark, root, id).files.iterator
-      .flatMap { f =>
-        // the stat key embeds the file's PHYSICAL name for the column
-        physNameIn(f, column, curIds).toSeq.flatMap { p =>
-          val prefix = s"__bucket:$p:"
-          f.stats.keys.filter(_.startsWith(prefix))
-            .map(_.stripPrefix(prefix).toInt)
-        }
+    val files = raw.inline ++ raw.refs.flatMap(r => readFileList(fs, root, r.path))
+    maxN(files.iterator.flatMap { f =>
+      physNameIn(f, column, curIds).toSeq.flatMap { p =>
+        val pfx = s"__bucket:$p:"
+        f.stats.keys.filter(_.startsWith(pfx)).map(_.stripPrefix(pfx).toInt)
       }
-      .foldLeft(Option.empty[Int])((a, n) => Some(math.max(a.getOrElse(0), n)))
+    })
   }
 
   private def manifestPath(root: String, id: Long): Path =
@@ -678,15 +694,18 @@ object SnapshotLog {
     */
   def appendBucketed(spark: SparkSession, root: String, df: DataFrame,
       bucketBy: String, numBuckets: Int = 0): Long = {
+    require(numBuckets >= 0, s"numBuckets must be >= 0, got $numBuckets")
+    require(df.columns.contains(bucketBy),
+      s"appended frame has no column $bucketBy")
     val n =
       if (numBuckets > 0) numBuckets
       else bucketLayout(spark, root, bucketBy).getOrElse(
         throw new IllegalArgumentException(
           s"no bucket layout on $bucketBy under $root; pass numBuckets"))
     commit(spark, root,
-      df.repartitionByRange(math.max(1, n), bucketExpr(bucketBy, n)),
+      df.repartitionByRange(n, bucketExpr(bucketBy, n)),
       "append", keepBase = true,
-      derivedStats = Seq(bucketStatName(bucketBy, n) -> bucketExpr(bucketBy, n)))
+      derivedStats = bucketDerived(bucketBy, n))
   }
 
   /** Append recording per-file bloom filters on `blooms.cols` — the
@@ -1614,8 +1633,7 @@ object SnapshotLog {
     commitFiles(spark, root,
       cur.repartitionByRange(numBuckets, bucketExpr(bucketBy, numBuckets)),
       "optimize-bucket", Seq.empty, Seq.empty, schema,
-      derivedStats = Seq(bucketStatName(bucketBy, numBuckets) ->
-        bucketExpr(bucketBy, numBuckets)),
+      derivedStats = bucketDerived(bucketBy, numBuckets),
       tableIds0 = ids, lastColId0 = last)
   }
 

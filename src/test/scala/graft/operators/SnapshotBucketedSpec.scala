@@ -79,21 +79,30 @@ class SnapshotBucketedSpec extends SparkSpec {
   test("appendBucketed keeps growth prunable — and whole LISTS skip by band") {
     val root = seeded()
     // a bucketed append inherits the declared layout (n read from the
-    // table) and records bands — its rows stay bucket-prunable
-    SnapshotLog.appendBucketed(spark, root,
-      (100L to 131L).map(k => (k, s"v$k")).toDF("k", "v"), "k")
+    // table) and records bands — its rows stay bucket-prunable. The
+    // batch is CONFINED to the low buckets (band is an interval: only
+    // a batch whose bucket range excludes the probe can prove a
+    // list-level skip)
+    val lowOnly = (100L to 163L).map(k => (k, s"v$k")).toDF("k", "v")
+      .filter(pmod(hash(col("k")), lit(N)).cast("long") <= 1L)
+    SnapshotLog.appendBucketed(spark, root, lowOnly, "k")
+    val headId = SnapshotLog.currentId(spark, root)
+    val newFiles = SnapshotLog.snapshot(spark, root, headId).files.toSet
+      .diff(SnapshotLog.snapshot(spark, root, headId - 1).files.toSet)
+    assert(newFiles.nonEmpty)
+    // probe bucket 5: the appended list's band [0,1] excludes it — the
+    // whole list (every new file) must be skipped at planning
+    val (kept, _) = SnapshotLog.bucketFilesOf(spark, root, "k", N, Set(5L))
+    assert(newFiles.forall(f => !kept.contains(f)),
+      s"appended list not band-skipped: kept ${kept.map(_.path)}")
     val got = SnapshotLog.readBuckets(spark, root, "k", N, Set(5L))
     val want = SnapshotLog.read(spark, root)
       .filter(pmod(hash(col("k")), lit(N)).cast("long") === 5L)
     assert(rowSet(got) === rowSet(want))
-    // with TWO bucketed lists, a band mismatch skips a whole list: the
-    // single-bucket probe's kept files are a strict subset of both
-    // lists' files, proving per-list + per-file pruning compose
-    val all = SnapshotLog.snapshot(spark, root,
-      SnapshotLog.currentId(spark, root)).files
-    val (kept, _) = SnapshotLog.bucketFilesOf(spark, root, "k", N, Set(5L))
-    assert(kept.size < all.size,
-      s"no pruning across bucketed lists: ${kept.size} of ${all.size}")
+    // and probing the appended batch's own bucket returns its rows
+    assert(SnapshotLog.readBuckets(spark, root, "k", N, Set(0L, 1L))
+      .filter(col("k") >= 100L).count() ===
+      lowOnly.count())
     // seeding a layout on a fresh column errors without an explicit n
     intercept[IllegalArgumentException] {
       SnapshotLog.appendBucketed(spark, root,
