@@ -1209,6 +1209,47 @@ object SnapshotLog {
       editKey = c => Some(if (c == from) to else c))
   }
 
+  /** Legal lossless type promotions — the widenings Spark 4's parquet
+    * readers apply at scan time, so a widen commit never rewrites data
+    * (old narrow files upcast in the reader; WidenSpec probes the
+    * capability).
+    */
+  private def isWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** WIDEN a column's type WITHOUT touching data — metadata-only, like
+    * [[renameColumn]]: the schema records the wider type, the field id
+    * is unchanged, and reads upcast old narrow files at the scan.
+    * Only lossless promotions are allowed; stats stay valid (numeric
+    * bounds compare as decimals regardless of width).
+    */
+  def widenColumn(spark: SparkSession, root: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    val base = currentId(spark, root)
+    require(base > 0, s"widenColumn on empty log $root")
+    val raw = rawManifest(spark, root, base)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    require(schema.fieldNames.contains(name), s"no column $name in $root")
+    val from = schema(name).dataType
+    if (from == to) return base
+    require(isWidening(from, to),
+      s"cannot widen $name: $from -> $to is not a lossless promotion")
+    val (ids, last) = currentIdsOf(raw, schema)
+    commitMetadata(spark, root, base, raw,
+      StructType(schema.fields.map(f =>
+        if (f.name == name) f.copy(dataType = to) else f)),
+      ids, last, "widen", editKey = Some(_))
+  }
+
   /** Drop a column WITHOUT touching data — metadata-only, like
     * [[renameColumn]]. The id retires with the name: re-adding the
     * name later assigns a NEW id, so the dropped data never reappears.
@@ -1537,7 +1578,10 @@ object SnapshotLog {
     val schema = StructType.fromDDL(to.schemaDdl)
     StructType.fromDDL(from.schemaDdl).fields.foreach { f =>
       schema.fields.find(_.name == f.name).foreach(tf =>
-        require(tf.dataType == f.dataType,
+        // a lossless WIDENING is diffable (both sides read upcast to
+        // the wide type, so carried rows still cancel); an arbitrary
+        // retype is not
+        require(tf.dataType == f.dataType || isWidening(f.dataType, tf.dataType),
           s"changes($fromId, $toId) spans a retype of column ${f.name} " +
             s"(${f.dataType} -> ${tf.dataType}); no row-level diff is defined " +
             "across an overwrite that changed column types"))
@@ -2035,6 +2079,21 @@ object SnapshotLog {
       publishStaged(s, root, key)
     }.resolve("log").toString
 
+  /** Staged widen-evolution log: even keys appended with a NARROW
+    * (int) customer key, a metadata-only widen to long, odd keys
+    * appended wide — the read must upcast the narrow era at the scan.
+    */
+  private def widenLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttwiden_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .withColumn("o_custkey", col("o_custkey").cast("int")))
+      widenColumn(s, root, "o_custkey", org.apache.spark.sql.types.LongType)
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+    }.resolve("log").toString
+
   /** Staged rename-evolution log: even keys appended under the
     * original column name, a metadata-only RENAME, odd keys appended
     * under the new name, then a CoW delete filtering on the renamed
@@ -2414,6 +2473,24 @@ object SnapshotLog {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { wapLog(s, dir); () })
+    ),
+
+    // TT17: lossless type widening — half the table written with an
+    // INT customer key, widened to BIGINT metadata-only, the other
+    // half written wide. The full read must upcast the narrow era at
+    // the scan and serve ONE bigint column; the oracle is the plain
+    // relational result (custkey is bigint at the source). A widen
+    // that rewrote data, dropped the narrow era, or read it as null
+    // breaks the hash.
+    Q(
+      "tt17_widen_evolution",
+      (s, dir) => {
+        val root = widenLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { widenLog(s, dir); () })
     )
   )
 }
