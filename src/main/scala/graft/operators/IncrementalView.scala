@@ -60,6 +60,13 @@ object IncrementalView {
   private def keyOut(keys: Seq[String]): Seq[Column] =
     keys.map(k => coalesce(col(s"_s.$k"), col(s"_d.$k")).as(k))
 
+  /** NULL-measure contract: maintained sums treat NULL contributions
+    * as 0 (an all-NULL group shows `sum = 0` where a from-scratch
+    * `SUM()` would show NULL) — applied consistently at bootstrap and
+    * fold. Exact NULL propagation would need a per-column non-null
+    * count in the view state; the 0-convention keeps the state minimal
+    * and the fold exact for every non-null value.
+    */
   def applyDelta(state: Option[DataFrame], delta: DataFrame,
       keys: Seq[String], sumCols: Seq[String]): DataFrame = {
     val sign = when(col("change") === "insert", lit(1L)).otherwise(lit(-1L))
@@ -70,7 +77,8 @@ object IncrementalView {
       case None =>
         deltaAgg.select(
           keys.map(col) ++ Seq(col("d_n").as("n")) ++
-            sumCols.map(c => col(s"d_sum_$c").as(s"sum_$c")): _*)
+            sumCols.map(c =>
+              coalesce(col(s"d_sum_$c"), lit(0L)).as(s"sum_$c")): _*)
       case Some(st) =>
         alignOnKeys(st, deltaAgg, keys, "full_outer").select(
           keyOut(keys) ++ Seq(
@@ -84,24 +92,20 @@ object IncrementalView {
     folded.filter(col("n") > 0)
   }
 
-  /** Materialize the view over a [[SnapshotLog]] by folding every
-    * snapshot transition in `(0, current]` — each step aggregates one
-    * transition's churn, with `localCheckpoint` severing the fold's
-    * self-referential lineage (same loop discipline as
-    * [[GraphOps.pageRank]]). A long-lived deployment persists the state
-    * and the last applied snapshot id, then folds only the tail.
+  /** Materialize the view over a [[SnapshotLog]] as ONE fold of the
+    * net window `changes(0, current)` — the additive fold is
+    * net-invariant, so the bootstrap is a single aggregation of the
+    * final content-as-inserts (the scale-honest shape
+    * [[materializeJoin]] uses for the same reason; the r9
+    * per-transition replay ran #snapshots blocking jobs for the
+    * identical answer). A long-lived deployment uses [[refresh]],
+    * which folds only `(applied, current]`.
     */
   def materialize(spark: SparkSession, root: String,
       keys: Seq[String], sumCols: Seq[String]): DataFrame = {
     val hi = SnapshotLog.currentId(spark, root)
     require(hi > 0, s"materialize over empty log $root")
-    var state: Option[DataFrame] = None
-    (0L until hi).foreach { i =>
-      val delta = SnapshotLog.changes(spark, root, i, i + 1)
-      state = Some(
-        applyDelta(state, delta, keys, sumCols).localCheckpoint(true))
-    }
-    state.get
+    applyDelta(None, SnapshotLog.changes(spark, root, 0L, hi), keys, sumCols)
   }
 
   /** Operation tag recording which table snapshot a view commit
@@ -135,8 +139,11 @@ object IncrementalView {
     require(cur >= applied,
       s"view at $viewRoot reflects snapshot $applied but table is at $cur")
     if (cur == applied) return applied
-    val delta = SnapshotLog.changelog(spark, tableRoot, applied, cur)
-      .drop("snapshot_id")
+    // the NET window diff, not the per-transition changelog union: a
+    // view far behind folds one file-diff (rows that churned in and
+    // back out inside the window cancel to zero reads), and applyDelta
+    // is net-invariant so the answer is identical
+    val delta = SnapshotLog.changes(spark, tableRoot, applied, cur)
     val state =
       if (applied == 0L) None else Some(SnapshotLog.read(spark, viewRoot))
     val next = applyDelta(state, delta, keys, sumCols)
@@ -247,8 +254,10 @@ object IncrementalView {
       case None => (0L, 0L)
       case Some(op) =>
         require(op.startsWith(prefix), s"not a $prefix view log: operation $op")
-        val Array(a, b) = op.stripPrefix(prefix).split(',')
-        (a.toLong, b.toLong)
+        val parts = op.stripPrefix(prefix).split(',')
+        require(parts.length == 2,
+          s"malformed cursor tag at $viewRoot: $op (expected $prefix<a>,<b>)")
+        (parts(0).toLong, parts(1).toLong)
     }
 
   /** Distinct hash buckets a delta's join keys land in under an n-bucket
@@ -398,8 +407,16 @@ object IncrementalView {
     // semi-join: a NULL group key is a group like any other)
     val touched = deltaAgg.filter(col("d_del") === 1)
       .select(keys.map(col): _*)
+    require(mmCols.nonEmpty,
+      "applyDeltaMinMax needs at least one min/max column (for a " +
+        "count-only view use applyDelta with empty sumCols)")
+    // the hit marker distinguishes "group absent from the recompute"
+    // from "recomputed bound is genuinely NULL (surviving rows all
+    // null)" — a bare coalesce would keep the stale pre-delete bound
+    // in the second case
     val rAggs = mmCols.flatMap(c => Seq(
-      min(col(c)).as(s"r_min_$c"), max(col(c)).as(s"r_max_$c")))
+      min(col(c)).as(s"r_min_$c"), max(col(c)).as(s"r_max_$c"))) :+
+      max(lit(1)).as("r_hit")
     val recomputed = alignOnKeys(current, touched, keys, "left_semi")
       .groupBy(keys.map(col): _*)
       .agg(rAggs.head, rAggs.tail: _*)
@@ -425,8 +442,10 @@ object IncrementalView {
       .select(
         keys.map(k => col(s"_s.$k").as(k)) ++ Seq(col("_s.n").as("n")) ++
           mmCols.flatMap(c => Seq(
-            coalesce(col(s"_d.r_min_$c"), col(s"_s.min_$c")).as(s"min_$c"),
-            coalesce(col(s"_d.r_max_$c"), col(s"_s.max_$c")).as(s"max_$c"))): _*)
+            when(col("_d.r_hit").isNotNull, col(s"_d.r_min_$c"))
+              .otherwise(col(s"_s.min_$c")).as(s"min_$c"),
+            when(col("_d.r_hit").isNotNull, col(s"_d.r_max_$c"))
+              .otherwise(col(s"_s.max_$c")).as(s"max_$c"))): _*)
       .filter(col("n") > 0)
   }
 
@@ -446,7 +465,10 @@ object IncrementalView {
     require(cur >= applied,
       s"view at $viewRoot reflects snapshot $applied but table is at $cur")
     if (cur == applied) return applied
+    // checkpointed: the delta feeds BOTH the fold and the
+    // touched-group recompute — it must compute once, not per consumer
     val delta = SnapshotLog.changes(spark, tableRoot, applied, cur)
+      .localCheckpoint(true)
     val state =
       if (applied == 0L) None else Some(SnapshotLog.read(spark, viewRoot))
     val next = applyDeltaMinMax(state, delta,
@@ -456,12 +478,13 @@ object IncrementalView {
   }
 
   val all: Seq[Q] = Seq(
-    // IV1: the per-status (count, key-sum) view maintained INCREMENTALLY
-    // across ordersLog's whole history (3 appends + CoW delete) must
-    // equal the view a from-scratch aggregation of the FINAL state
-    // builds — the oracle computes the latter relationally. A wrong
-    // sign, a dropped delta, or a lingering zero-count group all break
-    // the hash.
+    // IV1: the per-status (count, key-sum) view BOOTSTRAPPED as one
+    // net-window fold of ordersLog's whole history (3 appends + CoW
+    // delete, changes(0, hi)) must equal the view a from-scratch
+    // aggregation of the FINAL state builds — the oracle computes the
+    // latter relationally. A wrong sign, a dropped delta, or a
+    // lingering zero-count group all break the hash. The live
+    // multi-window incremental path is iv2's cursor refresh.
     Q(
       "iv1_incremental_view",
       (s, dir) => {

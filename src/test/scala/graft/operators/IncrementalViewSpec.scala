@@ -277,6 +277,24 @@ class IncrementalViewSpec extends SparkSpec {
       "deleted max of a null-key group must recompute")
   }
 
+  test("NULL measures: deleted last non-null extremum recomputes to NULL, not stale") {
+    val base = java.nio.file.Files.createTempDirectory("graft_iv_nullv")
+    val table = base.resolve("table").toString
+    val view = base.resolve("view").toString
+    SnapshotLog.append(spark, table,
+      Seq(("a", 1L, Some(5L)), ("a", 2L, Option.empty[Long]))
+        .toDF("g", "k", "x"))
+    IncrementalView.refreshMinMax(spark, view, table, Seq("g"), Seq("x"))
+    // delete the only non-null row: the recomputed bound is genuinely
+    // NULL and must replace the stale 5, not fall back to it
+    SnapshotLog.deleteWhere(spark, table, col("k") === 1L)
+    IncrementalView.refreshMinMax(spark, view, table, Seq("g"), Seq("x"))
+    val r = SnapshotLog.read(spark, view).collect()
+    assert(r.length === 1 && r(0).getLong(1) === 1L)
+    assert(r(0).isNullAt(2) && r(0).isNullAt(3),
+      s"stale bound survived an all-null recompute: ${r(0)}")
+  }
+
   test("delta-x-delta cross term: same-batch inserts on both sides join once") {
     val rootA = newRoot()
     val rootB = newRoot()
