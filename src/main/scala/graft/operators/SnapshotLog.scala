@@ -9,11 +9,14 @@ import graft.{Q, Tables}
 
 /** Iceberg-style snapshot log: an immutable-file table format with
   * atomic manifest commits, time travel, copy-on-write
-  * delete/merge, field-id schema evolution ([[renameColumn]]/
-  * [[dropColumn]] as metadata-only commits), metadata-only
-  * [[rollback]], write-audit-publish staging ([[stageAppend]]),
-  * stat/bloom/bucket file pruning with manifest-level list bands, and
-  * snapshot expiry — the missing "history" half of [[graft.streaming.StreamingMerge]]'s
+  * delete/merge, MERGE-ON-READ positional delete vectors
+  * ([[deleteWhereMoR]] + [[rewriteDeletes]] compaction — Iceberg v2
+  * deletes / Delta deletion vectors), field-id schema evolution
+  * ([[renameColumn]]/[[dropColumn]] as metadata-only commits),
+  * metadata-only [[rollback]], write-audit-publish staging
+  * ([[stageAppend]]), stat/bloom/bucket file pruning with
+  * manifest-level list bands, and snapshot expiry — the missing
+  * "history" half of [[graft.streaming.StreamingMerge]]'s
   * copy-on-write protocol (merge keeps only the latest state; this
   * keeps every committed version addressable).
   *
@@ -36,6 +39,16 @@ import graft.{Q, Tables}
   *   snap/l_<snap>_<uuid>.list            one immutable FILE LIST: a
   *                                        `relpath<TAB>rowcount<TAB>stats`
   *                                        line per data file it tracks
+  *   snap/d_<snap>_<uuid>.list            one immutable DELETE LIST
+  *                                        (merge-on-read): a
+  *                                        `target<TAB>deadRows<TAB>dvdir`
+  *                                        line per dirty data file,
+  *                                        referenced by `D` manifest
+  *                                        lines and carried like M refs
+  *   data/c<snap>_dv_<uuid>/part-*.parquet positional delete vectors:
+  *                                        (t_path, t_pos) rows naming
+  *                                        dead coordinates in immutable
+  *                                        data files
   * }}}
   *
   * A commit writes ONE new file list holding only ITS files (plus any
@@ -266,17 +279,35 @@ object SnapshotLog {
   private final case class ListRef(path: String, nFiles: Int, rows: Long,
       band: Map[String, (String, String)] = Map.empty)
 
+  /** One DELETE-VECTOR list reference inside a manifest (line
+    * `D<TAB>listpath<TAB>nTargets<TAB>delRows`): the merge-on-read twin
+    * of [[ListRef]]. The referenced delete list records, per target
+    * data file, how many of its rows a positional delete vector has
+    * marked dead and which DV parquet dir holds the (path, pos) pairs.
+    * Carried BY REFERENCE across later commits exactly like file
+    * lists, so MoR metadata stays O(#commits).
+    */
+  private final case class DeleteRef(path: String, nTargets: Int, delRows: Long)
+
+  /** One delete-list line: target data file, rows its DVs kill, and
+    * the DV parquet dir holding those (t_path, t_pos) rows.
+    */
+  private final case class DeleteEntry(target: String, delRows: Long, dvDir: String)
+
   /** A parsed manifest before file-list resolution: `refs` are the v2
     * tree references; `inline` are legacy flat-manifest file lines (a
     * pre-tree manifest is all-inline; a tree manifest is all-refs).
     * `ids` is the snapshot's name→field-id map (empty = pre-field-id
     * manifest, resolved by name); `lastColId` the high-water id so new
-    * columns never reuse a retired id.
+    * columns never reuse a retired id. `dRefs` are outstanding
+    * merge-on-read delete-vector lists (empty on CoW-only tables —
+    * every pre-MoR manifest parses with none).
     */
   private final case class RawManifest(id: Long, parent: Long,
       operation: String, rows: Long, schemaDdl: String,
       refs: Seq[ListRef], inline: Seq[FileEntry],
-      ids: Map[String, Int] = Map.empty, lastColId: Int = 0)
+      ids: Map[String, Int] = Map.empty, lastColId: Int = 0,
+      dRefs: Seq[DeleteRef] = Seq.empty)
 
   private def readTextFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -363,7 +394,8 @@ object SnapshotLog {
       if (h.length >= 7) (parseIds(h(5)), h(6).toInt)
       else (Map.empty[String, Int], 0)
     val body = lines.tail.filter(_.nonEmpty)
-    val (refLines, inlineLines) = body.partition(_.startsWith("M\t"))
+    val (refLines, rest) = body.partition(_.startsWith("M\t"))
+    val (dLines, inlineLines) = rest.partition(_.startsWith("D\t"))
     val refs = refLines.map { l =>
       l.split('\t') match {
         case Array(_, lp, n, r) => ListRef(lp, n.toInt, r.toLong)
@@ -372,8 +404,14 @@ object SnapshotLog {
         case _ => throw new IllegalStateException(s"bad manifest line: $l")
       }
     }
+    val dRefs = dLines.map { l =>
+      l.split('\t') match {
+        case Array(_, lp, n, r) => DeleteRef(lp, n.toInt, r.toLong)
+        case _ => throw new IllegalStateException(s"bad manifest line: $l")
+      }
+    }
     RawManifest(hid.toLong, parent.toLong, op, rows.toLong, ddl,
-      refs, inlineLines.map(parseFileLine), hIds, hLast)
+      refs, inlineLines.map(parseFileLine), hIds, hLast, dRefs)
   }
 
   /** The snapshot's name→id map plus high-water id, with the legacy
@@ -391,6 +429,60 @@ object SnapshotLog {
   private def readFileList(fs: FileSystem, root: String, rel: String): Seq[FileEntry] =
     readTextFile(fs, new Path(s"$root/$rel")).split('\n').toSeq
       .filter(_.nonEmpty).map(parseFileLine)
+
+  // ---- merge-on-read delete vectors: a `deleteWhereMoR` writes NO
+  // data file — it records the matched rows' (file, row_index) pairs
+  // in a DV parquet dir and commits a DELETE LIST naming each target
+  // file, its dead-row count, and the DV dir. Readers anti-join only
+  // the DIRTY files against the DV rows; clean files scan exactly as
+  // before. At 100 TB this turns "delete 1 row from each of 10k hot
+  // files" from a 10k-file CoW rewrite into one churn-sized DV write
+  // (Iceberg v2 positional deletes / Delta deletion vectors);
+  // [[rewriteDeletes]] is the compaction that folds DVs back into
+  // data files when read amplification warrants it. ----
+
+  /** Resolve one referenced delete list (immutable, uuid-named):
+    * `target<TAB>delRows<TAB>dvDir` lines.
+    */
+  private def readDeleteList(fs: FileSystem, root: String,
+      rel: String): Seq[DeleteEntry] =
+    readTextFile(fs, new Path(s"$root/$rel")).split('\n').toSeq
+      .filter(_.nonEmpty).map { l =>
+        l.split('\t') match {
+          case Array(t, n, d) => DeleteEntry(t, n.toLong, d)
+          case _ => throw new IllegalStateException(s"bad delete line: $l")
+        }
+      }
+
+  /** Write a new immutable delete list; returns its DeleteRef. Same
+    * no-publish discipline as [[writeFileList]]: unreferenced until a
+    * manifest rename points at it.
+    */
+  private def writeDeleteList(fs: FileSystem, root: String, snapId: Long,
+      entries: Seq[DeleteEntry]): DeleteRef = {
+    val rel = s"snap/d_${snapId}_${java.util.UUID.randomUUID().toString.take(8)}.list"
+    val p = new Path(s"$root/$rel")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, false)
+    try out.write(entries.map(e => s"${e.target}\t${e.delRows}\t${e.dvDir}")
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    DeleteRef(rel, entries.size, entries.iterator.map(_.delRows).sum)
+  }
+
+  /** All outstanding delete entries of a snapshot, grouped by target
+    * data file — O(#dirty files) driver metadata, the planning-scale
+    * set a DV-aware read needs to split clean from dirty.
+    */
+  private def deleteMapOf(fs: FileSystem, root: String,
+      raw: RawManifest): Map[String, Seq[DeleteEntry]] =
+    if (raw.dRefs.isEmpty) Map.empty
+    else raw.dRefs.flatMap(r => readDeleteList(fs, root, r.path))
+      .groupBy(_.target)
+
+  /** Manifest lines for carried delete refs. */
+  private def dRefLines(dRefs: Seq[DeleteRef]): Seq[String] =
+    dRefs.map(r => s"D\t${r.path}\t${r.nTargets}\t${r.delRows}")
 
   /** Order for a recorded stat key, if a sound one is known: numeric
     * for numeric schema columns and derived `__bucket:` stats, the
@@ -501,7 +593,7 @@ object SnapshotLog {
     val files = raw.inline ++
       raw.refs.flatMap(r => readFileList(fs, root, r.path))
     val schema = StructType.fromDDL(raw.schemaDdl)
-    resolvedRead(spark, root, files, schema, currentIdsOf(raw, schema)._1)
+    dvRead(spark, root, raw, files, schema, currentIdsOf(raw, schema)._1)
   }
 
   /** Read `files` under `schema`, resolving columns by FIELD ID: each
@@ -541,6 +633,90 @@ object SnapshotLog {
       }.reduce(_ unionByName _)
   }
 
+  /** [[resolvedRead]] plus two virtual columns: `__path` (the file's
+    * manifest-relative path — the greedy regexp keeps everything from
+    * the LAST `/data/` component, matching [[relativize]]) and `__pos`
+    * (the row's position within its file, parquet's `_metadata
+    * .row_index`). The coordinate system positional delete vectors
+    * address rows in; stable because data files are immutable.
+    */
+  private def resolvedReadWithPos(spark: SparkSession, root: String,
+      files: Seq[FileEntry], schema: StructType,
+      curIds: Map[String, Int]): DataFrame = {
+    if (files.isEmpty) {
+      val wide = StructType(schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("__path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__pos",
+          org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], wide)
+    }
+    def projectionOf(f: FileEntry): Seq[Option[String]] =
+      schema.fields.toSeq.map { c =>
+        if (f.ids.isEmpty) Some(c.name)
+        else curIds.get(c.name).flatMap(id =>
+          f.ids.collectFirst { case (phys, i) if i == id => phys })
+      }
+    files.groupBy(projectionOf).toSeq.sortBy(_._2.head.path)
+      .map { case (proj, group) =>
+        val physFields = schema.fields.toSeq.zip(proj).collect {
+          case (c, Some(phys)) =>
+            org.apache.spark.sql.types.StructField(phys, c.dataType, nullable = true)
+        }
+        spark.read.schema(StructType(physFields))
+          .parquet(group.map(f => s"$root/${f.path}"): _*)
+          .select(schema.fields.toSeq.zip(proj).map {
+            case (c, Some(phys)) => col(phys).as(c.name)
+            case (c, None) => lit(null).cast(c.dataType).as(c.name)
+          } ++ Seq(
+            regexp_extract(col("_metadata.file_path"), ".*/(data/.*)$", 1)
+              .as("__path"),
+            col("_metadata.row_index").as("__pos")): _*)
+      }.reduce(_ unionByName _)
+  }
+
+  /** DV-aware read: `files` under `schema`, minus any rows the
+    * snapshot's outstanding delete vectors mark dead. Clean files take
+    * exactly the [[resolvedRead]] scan (zero overhead — a table with
+    * no MoR deletes never touches this path's join); dirty files
+    * anti-join their (path, pos) coordinates against the DV rows,
+    * which are broadcast when the manifest's recorded delete counts
+    * say they fit (metadata-driven plan choice — no sampling job). The
+    * scan cost a DV adds is bounded by the DIRTY files plus the DV
+    * rows, never the table.
+    */
+  private def dvRead(spark: SparkSession, root: String, raw: RawManifest,
+      files: Seq[FileEntry], schema: StructType,
+      curIds: Map[String, Int]): DataFrame =
+    dvApply(spark, root, files, schema, curIds,
+      deleteMapOf(fsOf(spark, root), root, raw))
+
+  /** [[dvRead]]'s core with an explicit delete map — [[changes]] needs
+    * to apply EACH SIDE's own vectors to that side's file diff.
+    */
+  private def dvApply(spark: SparkSession, root: String,
+      files: Seq[FileEntry], schema: StructType, curIds: Map[String, Int],
+      dv: Map[String, Seq[DeleteEntry]]): DataFrame = {
+    val (dirty, clean) = files.partition(f => dv.contains(f.path))
+    if (dirty.isEmpty)
+      return resolvedRead(spark, root, files, schema, curIds)
+    val cleanDf = resolvedRead(spark, root, clean, schema, curIds)
+    val posDf = resolvedReadWithPos(spark, root, dirty, schema, curIds)
+    val dvDirs = dirty.flatMap(f => dv(f.path)).map(_.dvDir).distinct.sorted
+    val dvRows = spark.read.parquet(dvDirs.map(d => s"$root/$d"): _*)
+      .select(col("t_path"), col("t_pos"))
+    // extra DV rows addressing files outside `dirty` (a pruned read)
+    // can never match the anti-join — no filter needed, the join is
+    // exact on the (file, position) coordinate
+    val delTotal = dv.valuesIterator.flatten.map(_.delRows).sum
+    val build = if (delTotal <= 4000000L) broadcast(dvRows) else dvRows
+    val applied = posDf.join(build,
+      posDf("__path") === build("t_path") && posDf("__pos") === build("t_pos"),
+      "left_anti")
+      .drop("__path", "__pos")
+    cleanDf.unionByName(applied)
+  }
+
   /** The PHYSICAL name under which file `f` recorded data/stats for
     * current column `cur` — the file's own name for cur's field id
     * (exact across renames), or `cur` itself for id-less legacy files;
@@ -572,7 +748,7 @@ object SnapshotLog {
     val (kept, schema) = rangeFiles(spark, root, column, lower, upper, id)
     val raw = rawManifest(spark, root, id)
     val dt = schema(column).dataType
-    val base = resolvedRead(spark, root, kept, schema, currentIdsOf(raw, schema)._1)
+    val base = dvRead(spark, root, raw, kept, schema, currentIdsOf(raw, schema)._1)
     val c = col(column)
     val withLo = lower.map(l => base.filter(c >= lit(l).cast(dt))).getOrElse(base)
     upper.map(u => withLo.filter(c <= lit(u).cast(dt))).getOrElse(withLo)
@@ -641,7 +817,13 @@ object SnapshotLog {
     val raw = rawManifest(spark, root, id)
     val schema = StructType.fromDDL(s.schemaDdl)
     val curIds = currentIdsOf(raw, schema)._1
-    val nRows = s.files.map(_.rows).sum
+    // outstanding delete vectors keep the LIVE count exact (the header
+    // maintains it per MoR commit), but a per-file min/max may now be
+    // carried by a dead row — bounds go null and the caller falls back
+    // to a scan, never a stale extremum
+    val nRows = s.files.map(_.rows).sum -
+      raw.dRefs.iterator.map(_.delRows).sum
+    val morDirty = raw.dRefs.nonEmpty
     // zero-row files constrain nothing (append() tolerates empty
     // tasks, which record no stats) — they must not null the bounds
     val live = s.files.filter(_.rows > 0)
@@ -657,7 +839,7 @@ object SnapshotLog {
       // like a scan, such rows contribute nothing to min/max, so the
       // remaining files' bounds fold to the true answer.
       val bounds =
-        if (live.nonEmpty && !live.exists(_.stats.isEmpty) &&
+        if (!morDirty && live.nonEmpty && !live.exists(_.stats.isEmpty) &&
           perFile.flatten.nonEmpty) {
           val mins = perFile.flatten.map(_._1)
           val maxs = perFile.flatten.map(_._2)
@@ -737,7 +919,7 @@ object SnapshotLog {
     val (kept, schema) = pointFiles(spark, root, column, value, id)
     val raw = rawManifest(spark, root, id)
     val dt = schema(column).dataType
-    resolvedRead(spark, root, kept, schema, currentIdsOf(raw, schema)._1)
+    dvRead(spark, root, raw, kept, schema, currentIdsOf(raw, schema)._1)
       .filter(col(column) === lit(value).cast(dt))
   }
 
@@ -799,7 +981,7 @@ object SnapshotLog {
     val base =
       if (buckets.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else resolvedRead(spark, root, kept, schema, currentIdsOf(raw, schema)._1)
+      else dvRead(spark, root, raw, kept, schema, currentIdsOf(raw, schema)._1)
     base.filter(bucketExpr(column, numBuckets).isin(buckets.toSeq: _*))
   }
 
@@ -934,7 +1116,8 @@ object SnapshotLog {
           s"\t${idsField(ids)}\t$last") +:
           (refs.map(r =>
             s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
-            head.inline.map(fileLine)))
+            head.inline.map(fileLine) ++
+            dRefLines(head.dRefs)))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       if (publish(fs, tmp, m)) {
@@ -1002,6 +1185,9 @@ object SnapshotLog {
     require(base > 0, s"deleteWhere on empty log $root")
     val fs = fsOf(spark, root)
     val raw = rawManifest(spark, root, base)
+    require(raw.dRefs.isEmpty,
+      s"$root has outstanding merge-on-read delete vectors; " +
+        "run rewriteDeletes (or optimize) before a partial CoW rewrite")
     val groups = raw.refs.map(r => r -> readFileList(fs, root, r.path))
     val allFiles = raw.inline ++ groups.flatMap(_._2)
     if (allFiles.isEmpty) return base
@@ -1043,6 +1229,236 @@ object SnapshotLog {
       tableIds0 = tableIds, lastColId0 = lastColId)
   }
 
+  /** MERGE-ON-READ delete: record the matched rows as a positional
+    * DELETE VECTOR — (file, row_index) pairs in one parquet dir — and
+    * commit a metadata line pointing at them; NO data file is read
+    * back, rewritten, or moved. Readers apply the vector by
+    * anti-joining only the dirty files' rows ([[dvRead]]), so the read
+    * overhead is bounded by the dirty files + DV rows. This is Iceberg
+    * v2's positional delete / Delta's deletion vector: at 100 TB,
+    * deleting one row from each of 10k hot files costs one churn-sized
+    * DV write here versus a 10k-file rewrite under [[deleteWhere]] —
+    * MoR trades that write amplification for bounded read
+    * amplification, and [[rewriteDeletes]] folds the vectors back into
+    * data files when the trade should flip. Partial CoW rewrites
+    * ([[deleteWhere]]/[[mergeInto]]/[[optimizeBinPack]]) refuse while
+    * vectors are outstanding (they would need DV-aware carry rules);
+    * full rewrites ([[optimize]]/[[optimizeBucketed]]) read through
+    * [[read]] and so apply-and-drop the vectors naturally.
+    *
+    * Discovery scans the LIVE view (existing vectors applied), so an
+    * overlapping second MoR delete can never record the same
+    * coordinate twice — the header's live row count stays exact. A
+    * no-match delete commits nothing (same no-op rule as
+    * [[deleteWhere]]).
+    */
+  def deleteWhereMoR(spark: SparkSession, root: String, pred: Column): Long = {
+    val base = currentId(spark, root)
+    require(base > 0, s"deleteWhereMoR on empty log $root")
+    val fs = fsOf(spark, root)
+    val raw = rawManifest(spark, root, base)
+    val allFiles = raw.inline ++
+      raw.refs.flatMap(r => readFileList(fs, root, r.path))
+    if (allFiles.isEmpty) return base
+    val tableSchema = StructType.fromDDL(raw.schemaDdl)
+    val (tableIds, lastColId) = currentIdsOf(raw, tableSchema)
+    val live = livePosRead(spark, root, raw, allFiles, tableSchema, tableIds)
+    // NULL-predicate rows are NOT matches (same three-valued rule as
+    // deleteWhere's survivor filter, from the opposite side)
+    val next = base + 1
+    val hits = live.filter(coalesce(pred, lit(false)))
+      .select(col("__path").as("t_path"), col("__pos").as("t_pos"))
+    writeDeleteVector(spark, root, hits, next) match {
+      case None => base
+      case Some((dRef, dvDir)) =>
+        val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
+        val m = manifestPath(root, next)
+        val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+        fs.mkdirs(m.getParent)
+        val out = fs.create(tmp, true)
+        try out.write(
+          ((s"$next\t$base\tmor-delete\t${raw.rows - dRef.delRows}\t$ddl" +
+            s"\t${idsField(tableIds)}\t$lastColId") +:
+            (raw.refs.map(r =>
+              s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+              raw.inline.map(fileLine) ++
+              dRefLines(raw.dRefs :+ dRef)))
+            .mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        if (!publish(fs, tmp, m)) {
+          fs.delete(tmp, false)
+          fs.delete(new Path(s"$root/${dRef.path}"), false)
+          fs.delete(new Path(s"$root/$dvDir"), true)
+          throw new IllegalStateException(
+            s"deleteWhereMoR on $root conflicted with a concurrent snapshot; " +
+              "recompute against the new current snapshot and retry")
+        }
+        next
+    }
+  }
+
+  /** The snapshot's LIVE rows with their (file, position) coordinates —
+    * existing vectors applied. The view every MoR writer's discovery
+    * scans: a coordinate can never match twice across overlapping
+    * commits because a dead row never reappears here.
+    */
+  private def livePosRead(spark: SparkSession, root: String,
+      raw: RawManifest, files: Seq[FileEntry], schema: StructType,
+      curIds: Map[String, Int]): DataFrame = {
+    val pos = resolvedReadWithPos(spark, root, files, schema, curIds)
+    val dv = deleteMapOf(fsOf(spark, root), root, raw)
+    if (dv.isEmpty) pos
+    else {
+      val dvDirs = dv.values.flatten.map(_.dvDir).toSeq.distinct.sorted
+      val dvRows = spark.read.parquet(dvDirs.map(d => s"$root/$d"): _*)
+        .select(col("t_path"), col("t_pos"))
+      val build =
+        if (raw.dRefs.iterator.map(_.delRows).sum <= 4000000L) broadcast(dvRows)
+        else dvRows
+      pos.join(build,
+        pos("__path") === build("t_path") && pos("__pos") === build("t_pos"),
+        "left_anti")
+    }
+  }
+
+  /** Write `hits` (t_path, t_pos) as snapshot `next`'s DV parquet dir
+    * plus its delete list; None (dir reclaimed) when nothing matched.
+    * The per-target dead-row counts are O(#dirty files) driver
+    * metadata, the same bounded class as deleteWhere's hit-file set.
+    */
+  private def writeDeleteVector(spark: SparkSession, root: String,
+      hits: DataFrame, next: Long): Option[(DeleteRef, String)] = {
+    val fs = fsOf(spark, root)
+    val dvDir =
+      s"data/c${next}_dv_${java.util.UUID.randomUUID().toString.take(8)}"
+    hits.write.parquet(s"$root/$dvDir")
+    val perTarget = spark.read.parquet(s"$root/$dvDir")
+      .groupBy(col("t_path")).agg(count(lit(1)).as("n"))
+      .agg(collect_list(struct(col("t_path"), col("n")))).head().getSeq[Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    if (perTarget.isEmpty) {
+      fs.delete(new Path(s"$root/$dvDir"), true)
+      None
+    } else Some((writeDeleteList(fs, root, next,
+      perTarget.sortBy(_._1).map { case (t, n) => DeleteEntry(t, n, dvDir) }),
+      dvDir))
+  }
+
+  /** Fold every outstanding delete vector back into data files: the
+    * DIRTY files (and only those) rewrite to their DV-applied content,
+    * clean file lists carry by reference, and the commit drops all
+    * delete refs — Iceberg's rewrite_position_delete_files compaction.
+    * Content is read-invariant ([[changes]] across the commit is
+    * empty: the dropped DV rows were already dead), and the partial
+    * CoW rewrites MoR had locked out work again afterwards. O(dirty)
+    * data bytes, the maintenance cost MoR deferred.
+    */
+  def rewriteDeletes(spark: SparkSession, root: String): Long = {
+    val base = currentId(spark, root)
+    require(base > 0, s"rewriteDeletes on empty log $root")
+    val fs = fsOf(spark, root)
+    val raw = rawManifest(spark, root, base)
+    if (raw.dRefs.isEmpty) return base
+    val dv = deleteMapOf(fs, root, raw)
+    val groups = raw.refs.map(r => r -> readFileList(fs, root, r.path))
+    val allFiles = raw.inline ++ groups.flatMap(_._2)
+    val dirty = dv.keySet
+    val (intact, touched) = groups.partition {
+      case (_, fl) => !fl.exists(f => dirty(f.path)) }
+    val keepInline = (raw.inline ++ touched.flatMap(_._2))
+      .filterNot(f => dirty(f.path))
+    val tableSchema = StructType.fromDDL(raw.schemaDdl)
+    val (tableIds, lastColId) = currentIdsOf(raw, tableSchema)
+    val rewritten = dvRead(spark, root, raw,
+      allFiles.filter(f => dirty(f.path)), tableSchema, tableIds)
+    commitFiles(spark, root, rewritten, "rewrite-deletes",
+      intact.map(_._1), keepInline, tableSchema,
+      derivedStats = inheritedBucketStats(allFiles, tableSchema, tableIds),
+      tableIds0 = tableIds, lastColId0 = lastColId)
+  }
+
+  /** MERGE-ON-READ upsert: matched table rows die via a positional
+    * delete vector and the WHOLE source appends as new data files —
+    * one atomic commit (`mor-merge`), zero existing files rewritten.
+    * [[mergeInto]]'s semantics (WHEN MATCHED replace / WHEN NOT
+    * MATCHED insert, key-unique source) with [[deleteWhereMoR]]'s
+    * write cost: an upsert touching one key in each of 10k hot files
+    * writes one DV plus the source's own files, instead of rewriting
+    * 10k files' survivors. Works while earlier vectors are
+    * outstanding (discovery scans the LIVE view), which is exactly
+    * the continuous-upsert stream shape CoW merge locks out at scale;
+    * [[rewriteDeletes]] amortizes the accumulated read cost.
+    */
+  def mergeIntoMoR(spark: SparkSession, root: String, source: DataFrame,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "mergeIntoMoR needs at least one key column")
+    val base = currentId(spark, root)
+    require(base > 0, s"mergeIntoMoR on empty log $root")
+    val fs = fsOf(spark, root)
+    val raw = rawManifest(spark, root, base)
+    val allFiles = raw.inline ++
+      raw.refs.flatMap(r => readFileList(fs, root, r.path))
+    val tableSchema = StructType.fromDDL(raw.schemaDdl)
+    val (tableIds, lastColId) = currentIdsOf(raw, tableSchema)
+    // same no-silent-retype rule as mergeInto: source columns keep the
+    // table's types, and the insert arm writes the table's column set
+    tableSchema.fields.foreach { f =>
+      source.schema.fields.find(_.name == f.name).foreach(sf =>
+        require(sf.dataType == f.dataType,
+          s"merge source column ${f.name} is ${sf.dataType}, table has ${f.dataType}"))
+    }
+    val tableCols = tableSchema.fieldNames.map(col).toSeq
+    val keys = source.select(keyCols.map(col): _*).distinct()
+    val next = base + 1
+    val dvOpt =
+      if (allFiles.isEmpty) None
+      else {
+        val live = livePosRead(spark, root, raw, allFiles, tableSchema, tableIds)
+        writeDeleteVector(spark, root,
+          live.join(keys, keyCols, "left_semi")
+            .select(col("__path").as("t_path"), col("__pos").as("t_pos")),
+          next)
+      }
+    // the source's files record the table's declared bucket layout
+    // (inherited like a CoW rewrite's), so readBuckets stays sharp
+    val written = writeDataFiles(spark, root,
+      source.select(tableCols: _*), next, None,
+      inheritedBucketStats(allFiles, tableSchema, tableIds))
+      .map(f => f.copy(ids =
+        tableIds.filter { case (n, _) => tableSchema.fieldNames.contains(n) }))
+    val newRef = writeFileList(fs, root, next, written, tableSchema)
+    val srcRows = written.iterator.map(_.rows).sum
+    val delRows = dvOpt.map(_._1.delRows).getOrElse(0L)
+    val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
+    val m = manifestPath(root, next)
+    val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(m.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(
+      ((s"$next\t$base\tmor-merge\t${raw.rows - delRows + srcRows}\t$ddl" +
+        s"\t${idsField(tableIds)}\t$lastColId") +:
+        ((raw.refs :+ newRef).map(r =>
+          s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+          raw.inline.map(fileLine) ++
+          dRefLines(raw.dRefs ++ dvOpt.map(_._1))))
+        .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!publish(fs, tmp, m)) {
+      fs.delete(tmp, false)
+      fs.delete(new Path(s"$root/${newRef.path}"), false)
+      written.map(f => f.path.substring(0, f.path.lastIndexOf('/'))).distinct
+        .foreach(d => fs.delete(new Path(s"$root/$d"), true))
+      dvOpt.foreach { case (dRef, dvDir) =>
+        fs.delete(new Path(s"$root/${dRef.path}"), false)
+        fs.delete(new Path(s"$root/$dvDir"), true)
+      }
+      throw new IllegalStateException(
+        s"mergeIntoMoR on $root conflicted with a concurrent snapshot; " +
+          "recompute against the new current snapshot and retry")
+    }
+    next
+  }
+
   /** Copy-on-write MERGE (upsert): table rows whose `keyCols` match a
     * `source` row are REPLACED by it; source rows matching nothing are
     * appended — Delta/Iceberg `MERGE INTO ... WHEN MATCHED THEN UPDATE
@@ -1066,6 +1482,9 @@ object SnapshotLog {
     require(base > 0, s"mergeInto on empty log $root")
     val fs = fsOf(spark, root)
     val raw = rawManifest(spark, root, base)
+    require(raw.dRefs.isEmpty,
+      s"$root has outstanding merge-on-read delete vectors; " +
+        "run rewriteDeletes (or optimize) before a partial CoW rewrite")
     val groups = raw.refs.map(r => r -> readFileList(fs, root, r.path))
     val allFiles = raw.inline ++ groups.flatMap(_._2)
     // reads pinned to the snapshot's schema and the rewrite committed
@@ -1313,7 +1732,12 @@ object SnapshotLog {
         s"\t${idsField(ids)}\t$lastColId") +:
         (refs.map(r =>
           s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
-          raw.inline.map(fileLine)))
+          raw.inline.map(fileLine) ++
+          // delete vectors ride metadata-only commits untouched: DV
+          // rows hold (file, position) coordinates, no column data, so
+          // rename/widen/drop never invalidate them — and a rollback
+          // restores its target's vectors with its file lists
+          dRefLines(raw.dRefs)))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publish(fs, tmp, m)) {
@@ -1363,10 +1787,10 @@ object SnapshotLog {
     // not O(#files). A legacy flat manifest surfaces as inline entries
     // and gets migrated into a file list by this commit.
     val prev = if (base > 0) Some(rawManifest(spark, root, base)) else None
-    val (refs, inline) =
-      if (keepBase) prev.map(p => (p.refs, p.inline))
-        .getOrElse((Seq.empty[ListRef], Seq.empty[FileEntry]))
-      else (Seq.empty[ListRef], Seq.empty[FileEntry])
+    val (refs, inline, dRefs) =
+      if (keepBase) prev.map(p => (p.refs, p.inline, p.dRefs))
+        .getOrElse((Seq.empty[ListRef], Seq.empty[FileEntry], Seq.empty[DeleteRef]))
+      else (Seq.empty[ListRef], Seq.empty[FileEntry], Seq.empty[DeleteRef])
     val (schema, ids, last) = prev match {
       case Some(p) if keepBase =>
         val ps = StructType.fromDDL(p.schemaDdl)
@@ -1391,7 +1815,8 @@ object SnapshotLog {
         (df.schema, nIds, nLast)
     }
     commitFiles(spark, root, df, operation, refs, inline, schema, bloomSpec,
-      derivedStats = derivedStats, tableIds0 = ids, lastColId0 = last)
+      derivedStats = derivedStats, tableIds0 = ids, lastColId0 = last,
+      carriedDRefs = dRefs)
   }
 
   /** Write `df`'s files, count rows per file (one small job — the counts
@@ -1463,7 +1888,8 @@ object SnapshotLog {
       bloomSpec: Option[BloomSpec] = None,
       derivedStats: Seq[(String, Column)] = Nil,
       tableIds0: Map[String, Int] = Map.empty,
-      lastColId0: Int = 0): Long = {
+      lastColId0: Int = 0,
+      carriedDRefs: Seq[DeleteRef] = Seq.empty): Long = {
     var tableSchema = Option(tableSchema0).getOrElse(df.schema)
     var (tableIds, lastColId) =
       if (tableIds0.nonEmpty) (tableIds0, lastColId0)
@@ -1472,6 +1898,7 @@ object SnapshotLog {
     var attempt = 0
     var carriedRefs = carriedRefs0
     var carriedInline = carriedInline0
+    var carriedD = carriedDRefs
     var base = currentId(spark, root)
     val written =
       writeDataFiles(spark, root, df, base + 1, bloomSpec, derivedStats)
@@ -1493,7 +1920,9 @@ object SnapshotLog {
           Some(writeFileList(fs, root, next, newEntries, tableSchema))
         else None
       val refs = carriedRefs ++ newRef
-      val total = refs.iterator.map(_.rows).sum
+      // carried DV rows are dead — the live total subtracts them
+      val total = refs.iterator.map(_.rows).sum -
+        carriedD.iterator.map(_.delRows).sum
       val m = manifestPath(root, next)
       val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
       fs.mkdirs(m.getParent)
@@ -1501,8 +1930,9 @@ object SnapshotLog {
       try out.write(
         ((s"$next\t$base\t$operation\t$total\t$ddl" +
           s"\t${idsField(tableIds)}\t$lastColId") +:
-          refs.map(r =>
-            s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}"))
+          (refs.map(r =>
+            s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+            dRefLines(carriedD)))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       // publish must be atomic no-replace: on HDFS, rename to an
@@ -1525,6 +1955,7 @@ object SnapshotLog {
         val winner = rawManifest(spark, root, base)
         carriedRefs = winner.refs
         carriedInline = winner.inline
+        carriedD = winner.dRefs
         val ws = StructType.fromDDL(winner.schemaDdl)
         val (wIds, wLast) = currentIdsOf(winner, ws)
         tableSchema = mergeSchemas(ws, tableSchema)
@@ -1588,16 +2019,61 @@ object SnapshotLog {
     }
     // both sides resolve by field id under the TO snapshot's mapping,
     // so a diff spanning a rename compares the same logical columns
-    val toIds = {
-      val rawTo = rawManifest(spark, root, toId)
-      currentIdsOf(rawTo, schema)._1
-    }
-    def readFiles(files: Seq[FileEntry]): DataFrame =
-      resolvedRead(spark, root, files.sortBy(_.path), schema, toIds)
-    val added = readFiles(to.files.filter(f => !fromPaths(f.path)))
-    val removed = readFiles(from.files.filter(f => !toPaths(f.path)))
-    added.exceptAll(removed).withColumn("change", lit("insert"))
+    val rawTo = rawManifest(spark, root, toId)
+    val toIds = currentIdsOf(rawTo, schema)._1
+    val fs = fsOf(spark, root)
+    // each side's file diff reads under ITS OWN delete vectors: a
+    // DV-dead row must not surface as a change when its file is
+    // rewritten (rewriteDeletes' carried survivors then cancel under
+    // the multiset diff exactly like a CoW rewrite's)
+    val fromDv =
+      if (fromId == 0) Map.empty[String, Seq[DeleteEntry]]
+      else deleteMapOf(fs, root, rawManifest(spark, root, fromId))
+    val toDv = deleteMapOf(fs, root, rawTo)
+    def readFiles(files: Seq[FileEntry],
+        dv: Map[String, Seq[DeleteEntry]]): DataFrame =
+      dvApply(spark, root, files.sortBy(_.path), schema, toIds, dv)
+    val added = readFiles(to.files.filter(f => !fromPaths(f.path)), toDv)
+    val removed = readFiles(from.files.filter(f => !toPaths(f.path)), fromDv)
+    val fileDiff = added.exceptAll(removed).withColumn("change", lit("insert"))
       .unionByName(removed.exceptAll(added).withColumn("change", lit("delete")))
+    // files carried through BOTH snapshots whose DV set changed: the
+    // delta is exactly the rows at the changed positions — an MoR
+    // delete emits them as deletes (a rollback past one, as inserts)
+    // without reading any clean file. DV dirs are immutable, so a
+    // target's vector set changed iff its recorded dir set did.
+    def dirsOf(dv: Map[String, Seq[DeleteEntry]], p: String): Set[String] =
+      dv.getOrElse(p, Seq.empty).map(_.dvDir).toSet
+    val changedTargets = to.files.map(_.path).filter(fromPaths)
+      .filter(p => dirsOf(fromDv, p) != dirsOf(toDv, p))
+    if (changedTargets.isEmpty) return fileDiff
+    val targetSet = changedTargets.toSet
+    def posOf(dv: Map[String, Seq[DeleteEntry]]): DataFrame = {
+      val dirs = changedTargets.flatMap(p => dv.getOrElse(p, Seq.empty))
+        .map(_.dvDir).distinct.sorted
+      if (dirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(
+            org.apache.spark.sql.types.StructField("t_path",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("t_pos",
+              org.apache.spark.sql.types.LongType))))
+      else spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
+        .select(col("t_path"), col("t_pos"))
+        .filter(col("t_path").isin(changedTargets: _*))
+    }
+    val delPos = posOf(toDv).exceptAll(posOf(fromDv))
+    val insPos = posOf(fromDv).exceptAll(posOf(toDv))
+    val posRead = resolvedReadWithPos(spark, root,
+      to.files.filter(f => targetSet(f.path)).sortBy(_.path), schema, toIds)
+    def rowsAt(posDelta: DataFrame, tag: String): DataFrame =
+      posRead.join(posDelta,
+        posRead("__path") === posDelta("t_path") &&
+          posRead("__pos") === posDelta("t_pos"), "left_semi")
+        .drop("__path", "__pos")
+        .withColumn("change", lit(tag))
+    fileDiff.unionByName(rowsAt(delPos, "delete"))
+      .unionByName(rowsAt(insPos, "insert"))
   }
 
   /** The table's full CDC feed: one [[changes]] delta per snapshot
@@ -1701,6 +2177,9 @@ object SnapshotLog {
     require(base > 0, s"optimizeBinPack on empty log $root")
     val fs = fsOf(spark, root)
     val raw = rawManifest(spark, root, base)
+    require(raw.dRefs.isEmpty,
+      s"$root has outstanding merge-on-read delete vectors; " +
+        "run rewriteDeletes (or optimize) before a partial CoW rewrite")
     val groups = raw.refs.map(r => r -> readFileList(fs, root, r.path))
     def sizeOf(f: FileEntry): Long =
       fs.getFileStatus(new Path(s"$root/${f.path}")).getLen
@@ -1832,16 +2311,30 @@ object SnapshotLog {
     if (gone.isEmpty) return (0, 0)
     // file-list liveness mirrors data-file liveness: collect refs from
     // BOTH sides before any manifest is deleted
-    val keptRefs = kept.iterator
-      .flatMap(s => rawManifest(spark, root, s.id).refs).map(_.path).toSet
-    val goneRefs = gone.iterator
-      .flatMap(s => rawManifest(spark, root, s.id).refs).map(_.path).toSet
+    val keptRaws = kept.map(s => rawManifest(spark, root, s.id))
+    val goneRaws = gone.map(s => rawManifest(spark, root, s.id))
+    val keptRefs = keptRaws.iterator.flatMap(_.refs).map(_.path).toSet
+    val goneRefs = goneRaws.iterator.flatMap(_.refs).map(_.path).toSet
+    // delete-vector liveness, same rule one level deeper: delete LISTS
+    // only expired snapshots reference die with them, and DV parquet
+    // dirs only dead lists reference die with those — resolved BEFORE
+    // anything is deleted
+    val keptD = keptRaws.iterator.flatMap(_.dRefs).map(_.path).toSet
+    val goneD = goneRaws.iterator.flatMap(_.dRefs).map(_.path).toSet
+    val deadDLists = goneD.diff(keptD)
+    val keptDvDirs = keptD.iterator
+      .flatMap(d => readDeleteList(fs, root, d)).map(_.dvDir).toSet
+    val deadDvDirs = deadDLists.iterator
+      .flatMap(d => readDeleteList(fs, root, d)).map(_.dvDir).toSet
+      .diff(keptDvDirs)
     val live = kept.iterator.flatMap(_.files).map(_.path).toSet
     gone.foreach(s => require(
       fs.delete(manifestPath(root, s.id), false),
       s"expire of snapshot ${s.id} manifest failed"))
     // file lists only expired snapshots referenced die with them
     goneRefs.diff(keptRefs).foreach(l => fs.delete(new Path(s"$root/$l"), false))
+    deadDLists.foreach(l => fs.delete(new Path(s"$root/$l"), false))
+    deadDvDirs.foreach(d => fs.delete(new Path(s"$root/$d"), true))
     val dead = gone.iterator.flatMap(_.files).map(_.path).toSet.diff(live)
     dead.foreach(f => fs.delete(new Path(s"$root/$f"), false))
     // a data dir whose files are all reclaimed is empty — drop it too
@@ -1882,8 +2375,14 @@ object SnapshotLog {
         .map(st => parseManifest(readTextFile(fs, st.getPath))).toSeq
     val stagedFiles = stagedRaws.flatMap(_.refs)
       .flatMap(r => readFileList(fs, root, r.path))
+    val histRaws = hist.map(s => rawManifest(spark, root, s.id))
+    // live DV parquet dirs (under data/ like any commit's dir) are
+    // referenced through delete lists, not file lists — walk them too
+    // or a live vector would vacuum as an "orphan"
+    val liveDvDirs = histRaws.iterator.flatMap(_.dRefs)
+      .flatMap(d => readDeleteList(fs, root, d.path)).map(_.dvDir).toSet
     val referenced = (hist.iterator.flatMap(_.files) ++ stagedFiles.iterator)
-      .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).toSet
+      .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).toSet ++ liveDvDirs
     val cutoff = System.currentTimeMillis() - graceMs
     val orphans = fs.listStatus(dataRoot).iterator
       .filter(st => st.isDirectory)
@@ -1891,15 +2390,16 @@ object SnapshotLog {
       .filter(st => st.getModificationTime < cutoff)
       .toSeq
     orphans.foreach(st => fs.delete(st.getPath, true))
-    // stranded file LISTS (lost commit races, crashes before the
-    // manifest rename): same no-reference + age rule; reclaimed beside
-    // the data dirs but not counted in the returned dir tally
-    val refLists = (hist.iterator
-      .flatMap(s => rawManifest(spark, root, s.id).refs) ++
-      stagedRaws.iterator.flatMap(_.refs)).map(_.path).toSet
+    // stranded file LISTS and delete LISTS (lost commit races, crashes
+    // before the manifest rename): same no-reference + age rule;
+    // reclaimed beside the data dirs but not counted in the dir tally
+    val refLists = (histRaws.iterator.flatMap(_.refs) ++
+      stagedRaws.iterator.flatMap(_.refs)).map(_.path).toSet ++
+      histRaws.iterator.flatMap(_.dRefs).map(_.path).toSet
     if (fs.exists(snapDir)) fs.listStatus(snapDir).iterator
       .filter(st => !st.isDirectory)
-      .filter(st => st.getPath.getName.startsWith("l_") &&
+      .filter(st => (st.getPath.getName.startsWith("l_") ||
+        st.getPath.getName.startsWith("d_")) &&
         st.getPath.getName.endsWith(".list"))
       .filter(st => !refLists(s"snap/${st.getPath.getName}"))
       .filter(st => st.getModificationTime < cutoff)
@@ -2111,6 +2611,67 @@ object SnapshotLog {
       append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
         .withColumnRenamed("o_orderstatus", "status"))
       deleteWhere(s, root, col("status") === "F")
+    }.resolve("log").toString
+
+  /** Staged merge-on-read log: two appends (even/odd key halves), then
+    * TWO overlapping positional delete-vector commits — the 'F' rows,
+    * then every key ≡ 3 (mod 10), some of which were already dead.
+    * Zero data files rewrite; readers must apply both vectors and the
+    * accounting must not double-count the overlap.
+    */
+  private def morLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttmor_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .repartition(4))
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .repartition(4))
+      deleteWhereMoR(s, root, col("o_orderstatus") === "F")
+      deleteWhereMoR(s, root, pmod(col("o_orderkey"), lit(10)) === 3)
+    }.resolve("log").toString
+
+  /** Staged MoR-compaction log: [[morLog]]'s shape, then
+    * [[rewriteDeletes]] folds the vectors into data files, then a CoW
+    * delete of the 'O' rows — legal only BECAUSE the fold dropped the
+    * vectors (partial rewrites refuse while they're outstanding).
+    */
+  private def morCompactLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttmorc_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .repartition(4))
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .repartition(4))
+      deleteWhereMoR(s, root, col("o_orderstatus") === "F")
+      deleteWhereMoR(s, root, pmod(col("o_orderkey"), lit(10)) === 3)
+      rewriteDeletes(s, root)
+      deleteWhere(s, root, col("o_orderstatus") === "O")
+    }.resolve("log").toString
+
+  /** Staged MoR-merge log: [[mergeLog]]'s exact scenario (update every
+    * key ≡ 0 (mod 10) to 'X', insert shifted copies of keys ≡ 1) but
+    * committed through [[mergeIntoMoR]] — matched rows die via a
+    * delete vector, the source appends, no pre-existing file
+    * rewrites. Shares tt5's oracle VERBATIM: the two merge
+    * implementations must be observationally identical.
+    */
+  private def morMergeLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttmorm_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.repartition(4))
+      val src = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .unionByName(
+          orders.filter(pmod(col("o_orderkey"), lit(10)) === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+            .withColumn("o_orderstatus", lit("N")))
+      mergeIntoMoR(s, root, src, Seq("o_orderkey"))
     }.resolve("log").toString
 
   /** The tt-family staged orders log, exposed for cross-operator
@@ -2491,6 +3052,103 @@ object SnapshotLog {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { widenLog(s, dir); () })
+    ),
+
+    // TT18: merge-on-read positional deletes — two overlapping DV
+    // commits with ZERO data files rewritten (v2's file set is
+    // byte-identical to v4's; SnapshotMorDeleteSpec pins the mtimes).
+    // Tallied per status at the pre-delete snapshot AND current, tt2's
+    // shape: v2 must still see everything (history + the untouched
+    // files), v4 must see both vectors applied exactly once — an
+    // overlap double-count flips the counts, a missed vector the 'F'
+    // row, a DV leak into time travel the v2 side.
+    Q(
+      "tt18_mor_delete",
+      (s, dir) => {
+        val root = morLog(s, dir)
+        def tally(df: DataFrame, snap: Int) = df
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("snap", lit(snap))
+          .select("snap", "o_orderstatus", "n", "key_sum")
+        tally(read(s, root, asOf = 2L), 2)
+          .unionByName(tally(read(s, root), 4))
+          .orderBy("snap", "o_orderstatus")
+      },
+      Some("""SELECT 2 AS snap, o_orderstatus, count(*) AS n,
+             |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders GROUP BY o_orderstatus
+             |UNION ALL
+             |SELECT 4, o_orderstatus, count(*),
+             |       CAST(sum(o_orderkey) AS BIGINT)
+             |FROM orders
+             |WHERE o_orderstatus <> 'F' AND o_orderkey % 10 <> 3
+             |GROUP BY o_orderstatus
+             |ORDER BY snap, o_orderstatus""".stripMargin),
+      stage = Some((s, dir) => { morLog(s, dir); () })
+    ),
+
+    // TT19: DV compaction unlocks CoW — rewriteDeletes folds both
+    // vectors into rewritten data files (read-invariant; the spec pins
+    // changes()-empty across the fold), after which a partial CoW
+    // delete is legal again and drops the 'O' rows. The oracle is the
+    // final relational state; a fold that lost or resurrected rows, or
+    // a CoW delete that ran against stale vectors, breaks the hash.
+    Q(
+      "tt19_mor_compaction",
+      (s, dir) => {
+        val root = morCompactLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |WHERE o_orderstatus <> 'F' AND o_orderkey % 10 <> 3
+             |  AND o_orderstatus <> 'O'
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { morCompactLog(s, dir); () })
+    ),
+
+    // TT20: the DV changelog — changes() across the first MoR commit
+    // must be EXACTLY the 'F' rows as deletes (no inserts, no clean
+    // rows read): the delta comes from the changed positions alone,
+    // not a file diff (no file changed). The CDC contract incremental
+    // consumers (IncrementalView) rely on, now under merge-on-read.
+    Q(
+      "tt20_mor_changelog",
+      (s, dir) => {
+        val root = morLog(s, dir)
+        changes(s, root, 2L, 3L)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |       'delete' AS change
+             |FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { morLog(s, dir); () })
+    ),
+
+    // TT21: merge-on-read MERGE — tt5's exact upsert scenario through
+    // mergeIntoMoR (matched rows die via a delete vector, the source
+    // appends, zero pre-existing files rewritten) sharing tt5's oracle
+    // VERBATIM: the CoW and MoR merge implementations must be
+    // observationally identical. A matched row surviving (vector
+    // missed), an update applied twice (append without the DV), or a
+    // lost insert arm all break the hash.
+    Q(
+      "tt21_mor_merge",
+      (s, dir) => {
+        val root = morMergeLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |       CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+             |            ELSE o_orderstatus END AS o_orderstatus
+             |FROM orders
+             |UNION ALL
+             |SELECT o_orderkey + 10000000, o_custkey, 'N'
+             |FROM orders WHERE o_orderkey % 10 = 1
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { morMergeLog(s, dir); () })
     )
   )
 }
