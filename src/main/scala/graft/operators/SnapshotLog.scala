@@ -2048,6 +2048,14 @@ object SnapshotLog {
       .filter(p => dirsOf(fromDv, p) != dirsOf(toDv, p))
     if (changedTargets.isEmpty) return fileDiff
     val targetSet = changedTargets.toSet
+    // restrict DV rows to the changed targets via a semi-join against
+    // a driver-built target frame, not an isin literal list — at 10k
+    // dirty files an In() of 10k paths is itself a plan-size problem.
+    // (Rows of UNchanged or departed targets would be harmless — the
+    // final coordinate semi-join can't match them — but carrying them
+    // through the exceptAll would make the delta non-delta-sized.)
+    import spark.implicits._
+    val targets = broadcast(changedTargets.sorted.toDF("t_path"))
     def posOf(dv: Map[String, Seq[DeleteEntry]]): DataFrame = {
       val dirs = changedTargets.flatMap(p => dv.getOrElse(p, Seq.empty))
         .map(_.dvDir).distinct.sorted
@@ -2060,14 +2068,21 @@ object SnapshotLog {
               org.apache.spark.sql.types.LongType))))
       else spark.read.parquet(dirs.map(d => s"$root/$d"): _*)
         .select(col("t_path"), col("t_pos"))
-        .filter(col("t_path").isin(changedTargets: _*))
+        .join(targets, Seq("t_path"), "left_semi")
     }
     val delPos = posOf(toDv).exceptAll(posOf(fromDv))
     val insPos = posOf(fromDv).exceptAll(posOf(toDv))
     val posRead = resolvedReadWithPos(spark, root,
       to.files.filter(f => targetSet(f.path)).sortBy(_.path), schema, toIds)
+    // position deltas are DV-row-sized — broadcast them under the same
+    // metadata-driven threshold dvApply uses
+    val delTotal = (rawTo.dRefs.iterator.map(_.delRows) ++
+      (if (fromId == 0) Iterator.empty
+       else rawManifest(spark, root, fromId).dRefs.iterator.map(_.delRows))).sum
+    def sized(d: DataFrame): DataFrame =
+      if (delTotal <= 4000000L) broadcast(d) else d
     def rowsAt(posDelta: DataFrame, tag: String): DataFrame =
-      posRead.join(posDelta,
+      posRead.join(sized(posDelta),
         posRead("__path") === posDelta("t_path") &&
           posRead("__pos") === posDelta("t_pos"), "left_semi")
         .drop("__path", "__pos")

@@ -819,6 +819,66 @@ object StreamingQueries {
       bench = false
     ),
 
+    // SM25: the MERGE-ON-READ twin of sm14 — the same three-wave
+    // upsert stream, but each wave commits through mergeIntoMoR:
+    // matched rows die via a positional delete vector and the wave
+    // appends, so NO existing data file rewrites per batch. That is
+    // the write-amplification fix for high-frequency upsert streams
+    // at 100 TB (CoW merge rewrites every hot file every batch; MoR
+    // writes churn-sized vectors and amortizes via rewriteDeletes in
+    // maintenance, not on the ingest path). Vectors from waves 2 and
+    // 3 stay OUTSTANDING at read time — the final read must apply
+    // both. Shares sm14's oracle VERBATIM: the CoW and MoR streaming
+    // upsert paths must be observationally identical. Replay is
+    // value-idempotent: a re-delivered wave kills its own prior
+    // append by key and re-appends identical rows.
+    Q(
+      "sm25_stream_mor_upsert",
+      (s, dir) => {
+        val (landing, state, _, ckpt) = tempDirs("graft_sm25")
+        val root = state.resolve("log").toString
+        val orders = Tables(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+        val wave2 = orders.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+          .withColumn("o_orderstatus", lit("U"))
+        val wave3 = orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("o_orderstatus", lit("W"))
+          .unionByName(
+            orders.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+              .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L))
+              .withColumn("o_orderstatus", lit("Z")))
+        stageBatches(Seq(orders, wave2, wave3), landing)
+        s.readStream.schema(orders.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sp = batch.sparkSession
+            if (graft.operators.SnapshotLog.currentId(sp, root) == 0L)
+              graft.operators.SnapshotLog.append(sp, root, batch)
+            else
+              graft.operators.SnapshotLog.mergeIntoMoR(
+                sp, root, batch, Seq("o_orderkey"))
+            ()
+          }
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        graft.operators.SnapshotLog.read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |       CASE WHEN o_orderkey % 7 = 0 THEN 'W'
+             |            WHEN o_orderkey % 5 = 0 THEN 'U'
+             |            ELSE o_orderstatus END AS o_orderstatus
+             |FROM orders
+             |UNION ALL
+             |SELECT o_orderkey + 20000000, o_custkey, 'Z'
+             |FROM orders WHERE o_orderkey % 11 = 0
+             |ORDER BY o_orderkey""".stripMargin),
+      bench = false
+    ),
+
     // SM20: classify-as-you-ingest — nb1's operational twin. The NB
     // model is FIT ONCE on the batch training split (a trained
     // classifier is a static artifact a production stream broadcasts,

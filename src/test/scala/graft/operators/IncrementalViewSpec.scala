@@ -49,6 +49,27 @@ class IncrementalViewSpec extends SparkSpec {
       .select("g").as[String].collect().contains("b"))
   }
 
+  test("fold tracks a MERGE-ON-READ delete and merge: the DV delta folds like any change") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root,
+      Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L), ("b", 4L, 40L))
+        .toDF("g", "k", "x").repartition(2))
+    // positional-vector delete: no file rewrites, but the change feed
+    // must still emit the dead rows as deletes for the fold
+    SnapshotLog.deleteWhereMoR(spark, root, col("k") === 2L)
+    assert(viewOf(root) === Map("a" -> (1L, 10L), "b" -> (2L, 70L)))
+    assert(viewOf(root) === directOf(root))
+    // MoR merge: key 3 moves group (vector delete + appended insert)
+    SnapshotLog.mergeIntoMoR(spark, root,
+      Seq(("c", 3L, 35L)).toDF("g", "k", "x"), Seq("k"))
+    assert(viewOf(root) === Map(
+      "a" -> (1L, 10L), "b" -> (1L, 40L), "c" -> (1L, 35L)))
+    assert(viewOf(root) === directOf(root))
+    // folding the vectors into files must be invisible to the view
+    SnapshotLog.rewriteDeletes(spark, root)
+    assert(viewOf(root) === directOf(root))
+  }
+
   test("refresh commits view and cursor atomically; re-refresh is a no-op") {
     val base = java.nio.file.Files.createTempDirectory("graft_iv_refresh")
     val table = base.resolve("table").toString

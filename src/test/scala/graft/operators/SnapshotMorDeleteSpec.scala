@@ -226,6 +226,20 @@ class SnapshotMorDeleteSpec extends SparkSpec {
     assert(dvDirs(root).isEmpty && deleteLists(root).isEmpty)
   }
 
+  test("replayed MoR merge is value-idempotent (the streaming redelivery case)") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root,
+      (1 to 10).map(k => (k, "old")).toDF("k", "v").repartition(2))
+    val src = Seq((3, "new"), (42, "ins")).toDF("k", "v")
+    SnapshotLog.mergeIntoMoR(spark, root, src, Seq("k"))
+    val once = rowSet(SnapshotLog.read(spark, root))
+    // a redelivered batch (crash between commit and checkpoint) kills
+    // its own prior append by key and re-appends identical rows
+    SnapshotLog.mergeIntoMoR(spark, root, src, Seq("k"))
+    assert(rowSet(SnapshotLog.read(spark, root)) === once)
+    assert(SnapshotLog.snapshot(spark, root, 3L).rows === 11L)
+  }
+
   test("vacuum spares live DV dirs; expire reclaims dead vectors and lists") {
     val root = newRoot()
     SnapshotLog.append(spark, root,
