@@ -484,6 +484,18 @@ object SnapshotLog {
   private def dRefLines(dRefs: Seq[DeleteRef]): Seq[String] =
     dRefs.map(r => s"D\t${r.path}\t${r.nTargets}\t${r.delRows}")
 
+  /** DV rows below this count broadcast in the anti/semi joins that
+    * apply them — ONE metadata-driven plan rule shared by every DV
+    * consumer ([[dvApply]], [[livePosRead]], [[changes]]), chosen by
+    * the manifest's recorded delete counts, never a sampling job. A
+    * (path, pos) row costs ~100 B in the hash relation, so 500k rows
+    * ≈ 50 MB — deliberately conservative because a forced broadcast()
+    * hint BYPASSES autoBroadcastJoinThreshold's byte check; above it
+    * the join falls back to shuffle, whose cost is bounded by the
+    * dirty files, not the table.
+    */
+  private val DvBroadcastRows = 500000L
+
   /** Order for a recorded stat key, if a sound one is known: numeric
     * for numeric schema columns and derived `__bucket:` stats, the
     * type's order for other schema columns, None otherwise (no band is
@@ -609,29 +621,8 @@ object SnapshotLog {
     */
   private def resolvedRead(spark: SparkSession, root: String,
       files: Seq[FileEntry], schema: StructType,
-      curIds: Map[String, Int]): DataFrame = {
-    if (files.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    def projectionOf(f: FileEntry): Seq[Option[String]] =
-      schema.fields.toSeq.map { c =>
-        if (f.ids.isEmpty) Some(c.name)
-        else curIds.get(c.name).flatMap(id =>
-          f.ids.collectFirst { case (phys, i) if i == id => phys })
-      }
-    files.groupBy(projectionOf).toSeq.sortBy(_._2.head.path)
-      .map { case (proj, group) =>
-        val physFields = schema.fields.toSeq.zip(proj).collect {
-          case (c, Some(phys)) =>
-            org.apache.spark.sql.types.StructField(phys, c.dataType, nullable = true)
-        }
-        spark.read.schema(StructType(physFields))
-          .parquet(group.map(f => s"$root/${f.path}"): _*)
-          .select(schema.fields.toSeq.zip(proj).map {
-            case (c, Some(phys)) => col(phys).as(c.name)
-            case (c, None) => lit(null).cast(c.dataType).as(c.name)
-          }: _*)
-      }.reduce(_ unionByName _)
-  }
+      curIds: Map[String, Int]): DataFrame =
+    resolvedReadCore(spark, root, files, schema, curIds, withPos = false)
 
   /** [[resolvedRead]] plus two virtual columns: `__path` (the file's
     * manifest-relative path — the greedy regexp keeps everything from
@@ -643,13 +634,31 @@ object SnapshotLog {
   private def resolvedReadWithPos(spark: SparkSession, root: String,
       files: Seq[FileEntry], schema: StructType,
       curIds: Map[String, Int]): DataFrame = {
+    // the virtual names are reserved by merge-on-read — fail with the
+    // real constraint, not an AMBIGUOUS_REFERENCE deep in the scan
+    Seq("__path", "__pos").foreach(n => require(
+      !schema.fieldNames.contains(n),
+      s"column name $n is reserved by merge-on-read reads"))
+    resolvedReadCore(spark, root, files, schema, curIds, withPos = true)
+  }
+
+  /** The one field-id-resolving scan both readers share — a plain
+    * pinned-schema read, optionally widened by the MoR coordinate
+    * columns. Kept single so the projection/rename resolution can
+    * never diverge between the DV-aware and plain paths.
+    */
+  private def resolvedReadCore(spark: SparkSession, root: String,
+      files: Seq[FileEntry], schema: StructType,
+      curIds: Map[String, Int], withPos: Boolean): DataFrame = {
     if (files.isEmpty) {
-      val wide = StructType(schema.fields ++ Seq(
-        org.apache.spark.sql.types.StructField("__path",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("__pos",
-          org.apache.spark.sql.types.LongType)))
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], wide)
+      val out =
+        if (!withPos) schema
+        else StructType(schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("__path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__pos",
+            org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], out)
     }
     def projectionOf(f: FileEntry): Seq[Option[String]] =
       schema.fields.toSeq.map { c =>
@@ -657,6 +666,12 @@ object SnapshotLog {
         else curIds.get(c.name).flatMap(id =>
           f.ids.collectFirst { case (phys, i) if i == id => phys })
       }
+    val posCols =
+      if (!withPos) Seq.empty
+      else Seq(
+        regexp_extract(col("_metadata.file_path"), ".*/(data/.*)$", 1)
+          .as("__path"),
+        col("_metadata.row_index").as("__pos"))
     files.groupBy(projectionOf).toSeq.sortBy(_._2.head.path)
       .map { case (proj, group) =>
         val physFields = schema.fields.toSeq.zip(proj).collect {
@@ -668,10 +683,7 @@ object SnapshotLog {
           .select(schema.fields.toSeq.zip(proj).map {
             case (c, Some(phys)) => col(phys).as(c.name)
             case (c, None) => lit(null).cast(c.dataType).as(c.name)
-          } ++ Seq(
-            regexp_extract(col("_metadata.file_path"), ".*/(data/.*)$", 1)
-              .as("__path"),
-            col("_metadata.row_index").as("__pos")): _*)
+          } ++ posCols: _*)
       }.reduce(_ unionByName _)
   }
 
@@ -709,7 +721,7 @@ object SnapshotLog {
     // can never match the anti-join — no filter needed, the join is
     // exact on the (file, position) coordinate
     val delTotal = dv.valuesIterator.flatten.map(_.delRows).sum
-    val build = if (delTotal <= 4000000L) broadcast(dvRows) else dvRows
+    val build = if (delTotal <= DvBroadcastRows) broadcast(dvRows) else dvRows
     val applied = posDf.join(build,
       posDf("__path") === build("t_path") && posDf("__pos") === build("t_pos"),
       "left_anti")
@@ -1313,7 +1325,7 @@ object SnapshotLog {
       val dvRows = spark.read.parquet(dvDirs.map(d => s"$root/$d"): _*)
         .select(col("t_path"), col("t_pos"))
       val build =
-        if (raw.dRefs.iterator.map(_.delRows).sum <= 4000000L) broadcast(dvRows)
+        if (raw.dRefs.iterator.map(_.delRows).sum <= DvBroadcastRows) broadcast(dvRows)
         else dvRows
       pos.join(build,
         pos("__path") === build("t_path") && pos("__pos") === build("t_pos"),
@@ -2070,25 +2082,35 @@ object SnapshotLog {
         .select(col("t_path"), col("t_pos"))
         .join(targets, Seq("t_path"), "left_semi")
     }
-    val delPos = posOf(toDv).exceptAll(posOf(fromDv))
-    val insPos = posOf(fromDv).exceptAll(posOf(toDv))
+    // DV dirs are immutable, so a delta direction is statically empty
+    // when every changed target's dir set only GREW (no insert side —
+    // the plain MoR-delete case) or only SHRANK (no delete side — the
+    // rollback case); skipping the dead branch halves the dirty-file
+    // scan, since each rowsAt branch plans its own read of posRead.
+    val mayDel = changedTargets.exists(p =>
+      !dirsOf(toDv, p).subsetOf(dirsOf(fromDv, p)))
+    val mayIns = changedTargets.exists(p =>
+      !dirsOf(fromDv, p).subsetOf(dirsOf(toDv, p)))
     val posRead = resolvedReadWithPos(spark, root,
       to.files.filter(f => targetSet(f.path)).sortBy(_.path), schema, toIds)
     // position deltas are DV-row-sized — broadcast them under the same
-    // metadata-driven threshold dvApply uses
-    val delTotal = (rawTo.dRefs.iterator.map(_.delRows) ++
-      (if (fromId == 0) Iterator.empty
-       else rawManifest(spark, root, fromId).dRefs.iterator.map(_.delRows))).sum
+    // metadata-driven threshold dvApply uses (delTotal derived from
+    // the delete maps already in scope, no manifest re-read)
+    val delTotal = (fromDv.values.flatten ++ toDv.values.flatten)
+      .map(_.delRows).sum
     def sized(d: DataFrame): DataFrame =
-      if (delTotal <= 4000000L) broadcast(d) else d
+      if (delTotal <= DvBroadcastRows) broadcast(d) else d
     def rowsAt(posDelta: DataFrame, tag: String): DataFrame =
       posRead.join(sized(posDelta),
         posRead("__path") === posDelta("t_path") &&
           posRead("__pos") === posDelta("t_pos"), "left_semi")
         .drop("__path", "__pos")
         .withColumn("change", lit(tag))
-    fileDiff.unionByName(rowsAt(delPos, "delete"))
-      .unionByName(rowsAt(insPos, "insert"))
+    val withDel =
+      if (!mayDel) fileDiff
+      else fileDiff.unionByName(rowsAt(posOf(toDv).exceptAll(posOf(fromDv)), "delete"))
+    if (!mayIns) withDel
+    else withDel.unionByName(rowsAt(posOf(fromDv).exceptAll(posOf(toDv)), "insert"))
   }
 
   /** The table's full CDC feed: one [[changes]] delta per snapshot

@@ -226,6 +226,17 @@ class SnapshotMorDeleteSpec extends SparkSpec {
     assert(dvDirs(root).isEmpty && deleteLists(root).isEmpty)
   }
 
+  test("reserved coordinate names fail fast with the real constraint") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root, Seq((1, "a")).toDF("k", "__path"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.deleteWhereMoR(spark, root, col("k") === 1) }
+    assert(e.getMessage.contains("reserved by merge-on-read"))
+    // CoW operations on such a table stay fully available
+    SnapshotLog.deleteWhere(spark, root, col("k") === 1)
+    assert(SnapshotLog.read(spark, root).count() === 0L)
+  }
+
   test("replayed MoR merge is value-idempotent (the streaming redelivery case)") {
     val root = newRoot()
     SnapshotLog.append(spark, root,
