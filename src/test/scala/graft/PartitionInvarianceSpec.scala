@@ -45,7 +45,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "ev12_gapfill_interp",
     // one-fold delta-join bootstrap: multiset m-fold must not depend
     // on how the signed changelog partitions
-    "iv3_join_view")
+    "iv3_join_view",
+    // DV-applied read: the anti-join against the delete vector must
+    // drop exactly the recorded coordinates under any parallelism
+    "tt18_mor_delete")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")

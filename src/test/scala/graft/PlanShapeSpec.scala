@@ -134,4 +134,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(!t.contains("CartesianProduct") && !t.contains("BroadcastNestedLoopJoin"),
       s"ss6 contains a nested-loop/cartesian join:\n$t")
   }
+
+  test("a dirty MoR read applies its vector as a BROADCAST anti-join, never a sort-merge") {
+    // tt21's read has one outstanding vector below the metadata
+    // threshold — the dirty-file scan must anti-join a broadcast DV
+    // build (forced by recorded delete counts, not sampled stats) and
+    // must not fall into a sort-merge shuffle of the dirty rows
+    val t = tree("tt21_mor_merge")
+    assert(t.contains("BroadcastHashJoin") && t.contains("LeftAnti"),
+      s"tt21's vector is not a broadcast anti-join:\n$t")
+    assert(!t.contains("SortMergeJoin"),
+      s"tt21 shuffles its dirty files to apply a small vector:\n$t")
+  }
+
+  test("the DV changelog reads changed positions only — no file-diff exceptAll branches") {
+    // tt20 spans a pure MoR-delete transition: no file was added or
+    // removed, so the plan must be the broadcast position-delta
+    // semi-join alone — no exceptAll subtree (which would mean table
+    // content was read) and no second dirty-file scan for the
+    // statically-empty insert direction (vectors only grew)
+    val t = tree("tt20_mor_changelog")
+    assert(count(t, "LeftSemi") >= 1 && t.contains("BroadcastHashJoin"),
+      s"tt20 lost its broadcast position-delta semi-join:\n$t")
+    assert(!t.contains("SortMergeJoin"),
+      s"tt20 plans a shuffle join for a small position delta:\n$t")
+    assert(count(t, "Scan parquet") <= 4,
+      s"tt20 reads more scans than the dirty files + vectors:\n$t")
+  }
+
+  test("vector-free snapshot reads take the plain scan — zero MoR overhead") {
+    // the DV-aware path must cost nothing on clean tables: no anti
+    // join, no _metadata projection, identical shape to the pinned
+    // pre-MoR plan (one scan group, no joins at all)
+    for (q <- Seq("tt1_time_travel", "tt19_mor_compaction")) {
+      val t = tree(q)
+      assert(!t.contains("LeftAnti") && !t.contains("Join"),
+        s"$q (vector-free) pays a MoR join:\n$t")
+    }
+  }
 }
