@@ -104,7 +104,7 @@ private[sources] class DocStoreTable(
       org.apache.spark.sql.connector.write.WriteBuilder = {
     val path = Option(info.options.get("path")).orElse(Option(props.get("path")))
       .getOrElse(throw new IllegalArgumentException("docstore: no path given"))
-    new DocStoreWriteBuilder(path, info.schema())
+    new DocStoreWriteBuilder(path, info.schema(), info.queryId())
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -190,7 +190,9 @@ private[sources] class DocStoreScan(
         val root0 = new Path(path)
         val fs = root0.getFileSystem(conf)
         collectionFiles(fs, fs.makeQualified(root0)).map(_.getLen).sum
-      } catch { case _: Throwable => Long.MaxValue }
+      // NonFatal only: an OOM or linkage error must propagate, not
+      // dissolve into a silent "table is huge" estimate
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
@@ -252,25 +254,40 @@ private[sources] class DocStoreScan(
     * this is the planning metadata a store's cursor API hands out as
     * page tokens; its cost is one streaming read of the collection (no
     * parse), its output O(n / pageSize) partition descriptors. A pushed
-    * limit stops the walk at `ceil(limit / pageSize)` pages — the
-    * reference's limit-1 probe plans one page and reads one.
+    * limit stops the walk once the planned DOCUMENT count covers it —
+    * counting documents, not pages, because a short trailing page
+    * guarantees nothing (a page-counted stop could plan fewer rows
+    * than the limit and silently under-produce). The reference's
+    * limit-1 probe still plans one page and reads one.
     */
   private def planCursor(
       fs: FileSystem, files: Array[org.apache.hadoop.fs.FileStatus]): Array[InputPartition] = {
-    val pagesWanted = if (limit >= 0) (limit.toLong + pageSize - 1) / pageSize else Long.MaxValue
+    val docsWanted = if (limit >= 0) limit.toLong else Long.MaxValue
+    var docsPlanned = 0L
     val pages = scala.collection.mutable.ArrayBuffer.empty[DocPage]
     val it = files.iterator
-    while (it.hasNext && pages.size < pagesWanted) {
+    while (it.hasNext && docsPlanned < docsWanted) {
       val st = it.next()
-      pages ++= cursorPages(fs, st.getPath, st.getLen, pagesWanted - pages.size)
+      val (filePages, fileDocs) =
+        cursorPages(fs, st.getPath, st.getLen, docsWanted - docsPlanned)
+      pages ++= filePages
+      docsPlanned += fileDocs
     }
     pages.toArray[InputPartition]
   }
 
-  /** One file's cursor walk, emitting at most `wanted` pages. */
+  /** One file's cursor walk over its first `len` bytes, stopping once
+    * `docsWanted` documents are planned; returns (pages, exact planned
+    * document count). The walk never reads past `len`: in streaming, a
+    * file may have grown past its admitted offset length by planning
+    * time, and page offsets derived from the newer bytes would
+    * misalign with what the offset committed.
+    */
   private[sources] def cursorPages(
-      fs: FileSystem, f: Path, len: Long, wanted: Long): Seq[DocPage] = {
+      fs: FileSystem, f: Path, len: Long,
+      docsWanted: Long): (Seq[DocPage], Long) = {
     val pages = scala.collection.mutable.ArrayBuffer.empty[DocPage]
+    var docsPlanned = 0L
     val in = fs.open(f)
     try {
       val buf = new Array[Byte](64 * 1024)
@@ -278,7 +295,11 @@ private[sources] class DocStoreScan(
       var pos = 0L
       var docsInPage = 0
       var sawContent = false
-      var read = in.read(buf)
+      def readNext(): Int = {
+        val want = math.min(buf.length.toLong, len - pos).toInt
+        if (want <= 0) -1 else in.read(buf, 0, want)
+      }
+      var read = readNext()
       var done = false
       while (read > 0 && !done) {
         var i = 0
@@ -289,21 +310,24 @@ private[sources] class DocStoreScan(
             sawContent = false
             if (docsInPage == pageSize) {
               pages += DocPage(f.toString, pageStart, pos + i + 1, rowLimit = limit)
+              docsPlanned += docsInPage
               pageStart = pos + i + 1
               docsInPage = 0
-              done = pages.size >= wanted
+              done = docsPlanned >= docsWanted
             }
           } else if (b != '\r' && b != ' ' && b != '\t') sawContent = true
           i += 1
         }
         pos += read
-        read = if (done) -1 else in.read(buf)
+        read = if (done) -1 else readNext()
       }
       // trailing page: a final doc without a newline still counts
-      if (!done && pageStart < len)
+      if (!done && pageStart < len) {
         pages += DocPage(f.toString, pageStart, len, rowLimit = limit)
+        docsPlanned += docsInPage + (if (sawContent) 1 else 0)
+      }
     } finally in.close()
-    pages.toSeq
+    (pages.toSeq, docsPlanned)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -420,7 +444,7 @@ private[sources] class DocStoreMicroBatchStream(
       val conf = scan.hadoopConf()
       fresh.flatMap { f =>
         val p = new Path(f)
-        scan.cursorPages(p.getFileSystem(conf), p, target(f), Long.MaxValue)
+        scan.cursorPages(p.getFileSystem(conf), p, target(f), Long.MaxValue)._1
       }.toArray[InputPartition]
     }
   }
@@ -516,7 +540,8 @@ private[sources] class DocPageReaderFactory(
   * files are removed inside the same driver commit, after every temp
   * has landed.
   */
-private[sources] class DocStoreWriteBuilder(path: String, schema: StructType)
+private[sources] class DocStoreWriteBuilder(path: String, schema: StructType,
+    queryId: String)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
 
@@ -530,7 +555,7 @@ private[sources] class DocStoreWriteBuilder(path: String, schema: StructType)
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-        new DocStoreBatchWrite(path, schema, doTruncate)
+        new DocStoreBatchWrite(path, schema, doTruncate, queryId)
     }
 }
 
@@ -538,7 +563,7 @@ private[sources] case class DocWriteCommit(tempFile: String)
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class DocStoreBatchWrite(
-    path: String, schema: StructType, truncate: Boolean)
+    path: String, schema: StructType, truncate: Boolean, queryId: String)
     extends org.apache.spark.sql.connector.write.BatchWrite {
 
   private def fsFor() = {
@@ -554,17 +579,25 @@ private[sources] class DocStoreBatchWrite(
     fs.mkdirs(root)
     import scala.jdk.CollectionConverters._
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
-    new DocStoreWriterFactory(path, schema,
+    new DocStoreWriterFactory(path, schema, queryId,
       conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray)
   }
 
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val (fs, root) = fsFor()
+    // visible names carry the write's queryId, so two APPLICATIONS
+    // writing the same collection can never collide on (partitionId,
+    // taskId) alone; the truncate list additionally excludes this
+    // commit's own targets — belt and braces against a rename that
+    // silently replaced an identically-named file
+    val targets = messages.collect { case DocWriteCommit(tmp) =>
+      new Path(tmp).getName.stripPrefix(".tmp-") }.toSet
     val existing =
       if (truncate)
         fs.listStatus(root).toSeq.filter(s => s.isFile &&
-          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_") &&
+          !targets(s.getPath.getName))
           .map(_.getPath)
       else Seq.empty
     messages.collect { case DocWriteCommit(tmp) =>
@@ -588,7 +621,8 @@ private[sources] class DocStoreBatchWrite(
 }
 
 private[sources] class DocStoreWriterFactory(
-    path: String, schema: StructType, confEntries: Array[(String, String)])
+    path: String, schema: StructType, queryId: String,
+    confEntries: Array[(String, String)])
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long):
@@ -599,14 +633,19 @@ private[sources] class DocStoreWriterFactory(
         confEntries.foreach { case (k, v) => c.set(k, v) }
         c
       }
-      // taskId in the temp name keeps speculative/retried attempts of
-      // the same partition from colliding; only the committed attempt's
-      // message reaches commit(), the rest are aborted
+      // taskId keeps speculative/retried attempts of the same partition
+      // from colliding WITHIN this application; queryId makes the name
+      // unique ACROSS applications (two apps both start taskIds at 0 —
+      // without it, an overwrite from a second app could rename onto an
+      // existing part file). Only the committed attempt's message
+      // reaches commit(), the rest are aborted.
       private val tmp = new Path(
-        s"$path/.tmp-part-$partitionId-$taskId.jsonl")
-      private val fs = tmp.getFileSystem(conf)
-      // no .crc sidecars: the local checksum FS would otherwise shadow
-      // every committed part file with a stray dot-file after the rename
+        s"$path/.tmp-part-$partitionId-$taskId-$queryId.jsonl")
+      // a PRIVATE (uncached) filesystem instance: setWriteChecksum on
+      // the shared cached FS would disable .crc checksums JVM-wide for
+      // every other writer — scope the "no sidecars" choice to this
+      // writer's own handle and close it with the task
+      private val fs = FileSystem.newInstance(tmp.toUri, conf)
       fs.setWriteChecksum(false)
       private val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 64 * 1024)
       private val mapper = new ObjectMapper()
@@ -626,7 +665,7 @@ private[sources] class DocStoreWriterFactory(
         fs.delete(tmp, false)
       }
 
-      override def close(): Unit = ()
+      override def close(): Unit = fs.close()
     }
 }
 
@@ -639,7 +678,10 @@ private[sources] class DocStoreWriterFactory(
   */
 object DocStoreQueries {
 
-  private val FixtureDir = "/root/repo/src/test/resources/fixtures"
+  // relative to the launch directory (how Verify/Bench run), matching
+  // the test convention — an absolute machine path would break any
+  // other checkout
+  private val FixtureDir = "src/test/resources/fixtures"
 
   import graft.Q
   import org.apache.spark.sql.functions._

@@ -84,12 +84,42 @@ class DocStoreOwnershipPropSpec extends SparkSpec {
       val pageSize = 1 + rnd.nextInt(7)
       val scan = new DocStoreScan(schema, file, pageSize, 1L << 20, "cursor", -1)
       val p = new org.apache.hadoop.fs.Path(file)
-      val pages = scan.cursorPages(p.getFileSystem(conf), p, len, Long.MaxValue)
+      val (pages, plannedDocs) =
+        scan.cursorPages(p.getFileSystem(conf), p, len, Long.MaxValue)
       // every page but the last holds exactly pageSize docs
       val perPage = pages.map(pg => readAll(Seq(pg)).size)
       assert(perPage.dropRight(1).forall(_ == pageSize),
         s"trial=$trial pageSize=$pageSize perPage=$perPage")
       assert(readAll(pages).sorted == docs.sorted)
+      // the planner's reported doc count is exact — the invariant the
+      // pushed-limit stop rule depends on (docs, not pages)
+      assert(plannedDocs === nDocs.toLong,
+        s"trial=$trial planner counted $plannedDocs of $nDocs docs")
     }
+  }
+
+  test("cursor walk never reads past the admitted length (streaming growth)") {
+    // a file admitted into a streaming offset at length L may have
+    // grown by planning time; the walk must plan ONLY the first L
+    // bytes, or page offsets would misalign with the committed offset
+    val dir = Files.createTempDirectory("docstore_prop_grow").toString
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("fs.defaultFS", "file:///")
+    val first = (0 until 6).map(i => s"""{"v": "old$i"}""")
+    val body = first.mkString("\n") + "\n"
+    val admittedLen = body.getBytes("UTF-8").length.toLong
+    val grown = body + (0 until 6).map(i => s"""{"v": "new$i"}""").mkString("\n")
+    val file = s"$dir/grow.jsonl"
+    Files.write(Paths.get(file), grown.getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val scan = new DocStoreScan(schema, file, 4, 1L << 20, "cursor", -1)
+    val p = new org.apache.hadoop.fs.Path(file)
+    val (pages, planned) =
+      scan.cursorPages(p.getFileSystem(conf), p, admittedLen, Long.MaxValue)
+    assert(planned === 6L, s"planned $planned docs past the admitted length")
+    assert(pages.forall(_.end <= admittedLen),
+      s"a page extends past the admitted length: $pages")
   }
 }

@@ -102,6 +102,27 @@ class DocStoreSplitSpec extends SparkSpec {
     assert(probe.collect().length === 1)
   }
 
+  test("cursor limit planning counts DOCS, not pages — short trailing pages don't starve it") {
+    // two 5-doc files, pageSize 4: each file yields a full page + a
+    // 1-doc trailing page. A page-counted stop (ceil(8/4)=2 pages)
+    // would plan only file A's 5 docs and return 5 rows for limit(8);
+    // doc-counted planning must reach into file B and return 8.
+    val dir = java.nio.file.Files.createTempDirectory("docstore_limit").toString
+    Seq("a", "b").foreach { f =>
+      val docs = (0 until 5).map(i =>
+        s"""{"user_id": "$f$i", "username": "n$i"}""")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/$f.jsonl"),
+        (docs.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    val df = spark.read.format("docstore").schema(twoCols)
+      .option("planMode", "cursor").option("pageSize", 4)
+      .load(dir).limit(8)
+    assert(scanOf(df).scan.description().contains("pushedLimit=8"))
+    assert(df.collect().length === 8,
+      "cursor planner stopped on page count and under-produced the limit")
+  }
+
   test("pushed limit caps reader output in split mode too") {
     val df = spark.read.format("docstore").schema(Schemas.userDoc)
       .option("splitSize", 256)
