@@ -136,6 +136,19 @@ object Similarity {
       if ((Integer.parseInt(md5hex(s"pq${s}_${c}_$d").substring(0, 4), 16) & 1) == 1) 1 else -1
     }
 
+  /** em5's fixed-codebook PQ code array (1-based argmax-dot per
+    * subspace, first-match ties) — ONE definition shared by the em5
+    * registry row and ss4's ADC funnel, so a code-rule change can
+    * never leave the two computing different codes.
+    */
+  private def pqCodesFixed(e: Column): Column =
+    array((0 until PqSubspaces).map { sub =>
+      val subVec = slice(e, sub * PqSubDim + 1, PqSubDim)
+      val dots = array((0 until PqCells).map(c =>
+        dotCols(subVec, typedlit(pqCentroid(sub)(c).map(_.toDouble).toSeq))): _*)
+      array_position(dots, array_max(dots)).cast("int")
+    }: _*)
+
   // ---- IVF coarse quantizer ----
 
   private[operators] val NumCells = 16
@@ -179,14 +192,20 @@ object Similarity {
     array_position(d, array_max(d))
   }
 
-  private def cellProbesColFor(e: Column, cents: Array[Array[Double]]): Column = {
-    val d = scoresFor(e, cents)
+  /** best + runner-up indices of an n-element score array — the ONE
+    * nprobe=2 masking rule; fixed-centroid and trained probes both
+    * delegate here so the probe discipline can never diverge.
+    */
+  private def probesFromScores(d: Column, n: Int): Column = {
     val best = array_position(d, array_max(d))
     val masked = transform(
-      sequence(lit(1), lit(cents.length)),
+      sequence(lit(1), lit(n)),
       j => when(j.cast("long") === best, lit(Double.MinValue)).otherwise(element_at(d, j)))
     array(best, array_position(masked, array_max(masked)))
   }
+
+  private def cellProbesColFor(e: Column, cents: Array[Array[Double]]): Column =
+    probesFromScores(scoresFor(e, cents), cents.length)
 
   /** K-means-trained IVF centroids over any (vec_id, embedding) frame —
     * the production 100 TB index shape (MLlib's KMeans uses the
@@ -215,7 +234,7 @@ object Similarity {
     */
   def ivfTopKTrained(v: DataFrame, cents: Array[Array[Double]],
       numQueries: Int, topK: Int): DataFrame =
-    ivfImpl(v, numQueries, topK, e => cellProbesColFor(e, cents))
+    probedTopK(v, numQueries, topK, "cell", cellProbesColFor(col("emb"), cents))
 
   // ---- trained PQ (k-means codebooks behind em5's code interface) ----
 
@@ -233,30 +252,43 @@ object Similarity {
     */
   def trainPqCodebooks(raw: DataFrame, subspaces: Int = PqSubspaces,
       cells: Int = PqCells, seed: Long = 42L,
-      maxIter: Int = 20): Array[Array[Array[Double]]] =
+      maxIter: Int = 20): Array[Array[Array[Double]]] = {
+    // sub-dimension DERIVES from the requested subspace count — a
+    // hardcoded PqSubDim here would silently train the wrong slices
+    // (or empty ones, whose dots all tie to 0) for any non-default
+    // `subspaces`
+    require(subspaces > 0 && Dims % subspaces == 0,
+      s"subspaces must divide $Dims, got $subspaces")
+    val subDim = Dims / subspaces
     Array.tabulate(subspaces) { sub =>
       val feats = raw.select(
         org.apache.spark.ml.functions.array_to_vector(
-          slice(embD, sub * PqSubDim + 1, PqSubDim)).as("features"))
+          slice(embD, sub * subDim + 1, subDim)).as("features"))
       new org.apache.spark.ml.clustering.KMeans()
         .setK(cells).setSeed(seed + sub).setMaxIter(maxIter)
         .fit(feats)
         .clusterCenters.map(_.toArray)
     }
+  }
 
   /** PQ code array against arbitrary (trained) codebooks: per subspace,
     * the EUCLIDEAN-nearest cell via the same `e·c − ‖c‖²/2` argmax trick
     * as trained IVF (for the ±1 oracle books every ‖c‖² ties, collapsing
     * to em5's raw-dot argmax). 1-based codes, matching em5. Per-row
-    * projection only — no shuffle.
+    * projection only — no shuffle. Each subspace's dimensionality (and
+    * slice offset) comes from ITS codebook's centroid width, so the
+    * codes always address the slices the books were trained on.
     */
-  def pqCodesFor(e: Column, books: Array[Array[Array[Double]]]): Column =
+  def pqCodesFor(e: Column, books: Array[Array[Array[Double]]]): Column = {
+    val offsets = books.map(_.head.length).scanLeft(0)(_ + _)
     array(books.indices.map { sub =>
-      val subVec = slice(e, sub * PqSubDim + 1, PqSubDim)
+      val subDim = books(sub).head.length
+      val subVec = slice(e, offsets(sub) + 1, subDim)
       val d = array(books(sub).map(c =>
         dotCols(subVec, typedlit(c.toSeq)) - lit(c.map(x => x * x).sum / 2.0)): _*)
       array_position(d, array_max(d)).cast("int")
     }: _*)
+  }
 
   /** (vec_id, codes) for a raw (vec_id, embedding) frame under trained
     * codebooks — the library entry point mirroring em5's registry shape
@@ -287,8 +319,12 @@ object Similarity {
     * k×dims driver value. Rounds are fixed (not converged) for the
     * same reason gr3 fixes Bellman-Ford rounds: a deterministic
     * quantity with an exact cross-engine oracle. Clusters cannot empty
-    * under seed-point init in round 1; a later empty cluster keeps its
-    * previous centroid.
+    * in round 1 because the k seed vectors are required DISTINCT (a
+    * point is strictly closest to itself, ties only to an equal
+    * vector — which the guard below rejects, since an emptied seed
+    * cluster is exactly where this fold and the oracle's
+    * drop-absent-clusters SQL would diverge); a later empty cluster
+    * keeps its previous centroid.
     */
   def kmeansAssign(s: SparkSession, raw: DataFrame, k: Int,
       rounds: Int): DataFrame = {
@@ -297,7 +333,11 @@ object Similarity {
     val x6Frame = graft.CacheScope.track(
       raw.select(
           col("vec_id"),
-          transform(embD, v => round(v * 1000000.0)).as("x6"))
+          // floor(x + 0.5), NOT round(): the file's one cross-engine
+          // quantization rule (Spark rounds half-up, DuckDB half-even;
+          // floor(x+0.5) is bit-identical in both) — em2's convention
+          transform(embD, v =>
+            floor(v * 1000000.0 + 0.5).cast("double")).as("x6"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     // deterministic init: the k smallest vec_ids in id order
     val seeds = x6Frame.orderBy("vec_id").head(k)
@@ -305,6 +345,10 @@ object Similarity {
       s"kmeansAssign: k=$k but only ${seeds.length} vectors")
     var cents: Seq[Seq[Double]] =
       seeds.map(_.getSeq[Double](1)).toSeq
+    require(cents.distinct.size == k,
+      "kmeansAssign: the k smallest vec_ids carry duplicate embeddings; " +
+        "a tied seed empties its cluster in round 1 and the " +
+        "engine-independent fold has no sound oracle there")
     def assignCol: Column = {
       val scores = array(cents.map(c =>
         lit(2.0) * dotCols(col("x6"), typedlit(c)) -
@@ -389,15 +433,32 @@ object Similarity {
     (prepare(s, raw, numPlanes), numPlanes)
   }
 
+  /** The registry corpus's row count, memoized per testdata dir (the
+    * tables are immutable fixtures): seven ss/em registry queries and
+    * the ss6 index staging all need the count-scaled plane count, and
+    * without the memo each ran its own count job per execution.
+    */
+  private val corpusCount = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def countOf(s: SparkSession, dir: String): Long =
+    corpusCount.getOrElseUpdate(dir, Tables(s, dir, "embeddings").count())
+
   /** One scan over the testdata `embeddings` table, shared by the
     * query/candidate sides of every similarity operator in the session
     * (identical prepare plans hit one cache entry). Plane count is
     * AUTO-SCALED to the corpus ([[autoNumPlanes]]) — the oracle SQL
     * recomputes the same count-derived value, so the registry queries
-    * stay oracle-exact at any scale factor.
+    * stay oracle-exact at any scale factor — and GUARDED against the
+    * oracle's inlined-plane ceiling: past ~1M vectors the SQL would
+    * silently stop adding plane terms the Spark side still uses, so
+    * failing fast beats a silent cross-engine bucket divergence.
     */
-  private def vectors(s: SparkSession, dir: String): (DataFrame, Int) =
-    prepareAuto(s, Tables(s, dir, "embeddings"))
+  private def vectors(s: SparkSession, dir: String): (DataFrame, Int) = {
+    val np = autoNumPlanes(countOf(s, dir))
+    require(np <= MaxOraclePlanes,
+      s"auto-scaled plane count $np exceeds the oracle's $MaxOraclePlanes " +
+        "inlined planes; widen MaxOraclePlanes (and bucketSql) for this corpus")
+    (prepare(s, Tables(s, dir, "embeddings"), np), np)
+  }
 
   /** Exact cosine top-k for the query rows (vec_id < numQueries) over a
     * prepared vector frame — the brute-force baseline.
@@ -405,11 +466,20 @@ object Similarity {
   def bruteTopK(v: DataFrame, numQueries: Int, topK: Int): DataFrame = {
     val q = v.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"), col("nrm").as("qnrm"))
-    val pairs = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+    rankEmit(v.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(
         col("qid"),
         col("vec_id").as("neighbor_id"),
-        cosine(col("qemb"), col("qnrm"), col("emb"), col("nrm")).as("score"))
+        cosine(col("qemb"), col("qnrm"), col("emb"), col("nrm")).as("score")),
+      topK)
+  }
+
+  /** The output contract every top-k operator shares: rank candidates
+    * per query (score desc, neighbor_id tie-break), keep k, emit
+    * ordered — ONE definition, so brute/LSH/IVF/funnel can never
+    * drift on the ranking rule.
+    */
+  private def rankEmit(pairs: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(desc("score"), asc("neighbor_id"))
     pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
@@ -417,11 +487,30 @@ object Similarity {
       .orderBy("qid", "neighbor_id")
   }
 
+  /** Probe-keyed candidate generation + rank: queries explode their
+    * probe list, candidates equi-join on `key` (LSH bucket or IVF
+    * cell) against the broadcast query set — the shared shape of
+    * [[annTopK]] and [[ivfTopK]]/[[ivfTopKTrained]].
+    */
+  private def probedTopK(v: DataFrame, numQueries: Int, topK: Int,
+      key: String, probeExpr: Column): DataFrame = {
+    val q = v.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
+        col("nrm").as("qnrm"), explode(probeExpr).as("probe"))
+    rankEmit(v.join(broadcast(q),
+        col(key) === col("probe") && col("vec_id") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("vec_id").as("neighbor_id"),
+        cosine(col("qemb"), col("qnrm"), col("emb"), col("nrm")).as("score")),
+      topK)
+  }
+
   /** IVF ANN top-k over a prepared vector frame: candidates restricted
     * to the query's 2 nearest centroid cells (nprobe=2).
     */
   def ivfTopK(v: DataFrame, numQueries: Int, topK: Int): DataFrame =
-    ivfImpl(v, numQueries, topK, e => cellProbesCol(e))
+    probedTopK(v, numQueries, topK, "cell", cellProbesCol(col("emb")))
 
   /** The full IVF + PQ + exact-re-rank ANN funnel over a prepared
     * vector frame (ss4's operator): probe 2 cells, score candidates by
@@ -433,14 +522,9 @@ object Similarity {
   def ivfPqTopK(v: DataFrame, numQueries: Int, topK: Int,
       shortlistN: Int = 32): DataFrame = {
     // 4-bit-per-subspace PQ code of a corpus vector (em5's rule, over
-    // the prepared double emb)
-    val codesCol = array((0 until PqSubspaces).map { sub =>
-      val subVec = slice(col("emb"), sub * PqSubDim + 1, PqSubDim)
-      val dots = array((0 until PqCells).map(c =>
-        dotCols(subVec, typedlit(pqCentroid(sub)(c).map(_.toDouble).toSeq))): _*)
-      array_position(dots, array_max(dots)).cast("int")
-    }: _*)
-    val coded = v.select(col("vec_id"), col("cell"), codesCol.as("codes"))
+    // the prepared double emb — the SHARED definition)
+    val coded = v.select(col("vec_id"), col("cell"),
+      pqCodesFixed(col("emb")).as("codes"))
     val q = v.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("nrm").as("qnrm"), explode(cellProbesCol(col("emb"))).as("probe"))
@@ -462,32 +546,10 @@ object Similarity {
     // exact re-rank: fetch full vectors for the shortlist only
     val full = v.select(col("vec_id").as("neighbor_id"),
       col("emb").as("cemb"), col("nrm").as("cnrm"))
-    val wS = Window.partitionBy(col("qid")).orderBy(desc("score"), asc("neighbor_id"))
-    short.join(full, Seq("neighbor_id"))
+    rankEmit(short.join(full, Seq("neighbor_id"))
       .select(col("qid"), col("neighbor_id"),
-        cosine(col("qemb"), col("qnrm"), col("cemb"), col("cnrm")).as("score"))
-      .withColumn("rn", row_number().over(wS))
-      .filter(col("rn") <= topK)
-      .select("qid", "neighbor_id", "score")
-      .orderBy("qid", "neighbor_id")
-  }
-
-  private def ivfImpl(v: DataFrame, numQueries: Int, topK: Int,
-      probes: Column => Column): DataFrame = {
-    val q = v.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-        col("nrm").as("qnrm"), explode(probes(col("emb"))).as("probe"))
-    val pairs = v.join(broadcast(q),
-        col("cell") === col("probe") && col("vec_id") =!= col("qid"))
-      .select(
-        col("qid"),
-        col("vec_id").as("neighbor_id"),
-        cosine(col("qemb"), col("qnrm"), col("emb"), col("nrm")).as("score"))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("score"), asc("neighbor_id"))
-    pairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topK)
-      .select("qid", "neighbor_id", "score")
-      .orderBy("qid", "neighbor_id")
+        cosine(col("qemb"), col("qnrm"), col("cemb"), col("cnrm")).as("score")),
+      topK)
   }
 
   /** Multi-probe LSH ANN top-k: candidates restricted to the query's
@@ -496,22 +558,8 @@ object Similarity {
     * duplicate pairs.
     */
   def annTopK(v: DataFrame, numQueries: Int, topK: Int,
-      numPlanes: Int = NumPlanes): DataFrame = {
-    val q = v.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"), col("emb").as("qemb"),
-        col("nrm").as("qnrm"), explode(probesCol(col("bucket"), numPlanes)).as("probe"))
-    val pairs = v.join(broadcast(q),
-        col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
-      .select(
-        col("qid"),
-        col("vec_id").as("neighbor_id"),
-        cosine(col("qemb"), col("qnrm"), col("emb"), col("nrm")).as("score"))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("score"), asc("neighbor_id"))
-    pairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= topK)
-      .select("qid", "neighbor_id", "score")
-      .orderBy("qid", "neighbor_id")
-  }
+      numPlanes: Int = NumPlanes): DataFrame =
+    probedTopK(v, numQueries, topK, "bucket", probesCol(col("bucket"), numPlanes))
 
   /** RANGE search: every neighbor with cosine ≥ `minSim`, via the same
     * multi-probe LSH candidate generation as [[annTopK]] — the
@@ -567,14 +615,8 @@ object Similarity {
   /** The query's 2 nearest cells (best + runner-up by centroid dot) —
     * the IVF probe list.
     */
-  private def cellProbesCol(e: Column): Column = {
-    val d = centroidDots(e)
-    val best = array_position(d, array_max(d))
-    val masked = transform(
-      sequence(lit(1), lit(NumCells)),
-      j => when(j.cast("long") === best, lit(Double.MinValue)).otherwise(element_at(d, j)))
-    array(best, array_position(masked, array_max(masked)))
-  }
+  private def cellProbesCol(e: Column): Column =
+    probesFromScores(centroidDots(e), NumCells)
 
   // ---- DuckDB oracle fragments ----
 
@@ -652,7 +694,10 @@ object Similarity {
     */
   private def annIndexLog(s: SparkSession, dir: String): (String, Int) = {
     val raw = Tables(s, dir, "embeddings")
-    val np = autoNumPlanes(raw.count())
+    val np = autoNumPlanes(countOf(s, dir))
+    require(np <= MaxOraclePlanes,
+      s"auto-scaled plane count $np exceeds the oracle's $MaxOraclePlanes " +
+        "inlined planes; widen MaxOraclePlanes (and bucketSql) for this corpus")
     val p = graft.TempDirs.staged(s"annidx_${graft.TempDirs.dirKey(dir)}") { p =>
       val root = p.resolve("log").toString
       SnapshotLog.append(s, root,
@@ -999,14 +1044,8 @@ object Similarity {
       "em5_pq_codes",
       (s, dir) => {
         GraftFunctions.register(s)
-        val codes = array((0 until PqSubspaces).map { sub =>
-          val subVec = slice(embD, sub * PqSubDim + 1, PqSubDim)
-          val dots = array((0 until PqCells).map(c =>
-            dotCols(subVec, typedlit(pqCentroid(sub)(c).map(_.toDouble).toSeq))): _*)
-          array_position(dots, array_max(dots)).cast("int")
-        }: _*)
         Tables(s, dir, "embeddings")
-          .select(col("vec_id"), codes.as("codes"))
+          .select(col("vec_id"), pqCodesFixed(embD).as("codes"))
           .select(col("vec_id"), posexplode(col("codes")))
           .select(
             col("vec_id"),
@@ -1082,7 +1121,7 @@ object Similarity {
           .orderBy("vec_id"),
       Some(s"""WITH x AS (
              |  SELECT vec_id, i - 1 AS dim,
-             |         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+             |         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x6
              |  FROM embeddings, unnest(generate_series(1, $Dims)) AS t(i)),
              |seed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS c
              |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
