@@ -128,24 +128,23 @@ object Dedup {
   /** Distinct word shingles of a document. */
   private val tokensCol: Column = array_distinct(split(col("text"), " "))
 
-  /** (h1, h2) halves of one md5 per distinct token — the only digest work. */
-  private val hashPairsCol: Column =
-    transform(
-      tokensCol,
-      t =>
-        struct(
-          conv(substring(md5(t), 1, 8), 16, 10).cast("long").as("h1"),
-          conv(substring(md5(t), 9, 8), 16, 10).cast("long").as("h2")))
-
-  /** Cached (doc_id, hp: array<struct<h1,h2>>) for the VERIFICATION
-    * token tables (dd4 derives its sorted hashed-token arrays from this
-    * cache; the signature path computes its own hashes inside the
-    * native MinhashSigs expression).
+  /** Cached (doc_id, toks: SORTED distinct token-hash array, n) for
+    * the VERIFICATION token tables — exactly what dd4's native
+    * merge-count intersect consumes. The cache holds the final sorted
+    * form: an earlier shape cached (h1, h2) struct pairs and re-sorted
+    * above the cache on BOTH join sides per run, but h2 was dead
+    * weight (the signature path computes its own hashes inside the
+    * native MinhashSigs expression, and no consumer ever read it), so
+    * the payload halves and the per-run double sort disappears.
     */
   private def hashedTokens(s: SparkSession, dir: String): DataFrame =
     graft.CacheScope.track(
       docs(s, dir)
-        .select(col("doc_id"), hashPairsCol.as("hp"))
+        .select(col("doc_id"),
+          sort_array(array_distinct(transform(tokensCol,
+            t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))))
+            .as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
         .persist(StorageLevel.MEMORY_AND_DISK))
 
   /** (doc_id, sig: array<long>) minhash signatures:
@@ -333,6 +332,43 @@ object Dedup {
       bandSigsOf(docs(s, dir).filter(col("text").contains(" ")), gram = 2)
         .persist(StorageLevel.MEMORY_AND_DISK)))
 
+  /** Candidate pairs with their bigram-shingle intersection counts —
+    * (doc_a, doc_b, inter, na, nb), shared by dd7 (Jaccard) and dd12
+    * (containment): ONE definition for the plumbing, and the per-doc
+    * shingle table is PERSISTED (the digest-heavy BigramMd5Hashes
+    * pass runs once per session, not once per measure — the same
+    * persist-and-share discipline every sibling intermediate follows).
+    * bg is full-corpus-sized: no broadcast hint — AQE broadcasts at
+    * bench SFs and switches to a shuffle join at scale (VERDICT r5 #2).
+    */
+  private def bigramIntersects(s: SparkSession, dir: String): DataFrame = {
+    val bg = graft.CacheScope.track(
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          call_function(GraftFunctions.BigramName, col("text")).as("bg"))
+        .select(col("doc_id"), col("bg"), size(col("bg")).as("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    bigramLshCandidates(s, dir)
+      .join(bg.as("ba"), col("doc_a") === col("ba.doc_id"))
+      .join(bg.as("bb"), col("doc_b") === col("bb.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        call_function(GraftFunctions.IntersectName, col("ba.bg"), col("bb.bg"))
+          .as("inter"),
+        col("ba.n").as("na"), col("bb.n").as("nb"))
+  }
+
+  /** The oracle's bigram-shingle table — the SQL twin of
+    * [[bigramIntersects]]' `bg`, shared by dd7/dd12 so the two
+    * measures can never verify against different shingle definitions.
+    */
+  private val bgtSql =
+    """bgt AS (SELECT doc_id,
+      |          list_distinct(list_transform(generate_series(1, len(words) - 1),
+      |            i -> CAST('0x' || substr(md5(words[i] || ' ' || words[i + 1]), 1, 8) AS BIGINT))) AS bg
+      |        FROM w)""".stripMargin
+
   // ---- shared DuckDB oracle CTEs (recompute the same derived-hash LSH) ----
 
   private val mhSql =
@@ -397,14 +433,13 @@ object Dedup {
     Q(
       "dd1_exact_dedup",
       (s, dir) =>
-        docs(s, dir)
+        sortedOut(docs(s, dir)
           .groupBy(md5(col("text")).as("content_hash"))
           .agg(
             min(col("doc_id")).as("keep_id"),
             count(lit(1)).as("copies"),
             min(col("text")).as("text"))
-          .select("keep_id", "copies", "text")
-          .orderBy("keep_id"),
+          .select("keep_id", "copies", "text"), "keep_id"),
       Some("""SELECT min(doc_id) AS keep_id, count(*) AS copies, min(text) AS text
              |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)
     ),
@@ -440,14 +475,10 @@ object Dedup {
       "dd4_jaccard_neardup",
       (s, dir) => {
         GraftFunctions.register(s)
-        // sorted hashed-token sets: the native merge-count expression needs
-        // ascending inputs; sorting is once per doc, counting is per pair.
+        // sorted hashed-token sets straight from the cache: the native
+        // merge-count expression needs ascending inputs, and the cache
+        // already holds them sorted (once per doc, not per run per side)
         val tk = hashedTokens(s, dir)
-          .select(
-            col("doc_id"),
-            sort_array(array_distinct(transform(col("hp"), p => p.getField("h1"))))
-              .as("toks"))
-          .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
         val scored = lshCandidates(s, dir)
           .join(tk.as("ta"), col("doc_a") === col("ta.doc_id"))
           .join(tk.as("tb"), col("doc_b") === col("tb.doc_id"))
@@ -547,8 +578,9 @@ object Dedup {
         val starts = grams.join(dup, "gram")
           .groupBy("doc_id")
           .agg(sort_array(collect_set(col("i"))).as("starts"))
-        scrubFrame(toks.join(starts, Seq("doc_id"), "left"), ScrubW)
-          .orderBy("doc_id")
+        sortedOut(
+          scrubFrame(toks.join(starts, Seq("doc_id"), "left"), ScrubW),
+          "doc_id")
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
              |g AS (SELECT doc_id, i,
@@ -598,7 +630,7 @@ object Dedup {
             (0 until 60)
               .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
               .reduce(_ + _).as("simhash"))
-          .orderBy("doc_id")
+          .transform(sortedOut(_, "doc_id"))
       },
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
              |h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS hv FROM tok),
@@ -654,23 +686,7 @@ object Dedup {
       "dd7_ngram_jaccard",
       (s, dir) => {
         GraftFunctions.register(s)
-        val bg = docs(s, dir)
-          .select(
-            col("doc_id"),
-            call_function(GraftFunctions.BigramName, col("text")).as("bg"))
-          .select(col("doc_id"), col("bg"), size(col("bg")).as("n"))
-        // bg is full-corpus-sized: no broadcast hint — AQE broadcasts at
-        // bench SFs and switches to a shuffle join at scale (VERDICT r5 #2).
-        val scored = bigramLshCandidates(s, dir)
-          .join(bg.as("ba"), col("doc_a") === col("ba.doc_id"))
-          .join(bg.as("bb"), col("doc_b") === col("bb.doc_id"))
-          .select(
-            col("doc_a"),
-            col("doc_b"),
-            call_function(GraftFunctions.IntersectName, col("ba.bg"), col("bb.bg"))
-              .as("inter"),
-            col("ba.n").as("na"),
-            col("bb.n").as("nb"))
+        val scored = bigramIntersects(s, dir)
           .select(
             col("doc_a"),
             col("doc_b"),
@@ -680,10 +696,7 @@ object Dedup {
         sortedOut(scored, "doc_a", "doc_b")
       },
       Some(s"""WITH $bcandSql,
-              |bgt AS (SELECT doc_id,
-              |          list_distinct(list_transform(generate_series(1, len(words) - 1),
-              |            i -> CAST('0x' || substr(md5(words[i] || ' ' || words[i + 1]), 1, 8) AS BIGINT))) AS bg
-              |        FROM w)
+              |$bgtSql
               |SELECT doc_a, doc_b, ngram_jaccard FROM (
               |  SELECT doc_a, doc_b,
               |    CAST(len(list_intersect(ba.bg, bb.bg)) AS DOUBLE) /
@@ -706,35 +719,26 @@ object Dedup {
       "dd12_containment",
       (s, dir) => {
         GraftFunctions.register(s)
-        val bg = docs(s, dir)
-          .select(
-            col("doc_id"),
-            call_function(GraftFunctions.BigramName, col("text")).as("bg"))
-          .select(col("doc_id"), col("bg"), size(col("bg")).as("n"))
-        val scored = bigramLshCandidates(s, dir)
-          .join(bg.as("ba"), col("doc_a") === col("ba.doc_id"))
-          .join(bg.as("bb"), col("doc_b") === col("bb.doc_id"))
-          .select(
-            col("doc_a"), col("doc_b"),
-            call_function(GraftFunctions.IntersectName, col("ba.bg"), col("bb.bg"))
-              .as("inter"),
-            col("ba.n").as("na"), col("bb.n").as("nb"))
+        // floor(x·1e6 + 0.5)/1e6, NOT round(x, 6): the operator
+        // family's one cross-engine quantization rule (Spark rounds
+        // half-up, DuckDB half-even — containment is a small-integer
+        // ratio, so exact half-ties are reachable)
+        def q6(c: Column): Column =
+          floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+        val scored = bigramIntersects(s, dir)
           .select(
             col("doc_a"), col("doc_b"),
-            round(col("inter").cast("double") / col("na"), 6).as("cont_a"),
-            round(col("inter").cast("double") / col("nb"), 6).as("cont_b"))
+            q6(col("inter").cast("double") / col("na")).as("cont_a"),
+            q6(col("inter").cast("double") / col("nb")).as("cont_b"))
           .filter(col("cont_a") >= 0.9 || col("cont_b") >= 0.9)
         sortedOut(scored, "doc_a", "doc_b")
       },
       Some(s"""WITH $bcandSql,
-              |bgt AS (SELECT doc_id,
-              |          list_distinct(list_transform(generate_series(1, len(words) - 1),
-              |            i -> CAST('0x' || substr(md5(words[i] || ' ' || words[i + 1]), 1, 8) AS BIGINT))) AS bg
-              |        FROM w)
+              |$bgtSql
               |SELECT doc_a, doc_b, cont_a, cont_b FROM (
               |  SELECT doc_a, doc_b,
-              |    ROUND(CAST(len(list_intersect(ba.bg, bb.bg)) AS DOUBLE) / len(ba.bg), 6) AS cont_a,
-              |    ROUND(CAST(len(list_intersect(ba.bg, bb.bg)) AS DOUBLE) / len(bb.bg), 6) AS cont_b
+              |    FLOOR(CAST(len(list_intersect(ba.bg, bb.bg)) AS DOUBLE) / len(ba.bg) * 1000000 + 0.5) / 1000000 AS cont_a,
+              |    FLOOR(CAST(len(list_intersect(ba.bg, bb.bg)) AS DOUBLE) / len(bb.bg) * 1000000 + 0.5) / 1000000 AS cont_b
               |  FROM bcand JOIN bgt ba ON doc_a = ba.doc_id JOIN bgt bb ON doc_b = bb.doc_id)
               |WHERE cont_a >= 0.9 OR cont_b >= 0.9 ORDER BY doc_a, doc_b""".stripMargin)
     ),
