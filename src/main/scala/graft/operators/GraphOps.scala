@@ -80,6 +80,14 @@ object GraphOps {
 
     val n = v.count()
     require(n > 0, "pageRank: empty vertex set")
+    // at n >= Scale the initial rank Scale/n AND the teleport base
+    // floor to zero, so every iteration emits all-zero ranks — a
+    // uniform, useless result that would still hash-match the
+    // identically-flooring oracle. Refuse instead of collapsing;
+    // a graph that large needs a wider Scale.
+    require(n < Scale,
+      s"pageRank: $n vertices >= Scale=$Scale — integer ranks would " +
+        "collapse to all zeros; widen Scale for a graph this large")
     val base = (Scale * (100 - dampingPct) / 100) / n
 
     var ranks = v.withColumn("rank", lit(Scale / n))
@@ -159,6 +167,13 @@ object GraphOps {
       labels = jumped
       round += 1
     }
+    // the canonical-label contract (component = smallest node id) only
+    // holds at a fixed point — returning a non-converged labeling
+    // would silently split entities downstream (rl3's golden-record
+    // grouping keys on it)
+    require(converged,
+      s"connectedComponents: not converged after $maxIterations rounds; " +
+        "raise maxIterations")
     labels.select(col("node"), col("label").as("component"))
   }
 
@@ -254,23 +269,43 @@ object GraphOps {
        |    FROM d${i - 1} p JOIN edges e ON e.src = p.node)
        |  GROUP BY node)""".stripMargin
 
+  /** gr1's round count and damping — ONE constant pair interpolated
+    * into BOTH the Spark call and the oracle unroll, so the two
+    * engines cannot drift when either knob is tuned (the same
+    * interpolation rule gr6 applies to its cap).
+    */
+  private val PrRounds = 5
+  private val PrDampingPct = 85
+
+  /** gr3 / gr5's fixed round (and core-k) knobs — same
+    * single-constant-interpolated-into-both-engines rule as
+    * [[PrRounds]]: the Spark call and the oracle unroll can't drift.
+    */
+  private val SpRounds = 6
+  private val KcRounds = 3
+  private val KcK = 3
+
   /** One unrolled damped-walk round as oracle SQL — MUST stay the exact
     * integer-arithmetic mirror of the loop body above (same operation
     * order, same floor divisions), or the bit-identical guarantee dies.
+    * The teleport numerator `(Scale*(100-d))/100` is precomputed in
+    * SCALA (DuckDB would evaluate 1000000000 * 15 in INT32 and
+    * overflow), and the damping percent interpolates from the same
+    * constant the Spark call uses.
     */
-  private def prIterSql(i: Int): String =
+  private def prIterSql(i: Int, dampingPct: Int = PrDampingPct): String = {
+    val tele = Scale * (100 - dampingPct) / 100
     s"""r$i AS (
        |  SELECT n.node,
-       |         -- 150000000 = (Scale * 15) / 100 precomputed: DuckDB
-       |         -- evaluates 1000000000 * 15 in INT32 and overflows
-       |         150000000 // (SELECT n FROM nn)
-       |           + (85 * COALESCE(s.c, 0)) // 100 AS rank
+       |         $tele // (SELECT n FROM nn)
+       |           + ($dampingPct * COALESCE(s.c, 0)) // 100 AS rank
        |  FROM nodes n LEFT JOIN (
        |    SELECT e.dst, CAST(SUM((r.rank * e.w) // o.outw) AS BIGINT) AS c
        |    FROM edges e
        |    JOIN r${i - 1} r ON r.node = e.src
        |    JOIN outw o ON o.src = e.src
        |    GROUP BY e.dst) s ON s.dst = n.node)""".stripMargin
+  }
 
 
   /** gr6's per-customer pair-fanout cap (top-N items before pairing). */
@@ -295,7 +330,8 @@ object GraphOps {
           .filter(col("src").isNotNull)
           .select(col("src"), col("node").as("dst"))
           .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-        pageRank(ev.select("node").distinct(), edges, iterations = 5)
+        pageRank(ev.select("node").distinct(), edges,
+          iterations = PrRounds, dampingPct = PrDampingPct)
           .select(col("node"), col("rank").as("rank_fp"))
           .orderBy("node")
       },
@@ -317,8 +353,8 @@ object GraphOps {
               |         FROM edges GROUP BY src),
               |r0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS rank
               |       FROM nodes),
-              |${(1 to 5).map(prIterSql).mkString(",\n")}
-              |SELECT node, rank AS rank_fp FROM r5 ORDER BY node""".stripMargin)
+              |${(1 to PrRounds).map(prIterSql(_)).mkString(",\n")}
+              |SELECT node, rank AS rank_fp FROM r$PrRounds ORDER BY node""".stripMargin)
     ),
 
     // GR2: undirected components of the RECURRING-transition graph —
@@ -386,9 +422,13 @@ object GraphOps {
           .filter(col("src").isNotNull && col("src") =!= col("node"))
           .select(col("src"), col("node").as("dst")).distinct()
           .withColumn("w", lit(1L))
-        // single aggregated row — bounded driver fetch
-        val source = ev.agg(min("node")).head().getLong(0)
-        shortestPaths(edges, source, rounds = 6)
+        // single aggregated row — bounded driver fetch; min over zero
+        // rows is NULL, and getLong on it would be a bare NPE
+        val srcRow = ev.agg(min("node")).head()
+        require(!srcRow.isNullAt(0),
+          "gr3: no event carries props.k — the session graph is empty")
+        val source = srcRow.getLong(0)
+        shortestPaths(edges, source, rounds = SpRounds)
           .orderBy("node")
       },
       Some(s"""WITH ev AS (
@@ -405,8 +445,8 @@ object GraphOps {
               |  FROM trans WHERE src IS NOT NULL AND src <> dst),
               |d0 AS (SELECT (SELECT min(node) FROM ev) AS node,
               |              CAST(0 AS BIGINT) AS dist),
-              |${(1 to 6).map(spIterSql).mkString(",\n")}
-              |SELECT node, dist FROM d6 ORDER BY node""".stripMargin)
+              |${(1 to SpRounds).map(spIterSql).mkString(",\n")}
+              |SELECT node, dist FROM d$SpRounds ORDER BY node""".stripMargin)
     ),
 
     // GR4: triangle census + global clustering coefficient of the
@@ -476,7 +516,11 @@ object GraphOps {
           .agg(count(lit(1)).as("n_triangles"))
         val stats = deg.agg(
           count(lit(1)).as("n_nodes"),
-          (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
+          // integer `div`, not `/`: Spark's Divide promotes to DOUBLE,
+          // and past 2^53 wedges the 53-bit mantissa drops low-order
+          // bits the oracle's exact `// 2` keeps — a silent hash
+          // mismatch at hub degrees ~1e8
+          expr("sum(deg * (deg - 1)) div 2").as("n_wedges"))
         val edgeCount = und.agg(count(lit(1)).as("n_edges"))
         stats.crossJoin(edgeCount).crossJoin(tri)
           .select(
@@ -531,7 +575,7 @@ object GraphOps {
           .withColumn("src", lag("node", 1).over(byTime))
           .filter(col("src").isNotNull && col("src") =!= col("node"))
           .select(col("src"), col("node").as("dst")).distinct()
-        kCore(edges, k = 3, rounds = 3).orderBy("node")
+        kCore(edges, k = KcK, rounds = KcRounds).orderBy("node")
       },
       Some(s"""WITH ev AS (
               |  SELECT user_id, ts, event_id,
@@ -546,7 +590,7 @@ object GraphOps {
               |        WHERE src IS NOT NULL AND src <> dst),
               |e0 AS (SELECT src, dst FROM und
               |       UNION SELECT dst, src FROM und),
-              |${(1 to 3).map(kcIterSql(_, 3)).mkString(",\n")}
+              |${(1 to KcRounds).map(kcIterSql(_, KcK)).mkString(",\n")}
               |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
               |FROM e3 GROUP BY src ORDER BY node""".stripMargin)
     ),
@@ -566,7 +610,6 @@ object GraphOps {
     Q(
       "gr6_copurchase_projection",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val capN = CoPurchaseCap
         val bought = Tables(s, dir, "lineitem")
           .join(Tables(s, dir, "orders"),
