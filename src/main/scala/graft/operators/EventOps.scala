@@ -32,13 +32,20 @@ object EventOps {
       .agg(ohlcAggs.head, ohlcAggs.tail: _*)
 
   /** The exact composite ordering key open/close pick by:
-    * micros·1e6 + event_id as DECIMAL(38,0) — total even under
-    * duplicate timestamps, overflow-free. ONE definition shared by the
-    * batch bars and the sm21 streaming twin (so the twin cannot drift
-    * from the oracle it claims verbatim).
+    * micros·1e18 + event_id as DECIMAL(38,0) — total even under
+    * duplicate timestamps, overflow-free (micros ~1.7e15 × 1e18 ≈
+    * 1.7e33 < 1e38). The multiplier must EXCEED every possible
+    * event_id or two distinct events could share a key and the
+    * min_by/max_by pick would be engine-arbitrary; 1e18 covers any id
+    * a BIGINT column can hold at corpus scale, where the earlier 1e6
+    * silently leaned on the generator assigning ids densely in ts
+    * order. ONE definition shared by the batch bars and the sm21
+    * streaming twin (so the twin cannot drift from the oracle it
+    * claims verbatim).
     */
   def ohlcKey: org.apache.spark.sql.Column =
-    unix_micros(col("ts")).cast("decimal(38,0)") * 1000000 + col("event_id")
+    unix_micros(col("ts")).cast("decimal(38,0)") *
+      lit("1000000000000000000").cast("decimal(38,0)") + col("event_id")
 
   /** The five OHLC aggregates + fixed-point volume over [[ohlcKey]]. */
   def ohlcAggs: Seq[org.apache.spark.sql.Column] = Seq(
@@ -49,6 +56,94 @@ object EventOps {
     count(lit(1)).as("n_events"),
     (sum(round(col("value") * 10000).cast("long")).cast("double") / 10000.0)
       .as("volume"))
+
+  /** ev3/ev5's shared top-2-per-user builder (WITHOUT the final
+    * orderBy, so ev5 can materialize under its installed rule first)
+    * and the one oracle string both rows verify against — the
+    * stock-vs-custom comparison is only meaningful while the two
+    * sides are definitionally identical.
+    */
+  private def topPurchases(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
+    Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 2)
+      .select("user_id", "rn", "event_id", "value")
+  }
+
+  private val topPurchasesSql =
+    """SELECT user_id, rn, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      |  FROM events WHERE event_type = 'purchase')
+      |WHERE rn <= 2 ORDER BY user_id, rn""".stripMargin
+
+  /** ev8/ev12's shared hourly fixture: per-(user, hour) fixed-point
+    * observations over the sampled users, plus the dense per-user
+    * hourly GRID spanning first..last observed hour. ONE definition
+    * for both gap-fill queries (they previously duplicated it and
+    * could drift), and the grid span derives from `obs` — already
+    * |users × hours|-sized — NOT from the raw stream: deriving h0/h1
+    * from events re-scanned and re-aggregated the fact table a second
+    * time for the same answer.
+    */
+  private def hourlyObsAndGrid(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val obs = Tables(s, dir, "events")
+      .filter(col("user_id") % 23 === 0)
+      .select(
+        col("user_id"),
+        date_trunc("hour", col("ts")).as("h"),
+        round(col("value") * 10000).cast("long").as("v_fx"))
+      .groupBy("user_id", "h").agg(sum("v_fx").as("hour_fx"))
+    val grid = obs.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(
+        col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    (obs, grid)
+  }
+
+  /** The oracle twin of [[hourlyObsAndGrid]] (e/obs/grid CTEs),
+    * shared by ev8/ev12 — the grid spans min..max of obs, which is
+    * definitionally the same span as over e.
+    */
+  private val gapCtesSql =
+    """e AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h,
+      |    CAST(round(value * 10000) AS BIGINT) AS v_fx
+      |  FROM events WHERE user_id % 23 = 0),
+      |obs AS (
+      |  SELECT user_id, h, CAST(SUM(v_fx) AS BIGINT) AS hour_fx
+      |  FROM e GROUP BY user_id, h),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+      |  FROM obs GROUP BY user_id)""".stripMargin
+
+  /** ev13's half-life in microseconds (7 days) — interpolated into
+    * both engines' arithmetic from one constant.
+    */
+  private val HalfLifeUs = 604800000000L
+
+  /** Taylor coefficients of exp2(−f) = e^(−f·ln2), c_i = (−ln2)^i/i!,
+    * printed to full double precision — both engines' literal parsers
+    * are correctly rounded, so each coefficient is the identical bits.
+    */
+  private val Exp2Coefs = Seq(
+    "1.0", "-0.6931471805599453", "0.2402265069591007",
+    "-0.055504108664821576", "0.009618129107628477",
+    "-0.0013333558146428441", "0.00015403530393381606",
+    "-1.5252733804059838e-05", "1.3215486790144305e-06",
+    "-1.0178086009239696e-07", "7.054911620801121e-09")
+
+  /** Horner form of exp2(−f) over `f` ∈ [0,1) — identical text on both
+    * engine sides, only +,*,/ (IEEE correctly rounded), so the value
+    * is bit-identical wherever doubles are; truncation error ≤ 5e-10.
+    */
+  private def exp2NegHorner(f: String): String =
+    Exp2Coefs.reverse.reduce((acc, c) => s"($acc * $f + $c)")
 
   val all: Seq[Q] = Seq(
     // Tumbling-window aggregation: hourly counts + fixed-point value sums.
@@ -114,23 +209,13 @@ object EventOps {
     // Top-2 purchases per user: ranking window with deterministic tiebreak.
     Q(
       "ev3_top_purchases_per_user",
-      (s, dir) => {
-        val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
-        Tables(s, dir, "events")
-          .filter(col("event_type") === "purchase")
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 2)
-          .select("user_id", "rn", "event_id", "value")
-          .orderBy("user_id", "rn")
-      },
-      Some("""SELECT user_id, rn, event_id, value FROM (
-             |  SELECT user_id, event_id, value,
-             |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
-             |  FROM events WHERE event_type = 'purchase')
-             |WHERE rn <= 2 ORDER BY user_id, rn""".stripMargin)
+      (s, dir) => topPurchases(s, dir).orderBy("user_id", "rn"),
+      Some(topPurchasesSql)
     ),
 
-    // EV5: the SAME top-2-per-user query as ev3, executed by the custom
+    // EV5: the SAME top-2-per-user query as ev3 — ONE shared builder
+    // and oracle string, so the answer-preservation claim can never
+    // silently void if ev3 is tuned — executed by the custom
     // TopKPerKey operator stack (graft.plans): the optimizer rule
     // replaces the Filter+Window pair with partial per-partition bounded
     // heaps -> hash exchange -> final per-key rank emission, so the
@@ -138,35 +223,42 @@ object EventOps {
     // purchase, and nothing is globally sorted but the k survivors.
     // Driver-verifying it against the identical oracle as ev3 proves the
     // whole-operator extension answer-preserving, not just plan-shaped.
+    // The rule is installed only around THIS query's materialization
+    // (eager localCheckpoint) and uninstalled after: a session-wide
+    // install would silently reroute ev3 — and every other
+    // Filter+row_number query that happens to run later — through the
+    // custom operator, voiding ev3's stock-Window baseline.
     Q(
       "ev5_topk_per_key",
       (s, dir) => {
         graft.plans.TopKPerKey.install(s)
-        val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
-        Tables(s, dir, "events")
-          .filter(col("event_type") === "purchase")
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= 2)
-          .select("user_id", "rn", "event_id", "value")
-          .orderBy("user_id", "rn")
+        val out =
+          try topPurchases(s, dir).localCheckpoint(true)
+          finally graft.plans.TopKPerKey.uninstall(s)
+        out.orderBy("user_id", "rn")
       },
-      Some("""SELECT user_id, rn, event_id, value FROM (
-             |  SELECT user_id, event_id, value,
-             |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
-             |  FROM events WHERE event_type = 'purchase')
-             |WHERE rn <= 2 ORDER BY user_id, rn""".stripMargin)
+      Some(topPurchasesSql)
     ),
 
-    // JSON property extraction from the props column.
+    // JSON property extraction from the props column. The cast is
+    // regex-guarded to INTEGRAL strings on BOTH sides: a plain cast
+    // would ABORT the Spark side under ANSI mode on any malformed
+    // props.k, and even try_cast diverges on non-integral numerics
+    // ('1.5' → NULL in Spark, 2 in DuckDB, which rounds numeric
+    // string casts) — the guard pins one semantic: k is an integer
+    // property, anything else reads NULL, identically in both engines.
     Q(
       "ev4_json_extract",
       (s, dir) =>
         Tables(s, dir, "events")
           .select(
             col("event_id"),
-            get_json_object(col("props"), "$.k").cast("int").as("k"))
+            expr("CASE WHEN get_json_object(props, '$.k') RLIKE '^-?[0-9]+$' " +
+              "THEN try_cast(get_json_object(props, '$.k') AS int) END").as("k"))
           .orderBy("event_id"),
-      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      Some("""SELECT event_id,
+             |  CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+             |       THEN TRY_CAST(json_extract_string(props, '$.k') AS INT) END AS k
              |FROM events ORDER BY event_id""".stripMargin)
     ),
 
@@ -267,18 +359,7 @@ object EventOps {
     Q(
       "ev8_gapfill_locf",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .filter(col("user_id") % 23 === 0)
-          .select(
-            col("user_id"),
-            date_trunc("hour", col("ts")).as("h"),
-            round(col("value") * 10000).cast("long").as("v_fx"))
-        val obs = ev.groupBy("user_id", "h").agg(sum("v_fx").as("hour_fx"))
-        val grid = ev.groupBy("user_id")
-          .agg(min("h").as("h0"), max("h").as("h1"))
-          .select(
-            col("user_id"),
-            explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        val (obs, grid) = hourlyObsAndGrid(s, dir)
         val w = Window.partitionBy("user_id").orderBy("h")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         grid.join(obs, Seq("user_id", "h"), "left")
@@ -288,16 +369,7 @@ object EventOps {
             col("hour_fx").isNull.as("gap"))
           .orderBy("user_id", "h")
       },
-      Some("""WITH e AS (
-             |  SELECT user_id, date_trunc('hour', ts) AS h,
-             |    CAST(round(value * 10000) AS BIGINT) AS v_fx
-             |  FROM events WHERE user_id % 23 = 0),
-             |obs AS (
-             |  SELECT user_id, h, CAST(SUM(v_fx) AS BIGINT) AS hour_fx
-             |  FROM e GROUP BY user_id, h),
-             |grid AS (
-             |  SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
-             |  FROM e GROUP BY user_id)
+      Some(s"""WITH $gapCtesSql
              |SELECT g.user_id, g.h,
              |  last_value(o.hour_fx IGNORE NULLS) OVER (
              |    PARTITION BY g.user_id ORDER BY g.h
@@ -403,9 +475,9 @@ object EventOps {
       (s, dir) =>
         ohlcBars(Tables(s, dir, "events")).orderBy("event_type", "hour"),
       Some("""SELECT event_type, date_trunc('hour', ts) AS hour,
-             |  arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id) AS open_v,
+             |  arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000000000000 + event_id) AS open_v,
              |  max(value) AS high_v, min(value) AS low_v,
-             |  arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000 + event_id) AS close_v,
+             |  arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000000000000 + event_id) AS close_v,
              |  count(*) AS n_events,
              |  CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)/10000.0 AS volume
              |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin)
@@ -421,18 +493,36 @@ object EventOps {
     // (tx14's discipline — a double Σ2^(−age) would be partition-order
     // sensitive). One scan + one 1-row anchor broadcast + one
     // map-side-combined aggregation.
+    //
+    // The weight itself is computed WITHOUT libm pow: pow is not
+    // correctly rounded and Java's and DuckDB's implementations
+    // measurably differ by 1 ulp on ~0.1% of exponents in exactly
+    // this range — a 1-in-1e13 per-event chance of flipping the 1e-6
+    // rounding, i.e. a flaky cross-engine hash at corpus scale.
+    // Instead: 2^(−age/hl) = 2^(−q) · exp2(−f) with q = age div hl
+    // (exact integer), 2^(−q) an exact shift, and exp2(−f) a shared
+    // degree-10 Horner polynomial over +,*,/ — all IEEE
+    // correctly-rounded ops, so both engines evaluate the identical
+    // expression text to the identical bits (within 5e-10 of true
+    // exp2, far inside the 1e-6 quantum; q ≥ 21 rounds to 0 exactly).
     Q(
       "ev13_decayed_popularity",
       (s, dir) => {
-        val halfLifeUs = 7.0 * 24 * 3600 * 1000000 // 7 days in micros
         val ev = Tables(s, dir, "events")
         val anchor = ev.agg(max(unix_micros(col("ts"))).as("t0"))
         ev.crossJoin(broadcast(anchor))
           .select(
             col("event_type"),
-            round(pow(2.0, -(col("t0") - unix_micros(col("ts")))
-              .cast("double") / halfLifeUs) * 1000000.0)
-              .cast("long").as("w6"))
+            (col("t0") - unix_micros(col("ts"))).as("age"))
+          .select(
+            col("event_type"),
+            expr(s"age div $HalfLifeUs").as("q"),
+            expr(s"CAST(age % $HalfLifeUs AS DOUBLE) / $HalfLifeUs.0").as("f"))
+          .select(
+            col("event_type"),
+            expr(s"CASE WHEN q >= 21 THEN 0L ELSE CAST(FLOOR(" +
+              s"${exp2NegHorner("f")} / shiftleft(1L, CAST(q AS INT)) " +
+              "* 1000000.0 + 0.5) AS BIGINT) END").as("w6"))
           .groupBy("event_type")
           .agg(
             count(lit(1)).as("n_events"),
@@ -441,11 +531,18 @@ object EventOps {
             round(col("decayed_count"), 6).as("decayed_count"))
           .orderBy(desc("decayed_count"), asc("event_type"))
       },
-      Some("""WITH t0 AS (SELECT max(epoch_us(ts)) AS t0 FROM events),
+      Some(s"""WITH t0 AS (SELECT max(epoch_us(ts)) AS t0 FROM events),
+             |w0 AS (SELECT event_type, t0 - epoch_us(ts) AS age
+             |       FROM events CROSS JOIN t0),
+             |w1 AS (SELECT event_type, age // $HalfLifeUs AS q,
+             |         CAST(age % $HalfLifeUs AS DOUBLE) / $HalfLifeUs.0 AS f
+             |       FROM w0),
              |w AS (SELECT event_type,
-             |        CAST(round(pow(2.0, -CAST(t0 - epoch_us(ts) AS DOUBLE)
-             |          / 604800000000.0) * 1000000) AS BIGINT) AS w6
-             |      FROM events CROSS JOIN t0)
+             |        CASE WHEN q >= 21 THEN 0
+             |             ELSE CAST(FLOOR(${exp2NegHorner("f")}
+             |               / (CAST(1 AS BIGINT) << CAST(q AS INT))
+             |               * 1000000.0 + 0.5) AS BIGINT) END AS w6
+             |      FROM w1)
              |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
              |  ROUND(CAST(SUM(w6) AS DOUBLE) / 1000000.0, 6) AS decayed_count
              |FROM w GROUP BY event_type
@@ -466,18 +563,7 @@ object EventOps {
     Q(
       "ev12_gapfill_interp",
       (s, dir) => {
-        val ev = Tables(s, dir, "events")
-          .filter(col("user_id") % 23 === 0)
-          .select(
-            col("user_id"),
-            date_trunc("hour", col("ts")).as("h"),
-            round(col("value") * 10000).cast("long").as("v_fx"))
-        val obs = ev.groupBy("user_id", "h").agg(sum("v_fx").as("hour_fx"))
-        val grid = ev.groupBy("user_id")
-          .agg(min("h").as("h0"), max("h").as("h1"))
-          .select(
-            col("user_id"),
-            explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        val (obs, grid) = hourlyObsAndGrid(s, dir)
         val joined = grid.join(obs, Seq("user_id", "h"), "left")
           .withColumn("h_idx", expr("unix_micros(h) div 3600000000"))
           .withColumn("obs_idx",
@@ -500,16 +586,7 @@ object EventOps {
             col("hour_fx").isNull.as("gap"))
           .orderBy("user_id", "h")
       },
-      Some("""WITH e AS (
-             |  SELECT user_id, date_trunc('hour', ts) AS h,
-             |    CAST(round(value * 10000) AS BIGINT) AS v_fx
-             |  FROM events WHERE user_id % 23 = 0),
-             |obs AS (
-             |  SELECT user_id, h, CAST(SUM(v_fx) AS BIGINT) AS hour_fx
-             |  FROM e GROUP BY user_id, h),
-             |grid AS (
-             |  SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
-             |  FROM e GROUP BY user_id),
+      Some(s"""WITH $gapCtesSql,
              |j AS (
              |  SELECT g.user_id, g.h, o.hour_fx,
              |    epoch_us(g.h) // 3600000000 AS h_idx,

@@ -89,6 +89,19 @@ object TopKPerKey {
     }
   }
 
+  /** Remove the rewrite from the session — the rule is session-global
+    * while installed, so a caller comparing the custom operator
+    * against the STOCK window plan (ev5 vs ev3) must scope the
+    * install around its own materialization or every later
+    * Filter+row_number query silently reroutes through the heap.
+    */
+  def uninstall(spark: SparkSession): Unit = synchronized {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == TopKViaRowNumber)
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies.filterNot(_ == TopKStrategy)
+  }
+
   /** Bounded-heap top-k reduction of one input partition (the partial
     * pass), as an iterator over [[PartialTopKRuntime]] — the same state
     * object the codegen path drives. Evicted chunks (key-cardinality
