@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   *     per doc, never corpus-wide).
   *   - Determinism: per-token log-probs are rounded to 1e-6 and summed
   *     as LONGs (tx14's convention), so scores are independent of
-  *     partition/summation order and hash-match the DuckDB oracle.
+  *     partition/summation order and hash-match the DuckDB oracle —
+  *     and the ln is [[graft.functions.LnExact]], not libm, so the
+  *     rounding can't be flipped by the engines' measured 1-ulp log
+  *     disagreement (the model is vocab×classes rows, so the staged
+  *     ln runs on model entries, never the corpus).
   *
   * Reference anchor: extends the reference's rule-based validation
   * tier (src/validate_recipes.py) to a LEARNED filter, the way
@@ -59,16 +63,19 @@ object Classification {
     val nToks = counts.groupBy("label").agg(sum("cnt").as("n_toks"))
     val vocab = counts.agg(countDistinct(col("tok")).as("v"))
     val total = train.agg(count(lit(1)).as("total_docs"))
-    val classes = nDocs.join(nToks, "label").crossJoin(vocab).crossJoin(total)
+    val base = nDocs.join(nToks, "label").crossJoin(vocab).crossJoin(total)
+    val classes = graft.functions.LnExact.withLp6(
+      graft.functions.LnExact.withLp6(
+        base, col("n_docs").cast("double") / col("total_docs"), "prior6"),
+      lit(1.0) / (col("n_toks") + col("v")), "def6")
       .select(
-        col("label"),
-        lp6(col("n_docs").cast("double") / col("total_docs")).as("prior6"),
-        lp6(lit(1.0) / (col("n_toks") + col("v"))).as("def6"),
+        col("label"), col("prior6"), col("def6"),
         (col("n_toks") + col("v")).as("denom"))
-    val model = counts.join(classes, "label")
+    val model = graft.functions.LnExact.withLp6(
+      counts.join(classes, "label"),
+      (col("cnt") + lit(1.0)) / col("denom"), "lp6")
       .select(
-        col("label"), col("tok"),
-        (lp6((col("cnt") + lit(1.0)) / col("denom")) - col("def6")).as("adj6"))
+        col("label"), col("tok"), (col("lp6") - col("def6")).as("adj6"))
     (classes, model)
   }
 
@@ -99,12 +106,6 @@ object Classification {
       .select(col("doc_id"), col("label").as("pred_label"), col("score6"))
   }
 
-  /** round(ln(x)·1e6) as a long — the order-independent fixed-point
-    * log-prob unit shared with tx14.
-    */
-  private def lp6(x: Column): Column =
-    round(log(x) * 1000000.0).cast("long")
-
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
@@ -132,7 +133,7 @@ object Classification {
             (col("pred_label") === col("actual_lang")).as("correct"))
           .orderBy("doc_id")
       },
-      Some("""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+      Some(s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
              |tr AS (SELECT * FROM d WHERE doc_id % 2 = 0),
              |te AS (SELECT * FROM d WHERE doc_id % 2 = 1),
              |trtok AS (SELECT lang, tok FROM (SELECT lang, unnest(l) AS tok FROM tr) WHERE tok <> ''),
@@ -142,14 +143,15 @@ object Classification {
              |td AS (SELECT count(*) AS total_docs FROM tr),
              |classes AS (
              |  SELECT lang,
-             |    CAST(round(ln(CAST(n_docs AS DOUBLE) / total_docs) * 1000000) AS BIGINT) AS prior6,
-             |    CAST(round(ln(1.0 / (n_toks + v)) * 1000000) AS BIGINT) AS def6,
+             |    ${graft.functions.LnExact.duckLp6Cols("(CAST(n_docs AS DOUBLE) / total_docs)", "prior6")},
+             |    ${graft.functions.LnExact.duckLp6Cols("(1.0 / (n_toks + v))", "def6")},
              |    (n_toks + v) AS denom
              |  FROM cls JOIN lt USING (lang) CROSS JOIN vv CROSS JOIN td),
              |tc AS (SELECT lang, tok, count(*) AS cnt FROM trtok GROUP BY lang, tok),
              |model AS (
              |  SELECT lang, tok,
-             |    CAST(round(ln((cnt + 1.0) / denom) * 1000000) AS BIGINT) - def6 AS adj6
+             |    ${graft.functions.LnExact.duckLp6Cols("((cnt + 1.0) / denom)", "lp6")},
+             |    lp6 - def6 AS adj6
              |  FROM tc JOIN classes USING (lang)),
              |tetok AS (
              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n_t

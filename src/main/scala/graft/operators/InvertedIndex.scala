@@ -151,14 +151,21 @@ object InvertedIndex {
         val tf = occ.filter(col("tok").isin(terms: _*))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        // idf per TERM through LnExact (libm-free ln — the idf is the
+        // only transcendental in BM25; everything else is exact-int
+        // ratios, so the rounded contribution is engine-identical)
+        val idf = graft.functions.LnExact.withLn(
+          dfT.crossJoin(stats),
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0, "idf")
+          .select("tok", "idf")
         val contrib = tf
-          .join(broadcast(dfT), "tok")
+          .join(broadcast(idf), "tok")
           .join(docLen, "doc_id")
           .crossJoin(broadcast(stats))
           .select(
             col("doc_id"),
             round(
-              log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+              col("idf") *
                 (col("tf") / (col("tf") + lit(k1) * (lit(1.0 - b) +
                   lit(b) * (col("len") * col("n_docs")).cast("double") / col("n_toks")))) *
                 1000000.0).cast("long").as("c6"))
@@ -168,16 +175,19 @@ object InvertedIndex {
           .limit(20)
       },
       Some(OracleOcc +
-        """, dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM occ GROUP BY doc_id),
+        s""", dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM occ GROUP BY doc_id),
           |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len) AS BIGINT) AS n_toks FROM dl),
           |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM occ
           |       WHERE tok IN ('spark', 'join', 'window') GROUP BY doc_id, tok),
           |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+          |idf AS (SELECT tok,
+          |  ${graft.functions.LnExact.duckCols("((n_docs - df + 0.5) / (df + 0.5) + 1.0)", "idf")}
+          |        FROM dfs CROSS JOIN st),
           |c AS (SELECT doc_id,
-          |        CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+          |        CAST(round(idf *
           |          (tf / (tf + 1.2 * (1.0 - 0.75 +
           |            0.75 * CAST(len * n_docs AS DOUBLE) / n_toks))) * 1000000) AS BIGINT) AS c6
-          |      FROM tf JOIN dfs USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
+          |      FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id) CROSS JOIN st)
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
           |  CAST(sum(c6) AS BIGINT) AS score6
           |FROM c GROUP BY doc_id

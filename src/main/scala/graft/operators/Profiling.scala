@@ -216,12 +216,17 @@ object Profiling {
         val w = Window.partitionBy(col("event_type"))
         val p = (col("r").cast("double") + 0.5) / (col("nr").cast("double") + 5.0)
         val q = (col("c").cast("double") + 0.5) / (col("nc").cast("double") + 5.0)
-        counts
-          .withColumn("nr", sum(col("r")).over(w))
-          .withColumn("nc", sum(col("c")).over(w))
+        // ln(p/q) through LnExact (libm-free; p, q strictly positive
+        // by the +0.5 smoothing) — the staged ln runs on ≤ nBins rows
+        // per type, never on events
+        graft.functions.LnExact.withLn(
+          counts
+            .withColumn("nr", sum(col("r")).over(w))
+            .withColumn("nc", sum(col("c")).over(w)),
+          p / q, "lnpq")
           .select(
             col("event_type"), col("nr"), col("nc"),
-            round((p - q) * log(p / q) * 1000000.0).cast("long").as("t6"))
+            round((p - q) * col("lnpq") * 1000000.0).cast("long").as("t6"))
           .groupBy(col("event_type"))
           .agg(
             max(col("nr")).as("n_ref"),
@@ -229,7 +234,7 @@ object Profiling {
             round(sum(col("t6")).cast("double") / 1000000.0, 6).as("psi"))
           .orderBy("event_type")
       },
-      Some("""WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
+      Some(s"""WITH ev AS (SELECT * FROM events WHERE value IS NOT NULL),
              |mm AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
              |b AS (
              |  SELECT event_type, event_id % 2 = 0 AS is_ref,
@@ -247,10 +252,13 @@ object Profiling {
              |  FROM cnt),
              |terms AS (
              |  SELECT event_type, nr, nc,
+             |    ${graft.functions.LnExact.duckCols(
+                    "(((CAST(r AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 5.0)) " +
+                      "/ ((CAST(c AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 5.0)))",
+                    "lnpq")},
              |    CAST(ROUND(((CAST(r AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 5.0)
              |              - (CAST(c AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 5.0))
-             |      * ln(((CAST(r AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 5.0))
-             |         / ((CAST(c AS DOUBLE) + 0.5) / (CAST(nc AS DOUBLE) + 5.0)))
+             |      * lnpq
              |      * 1000000.0) AS BIGINT) AS t6
              |  FROM tot)
              |SELECT event_type,

@@ -47,6 +47,20 @@ object RecordLinkage {
   /** Score candidate pairs (must carry a.doc_id/a_head/b.doc_id/b_head),
     * keep those at or above `threshold`, round for oracle-stable output.
     */
+  /** rl4's oracle weight columns: the six trained log-likelihood
+    * ratios through [[graft.functions.LnExact]] — the same staged ln
+    * the Spark side folds over the one-row aggregate.
+    */
+  private def rl4WeightCols: String =
+    Seq("f1", "f2", "f3").flatMap { f =>
+      val m = s"((${f}_m + 1.0)/(nm + 2.0))"
+      val u = s"((${f}_u + 1.0)/(nn + 2.0))"
+      Seq(
+        graft.functions.LnExact.duckLp6Cols(s"($m / $u)", s"${f}_agree6"),
+        graft.functions.LnExact.duckLp6Cols(
+          s"((1.0 - $m) / (1.0 - $u))", s"${f}_dis6"))
+    }.mkString(",\n    ")
+
   private def score(pairs: DataFrame, threshold: Double): DataFrame =
     pairs
       .withColumn("sim", round(jw(col("head_a"), col("head_b")), 6))
@@ -246,16 +260,21 @@ object RecordLinkage {
             fs.flatMap(f => Seq(
               sum(when(col(f) && col("is_match"), 1L).otherwise(0L)).as(s"${f}_m"),
               sum(when(col(f) && !col("is_match"), 1L).otherwise(0L)).as(s"${f}_u")))
-        val weights = feat.filter(col("labeled"))
-          .agg(trainAggs.head, trainAggs.tail: _*)
-          .select(fs.flatMap { f =>
-            val m = (col(s"${f}_m") + lit(1.0)) / (col("nm") + lit(2.0))
-            val u = (col(s"${f}_u") + lit(1.0)) / (col("nn") + lit(2.0))
-            Seq(
-              round(log(m / u) * 1000000.0).cast("long").as(s"${f}_agree6"),
-              round(log((lit(1.0) - m) / (lit(1.0) - u)) * 1000000.0)
-                .cast("long").as(s"${f}_dis6"))
-          }: _*)
+        // trained log-likelihood-ratio weights through LnExact (the
+        // libm-free ln): m, u are (0,1) by the +1/+2 smoothing, so
+        // both ratios are strictly positive — six staged lns over a
+        // ONE-row aggregate
+        val weights = fs.foldLeft(
+          feat.filter(col("labeled")).agg(trainAggs.head, trainAggs.tail: _*)) {
+            (df, f) =>
+              val m = (col(s"${f}_m") + lit(1.0)) / (col("nm") + lit(2.0))
+              val u = (col(s"${f}_u") + lit(1.0)) / (col("nn") + lit(2.0))
+              graft.functions.LnExact.withLp6(
+                graft.functions.LnExact.withLp6(df, m / u, s"${f}_agree6"),
+                (lit(1.0) - m) / (lit(1.0) - u), s"${f}_dis6")
+          }
+          .select(fs.flatMap(f =>
+            Seq(col(s"${f}_agree6"), col(s"${f}_dis6"))): _*)
         val score6 = fs.map(f =>
           when(col(f), col(s"${f}_agree6")).otherwise(col(s"${f}_dis6")))
           .reduce(_ + _)
@@ -266,7 +285,7 @@ object RecordLinkage {
             (score6 >= 0L).as("linked"))
           .orderBy("doc_a", "doc_b")
       },
-      Some("""WITH d AS (SELECT doc_id, substr(text,1,80) AS head, lang,
+      Some(s"""WITH d AS (SELECT doc_id, substr(text,1,80) AS head, lang,
              |                  n_chars // 20 AS len_bucket,
              |                  split_part(text,' ',1) AS w1 FROM documents),
              |feat AS (
@@ -290,12 +309,7 @@ object RecordLinkage {
              |  FROM feat WHERE labeled),
              |w AS (
              |  SELECT
-             |    CAST(round(ln(((f1_m + 1.0)/(nm + 2.0)) / ((f1_u + 1.0)/(nn + 2.0))) * 1000000) AS BIGINT) AS f1_agree6,
-             |    CAST(round(ln((1.0 - (f1_m + 1.0)/(nm + 2.0)) / (1.0 - (f1_u + 1.0)/(nn + 2.0))) * 1000000) AS BIGINT) AS f1_dis6,
-             |    CAST(round(ln(((f2_m + 1.0)/(nm + 2.0)) / ((f2_u + 1.0)/(nn + 2.0))) * 1000000) AS BIGINT) AS f2_agree6,
-             |    CAST(round(ln((1.0 - (f2_m + 1.0)/(nm + 2.0)) / (1.0 - (f2_u + 1.0)/(nn + 2.0))) * 1000000) AS BIGINT) AS f2_dis6,
-             |    CAST(round(ln(((f3_m + 1.0)/(nm + 2.0)) / ((f3_u + 1.0)/(nn + 2.0))) * 1000000) AS BIGINT) AS f3_agree6,
-             |    CAST(round(ln((1.0 - (f3_m + 1.0)/(nm + 2.0)) / (1.0 - (f3_u + 1.0)/(nn + 2.0))) * 1000000) AS BIGINT) AS f3_dis6
+             |    $rl4WeightCols
              |  FROM tr)
              |SELECT doc_a, doc_b,
              |  (CASE WHEN f1 THEN f1_agree6 ELSE f1_dis6 END

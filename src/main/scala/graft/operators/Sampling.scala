@@ -38,19 +38,31 @@ object Sampling {
     * without replacement. ONE definition shared by sp5 and cp2's
     * packaging funnel (both Scala and SQL forms): a tweak to either
     * constant desynchronizing the two queries was the advisor's r6
-    * drift risk, and the fix is this helper.
+    * drift risk, and the fix is this helper. The ln is
+    * [[graft.functions.LnExact]] (staged columns, hence the
+    * DataFrame-shaped API): a libm ln could rank-flip two keys within
+    * one ulp of the k-th boundary between engines — a thinner risk
+    * than the lp6 roundings (only the boundary pair matters, not every
+    * value), closed the same way so no verified path evaluates libm ln.
     */
-  private[graft] def wrsKey(id: Column, weight: Column): Column = {
+  private[graft] def withWrsKey(
+      df: DataFrame, id: Column, weight: Column, out: String): DataFrame = {
     val u = (conv(
       substring(md5(concat(lit("wrs:"), id.cast("string"))), 1, 8),
       16, 10).cast("double") + 0.5) / 4294967296.0
-    -log(u) / greatest(weight.cast("double"), lit(1.0))
+    graft.functions.LnExact.withLn(df, u, s"_${out}_lnu")
+      .withColumn(out,
+        -col(s"_${out}_lnu") / greatest(weight.cast("double"), lit(1.0)))
+      .drop(s"_${out}_lnu")
   }
 
-  /** The same key as ANSI SQL for the DuckDB oracle. */
-  private[graft] def wrsKeySql(id: String, weight: String): String =
-    s"-ln((CAST('0x' || substr(md5('wrs:' || CAST($id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5) / 4294967296.0)" +
-      s" / greatest(CAST($weight AS DOUBLE), 1.0)"
+  /** The same key as DuckDB SELECT-list columns ending in `out`. */
+  private[graft] def wrsKeyDuckCols(
+      id: String, weight: String, out: String): String =
+    graft.functions.LnExact.duckCols(
+      s"((CAST('0x' || substr(md5('wrs:' || CAST($id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5) / 4294967296.0)",
+      s"_${out}_lnu") +
+      s",\n  -(_${out}_lnu) / greatest(CAST($weight AS DOUBLE), 1.0) AS $out"
 
   /** 80/10/10 train/val/test assignment for any keyed frame. */
   def hashSplit(df: DataFrame, id: Column, tag: String = "split"): DataFrame = {
@@ -193,10 +205,10 @@ object Sampling {
       "sp5_weighted_sample",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val key = wrsKey(col("doc_id"), col("n_chars"))
         val w = Window.partitionBy("source").orderBy("key", "doc_id")
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), col("source"), key.as("key"))
+        withWrsKey(
+          Tables(s, dir, "documents"), col("doc_id"), col("n_chars"), "key")
+          .select(col("doc_id"), col("source"), col("key"))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 12)
           .select("doc_id", "source", "rk")
@@ -205,9 +217,10 @@ object Sampling {
       Some(s"""SELECT doc_id, source, rk FROM (
               |  SELECT doc_id, source,
               |    CAST(row_number() OVER (PARTITION BY source ORDER BY
-              |      ${wrsKeySql("doc_id", "n_chars")},
-              |      doc_id) AS BIGINT) AS rk
-              |  FROM documents)
+              |      key, doc_id) AS BIGINT) AS rk
+              |  FROM (SELECT doc_id, source,
+              |    ${wrsKeyDuckCols("doc_id", "n_chars", "key")}
+              |  FROM documents))
               |WHERE rk <= 12 ORDER BY source, rk""".stripMargin)
     ),
 

@@ -551,10 +551,18 @@ object TextAnalysis {
     // Determinism discipline: each token's ln P is rounded to 1e-6 and
     // summed as an INTEGER (order-free; a double mean would depend on
     // shuffle order), divided once at the end — the fixed-point mean
-    // convention. Scale shape: one explode of the corpus, a frequency
-    // table aggregated map-side, the model join left to AQE (a
-    // real-corpus unigram table is broadcast-sized after pruning;
-    // here it rides whatever AQE picks), one per-doc aggregation.
+    // convention — and the ln ITSELF is [[graft.functions.LnExact]],
+    // not libm (Java's and DuckDB's log differ by 1 ulp on ~0.03% of
+    // inputs — measured — which makes a libm-backed 1e-6 rounding a
+    // flaky cross-engine hash once a corpus evaluates billions of
+    // distinct ratios; ev13 closed the same hole for pow). lp6 is
+    // computed once per VOCABULARY entry (it depends only on c/t),
+    // not per occurrence — at 100 TB that is the difference between
+    // ln over |vocab| rows and ln over the corpus. Scale shape: one
+    // explode of the corpus, a frequency table aggregated map-side,
+    // the model join left to AQE (a real-corpus unigram table is
+    // broadcast-sized after pruning; here it rides whatever AQE
+    // picks), one per-doc aggregation.
     Q(
       "tx14_unigram_logprob",
       (s, dir) => {
@@ -563,11 +571,11 @@ object TextAnalysis {
           .filter(col("tok") =!= "")
         val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
         val total = freq.agg(sum("c").as("t"))
-        toks.join(freq, "tok").crossJoin(total)
-          .select(
-            col("doc_id"),
-            round(log(col("c").cast("double") / col("t")) * 1000000.0)
-              .cast("long").as("lp6"))
+        val model = graft.functions.LnExact.withLp6(
+          freq.crossJoin(total),
+          col("c").cast("double") / col("t"), "lp6")
+          .select("tok", "lp6")
+        toks.join(model, "tok")
           .groupBy("doc_id")
           .agg(
             count(lit(1)).as("n_tok"),
@@ -579,19 +587,21 @@ object TextAnalysis {
             (col("mean_logp") >= -4.0).as("keep"))
           .orderBy("doc_id")
       },
-      Some("""WITH tk AS (
+      Some(s"""WITH tk AS (
              |  SELECT doc_id, tok FROM (
              |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
              |    FROM documents)
              |  WHERE tok <> ''),
              |fr AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
              |tot AS (SELECT sum(c) AS t FROM fr),
+             |fl AS (SELECT tok,
+             |  ${graft.functions.LnExact.duckLp6Cols("(CAST(c AS DOUBLE) / t)", "lp6")}
+             |  FROM fr CROSS JOIN tot),
              |sc AS (
              |  SELECT doc_id,
              |    CAST(count(*) AS BIGINT) AS n_tok,
-             |    CAST(SUM(CAST(ROUND(ln(CAST(c AS DOUBLE) / t) * 1000000) AS BIGINT)) AS DOUBLE)
-             |      / 1000000.0 / count(*) AS mean_logp
-             |  FROM tk JOIN fr USING (tok) CROSS JOIN tot
+             |    CAST(SUM(lp6) AS DOUBLE) / 1000000.0 / count(*) AS mean_logp
+             |  FROM tk JOIN fl USING (tok)
              |  GROUP BY doc_id)
              |SELECT doc_id, n_tok, ROUND(mean_logp, 6) AS mean_logp,
              |  mean_logp >= -4.0 AS keep
@@ -625,12 +635,14 @@ object TextAnalysis {
         val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
         val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
         val vocab = occ.agg(countDistinct(col("tok")).as("v"))
+        // lp6 per MODEL entry (|bigram vocab| rows), via LnExact —
+        // tx14's libm-free discipline and vocab-not-corpus ln count
+        val model = graft.functions.LnExact.withLp6(
+          c2.join(c1, "w1").crossJoin(broadcast(vocab)),
+          (col("c2") + lit(1.0)) / (col("c1") + col("v")), "lp6")
+          .select("w1", "w2", "lp6")
         bigrams
-          .join(c2, Seq("w1", "w2")).join(c1, "w1").crossJoin(broadcast(vocab))
-          .select(
-            col("doc_id"),
-            round(log((col("c2") + lit(1.0)) / (col("c1") + col("v"))) *
-              1000000.0).cast("long").as("lp6"))
+          .join(model, Seq("w1", "w2"))
           .groupBy("doc_id")
           .agg(
             count(lit(1)).as("n_bigrams"),
@@ -642,7 +654,7 @@ object TextAnalysis {
             (col("mean_logp") >= -4.5).as("keep"))
           .orderBy("doc_id")
       },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
              |occ AS (SELECT doc_id, pos, tok FROM (
              |  SELECT doc_id, CAST(unnest(range(1, len(l)+1)) AS INT) AS pos,
              |         unnest(l) AS tok FROM t)
@@ -654,12 +666,14 @@ object TextAnalysis {
              |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY w1, w2),
              |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
              |vv AS (SELECT count(DISTINCT tok) AS v FROM occ),
+             |ml AS (SELECT w1, w2,
+             |  ${graft.functions.LnExact.duckLp6Cols("((c2 + 1.0) / (c1 + v))", "lp6")}
+             |  FROM c2 JOIN c1 USING (w1) CROSS JOIN vv),
              |sc AS (
              |  SELECT doc_id,
              |    CAST(count(*) AS BIGINT) AS n_bigrams,
-             |    CAST(SUM(CAST(ROUND(ln((c2 + 1.0) / (c1 + v)) * 1000000) AS BIGINT)) AS DOUBLE)
-             |      / 1000000.0 / count(*) AS mean_logp
-             |  FROM bigrams JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+             |    CAST(SUM(lp6) AS DOUBLE) / 1000000.0 / count(*) AS mean_logp
+             |  FROM bigrams JOIN ml USING (w1, w2)
              |  GROUP BY doc_id)
              |SELECT doc_id, n_bigrams, ROUND(mean_logp, 6) AS mean_logp,
              |  mean_logp >= -4.5 AS keep

@@ -281,13 +281,12 @@ object CorpusPipeline {
     val banded = train.withColumn("ent", entR)
       .filter(col("ent") >= 3.5 && col("ent") <= 5.5)
       .localCheckpoint(true)
-    // ONE definition with sp5 (Sampling.wrsKey): the cap membership here
-    // must stay bit-identical to sp5's sample or the funnel counts drift
-    val key = Sampling.wrsKey(col("doc_id"), col("n_chars"))
-    // eagerly materialized for the same reason: two sibling branches
-    // (doc count + chunk-yield sum) of the same action share it
-    val capped = banded
-      .withColumn("key", key)
+    // ONE definition with sp5 (Sampling.withWrsKey): the cap membership
+    // here must stay bit-identical to sp5's sample or the funnel counts
+    // drift. Eagerly materialized because two sibling branches
+    // (doc count + chunk-yield sum) of the same action share it.
+    val capped = Sampling
+      .withWrsKey(banded, col("doc_id"), col("n_chars"), "key")
       .withColumn("rk",
         row_number().over(Window.partitionBy("source").orderBy("key", "doc_id")))
       .filter(col("rk") <= 12)
@@ -323,9 +322,10 @@ object CorpusPipeline {
        |      WHERE ed.ent >= 3.5 AND ed.ent <= 5.5),
        |cap AS (SELECT doc_id, text FROM (
        |          SELECT doc_id, text, row_number() OVER (PARTITION BY source ORDER BY
-       |            ${Sampling.wrsKeySql("doc_id", "n_chars")},
-       |            doc_id) AS rk
-       |          FROM q)
+       |            key, doc_id) AS rk
+       |          FROM (SELECT doc_id, source, text,
+       |            ${Sampling.wrsKeyDuckCols("doc_id", "n_chars", "key")}
+       |          FROM q))
        |        WHERE rk <= 12),
        |ch AS (SELECT CAST(coalesce(SUM(
        |         (greatest(len(string_split(text, ' ')) - $w, 0) + ${st - 1}) // $st + 1), 0) AS BIGINT) AS n

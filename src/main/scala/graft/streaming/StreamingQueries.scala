@@ -257,7 +257,7 @@ object StreamingQueries {
           .select("doc_id", "n_tok", "mean_logp")
           .orderBy("doc_id")
       },
-      Some("""WITH d AS (SELECT doc_id, text,
+      Some(s"""WITH d AS (SELECT doc_id, text,
              |            CASE WHEN doc_id < 170 THEN 1
              |                 WHEN doc_id < 340 THEN 2 ELSE 3 END AS b
              |          FROM documents),
@@ -268,12 +268,14 @@ object StreamingQueries {
              |cum AS (SELECT tok, b, SUM(n) OVER (PARTITION BY tok ORDER BY b) AS c FROM cnt),
              |tot AS (SELECT b, SUM(nb) OVER (ORDER BY b) AS t
              |        FROM (SELECT b, count(*) AS nb FROM tk GROUP BY b)),
+             |ml AS (SELECT cum.tok, cum.b,
+             |  ${graft.functions.LnExact.duckLp6Cols("(CAST(cum.c AS DOUBLE) / tot.t)", "lp6")}
+             |       FROM cum JOIN tot ON tot.b = cum.b),
              |sc AS (SELECT tk.doc_id,
              |         CAST(count(*) AS BIGINT) AS n_tok,
-             |         ROUND(CAST(SUM(CAST(ROUND(ln(CAST(cum.c AS DOUBLE) / tot.t) * 1000000) AS BIGINT)) AS DOUBLE)
+             |         ROUND(CAST(SUM(lp6) AS DOUBLE)
              |           / 1000000.0 / count(*), 6) AS mean_logp
-             |       FROM tk JOIN cum ON cum.tok = tk.tok AND cum.b = tk.b
-             |               JOIN tot ON tot.b = tk.b
+             |       FROM tk JOIN ml ON ml.tok = tk.tok AND ml.b = tk.b
              |       GROUP BY tk.doc_id)
              |SELECT doc_id, n_tok, mean_logp FROM sc ORDER BY doc_id""".stripMargin),
       bench = false

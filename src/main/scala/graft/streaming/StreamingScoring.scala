@@ -62,11 +62,14 @@ object StreamingScoring {
             (coalesce(col("n"), lit(0L)) + coalesce(col("n_seen"), lit(0L))).as("c"))
       } else batchCounts.select(col("tok"), col("n").as("c"))
     val total = model.agg(sum("c").as("t"))
-    val scored = toks.join(model, "tok").crossJoin(total)
-      .select(
-        col("doc_id"),
-        round(log(col("c").cast("double") / col("t")) * 1000000.0)
-          .cast("long").as("lp6"))
+    // lp6 per model entry via LnExact — tx14's libm-free discipline
+    // (the model is vocabulary-sized, so the staged ln never runs on
+    // corpus rows)
+    val modelLp = graft.functions.LnExact.withLp6(
+      model.crossJoin(total),
+      col("c").cast("double") / col("t"), "lp6")
+      .select("tok", "lp6")
+    val scored = toks.join(modelLp, "tok")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tok"),
