@@ -430,16 +430,23 @@ object Dedup {
     // Exact dedup. The groupBy key is a 16-byte digest, not the document
     // body — at 100 TB the shuffle carries hashes, and min(text) only
     // rides along within each tiny group (VERDICT r1 "What's wrong" #6).
+    // Bare orderBy, NOT sortedOut: the pipeline ends in an agg shuffle,
+    // so the sort's range-sampling pass reuses the shuffle files and
+    // re-runs only the cheap reduce-side agg — persisting here would
+    // copy the whole deduplicated text corpus into the block store to
+    // save that tiny re-run (measured: 0.15 → 4.7 task-s when this
+    // briefly used sortedOut).
     Q(
       "dd1_exact_dedup",
       (s, dir) =>
-        sortedOut(docs(s, dir)
+        docs(s, dir)
           .groupBy(md5(col("text")).as("content_hash"))
           .agg(
             min(col("doc_id")).as("keep_id"),
             count(lit(1)).as("copies"),
             min(col("text")).as("text"))
-          .select("keep_id", "copies", "text"), "keep_id"),
+          .select("keep_id", "copies", "text")
+          .orderBy("keep_id"),
       Some("""SELECT min(doc_id) AS keep_id, count(*) AS copies, min(text) AS text
              |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)
     ),
@@ -630,7 +637,10 @@ object Dedup {
             (0 until 60)
               .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
               .reduce(_ + _).as("simhash"))
-          .transform(sortedOut(_, "doc_id"))
+          // bare orderBy: the explode+md5 heavy lifting is map-side of
+          // the agg shuffle, so the sampling pass reuses the shuffle
+          // files — sortedOut's persist cost 0.8 → 9.3 task-s here
+          .orderBy("doc_id")
       },
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
              |h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS hv FROM tok),
