@@ -118,8 +118,17 @@ object Dedup {
 
   /** Deterministic final ordering with a materialization barrier: a bare
     * orderBy makes the range partitioner's sampling job re-execute the
-    * whole upstream pipeline a second time; persisting first means the
-    * heavy work runs once and only the (small) result is sorted.
+    * plan below the sort a second time; persisting first means that
+    * work runs once and only the (small) result is sorted.
+    *
+    * Applicability: ONLY worth it when the plan between the sort and
+    * the nearest shuffle is expensive (candidate scoring, dd10's
+    * in-row scrub). Spark reuses shuffle MAP stages across the
+    * sampling and sort jobs, so when the pipeline ends in an agg/join
+    * exchange the re-executed portion is just the reduce side — and a
+    * persist of a corpus-sized output costs far more than it saves
+    * (dd1: 0.15 → 4.7 task-s; dd5: 0.8 → 9.3 when they briefly used
+    * this). Those use a bare orderBy instead.
     */
   private def sortedOut(df: DataFrame, cols: String*): DataFrame =
     graft.CacheScope.track(df.persist(StorageLevel.MEMORY_AND_DISK))

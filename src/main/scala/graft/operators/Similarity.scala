@@ -136,18 +136,58 @@ object Similarity {
       if ((Integer.parseInt(md5hex(s"pq${s}_${c}_$d").substring(0, 4), 16) & 1) == 1) 1 else -1
     }
 
-  /** em5's fixed-codebook PQ code array (1-based argmax-dot per
-    * subspace, first-match ties) — ONE definition shared by the em5
-    * registry row and ss4's ADC funnel, so a code-rule change can
-    * never leave the two computing different codes.
+  /** em5's fixed-codebook PQ codes (1-based argmax-dot per subspace,
+    * first-match ties) appended as `out` — ONE definition shared by
+    * the em5 registry row and ss4's ADC funnel, so a code-rule change
+    * can never leave the two computing different codes.
+    *
+    * STAGED through named columns (sub-vectors, then per-subspace dot
+    * arrays, then the code array) rather than one inline expression:
+    * inline, each subspace's slice is textually repeated in all 16
+    * cell dots and the whole dot array twice more by
+    * `array_position(d, array_max(d))`, which blew the generated
+    * projection past janino's 64 KB method limit and dropped em5 to
+    * interpreted execution. Staging leaves each slice and each dot
+    * array computed ONCE (CollapseProject refuses to inline non-cheap
+    * aliases referenced more than once — the ev4 rule), and the fused
+    * whole-stage pipeline passes them between projections as locals.
     */
-  private def pqCodesFixed(e: Column): Column =
-    array((0 until PqSubspaces).map { sub =>
-      val subVec = slice(e, sub * PqSubDim + 1, PqSubDim)
-      val dots = array((0 until PqCells).map(c =>
-        dotCols(subVec, typedlit(pqCentroid(sub)(c).map(_.toDouble).toSeq))): _*)
-      array_position(dots, array_max(dots)).cast("int")
-    }: _*)
+  private def withPqCodesFixed(df: DataFrame, e: Column, out: String): DataFrame =
+    withPqCodesStaged(df, e, out,
+      (0 until PqSubspaces).map(sub =>
+        pqCentroid(sub).map(_.map(_.toDouble))).toArray)
+
+  /** Shared staging core for fixed and trained codebooks: per-subspace
+    * sub-vector columns, then per-subspace dot-array columns, then the
+    * 1-based argmax code array; temporaries dropped. Each subspace's
+    * slice offset/width derives from ITS codebook's centroid length,
+    * and `bias` (‖c‖²/2 for Euclidean argmax; all-zero for the ±1
+    * books, where it ties away) is folded into the dot literal's side.
+    */
+  private def withPqCodesStaged(df: DataFrame, e: Column, out: String,
+      books: Array[Array[Array[Double]]],
+      bias: Int => Array[Double] = _ => null): DataFrame = {
+    val p = s"_${out}_"
+    val offsets = books.map(_.head.length).scanLeft(0)(_ + _)
+    val staged = df
+      .withColumns((0 until books.length).map { sub =>
+        s"${p}sv$sub" -> slice(e, offsets(sub) + 1, books(sub).head.length)
+      }.toMap)
+      .withColumns((0 until books.length).map { sub =>
+        val b = bias(sub)
+        s"${p}d$sub" -> array(books(sub).indices.map { c =>
+          val d = dotCols(col(s"${p}sv$sub"), typedlit(books(sub)(c).toSeq))
+          if (b == null) d else d - lit(b(c))
+        }: _*)
+      }.toMap)
+    staged
+      .withColumn(out, array((0 until books.length).map { sub =>
+        val d = col(s"${p}d$sub")
+        array_position(d, array_max(d)).cast("int")
+      }: _*))
+      .drop((0 until books.length)
+        .flatMap(sub => Seq(s"${p}sv$sub", s"${p}d$sub")): _*)
+  }
 
   // ---- IVF coarse quantizer ----
 
@@ -279,16 +319,10 @@ object Similarity {
     * slice offset) comes from ITS codebook's centroid width, so the
     * codes always address the slices the books were trained on.
     */
-  def pqCodesFor(e: Column, books: Array[Array[Array[Double]]]): Column = {
-    val offsets = books.map(_.head.length).scanLeft(0)(_ + _)
-    array(books.indices.map { sub =>
-      val subDim = books(sub).head.length
-      val subVec = slice(e, offsets(sub) + 1, subDim)
-      val d = array(books(sub).map(c =>
-        dotCols(subVec, typedlit(c.toSeq)) - lit(c.map(x => x * x).sum / 2.0)): _*)
-      array_position(d, array_max(d)).cast("int")
-    }: _*)
-  }
+  def withPqCodesFor(df: DataFrame, e: Column, out: String,
+      books: Array[Array[Array[Double]]]): DataFrame =
+    withPqCodesStaged(df, e, out, books,
+      sub => books(sub).map(c => c.map(x => x * x).sum / 2.0))
 
   /** (vec_id, codes) for a raw (vec_id, embedding) frame under trained
     * codebooks — the library entry point mirroring em5's registry shape
@@ -297,7 +331,7 @@ object Similarity {
   def pqEncodeTrained(s: SparkSession, raw: DataFrame,
       books: Array[Array[Array[Double]]]): DataFrame = {
     GraftFunctions.register(s)
-    raw.select(col("vec_id"), pqCodesFor(embD, books).as("codes"))
+    withPqCodesFor(raw, embD, "codes", books).select("vec_id", "codes")
   }
 
   // ---- exact fixed-round k-means (em7: the ORACLE-variant clusterer) --
@@ -523,8 +557,8 @@ object Similarity {
       shortlistN: Int = 32): DataFrame = {
     // 4-bit-per-subspace PQ code of a corpus vector (em5's rule, over
     // the prepared double emb — the SHARED definition)
-    val coded = v.select(col("vec_id"), col("cell"),
-      pqCodesFixed(col("emb")).as("codes"))
+    val coded = withPqCodesFixed(v, col("emb"), "codes")
+      .select("vec_id", "cell", "codes")
     val q = v.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("emb").as("qemb"),
         col("nrm").as("qnrm"), explode(cellProbesCol(col("emb"))).as("probe"))
@@ -1045,8 +1079,15 @@ object Similarity {
       (s, dir) => {
         GraftFunctions.register(s)
         Tables(s, dir, "embeddings")
-          .select(col("vec_id"), pqCodesFixed(embD).as("codes"))
-          .select(col("vec_id"), posexplode(col("codes")))
+          .transform(withPqCodesFixed(_, embD, "codes"))
+          .select("vec_id", "codes")
+          // posexplode_OUTER: codes is always 8 non-null elements, so
+          // outer changes nothing semantically — but the non-outer form
+          // makes InferFiltersFromGenerate add `size(codes) > 0` below
+          // the Generate, and predicate pushdown then re-inlines the
+          // whole staged code expression into one Filter condition,
+          // undoing the staging (64 KB codegen fallback, again)
+          .select(col("vec_id"), posexplode_outer(col("codes")))
           .select(
             col("vec_id"),
             col("pos").as("subspace"),
