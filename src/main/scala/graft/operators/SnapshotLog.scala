@@ -777,37 +777,74 @@ object SnapshotLog {
       lower.forall(l => !statGt(dt, l, mx))
     catch { case _: NumberFormatException => true }
 
-  /** The file entries a [[readRange]] would scan — two-level pruning:
-    * whole file LISTS whose manifest band excludes the range are
-    * skipped WITHOUT being opened (O(matching lists) planning I/O on a
-    * many-list table), then the opened lists' files prune on their own
-    * stats. A list or file without a usable band/stat is kept.
+  /** The file entries a [[readRange]] would scan — the one-predicate
+    * case of [[boxFiles]].
     */
   private[graft] def rangeFiles(spark: SparkSession, root: String,
       column: String, lower: Option[String], upper: Option[String],
+      asOf: Long = 0L): (Seq[FileEntry], StructType) =
+    boxFiles(spark, root, Seq((column, lower, upper)), asOf)
+
+  /** MULTI-column conjunctive range read (a "box" read): a file is kept
+    * only if EVERY (column, lower, upper) predicate's band can
+    * intersect its recorded stats. Single-column clustering bounds one
+    * column per file and leaves every file spanning the full range of
+    * the others; after [[optimizeZOrder]] each file bounds BOTH
+    * z-ordered columns, so a small box prunes on both axes and opens
+    * O(box) files instead of O(slab). Pruning only ever skips files
+    * (rows are filtered after the scan), and a file or list missing
+    * stats for a predicate column is conservatively kept — the result
+    * is correct on ANY layout; the layout decides only the I/O.
+    */
+  def readBox(spark: SparkSession, root: String,
+      preds: Seq[(String, Option[String], Option[String])],
+      asOf: Long = 0L): DataFrame = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    val (kept, schema) = boxFiles(spark, root, preds, id)
+    val raw = rawManifest(spark, root, id)
+    val base = dvRead(spark, root, raw, kept, schema, currentIdsOf(raw, schema)._1)
+    preds.foldLeft(base) { case (df, (column, lower, upper)) =>
+      val dt = schema(column).dataType
+      val c = col(column)
+      val withLo = lower.map(l => df.filter(c >= lit(l).cast(dt))).getOrElse(df)
+      upper.map(u => withLo.filter(c <= lit(u).cast(dt))).getOrElse(withLo)
+    }
+  }
+
+  /** The file entries a [[readBox]] would scan — two-level pruning:
+    * whole file LISTS whose manifest band excludes ANY predicate's
+    * range are skipped WITHOUT being opened (O(matching lists)
+    * planning I/O on a many-list table), then the opened lists' files
+    * prune on their own stats. A list or file without a usable
+    * band/stat for a predicate column is kept.
+    */
+  private[graft] def boxFiles(spark: SparkSession, root: String,
+      preds: Seq[(String, Option[String], Option[String])],
       asOf: Long = 0L): (Seq[FileEntry], StructType) = {
+    require(preds.nonEmpty, "boxFiles needs at least one predicate")
     val id = if (asOf > 0) asOf else currentId(spark, root)
     val fs = fsOf(spark, root)
     val raw = rawManifest(spark, root, id)
     val schema = StructType.fromDDL(raw.schemaDdl)
-    require(schema.fieldNames.contains(column), s"no column $column in snapshot $id")
-    val dt = schema(column).dataType
+    preds.foreach { case (column, _, _) =>
+      require(schema.fieldNames.contains(column),
+        s"no column $column in snapshot $id")
+    }
     val curIds = currentIdsOf(raw, schema)._1
-    def bandKeeps(stats: Map[String, (String, String)]): Boolean =
-      stats.get(column) match {
-        case Some((mn, mx)) => rangeIntersects(dt, mn, mx, lower, upper)
-        case None => true
+    def keeps(statOf: String => Option[(String, String)]): Boolean =
+      preds.forall { case (column, lower, upper) =>
+        statOf(column) match {
+          case Some((mn, mx)) =>
+            rangeIntersects(schema(column).dataType, mn, mx, lower, upper)
+          case None => true
+        }
       }
     // per-file stats live under the file's PHYSICAL column name —
     // resolved through its field ids, so pruning stays exact across
     // renames (bands are remapped by the rename commit itself)
-    def fileKeeps(f: FileEntry): Boolean =
-      physNameIn(f, column, curIds).flatMap(f.stats.get) match {
-        case Some((mn, mx)) => rangeIntersects(dt, mn, mx, lower, upper)
-        case None => true
-      }
-    val kept = (raw.inline ++ raw.refs.filter(r => bandKeeps(r.band))
-      .flatMap(r => readFileList(fs, root, r.path))).filter(fileKeeps)
+    val kept = (raw.inline ++ raw.refs.filter(r => keeps(r.band.get))
+      .flatMap(r => readFileList(fs, root, r.path)))
+      .filter(f => keeps(c => physNameIn(f, c, curIds).flatMap(f.stats.get)))
     (kept, schema)
   }
 
@@ -2194,6 +2231,62 @@ object SnapshotLog {
       tableIds0 = ids, lastColId0 = last)
   }
 
+  /** OPTIMIZE into a Z-ORDER (Morton) layout over two columns: rewrite
+    * the current content range-clustered on the interleaved-bit key of
+    * the columns' 16-bit quantized values, so each data file covers a
+    * small axis-aligned box in (a, b) space and its recorded per-file
+    * min/max bound BOTH columns tightly (Iceberg/Delta's `ZORDER BY`).
+    * [[optimize]]'s single-column clustering serves narrow reads on
+    * that column but leaves every file spanning the full range of the
+    * other; after this rewrite a [[readBox]] over both columns opens
+    * O(box) files instead of O(slab) — ZOrderSpec pins the strict
+    * file-count win against the single-column layout on the same data.
+    *
+    * Quantization bounds come from ONE aggregate over the content
+    * being rewritten (a 4-value driver row — the rewrite reads all the
+    * data regardless), baked into the key as plan-time literals. The
+    * key is layout-only: content is bit-preserved ([[changes]] across
+    * the commit is empty) and no reader ever sees it, so the
+    * quantization precision affects clustering quality, never
+    * answers. A constant or all-null column degrades its axis to one
+    * quantum (the layout falls back toward single-column clustering —
+    * correct, just less prunable). Field ids carry through like every
+    * rewrite.
+    */
+  def optimizeZOrder(spark: SparkSession, root: String, colA: String,
+      colB: String, numFiles: Int): Long = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val base = currentId(spark, root)
+    require(base > 0, s"optimizeZOrder on empty log $root")
+    val raw = rawManifest(spark, root, base)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    val (ids, last) = currentIdsOf(raw, schema)
+    val cur = read(spark, root)
+    val mm = cur.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    def quant(c: String, loIdx: Int): Column =
+      if (mm.isNullAt(loIdx) || mm.isNullAt(loIdx + 1) ||
+          !(mm.getDouble(loIdx + 1) > mm.getDouble(loIdx))) lit(0L)
+      else {
+        val lo = mm.getDouble(loIdx)
+        val span = mm.getDouble(loIdx + 1) - lo
+        least(greatest(
+          floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536.0)
+            .cast("long"),
+          lit(0L)), lit(65535L))
+      }
+    val qa = quant(colA, 0)
+    val qb = quant(colB, 2)
+    val z = (0 until 16).map { j =>
+      shiftleft(shiftright(qa, j).bitwiseAND(lit(1L)), 2 * j + 1) +
+        shiftleft(shiftright(qb, j).bitwiseAND(lit(1L)), 2 * j)
+    }.reduce(_ + _)
+    commitFiles(spark, root, cur.repartitionByRange(numFiles, z),
+      "optimize-zorder", Seq.empty, Seq.empty, schema,
+      tableIds0 = ids, lastColId0 = last)
+  }
+
   /** Targeted small-file compaction — the INCREMENTAL optimize: bin-pack
     * every data file under `smallBytes` into ~`targetBytes` outputs and
     * carry every other file BY REFERENCE, untouched. [[optimize]]'s
@@ -2504,6 +2597,20 @@ object SnapshotLog {
       val orders = Tables(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
       append(s, root, orders.repartitionByRange(8, col("o_orderkey")))
+    }.resolve("log").toString
+
+  /** Staged Z-ORDER log: one round-robin append (every file spans both
+    * full column ranges — the layout where neither axis prunes), then
+    * one OPTIMIZE into a 16-file Morton layout over (o_custkey,
+    * o_totalprice), so a two-column box read plans O(box) files.
+    */
+  private def zorderLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttz_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      append(s, root, orders.repartition(4))
+      optimizeZOrder(s, root, "o_custkey", "o_totalprice", numFiles = 16)
     }.resolve("log").toString
 
   /** Staged optimize log: two interleaved appends (round-robin
@@ -3186,6 +3293,27 @@ object SnapshotLog {
              |FROM orders WHERE o_orderkey % 10 = 1
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { morMergeLog(s, dir); () })
+    ),
+
+    // TT22: two-column box read over the Z-ordered layout. The oracle
+    // is the plain two-predicate scan — the Morton rewrite and the
+    // box pruning are layout/IO-only, so the answer must be identical
+    // to DuckDB's full scan of the same table (ZOrderSpec separately
+    // pins that the layout actually skips files).
+    Q(
+      "tt22_zorder_box_read",
+      (s, dir) => {
+        val root = zorderLog(s, dir)
+        readBox(s, root, Seq(
+          ("o_custkey", Some("100"), Some("600")),
+          ("o_totalprice", Some("50000"), Some("150000"))))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_custkey BETWEEN 100 AND 600
+             |  AND o_totalprice BETWEEN 50000 AND 150000
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { zorderLog(s, dir); () })
     )
   )
 }
