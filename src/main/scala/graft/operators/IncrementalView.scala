@@ -30,8 +30,13 @@ import graft.Q
   * (exact for min/max), and ONLY groups a delete touched are
   * re-aggregated from the table's current state (a semi-join on the
   * delete-touched group keys — work bounded by churned groups, not the
-  * view). Distinct counts stay with the sketch tier
-  * ([[graft.functions]] HLL/bottom-k) — the engine's scale answer.
+  * view). COUNT(DISTINCT) — non-additive even insert-only — is
+  * maintained EXACTLY via the classic support relation
+  * ([[refreshDistinct]]): the state is the (keys, value) multiplicity
+  * table the additive fold already handles, and the distinct count is
+  * an aggregation over that state; the sketch tier
+  * ([[graft.functions]] HLL/bottom-k) remains the approximate answer
+  * where O(distinct pairs) state is too much.
   */
 object IncrementalView {
 
@@ -477,6 +482,37 @@ object IncrementalView {
     cur
   }
 
+  /** Transactional refresh of a maintained COUNT(DISTINCT value) view
+    * — EXACT and delete-aware via the classic IVM support relation.
+    * A distinct count cannot fold from (state count, delta count) even
+    * insert-only (the overlap is unknowable from the counts), and
+    * delete-touched re-aggregation would rescan whole groups; the
+    * minimal exact state is the (keys, value) MULTIPLICITY table —
+    * which is just [[applyDelta]] grouped by `keys :+ valueCol` with no
+    * sums, so the support view reuses [[refresh]]'s cursor protocol
+    * verbatim (Materialize/DBSP maintain distinct precisely this way).
+    * Insert/delete churn touches only its own (key, value) pairs; a
+    * pair's multiplicity reaching zero drops it, which is exactly when
+    * it stops contributing to the distinct count.
+    */
+  def refreshDistinct(spark: SparkSession, viewRoot: String,
+      tableRoot: String, keys: Seq[String], valueCol: String): Long =
+    refresh(spark, viewRoot, tableRoot, keys :+ valueCol, Seq.empty)
+
+  /** The distinct-count view over a [[refreshDistinct]]-maintained
+    * support log: one bounded aggregation of the state —
+    * `distinct_<valueCol>` counts support pairs with a NON-NULL value
+    * (SQL's COUNT(DISTINCT) excludes NULL; the NULL pair still rides
+    * in the state because `n` — the group's ROW count — includes it).
+    */
+  def readDistinct(spark: SparkSession, viewRoot: String,
+      keys: Seq[String], valueCol: String): DataFrame =
+    SnapshotLog.read(spark, viewRoot)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(col(valueCol)).as(s"distinct_$valueCol"),
+        sum(col("n")).as("n"))
+
   val all: Seq[Q] = Seq(
     // IV1: the per-status (count, key-sum) view BOOTSTRAPPED as one
     // net-window fold of ordersLog's whole history (3 appends + CoW
@@ -641,6 +677,30 @@ object IncrementalView {
              |FROM a JOIN b USING (custkey)
              |GROUP BY seg ORDER BY seg""".stripMargin),
       stage = Some((s, dir) => { refreshedJoinAggLog(s, dir); () })
+    ),
+
+    // IV7: maintained per-status COUNT(DISTINCT o_custkey) across two
+    // appends and a CoW delete that thins EVERY group (key % 3) — so
+    // some custkeys lose one of several rows (multiplicity decrements,
+    // pair survives) and others lose their last (pair leaves the
+    // support table and the distinct count drops). The maintained
+    // answer must equal the from-scratch COUNT(DISTINCT) of the final
+    // state — the oracle; a fold that added delta distinct counts, or
+    // kept zero-multiplicity pairs, breaks it.
+    Q(
+      "iv7_distinct_view",
+      (s, dir) => {
+        val view = refreshedDistinctLog(s, dir)
+        readDistinct(s, view, Seq("o_orderstatus"), "o_custkey")
+          .withColumnRenamed("distinct_o_custkey", "distinct_custkeys")
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             |  count(DISTINCT o_custkey) AS distinct_custkeys,
+             |  count(*) AS n
+             |FROM orders WHERE o_orderkey % 3 <> 0
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      stage = Some((s, dir) => { refreshedDistinctLog(s, dir); () })
     )
   )
 
@@ -715,6 +775,25 @@ object IncrementalView {
     * and the delete-touched recompute (including a group that vanishes
     * entirely).
     */
+  /** iv7's staged distinct-support log: even keys, refresh, odd keys +
+    * a key%3 CoW delete (thins every status), refresh — the final
+    * support table must reflect `orders WHERE o_orderkey % 3 <> 0`.
+    */
+  private def refreshedDistinctLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ivdist_${graft.TempDirs.dirKey(dir)}") { p =>
+      val table = p.resolve("table").toString
+      val view = p.resolve("view").toString
+      val orders = graft.Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      SnapshotLog.append(s, table,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      refreshDistinct(s, view, table, Seq("o_orderstatus"), "o_custkey")
+      SnapshotLog.append(s, table,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+      SnapshotLog.deleteWhere(s, table, pmod(col("o_orderkey"), lit(3)) === 0)
+      refreshDistinct(s, view, table, Seq("o_orderstatus"), "o_custkey")
+    }.resolve("view").toString
+
   private def refreshedMinMaxLog(s: SparkSession, dir: String): String =
     graft.TempDirs.staged(s"ivmm_${graft.TempDirs.dirKey(dir)}") { p =>
       val table = p.resolve("table").toString

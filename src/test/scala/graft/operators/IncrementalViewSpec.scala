@@ -326,4 +326,39 @@ class IncrementalViewSpec extends SparkSpec {
       .as[(Long, Long, String, String, Long)].collect().toSet
     assert(view === Set((1L, 5L, "a", "b", 1L)))
   }
+
+  test("distinct view: multiplicity decrements, vanishing pairs, NULL value exclusion") {
+    val table = newRoot()
+    val view = newRoot()
+    def distinctOf(): Map[String, (Long, Long)] =
+      IncrementalView.readDistinct(spark, view, Seq("g"), "v")
+        .as[(String, Long, Long)].collect()
+        .map { case (g, d, n) => g -> (d, n) }.toMap
+    // group a: value 10 twice (multiplicity 2) + 20 once; b: one NULL
+    // value (counts a row, not a distinct)
+    SnapshotLog.append(spark, table,
+      Seq(("a", 1L, Some(10L)), ("a", 2L, Some(10L)), ("a", 3L, Some(20L)),
+        ("b", 4L, None)).toDF("g", "k", "v"))
+    IncrementalView.refreshDistinct(spark, view, table, Seq("g"), "v")
+    assert(distinctOf() === Map("a" -> (2L, 3L), "b" -> (0L, 1L)))
+
+    // delete ONE of value 10's two rows: multiplicity 2 -> 1, the
+    // distinct count must NOT drop
+    SnapshotLog.deleteWhere(spark, table, col("k") === 1L)
+    IncrementalView.refreshDistinct(spark, view, table, Seq("g"), "v")
+    assert(distinctOf() === Map("a" -> (2L, 2L), "b" -> (0L, 1L)))
+
+    // delete the last value-10 row: the pair leaves the support table
+    // and the distinct count drops; b's NULL row deletes its group away
+    SnapshotLog.deleteWhere(spark, table, col("k") === 2L || col("g") === "b")
+    IncrementalView.refreshDistinct(spark, view, table, Seq("g"), "v")
+    assert(distinctOf() === Map("a" -> (1L, 1L)))
+
+    // the maintained answer equals from-scratch COUNT(DISTINCT) wholesale
+    val direct = SnapshotLog.read(spark, table)
+      .groupBy("g").agg(countDistinct(col("v")), count(lit(1)))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, d, n) => g -> (d, n) }.toMap
+    assert(distinctOf() === direct)
+  }
 }
