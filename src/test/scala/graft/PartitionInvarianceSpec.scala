@@ -48,7 +48,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     "iv3_join_view",
     // DV-applied read: the anti-join against the delete vector must
     // drop exactly the recorded coordinates under any parallelism
-    "tt18_mor_delete")
+    "tt18_mor_delete",
+    // Morton-key quantization + box pruning: the rewrite's layout may
+    // shift with parallelism but the read answer must not
+    "tt22_zorder_box_read",
+    // multiplicity fold + support-table aggregation: distinct counts
+    // must not depend on how the changelog partitions
+    "iv7_distinct_view")
 
   private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
