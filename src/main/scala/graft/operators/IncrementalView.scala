@@ -769,12 +769,6 @@ object IncrementalView {
     p.resolve("view").toString
   }
 
-  /** iv5's staged two-refresh min/max view log: even keys, refresh,
-    * odd keys + a CoW delete (all of 'P', every key ≡ 0 mod 7),
-    * refresh — the second fold exercises both the monotone insert path
-    * and the delete-touched recompute (including a group that vanishes
-    * entirely).
-    */
   /** iv7's staged distinct-support log: even keys, refresh, odd keys +
     * a key%3 CoW delete (thins every status), refresh — the final
     * support table must reflect `orders WHERE o_orderkey % 3 <> 0`.
@@ -794,6 +788,12 @@ object IncrementalView {
       refreshDistinct(s, view, table, Seq("o_orderstatus"), "o_custkey")
     }.resolve("view").toString
 
+  /** iv5's staged two-refresh min/max view log: even keys, refresh,
+    * odd keys + a CoW delete (all of 'P', every key ≡ 0 mod 7),
+    * refresh — the second fold exercises both the monotone insert path
+    * and the delete-touched recompute (including a group that vanishes
+    * entirely).
+    */
   private def refreshedMinMaxLog(s: SparkSession, dir: String): String =
     graft.TempDirs.staged(s"ivmm_${graft.TempDirs.dirKey(dir)}") { p =>
       val table = p.resolve("table").toString

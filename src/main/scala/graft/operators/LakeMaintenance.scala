@@ -257,46 +257,68 @@ object LakeMaintenance {
       outDir: String,
       numFiles: Int,
       x: String,
-      y: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
-    def gradeMap(c: String, alias: String) = {
-      val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
-      // distinct-value counts, range-partitioned so partition-id order ==
-      // value order (equal keys never straddle a range boundary)
-      val ranged = graft.CacheScope.track(
-        df.groupBy(col(c)).agg(count(lit(1)).as("_n"))
-          .repartitionByRange(parts, col(c))
-          .withColumn("_pid", spark_partition_id())
-          .persist())
-      // O(shuffle partitions)-bounded driver value, fetched as ONE
-      // aggregated row (the same accounting discipline as
-      // StreamingMerge's affected-bucket list)
-      val subtotal = ranged.groupBy("_pid").agg(sum("_n").as("_pn"))
-        .agg(collect_list(struct(col("_pid"), col("_pn"))).as("s"))
-        .head().getSeq[org.apache.spark.sql.Row](0)
-        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val total = subtotal.map(_._2).sum
-      val offDf = spark.createDataFrame(
-        subtotal.map(_._1).zip(subtotal.map(_._2).scanLeft(0L)(_ + _)).toSeq)
-        .toDF("_pid", "_off")
-      val local = Window.partitionBy("_pid").orderBy(col(c))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      ranged.join(broadcast(offDf), Seq("_pid"))
-        .withColumn("_cum",
-          coalesce(sum(col("_n")).over(local), lit(0L)) + col("_off"))
-        .select(col(c), expr(s"_cum * 256 DIV ${total}L").as(alias))
-    }
-    // grade-map join strategy left to AQE: the map is distinct-value-
-    // sized — broadcast when small, shuffle join on a high-cardinality
-    // dimension (same rationale as the dedup verify joins, VERDICT r5 #2)
-    df.join(gradeMap(x, "_xb"), Seq(x))
-      .join(gradeMap(y, "_yb"), Seq(y))
-      .withColumn("z", zValue(col("_xb"), col("_yb"), 8))
-      .select(df.columns.map(col) :+ col("z"): _*)
+      y: String): Unit =
+    withZ(df, x, y, "z")
       .repartitionByRange(numFiles, col("z"))
       .sortWithinPartitions("z")
       .write.mode("overwrite").option("compression", "zstd").parquet(outDir)
+
+  /** One dimension's EQUAL-DEPTH grade map: (distinct value, 8-bit
+    * cell) with each cell holding ~1/256 of the ROWS — the exact
+    * two-level prefix-sum CDF [[zCluster]]'s doc motivates (equal-width
+    * collapses on skew; a single-partition running sum was the r5
+    * scale-killer).
+    */
+  private def gradeMap(df: org.apache.spark.sql.DataFrame, c: String,
+      alias: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    // distinct-value counts, range-partitioned so partition-id order ==
+    // value order (equal keys never straddle a range boundary)
+    val ranged = graft.CacheScope.track(
+      df.groupBy(col(c)).agg(count(lit(1)).as("_n"))
+        .repartitionByRange(parts, col(c))
+        .withColumn("_pid", spark_partition_id())
+        .persist())
+    // O(shuffle partitions)-bounded driver value, fetched as ONE
+    // aggregated row (the same accounting discipline as
+    // StreamingMerge's affected-bucket list)
+    val subtotal = ranged.groupBy("_pid").agg(sum("_n").as("_pn"))
+      .agg(collect_list(struct(col("_pid"), col("_pn"))).as("s"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = subtotal.map(_._2).sum
+    val offDf = spark.createDataFrame(
+      subtotal.map(_._1).zip(subtotal.map(_._2).scanLeft(0L)(_ + _)).toSeq)
+      .toDF("_pid", "_off")
+    val local = Window.partitionBy("_pid").orderBy(col(c))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("_cum",
+        coalesce(sum(col("_n")).over(local), lit(0L)) + col("_off"))
+      .select(col(c), expr(s"_cum * 256 DIV ${total}L").as(alias))
+  }
+
+  /** Append `out` = the equal-depth 8-bit-per-axis Morton key of
+    * (x, y) — THE z-key definition, shared by [[zCluster]] (parquet-dir
+    * lake) and [[SnapshotLog.optimizeZOrder]] (table-format OPTIMIZE)
+    * so the two layouts can never diverge in grading or bit parity.
+    * Grade-map join strategy is left to AQE: the map is distinct-value-
+    * sized — broadcast when small, shuffle join on a high-cardinality
+    * dimension (same rationale as the dedup verify joins, VERDICT r5
+    * #2). The joins are NULL-SAFE: the grade map carries the NULL
+    * value as a group like any other (lowest cell), so null-keyed rows
+    * ride through a rewrite instead of silently dropping.
+    */
+  private[operators] def withZ(df: org.apache.spark.sql.DataFrame,
+      x: String, y: String, out: String): org.apache.spark.sql.DataFrame = {
+    val gx = gradeMap(df, x, "_xb").withColumnRenamed(x, "_gx")
+    val gy = gradeMap(df, y, "_yb").withColumnRenamed(y, "_gy")
+    df.join(gx, col(x) <=> col("_gx"))
+      .join(gy, col(y) <=> col("_gy"))
+      .withColumn(out, zValue(col("_xb"), col("_yb"), 8))
+      .select(df.columns.map(col) :+ col(out): _*)
   }
 
   /** LK1's scenario input: the documents table staged as a

@@ -831,11 +831,16 @@ object SnapshotLog {
         s"no column $column in snapshot $id")
     }
     val curIds = currentIdsOf(raw, schema)._1
+    // data types hoisted out of the per-file loop: resolving through
+    // the StructType per (file × predicate) is a linear field scan —
+    // noise here, real on the million-file planning path this exists for
+    val resolved = preds.map { case (column, lower, upper) =>
+      (column, schema(column).dataType, lower, upper)
+    }
     def keeps(statOf: String => Option[(String, String)]): Boolean =
-      preds.forall { case (column, lower, upper) =>
+      resolved.forall { case (column, dt, lower, upper) =>
         statOf(column) match {
-          case Some((mn, mx)) =>
-            rangeIntersects(schema(column).dataType, mn, mx, lower, upper)
+          case Some((mn, mx)) => rangeIntersects(dt, mn, mx, lower, upper)
           case None => true
         }
       }
@@ -2232,9 +2237,11 @@ object SnapshotLog {
   }
 
   /** OPTIMIZE into a Z-ORDER (Morton) layout over two columns: rewrite
-    * the current content range-clustered on the interleaved-bit key of
-    * the columns' 16-bit quantized values, so each data file covers a
-    * small axis-aligned box in (a, b) space and its recorded per-file
+    * the current content range-clustered on the shared equal-depth
+    * Morton key ([[LakeMaintenance.withZ]] — the ONE z-key definition,
+    * so this and the parquet-dir [[LakeMaintenance.zCluster]] can never
+    * diverge in grading or bit parity), so each data file covers a
+    * small box in (a, b) QUANTILE space and its recorded per-file
     * min/max bound BOTH columns tightly (Iceberg/Delta's `ZORDER BY`).
     * [[optimize]]'s single-column clustering serves narrow reads on
     * that column but leaves every file spanning the full range of the
@@ -2242,16 +2249,19 @@ object SnapshotLog {
     * O(box) files instead of O(slab) — ZOrderSpec pins the strict
     * file-count win against the single-column layout on the same data.
     *
-    * Quantization bounds come from ONE aggregate over the content
-    * being rewritten (a 4-value driver row — the rewrite reads all the
-    * data regardless), baked into the key as plan-time literals. The
+    * The grading is EQUAL-DEPTH (each cell ~1/256 of the rows), not
+    * equal-width: a skewed dimension collapses an equal-width grid
+    * onto a few cells and the interleave degenerates to a 1-D sort on
+    * the other key — zCluster measured exactly that before its
+    * rewrite, and it also removes any value-arithmetic on the data
+    * (no division/cast that an Infinity or ANSI mode could trip). The
     * key is layout-only: content is bit-preserved ([[changes]] across
-    * the commit is empty) and no reader ever sees it, so the
-    * quantization precision affects clustering quality, never
-    * answers. A constant or all-null column degrades its axis to one
-    * quantum (the layout falls back toward single-column clustering —
-    * correct, just less prunable). Field ids carry through like every
-    * rewrite.
+    * the commit is empty — null-keyed rows ride through the null-safe
+    * grade joins) and the key column is dropped before the commit, so
+    * the table schema never sees it. A constant or all-null column
+    * degrades its axis to one cell (the layout falls back toward
+    * single-column clustering — correct, just less prunable). Field
+    * ids carry through like every rewrite.
     */
   def optimizeZOrder(spark: SparkSession, root: String, colA: String,
       colB: String, numFiles: Int): Long = {
@@ -2261,28 +2271,12 @@ object SnapshotLog {
     val raw = rawManifest(spark, root, base)
     val schema = StructType.fromDDL(raw.schemaDdl)
     val (ids, last) = currentIdsOf(raw, schema)
-    val cur = read(spark, root)
-    val mm = cur.agg(
-      min(col(colA).cast("double")), max(col(colA).cast("double")),
-      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-    def quant(c: String, loIdx: Int): Column =
-      if (mm.isNullAt(loIdx) || mm.isNullAt(loIdx + 1) ||
-          !(mm.getDouble(loIdx + 1) > mm.getDouble(loIdx))) lit(0L)
-      else {
-        val lo = mm.getDouble(loIdx)
-        val span = mm.getDouble(loIdx + 1) - lo
-        least(greatest(
-          floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536.0)
-            .cast("long"),
-          lit(0L)), lit(65535L))
-      }
-    val qa = quant(colA, 0)
-    val qb = quant(colB, 2)
-    val z = (0 until 16).map { j =>
-      shiftleft(shiftright(qa, j).bitwiseAND(lit(1L)), 2 * j + 1) +
-        shiftleft(shiftright(qb, j).bitwiseAND(lit(1L)), 2 * j)
-    }.reduce(_ + _)
-    commitFiles(spark, root, cur.repartitionByRange(numFiles, z),
+    val clustered = LakeMaintenance
+      .withZ(read(spark, root), colA, colB, "_z")
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+    commitFiles(spark, root, clustered,
       "optimize-zorder", Seq.empty, Seq.empty, schema,
       tableIds0 = ids, lastColId0 = last)
   }

