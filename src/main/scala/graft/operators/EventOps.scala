@@ -128,15 +128,22 @@ object EventOps {
   private val HalfLifeUs = 604800000000L
 
   /** Taylor coefficients of exp2(−f) = e^(−f·ln2), c_i = (−ln2)^i/i!,
-    * printed to full double precision — both engines' literal parsers
-    * are correctly rounded, so each coefficient is the identical bits.
+    * in E-NOTATION — scientific notation parses straight to a
+    * correctly-rounded DOUBLE on both engines, whereas DuckDB routes a
+    * plain decimal literal through DECIMAL and the DECIMAL→DOUBLE cast
+    * double-rounds: the c₄ and c₅ entries here measurably landed 1 ulp
+    * off the JVM's parse in their plain-decimal form (the same
+    * literal-syntax trap [[graft.functions.LnExact]]'s object doc
+    * dissects; every coefficient below is verified to parse to
+    * identical bits on both engines).
     */
   private val Exp2Coefs = Seq(
-    "1.0", "-0.6931471805599453", "0.2402265069591007",
-    "-0.055504108664821576", "0.009618129107628477",
-    "-0.0013333558146428441", "0.00015403530393381606",
-    "-1.5252733804059838e-05", "1.3215486790144305e-06",
-    "-1.0178086009239696e-07", "7.054911620801121e-09")
+    "1.00000000000000000e+00", "-6.93147180559945286e-01",
+    "2.40226506959100694e-01", "-5.55041086648215762e-02",
+    "9.61812910762847688e-03", "-1.33335581464284411e-03",
+    "1.54035303933816061e-04", "-1.52527338040598377e-05",
+    "1.32154867901443053e-06", "-1.01780860092396960e-07",
+    "7.05491162080112088e-09")
 
   /** Horner form of exp2(−f) over `f` ∈ [0,1) — identical text on both
     * engine sides, only +,*,/ (IEEE correctly rounded), so the value
