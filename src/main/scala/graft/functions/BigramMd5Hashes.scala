@@ -50,8 +50,6 @@ case class BigramMd5Hashes(child: Expression) extends UnaryExpression {
 
 object BigramMd5Hashes {
 
-  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
-    MessageDigest.getInstance("MD5"))
 
   /** Static entry point shared by eval and generated code. */
   def compute(s: UTF8String): GenericArrayData = {
@@ -64,7 +62,7 @@ object BigramMd5Hashes {
     while (i < n) { if (bytes(i) == ' ') spaces += 1; i += 1 }
     if (spaces == 0) return new GenericArrayData(Array.empty[Long])
 
-    val digest = md5.get()
+    val digest = Md5Local.get()
     val out = new Array[Long](spaces)
     var pair = 0
     var start = 0 // current token's start

@@ -31,7 +31,10 @@ case class BloomAggLong(
     fpp: Double,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[BloomFilter] {
+    extends TypedImperativeAggregate[BloomFilter]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(org.apache.spark.sql.types.LongType)
 
   require(expectedItems > 0, "expectedItems must be positive")
   require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")

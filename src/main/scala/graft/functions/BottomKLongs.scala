@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * A `TypedImperativeAggregate`: the buffer is a bounded sorted set that
   * updates per row, merges across partitions (partial aggregation
-  * map-side, like any built-in agg), and serializes to the fixed-size
-  * byte image Spark ships between stages. Deterministic output (sorted
+  * map-side, like any built-in agg), and serializes to a BOUNDED
+  * (4 + 8·size ≤ 4 + 8·k byte) image Spark ships between stages — the
+  * image grows with fill level up to k, it is not constant-size.
+  * Deterministic output (sorted
   * array), so the DuckDB oracle can recompute it bit-for-bit with
   * `list_sort(list_distinct(list(h)))[1:k]`.
   */
@@ -28,7 +30,10 @@ case class BottomKLongs(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+    extends TypedImperativeAggregate[mutable.TreeSet[Long]]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(LongType)
 
   require(k > 0, "k must be positive")
 

@@ -38,10 +38,19 @@ case class CountMinLongs(
     w: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends TypedImperativeAggregate[Array[Long]]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType)
 
   require(d > 0 && d <= 4, "depth must be in [1, 4] (md5 slice budget)")
   require(w > 0, "width must be positive")
+  // d·w longs must fit one JVM array AND its 8-byte-per-cell serialized
+  // image: without this, a large-but-accepted width overflows the Int
+  // product and createAggregationBuffer dies with
+  // NegativeArraySizeException mid-job instead of a clear error here
+  require(d.toLong * w <= Int.MaxValue / 8,
+    s"d*w = ${d.toLong * w} cells exceeds the serializable budget")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -99,13 +108,9 @@ case class CountMinLongs(
 
 object CountMinLongs {
 
-  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
-    MessageDigest.getInstance("MD5"))
-
   private[functions] def digest(bytes: Array[Byte]): Array[Byte] = {
-    val d = md5.get()
-    d.reset()
-    d.digest(bytes)
+    // shared per-thread engine; digest() leaves it reset for the next call
+    Md5Local.get().digest(bytes)
   }
 
   /** Big-endian unsigned int of digest bytes [4i, 4i+4) — exactly

@@ -22,6 +22,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
   * `call_function` / SQL); `GraftExtensions` injects them via
   * `SparkSessionExtensions` for externally built sessions.
   */
+/** Shared per-thread MD5 instance for the digest-slice hash family
+  * (the gram hashers, MinHash signatures, Count-Min) — ONE definition
+  * of the ThreadLocal idiom instead of a copy per file. `digest()`
+  * leaves the engine reset, so no explicit reset() between uses.
+  */
+private[functions] object Md5Local {
+  private val tl =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  def get(): java.security.MessageDigest = tl.get()
+}
+
 object GraftFunctions {
 
   /** dot product over two array<double> columns (lengths zipped). */

@@ -48,8 +48,6 @@ object MinhashSigs {
 
   private val Mod = 0xffffffffL // (x & Mod) == x mod 2^32 for x >= 0
 
-  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
-    MessageDigest.getInstance("MD5"))
 
   /** Static entry point shared by eval and generated code. */
   def compute(s: UTF8String, k: Int): GenericArrayData =
@@ -65,7 +63,7 @@ object MinhashSigs {
   private[functions] def computeMins(s: UTF8String, k: Int, gram: Int): Array[Long] = {
     val bytes = s.getBytes
     val n = bytes.length
-    val digest = md5.get()
+    val digest = Md5Local.get()
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var start = 0
@@ -111,7 +109,7 @@ object MinhashSigs {
       s: UTF8String, numHashes: Int, bandSize: Int, gram: Int): GenericArrayData = {
     val mins = computeMins(s, numHashes, gram)
     val numBands = numHashes / bandSize
-    val digest = md5.get()
+    val digest = Md5Local.get()
     val out = new Array[Long](numBands)
     val buf = new java.lang.StringBuilder(bandSize * 11)
     var b = 0

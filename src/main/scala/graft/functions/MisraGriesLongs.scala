@@ -34,7 +34,10 @@ case class MisraGriesLongs(
     m: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.HashMap[Long, Long]] {
+    extends TypedImperativeAggregate[mutable.HashMap[Long, Long]]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(org.apache.spark.sql.types.LongType)
 
   require(m > 0, "m must be positive")
 

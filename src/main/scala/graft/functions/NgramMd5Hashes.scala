@@ -89,8 +89,6 @@ case class PositionalNgramMd5Hashes(child: Expression, n: Int)
 
 object NgramMd5Hashes {
 
-  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
-    MessageDigest.getInstance("MD5"))
 
   /** Positional entry point shared by eval and generated code: per-window
     * top-60-bit md5 values in window order, no sort, no dedupe.
@@ -109,7 +107,7 @@ object NgramMd5Hashes {
     i = 0
     while (i < len) { if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }; i += 1 }
 
-    val digest = md5.get()
+    val digest = Md5Local.get()
     val out = new Array[Long](windows)
     var w = 0
     while (w < windows) {
@@ -144,7 +142,7 @@ object NgramMd5Hashes {
     i = 0
     while (i < len) { if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }; i += 1 }
 
-    val digest = md5.get()
+    val digest = Md5Local.get()
     val out = new Array[Long](windows)
     var w = 0
     while (w < windows) {

@@ -20,15 +20,30 @@ object TypedAggregators {
   /** (value cents, weight) running totals. */
   final case class WSum(cents: Long, weight: Long)
 
+  /** round-half-AWAY-from-zero — the tie rule of BOTH DuckDB's
+    * `round()` and its `CAST(double AS BIGINT)` (probed: 2.5→3,
+    * −2.5→−3), where `math.round` alone is half-up (−2.5→−2). For
+    * non-negative inputs the two agree, but pinning the away rule
+    * keeps negative prices and (contract-violating) fractional
+    * weights engine-identical instead of silently divergent.
+    */
+  private def halfAway(x: Double): Long = {
+    val a = math.round(math.abs(x))
+    if (x < 0) -a else a
+  }
+
   /** Quantity-weighted mean price: Σ(cents(p)·q) / (100·Σq).
     * Input (price, integral-valued weight); null-free inputs expected
-    * (filter upstream).
+    * (filter upstream). Both the cents and weight conversions use
+    * [[halfAway]], matching the af1 oracle's `round()`/`CAST` — a
+    * fractional weight (contract violation) rounds the same way on
+    * both engines rather than truncating here and rounding there.
     */
   object WeightedMeanPrice extends Aggregator[(Double, Double), WSum, Double] {
     override def zero: WSum = WSum(0L, 0L)
     override def reduce(b: WSum, in: (Double, Double)): WSum = {
-      val cents = math.round(in._1 * 100) // round-half-up, exact on 2-dec money
-      val w = in._2.toLong
+      val cents = halfAway(in._1 * 100) // exact on 2-dec money
+      val w = halfAway(in._2)
       WSum(b.cents + cents * w, b.weight + w)
     }
     override def merge(a: WSum, b: WSum): WSum =
