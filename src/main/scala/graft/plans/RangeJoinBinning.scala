@@ -67,6 +67,18 @@ object RangeJoinBinning extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** Remove the rewrite from the session — it is session-global while
+    * installed, so a caller demonstrating the rule (rj2/rj3) must
+    * scope the install around its own materialization (TopKPerKey's
+    * ev5 discipline) or every LATER non-equi range join in the shared
+    * session — including naive-baseline rows and the plan-audit runs —
+    * silently plans through the rewrite.
+    */
+  def uninstall(spark: SparkSession): Unit = synchronized {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == this)
+  }
+
   private def longLit(e: Expression): Option[Long] = e match {
     case Literal(v: Long, LongType) => Some(v)
     case Literal(v: Int, _) => Some(v.toLong)
