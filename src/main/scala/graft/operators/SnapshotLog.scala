@@ -892,15 +892,22 @@ object SnapshotLog {
       // column is all-null (or absent pre-evolution) there — exactly
       // like a scan, such rows contribute nothing to min/max, so the
       // remaining files' bounds fold to the true answer.
+      // unparseable numeric stats (a NaN/Infinity rendering from a
+      // double column) degrade to null bounds — metadata cannot
+      // answer, caller falls back to a scan — the same
+      // NumberFormatException discipline bandOf/rangeIntersects apply,
+      // instead of failing the whole metadata query
       val bounds =
-        if (!morDirty && live.nonEmpty && !live.exists(_.stats.isEmpty) &&
-          perFile.flatten.nonEmpty) {
-          val mins = perFile.flatten.map(_._1)
-          val maxs = perFile.flatten.map(_._2)
-          Some((
-            mins.reduce((a, b) => if (statGt(dt, a, b)) b else a),
-            maxs.reduce((a, b) => if (statGt(dt, a, b)) a else b)))
-        } else None
+        try {
+          if (!morDirty && live.nonEmpty && !live.exists(_.stats.isEmpty) &&
+            perFile.flatten.nonEmpty) {
+            val mins = perFile.flatten.map(_._1)
+            val maxs = perFile.flatten.map(_._2)
+            Some((
+              mins.reduce((a, b) => if (statGt(dt, a, b)) b else a),
+              maxs.reduce((a, b) => if (statGt(dt, a, b)) a else b)))
+          } else None
+        } catch { case _: NumberFormatException => None }
       (c, nRows, bounds.map(_._1).orNull, bounds.map(_._2).orNull)
     }
     import spark.implicits._
@@ -1143,17 +1150,28 @@ object SnapshotLog {
     val staged = parseManifest(readTextFile(fs, sp))
     val stagedListPaths = staged.refs.map(_.path).toSet
     var attempt = 0
+    // idempotent crash replay: a publish that renamed its manifest but
+    // died before deleting the descriptor must NOT splice the staged
+    // list a second time. The scan is over FULL history, not just the
+    // head — a CoW rewrite after the crashed publish can dissolve the
+    // staged list out of the head while its rows live on (re-splicing
+    // then would resurrect deleted rows and duplicate survivors), the
+    // same hazard discardStaged already scans all of history for.
+    // a staged list that no longer exists on disk was published AND
+    // its snapshot later expired (staged data is vacuum-protected
+    // until decided, so nothing else reclaims it) — beyond-history
+    // crash replay; cleanup, never re-splice a reclaimed list
+    val everPublished = history(spark, root).iterator
+      .flatMap(s => rawManifest(spark, root, s.id).refs)
+      .exists(r => stagedListPaths(r.path)) ||
+      !staged.refs.forall(r => fs.exists(new Path(s"$root/${r.path}")))
+    if (everPublished) {
+      fs.delete(sp, false)
+      return currentId(spark, root)
+    }
     while (true) {
       val base = currentId(spark, root)
       val head = rawManifest(spark, root, base)
-      // idempotent crash replay: a publish that renamed its manifest
-      // but died before deleting the descriptor must NOT splice the
-      // staged list a second time — if the head already references it,
-      // finish the cleanup and return
-      if (head.refs.exists(r => stagedListPaths(r.path))) {
-        fs.delete(sp, false)
-        return base
-      }
       val schema = StructType.fromDDL(head.schemaDdl)
       val (ids, last) = currentIdsOf(head, schema)
       require(staged.ids.values.toSet.subsetOf(ids.values.toSet),
@@ -1161,7 +1179,22 @@ object SnapshotLog {
           "staging; discardStaged and re-stage")
       val next = base + 1
       val ddl = schema.toDDL.replace("\t", " ").replace("\n", " ")
-      val refs = head.refs ++ staged.refs
+      // re-key the staged lists' band stats through field ids: a
+      // rename since staging moved the column to a new name (and may
+      // have freed the OLD name for a fresh unrelated column), so a
+      // verbatim splice would let boxFiles/rangeFiles prune the staged
+      // list against the WRONG column's bounds and silently drop live
+      // rows. Keys without a staged id (derived layout stats, legacy)
+      // carry unchanged — file-level resolution handles those.
+      val headNameById = ids.map(_.swap)
+      val rekeyedStaged = staged.refs.map(r =>
+        r.copy(band = r.band.flatMap { case (n, mm) =>
+          staged.ids.get(n) match {
+            case Some(sid) => headNameById.get(sid).map(_ -> mm)
+            case None => Some(n -> mm)
+          }
+        }))
+      val refs = head.refs ++ rekeyedStaged
       val m = manifestPath(root, next)
       val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, true)
@@ -1280,7 +1313,7 @@ object SnapshotLog {
     commitFiles(spark, root, rewritten, "delete",
       intact.map(_._1), keepInline, tableSchema,
       derivedStats = inheritedBucketStats(allFiles, tableSchema, tableIds),
-      tableIds0 = tableIds, lastColId0 = lastColId)
+      tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base)
   }
 
   /** MERGE-ON-READ delete: record the matched rows as a positional
@@ -1428,7 +1461,7 @@ object SnapshotLog {
     commitFiles(spark, root, rewritten, "rewrite-deletes",
       intact.map(_._1), keepInline, tableSchema,
       derivedStats = inheritedBucketStats(allFiles, tableSchema, tableIds),
-      tableIds0 = tableIds, lastColId0 = lastColId)
+      tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base)
   }
 
   /** MERGE-ON-READ upsert: matched table rows die via a positional
@@ -1560,7 +1593,7 @@ object SnapshotLog {
       return commitFiles(spark, root,
         source.select(tableSchema.fieldNames.map(col).toSeq: _*),
         "merge", Seq.empty, Seq.empty, tableSchema,
-        tableIds0 = tableIds, lastColId0 = lastColId)
+        tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base)
     val scan = resolvedRead(spark, root, allFiles, tableSchema, tableIds)
     val keys = source.select(keyCols.map(col): _*).distinct()
     // bounded driver value — O(#matching files); file column projected
@@ -1591,7 +1624,7 @@ object SnapshotLog {
       survivors.unionByName(source.select(tableCols: _*)),
       "merge", intact.map(_._1), carriedInline, tableSchema,
       derivedStats = inheritedBucketStats(allFiles, tableSchema, tableIds),
-      tableIds0 = tableIds, lastColId0 = lastColId)
+      tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base)
   }
 
   /** Atomically publish `tmp` as `m`, failing (false) if `m` already
@@ -1600,6 +1633,16 @@ object SnapshotLog {
     * filesystems rely on no-replace rename semantics (HDFS's rename
     * returns false on an existing destination). The caller deletes
     * `tmp` on the failure path.
+    *
+    * LIMITATION — object stores: on a FileSystem whose rename is
+    * copy+delete with no atomic no-replace (S3A and friends), the
+    * `!exists && rename` pair is a TOCTOU window where two racers can
+    * both "publish" and one snapshot is overwritten. That is inherent
+    * to the store, not to this protocol — Iceberg solves it by moving
+    * the pointer swap into a catalog (metastore/DynamoDB lock) and so
+    * must a deployment of this log on such a store; HDFS-semantics
+    * stores and local filesystems get the full guarantee from the
+    * filesystem alone.
     */
   private def publish(fs: FileSystem, tmp: Path, m: Path): Boolean =
     if (fs.getScheme == "file") {
@@ -1868,9 +1911,15 @@ object SnapshotLog {
         val (nIds, nLast) = assignNewIds(df.schema, Map.empty, 0)
         (df.schema, nIds, nLast)
     }
+    val newCols = prev match {
+      case Some(p) if keepBase =>
+        df.schema.fieldNames.toSet --
+          StructType.fromDDL(p.schemaDdl).fieldNames.toSet
+      case _ => df.schema.fieldNames.toSet
+    }
     commitFiles(spark, root, df, operation, refs, inline, schema, bloomSpec,
       derivedStats = derivedStats, tableIds0 = ids, lastColId0 = last,
-      carriedDRefs = dRefs)
+      carriedDRefs = dRefs, plannedBase = base, appendNewCols = newCols)
   }
 
   /** Write `df`'s files, count rows per file (one small job — the counts
@@ -1935,6 +1984,14 @@ object SnapshotLog {
       }
   }
 
+  /** `plannedBase` is the snapshot the CALLER planned its carried
+    * refs/content against — the publish CAS fires at plannedBase+1, so
+    * a commit that landed anywhere after the caller's read (including
+    * during its discovery scan) surfaces as a lost race instead of
+    * being silently clobbered by stale carried refs. −1 (only for
+    * callers that do no prior manifest read) falls back to a fresh
+    * read here.
+    */
   private def commitFiles(spark: SparkSession, root: String, df: DataFrame,
       operation: String, carriedRefs0: Seq[ListRef],
       carriedInline0: Seq[FileEntry],
@@ -1943,7 +2000,9 @@ object SnapshotLog {
       derivedStats: Seq[(String, Column)] = Nil,
       tableIds0: Map[String, Int] = Map.empty,
       lastColId0: Int = 0,
-      carriedDRefs: Seq[DeleteRef] = Seq.empty): Long = {
+      carriedDRefs: Seq[DeleteRef] = Seq.empty,
+      plannedBase: Long = -1L,
+      appendNewCols: Set[String] = Set.empty): Long = {
     var tableSchema = Option(tableSchema0).getOrElse(df.schema)
     var (tableIds, lastColId) =
       if (tableIds0.nonEmpty) (tableIds0, lastColId0)
@@ -1953,19 +2012,28 @@ object SnapshotLog {
     var carriedRefs = carriedRefs0
     var carriedInline = carriedInline0
     var carriedD = carriedDRefs
-    var base = currentId(spark, root)
+    var base = if (plannedBase >= 0) plannedBase else currentId(spark, root)
+    // first-attempt binding of the written files' PHYSICAL column names
+    // to their ids — a later retry's schema may know a column only
+    // under a rename's new name, but the id is rename-stable, so the
+    // stamp keeps resolving (see the retry's identity merge below)
+    val origIds = tableIds
     val written =
       writeDataFiles(spark, root, df, base + 1, bloomSpec, derivedStats)
     val dfCols = df.columns.toSet
     while (true) {
       val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
       val next = base + 1
-      // this commit's files carry the CURRENT name→id mapping (their
-      // physical names ARE the current names), restricted to the
-      // columns the frame actually wrote; re-stamped per attempt
-      // because a lost race can renumber freshly added columns
+      // this commit's files carry the name→id mapping for the columns
+      // the frame actually wrote, under their PHYSICAL names;
+      // re-stamped per attempt because a lost race can renumber
+      // freshly added columns, with the first-attempt id as the
+      // fallback for a physical name the retried schema no longer
+      // carries (renamed away by the race winner — the id survives)
       val stamped = written.map(f =>
-        f.copy(ids = tableIds.filter { case (n, _) => dfCols(n) }))
+        f.copy(ids = dfCols.iterator
+          .flatMap(n => tableIds.get(n).orElse(origIds.get(n)).map(n -> _))
+          .toMap))
       // the commit's one new file list (absent when it neither wrote
       // nor inherited inline entries — e.g. an overwrite to empty)
       val newEntries = carriedInline ++ stamped
@@ -2002,17 +2070,32 @@ object SnapshotLog {
       require(attempt < 20, s"commit to $root lost ${attempt} races; aborting")
       base = currentId(spark, root)
       if (operation == "append") {
-        // the winner may itself have widened the schema — re-merge so
-        // the retried manifest records the union, not our stale view
-        // (ids too: the winner's assignments take precedence; our new
-        // columns renumber after its high-water id)
+        // re-merge against the winner by IDENTITY, not name: every
+        // column the append did NOT introduce is already in the
+        // winner's schema under its CURRENT name (a rename keeps the
+        // id, so the written files' stale-name stamps still resolve,
+        // and a winner's drop simply wins — the stamped id is retired
+        // and the data reads as absent). Only the columns THIS append
+        // introduced — and the winner hasn't since adopted — are
+        // appended, renumbered after the winner's high-water id. The
+        // old name-based mergeSchemas re-merge would resurrect a
+        // renamed-away name as a phantom new column and strand the
+        // appended values under it.
         val winner = rawManifest(spark, root, base)
         carriedRefs = winner.refs
         carriedInline = winner.inline
         carriedD = winner.dRefs
         val ws = StructType.fromDDL(winner.schemaDdl)
         val (wIds, wLast) = currentIdsOf(winner, ws)
-        tableSchema = mergeSchemas(ws, tableSchema)
+        tableSchema.fields.foreach(f =>
+          if (appendNewCols(f.name))
+            ws.fields.find(_.name == f.name).foreach(wf =>
+              require(wf.dataType == f.dataType,
+                s"append column ${f.name} is ${f.dataType}, a concurrent " +
+                  s"commit added it as ${wf.dataType}")))
+        val add = tableSchema.fields.filter(f =>
+          appendNewCols(f.name) && !ws.fieldNames.contains(f.name))
+        tableSchema = StructType(ws.fields ++ add)
         val (nIds, nLast) = assignNewIds(tableSchema, wIds, wLast)
         tableIds = nIds
         lastColId = nLast
@@ -2204,7 +2287,7 @@ object SnapshotLog {
     commitFiles(spark, root,
       cur.repartitionByRange(numFiles, col(clusterBy)), "optimize",
       Seq.empty, Seq.empty, schema,
-      tableIds0 = ids, lastColId0 = last)
+      tableIds0 = ids, lastColId0 = last, plannedBase = base)
   }
 
   /** OPTIMIZE into a HASH-BUCKET layout: rewrite the current content
@@ -2233,7 +2316,7 @@ object SnapshotLog {
       cur.repartitionByRange(numBuckets, bucketExpr(bucketBy, numBuckets)),
       "optimize-bucket", Seq.empty, Seq.empty, schema,
       derivedStats = bucketDerived(bucketBy, numBuckets),
-      tableIds0 = ids, lastColId0 = last)
+      tableIds0 = ids, lastColId0 = last, plannedBase = base)
   }
 
   /** OPTIMIZE into a Z-ORDER (Morton) layout over two columns: rewrite
@@ -2278,7 +2361,7 @@ object SnapshotLog {
       .drop("_z")
     commitFiles(spark, root, clustered,
       "optimize-zorder", Seq.empty, Seq.empty, schema,
-      tableIds0 = ids, lastColId0 = last)
+      tableIds0 = ids, lastColId0 = last, plannedBase = base)
   }
 
   /** Targeted small-file compaction — the INCREMENTAL optimize: bin-pack
@@ -2330,7 +2413,7 @@ object SnapshotLog {
       intact.map(_._1), carriedInline, tableSchema,
       derivedStats =
         inheritedBucketStats(raw.inline ++ groups.flatMap(_._2), tableSchema, tableIds),
-      tableIds0 = tableIds, lastColId0 = lastColId)
+      tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base)
   }
 
   /** Expire all but the latest `keepLast` snapshots: their manifests are
@@ -2452,6 +2535,13 @@ object SnapshotLog {
       .flatMap(d => readDeleteList(fs, root, d)).map(_.dvDir).toSet
       .diff(keptDvDirs)
     val live = kept.iterator.flatMap(_.files).map(_.path).toSet
+    // last-moment tag re-read narrows (does not close — that needs a
+    // coordinating catalog, see tag()'s doc) the window where a tag()
+    // landing after the first read pins a snapshot this run already
+    // resolved to delete: any id tagged by now is spared wholesale
+    val pinnedNow = tagIds(spark, root)
+    if (gone.exists(s => pinnedNow(s.id)))
+      return expire(spark, root, keepLast)
     gone.foreach(s => require(
       fs.delete(manifestPath(root, s.id), false),
       s"expire of snapshot ${s.id} manifest failed"))
@@ -2526,6 +2616,16 @@ object SnapshotLog {
         st.getPath.getName.startsWith("d_")) &&
         st.getPath.getName.endsWith(".list"))
       .filter(st => !refLists(s"snap/${st.getPath.getName}"))
+      .filter(st => st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, false))
+    // tmp MANIFESTS stranded by a committer that crashed between
+    // fs.create(tmp) and publish/delete (`vNNNNNNNN.manifest.tmp.*`):
+    // published manifests never carry the .tmp suffix, so any aged one
+    // is debris — left alone it accumulates across crashes and
+    // inflates the snap/ listing every currentId/history call scans
+    if (fs.exists(snapDir)) fs.listStatus(snapDir).iterator
+      .filter(st => !st.isDirectory &&
+        st.getPath.getName.contains(".manifest.tmp."))
       .filter(st => st.getModificationTime < cutoff)
       .foreach(st => fs.delete(st.getPath, false))
     // dot-prefixed temp refs stranded by a tag() crash between create
