@@ -49,6 +49,13 @@ import graft.{Q, Tables}
   *                                        (t_path, t_pos) rows naming
   *                                        dead coordinates in immutable
   *                                        data files
+  *   data/c<snap>_eq_<uuid>/part-*.parquet equality-delete key sets
+  *                                        (Iceberg v2's scan-free
+  *                                        delete): distinct key rows,
+  *                                        referenced by `E` manifest
+  *                                        lines and applied to files
+  *                                        whose commit predates the
+  *                                        delete's sequence
   * }}}
   *
   * A commit writes ONE new file list holding only ITS files (plus any
@@ -294,20 +301,64 @@ object SnapshotLog {
     */
   private final case class DeleteEntry(target: String, delRows: Long, dvDir: String)
 
+  /** One EQUALITY-DELETE reference inside a manifest (line
+    * `E<TAB>keydir<TAB>nKeys<TAB>seq<TAB>keyIds`) — Iceberg v2's second
+    * delete form, the one positional vectors cannot give you: the
+    * commit records only the KEY SET (a parquet dir of distinct key
+    * rows), never a (file, position) coordinate, so the write needs NO
+    * table scan at all. Readers anti-join the keys against exactly the
+    * files committed BEFORE the delete (`fileSnap < seq` — Iceberg's
+    * sequence-number rule), so rows appended later with the same keys
+    * are untouched. `keyIds` maps the key columns' PHYSICAL names at
+    * delete time to their field ids — application resolves the current
+    * names through the ids, so renames never detach an outstanding
+    * delete. [[rewriteEqualityDeletes]] converts outstanding key sets
+    * to positional vectors when read amplification warrants it.
+    */
+  private final case class EqRef(dir: String, nKeys: Long, seq: Long,
+      keyIds: Map[String, Int])
+
+  private def eqLines(eqs: Seq[EqRef]): Seq[String] =
+    eqs.map(e => s"E\t${e.dir}\t${e.nKeys}\t${e.seq}\t${idsField(e.keyIds)}")
+
+  /** The commit a data file was written by, parsed from its dir name
+    * (`data/c<snap>_...`) — every writer stamps it, so the sequence
+    * rule plans from the path alone, zero extra metadata.
+    */
+  private val FileSnapRe = "data/c(\\d+)_.*".r
+  private def fileSnap(path: String): Long = path match {
+    case FileSnapRe(id) => id.toLong
+    case _ => throw new IllegalStateException(
+      s"data file $path carries no commit id in its path")
+  }
+
+  /** The equality deletes applicable to a data file: those whose
+    * sequence is AFTER the file's commit.
+    */
+  private def applicableEqs(eqs: Seq[EqRef], path: String): Seq[EqRef] = {
+    if (eqs.isEmpty) return eqs
+    val s = fileSnap(path)
+    eqs.filter(e => s < e.seq)
+  }
+
   /** A parsed manifest before file-list resolution: `refs` are the v2
     * tree references; `inline` are legacy flat-manifest file lines (a
     * pre-tree manifest is all-inline; a tree manifest is all-refs).
     * `ids` is the snapshot's name→field-id map (empty = pre-field-id
     * manifest, resolved by name); `lastColId` the high-water id so new
     * columns never reuse a retired id. `dRefs` are outstanding
-    * merge-on-read delete-vector lists (empty on CoW-only tables —
-    * every pre-MoR manifest parses with none).
+    * merge-on-read delete-vector lists, `eqRefs` outstanding equality
+    * deletes (both empty on CoW-only tables — every pre-MoR manifest
+    * parses with none). While `eqRefs` is non-empty, `rows` is an UPPER
+    * bound (the scan-free eq commit cannot know its kill count);
+    * [[rewriteEqualityDeletes]] re-exacts it.
     */
   private final case class RawManifest(id: Long, parent: Long,
       operation: String, rows: Long, schemaDdl: String,
       refs: Seq[ListRef], inline: Seq[FileEntry],
       ids: Map[String, Int] = Map.empty, lastColId: Int = 0,
-      dRefs: Seq[DeleteRef] = Seq.empty)
+      dRefs: Seq[DeleteRef] = Seq.empty,
+      eqRefs: Seq[EqRef] = Seq.empty)
 
   private def readTextFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -394,7 +445,8 @@ object SnapshotLog {
       if (h.length >= 7) (parseIds(h(5)), h(6).toInt)
       else (Map.empty[String, Int], 0)
     val body = lines.tail.filter(_.nonEmpty)
-    val (refLines, rest) = body.partition(_.startsWith("M\t"))
+    val (refLines, rest0) = body.partition(_.startsWith("M\t"))
+    val (eLines, rest) = rest0.partition(_.startsWith("E\t"))
     val (dLines, inlineLines) = rest.partition(_.startsWith("D\t"))
     val refs = refLines.map { l =>
       l.split('\t') match {
@@ -410,8 +462,15 @@ object SnapshotLog {
         case _ => throw new IllegalStateException(s"bad manifest line: $l")
       }
     }
+    val eqRefs = eLines.map { l =>
+      l.split('\t') match {
+        case Array(_, dir, n, seq, ids) =>
+          EqRef(dir, n.toLong, seq.toLong, parseIds(ids))
+        case _ => throw new IllegalStateException(s"bad manifest line: $l")
+      }
+    }
     RawManifest(hid.toLong, parent.toLong, op, rows.toLong, ddl,
-      refs, inlineLines.map(parseFileLine), hIds, hLast, dRefs)
+      refs, inlineLines.map(parseFileLine), hIds, hLast, dRefs, eqRefs)
   }
 
   /** The snapshot's name→id map plus high-water id, with the legacy
@@ -700,8 +759,81 @@ object SnapshotLog {
   private def dvRead(spark: SparkSession, root: String, raw: RawManifest,
       files: Seq[FileEntry], schema: StructType,
       curIds: Map[String, Int]): DataFrame =
-    dvApply(spark, root, files, schema, curIds,
-      deleteMapOf(fsOf(spark, root), root, raw))
+    morApply(spark, root, files, schema, curIds,
+      deleteMapOf(fsOf(spark, root), root, raw), raw.eqRefs)
+
+  /** Join `df` (table rows under the current schema) against ONE
+    * equality delete's key set: anti = survivors, semi = the rows it
+    * kills. Key columns resolve by FIELD ID (the ref stamped physical
+    * names at delete time) and cast to the column's CURRENT type, so
+    * renames and lossless widenings since the delete never detach it.
+    * Matching is null-safe (`<=>`): a NULL key kills NULL rows —
+    * Iceberg's equality-delete semantics, where the key row IS the
+    * value to erase, unlike SQL's never-matching NULL predicate. Key
+    * sets below the DV broadcast bound broadcast (metadata-driven, the
+    * manifest records `nKeys`); larger ones shuffle — cost bounded by
+    * keys × matching files, never the table.
+    */
+  private def eqJoin(spark: SparkSession, root: String, df: DataFrame,
+      e: EqRef, schema: StructType, curIds: Map[String, Int],
+      joinType: String): DataFrame = {
+    val idToCur = curIds.map(_.swap)
+    val cols = e.keyIds.toSeq.sortBy(_._2).map { case (phys, id) =>
+      (phys, idToCur.getOrElse(id, throw new IllegalStateException(
+        s"equality delete ${e.dir} keys on dropped field id $id; " +
+          "rewriteEqualityDeletes before dropping its column")))
+    }
+    val keys = spark.read.parquet(s"$root/${e.dir}")
+      .select(cols.map { case (phys, cur) =>
+        col(phys).cast(schema(cur).dataType).as(s"__eq_$cur") }: _*)
+    val build = if (e.nKeys <= DvBroadcastRows) broadcast(keys) else keys
+    val cond = cols.map { case (_, cur) => df(cur) <=> build(s"__eq_$cur") }
+      .reduce(_ && _)
+    df.join(build, cond, joinType)
+  }
+
+  /** Survivors of `df` under every delete in `eqs` — sequential
+    * anti-joins (each exact; order is irrelevant for anti).
+    */
+  private def applyEqs(spark: SparkSession, root: String, df: DataFrame,
+      eqs: Seq[EqRef], schema: StructType,
+      curIds: Map[String, Int]): DataFrame =
+    eqs.foldLeft(df)((d, e) => eqJoin(spark, root, d, e, schema, curIds,
+      "left_anti"))
+
+  /** The rows of `df` at least one delete in `eqs` kills — peeled
+    * sequentially (semi of the remaining-live rows per delete), so a
+    * row matching two key sets surfaces exactly ONCE: the exact
+    * multiset [[changes]]' deltas and [[rewriteEqualityDeletes]]'
+    * coordinates both need.
+    */
+  private def peelMatches(spark: SparkSession, root: String, df: DataFrame,
+      eqs: Seq[EqRef], schema: StructType,
+      curIds: Map[String, Int]): DataFrame =
+    eqs.foldLeft((df, df.limit(0))) { case ((live, acc), e) =>
+      (eqJoin(spark, root, live, e, schema, curIds, "left_anti"),
+        acc.unionByName(eqJoin(spark, root, live, e, schema, curIds,
+          "left_semi")))
+    }._2
+
+  /** The full merge-on-read row-level view: positional vectors
+    * ([[dvApply]]) plus equality deletes, the latter grouped by each
+    * file's APPLICABLE delete set (the sequence rule) so a file
+    * appended after a delete never pays its anti-join — and a table
+    * with no equality deletes takes the plain DV path untouched.
+    */
+  private def morApply(spark: SparkSession, root: String,
+      files: Seq[FileEntry], schema: StructType, curIds: Map[String, Int],
+      dv: Map[String, Seq[DeleteEntry]], eqs: Seq[EqRef]): DataFrame =
+    if (eqs.isEmpty || files.isEmpty)
+      dvApply(spark, root, files, schema, curIds, dv)
+    else files.groupBy(f => applicableEqs(eqs, f.path).map(_.dir))
+      .toSeq.sortBy(_._2.head.path)
+      .map { case (dirs, group) =>
+        applyEqs(spark, root,
+          dvApply(spark, root, group, schema, curIds, dv),
+          eqs.filter(e => dirs.contains(e.dir)), schema, curIds)
+      }.reduce(_ unionByName _)
 
   /** [[dvRead]]'s core with an explicit delete map — [[changes]] needs
     * to apply EACH SIDE's own vectors to that side's file diff.
@@ -874,10 +1006,16 @@ object SnapshotLog {
     // outstanding delete vectors keep the LIVE count exact (the header
     // maintains it per MoR commit), but a per-file min/max may now be
     // carried by a dead row — bounds go null and the caller falls back
-    // to a scan, never a stale extremum
-    val nRows = s.files.map(_.rows).sum -
-      raw.dRefs.iterator.map(_.delRows).sum
-    val morDirty = raw.dRefs.nonEmpty
+    // to a scan, never a stale extremum. Outstanding EQUALITY deletes
+    // null the count too: the scan-free commit never knew its kill
+    // count, so metadata holds only an upper bound (exact again after
+    // rewriteEqualityDeletes).
+    val eqDirty = raw.eqRefs.nonEmpty
+    val nRows: Option[Long] =
+      if (eqDirty) None
+      else Some(s.files.map(_.rows).sum -
+        raw.dRefs.iterator.map(_.delRows).sum)
+    val morDirty = raw.dRefs.nonEmpty || eqDirty
     // zero-row files constrain nothing (append() tolerates empty
     // tasks, which record no stats) — they must not null the bounds
     val live = s.files.filter(_.rows > 0)
@@ -1204,7 +1342,12 @@ object SnapshotLog {
           (refs.map(r =>
             s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
             head.inline.map(fileLine) ++
-            dRefLines(head.dRefs)))
+            dRefLines(head.dRefs) ++
+            // staged rows sequence at STAGE time (their dir id), so an
+            // equality delete committed between stage and publish
+            // applies to them exactly as to a same-era append — one
+            // consistent rule, not publish-order-dependent
+            eqLines(head.eqRefs)))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       if (publish(fs, tmp, m)) {
@@ -1272,9 +1415,10 @@ object SnapshotLog {
     require(base > 0, s"deleteWhere on empty log $root")
     val fs = fsOf(spark, root)
     val raw = rawManifest(spark, root, base)
-    require(raw.dRefs.isEmpty,
-      s"$root has outstanding merge-on-read delete vectors; " +
-        "run rewriteDeletes (or optimize) before a partial CoW rewrite")
+    require(raw.dRefs.isEmpty && raw.eqRefs.isEmpty,
+      s"$root has outstanding merge-on-read deletes (vectors or equality " +
+        "key sets); run rewriteEqualityDeletes + rewriteDeletes (or " +
+        "optimize) before a partial CoW rewrite")
     val groups = raw.refs.map(r => r -> readFileList(fs, root, r.path))
     val allFiles = raw.inline ++ groups.flatMap(_._2)
     if (allFiles.isEmpty) return base
@@ -1369,7 +1513,8 @@ object SnapshotLog {
             (raw.refs.map(r =>
               s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
               raw.inline.map(fileLine) ++
-              dRefLines(raw.dRefs :+ dRef)))
+              dRefLines(raw.dRefs :+ dRef) ++
+              eqLines(raw.eqRefs)))
             .mkString("\n").getBytes("UTF-8"))
         finally out.close()
         if (!publish(fs, tmp, m)) {
@@ -1384,12 +1529,12 @@ object SnapshotLog {
     }
   }
 
-  /** The snapshot's LIVE rows with their (file, position) coordinates —
-    * existing vectors applied. The view every MoR writer's discovery
-    * scans: a coordinate can never match twice across overlapping
-    * commits because a dead row never reappears here.
+  /** Rows of `files` with their (file, position) coordinates, the
+    * snapshot's POSITIONAL vectors applied — the DV half of
+    * [[livePosRead]], also what [[rewriteEqualityDeletes]] scans to
+    * locate the coordinates an equality delete kills.
     */
-  private def livePosRead(spark: SparkSession, root: String,
+  private def dvPosRead(spark: SparkSession, root: String,
       raw: RawManifest, files: Seq[FileEntry], schema: StructType,
       curIds: Map[String, Int]): DataFrame = {
     val pos = resolvedReadWithPos(spark, root, files, schema, curIds)
@@ -1407,6 +1552,25 @@ object SnapshotLog {
         "left_anti")
     }
   }
+
+  /** The snapshot's LIVE rows with their (file, position) coordinates —
+    * existing positional vectors AND equality deletes applied. The view
+    * every MoR writer's discovery scans: a coordinate can never match
+    * twice across overlapping commits because a dead row never
+    * reappears here.
+    */
+  private def livePosRead(spark: SparkSession, root: String,
+      raw: RawManifest, files: Seq[FileEntry], schema: StructType,
+      curIds: Map[String, Int]): DataFrame =
+    if (raw.eqRefs.isEmpty || files.isEmpty)
+      dvPosRead(spark, root, raw, files, schema, curIds)
+    else files.groupBy(f => applicableEqs(raw.eqRefs, f.path).map(_.dir))
+      .toSeq.sortBy(_._2.head.path)
+      .map { case (dirs, group) =>
+        applyEqs(spark, root,
+          dvPosRead(spark, root, raw, group, schema, curIds),
+          raw.eqRefs.filter(e => dirs.contains(e.dir)), schema, curIds)
+      }.reduce(_ unionByName _)
 
   /** Write `hits` (t_path, t_pos) as snapshot `next`'s DV parquet dir
     * plus its delete list; None (dir reclaimed) when nothing matched.
@@ -1431,6 +1595,144 @@ object SnapshotLog {
       dvDir))
   }
 
+  /** EQUALITY delete — Iceberg v2's scan-free delete form: commit the
+    * KEY SET itself (one parquet dir of distinct key rows, columns a
+    * subset of the table's) and nothing else. NO table scan, NO data
+    * file read, NO coordinates — where [[deleteWhereMoR]] still pays
+    * one discovery scan to locate positions, this writes O(keys) bytes
+    * total, which is what lets a streaming CDC ingest retract keys at
+    * write cost independent of table size. Readers anti-join the keys
+    * against exactly the files committed BEFORE this delete
+    * ([[applicableEqs]] — the sequence rule), so re-inserting a deleted
+    * key later works: the new row's file postdates the delete.
+    *
+    * Null semantics are Iceberg's, not SQL's: the key row is a VALUE to
+    * erase, so a NULL key field matches NULL (null-safe `<=>`).
+    *
+    * The trade: while key sets are outstanding, the manifest's row
+    * count is an upper bound (the scan-free write cannot know its kill
+    * count), partial CoW rewrites are locked out, and every read of
+    * pre-delete files pays the anti-join — [[rewriteEqualityDeletes]]
+    * converts the keys to positional vectors (re-exacting the count),
+    * and [[rewriteDeletes]] folds those into data files, restoring the
+    * clean-table fast path. A key frame matching the no-key case
+    * (empty) commits nothing.
+    */
+  def deleteWhereEqual(spark: SparkSession, root: String,
+      keys: DataFrame): Long = {
+    val base = currentId(spark, root)
+    require(base > 0, s"deleteWhereEqual on empty log $root")
+    val fs = fsOf(spark, root)
+    val raw = rawManifest(spark, root, base)
+    val tableSchema = StructType.fromDDL(raw.schemaDdl)
+    val (tableIds, lastColId) = currentIdsOf(raw, tableSchema)
+    require(keys.schema.fields.nonEmpty, "deleteWhereEqual needs key columns")
+    keys.schema.fields.foreach { f =>
+      val t = tableSchema.fields.find(_.name == f.name)
+      require(t.isDefined, s"key column ${f.name} not in table schema")
+      require(t.get.dataType == f.dataType,
+        s"key column ${f.name} is ${f.dataType}, table has ${t.get.dataType}")
+    }
+    val next = base + 1
+    val dir = s"data/c${next}_eq_${java.util.UUID.randomUUID().toString.take(8)}"
+    keys.distinct().write.parquet(s"$root/$dir")
+    val nKeys = spark.read.parquet(s"$root/$dir").count()
+    if (nKeys == 0L) { fs.delete(new Path(s"$root/$dir"), true); return base }
+    val eq = EqRef(dir, nKeys,
+      seq = next, keyIds = keys.schema.fieldNames.map(n => n -> tableIds(n)).toMap)
+    val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
+    val m = manifestPath(root, next)
+    val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(m.getParent)
+    val out = fs.create(tmp, true)
+    // header rows = the parent's (an upper bound until conversion):
+    // exactness would need the scan this verb exists to avoid
+    try out.write(
+      ((s"$next\t$base\teq-delete\t${raw.rows}\t$ddl" +
+        s"\t${idsField(tableIds)}\t$lastColId") +:
+        (raw.refs.map(r =>
+          s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+          raw.inline.map(fileLine) ++
+          dRefLines(raw.dRefs) ++
+          eqLines(raw.eqRefs :+ eq)))
+        .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!publish(fs, tmp, m)) {
+      fs.delete(tmp, false)
+      fs.delete(new Path(s"$root/$dir"), true)
+      throw new IllegalStateException(
+        s"deleteWhereEqual on $root conflicted with a concurrent snapshot; " +
+          "recompute against the new current snapshot and retry")
+    }
+    next
+  }
+
+  /** Convert every outstanding EQUALITY delete into one positional
+    * delete vector — Iceberg's convert-equality-deletes maintenance:
+    * scan only the files the key sets apply to (positional vectors
+    * applied), locate the matching rows' coordinates, and commit a DV
+    * that replaces the key refs. The row count becomes EXACT again
+    * (the conversion finally knows the kill count), per-read anti-joins
+    * collapse to the coordinate join [[dvApply]] already optimizes, and
+    * [[rewriteDeletes]] can then fold everything back into data files.
+    * Work is O(applicable files + matching rows) — the scan the delete
+    * deferred, paid once here instead of per read.
+    */
+  def rewriteEqualityDeletes(spark: SparkSession, root: String): Long = {
+    val base = currentId(spark, root)
+    require(base > 0, s"rewriteEqualityDeletes on empty log $root")
+    val fs = fsOf(spark, root)
+    val raw = rawManifest(spark, root, base)
+    if (raw.eqRefs.isEmpty) return base
+    val allFiles = raw.inline ++
+      raw.refs.flatMap(r => readFileList(fs, root, r.path))
+    val tableSchema = StructType.fromDDL(raw.schemaDdl)
+    val (tableIds, lastColId) = currentIdsOf(raw, tableSchema)
+    val next = base + 1
+    val affected = allFiles.filter(f => applicableEqs(raw.eqRefs, f.path).nonEmpty)
+    val dvOpt =
+      if (affected.isEmpty) None
+      else {
+        val hits = affected
+          .groupBy(f => applicableEqs(raw.eqRefs, f.path).map(_.dir))
+          .toSeq.sortBy(_._2.head.path)
+          .map { case (dirs, group) =>
+            peelMatches(spark, root,
+              dvPosRead(spark, root, raw, group, tableSchema, tableIds),
+              raw.eqRefs.filter(e => dirs.contains(e.dir)),
+              tableSchema, tableIds)
+              .select(col("__path").as("t_path"), col("__pos").as("t_pos"))
+          }.reduce(_ unionByName _)
+        writeDeleteVector(spark, root, hits, next)
+      }
+    val delRows = dvOpt.map(_._1.delRows).getOrElse(0L)
+    val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
+    val m = manifestPath(root, next)
+    val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(m.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(
+      ((s"$next\t$base\trewrite-eq\t${raw.rows - delRows}\t$ddl" +
+        s"\t${idsField(tableIds)}\t$lastColId") +:
+        (raw.refs.map(r =>
+          s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+          raw.inline.map(fileLine) ++
+          dRefLines(raw.dRefs ++ dvOpt.map(_._1))))
+        .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!publish(fs, tmp, m)) {
+      fs.delete(tmp, false)
+      dvOpt.foreach { case (dRef, dvDir) =>
+        fs.delete(new Path(s"$root/${dRef.path}"), false)
+        fs.delete(new Path(s"$root/$dvDir"), true)
+      }
+      throw new IllegalStateException(
+        s"rewriteEqualityDeletes on $root conflicted with a concurrent " +
+          "snapshot; recompute against the new current snapshot and retry")
+    }
+    next
+  }
+
   /** Fold every outstanding delete vector back into data files: the
     * DIRTY files (and only those) rewrite to their DV-applied content,
     * clean file lists carry by reference, and the commit drops all
@@ -1445,6 +1747,12 @@ object SnapshotLog {
     require(base > 0, s"rewriteDeletes on empty log $root")
     val fs = fsOf(spark, root)
     val raw = rawManifest(spark, root, base)
+    // the rewrite stamps survivors with a NEW commit id — an
+    // outstanding equality delete would stop applying to them (its
+    // sequence predates the rewrite) and the dead rows would resurrect
+    require(raw.eqRefs.isEmpty,
+      s"$root has outstanding equality deletes; run " +
+        "rewriteEqualityDeletes first")
     if (raw.dRefs.isEmpty) return base
     val dv = deleteMapOf(fs, root, raw)
     val groups = raw.refs.map(r => r -> readFileList(fs, root, r.path))
@@ -1527,7 +1835,8 @@ object SnapshotLog {
         ((raw.refs :+ newRef).map(r =>
           s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
           raw.inline.map(fileLine) ++
-          dRefLines(raw.dRefs ++ dvOpt.map(_._1))))
+          dRefLines(raw.dRefs ++ dvOpt.map(_._1)) ++
+          eqLines(raw.eqRefs)))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publish(fs, tmp, m)) {
@@ -1569,9 +1878,10 @@ object SnapshotLog {
     require(base > 0, s"mergeInto on empty log $root")
     val fs = fsOf(spark, root)
     val raw = rawManifest(spark, root, base)
-    require(raw.dRefs.isEmpty,
-      s"$root has outstanding merge-on-read delete vectors; " +
-        "run rewriteDeletes (or optimize) before a partial CoW rewrite")
+    require(raw.dRefs.isEmpty && raw.eqRefs.isEmpty,
+      s"$root has outstanding merge-on-read deletes (vectors or equality " +
+        "key sets); run rewriteEqualityDeletes + rewriteDeletes (or " +
+        "optimize) before a partial CoW rewrite")
     val groups = raw.refs.map(r => r -> readFileList(fs, root, r.path))
     val allFiles = raw.inline ++ groups.flatMap(_._2)
     // reads pinned to the snapshot's schema and the rewrite committed
@@ -1779,6 +2089,11 @@ object SnapshotLog {
     require(schema.fields.length > 1, "cannot drop the only column")
     requireAllFilesCarryIds(spark, root, raw)
     val (ids, last) = currentIdsOf(raw, schema)
+    // an outstanding equality delete keyed on this column could never
+    // apply again — refuse rather than silently resurrect its rows
+    raw.eqRefs.foreach(e => require(!e.keyIds.values.toSet.contains(ids(name)),
+      s"column $name is a key of outstanding equality delete ${e.dir}; " +
+        "run rewriteEqualityDeletes first"))
     commitMetadata(spark, root, base, raw,
       StructType(schema.fields.filterNot(_.name == name)),
       ids - name, last, "drop-column",
@@ -1833,8 +2148,13 @@ object SnapshotLog {
           // delete vectors ride metadata-only commits untouched: DV
           // rows hold (file, position) coordinates, no column data, so
           // rename/widen/drop never invalidate them — and a rollback
-          // restores its target's vectors with its file lists
-          dRefLines(raw.dRefs)))
+          // restores its target's vectors with its file lists.
+          // Equality deletes ride too: their key refs bind by FIELD ID
+          // (rename/widen re-resolve at read; drop of a keyed column is
+          // refused in dropColumn), and a rollback restores the
+          // target's key sets exactly like its vectors.
+          dRefLines(raw.dRefs) ++
+          eqLines(raw.eqRefs)))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publish(fs, tmp, m)) {
@@ -1884,10 +2204,12 @@ object SnapshotLog {
     // not O(#files). A legacy flat manifest surfaces as inline entries
     // and gets migrated into a file list by this commit.
     val prev = if (base > 0) Some(rawManifest(spark, root, base)) else None
-    val (refs, inline, dRefs) =
-      if (keepBase) prev.map(p => (p.refs, p.inline, p.dRefs))
-        .getOrElse((Seq.empty[ListRef], Seq.empty[FileEntry], Seq.empty[DeleteRef]))
-      else (Seq.empty[ListRef], Seq.empty[FileEntry], Seq.empty[DeleteRef])
+    val (refs, inline, dRefs, eqRefs) =
+      if (keepBase) prev.map(p => (p.refs, p.inline, p.dRefs, p.eqRefs))
+        .getOrElse((Seq.empty[ListRef], Seq.empty[FileEntry],
+          Seq.empty[DeleteRef], Seq.empty[EqRef]))
+      else (Seq.empty[ListRef], Seq.empty[FileEntry],
+        Seq.empty[DeleteRef], Seq.empty[EqRef])
     val (schema, ids, last) = prev match {
       case Some(p) if keepBase =>
         val ps = StructType.fromDDL(p.schemaDdl)
@@ -1919,7 +2241,8 @@ object SnapshotLog {
     }
     commitFiles(spark, root, df, operation, refs, inline, schema, bloomSpec,
       derivedStats = derivedStats, tableIds0 = ids, lastColId0 = last,
-      carriedDRefs = dRefs, plannedBase = base, appendNewCols = newCols)
+      carriedDRefs = dRefs, carriedEqRefs = eqRefs, plannedBase = base,
+      appendNewCols = newCols)
   }
 
   /** Write `df`'s files, count rows per file (one small job — the counts
@@ -2001,6 +2324,7 @@ object SnapshotLog {
       tableIds0: Map[String, Int] = Map.empty,
       lastColId0: Int = 0,
       carriedDRefs: Seq[DeleteRef] = Seq.empty,
+      carriedEqRefs: Seq[EqRef] = Seq.empty,
       plannedBase: Long = -1L,
       appendNewCols: Set[String] = Set.empty): Long = {
     var tableSchema = Option(tableSchema0).getOrElse(df.schema)
@@ -2012,6 +2336,7 @@ object SnapshotLog {
     var carriedRefs = carriedRefs0
     var carriedInline = carriedInline0
     var carriedD = carriedDRefs
+    var carriedE = carriedEqRefs
     var base = if (plannedBase >= 0) plannedBase else currentId(spark, root)
     // first-attempt binding of the written files' PHYSICAL column names
     // to their ids — a later retry's schema may know a column only
@@ -2042,7 +2367,9 @@ object SnapshotLog {
           Some(writeFileList(fs, root, next, newEntries, tableSchema))
         else None
       val refs = carriedRefs ++ newRef
-      // carried DV rows are dead — the live total subtracts them
+      // carried DV rows are dead — the live total subtracts them (an
+      // upper bound while equality key sets are outstanding, like
+      // every header between eq-delete and its conversion)
       val total = refs.iterator.map(_.rows).sum -
         carriedD.iterator.map(_.delRows).sum
       val m = manifestPath(root, next)
@@ -2054,7 +2381,8 @@ object SnapshotLog {
           s"\t${idsField(tableIds)}\t$lastColId") +:
           (refs.map(r =>
             s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
-            dRefLines(carriedD)))
+            dRefLines(carriedD) ++
+            eqLines(carriedE)))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       // publish must be atomic no-replace: on HDFS, rename to an
@@ -2085,6 +2413,7 @@ object SnapshotLog {
         carriedRefs = winner.refs
         carriedInline = winner.inline
         carriedD = winner.dRefs
+        carriedE = winner.eqRefs
         val ws = StructType.fromDDL(winner.schemaDdl)
         val (wIds, wLast) = currentIdsOf(winner, ws)
         tableSchema.fields.foreach(f =>
@@ -2159,21 +2488,57 @@ object SnapshotLog {
     val rawTo = rawManifest(spark, root, toId)
     val toIds = currentIdsOf(rawTo, schema)._1
     val fs = fsOf(spark, root)
-    // each side's file diff reads under ITS OWN delete vectors: a
-    // DV-dead row must not surface as a change when its file is
-    // rewritten (rewriteDeletes' carried survivors then cancel under
-    // the multiset diff exactly like a CoW rewrite's)
-    val fromDv =
-      if (fromId == 0) Map.empty[String, Seq[DeleteEntry]]
-      else deleteMapOf(fs, root, rawManifest(spark, root, fromId))
+    // each side's file diff reads under ITS OWN delete vectors AND
+    // equality key sets: a dead row must not surface as a change when
+    // its file is rewritten (rewriteDeletes'/optimize's carried
+    // survivors then cancel under the multiset diff exactly like a CoW
+    // rewrite's)
+    val rawFrom =
+      if (fromId == 0) None else Some(rawManifest(spark, root, fromId))
+    val fromDv = rawFrom.map(deleteMapOf(fs, root, _))
+      .getOrElse(Map.empty[String, Seq[DeleteEntry]])
     val toDv = deleteMapOf(fs, root, rawTo)
-    def readFiles(files: Seq[FileEntry],
-        dv: Map[String, Seq[DeleteEntry]]): DataFrame =
-      dvApply(spark, root, files.sortBy(_.path), schema, toIds, dv)
-    val added = readFiles(to.files.filter(f => !fromPaths(f.path)), toDv)
-    val removed = readFiles(from.files.filter(f => !toPaths(f.path)), fromDv)
-    val fileDiff = added.exceptAll(removed).withColumn("change", lit("insert"))
+    val eqFrom = rawFrom.map(_.eqRefs).getOrElse(Seq.empty)
+    val eqTo = rawTo.eqRefs
+    def readFiles(files: Seq[FileEntry], dv: Map[String, Seq[DeleteEntry]],
+        eqs: Seq[EqRef]): DataFrame =
+      morApply(spark, root, files.sortBy(_.path), schema, toIds, dv, eqs)
+    val added = readFiles(to.files.filter(f => !fromPaths(f.path)), toDv, eqTo)
+    val removed =
+      readFiles(from.files.filter(f => !toPaths(f.path)), fromDv, eqFrom)
+    val fileDiff0 = added.exceptAll(removed).withColumn("change", lit("insert"))
       .unionByName(removed.exceptAll(added).withColumn("change", lit("delete")))
+    // EQUALITY-delete delta: a key-set commit moves no files, so the
+    // file diff is blind to it — the delta is the rows of files carried
+    // through BOTH snapshots that the changed key sets kill (a new set:
+    // deletes against the FROM side's live view) or revive (a set gone
+    // by rollback: inserts against the TO side's live view). Each
+    // side's OWN vectors and other key sets apply first, so a row dead
+    // twice over never double-surfaces; peeling keeps the multiset
+    // exact when a row matches several changed sets. Cost is bounded by
+    // the applicable carried files — at 100 TB that is the same
+    // "applicable era" scan the read path pays, never history-sized.
+    val carried = to.files.filter(f => fromPaths(f.path))
+    val eqFromDirs = eqFrom.map(_.dir).toSet
+    val eqToDirs = eqTo.map(_.dir).toSet
+    val newEqs = eqTo.filterNot(e => eqFromDirs(e.dir))
+    val removedEqs = eqFrom.filterNot(e => eqToDirs(e.dir))
+    def eqDelta(changed: Seq[EqRef], sideDv: Map[String, Seq[DeleteEntry]],
+        sideEqs: Seq[EqRef], tag: String): Seq[DataFrame] =
+      carried.filter(f => applicableEqs(changed, f.path).nonEmpty)
+        .groupBy(f => applicableEqs(changed, f.path).map(_.dir))
+        .toSeq.sortBy(_._2.head.path)
+        .map { case (dirs, group) =>
+          val live = morApply(spark, root, group, schema, toIds,
+            sideDv, sideEqs)
+          peelMatches(spark, root, live,
+            changed.filter(e => dirs.contains(e.dir)), schema, toIds)
+            .withColumn("change", lit(tag))
+        }
+    val fileDiff = (fileDiff0 +:
+      (eqDelta(newEqs, fromDv, eqFrom, "delete") ++
+        eqDelta(removedEqs, toDv, eqTo, "insert")))
+      .reduce(_ unionByName _)
     // files carried through BOTH snapshots whose DV set changed: the
     // delta is exactly the rows at the changed positions — an MoR
     // delete emits them as deletes (a rollback past one, as inserts)
@@ -2216,8 +2581,6 @@ object SnapshotLog {
       !dirsOf(toDv, p).subsetOf(dirsOf(fromDv, p)))
     val mayIns = changedTargets.exists(p =>
       !dirsOf(fromDv, p).subsetOf(dirsOf(toDv, p)))
-    val posRead = resolvedReadWithPos(spark, root,
-      to.files.filter(f => targetSet(f.path)).sortBy(_.path), schema, toIds)
     // position deltas are DV-row-sized — broadcast them under the same
     // metadata-driven threshold dvApply uses (delTotal derived from
     // the delete maps already in scope, no manifest re-read)
@@ -2225,17 +2588,34 @@ object SnapshotLog {
       .map(_.delRows).sum
     def sized(d: DataFrame): DataFrame =
       if (delTotal <= DvBroadcastRows) broadcast(d) else d
-    def rowsAt(posDelta: DataFrame, tag: String): DataFrame =
-      posRead.join(sized(posDelta),
-        posRead("__path") === posDelta("t_path") &&
-          posRead("__pos") === posDelta("t_pos"), "left_semi")
-        .drop("__path", "__pos")
+    // a DV-delta row only surfaces if it was LIVE on the side losing it
+    // — the side's equality deletes filter the emitted rows (the
+    // conversion commit is the canonical case: its new vector names
+    // exactly the key-set-dead coordinates, and this filter is what
+    // makes rewriteEqualityDeletes read-invariant under changes())
+    def rowsAt(posDelta: DataFrame, tag: String,
+        sideEqs: Seq[EqRef]): DataFrame =
+      to.files.filter(f => targetSet(f.path))
+        .groupBy(f => applicableEqs(sideEqs, f.path).map(_.dir))
+        .toSeq.sortBy(_._2.head.path)
+        .map { case (dirs, group) =>
+          val pr = resolvedReadWithPos(spark, root,
+            group.sortBy(_.path), schema, toIds)
+          val hit = pr.join(sized(posDelta),
+            pr("__path") === posDelta("t_path") &&
+              pr("__pos") === posDelta("t_pos"), "left_semi")
+          applyEqs(spark, root, hit,
+            sideEqs.filter(e => dirs.contains(e.dir)), schema, toIds)
+            .drop("__path", "__pos")
+        }.reduce(_ unionByName _)
         .withColumn("change", lit(tag))
     val withDel =
       if (!mayDel) fileDiff
-      else fileDiff.unionByName(rowsAt(posOf(toDv).exceptAll(posOf(fromDv)), "delete"))
+      else fileDiff.unionByName(
+        rowsAt(posOf(toDv).exceptAll(posOf(fromDv)), "delete", eqFrom))
     if (!mayIns) withDel
-    else withDel.unionByName(rowsAt(posOf(fromDv).exceptAll(posOf(toDv)), "insert"))
+    else withDel.unionByName(
+      rowsAt(posOf(fromDv).exceptAll(posOf(toDv)), "insert", eqTo))
   }
 
   /** The table's full CDC feed: one [[changes]] delta per snapshot
@@ -2384,9 +2764,10 @@ object SnapshotLog {
     require(base > 0, s"optimizeBinPack on empty log $root")
     val fs = fsOf(spark, root)
     val raw = rawManifest(spark, root, base)
-    require(raw.dRefs.isEmpty,
-      s"$root has outstanding merge-on-read delete vectors; " +
-        "run rewriteDeletes (or optimize) before a partial CoW rewrite")
+    require(raw.dRefs.isEmpty && raw.eqRefs.isEmpty,
+      s"$root has outstanding merge-on-read deletes (vectors or equality " +
+        "key sets); run rewriteEqualityDeletes + rewriteDeletes (or " +
+        "optimize) before a partial CoW rewrite")
     val groups = raw.refs.map(r => r -> readFileList(fs, root, r.path))
     def sizeOf(f: FileEntry): Long =
       fs.getFileStatus(new Path(s"$root/${f.path}")).getLen
@@ -2534,6 +2915,11 @@ object SnapshotLog {
     val deadDvDirs = deadDLists.iterator
       .flatMap(d => readDeleteList(fs, root, d)).map(_.dvDir).toSet
       .diff(keptDvDirs)
+    // equality-delete key dirs: same liveness rule as DV dirs — dead
+    // when only expired snapshots reference them
+    val keptEqDirs = keptRaws.iterator.flatMap(_.eqRefs).map(_.dir).toSet
+    val deadEqDirs = goneRaws.iterator.flatMap(_.eqRefs).map(_.dir).toSet
+      .diff(keptEqDirs)
     val live = kept.iterator.flatMap(_.files).map(_.path).toSet
     // last-moment tag re-read narrows (does not close — that needs a
     // coordinating catalog, see tag()'s doc) the window where a tag()
@@ -2549,6 +2935,7 @@ object SnapshotLog {
     goneRefs.diff(keptRefs).foreach(l => fs.delete(new Path(s"$root/$l"), false))
     deadDLists.foreach(l => fs.delete(new Path(s"$root/$l"), false))
     deadDvDirs.foreach(d => fs.delete(new Path(s"$root/$d"), true))
+    deadEqDirs.foreach(d => fs.delete(new Path(s"$root/$d"), true))
     val dead = gone.iterator.flatMap(_.files).map(_.path).toSet.diff(live)
     dead.foreach(f => fs.delete(new Path(s"$root/$f"), false))
     // a data dir whose files are all reclaimed is empty — drop it too
@@ -2595,8 +2982,11 @@ object SnapshotLog {
     // or a live vector would vacuum as an "orphan"
     val liveDvDirs = histRaws.iterator.flatMap(_.dRefs)
       .flatMap(d => readDeleteList(fs, root, d.path)).map(_.dvDir).toSet
+    // equality-delete key dirs referenced by any live manifest are live
+    val liveEqDirs = histRaws.iterator.flatMap(_.eqRefs).map(_.dir).toSet
     val referenced = (hist.iterator.flatMap(_.files) ++ stagedFiles.iterator)
-      .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).toSet ++ liveDvDirs
+      .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).toSet ++
+      liveDvDirs ++ liveEqDirs
     val cutoff = System.currentTimeMillis() - graceMs
     val orphans = fs.listStatus(dataRoot).iterator
       .filter(st => st.isDirectory)
@@ -2910,6 +3300,58 @@ object SnapshotLog {
             .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
             .withColumn("o_orderstatus", lit("N")))
       mergeIntoMoR(s, root, src, Seq("o_orderkey"))
+    }.resolve("log").toString
+
+  /** Staged EQUALITY-delete log: evens appended (snap 1), a scan-free
+    * key-set delete of EVERY key ≡ 0 (mod 3) — including odd multiples
+    * not yet in the table (snap 2), the odds appended (snap 3), then a
+    * second key-set delete on a DIFFERENT key column (status 'P',
+    * snap 4). The sequence rule is the whole point: the first delete
+    * kills only keys ≡ 0 (mod 6) (the evens it predates — re-inserted
+    * odd multiples of 3 survive), the second kills 'P' rows in BOTH
+    * eras. Two outstanding sets with different key columns also pin
+    * the per-era grouping in [[morApply]].
+    */
+  private def eqLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"tteq_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .repartition(4))
+      deleteWhereEqual(s, root,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+          .select("o_orderkey"))
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .repartition(4))
+      deleteWhereEqual(s, root,
+        s.range(1).select(lit("P").as("o_orderstatus")))
+    }.resolve("log").toString
+
+  /** Staged eq-conversion log: [[eqLog]]'s shape, then
+    * [[rewriteEqualityDeletes]] converts the key sets to one positional
+    * vector (re-exacting the row count), [[rewriteDeletes]] folds it
+    * into data files, and a CoW delete of the 'F' rows proves partial
+    * rewrites are unlocked again. Read-invariance of the two rewrites
+    * is pinned separately in SnapshotEqDeleteSpec via [[changes]].
+    */
+  private def eqRewriteLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"tteqr_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .repartition(4))
+      deleteWhereEqual(s, root,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+          .select("o_orderkey"))
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .repartition(4))
+      deleteWhereEqual(s, root,
+        s.range(1).select(lit("P").as("o_orderstatus")))
+      rewriteEqualityDeletes(s, root)
+      rewriteDeletes(s, root)
+      deleteWhere(s, root, col("o_orderstatus") === "F")
     }.resolve("log").toString
 
   /** The tt-family staged orders log, exposed for cross-operator
@@ -3408,6 +3850,47 @@ object SnapshotLog {
              |  AND o_totalprice BETWEEN 50000 AND 150000
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { zorderLog(s, dir); () })
+    ),
+
+    // TT23: EQUALITY deletes — the scan-free delete form. The staged
+    // log deletes every key ≡ 0 (mod 3) by KEY SET between the even and
+    // odd appends, then status 'P' after both: the current read must
+    // kill keys ≡ 0 (mod 6) (the evens the first delete predates — odd
+    // multiples of 3, appended AFTER it, survive by the sequence rule)
+    // and every 'P' row. A delete applied to the wrong era, a missed
+    // anti-join, or a double-applied key all break the hash.
+    Q(
+      "tt23_eq_delete",
+      (s, dir) => {
+        val root = eqLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 3 = 0)
+             |  AND o_orderstatus <> 'P'
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { eqLog(s, dir); () })
+    ),
+
+    // TT24: equality-delete maintenance — tt23's scenario, then
+    // rewriteEqualityDeletes converts the key sets to a positional
+    // vector, rewriteDeletes folds it into data files, and a CoW
+    // delete of the 'F' rows proves partial rewrites unlocked again.
+    // Both rewrites must be read-invariant: the oracle is tt23's
+    // relational answer minus the 'F' rows, so a resurrected key-set
+    // row (stamped past its delete's sequence by a careless rewrite)
+    // or a lost survivor breaks the hash.
+    Q(
+      "tt24_eq_rewrite",
+      (s, dir) => {
+        val root = eqRewriteLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 3 = 0)
+             |  AND o_orderstatus NOT IN ('P', 'F')
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { eqRewriteLog(s, dir); () })
     )
   )
 }
