@@ -35,6 +35,7 @@ object SparkEntry {
       operators.ChangeCapture.all ++
       pipeline.CorpusPipeline.all ++
       sources.DocStoreQueries.all ++
+      sources.SnapshotStreamQueries.all ++
       streaming.StreamingQueries.all ++
       recipes.Seed.all ++
       recipes.RecipeStarQueries.all ++

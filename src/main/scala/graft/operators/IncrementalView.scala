@@ -265,22 +265,18 @@ object IncrementalView {
         (parts(0).toLong, parts(1).toLong)
     }
 
-  /** Distinct hash buckets a delta's join keys land in under an n-bucket
-    * layout — at most n values, the same bounded-driver-metadata class
-    * as a CoW delete's hit-file set.
-    */
-  private def deltaBuckets(d: DataFrame, joinKey: String, n: Int): Set[Long] =
-    d.select(pmod(hash(col(joinKey)), lit(n)).cast("long").as("b"))
-      .agg(collect_set(col("b"))).head().getSeq[Long](0).toSet
-
   /** The pre-state a delta-join term needs: the log at the APPLIED
-    * snapshot, restricted — when the log declares a bucket layout on
-    * the join key — to the buckets the OTHER side's delta hashes into.
+    * snapshot, restricted — when the log records bucket layouts on the
+    * join key — to the buckets the OTHER side's delta keys hash into.
     * Keys outside those buckets cannot match a delta row, so the
     * restriction is answer-preserving by construction; on an
     * [[SnapshotLog.optimizeBucketed]] table the manifest's bucket
     * bands turn it into file-level pruning (a delta touching k of n
-    * buckets scans ~k/n of the pre-state's files).
+    * buckets scans ~k/n of the pre-state's files), and
+    * [[SnapshotLog.readForKeys]] keeps that pruning sharp across a
+    * bucket-count change — each era's files prune under their own
+    * recorded layout. A layout-less table degrades to the full
+    * pre-state read.
     */
   private[operators] def preState(spark: SparkSession, root: String,
       applied: Long, joinKey: String, otherDelta: Option[DataFrame]): DataFrame = {
@@ -288,12 +284,8 @@ object IncrementalView {
     otherDelta match {
       case None => SnapshotLog.read(spark, root, asOf = applied)
       case Some(d) =>
-        SnapshotLog.bucketLayout(spark, root, joinKey, asOf = applied) match {
-          case Some(n) =>
-            SnapshotLog.readBuckets(spark, root, joinKey, n,
-              deltaBuckets(d, joinKey, n), asOf = applied)
-          case None => SnapshotLog.read(spark, root, asOf = applied)
-        }
+        SnapshotLog.readForKeys(spark, root, joinKey,
+          d.select(col(joinKey)), asOf = applied)
     }
   }
 

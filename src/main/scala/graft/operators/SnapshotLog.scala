@@ -1064,6 +1064,39 @@ object SnapshotLog {
   def append(spark: SparkSession, root: String, df: DataFrame): Long =
     commit(spark, root, df, "append", keepBase = true)
 
+  /** Append under a caller-supplied `stream-append=<...>` operation tag
+    * — the sink-side twin of [[overwriteAs]]'s cursor trick: a
+    * streaming sink records its (streamId, batchId) atomically inside
+    * the commit, so replay detection needs no side state
+    * ([[lastStreamBatch]] reads it back from headers alone).
+    */
+  private[graft] def appendAs(spark: SparkSession, root: String,
+      df: DataFrame, operation: String): Long = {
+    require(operation.startsWith("stream-append="),
+      s"appendAs is the streaming-sink commit; got operation $operation")
+    require(!operation.exists(c => c == '\t' || c == '\n'),
+      s"operation tag may not contain tab/newline: $operation")
+    commit(spark, root, df, operation, keepBase = true)
+  }
+
+  /** The batch id of stream `streamId`'s newest durable commit — the
+    * parent-chain walk stops at the first `stream-append=<id>:<batch>`
+    * header (O(commits since that batch), header bytes only). None =
+    * this stream never committed here.
+    */
+  def lastStreamBatch(spark: SparkSession, root: String,
+      streamId: String): Option[Long] = {
+    val prefix = s"stream-append=$streamId:"
+    var id = currentId(spark, root)
+    while (id > 0) {
+      val raw = rawManifest(spark, root, id)
+      if (raw.operation.startsWith(prefix))
+        return Some(raw.operation.stripPrefix(prefix).toLong)
+      id = raw.parent
+    }
+    None
+  }
+
   /** Append INTO an existing hash-bucket layout: rows route through
     * the same `pmod(hash(col), n)` range clustering as
     * [[optimizeBucketed]] and the new files record their bucket bands
@@ -1211,6 +1244,99 @@ object SnapshotLog {
     val kept = (raw.inline ++ raw.refs.filter(r => bandKeeps(r.band))
       .flatMap(r => readFileList(fs, root, r.path))).filter(fileKeeps)
     (kept, schema)
+  }
+
+  /** EVERY bucket layout recorded for `column` at a snapshot — under
+    * partition-spec EVOLUTION (a re-bucket to a different count, or an
+    * [[appendBucketed]] seeding a new layout while old-era files
+    * linger) a table legitimately carries several at once.
+    */
+  private[graft] def bucketLayoutsOf(spark: SparkSession, root: String,
+      column: String, asOf: Long = 0L): Seq[Int] = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    if (id == 0) return Seq.empty
+    val fs = fsOf(spark, root)
+    val raw = rawManifest(spark, root, id)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    if (!schema.fieldNames.contains(column)) return Seq.empty
+    val curIds = currentIdsOf(raw, schema)._1
+    val files = raw.inline ++ raw.refs.flatMap(r => readFileList(fs, root, r.path))
+    files.iterator.flatMap { f =>
+      physNameIn(f, column, curIds).toSeq.flatMap { p =>
+        val pfx = s"__bucket:$p:"
+        f.stats.keys.filter(_.startsWith(pfx)).map(_.stripPrefix(pfx).toInt)
+      }
+    }.toSet.toSeq.sorted
+  }
+
+  /** The files a [[readForKeys]] scan keeps, plus each layout's bucket
+    * set — exposed so tests assert the MIXED-layout pruning itself.
+    */
+  private[graft] def keyFilesOf(spark: SparkSession, root: String,
+      column: String, keys: DataFrame,
+      asOf: Long = 0L): (Seq[FileEntry], StructType, Map[Int, Set[Long]]) = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    val fs = fsOf(spark, root)
+    val raw = rawManifest(spark, root, id)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    require(schema.fieldNames.contains(column), s"no column $column in snapshot $id")
+    require(keys.columns.contains(column), s"key frame has no column $column")
+    val curIds = currentIdsOf(raw, schema)._1
+    val files = raw.inline ++ raw.refs.flatMap(r => readFileList(fs, root, r.path))
+    val layouts = bucketLayoutsOf(spark, root, column, id)
+    if (layouts.isEmpty) return (files, schema, Map.empty)
+    // ONE bounded driver job: the key set's bucket ids under EVERY
+    // recorded layout (≤ n values per layout — the same metadata class
+    // as a CoW delete's hit-file set)
+    val sets = keys.select(layouts.map(n =>
+      collect_set(bucketExpr(column, n)).as(s"b$n")): _*).head()
+    val byLayout = layouts.zipWithIndex.map { case (n, i) =>
+      n -> sets.getSeq[Long](i).toSet }.toMap
+    def keeps(f: FileEntry): Boolean =
+      physNameIn(f, column, curIds) match {
+        case None => true
+        case Some(p) =>
+          // the file prunes under ITS OWN recorded layout(s): every
+          // matching key hashes into the key set's bucket set under
+          // every layout, so any recorded band that misses them all
+          // proves the file holds no match
+          f.stats.forall { case (k, (lo, hi)) =>
+            if (!k.startsWith(s"__bucket:$p:")) true
+            else byLayout.get(k.stripPrefix(s"__bucket:$p:").toInt) match {
+              case None => true
+              case Some(set) =>
+                try {
+                  val (l, h) = (lo.toLong, hi.toLong)
+                  set.exists(b => b >= l && b <= h)
+                } catch { case _: NumberFormatException => true }
+            }
+          }
+      }
+    (files.filter(keeps), schema, byLayout)
+  }
+
+  /** Key-set pruned read across MIXED bucket layouts — the read side of
+    * partition-spec evolution: where [[readBuckets]] prunes under ONE
+    * declared layout (old-era files conservatively kept whole), this
+    * prunes each file under the layout IT recorded, so a re-bucketed
+    * table keeps sharp pruning on both eras without waiting for the
+    * rewrite to finish table-wide. The returned rows are the
+    * answer-preserving superset a delta-join pre-state needs: files
+    * whose own bucket band cannot hold any key are skipped, and the
+    * residual filter keeps rows hashing into the key set's buckets
+    * under every recorded layout (each membership is necessary for a
+    * true match, so the conjunction only tightens the superset). A
+    * table with no bucket layout degrades to the plain read.
+    */
+  def readForKeys(spark: SparkSession, root: String, column: String,
+      keys: DataFrame, asOf: Long = 0L): DataFrame = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    val (kept, schema, byLayout) = keyFilesOf(spark, root, column, keys, id)
+    val raw = rawManifest(spark, root, id)
+    val base = dvRead(spark, root, raw, kept, schema, currentIdsOf(raw, schema)._1)
+    byLayout.toSeq.sortBy(_._1).foldLeft(base) { case (d, (n, set)) =>
+      d.filter(bucketExpr(column, n).isin(set.toSeq: _*))
+    }
   }
 
   // ---- write-audit-publish (WAP): stage an append that NO reader
@@ -2397,7 +2523,7 @@ object SnapshotLog {
       attempt += 1
       require(attempt < 20, s"commit to $root lost ${attempt} races; aborting")
       base = currentId(spark, root)
-      if (operation == "append") {
+      if (operation == "append" || operation.startsWith("stream-append=")) {
         // re-merge against the winner by IDENTITY, not name: every
         // column the append did NOT introduce is already in the
         // winner's schema under its CURRENT name (a rename keeps the
@@ -2630,6 +2756,44 @@ object SnapshotLog {
     * foreachBatch, an incremental materialized view) can checkpoint the
     * last applied snapshot id and resume the feed from it.
     */
+  /** One snapshot's operation tag — O(header) metadata, the class
+    * check a streaming consumer makes per commit before deciding how
+    * to drain it ([[graft.sources.SnapshotChangeSource]]).
+    */
+  def operationOf(spark: SparkSession, root: String, id: Long): String =
+    rawManifest(spark, root, id).operation
+
+  /** The rows snapshot `id` ADDED, read from its file diff against its
+    * parent — zero shuffles, no exceptAll: for an append-class commit
+    * (which never removes or rewrites files) this IS the commit's
+    * content, the cheap per-batch read an appends-only streaming
+    * consumer wants. Callers must check [[operationOf]] first: on a
+    * rewrite commit the file diff carries OLD rows.
+    *
+    * `schemaAt` pins resolution to ANOTHER snapshot's schema/ids
+    * (default: `id`'s own) — a streaming consumer replaying history
+    * reads every batch under the schema it pinned at start, so
+    * pre-evolution appends resolve through field ids to the pinned
+    * names and post-evolution additive columns are simply not
+    * projected.
+    */
+  def appendedRows(spark: SparkSession, root: String, id: Long,
+      schemaAt: Long = 0L): DataFrame = {
+    val raw = rawManifest(spark, root, id)
+    val fs = fsOf(spark, root)
+    val parentPaths =
+      if (raw.parent == 0L) Set.empty[String]
+      else snapshot(spark, root, raw.parent).files.map(_.path).toSet
+    val files = (raw.inline ++ raw.refs.flatMap(r => readFileList(fs, root, r.path)))
+      .filter(f => !parentPaths(f.path))
+    val sRaw =
+      if (schemaAt > 0L && schemaAt != id) rawManifest(spark, root, schemaAt)
+      else raw
+    val schema = StructType.fromDDL(sRaw.schemaDdl)
+    resolvedRead(spark, root, files.sortBy(_.path), schema,
+      currentIdsOf(sRaw, schema)._1)
+  }
+
   def changelog(spark: SparkSession, root: String, fromId: Long = 0L,
       toId: Long = 0L): DataFrame = {
     val hi = if (toId > 0) toId else currentId(spark, root)

@@ -130,4 +130,41 @@ class SnapshotBucketedSpec extends SparkSpec {
     assert(SnapshotLog.readBuckets(spark, root, "k", N, Set(other))
       .filter(col("k") === 100L).count() === 0L)
   }
+
+  test("readForKeys prunes BOTH eras of an evolved bucket layout") {
+    val root = seeded() // era 1: 64 keys under N=8
+    // era 2: new growth seeds a DIFFERENT layout (partition-spec
+    // evolution) — old files keep their n=8 bands, new files record 16
+    SnapshotLog.appendBucketed(spark, root,
+      (65L to 128L).map(k => (k, s"v$k")).toDF("k", "v"), "k", 16)
+    assert(SnapshotLog.bucketLayoutsOf(spark, root, "k") === Seq(8, 16))
+    val all = SnapshotLog.snapshot(spark, root,
+      SnapshotLog.currentId(spark, root)).files
+    val era1 = SnapshotLog.snapshot(spark, root, 2L).files.map(_.path).toSet
+    val keys = Seq(5L, 70L).toDF("k")
+    val (kept, _, byLayout) = SnapshotLog.keyFilesOf(spark, root, "k", keys)
+    assert(byLayout.keySet === Set(8, 16))
+    // pruning bites in EACH era, not just the declared (max-n) one —
+    // the property readBuckets alone cannot give a mixed-layout table
+    val keptEra1 = kept.count(f => era1(f.path))
+    val keptEra2 = kept.count(f => !era1(f.path))
+    val allEra2 = all.count(f => !era1(f.path))
+    assert(keptEra1 > 0 && keptEra1 < era1.size,
+      s"era-1 not pruned: $keptEra1 of ${era1.size}")
+    assert(keptEra2 > 0 && keptEra2 < allEra2,
+      s"era-2 not pruned: $keptEra2 of $allEra2")
+    // and the restricted read is an exact superset: it holds every
+    // matching key's row and only rows in the keys' buckets
+    val got = SnapshotLog.readForKeys(spark, root, "k", keys)
+    assert(got.filter(col("k").isin(5L, 70L)).count() === 2L)
+    val want = SnapshotLog.read(spark, root).filter(
+      pmod(hash(col("k")), lit(8)).cast("long")
+        .isin(byLayout(8).toSeq: _*) &&
+        pmod(hash(col("k")), lit(16)).cast("long")
+          .isin(byLayout(16).toSeq: _*))
+    assert(rowSet(got) === rowSet(want))
+    // a layout-less column degrades to the full read
+    assert(SnapshotLog.readForKeys(spark, root, "v",
+      Seq("v5").toDF("v")).count() === 128L)
+  }
 }
