@@ -1271,6 +1271,12 @@ object SnapshotLog {
 
   /** The files a [[readForKeys]] scan keeps, plus each layout's bucket
     * set — exposed so tests assert the MIXED-layout pruning itself.
+    * Layout discovery reads the file inventory once (a header-cached
+    * layout registry would drop that to O(#commits) on a million-file
+    * table — the lists are opened here anyway to collect per-file
+    * stats); whole lists whose band excludes every key set are then
+    * dropped without their files being considered, mirroring
+    * [[bucketFilesOf]]'s list-level skip.
     */
   private[graft] def keyFilesOf(spark: SparkSession, root: String,
       column: String, keys: DataFrame,
@@ -1282,8 +1288,14 @@ object SnapshotLog {
     require(schema.fieldNames.contains(column), s"no column $column in snapshot $id")
     require(keys.columns.contains(column), s"key frame has no column $column")
     val curIds = currentIdsOf(raw, schema)._1
-    val files = raw.inline ++ raw.refs.flatMap(r => readFileList(fs, root, r.path))
-    val layouts = bucketLayoutsOf(spark, root, column, id)
+    val groups = raw.refs.map(r => r -> readFileList(fs, root, r.path))
+    val files = raw.inline ++ groups.flatMap(_._2)
+    val layouts = files.iterator.flatMap { f =>
+      physNameIn(f, column, curIds).toSeq.flatMap { p =>
+        val pfx = s"__bucket:$p:"
+        f.stats.keys.filter(_.startsWith(pfx)).map(_.stripPrefix(pfx).toInt)
+      }
+    }.toSet.toSeq.sorted
     if (layouts.isEmpty) return (files, schema, Map.empty)
     // ONE bounded driver job: the key set's bucket ids under EVERY
     // recorded layout (≤ n values per layout — the same metadata class
@@ -1292,6 +1304,23 @@ object SnapshotLog {
       collect_set(bucketExpr(column, n)).as(s"b$n")): _*).head()
     val byLayout = layouts.zipWithIndex.map { case (n, i) =>
       n -> sets.getSeq[Long](i).toSet }.toMap
+    def bandIn(n: Int, lo: String, hi: String): Boolean =
+      byLayout.get(n) match {
+        case None => true
+        case Some(set) =>
+          try {
+            val (l, h) = (lo.toLong, hi.toLong)
+            set.exists(b => b >= l && b <= h)
+          } catch { case _: NumberFormatException => true }
+      }
+    // list bands carry the layout key under the CURRENT column name
+    // (rename commits re-key them), per-file stats under the file's
+    // PHYSICAL name — both prune with the same interval test
+    def bandKeeps(band: Map[String, (String, String)]): Boolean =
+      band.forall { case (k, (lo, hi)) =>
+        !k.startsWith(s"__bucket:$column:") ||
+          bandIn(k.stripPrefix(s"__bucket:$column:").toInt, lo, hi)
+      }
     def keeps(f: FileEntry): Boolean =
       physNameIn(f, column, curIds) match {
         case None => true
@@ -1301,18 +1330,13 @@ object SnapshotLog {
           // every layout, so any recorded band that misses them all
           // proves the file holds no match
           f.stats.forall { case (k, (lo, hi)) =>
-            if (!k.startsWith(s"__bucket:$p:")) true
-            else byLayout.get(k.stripPrefix(s"__bucket:$p:").toInt) match {
-              case None => true
-              case Some(set) =>
-                try {
-                  val (l, h) = (lo.toLong, hi.toLong)
-                  set.exists(b => b >= l && b <= h)
-                } catch { case _: NumberFormatException => true }
-            }
+            !k.startsWith(s"__bucket:$p:") ||
+              bandIn(k.stripPrefix(s"__bucket:$p:").toInt, lo, hi)
           }
       }
-    (files.filter(keeps), schema, byLayout)
+    val kept = (raw.inline ++ groups.filter(g => bandKeeps(g._1.band))
+      .flatMap(_._2)).filter(keeps)
+    (kept, schema, byLayout)
   }
 
   /** Key-set pruned read across MIXED bucket layouts — the read side of
