@@ -332,12 +332,32 @@ object SnapshotLog {
       s"data file $path carries no commit id in its path")
   }
 
+  /** A data file's SEQUENCE — the snapshot that committed it. The
+    * explicit `__seq` stat ([[commitFiles]] stamps it per publish
+    * attempt) wins over the path-embedded id: an append that loses
+    * commit races keeps its first-attempt DIRECTORY name, so the path
+    * alone would under-state the sequence and an equality delete
+    * carried through the race would wrongly apply to rows committed
+    * AFTER it (the review-caught hazard SnapshotEqDeleteSpec's race
+    * test pins). Files without the stat (pre-seq manifests, staged
+    * splices — stage-time sequencing is their documented contract)
+    * fall back to the path.
+    */
+  private def fileSeq(f: FileEntry): Long =
+    f.stats.get(SeqStatName) match {
+      case Some((lo, _)) =>
+        try lo.toLong catch { case _: NumberFormatException => fileSnap(f.path) }
+      case None => fileSnap(f.path)
+    }
+
+  private val SeqStatName = "__seq"
+
   /** The equality deletes applicable to a data file: those whose
     * sequence is AFTER the file's commit.
     */
-  private def applicableEqs(eqs: Seq[EqRef], path: String): Seq[EqRef] = {
+  private def applicableEqs(eqs: Seq[EqRef], f: FileEntry): Seq[EqRef] = {
     if (eqs.isEmpty) return eqs
-    val s = fileSnap(path)
+    val s = fileSeq(f)
     eqs.filter(e => s < e.seq)
   }
 
@@ -827,7 +847,7 @@ object SnapshotLog {
       dv: Map[String, Seq[DeleteEntry]], eqs: Seq[EqRef]): DataFrame =
     if (eqs.isEmpty || files.isEmpty)
       dvApply(spark, root, files, schema, curIds, dv)
-    else files.groupBy(f => applicableEqs(eqs, f.path).map(_.dir))
+    else files.groupBy(f => applicableEqs(eqs, f).map(_.dir))
       .toSeq.sortBy(_._2.head.path)
       .map { case (dirs, group) =>
         applyEqs(spark, root,
@@ -1082,13 +1102,25 @@ object SnapshotLog {
   /** The batch id of stream `streamId`'s newest durable commit — the
     * parent-chain walk stops at the first `stream-append=<id>:<batch>`
     * header (O(commits since that batch), header bytes only). None =
-    * this stream never committed here.
+    * this stream never committed inside the RETAINED history (the walk
+    * ends at the expire horizon) — so, as with every table format,
+    * snapshot retention must stay deeper than a live stream's replay
+    * window (one trigger) or a crash replay of a batch whose tag was
+    * expired cannot be detected.
     */
   def lastStreamBatch(spark: SparkSession, root: String,
       streamId: String): Option[Long] = {
     val prefix = s"stream-append=$streamId:"
+    val fs = fsOf(spark, root)
     var id = currentId(spark, root)
     while (id > 0) {
+      // the walk stops at the RETENTION horizon: expire() reclaims old
+      // manifests, and a stream whose last tag predates the kept
+      // window simply reads as "never committed" — correct for replay
+      // detection (any batch id it could have recorded is long
+      // superseded), and the alternative is crashing every addBatch on
+      // a table with expired history
+      if (!fs.exists(manifestPath(root, id))) return None
       val raw = rawManifest(spark, root, id)
       if (raw.operation.startsWith(prefix))
         return Some(raw.operation.stripPrefix(prefix).toLong)
@@ -1246,6 +1278,20 @@ object SnapshotLog {
     (kept, schema)
   }
 
+  /** The distinct bucket layouts `files` record for `column` (per-file
+    * stat keys resolved through field ids) — the ONE discovery loop
+    * [[bucketLayoutsOf]] and [[keyFilesOf]] share, so the stat-key
+    * encoding cannot drift between the two planning paths.
+    */
+  private def layoutsIn(files: Seq[FileEntry], column: String,
+      curIds: Map[String, Int]): Seq[Int] =
+    files.iterator.flatMap { f =>
+      physNameIn(f, column, curIds).toSeq.flatMap { p =>
+        val pfx = s"__bucket:$p:"
+        f.stats.keys.filter(_.startsWith(pfx)).map(_.stripPrefix(pfx).toInt)
+      }
+    }.toSet.toSeq.sorted
+
   /** EVERY bucket layout recorded for `column` at a snapshot — under
     * partition-spec EVOLUTION (a re-bucket to a different count, or an
     * [[appendBucketed]] seeding a new layout while old-era files
@@ -1260,13 +1306,9 @@ object SnapshotLog {
     val schema = StructType.fromDDL(raw.schemaDdl)
     if (!schema.fieldNames.contains(column)) return Seq.empty
     val curIds = currentIdsOf(raw, schema)._1
-    val files = raw.inline ++ raw.refs.flatMap(r => readFileList(fs, root, r.path))
-    files.iterator.flatMap { f =>
-      physNameIn(f, column, curIds).toSeq.flatMap { p =>
-        val pfx = s"__bucket:$p:"
-        f.stats.keys.filter(_.startsWith(pfx)).map(_.stripPrefix(pfx).toInt)
-      }
-    }.toSet.toSeq.sorted
+    layoutsIn(
+      raw.inline ++ raw.refs.flatMap(r => readFileList(fs, root, r.path)),
+      column, curIds)
   }
 
   /** The files a [[readForKeys]] scan keeps, plus each layout's bucket
@@ -1290,12 +1332,7 @@ object SnapshotLog {
     val curIds = currentIdsOf(raw, schema)._1
     val groups = raw.refs.map(r => r -> readFileList(fs, root, r.path))
     val files = raw.inline ++ groups.flatMap(_._2)
-    val layouts = files.iterator.flatMap { f =>
-      physNameIn(f, column, curIds).toSeq.flatMap { p =>
-        val pfx = s"__bucket:$p:"
-        f.stats.keys.filter(_.startsWith(pfx)).map(_.stripPrefix(pfx).toInt)
-      }
-    }.toSet.toSeq.sorted
+    val layouts = layoutsIn(files, column, curIds)
     if (layouts.isEmpty) return (files, schema, Map.empty)
     // ONE bounded driver job: the key set's bucket ids under EVERY
     // recorded layout (≤ n values per layout — the same metadata class
@@ -1714,7 +1751,7 @@ object SnapshotLog {
       curIds: Map[String, Int]): DataFrame =
     if (raw.eqRefs.isEmpty || files.isEmpty)
       dvPosRead(spark, root, raw, files, schema, curIds)
-    else files.groupBy(f => applicableEqs(raw.eqRefs, f.path).map(_.dir))
+    else files.groupBy(f => applicableEqs(raw.eqRefs, f).map(_.dir))
       .toSeq.sortBy(_._2.head.path)
       .map { case (dirs, group) =>
         applyEqs(spark, root,
@@ -1839,12 +1876,12 @@ object SnapshotLog {
     val tableSchema = StructType.fromDDL(raw.schemaDdl)
     val (tableIds, lastColId) = currentIdsOf(raw, tableSchema)
     val next = base + 1
-    val affected = allFiles.filter(f => applicableEqs(raw.eqRefs, f.path).nonEmpty)
+    val affected = allFiles.filter(f => applicableEqs(raw.eqRefs, f).nonEmpty)
     val dvOpt =
       if (affected.isEmpty) None
       else {
         val hits = affected
-          .groupBy(f => applicableEqs(raw.eqRefs, f.path).map(_.dir))
+          .groupBy(f => applicableEqs(raw.eqRefs, f).map(_.dir))
           .toSeq.sortBy(_._2.head.path)
           .map { case (dirs, group) =>
             peelMatches(spark, root,
@@ -2504,11 +2541,17 @@ object SnapshotLog {
       // re-stamped per attempt because a lost race can renumber
       // freshly added columns, with the first-attempt id as the
       // fallback for a physical name the retried schema no longer
-      // carries (renamed away by the race winner — the id survives)
+      // carries (renamed away by the race winner — the id survives).
+      // The __seq stat pins the file's TRUE sequence per attempt: a
+      // lost race keeps the first attempt's directory NAME, and the
+      // equality-delete sequence rule must not read that stale id
+      // (fileSeq prefers the stat).
       val stamped = written.map(f =>
-        f.copy(ids = dfCols.iterator
-          .flatMap(n => tableIds.get(n).orElse(origIds.get(n)).map(n -> _))
-          .toMap))
+        f.copy(
+          ids = dfCols.iterator
+            .flatMap(n => tableIds.get(n).orElse(origIds.get(n)).map(n -> _))
+            .toMap,
+          stats = f.stats + (SeqStatName -> (next.toString, next.toString))))
       // the commit's one new file list (absent when it neither wrote
       // nor inherited inline entries — e.g. an overwrite to empty)
       val newEntries = carriedInline ++ stamped
@@ -2668,6 +2711,14 @@ object SnapshotLog {
     // exact when a row matches several changed sets. Cost is bounded by
     // the applicable carried files — at 100 TB that is the same
     // "applicable era" scan the read path pays, never history-sized.
+    // One contract nuance on MULTI-commit windows: an eq-deleted row
+    // re-appended with identical values later in the window surfaces
+    // as delete + insert (the eq branch bypasses the exceptAll that
+    // cancels such pairs in the file diff) — fold-neutral, so every
+    // changelog consumer (IVM folds, CDC appliers) is unaffected, but
+    // not the MINIMAL multiset a pure file-diff window yields. The
+    // per-transition changelog() never hits it (an eq commit and an
+    // append are different transitions).
     val carried = to.files.filter(f => fromPaths(f.path))
     val eqFromDirs = eqFrom.map(_.dir).toSet
     val eqToDirs = eqTo.map(_.dir).toSet
@@ -2675,8 +2726,8 @@ object SnapshotLog {
     val removedEqs = eqFrom.filterNot(e => eqToDirs(e.dir))
     def eqDelta(changed: Seq[EqRef], sideDv: Map[String, Seq[DeleteEntry]],
         sideEqs: Seq[EqRef], tag: String): Seq[DataFrame] =
-      carried.filter(f => applicableEqs(changed, f.path).nonEmpty)
-        .groupBy(f => applicableEqs(changed, f.path).map(_.dir))
+      carried.filter(f => applicableEqs(changed, f).nonEmpty)
+        .groupBy(f => applicableEqs(changed, f).map(_.dir))
         .toSeq.sortBy(_._2.head.path)
         .map { case (dirs, group) =>
           val live = morApply(spark, root, group, schema, toIds,
@@ -2746,7 +2797,7 @@ object SnapshotLog {
     def rowsAt(posDelta: DataFrame, tag: String,
         sideEqs: Seq[EqRef]): DataFrame =
       to.files.filter(f => targetSet(f.path))
-        .groupBy(f => applicableEqs(sideEqs, f.path).map(_.dir))
+        .groupBy(f => applicableEqs(sideEqs, f).map(_.dir))
         .toSeq.sortBy(_._2.head.path)
         .map { case (dirs, group) =>
           val pr = resolvedReadWithPos(spark, root,
@@ -2805,11 +2856,22 @@ object SnapshotLog {
       schemaAt: Long = 0L): DataFrame = {
     val raw = rawManifest(spark, root, id)
     val fs = fsOf(spark, root)
-    val parentPaths =
-      if (raw.parent == 0L) Set.empty[String]
-      else snapshot(spark, root, raw.parent).files.map(_.path).toSet
-    val files = (raw.inline ++ raw.refs.flatMap(r => readFileList(fs, root, r.path)))
-      .filter(f => !parentPaths(f.path))
+    // REF-level diff, not an inventory diff: an append carries the
+    // parent's file lists by reference and adds exactly one new list,
+    // so comparing list PATHS (header bytes on both sides) finds the
+    // commit's own files in O(#commits) metadata — opening the
+    // parent's whole inventory per micro-batch would make a streaming
+    // drain O(#table-files) per batch on a million-file table. The
+    // inline filter covers legacy flat-manifest migration (the one
+    // append shape whose new list also carries inherited entries).
+    val praw =
+      if (raw.parent == 0L) None else Some(rawManifest(spark, root, raw.parent))
+    val parentRefs = praw.map(_.refs.map(_.path).toSet).getOrElse(Set.empty)
+    val parentInline = praw.map(_.inline.map(_.path).toSet).getOrElse(Set.empty)
+    val files = (raw.inline ++
+      raw.refs.filterNot(r => parentRefs(r.path))
+        .flatMap(r => readFileList(fs, root, r.path)))
+      .filterNot(f => parentInline(f.path))
     val sRaw =
       if (schemaAt > 0L && schemaAt != id) rawManifest(spark, root, schemaAt)
       else raw
@@ -3500,20 +3562,29 @@ object SnapshotLog {
     * eras. Two outstanding sets with different key columns also pin
     * the per-era grouping in [[morApply]].
     */
+  /** The shared four-commit seed tt23 AND tt24 stage (evens append,
+    * mod-3 key-set delete, odds append, status-'P' key-set delete) —
+    * one body, so tt24's "tt23 minus the F rows" oracle relationship
+    * can never drift out of sync with tt23's staging.
+    */
+  private def seedEqScenario(s: SparkSession, dir: String, root: String): Unit = {
+    val orders = Tables(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .repartition(4))
+    deleteWhereEqual(s, root,
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select("o_orderkey"))
+    append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .repartition(4))
+    deleteWhereEqual(s, root,
+      s.range(1).select(lit("P").as("o_orderstatus")))
+    ()
+  }
+
   private def eqLog(s: SparkSession, dir: String): String =
     graft.TempDirs.staged(s"tteq_${graft.TempDirs.dirKey(dir)}") { p =>
-      val root = p.resolve("log").toString
-      val orders = Tables(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_orderstatus")
-      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
-        .repartition(4))
-      deleteWhereEqual(s, root,
-        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
-          .select("o_orderkey"))
-      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
-        .repartition(4))
-      deleteWhereEqual(s, root,
-        s.range(1).select(lit("P").as("o_orderstatus")))
+      seedEqScenario(s, dir, p.resolve("log").toString)
     }.resolve("log").toString
 
   /** Staged eq-conversion log: [[eqLog]]'s shape, then
@@ -3526,17 +3597,7 @@ object SnapshotLog {
   private def eqRewriteLog(s: SparkSession, dir: String): String =
     graft.TempDirs.staged(s"tteqr_${graft.TempDirs.dirKey(dir)}") { p =>
       val root = p.resolve("log").toString
-      val orders = Tables(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_orderstatus")
-      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
-        .repartition(4))
-      deleteWhereEqual(s, root,
-        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
-          .select("o_orderkey"))
-      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
-        .repartition(4))
-      deleteWhereEqual(s, root,
-        s.range(1).select(lit("P").as("o_orderstatus")))
+      seedEqScenario(s, dir, root)
       rewriteEqualityDeletes(s, root)
       rewriteDeletes(s, root)
       deleteWhere(s, root, col("o_orderstatus") === "F")

@@ -23,13 +23,15 @@ import graft.operators.SnapshotLog
   *     shuffle, no diff join; per-batch cost is the batch's own bytes,
   *     the only cost profile that survives a 100 TB table). Layout
   *     rewrites (`optimize*`, `rewrite-deletes`, `rewrite-eq`) and
-  *     metadata-only commits (`rename`, `widen`, `drop-column`,
-  *     `tag`-less ops) are SKIPPED — they are read-invariant, exactly
-  *     like Delta ignores `dataChange = false` file actions, so
-  *     compaction never disturbs a live stream. Data-CHANGING commits
-  *     (deletes, merges, overwrites, rollbacks) fail the stream unless
+  *     metadata-only `rename`/`drop-column` commits are SKIPPED — they
+  *     are read-invariant, exactly like Delta ignores
+  *     `dataChange = false` file actions, so compaction never disturbs
+  *     a live stream. Data-CHANGING commits (deletes, merges,
+  *     overwrites, rollbacks) fail the stream unless
   *     `skipChangeCommits=true` (Delta's option of the same name) says
-  *     to ignore them.
+  *     to ignore them; a `widen` fails it unconditionally (the pinned
+  *     schema cannot read the wide parquet of later appends — restart
+  *     to re-pin).
   *   - `changelog`: emit every transition's full row-level delta
   *     (insert AND delete rows, `change` + `snapshot_id` columns) via
   *     [[SnapshotLog.changelog]] — the CDC feed, Delta's
@@ -163,10 +165,15 @@ private[sources] object SnapshotChangeSource {
 
   /** Commits that move or relabel bytes without changing content —
     * invisible to an appends stream, like Delta's dataChange=false.
+    * `widen` is deliberately NOT here: it is content-invariant, but a
+    * stream pinned to the pre-widen schema cannot read the WIDE
+    * parquet of later appends (the reader would fail with a raw
+    * conversion error mid-batch), so the widen commit itself fails
+    * the stream with the actionable re-pin message instead.
     */
   private val ReadInvariantOps = Set(
     "optimize", "optimize-bucket", "optimize-zorder", "optimize-binpack",
-    "rewrite-deletes", "rewrite-eq", "rename", "widen", "drop-column")
+    "rewrite-deletes", "rewrite-eq", "rename", "drop-column")
 
   private val AppendOps = Set("append", "publish-append")
 
@@ -189,10 +196,22 @@ private[sources] class SnapshotChangeSource(
     require(m >= 1, s"maxSnapshotsPerTrigger must be >= 1, got $m"))
 
   /** The snapshot whose schema/ids this stream is pinned to — captured
-    * once at source creation; every batch resolves under it.
+    * once at source creation; every batch resolves under it. The
+    * declared schema derives from the SAME snapshot (not a second
+    * currentId read), so a schema-changing commit racing source
+    * construction cannot wedge every batch behind a shape mismatch.
     */
   private val pinId = SnapshotLog.currentId(spark, root)
-  override val schema: StructType = schemaOf(spark, root, mode)
+  override val schema: StructType = {
+    require(pinId > 0,
+      s"snapshot-log on empty log $root (bootstrap with append)")
+    val t = StructType.fromDDL(
+      SnapshotLog.snapshot(spark, root, pinId).schemaDdl)
+    if (mode == "appends") t
+    else StructType(t.fields ++ Seq(
+      StructField("change", StringType),
+      StructField("snapshot_id", LongType, nullable = false)))
+  }
 
   /** Highest snapshot ever handed to a batch or durably committed —
     * the monotonic floor that makes restarts exactly-once (class doc).
@@ -223,12 +242,19 @@ private[sources] class SnapshotChangeSource(
   // implementation: getOffset already folds the availability target,
   // the rate cap, and the floor — admission control IS that cap, so
   // the ReadLimit parameter (always allAvailable for a V1 source
-  // without a limit vocabulary) adds nothing.
+  // without a limit vocabulary) adds nothing. The engine passes its
+  // CHECKPOINTED start here, which seeds the cold post-restart floor:
+  // without it a rate-capped source could hand out an offset BELOW
+  // the committed one and the engine would durably log the
+  // regression (an empty recovery batch at best, a permanently
+  // stalled stream if it dies right after — review-caught).
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
-      org.apache.spark.sql.connector.read.streaming.Offset =
+      org.apache.spark.sql.connector.read.streaming.Offset = {
+    if (start != null) floor = math.max(floor, offsetValue(start))
     getOffset.orNull
+  }
 
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
     val live = SnapshotLog.currentId(spark, root)
@@ -272,6 +298,10 @@ private[sources] class SnapshotChangeSource(
       if (isAppend(op))
         Some(SnapshotLog.appendedRows(spark, root, id, schemaAt = pinId))
       else if (isReadInvariant(op)) None
+      else if (op == "widen") throw new IllegalStateException(
+        s"snapshot $id of $root widened a column type; the stream's " +
+          "pinned schema cannot read later appends — restart the query " +
+          "to re-pin the schema")
       else if (skipChangeCommits) None
       else throw new IllegalStateException(
         s"snapshot $id of $root is a data-changing commit ($op); an " +

@@ -233,6 +233,36 @@ class SnapshotEqDeleteSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, root).count() === 9L)
   }
 
+  test("an append racing an equality delete binds rows by COMMIT order, not dir name") {
+    // a lost-race append keeps its first-attempt DIRECTORY id but
+    // commits later — the __seq stat must carry the true sequence or
+    // a delete sequenced between the two ids would eat the new rows.
+    // Outcome-conditional assertions make this deterministic under
+    // any interleaving; the lost-race branch is the one under test.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = newRoot()
+    SnapshotLog.append(spark, root,
+      (1 to 10).map(k => (k, "seed")).toDF("k", "v"))
+    val fApp = Future(
+      SnapshotLog.append(spark, root, Seq((999, "late")).toDF("k", "v")))
+    val fDel = Future(
+      try Some(SnapshotLog.deleteWhereEqual(spark, root, Seq(999, 5).toDF("k")))
+      catch { case _: IllegalStateException => None })
+    val appId = Await.result(fApp, 120.seconds)
+    val delId = Await.result(fDel, 120.seconds).getOrElse(
+      SnapshotLog.deleteWhereEqual(spark, root, Seq(999, 5).toDF("k")))
+    val cur = SnapshotLog.read(spark, root)
+    // key 5 predates both commits: always dead
+    assert(cur.filter(col("k") === 5).count() === 0L)
+    // key 999's fate follows the COMMIT order
+    val expect999 = if (appId > delId) 1L else 0L
+    assert(cur.filter(col("k") === 999).count() === expect999,
+      s"append=$appId delete=$delId")
+    assert(cur.filter(col("k") =!= 999 && col("k") =!= 5).count() === 9L)
+  }
+
   test("key frame validation fails fast with the real constraint") {
     val root = newRoot()
     SnapshotLog.append(spark, root, Seq((1, "a")).toDF("k", "v"))

@@ -141,6 +141,22 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(rowSet(got.select("key_id")) === rowSet((1 to 9).toDF("key_id")))
   }
 
+  test("a widen fails the appends stream with the re-pin message") {
+    val (log, sink, ckpt) = newDirs()
+    SnapshotLog.append(spark, log, (1 to 5).map(k => (k, s"v$k")).toDF("k", "v"))
+    SnapshotLog.widenColumn(spark, log, "k",
+      org.apache.spark.sql.types.LongType)
+    SnapshotLog.append(spark, log,
+      (6L to 9L).map(k => (k, s"v$k")).toDF("k", "v"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(log, sink, ckpt)
+    }
+    def hasRePin(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("re-pin")) ||
+        hasRePin(t.getCause))
+    assert(hasRePin(e))
+  }
+
   test("sink writes one tagged snapshot per micro-batch, exactly-once") {
     val (landing0, logDir, ckpt) = newDirs()
     val landing = Files.createDirectories(java.nio.file.Paths.get(landing0))
