@@ -58,6 +58,17 @@ import graft.operators.SnapshotLog
   * current schema). A schema-evolving commit inside a drained window
   * fails the batch with the real constraint — restart the query to
   * re-pin, Delta's behavior for streaming schema changes.
+  *
+  * Why the V1 `Source` API and not a DataSource V2 `MicroBatchStream`
+  * (which the sibling [[DocStoreSource]] uses): a V2 stream hands out
+  * `PartitionReader`s that must produce rows THEMSELVES — fine for
+  * docstore's own wire format, wrong for batches that are whole QUERY
+  * PLANS (field-id-resolving parquet scans, DV anti-joins, equality
+  * anti-joins, changelog exceptAll pairs). V1's `getBatch` returns a
+  * DataFrame, so each micro-batch IS the engine-optimized plan —
+  * exactly why Delta's streaming source sits on the same API. The one
+  * internal touch this needs (the isStreaming re-wrap) is isolated in
+  * [[org.apache.spark.sql.graft.StreamingFrame]].
   */
 class SnapshotChangeProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
