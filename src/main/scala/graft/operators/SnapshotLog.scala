@@ -2724,21 +2724,33 @@ object SnapshotLog {
     val eqToDirs = eqTo.map(_.dir).toSet
     val newEqs = eqTo.filterNot(e => eqFromDirs(e.dir))
     val removedEqs = eqFrom.filterNot(e => eqToDirs(e.dir))
-    def eqDelta(changed: Seq[EqRef], sideDv: Map[String, Seq[DeleteEntry]],
-        sideEqs: Seq[EqRef], tag: String): Seq[DataFrame] =
+    // the eq branch's live view applies the UNION of both sides'
+    // positional vectors: any coordinate either side's DVs name is the
+    // DV branch's jurisdiction (it emits exactly the to∖from and
+    // from∖to coordinate diffs, eq-filtered per side), so a row both a
+    // window DV and a changed key set killed must not surface from
+    // both branches — the multi-commit net-window double-emit the spec
+    // pins. Rows positional-live on BOTH sides are the only ones whose
+    // fate the key sets alone decide.
+    val bothDv = (fromDv.keySet ++ toDv.keySet).iterator.map { t =>
+      t -> (fromDv.getOrElse(t, Seq.empty) ++ toDv.getOrElse(t, Seq.empty))
+        .groupBy(_.dvDir).map(_._2.head).toSeq
+    }.toMap
+    def eqDelta(changed: Seq[EqRef], sideEqs: Seq[EqRef],
+        tag: String): Seq[DataFrame] =
       carried.filter(f => applicableEqs(changed, f).nonEmpty)
         .groupBy(f => applicableEqs(changed, f).map(_.dir))
         .toSeq.sortBy(_._2.head.path)
         .map { case (dirs, group) =>
           val live = morApply(spark, root, group, schema, toIds,
-            sideDv, sideEqs)
+            bothDv, sideEqs)
           peelMatches(spark, root, live,
             changed.filter(e => dirs.contains(e.dir)), schema, toIds)
             .withColumn("change", lit(tag))
         }
     val fileDiff = (fileDiff0 +:
-      (eqDelta(newEqs, fromDv, eqFrom, "delete") ++
-        eqDelta(removedEqs, toDv, eqTo, "insert")))
+      (eqDelta(newEqs, eqFrom, "delete") ++
+        eqDelta(removedEqs, eqTo, "insert")))
       .reduce(_ unionByName _)
     // files carried through BOTH snapshots whose DV set changed: the
     // delta is exactly the rows at the changed positions — an MoR

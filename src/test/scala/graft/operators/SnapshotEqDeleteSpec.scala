@@ -233,6 +233,38 @@ class SnapshotEqDeleteSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, root).count() === 9L)
   }
 
+  test("a multi-commit window nets DV and eq deletes without double-emitting") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root,
+      (1 to 20).map(k => (k, k % 3)).toDF("k", "m").repartition(2))
+    SnapshotLog.deleteWhereMoR(spark, root, col("m") === 0) // kills 3,6,...,18
+    SnapshotLog.deleteWhereEqual(spark, root, (1 to 6).toDF("k"))
+    // the NET window spans both deletes: each dead row must surface as
+    // exactly ONE delete — 3 and 6 are claimed by the DV branch alone
+    val d = SnapshotLog.changes(spark, root, 1L, 3L)
+    assert(d.filter(col("change") =!= "delete").count() === 0L)
+    assert(rowSet(d.select("k")) ===
+      rowSet((Seq(1, 2, 4, 5) ++ (3 to 18 by 3)).toDF("k")))
+    // and the incremental-fold identity holds: state(1) + window = state(3)
+    assert(SnapshotLog.read(spark, root).count() === 20L - d.count())
+  }
+
+  test("rollback across BOTH delete forms revives each row exactly once") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root,
+      (1 to 20).map(k => (k, k % 3)).toDF("k", "m").repartition(2))
+    SnapshotLog.deleteWhereMoR(spark, root, col("m") === 0) // 3,6,...,18
+    SnapshotLog.deleteWhereEqual(spark, root, (1 to 6).toDF("k")) // +1,2,4,5
+    val id = SnapshotLog.rollback(spark, root, 1L)
+    assert(SnapshotLog.read(spark, root).count() === 20L)
+    val d = SnapshotLog.changes(spark, root, 3L, id)
+    assert(d.filter(col("change") =!= "insert").count() === 0L)
+    // the DV branch revives the positional kills, the eq branch the
+    // key-set kills — 3 and 6 (dead by BOTH) must surface once
+    assert(rowSet(d.select("k")) ===
+      rowSet((Seq(1, 2, 4, 5) ++ (3 to 18 by 3)).toDF("k")))
+  }
+
   test("an append racing an equality delete binds rows by COMMIT order, not dir name") {
     // a lost-race append keeps its first-attempt DIRECTORY id but
     // commits later — the __seq stat must carry the true sequence or
