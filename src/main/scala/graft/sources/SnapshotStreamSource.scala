@@ -102,7 +102,7 @@ class SnapshotChangeProvider extends StreamSourceProvider
         parameters.get("skipChangeCommits").exists(_.toBoolean))
 
   /** The WRITE direction — `writeStream.format("snapshot-log")`: each
-    * micro-batch appends as one snapshot whose operation tag records
+    * micro-batch commits as one snapshot whose operation tag records
     * `stream-append=<streamId>:<batchId>` ATOMICALLY with the data
     * (the Kafka-transactional-consumer trick [[SnapshotLog.overwriteAs]]
     * uses for view cursors). Replayed batches after a crash are
@@ -110,6 +110,16 @@ class SnapshotChangeProvider extends StreamSourceProvider
     * skipped, so sink-side delivery is exactly-once with NO side
     * state — the log IS the write-ahead record. Pass `streamId` when
     * several queries feed one table (batch ids are per-query).
+    *
+    * With `mergeKeys=<k1,k2,...>` each batch is a SCAN-FREE UPSERT
+    * instead ([[SnapshotLog.mergeIntoEqual]], tag
+    * `stream-upsert=<streamId>:<batchId>`): the batch's key set
+    * retracts matched rows by equality delete and its rows append, one
+    * atomic commit, zero table reads — the Flink→Iceberg CDC ingest
+    * shape, with write cost independent of table size at every
+    * checkpoint. Run [[SnapshotLog.rewriteEqualityDeletes]] +
+    * [[SnapshotLog.rewriteDeletes]] as periodic maintenance to fold
+    * the accumulated key sets away.
     */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
@@ -122,7 +132,10 @@ class SnapshotChangeProvider extends StreamSourceProvider
       s"snapshot-log sink supports Append output only, got $outputMode " +
         "(aggregating streams: use foreachBatch with mergeInto)")
     new SnapshotLogSink(sqlContext.sparkSession, rootOf(parameters),
-      parameters.getOrElse("streamId", "default"))
+      parameters.getOrElse("streamId", "default"),
+      mergeKeys = parameters.get("mergeKeys")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty))
   }
 }
 
@@ -130,7 +143,8 @@ class SnapshotChangeProvider extends StreamSourceProvider
   * [[SnapshotLog]] append — see [[SnapshotChangeProvider.createSink]].
   */
 private[sources] class SnapshotLogSink(
-    spark: SparkSession, root: String, streamId: String)
+    spark: SparkSession, root: String, streamId: String,
+    mergeKeys: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   require(!streamId.contains(":") && !streamId.exists(c => c == '\t' || c == '\n'),
@@ -142,8 +156,16 @@ private[sources] class SnapshotLogSink(
     // the tag walk is the idempotence check, no side state
     if (SnapshotLog.lastStreamBatch(spark, root, streamId).exists(_ >= batchId))
       return
-    SnapshotLog.appendAs(spark, root, StreamingFrame.batchOf(data.toDF()),
-      s"stream-append=$streamId:$batchId")
+    val batch = StreamingFrame.batchOf(data.toDF())
+    if (mergeKeys.isEmpty || SnapshotLog.currentId(spark, root) == 0L)
+      // an upsert into an empty table IS its bootstrap append (nothing
+      // to retract); the append tag is fine — the replay cursor reads
+      // both tag kinds as one per-stream namespace
+      SnapshotLog.appendAs(spark, root, batch,
+        s"stream-append=$streamId:$batchId")
+    else
+      SnapshotLog.mergeIntoEqualAs(spark, root, batch, mergeKeys,
+        s"stream-upsert=$streamId:$batchId")
     ()
   }
 
@@ -459,6 +481,66 @@ object SnapshotStreamQueries {
         SnapshotLog.read(s, log).orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      bench = false
+    ),
+
+    // SM29: SCAN-FREE streaming upserts — sm14's exact three-wave CDC
+    // scenario (full table, then 'U' updates on keys ≡ 0 mod 5, then
+    // 'W' updates + shifted 'Z' inserts) driven through the sink's
+    // mergeKeys mode instead of a foreachBatch CoW merge, sharing
+    // sm14's oracle VERBATIM: equality-merge ingestion must be
+    // observationally identical to the CoW merge loop while writing
+    // O(batch) bytes per commit and reading NO table data at all.
+    Q(
+      "sm29_stream_upsert_sink",
+      (s, dir) => {
+        val out = graft.TempDirs.create("graft_sm29")
+        val landing = java.nio.file.Files.createDirectories(out.resolve("landing"))
+        val orders = graft.Tables(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+        val wave2 = orders.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+          .withColumn("o_orderstatus", lit("U"))
+        val wave3 = orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("o_orderstatus", lit("W"))
+          .unionByName(
+            orders.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+              .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L))
+              .withColumn("o_orderstatus", lit("Z")))
+        Seq(orders, wave2, wave3).zipWithIndex.foreach { case (df, b) =>
+          val tmp = out.resolve(s"stage_$b")
+          df.coalesce(1).write.parquet(tmp.toString)
+          val listing = java.nio.file.Files.list(tmp)
+          val part =
+            try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get()
+            finally listing.close()
+          java.nio.file.Files.move(part, landing.resolve(f"batch-$b%03d.parquet"))
+          java.nio.file.Files.setLastModifiedTime(
+            landing.resolve(f"batch-$b%03d.parquet"),
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + b * 60000L))
+        }
+        val log = out.resolve("log").toString
+        val q = s.readStream.schema(orders.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+          .writeStream.format("snapshot-log")
+          .option("path", log)
+          .option("mergeKeys", "o_orderkey")
+          .option("checkpointLocation", out.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        SnapshotLog.read(s, log).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |       CASE WHEN o_orderkey % 7 = 0 THEN 'W'
+             |            WHEN o_orderkey % 5 = 0 THEN 'U'
+             |            ELSE o_orderstatus END AS o_orderstatus
+             |FROM orders
+             |UNION ALL
+             |SELECT o_orderkey + 20000000, o_custkey, 'Z'
+             |FROM orders WHERE o_orderkey % 11 = 0
              |ORDER BY o_orderkey""".stripMargin),
       bench = false
     )

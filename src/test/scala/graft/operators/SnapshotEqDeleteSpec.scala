@@ -295,6 +295,47 @@ class SnapshotEqDeleteSpec extends SparkSpec {
     assert(cur.filter(col("k") =!= 999 && col("k") =!= 5).count() === 9L)
   }
 
+  test("mergeIntoEqual upserts in one commit touching zero existing files") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root,
+      (1 to 30).map(k => (k, s"v$k")).toDF("k", "v").repartition(3))
+    val before = SnapshotLog.snapshot(spark, root, 1L)
+    val stamps = before.files.map { f =>
+      f.path -> fs(root).getFileStatus(new Path(s"$root/${f.path}")).getModificationTime
+    }.toMap
+    val id = SnapshotLog.mergeIntoEqual(spark, root,
+      Seq((5, "up5"), (99, "new99")).toDF("k", "v"), Seq("k"))
+    assert(id === 2L)
+    assert(SnapshotLog.snapshot(spark, root, 2L).operation === "eq-merge")
+    // every pre-existing file carried untouched — the scan-free point
+    before.files.foreach { f =>
+      assert(fs(root).getFileStatus(new Path(s"$root/${f.path}"))
+        .getModificationTime === stamps(f.path))
+    }
+    val cur = SnapshotLog.read(spark, root)
+    assert(cur.count() === 31L)
+    assert(rowSet(cur.filter(col("k").isin(5, 99)).select("v")) ===
+      rowSet(Seq("up5", "new99").toDF("v")))
+    // the changelog decomposes the one commit into retraction + adds
+    val d = SnapshotLog.changes(spark, root, 1L, 2L)
+    assert(rowSet(d) === rowSet(Seq(
+      (5, "v5", "delete"), (5, "up5", "insert"), (99, "new99", "insert"))
+      .toDF("k", "v", "change")))
+    // a second upsert replaces the first's row too (its key set
+    // applies to the earlier merge's files by the sequence rule)
+    SnapshotLog.mergeIntoEqual(spark, root,
+      Seq((5, "up5b")).toDF("k", "v"), Seq("k"))
+    assert(rowSet(SnapshotLog.read(spark, root)
+      .filter(col("k") === 5).select("v")) === rowSet(Seq("up5b").toDF("v")))
+    // convert + fold compacts everything away, read-invariantly
+    val want = rowSet(SnapshotLog.read(spark, root))
+    SnapshotLog.rewriteEqualityDeletes(spark, root)
+    SnapshotLog.rewriteDeletes(spark, root)
+    assert(rowSet(SnapshotLog.read(spark, root)) === want)
+    val st = SnapshotLog.statsSummary(spark, root, Seq("k")).collect().head
+    assert(st.getLong(1) === 31L)
+  }
+
   test("key frame validation fails fast with the real constraint") {
     val root = newRoot()
     SnapshotLog.append(spark, root, Seq((1, "a")).toDF("k", "v"))

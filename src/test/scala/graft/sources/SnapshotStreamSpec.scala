@@ -218,6 +218,25 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(SnapshotLog.lastStreamBatch(spark, logDir, "s2") === Some(0L))
   }
 
+  test("sink mergeKeys mode upserts scan-free with idempotent replay") {
+    val (_, logDir, _) = newDirs()
+    val sink = new SnapshotLogSink(spark, logDir, "up", Seq("k"))
+    sink.addBatch(0, (1 to 10).map(k => (k, s"v$k")).toDF("k", "v"))
+    assert(SnapshotLog.operationOf(spark, logDir, 1L)
+      .startsWith("stream-append=up:0")) // bootstrap append, same cursor
+    sink.addBatch(1, Seq((3, "up3"), (42, "new42")).toDF("k", "v"))
+    assert(SnapshotLog.operationOf(spark, logDir, 2L) === "stream-upsert=up:1")
+    val cur = SnapshotLog.read(spark, logDir)
+    assert(cur.count() === 11L)
+    assert(rowSet(cur.filter(col("k").isin(3, 42)).select("v")) ===
+      rowSet(Seq("up3", "new42").toDF("v")))
+    // crash-replay of either batch is detected from the tag walk
+    sink.addBatch(1, Seq((3, "evil"), (43, "evil")).toDF("k", "v"))
+    sink.addBatch(0, Seq((9, "evil")).toDF("k", "v"))
+    assert(SnapshotLog.currentId(spark, logDir) === 2L)
+    assert(rowSet(SnapshotLog.read(spark, logDir)) === rowSet(cur))
+  }
+
   test("lake-to-lake: snapshot-log source feeding a snapshot-log sink") {
     val (_, srcLog, ckpt) = newDirs()
     val dstLog = Files.createTempDirectory("graft_snapstream_dst")
