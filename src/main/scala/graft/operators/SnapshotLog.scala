@@ -1972,8 +1972,87 @@ object SnapshotLog {
     * collapse to the coordinate join [[dvApply]] already optimizes, and
     * [[rewriteDeletes]] can then fold everything back into data files.
     * Work is O(applicable files + matching rows) — the scan the delete
-    * deferred, paid once here instead of per read.
+    * deferred, paid once here instead of per read — and on a
+    * key-bucketed table ([[optimizeBucketed]]/[[appendBucketed]] on a
+    * single-column key set) it prunes further: files whose recorded
+    * bucket band cannot hold ANY outstanding key are skipped from the
+    * manifest alone ([[eqPruneKeeps]]), so converting the key sets a
+    * CDC stream of [[mergeIntoEqual]] commits accumulated scans
+    * O(matching buckets), not the table.
     */
+  /** Whether a file may hold rows a given SINGLE-column key set can
+    * match, decided from the file's recorded bucket band and the key
+    * set's bucket ids under that file's own layout — [[keyFilesOf]]'s
+    * interval test, specialized per outstanding delete so the
+    * conversion scan skips provably match-free files from metadata
+    * alone. Multi-column key sets, layout-less columns, and stat-less
+    * files are conservatively kept. One bounded job per single-column
+    * key set computes its bucket ids (maintenance-time cost: #key-sets
+    * tiny aggregations over churn-sized key dirs).
+    */
+  private def eqPruneKeeps(spark: SparkSession, root: String,
+      raw: RawManifest, files: Seq[FileEntry], schema: StructType,
+      curIds: Map[String, Int]): (FileEntry, EqRef) => Boolean = {
+    val idToCur = curIds.map(_.swap)
+    val sets: Map[(String, Int), Set[Long]] = raw.eqRefs.iterator.flatMap { e =>
+      if (e.keyIds.size != 1) Iterator.empty
+      else {
+        val (phys, id) = e.keyIds.head
+        idToCur.get(id).iterator.flatMap { cur =>
+          val layouts = layoutsIn(files, cur, curIds)
+          if (layouts.isEmpty) Seq.empty
+          else {
+            val row = spark.read.parquet(s"$root/${e.dir}")
+              .select(col(phys).cast(schema(cur).dataType).as(cur))
+              .select(layouts.map(n =>
+                collect_set(bucketExpr(cur, n)).as(s"b$n")): _*).head()
+            layouts.zipWithIndex.map { case (n, i) =>
+              (e.dir, n) -> row.getSeq[Long](i).toSet }
+          }
+        }
+      }
+    }.toMap
+    if (sets.isEmpty) return (_, _) => true
+    (f: FileEntry, e: EqRef) =>
+      if (e.keyIds.size != 1) true
+      else idToCur.get(e.keyIds.head._2) match {
+        case None => true // dropped-id key set: keep, the apply path reports it
+        case Some(cur) =>
+          physNameIn(f, cur, curIds) match {
+            case None => true
+            case Some(p) =>
+              f.stats.forall { case (k, (lo, hi)) =>
+                if (!k.startsWith(s"__bucket:$p:")) true
+                else sets.get((e.dir, k.stripPrefix(s"__bucket:$p:").toInt)) match {
+                  case None => true
+                  case Some(set) =>
+                    try {
+                      val (l, h) = (lo.toLong, hi.toLong)
+                      set.exists(b => b >= l && b <= h)
+                    } catch { case _: NumberFormatException => true }
+                }
+              }
+          }
+      }
+  }
+
+  /** The data files a [[rewriteEqualityDeletes]] at the current
+    * snapshot would scan — exposed so tests assert the bucket-band
+    * pruning itself, not just the converted answer.
+    */
+  private[graft] def eqConvertScan(spark: SparkSession, root: String): Seq[String] = {
+    val base = currentId(spark, root)
+    val fs = fsOf(spark, root)
+    val raw = rawManifest(spark, root, base)
+    val allFiles = raw.inline ++
+      raw.refs.flatMap(r => readFileList(fs, root, r.path))
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    val ids = currentIdsOf(raw, schema)._1
+    val keeps = eqPruneKeeps(spark, root, raw, allFiles, schema, ids)
+    allFiles.filter(f => applicableEqs(raw.eqRefs, f).exists(e => keeps(f, e)))
+      .map(_.path)
+  }
+
   def rewriteEqualityDeletes(spark: SparkSession, root: String): Long = {
     val base = currentId(spark, root)
     require(base > 0, s"rewriteEqualityDeletes on empty log $root")
@@ -1985,12 +2064,15 @@ object SnapshotLog {
     val tableSchema = StructType.fromDDL(raw.schemaDdl)
     val (tableIds, lastColId) = currentIdsOf(raw, tableSchema)
     val next = base + 1
-    val affected = allFiles.filter(f => applicableEqs(raw.eqRefs, f).nonEmpty)
+    val keeps = eqPruneKeeps(spark, root, raw, allFiles, tableSchema, tableIds)
+    val affected = allFiles.filter(f =>
+      applicableEqs(raw.eqRefs, f).exists(e => keeps(f, e)))
     val dvOpt =
       if (affected.isEmpty) None
       else {
         val hits = affected
-          .groupBy(f => applicableEqs(raw.eqRefs, f).map(_.dir))
+          .groupBy(f => applicableEqs(raw.eqRefs, f)
+            .filter(e => keeps(f, e)).map(_.dir))
           .toSeq.sortBy(_._2.head.path)
           .map { case (dirs, group) =>
             peelMatches(spark, root,

@@ -70,6 +70,28 @@ class IncrementalViewSpec extends SparkSpec {
     assert(viewOf(root) === directOf(root))
   }
 
+  test("fold tracks a scan-free EQUALITY merge and delete like any change") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root,
+      Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L), ("b", 4L, 40L))
+        .toDF("g", "k", "x").repartition(2))
+    // scan-free upsert: key 2 moves group and value, key 5 is new —
+    // the change feed must decompose it into retraction + inserts
+    SnapshotLog.mergeIntoEqual(spark, root,
+      Seq(("c", 2L, 25L), ("c", 5L, 50L)).toDF("g", "k", "x"), Seq("k"))
+    assert(viewOf(root) === Map(
+      "a" -> (1L, 10L), "b" -> (2L, 70L), "c" -> (2L, 75L)))
+    assert(viewOf(root) === directOf(root))
+    // scan-free retraction, then compaction — both view-invariant
+    SnapshotLog.deleteWhereEqual(spark, root, Seq(3L).toDF("k"))
+    assert(viewOf(root) === Map(
+      "a" -> (1L, 10L), "b" -> (1L, 40L), "c" -> (2L, 75L)))
+    assert(viewOf(root) === directOf(root))
+    SnapshotLog.rewriteEqualityDeletes(spark, root)
+    SnapshotLog.rewriteDeletes(spark, root)
+    assert(viewOf(root) === directOf(root))
+  }
+
   test("refresh commits view and cursor atomically; re-refresh is a no-op") {
     val base = java.nio.file.Files.createTempDirectory("graft_iv_refresh")
     val table = base.resolve("table").toString

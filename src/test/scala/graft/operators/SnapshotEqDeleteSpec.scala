@@ -336,6 +336,31 @@ class SnapshotEqDeleteSpec extends SparkSpec {
     assert(st.getLong(1) === 31L)
   }
 
+  test("conversion on a bucketed table scans only matching-bucket files") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root,
+      (1 to 200).map(k => (k, s"v$k")).toDF("k", "v"))
+    SnapshotLog.optimizeBucketed(spark, root, "k", 8)
+    val all = SnapshotLog.snapshot(spark, root, 2L).files
+    // a one-key retraction: the conversion should plan ~1/8 of the
+    // files, from the manifest's bucket bands alone
+    SnapshotLog.deleteWhereEqual(spark, root, Seq(42).toDF("k"))
+    val scan = SnapshotLog.eqConvertScan(spark, root)
+    assert(scan.nonEmpty && scan.size < all.size,
+      s"conversion scan not pruned: ${scan.size} of ${all.size}")
+    // and the pruned conversion is still exact
+    val want = rowSet(SnapshotLog.read(spark, root))
+    val id = SnapshotLog.rewriteEqualityDeletes(spark, root)
+    assert(rowSet(SnapshotLog.read(spark, root)) === want)
+    assert(SnapshotLog.snapshot(spark, root, id).rows === 199L)
+    // a MULTI-column key set is conservatively unpruned but exact
+    SnapshotLog.deleteWhereEqual(spark, root,
+      Seq((43, "v43")).toDF("k", "v"))
+    assert(SnapshotLog.eqConvertScan(spark, root).size === all.size)
+    SnapshotLog.rewriteEqualityDeletes(spark, root)
+    assert(SnapshotLog.read(spark, root).count() === 198L)
+  }
+
   test("key frame validation fails fast with the real constraint") {
     val root = newRoot()
     SnapshotLog.append(spark, root, Seq((1, "a")).toDF("k", "v"))
