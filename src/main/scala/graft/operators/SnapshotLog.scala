@@ -1296,6 +1296,17 @@ object SnapshotLog {
       }
     }.toSet.toSeq.sorted
 
+  /** Whether a recorded bucket band `[lo, hi]` can hold any bucket in
+    * `set` — the ONE interval test every bucket-pruning path
+    * ([[keyFilesOf]], [[eqPruneKeeps]]) shares, unparseable bands
+    * degrading to "cannot skip".
+    */
+  private def bucketBandHit(set: Set[Long], lo: String, hi: String): Boolean =
+    try {
+      val (l, h) = (lo.toLong, hi.toLong)
+      set.exists(b => b >= l && b <= h)
+    } catch { case _: NumberFormatException => true }
+
   /** EVERY bucket layout recorded for `column` at a snapshot — under
     * partition-spec EVOLUTION (a re-bucket to a different count, or an
     * [[appendBucketed]] seeding a new layout while old-era files
@@ -1346,14 +1357,7 @@ object SnapshotLog {
     val byLayout = layouts.zipWithIndex.map { case (n, i) =>
       n -> sets.getSeq[Long](i).toSet }.toMap
     def bandIn(n: Int, lo: String, hi: String): Boolean =
-      byLayout.get(n) match {
-        case None => true
-        case Some(set) =>
-          try {
-            val (l, h) = (lo.toLong, hi.toLong)
-            set.exists(b => b >= l && b <= h)
-          } catch { case _: NumberFormatException => true }
-      }
+      byLayout.get(n).forall(bucketBandHit(_, lo, hi))
     // list bands carry the layout key under the CURRENT column name
     // (rename commits re-key them), per-file stats under the file's
     // PHYSICAL name — both prune with the same interval test
@@ -1880,87 +1884,152 @@ object SnapshotLog {
       keyCols: Seq[String]): Long =
     mergeIntoEqualAs(spark, root, source, keyCols, "eq-merge")
 
+  /** The bucket-layout derived stats a scan-free writer inherits from
+    * METADATA alone: the `__bucket:<col>:<n>` keys on the manifest's
+    * list-ref bands (re-keyed to current names by rename commits) and
+    * inline entries — O(#commits) bytes, never an inventory read. A
+    * mixed-era list whose band lost the key simply stops propagating
+    * the layout to NEW files (their bands prune less, never wrongly);
+    * the CoW paths, which load the inventory anyway, keep the exact
+    * per-file [[inheritedBucketStats]].
+    */
+  private def bandBucketSpecs(raw: RawManifest,
+      schema: StructType): Seq[(String, Column)] =
+    (raw.refs.iterator.flatMap(_.band.keys) ++
+      raw.inline.iterator.flatMap(_.stats.keys))
+      .filter(_.startsWith("__bucket:")).map(_.split(':')).collect {
+        case Array(_, c, n) if schema.fieldNames.contains(c) => (c, n.toInt)
+      }.toSet.toSeq.sorted
+      .map { case (c, n) => bucketStatName(c, n) -> bucketExpr(c, n) }
+
   /** [[mergeIntoEqual]] under a caller-supplied operation tag — the
     * streaming sink's upsert commit records its (streamId, batchId)
     * atomically here, exactly like [[appendAs]].
+    *
+    * Commit cost is O(source + #commits): layout inheritance reads
+    * band keys, never the file inventory ([[bandBucketSpecs]]), so a
+    * CDC checkpoint's write stays independent of table size. Lost
+    * races RETRY with an identity re-merge (the append discipline):
+    * an eq-merge's content — key set plus appended rows — does not
+    * depend on the planned base, so rebasing just re-stamps the
+    * sequence (files' `__seq`, the key set's `seq`) to the new next
+    * and carries the winner's refs; the retraction then covers
+    * whatever exists at the ACTUAL commit, which is exactly upsert
+    * semantics. A winner that retyped/renamed away a needed column
+    * fails loudly instead. Works from an EMPTY table too (the
+    * bootstrap is the append arm alone), so a concurrent first commit
+    * can never demote an upsert to a retraction-free append.
     */
   private[graft] def mergeIntoEqualAs(spark: SparkSession, root: String,
       source: DataFrame, keyCols: Seq[String], operation: String): Long = {
     require(keyCols.nonEmpty, "mergeIntoEqual needs at least one key column")
     require(!operation.exists(c => c == '\t' || c == '\n'),
       s"operation tag may not contain tab/newline: $operation")
-    val base = currentId(spark, root)
-    require(base > 0, s"mergeIntoEqual on empty log $root")
+    keyCols.foreach(k => require(source.columns.contains(k),
+      s"merge source has no key column $k"))
     val fs = fsOf(spark, root)
-    val raw = rawManifest(spark, root, base)
-    val tableSchema = StructType.fromDDL(raw.schemaDdl)
-    val (tableIds, lastColId) = currentIdsOf(raw, tableSchema)
-    keyCols.foreach(k => require(tableSchema.fieldNames.contains(k),
-      s"merge key column $k not in table schema"))
-    // same no-silent-retype rule as the other merges
-    tableSchema.fields.foreach { f =>
-      source.schema.fields.find(_.name == f.name).foreach(sf =>
-        require(sf.dataType == f.dataType,
-          s"merge source column ${f.name} is ${sf.dataType}, table has ${f.dataType}"))
-    }
+
+    def schemaOf(rawOpt: Option[RawManifest]): (StructType, Map[String, Int], Int) =
+      rawOpt match {
+        case None =>
+          val (ids, last) = assignNewIds(source.schema, Map.empty, 0)
+          (source.schema, ids, last)
+        case Some(raw) =>
+          val s = StructType.fromDDL(raw.schemaDdl)
+          val (ids, last) = currentIdsOf(raw, s)
+          keyCols.foreach(k => require(s.fieldNames.contains(k),
+            s"merge key column $k not in table schema"))
+          // same no-silent-retype rule as the other merges
+          s.fields.foreach { f =>
+            source.schema.fields.find(_.name == f.name).foreach(sf =>
+              require(sf.dataType == f.dataType,
+                s"merge source column ${f.name} is ${sf.dataType}, " +
+                  s"table has ${f.dataType}"))
+          }
+          (s, ids, last)
+      }
+
+    var base = currentId(spark, root)
+    var rawOpt = if (base > 0) Some(rawManifest(spark, root, base)) else None
+    var (tableSchema, tableIds, lastColId) = schemaOf(rawOpt)
     val tableCols = tableSchema.fieldNames.map(col).toSeq
-    val next = base + 1
-    val dir = s"data/c${next}_eq_${java.util.UUID.randomUUID().toString.take(8)}"
+    val firstNext = base + 1
+    val dir = s"data/c${firstNext}_eq_${java.util.UUID.randomUUID().toString.take(8)}"
     source.select(keyCols.map(col): _*).distinct().write.parquet(s"$root/$dir")
     val nKeys = spark.read.parquet(s"$root/$dir").count()
-    val allFiles = raw.inline ++
-      raw.refs.flatMap(r => readFileList(fs, root, r.path))
-    // the source's files: table's declared bucket layout inherited,
-    // field ids stamped, and the EXPLICIT sequence stat — fileSeq(next)
-    // is not < seq(next), so the commit's own key set never eats its
-    // own rows
-    val written = writeDataFiles(spark, root,
-      source.select(tableCols: _*), next, None,
-      inheritedBucketStats(allFiles, tableSchema, tableIds))
-      .map(f => f.copy(
+    // the source's files: the table's declared bucket layout inherited
+    // from band metadata, field ids stamped, and the EXPLICIT sequence
+    // stat (re-stamped per attempt) — fileSeq(next) is not < seq(next),
+    // so the commit's own key set never eats its own rows
+    val written0 = writeDataFiles(spark, root,
+      source.select(tableCols: _*), firstNext, None,
+      rawOpt.map(bandBucketSpecs(_, tableSchema)).getOrElse(Nil))
+    val srcRows = written0.iterator.map(_.rows).sum
+    def cleanupData(): Unit = {
+      fs.delete(new Path(s"$root/$dir"), true)
+      written0.map(f => f.path.substring(0, f.path.lastIndexOf('/'))).distinct
+        .foreach(d => fs.delete(new Path(s"$root/$d"), true))
+    }
+    if (nKeys == 0L && srcRows == 0L) { cleanupData(); return base }
+    var attempt = 0
+    while (true) {
+      val next = base + 1
+      val written = written0.map(f => f.copy(
         ids = tableIds.filter { case (n, _) => tableSchema.fieldNames.contains(n) },
         stats = f.stats + (SeqStatName -> (next.toString, next.toString))))
-    val srcRows = written.iterator.map(_.rows).sum
-    if (nKeys == 0L && srcRows == 0L) {
-      fs.delete(new Path(s"$root/$dir"), true)
-      written.map(f => f.path.substring(0, f.path.lastIndexOf('/'))).distinct
-        .foreach(d => fs.delete(new Path(s"$root/$d"), true))
-      return base
-    }
-    val eqOpt =
-      if (nKeys == 0L) { fs.delete(new Path(s"$root/$dir"), true); None }
-      else Some(EqRef(dir, nKeys, seq = next,
-        keyIds = keyCols.map(k => k -> tableIds(k)).toMap))
-    val newRef = writeFileList(fs, root, next, written, tableSchema)
-    val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
-    val m = manifestPath(root, next)
-    val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-    fs.mkdirs(m.getParent)
-    val out = fs.create(tmp, true)
-    // rows: parent's count (an upper bound while key sets are
-    // outstanding — the scan-free write cannot know the matched count)
-    // plus the appended rows
-    try out.write(
-      ((s"$next\t$base\t$operation\t${raw.rows + srcRows}\t$ddl" +
-        s"\t${idsField(tableIds)}\t$lastColId") +:
-        ((raw.refs :+ newRef).map(r =>
-          s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
-          raw.inline.map(fileLine) ++
-          dRefLines(raw.dRefs) ++
-          eqLines(raw.eqRefs ++ eqOpt)))
-        .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!publish(fs, tmp, m)) {
+      // a key set on an EMPTY table retracts nothing — the bootstrap
+      // commit records only the data (no eq ref, no read-side join)
+      val eqOpt =
+        if (nKeys == 0L || rawOpt.isEmpty) None
+        else Some(EqRef(dir, nKeys, seq = next,
+          keyIds = keyCols.map(k => k -> tableIds(k)).toMap))
+      val newRef = writeFileList(fs, root, next, written, tableSchema)
+      val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
+      val baseRows = rawOpt.map(_.rows).getOrElse(0L)
+      val refs = rawOpt.map(_.refs).getOrElse(Seq.empty) :+ newRef
+      val m = manifestPath(root, next)
+      val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      fs.mkdirs(m.getParent)
+      val out = fs.create(tmp, true)
+      // rows: parent's count (an upper bound while key sets are
+      // outstanding — the scan-free write cannot know the matched
+      // count) plus the appended rows
+      try out.write(
+        ((s"$next\t$base\t$operation\t${baseRows + srcRows}\t$ddl" +
+          s"\t${idsField(tableIds)}\t$lastColId") +:
+          (refs.map(r =>
+            s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+            rawOpt.map(_.inline).getOrElse(Seq.empty).map(fileLine) ++
+            dRefLines(rawOpt.map(_.dRefs).getOrElse(Seq.empty)) ++
+            eqLines(rawOpt.map(_.eqRefs).getOrElse(Seq.empty) ++ eqOpt)))
+          .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      if (publish(fs, tmp, m)) {
+        if (eqOpt.isEmpty && nKeys > 0L)
+          fs.delete(new Path(s"$root/$dir"), true) // unreferenced bootstrap keys
+        return next
+      }
       fs.delete(tmp, false)
       fs.delete(new Path(s"$root/${newRef.path}"), false)
-      written.map(f => f.path.substring(0, f.path.lastIndexOf('/'))).distinct
-        .foreach(d => fs.delete(new Path(s"$root/$d"), true))
-      eqOpt.foreach(e => fs.delete(new Path(s"$root/${e.dir}"), true))
-      throw new IllegalStateException(
-        s"mergeIntoEqual on $root conflicted with a concurrent snapshot; " +
-          "recompute against the new current snapshot and retry")
+      attempt += 1
+      if (attempt >= 20) {
+        cleanupData()
+        throw new IllegalStateException(
+          s"mergeIntoEqual on $root lost $attempt commit races; aborting")
+      }
+      base = currentId(spark, root)
+      rawOpt = if (base > 0) Some(rawManifest(spark, root, base)) else None
+      val re = schemaOf(rawOpt)
+      tableSchema = re._1; tableIds = re._2; lastColId = re._3
+      // the written files' columns must still exist under their names
+      // (the retry carries no re-projection) — a winner that renamed or
+      // dropped one fails loudly rather than committing stale stamps
+      source.schema.fieldNames.foreach(n =>
+        require(tableSchema.fieldNames.contains(n),
+          s"concurrent commit removed column $n; recompute the merge " +
+            "against the new current snapshot and retry"))
     }
-    next
+    throw new IllegalStateException("unreachable")
   }
 
   /** Convert every outstanding EQUALITY delete into one positional
@@ -1994,43 +2063,45 @@ object SnapshotLog {
       raw: RawManifest, files: Seq[FileEntry], schema: StructType,
       curIds: Map[String, Int]): (FileEntry, EqRef) => Boolean = {
     val idToCur = curIds.map(_.swap)
+    // resolve once per eq; discover layouts once per DISTINCT column —
+    // a CDC stream's accumulated key sets all share one key column, so
+    // the driver-side stat walk is O(#files), not O(#eqs × #files)
+    val singleCol: Map[String, String] = raw.eqRefs.iterator.collect {
+      case e if e.keyIds.size == 1 =>
+        idToCur.get(e.keyIds.head._2).map(e.dir -> _)
+    }.flatten.toMap
+    val layoutsByCol: Map[String, Seq[Int]] =
+      singleCol.values.toSet.iterator
+        .map((c: String) => c -> layoutsIn(files, c, curIds)).toMap
     val sets: Map[(String, Int), Set[Long]] = raw.eqRefs.iterator.flatMap { e =>
-      if (e.keyIds.size != 1) Iterator.empty
-      else {
-        val (phys, id) = e.keyIds.head
-        idToCur.get(id).iterator.flatMap { cur =>
-          val layouts = layoutsIn(files, cur, curIds)
-          if (layouts.isEmpty) Seq.empty
-          else {
-            val row = spark.read.parquet(s"$root/${e.dir}")
-              .select(col(phys).cast(schema(cur).dataType).as(cur))
-              .select(layouts.map(n =>
-                collect_set(bucketExpr(cur, n)).as(s"b$n")): _*).head()
-            layouts.zipWithIndex.map { case (n, i) =>
-              (e.dir, n) -> row.getSeq[Long](i).toSet }
-          }
+      singleCol.get(e.dir).iterator.flatMap { cur =>
+        val layouts = layoutsByCol(cur)
+        if (layouts.isEmpty) Seq.empty
+        else {
+          val phys = e.keyIds.head._1
+          val row = spark.read.parquet(s"$root/${e.dir}")
+            .select(col(phys).cast(schema(cur).dataType).as(cur))
+            .select(layouts.map(n =>
+              collect_set(bucketExpr(cur, n)).as(s"b$n")): _*).head()
+          layouts.zipWithIndex.map { case (n, i) =>
+            (e.dir, n) -> row.getSeq[Long](i).toSet }
         }
       }
     }.toMap
     if (sets.isEmpty) return (_, _) => true
     (f: FileEntry, e: EqRef) =>
-      if (e.keyIds.size != 1) true
-      else idToCur.get(e.keyIds.head._2) match {
-        case None => true // dropped-id key set: keep, the apply path reports it
+      singleCol.get(e.dir) match {
+        // multi-column or dropped-id key set: keep (the apply path
+        // reports a dropped id loudly)
+        case None => true
         case Some(cur) =>
           physNameIn(f, cur, curIds) match {
             case None => true
             case Some(p) =>
               f.stats.forall { case (k, (lo, hi)) =>
-                if (!k.startsWith(s"__bucket:$p:")) true
-                else sets.get((e.dir, k.stripPrefix(s"__bucket:$p:").toInt)) match {
-                  case None => true
-                  case Some(set) =>
-                    try {
-                      val (l, h) = (lo.toLong, hi.toLong)
-                      set.exists(b => b >= l && b <= h)
-                    } catch { case _: NumberFormatException => true }
-                }
+                !k.startsWith(s"__bucket:$p:") ||
+                  sets.get((e.dir, k.stripPrefix(s"__bucket:$p:").toInt))
+                    .forall(bucketBandHit(_, lo, hi))
               }
           }
       }

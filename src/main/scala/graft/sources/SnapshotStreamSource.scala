@@ -157,15 +157,24 @@ private[sources] class SnapshotLogSink(
     if (SnapshotLog.lastStreamBatch(spark, root, streamId).exists(_ >= batchId))
       return
     val batch = StreamingFrame.batchOf(data.toDF())
-    if (mergeKeys.isEmpty || SnapshotLog.currentId(spark, root) == 0L)
-      // an upsert into an empty table IS its bootstrap append (nothing
-      // to retract); the append tag is fine — the replay cursor reads
-      // both tag kinds as one per-stream namespace
+    if (mergeKeys.isEmpty)
       SnapshotLog.appendAs(spark, root, batch,
         s"stream-append=$streamId:$batchId")
-    else
-      SnapshotLog.mergeIntoEqualAs(spark, root, batch, mergeKeys,
-        s"stream-upsert=$streamId:$batchId")
+    else {
+      // the merge handles the empty-table bootstrap itself (atomically
+      // — a check-then-append here would race a concurrent first
+      // commit into a retraction-free append) and retries lost races
+      // identity-style, so concurrent maintenance never kills the query
+      val before = SnapshotLog.currentId(spark, root)
+      val committed = SnapshotLog.mergeIntoEqualAs(spark, root, batch,
+        mergeKeys, s"stream-upsert=$streamId:$batchId")
+      // an EMPTY batch merges as a no-op commit-wise; record the
+      // cursor anyway so both sink modes advance the write-ahead tag
+      // per batch (replay detection and progress monitoring agree)
+      if (committed == before)
+        SnapshotLog.appendAs(spark, root, batch.limit(0),
+          s"stream-append=$streamId:$batchId")
+    }
     ()
   }
 

@@ -336,6 +336,43 @@ class SnapshotEqDeleteSpec extends SparkSpec {
     assert(st.getLong(1) === 31L)
   }
 
+  test("two concurrent equality merges both survive via identity retry") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = newRoot()
+    SnapshotLog.append(spark, root,
+      (1 to 10).map(k => (k, s"v$k")).toDF("k", "v"))
+    // a lost race must re-merge, not kill the caller — the shape of a
+    // streaming upsert colliding with concurrent maintenance/writers
+    val ids = Await.result(Future.sequence(Seq(
+      Future(SnapshotLog.mergeIntoEqual(spark, root,
+        Seq((5, "a5")).toDF("k", "v"), Seq("k"))),
+      Future(SnapshotLog.mergeIntoEqual(spark, root,
+        Seq((6, "b6"), (42, "n42")).toDF("k", "v"), Seq("k"))))), 120.seconds)
+    assert(ids.toSet.size === 2)
+    val cur = SnapshotLog.read(spark, root)
+    assert(cur.count() === 11L)
+    assert(rowSet(cur.filter(col("k").isin(5, 6, 42)).select("v")) ===
+      rowSet(Seq("a5", "b6", "n42").toDF("v")))
+  }
+
+  test("equality merge bootstraps an empty table as its append arm") {
+    val root = newRoot()
+    val id = SnapshotLog.mergeIntoEqual(spark, root,
+      Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
+    assert(id === 1L)
+    assert(SnapshotLog.read(spark, root).count() === 2L)
+    // no key set outstanding: nothing existed to retract, so metadata
+    // stays exact and no read pays an anti-join
+    val st = SnapshotLog.statsSummary(spark, root, Seq("k")).collect().head
+    assert(st.getLong(1) === 2L)
+    // and the next merge on the non-empty table retracts normally
+    SnapshotLog.mergeIntoEqual(spark, root, Seq((2, "b2")).toDF("k", "v"), Seq("k"))
+    assert(rowSet(SnapshotLog.read(spark, root).select("v")) ===
+      rowSet(Seq("a", "b2").toDF("v")))
+  }
+
   test("conversion on a bucketed table scans only matching-bucket files") {
     val root = newRoot()
     SnapshotLog.append(spark, root,

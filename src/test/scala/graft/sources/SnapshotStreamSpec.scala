@@ -222,8 +222,9 @@ class SnapshotStreamSpec extends SparkSpec {
     val (_, logDir, _) = newDirs()
     val sink = new SnapshotLogSink(spark, logDir, "up", Seq("k"))
     sink.addBatch(0, (1 to 10).map(k => (k, s"v$k")).toDF("k", "v"))
-    assert(SnapshotLog.operationOf(spark, logDir, 1L)
-      .startsWith("stream-append=up:0")) // bootstrap append, same cursor
+    // the bootstrap goes through the merge itself (atomic against a
+    // racing first commit), tagged like any upsert batch
+    assert(SnapshotLog.operationOf(spark, logDir, 1L) === "stream-upsert=up:0")
     sink.addBatch(1, Seq((3, "up3"), (42, "new42")).toDF("k", "v"))
     assert(SnapshotLog.operationOf(spark, logDir, 2L) === "stream-upsert=up:1")
     val cur = SnapshotLog.read(spark, logDir)
