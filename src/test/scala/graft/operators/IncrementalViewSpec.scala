@@ -195,6 +195,31 @@ class IncrementalViewSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, view, asOf = 1L).count() === 3L)
   }
 
+  test("refreshJoin folds windows whose inputs mutated by EQUALITY merge") {
+    val base = java.nio.file.Files.createTempDirectory("graft_iv_jeq")
+    val rootA = base.resolve("a").toString
+    val rootB = base.resolve("b").toString
+    val view = base.resolve("view").toString
+    val cols = Seq("k", "fk", "pa", "pb")
+    SnapshotLog.append(spark, rootA,
+      Seq((1L, 10L, "a1"), (2L, 10L, "a2"), (3L, 20L, "a3")).toDF("k", "fk", "pa"))
+    SnapshotLog.append(spark, rootB,
+      Seq((10L, "b10"), (20L, "b20")).toDF("fk", "pb"))
+    IncrementalView.refreshJoin(spark, view, rootA, rootB, "fk", cols)
+    // both sides mutate scan-free: an eq-merge update+insert on A and
+    // an eq-delete on B — the refresh consumes their change feeds like
+    // any CoW window (the eq delta decomposes into retraction + adds)
+    SnapshotLog.mergeIntoEqual(spark, rootA,
+      Seq((2L, 20L, "a2v2"), (4L, 20L, "a4")).toDF("k", "fk", "pa"), Seq("k"))
+    SnapshotLog.deleteWhereEqual(spark, rootB, Seq(10L).toDF("fk"))
+    IncrementalView.refreshJoin(spark, view, rootA, rootB, "fk", cols)
+    val direct = SnapshotLog.read(spark, rootA)
+      .join(SnapshotLog.read(spark, rootB), "fk")
+      .select(col("k"), col("fk"), col("pa"), col("pb"), lit(1L).as("m"))
+    assert(rowSet(SnapshotLog.read(spark, view)) === rowSet(direct))
+    assert(SnapshotLog.read(spark, view).count() === 3L) // a2v2, a3, a4 on fk=20
+  }
+
   test("refreshJoin on bucketed inputs prunes pre-state files and stays exact") {
     val base = java.nio.file.Files.createTempDirectory("graft_iv_jbucket")
     val rootA = base.resolve("a").toString
