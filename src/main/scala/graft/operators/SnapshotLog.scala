@@ -11,14 +11,22 @@ import graft.{Q, Tables}
   * atomic manifest commits, time travel, copy-on-write
   * delete/merge, MERGE-ON-READ positional delete vectors
   * ([[deleteWhereMoR]] + [[rewriteDeletes]] compaction — Iceberg v2
-  * deletes / Delta deletion vectors), field-id schema evolution
+  * deletes / Delta deletion vectors), MERGE-ON-READ equality deletes
+  * and the fully scan-free upsert they enable
+  * ([[deleteWhereEqual]]/[[mergeIntoEqual]] +
+  * [[rewriteEqualityDeletes]] conversion — Iceberg v2's second delete
+  * form, the Flink-style CDC write path), field-id schema evolution
   * ([[renameColumn]]/[[dropColumn]] as metadata-only commits),
   * metadata-only [[rollback]], write-audit-publish staging
   * ([[stageAppend]]), stat/bloom/bucket file pruning with
-  * manifest-level list bands, and snapshot expiry — the missing
-  * "history" half of [[graft.streaming.StreamingMerge]]'s
-  * copy-on-write protocol (merge keeps only the latest state; this
-  * keeps every committed version addressable).
+  * manifest-level list bands (surviving bucket-layout EVOLUTION via
+  * [[readForKeys]]), snapshot expiry, and a Structured Streaming
+  * source AND sink over the commit log itself
+  * ([[graft.sources.SnapshotChangeProvider]], format
+  * `"snapshot-log"`) — the missing "history" half of
+  * [[graft.streaming.StreamingMerge]]'s copy-on-write protocol
+  * (merge keeps only the latest state; this keeps every committed
+  * version addressable).
   *
   * Layout under `root` (a two-level manifest TREE, Iceberg's
   * manifest-list + manifest split — the r8 verdict's ask, closing the
