@@ -1901,14 +1901,31 @@ object SnapshotLog {
     * the CoW paths, which load the inventory anyway, keep the exact
     * per-file [[inheritedBucketStats]].
     */
-  private def bandBucketSpecs(raw: RawManifest,
-      schema: StructType): Seq[(String, Column)] =
-    (raw.refs.iterator.flatMap(_.band.keys) ++
-      raw.inline.iterator.flatMap(_.stats.keys))
+  private def bandBucketSpecs(raw: RawManifest, schema: StructType,
+      curIds: Map[String, Int]): Seq[(String, Column)] = {
+    val idToCur = curIds.map(_.swap)
+    // list-ref band keys already carry CURRENT names (rename commits
+    // re-key them); inline per-file keys record PHYSICAL names and
+    // must resolve through the file's ids, or a rename that freed the
+    // old name for a new column would migrate the layout to it
+    val inlineKeys = raw.inline.iterator.flatMap { f =>
+      f.stats.keys.filter(_.startsWith("__bucket:")).flatMap { k =>
+        val parts = k.split(':')
+        if (parts.length != 3) None
+        else {
+          val cur =
+            if (f.ids.isEmpty) Some(parts(1))
+            else f.ids.get(parts(1)).flatMap(idToCur.get)
+          cur.map(c => s"__bucket:$c:${parts(2)}")
+        }
+      }
+    }
+    (raw.refs.iterator.flatMap(_.band.keys) ++ inlineKeys)
       .filter(_.startsWith("__bucket:")).map(_.split(':')).collect {
         case Array(_, c, n) if schema.fieldNames.contains(c) => (c, n.toInt)
       }.toSet.toSeq.sorted
       .map { case (c, n) => bucketStatName(c, n) -> bucketExpr(c, n) }
+  }
 
   /** [[mergeIntoEqual]] under a caller-supplied operation tag — the
     * streaming sink's upsert commit records its (streamId, batchId)
@@ -1961,6 +1978,11 @@ object SnapshotLog {
     var rawOpt = if (base > 0) Some(rawManifest(spark, root, base)) else None
     var (tableSchema, tableIds, lastColId) = schemaOf(rawOpt)
     val tableCols = tableSchema.fieldNames.map(col).toSeq
+    // what the data files PHYSICALLY contain — fixed at the first
+    // attempt; retries validate and stamp exactly these, never the
+    // source's extra columns (projected away) or a race winner's
+    // additions (absent from the files)
+    val writtenFields = tableSchema.fields.map(f => f.name -> f.dataType).toSeq
     val firstNext = base + 1
     val dir = s"data/c${firstNext}_eq_${java.util.UUID.randomUUID().toString.take(8)}"
     source.select(keyCols.map(col): _*).distinct().write.parquet(s"$root/$dir")
@@ -1971,7 +1993,7 @@ object SnapshotLog {
     // so the commit's own key set never eats its own rows
     val written0 = writeDataFiles(spark, root,
       source.select(tableCols: _*), firstNext, None,
-      rawOpt.map(bandBucketSpecs(_, tableSchema)).getOrElse(Nil))
+      rawOpt.map(bandBucketSpecs(_, tableSchema, tableIds)).getOrElse(Nil))
     val srcRows = written0.iterator.map(_.rows).sum
     def cleanupData(): Unit = {
       fs.delete(new Path(s"$root/$dir"), true)
@@ -1982,8 +2004,12 @@ object SnapshotLog {
     var attempt = 0
     while (true) {
       val next = base + 1
+      // stamp ids for the WRITTEN columns only — claiming a race
+      // winner's new column on files that physically lack it would
+      // corrupt the manifest's physical-content contract
+      val writtenNames = writtenFields.map(_._1).toSet
       val written = written0.map(f => f.copy(
-        ids = tableIds.filter { case (n, _) => tableSchema.fieldNames.contains(n) },
+        ids = tableIds.filter { case (n, _) => writtenNames.contains(n) },
         stats = f.stats + (SeqStatName -> (next.toString, next.toString))))
       // a key set on an EMPTY table retracts nothing — the bootstrap
       // commit records only the data (no eq ref, no read-side join)
@@ -2029,13 +2055,17 @@ object SnapshotLog {
       rawOpt = if (base > 0) Some(rawManifest(spark, root, base)) else None
       val re = schemaOf(rawOpt)
       tableSchema = re._1; tableIds = re._2; lastColId = re._3
-      // the written files' columns must still exist under their names
-      // (the retry carries no re-projection) — a winner that renamed or
-      // dropped one fails loudly rather than committing stale stamps
-      source.schema.fieldNames.foreach(n =>
-        require(tableSchema.fieldNames.contains(n),
-          s"concurrent commit removed column $n; recompute the merge " +
-            "against the new current snapshot and retry"))
+      // the WRITTEN columns (not the source's projected-away extras)
+      // must survive under their names with readable types — a winner
+      // that renamed, dropped, or non-losslessly retyped one fails
+      // loudly rather than committing stale stamps
+      writtenFields.foreach { case (n, dt) =>
+        val cur = tableSchema.fields.find(_.name == n)
+        require(cur.isDefined &&
+          (cur.get.dataType == dt || isWidening(dt, cur.get.dataType)),
+          s"concurrent commit changed column $n; recompute the merge " +
+            "against the new current snapshot and retry")
+      }
     }
     throw new IllegalStateException("unreachable")
   }

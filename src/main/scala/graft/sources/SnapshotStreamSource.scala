@@ -165,15 +165,30 @@ private[sources] class SnapshotLogSink(
       // — a check-then-append here would race a concurrent first
       // commit into a retraction-free append) and retries lost races
       // identity-style, so concurrent maintenance never kills the query
-      val before = SnapshotLog.currentId(spark, root)
-      val committed = SnapshotLog.mergeIntoEqualAs(spark, root, batch,
+      SnapshotLog.mergeIntoEqualAs(spark, root, batch,
         mergeKeys, s"stream-upsert=$streamId:$batchId")
       // an EMPTY batch merges as a no-op commit-wise; record the
       // cursor anyway so both sink modes advance the write-ahead tag
-      // per batch (replay detection and progress monitoring agree)
-      if (committed == before)
-        SnapshotLog.appendAs(spark, root, batch.limit(0),
+      // per batch. No-op detection reads the TAG WALK (race-proof — a
+      // concurrent commit cannot carry this stream's batch id), and
+      // the cursor frame is projected to the table's existing columns
+      // so an empty batch never drives schema evolution the non-empty
+      // batches (which project to table columns) would not
+      if (!SnapshotLog.lastStreamBatch(spark, root, streamId)
+          .exists(_ >= batchId)) {
+        val cur = SnapshotLog.currentId(spark, root)
+        val cursorFrame =
+          if (cur == 0L) batch.limit(0)
+          else {
+            val tableCols = StructType.fromDDL(
+              SnapshotLog.snapshot(spark, root, cur).schemaDdl)
+              .fieldNames.filter(batch.columns.contains)
+            if (tableCols.isEmpty) batch.limit(0)
+            else batch.limit(0).select(tableCols.map(org.apache.spark.sql.functions.col(_)): _*)
+          }
+        SnapshotLog.appendAs(spark, root, cursorFrame,
           s"stream-append=$streamId:$batchId")
+      }
     }
     ()
   }

@@ -238,6 +238,23 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(rowSet(SnapshotLog.read(spark, logDir)) === rowSet(cur))
   }
 
+  test("an empty upsert batch advances the cursor without evolving the schema") {
+    val (_, logDir, _) = newDirs()
+    val sink = new SnapshotLogSink(spark, logDir, "e", Seq("k"))
+    sink.addBatch(0, Seq((1, "a")).toDF("k", "v"))
+    // empty batch carrying an EXTRA column the table lacks: the cursor
+    // must advance (write-ahead parity with append mode) but the
+    // column must NOT leak into the table schema just because the
+    // batch happened to be empty
+    sink.addBatch(1, Seq.empty[(Int, String, Int)].toDF("k", "v", "extra"))
+    assert(SnapshotLog.lastStreamBatch(spark, logDir, "e") === Some(1L))
+    assert(SnapshotLog.read(spark, logDir).columns.toSeq === Seq("k", "v"))
+    assert(SnapshotLog.read(spark, logDir).count() === 1L)
+    // and the replay of the empty batch is a no-op too
+    sink.addBatch(1, Seq((9, "evil")).toDF("k", "v"))
+    assert(SnapshotLog.read(spark, logDir).count() === 1L)
+  }
+
   test("lake-to-lake: snapshot-log source feeding a snapshot-log sink") {
     val (_, srcLog, ckpt) = newDirs()
     val dstLog = Files.createTempDirectory("graft_snapstream_dst")
