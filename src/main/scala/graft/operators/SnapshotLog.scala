@@ -2080,68 +2080,69 @@ object SnapshotLog {
     * [[rewriteDeletes]] can then fold everything back into data files.
     * Work is O(applicable files + matching rows) — the scan the delete
     * deferred, paid once here instead of per read — and on a
-    * key-bucketed table ([[optimizeBucketed]]/[[appendBucketed]] on a
-    * single-column key set) it prunes further: files whose recorded
-    * bucket band cannot hold ANY outstanding key are skipped from the
-    * manifest alone ([[eqPruneKeeps]]), so converting the key sets a
-    * CDC stream of [[mergeIntoEqual]] commits accumulated scans
-    * O(matching buckets), not the table.
+    * key-bucketed table ([[optimizeBucketed]]/[[appendBucketed]] on
+    * any keyed column) it prunes further: files whose recorded bucket
+    * band cannot hold ANY outstanding key are skipped from the
+    * manifest alone ([[eqPruneKeeps]] — every keyed column with a
+    * layout contributes a necessary condition), so converting the key
+    * sets a CDC stream of [[mergeIntoEqual]] commits accumulated
+    * scans O(matching buckets), not the table.
     */
-  /** Whether a file may hold rows a given SINGLE-column key set can
-    * match, decided from the file's recorded bucket band and the key
-    * set's bucket ids under that file's own layout — [[keyFilesOf]]'s
-    * interval test, specialized per outstanding delete so the
-    * conversion scan skips provably match-free files from metadata
-    * alone. Multi-column key sets, layout-less columns, and stat-less
-    * files are conservatively kept. One bounded job per single-column
-    * key set computes its bucket ids (maintenance-time cost: #key-sets
-    * tiny aggregations over churn-sized key dirs).
+  /** Whether a file may hold rows a given key set can match, decided
+    * from the file's recorded bucket bands and the key set's bucket
+    * ids under that file's own layouts — [[keyFilesOf]]'s interval
+    * test, specialized per outstanding delete so the conversion scan
+    * skips provably match-free files from metadata alone. Every KEYED
+    * column with a recorded layout contributes a necessary condition
+    * (a matching row carries every key value, so each column's bucket
+    * membership must hold — the conjunction only tightens); layout-
+    * less columns, dropped-id keys, and stat-less files are
+    * conservatively kept. One bounded job per key set computes its
+    * columns' bucket ids (maintenance-time cost: #key-sets tiny
+    * aggregations over churn-sized key dirs; layouts discovered once
+    * per distinct column).
     */
   private def eqPruneKeeps(spark: SparkSession, root: String,
       raw: RawManifest, files: Seq[FileEntry], schema: StructType,
       curIds: Map[String, Int]): (FileEntry, EqRef) => Boolean = {
     val idToCur = curIds.map(_.swap)
-    // resolve once per eq; discover layouts once per DISTINCT column —
-    // a CDC stream's accumulated key sets all share one key column, so
-    // the driver-side stat walk is O(#files), not O(#eqs × #files)
-    val singleCol: Map[String, String] = raw.eqRefs.iterator.collect {
-      case e if e.keyIds.size == 1 =>
-        idToCur.get(e.keyIds.head._2).map(e.dir -> _)
-    }.flatten.toMap
+    // per eq: its resolvable (physical, current) key columns
+    val colsOf: Map[String, Seq[(String, String)]] = raw.eqRefs.iterator
+      .map(e => e.dir -> e.keyIds.toSeq.sortBy(_._2).flatMap {
+        case (phys, id) => idToCur.get(id).map(phys -> _)
+      }).toMap
     val layoutsByCol: Map[String, Seq[Int]] =
-      singleCol.values.toSet.iterator
+      colsOf.valuesIterator.flatMap(_.map(_._2)).toSet.iterator
         .map((c: String) => c -> layoutsIn(files, c, curIds)).toMap
-    val sets: Map[(String, Int), Set[Long]] = raw.eqRefs.iterator.flatMap { e =>
-      singleCol.get(e.dir).iterator.flatMap { cur =>
-        val layouts = layoutsByCol(cur)
-        if (layouts.isEmpty) Seq.empty
+    val sets: Map[(String, String, Int), Set[Long]] =
+      raw.eqRefs.iterator.flatMap { e =>
+        val probed = colsOf(e.dir).filter(c => layoutsByCol(c._2).nonEmpty)
+        if (probed.isEmpty) Seq.empty
         else {
-          val phys = e.keyIds.head._1
+          val aggs = probed.flatMap { case (_, cur) =>
+            layoutsByCol(cur).map(n =>
+              collect_set(bucketExpr(cur, n)).as(s"b_${cur}_$n")) }
           val row = spark.read.parquet(s"$root/${e.dir}")
-            .select(col(phys).cast(schema(cur).dataType).as(cur))
-            .select(layouts.map(n =>
-              collect_set(bucketExpr(cur, n)).as(s"b$n")): _*).head()
-          layouts.zipWithIndex.map { case (n, i) =>
-            (e.dir, n) -> row.getSeq[Long](i).toSet }
+            .select(probed.map { case (phys, cur) =>
+              col(phys).cast(schema(cur).dataType).as(cur) }: _*)
+            .select(aggs: _*).head()
+          probed.flatMap { case (_, cur) => layoutsByCol(cur).map(cur -> _) }
+            .zipWithIndex.map { case ((cur, n), i) =>
+              (e.dir, cur, n) -> row.getSeq[Long](i).toSet }
         }
-      }
-    }.toMap
+      }.toMap
     if (sets.isEmpty) return (_, _) => true
     (f: FileEntry, e: EqRef) =>
-      singleCol.get(e.dir) match {
-        // multi-column or dropped-id key set: keep (the apply path
-        // reports a dropped id loudly)
-        case None => true
-        case Some(cur) =>
-          physNameIn(f, cur, curIds) match {
-            case None => true
-            case Some(p) =>
-              f.stats.forall { case (k, (lo, hi)) =>
-                !k.startsWith(s"__bucket:$p:") ||
-                  sets.get((e.dir, k.stripPrefix(s"__bucket:$p:").toInt))
-                    .forall(bucketBandHit(_, lo, hi))
-              }
-          }
+      colsOf(e.dir).forall { case (_, cur) =>
+        physNameIn(f, cur, curIds) match {
+          case None => true
+          case Some(p) =>
+            f.stats.forall { case (k, (lo, hi)) =>
+              !k.startsWith(s"__bucket:$p:") ||
+                sets.get((e.dir, cur, k.stripPrefix(s"__bucket:$p:").toInt))
+                  .forall(bucketBandHit(_, lo, hi))
+            }
+        }
       }
   }
 

@@ -390,10 +390,13 @@ class SnapshotEqDeleteSpec extends SparkSpec {
     val id = SnapshotLog.rewriteEqualityDeletes(spark, root)
     assert(rowSet(SnapshotLog.read(spark, root)) === want)
     assert(SnapshotLog.snapshot(spark, root, id).rows === 199L)
-    // a MULTI-column key set is conservatively unpruned but exact
+    // a MULTI-column key set prunes by its LAYOUTED column's component
+    // (each keyed column's bucket membership is a necessary condition)
     SnapshotLog.deleteWhereEqual(spark, root,
       Seq((43, "v43")).toDF("k", "v"))
-    assert(SnapshotLog.eqConvertScan(spark, root).size === all.size)
+    val scan2 = SnapshotLog.eqConvertScan(spark, root)
+    assert(scan2.nonEmpty && scan2.size < all.size,
+      s"multi-column conversion scan not pruned: ${scan2.size} of ${all.size}")
     SnapshotLog.rewriteEqualityDeletes(spark, root)
     assert(SnapshotLog.read(spark, root).count() === 198L)
   }
