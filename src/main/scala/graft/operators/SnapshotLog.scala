@@ -168,12 +168,32 @@ object SnapshotLog {
     }.toSeq
 
   /** a > b under the column type's order (decimal for numerics —
-    * doubles render scientific, so lexical would lie — else lexical).
+    * doubles render scientific, so lexical would lie — else UTF-8
+    * byte order). The byte order matters: Spark's min/max and string
+    * comparisons order by UTF8String (code points), while JVM
+    * `String` compares UTF-16 units — surrogate pairs (supplementary
+    * plane, 0xD800–0xDFFF units) sort BELOW [U+E000, U+FFFF] in
+    * UTF-16 but ABOVE them by code point. Comparing stats in UTF-16
+    * would let pruning wrongly skip a file whose band contains
+    * matches. Date/timestamp renderings are ASCII, where the two
+    * orders agree.
     */
   private def statGt(dt: org.apache.spark.sql.types.DataType,
       a: String, b: String): Boolean = dt match {
     case _: org.apache.spark.sql.types.NumericType => BigDecimal(a) > BigDecimal(b)
-    case _ => a > b
+    case _ => utf8Gt(a, b)
+  }
+
+  private def utf8Gt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c > 0
+      i += 1
+    }
+    x.length > y.length
   }
 
   // ---- hash-bucket layout: a DERIVED per-file stat (reserved name
@@ -1502,11 +1522,11 @@ object SnapshotLog {
     // its snapshot later expired (staged data is vacuum-protected
     // until decided, so nothing else reclaims it) — beyond-history
     // crash replay; cleanup, never re-splice a reclaimed list
-    val everPublished = history(spark, root).iterator
+    def alreadyPublished(): Boolean = history(spark, root).iterator
       .flatMap(s => rawManifest(spark, root, s.id).refs)
       .exists(r => stagedListPaths(r.path)) ||
       !staged.refs.forall(r => fs.exists(new Path(s"$root/${r.path}")))
-    if (everPublished) {
+    if (alreadyPublished()) {
       fs.delete(sp, false)
       return currentId(spark, root)
     }
@@ -1558,6 +1578,14 @@ object SnapshotLog {
         return next
       }
       fs.delete(tmp, false)
+      // the race we just lost may have been a CONCURRENT publish of
+      // THIS key (both passed the pre-loop guard) — re-check against
+      // fresh history before splicing again, else the loser's retry
+      // would duplicate the staged rows and double-count the total
+      if (alreadyPublished()) {
+        fs.delete(sp, false)
+        return currentId(spark, root)
+      }
       attempt += 1
       require(attempt < 20, s"publishStaged to $root lost $attempt races; aborting")
     }

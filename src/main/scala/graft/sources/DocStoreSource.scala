@@ -678,10 +678,24 @@ private[sources] class DocStoreWriterFactory(
   */
 object DocStoreQueries {
 
-  // relative to the launch directory (how Verify/Bench run), matching
-  // the test convention — an absolute machine path would break any
-  // other checkout
-  private val FixtureDir = "src/test/resources/fixtures"
+  // Resolved to an ABSOLUTE path at runtime (relative to this JVM's
+  // launch directory, walking up if launched from a subdir). The
+  // resolution must happen here, not in the SQL text: the oracle SQL
+  // is interpolated into `oracleSql` and later executed by a DuckDB
+  // process with a DIFFERENT cwd, so a launch-relative string in the
+  // SQL silently breaks only on the oracle side (the r10 ds1/ds2/sm13
+  // regression). Canonicalizing once keeps both engines reading the
+  // same files while staying checkout-portable.
+  private val FixtureDir: String = {
+    val rel = "src/test/resources/fixtures"
+    var dir = new java.io.File(".").getCanonicalFile
+    var found: Option[java.io.File] = None
+    while (found.isEmpty && dir != null) {
+      val cand = new java.io.File(dir, rel)
+      if (cand.isDirectory) found = Some(cand) else dir = dir.getParentFile
+    }
+    found.getOrElse(new java.io.File(rel)).getCanonicalPath
+  }
 
   import graft.Q
   import org.apache.spark.sql.functions._

@@ -61,7 +61,13 @@ object SessionTimeout {
             out += SessOut(key, s.start_us, s.end_us, s.n, s.sum_fx)
             st = Some(SessAgg(r.ts_us, r.ts_us, 1L, r.v_fx, 0L))
           case Some(s) =>
-            st = Some(SessAgg(s.start_us, r.ts_us, s.n + 1, s.sum_fx + r.v_fx, 0L))
+            // min/max, NOT assignment: a late-but-within-watermark
+            // event (files replayed out of time order across
+            // micro-batches) may carry ts_us < s.end_us, and letting
+            // it regress the window would wrongly split the session
+            // at the next on-time event
+            st = Some(SessAgg(math.min(s.start_us, r.ts_us),
+              math.max(s.end_us, r.ts_us), s.n + 1, s.sum_fx + r.v_fx, 0L))
           case None =>
             st = Some(SessAgg(r.ts_us, r.ts_us, 1L, r.v_fx, 0L))
         }
