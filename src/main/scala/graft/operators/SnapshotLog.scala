@@ -1100,6 +1100,107 @@ object SnapshotLog {
     out.toDF("col_name", "n_rows", "min_val", "max_val")
   }
 
+  // ---- DSv2 catalog support: the SQL front door (graft.sources
+  // .SnapshotCatalog) plans reads through these three hooks, so the
+  // catalog path and the library API share one pruning + MoR
+  // resolution implementation and can never diverge. ----
+
+  /** Table schema at snapshot `asOf` (current when 0) — what the
+    * catalog's loadTable reports before any scan is built.
+    */
+  private[graft] def schemaAt(spark: SparkSession, root: String,
+      asOf: Long = 0L): StructType = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    require(id > 0, s"no snapshots under $root")
+    StructType.fromDDL(rawManifest(spark, root, id).schemaDdl)
+  }
+
+  /** Latest snapshot published at or before `tsMillis` — the
+    * `TIMESTAMP AS OF` resolution. Manifests are written once via
+    * tmp-write + rename and never touched again, so a manifest's
+    * modification time IS its commit time; [[expire]]d ids simply no
+    * longer appear in the listing.
+    */
+  private[graft] def snapshotAtTime(spark: SparkSession, root: String,
+      tsMillis: Long): Long = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(s"$root/snap")
+    require(fs.exists(dir), s"no snapshots under $root")
+    val hit = fs.listStatus(dir).iterator
+      .filter(st => !st.isDirectory)
+      .filter(st => st.getPath.getName.matches("v\\d+\\.manifest"))
+      .filter(_.getModificationTime <= tsMillis)
+      .map(_.getPath.getName.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .foldLeft(0L)(math.max)
+    require(hit > 0,
+      s"no snapshot of $root published at or before epoch-millis $tsMillis")
+    hit
+  }
+
+  /** The catalog scan's FILE plan: live entries pruned by the pushed
+    * conjuncts' stat bands (list-level bands first, so unmatched lists
+    * are never opened), plus per-file bloom consult for point
+    * conjuncts on integral columns — the same two-level skipping
+    * [[readBox]]/[[readPoint]] apply, driven here by SQL predicates
+    * the V2 pushdown hands the scan builder. Returns (kept, total
+    * live, schema); empty `preds` = the full inventory. Conjuncts on
+    * unknown columns are ignored (the residual filter still applies —
+    * pruning only ever skips files, never changes the answer).
+    */
+  private[graft] def catalogPlan(spark: SparkSession, root: String,
+      asOf: Long, preds: Seq[(String, Option[String], Option[String])])
+      : (Seq[FileEntry], Int, StructType) = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    val fs = fsOf(spark, root)
+    val raw = rawManifest(spark, root, id)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    val all = raw.inline ++ raw.refs.flatMap(r => readFileList(fs, root, r.path))
+    val usable = preds.filter { case (c, _, _) => schema.fieldNames.contains(c) }
+    val kept0 = if (usable.isEmpty) all else boxFiles(spark, root, usable, id)._1
+    val curIds = currentIdsOf(raw, schema)._1
+    val points = usable.flatMap {
+      case (c, Some(lo), Some(hi)) if lo == hi =>
+        val integral = schema(c).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+        if (integral) scala.util.Try(lo.toLong).toOption.map(c -> _) else None
+      case _ => None
+    }
+    val kept =
+      if (points.isEmpty) kept0
+      else kept0.filter { f =>
+        points.forall { case (c, v) =>
+          physNameIn(f, c, curIds).flatMap(f.blooms.get) match {
+            case Some(b64) =>
+              org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(
+                  java.util.Base64.getDecoder.decode(b64)))
+                .mightContainLong(v)
+            case None => true
+          }
+        }
+      }
+    (kept, all.size, schema)
+  }
+
+  /** Full merge-on-read read of an externally PRUNED subset of
+    * snapshot `asOf`'s live files — the catalog scan's row producer.
+    * Delete vectors and equality deletes apply exactly as in [[read]];
+    * pruning away a DV's other targets never breaks the anti-join
+    * (coordinates are exact per file).
+    */
+  private[graft] def readFileSubset(spark: SparkSession, root: String,
+      files: Seq[FileEntry], asOf: Long = 0L): DataFrame = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    val raw = rawManifest(spark, root, id)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    dvRead(spark, root, raw, files, schema, currentIdsOf(raw, schema)._1)
+  }
+
   /** Per-file bloom recording: build a filter over each listed (long or
     * integral) column per written data file, sized for `expectedPerFile`
     * items at `fpp`. Overfull files degrade to a higher fpp — more
@@ -4529,6 +4630,30 @@ object SnapshotLog {
              |FROM orders WHERE o_orderkey % 10 = 1
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { eqMergeLog(s, dir); () })
+    ),
+
+    // TT26: the DSv2 catalog front door — the Spark side is PURE SQL
+    // text over a path identifier with `VERSION AS OF`, resolved by
+    // graft.sources.SnapshotCatalog through the same manifest the
+    // library API pins (tt1 reads this exact snapshot via
+    // read(asOf=2)); it must hash-match tt1's from-scratch oracle. A
+    // catalog that resolved the wrong manifest, dropped the time
+    // travel spec, or diverged from the library's MoR/field-id read
+    // semantics breaks the hash.
+    Q(
+      "tt26_sql_catalog",
+      (s, dir) => {
+        val root = ordersLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat",
+          "graft.sources.SnapshotCatalog")
+        s.sql(
+          s"""SELECT o_orderkey, o_custkey, o_orderstatus
+             |FROM snapcat.`$root` VERSION AS OF 2
+             |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |WHERE o_orderkey % 3 <= 1 ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { ordersLog(s, dir); () })
     )
   )
 }

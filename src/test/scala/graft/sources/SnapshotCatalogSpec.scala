@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+import graft.operators.SnapshotLog
+
+/** The DSv2 catalog front door: SQL reads (time travel included) must
+  * be the LIBRARY read — same rows, same MoR semantics, same pruning —
+  * with file skipping observable through the planned scan.
+  */
+class SnapshotCatalogSpec extends SparkSpec {
+
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.snapcat",
+      classOf[SnapshotCatalog].getName)
+    "snapcat"
+  }
+
+  /** Three appends in disjoint key ranges (one file each), then a MoR
+    * delete of one key — the full read matrix in one tiny log.
+    */
+  private def freshLog(): String = {
+    import spark.implicits._
+    val root = graft.TempDirs.create("snapcat").resolve("log").toString
+    Seq(Seq((1L, "a"), (2L, "b")), Seq((10L, "c"), (11L, "d")),
+      Seq((20L, "e"), (21L, "f"))).foreach { batch =>
+      SnapshotLog.append(spark, root, batch.toDF("k", "v").coalesce(1))
+    }
+    root
+  }
+
+  private def sqlRead(root: String, suffix: String = ""): org.apache.spark.sql.DataFrame =
+    spark.sql(s"SELECT * FROM $cat.`$root` $suffix")
+
+  test("SQL read over the catalog matches the library read") {
+    val root = freshLog()
+    assert(rowSet(sqlRead(root)) == rowSet(SnapshotLog.read(spark, root)))
+  }
+
+  test("VERSION AS OF pins the manifest the library pins") {
+    val root = freshLog()
+    assert(rowSet(sqlRead(root, "VERSION AS OF 2")) ==
+      rowSet(SnapshotLog.read(spark, root, asOf = 2L)))
+    assert(sqlRead(root, "VERSION AS OF 1").count() == 2L)
+  }
+
+  test("TIMESTAMP AS OF resolves by manifest publish time") {
+    val root = freshLog()
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manifests are write-once; pin their mtimes so the test is exact
+    (1 to 3).foreach { i =>
+      fs.setTimes(new Path(f"$root/snap/v$i%08d.manifest"), i * 1000L, -1) }
+    val df = sqlRead(root, "TIMESTAMP AS OF '1970-01-01 00:00:02.5'")
+    assert(rowSet(df) == rowSet(SnapshotLog.read(spark, root, asOf = 2L)))
+    intercept[Exception] { sqlRead(root, "TIMESTAMP AS OF '1970-01-01'").collect() }
+  }
+
+  test("pushed range predicate prunes files from the manifest") {
+    val root = freshLog()
+    val df = sqlRead(root).filter("k >= 10 AND k <= 11")
+    val scan = SnapshotCatalog.scanOf(df)
+    assert(scan.totalFiles == 3)
+    assert(scan.keptFiles.size == 1, "band pruning must keep one file")
+    assert(rowSet(df) == Seq(Seq("10", "c"), Seq("11", "d")))
+  }
+
+  test("equality predicate on a bloomed column consults per-file blooms") {
+    import spark.implicits._
+    val root = graft.TempDirs.create("snapcat_bloom").resolve("log").toString
+    // two files with OVERLAPPING k ranges: band pruning alone keeps
+    // both; only the bloom can skip the file not containing 5
+    val bs = SnapshotLog.BloomSpec(Seq("k"), expectedPerFile = 16L)
+    SnapshotLog.appendBloomed(spark, root,
+      Seq((1L, "a"), (9L, "b")).toDF("k", "v").coalesce(1), bs)
+    SnapshotLog.appendBloomed(spark, root,
+      Seq((2L, "c"), (8L, "d")).toDF("k", "v").coalesce(1), bs)
+    val df = sqlRead(root).filter("k = 9")
+    val scan = SnapshotCatalog.scanOf(df)
+    assert(scan.totalFiles == 2 && scan.keptFiles.size == 1)
+    assert(rowSet(df) == Seq(Seq("9", "b")))
+  }
+
+  test("untranslatable residual predicates still evaluate correctly") {
+    val root = freshLog()
+    val df = sqlRead(root).filter("k % 10 = 1")
+    assert(rowSet(df) == Seq(Seq("1", "a"), Seq("11", "d"), Seq("21", "f")))
+  }
+
+  test("column pruning reaches the scan") {
+    val root = freshLog()
+    val df = spark.sql(s"SELECT v FROM $cat.`$root` WHERE k = 1")
+    assert(SnapshotCatalog.scanOf(df).readSchema().fieldNames.toSeq == Seq("v"))
+    assert(rowSet(df) == Seq(Seq("a")))
+  }
+
+  test("SQL reads see merge-on-read deletes and renames") {
+    val root = freshLog()
+    SnapshotLog.deleteWhereMoR(spark, root, org.apache.spark.sql.functions.col("k") === 10L)
+    assert(rowSet(sqlRead(root)) == rowSet(SnapshotLog.read(spark, root)))
+    assert(sqlRead(root).count() == 5L)
+    SnapshotLog.renameColumn(spark, root, "v", "val")
+    val renamed = sqlRead(root)
+    assert(renamed.columns.toSeq == Seq("k", "val"))
+    assert(renamed.count() == 5L)
+    // the pre-rename VERSION still reads under ITS schema
+    assert(sqlRead(root, "VERSION AS OF 3").columns.toSeq == Seq("k", "v"))
+  }
+
+  test("aggregate over the catalog table matches the oracle shape") {
+    val root = freshLog()
+    val n = spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`").head().getLong(0)
+    assert(n == 6L)
+  }
+}
