@@ -236,20 +236,33 @@ object SnapshotLog {
   private def inheritedBucketStats(files: Seq[FileEntry],
       schema: StructType, curIds: Map[String, Int]): Seq[(String, Column)] = {
     val idToCur = curIds.map(_.swap)
-    files.iterator.flatMap { f =>
+    def toCur(phys: String, hasIds: Boolean, f: FileEntry): Option[String] = {
+      val cur =
+        if (!hasIds) Some(phys)
+        else f.ids.get(phys).flatMap(idToCur.get)
+      cur.filter(schema.fieldNames.contains)
+    }
+    val buckets = files.iterator.flatMap { f =>
       f.stats.keys.filter(_.startsWith("__bucket:")).flatMap { name =>
         val parts = name.split(':')
         if (parts.length != 3) None
-        else {
-          val cur =
-            if (f.ids.isEmpty) Some(parts(1))
-            else f.ids.get(parts(1)).flatMap(idToCur.get)
-          cur.filter(schema.fieldNames.contains)
-            .map(c => (c, parts(2).toInt))
-        }
+        else toCur(parts(1), f.ids.nonEmpty, f).map(c => (c, parts(2).toInt))
       }
     }.toSet.toSeq.sorted
       .map { case (c, n) => bucketStatName(c, n) -> bucketExpr(c, n) }
+    // hidden-partition transform stats inherit the same way, so a CoW
+    // rewrite keeps the table's transform pruning sharp on the
+    // rewritten files instead of silently widening them to stat-less
+    val parts = files.iterator.flatMap { f =>
+      f.stats.keys.filter(_.startsWith("__part:")).flatMap { name =>
+        val ps = name.split(':')
+        if (ps.length < 3) None
+        else toCur(ps(2), f.ids.nonEmpty, f).map(c =>
+          PartField(ps(1), c, if (ps.length > 3) ps(3).toInt else 0))
+      }
+    }.toSet.toSeq.sortBy((f: PartField) => (f.transform, f.column, f.n))
+      .map(f => partStatName(f) -> partExpr(f, schema(f.column).dataType))
+    buckets ++ parts
   }
 
   /** The declared bucket count for `column` at a snapshot, if any file
@@ -284,6 +297,73 @@ object SnapshotLog {
         f.stats.keys.filter(_.startsWith(pfx)).map(_.stripPrefix(pfx).toInt)
       }
     })
+  }
+
+  private def validateSpec(fields: Seq[PartField], schema: StructType): Unit =
+    fields.foreach { f =>
+      import org.apache.spark.sql.types._
+      require(PartTransforms.contains(f.transform),
+        s"unknown partition transform ${f.transform} " +
+          s"(supported: ${PartTransforms.toSeq.sorted.mkString(", ")})")
+      require(schema.fieldNames.contains(f.column),
+        s"partition column ${f.column} not in schema")
+      val dt = schema(f.column).dataType
+      f.transform match {
+        case "days" | "months" => require(
+          dt == TimestampType || dt == DateType,
+          s"${f.transform}(${f.column}) needs a timestamp/date column, got $dt")
+        case "hours" => require(dt == TimestampType,
+          s"hours(${f.column}) needs a timestamp column, got $dt")
+        case "bucket" => require(f.n > 0, s"bucket(${f.column}) needs n > 0")
+        case "trunc" =>
+          require(f.n > 0, s"trunc(${f.column}) needs a width > 0")
+          require(dt == StringType || dt == ByteType || dt == ShortType ||
+            dt == IntegerType || dt == LongType,
+            s"trunc(${f.column}) needs a string/integral column, got $dt")
+      }
+    }
+
+  /** Declare (or change) the table's HIDDEN partition spec — a
+    * metadata-only commit. Every later write routes its rows by the
+    * spec's transforms and stamps per-file transform bands; readers
+    * prune from RAW predicates through those bands ([[boxFiles]]), so
+    * users never see a partition column. CHANGING the spec affects
+    * only FUTURE files (Iceberg's spec evolution): old files keep the
+    * stats they recorded and keep pruning under them — no rewrite.
+    */
+  def setPartitionSpec(spark: SparkSession, root: String,
+      fields: Seq[PartField]): Long = {
+    val base = currentId(spark, root)
+    require(base > 0,
+      s"setPartitionSpec on empty log $root; use appendPartitioned to " +
+        "declare a spec with the first write")
+    val raw = rawManifest(spark, root, base)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    validateSpec(fields, schema)
+    val (ids, last) = currentIdsOf(raw, schema)
+    commitMetadata(spark, root, base, raw, schema, ids, last, "set-spec",
+      editKey = Some(_), specOverride = Some(fields))
+  }
+
+  /** The declared partition spec at a snapshot (empty = unpartitioned
+    * or pre-spec manifest).
+    */
+  def partitionSpecOf(spark: SparkSession, root: String,
+      asOf: Long = 0L): Seq[PartField] = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    if (id == 0) Seq.empty
+    else rawManifest(spark, root, id).spec
+  }
+
+  /** Append `df` DECLARING `fields` as the table's partition spec in
+    * the same commit — the first-write form of [[setPartitionSpec]]
+    * (and a re-declare on later appends). Rows route by the spec.
+    */
+  def appendPartitioned(spark: SparkSession, root: String, df: DataFrame,
+      fields: Seq[PartField]): Long = {
+    validateSpec(fields, df.schema)
+    commit(spark, root, df, "append", keepBase = true,
+      declareSpec = Some(fields))
   }
 
   private def manifestPath(root: String, id: Long): Path =
@@ -389,6 +469,143 @@ object SnapshotLog {
     eqs.filter(e => s < e.seq)
   }
 
+  // ---- hidden partitioning: a DECLARED partition spec (Iceberg's
+  // partition transforms) carried in the manifest as `P` lines. Writes
+  // route rows by the transform values and record each file's
+  // transform band as a derived stat, so readers prune from RAW
+  // predicates (`WHERE ts BETWEEN …`) without the user ever writing a
+  // partition-column predicate — the feature that stops hand-managed
+  // `dt=2026-08-15` columns at 100 TB. The spec is metadata: changing
+  // it affects only FUTURE files (old files keep their recorded
+  // stats and prune under them — spec evolution needs no rewrite). ----
+
+  /** One declared partition field: `days|hours|months` over a
+    * timestamp/date column, `bucket` (n required) over any hashable
+    * column, `trunc` (width n) over integral or string columns.
+    */
+  final case class PartField(transform: String, column: String, n: Int = 0)
+
+  private val PartTransforms = Set("days", "hours", "months", "bucket", "trunc")
+
+  private def specLines(spec: Seq[PartField]): Seq[String] =
+    spec.map(f => s"P\t${f.transform}\t${enc(f.column)}\t${f.n}")
+
+  private def parsePartLine(l: String): PartField =
+    l.split('\t') match {
+      case Array(_, t, c, n) => PartField(t, dec(c), n.toInt)
+      case _ => throw new IllegalStateException(s"bad partition line: $l")
+    }
+
+  /** The derived-stat key a spec field records per file. Bucket fields
+    * reuse the `__bucket:` layout key so every existing bucket-pruning
+    * path ([[keyFilesOf]], [[eqPruneKeeps]], [[readBuckets]]) prunes
+    * spec-routed tables unchanged.
+    */
+  private def partStatName(f: PartField): String = f.transform match {
+    case "bucket" => bucketStatName(f.column, f.n)
+    case "trunc" => s"__part:trunc:${f.column}:${f.n}"
+    case t => s"__part:$t:${f.column}"
+  }
+
+  /** The transform expression a spec field routes and stamps with —
+    * all numeric-long except string-trunc (a prefix). `days` via a
+    * date cast (session UTC), so date AND timestamp columns share one
+    * rendering; `months` since epoch; `trunc` is Iceberg's
+    * `v - (v mod w)` (floor semantics via pmod) / string prefix.
+    */
+  private def partExpr(f: PartField,
+      dt: org.apache.spark.sql.types.DataType): Column = f.transform match {
+    case "bucket" => bucketExpr(f.column, f.n)
+    case "days" =>
+      datediff(col(f.column).cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long")
+    case "hours" =>
+      floor(unix_micros(col(f.column)) / lit(3600000000L)).cast("long")
+    case "months" =>
+      ((year(col(f.column)) - lit(1970)) * lit(12) + month(col(f.column))
+        - lit(1)).cast("long")
+    case "trunc" => dt match {
+      case org.apache.spark.sql.types.StringType =>
+        substring(col(f.column), 1, f.n)
+      case _ => (col(f.column) - pmod(col(f.column), lit(f.n))).cast("long")
+    }
+  }
+
+  /** Map ONE raw predicate bound into a transform's value space —
+    * every supported transform except bucket is MONOTONIC, so
+    * `[t(lo), t(hi)]` bounds the transform band exactly. Values parse
+    * from their stat rendering (cast-to-string); None = unparseable,
+    * the caller skips nothing.
+    */
+  private def partBound(transform: String, n: Int,
+      dt: org.apache.spark.sql.types.DataType, v: String): Option[String] = {
+    import org.apache.spark.sql.types._
+    def micros: Option[Long] = dt match {
+      case TimestampType =>
+        scala.util.Try {
+          val base = java.time.LocalDateTime.parse(
+            v.replace(' ', 'T'),
+            java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+          base.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            base.getNano / 1000L
+        }.toOption
+      case DateType => scala.util.Try(
+        java.time.LocalDate.parse(v).toEpochDay * 86400000000L).toOption
+      case _ => None
+    }
+    transform match {
+      case "days" => micros.map(m =>
+        Math.floorDiv(m, 86400000000L).toString)
+      case "hours" => micros.map(m =>
+        Math.floorDiv(m, 3600000000L).toString)
+      case "months" => micros.map { m =>
+        val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(m, 86400000000L))
+        ((d.getYear - 1970) * 12 + d.getMonthValue - 1).toString
+      }
+      case "trunc" => dt match {
+        case StringType => Some(v.take(n))
+        case _: NumericType => scala.util.Try {
+          val x = BigDecimal(v).toLongExact
+          (x - Math.floorMod(x, n.toLong)).toString
+        }.toOption
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Driver-side bucket id of a rendered point value — MUST match
+    * [[bucketExpr]] (`pmod(hash(col), n)`), so it evaluates the SAME
+    * Catalyst Murmur3 expression on a literal instead of re-deriving
+    * the hash; BucketOfValueSpec pins the equivalence property-style.
+    * None = unsupported/unparseable type (no pruning).
+    */
+  private[graft] def bucketOfValue(
+      dt: org.apache.spark.sql.types.DataType, v: String,
+      n: Int): Option[Long] = {
+    import org.apache.spark.sql.types._
+    val litOpt: Option[org.apache.spark.sql.catalyst.expressions.Literal] =
+      try dt match {
+        case LongType => Some(org.apache.spark.sql.catalyst.expressions
+          .Literal(BigDecimal(v).toLongExact))
+        case IntegerType => Some(org.apache.spark.sql.catalyst.expressions
+          .Literal(BigDecimal(v).toIntExact))
+        case ShortType => Some(org.apache.spark.sql.catalyst.expressions
+          .Literal(BigDecimal(v).toShortExact))
+        case ByteType => Some(org.apache.spark.sql.catalyst.expressions
+          .Literal(BigDecimal(v).toByteExact))
+        case StringType => Some(org.apache.spark.sql.catalyst.expressions
+          .Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+            StringType))
+        case _ => None
+      } catch { case _: ArithmeticException | _: NumberFormatException => None }
+    litOpt.map { l =>
+      val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(l))
+        .eval(null).asInstanceOf[Int]
+      (((h % n) + n) % n).toLong
+    }
+  }
+
   /** A parsed manifest before file-list resolution: `refs` are the v2
     * tree references; `inline` are legacy flat-manifest file lines (a
     * pre-tree manifest is all-inline; a tree manifest is all-refs).
@@ -406,7 +623,8 @@ object SnapshotLog {
       refs: Seq[ListRef], inline: Seq[FileEntry],
       ids: Map[String, Int] = Map.empty, lastColId: Int = 0,
       dRefs: Seq[DeleteRef] = Seq.empty,
-      eqRefs: Seq[EqRef] = Seq.empty)
+      eqRefs: Seq[EqRef] = Seq.empty,
+      spec: Seq[PartField] = Seq.empty)
 
   private def readTextFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -494,7 +712,8 @@ object SnapshotLog {
       else (Map.empty[String, Int], 0)
     val body = lines.tail.filter(_.nonEmpty)
     val (refLines, rest0) = body.partition(_.startsWith("M\t"))
-    val (eLines, rest) = rest0.partition(_.startsWith("E\t"))
+    val (eLines, rest1) = rest0.partition(_.startsWith("E\t"))
+    val (pLines, rest) = rest1.partition(_.startsWith("P\t"))
     val (dLines, inlineLines) = rest.partition(_.startsWith("D\t"))
     val refs = refLines.map { l =>
       l.split('\t') match {
@@ -518,7 +737,8 @@ object SnapshotLog {
       }
     }
     RawManifest(hid.toLong, parent.toLong, op, rows.toLong, ddl,
-      refs, inlineLines.map(parseFileLine), hIds, hLast, dRefs, eqRefs)
+      refs, inlineLines.map(parseFileLine), hIds, hLast, dRefs, eqRefs,
+      pLines.map(parsePartLine))
   }
 
   /** The snapshot's name→id map plus high-water id, with the legacy
@@ -1024,12 +1244,65 @@ object SnapshotLog {
           case None => true
         }
       }
+    // hidden-partitioning pruning: a `__part:` transform band prunes
+    // from the RAW predicate mapped into transform space (every
+    // supported transform but bucket is monotonic), a `__bucket:` band
+    // from a point predicate's driver-computed bucket id. Mapped
+    // bounds are memoized per (transform, n, value) — O(preds ×
+    // transforms) parses, not O(files).
+    val boundMemo = scala.collection.mutable.HashMap
+      .empty[(String, Int, String), Option[String]]
+    def mapped(t: String, n: Int,
+        dt: org.apache.spark.sql.types.DataType,
+        v: String): Option[String] =
+      boundMemo.getOrElseUpdate((t, n, v), partBound(t, n, dt, v))
+    def partStatKeeps(key: String, nm: String, mn: String, mx: String,
+        dt: org.apache.spark.sql.types.DataType,
+        lower: Option[String], upper: Option[String]): Boolean =
+      if (key.startsWith("__part:")) {
+        val parts = key.split(':')
+        if (parts.length < 3 || parts(2) != nm) true
+        else {
+          val t = parts(1)
+          val n = if (parts.length > 3) parts(3).toInt else 0
+          val cmpDt: org.apache.spark.sql.types.DataType =
+            if (t == "trunc" && dt == org.apache.spark.sql.types.StringType)
+              org.apache.spark.sql.types.StringType
+            else org.apache.spark.sql.types.LongType
+          rangeIntersects(cmpDt, mn, mx,
+            lower.flatMap(mapped(t, n, dt, _)),
+            upper.flatMap(mapped(t, n, dt, _)))
+        }
+      } else if (key.startsWith("__bucket:")) {
+        val parts = key.split(':')
+        if (parts.length != 3 || parts(1) != nm) true
+        else (lower, upper) match {
+          case (Some(lo), Some(hi)) if lo == hi =>
+            bucketOfValue(dt, lo, parts(2).toInt) match {
+              case Some(b) => bucketBandHit(Set(b), mn, mx)
+              case None => true
+            }
+          case _ => true
+        }
+      } else true
+    def transformKeeps(stats: Map[String, (String, String)],
+        nameOf: String => Option[String]): Boolean =
+      resolved.forall { case (column, dt, lower, upper) =>
+        (lower.isEmpty && upper.isEmpty) || (nameOf(column) match {
+          case None => true
+          case Some(nm) => stats.forall { case (k, (mn, mx)) =>
+            partStatKeeps(k, nm, mn, mx, dt, lower, upper)
+          }
+        })
+      }
     // per-file stats live under the file's PHYSICAL column name —
     // resolved through its field ids, so pruning stays exact across
     // renames (bands are remapped by the rename commit itself)
-    val kept = (raw.inline ++ raw.refs.filter(r => keeps(r.band.get))
+    val kept = (raw.inline ++ raw.refs
+      .filter(r => keeps(r.band.get) && transformKeeps(r.band, Some(_)))
       .flatMap(r => readFileList(fs, root, r.path)))
-      .filter(f => keeps(c => physNameIn(f, c, curIds).flatMap(f.stats.get)))
+      .filter(f => keeps(c => physNameIn(f, c, curIds).flatMap(f.stats.get)) &&
+        transformKeeps(f.stats, c => physNameIn(f, c, curIds)))
     (kept, schema)
   }
 
@@ -1671,7 +1944,8 @@ object SnapshotLog {
             // equality delete committed between stage and publish
             // applies to them exactly as to a same-era append — one
             // consistent rule, not publish-order-dependent
-            eqLines(head.eqRefs)))
+            eqLines(head.eqRefs) ++
+            specLines(head.spec)))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       if (publish(fs, tmp, m)) {
@@ -1789,7 +2063,8 @@ object SnapshotLog {
     commitFiles(spark, root, rewritten, "delete",
       intact.map(_._1), keepInline, tableSchema,
       derivedStats = inheritedBucketStats(allFiles, tableSchema, tableIds),
-      tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base)
+      tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base,
+      carriedSpec = raw.spec)
   }
 
   /** MERGE-ON-READ delete: record the matched rows as a positional
@@ -1846,7 +2121,8 @@ object SnapshotLog {
               s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
               raw.inline.map(fileLine) ++
               dRefLines(raw.dRefs :+ dRef) ++
-              eqLines(raw.eqRefs)))
+              eqLines(raw.eqRefs) ++
+              specLines(raw.spec)))
             .mkString("\n").getBytes("UTF-8"))
         finally out.close()
         if (!publish(fs, tmp, m)) {
@@ -1986,7 +2262,8 @@ object SnapshotLog {
           s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
           raw.inline.map(fileLine) ++
           dRefLines(raw.dRefs) ++
-          eqLines(raw.eqRefs :+ eq)))
+          eqLines(raw.eqRefs :+ eq) ++
+          specLines(raw.spec)))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publish(fs, tmp, m)) {
@@ -2164,7 +2441,8 @@ object SnapshotLog {
             s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
             rawOpt.map(_.inline).getOrElse(Seq.empty).map(fileLine) ++
             dRefLines(rawOpt.map(_.dRefs).getOrElse(Seq.empty)) ++
-            eqLines(rawOpt.map(_.eqRefs).getOrElse(Seq.empty) ++ eqOpt)))
+            eqLines(rawOpt.map(_.eqRefs).getOrElse(Seq.empty) ++ eqOpt) ++
+            specLines(rawOpt.map(_.spec).getOrElse(Seq.empty))))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       if (publish(fs, tmp, m)) {
@@ -2334,7 +2612,8 @@ object SnapshotLog {
         (raw.refs.map(r =>
           s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
           raw.inline.map(fileLine) ++
-          dRefLines(raw.dRefs ++ dvOpt.map(_._1))))
+          dRefLines(raw.dRefs ++ dvOpt.map(_._1)) ++
+          specLines(raw.spec)))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publish(fs, tmp, m)) {
@@ -2386,7 +2665,8 @@ object SnapshotLog {
     commitFiles(spark, root, rewritten, "rewrite-deletes",
       intact.map(_._1), keepInline, tableSchema,
       derivedStats = inheritedBucketStats(allFiles, tableSchema, tableIds),
-      tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base)
+      tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base,
+      carriedSpec = raw.spec)
   }
 
   /** MERGE-ON-READ upsert: matched table rows die via a positional
@@ -2453,7 +2733,8 @@ object SnapshotLog {
           s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
           raw.inline.map(fileLine) ++
           dRefLines(raw.dRefs ++ dvOpt.map(_._1)) ++
-          eqLines(raw.eqRefs)))
+          eqLines(raw.eqRefs) ++
+          specLines(raw.spec)))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publish(fs, tmp, m)) {
@@ -2520,7 +2801,8 @@ object SnapshotLog {
       return commitFiles(spark, root,
         source.select(tableSchema.fieldNames.map(col).toSeq: _*),
         "merge", Seq.empty, Seq.empty, tableSchema,
-        tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base)
+        tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base,
+        carriedSpec = raw.spec)
     val scan = resolvedRead(spark, root, allFiles, tableSchema, tableIds)
     val keys = source.select(keyCols.map(col): _*).distinct()
     // bounded driver value — O(#matching files); file column projected
@@ -2551,7 +2833,8 @@ object SnapshotLog {
       survivors.unionByName(source.select(tableCols: _*)),
       "merge", intact.map(_._1), carriedInline, tableSchema,
       derivedStats = inheritedBucketStats(allFiles, tableSchema, tableIds),
-      tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base)
+      tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base,
+      carriedSpec = raw.spec)
   }
 
   /** Atomically publish `tmp` as `m`, failing (false) if `m` already
@@ -2611,8 +2894,23 @@ object SnapshotLog {
       if (k.startsWith("__bucket:")) {
         val parts = k.split(':')
         edit(parts(1)).map(nn => s"__bucket:$nn:${parts(2)}" -> v)
+      } else if (k.startsWith("__part:")) {
+        val parts = k.split(':')
+        edit(parts(2)).map(nn =>
+          (s"__part:${parts(1)}:$nn" +
+            (if (parts.length > 3) s":${parts(3)}" else "")) -> v)
       } else edit(k).map(_ -> v)
     }
+
+  /** Apply a column-name edit to the DECLARED spec — a renamed column
+    * keeps its transform under the new name; a dropped column's field
+    * leaves the spec (future writes stop routing on it; old files keep
+    * their stats, which [[editBandKeys]] drops from bands so stale
+    * names never prune wrongly).
+    */
+  private def editSpec(spec: Seq[PartField],
+      edit: String => Option[String]): Seq[PartField] =
+    spec.flatMap(f => edit(f.column).map(nn => f.copy(column = nn)))
 
   /** Rename/drop resolve old files BY ID, so every live file must
     * carry ids — a table with pre-field-id files must rewrite them
@@ -2747,9 +3045,11 @@ object SnapshotLog {
   private def commitMetadata(spark: SparkSession, root: String, base: Long,
       raw: RawManifest, schema: StructType, ids: Map[String, Int],
       lastColId: Int, operation: String,
-      editKey: String => Option[String]): Long = {
+      editKey: String => Option[String],
+      specOverride: Option[Seq[PartField]] = None): Long = {
     val fs = fsOf(spark, root)
     val next = base + 1
+    val spec = specOverride.getOrElse(editSpec(raw.spec, editKey))
     val refs = raw.refs.map(r => r.copy(band = editBandKeys(r.band, editKey)))
     val ddl = schema.toDDL.replace("\t", " ").replace("\n", " ")
     val m = manifestPath(root, next)
@@ -2771,7 +3071,8 @@ object SnapshotLog {
           // refused in dropColumn), and a rollback restores the
           // target's key sets exactly like its vectors.
           dRefLines(raw.dRefs) ++
-          eqLines(raw.eqRefs)))
+          eqLines(raw.eqRefs) ++
+          specLines(spec)))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publish(fs, tmp, m)) {
@@ -2814,7 +3115,8 @@ object SnapshotLog {
   private def commit(spark: SparkSession, root: String, df: DataFrame,
       operation: String, keepBase: Boolean,
       bloomSpec: Option[BloomSpec] = None,
-      derivedStats: Seq[(String, Column)] = Nil): Long = {
+      derivedStats: Seq[(String, Column)] = Nil,
+      declareSpec: Option[Seq[PartField]] = None): Long = {
     val base = currentId(spark, root)
     // append carries the parent's file LISTS by reference — the parent's
     // inventory is never opened, so append metadata I/O is O(#commits),
@@ -2856,10 +3158,29 @@ object SnapshotLog {
           StructType.fromDDL(p.schemaDdl).fieldNames.toSet
       case _ => df.schema.fieldNames.toSet
     }
-    commitFiles(spark, root, df, operation, refs, inline, schema, bloomSpec,
-      derivedStats = derivedStats, tableIds0 = ids, lastColId0 = last,
+    // hidden partitioning: a DECLARED spec routes this commit's rows by
+    // its transforms and stamps each file's transform band, with no
+    // caller-side partition handling — the write-side half of the
+    // feature. The spec persists across overwrite (table metadata, not
+    // content); fields whose column the frame lacks simply don't route.
+    // Callers supplying their own derivedStats (appendBucketed, CoW
+    // rewrites inheriting layouts) keep full control — no double
+    // repartition.
+    val spec = declareSpec.getOrElse(prev.map(_.spec).getOrElse(Seq.empty))
+    val routed = spec.filter(f => df.columns.contains(f.column))
+    val (dfR, derivedR) =
+      if (derivedStats.nonEmpty || routed.isEmpty) (df, derivedStats)
+      else {
+        val exprs = routed.map(f => partExpr(f, df.schema(f.column).dataType))
+        (df.repartitionByRange(exprs: _*),
+          routed.map(f =>
+            partStatName(f) -> partExpr(f, df.schema(f.column).dataType)))
+      }
+    commitFiles(spark, root, dfR, operation, refs, inline, schema, bloomSpec,
+      derivedStats = derivedR, tableIds0 = ids, lastColId0 = last,
       carriedDRefs = dRefs, carriedEqRefs = eqRefs, plannedBase = base,
-      appendNewCols = newCols)
+      appendNewCols = newCols, carriedSpec = spec,
+      specDeclared = declareSpec.isDefined)
   }
 
   /** Write `df`'s files, count rows per file (one small job — the counts
@@ -2943,7 +3264,9 @@ object SnapshotLog {
       carriedDRefs: Seq[DeleteRef] = Seq.empty,
       carriedEqRefs: Seq[EqRef] = Seq.empty,
       plannedBase: Long = -1L,
-      appendNewCols: Set[String] = Set.empty): Long = {
+      appendNewCols: Set[String] = Set.empty,
+      carriedSpec: Seq[PartField] = Seq.empty,
+      specDeclared: Boolean = false): Long = {
     var tableSchema = Option(tableSchema0).getOrElse(df.schema)
     var (tableIds, lastColId) =
       if (tableIds0.nonEmpty) (tableIds0, lastColId0)
@@ -2954,6 +3277,7 @@ object SnapshotLog {
     var carriedInline = carriedInline0
     var carriedD = carriedDRefs
     var carriedE = carriedEqRefs
+    var carriedP = carriedSpec
     var base = if (plannedBase >= 0) plannedBase else currentId(spark, root)
     // first-attempt binding of the written files' PHYSICAL column names
     // to their ids — a later retry's schema may know a column only
@@ -3005,7 +3329,8 @@ object SnapshotLog {
           (refs.map(r =>
             s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
             dRefLines(carriedD) ++
-            eqLines(carriedE)))
+            eqLines(carriedE) ++
+            specLines(carriedP)))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       // publish must be atomic no-replace: on HDFS, rename to an
@@ -3037,6 +3362,8 @@ object SnapshotLog {
         carriedInline = winner.inline
         carriedD = winner.dRefs
         carriedE = winner.eqRefs
+        // a concurrent spec change wins unless THIS commit declared one
+        if (!specDeclared) carriedP = winner.spec
         val ws = StructType.fromDDL(winner.schemaDdl)
         val (wIds, wLast) = currentIdsOf(winner, ws)
         tableSchema.fields.foreach(f =>
@@ -3359,7 +3686,8 @@ object SnapshotLog {
     commitFiles(spark, root,
       cur.repartitionByRange(numFiles, col(clusterBy)), "optimize",
       Seq.empty, Seq.empty, schema,
-      tableIds0 = ids, lastColId0 = last, plannedBase = base)
+      tableIds0 = ids, lastColId0 = last, plannedBase = base,
+      carriedSpec = raw.spec)
   }
 
   /** OPTIMIZE into a HASH-BUCKET layout: rewrite the current content
@@ -3388,7 +3716,8 @@ object SnapshotLog {
       cur.repartitionByRange(numBuckets, bucketExpr(bucketBy, numBuckets)),
       "optimize-bucket", Seq.empty, Seq.empty, schema,
       derivedStats = bucketDerived(bucketBy, numBuckets),
-      tableIds0 = ids, lastColId0 = last, plannedBase = base)
+      tableIds0 = ids, lastColId0 = last, plannedBase = base,
+      carriedSpec = raw.spec)
   }
 
   /** OPTIMIZE into a Z-ORDER (Morton) layout over two columns: rewrite
@@ -3433,7 +3762,8 @@ object SnapshotLog {
       .drop("_z")
     commitFiles(spark, root, clustered,
       "optimize-zorder", Seq.empty, Seq.empty, schema,
-      tableIds0 = ids, lastColId0 = last, plannedBase = base)
+      tableIds0 = ids, lastColId0 = last, plannedBase = base,
+      carriedSpec = raw.spec)
   }
 
   /** Targeted small-file compaction — the INCREMENTAL optimize: bin-pack
@@ -3486,7 +3816,8 @@ object SnapshotLog {
       intact.map(_._1), carriedInline, tableSchema,
       derivedStats =
         inheritedBucketStats(raw.inline ++ groups.flatMap(_._2), tableSchema, tableIds),
-      tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base)
+      tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base,
+      carriedSpec = raw.spec)
   }
 
   /** Expire all but the latest `keepLast` snapshots: their manifests are
@@ -4073,6 +4404,28 @@ object SnapshotLog {
     */
   def stagedOrdersLog(s: SparkSession, dir: String): String = ordersLog(s, dir)
 
+  /** Staged hidden-partitioned log over `events`: one append under a
+    * declared `days(ts)` spec — rows route by day, every file stamps
+    * its day band, and tt27 reads a two-day window back out through
+    * the transform pruning (exposed for HiddenPartitionSpec's pruning
+    * assertion on the same fixture the registry row reads).
+    */
+  private[graft] def partitionLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttpart_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      // at test scale AQE would coalesce the whole month into one file
+      // and there would be nothing to prune — stage with coalescing
+      // off so the day clustering materializes as it would at size
+      val key = "spark.sql.adaptive.coalescePartitions.enabled"
+      val old = s.conf.get(key)
+      s.conf.set(key, "false")
+      try appendPartitioned(s, root,
+        Tables(s, dir, "events")
+          .select("event_id", "ts", "user_id", "event_type"),
+        Seq(PartField("days", "ts")))
+      finally s.conf.set(key, old)
+    }.resolve("log").toString
+
   val all: Seq[Q] = Seq(
     // TT1: time travel — read the table AS OF snapshot 2 (first two of
     // three appends) and return its full content. The oracle recomputes
@@ -4654,6 +5007,29 @@ object SnapshotLog {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
              |WHERE o_orderkey % 3 <= 1 ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { ordersLog(s, dir); () })
+    ),
+
+    // TT27: hidden partitioning — the table declared `days(ts)` once;
+    // the QUERY carries only a raw ts range, and the day-band transform
+    // stats prune non-matching files at planning (HiddenPartitionSpec
+    // proves the skip by deleting pruned files; this row proves the
+    // answer equals the from-scratch filter). The residual filter
+    // applies either way, so a routing or band bug flips rows, never
+    // just performance.
+    Q(
+      "tt27_hidden_partition",
+      (s, dir) => {
+        val root = partitionLog(s, dir)
+        readBox(s, root, Seq(("ts",
+          Some("2024-01-10 00:00:00"), Some("2024-01-11 23:59:59"))))
+          .select("event_id", "user_id", "event_type")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND ts <= TIMESTAMP '2024-01-11 23:59:59'
+             |ORDER BY event_id""".stripMargin),
+      stage = Some((s, dir) => { partitionLog(s, dir); () })
     )
   )
 }

@@ -300,6 +300,23 @@ private[sources] class SnapshotTableV2(val root: String, val asOf: Long)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
+  /** The table's declared hidden-partitioning spec, reported through
+    * the standard DSv2 transform vocabulary (`DESCRIBE` / catalog
+    * introspection see `days(ts)` etc. exactly as on Iceberg tables).
+    */
+  override def partitioning(): Array[Transform] =
+    SnapshotLog.partitionSpecOf(SparkSession.active, root, asOf).map { f =>
+      import org.apache.spark.sql.connector.expressions.Expressions
+      f.transform match {
+        case "bucket" => Expressions.bucket(f.n, f.column)
+        case "days" => Expressions.days(f.column)
+        case "hours" => Expressions.hours(f.column)
+        case "months" => Expressions.months(f.column)
+        case "trunc" => Expressions.apply("truncate",
+          Expressions.column(f.column), Expressions.literal(Int.box(f.n)))
+      }
+    }.toArray
+
   override def properties(): util.Map[String, String] =
     Map("provider" -> "snapshot-log", "location" -> root).asJava
 
