@@ -3907,6 +3907,198 @@ object SnapshotLog {
   def readTag(spark: SparkSession, root: String, name: String): DataFrame =
     read(spark, root, asOf = tagId(spark, root, name))
 
+  // ---- branch refs: named WRITABLE lines of development (Iceberg
+  // refs; the general form of write-audit-publish). A branch forks at
+  // a main snapshot and accumulates appends in its OWN manifest chain
+  // under `snap/branch_<name>/` — main's protocol (max manifest id =
+  // head) is untouched, so branch work is invisible to every reader
+  // until `fastForward` publishes it: ONE atomic manifest rename that
+  // lands the branch head's content at main's next id, allowed only
+  // while main still equals the fork point (no divergence — else it
+  // fails loudly and the branch keeps working for a rebase). The
+  // branch ref file doubles as retention protection: it pins the fork
+  // snapshot through [[tagIds]], so [[expire]] can never reclaim the
+  // base a live branch builds on, and [[vacuumOrphans]] treats
+  // branch-referenced lists and data dirs as live. Dropping a branch
+  // unpins the fork and strands its private files for vacuum — branch
+  // expiry is just maintenance, never a special case. ----
+
+  private def branchRefName(name: String): String = s"branch_$name"
+
+  private def branchDir(root: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid branch name: $name")
+    new Path(s"$root/snap/branch_$name")
+  }
+
+  private def branchManifestPath(root: String, name: String, k: Long): Path =
+    new Path(f"${branchDir(root, name)}/v$k%08d.manifest")
+
+  /** Branch commit count (0 = fresh branch, content == fork). */
+  private def branchHeadK(fs: FileSystem, root: String, name: String): Long = {
+    val dir = branchDir(root, name)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** The branch head's manifest (the fork's when no branch commit has
+    * landed yet), plus the fork id and commit count.
+    */
+  private def branchRaw(spark: SparkSession, root: String,
+      name: String): (RawManifest, Long, Long) = {
+    val fs = fsOf(spark, root)
+    val fork = tagId(spark, root, branchRefName(name))
+    val k = branchHeadK(fs, root, name)
+    val raw =
+      if (k == 0) rawManifest(spark, root, fork)
+      else parseManifest(readTextFile(fs, branchManifestPath(root, name, k)))
+    (raw, fork, k)
+  }
+
+  /** Serialize a parsed manifest back to its wire text — the
+    * fast-forward publisher's tool; ManifestRoundtripSpec pins
+    * parse∘serialize identity on every line type.
+    */
+  private def manifestText(raw: RawManifest): String =
+    ((s"${raw.id}\t${raw.parent}\t${raw.operation}\t${raw.rows}" +
+      s"\t${raw.schemaDdl}\t${idsField(raw.ids)}\t${raw.lastColId}") +:
+      (raw.refs.map(r =>
+        s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+        raw.inline.map(fileLine) ++
+        dRefLines(raw.dRefs) ++
+        eqLines(raw.eqRefs) ++
+        specLines(raw.spec))).mkString("\n")
+
+  /** Fork a writable branch at `fromId` (default: current head).
+    * Returns the fork id. The branch ref pins the fork against
+    * [[expire]] exactly like a tag.
+    */
+  def createBranch(spark: SparkSession, root: String, name: String,
+      fromId: Long = 0L): Long = {
+    val fs = fsOf(spark, root)
+    require(!hasTag(spark, root, branchRefName(name)),
+      s"branch $name already exists under $root")
+    val fork = tag(spark, root, branchRefName(name), fromId)
+    fs.mkdirs(branchDir(root, name))
+    fork
+  }
+
+  def branchExists(spark: SparkSession, root: String, name: String): Boolean =
+    hasTag(spark, root, branchRefName(name))
+
+  /** Delete a branch: its ref (unpinning the fork) and its manifest
+    * chain. Branch-only data dirs and file lists become unreferenced
+    * and age out through [[vacuumOrphans]] — retention by the same
+    * rule as every other orphan.
+    */
+  def dropBranch(spark: SparkSession, root: String, name: String): Boolean = {
+    val fs = fsOf(spark, root)
+    val had = dropTag(spark, root, branchRefName(name))
+    fs.delete(branchDir(root, name), true)
+    had
+  }
+
+  /** Append `df` to the branch — advances ONLY the branch's manifest
+    * chain; main readers never see it. Additive schema evolution and
+    * the table's declared partition spec apply exactly as on a main
+    * [[append]]. Written files stamp `__seq = fork + 1`: the id a
+    * [[fastForward]] will publish the whole branch under, so equality
+    * deletes committed on main AFTER the publish sequence correctly
+    * against them (and fork-era deletes correctly skip them).
+    */
+  def appendToBranch(spark: SparkSession, root: String, name: String,
+      df: DataFrame): Long = {
+    val fs = fsOf(spark, root)
+    val (base, fork, k) = branchRaw(spark, root, name)
+    val ps = StructType.fromDDL(base.schemaDdl)
+    val (pIds, pLast) = currentIdsOf(base, ps)
+    val merged = mergeSchemas(ps, df.schema)
+    val (ids, last) = assignNewIds(merged, pIds, pLast)
+    val routed = base.spec.filter(f => df.columns.contains(f.column))
+    val (dfR, derived) =
+      if (routed.isEmpty) (df, Seq.empty[(String, Column)])
+      else (df.repartitionByRange(
+        routed.map(f => partExpr(f, df.schema(f.column).dataType)): _*),
+        routed.map(f =>
+          partStatName(f) -> partExpr(f, df.schema(f.column).dataType)))
+    val written = writeDataFiles(spark, root, dfR, fork + 1, None, derived)
+    val dfCols = df.columns.toSet
+    val pubSeq = (fork + 1).toString
+    val stamped = written.map(f => f.copy(
+      ids = dfCols.iterator.flatMap(n => ids.get(n).map(n -> _)).toMap,
+      stats = f.stats + (SeqStatName -> (pubSeq, pubSeq))))
+    val newRef = writeFileList(fs, root, fork + 1, base.inline ++ stamped,
+      merged)
+    val refs = base.refs :+ newRef
+    val next = k + 1
+    val raw2 = RawManifest(next, if (k == 0) fork else k, "branch-append",
+      refs.iterator.map(_.rows).sum -
+        base.dRefs.iterator.map(_.delRows).sum,
+      merged.toDDL.replace("\t", " ").replace("\n", " "),
+      refs, Seq.empty, ids, last, base.dRefs, base.eqRefs, base.spec)
+    val m = branchManifestPath(root, name, next)
+    val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(m.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(manifestText(raw2).getBytes("UTF-8")) finally out.close()
+    if (!publish(fs, tmp, m)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"appendToBranch lost a race on branch $name of $root; " +
+          "re-read the branch head and retry")
+    }
+    next
+  }
+
+  /** Read the branch head: the fork's content plus every branch
+    * append, with the fork's outstanding delete vectors and equality
+    * deletes applied exactly as a main read would.
+    */
+  def readBranch(spark: SparkSession, root: String, name: String): DataFrame = {
+    val fs = fsOf(spark, root)
+    val (raw, _, _) = branchRaw(spark, root, name)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    val files = raw.inline ++ raw.refs.flatMap(r => readFileList(fs, root, r.path))
+    dvRead(spark, root, raw, files, schema, currentIdsOf(raw, schema)._1)
+  }
+
+  /** Publish the branch onto main — allowed only while main's head IS
+    * the fork point (a true fast-forward): the branch head's content
+    * lands as main's next snapshot in ONE atomic manifest rename (the
+    * same all-or-nothing primitive as every commit — no intermediate
+    * state is ever visible, however many branch commits are folded),
+    * then the branch is dropped. If main advanced past the fork, the
+    * publish CAS fails loudly and the branch is left intact for a
+    * rebase — divergence is rejected, never merged silently.
+    */
+  def fastForward(spark: SparkSession, root: String, name: String): Long = {
+    val fs = fsOf(spark, root)
+    val (head, fork, k) = branchRaw(spark, root, name)
+    if (k == 0) { dropBranch(spark, root, name); return fork }
+    val cur = currentId(spark, root)
+    require(cur == fork,
+      s"cannot fast-forward branch $name: main advanced $fork -> $cur " +
+        "since the fork (diverged); rebase or drop the branch")
+    val next = fork + 1
+    val raw2 = head.copy(id = next, parent = fork,
+      operation = s"fast-forward=$name")
+    val m = manifestPath(root, next)
+    val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(m.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(manifestText(raw2).getBytes("UTF-8")) finally out.close()
+    if (!publish(fs, tmp, m)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"fast-forward of branch $name to $root lost the publish race; " +
+          "main diverged — rebase or drop the branch")
+    }
+    dropBranch(spark, root, name)
+    next
+  }
+
   def expire(spark: SparkSession, root: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val fs = fsOf(spark, root)
@@ -3999,6 +4191,20 @@ object SnapshotLog {
         .map(st => parseManifest(readTextFile(fs, st.getPath))).toSeq
     val stagedFiles = stagedRaws.flatMap(_.refs)
       .flatMap(r => readFileList(fs, root, r.path))
+    // BRANCH manifests are live roots too: a branch's private data
+    // dirs and file lists are referenced by no main manifest, but they
+    // are one fastForward away from being — vacuuming them would
+    // corrupt the branch. (A DROPPED branch leaves no manifests, so
+    // its files age out here by the normal rule.)
+    val branchRaws =
+      if (!fs.exists(snapDir)) Seq.empty
+      else fs.listStatus(snapDir).iterator
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("branch_"))
+        .flatMap(bd => fs.listStatus(bd.getPath).iterator
+          .filter(f => f.getPath.getName.matches("v\\d+\\.manifest"))
+          .map(f => parseManifest(readTextFile(fs, f.getPath)))).toSeq
+    val branchFiles = branchRaws.flatMap(_.refs)
+      .flatMap(r => readFileList(fs, root, r.path))
     val histRaws = hist.map(s => rawManifest(spark, root, s.id))
     // live DV parquet dirs (under data/ like any commit's dir) are
     // referenced through delete lists, not file lists — walk them too
@@ -4007,7 +4213,8 @@ object SnapshotLog {
       .flatMap(d => readDeleteList(fs, root, d.path)).map(_.dvDir).toSet
     // equality-delete key dirs referenced by any live manifest are live
     val liveEqDirs = histRaws.iterator.flatMap(_.eqRefs).map(_.dir).toSet
-    val referenced = (hist.iterator.flatMap(_.files) ++ stagedFiles.iterator)
+    val referenced = (hist.iterator.flatMap(_.files) ++ stagedFiles.iterator ++
+      branchFiles.iterator)
       .map(f => f.path.substring(0, f.path.lastIndexOf('/'))).toSet ++
       liveDvDirs ++ liveEqDirs
     val cutoff = System.currentTimeMillis() - graceMs
@@ -4021,7 +4228,8 @@ object SnapshotLog {
     // before the manifest rename): same no-reference + age rule;
     // reclaimed beside the data dirs but not counted in the dir tally
     val refLists = (histRaws.iterator.flatMap(_.refs) ++
-      stagedRaws.iterator.flatMap(_.refs)).map(_.path).toSet ++
+      stagedRaws.iterator.flatMap(_.refs) ++
+      branchRaws.iterator.flatMap(_.refs)).map(_.path).toSet ++
       histRaws.iterator.flatMap(_.dRefs).map(_.path).toSet
     if (fs.exists(snapDir)) fs.listStatus(snapDir).iterator
       .filter(st => !st.isDirectory)
@@ -4403,6 +4611,29 @@ object SnapshotLog {
     * fixtures ([[IncrementalView]]'s iv1 folds its change feed).
     */
   def stagedOrdersLog(s: SparkSession, dir: String): String = ordersLog(s, dir)
+
+  /** Staged branch scenario over `orders`: main holds batch 0 (keys
+    * ≡ 0 mod 3); a branch accumulates batches 1 and 2 invisibly (the
+    * staging asserts main still reads batch 0 only — the isolation IS
+    * part of the fixture), then fast-forwards. tt28 reads the
+    * published table.
+    */
+  private def branchLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttbranch_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+      val mainRows = read(s, root).count()
+      createBranch(s, root, "load")
+      appendToBranch(s, root, "load",
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 1))
+      appendToBranch(s, root, "load",
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 2))
+      require(read(s, root).count() == mainRows,
+        "branch commits leaked into the main line")
+      fastForward(s, root, "load")
+    }.resolve("log").toString
 
   /** Staged hidden-partitioned log over `events`: one append under a
     * declared `days(ts)` spec — rows route by day, every file stamps
@@ -5030,6 +5261,24 @@ object SnapshotLog {
              |  AND ts <= TIMESTAMP '2024-01-11 23:59:59'
              |ORDER BY event_id""".stripMargin),
       stage = Some((s, dir) => { partitionLog(s, dir); () })
+    ),
+
+    // TT28: branch refs + fast-forward publish — one main append, two
+    // appends on a branch (invisible to main: the fixture asserts the
+    // mid-state count), then ONE atomic fast-forward. The final read
+    // must be the full table: a leaked branch commit, a lost one, or a
+    // publish that merged instead of fast-forwarding all break the
+    // hash. Divergence rejection, vacuum safety, and retention are
+    // pinned in BranchRefSpec.
+    Q(
+      "tt28_branch_publish",
+      (s, dir) => {
+        val root = branchLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { branchLog(s, dir); () })
     )
   )
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.SnapshotLog._
+
+/** Branch refs: writable branches fork at a main snapshot, accumulate
+  * appends invisibly, and publish by atomic fast-forward — with
+  * divergence rejected, retention protecting the fork, and vacuum
+  * treating live-branch files as live.
+  */
+class BranchRefSpec extends SparkSpec {
+
+  private def kv(rows: (Long, String)*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("k", "v").coalesce(1)
+  }
+
+  test("branch appends are invisible to main and visible on the branch") {
+    val root = graft.TempDirs.create("br_iso").resolve("log").toString
+    append(spark, root, kv(1L -> "a"))
+    createBranch(spark, root, "audit")
+    appendToBranch(spark, root, "audit", kv(2L -> "b"))
+    appendToBranch(spark, root, "audit", kv(3L -> "c"))
+    assert(read(spark, root).count() == 1L, "main must not see branch work")
+    assert(rowSet(readBranch(spark, root, "audit")) ==
+      Seq(Seq("1", "a"), Seq("2", "b"), Seq("3", "c")))
+  }
+
+  test("fastForward publishes the branch head atomically and drops the branch") {
+    val root = graft.TempDirs.create("br_ff").resolve("log").toString
+    append(spark, root, kv(1L -> "a"))
+    createBranch(spark, root, "load")
+    appendToBranch(spark, root, "load", kv(2L -> "b"))
+    appendToBranch(spark, root, "load", kv(3L -> "c"))
+    val id = fastForward(spark, root, "load")
+    assert(id == 2L)
+    assert(rowSet(read(spark, root)) ==
+      Seq(Seq("1", "a"), Seq("2", "b"), Seq("3", "c")))
+    assert(operationOf(spark, root, 2L) == "fast-forward=load")
+    assert(!branchExists(spark, root, "load"))
+    // snapshot 1 still reads the pre-publish content (history immutable)
+    assert(read(spark, root, asOf = 1L).count() == 1L)
+  }
+
+  test("fastForward rejects divergence and leaves the branch intact") {
+    val root = graft.TempDirs.create("br_div").resolve("log").toString
+    append(spark, root, kv(1L -> "a"))
+    createBranch(spark, root, "slow")
+    appendToBranch(spark, root, "slow", kv(2L -> "b"))
+    append(spark, root, kv(9L -> "z")) // main moves on
+    val e = intercept[IllegalArgumentException] {
+      fastForward(spark, root, "slow") }
+    assert(e.getMessage.contains("diverged"))
+    assert(branchExists(spark, root, "slow"))
+    assert(readBranch(spark, root, "slow").count() == 2L)
+    assert(read(spark, root).count() == 2L)
+  }
+
+  test("a live branch's files survive vacuum; a dropped branch's are reclaimed") {
+    val root = graft.TempDirs.create("br_vac").resolve("log").toString
+    append(spark, root, kv(1L -> "a"))
+    createBranch(spark, root, "wip")
+    appendToBranch(spark, root, "wip", kv(2L -> "b"))
+    assert(vacuumOrphans(spark, root, graceMs = 0L) == 0,
+      "live branch data must not vacuum")
+    assert(readBranch(spark, root, "wip").count() == 2L)
+    dropBranch(spark, root, "wip")
+    assert(vacuumOrphans(spark, root, graceMs = 0L) == 1,
+      "dropped branch's private data dir must reclaim")
+    assert(read(spark, root).count() == 1L)
+  }
+
+  test("the branch ref pins the fork against expire") {
+    val root = graft.TempDirs.create("br_exp").resolve("log").toString
+    append(spark, root, kv(1L -> "a"))
+    createBranch(spark, root, "keep") // forks at snapshot 1
+    append(spark, root, kv(2L -> "b"))
+    append(spark, root, kv(3L -> "c"))
+    expire(spark, root, keepLast = 1)
+    // fork 1 must have been rescued; the middle snapshot may expire
+    assert(read(spark, root, asOf = 1L).count() == 1L)
+    assert(readBranch(spark, root, "keep").count() == 1L)
+  }
+
+  test("equality deletes sequence correctly across a fast-forward") {
+    val root = graft.TempDirs.create("br_eq").resolve("log").toString
+    append(spark, root, kv(1L -> "a", 2L -> "b"))
+    // fork-era equality delete of k=2
+    deleteWhereEqual(spark, root, kv(2L -> "b").select("k"))
+    createBranch(spark, root, "re-add")
+    appendToBranch(spark, root, "re-add", kv(2L -> "B2"))
+    fastForward(spark, root, "re-add")
+    // the branch row was appended AFTER the delete's sequence — it lives
+    assert(rowSet(read(spark, root)) == Seq(Seq("1", "a"), Seq("2", "B2")))
+    // a NEW delete (later sequence) kills it
+    deleteWhereEqual(spark, root, kv(2L -> "x").select("k"))
+    assert(rowSet(read(spark, root)) == Seq(Seq("1", "a")))
+  }
+
+  test("branch appends route by the declared partition spec") {
+    val root = graft.TempDirs.create("br_spec").resolve("log").toString
+    appendPartitioned(spark, root, kv(1L -> "a"),
+      Seq(PartField("bucket", "k", 4)))
+    createBranch(spark, root, "routed")
+    appendToBranch(spark, root, "routed", kv(2L -> "b", 3L -> "c"))
+    fastForward(spark, root, "routed")
+    val (all, _) = rangeFiles(spark, root, "k", None, None)
+    assert(all.filter(_.rows > 0).forall(f =>
+      f.stats.keys.exists(_.startsWith("__bucket:k:4"))))
+  }
+
+  test("manifest text roundtrips through parse for every line type") {
+    // exercised indirectly by every branch test; pinned directly here
+    // via a fast-forwarded manifest that carries refs + DV + EQ + spec
+    val root = graft.TempDirs.create("br_round").resolve("log").toString
+    appendPartitioned(spark, root, kv(1L -> "a", 2L -> "b", 3L -> "c"),
+      Seq(PartField("bucket", "k", 4)))
+    deleteWhereMoR(spark, root, col("k") === 1L)
+    deleteWhereEqual(spark, root, kv(3L -> "c").select("k"))
+    createBranch(spark, root, "rt")
+    appendToBranch(spark, root, "rt", kv(4L -> "d"))
+    val id = fastForward(spark, root, "rt")
+    // the published manifest was SERIALIZED by manifestText and must
+    // carry the DV, the eq delete, and the spec through the roundtrip
+    assert(rowSet(read(spark, root)) == Seq(Seq("2", "b"), Seq("4", "d")))
+    assert(partitionSpecOf(spark, root) == Seq(PartField("bucket", "k", 4)))
+    // header rows is an UPPER bound while the eq delete is outstanding
+    // (the scan-free commit never knew its kill count); conversion
+    // re-exacts it — both through the serialized manifest
+    assert(snapshot(spark, root, id).rows >= read(spark, root).count())
+    rewriteEqualityDeletes(spark, root)
+    assert(snapshot(spark, root, currentId(spark, root)).rows ==
+      read(spark, root).count())
+  }
+}
