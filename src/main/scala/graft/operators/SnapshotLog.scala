@@ -369,8 +369,12 @@ object SnapshotLog {
   private def manifestPath(root: String, id: Long): Path =
     new Path(f"$root/snap/v$id%08d.manifest")
 
-  /** Highest committed snapshot id, 0 if the log is empty. */
-  def currentId(spark: SparkSession, root: String): Long = {
+  /** Highest manifest id on disk, VISIBLE or not — the raw listing
+    * [[currentId]] starts from (and the id space a new commit's CAS
+    * targets, which is why a pending transaction blocks committers:
+    * its manifest holds the next id without being readable yet).
+    */
+  private[graft] def maxManifestId(spark: SparkSession, root: String): Long = {
     val fs = fsOf(spark, root)
     val dir = new Path(s"$root/snap")
     if (!fs.exists(dir)) 0L
@@ -379,6 +383,185 @@ object SnapshotLog {
         .filter(n => n.startsWith("v") && n.endsWith(".manifest"))
         .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
         .foldLeft(0L)(math.max)
+  }
+
+  /** Read ONLY a manifest's header line — the txn-visibility walk must
+    * not pay a full manifest parse per read on a million-file table.
+    * Bounded read; a header longer than the cap degrades to the full
+    * text (correct, just slower).
+    */
+  private def headerLineOf(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](65536)
+      val n = in.read(buf)
+      if (n <= 0) return ""
+      val nl = buf.indexOf('\n'.toByte)
+      if (nl >= 0 && nl < n) new String(buf, 0, nl, "UTF-8")
+      else if (n < buf.length) new String(buf, 0, n, "UTF-8")
+      else readTextFile(fs, p).takeWhile(_ != '\n')
+    } finally in.close()
+  }
+
+  /** Highest VISIBLE snapshot id, 0 if the log is empty. A head
+    * manifest committed under a multi-log transaction (`txn=<dir>`
+    * operation) is visible only once the transaction's decision is
+    * `committed` — while pending, every reader (and every committer's
+    * base resolution) steps back to its parent, so no one ever
+    * observes a torn cross-table state. Decisions are final, so they
+    * memoize per JVM; an untransacted table pays nothing beyond one
+    * header-line read per head resolution.
+    */
+  def currentId(spark: SparkSession, root: String): Long = {
+    val fs = fsOf(spark, root)
+    var id = maxManifestId(spark, root)
+    while (id > 0) {
+      val h = headerLineOf(fs, manifestPath(root, id)).split('\t')
+      val op = if (h.length >= 3) h(2) else ""
+      if (!op.startsWith("txn=")) return id
+      if (txnCommitted(spark, op.stripPrefix("txn="))) return id
+      id = if (h.length >= 2) h(1).toLong else 0L
+    }
+    0L
+  }
+
+  // ---- multi-log atomic commit: N tables advance together or not at
+  // all. Two-phase with a decision record: each table gets a normal
+  // CAS-published manifest whose operation names the shared txn dir
+  // (the PREPARE — invisible to readers, blocking to committers), then
+  // ONE atomic no-replace create of the txn's `decision` file commits
+  // everything (the COMMIT POINT). A crash between prepares leaves
+  // some tables prepared: [[recoverTxn]] rolls FORWARD when every
+  // participant prepared (the coordinator died after the last prepare)
+  // and aborts otherwise — aborting deletes the prepared HEAD
+  // manifests, which is safe precisely because pending heads block all
+  // later commits, so nothing can have built on them. Readers resolve
+  // visibility through [[currentId]]; per-table reads are atomic and
+  // the GROUP is all-or-nothing durable (a cross-table consistent READ
+  // still needs coordinated asOf ids, as in Iceberg's multi-table
+  // transactions). ----
+
+  private val txnDecisions =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def txnDecisionOf(spark: SparkSession, dir: String): Option[String] = {
+    val cached = txnDecisions.get(dir)
+    if (cached != null) return Some(cached)
+    val p = new Path(s"$dir/decision")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val d = readTextFile(fs, p).trim
+      txnDecisions.put(dir, d) // decisions are final — cache forever
+      Some(d)
+    }
+  }
+
+  private def txnCommitted(spark: SparkSession, dir: String): Boolean =
+    txnDecisionOf(spark, dir).contains("committed")
+
+  /** Race-proof decision write: tmp + atomic no-replace publish —
+    * exactly one of commit/abort ever lands, however many deciders
+    * race. Returns the decision that WON (ours or the earlier one).
+    */
+  private[graft] def decideTxn(spark: SparkSession, dir: String,
+      decision: String): String = {
+    val p = new Path(s"$dir/decision")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(s"$dir/.decision_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(decision.getBytes("UTF-8")) finally out.close()
+    if (!publish(fs, tmp, p)) fs.delete(tmp, false)
+    txnDecisionOf(spark, dir).getOrElse(decision)
+  }
+
+  /** Atomically append each frame to its log: ALL tables advance or
+    * NONE does. `txnDir` is the shared transaction record location
+    * (any filesystem path both writers and readers can reach); it must
+    * outlive the tables — the committed decision file is what makes
+    * the prepared manifests readable, forever. Returns the committed
+    * ids. Fails loudly (nothing published) if any participant is
+    * blocked or the decision was aborted by a concurrent recovery.
+    */
+  def commitTransaction(spark: SparkSession,
+      appends: Seq[(String, DataFrame)], txnDir: String): Seq[Long] = {
+    require(appends.nonEmpty, "empty transaction")
+    require(appends.map(_._1).distinct.size == appends.size,
+      "each table may appear once per transaction")
+    require(!txnDir.exists(c => c == '\t' || c == '\n'),
+      s"txn dir may not contain tab/newline: $txnDir")
+    val tp = new Path(txnDir)
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!tfs.exists(new Path(s"$txnDir/plan")),
+      s"transaction dir $txnDir already used")
+    tfs.mkdirs(tp)
+    // the plan names every participant BEFORE any prepare — recovery
+    // must be able to find all (possibly partial) prepared manifests
+    val planTmp = new Path(s"$txnDir/.plan_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = tfs.create(planTmp, true)
+    try out.write(appends.map(_._1).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    require(publish(tfs, planTmp, new Path(s"$txnDir/plan")),
+      s"transaction dir $txnDir already used")
+    val ids = appends.map { case (root, df) =>
+      commit(spark, root, df, s"txn=$txnDir", keepBase = true)
+    }
+    decideTxn(spark, txnDir, "committed") match {
+      case "committed" => ids
+      case other => throw new IllegalStateException(
+        s"transaction $txnDir was $other by a concurrent recovery " +
+          "before the coordinator could commit; its prepares are void")
+    }
+  }
+
+  /** The PREPARE half of [[commitTransaction]] alone — exposed so the
+    * crash-recovery specs can die between prepares exactly where a
+    * real coordinator would.
+    */
+  private[graft] def txnPrepare(spark: SparkSession, root: String,
+      df: DataFrame, txnDir: String): Long =
+    commit(spark, root, df, s"txn=$txnDir", keepBase = true)
+
+  /** Resolve a transaction another coordinator left undecided (crash
+    * between prepares and decision): roll FORWARD when every planned
+    * participant's head is this txn's prepare (the coordinator died
+    * after the last prepare — committing is what it was about to do),
+    * else ABORT: publish the aborted decision first (so a late
+    * coordinator can no longer commit), then delete the prepared head
+    * manifests — safe because pending heads block all later commits,
+    * so nothing was built on them. Returns true if committed forward.
+    * Run only after a grace period: a LIVE coordinator's txn looks
+    * exactly like a crashed one until it finishes.
+    */
+  def recoverTxn(spark: SparkSession, txnDir: String): Boolean = {
+    txnDecisionOf(spark, txnDir) match {
+      case Some(d) => return d == "committed"
+      case None =>
+    }
+    val tp = new Path(s"$txnDir/plan")
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(tfs.exists(tp), s"no transaction at $txnDir")
+    val roots = readTextFile(tfs, tp).split('\n').toSeq.filter(_.nonEmpty)
+    val prepared = roots.map { r =>
+      val id = maxManifestId(spark, r)
+      val fs = fsOf(spark, r)
+      val ok = id > 0 && {
+        val h = headerLineOf(fs, manifestPath(r, id)).split('\t')
+        h.length >= 3 && h(2) == s"txn=$txnDir"
+      }
+      (r, id, ok)
+    }
+    if (prepared.forall(_._3))
+      decideTxn(spark, txnDir, "committed") == "committed"
+    else {
+      val won = decideTxn(spark, txnDir, "aborted")
+      if (won == "aborted")
+        prepared.filter(_._3).foreach { case (r, id, _) =>
+          fsOf(spark, r).delete(manifestPath(r, id), false)
+        }
+      won == "committed"
+    }
   }
 
   /** One file-list reference inside a manifest: relative path plus the
@@ -3344,8 +3527,17 @@ object SnapshotLog {
       fs.delete(tmp, false)
       attempt += 1
       require(attempt < 20, s"commit to $root lost ${attempt} races; aborting")
+      val prevBase = base
       base = currentId(spark, root)
-      if (operation == "append" || operation.startsWith("stream-append=")) {
+      // publish failed yet the VISIBLE head did not move: the id we
+      // targeted is held by a pending multi-log transaction's prepare —
+      // retrying can never succeed until its decision lands
+      if (base == prevBase) throw new IllegalStateException(
+        s"commit to $root is blocked by an in-flight multi-log " +
+          s"transaction holding snapshot ${base + 1}; " +
+          "wait for its decision or recoverTxn it after a grace period")
+      if (operation == "append" || operation.startsWith("stream-append=") ||
+        operation.startsWith("txn=")) {
         // re-merge against the winner by IDENTITY, not name: every
         // column the append did NOT introduce is already in the
         // winner's schema under its CURRENT name (a rename keeps the
@@ -4635,6 +4827,25 @@ object SnapshotLog {
       fastForward(s, root, "load")
     }.resolve("log").toString
 
+  /** Staged TWO-log transaction scenario over `orders`: log A seeds
+    * keys ≡ 0 (mod 4), log B keys ≡ 1; then ONE [[commitTransaction]]
+    * lands ≡ 2 into A and ≡ 3 into B atomically. tt29 reads the union
+    * — a lost or torn half breaks the full-table hash.
+    */
+  private def txnLog(s: SparkSession, dir: String): java.nio.file.Path =
+    graft.TempDirs.staged(s"tttxn_${graft.TempDirs.dirKey(dir)}") { p =>
+      val a = p.resolve("a").toString
+      val b = p.resolve("b").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, a, orders.filter(pmod(col("o_orderkey"), lit(4)) === 0))
+      append(s, b, orders.filter(pmod(col("o_orderkey"), lit(4)) === 1))
+      commitTransaction(s, Seq(
+        a -> orders.filter(pmod(col("o_orderkey"), lit(4)) === 2),
+        b -> orders.filter(pmod(col("o_orderkey"), lit(4)) === 3)),
+        p.resolve("tx").toString)
+    }
+
   /** Staged hidden-partitioned log over `events`: one append under a
     * declared `days(ts)` spec — rows route by day, every file stamps
     * its day band, and tt27 reads a two-day window back out through
@@ -5279,6 +5490,26 @@ object SnapshotLog {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { branchLog(s, dir); () })
+    ),
+
+    // TT29: multi-log atomic commit — two logs seeded separately, then
+    // one transaction appends a half into EACH; the union must be the
+    // full table. A transaction that committed one side without the
+    // other, or whose pending prepares leaked into a read, breaks the
+    // hash; the crash matrix (torn prepare invisible, abort restores,
+    // full-prepare rolls forward, late coordinator voided) is pinned
+    // in TransactionSpec.
+    Q(
+      "tt29_multi_log_txn",
+      (s, dir) => {
+        val p = txnLog(s, dir)
+        read(s, p.resolve("a").toString)
+          .unionByName(read(s, p.resolve("b").toString))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { txnLog(s, dir); () })
     )
   )
 }

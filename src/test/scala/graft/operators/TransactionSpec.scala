@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+import graft.operators.SnapshotLog._
+
+/** Multi-log atomic commit: N tables advance together or not at all,
+  * with crash recovery in both directions and readers never seeing a
+  * torn state — the "kill the process between the two commits" spec.
+  */
+class TransactionSpec extends SparkSpec {
+
+  private def kv(rows: (Long, String)*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("k", "v").coalesce(1)
+  }
+
+  private def scratch(): (String, String, String) = {
+    val d = graft.TempDirs.create("txn")
+    (d.resolve("a").toString, d.resolve("b").toString,
+      d.resolve("tx").toString)
+  }
+
+  test("a committed transaction advances both logs") {
+    val (a, b, tx) = scratch()
+    append(spark, a, kv(1L -> "a0"))
+    append(spark, b, kv(1L -> "b0"))
+    val ids = commitTransaction(spark,
+      Seq(a -> kv(2L -> "a1"), b -> kv(2L -> "b1")), tx)
+    assert(ids == Seq(2L, 2L))
+    assert(read(spark, a).count() == 2L)
+    assert(read(spark, b).count() == 2L)
+    assert(operationOf(spark, a, 2L) == s"txn=$tx")
+  }
+
+  test("a crash between the two prepares is invisible and aborts cleanly") {
+    val (a, b, tx) = scratch()
+    append(spark, a, kv(1L -> "a0"))
+    append(spark, b, kv(1L -> "b0"))
+    // simulate the coordinator dying after preparing A only: plan file
+    // + A's prepare manifest, no decision
+    val tfs = new Path(tx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tfs.mkdirs(new Path(tx))
+    val out = tfs.create(new Path(s"$tx/plan"), true)
+    try out.write(s"$a\n$b".getBytes("UTF-8")) finally out.close()
+    txnPrepare(spark, a, kv(2L -> "torn"), tx)
+    // READERS NEVER SEE THE TORN STATE: A's head resolves to v1
+    assert(currentId(spark, a) == 1L)
+    assert(rowSet(read(spark, a)) == Seq(Seq("1", "a0")))
+    assert(read(spark, b).count() == 1L)
+    // a committer on A is blocked, loudly, not silently stacked on top
+    val e = intercept[IllegalStateException] { append(spark, a, kv(9L -> "x")) }
+    assert(e.getMessage.contains("in-flight multi-log transaction"))
+    // recovery: not all participants prepared -> abort, head restored
+    assert(!recoverTxn(spark, tx))
+    assert(currentId(spark, a) == 1L)
+    assert(maxManifestId(spark, a) == 1L,
+      "the aborted prepare's manifest must be deleted")
+    // the table commits normally again
+    append(spark, a, kv(3L -> "a2"))
+    assert(read(spark, a).count() == 2L)
+  }
+
+  test("a crash after the last prepare rolls forward") {
+    val (a, b, tx) = scratch()
+    append(spark, a, kv(1L -> "a0"))
+    append(spark, b, kv(1L -> "b0"))
+    val tfs = new Path(tx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tfs.mkdirs(new Path(tx))
+    val out = tfs.create(new Path(s"$tx/plan"), true)
+    try out.write(s"$a\n$b".getBytes("UTF-8")) finally out.close()
+    txnPrepare(spark, a, kv(2L -> "a1"), tx)
+    txnPrepare(spark, b, kv(2L -> "b1"), tx)
+    // both pending — both invisible
+    assert(read(spark, a).count() == 1L)
+    assert(read(spark, b).count() == 1L)
+    // every participant prepared -> recovery commits forward
+    assert(recoverTxn(spark, tx))
+    assert(read(spark, a).count() == 2L)
+    assert(read(spark, b).count() == 2L)
+  }
+
+  test("an aborted decision voids a late coordinator's commit") {
+    val (a, b, tx) = scratch()
+    append(spark, a, kv(1L -> "a0"))
+    val tfs = new Path(tx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tfs.mkdirs(new Path(tx))
+    val out = tfs.create(new Path(s"$tx/plan"), true)
+    try out.write(a.getBytes("UTF-8")) finally out.close()
+    // recovery decides 'aborted' first (no prepares landed)
+    assert(!recoverTxn(spark, tx))
+    // the late coordinator's decision attempt must observe the abort
+    assert(decideTxn(spark, tx, "committed") == "aborted")
+  }
+
+  test("a decided-committed transaction stays visible through fresh reads") {
+    val (a, b, tx) = scratch()
+    append(spark, a, kv(1L -> "a0"))
+    append(spark, b, kv(1L -> "b0"))
+    commitTransaction(spark, Seq(a -> kv(2L -> "a1"), b -> kv(2L -> "b1")), tx)
+    // later plain commits stack on the txn head normally
+    append(spark, a, kv(3L -> "a2"))
+    assert(read(spark, a).count() == 3L)
+    assert(history(spark, a).map(_.id) == Seq(1L, 2L, 3L))
+  }
+}
