@@ -308,7 +308,7 @@ object IncrementalView {
       rootA: String, rootB: String,
       joinKey: String, outCols: Seq[String]): (Long, Long) =
     refreshTwoInput(spark, viewRoot, rootA, rootB, joinKey, "refreshjoin=") {
-      (state, aPre, dA, bPre, dB) =>
+      (state, aPre, dA, bPre, dB, _, _) =>
         applyJoinDelta(state, aPre, dA, bPre, dB, joinKey, outCols)
     }
 
@@ -323,7 +323,7 @@ object IncrementalView {
   private def refreshTwoInput(spark: SparkSession, viewRoot: String,
       rootA: String, rootB: String, joinKey: String, prefix: String)(
       fold: (Option[DataFrame], DataFrame, Option[DataFrame],
-        DataFrame, Option[DataFrame]) => DataFrame): (Long, Long) = {
+        DataFrame, Option[DataFrame], Long, Long) => DataFrame): (Long, Long) = {
     val (aApplied, bApplied) = joinCursorOf(spark, viewRoot, prefix)
     val aCur = SnapshotLog.currentId(spark, rootA)
     val bCur = SnapshotLog.currentId(spark, rootB)
@@ -344,7 +344,7 @@ object IncrementalView {
       else Some(SnapshotLog.read(spark, viewRoot))
     val next = fold(state,
       preState(spark, rootA, aApplied, joinKey, dB), dA,
-      preState(spark, rootB, bApplied, joinKey, dA), dB)
+      preState(spark, rootB, bApplied, joinKey, dA), dB, aCur, bCur)
     SnapshotLog.overwriteAs(spark, viewRoot, next, s"$prefix$aCur,$bCur")
     (aCur, bCur)
   }
@@ -364,11 +364,64 @@ object IncrementalView {
       rootA: String, rootB: String, joinKey: String,
       keys: Seq[String], sumCols: Seq[String]): (Long, Long) =
     refreshTwoInput(spark, viewRoot, rootA, rootB, joinKey, "refreshjoinagg=") {
-      (state, aPre, dA, bPre, dB) =>
+      (state, aPre, dA, bPre, dB, _, _) =>
         applyDelta(state,
           joinDeltaChangelog(aPre, dA, bPre, dB, joinKey,
             (keys ++ sumCols).distinct),
           keys, sumCols)
+    }
+
+  /** The delete-touched-group recompute's INPUT for one join side: the
+    * side at its reflected snapshot, FILE-PRUNED to the touched
+    * groups' rows when it carries a group key with a recorded bucket
+    * layout ([[SnapshotLog.readForKeys]] — a layout-less side degrades
+    * to the plain read, correct either way since the regroup
+    * semi-joins the exact touched set afterwards). Exposed so the spec
+    * can prove the strict-file-subset claim on this unit in isolation
+    * (deleting every non-touched-bucket file from disk and still
+    * answering).
+    */
+  private[operators] def regroupSide(spark: SparkSession, root: String,
+      cur: Long, keys: Seq[String], touched: DataFrame,
+      sideCols: Seq[String]): DataFrame =
+    keys.find(sideCols.contains) match {
+      case Some(k) => SnapshotLog.readForKeys(spark, root, k,
+        touched.select(col(k)), asOf = cur)
+      case None => SnapshotLog.read(spark, root, asOf = cur)
+    }
+
+  /** Transactional incremental refresh of a JOIN+GROUP BY view with
+    * NON-ADDITIVE aggregates (count, min, max) — the remaining IVM
+    * cell: [[refreshJoinAgg]]'s three churn-sized delta-join terms
+    * composed with [[applyDeltaMinMax]]'s delete-aware fold. Insert
+    * churn folds monotonically; groups any delete-signed term touched
+    * re-aggregate from the CURRENT join restricted to exactly those
+    * groups — and each side of that recompute reads through
+    * [[regroupSide]], so a side bucketed on a group key plans a strict
+    * file subset (touched buckets only) instead of the table. The
+    * changelog is checkpointed once (it feeds the fold AND the touched
+    * set); maintenance cost is churn × fan-out for the terms plus
+    * touched-groups × fan-out for the regroup — never the stored join,
+    * which is never materialized. Cursor tag `refreshjoinaggmm=a,b`;
+    * crash semantics exactly [[refreshJoin]]'s (output and cursors in
+    * one atomic rename).
+    */
+  def refreshJoinAggMinMax(spark: SparkSession, viewRoot: String,
+      rootA: String, rootB: String, joinKey: String,
+      keys: Seq[String], mmCols: Seq[String]): (Long, Long) =
+    refreshTwoInput(spark, viewRoot, rootA, rootB, joinKey,
+      "refreshjoinaggmm=") { (state, aPre, dA, bPre, dB, aCur, bCur) =>
+      val outCols = (keys ++ mmCols).distinct
+      val changelog = joinDeltaChangelog(aPre, dA, bPre, dB, joinKey, outCols)
+        .localCheckpoint(true)
+      val touched = changelog.filter(col("change") === "delete")
+        .select(keys.map(col): _*).distinct().localCheckpoint(true)
+      val current = regroupSide(spark, rootA, aCur, keys, touched,
+        aPre.columns.toSeq)
+        .join(regroupSide(spark, rootB, bCur, keys, touched,
+          bPre.columns.toSeq), joinKey)
+        .select(outCols.map(col): _*)
+      applyDeltaMinMax(state, changelog, current, keys, mmCols)
     }
 
   /** One maintenance step for a non-additive (count, min, max) view —
@@ -693,6 +746,40 @@ object IncrementalView {
              |FROM orders WHERE o_orderkey % 3 <> 0
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
       stage = Some((s, dir) => { refreshedDistinctLog(s, dir); () })
+    ),
+
+    // IV8: JOIN+GROUP BY view with NON-additive aggregates (count,
+    // min, max of the join's cents per segment) maintained across a
+    // CoW delete on EACH input — the composition of iv6's delta-join
+    // changelog with iv5's delete-touched regroup. The regroup reads
+    // the current join restricted to the touched segments, with the
+    // customer side file-pruned through its seg-bucket layout
+    // (IncrementalViewSpec proves the strict subset by deleting the
+    // other buckets' files). The view must equal the from-scratch
+    // join+aggregate of both final states; a stale bound kept past a
+    // delete, a missed touched group, or a double-applied window all
+    // break the hash.
+    Q(
+      "iv8_join_minmax_view",
+      (s, dir) => {
+        val view = refreshedJoinAggMmLog(s, dir)
+        SnapshotLog.read(s, view)
+          .select(col("seg"), col("n"), col("min_cents"), col("max_cents"))
+          .orderBy("seg")
+      },
+      Some("""WITH a AS (
+             |  SELECT o_custkey AS custkey,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders WHERE o_orderkey % 4 <> 0),
+             |b AS (
+             |  SELECT c_custkey AS custkey, c_mktsegment AS seg
+             |  FROM customer WHERE c_custkey % 10 <> 3)
+             |SELECT seg, count(*) AS n,
+             |  CAST(min(cents) AS BIGINT) AS min_cents,
+             |  CAST(max(cents) AS BIGINT) AS max_cents
+             |FROM a JOIN b USING (custkey)
+             |GROUP BY seg ORDER BY seg""".stripMargin),
+      stage = Some((s, dir) => { refreshedJoinAggMmLog(s, dir); () })
     )
   )
 
@@ -757,6 +844,36 @@ object IncrementalView {
         Seq("custkey"))
       refreshJoinAgg(s, view, rootA, rootB, "custkey",
         keys = Seq("seg"), sumCols = Seq("cents"))
+    }
+    p.resolve("view").toString
+  }
+
+  /** iv8's staged triple: inputs bucketed for BOTH pruning paths
+    * (orders on the join key for the delta pre-states, customer on the
+    * GROUP key for the delete-touched regroup), a bootstrap refresh,
+    * then a CoW delete on EACH side, then the incremental refresh that
+    * must recompute exactly the touched segments' bounds.
+    */
+  private def refreshedJoinAggMmLog(s: SparkSession, dir: String): String = {
+    val p = graft.TempDirs.staged(s"ivjmm_${graft.TempDirs.dirKey(dir)}") { p =>
+      val rootA = p.resolve("a").toString
+      val rootB = p.resolve("b").toString
+      val view = p.resolve("view").toString
+      val a = graft.Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      SnapshotLog.append(s, rootA, a)
+      SnapshotLog.optimizeBucketed(s, rootA, "custkey", 16)
+      val b = graft.Tables(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment").as("seg"))
+      SnapshotLog.append(s, rootB, b)
+      SnapshotLog.optimizeBucketed(s, rootB, "seg", 8)
+      refreshJoinAggMinMax(s, view, rootA, rootB, "custkey",
+        keys = Seq("seg"), mmCols = Seq("cents"))
+      SnapshotLog.deleteWhere(s, rootA, pmod(col("o_orderkey"), lit(4)) === 0)
+      SnapshotLog.deleteWhere(s, rootB, pmod(col("custkey"), lit(10)) === 3)
+      refreshJoinAggMinMax(s, view, rootA, rootB, "custkey",
+        keys = Seq("seg"), mmCols = Seq("cents"))
     }
     p.resolve("view").toString
   }

@@ -374,6 +374,66 @@ class IncrementalViewSpec extends SparkSpec {
     assert(view === Set((1L, 5L, "a", "b", 1L)))
   }
 
+  test("join min/max view: deletes on each side recompute only touched groups") {
+    val base = java.nio.file.Files.createTempDirectory("graft_iv_jmm")
+    val rootA = base.resolve("a").toString
+    val rootB = base.resolve("b").toString
+    val view = base.resolve("view").toString
+    // A: (fk, x); B: (fk, g) — group key g lives on B only
+    SnapshotLog.append(spark, rootA,
+      (1L to 40L).map(k => (k, k % 8, k * 10)).toDF("k", "fk", "x")
+        .repartition(2))
+    SnapshotLog.append(spark, rootB,
+      (0L to 7L).map(f => (f, s"g${f % 3}")).toDF("fk", "g").repartition(2))
+    IncrementalView.refreshJoinAggMinMax(spark, view, rootA, rootB, "fk",
+      keys = Seq("g"), mmCols = Seq("x"))
+    def direct() = SnapshotLog.read(spark, rootA)
+      .join(SnapshotLog.read(spark, rootB), "fk")
+      .groupBy("g").agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"))
+    assert(rowSet(SnapshotLog.read(spark, view)) === rowSet(direct()))
+    // delete the max-carrying rows on A and a whole fk on B
+    SnapshotLog.deleteWhere(spark, rootA, col("x") >= 350L)
+    SnapshotLog.deleteWhere(spark, rootB, col("fk") === 2L)
+    IncrementalView.refreshJoinAggMinMax(spark, view, rootA, rootB, "fk",
+      keys = Seq("g"), mmCols = Seq("x"))
+    assert(rowSet(SnapshotLog.read(spark, view)) === rowSet(direct()))
+    // re-run is a no-op (cursor protocol)
+    val again = IncrementalView.refreshJoinAggMinMax(spark, view, rootA,
+      rootB, "fk", keys = Seq("g"), mmCols = Seq("x"))
+    assert(rowSet(SnapshotLog.read(spark, view)) === rowSet(direct()))
+  }
+
+  test("regroupSide plans a strict file subset on a group-key-bucketed table") {
+    val root = java.nio.file.Files.createTempDirectory("graft_iv_regroup")
+      .resolve("log").toString
+    SnapshotLog.append(spark, root,
+      (1L to 64L).map(k => (k, s"g${k % 8}", k * 10)).toDF("fk", "g", "x")
+        .repartition(4))
+    SnapshotLog.optimizeBucketed(spark, root, "g", 8)
+    val cur = SnapshotLog.currentId(spark, root)
+    val touched = Seq("g3").toDF("g")
+    val pruned = IncrementalView.regroupSide(spark, root, cur,
+      Seq("g"), touched, Seq("fk", "g", "x"))
+    val all = SnapshotLog.snapshot(spark, root, cur).files
+    assert(pruned.inputFiles.nonEmpty && pruned.inputFiles.length < all.size,
+      s"regroup not pruned: ${pruned.inputFiles.length} of ${all.size}")
+    // THE STRONG FORM: delete every file outside the touched bucket —
+    // the regroup must still answer, proving those were never planned
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val plannedNames = pruned.inputFiles.map(p =>
+      p.substring(p.lastIndexOf("/data/") + 1)).toSet
+    all.map(_.path).filterNot(plannedNames)
+      .foreach(p => fs.delete(new org.apache.hadoop.fs.Path(s"$root/$p"), false))
+    val got = IncrementalView.regroupSide(spark, root, cur,
+      Seq("g"), touched, Seq("fk", "g", "x"))
+      .filter(col("g") === "g3")
+    assert(rowSet(got) === rowSet(
+      (1L to 64L).filter(_ % 8 == 3).map(k => (k, "g3", k * 10))
+        .toDF("fk", "g", "x")))
+  }
+
   test("distinct view: multiplicity decrements, vanishing pairs, NULL value exclusion") {
     val table = newRoot()
     val view = newRoot()
