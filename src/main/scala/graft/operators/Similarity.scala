@@ -455,6 +455,98 @@ object Similarity {
   def indexRows(s: SparkSession, raw: DataFrame, numPlanes: Int): DataFrame =
     indexProjection(s, raw, numPlanes, cellCol(embD))
 
+  // ---- IVF maintenance (ss7): a maintained index degrades SILENTLY
+  // under append drift — upserts keep landing in frozen cells, hot
+  // cells bloat, and a probe-2 search over a bloated cell scans far
+  // more (or, for queries elsewhere, finds less). The maintenance loop
+  // below watches the one number that predicts it (cell-size
+  // imbalance), and when it trips, re-trains k-means centroids over
+  // the CURRENT corpus and re-assigns every row — committed as ONE
+  // multi-log transaction (index overwrite + centroid-table overwrite
+  // via [[SnapshotLog.commitTransaction]]), so a crash can never leave
+  // assignments from one generation probing centroids of another. ----
+
+  /** Cell-size imbalance: the largest cell over the ideal (n/k). 1.0 =
+    * perfectly balanced; 2.0 = some cell holds twice its share. One
+    * bounded aggregation (k groups → one row).
+    */
+  def cellImbalance(s: SparkSession, root: String,
+      k: Int = NumCells): Double = {
+    val row = SnapshotLog.read(s, root).groupBy("cell").count()
+      .agg(max("count").as("mx"), sum("count").as("n")).head()
+    if (row.isNullAt(1) || row.getLong(1) == 0L) 1.0
+    else row.getLong(0).toDouble * k / row.getLong(1).toDouble
+  }
+
+  /** The trained centroids the index currently probes with (cell
+    * order), or None while it still uses the fixed oracle quantizer.
+    * k rows — bounded driver value.
+    */
+  def maintainedCentroids(s: SparkSession,
+      centsRoot: String): Option[Array[Array[Double]]] =
+    if (SnapshotLog.currentId(s, centsRoot) == 0L) None
+    else Some(SnapshotLog.read(s, centsRoot).orderBy("cell")
+      // bounded by construction: the table holds one row per cell
+      .head(4096).map(_.getSeq[Double](1).toArray))
+
+  /** One maintenance probe: if imbalance exceeds `threshold`, re-train
+    * centroids over the index's CURRENT vectors (distributed k-means)
+    * and re-assign every row — index and centroid table overwritten in
+    * one atomic multi-log transaction under `txnDir`. Returns whether
+    * a retrain happened. Below threshold it is a metadata-cheap no-op,
+    * so a scheduler can run it after every maintenance batch.
+    */
+  def maintainIvf(s: SparkSession, root: String, centsRoot: String,
+      txnDir: String, k: Int = NumCells, threshold: Double = 1.5,
+      seed: Long = 42L): Boolean = {
+    if (cellImbalance(s, root, k) <= threshold) return false
+    val v = SnapshotLog.read(s, root)
+    val cents = trainCentroids(
+      v.select(col("vec_id"), col("emb").as("embedding")), k, seed)
+    val centRows = {
+      import s.implicits._
+      cents.zipWithIndex
+        .map { case (c, i) => (i + 1, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+    }
+    val reassigned = v.select(
+      col("vec_id"), col("emb"), col("nrm"), col("bucket"),
+      cellColFor(col("emb"), cents).as("cell"))
+    SnapshotLog.commitTransaction(s,
+      Seq(root -> reassigned, centsRoot -> centRows), txnDir,
+      overwriteRoots = Set(root, centsRoot))
+    true
+  }
+
+  /** Index maintenance upsert that respects the current centroid
+    * GENERATION: rows assign to the trained cells when a retrain has
+    * happened, to the fixed quantizer before — so post-retrain batches
+    * never land in stale cells (the drift bug this tier exists to
+    * fix).
+    */
+  def upsertIndex(s: SparkSession, root: String, centsRoot: String,
+      raw: DataFrame, numPlanes: Int): Long = {
+    val rows = maintainedCentroids(s, centsRoot) match {
+      case Some(c) => indexProjection(s, raw, numPlanes,
+        cellColFor(embD, c))
+      case None => indexRows(s, raw, numPlanes)
+    }
+    SnapshotLog.mergeInto(s, root, rows, Seq("vec_id"))
+  }
+
+  /** IVF top-k over the maintained index, probing with whichever
+    * centroid generation the index currently carries.
+    */
+  def maintainedIvfTopK(s: SparkSession, root: String, centsRoot: String,
+      numQueries: Int, topK: Int): DataFrame = {
+    val v = graft.CacheScope.track(
+      SnapshotLog.read(s, root).persist(StorageLevel.MEMORY_AND_DISK))
+    maintainedCentroids(s, centsRoot) match {
+      case Some(c) => ivfTopKTrained(v, c, numQueries, topK)
+      case None => ivfTopK(v, numQueries, topK)
+    }
+  }
+
   /** [[prepare]] with the plane count auto-scaled to the corpus size
     * (one count() pass — at warehouse scale, feed table-stat row counts
     * instead). Returns the prepared frame and the chosen plane count;
@@ -746,6 +838,37 @@ object Similarity {
     (p.resolve("log").toString, np)
   }
 
+  /** ss7's staged DRIFTED index: ss6's build shape, but the drift
+    * batches push imbalance past the maintenance threshold, so the
+    * staging runs a real retrain (asserted — a fixture that never
+    * trips would test nothing) and then one MORE maintenance batch
+    * that must assign by the NEW centroid generation.
+    */
+  private def annDriftLog(s: SparkSession, dir: String): (String, String, Int) = {
+    val raw = Tables(s, dir, "embeddings")
+    val np = autoNumPlanes(countOf(s, dir))
+    require(np <= MaxOraclePlanes,
+      s"auto-scaled plane count $np exceeds the oracle's $MaxOraclePlanes planes")
+    val p = graft.TempDirs.staged(s"anndrift_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val cents = p.resolve("cents").toString
+      SnapshotLog.append(s, root,
+        indexRows(s, raw.filter(pmod(col("vec_id"), lit(3)) < 2), np))
+      upsertIndex(s, root, cents,
+        raw.filter(pmod(col("vec_id"), lit(3)) === 2
+          && pmod(col("vec_id"), lit(2)) === 0), np)
+      val retrained = maintainIvf(s, root, cents,
+        p.resolve("tx").toString, threshold = 1.1)
+      require(retrained,
+        "ss7 fixture: drift did not trip the imbalance threshold")
+      // post-retrain maintenance batch — must land in TRAINED cells
+      upsertIndex(s, root, cents,
+        raw.filter(pmod(col("vec_id"), lit(3)) === 2
+          && pmod(col("vec_id"), lit(2)) === 1), np)
+    }
+    (p.resolve("log").toString, p.resolve("cents").toString, np)
+  }
+
   val all: Seq[Q] = Seq(
     // Brute-force cosine top-k (exact baseline, bounded query set).
     Q(
@@ -780,6 +903,31 @@ object Similarity {
       },
       Some(annTopKOracleSql),
       stage = Some((s, dir) => { annIndexLog(s, dir); () })
+    ),
+
+    // SS7: IVF MAINTENANCE under append drift — the staged index grew
+    // past its frozen quantizer's balance, tripped the imbalance
+    // threshold, re-trained k-means centroids over the current corpus,
+    // and re-assigned every row in ONE multi-log transaction (index +
+    // centroid table), then took one more upsert that must land in the
+    // NEW cells. The registry row answers the exact LSH query over the
+    // post-retrain table against ss2's from-scratch oracle: a retrain
+    // that corrupted, dropped, or duplicated any row — or a
+    // post-retrain upsert routed by the wrong generation's MERGE keys —
+    // breaks the hash. The IVF-path equivalence (maintained search ==
+    // rebuilt-from-scratch trained search) and the recall/balance
+    // bounds are Spark-vs-Spark and live in IvfMaintenanceSpec.
+    Q(
+      "ss7_ivf_maintenance",
+      (s, dir) => {
+        GraftFunctions.register(s)
+        val (root, _, np) = annDriftLog(s, dir)
+        val v = graft.CacheScope.track(
+          SnapshotLog.read(s, root).persist(StorageLevel.MEMORY_AND_DISK))
+        annTopK(v, NumQueries, TopK, np)
+      },
+      Some(annTopKOracleSql),
+      stage = Some((s, dir) => { annDriftLog(s, dir); () })
     ),
 
     // Multi-probe LSH ANN top-k, plane count auto-scaled to the corpus

@@ -485,7 +485,8 @@ object SnapshotLog {
     * blocked or the decision was aborted by a concurrent recovery.
     */
   def commitTransaction(spark: SparkSession,
-      appends: Seq[(String, DataFrame)], txnDir: String): Seq[Long] = {
+      appends: Seq[(String, DataFrame)], txnDir: String,
+      overwriteRoots: Set[String] = Set.empty): Seq[Long] = {
     require(appends.nonEmpty, "empty transaction")
     require(appends.map(_._1).distinct.size == appends.size,
       "each table may appear once per transaction")
@@ -504,8 +505,13 @@ object SnapshotLog {
     finally out.close()
     require(publish(tfs, planTmp, new Path(s"$txnDir/plan")),
       s"transaction dir $txnDir already used")
+    // a root named in overwriteRoots REPLACES its content (still
+    // invisible until the decision): the transactional form of
+    // overwrite an index-retrain pair needs — new assignments and new
+    // centroids flip together or not at all
     val ids = appends.map { case (root, df) =>
-      commit(spark, root, df, s"txn=$txnDir", keepBase = true)
+      commit(spark, root, df, s"txn=$txnDir",
+        keepBase = !overwriteRoots.contains(root))
     }
     decideTxn(spark, txnDir, "committed") match {
       case "committed" => ids
@@ -3363,7 +3369,13 @@ object SnapshotLog {
       derivedStats = derivedR, tableIds0 = ids, lastColId0 = last,
       carriedDRefs = dRefs, carriedEqRefs = eqRefs, plannedBase = base,
       appendNewCols = newCols, carriedSpec = spec,
-      specDeclared = declareSpec.isDefined)
+      specDeclared = declareSpec.isDefined,
+      // only an APPEND-class commit may re-merge against a race
+      // winner's refs; an overwrite (txn or not) replayed that way
+      // would resurrect the winner's files it meant to replace
+      retryAsAppend = keepBase && (operation == "append" ||
+        operation.startsWith("stream-append=") ||
+        operation.startsWith("txn=")))
   }
 
   /** Write `df`'s files, count rows per file (one small job — the counts
@@ -3449,7 +3461,8 @@ object SnapshotLog {
       plannedBase: Long = -1L,
       appendNewCols: Set[String] = Set.empty,
       carriedSpec: Seq[PartField] = Seq.empty,
-      specDeclared: Boolean = false): Long = {
+      specDeclared: Boolean = false,
+      retryAsAppend: Boolean = false): Long = {
     var tableSchema = Option(tableSchema0).getOrElse(df.schema)
     var (tableIds, lastColId) =
       if (tableIds0.nonEmpty) (tableIds0, lastColId0)
@@ -3536,8 +3549,7 @@ object SnapshotLog {
         s"commit to $root is blocked by an in-flight multi-log " +
           s"transaction holding snapshot ${base + 1}; " +
           "wait for its decision or recoverTxn it after a grace period")
-      if (operation == "append" || operation.startsWith("stream-append=") ||
-        operation.startsWith("txn=")) {
+      if (retryAsAppend) {
         // re-merge against the winner by IDENTITY, not name: every
         // column the append did NOT introduce is already in the
         // winner's schema under its CURRENT name (a rename keeps the
