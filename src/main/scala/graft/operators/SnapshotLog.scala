@@ -394,11 +394,26 @@ object SnapshotLog {
     val in = fs.open(p)
     try {
       val buf = new Array[Byte](65536)
-      val n = in.read(buf)
-      if (n <= 0) return ""
-      val nl = buf.indexOf('\n'.toByte)
-      if (nl >= 0 && nl < n) new String(buf, 0, nl, "UTF-8")
-      else if (n < buf.length) new String(buf, 0, n, "UTF-8")
+      // fill until newline, buffer full, or EOF — a single read() may
+      // legally return short, and a short read mistaken for EOF would
+      // truncate the header
+      var n = 0
+      var nl = -1
+      var eof = false
+      while (nl < 0 && n < buf.length && !eof) {
+        val r = in.read(buf, n, buf.length - n)
+        if (r <= 0) eof = true
+        else {
+          var i = n
+          while (nl < 0 && i < n + r) {
+            if (buf(i) == '\n'.toByte) nl = i
+            i += 1
+          }
+          n += r
+        }
+      }
+      if (nl >= 0) new String(buf, 0, nl, "UTF-8")
+      else if (eof) new String(buf, 0, n, "UTF-8")
       else readTextFile(fs, p).takeWhile(_ != '\n')
     } finally in.close()
   }
