@@ -283,6 +283,40 @@ object SnapshotCatalog {
   }
 }
 
+/** Format-style batch access to the same tables —
+  * `spark.read.format("snapshot-log").option("root", dir)` with
+  * optional `asOf` (snapshot id) / `asOfTimestamp` (epoch millis) —
+  * for callers that want one-off reads without registering a catalog.
+  * Resolves to the identical [[SnapshotTableV2]], so both doors share
+  * every pruning and MoR guarantee. (The short name `snapshot-log` is
+  * already the STREAMING source's; Spark resolves batch reads through
+  * this provider class name or a `format(classOf[...].getName)` — use
+  * `graft.sources.SnapshotBatch` as the format for unambiguous batch.)
+  */
+class SnapshotBatch extends org.apache.spark.sql.connector.catalog.TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def tableOf(options: CaseInsensitiveStringMap): SnapshotTableV2 = {
+    val root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        "snapshot-log batch read needs option root=<table dir>"))
+    val asOf = Option(options.get("asOf")).map(_.toLong)
+      .orElse(Option(options.get("asOfTimestamp")).map(ts =>
+        SnapshotLog.snapshotAtTime(SparkSession.active, root, ts.toLong)))
+      .getOrElse(0L)
+    new SnapshotTableV2(root, asOf)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    tableOf(options).schema
+
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    tableOf(new CaseInsensitiveStringMap(properties))
+}
+
 /** One snapshot-log table pinned (optionally) to a time-travel
   * snapshot. Schema comes from the pinned manifest, so `VERSION AS OF`
   * reads resolve against the schema IN EFFECT then — a later rename

@@ -107,6 +107,20 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(sqlRead(root, "VERSION AS OF 3").columns.toSeq == Seq("k", "v"))
   }
 
+  test("format-style batch read resolves to the same table") {
+    val root = freshLog()
+    val df = spark.read.format(classOf[SnapshotBatch].getName)
+      .option("root", root).load()
+    assert(rowSet(df) == rowSet(SnapshotLog.read(spark, root)))
+    val v2 = spark.read.format(classOf[SnapshotBatch].getName)
+      .option("root", root).option("asOf", "2").load()
+    assert(rowSet(v2) == rowSet(SnapshotLog.read(spark, root, asOf = 2L)))
+    // pushdown reaches the same scan machinery
+    val pruned = df.filter("k >= 20")
+    assert(SnapshotCatalog.scanOf(pruned).keptFiles.size <
+      SnapshotCatalog.scanOf(pruned).totalFiles)
+  }
+
   test("aggregate over the catalog table matches the oracle shape") {
     val root = freshLog()
     val n = spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`").head().getLong(0)
