@@ -98,11 +98,22 @@ class SnapshotCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, 0L)
 
-  /** `VERSION AS OF n` — the analyzer hands the version text. */
+  /** `VERSION AS OF n` — the analyzer hands the version text. A
+    * non-numeric version resolves as a NAMED REF (tag) on the table,
+    * so `VERSION AS OF 'q3-close'` reads the pinned snapshot by name
+    * (Iceberg's ref semantics).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val id = try version.trim.toLong catch {
-      case _: NumberFormatException => throw new NoSuchTableException(ident)
-    }
+    val v = version.trim
+    val id =
+      try v.toLong
+      catch {
+        case _: NumberFormatException =>
+          val root = rootOf(ident)
+          if (SnapshotLog.hasTag(spark, root, v))
+            SnapshotLog.tagId(spark, root, v)
+          else throw new NoSuchTableException(ident)
+      }
     tableAt(ident, id)
   }
 
@@ -133,10 +144,11 @@ class SnapshotCatalog extends TableCatalog {
     }
   }
 
-  // The catalog is a READ surface over logs the library API writes;
-  // DDL mutations go through SnapshotLog (append/overwrite/merge/
-  // renameColumn/...), whose commits are transactional — a second,
-  // weaker write path here would just race it.
+  // DML goes through the table's write builder (INSERT INTO / INSERT
+  // OVERWRITE below map onto the library's transactional append /
+  // overwrite). DDL mutations stay library-side: SnapshotLog's
+  // renameColumn/widenColumn/dropColumn ARE the alter surface, and a
+  // second, weaker path here would just race their commit protocol.
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -323,7 +335,8 @@ class SnapshotBatch extends org.apache.spark.sql.connector.catalog.TableProvider
   * never leaks backwards into an old read.
   */
 private[sources] class SnapshotTableV2(val root: String, val asOf: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String =
     if (asOf > 0) s"snapshot-log `$root` @v$asOf" else s"snapshot-log `$root`"
@@ -332,7 +345,8 @@ private[sources] class SnapshotTableV2(val root: String, val asOf: Long)
     SnapshotLog.schemaAt(SparkSession.active, root, asOf)
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** The table's declared hidden-partitioning spec, reported through
     * the standard DSv2 transform vocabulary (`DESCRIBE` / catalog
@@ -356,6 +370,51 @@ private[sources] class SnapshotTableV2(val root: String, val asOf: Long)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(root, asOf, schema)
+
+  /** SQL DML through the library's transactional commits: `INSERT
+    * INTO` = [[SnapshotLog.append]] (additive evolution, declared-spec
+    * routing, stat/bloom stamping — everything a library append gets),
+    * `INSERT OVERWRITE` = [[SnapshotLog.overwrite]]. A time-travel
+    * table refuses writes — history is immutable.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(asOf == 0L,
+      s"cannot write to snapshot $asOf of $root: history is immutable")
+    new SnapshotWriteBuilder(root)
+  }
+}
+
+/** V1 write bridge: Spark's `V1_BATCH_WRITE` capability plans inserts
+  * through [[org.apache.spark.sql.connector.write.V1Write]]'s
+  * InsertableRelation — whose body here is just the library call, so
+  * SQL writes and API writes share one commit protocol (CAS manifest
+  * rename, race retry, spec routing).
+  */
+private[sources] class SnapshotWriteBuilder(root: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var truncateFirst = false
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateFirst = true
+    this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: sources.InsertableRelation =
+        new sources.InsertableRelation {
+          override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+            if (truncateFirst || overwrite)
+              SnapshotLog.overwrite(data.sparkSession, root, data)
+            else
+              SnapshotLog.append(data.sparkSession, root, data)
+          }
+        }
+    }
 }
 
 /** Receives Spark's pushdown: required columns prune the projection;

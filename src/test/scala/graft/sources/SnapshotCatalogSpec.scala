@@ -107,6 +107,39 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(sqlRead(root, "VERSION AS OF 3").columns.toSeq == Seq("k", "v"))
   }
 
+  test("INSERT INTO / INSERT OVERWRITE go through the library commits") {
+    val root = freshLog()
+    spark.sql(s"INSERT INTO $cat.`$root` VALUES (99, 'z')")
+    assert(SnapshotLog.read(spark, root).count() == 7L)
+    assert(rowSet(spark.sql(s"SELECT v FROM $cat.`$root` WHERE k = 99")) ==
+      Seq(Seq("z")))
+    // the SQL insert is a real snapshot commit: time travel sees it
+    val before = SnapshotLog.currentId(spark, root) - 1
+    assert(sqlRead(root, s"VERSION AS OF $before").count() == 6L)
+    spark.sql(s"INSERT OVERWRITE $cat.`$root` VALUES (1, 'only')")
+    assert(rowSet(SnapshotLog.read(spark, root)) == Seq(Seq("1", "only")))
+    // history is still there (overwrite is a commit, not a purge)
+    assert(sqlRead(root, s"VERSION AS OF $before").count() == 6L)
+  }
+
+  test("writes to a time-travel snapshot are refused") {
+    val root = freshLog()
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.`$root` VERSION AS OF 1 VALUES (0, 'x')")
+    }
+    // parser may reject time-travel DML outright, or our builder does —
+    // either way the write must not land
+    assert(SnapshotLog.read(spark, root).count() == 6L)
+  }
+
+  test("VERSION AS OF resolves tag names as refs") {
+    val root = freshLog()
+    SnapshotLog.tag(spark, root, "q3-close", 2L)
+    assert(rowSet(sqlRead(root, "VERSION AS OF 'q3-close'")) ==
+      rowSet(SnapshotLog.read(spark, root, asOf = 2L)))
+    intercept[Exception] { sqlRead(root, "VERSION AS OF 'nope'").collect() }
+  }
+
   test("format-style batch read resolves to the same table") {
     val root = freshLog()
     val df = spark.read.format(classOf[SnapshotBatch].getName)
