@@ -724,7 +724,13 @@ object SnapshotLog {
       datediff(col(f.column).cast("date"), lit("1970-01-01").cast("date"))
         .cast("long")
     case "hours" =>
-      floor(unix_micros(col(f.column)) / lit(3600000000L)).cast("long")
+      // exact integer floor-div: `/` on longs is DOUBLE division in
+      // Spark, and beyond 2^53 µs (~year 2255) its floor can be off by
+      // one — pruning must never depend on float rounding. x - pmod is
+      // an exact multiple of the divisor, so the decimal divide is exact.
+      ((unix_micros(col(f.column)) -
+        pmod(unix_micros(col(f.column)), lit(3600000000L)))
+        .cast("decimal(30,0)") / lit(3600000000L)).cast("long")
     case "months" =>
       ((year(col(f.column)) - lit(1970)) * lit(12) + month(col(f.column))
         - lit(1)).cast("long")

@@ -172,6 +172,34 @@ class HiddenPartitionSpec extends SparkSpec {
       f.stats.keys.exists(_.startsWith("__part:days:"))))
   }
 
+  test("hours(ts) spec prunes an hour window, pre-1970 included") {
+    import spark.implicits._
+    val root = graft.TempDirs.create("hp_hours").resolve("log").toString
+    // three files in disjoint hours, one of them pre-epoch (negative
+    // micros exercise the floor-div sign handling on BOTH sides)
+    val rows = Seq(-5L, 3L, 100L).zipWithIndex.flatMap { case (h, i) =>
+      Seq((i * 10L + 1, h * 3600000000L + 60000000L),
+        (i * 10L + 2, h * 3600000000L + 120000000L))
+    }
+    multiFile {
+      appendPartitioned(spark, root,
+        rows.toDF("k", "us").withColumn("ts", timestamp_micros(col("us")))
+          .drop("us"),
+        Seq(PartField("hours", "ts")))
+    }
+    val (kept, _) = boxFiles(spark, root,
+      Seq(("ts", Some("1970-01-01 03:00:00"), Some("1970-01-01 03:59:59"))))
+    val (all, _) = rangeFiles(spark, root, "ts", None, None)
+    assert(kept.size < all.size)
+    assert(readBox(spark, root,
+      Seq(("ts", Some("1970-01-01 03:00:00"), Some("1970-01-01 03:59:59"))))
+      .count() == 2L)
+    // the pre-epoch window prunes and answers too
+    assert(readBox(spark, root,
+      Seq(("ts", Some("1969-12-31 19:00:00"), Some("1969-12-31 19:59:59"))))
+      .count() == 2L)
+  }
+
   test("catalog reports the spec through DSv2 partitioning") {
     val root = graft.TempDirs.create("hp_report").resolve("log").toString
     appendPartitioned(spark, root, tsDf(Seq(0)),
