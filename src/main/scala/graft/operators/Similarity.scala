@@ -471,8 +471,8 @@ object Similarity {
     * bounded aggregation (k groups → one row).
     */
   def cellImbalance(s: SparkSession, root: String,
-      k: Int = NumCells): Double = {
-    val row = SnapshotLog.read(s, root).groupBy("cell").count()
+      k: Int = NumCells, asOf: Long = 0L): Double = {
+    val row = SnapshotLog.read(s, root, asOf).groupBy("cell").count()
       .agg(max("count").as("mx"), sum("count").as("n")).head()
     if (row.isNullAt(1) || row.getLong(1) == 0L) 1.0
     else row.getLong(0).toDouble * k / row.getLong(1).toDouble
@@ -499,8 +499,14 @@ object Similarity {
   def maintainIvf(s: SparkSession, root: String, centsRoot: String,
       txnDir: String, k: Int = NumCells, threshold: Double = 1.5,
       seed: Long = 42L): Boolean = {
-    if (cellImbalance(s, root, k) <= threshold) return false
-    val v = SnapshotLog.read(s, root)
+    // PIN the generation being retrained: every read below is at cur0,
+    // and the transaction's CAS fires at cur0+1 / centsCur+1 — a
+    // commit racing the retrain fails the prepare loudly instead of
+    // being clobbered by assignments computed from its past
+    val cur0 = SnapshotLog.currentId(s, root)
+    val centsCur = SnapshotLog.currentId(s, centsRoot)
+    if (cellImbalance(s, root, k, asOf = cur0) <= threshold) return false
+    val v = SnapshotLog.read(s, root, asOf = cur0)
     val cents = trainCentroids(
       v.select(col("vec_id"), col("emb").as("embedding")), k, seed)
     val centRows = {
@@ -514,7 +520,8 @@ object Similarity {
       cellColFor(col("emb"), cents).as("cell"))
     SnapshotLog.commitTransaction(s,
       Seq(root -> reassigned, centsRoot -> centRows), txnDir,
-      overwriteRoots = Set(root, centsRoot))
+      overwriteRoots = Set(root, centsRoot),
+      expectedBase = Map(root -> cur0, centsRoot -> centsCur))
     true
   }
 

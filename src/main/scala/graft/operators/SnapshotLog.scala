@@ -501,7 +501,8 @@ object SnapshotLog {
     */
   def commitTransaction(spark: SparkSession,
       appends: Seq[(String, DataFrame)], txnDir: String,
-      overwriteRoots: Set[String] = Set.empty): Seq[Long] = {
+      overwriteRoots: Set[String] = Set.empty,
+      expectedBase: Map[String, Long] = Map.empty): Seq[Long] = {
     require(appends.nonEmpty, "empty transaction")
     require(appends.map(_._1).distinct.size == appends.size,
       "each table may appear once per transaction")
@@ -523,10 +524,14 @@ object SnapshotLog {
     // a root named in overwriteRoots REPLACES its content (still
     // invisible until the decision): the transactional form of
     // overwrite an index-retrain pair needs — new assignments and new
-    // centroids flip together or not at all
+    // centroids flip together or not at all. expectedBase pins a
+    // participant's CAS to the snapshot the caller READ, so a commit
+    // racing the transaction fails the prepare loudly instead of being
+    // overwritten from stale content.
     val ids = appends.map { case (root, df) =>
       commit(spark, root, df, s"txn=$txnDir",
-        keepBase = !overwriteRoots.contains(root))
+        keepBase = !overwriteRoots.contains(root),
+        basePin = expectedBase.getOrElse(root, -1L))
     }
     decideTxn(spark, txnDir, "committed") match {
       case "committed" => ids
@@ -3326,8 +3331,13 @@ object SnapshotLog {
       operation: String, keepBase: Boolean,
       bloomSpec: Option[BloomSpec] = None,
       derivedStats: Seq[(String, Column)] = Nil,
-      declareSpec: Option[Seq[PartField]] = None): Long = {
-    val base = currentId(spark, root)
+      declareSpec: Option[Seq[PartField]] = None,
+      basePin: Long = -1L): Long = {
+    // basePin: the snapshot the CALLER computed its content against —
+    // the CAS then fires at pin+1, so any commit that landed after the
+    // caller's read fails the publish loudly instead of being clobbered
+    // (the read-compute-overwrite lost-update window)
+    val base = if (basePin >= 0L) basePin else currentId(spark, root)
     // append carries the parent's file LISTS by reference — the parent's
     // inventory is never opened, so append metadata I/O is O(#commits),
     // not O(#files). A legacy flat manifest surfaces as inline entries
@@ -3567,9 +3577,11 @@ object SnapshotLog {
       // targeted is held by a pending multi-log transaction's prepare —
       // retrying can never succeed until its decision lands
       if (base == prevBase) throw new IllegalStateException(
-        s"commit to $root is blocked by an in-flight multi-log " +
-          s"transaction holding snapshot ${base + 1}; " +
-          "wait for its decision or recoverTxn it after a grace period")
+        s"commit to $root lost its CAS at snapshot ${base + 1} without " +
+          "the visible head moving: either an in-flight multi-log " +
+          "transaction holds that id (wait for its decision or " +
+          "recoverTxn it after a grace period) or the caller pinned a " +
+          "base that a later commit already superseded (recompute and retry)")
       if (retryAsAppend) {
         // re-merge against the winner by IDENTITY, not name: every
         // column the append did NOT introduce is already in the

@@ -94,6 +94,21 @@ class TransactionSpec extends SparkSpec {
     assert(decideTxn(spark, tx, "committed") == "aborted")
   }
 
+  test("a pinned base rejects a transaction computed against stale content") {
+    val (a, b, tx) = scratch()
+    append(spark, a, kv(1L -> "a0"))
+    val cur0 = currentId(spark, a) // the caller reads at cur0...
+    append(spark, a, kv(2L -> "raced")) // ...then a commit races it
+    val e = intercept[IllegalStateException] {
+      commitTransaction(spark, Seq(a -> kv(9L -> "stale")), tx,
+        overwriteRoots = Set(a), expectedBase = Map(a -> cur0))
+    }
+    assert(e.getMessage.contains("conflicted with concurrent snapshot") ||
+      e.getMessage.contains("CAS"))
+    // the raced commit survives; the stale overwrite never landed
+    assert(rowSet(read(spark, a)) == Seq(Seq("1", "a0"), Seq("2", "raced")))
+  }
+
   test("a decided-committed transaction stays visible through fresh reads") {
     val (a, b, tx) = scratch()
     append(spark, a, kv(1L -> "a0"))
