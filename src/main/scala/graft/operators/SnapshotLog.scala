@@ -28,6 +28,29 @@ import graft.{Q, Tables}
   * (merge keeps only the latest state; this keeps every committed
   * version addressable).
   *
+  * Round-11 tiers on top:
+  *   - HIDDEN PARTITIONING ([[setPartitionSpec]]/[[appendPartitioned]]):
+  *     a declared transform spec (`days`/`hours`/`months`/`bucket`/
+  *     `trunc`) carried as manifest `P` lines; writes route rows and
+  *     stamp per-file transform bands, reads prune from RAW predicates
+  *     ([[boxFiles]] maps bounds through the monotone transforms and
+  *     point values through the driver-evaluated bucket hash), and
+  *     changing the spec affects only future files.
+  *   - BRANCH REFS ([[createBranch]]/[[appendToBranch]]/[[fastForward]]):
+  *     writable branches in their own manifest chain, invisible to
+  *     main, published by ONE atomic fast-forward rename with
+  *     divergence rejected; the branch ref pins the fork against
+  *     [[expire]] and [[vacuumOrphans]] treats branch files as live.
+  *   - MULTI-LOG TRANSACTIONS ([[commitTransaction]]/[[recoverTxn]]):
+  *     N tables advance together or not at all — per-table prepares
+  *     (invisible, committer-blocking) plus one atomic decision file;
+  *     crash recovery rolls forward iff every participant prepared.
+  *   - SQL FRONT DOOR ([[graft.sources.SnapshotCatalog]]): a DSv2
+  *     TableCatalog with `VERSION AS OF` (ids and tag names) /
+  *     `TIMESTAMP AS OF`, INSERT INTO / INSERT OVERWRITE through the
+  *     library commits, pushed-predicate manifest pruning, and
+  *     `DESCRIBE`-visible partition transforms.
+  *
   * Layout under `root` (a two-level manifest TREE, Iceberg's
   * manifest-list + manifest split — the r8 verdict's ask, closing the
   * "flat O(#files) manifest per commit" scale gap):
