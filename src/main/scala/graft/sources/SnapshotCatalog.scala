@@ -336,7 +336,8 @@ class SnapshotBatch extends org.apache.spark.sql.connector.catalog.TableProvider
   */
 private[sources] class SnapshotTableV2(val root: String, val asOf: Long)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String =
     if (asOf > 0) s"snapshot-log `$root` @v$asOf" else s"snapshot-log `$root`"
@@ -370,6 +371,24 @@ private[sources] class SnapshotTableV2(val root: String, val asOf: Long)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(root, asOf, schema)
+
+  /** `DELETE FROM t WHERE …` — accepted only when EVERY conjunct
+    * translates exactly (canDeleteWhere; Spark falls back to an
+    * analysis error otherwise, never a partial delete), then executed
+    * as the library's copy-on-write [[SnapshotLog.deleteWhere]]: one
+    * atomic commit, only match-bearing files rewritten, history keeps
+    * the pre-delete snapshot addressable.
+    */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    asOf == 0L && filters.forall(f => SnapshotCatalog.columnOf(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(asOf == 0L,
+      s"cannot delete from snapshot $asOf of $root: history is immutable")
+    val pred = filters.toSeq.flatMap(SnapshotCatalog.columnOf)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    SnapshotLog.deleteWhere(SparkSession.active, root, pred)
+  }
 
   /** SQL DML through the library's transactional commits: `INSERT
     * INTO` = [[SnapshotLog.append]] (additive evolution, declared-spec

@@ -132,6 +132,17 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, root).count() == 6L)
   }
 
+  test("DELETE FROM executes as a copy-on-write commit") {
+    val root = freshLog()
+    spark.sql(s"DELETE FROM $cat.`$root` WHERE k >= 20")
+    assert(rowSet(SnapshotLog.read(spark, root)) ==
+      Seq(Seq("1", "a"), Seq("2", "b"), Seq("10", "c"), Seq("11", "d")))
+    // the delete is a snapshot: the pre-delete state is still readable
+    assert(sqlRead(root, "VERSION AS OF 3").count() == 6L)
+    assert(SnapshotLog.operationOf(spark, root,
+      SnapshotLog.currentId(spark, root)) == "delete")
+  }
+
   test("VERSION AS OF resolves tag names as refs") {
     val root = freshLog()
     SnapshotLog.tag(spark, root, "q3-close", 2L)
