@@ -200,6 +200,22 @@ class HiddenPartitionSpec extends SparkSpec {
       .count() == 2L)
   }
 
+  test("a SQL timestamp range over the catalog prunes through day bands") {
+    val root = SnapshotLog.partitionLog(spark, graft.TestSpark.Sf0001)
+    spark.conf.set("spark.sql.catalog.snapcat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    val df = spark.sql(
+      s"""SELECT event_id FROM snapcat.`$root`
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts <= TIMESTAMP '2024-01-11 23:59:59'""".stripMargin)
+    val scan = graft.sources.SnapshotCatalog.scanOf(df)
+    assert(scan.keptFiles.size < scan.totalFiles,
+      s"SQL ts range must prune (${scan.keptFiles.size}/${scan.totalFiles})")
+    val direct = SnapshotLog.readBox(spark, root, Seq(("ts",
+      Some("2024-01-10 00:00:00"), Some("2024-01-11 23:59:59"))))
+    assert(df.count() == direct.count())
+  }
+
   test("catalog reports the spec through DSv2 partitioning") {
     val root = graft.TempDirs.create("hp_report").resolve("log").toString
     appendPartitioned(spark, root, tsDf(Seq(0)),
