@@ -1665,9 +1665,15 @@ object SnapshotLog {
     val fs = fsOf(spark, root)
     val raw = rawManifest(spark, root, id)
     val schema = StructType.fromDDL(raw.schemaDdl)
-    val all = raw.inline ++ raw.refs.flatMap(r => readFileList(fs, root, r.path))
+    // the live TOTAL comes from the manifest lines' per-list subtotals
+    // — never from opening lists: a pruned plan on a million-file
+    // table must stay O(matching lists), and the total is report-only
+    val total = raw.inline.size + raw.refs.iterator.map(_.nFiles).sum
     val usable = preds.filter { case (c, _, _) => schema.fieldNames.contains(c) }
-    val kept0 = if (usable.isEmpty) all else boxFiles(spark, root, usable, id)._1
+    val kept0 =
+      if (usable.isEmpty)
+        raw.inline ++ raw.refs.flatMap(r => readFileList(fs, root, r.path))
+      else boxFiles(spark, root, usable, id)._1
     val curIds = currentIdsOf(raw, schema)._1
     val points = usable.flatMap {
       case (c, Some(lo), Some(hi)) if lo == hi =>
@@ -1695,7 +1701,7 @@ object SnapshotLog {
           }
         }
       }
-    (kept, all.size, schema)
+    (kept, total, schema)
   }
 
   /** Full merge-on-read read of an externally PRUNED subset of

@@ -135,8 +135,8 @@ class SnapshotCatalogSpec extends SparkSpec {
   test("DELETE FROM executes as a copy-on-write commit") {
     val root = freshLog()
     spark.sql(s"DELETE FROM $cat.`$root` WHERE k >= 20")
-    assert(rowSet(SnapshotLog.read(spark, root)) ==
-      Seq(Seq("1", "a"), Seq("2", "b"), Seq("10", "c"), Seq("11", "d")))
+    assert(rowSet(SnapshotLog.read(spark, root)).map(_.toList).toSet ==
+      Set(List("1", "a"), List("2", "b"), List("10", "c"), List("11", "d")))
     // the delete is a snapshot: the pre-delete state is still readable
     assert(sqlRead(root, "VERSION AS OF 3").count() == 6L)
     assert(SnapshotLog.operationOf(spark, root,
