@@ -207,7 +207,7 @@ object SnapshotLog {
     case _ => utf8Gt(a, b)
   }
 
-  private def utf8Gt(a: String, b: String): Boolean = {
+  private[graft] def utf8Gt(a: String, b: String): Boolean = {
     val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
     val n = math.min(x.length, y.length)
     var i = 0
@@ -450,9 +450,20 @@ object SnapshotLog {
     * memoize per JVM; an untransacted table pays nothing beyond one
     * header-line read per head resolution.
     */
-  def currentId(spark: SparkSession, root: String): Long = {
+  def currentId(spark: SparkSession, root: String): Long =
+    visibleFrom(spark, root, maxManifestId(spark, root))
+
+  /** The txn-visibility walk both head resolution and time travel
+    * share: starting from a candidate id, step back through manifests
+    * held by undecided/aborted multi-log transactions to the newest
+    * VISIBLE snapshot — so neither a plain read nor a `TIMESTAMP AS
+    * OF` read can ever observe a pending prepare's (possibly later
+    * aborted) cross-table state.
+    */
+  private def visibleFrom(spark: SparkSession, root: String,
+      start: Long): Long = {
     val fs = fsOf(spark, root)
-    var id = maxManifestId(spark, root)
+    var id = start
     while (id > 0) {
       val h = headerLineOf(fs, manifestPath(root, id)).split('\t')
       val op = if (h.length >= 3) h(2) else ""
@@ -558,9 +569,37 @@ object SnapshotLog {
     }
     decideTxn(spark, txnDir, "committed") match {
       case "committed" => ids
-      case other => throw new IllegalStateException(
-        s"transaction $txnDir was $other by a concurrent recovery " +
-          "before the coordinator could commit; its prepares are void")
+      case other =>
+        // a concurrent recovery aborted first: OUR prepares are void,
+        // and since they may have landed AFTER the recovery's cleanup
+        // scan, delete them here — otherwise they'd permanently block
+        // every later commit to these tables
+        cleanupAbortedTxn(spark, txnDir)
+        throw new IllegalStateException(
+          s"transaction $txnDir was $other by a concurrent recovery " +
+            "before the coordinator could commit; its prepares are void")
+    }
+  }
+
+  /** Delete any participant head manifest still holding an ABORTED
+    * transaction's prepare — idempotent and re-runnable, so abort
+    * cleanup survives a recoverer that crashed mid-delete and catches
+    * prepares that landed after an earlier cleanup's scan. Safe
+    * because pending heads block all later commits: nothing can have
+    * built on a manifest this deletes.
+    */
+  private def cleanupAbortedTxn(spark: SparkSession, txnDir: String): Unit = {
+    val tp = new Path(s"$txnDir/plan")
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!tfs.exists(tp)) return
+    readTextFile(tfs, tp).split('\n').toSeq.filter(_.nonEmpty).foreach { r =>
+      val id = maxManifestId(spark, r)
+      if (id > 0) {
+        val fs = fsOf(spark, r)
+        val h = headerLineOf(fs, manifestPath(r, id)).split('\t')
+        if (h.length >= 3 && h(2) == s"txn=$txnDir")
+          fs.delete(manifestPath(r, id), false)
+      }
     }
   }
 
@@ -585,7 +624,15 @@ object SnapshotLog {
     */
   def recoverTxn(spark: SparkSession, txnDir: String): Boolean = {
     txnDecisionOf(spark, txnDir) match {
-      case Some(d) => return d == "committed"
+      case Some("committed") => return true
+      case Some(_) =>
+        // already aborted: re-run the head cleanup before returning —
+        // a prior recoverer may have crashed between publishing the
+        // decision and deleting the prepared heads, or a live
+        // coordinator's prepare may have landed after its scan; either
+        // leftover would block every future commit to that table
+        cleanupAbortedTxn(spark, txnDir)
+        return false
       case None =>
     }
     val tp = new Path(s"$txnDir/plan")
@@ -601,14 +648,16 @@ object SnapshotLog {
       }
       (r, id, ok)
     }
-    if (prepared.forall(_._3))
-      decideTxn(spark, txnDir, "committed") == "committed"
-    else {
+    if (prepared.forall(_._3)) {
+      val won = decideTxn(spark, txnDir, "committed")
+      if (won != "committed") cleanupAbortedTxn(spark, txnDir)
+      won == "committed"
+    } else {
       val won = decideTxn(spark, txnDir, "aborted")
-      if (won == "aborted")
-        prepared.filter(_._3).foreach { case (r, id, _) =>
-          fsOf(spark, r).delete(manifestPath(r, id), false)
-        }
+      // cleanup RE-SCANS the plan's roots (not the stale `prepared`
+      // list): a prepare landing between our scan and the decision is
+      // equally void and equally blocking
+      if (won == "aborted") cleanupAbortedTxn(spark, txnDir)
       won == "committed"
     }
   }
@@ -1626,11 +1675,16 @@ object SnapshotLog {
     StructType.fromDDL(rawManifest(spark, root, id).schemaDdl)
   }
 
-  /** Latest snapshot published at or before `tsMillis` — the
+  /** Latest VISIBLE snapshot published at or before `tsMillis` — the
     * `TIMESTAMP AS OF` resolution. Manifests are written once via
     * tmp-write + rename and never touched again, so a manifest's
     * modification time IS its commit time; [[expire]]d ids simply no
-    * longer appear in the listing.
+    * longer appear in the listing. The candidate then takes the same
+    * txn-visibility walk as [[currentId]] (a pending multi-log
+    * prepare's mtime exists but its content is not committed — time
+    * travel must not read what a plain read would refuse); the walk
+    * only ever steps to PARENTS, which were published earlier, so the
+    * timestamp bound keeps holding.
     */
   private[graft] def snapshotAtTime(spark: SparkSession, root: String,
       tsMillis: Long): Long = {
@@ -1643,9 +1697,10 @@ object SnapshotLog {
       .filter(_.getModificationTime <= tsMillis)
       .map(_.getPath.getName.stripPrefix("v").stripSuffix(".manifest").toLong)
       .foldLeft(0L)(math.max)
-    require(hit > 0,
-      s"no snapshot of $root published at or before epoch-millis $tsMillis")
-    hit
+    val vis = visibleFrom(spark, root, hit)
+    require(vis > 0,
+      s"no visible snapshot of $root published at or before epoch-millis $tsMillis")
+    vis
   }
 
   /** The catalog scan's FILE plan: live entries pruned by the pushed

@@ -258,7 +258,17 @@ object SnapshotCatalog {
       else {
         val strs = vs.flatMap { case s: String => Some(s); case _ => None }
         if (strs.length == vs.length)
-          Seq((a, Some(strs.min), Some(strs.max)))
+          // min/max under UTF-8 BYTE order — the order the stat bands
+          // compare in (statGt/utf8Gt). JVM String min/max (UTF-16
+          // units) would invert the envelope for values containing
+          // supplementary-plane code points (surrogates sort below
+          // [U+E000, U+FFFF] in UTF-16 but above them by code point),
+          // making lo > hi and pruning every matching file.
+          Seq((a,
+            Some(strs.reduce((x, y) =>
+              if (graft.operators.SnapshotLog.utf8Gt(x, y)) y else x)),
+            Some(strs.reduce((x, y) =>
+              if (graft.operators.SnapshotLog.utf8Gt(x, y)) x else y))))
         else Seq.empty
       }
     case sources.And(l, r) => boxOf(l) ++ boxOf(r)
@@ -451,6 +461,17 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
   private var exact: Seq[sources.Filter] = Seq.empty
   private var boxes: Seq[(String, Option[String], Option[String])] = Seq.empty
 
+  /** The snapshot this scan reads, resolved ONCE at build time: an
+    * asOf=0 (current-head) read pins the head HERE, so the file plan
+    * and the execution-time MoR resolution (schema, delete vectors,
+    * equality deletes) come from the SAME snapshot — a commit landing
+    * between plan and execute can no longer produce a mixed-snapshot
+    * read (old head's file list under the new head's deletes).
+    */
+  private def pinnedAsOf: Long =
+    if (asOf > 0) asOf
+    else SnapshotLog.currentId(SparkSession.active, root)
+
   override def pushFilters(filters: Array[sources.Filter])
       : Array[sources.Filter] = {
     boxes = filters.toSeq.flatMap(SnapshotCatalog.boxOf)
@@ -466,7 +487,7 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
     required = requiredSchema
 
   override def build(): Scan =
-    new SnapshotScan(root, asOf, required, boxes, exact)
+    new SnapshotScan(root, pinnedAsOf, required, boxes, exact)
 }
 
 /** The planned scan: file pruning happens HERE, once, on the driver —

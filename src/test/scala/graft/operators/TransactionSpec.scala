@@ -109,6 +109,67 @@ class TransactionSpec extends SparkSpec {
     assert(rowSet(read(spark, a)) == Seq(Seq("1", "a0"), Seq("2", "raced")))
   }
 
+  test("TIMESTAMP AS OF never resolves a pending prepare") {
+    val (a, b, tx) = scratch()
+    append(spark, a, kv(1L -> "a0"))
+    val tfs = new Path(tx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tfs.mkdirs(new Path(tx))
+    val out = tfs.create(new Path(s"$tx/plan"), true)
+    try out.write(s"$a\n$b".getBytes("UTF-8")) finally out.close()
+    txnPrepare(spark, a, kv(2L -> "torn"), tx)
+    // the prepare's manifest HAS the newest mtime, but time travel must
+    // take the same visibility walk as currentId: v1 is the answer
+    val now = System.currentTimeMillis() + 60000L
+    assert(snapshotAtTime(spark, a, now) == 1L)
+    // once the decision commits, the same timestamp resolves the prepare
+    decideTxn(spark, tx, "committed")
+    assert(snapshotAtTime(spark, a, now) == 2L)
+  }
+
+  test("aborted-decision cleanup is idempotent and catches late prepares") {
+    val (a, b, tx) = scratch()
+    append(spark, a, kv(1L -> "a0"))
+    val tfs = new Path(tx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tfs.mkdirs(new Path(tx))
+    val out = tfs.create(new Path(s"$tx/plan"), true)
+    try out.write(a.getBytes("UTF-8")) finally out.close()
+    // recovery aborts (nothing prepared yet)...
+    assert(!recoverTxn(spark, tx))
+    // ...then a LIVE coordinator's prepare lands after the abort: void,
+    // invisible, but physically blocking the head id
+    txnPrepare(spark, a, kv(2L -> "late"), tx)
+    assert(currentId(spark, a) == 1L)
+    intercept[IllegalStateException] { append(spark, a, kv(9L -> "x")) }
+    // re-running recovery on the decided txn must CLEAN UP, not just
+    // return the decision — else the table is blocked forever
+    assert(!recoverTxn(spark, tx))
+    assert(maxManifestId(spark, a) == 1L,
+      "the late prepare's manifest must be deleted by the re-run")
+    append(spark, a, kv(3L -> "a2"))
+    assert(read(spark, a).count() == 2L)
+  }
+
+  test("a late coordinator voided mid-commit cleans its own prepares") {
+    val (a, b, tx) = scratch()
+    append(spark, a, kv(1L -> "a0"))
+    append(spark, b, kv(1L -> "b0"))
+    // an adversary aborts the txn BEFORE the coordinator runs (decision
+    // files are first-writer-wins; the plan does not exist yet)
+    assert(decideTxn(spark, tx, "aborted") == "aborted")
+    val e = intercept[IllegalStateException] {
+      commitTransaction(spark,
+        Seq(a -> kv(2L -> "a1"), b -> kv(2L -> "b1")), tx)
+    }
+    assert(e.getMessage.contains("aborted"))
+    // its prepares must not linger: both tables commit normally again
+    assert(maxManifestId(spark, a) == 1L)
+    assert(maxManifestId(spark, b) == 1L)
+    append(spark, a, kv(3L -> "a2"))
+    append(spark, b, kv(3L -> "b2"))
+    assert(read(spark, a).count() == 2L)
+    assert(read(spark, b).count() == 2L)
+  }
+
   test("a decided-committed transaction stays visible through fresh reads") {
     val (a, b, tx) = scratch()
     append(spark, a, kv(1L -> "a0"))

@@ -165,6 +165,37 @@ class SnapshotCatalogSpec extends SparkSpec {
       SnapshotCatalog.scanOf(pruned).totalFiles)
   }
 
+  test("string IN envelopes fold under UTF-8 byte order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = graft.TempDirs.create("snapcat_utf8").resolve("log").toString
+    // U+FFFD vs U+1F600: UTF-16 units order them 😀 < � (surrogates sort
+    // below [U+E000,U+FFFF]) while UTF-8 bytes — the stat-band order —
+    // have � (EF BF BD) < 😀 (F0 9F 98 80). A JVM-String envelope would
+    // invert (lo > hi) and prune the matching file.
+    SnapshotLog.append(spark, root,
+      Seq((1L, "�"), (2L, "x")).toDF("k", "v").coalesce(1))
+    val df = sqlRead(root).filter(col("v").isin("�", "😀"))
+    val scan = SnapshotCatalog.scanOf(df)
+    assert(scan.keptFiles.size == 1,
+      "the file containing a supplementary-plane IN match must be kept")
+    assert(rowSet(df) == Seq(Seq("1", "�")))
+  }
+
+  test("a current-head scan pins its snapshot at plan time") {
+    val root = freshLog()
+    val qe = sqlRead(root).queryExecution
+    qe.executedPlan // plan now: the scan resolves + prunes the head HERE
+    // a commit lands between plan and execute — the planned read must
+    // still be the PLANNED snapshot, not a mix of old file list and new
+    // head's delete vectors
+    SnapshotLog.deleteWhereMoR(spark, root,
+      org.apache.spark.sql.functions.col("k") === 1L)
+    assert(qe.toRdd.count() == 6L,
+      "the planned scan must read the snapshot it was planned against")
+    assert(sqlRead(root).count() == 5L, "a fresh read sees the delete")
+  }
+
   test("aggregate over the catalog table matches the oracle shape") {
     val root = freshLog()
     val n = spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`").head().getLong(0)
