@@ -11,6 +11,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // same extensions as every spec/Explain session: the SQL DML
+      // rewrite (tt30) needs them, and correctness should be verified
+      // under the exact session the plans are published from
+      .withExtensions(new functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

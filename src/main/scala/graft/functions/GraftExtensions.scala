@@ -18,6 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL MERGE INTO / UPDATE over snapshot-log catalog tables rewrite
+    // to the library's MoR commit protocol during resolution (Delta's
+    // technique) — see graft.plans.SnapshotDml
+    ext.injectResolutionRule(_ => graft.plans.SnapshotDmlRule)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
     ext.injectOptimizerRule(_ => graft.plans.TopKViaRowNumber)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -2990,7 +2990,7 @@ object SnapshotLog {
     val allFiles = raw.inline ++
       raw.refs.flatMap(r => readFileList(fs, root, r.path))
     val tableSchema = StructType.fromDDL(raw.schemaDdl)
-    val (tableIds, lastColId) = currentIdsOf(raw, tableSchema)
+    val (tableIds, _) = currentIdsOf(raw, tableSchema)
     // same no-silent-retype rule as mergeInto: source columns keep the
     // table's types, and the insert arm writes the table's column set
     tableSchema.fields.foreach { f =>
@@ -2998,22 +2998,43 @@ object SnapshotLog {
         require(sf.dataType == f.dataType,
           s"merge source column ${f.name} is ${sf.dataType}, table has ${f.dataType}"))
     }
-    val tableCols = tableSchema.fieldNames.map(col).toSeq
     val keys = source.select(keyCols.map(col): _*).distinct()
-    val next = base + 1
-    val dvOpt =
+    val dead =
       if (allFiles.isEmpty) None
       else {
         val live = livePosRead(spark, root, raw, allFiles, tableSchema, tableIds)
-        writeDeleteVector(spark, root,
-          live.join(keys, keyCols, "left_semi")
-            .select(col("__path").as("t_path"), col("__pos").as("t_pos")),
-          next)
+        Some(live.join(keys, keyCols, "left_semi")
+          .select(col("__path").as("t_path"), col("__pos").as("t_pos")))
       }
-    // the source's files record the table's declared bucket layout
+    morCommit(spark, root, base, dead, source)
+  }
+
+  /** The atomic merge-on-read COMMIT both the library's [[mergeIntoMoR]]
+    * and the SQL MERGE/UPDATE commands (graft.plans.SnapshotDml) share:
+    * the (t_path, t_pos) coordinates in `dead` die via one positional
+    * delete vector, `adds` appends as new data files under the table's
+    * current schema, and both land in ONE manifest publish — zero
+    * existing files read back or rewritten. The publish CAS fires at
+    * `base + 1`, so any commit racing the caller's discovery scan
+    * surfaces as a loud conflict, never a lost update.
+    */
+  private[graft] def morCommit(spark: SparkSession, root: String,
+      base: Long, dead: Option[DataFrame], adds: DataFrame,
+      operation: String = "mor-merge"): Long = {
+    val fs = fsOf(spark, root)
+    val raw = rawManifest(spark, root, base)
+    val allFiles = raw.inline ++
+      raw.refs.flatMap(r => readFileList(fs, root, r.path))
+    val tableSchema = StructType.fromDDL(raw.schemaDdl)
+    val (tableIds, lastColId) = currentIdsOf(raw, tableSchema)
+    val tableCols = tableSchema.fieldNames.map(col).toSeq
+    val next = base + 1
+    val dvOpt = dead.filter(_ => allFiles.nonEmpty)
+      .flatMap(d => writeDeleteVector(spark, root, d, next))
+    // the new files record the table's declared bucket layout
     // (inherited like a CoW rewrite's), so readBuckets stays sharp
     val written = writeDataFiles(spark, root,
-      source.select(tableCols: _*), next, None,
+      adds.select(tableCols: _*), next, None,
       inheritedBucketStats(allFiles, tableSchema, tableIds))
       .map(f => f.copy(ids =
         tableIds.filter { case (n, _) => tableSchema.fieldNames.contains(n) }))
@@ -3026,7 +3047,7 @@ object SnapshotLog {
     fs.mkdirs(m.getParent)
     val out = fs.create(tmp, true)
     try out.write(
-      ((s"$next\t$base\tmor-merge\t${raw.rows - delRows + srcRows}\t$ddl" +
+      ((s"$next\t$base\t$operation\t${raw.rows - delRows + srcRows}\t$ddl" +
         s"\t${idsField(tableIds)}\t$lastColId") +:
         ((raw.refs :+ newRef).map(r =>
           s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
@@ -3046,10 +3067,35 @@ object SnapshotLog {
         fs.delete(new Path(s"$root/$dvDir"), true)
       }
       throw new IllegalStateException(
-        s"mergeIntoMoR on $root conflicted with a concurrent snapshot; " +
+        s"$operation on $root conflicted with a concurrent snapshot; " +
           "recompute against the new current snapshot and retry")
     }
     next
+  }
+
+  /** The LIVE current-head rows with their (file, position)
+    * coordinates, plus the head id — the discovery view a SQL
+    * row-level command (MERGE / UPDATE) joins its source against.
+    * Columns: the table's, then `__path`/`__pos`. An empty table
+    * yields an empty frame under the table schema.
+    */
+  private[graft] def readPosForDml(spark: SparkSession, root: String)
+      : (Long, DataFrame, StructType) = {
+    val base = currentId(spark, root)
+    require(base > 0, s"no snapshots under $root")
+    val raw = rawManifest(spark, root, base)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    val files = raw.inline ++
+      raw.refs.flatMap(r => readFileList(fsOf(spark, root), root, r.path))
+    val ids = currentIdsOf(raw, schema)._1
+    val df =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema.add("__path", org.apache.spark.sql.types.StringType)
+            .add("__pos", org.apache.spark.sql.types.LongType))
+      else livePosRead(spark, root, raw, files, schema, ids)
+    (base, df, schema)
   }
 
   /** Copy-on-write MERGE (upsert): table rows whose `keyCols` match a
@@ -4854,6 +4900,35 @@ object SnapshotLog {
       mergeIntoMoR(s, root, src, Seq("o_orderkey"))
     }.resolve("log").toString
 
+  /** Staged SQL-MERGE log: [[mergeLog]]'s exact scenario once more,
+    * but committed as PURE SQL TEXT — `MERGE INTO snap.t USING src …`
+    * resolved by graft.sources.SnapshotCatalog and rewritten by
+    * graft.plans.SnapshotDmlRule into the same MoR commit protocol
+    * tt21 exercises through the library API. Shares tt5's oracle
+    * VERBATIM: the FOURTH merge door must be observationally
+    * identical to the CoW, MoR-positional, and equality ones.
+    */
+  private def sqlMergeLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttsqlm_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.repartition(4))
+      orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .unionByName(
+          orders.filter(pmod(col("o_orderkey"), lit(10)) === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+            .withColumn("o_orderstatus", lit("N")))
+        .createOrReplaceTempView("tt30_src")
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      s.sql(
+        s"""MERGE INTO snapcat.`$root` t USING tt30_src s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }.resolve("log").toString
+
   /** Staged EQUALITY-delete log: evens appended (snap 1), a scan-free
     * key-set delete of EVERY key ≡ 0 (mod 3) — including odd multiples
     * not yet in the table (snap 2), the odds appended (snap 3), then a
@@ -5639,6 +5714,31 @@ object SnapshotLog {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { txnLog(s, dir); () })
+    ),
+
+    // TT30: SQL MERGE INTO — tt5's exact upsert scenario as pure SQL
+    // text over the DSv2 catalog, rewritten to the MoR commit protocol
+    // (matched rows die via a delete vector, the source appends, zero
+    // pre-existing files rewritten — SnapshotDmlSpec pins the write
+    // shape), sharing tt5's oracle VERBATIM: the SQL door must be
+    // observationally identical to all three library merge doors. A
+    // rewrite that misbound a column, double-applied an arm, or
+    // dropped the insert side breaks the hash.
+    Q(
+      "tt30_sql_merge",
+      (s, dir) => {
+        val root = sqlMergeLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |       CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+             |            ELSE o_orderstatus END AS o_orderstatus
+             |FROM orders
+             |UNION ALL
+             |SELECT o_orderkey + 10000000, o_custkey, 'N'
+             |FROM orders WHERE o_orderkey % 10 = 1
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { sqlMergeLog(s, dir); () })
     )
   )
 }

@@ -344,7 +344,7 @@ class SnapshotBatch extends org.apache.spark.sql.connector.catalog.TableProvider
   * reads resolve against the schema IN EFFECT then — a later rename
   * never leaks backwards into an old read.
   */
-private[sources] class SnapshotTableV2(val root: String, val asOf: Long)
+private[graft] class SnapshotTableV2(val root: String, val asOf: Long)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {

@@ -1,0 +1,43 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The three `private[sql]` accessors the SQL row-level DML rewrite
+  * (graft.plans.SnapshotDml) needs and nothing public provides in
+  * Spark 4's Column-node API:
+  *
+  *   - `ofRows`: wrap an ALREADY-ANALYZED logical plan (the MERGE
+  *     statement's source subtree) as a DataFrame without re-analysis,
+  *     preserving its attribute ids so the statement's resolved
+  *     expressions keep referring to it;
+  *   - `column` / `expression`: cross between Catalyst `Expression`s
+  *     (what the analyzed MERGE carries) and user-facing `Column`s
+  *     (what the DataFrame combinators accept) — Spark 4 removed the
+  *     public constructors in the Connect refactor.
+  *
+  * Same justification as [[StreamingFrame]] (Delta Lake's commands sit
+  * under `org.apache.spark.sql.delta` for exactly these calls): one
+  * tiny bridge file under the `org.apache.spark.sql` package tree, all
+  * other code stays outside `private[sql]`.
+  */
+object DmlBridge {
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The analyzed logical plan behind a DataFrame — how the DML
+    * rewrite learns the resolved output attributes of the frames it
+    * builds, to substitute for the statement's original references.
+    */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.analyzed
+}

@@ -9,8 +9,9 @@ import org.apache.spark.sql.{DataFrame, Row}
   * this single accessor lives under the `org.apache.spark.sql` package
   * tree — the same technique Delta Lake's streaming source uses (its
   * whole source sits under `org.apache.spark.sql.delta` for exactly
-  * this call). Nothing else in the repo reaches into `private[sql]`;
-  * keep it that way.
+  * this call). The only other `private[sql]` reach is [[DmlBridge]]
+  * (the SQL MERGE/UPDATE rewrite's Expression↔Column bridge); keep the
+  * set that small.
   *
   * The wrap is lazy: `queryExecution.toRdd` is a plan handle, computed
   * only when the micro-batch executes.

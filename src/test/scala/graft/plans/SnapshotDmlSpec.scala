@@ -1,0 +1,169 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.operators.SnapshotLog
+
+/** SQL MERGE INTO / UPDATE over catalog tables: pure SQL text must be
+  * observationally identical to the library's mergeIntoMoR — and pay
+  * the same write cost: matched rows die via a positional delete
+  * vector, ZERO pre-existing data files rewritten.
+  */
+class SnapshotDmlSpec extends SparkSpec {
+
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.snapdml",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    "snapdml"
+  }
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dvDirs(root: String): Seq[String] =
+    fs(root).listStatus(new Path(s"$root/data")).toSeq
+      .map(_.getPath.getName).filter(_.contains("_dv_"))
+
+  private def newLog(tag: String): String = {
+    import spark.implicits._
+    val root = graft.TempDirs.create(s"dml_$tag").resolve("log").toString
+    SnapshotLog.append(spark, root,
+      (1 to 100).map(k => (k.toLong, s"v$k")).toDF("k", "v").repartition(4))
+    root
+  }
+
+  test("SQL MERGE upsert matches mergeIntoMoR row-for-row") {
+    import spark.implicits._
+    val sqlRoot = newLog("sql")
+    val libRoot = newLog("lib")
+    val src = ((1 to 10).map(k => (k * 10L, "X")) ++
+      Seq((200L, "new1"), (201L, "new2"))).toDF("k", "v")
+    src.createOrReplaceTempView("dml_src")
+    spark.sql(s"MERGE INTO $cat.`$sqlRoot` t USING dml_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    SnapshotLog.mergeIntoMoR(spark, libRoot, src, Seq("k"))
+    assert(rowSet(SnapshotLog.read(spark, sqlRoot)) ==
+      rowSet(SnapshotLog.read(spark, libRoot)))
+    assert(SnapshotLog.read(spark, sqlRoot).count() == 102L)
+    assert(SnapshotLog.operationOf(spark, sqlRoot, 2L) == "mor-merge")
+  }
+
+  test("matched rows die via vectors — no pre-existing file rewritten") {
+    import spark.implicits._
+    val root = newLog("vec")
+    val before = SnapshotLog.snapshot(spark, root, 1L)
+    val stamps = before.files.map { f =>
+      f.path -> fs(root).getFileStatus(new Path(s"$root/${f.path}"))
+        .getModificationTime
+    }.toMap
+    Seq((10L, "X"), (999L, "new")).toDF("k", "v")
+      .createOrReplaceTempView("dml_vec_src")
+    spark.sql(s"MERGE INTO $cat.`$root` t USING dml_vec_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val after = SnapshotLog.snapshot(spark, root, 2L)
+    // every pre-existing data file is CARRIED, byte-untouched
+    assert(before.files.map(_.path).toSet.subsetOf(
+      after.files.map(_.path).toSet))
+    before.files.foreach { f =>
+      assert(fs(root).getFileStatus(new Path(s"$root/${f.path}"))
+        .getModificationTime == stamps(f.path))
+    }
+    // the matched row died via a positional delete vector
+    assert(dvDirs(root).size == 1)
+    assert(SnapshotLog.read(spark, root).filter(col("k") === 10L)
+      .select("v").head().getString(0) == "X")
+    assert(SnapshotLog.read(spark, root).count() == 101L)
+  }
+
+  test("conditional arms evaluate first-match-wins, DELETE arm kills") {
+    import spark.implicits._
+    val root = newLog("arms")
+    Seq((10L, "zap"), (20L, "up"), (300L, "zap"), (301L, "ins"))
+      .toDF("k", "v").createOrReplaceTempView("dml_arms_src")
+    spark.sql(s"MERGE INTO $cat.`$root` t USING dml_arms_src s ON t.k = s.k " +
+      "WHEN MATCHED AND s.v = 'zap' THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET v = concat(s.v, '-', t.v) " +
+      "WHEN NOT MATCHED AND s.v = 'ins' THEN INSERT *")
+    val out = SnapshotLog.read(spark, root)
+    assert(out.count() == 100L) // -1 (deleted 10) +1 (inserted 301)
+    assert(out.filter(col("k") === 10L).count() == 0L)
+    assert(out.filter(col("k") === 20L).select("v").head().getString(0)
+      == "up-v20")
+    assert(out.filter(col("k") === 300L).count() == 0L,
+      "a non-matching NOT MATCHED arm condition must not insert")
+    assert(out.filter(col("k") === 301L).count() == 1L)
+  }
+
+  test("NOT MATCHED BY SOURCE arms see target-only rows") {
+    import spark.implicits._
+    val root = newLog("bysrc")
+    Seq((1L, "keep")).toDF("k", "v").createOrReplaceTempView("dml_bysrc_src")
+    spark.sql(s"MERGE INTO $cat.`$root` t USING dml_bysrc_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED BY SOURCE AND t.k > 98 THEN DELETE")
+    val out = SnapshotLog.read(spark, root)
+    assert(out.count() == 98L) // 99 and 100 die, 1 updated in place
+    assert(out.filter(col("k") === 1L).select("v").head().getString(0) == "keep")
+  }
+
+  test("SQL UPDATE commits one MoR snapshot with partial assignments") {
+    import spark.implicits._
+    val root = newLog("upd")
+    val before = SnapshotLog.snapshot(spark, root, 1L).files.map(_.path).toSet
+    spark.sql(s"UPDATE $cat.`$root` SET v = upper(v) WHERE k <= 3")
+    assert(SnapshotLog.operationOf(spark, root, 2L) == "mor-update")
+    val out = SnapshotLog.read(spark, root)
+    assert(out.count() == 100L)
+    assert(rowSet(out.filter(col("k") <= 3L).select("v")) ==
+      Seq(Seq("V1"), Seq("V2"), Seq("V3")))
+    // carried files untouched; the update wrote only a DV + its own rows
+    assert(before.subsetOf(
+      SnapshotLog.snapshot(spark, root, 2L).files.map(_.path).toSet))
+    assert(dvDirs(root).size == 1)
+    // time travel still reads the pre-update state
+    assert(SnapshotLog.read(spark, root, asOf = 1L)
+      .filter(col("k") === 1L).select("v").head().getString(0) == "v1")
+  }
+
+  test("cardinality violation fails loudly, nothing committed") {
+    import spark.implicits._
+    val root = newLog("card")
+    Seq((10L, "x"), (10L, "y")).toDF("k", "v")
+      .createOrReplaceTempView("dml_card_src")
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.`$root` t USING dml_card_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e.getMessage.contains("cardinality"))
+    assert(SnapshotLog.currentId(spark, root) == 1L, "no commit landed")
+  }
+
+  test("DML against a time-travel snapshot is refused") {
+    import spark.implicits._
+    val root = newLog("tt")
+    Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("dml_tt_src")
+    intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.`$root` VERSION AS OF 1 t " +
+        "USING dml_tt_src s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *")
+    }
+    intercept[Exception] {
+      spark.sql(s"UPDATE $cat.`$root` VERSION AS OF 1 SET v = 'x'")
+    }
+    assert(SnapshotLog.currentId(spark, root) == 1L)
+  }
+
+  test("merge into an updated table applies over outstanding vectors") {
+    import spark.implicits._
+    val root = newLog("stack")
+    spark.sql(s"UPDATE $cat.`$root` SET v = 'first' WHERE k = 1")
+    Seq((1L, "second")).toDF("k", "v").createOrReplaceTempView("dml_stack_src")
+    spark.sql(s"MERGE INTO $cat.`$root` t USING dml_stack_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET *")
+    val out = SnapshotLog.read(spark, root)
+    assert(out.count() == 100L)
+    assert(out.filter(col("k") === 1L).select("v").head().getString(0)
+      == "second")
+  }
+}
