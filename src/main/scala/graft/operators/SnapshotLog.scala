@@ -389,6 +389,52 @@ object SnapshotLog {
       declareSpec = Some(fields))
   }
 
+  /** Create an EMPTY table: snapshot 1 with ZERO data files, the given
+    * schema (field ids assigned), and optionally a declared partition
+    * spec — the SQL `CREATE TABLE … PARTITIONED BY (days(ts), …)`
+    * door. Metadata-only: one manifest write, no job runs. Later
+    * appends (SQL INSERT or library) route rows by the declared spec
+    * exactly as on a spec declared by [[appendPartitioned]]. Fails
+    * loudly if the log already exists; the publish is the same atomic
+    * no-replace rename as every commit, so two racing CREATEs resolve
+    * to exactly one winner.
+    */
+  def createTable(spark: SparkSession, root: String, schema: StructType,
+      spec: Seq[PartField] = Seq.empty): Long = {
+    require(schema.nonEmpty, "cannot create a table with no columns")
+    validateSpec(spec, schema)
+    require(maxManifestId(spark, root) == 0L,
+      s"table already exists at $root")
+    val fs = fsOf(spark, root)
+    val (ids, last) = assignNewIds(schema, Map.empty, 0)
+    val raw = RawManifest(1L, 0L, "create", 0L,
+      schema.toDDL.replace("\t", " ").replace("\n", " "),
+      Seq.empty, Seq.empty, ids, last, Seq.empty, Seq.empty, spec)
+    val m = manifestPath(root, 1L)
+    val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(m.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(manifestText(raw).getBytes("UTF-8")) finally out.close()
+    if (!publish(fs, tmp, m)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"create of $root lost a race: the table already exists")
+    }
+    1L
+  }
+
+  /** Drop the table wholesale: every snapshot, data file, ref, and
+    * branch under `root` — SQL `DROP TABLE`. Returns whether a table
+    * existed. Unlike [[expire]] this is NOT maintenance; history is
+    * gone with it.
+    */
+  def dropTable(spark: SparkSession, root: String): Boolean = {
+    val fs = fsOf(spark, root)
+    val existed = maxManifestId(spark, root) > 0L
+    if (existed) fs.delete(new Path(root), true)
+    existed
+  }
+
   private def manifestPath(root: String, id: Long): Path =
     new Path(f"$root/snap/v$id%08d.manifest")
 
@@ -4929,6 +4975,24 @@ object SnapshotLog {
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }.resolve("log").toString
 
+  /** Staged SQL-CTAS log: the table is born from PURE SQL — `CREATE
+    * TABLE … PARTITIONED BY (days(ts)) AS SELECT …` over the events
+    * table — so the declared hidden-partitioning spec, the CTAS write,
+    * and the day-band routing all go through the catalog door tt27
+    * exercises via the library API.
+    */
+  private def sqlCtasLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttctas_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      Tables(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .createOrReplaceTempView("tt31_src")
+      s.sql(s"CREATE TABLE snapcat.`$root` PARTITIONED BY (days(ts)) " +
+        "AS SELECT * FROM tt31_src")
+      ()
+    }.resolve("log").toString
+
   /** Staged EQUALITY-delete log: evens appended (snap 1), a scan-free
     * key-set delete of EVERY key ≡ 0 (mod 3) — including odd multiples
     * not yet in the table (snap 2), the odds appended (snap 3), then a
@@ -5739,6 +5803,30 @@ object SnapshotLog {
              |FROM orders WHERE o_orderkey % 10 = 1
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { sqlMergeLog(s, dir); () })
+    ),
+
+    // TT31: SQL CREATE TABLE AS SELECT with PARTITIONED BY — the table
+    // is born, spec'd (days(ts)), and populated by ONE SQL statement;
+    // the query carries only a raw ts range and must equal the
+    // from-scratch filter (SnapshotDdlSpec pins the file-skip side).
+    // Shares tt27's oracle VERBATIM: the SQL-declared spec must route
+    // and read exactly as the library-declared one.
+    Q(
+      "tt31_sql_ctas",
+      (s, dir) => {
+        val root = sqlCtasLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.sql(
+          s"""SELECT event_id, user_id, event_type FROM snapcat.`$root`
+             |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND ts <= TIMESTAMP '2024-01-11 23:59:59'
+             |ORDER BY event_id""".stripMargin)
+      },
+      Some("""SELECT event_id, user_id, event_type FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND ts <= TIMESTAMP '2024-01-11 23:59:59'
+             |ORDER BY event_id""".stripMargin),
+      stage = Some((s, dir) => { sqlCtasLog(s, dir); () })
     )
   )
 }

@@ -144,22 +144,33 @@ class SnapshotCatalog extends TableCatalog {
     }
   }
 
-  // DML goes through the table's write builder (INSERT INTO / INSERT
-  // OVERWRITE below map onto the library's transactional append /
-  // overwrite). DDL mutations stay library-side: SnapshotLog's
-  // renameColumn/widenColumn/dropColumn ARE the alter surface, and a
-  // second, weaker path here would just race their commit protocol.
+  /** SQL `CREATE TABLE` (and the create half of CTAS — the catalog is
+    * non-staging, so Spark creates then appends through the write
+    * builder): a metadata-only empty snapshot carrying the schema and
+    * the declared hidden-partitioning spec parsed from the DSv2
+    * transforms (the inverse of [[SnapshotTableV2.partitioning]]).
+    * Table properties are accepted and ignored — location is the
+    * identifier, the provider is this format.
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "create snapshot-log tables via SnapshotLog.append")
+      properties: util.Map[String, String]): Table = {
+    val root = rootOf(ident)
+    SnapshotLog.createTable(spark, root, schema,
+      partitions.toSeq.map(SnapshotCatalog.partFieldOf))
+    new SnapshotTableV2(root, 0L)
+  }
 
+  // Column mutations stay library-side: SnapshotLog's renameColumn/
+  // widenColumn/dropColumn ARE the alter surface, and a second, weaker
+  // path here would just race their commit protocol.
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
       "alter snapshot-log tables via SnapshotLog.renameColumn/widenColumn/dropColumn")
 
-  override def dropTable(ident: Identifier): Boolean = false
+  override def dropTable(ident: Identifier): Boolean =
+    try SnapshotLog.dropTable(spark, rootOf(ident))
+    catch { case _: NoSuchTableException => false }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
@@ -167,6 +178,33 @@ class SnapshotCatalog extends TableCatalog {
 }
 
 object SnapshotCatalog {
+
+  /** One DSv2 partition transform → the library's [[SnapshotLog
+    * .PartField]] — the inverse of [[SnapshotTableV2.partitioning]].
+    * `truncate` accepts (col, width) in either argument order (both
+    * appear in the wild); identity transforms are rejected with the
+    * supported vocabulary (hidden partitioning stores RAW columns and
+    * derives bands — a plain partition column is what it replaces).
+    */
+  private[sources] def partFieldOf(t: Transform): SnapshotLog.PartField = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLiteral, NamedReference}
+    def column: String = t.arguments.collectFirst {
+      case r: NamedReference => r.fieldNames.mkString(".")
+    }.getOrElse(throw new IllegalArgumentException(
+      s"transform $t names no column"))
+    def width: Int = t.arguments.collectFirst {
+      case l: VLiteral[_] => l.value.toString.toInt
+    }.getOrElse(throw new IllegalArgumentException(
+      s"transform $t carries no integer argument"))
+    t.name match {
+      case "days" | "hours" | "months" => SnapshotLog.PartField(t.name, column)
+      case "bucket" => SnapshotLog.PartField("bucket", column, width)
+      case "truncate" | "trunc" => SnapshotLog.PartField("trunc", column, width)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform $other(...); supported: " +
+          "days/hours/months(col), bucket(n, col), truncate(col, n)")
+    }
+  }
 
   /** The [[SnapshotScan]] a planned catalog query resolved to — how
     * specs assert FILE pruning through the SQL path (kept vs total),
