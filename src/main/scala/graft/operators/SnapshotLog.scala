@@ -1554,14 +1554,23 @@ object SnapshotLog {
   private[graft] def boxFiles(spark: SparkSession, root: String,
       preds: Seq[(String, Option[String], Option[String])],
       asOf: Long = 0L): (Seq[FileEntry], StructType) = {
-    require(preds.nonEmpty, "boxFiles needs at least one predicate")
     val id = if (asOf > 0) asOf else currentId(spark, root)
+    boxFilesRaw(spark, root, rawManifest(spark, root, id), preds)
+  }
+
+  /** [[boxFiles]] from an already-resolved manifest — the shared core
+    * main-chain and BRANCH reads prune through.
+    */
+  private def boxFilesRaw(spark: SparkSession, root: String,
+      raw: RawManifest,
+      preds: Seq[(String, Option[String], Option[String])])
+      : (Seq[FileEntry], StructType) = {
+    require(preds.nonEmpty, "boxFiles needs at least one predicate")
     val fs = fsOf(spark, root)
-    val raw = rawManifest(spark, root, id)
     val schema = StructType.fromDDL(raw.schemaDdl)
     preds.foreach { case (column, _, _) =>
       require(schema.fieldNames.contains(column),
-        s"no column $column in snapshot $id")
+        s"no column $column in snapshot ${raw.id}")
     }
     val curIds = currentIdsOf(raw, schema)._1
     // data types hoisted out of the per-file loop: resolving through
@@ -1763,8 +1772,17 @@ object SnapshotLog {
       asOf: Long, preds: Seq[(String, Option[String], Option[String])])
       : (Seq[FileEntry], Int, StructType) = {
     val id = if (asOf > 0) asOf else currentId(spark, root)
+    catalogPlanRaw(spark, root, rawManifest(spark, root, id), preds)
+  }
+
+  /** [[catalogPlan]] from an already-resolved manifest — shared by
+    * main-chain pins and branch-head pins.
+    */
+  private def catalogPlanRaw(spark: SparkSession, root: String,
+      raw: RawManifest,
+      preds: Seq[(String, Option[String], Option[String])])
+      : (Seq[FileEntry], Int, StructType) = {
     val fs = fsOf(spark, root)
-    val raw = rawManifest(spark, root, id)
     val schema = StructType.fromDDL(raw.schemaDdl)
     // the live TOTAL comes from the manifest lines' per-list subtotals
     // — never from opening lists: a pruned plan on a million-file
@@ -1774,7 +1792,7 @@ object SnapshotLog {
     val kept0 =
       if (usable.isEmpty)
         raw.inline ++ raw.refs.flatMap(r => readFileList(fs, root, r.path))
-      else boxFiles(spark, root, usable, id)._1
+      else boxFilesRaw(spark, root, raw, usable)._1
     val curIds = currentIdsOf(raw, schema)._1
     val points = usable.flatMap {
       case (c, Some(lo), Some(hi)) if lo == hi =>
@@ -1814,10 +1832,63 @@ object SnapshotLog {
   private[graft] def readFileSubset(spark: SparkSession, root: String,
       files: Seq[FileEntry], asOf: Long = 0L): DataFrame = {
     val id = if (asOf > 0) asOf else currentId(spark, root)
-    val raw = rawManifest(spark, root, id)
+    readFileSubsetRaw(spark, root, rawManifest(spark, root, id), files)
+  }
+
+  private def readFileSubsetRaw(spark: SparkSession, root: String,
+      raw: RawManifest, files: Seq[FileEntry]): DataFrame = {
     val schema = StructType.fromDDL(raw.schemaDdl)
     dvRead(spark, root, raw, files, schema, currentIdsOf(raw, schema)._1)
   }
+
+  // ---- catalog PIN resolution: a catalog table is pinned either to a
+  // main-chain snapshot (asOf; 0 = the head, resolved ONCE per scan)
+  // or to a BRANCH HEAD ((name, k) — `VERSION AS OF '<branch>'`, k
+  // resolved once at loadTable). Branch manifests are write-once like
+  // main ones, so a pin reads a consistent snapshot however many
+  // branch commits land after it. ----
+
+  /** The branch's current commit count — the `k` a catalog branch pin
+    * freezes (0 = fresh branch: content is the fork snapshot).
+    */
+  private[graft] def branchPin(spark: SparkSession, root: String,
+      name: String): Long =
+    branchHeadK(fsOf(spark, root), root, name)
+
+  private def pinnedManifest(spark: SparkSession, root: String,
+      asOf: Long, branch: Option[(String, Long)]): RawManifest =
+    branch match {
+      case Some((name, k)) =>
+        if (k == 0)
+          rawManifest(spark, root, tagId(spark, root, branchRefName(name)))
+        else parseManifest(readTextFile(fsOf(spark, root),
+          branchManifestPath(root, name, k)))
+      case None =>
+        val id = if (asOf > 0) asOf else currentId(spark, root)
+        require(id > 0, s"no snapshots under $root")
+        rawManifest(spark, root, id)
+    }
+
+  private[graft] def schemaOfPin(spark: SparkSession, root: String,
+      asOf: Long, branch: Option[(String, Long)]): StructType =
+    StructType.fromDDL(pinnedManifest(spark, root, asOf, branch).schemaDdl)
+
+  private[graft] def specOfPin(spark: SparkSession, root: String,
+      asOf: Long, branch: Option[(String, Long)]): Seq[PartField] =
+    pinnedManifest(spark, root, asOf, branch).spec
+
+  private[graft] def catalogPlanPin(spark: SparkSession, root: String,
+      asOf: Long, branch: Option[(String, Long)],
+      preds: Seq[(String, Option[String], Option[String])])
+      : (Seq[FileEntry], Int, StructType) =
+    catalogPlanRaw(spark, root,
+      pinnedManifest(spark, root, asOf, branch), preds)
+
+  private[graft] def readFileSubsetPin(spark: SparkSession, root: String,
+      asOf: Long, branch: Option[(String, Long)],
+      files: Seq[FileEntry]): DataFrame =
+    readFileSubsetRaw(spark, root,
+      pinnedManifest(spark, root, asOf, branch), files)
 
   /** Per-file bloom recording: build a filter over each listed (long or
     * integral) column per written data file, sized for `expectedPerFile`

@@ -99,22 +99,26 @@ class SnapshotCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = tableAt(ident, 0L)
 
   /** `VERSION AS OF n` — the analyzer hands the version text. A
-    * non-numeric version resolves as a NAMED REF (tag) on the table,
-    * so `VERSION AS OF 'q3-close'` reads the pinned snapshot by name
-    * (Iceberg's ref semantics).
+    * non-numeric version resolves as a NAMED REF on the table: a TAG
+    * reads the pinned snapshot, a BRANCH reads the branch HEAD (fork
+    * content plus every branch append — work invisible to plain reads
+    * until fastForward publishes it), both Iceberg's ref semantics.
+    * The branch head is pinned HERE (its commit count), so the read
+    * stays consistent under concurrent branch appends.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = version.trim
-    val id =
-      try v.toLong
-      catch {
-        case _: NumberFormatException =>
-          val root = rootOf(ident)
-          if (SnapshotLog.hasTag(spark, root, v))
-            SnapshotLog.tagId(spark, root, v)
-          else throw new NoSuchTableException(ident)
-      }
-    tableAt(ident, id)
+    try tableAt(ident, v.toLong)
+    catch {
+      case _: NumberFormatException =>
+        val root = rootOf(ident)
+        if (SnapshotLog.hasTag(spark, root, v))
+          tableAt(ident, SnapshotLog.tagId(spark, root, v))
+        else if (SnapshotLog.branchExists(spark, root, v))
+          new SnapshotTableV2(root, 0L,
+            Some((v, SnapshotLog.branchPin(spark, root, v))))
+        else throw new NoSuchTableException(ident)
+    }
   }
 
   /** `TIMESTAMP AS OF ts` — the analyzer hands epoch MICROseconds;
@@ -361,11 +365,17 @@ class SnapshotBatch extends org.apache.spark.sql.connector.catalog.TableProvider
     val root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         "snapshot-log batch read needs option root=<table dir>"))
-    val asOf = Option(options.get("asOf")).map(_.toLong)
-      .orElse(Option(options.get("asOfTimestamp")).map(ts =>
-        SnapshotLog.snapshotAtTime(SparkSession.active, root, ts.toLong)))
-      .getOrElse(0L)
-    new SnapshotTableV2(root, asOf)
+    Option(options.get("branch")) match {
+      case Some(b) =>
+        new SnapshotTableV2(root, 0L,
+          Some((b, SnapshotLog.branchPin(SparkSession.active, root, b))))
+      case None =>
+        val asOf = Option(options.get("asOf")).map(_.toLong)
+          .orElse(Option(options.get("asOfTimestamp")).map(ts =>
+            SnapshotLog.snapshotAtTime(SparkSession.active, root, ts.toLong)))
+          .getOrElse(0L)
+        new SnapshotTableV2(root, asOf)
+    }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -378,20 +388,25 @@ class SnapshotBatch extends org.apache.spark.sql.connector.catalog.TableProvider
 }
 
 /** One snapshot-log table pinned (optionally) to a time-travel
-  * snapshot. Schema comes from the pinned manifest, so `VERSION AS OF`
-  * reads resolve against the schema IN EFFECT then — a later rename
-  * never leaks backwards into an old read.
+  * snapshot or a branch head. Schema comes from the pinned manifest,
+  * so `VERSION AS OF` reads resolve against the schema IN EFFECT then
+  * — a later rename never leaks backwards into an old read, and a
+  * branch read sees the branch's own evolution.
   */
-private[graft] class SnapshotTableV2(val root: String, val asOf: Long)
+private[graft] class SnapshotTableV2(val root: String, val asOf: Long,
+    val branch: Option[(String, Long)] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
-  override def name(): String =
-    if (asOf > 0) s"snapshot-log `$root` @v$asOf" else s"snapshot-log `$root`"
+  override def name(): String = branch match {
+    case Some((b, _)) => s"snapshot-log `$root` @branch $b"
+    case None if asOf > 0 => s"snapshot-log `$root` @v$asOf"
+    case None => s"snapshot-log `$root`"
+  }
 
   override lazy val schema: StructType =
-    SnapshotLog.schemaAt(SparkSession.active, root, asOf)
+    SnapshotLog.schemaOfPin(SparkSession.active, root, asOf, branch)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -402,7 +417,7 @@ private[graft] class SnapshotTableV2(val root: String, val asOf: Long)
     * introspection see `days(ts)` etc. exactly as on Iceberg tables).
     */
   override def partitioning(): Array[Transform] =
-    SnapshotLog.partitionSpecOf(SparkSession.active, root, asOf).map { f =>
+    SnapshotLog.specOfPin(SparkSession.active, root, asOf, branch).map { f =>
       import org.apache.spark.sql.connector.expressions.Expressions
       f.transform match {
         case "bucket" => Expressions.bucket(f.n, f.column)
@@ -418,7 +433,7 @@ private[graft] class SnapshotTableV2(val root: String, val asOf: Long)
     Map("provider" -> "snapshot-log", "location" -> root).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(root, asOf, schema)
+    new SnapshotScanBuilder(root, asOf, branch, schema)
 
   /** `DELETE FROM t WHERE …` — accepted only when EVERY conjunct
     * translates exactly (canDeleteWhere; Spark falls back to an
@@ -428,11 +443,13 @@ private[graft] class SnapshotTableV2(val root: String, val asOf: Long)
     * the pre-delete snapshot addressable.
     */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    asOf == 0L && filters.forall(f => SnapshotCatalog.columnOf(f).isDefined)
+    asOf == 0L && branch.isEmpty &&
+      filters.forall(f => SnapshotCatalog.columnOf(f).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
-    require(asOf == 0L,
-      s"cannot delete from snapshot $asOf of $root: history is immutable")
+    require(asOf == 0L && branch.isEmpty,
+      s"cannot delete from a pinned read of $root: history is immutable " +
+        "(branch writes go through SnapshotLog.appendToBranch)")
     val pred = filters.toSeq.flatMap(SnapshotCatalog.columnOf)
       .reduceOption(_ && _).getOrElse(lit(true))
     SnapshotLog.deleteWhere(SparkSession.active, root, pred)
@@ -447,8 +464,9 @@ private[graft] class SnapshotTableV2(val root: String, val asOf: Long)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    require(asOf == 0L,
-      s"cannot write to snapshot $asOf of $root: history is immutable")
+    require(asOf == 0L && branch.isEmpty,
+      s"cannot write to a pinned read of $root: history is immutable " +
+        "(branch writes go through SnapshotLog.appendToBranch)")
     new SnapshotWriteBuilder(root)
   }
 }
@@ -491,7 +509,7 @@ private[sources] class SnapshotWriteBuilder(root: String)
   * plan.
   */
 private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
-    tableSchema: StructType)
+    branch: Option[(String, Long)], tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -507,7 +525,7 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
     * read (old head's file list under the new head's deletes).
     */
   private def pinnedAsOf: Long =
-    if (asOf > 0) asOf
+    if (branch.isDefined || asOf > 0) asOf
     else SnapshotLog.currentId(SparkSession.active, root)
 
   override def pushFilters(filters: Array[sources.Filter])
@@ -525,7 +543,7 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
     required = requiredSchema
 
   override def build(): Scan =
-    new SnapshotScan(root, pinnedAsOf, required, boxes, exact)
+    new SnapshotScan(root, pinnedAsOf, branch, required, boxes, exact)
 }
 
 /** The planned scan: file pruning happens HERE, once, on the driver —
@@ -533,6 +551,7 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
   * asserts. Row production goes through the V1 relation below.
   */
 class SnapshotScan(val root: String, val asOf: Long,
+    val branch: Option[(String, Long)],
     required: StructType,
     boxes: Seq[(String, Option[String], Option[String])],
     exact: Seq[sources.Filter])
@@ -540,14 +559,16 @@ class SnapshotScan(val root: String, val asOf: Long,
 
   private val spark = SparkSession.active
   val (keptFiles, totalFiles, tableSchema) = {
-    val (k, t, s) = SnapshotLog.catalogPlan(spark, root, asOf, boxes)
+    val (k, t, s) = SnapshotLog.catalogPlanPin(spark, root, asOf, branch, boxes)
     (k, t, s)
   }
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"SnapshotScan root=$root asOf=$asOf files=${keptFiles.size}/$totalFiles" +
+    s"SnapshotScan root=$root asOf=$asOf" +
+      branch.map { case (b, k) => s" branch=$b@$k" }.getOrElse("") +
+      s" files=${keptFiles.size}/$totalFiles" +
       s" pushed=${exact.mkString("[", ", ", "]")}"
 
   /** Manifest row counts — free statistics for the SQL planner's
@@ -574,7 +595,7 @@ class SnapshotScan(val root: String, val asOf: Long,
     * lazily at execution so the relation plans nothing twice.
     */
   private[sources] def innerPlan(): DataFrame = {
-    val base = SnapshotLog.readFileSubset(spark, root, keptFiles, asOf)
+    val base = SnapshotLog.readFileSubsetPin(spark, root, asOf, branch, keptFiles)
     val filtered = exact.flatMap(SnapshotCatalog.columnOf)
       .foldLeft(base)((d, c) => d.filter(c))
     filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)

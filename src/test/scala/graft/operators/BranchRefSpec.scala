@@ -45,6 +45,75 @@ class BranchRefSpec extends SparkSpec {
     assert(read(spark, root, asOf = 1L).count() == 1L)
   }
 
+  test("VERSION AS OF '<branch>' reads the branch head through SQL") {
+    spark.conf.set("spark.sql.catalog.brcat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    val root = graft.TempDirs.create("br_sql").resolve("log").toString
+    append(spark, root, kv(1L -> "a"))
+    createBranch(spark, root, "wip")
+    appendToBranch(spark, root, "wip", kv(2L -> "b"))
+    // the SQL branch read sees the append; the plain SQL read does not
+    assert(rowSet(spark.sql(
+      s"SELECT * FROM brcat.`$root` VERSION AS OF 'wip'")) ==
+      Seq(Seq("1", "a"), Seq("2", "b")))
+    assert(rowSet(spark.sql(s"SELECT * FROM brcat.`$root`")) ==
+      Seq(Seq("1", "a")))
+    // a tag still wins its own name; an unknown ref still fails
+    tag(spark, root, "pin1", 1L)
+    assert(spark.sql(s"SELECT * FROM brcat.`$root` VERSION AS OF 'pin1'")
+      .count() == 1L)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM brcat.`$root` VERSION AS OF 'nope'").collect()
+    }
+    // the branch pin is plan-consistent: a branch append AFTER planning
+    // does not leak into the planned read
+    val qe = spark.sql(s"SELECT * FROM brcat.`$root` VERSION AS OF 'wip'")
+      .queryExecution
+    qe.executedPlan
+    appendToBranch(spark, root, "wip", kv(3L -> "c"))
+    assert(qe.toRdd.count() == 2L)
+    assert(spark.sql(s"SELECT * FROM brcat.`$root` VERSION AS OF 'wip'")
+      .count() == 3L)
+    // writes through a branch pin are refused (appendToBranch is the door)
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO brcat.`$root` VERSION AS OF 'wip' VALUES (9, 'x')")
+    }
+    // fast-forward flips both doors: plain reads see everything, the
+    // branch name stops resolving
+    fastForward(spark, root, "wip")
+    assert(spark.sql(s"SELECT * FROM brcat.`$root`").count() == 3L)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM brcat.`$root` VERSION AS OF 'wip'").collect()
+    }
+    // format-style door reads the same branch pin
+    createBranch(spark, root, "wip2")
+    appendToBranch(spark, root, "wip2", kv(9L -> "z"))
+    val viaFormat = spark.read
+      .format(classOf[graft.sources.SnapshotBatch].getName)
+      .option("root", root).option("branch", "wip2").load()
+    assert(viaFormat.count() == 4L)
+  }
+
+  test("branch SQL reads prune files from the branch manifest's stats") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.brcat",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    val root = graft.TempDirs.create("br_prune").resolve("log").toString
+    append(spark, root, (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k")))
+    createBranch(spark, root, "feat")
+    appendToBranch(spark, root, "feat",
+      (200L to 300L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(2, col("k")))
+    val df = spark.sql(
+      s"SELECT v FROM brcat.`$root` VERSION AS OF 'feat' WHERE k BETWEEN 40 AND 60")
+    val scan = graft.sources.SnapshotCatalog.scanOf(df)
+    assert(scan.totalFiles >= 6)
+    assert(scan.keptFiles.size < scan.totalFiles,
+      s"stat pruning must skip branch files (${scan.keptFiles.size}/${scan.totalFiles})")
+    assert(df.count() == 21L)
+  }
+
   test("fastForward rejects divergence and leaves the branch intact") {
     val root = graft.TempDirs.create("br_div").resolve("log").toString
     append(spark, root, kv(1L -> "a"))
