@@ -532,9 +532,9 @@ object SnapshotLog {
   // manifests, which is safe precisely because pending heads block all
   // later commits, so nothing can have built on them. Readers resolve
   // visibility through [[currentId]]; per-table reads are atomic and
-  // the GROUP is all-or-nothing durable (a cross-table consistent READ
-  // still needs coordinated asOf ids, as in Iceberg's multi-table
-  // transactions). ----
+  // the GROUP is all-or-nothing durable. A cross-table consistent READ
+  // is [[readTransaction]]: every participant pinned at its
+  // txn-committed id. ----
 
   private val txnDecisions =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -647,6 +647,40 @@ object SnapshotLog {
           fs.delete(manifestPath(r, id), false)
       }
     }
+  }
+
+  /** Consistent multi-table READ of a COMMITTED transaction: every
+    * participant pinned at the snapshot that transaction committed to
+    * it, so the group reads the exact cross-table state the decision
+    * published — stable under any number of LATER commits to any
+    * participant (the coordinated-asOf gap independent single-table
+    * reads leave open). Resolution is header-walk only (O(commits
+    * since the txn) header lines per table, no manifest bodies); fails
+    * loudly if the transaction is undecided/aborted or a participant's
+    * txn commit has been [[expire]]d out of retained history.
+    */
+  def readTransaction(spark: SparkSession,
+      txnDir: String): Map[String, DataFrame] = {
+    require(txnCommitted(spark, txnDir),
+      s"transaction $txnDir is not committed — nothing consistent to read")
+    val tp = new Path(s"$txnDir/plan")
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(tfs.exists(tp), s"no transaction at $txnDir")
+    val roots = readTextFile(tfs, tp).split('\n').toSeq.filter(_.nonEmpty)
+    roots.map { r =>
+      val fs = fsOf(spark, r)
+      var id = currentId(spark, r)
+      var found = 0L
+      while (id > 0 && found == 0) {
+        val h = headerLineOf(fs, manifestPath(r, id)).split('\t')
+        val op = if (h.length >= 3) h(2) else ""
+        if (op == s"txn=$txnDir") found = id
+        else id = if (h.length >= 2) h(1).toLong else 0L
+      }
+      require(found > 0,
+        s"transaction $txnDir's commit to $r is not in retained history")
+      r -> read(spark, r, asOf = found)
+    }.toMap
   }
 
   /** The PREPARE half of [[commitTransaction]] alone — exposed so the

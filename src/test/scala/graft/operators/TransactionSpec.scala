@@ -180,4 +180,35 @@ class TransactionSpec extends SparkSpec {
     assert(read(spark, a).count() == 3L)
     assert(history(spark, a).map(_.id) == Seq(1L, 2L, 3L))
   }
+
+  test("readTransaction reads the txn-consistent pair under later commits") {
+    val (a, b, tx) = scratch()
+    append(spark, a, kv(1L -> "a0"))
+    append(spark, b, kv(1L -> "b0"))
+    commitTransaction(spark, Seq(a -> kv(2L -> "a1"), b -> kv(2L -> "b1")), tx)
+    // both tables advance AFTER the transaction — the group read must
+    // still see exactly the state the decision published
+    append(spark, a, kv(3L -> "late-a"))
+    append(spark, b, kv(3L -> "late-b"))
+    val group = readTransaction(spark, tx)
+    assert(group.keySet == Set(a, b))
+    assert(rowSet(group(a)) == Seq(Seq("1", "a0"), Seq("2", "a1")))
+    assert(rowSet(group(b)) == Seq(Seq("1", "b0"), Seq("2", "b1")))
+    // fresh reads see the later commits (the pin is the txn's, not the head)
+    assert(read(spark, a).count() == 3L)
+  }
+
+  test("readTransaction refuses an undecided or aborted transaction") {
+    val (a, b, tx) = scratch()
+    append(spark, a, kv(1L -> "a0"))
+    val tfs = new Path(tx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tfs.mkdirs(new Path(tx))
+    val out = tfs.create(new Path(s"$tx/plan"), true)
+    try out.write(a.getBytes("UTF-8")) finally out.close()
+    // undecided: nothing consistent exists yet
+    intercept[IllegalArgumentException] { readTransaction(spark, tx) }
+    // aborted: never readable
+    assert(!recoverTxn(spark, tx))
+    intercept[IllegalArgumentException] { readTransaction(spark, tx) }
+  }
 }
