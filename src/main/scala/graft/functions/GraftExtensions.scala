@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // to the library's MoR commit protocol during resolution (Delta's
     // technique) — see graft.plans.SnapshotDml
     ext.injectResolutionRule(_ => graft.plans.SnapshotDmlRule)
+    // readStream.table over snapshot-log catalog tables resolves to
+    // the V1 streaming source (plan-shaped micro-batches)
+    ext.injectResolutionRule(_ => graft.plans.SnapshotStreamTableRule)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
     ext.injectOptimizerRule(_ => graft.plans.TopKViaRowNumber)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -408,8 +408,13 @@ private[graft] class SnapshotTableV2(val root: String, val asOf: Long,
   override lazy val schema: StructType =
     SnapshotLog.schemaOfPin(SparkSession.active, root, asOf, branch)
 
+  // MICRO_BATCH_READ admits `readStream.table(...)` through analysis;
+  // graft.plans.SnapshotStreamTableRule then substitutes the V1
+  // snapshot-log streaming source before any V2 stream is ever built
+  // (the scan's toMicroBatchStream is intentionally unreachable).
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** The table's declared hidden-partitioning spec, reported through

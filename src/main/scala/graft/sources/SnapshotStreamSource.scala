@@ -567,6 +567,38 @@ object SnapshotStreamQueries {
              |FROM orders WHERE o_orderkey % 11 = 0
              |ORDER BY o_orderkey""".stripMargin),
       bench = false
+    ),
+
+    // SM30: sm27's appends-feed replayed THROUGH THE TABLE IDENTIFIER —
+    // `readStream.table("snapcat.`root`")` resolved by the DSv2 catalog
+    // and rewritten to the V1 snapshot-log source
+    // (graft.plans.SnapshotStreamTableRule), sharing sm27's oracle
+    // VERBATIM: the catalog door must stream exactly what the format
+    // door streams, admission control and rewrite-invisibility
+    // included.
+    Q(
+      "sm30_stream_table_read",
+      (s, dir) => {
+        val root = appendsFeedLog(s, dir)
+        val out = graft.TempDirs.create("graft_sm30")
+        val sink = out.resolve("sink").toString
+        s.conf.set("spark.sql.catalog.snapcat",
+          "graft.sources.SnapshotCatalog")
+        s.readStream
+          .option("maxSnapshotsPerTrigger", 1)
+          .table(s"snapcat.`$root`")
+          .writeStream.format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", out.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(sink).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      bench = false,
+      stage = Some((s, dir) => { appendsFeedLog(s, dir); () })
     )
   )
 }

@@ -40,4 +40,19 @@ object DmlBridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.analyzed
+
+  /** A V1 streaming-source relation over a registered stream provider —
+    * what `spark.readStream.format(source).options(...).load()` plans.
+    * The stream-table rewrite (graft.plans.SnapshotStreamTableRule)
+    * substitutes this for a catalog table's StreamingRelationV2, the
+    * exact V1-fallback move Delta's DeltaAnalysis makes: micro-batches
+    * of a table format are QUERY PLANS (MoR anti-joins, field-id
+    * scans), which only the V1 Source API can return.
+    */
+  def streamingSourceRelation(spark: SparkSession, source: String,
+      options: Map[String, String]): LogicalPlan = {
+    val ds = org.apache.spark.sql.execution.datasources.DataSource(
+      spark, className = source, options = options)
+    org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(ds)
+  }
 }

@@ -37,6 +37,39 @@ class SnapshotStreamSpec extends SparkSpec {
     q.awaitTermination()
   }
 
+  test("readStream.table over the catalog streams the appends feed") {
+    val (log, sink, ckpt) = newDirs()
+    SnapshotLog.append(spark, log, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    SnapshotLog.append(spark, log, Seq((3L, "c")).toDF("k", "v"))
+    spark.conf.set("spark.sql.catalog.smcat",
+      classOf[SnapshotCatalog].getName)
+    spark.readStream
+      .option("maxSnapshotsPerTrigger", 1)
+      .table(s"smcat.`$log`")
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    assert(rowSet(spark.read.parquet(sink)) ==
+      Seq(Seq("1", "a"), Seq("2", "b"), Seq("3", "c")))
+    // incremental resume: a new commit drains from the checkpoint
+    SnapshotLog.append(spark, log, Seq((4L, "d")).toDF("k", "v"))
+    spark.readStream.table(s"smcat.`$log`")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(spark.read.parquet(sink).count() == 4L)
+    // the CDC feed stays on the format door, with guidance
+    val e = intercept[Exception] {
+      spark.readStream.option("mode", "changelog").table(s"smcat.`$log`")
+        .writeStream.format("noop").start()
+    }
+    assert(e.getMessage.contains("changelog") ||
+      String.valueOf(e.getCause).contains("changelog"))
+  }
+
   test("appends drain emits each append exactly once, rewrites never") {
     val (log, sink, ckpt) = newDirs()
     SnapshotLog.append(spark, log,
