@@ -525,6 +525,78 @@ object Similarity {
     true
   }
 
+  /** CELL-SCOPED maintenance — the partial tier above [[maintainIvf]]:
+    * when one cell runs hot, SPLIT only the hot cells instead of
+    * retraining the index. Each hot cell 2-means over ITS OWN rows
+    * (the first child keeps the cell id, the second gets the next
+    * dense id), ONLY those rows re-assign, and the commit is the same
+    * multi-log transaction shape as the full retrain — here a
+    * merge-on-read replace of the hot rows (one delete vector + the
+    * re-assigned rows as new files) paired with the centroid-table
+    * overwrite, flipped by one decision. Untouched cells' files are
+    * carried BYTE-IDENTICAL (IvfMaintenanceSpec pins mtimes): rewrite
+    * bytes are O(hot rows), not O(table) — at 100 TB the difference
+    * between maintenance that runs after every ingest batch and a
+    * full-index rewrite for one hot cell. Requires a trained
+    * generation ([[maintainIvf]] once first): the split must know
+    * every cell's centroid for the probe set to stay meaningful.
+    * Returns the split cell ids (empty = balanced no-op, one bounded
+    * aggregation).
+    */
+  def maintainIvfPartial(s: SparkSession, root: String, centsRoot: String,
+      txnDir: String, threshold: Double = 1.5,
+      seed: Long = 42L): Seq[Long] = {
+    val cur0 = SnapshotLog.currentId(s, root)
+    val centsCur = SnapshotLog.currentId(s, centsRoot)
+    val gen = maintainedCentroids(s, centsRoot).getOrElse(
+      throw new IllegalStateException(
+        "partial maintenance needs a trained generation; run maintainIvf " +
+          "(full retrain) once first"))
+    val k = gen.length
+    // one bounded aggregation decides: cells holding more than
+    // threshold x their fair share split
+    val counts = SnapshotLog.read(s, root, asOf = cur0)
+      .groupBy("cell").count().head(4096)
+      .map(r => (r.get(0).asInstanceOf[Number].longValue, r.getLong(1)))
+    val n = counts.map(_._2).sum
+    if (n == 0L) return Seq.empty
+    val ideal = n.toDouble / k
+    val hot = counts.filter(_._2 > threshold * ideal).map(_._1).sorted
+    if (hot.isEmpty) return Seq.empty
+    val (base, pos, schema) = SnapshotLog.readPosForDml(s, root, asOf = cur0)
+    val cellType = schema("cell").dataType
+    // O(hot rows) working set, reused by the sub-trains, the delete
+    // vector, and the re-assignment — one scan of the table feeds it
+    val hotAll = graft.CacheScope.track(
+      pos.filter(col("cell").isin(hot: _*))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var cents = gen.toVector
+    val reassigned = hot.zipWithIndex.map { case (c, j) =>
+      val newId = k + j + 1 // dense id space: probes index by position
+      val rows = hotAll.filter(col("cell") === c)
+      val sub = trainCentroids(
+        rows.select(col("vec_id"), col("emb").as("embedding")),
+        k = 2, seed = seed + c)
+      cents = cents.updated(c.toInt - 1, sub(0)) :+ sub(1)
+      // nearest-of-the-two-children, the same euclidean rule cellColFor
+      // applies (child index 1 keeps the id, 2 takes the new one)
+      rows.select(col("vec_id"), col("emb"), col("nrm"), col("bucket"),
+        when(cellColFor(col("emb"), Array(sub(0), sub(1))) === 1L,
+          lit(c)).otherwise(lit(newId.toLong)).cast(cellType).as("cell"))
+    }.reduce(_ unionByName _)
+    val dead = hotAll.select(col("__path").as("t_path"),
+      col("__pos").as("t_pos"))
+    val centRows = {
+      import s.implicits._
+      cents.zipWithIndex.map { case (cn, i) => (i + 1, cn.toSeq) }
+        .toDF("cell", "centroid")
+    }
+    SnapshotLog.commitTransactionMor(s, txnDir, root, base, dead, reassigned,
+      Seq(centsRoot -> centRows), overwriteRoots = Set(centsRoot),
+      expectedBase = Map(centsRoot -> centsCur))
+    hot
+  }
+
   /** Index maintenance upsert that respects the current centroid
     * GENERATION: rows assign to the trained cells when a retrain has
     * happened, to the fixed quantizer before — so post-retrain batches
@@ -538,7 +610,12 @@ object Similarity {
         cellColFor(embD, c))
       case None => indexRows(s, raw, numPlanes)
     }
-    SnapshotLog.mergeInto(s, root, rows, Seq("vec_id"))
+    // a partial maintenance trip leaves its delete vector outstanding
+    // (that is the whole write saving); upserts switch to the MoR merge
+    // until rewriteDeletes/optimize folds it — same rows either way
+    if (SnapshotLog.hasOutstandingDeletes(s, root))
+      SnapshotLog.mergeIntoMoR(s, root, rows, Seq("vec_id"))
+    else SnapshotLog.mergeInto(s, root, rows, Seq("vec_id"))
   }
 
   /** IVF top-k over the maintained index, probing with whichever
@@ -848,15 +925,20 @@ object Similarity {
   /** ss7's staged DRIFTED index: ss6's build shape, but the drift
     * batches push imbalance past the maintenance threshold, so the
     * staging runs a real retrain (asserted — a fixture that never
-    * trips would test nothing) and then one MORE maintenance batch
-    * that must assign by the NEW centroid generation.
+    * trips would test nothing), one MORE maintenance batch that must
+    * assign by the NEW centroid generation, then a CELL-SCOPED
+    * [[maintainIvfPartial]] trip (asserted: at least one cell splits)
+    * and a final post-split upsert. The registry answer is ss2's
+    * from-scratch LSH oracle, so a partial split that dropped,
+    * duplicated, or corrupted any row breaks the hash — the partial
+    * tier is oracle-gated, not just spec-gated.
     */
   private def annDriftLog(s: SparkSession, dir: String): (String, String, Int) = {
     val raw = Tables(s, dir, "embeddings")
     val np = autoNumPlanes(countOf(s, dir))
     require(np <= MaxOraclePlanes,
       s"auto-scaled plane count $np exceeds the oracle's $MaxOraclePlanes planes")
-    val p = graft.TempDirs.staged(s"anndrift_${graft.TempDirs.dirKey(dir)}") { p =>
+    val p = graft.TempDirs.staged(s"anndrift2_${graft.TempDirs.dirKey(dir)}") { p =>
       val root = p.resolve("log").toString
       val cents = p.resolve("cents").toString
       SnapshotLog.append(s, root,
@@ -872,6 +954,15 @@ object Similarity {
       upsertIndex(s, root, cents,
         raw.filter(pmod(col("vec_id"), lit(3)) === 2
           && pmod(col("vec_id"), lit(2)) === 1), np)
+      // cell-scoped trip: any cell above its fair share splits (integer
+      // counts make a strictly-over-ideal cell all but certain); the
+      // hot rows move by one MoR replace, every other file is carried
+      val split = maintainIvfPartial(s, root, cents,
+        p.resolve("tx2").toString, threshold = 1.0)
+      require(split.nonEmpty, "ss7 fixture: partial maintenance did not trip")
+      // post-split upsert — must assign by the SPLIT generation
+      upsertIndex(s, root, cents,
+        raw.filter(pmod(col("vec_id"), lit(7)) === 3), np)
     }
     (p.resolve("log").toString, p.resolve("cents").toString, np)
   }

@@ -588,19 +588,7 @@ object SnapshotLog {
       "each table may appear once per transaction")
     require(!txnDir.exists(c => c == '\t' || c == '\n'),
       s"txn dir may not contain tab/newline: $txnDir")
-    val tp = new Path(txnDir)
-    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!tfs.exists(new Path(s"$txnDir/plan")),
-      s"transaction dir $txnDir already used")
-    tfs.mkdirs(tp)
-    // the plan names every participant BEFORE any prepare — recovery
-    // must be able to find all (possibly partial) prepared manifests
-    val planTmp = new Path(s"$txnDir/.plan_${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = tfs.create(planTmp, true)
-    try out.write(appends.map(_._1).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    require(publish(tfs, planTmp, new Path(s"$txnDir/plan")),
-      s"transaction dir $txnDir already used")
+    txnPlanWrite(spark, txnDir, appends.map(_._1))
     // a root named in overwriteRoots REPLACES its content (still
     // invisible until the decision): the transactional form of
     // overwrite an index-retrain pair needs — new assignments and new
@@ -620,6 +608,65 @@ object SnapshotLog {
         // and since they may have landed AFTER the recovery's cleanup
         // scan, delete them here — otherwise they'd permanently block
         // every later commit to these tables
+        cleanupAbortedTxn(spark, txnDir)
+        throw new IllegalStateException(
+          s"transaction $txnDir was $other by a concurrent recovery " +
+            "before the coordinator could commit; its prepares are void")
+    }
+  }
+
+  /** The transaction's PLAN record: names every participant BEFORE any
+    * prepare — recovery must be able to find all (possibly partial)
+    * prepared manifests. Atomic no-replace publish, so a txn dir is
+    * single-use however many coordinators race it.
+    */
+  private def txnPlanWrite(spark: SparkSession, txnDir: String,
+      roots: Seq[String]): Unit = {
+    val tp = new Path(txnDir)
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!tfs.exists(new Path(s"$txnDir/plan")),
+      s"transaction dir $txnDir already used")
+    tfs.mkdirs(tp)
+    val planTmp = new Path(
+      s"$txnDir/.plan_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = tfs.create(planTmp, true)
+    try out.write(roots.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    require(publish(tfs, planTmp, new Path(s"$txnDir/plan")),
+      s"transaction dir $txnDir already used")
+  }
+
+  /** [[commitTransaction]] whose FIRST participant is a MERGE-ON-READ
+    * replace instead of a frame: `dead` (t_path, t_pos) coordinates
+    * die via a positional delete vector and `adds` appends — the
+    * [[morCommit]] shape — prepared under the shared txn operation and
+    * committed by the same single decision as the plain `frames`
+    * participants. The partial-index-maintenance shape: rewrite bytes
+    * are O(changed rows), never O(table), and the index/metadata pair
+    * still flips atomically. `morBase` pins the snapshot the caller
+    * computed `dead`/`adds` against (its CAS fires at morBase+1).
+    */
+  def commitTransactionMor(spark: SparkSession, txnDir: String,
+      morRoot: String, morBase: Long, dead: DataFrame, adds: DataFrame,
+      frames: Seq[(String, DataFrame)],
+      overwriteRoots: Set[String] = Set.empty,
+      expectedBase: Map[String, Long] = Map.empty): Seq[Long] = {
+    require(!frames.map(_._1).contains(morRoot) &&
+      frames.map(_._1).distinct.size == frames.size,
+      "each table may appear once per transaction")
+    require(!txnDir.exists(c => c == '\t' || c == '\n'),
+      s"txn dir may not contain tab/newline: $txnDir")
+    txnPlanWrite(spark, txnDir, morRoot +: frames.map(_._1))
+    val morId = morCommit(spark, morRoot, morBase, Some(dead), adds,
+      s"txn=$txnDir")
+    val ids = frames.map { case (root, df) =>
+      commit(spark, root, df, s"txn=$txnDir",
+        keepBase = !overwriteRoots.contains(root),
+        basePin = expectedBase.getOrElse(root, -1L))
+    }
+    decideTxn(spark, txnDir, "committed") match {
+      case "committed" => morId +: ids
+      case other =>
         cleanupAbortedTxn(spark, txnDir)
         throw new IllegalStateException(
           s"transaction $txnDir was $other by a concurrent recovery " +
@@ -3230,9 +3277,9 @@ object SnapshotLog {
     * Columns: the table's, then `__path`/`__pos`. An empty table
     * yields an empty frame under the table schema.
     */
-  private[graft] def readPosForDml(spark: SparkSession, root: String)
-      : (Long, DataFrame, StructType) = {
-    val base = currentId(spark, root)
+  private[graft] def readPosForDml(spark: SparkSession, root: String,
+      asOf: Long = 0L): (Long, DataFrame, StructType) = {
+    val base = if (asOf > 0) asOf else currentId(spark, root)
     require(base > 0, s"no snapshots under $root")
     val raw = rawManifest(spark, root, base)
     val schema = StructType.fromDDL(raw.schemaDdl)
@@ -3265,6 +3312,19 @@ object SnapshotLog {
     * files holding that 0.1% — plus one shuffle of source against the
     * hit files' rows, never the full table.
     */
+  /** Whether the current snapshot carries outstanding merge-on-read
+    * deletes (positional vectors or equality key sets) — the state
+    * that locks partial copy-on-write rewrites out until
+    * [[rewriteDeletes]]/[[optimize]] folds them. Header+refs read
+    * only; the scheduling probe a maintenance loop keys on.
+    */
+  def hasOutstandingDeletes(spark: SparkSession, root: String): Boolean = {
+    val id = currentId(spark, root)
+    if (id == 0L) return false
+    val raw = rawManifest(spark, root, id)
+    raw.dRefs.nonEmpty || raw.eqRefs.nonEmpty
+  }
+
   def mergeInto(spark: SparkSession, root: String, source: DataFrame,
       keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "mergeInto needs at least one key column")

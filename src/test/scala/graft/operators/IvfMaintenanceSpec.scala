@@ -105,6 +105,89 @@ class IvfMaintenanceSpec extends SparkSpec {
       "maintained index must answer exactly like a rebuilt one")
   }
 
+  test("partial maintenance splits only hot cells; every prior file carried byte-identical") {
+    import org.apache.hadoop.fs.Path
+    val d = graft.TempDirs.create("ivfm_part")
+    val (root, cents) = (d.resolve("log").toString, d.resolve("cents").toString)
+    val rnd = new Random(16)
+    val np = 6
+    SnapshotLog.append(spark, root, Similarity.indexRows(spark,
+      (0 until 200).map(i => (i.toLong,
+        unit(Array.fill(dims)(rnd.nextGaussian())))).toDF("vec_id", "embedding"), np))
+    Similarity.upsertIndex(spark, root, cents,
+      clusteredRows(rnd, 80, 1000L).toDF("vec_id", "embedding"), np)
+    // partial mode refuses before a trained generation exists
+    intercept[IllegalStateException] {
+      Similarity.maintainIvfPartial(spark, root, cents,
+        d.resolve("tx0").toString)
+    }
+    assert(Similarity.maintainIvf(spark, root, cents,
+      d.resolve("tx1").toString, threshold = 1.3))
+    val k0 = Similarity.maintainedCentroids(spark, cents).get.length
+    // ONE tight new cluster — all its rows land in one trained cell
+    val center = Array.fill(dims)(rnd.nextGaussian())
+    Similarity.upsertIndex(spark, root, cents,
+      (0 until 300).map(i => (5000L + i,
+        unit(center.map(_ + 0.03 * rnd.nextGaussian()))))
+        .toDF("vec_id", "embedding"), np)
+    val hotImb = Similarity.cellImbalance(spark, root, k = k0)
+    assert(hotImb > 2.0, s"hot batch must skew one cell: $hotImb")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val beforeId = SnapshotLog.currentId(spark, root)
+    val beforeFiles = SnapshotLog.snapshot(spark, root, beforeId).files
+    val stamps = beforeFiles.map(f => f.path ->
+      fs.getFileStatus(new Path(s"$root/${f.path}")).getModificationTime).toMap
+    val content0 = rowSet(SnapshotLog.read(spark, root)
+      .select("vec_id", "nrm", "bucket"))
+    // below threshold: bounded-aggregation no-op
+    assert(Similarity.maintainIvfPartial(spark, root, cents,
+      d.resolve("txn").toString, threshold = 1e9).isEmpty)
+    assert(SnapshotLog.currentId(spark, root) == beforeId)
+    val split = Similarity.maintainIvfPartial(spark, root, cents,
+      d.resolve("tx2").toString, threshold = 2.0)
+    assert(split.nonEmpty && split.size < k0,
+      s"only the hot cells split, got $split of $k0")
+    // EVERY pre-split data file is carried, byte-untouched (MoR replace:
+    // rewrite bytes are the hot rows + their delete vector, never the table)
+    val afterFiles = SnapshotLog.snapshot(spark, root,
+      SnapshotLog.currentId(spark, root)).files
+    assert(beforeFiles.map(_.path).toSet.subsetOf(afterFiles.map(_.path).toSet))
+    beforeFiles.foreach { f =>
+      assert(fs.getFileStatus(new Path(s"$root/${f.path}"))
+        .getModificationTime == stamps(f.path), s"${f.path} was rewritten")
+    }
+    // the split was ONE transaction: index + centroid table flip together
+    assert(SnapshotLog.operationOf(spark, root,
+      SnapshotLog.currentId(spark, root)).startsWith("txn="))
+    val gen = Similarity.maintainedCentroids(spark, cents).get
+    assert(gen.length == k0 + split.size, "each split adds one dense cell id")
+    // rows preserved exactly (only `cell` may change, only in hot cells)
+    assert(rowSet(SnapshotLog.read(spark, root)
+      .select("vec_id", "nrm", "bucket")) == content0)
+    val cellsNow = SnapshotLog.read(spark, root).select("cell").distinct()
+      .collect().map(_.get(0).asInstanceOf[Number].longValue).toSet
+    assert(cellsNow.forall(c => c >= 1 && c <= gen.length))
+    assert(split.forall(c => cellsNow.contains(k0 + split.indexOf(c) + 1) ||
+      cellsNow.contains(c)), "split children must be populated")
+    // imbalance over the NEW cell count improved
+    val afterImb = Similarity.cellImbalance(spark, root, k = gen.length)
+    assert(afterImb < hotImb * gen.length / k0.toDouble,
+      s"split must reduce per-cell load: $hotImb -> $afterImb")
+    // a later upsert assigns by the post-split generation
+    Similarity.upsertIndex(spark, root, cents,
+      (0 until 10).map(i => (9000L + i,
+        unit(center.map(_ + 0.03 * rnd.nextGaussian()))))
+        .toDF("vec_id", "embedding"), np)
+    val lateCells = SnapshotLog.read(spark, root)
+      .filter(col("vec_id") >= 9000L).select("cell").distinct()
+      .collect().map(_.get(0).asInstanceOf[Number].longValue).toSet
+    assert(lateCells.forall(c => c >= 1 && c <= gen.length))
+    // search still runs over the split generation and finds planted rows
+    val got = Similarity.maintainedIvfTopK(spark, root, cents,
+      numQueries = 10, topK = 3)
+    assert(got.count() > 0)
+  }
+
   test("post-drift recall stays bounded after maintenance") {
     val d = graft.TempDirs.create("ivfm_recall")
     val (root, cents, tx) = (d.resolve("log").toString,
