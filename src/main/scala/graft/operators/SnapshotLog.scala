@@ -5140,6 +5140,23 @@ object SnapshotLog {
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }.resolve("log").toString
 
+  /** Staged SQL-UPDATE log: one append, then a pure-SQL partial-column
+    * `UPDATE … SET … WHERE` over the catalog door, executed as a
+    * merge-on-read commit (`mor-update`: one delete vector + the
+    * updated rows, zero pre-existing files rewritten).
+    */
+  private def sqlUpdateLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttsqlu_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.repartition(4))
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      s.sql(s"UPDATE snapcat.`$root` SET o_orderstatus = 'U' " +
+        "WHERE o_orderkey % 10 = 0")
+      ()
+    }.resolve("log").toString
+
   /** Staged SQL-CTAS log: the table is born from PURE SQL — `CREATE
     * TABLE … PARTITIONED BY (days(ts)) AS SELECT …` over the events
     * table — so the declared hidden-partitioning spec, the CTAS write,
@@ -5992,6 +6009,25 @@ object SnapshotLog {
              |  AND ts <= TIMESTAMP '2024-01-11 23:59:59'
              |ORDER BY event_id""".stripMargin),
       stage = Some((s, dir) => { sqlCtasLog(s, dir); () })
+    ),
+
+    // TT32: SQL UPDATE — a partial-column `UPDATE … SET … WHERE` as
+    // pure SQL text, rewritten to one MoR commit (matched rows die via
+    // a vector, updated rows append; SnapshotDmlSpec pins the write
+    // shape). The oracle recomputes the update relationally: a
+    // misbound assignment, a double-applied row, or a lost survivor
+    // breaks the hash.
+    Q(
+      "tt32_sql_update",
+      (s, dir) => {
+        val root = sqlUpdateLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |       CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+             |            ELSE o_orderstatus END AS o_orderstatus
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { sqlUpdateLog(s, dir); () })
     )
   )
 }
