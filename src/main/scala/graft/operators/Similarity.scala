@@ -1007,14 +1007,17 @@ object Similarity {
     // past its frozen quantizer's balance, tripped the imbalance
     // threshold, re-trained k-means centroids over the current corpus,
     // and re-assigned every row in ONE multi-log transaction (index +
-    // centroid table), then took one more upsert that must land in the
-    // NEW cells. The registry row answers the exact LSH query over the
-    // post-retrain table against ss2's from-scratch oracle: a retrain
-    // that corrupted, dropped, or duplicated any row — or a
-    // post-retrain upsert routed by the wrong generation's MERGE keys —
-    // breaks the hash. The IVF-path equivalence (maintained search ==
-    // rebuilt-from-scratch trained search) and the recall/balance
-    // bounds are Spark-vs-Spark and live in IvfMaintenanceSpec.
+    // centroid table), took an upsert that must land in the NEW cells,
+    // then tripped a CELL-SCOPED partial split (hot cells 2-means'd,
+    // only their rows moved by one MoR replace) and a post-split
+    // upsert. The registry row answers the exact LSH query over the
+    // final table against ss2's from-scratch oracle: a retrain OR a
+    // partial split that corrupted, dropped, or duplicated any row —
+    // or an upsert routed by the wrong generation's keys — breaks the
+    // hash. The IVF-path equivalence (maintained search ==
+    // rebuilt-from-scratch trained search), the byte-identical-carried
+    // -files proof, and the recall/balance bounds are Spark-vs-Spark
+    // and live in IvfMaintenanceSpec.
     Q(
       "ss7_ivf_maintenance",
       (s, dir) => {
