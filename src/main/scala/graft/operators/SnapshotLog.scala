@@ -3551,6 +3551,31 @@ object SnapshotLog {
     * [[renameColumn]]. The id retires with the name: re-adding the
     * name later assigns a NEW id, so the dropped data never reappears.
     */
+  /** ADD a nullable column — metadata-only, the third evolution verb
+    * beside [[renameColumn]]/[[widenColumn]]: the schema gains the
+    * field under a FRESH field id, no data moves, and every existing
+    * file reads NULL for it (the id resolves to nothing in their
+    * stamps). The additive half of what an appending write's schema
+    * merge does, available without writing rows — SQL `ALTER TABLE …
+    * ADD COLUMN`.
+    */
+  def addColumn(spark: SparkSession, root: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = {
+    val base = currentId(spark, root)
+    require(base > 0, s"addColumn on empty log $root")
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"invalid column name: $name")
+    val raw = rawManifest(spark, root, base)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    require(!schema.fieldNames.contains(name),
+      s"column $name already exists in $root")
+    val (ids, last) = currentIdsOf(raw, schema)
+    commitMetadata(spark, root, base, raw,
+      schema.add(name, dataType, nullable = true),
+      ids + (name -> (last + 1)), last + 1, "add-column",
+      editKey = c => Some(c))
+  }
+
   def dropColumn(spark: SparkSession, root: String, name: String): Long = {
     val base = currentId(spark, root)
     require(base > 0, s"dropColumn on empty log $root")
@@ -5157,6 +5182,23 @@ object SnapshotLog {
       ()
     }.resolve("log").toString
 
+  /** Staged SQL-ALTER log: append, then pure-SQL RENAME COLUMN and
+    * ADD COLUMN — two metadata-only evolution commits through the
+    * catalog's alterTable; old files read the renamed column through
+    * field ids and NULL for the added one.
+    */
+  private def sqlAlterLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttsqla_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.repartition(4))
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      s.sql(s"ALTER TABLE snapcat.`$root` RENAME COLUMN o_orderstatus TO status")
+      s.sql(s"ALTER TABLE snapcat.`$root` ADD COLUMN note STRING")
+      ()
+    }.resolve("log").toString
+
   /** Staged SQL-CTAS log: the table is born from PURE SQL — `CREATE
     * TABLE … PARTITIONED BY (days(ts)) AS SELECT …` over the events
     * table — so the declared hidden-partitioning spec, the CTAS write,
@@ -6028,6 +6070,27 @@ object SnapshotLog {
              |            ELSE o_orderstatus END AS o_orderstatus
              |FROM orders ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { sqlUpdateLog(s, dir); () })
+    ),
+
+    // TT33: SQL ALTER TABLE — rename + add-column as pure SQL text,
+    // each a metadata-only commit (zero data files touched —
+    // SnapshotDdlSpec pins the file set), then a catalog read under
+    // the evolved schema: old files serve the renamed column through
+    // field ids and NULL for the added one. The oracle recomputes the
+    // evolved view relationally.
+    Q(
+      "tt33_sql_alter",
+      (s, dir) => {
+        val root = sqlAlterLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.sql(
+          s"""SELECT o_orderkey, status, note FROM snapcat.`$root`
+             |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_orderstatus AS status,
+             |       CAST(NULL AS VARCHAR) AS note
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { sqlAlterLog(s, dir); () })
     )
   )
 }

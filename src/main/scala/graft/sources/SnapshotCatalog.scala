@@ -165,12 +165,39 @@ class SnapshotCatalog extends TableCatalog {
     new SnapshotTableV2(root, 0L)
   }
 
-  // Column mutations stay library-side: SnapshotLog's renameColumn/
-  // widenColumn/dropColumn ARE the alter surface, and a second, weaker
-  // path here would just race their commit protocol.
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "alter snapshot-log tables via SnapshotLog.renameColumn/widenColumn/dropColumn")
+  /** SQL `ALTER TABLE` — each supported change routes to the library's
+    * metadata-only evolution commit (field ids preserved, zero data
+    * movement): RENAME COLUMN → renameColumn, ALTER COLUMN … TYPE →
+    * widenColumn (lossless promotions only — the library refuses the
+    * rest), DROP COLUMN → dropColumn, ADD COLUMN (nullable, top-level,
+    * unpositioned) → addColumn. Each change is one commit; Spark sends
+    * one change per ALTER statement.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    def one(names: Array[String]): String = {
+      require(names.length == 1,
+        "nested-column ALTER is not supported on snapshot-log tables")
+      names(0)
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        SnapshotLog.renameColumn(spark, root, one(r.fieldNames), r.newName)
+      case u: TableChange.UpdateColumnType =>
+        SnapshotLog.widenColumn(spark, root, one(u.fieldNames), u.newDataType)
+      case d: TableChange.DeleteColumn =>
+        SnapshotLog.dropColumn(spark, root, one(d.fieldNames))
+      case a: TableChange.AddColumn =>
+        require(a.isNullable,
+          "added columns must be nullable: existing rows read NULL")
+        require(a.position == null,
+          "ADD COLUMN … FIRST/AFTER is not supported; columns append")
+        SnapshotLog.addColumn(spark, root, one(a.fieldNames), a.dataType)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER on snapshot-log tables: $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     try SnapshotLog.dropTable(spark, rootOf(ident))

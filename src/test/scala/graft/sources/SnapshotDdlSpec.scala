@@ -118,6 +118,40 @@ class SnapshotDdlSpec extends SparkSpec {
     assert(rowSet(spark.sql("SELECT * FROM ddlcat.m")) == Seq(Seq("2", "b")))
   }
 
+  test("ALTER TABLE routes to the metadata-only evolution commits") {
+    wh
+    spark.sql("CREATE TABLE ddlcat.alt (k INT, v STRING)")
+    spark.sql("INSERT INTO ddlcat.alt VALUES (1, 'a'), (2, 'b')")
+    val root = s"$wh/alt"
+    val dataBefore = SnapshotLog.snapshot(spark, root,
+      SnapshotLog.currentId(spark, root)).files.map(_.path).toSet
+    spark.sql("ALTER TABLE ddlcat.alt RENAME COLUMN v TO label")
+    spark.sql("ALTER TABLE ddlcat.alt ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE ddlcat.alt ADD COLUMN note STRING")
+    // three metadata commits, zero data movement
+    assert(SnapshotLog.snapshot(spark, root,
+      SnapshotLog.currentId(spark, root)).files.map(_.path).toSet == dataBefore)
+    val out = spark.sql("SELECT k, label, note FROM ddlcat.alt ORDER BY k")
+    assert(out.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(rowSet(out) == Seq(Seq("1", "a", "null"), Seq("2", "b", "null")))
+    // new column takes writes; old rows stay NULL
+    spark.sql("INSERT INTO ddlcat.alt VALUES (3, 'c', 'n3')")
+    assert(rowSet(spark.sql(
+      "SELECT k, note FROM ddlcat.alt WHERE note IS NOT NULL")) ==
+      Seq(Seq("3", "n3")))
+    spark.sql("ALTER TABLE ddlcat.alt DROP COLUMN note")
+    assert(spark.sql("SELECT * FROM ddlcat.alt").columns.toSeq ==
+      Seq("k", "label"))
+    // pre-rename history still reads under ITS schema
+    assert(spark.sql("SELECT * FROM ddlcat.alt VERSION AS OF 2")
+      .columns.toSeq == Seq("k", "v"))
+    // narrowing is refused (the library's lossless-promotion rule)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE ddlcat.alt ALTER COLUMN k TYPE INT")
+    }
+  }
+
   test("identity partition transforms are rejected with the vocabulary") {
     wh
     val e = intercept[Exception] {
