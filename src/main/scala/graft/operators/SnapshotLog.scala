@@ -6091,6 +6091,37 @@ object SnapshotLog {
              |       CAST(NULL AS VARCHAR) AS note
              |FROM orders ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { sqlAlterLog(s, dir); () })
+    ),
+
+    // TT34: the history METADATA table through SQL — `SELECT … FROM
+    // snap.t.history` over tt3's exact staged log, sharing tt3's
+    // oracle: the SQL introspection door must report the same commit
+    // ledger the library API reports, answered from manifests alone
+    // (SnapshotCatalogSpec proves zero data files are opened).
+    Q(
+      "tt34_sql_history",
+      (s, dir) => {
+        val root = ordersLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.sql(
+          s"""SELECT snapshot_id, operation, n_rows
+             |FROM snapcat.`$root`.history
+             |ORDER BY snapshot_id""".stripMargin)
+      },
+      Some("""WITH b AS (
+             |  SELECT 1 AS snapshot_id, 'append' AS operation,
+             |         (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_rows
+             |  UNION ALL SELECT 2, 'append',
+             |         (SELECT count(*) FROM orders WHERE o_orderkey % 3 <= 1)
+             |  UNION ALL SELECT 3, 'append',
+             |         (SELECT count(*) FROM orders)
+             |  UNION ALL SELECT 4, 'delete',
+             |         (SELECT count(*) FROM orders WHERE o_orderstatus <> 'F'))
+             |SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id, operation,
+             |       CAST(n_rows AS BIGINT) AS n_rows
+             |FROM b ORDER BY snapshot_id""".stripMargin),
+      bench = false,
+      stage = Some((s, dir) => { ordersLog(s, dir); () })
     )
   )
 }

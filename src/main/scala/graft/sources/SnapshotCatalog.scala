@@ -96,7 +96,20 @@ class SnapshotCatalog extends TableCatalog {
     new SnapshotTableV2(root, asOf)
   }
 
-  override def loadTable(ident: Identifier): Table = tableAt(ident, 0L)
+  /** Plain load — plus the Iceberg-style METADATA tables: a two-part
+    * identifier whose last part is `history`/`snapshots`/`files`
+    * introspects the table named by the first part (`SELECT * FROM
+    * snap.t.history`), answered from manifests alone — zero data files
+    * opened.
+    */
+  override def loadTable(ident: Identifier): Table =
+    if (ident.namespace.length == 1 &&
+        SnapshotCatalog.MetaKinds(ident.name.toLowerCase)) {
+      val root = rootOf(Identifier.of(Array.empty, ident.namespace()(0)))
+      if (SnapshotLog.currentId(spark, root) == 0L)
+        throw new NoSuchTableException(ident)
+      new SnapshotMetaTable(root, ident.name.toLowerCase)
+    } else tableAt(ident, 0L)
 
   /** `VERSION AS OF n` — the analyzer hands the version text. A
     * non-numeric version resolves as a NAMED REF on the table: a TAG
@@ -209,6 +222,8 @@ class SnapshotCatalog extends TableCatalog {
 }
 
 object SnapshotCatalog {
+
+  private[sources] val MetaKinds = Set("history", "snapshots", "files")
 
   /** One DSv2 partition transform → the library's [[SnapshotLog
     * .PartField]] — the inverse of [[SnapshotTableV2.partitioning]].
@@ -632,6 +647,60 @@ class SnapshotScan(val root: String, val asOf: Long,
       .foldLeft(base)((d, c) => d.filter(c))
     filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
   }
+}
+
+/** One METADATA table (`history`/`snapshots`/`files`) over a snapshot
+  * log — answered from the manifest chain alone. `history` and
+  * `snapshots` are one row per retained commit (id, parent, operation,
+  * live row total, file count); `files` is the CURRENT snapshot's live
+  * file inventory (path, rows). All driver-bounded metadata — zero
+  * data files opened; the `files` listing is O(#files) rows, the same
+  * class as Iceberg's files table.
+  */
+private[sources] class SnapshotMetaTable(root: String, kind: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"snapshot-log `$root`.$kind"
+
+  override def schema: StructType = kind match {
+    case "files" => StructType.fromDDL("path STRING, n_rows BIGINT")
+    case _ => StructType.fromDDL(
+      "snapshot_id BIGINT, parent_id BIGINT, operation STRING, " +
+        "n_rows BIGINT, n_files INT")
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new V1Scan {
+      override def readSchema(): StructType = schema
+      override def description(): String = name()
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = SnapshotMetaTable.this.schema
+          override def buildScan(): RDD[Row] = {
+            val s = context.sparkSession
+            val df = kind match {
+              case "files" =>
+                val cur = SnapshotLog.currentId(s, root)
+                val rows = SnapshotLog.snapshot(s, root, cur).files
+                  .map(f => Row(f.path, f.rows))
+                s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+                  SnapshotMetaTable.this.schema)
+              case _ =>
+                val rows = SnapshotLog.history(s, root).map(h =>
+                  Row(h.id, h.parent, h.operation, h.rows, h.files.size))
+                s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+                  SnapshotMetaTable.this.schema)
+            }
+            df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+          }
+          override def needConversion: Boolean = false
+        }.asInstanceOf[T]
+    }
 }
 
 /** V1 bridge: Spark's `DataSourceV2Strategy` plans a [[V1Scan]] as a

@@ -196,6 +196,33 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(sqlRead(root).count() == 5L, "a fresh read sees the delete")
   }
 
+  test("metadata tables answer from manifests with zero data files opened") {
+    val root = freshLog()
+    SnapshotLog.deleteWhereMoR(spark, root,
+      org.apache.spark.sql.functions.col("k") === 10L)
+    val hist = spark.sql(
+      s"SELECT snapshot_id, operation, n_files FROM $cat.`$root`.history " +
+        "ORDER BY snapshot_id")
+    assert(rowSet(hist) == Seq(Seq("1", "append", "1"),
+      Seq("2", "append", "2"), Seq("3", "append", "3"),
+      Seq("4", "mor-delete", "3")))
+    // snapshots is an alias of the same ledger
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`.snapshots")
+      .head().getLong(0) == 4L)
+    val files = spark.sql(s"SELECT path, n_rows FROM $cat.`$root`.files")
+    assert(files.count() == 3L)
+    assert(files.select("n_rows").collect().map(_.getLong(0)).sum == 6L)
+    // THE metadata-table property: delete every data file — the
+    // introspection queries must still answer (they never open data)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SnapshotLog.snapshot(spark, root, 4L).files.foreach(f =>
+      fs.delete(new Path(s"$root/${f.path}"), false))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`.history")
+      .head().getLong(0) == 4L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`.files")
+      .head().getLong(0) == 3L)
+  }
+
   test("aggregate over the catalog table matches the oracle shape") {
     val root = freshLog()
     val n = spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`").head().getLong(0)
