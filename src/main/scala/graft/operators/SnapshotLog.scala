@@ -423,6 +423,27 @@ object SnapshotLog {
     1L
   }
 
+  /** `CREATE [OR REPLACE] TABLE … AS SELECT` as ONE atomic commit: on
+    * an empty root the published v1 manifest carries the data AND the
+    * declared spec (nothing is ever visible half-created); on an
+    * existing table it is an overwrite commit — content and schema
+    * replaced wholesale, spec re-declared, HISTORY PRESERVED (the
+    * pre-replace snapshot stays time-travel-addressable, exactly the
+    * WRITE_TRUNCATE full-refresh semantics the reference's warehouse
+    * loader uses, bigquery_loader_function/main.py:36-45). `orCreate =
+    * false` refuses an empty root (plain REPLACE).
+    */
+  def replaceTable(spark: SparkSession, root: String, df: DataFrame,
+      spec: Seq[PartField] = Seq.empty, orCreate: Boolean = true): Long = {
+    validateSpec(spec, df.schema)
+    val existed = currentId(spark, root) > 0L
+    require(existed || orCreate, s"no table to replace at $root")
+    commit(spark, root, df,
+      if (existed) "replace" else "create-as-select",
+      keepBase = false,
+      declareSpec = if (spec.isEmpty) None else Some(spec))
+  }
+
   /** Drop the table wholesale: every snapshot, data file, ref, and
     * branch under `root` — SQL `DROP TABLE`. Returns whether a table
     * existed. Unlike [[expire]] this is NOT maintenance; history is

@@ -64,7 +64,8 @@ import graft.operators.SnapshotLog
   * addressable (README.md:334-519 queries them by name); this closes
   * the same gap for the snapshot-log format.
   */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catName: String = "snap"
   private var warehouse: Option[String] = None
@@ -161,10 +162,9 @@ class SnapshotCatalog extends TableCatalog {
     }
   }
 
-  /** SQL `CREATE TABLE` (and the create half of CTAS — the catalog is
-    * non-staging, so Spark creates then appends through the write
-    * builder): a metadata-only empty snapshot carrying the schema and
-    * the declared hidden-partitioning spec parsed from the DSv2
+  /** SQL `CREATE TABLE` (no AS SELECT — that goes through the staging
+    * door below): a metadata-only empty snapshot carrying the schema
+    * and the declared hidden-partitioning spec parsed from the DSv2
     * transforms (the inverse of [[SnapshotTableV2.partitioning]]).
     * Table properties are accepted and ignored — location is the
     * identifier, the provider is this format.
@@ -215,6 +215,51 @@ class SnapshotCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean =
     try SnapshotLog.dropTable(spark, rootOf(ident))
     catch { case _: NoSuchTableException => false }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog): the staged table
+  // BUFFERS the query frame and publishes everything — data, schema,
+  // declared spec — as ONE library commit at commitStagedChanges, so
+  // `CREATE OR REPLACE TABLE … AS SELECT` is all-or-nothing: REPLACE
+  // is an overwrite commit (history preserved — the reference
+  // warehouse's WRITE_TRUNCATE refresh), CREATE publishes v1 with the
+  // data, and an abort publishes nothing at all (no drop-then-create
+  // window, no half-created table). ----
+
+  private def staged(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      mustExist: Boolean, mayExist: Boolean): Table = {
+    val root = rootOf(ident)
+    val exists = SnapshotLog.currentId(spark, root) > 0L
+    if (mustExist && !exists) throw new NoSuchTableException(ident)
+    if (!mayExist && exists)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    new StagedSnapshotTable(root, schema,
+      partitions.toSeq.map(SnapshotCatalog.partFieldOf),
+      mode = if (mustExist) "replace"
+        else if (mayExist) "createOrReplace" else "create")
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table with
+      org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, schema, partitions, mustExist = false, mayExist = false)
+      .asInstanceOf[StagedSnapshotTable]
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table with
+      org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, schema, partitions, mustExist = true, mayExist = true)
+      .asInstanceOf[StagedSnapshotTable]
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table with
+      org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, schema, partitions, mustExist = false, mayExist = true)
+      .asInstanceOf[StagedSnapshotTable]
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
@@ -647,6 +692,63 @@ class SnapshotScan(val root: String, val asOf: Long,
       .foldLeft(base)((d, c) => d.filter(c))
     filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
   }
+}
+
+/** The staged side of an atomic CTAS/RTAS: Spark writes the query
+  * frame through this table's builder, which only BUFFERS it;
+  * `commitStagedChanges` then publishes data + schema + declared spec
+  * as one [[SnapshotLog.replaceTable]] commit. Abort publishes
+  * nothing.
+  */
+private[sources] class StagedSnapshotTable(root: String,
+    declaredSchema: StructType, spec: Seq[SnapshotLog.PartField],
+    mode: String)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  @volatile private var buffered: Option[DataFrame] = None
+
+  override def name(): String = s"snapshot-log `$root` (staged)"
+
+  override def schema: StructType = declaredSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder =
+        this
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: sources.InsertableRelation =
+            new sources.InsertableRelation {
+              override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+                buffered = Some(data)
+              }
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val df = buffered.getOrElse(throw new IllegalStateException(
+      s"staged CTAS for $root committed before any write"))
+    // re-check the mode's existence constraint at COMMIT time, not just
+    // at stage time — a racing creator must fail this CTAS, not be
+    // silently replaced by it
+    val exists = SnapshotLog.currentId(df.sparkSession, root) > 0L
+    require(mode != "create" || !exists,
+      s"table appeared at $root while this CREATE ... AS SELECT staged")
+    SnapshotLog.replaceTable(df.sparkSession, root, df, spec,
+      orCreate = mode != "replace")
+    ()
+  }
+
+  override def abortStagedChanges(): Unit = { buffered = None }
 }
 
 /** One METADATA table (`history`/`snapshots`/`files`) over a snapshot

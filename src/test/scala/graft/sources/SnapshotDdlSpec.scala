@@ -118,6 +118,42 @@ class SnapshotDdlSpec extends SparkSpec {
     assert(rowSet(spark.sql("SELECT * FROM ddlcat.m")) == Seq(Seq("2", "b")))
   }
 
+  test("REPLACE TABLE AS SELECT is one atomic overwrite, history preserved") {
+    wh
+    spark.sql("CREATE TABLE ddlcat.rt (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO ddlcat.rt VALUES (1, 'a'), (2, 'b')")
+    val root = s"$wh/rt"
+    val preId = SnapshotLog.currentId(spark, root)
+    spark.sql("REPLACE TABLE ddlcat.rt AS " +
+      "SELECT id AS k2, CAST(id AS STRING) AS v2 FROM range(0, 5)")
+    // ONE commit: content and schema replaced wholesale
+    assert(SnapshotLog.currentId(spark, root) == preId + 1)
+    assert(SnapshotLog.operationOf(spark, root, preId + 1) == "replace")
+    assert(spark.sql("SELECT * FROM ddlcat.rt").columns.toSeq ==
+      Seq("k2", "v2"))
+    assert(spark.sql("SELECT count(*) AS n FROM ddlcat.rt")
+      .head().getLong(0) == 5L)
+    // the WRITE_TRUNCATE point: the pre-replace snapshot is still there
+    assert(spark.sql(s"SELECT * FROM ddlcat.rt VERSION AS OF $preId")
+      .columns.toSeq == Seq("k", "v"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM ddlcat.rt VERSION AS OF $preId")
+      .head().getLong(0) == 2L)
+    // plain REPLACE of a missing table refuses; CREATE OR REPLACE creates
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE ddlcat.rt_missing AS SELECT 1 AS x")
+    }
+    spark.sql("CREATE OR REPLACE TABLE ddlcat.rt2 PARTITIONED BY (bucket(4, k)) " +
+      "AS SELECT id AS k FROM range(0, 10)")
+    assert(SnapshotLog.partitionSpecOf(spark, s"$wh/rt2") ==
+      Seq(SnapshotLog.PartField("bucket", "k", 4)))
+    spark.sql("CREATE OR REPLACE TABLE ddlcat.rt2 AS SELECT 9 AS only_k")
+    assert(rowSet(spark.sql("SELECT * FROM ddlcat.rt2")) == Seq(Seq("9")))
+    // a second plain CTAS on an existing table still refuses
+    intercept[Exception] {
+      spark.sql("CREATE TABLE ddlcat.rt2 AS SELECT 1 AS x")
+    }
+  }
+
   test("ALTER TABLE routes to the metadata-only evolution commits") {
     wh
     spark.sql("CREATE TABLE ddlcat.alt (k INT, v STRING)")
