@@ -5186,6 +5186,24 @@ object SnapshotLog {
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }.resolve("log").toString
 
+  /** Staged SQL-CALL log: tt15's exact rollback scenario, but the
+    * rollback runs as `CALL snapcat.system.rollback(…)` — the SQL
+    * procedure door executing the same metadata-only commit.
+    */
+  private def sqlCallLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttcall_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      (0 to 2).foreach { b =>
+        append(s, root, orders.filter(pmod(col("o_orderkey"), lit(3)) === b))
+      }
+      deleteWhere(s, root, col("o_orderstatus") === "F")
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      s.sql(s"CALL snapcat.system.rollback('$root', 3)")
+      ()
+    }.resolve("log").toString
+
   /** Staged SQL-UPDATE log: one append, then a pure-SQL partial-column
     * `UPDATE … SET … WHERE` over the catalog door, executed as a
     * merge-on-read commit (`mor-update`: one delete vector + the
@@ -6143,6 +6161,22 @@ object SnapshotLog {
              |FROM b ORDER BY snapshot_id""".stripMargin),
       bench = false,
       stage = Some((s, dir) => { ordersLog(s, dir); () })
+    ),
+
+    // TT35: the SQL PROCEDURE door — tt15's exact rollback scenario
+    // executed as `CALL snap.system.rollback(…)` text, sharing tt15's
+    // oracle VERBATIM: the CALL surface must commit exactly what the
+    // library API commits (the other maintenance verbs are pinned
+    // Spark-vs-library in SnapshotProcedureSpec).
+    Q(
+      "tt35_sql_call_rollback",
+      (s, dir) => {
+        val root = sqlCallLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { sqlCallLog(s, dir); () })
     )
   )
 }

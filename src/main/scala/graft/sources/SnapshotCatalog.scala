@@ -65,7 +65,8 @@ import graft.operators.SnapshotLog
   * the same gap for the snapshot-log format.
   */
 class SnapshotCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = "snap"
   private var warehouse: Option[String] = None
@@ -264,6 +265,27 @@ class SnapshotCatalog extends TableCatalog
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "snapshot-log tables are addressed by path; move the directory")
+
+  // ---- maintenance procedures: `CALL <cat>.system.<verb>(…)` — see
+  // [[SnapshotProcedures]]. The `table` argument resolves exactly like
+  // a table identifier (absolute path, or name under the warehouse
+  // root). ----
+
+  private def resolveTableArg(t: String): String =
+    rootOf(Identifier.of(Array.empty, t))
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live under the system namespace: $ident")
+    SnapshotProcedures.load(ident.name, resolveTableArg).getOrElse(
+      throw new NoSuchTableException(ident))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(Array("system"))) Array.empty
+    else SnapshotProcedures.names
+      .map(n => Identifier.of(Array("system"), n)).toArray
 }
 
 object SnapshotCatalog {

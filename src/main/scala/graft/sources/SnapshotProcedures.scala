@@ -1,0 +1,146 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.SnapshotLog
+
+/** SQL stored procedures for table MAINTENANCE — `CALL
+  * snap.system.<verb>(…)`, the Iceberg procedure surface over the
+  * library's maintenance API, so every operational verb a warehouse
+  * scheduler runs (rollback, retention, compaction, delete folding,
+  * refs, transaction recovery) is SQL-addressable without a Scala
+  * entry point:
+  *
+  * {{{
+  * CALL snap.system.rollback('/w/orders', 3)
+  * CALL snap.system.expire_snapshots('/w/orders', 10)
+  * CALL snap.system.optimize('/w/orders', 'o_orderkey', 8)
+  * CALL snap.system.rewrite_deletes('/w/orders')
+  * CALL snap.system.fast_forward('/w/orders', 'wip')
+  * }}}
+  *
+  * Each call executes the SAME library commit the API executes (one
+  * atomic manifest publish; results are the committed ids/counts as a
+  * one-row result set), so the SQL door can never drift from the
+  * programmatic one. Spark 4's ProcedureCatalog binding handles
+  * argument coercion and named/default arguments.
+  */
+private[sources] object SnapshotProcedures {
+
+  /** One procedure: IN parameters (name, type, optional default SQL),
+    * a one-row result schema, and the library call producing that
+    * row's values from the coerced argument row.
+    */
+  private final case class Spec(name: String, description: String,
+      params: Seq[(String, DataType, Option[String])],
+      result: StructType,
+      exec: (SparkSession, String => String, InternalRow) => Seq[Any])
+
+  private def str(in: InternalRow, i: Int): String =
+    in.getUTF8String(i).toString
+
+  private val specs: Seq[Spec] = Seq(
+    Spec("rollback",
+      "make an earlier snapshot current again as a new metadata-only commit",
+      Seq(("table", StringType, None), ("snapshot_id", LongType, None)),
+      StructType.fromDDL("snapshot_id BIGINT"),
+      (s, r, in) => Seq(SnapshotLog.rollback(s, r(str(in, 0)), in.getLong(1)))),
+    Spec("expire_snapshots",
+      "reclaim history older than the newest keep_last snapshots (tags pin)",
+      Seq(("table", StringType, None), ("keep_last", IntegerType, None)),
+      StructType.fromDDL("expired_manifests INT, reclaimed_files INT"),
+      (s, r, in) => {
+        val (m, f) = SnapshotLog.expire(s, r(str(in, 0)), in.getInt(1))
+        Seq(m, f)
+      }),
+    Spec("vacuum_orphans",
+      "delete unreferenced data/list files older than grace_ms",
+      Seq(("table", StringType, None),
+        ("grace_ms", LongType, Some("3600000"))),
+      StructType.fromDDL("reclaimed INT"),
+      (s, r, in) => Seq(SnapshotLog.vacuumOrphans(s, r(str(in, 0)),
+        in.getLong(1)))),
+    Spec("optimize",
+      "rewrite the live content into num_files range-clustered files",
+      Seq(("table", StringType, None), ("cluster_by", StringType, None),
+        ("num_files", IntegerType, None)),
+      StructType.fromDDL("snapshot_id BIGINT"),
+      (s, r, in) => Seq(SnapshotLog.optimize(s, r(str(in, 0)), str(in, 1),
+        in.getInt(2)))),
+    Spec("rewrite_deletes",
+      "fold outstanding equality deletes to vectors, then vectors into files",
+      Seq(("table", StringType, None)),
+      StructType.fromDDL("snapshot_id BIGINT"),
+      (s, r, in) => {
+        val root = r(str(in, 0))
+        SnapshotLog.rewriteEqualityDeletes(s, root)
+        Seq(SnapshotLog.rewriteDeletes(s, root))
+      }),
+    Spec("create_tag",
+      "pin a snapshot under a name (0 = current head); tags protect from expire",
+      Seq(("table", StringType, None), ("tag", StringType, None),
+        ("snapshot_id", LongType, Some("0"))),
+      StructType.fromDDL("snapshot_id BIGINT"),
+      (s, r, in) => Seq(SnapshotLog.tag(s, r(str(in, 0)), str(in, 1),
+        in.getLong(2)))),
+    Spec("drop_tag", "remove a tag; retention protection is reversible",
+      Seq(("table", StringType, None), ("tag", StringType, None)),
+      StructType.fromDDL("existed BOOLEAN"),
+      (s, r, in) => Seq(SnapshotLog.dropTag(s, r(str(in, 0)), str(in, 1)))),
+    Spec("create_branch",
+      "fork a writable branch at the current head (or a pinned id)",
+      Seq(("table", StringType, None), ("branch", StringType, None),
+        ("snapshot_id", LongType, Some("0"))),
+      StructType.fromDDL("fork_id BIGINT"),
+      (s, r, in) => Seq(SnapshotLog.createBranch(s, r(str(in, 0)),
+        str(in, 1), in.getLong(2)))),
+    Spec("fast_forward",
+      "publish a branch head onto main atomically (fails on divergence)",
+      Seq(("table", StringType, None), ("branch", StringType, None)),
+      StructType.fromDDL("snapshot_id BIGINT"),
+      (s, r, in) => Seq(SnapshotLog.fastForward(s, r(str(in, 0)), str(in, 1)))),
+    Spec("recover_txn",
+      "resolve a crashed multi-log transaction: roll forward or abort+clean",
+      Seq(("txn_dir", StringType, None)),
+      StructType.fromDDL("committed BOOLEAN"),
+      (s, _, in) => Seq(SnapshotLog.recoverTxn(s, str(in, 0)))))
+
+  def names: Seq[String] = specs.map(_.name)
+
+  def load(name: String, resolve: String => String): Option[UnboundProcedure] =
+    specs.find(_.name == name).map(sp => new UnboundProcedure {
+      override def name(): String = sp.name
+      override def description(): String = sp.description
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = sp.name
+          override def description(): String = sp.description
+          override def isDeterministic: Boolean = false
+          override def parameters(): Array[ProcedureParameter] =
+            sp.params.map { case (n, dt, dflt) =>
+              val b = ProcedureParameter.in(n, dt)
+              dflt.foreach(b.defaultValue)
+              b.build()
+            }.toArray
+          override def call(input: InternalRow): util.Iterator[Scan] = {
+            val out = sp.exec(SparkSession.active, resolve, input)
+              .map {
+                case s: String => UTF8String.fromString(s)
+                case other => other
+              }
+            val row = InternalRow.fromSeq(out)
+            util.Collections.singletonList[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] = Array(row)
+              override def readSchema(): StructType = sp.result
+            }).iterator()
+          }
+        }
+    })
+}

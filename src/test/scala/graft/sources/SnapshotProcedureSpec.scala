@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.SnapshotLog
+
+/** `CALL snap.system.<verb>(…)` — the SQL maintenance surface must
+  * execute the same library commits the API executes and return the
+  * committed ids/counts as result rows.
+  */
+class SnapshotProcedureSpec extends SparkSpec {
+
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.proccat",
+      classOf[SnapshotCatalog].getName)
+    "proccat"
+  }
+
+  private def newLog(tag: String, n: Int = 50): String = {
+    import spark.implicits._
+    val root = graft.TempDirs.create(s"proc_$tag").resolve("log").toString
+    SnapshotLog.append(spark, root,
+      (1 to n).map(k => (k.toLong, s"v$k")).toDF("k", "v").repartition(4))
+    root
+  }
+
+  test("rollback / create_tag / drop_tag round-trip through CALL") {
+    import spark.implicits._
+    val root = newLog("roll")
+    SnapshotLog.append(spark, root, Seq((999L, "x")).toDF("k", "v"))
+    val out = spark.sql(s"CALL $cat.system.rollback('$root', 1)")
+    assert(out.columns.toSeq == Seq("snapshot_id"))
+    assert(out.head().getLong(0) == 3L)
+    assert(SnapshotLog.read(spark, root).count() == 50L)
+    assert(spark.sql(s"CALL $cat.system.create_tag('$root', 'pre')")
+      .head().getLong(0) == 3L)
+    assert(spark.sql(s"CALL $cat.system.drop_tag('$root', 'pre')")
+      .head().getBoolean(0))
+    assert(!spark.sql(s"CALL $cat.system.drop_tag('$root', 'pre')")
+      .head().getBoolean(0))
+  }
+
+  test("optimize and rewrite_deletes execute the maintenance commits") {
+    val root = newLog("opt", n = 200)
+    SnapshotLog.deleteWhereMoR(spark, root, col("k") % 10 === 0)
+    assert(SnapshotLog.hasOutstandingDeletes(spark, root))
+    val folded = spark.sql(s"CALL $cat.system.rewrite_deletes('$root')")
+      .head().getLong(0)
+    assert(folded == 3L && !SnapshotLog.hasOutstandingDeletes(spark, root))
+    val optId = spark.sql(
+      s"CALL $cat.system.optimize('$root', 'k', 4)").head().getLong(0)
+    assert(optId == 4L)
+    assert(SnapshotLog.read(spark, root).count() == 180L)
+    // the optimized layout prunes a narrow SQL read
+    val df = spark.sql(s"SELECT v FROM $cat.`$root` WHERE k BETWEEN 31 AND 49")
+    val scan = SnapshotCatalog.scanOf(df)
+    assert(scan.totalFiles == 4 && scan.keptFiles.size == 1)
+  }
+
+  test("expire_snapshots and vacuum_orphans reclaim through CALL") {
+    import spark.implicits._
+    val root = newLog("exp")
+    (1 to 3).foreach(i => SnapshotLog.append(spark, root,
+      Seq((1000L + i, "x")).toDF("k", "v")))
+    val exp = spark.sql(s"CALL $cat.system.expire_snapshots('$root', 2)").head()
+    assert(exp.getInt(0) == 2, "two manifests expired")
+    assert(SnapshotLog.history(spark, root).size == 2)
+    // a named grace window of 0 reclaims freshly stranded files
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$root/data/c99_orphan"))
+    val out = fs.create(new Path(s"$root/data/c99_orphan/part-0.parquet"), true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    val n = spark.sql(
+      s"CALL $cat.system.vacuum_orphans('$root', grace_ms => 0)")
+      .head().getInt(0)
+    assert(n >= 1, "the planted orphan must be reclaimed")
+  }
+
+  test("create_branch / fast_forward publish through CALL") {
+    import spark.implicits._
+    val root = newLog("br")
+    assert(spark.sql(s"CALL $cat.system.create_branch('$root', 'wip')")
+      .head().getLong(0) == 1L)
+    SnapshotLog.appendToBranch(spark, root, "wip", Seq((77L, "b")).toDF("k", "v"))
+    val pub = spark.sql(s"CALL $cat.system.fast_forward('$root', 'wip')")
+      .head().getLong(0)
+    assert(pub == 2L)
+    assert(SnapshotLog.read(spark, root).count() == 51L)
+  }
+
+  test("recover_txn resolves a torn transaction through CALL") {
+    import spark.implicits._
+    val d = graft.TempDirs.create("proc_txn")
+    val (a, tx) = (d.resolve("a").toString, d.resolve("tx").toString)
+    SnapshotLog.append(spark, a, Seq((1L, "x")).toDF("k", "v"))
+    val tfs = new Path(tx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tfs.mkdirs(new Path(tx))
+    val out = tfs.create(new Path(s"$tx/plan"), true)
+    try out.write(s"$a\n${d.resolve("b")}".getBytes("UTF-8")) finally out.close()
+    assert(!spark.sql(s"CALL $cat.system.recover_txn('$tx')")
+      .head().getBoolean(0))
+    // unknown procedures fail loudly
+    intercept[Exception] { spark.sql(s"CALL $cat.system.nope('$a')") }
+  }
+}
