@@ -23,7 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // technique) — see graft.plans.SnapshotDml
     ext.injectResolutionRule(_ => graft.plans.SnapshotDmlRule)
     // readStream.table over snapshot-log catalog tables resolves to
-    // the V1 streaming source (plan-shaped micro-batches)
+    // the V1 streaming source (plan-shaped micro-batches); the write
+    // direction (writeStream.toTable) rides the table's
+    // V2TableWithV1Fallback descriptor instead
     ext.injectResolutionRule(_ => graft.plans.SnapshotStreamTableRule)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinBinning)
     ext.injectOptimizerRule(_ => graft.plans.TopKViaRowNumber)

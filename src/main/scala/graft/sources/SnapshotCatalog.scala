@@ -95,7 +95,7 @@ class SnapshotCatalog extends TableCatalog
     val root = rootOf(ident)
     if (SnapshotLog.currentId(spark, root) == 0L)
       throw new NoSuchTableException(ident)
-    new SnapshotTableV2(root, asOf)
+    new SnapshotTableV2(root, asOf, None, catName)
   }
 
   /** Plain load — plus the Iceberg-style METADATA tables: a two-part
@@ -131,7 +131,7 @@ class SnapshotCatalog extends TableCatalog
           tableAt(ident, SnapshotLog.tagId(spark, root, v))
         else if (SnapshotLog.branchExists(spark, root, v))
           new SnapshotTableV2(root, 0L,
-            Some((v, SnapshotLog.branchPin(spark, root, v))))
+            Some((v, SnapshotLog.branchPin(spark, root, v))), catName)
         else throw new NoSuchTableException(ident)
     }
   }
@@ -176,7 +176,7 @@ class SnapshotCatalog extends TableCatalog
     val root = rootOf(ident)
     SnapshotLog.createTable(spark, root, schema,
       partitions.toSeq.map(SnapshotCatalog.partFieldOf))
-    new SnapshotTableV2(root, 0L)
+    new SnapshotTableV2(root, 0L, None, catName)
   }
 
   /** SQL `ALTER TABLE` — each supported change routes to the library's
@@ -503,10 +503,36 @@ class SnapshotBatch extends org.apache.spark.sql.connector.catalog.TableProvider
   * branch read sees the branch's own evolution.
   */
 private[graft] class SnapshotTableV2(val root: String, val asOf: Long,
-    val branch: Option[(String, Long)] = None)
+    val branch: Option[(String, Long)] = None,
+    catalogName: String = "snap")
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.graft.V1FallbackTable {
+
+  /** The V1 descriptor `writeStream.toTable` falls back to when a V2
+    * table lacks STREAMING_WRITE (Delta's exact arrangement): it names
+    * the registered `snapshot-log` provider with the table's path, so
+    * the STREAMING SINK is the library's exactly-once tagged-commit
+    * sink — `readStream.table` and `writeStream.toTable` ride the same
+    * two V1 stream classes the format door uses.
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    require(asOf == 0L && branch.isEmpty,
+      s"cannot stream-write to a pinned read of $root: history is immutable")
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      // two-part name `<catalog>`.`<root>` — the post-batch
+      // refreshTable resolves it back through THIS catalog (a bare
+      // single-part name would look in the session catalog and fail)
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        root, Some(catalogName)),
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty
+        .copy(locationUri = Some(new Path(root).toUri),
+          properties = Map("path" -> root)),
+      schema = schema,
+      provider = Some("snapshot-log"))
+  }
 
   override def name(): String = branch match {
     case Some((b, _)) => s"snapshot-log `$root` @branch $b"

@@ -83,12 +83,21 @@ class SnapshotChangeProvider extends StreamSourceProvider
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    require(schema.isEmpty,
-      "snapshot-log derives its schema from the table manifest; " +
-        "do not pass one")
-    (shortName(), SnapshotChangeSource.schemaOf(
-      sqlContext.sparkSession, rootOf(parameters),
-      SnapshotChangeSource.modeOf(parameters)))
+    val mode = SnapshotChangeSource.modeOf(parameters)
+    val derived = SnapshotChangeSource.schemaOf(
+      sqlContext.sparkSession, rootOf(parameters), mode)
+    // a MATCHING user schema is tolerated (the catalog's V1 streaming
+    // fallback passes the table's schema through); anything else is
+    // refused with the real constraint
+    schema.foreach(s => require(s == derived,
+      if (mode != "appends")
+        "the changelog feed has extra columns (change, snapshot_id) — " +
+          "read it via readStream.format(\"snapshot-log\")" +
+          ".option(\"mode\", \"changelog\").load(root), not the table " +
+          "identifier"
+      else s"snapshot-log derives its schema from the table manifest " +
+        s"($derived); the passed schema ($s) does not match"))
+    (shortName(), derived)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -599,6 +608,47 @@ object SnapshotStreamQueries {
              |ORDER BY o_orderkey""".stripMargin),
       bench = false,
       stage = Some((s, dir) => { appendsFeedLog(s, dir); () })
+    ),
+
+    // SM31: sm28's lake-sink drain THROUGH THE TABLE IDENTIFIER —
+    // `writeStream.format("snapshot-log").toTable("snapcat.`…`")`
+    // resolves via the catalog's V1 fallback descriptor to the SAME
+    // exactly-once tagged-commit sink, sharing sm28's oracle VERBATIM
+    // (one atomic stream-append commit per admitted file). The table
+    // is created by toTable itself (catalog createTable).
+    Q(
+      "sm31_stream_to_table",
+      (s, dir) => {
+        val out = graft.TempDirs.create("graft_sm31")
+        val landing = java.nio.file.Files.createDirectories(out.resolve("landing"))
+        val orders = graft.Tables(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+        (0 to 2).foreach { b =>
+          val tmp = out.resolve(s"stage_$b")
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === b)
+            .coalesce(1).write.parquet(tmp.toString)
+          val listing = java.nio.file.Files.list(tmp)
+          val part =
+            try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+              .findFirst().get()
+            finally listing.close()
+          java.nio.file.Files.move(part, landing.resolve(f"batch-$b%03d.parquet"))
+        }
+        val log = out.resolve("log").toString
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.readStream.schema(orders.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing.toString)
+          .writeStream.format("snapshot-log")
+          .option("checkpointLocation", out.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"snapcat.`$log`")
+          .awaitTermination()
+        SnapshotLog.read(s, log).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      bench = false
     )
   )
 }

@@ -23,6 +23,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * tiny bridge file under the `org.apache.spark.sql` package tree, all
   * other code stays outside `private[sql]`.
   */
+/** Public face of the `private[sql]` [[org.apache.spark.sql.connector
+  * .catalog.V2TableWithV1Fallback]] trait — the hook
+  * `writeStream.toTable` consults when a V2 table lacks
+  * STREAMING_WRITE. Same bridge rationale as [[DmlBridge]].
+  */
+trait V1FallbackTable
+    extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+
 object DmlBridge {
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =

@@ -70,6 +70,34 @@ class SnapshotStreamSpec extends SparkSpec {
       String.valueOf(e.getCause).contains("changelog"))
   }
 
+  test("writeStream.toTable commits through the tagged exactly-once sink") {
+    val (log, src, ckpt) = newDirs()
+    spark.conf.set("spark.sql.catalog.smcat",
+      classOf[SnapshotCatalog].getName)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.parquet(src)
+    // the table does not exist yet: toTable creates it via the catalog
+    spark.readStream.schema("k BIGINT, v STRING").parquet(src)
+      .writeStream.format("snapshot-log")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"smcat.`$log`")
+      .awaitTermination()
+    assert(rowSet(SnapshotLog.read(spark, log)) ==
+      Seq(Seq("1", "a"), Seq("2", "b")))
+    // the commit is the tagged sink commit — replay-detectable
+    assert(SnapshotLog.operationOf(spark, log,
+      SnapshotLog.currentId(spark, log)).startsWith("stream-append="))
+    // a pinned read can never be a stream-write target
+    SnapshotLog.tag(spark, log, "pin")
+    intercept[Exception] {
+      spark.readStream.schema("k BIGINT, v STRING").parquet(src)
+        .writeStream.format("snapshot-log")
+        .option("checkpointLocation", ckpt + "2")
+        .toTable(s"smcat.`$log` VERSION AS OF 1")
+    }
+  }
+
   test("appends drain emits each append exactly once, rewrites never") {
     val (log, sink, ckpt) = newDirs()
     SnapshotLog.append(spark, log,
