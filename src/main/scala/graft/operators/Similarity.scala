@@ -571,12 +571,20 @@ object Similarity {
       pos.filter(col("cell").isin(hot: _*))
         .persist(StorageLevel.MEMORY_AND_DISK))
     var cents = gen.toVector
-    val reassigned = hot.zipWithIndex.map { case (c, j) =>
-      val newId = k + j + 1 // dense id space: probes index by position
+    // a hot cell of (near-)identical points is UNSPLITTABLE — k-means
+    // may return a single center; skip it rather than index past the
+    // returned array (the imbalance is the data, not the quantizer)
+    val splits = hot.flatMap { c =>
       val rows = hotAll.filter(col("cell") === c)
       val sub = trainCentroids(
         rows.select(col("vec_id"), col("emb").as("embedding")),
         k = 2, seed = seed + c)
+      if (sub.length < 2 || sub(0).sameElements(sub(1))) None
+      else Some((c, rows, sub))
+    }
+    if (splits.isEmpty) return Seq.empty
+    val reassigned = splits.zipWithIndex.map { case ((c, rows, sub), j) =>
+      val newId = k + j + 1 // dense id space: probes index by position
       cents = cents.updated(c.toInt - 1, sub(0)) :+ sub(1)
       // nearest-of-the-two-children, the same euclidean rule cellColFor
       // applies (child index 1 keeps the id, 2 takes the new one)
@@ -584,8 +592,9 @@ object Similarity {
         when(cellColFor(col("emb"), Array(sub(0), sub(1))) === 1L,
           lit(c)).otherwise(lit(newId.toLong)).cast(cellType).as("cell"))
     }.reduce(_ unionByName _)
-    val dead = hotAll.select(col("__path").as("t_path"),
-      col("__pos").as("t_pos"))
+    val splitCells = splits.map(_._1)
+    val dead = hotAll.filter(col("cell").isin(splitCells: _*))
+      .select(col("__path").as("t_path"), col("__pos").as("t_pos"))
     val centRows = {
       import s.implicits._
       cents.zipWithIndex.map { case (cn, i) => (i + 1, cn.toSeq) }
@@ -594,7 +603,7 @@ object Similarity {
     SnapshotLog.commitTransactionMor(s, txnDir, root, base, dead, reassigned,
       Seq(centsRoot -> centRows), overwriteRoots = Set(centsRoot),
       expectedBase = Map(centsRoot -> centsCur))
-    hot
+    splitCells
   }
 
   /** Index maintenance upsert that respects the current centroid

@@ -154,6 +154,32 @@ class SnapshotDmlSpec extends SparkSpec {
     assert(SnapshotLog.currentId(spark, root) == 1L)
   }
 
+  test("pure-DELETE merge, zero-match update, and empty CTAS all commit sanely") {
+    import spark.implicits._
+    // WHEN MATCHED THEN DELETE only — the adds side is EMPTY
+    val root = newLog("edge")
+    Seq((10L, "x"), (20L, "y")).toDF("k", "v")
+      .createOrReplaceTempView("dml_edge_src")
+    spark.sql(s"MERGE INTO $cat.`$root` t USING dml_edge_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN DELETE")
+    assert(SnapshotLog.read(spark, root).count() == 98L)
+    // UPDATE matching nothing — both the DV and the adds are empty
+    spark.sql(s"UPDATE $cat.`$root` SET v = 'z' WHERE k > 100000")
+    assert(SnapshotLog.read(spark, root).count() == 98L)
+    // MERGE matching nothing at runtime (conditions all false)
+    spark.sql(s"MERGE INTO $cat.`$root` t USING dml_edge_src s ON t.k = s.k " +
+      "WHEN MATCHED AND s.v = 'nope' THEN UPDATE SET *")
+    assert(SnapshotLog.read(spark, root).count() == 98L)
+    // empty CTAS (LIMIT 0) — the staged commit carries zero rows
+    val ctasRoot = graft.TempDirs.create("dml_edge_wh")
+      .resolve("empty_ctas").toString
+    spark.sql(s"CREATE TABLE $cat.`$ctasRoot` AS " +
+      s"SELECT * FROM $cat.`$root` LIMIT 0")
+    assert(spark.sql(s"SELECT * FROM $cat.`$ctasRoot`").count() == 0L)
+    spark.sql(s"INSERT INTO $cat.`$ctasRoot` VALUES (1, 'a')")
+    assert(spark.sql(s"SELECT * FROM $cat.`$ctasRoot`").count() == 1L)
+  }
+
   test("merge into an updated table applies over outstanding vectors") {
     import spark.implicits._
     val root = newLog("stack")
