@@ -74,6 +74,20 @@ private[sources] object SnapshotProcedures {
       StructType.fromDDL("snapshot_id BIGINT"),
       (s, r, in) => Seq(SnapshotLog.optimize(s, r(str(in, 0)), str(in, 1),
         in.getInt(2)))),
+    Spec("optimize_zorder",
+      "rewrite into num_files Morton-interleaved files over two columns",
+      Seq(("table", StringType, None), ("col_a", StringType, None),
+        ("col_b", StringType, None), ("num_files", IntegerType, None)),
+      StructType.fromDDL("snapshot_id BIGINT"),
+      (s, r, in) => Seq(SnapshotLog.optimizeZOrder(s, r(str(in, 0)),
+        str(in, 1), str(in, 2), in.getInt(3)))),
+    Spec("optimize_bucketed",
+      "rewrite into a hash-bucket layout; key reads prune to O(buckets)",
+      Seq(("table", StringType, None), ("bucket_by", StringType, None),
+        ("num_buckets", IntegerType, None)),
+      StructType.fromDDL("snapshot_id BIGINT"),
+      (s, r, in) => Seq(SnapshotLog.optimizeBucketed(s, r(str(in, 0)),
+        str(in, 1), in.getInt(2)))),
     Spec("rewrite_deletes",
       "fold outstanding equality deletes to vectors, then vectors into files",
       Seq(("table", StringType, None)),

@@ -59,6 +59,30 @@ class SnapshotProcedureSpec extends SparkSpec {
     assert(scan.totalFiles == 4 && scan.keptFiles.size == 1)
   }
 
+  test("optimize_zorder and optimize_bucketed relayout through CALL") {
+    import spark.implicits._
+    val root = graft.TempDirs.create("proc_layout").resolve("log").toString
+    SnapshotLog.append(spark, root,
+      (1L to 256L).map(k => (k, k * 7 % 256, s"v$k")).toDF("x", "y", "v")
+        .repartition(4))
+    val zId = spark.sql(
+      s"CALL $cat.system.optimize_zorder('$root', 'x', 'y', 16)")
+      .head().getLong(0)
+    assert(zId == 2L)
+    // a 2-D box over the Morton layout prunes on both axes
+    val (kept, _) = SnapshotLog.boxFiles(spark, root, Seq(
+      ("x", Some("1"), Some("40")), ("y", Some("1"), Some("40"))))
+    assert(kept.size < 16, s"z-order box pruning must skip files (${kept.size}/16)")
+    assert(SnapshotLog.read(spark, root).count() == 256L)
+    val bId = spark.sql(
+      s"CALL $cat.system.optimize_bucketed('$root', 'x', 8)")
+      .head().getLong(0)
+    assert(bId == 3L)
+    assert(SnapshotLog.readForKeys(spark, root, "x",
+      Seq(17L).toDF("x")).filter(org.apache.spark.sql.functions
+        .col("x") === 17L).count() == 1L)
+  }
+
   test("expire_snapshots and vacuum_orphans reclaim through CALL") {
     import spark.implicits._
     val root = newLog("exp")
