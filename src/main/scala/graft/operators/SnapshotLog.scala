@@ -3299,13 +3299,22 @@ object SnapshotLog {
     * yields an empty frame under the table schema.
     */
   private[graft] def readPosForDml(spark: SparkSession, root: String,
-      asOf: Long = 0L): (Long, DataFrame, StructType) = {
+      asOf: Long = 0L,
+      preds: Seq[(String, Option[String], Option[String])] = Seq.empty)
+      : (Long, DataFrame, StructType) = {
     val base = if (asOf > 0) asOf else currentId(spark, root)
     require(base > 0, s"no snapshots under $root")
     val raw = rawManifest(spark, root, base)
     val schema = StructType.fromDDL(raw.schemaDdl)
-    val files = raw.inline ++
-      raw.refs.flatMap(r => readFileList(fsOf(spark, root), root, r.path))
+    // discovery pruning: conjuncts the CALLER proved conservative (a
+    // row-level command's matched rows all fall inside them) skip
+    // whole files from the stat bands — files without usable stats are
+    // kept, so pruning can only ever shrink the scan, never the answer
+    val usable = preds.filter(p => schema.fieldNames.contains(p._1))
+    val files =
+      if (usable.nonEmpty) boxFilesRaw(spark, root, raw, usable)._1
+      else raw.inline ++
+        raw.refs.flatMap(r => readFileList(fsOf(spark, root), root, r.path))
     val ids = currentIdsOf(raw, schema)._1
     val df =
       if (files.isEmpty)

@@ -132,6 +132,109 @@ private[plans] object SnapshotDml {
   private def outputsByName(df: DataFrame): Map[String, Attribute] =
     DmlBridge.analyzed(df).output.map(a => a.name -> a).toMap
 
+  /** Top-level AND conjuncts of an expression. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** `t.col = s.col` equi-pairs in the merge condition — the discovery
+    * pruning handles: every target row a matched/not-matched arm can
+    * touch carries a source value in each paired column, so the
+    * SOURCE's min/max of the pair bounds the target files worth
+    * opening.
+    */
+  private def equiPairs(cond: Expression, tgtSet: Expression => Boolean,
+      srcSet: Expression => Boolean): Seq[(String, String)] =
+    conjuncts(cond).flatMap {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          a: AttributeReference, b: AttributeReference)
+          if tgtSet(a) && srcSet(b) => Some((a.name, b.name))
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          a: AttributeReference, b: AttributeReference)
+          if tgtSet(b) && srcSet(a) => Some((b.name, a.name))
+      case _ => None
+    }
+
+  /** Literal comparison conjuncts on TARGET columns → (col, lo, hi)
+    * stat boxes — the same translation the catalog scan applies to
+    * pushed filters, here over the raw Catalyst condition. Only
+    * shrinks the discovery scan; rows are still filtered exactly.
+    */
+  private def literalBoxes(cond: Expression,
+      tgtSet: Expression => Boolean)
+      : Seq[(String, Option[String], Option[String])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def r(l: Literal): Option[String] =
+      graft.sources.SnapshotCatalog.render(
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType))
+    conjuncts(cond).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) if tgtSet(a) =>
+        r(l).map(v => (a.name, Some(v), Some(v)))
+      case EqualTo(l: Literal, a: AttributeReference) if tgtSet(a) =>
+        r(l).map(v => (a.name, Some(v), Some(v)))
+      case GreaterThan(a: AttributeReference, l: Literal) if tgtSet(a) =>
+        r(l).map(v => (a.name, Some(v), None))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if tgtSet(a) =>
+        r(l).map(v => (a.name, Some(v), None))
+      case LessThan(a: AttributeReference, l: Literal) if tgtSet(a) =>
+        r(l).map(v => (a.name, None, Some(v)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) if tgtSet(a) =>
+        r(l).map(v => (a.name, None, Some(v)))
+      case GreaterThan(l: Literal, a: AttributeReference) if tgtSet(a) =>
+        r(l).map(v => (a.name, None, Some(v)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if tgtSet(a) =>
+        r(l).map(v => (a.name, None, Some(v)))
+      case LessThan(l: Literal, a: AttributeReference) if tgtSet(a) =>
+        r(l).map(v => (a.name, Some(v), None))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) if tgtSet(a) =>
+        r(l).map(v => (a.name, Some(v), None))
+      case _ => Seq.empty
+    }
+  }
+
+  /** The discovery-pruning boxes for a MERGE: the source's min/max per
+    * equi-paired column (ONE bounded aggregation over the source)
+    * plus any literal boxes on target columns — valid only when no BY
+    * SOURCE arm exists (those need every target row). A file whose
+    * band can hold a matching key always intersects the source's
+    * range, so pruning is conservative by construction.
+    */
+  private def mergePruning(src: DataFrame, cond: Expression,
+      target: LogicalPlan, source: LogicalPlan,
+      bySource: Seq[MergeAction])
+      : Seq[(String, Option[String], Option[String])] = {
+    if (bySource.nonEmpty) return Seq.empty
+    val tgtSet = (e: Expression) => e match {
+      case a: AttributeReference => target.outputSet.contains(a)
+      case _ => false
+    }
+    val srcSet = (e: Expression) => e match {
+      case a: AttributeReference => source.outputSet.contains(a)
+      case _ => false
+    }
+    val pairs = equiPairs(cond, tgtSet, srcSet)
+    val ranges =
+      if (pairs.isEmpty) Seq.empty
+      else {
+        import org.apache.spark.sql.functions.{max, min}
+        val aggs = pairs.zipWithIndex.flatMap { case ((_, sc), i) =>
+          Seq(min(col(sc)).as(s"mn_$i"), max(col(sc)).as(s"mx_$i"))
+        }
+        val row = src.agg(aggs.head, aggs.tail: _*).head()
+        pairs.zipWithIndex.flatMap { case ((tc, _), i) =>
+          val lo = graft.sources.SnapshotCatalog.render(row.get(2 * i))
+          val hi = graft.sources.SnapshotCatalog.render(row.get(2 * i + 1))
+          // an empty source (null bounds) prunes nothing here — the
+          // merge is then a no-op anyway
+          if (lo.isDefined && hi.isDefined) Some((tc, lo, hi)) else None
+        }
+      }
+    ranges ++ literalBoxes(cond, tgtSet)
+  }
+
   /** An arm's own condition, null-safe (SQL: a NULL condition neither
     * fires the arm nor blocks later ones).
     */
@@ -207,12 +310,20 @@ private[plans] object SnapshotDml {
       case other => throw new UnsupportedOperationException(
         s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
     }
-    val (base, tgt0, schema) = SnapshotLog.readPosForDml(spark, root)
+    val src0 = DmlBridge.ofRows(spark, source)
+    // discovery pruning: the source's equi-key range + literal target
+    // boxes skip whole target files from the manifest stat bands, so
+    // a narrow upsert against a clustered 100 TB table opens O(band)
+    // files, not the table (conservative: a file that could hold a
+    // match always intersects; BY SOURCE arms disable it — they need
+    // every target row). The range costs one bounded agg on the source.
+    val pruning = mergePruning(src0, cond, target, source, bySource)
+    val (base, tgt0, schema) =
+      SnapshotLog.readPosForDml(spark, root, preds = pruning)
     Seq("__path", "__pos", "__t", "__s").foreach(r => require(
       !schema.fieldNames.contains(r), s"column name $r is reserved"))
     // presence markers: outer joins null the absent side's marker, so
     // row classification never depends on data-column nullability
-    val src0 = DmlBridge.ofRows(spark, source)
     require(!src0.columns.contains("__s") && !schema.fieldNames.contains("__t"),
       "column names __t/__s are reserved")
     val tgt = tgt0.withColumn("__t", lit(true))
@@ -277,7 +388,16 @@ private[plans] object SnapshotDml {
 
   def runUpdate(spark: SparkSession, root: String, table: LogicalPlan,
       assigns: Seq[Assignment], cond: Option[Expression]): Unit = {
-    val (base, tgt, schema) = SnapshotLog.readPosForDml(spark, root)
+    // discovery pruning from the WHERE clause's literal boxes — every
+    // row the update can touch satisfies them, so non-intersecting
+    // files are carried untouched without ever being opened
+    val tgtSet = (e: Expression) => e match {
+      case a: AttributeReference => table.outputSet.contains(a)
+      case _ => false
+    }
+    val pruning = cond.toSeq.flatMap(literalBoxes(_, tgtSet))
+    val (base, tgt, schema) =
+      SnapshotLog.readPosForDml(spark, root, preds = pruning)
     val tgtBy = outputsByName(tgt)
     val remap = binder(Seq(table -> tgtBy))
     val hit = tgt.filter(cond.map(remap).getOrElse(lit(true)))

@@ -346,7 +346,7 @@ object SnapshotCatalog {
     * unprunable type (the conjunct still filters rows, it just skips
     * no files).
     */
-  private[sources] def render(value: Any): Option[String] = value match {
+  private[graft] def render(value: Any): Option[String] = value match {
     case null => None
     case s: String => Some(s)
     case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)

@@ -180,6 +180,46 @@ class SnapshotDmlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM $cat.`$ctasRoot`").count() == 1L)
   }
 
+  test("merge discovery prunes target files from the source's key range") {
+    import spark.implicits._
+    val root = graft.TempDirs.create("dml_prune").resolve("log").toString
+    // 8 range-disjoint files over k ∈ [1, 800]
+    SnapshotLog.append(spark, root,
+      (1L to 800L).map(k => (k, s"v$k")).toDF("k", "v")
+        .repartitionByRange(8, col("k")))
+    assert(SnapshotLog.snapshot(spark, root, 1L).files.size == 8)
+    // a NARROW source: keys 301..320 — one band
+    (301L to 320L).map(k => (k, "X")).toDF("k", "v")
+      .createOrReplaceTempView("dml_prune_src")
+    // THE STRONG FORM: delete every file that cannot hold a match —
+    // if discovery scanned them, the merge would crash on missing files
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = SnapshotLog.snapshot(spark, root, 1L).files
+    val out = files.filter { f =>
+      val (lo, hi) = f.stats("k")
+      hi.toLong < 301L || lo.toLong > 320L
+    }
+    assert(out.size >= 6, s"staging must leave most files out of band (${out.size})")
+    out.foreach(f => fs.delete(new Path(s"$root/${f.path}"), false))
+    spark.sql(s"MERGE INTO $cat.`$root` t USING dml_prune_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    // the band reads back fully merged (full reads would hit the holes)
+    val band = SnapshotLog.readRange(spark, root, "k",
+      Some("301"), Some("320"))
+    assert(band.count() == 20L)
+    assert(band.select("v").distinct().head().getString(0) == "X")
+    // UPDATE's WHERE-box pruning gets the same strong proof
+    spark.sql(s"UPDATE $cat.`$root` SET v = 'Y' WHERE k >= 305 AND k <= 310")
+    assert(SnapshotLog.readRange(spark, root, "k", Some("305"), Some("310"))
+      .filter(col("v") === "Y").count() == 6L)
+    // BY SOURCE arms need the whole table: with holes on disk they fail
+    intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.`$root` t USING dml_prune_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    }
+  }
+
   test("merge into an updated table applies over outstanding vectors") {
     import spark.implicits._
     val root = newLog("stack")
