@@ -3221,7 +3221,24 @@ object SnapshotLog {
     val dead =
       if (allFiles.isEmpty) None
       else {
-        val live = livePosRead(spark, root, raw, allFiles, tableSchema, tableIds)
+        // discovery pruning: the key set's min/max per key column (one
+        // bounded agg) skips target files whose stat band cannot hold
+        // a match — a narrow upsert against a clustered table scans
+        // O(band) files, not the table. Conservative: a file holding a
+        // matched key always intersects its range; unrenderable types
+        // or statless files simply stay in the scan.
+        val aggs = keyCols.flatMap(c =>
+          Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+        val row = keys.agg(aggs.head, aggs.tail: _*).head()
+        val preds = keyCols.zipWithIndex.flatMap { case (c, i) =>
+          val lo = graft.sources.SnapshotCatalog.render(row.get(2 * i))
+          val hi = graft.sources.SnapshotCatalog.render(row.get(2 * i + 1))
+          if (lo.isDefined && hi.isDefined) Some((c, lo, hi)) else None
+        }
+        val scanFiles =
+          if (preds.isEmpty) allFiles
+          else boxFilesRaw(spark, root, raw, preds)._1
+        val live = livePosRead(spark, root, raw, scanFiles, tableSchema, tableIds)
         Some(live.join(keys, keyCols, "left_semi")
           .select(col("__path").as("t_path"), col("__pos").as("t_pos")))
       }

@@ -180,6 +180,30 @@ class SnapshotMorDeleteSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, root).count() === 5L)
   }
 
+  test("MoR merge discovery prunes target files from the key range") {
+    val root = newRoot()
+    SnapshotLog.append(spark, root,
+      (1 to 800).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+        .repartitionByRange(8, col("k")))
+    val files = SnapshotLog.snapshot(spark, root, 1L).files
+    assert(files.size == 8)
+    // the strong form: delete every out-of-band file — a discovery
+    // scan that opened them would crash the merge
+    val out = files.filter { f =>
+      val (lo, hi) = f.stats("k")
+      hi.toLong < 301L || lo.toLong > 320L
+    }
+    assert(out.size >= 6)
+    out.foreach(f => fs(root).delete(
+      new Path(s"$root/${f.path}"), false))
+    SnapshotLog.mergeIntoMoR(spark, root,
+      (301L to 320L).map(k => (k, "X")).toDF("k", "v"), Seq("k"))
+    val band = SnapshotLog.readRange(spark, root, "k",
+      Some("301"), Some("320"))
+    assert(band.count() == 20L)
+    assert(band.select("v").distinct().head().getString(0) == "X")
+  }
+
   test("MoR merge replaces matched rows via a vector and appends the source") {
     val root = newRoot()
     SnapshotLog.append(spark, root,
