@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -80,6 +80,17 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
       require(t.asOf == 0L,
         s"cannot UPDATE snapshot ${t.asOf} of ${t.root}: history is immutable")
       UpdateSnapshotCommand(t.root, u.table, u.assignments, u.condition)
+    case d: DeleteFromTable if d.resolved &&
+        snapshotTable(d.table).isDefined =>
+      val t = snapshotTable(d.table).get
+      require(t.asOf == 0L && t.branch.isEmpty,
+        s"cannot DELETE from a pinned read of ${t.root}: history is immutable")
+      require(d.condition.collectFirst { case sq: org.apache.spark.sql
+          .catalyst.expressions.SubqueryExpression => sq }.isEmpty,
+        "DELETE with a subquery predicate is not supported on " +
+          "snapshot-log tables; materialize the subquery and use " +
+          "deleteWhereEqual (scan-free key-set delete) instead")
+      DeleteSnapshotCommand(t.root, d.table, d.condition)
   }
 }
 
@@ -95,6 +106,21 @@ final case class MergeSnapshotCommand(root: String,
   override def run(spark: SparkSession): Seq[Row] = {
     SnapshotDml.runMerge(spark, root, target, source, cond,
       matched, notMatched, bySource)
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM snap.t WHERE …` with ANY row-level predicate —
+  * executes the library's copy-on-write [[SnapshotLog.deleteWhere]]
+  * (only match-bearing files rewritten, operation `delete`), lifting
+  * the exact-translation restriction the plain SupportsDelete door
+  * has (that door remains the fallback for sessions without the graft
+  * extensions).
+  */
+final case class DeleteSnapshotCommand(root: String, table: LogicalPlan,
+    cond: Expression) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotDml.runDelete(spark, root, table, cond)
     Seq.empty
   }
 }
@@ -383,6 +409,21 @@ private[plans] object SnapshotDml {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
       SnapshotLog.morCommit(spark, root, base, dead, adds, "mor-merge")
     } finally joined.unpersist()
+    ()
+  }
+
+  def runDelete(spark: SparkSession, root: String, table: LogicalPlan,
+      cond: Expression): Unit = {
+    // rebind the predicate's table attributes to UNRESOLVED names and
+    // hand it to the library's CoW delete — deleteWhere scans the
+    // table itself, so its own resolution must bind the columns (a
+    // resolved attribute from any other plan instance would dangle)
+    val pred = DmlBridge.column(cond.transform {
+      case a: AttributeReference if table.outputSet.contains(a) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(a.name)
+    })
+    SnapshotLog.deleteWhere(spark, root, pred)
     ()
   }
 

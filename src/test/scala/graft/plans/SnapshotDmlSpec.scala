@@ -180,6 +180,27 @@ class SnapshotDmlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM $cat.`$ctasRoot`").count() == 1L)
   }
 
+  test("DELETE with an untranslatable predicate executes as a CoW commit") {
+    val root = newLog("delx")
+    // `k % 7 = 3` has no sources.Filter translation — the plain
+    // SupportsDelete door would refuse it; the DML rewrite lifts that
+    spark.sql(s"DELETE FROM $cat.`$root` WHERE k % 7 = 3 AND length(v) > 1")
+    assert(SnapshotLog.operationOf(spark, root,
+      SnapshotLog.currentId(spark, root)) == "delete")
+    val out = SnapshotLog.read(spark, root)
+    assert(out.count() == 100L - (1L to 100L).count(_ % 7 == 3))
+    assert(out.filter(col("k") % 7 === 3).count() == 0L)
+    // pre-delete snapshot still addressable
+    assert(SnapshotLog.read(spark, root, asOf = 1L).count() == 100L)
+    // subquery predicates are refused with the scan-free alternative
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.`$root` WHERE k IN " +
+        s"(SELECT k FROM $cat.`$root` WHERE v = 'v1')")
+    }
+    assert(e.getMessage.contains("deleteWhereEqual") ||
+      String.valueOf(e.getCause).contains("deleteWhereEqual"))
+  }
+
   test("merge discovery prunes target files from the source's key range") {
     import spark.implicits._
     val root = graft.TempDirs.create("dml_prune").resolve("log").toString
