@@ -5230,6 +5230,23 @@ object SnapshotLog {
       ()
     }.resolve("log").toString
 
+  /** Staged SQL-DELETE log: one append, then a pure-SQL `DELETE FROM …
+    * WHERE` whose predicate has NO sources.Filter translation (modulo
+    * arithmetic) — the arm the DML rewrite exists for; executed as the
+    * library's copy-on-write delete.
+    */
+  private def sqlDeleteLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttsqld_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.repartition(4))
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      s.sql(s"DELETE FROM snapcat.`$root` " +
+        "WHERE o_orderkey % 7 = 3 AND o_orderstatus <> 'F'")
+      ()
+    }.resolve("log").toString
+
   /** Staged SQL-UPDATE log: one append, then a pure-SQL partial-column
     * `UPDATE … SET … WHERE` over the catalog door, executed as a
     * merge-on-read commit (`mor-update`: one delete vector + the
@@ -6203,6 +6220,25 @@ object SnapshotLog {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { sqlCallLog(s, dir); () })
+    ),
+
+    // TT36: SQL DELETE with an UNTRANSLATABLE predicate (modulo
+    // arithmetic — no sources.Filter form exists, so the plain
+    // SupportsDelete door would refuse it): the DML rewrite executes
+    // it as the library's copy-on-write delete. The oracle recomputes
+    // the survivors relationally — a dropped survivor, a row deleted
+    // under the wrong conjunct, or a double-applied rewrite breaks
+    // the hash.
+    Q(
+      "tt36_sql_delete_expr",
+      (s, dir) => {
+        val root = sqlDeleteLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |WHERE NOT (o_orderkey % 7 = 3 AND o_orderstatus <> 'F')
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { sqlDeleteLog(s, dir); () })
     )
   )
 }
