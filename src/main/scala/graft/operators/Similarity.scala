@@ -554,10 +554,18 @@ object Similarity {
           "(full retrain) once first"))
     val k = gen.length
     // one bounded aggregation decides: cells holding more than
-    // threshold x their fair share split
+    // threshold x their fair share split. The driver pull is O(#cells)
+    // — k plus accumulated splits — and over-fetches by one so a cell
+    // count past the cap fails LOUDLY instead of silently mis-targeting
+    // the hot-cell detection (n and the fair share both depend on
+    // seeing every cell)
+    val cellCap = 1 << 16
     val counts = SnapshotLog.read(s, root, asOf = cur0)
-      .groupBy("cell").count().head(4096)
+      .groupBy("cell").count().head(cellCap + 1)
       .map(r => (r.get(0).asInstanceOf[Number].longValue, r.getLong(1)))
+    require(counts.length <= cellCap,
+      s"index at $root has more than $cellCap cells; partial maintenance " +
+        "needs a full maintainIvf retrain at this scale")
     val n = counts.map(_._2).sum
     if (n == 0L) return Seq.empty
     val ideal = n.toDouble / k

@@ -5281,6 +5281,38 @@ object SnapshotLog {
       ()
     }.resolve("log").toString
 
+  /** Staged SQL-MERGE-EVOLVE log: tt30's upsert scenario, but the
+    * source carries a column the target lacks and the statement says
+    * `WITH SCHEMA EVOLUTION` — Spark's ResolveMergeIntoSchemaEvolution
+    * (admitted by the table's AUTOMATIC_SCHEMA_EVOLUTION capability)
+    * widens the target through the catalog's alterTable (the library's
+    * metadata-only addColumn commit), then the merge lands as the
+    * normal MoR commit: pre-existing unmatched rows read NULL for the
+    * new column, matched + inserted rows carry the source's values.
+    */
+  private def sqlMergeEvolveLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttsqle_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.repartition(4))
+      orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_note", concat(lit("n"), col("o_custkey")))
+        .unionByName(
+          orders.filter(pmod(col("o_orderkey"), lit(10)) === 1)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+            .withColumn("o_orderstatus", lit("N"))
+            .withColumn("o_note", lit("new")))
+        .createOrReplaceTempView("tt39_src")
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      s.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO snapcat.`$root` t
+           |USING tt39_src s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }.resolve("log").toString
+
   /** Staged SQL-CTAS log: the table is born from PURE SQL — `CREATE
     * TABLE … PARTITIONED BY (days(ts)) AS SELECT …` over the events
     * table — so the declared hidden-partitioning spec, the CTAS write,
@@ -6239,6 +6271,33 @@ object SnapshotLog {
              |WHERE NOT (o_orderkey % 7 = 3 AND o_orderstatus <> 'F')
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { sqlDeleteLog(s, dir); () })
+    ),
+
+    // TT39: `MERGE … WITH SCHEMA EVOLUTION` — the source carries a
+    // column the target lacks; Spark's analyzer widens the target
+    // through the catalog's alterTable (the library's metadata-only
+    // addColumn commit) and the merge itself lands as the normal MoR
+    // commit. The oracle recomputes the evolved upsert relationally:
+    // a lost NULL on a pre-existing row, a dropped source value, or an
+    // un-widened schema breaks the hash.
+    Q(
+      "tt39_sql_merge_evolve",
+      (s, dir) => {
+        val root = sqlMergeEvolveLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |       CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+             |            ELSE o_orderstatus END AS o_orderstatus,
+             |       CASE WHEN o_orderkey % 10 = 0
+             |            THEN 'n' || CAST(o_custkey AS VARCHAR)
+             |            ELSE NULL END AS o_note
+             |FROM orders
+             |UNION ALL
+             |SELECT o_orderkey + 10000000, o_custkey, 'N', 'new'
+             |FROM orders WHERE o_orderkey % 10 = 1
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { sqlMergeEvolveLog(s, dir); () })
     )
   )
 }

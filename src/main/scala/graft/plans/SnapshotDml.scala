@@ -64,21 +64,28 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // `… WITH SCHEMA EVOLUTION`: while additive changes are still
+    // pending, leave the node untouched so Spark's own
+    // ResolveMergeIntoSchemaEvolution — admitted by the table's
+    // AUTOMATIC_SCHEMA_EVOLUTION capability, matching on exactly this
+    // evaluateSchemaEvolution && changes.nonEmpty condition — widens
+    // the target through SnapshotCatalog.alterTable (the library's
+    // metadata-only addColumn commit) first; the next analyzer
+    // iteration sees the evolved, fully-resolved merge here (changes
+    // now empty: the target already holds every source column).
     case m: MergeIntoTable if m.resolved &&
+        !(m.evaluateSchemaEvolution && m.changesForSchemaEvolution.nonEmpty) &&
         snapshotTable(m.targetTable).isDefined =>
       val t = snapshotTable(m.targetTable).get
-      require(t.asOf == 0L,
-        s"cannot MERGE into snapshot ${t.asOf} of ${t.root}: history is immutable")
-      require(!m.withSchemaEvolution,
-        "MERGE … WITH SCHEMA EVOLUTION is not supported on snapshot-log " +
-          "tables; evolve via SnapshotLog.append's additive evolution")
+      require(t.asOf == 0L && t.branch.isEmpty,
+        s"cannot MERGE into a pinned read of ${t.root}: history is immutable")
       MergeSnapshotCommand(t.root, m.targetTable, m.sourceTable,
         m.mergeCondition, m.matchedActions, m.notMatchedActions,
         m.notMatchedBySourceActions)
     case u: UpdateTable if u.resolved && snapshotTable(u.table).isDefined =>
       val t = snapshotTable(u.table).get
-      require(t.asOf == 0L,
-        s"cannot UPDATE snapshot ${t.asOf} of ${t.root}: history is immutable")
+      require(t.asOf == 0L && t.branch.isEmpty,
+        s"cannot UPDATE a pinned read of ${t.root}: history is immutable")
       UpdateSnapshotCommand(t.root, u.table, u.assignments, u.condition)
     case d: DeleteFromTable if d.resolved &&
         snapshotTable(d.table).isDefined =>
@@ -415,15 +422,23 @@ private[plans] object SnapshotDml {
   def runDelete(spark: SparkSession, root: String, table: LogicalPlan,
       cond: Expression): Unit = {
     // rebind the predicate's table attributes to UNRESOLVED names and
-    // hand it to the library's CoW delete — deleteWhere scans the
-    // table itself, so its own resolution must bind the columns (a
+    // hand it to the library's delete — both deletes scan the table
+    // themselves, so their own resolution must bind the columns (a
     // resolved attribute from any other plan instance would dangle)
     val pred = DmlBridge.column(cond.transform {
       case a: AttributeReference if table.outputSet.contains(a) =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
           .quoted(a.name)
     })
-    SnapshotLog.deleteWhere(spark, root, pred)
+    // SQL MERGE/UPDATE commit positional delete vectors as their normal
+    // mode, and the CoW deleteWhere refuses while any are outstanding —
+    // so the pure-SQL sequence UPDATE-then-DELETE must take the MoR
+    // delete (one more vector, zero file rewrites) instead of failing
+    // until a rewrite_deletes/optimize CALL folds them
+    if (SnapshotLog.hasOutstandingDeletes(spark, root))
+      SnapshotLog.deleteWhereMoR(spark, root, pred)
+    else
+      SnapshotLog.deleteWhere(spark, root, pred)
     ()
   }
 

@@ -107,10 +107,15 @@ class SnapshotCatalog extends TableCatalog
   override def loadTable(ident: Identifier): Table =
     if (ident.namespace.length == 1 &&
         SnapshotCatalog.MetaKinds(ident.name.toLowerCase)) {
+      // a REAL table at the full path wins: the meta suffixes are a
+      // fallback, not reserved names — a genuine table that happens to
+      // be called <t>/history stays addressable through the catalog
       val root = rootOf(Identifier.of(Array.empty, ident.namespace()(0)))
-      if (SnapshotLog.currentId(spark, root) == 0L)
-        throw new NoSuchTableException(ident)
-      new SnapshotMetaTable(root, ident.name.toLowerCase)
+      if (SnapshotLog.currentId(spark, s"$root/${ident.name}") > 0L)
+        new SnapshotTableV2(s"$root/${ident.name}", 0L, None, catName)
+      else if (SnapshotLog.currentId(spark, root) > 0L)
+        new SnapshotMetaTable(root, ident.name.toLowerCase)
+      else throw new NoSuchTableException(ident)
     } else tableAt(ident, 0L)
 
   /** `VERSION AS OF n` — the analyzer hands the version text. A
@@ -547,10 +552,17 @@ private[graft] class SnapshotTableV2(val root: String, val asOf: Long,
   // graft.plans.SnapshotStreamTableRule then substitutes the V1
   // snapshot-log streaming source before any V2 stream is ever built
   // (the scan's toMicroBatchStream is intentionally unreachable).
+  // AUTOMATIC_SCHEMA_EVOLUTION admits `MERGE … WITH SCHEMA EVOLUTION`:
+  // Spark's ResolveMergeIntoSchemaEvolution computes the additive
+  // TableChanges and routes them through this catalog's alterTable
+  // (the library's metadata-only addColumn commit) before the merge
+  // resolves — existing rows read NULL for the new columns, zero data
+  // movement, exactly the additive-evolution path a library append takes.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** The table's declared hidden-partitioning spec, reported through
     * the standard DSv2 transform vocabulary (`DESCRIBE` / catalog

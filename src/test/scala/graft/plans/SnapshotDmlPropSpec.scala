@@ -145,4 +145,35 @@ class SnapshotDmlPropSpec extends SparkSpec {
       }
     }
   }
+
+  test("5 random schema-evolution merges match the reference model") {
+    import spark.implicits._
+    val rnd = new Random(913)
+    (1 to 5).foreach { scenario =>
+      val tgt = rnd.shuffle((1L to 30L).toList).take(18)
+        .map(k => (k, word(rnd)))
+      val src = rnd.shuffle((1L to 40L).toList).take(12)
+        .map(k => (k, word(rnd), rnd.nextInt(1000).toLong))
+      val root = graft.TempDirs.create(s"dmlevo_$scenario")
+        .resolve("log").toString
+      SnapshotLog.append(spark, root, tgt.toDF("k", "v").repartition(3))
+      src.toDF("k", "v", "extra").createOrReplaceTempView("dmlevo_src")
+      spark.sql(
+        s"MERGE WITH SCHEMA EVOLUTION INTO $cat.`$root` t " +
+          "USING dmlevo_src s ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      val got = SnapshotLog.read(spark, root)
+        .as[(Long, String, Option[Long])].collect().toSeq.sorted
+      val srcByK = src.map(s => s._1 -> s).toMap
+      val want = (tgt.map { t =>
+        srcByK.get(t._1) match {
+          case Some((k, sv, ex)) => (k, sv, Some(ex))
+          case None => (t._1, t._2, None: Option[Long])
+        }
+      } ++ src.filterNot(s => tgt.exists(_._1 == s._1))
+        .map(s => (s._1, s._2, Some(s._3)))).sorted
+      assert(got == want, s"evolution scenario $scenario diverged")
+    }
+  }
 }

@@ -253,4 +253,84 @@ class SnapshotDmlSpec extends SparkSpec {
     assert(out.filter(col("k") === 1L).select("v").head().getString(0)
       == "second")
   }
+
+  test("SQL DELETE after UPDATE rides the MoR door while vectors are out") {
+    val root = newLog("updel")
+    spark.sql(s"UPDATE $cat.`$root` SET v = 'U' WHERE k <= 10")
+    // the CoW deleteWhere refuses while vectors are outstanding; the
+    // SQL door must route to the MoR delete instead of failing
+    spark.sql(s"DELETE FROM $cat.`$root` WHERE k % 2 = 1")
+    val out = SnapshotLog.read(spark, root)
+    assert(out.count() == 50L)
+    assert(out.filter(col("k") % 2 === 1).count() == 0L)
+    assert(out.filter(col("v") === "U").count() == 5L)
+    assert(SnapshotLog.operationOf(spark, root, 3L) == "mor-delete")
+  }
+
+  test("branch-pinned MERGE and UPDATE are refused, not misrouted to MAIN") {
+    import spark.implicits._
+    val root = newLog("brpin")
+    SnapshotLog.createBranch(spark, root, "wip")
+    Seq((1L, "X")).toDF("k", "v").createOrReplaceTempView("dml_brpin_src")
+    intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.`$root` VERSION AS OF 'wip' t " +
+        "USING dml_brpin_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    intercept[Exception] {
+      spark.sql(s"UPDATE $cat.`$root` VERSION AS OF 'wip' SET v = 'X' " +
+        "WHERE k = 1")
+    }
+    // the guard itself (defense in depth if the parser ever admits a
+    // branch-pinned target): a branch-pinned table through the rule
+    // must refuse, never silently write to MAIN's head
+    val t = new graft.sources.SnapshotTableV2(root, 0L,
+      Some(("wip", SnapshotLog.branchPin(spark, root, "wip"))))
+    val rel = org.apache.spark.sql.execution.datasources.v2
+      .DataSourceV2Relation.create(t, None, None)
+    val ep = intercept[IllegalArgumentException] {
+      SnapshotDmlRule.apply(
+        org.apache.spark.sql.catalyst.plans.logical.UpdateTable(
+          rel, Seq.empty, None))
+    }
+    assert(ep.getMessage.contains("pinned"))
+    // MAIN is untouched — the guard fired before any commit
+    assert(SnapshotLog.currentId(spark, root) == 1L)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the target additively") {
+    import spark.implicits._
+    val root = newLog("evolve")
+    Seq((10L, "X", 3.5), (200L, "new", 9.9)).toDF("k", "v", "score")
+      .createOrReplaceTempView("dml_evolve_src")
+    spark.sql(s"MERGE WITH SCHEMA EVOLUTION INTO $cat.`$root` t " +
+      "USING dml_evolve_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val out = SnapshotLog.read(spark, root)
+    assert(out.schema.fieldNames.toSeq == Seq("k", "v", "score"))
+    assert(out.count() == 101L)
+    // matched + inserted rows carry the new column's source values
+    assert(out.filter(col("k") === 10L).select("v", "score").head()
+      == org.apache.spark.sql.Row("X", 3.5))
+    assert(out.filter(col("k") === 200L).select("score").head().getDouble(0)
+      == 9.9)
+    // every pre-existing row reads NULL for the evolved column
+    assert(out.filter(col("score").isNull).count() == 99L)
+    // the evolution itself was a metadata-only add-column commit
+    assert(SnapshotLog.operationOf(spark, root, 2L) == "add-column")
+    assert(SnapshotLog.operationOf(spark, root, 3L) == "mor-merge")
+  }
+
+  test("MERGE without SCHEMA EVOLUTION still rejects unknown source columns") {
+    import spark.implicits._
+    val root = newLog("noevo")
+    Seq((10L, "X", 1.0)).toDF("k", "v", "score")
+      .createOrReplaceTempView("dml_noevo_src")
+    intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.`$root` t USING dml_noevo_src s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET t.score = s.score")
+    }
+    assert(SnapshotLog.read(spark, root).schema.fieldNames.toSeq
+      == Seq("k", "v"))
+  }
 }

@@ -228,4 +228,19 @@ class SnapshotCatalogSpec extends SparkSpec {
     val n = spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`").head().getLong(0)
     assert(n == 6L)
   }
+
+  test("a real table named like a meta suffix beats the meta fallback") {
+    import spark.implicits._
+    val parent = freshLog()
+    // a GENUINE table at <parent>/history — the meta suffixes are a
+    // fallback, not reserved names, so this stays addressable
+    val histRoot = s"$parent/history"
+    SnapshotLog.append(spark, histRoot,
+      Seq((100L, "real")).toDF("k", "v"))
+    val out = spark.sql(s"SELECT k, v FROM $cat.`$parent`.`history`")
+    assert(rowSet(out) == Seq(Seq("100", "real")))
+    // and the meta table still answers where no real table shadows it
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$parent`.snapshots")
+      .head().getLong(0) >= 3L)
+  }
 }
