@@ -1660,6 +1660,47 @@ object SnapshotLog {
     boxFilesRaw(spark, root, rawManifest(spark, root, id), preds)
   }
 
+  /** One transform-band test shared by every pruner (plan-time boxes
+    * and the runtime-filter point sets): a `__part:` or `__bucket:`
+    * stat key admits `[lower, upper]` on column `nm` or the file is
+    * skippable. `memo` caches the per-(transform, n, value) bound
+    * mapping across the caller's whole file loop.
+    */
+  private def partStatKeepsCore(
+      memo: scala.collection.mutable.HashMap[(String, Int, String), Option[String]],
+      key: String, nm: String, mn: String, mx: String,
+      dt: org.apache.spark.sql.types.DataType,
+      lower: Option[String], upper: Option[String]): Boolean = {
+    def mapped(t: String, n: Int, v: String): Option[String] =
+      memo.getOrElseUpdate((t, n, v), partBound(t, n, dt, v))
+    if (key.startsWith("__part:")) {
+      val parts = key.split(':')
+      if (parts.length < 3 || parts(2) != nm) true
+      else {
+        val t = parts(1)
+        val n = if (parts.length > 3) parts(3).toInt else 0
+        val cmpDt: org.apache.spark.sql.types.DataType =
+          if (t == "trunc" && dt == org.apache.spark.sql.types.StringType)
+            org.apache.spark.sql.types.StringType
+          else org.apache.spark.sql.types.LongType
+        rangeIntersects(cmpDt, mn, mx,
+          lower.flatMap(mapped(t, n, _)),
+          upper.flatMap(mapped(t, n, _)))
+      }
+    } else if (key.startsWith("__bucket:")) {
+      val parts = key.split(':')
+      if (parts.length != 3 || parts(1) != nm) true
+      else (lower, upper) match {
+        case (Some(lo), Some(hi)) if lo == hi =>
+          bucketOfValue(dt, lo, parts(2).toInt) match {
+            case Some(b) => bucketBandHit(Set(b), mn, mx)
+            case None => true
+          }
+        case _ => true
+      }
+    } else true
+  }
+
   /** [[boxFiles]] from an already-resolved manifest — the shared core
     * main-chain and BRANCH reads prune through.
     */
@@ -1696,39 +1737,10 @@ object SnapshotLog {
     // transforms) parses, not O(files).
     val boundMemo = scala.collection.mutable.HashMap
       .empty[(String, Int, String), Option[String]]
-    def mapped(t: String, n: Int,
-        dt: org.apache.spark.sql.types.DataType,
-        v: String): Option[String] =
-      boundMemo.getOrElseUpdate((t, n, v), partBound(t, n, dt, v))
     def partStatKeeps(key: String, nm: String, mn: String, mx: String,
         dt: org.apache.spark.sql.types.DataType,
         lower: Option[String], upper: Option[String]): Boolean =
-      if (key.startsWith("__part:")) {
-        val parts = key.split(':')
-        if (parts.length < 3 || parts(2) != nm) true
-        else {
-          val t = parts(1)
-          val n = if (parts.length > 3) parts(3).toInt else 0
-          val cmpDt: org.apache.spark.sql.types.DataType =
-            if (t == "trunc" && dt == org.apache.spark.sql.types.StringType)
-              org.apache.spark.sql.types.StringType
-            else org.apache.spark.sql.types.LongType
-          rangeIntersects(cmpDt, mn, mx,
-            lower.flatMap(mapped(t, n, dt, _)),
-            upper.flatMap(mapped(t, n, dt, _)))
-        }
-      } else if (key.startsWith("__bucket:")) {
-        val parts = key.split(':')
-        if (parts.length != 3 || parts(1) != nm) true
-        else (lower, upper) match {
-          case (Some(lo), Some(hi)) if lo == hi =>
-            bucketOfValue(dt, lo, parts(2).toInt) match {
-              case Some(b) => bucketBandHit(Set(b), mn, mx)
-              case None => true
-            }
-          case _ => true
-        }
-      } else true
+      partStatKeepsCore(boundMemo, key, nm, mn, mx, dt, lower, upper)
     def transformKeeps(stats: Map[String, (String, String)],
         nameOf: String => Option[String]): Boolean =
       resolved.forall { case (column, dt, lower, upper) =>
@@ -1991,6 +2003,134 @@ object SnapshotLog {
       files: Seq[FileEntry]): DataFrame =
     readFileSubsetRaw(spark, root,
       pinnedManifest(spark, root, asOf, branch), files)
+
+  /** Everything the catalog's V2 BATCH scan needs from one pinned
+    * manifest, resolved ONCE at plan time: the box-pruned file set,
+    * the field-id map (physical-name resolution per file), whether
+    * equality deletes are outstanding (the state that scan falls back
+    * to the V1 join read for), and the per-target-file delete-vector
+    * dirs (so each dirty file's reader loads ONLY its own DV rows,
+    * executor-side).
+    */
+  private[graft] final case class CatalogBatchPlan(
+      schema: StructType, curIds: Map[String, Int],
+      kept: Seq[FileEntry], totalFiles: Int,
+      eqOutstanding: Boolean,
+      dvByTarget: Map[String, Seq[String]])
+
+  /** Snapshot `id`'s parent id — header bytes only. The default
+    * changelog window (`parent(current) -> current`) resolves through
+    * this.
+    */
+  private[graft] def parentOf(spark: SparkSession, root: String,
+      id: Long): Long = {
+    require(id > 0, s"no snapshot $id under $root")
+    rawManifest(spark, root, id).parent
+  }
+
+  /** Whether the pinned snapshot carries outstanding EQUALITY deletes —
+    * the state the catalog's batch scan cannot serve per-file (header
+    * + refs read only, the cheap mode probe).
+    */
+  private[graft] def eqOutstandingPin(spark: SparkSession, root: String,
+      asOf: Long, branch: Option[(String, Long)]): Boolean =
+    pinnedManifest(spark, root, asOf, branch).eqRefs.nonEmpty
+
+  private[graft] def catalogBatchPlanPin(spark: SparkSession, root: String,
+      asOf: Long, branch: Option[(String, Long)],
+      preds: Seq[(String, Option[String], Option[String])])
+      : CatalogBatchPlan = {
+    val raw = pinnedManifest(spark, root, asOf, branch)
+    val (kept, total, schema) = catalogPlanRaw(spark, root, raw, preds)
+    val curIds = currentIdsOf(raw, schema)._1
+    val dv = deleteMapOf(fsOf(spark, root), root, raw)
+      .map { case (t, es) => t -> es.map(_.dvDir).distinct }
+    CatalogBatchPlan(schema, curIds, kept, total, raw.eqRefs.nonEmpty, dv)
+  }
+
+  /** Per-entry box pruning over an ALREADY-PLANNED file set — the
+    * file-level half of [[boxFilesRaw]] (stat bands + transform
+    * bands), for runtime filters too wide to test value-by-value
+    * (a huge DPP key set degrades to its envelope).
+    */
+  private[graft] def pruneEntriesForBoxes(files: Seq[FileEntry],
+      schema: StructType, curIds: Map[String, Int],
+      preds: Seq[(String, Option[String], Option[String])]): Seq[FileEntry] = {
+    val resolved = preds.collect {
+      case (c, lo, hi) if schema.fieldNames.contains(c) &&
+        (lo.isDefined || hi.isDefined) => (c, schema(c).dataType, lo, hi)
+    }
+    if (resolved.isEmpty) return files
+    val memo = scala.collection.mutable.HashMap
+      .empty[(String, Int, String), Option[String]]
+    files.filter { f =>
+      resolved.forall { case (c, dt, lo, hi) =>
+        physNameIn(f, c, curIds) match {
+          case None => true
+          case Some(nm) =>
+            (f.stats.get(nm) match {
+              case Some((mn, mx)) => rangeIntersects(dt, mn, mx, lo, hi)
+              case None => true
+            }) && f.stats.forall { case (k, (mn, mx)) =>
+              partStatKeepsCore(memo, k, nm, mn, mx, dt, lo, hi)
+            }
+        }
+      }
+    }
+  }
+
+  /** Runtime-filter (DPP) file pruning: keep the files that could hold
+    * ANY of `values` for EVERY listed column. Per candidate value the
+    * file's recorded stat band, its hidden-partitioning transform
+    * bands, and (integral columns) its bloom filter must all admit the
+    * value — the bloom is what makes a SPARSE key set prune inside a
+    * wide band, the case a min/max box cannot touch. Conservative by
+    * construction: missing stats/blooms keep the file; absent columns
+    * keep it too (same rule as plan-time boxes).
+    */
+  private[graft] def pruneEntriesForSets(files: Seq[FileEntry],
+      schema: StructType, curIds: Map[String, Int],
+      sets: Seq[(String, Seq[String])]): Seq[FileEntry] = {
+    val resolved = sets.flatMap { case (c, vs) =>
+      if (!schema.fieldNames.contains(c) || vs.isEmpty) None
+      else Some((c, schema(c).dataType, vs.distinct))
+    }
+    if (resolved.isEmpty) return files
+    val memo = scala.collection.mutable.HashMap
+      .empty[(String, Int, String), Option[String]]
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    files.filter { f =>
+      resolved.forall { case (c, dt, vs) =>
+        physNameIn(f, c, curIds) match {
+          case None => true
+          case Some(nm) =>
+            // decode the bloom once per (file, column), not per value
+            val bloom = if (!integral(dt)) None
+              else f.blooms.get(nm).map(b64 =>
+                org.apache.spark.util.sketch.BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(
+                    java.util.Base64.getDecoder.decode(b64))))
+            vs.exists { v =>
+              val bandOk = f.stats.get(nm) match {
+                case Some((mn, mx)) =>
+                  rangeIntersects(dt, mn, mx, Some(v), Some(v))
+                case None => true
+              }
+              def transformOk = f.stats.forall { case (k, (mn, mx)) =>
+                partStatKeepsCore(memo, k, nm, mn, mx, dt, Some(v), Some(v))
+              }
+              def bloomOk = bloom.forall(b =>
+                scala.util.Try(v.toLong).toOption.forall(b.mightContainLong))
+              bandOk && transformOk && bloomOk
+            }
+        }
+      }
+    }
+  }
 
   /** Per-file bloom recording: build a filter over each listed (long or
     * integral) column per written data file, sized for `expectedPerFile`
@@ -5230,6 +5370,20 @@ object SnapshotLog {
       ()
     }.resolve("log").toString
 
+  /** Staged DPP log: orders range-clustered on `o_orderkey` into 8
+    * banded files — the fact side of tt37's runtime-pruned star join.
+    * The explicit partition count survives AQE coalescing, so each
+    * file carries a disjoint key band for the runtime filter to prune
+    * against.
+    */
+  private def dppLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttdpp_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      append(s, root, Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .repartitionByRange(8, col("o_orderkey")))
+    }.resolve("log").toString
+
   /** Staged SQL-DELETE log: one append, then a pure-SQL `DELETE FROM …
     * WHERE` whose predicate has NO sources.Filter translation (modulo
     * arithmetic) — the arm the DML rewrite exists for; executed as the
@@ -5431,6 +5585,45 @@ object SnapshotLog {
       require(read(s, root).count() == mainRows,
         "branch commits leaked into the main line")
       fastForward(s, root, "load")
+    }.resolve("log").toString
+
+  /** Staged SQL-WAP scenario: [[branchLog]]'s exact batches, but the
+    * branch writes are PURE SQL — `spark.graft.wap.branch` flips the
+    * session into staging mode, two `INSERT INTO` land on the
+    * auto-forked branch (the staging asserts a conf-less read still
+    * sees batch 0 only — isolation IS the fixture), a WAP read audits
+    * the staged rows, and `CALL system.fast_forward` publishes. Shares
+    * tt28's oracle VERBATIM: the SQL WAP door must publish exactly
+    * what the library branch door publishes.
+    */
+  private def sqlWapLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttwap_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+      val mainRows = read(s, root).count()
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+        .createOrReplaceTempView("tt38_b1")
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 2)
+        .createOrReplaceTempView("tt38_b2")
+      s.conf.set("spark.graft.wap.branch", "audit")
+      try {
+        s.sql(s"INSERT INTO snapcat.`$root` SELECT * FROM tt38_b1")
+        s.sql(s"INSERT INTO snapcat.`$root` SELECT * FROM tt38_b2")
+        // the session AUDITS its own staged rows…
+        val staged = s.sql(s"SELECT count(*) AS n FROM snapcat.`$root`")
+          .head().getLong(0)
+        require(staged > mainRows, "WAP read must see the staged branch")
+        // …while a conf-less read still sees main only
+        s.conf.unset("spark.graft.wap.branch")
+        require(s.sql(s"SELECT count(*) AS n FROM snapcat.`$root`")
+          .head().getLong(0) == mainRows,
+          "staged WAP commits leaked into the main line")
+      } finally s.conf.unset("spark.graft.wap.branch")
+      s.sql(s"CALL snapcat.system.fast_forward('$root', 'audit')")
+      ()
     }.resolve("log").toString
 
   /** Staged TWO-log transaction scenario over `orders`: log A seeds
@@ -6271,6 +6464,86 @@ object SnapshotLog {
              |WHERE NOT (o_orderkey % 7 = 3 AND o_orderstatus <> 'F')
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { sqlDeleteLog(s, dir); () })
+    ),
+
+    // TT40: batch CDC through SQL — tt20's exact DV-changelog window
+    // read as the `changes` METADATA table (`SELECT * FROM
+    // snap.t.changes` with the window set by session conf — the
+    // pure-SQL route; `spark.read.option` works too). Shares tt20's
+    // oracle VERBATIM: the SQL door must produce the library
+    // changelog exactly.
+    Q(
+      "tt40_sql_changes",
+      (s, dir) => {
+        val root = morLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        // conf stays set until the frame EXECUTES — the scan resolves
+        // its window lazily, and nothing but the changes meta table
+        // consults these keys
+        s.conf.set("spark.graft.changes.fromId", "2")
+        s.conf.set("spark.graft.changes.toId", "3")
+        s.sql(
+          s"""SELECT o_orderkey, o_custkey, o_orderstatus, change
+             |FROM snapcat.`$root`.changes
+             |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |       'delete' AS change
+             |FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { morLog(s, dir); () })
+    ),
+
+    // TT38: SQL write-audit-publish — tt28's exact branch scenario
+    // driven end-to-end from SQL: `spark.graft.wap.branch` routes
+    // INSERT INTO onto an auto-forked branch (and the session's own
+    // reads onto its head for auditing), plain sessions see main
+    // untouched, `CALL system.fast_forward` publishes. Shares tt28's
+    // oracle VERBATIM.
+    Q(
+      "tt38_sql_wap",
+      (s, dir) => {
+        val root = sqlWapLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { sqlWapLog(s, dir); () })
+    ),
+
+    // TT37: runtime-filtered star join over a CATALOG table — the
+    // fact's FILE LIST is pruned at run time by the dim's join keys
+    // (SupportsRuntimeFiltering on the batch scan; the dim's key band
+    // covers only the low orderkey files, so the scan drops the rest
+    // before reading a byte — SnapshotBatchScanSpec proves strictly
+    // fewer files planned and the dynamicpruning subquery in the
+    // plan). The oracle recomputes the join relationally.
+    Q(
+      "tt37_runtime_pruned_join",
+      (s, dir) => {
+        val root = dppLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("d_orderkey"),
+            col("o_orderpriority"))
+          .filter(col("o_orderkey") <= 1500 &&
+            col("o_orderpriority") === "1-URGENT")
+          .createOrReplaceTempView("tt37_dim")
+        s.sql(
+          s"""SELECT f.o_orderkey, f.o_custkey, d.o_orderpriority
+             |FROM snapcat.`$root` f
+             |JOIN tt37_dim d ON f.o_orderkey = d.d_orderkey
+             |ORDER BY f.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o.o_orderkey, o.o_custkey, d.o_orderpriority
+             |FROM orders o
+             |JOIN (SELECT o_orderkey AS d_orderkey, o_orderpriority
+             |      FROM orders
+             |      WHERE o_orderkey <= 1500
+             |        AND o_orderpriority = '1-URGENT') d
+             |  ON o.o_orderkey = d.d_orderkey
+             |ORDER BY o.o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { dppLog(s, dir); () })
     ),
 
     // TT39: `MERGE … WITH SCHEMA EVOLUTION` — the source carries a

@@ -1,0 +1,335 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.graft.ParquetReadBridge
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.operators.SnapshotLog
+
+/** What a spec (and `description()`) reads off a planned catalog scan,
+  * V1 or V2: the pinned snapshot and the file-pruning outcome.
+  */
+trait SnapshotScanLike {
+  def root: String
+  def asOf: Long
+  def branch: Option[(String, Long)]
+  def keptFiles: Seq[SnapshotLog.FileEntry]
+  def totalFiles: Int
+  def readSchema(): StructType
+  def description(): String
+}
+
+/** The snapshot catalog's NATIVE DSv2 batch scan: one `InputPartition`
+  * per live data file, read executor-side through the same
+  * serializable parquet reader `FileSourceScanExec` runs
+  * ([[ParquetReadBridge]]), vectorized whenever every kept file is
+  * clean and schema-identical. This is the Iceberg planning model —
+  * and the shape that unlocks `SupportsRuntimeFiltering`: a star
+  * join's dim-side keys arrive at run time as an `In` set and re-prune
+  * the FILE LIST (stat bands + hidden-partitioning transform bands +
+  * per-file blooms) before any fact bytes are read. At 100 TB that is
+  * the difference between scanning the stat-band survivors and
+  * scanning the handful of files that can hold the dim's keys.
+  *
+  * Merge-on-read: a file with outstanding positional delete vectors
+  * reads with the parquet row-index column appended; its reader first
+  * loads the file's OWN DV rows (pushed `t_path` filter — executor
+  * side, never through the driver) and skips dead positions. Snapshots
+  * with outstanding EQUALITY deletes fall back to the V1 join read at
+  * plan time ([[SnapshotScanBuilder.build]]) — that transitional state
+  * needs the sequence-rule anti-join, not a per-file test.
+  *
+  * Schema evolution: files group by their field-id physical
+  * projection; each group reads under its own physical names and
+  * projects to the current schema (absent columns surface NULL),
+  * exactly [[SnapshotLog]]'s resolvedRead semantics per partition.
+  */
+class SnapshotBatchScan(val root: String, val asOf: Long,
+    val branch: Option[(String, Long)],
+    required: StructType,
+    plan0: SnapshotLog.CatalogBatchPlan,
+    reportPushed: Seq[sources.Filter])
+    extends Scan with Batch
+    with SupportsRuntimeFiltering with SupportsReportStatistics
+    with SnapshotScanLike {
+
+  private val spark = SparkSession.active
+  val totalFiles: Int = plan0.totalFiles
+  val tableSchema: StructType = plan0.schema
+
+  @volatile private var kept: Seq[SnapshotLog.FileEntry] = plan0.kept
+  @volatile private var runtimeDropped: Int = 0
+  def keptFiles: Seq[SnapshotLog.FileEntry] = kept
+  def runtimeDroppedFiles: Int = runtimeDropped
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"SnapshotBatchScan root=$root asOf=$asOf" +
+      branch.map { case (b, k) => s" branch=$b@$k" }.getOrElse("") +
+      s" files=${kept.size}/$totalFiles" +
+      (if (runtimeDropped > 0) s" runtimeDropped=$runtimeDropped" else "") +
+      s" pushed=${reportPushed.mkString("[", ", ", "]")}"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = kept.map(_.rows).sum
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(math.max(1L, rows) *
+        math.max(1, required.map(_.dataType.defaultSize).sum))
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+  }
+
+  // ---- runtime filtering (DPP): every SCANNED column is a candidate
+  // (Spark resolves these against the scan's own output — a pruned
+  // column would fail resolution); pruning power comes from whatever
+  // stats/blooms each file recorded, decided per file, not here ----
+  override def filterAttributes(): Array[NamedReference] =
+    required.fieldNames.map(Expressions.column)
+
+  /** A runtime key set wider than this degrades to its min/max
+    * envelope: the per-value test is O(files × values) and a set that
+    * big prunes like a range anyway.
+    */
+  private val SetPruneCap = 10000
+
+  override def filter(filters: Array[sources.Filter]): Unit = {
+    val before = kept.size
+    filters.foreach {
+      case sources.In(c, vs) if vs != null && vs.nonEmpty =>
+        val rendered = vs.toSeq.filter(_ != null)
+          .flatMap(SnapshotCatalog.render)
+        if (rendered.nonEmpty && rendered.size <= SetPruneCap)
+          kept = SnapshotLog.pruneEntriesForSets(
+            kept, tableSchema, plan0.curIds, Seq(c -> rendered))
+        else if (rendered.nonEmpty)
+          kept = SnapshotLog.pruneEntriesForBoxes(
+            kept, tableSchema, plan0.curIds,
+            SnapshotCatalog.boxOf(sources.In(c, vs)))
+      case f @ sources.EqualTo(c, v) =>
+        SnapshotCatalog.render(v).foreach(r =>
+          kept = SnapshotLog.pruneEntriesForSets(
+            kept, tableSchema, plan0.curIds, Seq(c -> Seq(r))))
+      case other =>
+        kept = SnapshotLog.pruneEntriesForBoxes(
+          kept, tableSchema, plan0.curIds, SnapshotCatalog.boxOf(other))
+    }
+    runtimeDropped += before - kept.size
+  }
+
+  // ---- partition planning ----
+
+  /** Per-file physical projection under the current field ids —
+    * [[SnapshotLog]]'s resolvedRead rule: ids-less files (legacy) read
+    * by current name; stamped files resolve each current column to the
+    * physical name carrying its id, None = absent (NULL).
+    */
+  private def projectionOf(f: SnapshotLog.FileEntry): Seq[Option[String]] =
+    required.fields.toSeq.map { c =>
+      if (f.ids.isEmpty) Some(c.name)
+      else plan0.curIds.get(c.name).flatMap(id =>
+        f.ids.collectFirst { case (p, i) if i == id => p })
+    }
+
+  private def isIdentity(proj: Seq[Option[String]]): Boolean =
+    proj.zip(required.fields).forall {
+      case (Some(p), c) => p == c.name
+      case _ => false
+    }
+
+  /** Row-vs-columnar is decided ONCE, from the PRE-runtime-filter file
+    * set: BatchScanExec fixes `supportsColumnar` at planning and
+    * re-invokes planInputPartitions after `filter()` — dropping the
+    * last dirty file at run time must not flip the mode under it.
+    */
+  private lazy val columnarMode: Boolean = {
+    val files = kept
+    !files.exists(f => plan0.dvByTarget.contains(f.path)) &&
+      files.groupBy(projectionOf).keys.forall(isIdentity) &&
+      ParquetReadBridge.supportBatch(spark, required)
+  }
+
+  /** The (groups, partitions) plan for the CURRENT kept set — cached
+    * per file-set identity because BatchScanExec plans once, then
+    * re-plans after runtime filtering.
+    */
+  @volatile private var plannedCache
+      : (Seq[SnapshotLog.FileEntry], (Array[SnapshotGroupSpec], Array[InputPartition], Boolean)) = null
+
+  private def planned: (Array[SnapshotGroupSpec], Array[InputPartition], Boolean) = {
+    val k = kept
+    val c = plannedCache
+    if (c != null && (c._1 eq k)) return c._2
+    val built = plan(k)
+    plannedCache = (k, built)
+    built
+  }
+
+  /** Pure-metadata planning: every partition is built from the
+    * MANIFEST alone — file statuses and DV-dir listings happen in the
+    * EXECUTOR readers, so planning a million-file table (or a
+    * runtime-pruned sliver of it) costs zero filesystem calls per
+    * data file on the driver.
+    */
+  private def plan(files: Seq[SnapshotLog.FileEntry])
+      : (Array[SnapshotGroupSpec], Array[InputPartition], Boolean) = {
+    val groups = files.groupBy(projectionOf).toSeq.sortBy(_._2.head.path)
+    val columnar = columnarMode
+    val groupSpecs = groups.zipWithIndex.map { case ((proj, gFiles), gi) =>
+      val present = proj.zipWithIndex.collect { case (Some(p), i) => (p, i) }
+      val physFields = StructType(present.map { case (p, i) =>
+        required.fields(i).copy(name = p, nullable = true) })
+      val outMap: Array[Int] = {
+        val readIdx = present.map(_._2).zipWithIndex.toMap // requiredIdx -> readIdx
+        required.fields.indices.map(i => readIdx.getOrElse(i, -1)).toArray
+      }
+      val dirty = gFiles.exists(f => plan0.dvByTarget.contains(f.path))
+      // pushed filters reach the parquet reader (row-group/page skip)
+      // only when the group reads under CURRENT names — renamed files
+      // skip pushdown, the residual Filter above re-applies exactly
+      val pushable = if (isIdentity(proj)) reportPushed else Seq.empty
+      val readSchema =
+        if (dirty) StructType(physFields.fields :+ ParquetReadBridge.RowIndexField)
+        else physFields
+      SnapshotGroupSpec(
+        ParquetReadBridge.reader(spark, readSchema, pushable, columnar),
+        physFields, outMap, posIdx = physFields.length,
+        identity = isIdentity(proj) && outMap.forall(_ >= 0))
+    }.toArray
+    // per-dirty-file DV reader closures: pushed t_path filter, so each
+    // reader loads only its own rows from the shared DV parquet dirs
+    val dvSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("t_path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("t_pos",
+        org.apache.spark.sql.types.LongType)))
+    val groupIdx = groups.zipWithIndex
+      .flatMap { case ((_, gf), gi) => gf.map(f => f.path -> gi) }.toMap
+    val parts: Array[InputPartition] = files.sortBy(_.path).map { f =>
+      val dvDirs = plan0.dvByTarget.getOrElse(f.path, Seq.empty)
+      SnapshotFilePartition(
+        groupIdx(f.path),
+        s"$root/${f.path}",
+        dirty = dvDirs.nonEmpty,
+        dvReader = if (dvDirs.isEmpty) null
+          else ParquetReadBridge.reader(spark, dvSchema,
+            Seq(sources.EqualTo("t_path", f.path)), returningBatch = false),
+        dvDirs = dvDirs.map(d => s"$root/$d").toArray,
+        columnar = columnar): InputPartition
+    }.toArray
+    (groupSpecs, parts, columnar)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = planned._2
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(planned._1, required, planned._3,
+      ParquetReadBridge.serializableConf(spark))
+}
+
+/** One file group's executor recipe: the reader closure, its physical
+  * read schema, and the projection map back to the current schema
+  * (`outMap(i)` = read ordinal of required column i, -1 = NULL).
+  */
+private[sources] final case class SnapshotGroupSpec(
+    reader: PartitionedFile => Iterator[InternalRow],
+    physFields: StructType, outMap: Array[Int], posIdx: Int,
+    identity: Boolean) extends Serializable
+
+private[sources] final case class SnapshotFilePartition(
+    group: Int, path: String,
+    dirty: Boolean,
+    dvReader: PartitionedFile => Iterator[InternalRow],
+    dvDirs: Array[String],
+    columnar: Boolean) extends InputPartition
+
+private[sources] class SnapshotReaderFactory(
+    groups: Array[SnapshotGroupSpec], required: StructType,
+    columnar: Boolean,
+    conf: org.apache.spark.sql.graft.SerializableHadoopConf)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  /** File status resolved HERE (executor) — the driver plans from the
+    * manifest alone.
+    */
+  private def pfileOf(path: String): PartitionedFile = {
+    val p = new Path(path)
+    val st = p.getFileSystem(conf.value).getFileStatus(p)
+    ParquetReadBridge.partitionedFile(path, st.getLen,
+      st.getModificationTime)
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val part = p.asInstanceOf[SnapshotFilePartition]
+    val it = groups(part.group).reader(pfileOf(part.path))
+      .asInstanceOf[Iterator[ColumnarBatch]]
+    new PartitionReader[ColumnarBatch] {
+      private var cur: ColumnarBatch = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): ColumnarBatch = cur
+      override def close(): Unit = ()
+    }
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[SnapshotFilePartition]
+    val g = groups(part.group)
+    val raw = g.reader(pfileOf(part.path))
+    val alive: Iterator[InternalRow] =
+      if (!part.dirty) raw
+      else {
+        // the file's dead positions, loaded HERE (executor), bounded by
+        // this file's own DV rows — sorted array + binary search
+        val b = Array.newBuilder[Long]
+        part.dvDirs.foreach { dir =>
+          val dp = new Path(dir)
+          val fs = dp.getFileSystem(conf.value)
+          fs.listStatus(dp).iterator
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach { st =>
+              part.dvReader(ParquetReadBridge.partitionedFile(
+                st.getPath.toString, st.getLen, st.getModificationTime))
+                .foreach(r => b += r.getLong(1))
+            }
+        }
+        val dead = b.result().sorted
+        if (dead.isEmpty) raw
+        else raw.filter(r =>
+          java.util.Arrays.binarySearch(dead, r.getLong(g.posIdx)) < 0)
+      }
+    val out: Iterator[InternalRow] =
+      if (g.identity && !part.dirty) alive
+      else {
+        val exprs = required.fields.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+          g.outMap(i) match {
+            case -1 => Literal.create(null, c.dataType)
+            case ri => BoundReference(ri,
+              g.physFields.fields(ri).dataType, nullable = true)
+          }
+        }
+        val proj = UnsafeProjection.create(exprs)
+        alive.map(proj)
+      }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (out.hasNext) { cur = out.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -95,7 +95,18 @@ class SnapshotCatalog extends TableCatalog
     val root = rootOf(ident)
     if (SnapshotLog.currentId(spark, root) == 0L)
       throw new NoSuchTableException(ident)
-    new SnapshotTableV2(root, asOf, None, catName)
+    // WAP (write-audit-publish, Iceberg's `spark.wap.branch`): while
+    // `spark.graft.wap.branch` is set, a plain CURRENT-head resolution
+    // of a table that HAS that branch pins the branch head instead —
+    // the session audits its own staged writes; every other session
+    // reads main untouched until `CALL system.fast_forward` publishes.
+    // Explicit time travel and branchless tables are unaffected.
+    SnapshotCatalog.wapBranch(spark) match {
+      case Some(b) if asOf == 0L && SnapshotLog.branchExists(spark, root, b) =>
+        new SnapshotTableV2(root, 0L,
+          Some((b, SnapshotLog.branchPin(spark, root, b))), catName)
+      case _ => new SnapshotTableV2(root, asOf, None, catName)
+    }
   }
 
   /** Plain load — plus the Iceberg-style METADATA tables: a two-part
@@ -295,7 +306,16 @@ class SnapshotCatalog extends TableCatalog
 
 object SnapshotCatalog {
 
-  private[sources] val MetaKinds = Set("history", "snapshots", "files")
+  /** The session's write-audit-publish branch, if any — consumed by
+    * plain-read resolution AND the write door, so one conf flips the
+    * whole session into staging mode (Iceberg's `spark.wap.branch`).
+    */
+  private[sources] def wapBranch(spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.wap.branch")
+      .map(_.trim).filter(_.nonEmpty)
+
+  private[sources] val MetaKinds =
+    Set("history", "snapshots", "files", "changes")
 
   /** One DSv2 partition transform → the library's [[SnapshotLog
     * .PartField]] — the inverse of [[SnapshotTableV2.partitioning]].
@@ -328,16 +348,16 @@ object SnapshotCatalog {
     * specs assert FILE pruning through the SQL path (kept vs total),
     * not just the answer.
     */
-  def scanOf(df: DataFrame): SnapshotScan =
+  def scanOf(df: DataFrame): SnapshotScanLike =
     df.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
         r.scan match {
-          case s: SnapshotScan => Some(s)
+          case s: SnapshotScanLike => Some(s)
           case w =>
             // the V1 fallback wraps the scan in Spark's (private)
             // V1ScanWrapper — unwrap through its v1Scan accessor
             try w.getClass.getMethod("v1Scan").invoke(w) match {
-              case s: SnapshotScan => Some(s)
+              case s: SnapshotScanLike => Some(s)
               case _ => None
             } catch { case _: NoSuchMethodException => None }
         }
@@ -616,11 +636,49 @@ private[graft] class SnapshotTableV2(val root: String, val asOf: Long,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // WAP: with `spark.graft.wap.branch` set, SQL INSERT lands on the
+    // branch (auto-forked at the current head on first write) — main
+    // readers see nothing until fast_forward publishes. The branch pin
+    // a WAP READ resolved to is the same branch, so INSERT INTO a
+    // table this session already reads through WAP also routes here.
+    SnapshotCatalog.wapBranch(SparkSession.active) match {
+      case Some(b) if asOf == 0L && branch.forall(_._1 == b) =>
+        return new SnapshotBranchWriteBuilder(root, b)
+      case _ => ()
+    }
     require(asOf == 0L && branch.isEmpty,
       s"cannot write to a pinned read of $root: history is immutable " +
-        "(branch writes go through SnapshotLog.appendToBranch)")
+        "(branch writes go through SnapshotLog.appendToBranch, or set " +
+        "spark.graft.wap.branch for SQL write-audit-publish)")
     new SnapshotWriteBuilder(root)
   }
+}
+
+/** WAP write door: `INSERT INTO` while `spark.graft.wap.branch` is set
+  * appends to the named branch — the library's [[SnapshotLog
+  * .appendToBranch]] (spec routing, additive evolution, `__seq`
+  * stamping for post-publish delete sequencing), forking the branch at
+  * the current head on first use. OVERWRITE/TRUNCATE under WAP refuse
+  * loudly: the audit protocol stages APPENDS; a destructive verb must
+  * be an explicit main-line decision.
+  */
+private[sources] class SnapshotBranchWriteBuilder(root: String, name: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: sources.InsertableRelation =
+        new sources.InsertableRelation {
+          override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+            require(!overwrite,
+              s"INSERT OVERWRITE under WAP (branch $name) is not " +
+                "supported; publish or drop the branch instead")
+            val s = data.sparkSession
+            if (!SnapshotLog.branchExists(s, root, name))
+              SnapshotLog.createBranch(s, root, name)
+            SnapshotLog.appendToBranch(s, root, name, data)
+          }
+        }
+    }
 }
 
 /** V1 write bridge: Spark's `V1_BATCH_WRITE` capability plans inserts
@@ -676,9 +734,27 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
     * between plan and execute can no longer produce a mixed-snapshot
     * read (old head's file list under the new head's deletes).
     */
-  private def pinnedAsOf: Long =
+  private lazy val pinnedAsOf: Long =
     if (branch.isDefined || asOf > 0) asOf
     else SnapshotLog.currentId(SparkSession.active, root)
+
+  /** V2 per-file batch scan by default ([[SnapshotBatchScan]] — the
+    * runtime-filterable planning shape); the V1 join read remains for
+    * snapshots carrying outstanding EQUALITY deletes (their
+    * sequence-rule anti-join is not a per-file test) and as an escape
+    * hatch (`spark.graft.catalog.batchScan=false`). Decided ONCE here
+    * because the pushdown CONTRACT differs: the V1 read applies its
+    * claimed filters itself (exact — Spark drops them, narrowing the
+    * read schema), while the batch scan's parquet pushdown is
+    * row-group INEXACT, so every filter must stay residual for Spark
+    * to re-apply above.
+    */
+  private lazy val batchMode: Boolean = {
+    val spark = SparkSession.active
+    spark.conf.getOption("spark.graft.catalog.batchScan")
+      .forall(_.toBoolean) &&
+      !SnapshotLog.eqOutstandingPin(spark, root, pinnedAsOf, branch)
+  }
 
   override def pushFilters(filters: Array[sources.Filter])
       : Array[sources.Filter] = {
@@ -686,7 +762,7 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
     val (ex, residual) =
       filters.partition(f => SnapshotCatalog.columnOf(f).isDefined)
     exact = ex.toSeq
-    residual
+    if (batchMode) filters else residual
   }
 
   override def pushedFilters(): Array[sources.Filter] = exact.toArray
@@ -694,8 +770,14 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SnapshotScan(root, pinnedAsOf, branch, required, boxes, exact)
+  override def build(): Scan = {
+    val pin = pinnedAsOf
+    if (!batchMode)
+      return new SnapshotScan(root, pin, branch, required, boxes, exact)
+    val spark = SparkSession.active
+    val plan = SnapshotLog.catalogBatchPlanPin(spark, root, pin, branch, boxes)
+    new SnapshotBatchScan(root, pin, branch, required, plan, exact)
+  }
 }
 
 /** The planned scan: file pruning happens HERE, once, on the driver —
@@ -707,7 +789,7 @@ class SnapshotScan(val root: String, val asOf: Long,
     required: StructType,
     boxes: Seq[(String, Option[String], Option[String])],
     exact: Seq[sources.Filter])
-    extends V1Scan with SupportsReportStatistics {
+    extends V1Scan with SupportsReportStatistics with SnapshotScanLike {
 
   private val spark = SparkSession.active
   val (keptFiles, totalFiles, tableSchema) = {
@@ -826,6 +908,13 @@ private[sources] class SnapshotMetaTable(root: String, kind: String)
 
   override def schema: StructType = kind match {
     case "files" => StructType.fromDDL("path STRING, n_rows BIGINT")
+    case "changes" =>
+      // the table's own columns plus the change tag — the exact frame
+      // SnapshotLog.changes produces
+      StructType(SnapshotLog.schemaOfPin(
+        SparkSession.active, root, 0L, None).fields :+
+        org.apache.spark.sql.types.StructField("change",
+          org.apache.spark.sql.types.StringType))
     case _ => StructType.fromDDL(
       "snapshot_id BIGINT, parent_id BIGINT, operation STRING, " +
         "n_rows BIGINT, n_files INT")
@@ -833,6 +922,22 @@ private[sources] class SnapshotMetaTable(root: String, kind: String)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
+
+  /** The changes window: reader options (`spark.read.option`) first,
+    * then session confs (`SET spark.graft.changes.fromId/toId` — the
+    * pure-SQL route), defaulting to the LAST transition (parent of the
+    * current snapshot -> current).
+    */
+  private def changesWindow(s: SparkSession,
+      options: CaseInsensitiveStringMap): (Long, Long) = {
+    def opt(key: String): Option[Long] =
+      Option(options.get(key)).map(_.toLong)
+        .orElse(s.conf.getOption(s"spark.graft.changes.$key").map(_.toLong))
+    val to = opt("toId").getOrElse(SnapshotLog.currentId(s, root))
+    val from = opt("fromId").getOrElse(
+      SnapshotLog.parentOf(s, root, to))
+    (from, to)
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new V1Scan {
@@ -852,6 +957,12 @@ private[sources] class SnapshotMetaTable(root: String, kind: String)
                   .map(f => Row(f.path, f.rows))
                 s.createDataFrame(s.sparkContext.parallelize(rows, 1),
                   SnapshotMetaTable.this.schema)
+              case "changes" =>
+                // row-level CDC through SQL: the library changelog
+                // (file diff + DV/eq-delete resolution), distributed —
+                // only this one of the meta kinds reads data files
+                val (from, to) = changesWindow(s, options)
+                SnapshotLog.changes(s, root, from, to)
               case _ =>
                 val rows = SnapshotLog.history(s, root).map(h =>
                   Row(h.id, h.parent, h.operation, h.rows, h.files.size))

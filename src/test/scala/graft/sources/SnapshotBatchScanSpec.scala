@@ -1,0 +1,171 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.operators.SnapshotLog
+
+/** The catalog's V2 per-file batch scan: same rows as the library read
+  * under every schema/MoR state, vectorized when clean, and — the
+  * point of its existence — RUNTIME file pruning: a star join's dim
+  * keys re-prune the fact's FILE LIST before any fact bytes are read.
+  */
+class SnapshotBatchScanSpec extends SparkSpec {
+
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.snapbat",
+      classOf[SnapshotCatalog].getName)
+    "snapbat"
+  }
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Three single-file appends in disjoint key ranges. */
+  private def freshLog(tag: String): String = {
+    import spark.implicits._
+    val root = graft.TempDirs.create(s"batscan_$tag").resolve("log").toString
+    Seq(1L to 10L, 101L to 110L, 201L to 210L).foreach { ks =>
+      SnapshotLog.append(spark, root,
+        ks.map(k => (k, s"v$k")).toDF("k", "v").coalesce(1))
+    }
+    root
+  }
+
+  test("batch scan plans per-file partitions and matches the library read") {
+    val root = freshLog("basic")
+    val df = spark.sql(s"SELECT * FROM $cat.`$root`")
+    val scan = SnapshotCatalog.scanOf(df)
+    assert(scan.isInstanceOf[SnapshotBatchScan], "default path is the V2 scan")
+    assert(scan.asInstanceOf[SnapshotBatchScan].toBatch
+      .planInputPartitions().length == 3)
+    assert(rowSet(df) == rowSet(SnapshotLog.read(spark, root)))
+    // vectorized: the physical plan reads columnar batches
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "clean identity scan should be vectorized")
+  }
+
+  test("merge-on-read delete vectors apply per file") {
+    val root = freshLog("mor")
+    SnapshotLog.deleteWhereMoR(spark, root,
+      col("k") % 2 === 0L && col("k") < 100L)
+    val df = spark.sql(s"SELECT * FROM $cat.`$root`")
+    assert(rowSet(df) == rowSet(SnapshotLog.read(spark, root)))
+    assert(df.count() == 25L)
+    // positions survive a second vector on the same file
+    SnapshotLog.deleteWhereMoR(spark, root, col("k") === 1L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`")
+      .head().getLong(0) == 24L)
+  }
+
+  test("renamed and evolved schemas project per file group") {
+    import spark.implicits._
+    val root = freshLog("evo")
+    SnapshotLog.renameColumn(spark, root, "v", "name")
+    SnapshotLog.addColumn(spark, root, "score",
+      org.apache.spark.sql.types.DoubleType)
+    SnapshotLog.append(spark, root,
+      Seq((301L, "n301", 1.5)).toDF("k", "name", "score"))
+    val df = spark.sql(s"SELECT k, name, score FROM $cat.`$root`")
+    assert(rowSet(df) == rowSet(SnapshotLog.read(spark, root)))
+    assert(df.filter(col("k") === 1L).select("name").head().getString(0)
+      == "v1")
+    assert(df.filter(col("score").isNotNull).count() == 1L)
+  }
+
+  test("time travel and branch pins read through the batch scan") {
+    import spark.implicits._
+    val root = freshLog("pins")
+    val v2 = spark.sql(s"SELECT * FROM $cat.`$root` VERSION AS OF 2")
+    assert(SnapshotCatalog.scanOf(v2).isInstanceOf[SnapshotBatchScan])
+    assert(v2.count() == 20L)
+    SnapshotLog.createBranch(spark, root, "wip")
+    SnapshotLog.appendToBranch(spark, root, "wip",
+      Seq((900L, "b")).toDF("k", "v"))
+    val br = spark.sql(s"SELECT * FROM $cat.`$root` VERSION AS OF 'wip'")
+    assert(br.count() == 31L)
+    assert(spark.sql(s"SELECT * FROM $cat.`$root`").count() == 30L)
+  }
+
+  test("outstanding equality deletes fall back to the V1 scan") {
+    import spark.implicits._
+    val root = freshLog("eq")
+    SnapshotLog.deleteWhereEqual(spark, root, Seq((1L)).toDF("k"))
+    val df = spark.sql(s"SELECT * FROM $cat.`$root`")
+    assert(SnapshotCatalog.scanOf(df).isInstanceOf[SnapshotScan],
+      "eq-delete state takes the V1 join read")
+    assert(df.count() == 29L)
+    SnapshotLog.rewriteEqualityDeletes(spark, root)
+    val df2 = spark.sql(s"SELECT * FROM $cat.`$root`")
+    assert(SnapshotCatalog.scanOf(df2).isInstanceOf[SnapshotBatchScan])
+    assert(df2.count() == 29L)
+  }
+
+  test("the escape hatch restores the V1 scan") {
+    val root = freshLog("hatch")
+    spark.conf.set("spark.graft.catalog.batchScan", "false")
+    try {
+      val df = spark.sql(s"SELECT * FROM $cat.`$root`")
+      assert(SnapshotCatalog.scanOf(df).isInstanceOf[SnapshotScan])
+      assert(df.count() == 30L)
+    } finally spark.conf.unset("spark.graft.catalog.batchScan")
+  }
+
+  /** A star-shaped fixture: the FACT is big enough that the dim
+    * broadcasts (DPP reuses that broadcast for the pruning subquery —
+    * the 100 TB shape), three fact files in disjoint key bands, and a
+    * PARQUET-backed dim (a LocalRelation dim folds its filter away and
+    * no selective filter means no DPP insertion).
+    */
+  private def starFixture(tag: String): (String, String) = {
+    import spark.implicits._
+    val root = graft.TempDirs.create(s"batstar_$tag").resolve("log").toString
+    Seq(1L to 4000L, 100001L to 104000L, 200001L to 204000L).foreach { ks =>
+      SnapshotLog.append(spark, root,
+        ks.map(k => (k, s"v$k")).toDF("k", "v").coalesce(1))
+    }
+    val dimDir = graft.TempDirs.create(s"batstar_dim_$tag")
+      .resolve("dim").toString
+    (1L to 8L).map(k => (k, if (k <= 4) "keep" else "drop"))
+      .toDF("d_k", "d_tag").write.parquet(dimDir)
+    (root, dimDir)
+  }
+
+  test("runtime filtering prunes the fact file list from the dim's keys") {
+    val (root, dimDir) = starFixture("dpp")
+    spark.read.parquet(dimDir).createOrReplaceTempView("batscan_dim")
+    val df = spark.sql(
+      s"""SELECT f.k, f.v, d.d_tag
+         |FROM $cat.`$root` f JOIN batscan_dim d ON f.k = d.d_k
+         |WHERE d.d_tag = 'keep'""".stripMargin)
+    val out = rowSet(df)
+    assert(out == Seq(Seq("1", "v1", "keep"), Seq("2", "v2", "keep"),
+      Seq("3", "v3", "keep"), Seq("4", "v4", "keep")))
+    val scan = SnapshotCatalog.scanOf(df).asInstanceOf[SnapshotBatchScan]
+    assert(scan.runtimeDroppedFiles >= 2,
+      s"dim keys span one file band; got runtimeDropped=" +
+        s"${scan.runtimeDroppedFiles}, kept=${scan.keptFiles.size}")
+    assert(df.queryExecution.executedPlan.toString
+      .toLowerCase.contains("dynamicpruning"),
+      "the dim-side subquery must be visible in the plan")
+  }
+
+  test("strong form: runtime-pruned files are never opened") {
+    import spark.implicits._
+    val (root, _) = starFixture("strong")
+    val dimDir = graft.TempDirs.create("batstar_dim2").resolve("dim").toString
+    Seq((200005L, "x")).toDF("d_k", "d_tag").write.parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("batscan_dim2")
+    // delete the two files the dim's key band excludes — if runtime
+    // pruning failed to drop them, the read would crash
+    SnapshotLog.snapshot(spark, root, 3L).files
+      .filter(f => f.stats.get("k").exists(_._2.toLong < 200000L))
+      .foreach(f => fs(root).delete(new Path(s"$root/${f.path}"), false))
+    val df = spark.sql(
+      s"""SELECT f.k, d.d_tag
+         |FROM $cat.`$root` f JOIN batscan_dim2 d ON f.k = d.d_k
+         |WHERE d.d_tag = 'x'""".stripMargin)
+    assert(rowSet(df) == Seq(Seq("200005", "x")))
+  }
+}

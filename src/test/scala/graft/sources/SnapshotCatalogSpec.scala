@@ -89,8 +89,14 @@ class SnapshotCatalogSpec extends SparkSpec {
 
   test("column pruning reaches the scan") {
     val root = freshLog()
+    // a column no expression references never reaches the read schema
+    val dfNarrow = spark.sql(s"SELECT v FROM $cat.`$root`")
+    assert(SnapshotCatalog.scanOf(dfNarrow).readSchema().fieldNames.toSeq
+      == Seq("v"))
+    // the batch scan's parquet pushdown is row-group inexact, so a
+    // filter column stays required (Spark's residual Filter re-applies
+    // it exactly — the FileSourceScan contract)
     val df = spark.sql(s"SELECT v FROM $cat.`$root` WHERE k = 1")
-    assert(SnapshotCatalog.scanOf(df).readSchema().fieldNames.toSeq == Seq("v"))
     assert(rowSet(df) == Seq(Seq("a")))
   }
 
@@ -227,6 +233,58 @@ class SnapshotCatalogSpec extends SparkSpec {
     val root = freshLog()
     val n = spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`").head().getLong(0)
     assert(n == 6L)
+  }
+
+  test("the changes meta table reads the row-level CDC window from SQL") {
+    import spark.implicits._
+    val root = freshLog()
+    SnapshotLog.deleteWhereMoR(spark, root,
+      org.apache.spark.sql.functions.col("k") === 10L)
+    SnapshotLog.append(spark, root, Seq((30L, "g")).toDF("k", "v"))
+    // default window = the LAST transition (the append)
+    assert(rowSet(spark.sql(
+      s"SELECT k, v, change FROM $cat.`$root`.changes"))
+      == Seq(Seq("30", "g", "insert")))
+    // conf-set window = the MoR delete transition
+    spark.conf.set("spark.graft.changes.fromId", "3")
+    spark.conf.set("spark.graft.changes.toId", "4")
+    try assert(rowSet(spark.sql(
+      s"SELECT k, v, change FROM $cat.`$root`.changes").limit(10))
+      == Seq(Seq("10", "c", "delete")))
+    finally {
+      spark.conf.unset("spark.graft.changes.fromId")
+      spark.conf.unset("spark.graft.changes.toId")
+    }
+    // reader-option window = everything since empty: snapshot 5's live
+    // content (k=10's delete applied) as inserts
+    assert(spark.read.option("fromId", "0").option("toId", "5")
+      .table(s"$cat.`$root`.changes").count() == 6L)
+  }
+
+  test("WAP: inserts stage on the branch, audit reads see them, publish lands them") {
+    val root = freshLog()
+    spark.conf.set("spark.graft.wap.branch", "wapcheck")
+    try {
+      spark.sql(s"INSERT INTO $cat.`$root` VALUES (500, 'staged')")
+      // audit: this session reads its own staged write
+      assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`")
+        .head().getLong(0) == 7L)
+      // OVERWRITE under WAP refuses — staging is append-only (the
+      // branch write builder deliberately lacks truncate/overwrite, so
+      // Spark rejects at analysis)
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT OVERWRITE $cat.`$root` VALUES (1, 'x')")
+      }
+      assert(e.getMessage.contains("WAP") ||
+        e.getMessage.contains("does not support overwrite"))
+    } finally spark.conf.unset("spark.graft.wap.branch")
+    // conf-less session state: main untouched
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`")
+      .head().getLong(0) == 6L)
+    assert(SnapshotLog.readBranch(spark, root, "wapcheck").count() == 7L)
+    SnapshotLog.fastForward(spark, root, "wapcheck")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`")
+      .head().getLong(0) == 7L)
   }
 
   test("a real table named like a meta suffix beats the meta fallback") {
