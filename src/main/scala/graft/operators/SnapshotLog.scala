@@ -3390,63 +3390,130 @@ object SnapshotLog {
     * the (t_path, t_pos) coordinates in `dead` die via one positional
     * delete vector, `adds` appends as new data files under the table's
     * current schema, and both land in ONE manifest publish — zero
-    * existing files read back or rewritten. The publish CAS fires at
-    * `base + 1`, so any commit racing the caller's discovery scan
-    * surfaces as a loud conflict, never a lost update.
+    * existing files read back or rewritten.
+    *
+    * Concurrency: the publish CAS fires at `base + 1`; on a lost race
+    * the commit VALIDATES against the new head and REBASES instead of
+    * aborting when it provably cannot be a lost update (Iceberg's
+    * validate-and-retry): schema/field ids/spec/equality-delete state
+    * unchanged, every file our vector targets still live, and no
+    * intervening delete vector killed ANY of our coordinates (a
+    * same-row race means both commits matched the same row — the
+    * update-update conflict that MUST abort, enforced down to the
+    * (path, pos) level). Disjoint-key DML streams then never starve
+    * each other: the expensive work (the vector + data files) is
+    * written once and re-published; only the manifest is rebuilt per
+    * attempt (bounded), with `__seq` re-stamped to the winning id so
+    * later equality deletes sequence correctly. Inserts from two
+    * concurrent merges both land (snapshot isolation — same as
+    * concurrent appends); matched-row conflicts abort loudly.
     */
   private[graft] def morCommit(spark: SparkSession, root: String,
-      base: Long, dead: Option[DataFrame], adds: DataFrame,
+      base0: Long, dead: Option[DataFrame], adds: DataFrame,
       operation: String = "mor-merge"): Long = {
     val fs = fsOf(spark, root)
-    val raw = rawManifest(spark, root, base)
-    val allFiles = raw.inline ++
-      raw.refs.flatMap(r => readFileList(fs, root, r.path))
-    val tableSchema = StructType.fromDDL(raw.schemaDdl)
-    val (tableIds, lastColId) = currentIdsOf(raw, tableSchema)
+    val baseRaw = rawManifest(spark, root, base0)
+    val allFiles = baseRaw.inline ++
+      baseRaw.refs.flatMap(r => readFileList(fs, root, r.path))
+    val tableSchema = StructType.fromDDL(baseRaw.schemaDdl)
+    val (tableIds, lastColId) = currentIdsOf(baseRaw, tableSchema)
     val tableCols = tableSchema.fieldNames.map(col).toSeq
-    val next = base + 1
     val dvOpt = dead.filter(_ => allFiles.nonEmpty)
-      .flatMap(d => writeDeleteVector(spark, root, d, next))
+      .flatMap(d => writeDeleteVector(spark, root, d, base0 + 1))
     // the new files record the table's declared bucket layout
     // (inherited like a CoW rewrite's), so readBuckets stays sharp
-    val written = writeDataFiles(spark, root,
-      adds.select(tableCols: _*), next, None,
+    val written0 = writeDataFiles(spark, root,
+      adds.select(tableCols: _*), base0 + 1, None,
       inheritedBucketStats(allFiles, tableSchema, tableIds))
       .map(f => f.copy(ids =
         tableIds.filter { case (n, _) => tableSchema.fieldNames.contains(n) }))
-    val newRef = writeFileList(fs, root, next, written, tableSchema)
-    val srcRows = written.iterator.map(_.rows).sum
+    val srcRows = written0.iterator.map(_.rows).sum
     val delRows = dvOpt.map(_._1.delRows).getOrElse(0L)
     val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
-    val m = manifestPath(root, next)
-    val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-    fs.mkdirs(m.getParent)
-    val out = fs.create(tmp, true)
-    try out.write(
-      ((s"$next\t$base\t$operation\t${raw.rows - delRows + srcRows}\t$ddl" +
-        s"\t${idsField(tableIds)}\t$lastColId") +:
-        ((raw.refs :+ newRef).map(r =>
-          s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
-          raw.inline.map(fileLine) ++
-          dRefLines(raw.dRefs ++ dvOpt.map(_._1)) ++
-          eqLines(raw.eqRefs) ++
-          specLines(raw.spec)))
-        .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!publish(fs, tmp, m)) {
-      fs.delete(tmp, false)
-      fs.delete(new Path(s"$root/${newRef.path}"), false)
-      written.map(f => f.path.substring(0, f.path.lastIndexOf('/'))).distinct
+    val myTargets: Set[String] = dvOpt match {
+      case Some((dRef, _)) =>
+        readDeleteList(fs, root, dRef.path).map(_.target).toSet
+      case None => Set.empty
+    }
+    def abort(): Nothing = {
+      written0.map(f => f.path.substring(0, f.path.lastIndexOf('/'))).distinct
         .foreach(d => fs.delete(new Path(s"$root/$d"), true))
       dvOpt.foreach { case (dRef, dvDir) =>
         fs.delete(new Path(s"$root/${dRef.path}"), false)
         fs.delete(new Path(s"$root/$dvDir"), true)
       }
       throw new IllegalStateException(
-        s"$operation on $root conflicted with a concurrent snapshot; " +
+        s"$operation on $root conflicted with a concurrent snapshot on " +
+          "the same rows (or a schema/spec/equality-delete change); " +
           "recompute against the new current snapshot and retry")
     }
-    next
+    /** Can this commit's content land unchanged on `headRaw`? */
+    def rebaseSafe(headRaw: RawManifest): Boolean = {
+      val sameShape = headRaw.schemaDdl == baseRaw.schemaDdl &&
+        currentIdsOf(headRaw, tableSchema)._1 == tableIds &&
+        specLines(headRaw.spec) == specLines(baseRaw.spec) &&
+        eqLines(headRaw.eqRefs) == eqLines(baseRaw.eqRefs) &&
+        // vectors may only be ADDED in the window: a removed one
+        // (rollback, rewriteDeletes fold) can resurrect rows our
+        // discovery saw dead — no sound rebase exists for that
+        baseRaw.dRefs.map(_.path).toSet
+          .subsetOf(headRaw.dRefs.map(_.path).toSet)
+      if (!sameShape) return false
+      if (myTargets.isEmpty) return true // pure append rebases freely
+      val headPaths = (headRaw.inline ++
+        headRaw.refs.flatMap(r => readFileList(fs, root, r.path)))
+        .map(_.path).toSet
+      if (!myTargets.subsetOf(headPaths)) return false // target rewritten
+      val baseDRefs = baseRaw.dRefs.map(_.path).toSet
+      val newEntries = headRaw.dRefs.filterNot(r => baseDRefs(r.path))
+        .flatMap(r => readDeleteList(fs, root, r.path))
+        .filter(e => myTargets(e.target))
+      if (newEntries.isEmpty) return true // file-level disjoint
+      // coordinate-level check: bounded by the two vectors' rows
+      val mine = spark.read.parquet(s"$root/${dvOpt.get._2}")
+        .select(col("t_path"), col("t_pos"))
+      val theirs = spark.read
+        .parquet(newEntries.map(_.dvDir).distinct.map(d => s"$root/$d"): _*)
+        .select(col("t_path"), col("t_pos"))
+      mine.join(theirs, Seq("t_path", "t_pos"), "left_semi")
+        .limit(1).count() == 0L
+    }
+    var raw = baseRaw
+    var base = base0
+    var attempt = 0
+    while (true) {
+      val next = base + 1
+      // __seq re-stamped per attempt: equality deletes committed later
+      // must sequence AFTER these rows whatever id the race settles on
+      val written = written0.map(f => f.copy(
+        stats = f.stats + (SeqStatName -> (next.toString, next.toString))))
+      val newRef = writeFileList(fs, root, next, written, tableSchema)
+      val m = manifestPath(root, next)
+      val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      fs.mkdirs(m.getParent)
+      val out = fs.create(tmp, true)
+      try out.write(
+        ((s"$next\t$base\t$operation\t${raw.rows - delRows + srcRows}\t$ddl" +
+          s"\t${idsField(tableIds)}\t$lastColId") +:
+          ((raw.refs :+ newRef).map(r =>
+            s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+            raw.inline.map(fileLine) ++
+            dRefLines(raw.dRefs ++ dvOpt.map(_._1)) ++
+            eqLines(raw.eqRefs) ++
+            specLines(raw.spec)))
+          .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      if (publish(fs, tmp, m)) return next
+      fs.delete(tmp, false)
+      fs.delete(new Path(s"$root/${newRef.path}"), false)
+      attempt += 1
+      val head = currentId(spark, root)
+      val headRaw = rawManifest(spark, root, head)
+      if (attempt > 5 || !rebaseSafe(headRaw)) abort()
+      raw = headRaw
+      base = head
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The LIVE current-head rows with their (file, position)
@@ -5645,6 +5712,37 @@ object SnapshotLog {
         p.resolve("tx").toString)
     }
 
+  /** Staged SQL-transaction scenario: [[txnLog]]'s exact two-log
+    * atomic commit, but driven end-to-end from SQL — `CALL
+    * system.begin_txn` starts staging, two `INSERT INTO` buffer (the
+    * staging asserts they are INVISIBLE before the decision), `CALL
+    * system.commit_txn` lands both through the library's two-phase
+    * commit. Shares tt29's oracle VERBATIM.
+    */
+  private def sqlTxnLog(s: SparkSession, dir: String): java.nio.file.Path =
+    graft.TempDirs.staged(s"ttsqlt_${graft.TempDirs.dirKey(dir)}") { p =>
+      val a = p.resolve("a").toString
+      val b = p.resolve("b").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, a, orders.filter(pmod(col("o_orderkey"), lit(4)) === 0))
+      append(s, b, orders.filter(pmod(col("o_orderkey"), lit(4)) === 1))
+      val (aRows, bRows) = (read(s, a).count(), read(s, b).count())
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      orders.filter(pmod(col("o_orderkey"), lit(4)) === 2)
+        .createOrReplaceTempView("tt41_a")
+      orders.filter(pmod(col("o_orderkey"), lit(4)) === 3)
+        .createOrReplaceTempView("tt41_b")
+      s.sql(s"CALL snapcat.system.begin_txn('${p.resolve("tx")}')")
+      s.sql(s"INSERT INTO snapcat.`$a` SELECT * FROM tt41_a")
+      s.sql(s"INSERT INTO snapcat.`$b` SELECT * FROM tt41_b")
+      // staged inserts are INVISIBLE until the decision
+      require(read(s, a).count() == aRows && read(s, b).count() == bRows,
+        "staged SQL transaction leaked before commit_txn")
+      s.sql(s"CALL snapcat.system.commit_txn()")
+      ()
+    }
+
   /** Staged hidden-partitioned log over `events`: one append under a
     * declared `days(ts)` spec — rows route by day, every file stamps
     * its day band, and tt27 reads a two-day window back out through
@@ -6464,6 +6562,24 @@ object SnapshotLog {
              |WHERE NOT (o_orderkey % 7 = 3 AND o_orderstatus <> 'F')
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { sqlDeleteLog(s, dir); () })
+    ),
+
+    // TT41: multi-table transactions through SQL — tt29's exact
+    // two-log scenario as `CALL begin_txn` / two INSERTs / `CALL
+    // commit_txn`: the staged INSERTs buffer invisibly and land as ONE
+    // two-phase, crash-recoverable commit. Shares tt29's oracle
+    // VERBATIM: a torn half or a leaked stage breaks the hash.
+    Q(
+      "tt41_sql_txn",
+      (s, dir) => {
+        val p = sqlTxnLog(s, dir)
+        read(s, p.resolve("a").toString)
+          .unionByName(read(s, p.resolve("b").toString))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { sqlTxnLog(s, dir); () })
     ),
 
     // TT40: batch CDC through SQL — tt20's exact DV-changelog window

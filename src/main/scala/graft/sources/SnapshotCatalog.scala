@@ -703,7 +703,12 @@ private[sources] class SnapshotWriteBuilder(root: String)
       override def toInsertableRelation: sources.InsertableRelation =
         new sources.InsertableRelation {
           override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-            if (truncateFirst || overwrite)
+            val ow = truncateFirst || overwrite
+            // an active SQL transaction (CALL system.begin_txn) buffers
+            // instead of committing; commit_txn lands the whole batch
+            // as one atomic multi-table transaction
+            if (SqlTxn.stage(data.sparkSession, root, data, ow)) return
+            if (ow)
               SnapshotLog.overwrite(data.sparkSession, root, data)
             else
               SnapshotLog.append(data.sparkSession, root, data)

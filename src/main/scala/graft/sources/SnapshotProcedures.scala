@@ -124,7 +124,27 @@ private[sources] object SnapshotProcedures {
       "resolve a crashed multi-log transaction: roll forward or abort+clean",
       Seq(("txn_dir", StringType, None)),
       StructType.fromDDL("committed BOOLEAN"),
-      (s, _, in) => Seq(SnapshotLog.recoverTxn(s, str(in, 0)))))
+      (s, _, in) => Seq(SnapshotLog.recoverTxn(s, str(in, 0)))),
+    Spec("begin_txn",
+      "start staging: INSERTs to snapshot tables buffer until commit_txn",
+      Seq(("txn_dir", StringType, None)),
+      StructType.fromDDL("started BOOLEAN"),
+      (s, _, in) => { SqlTxn.begin(s, str(in, 0)); Seq(true) }),
+    Spec("commit_txn",
+      "land every staged INSERT as ONE atomic multi-table transaction",
+      Seq.empty,
+      StructType.fromDDL("committed_tables INT, first_snapshot_id BIGINT"),
+      (s, _, _) => {
+        val ids = SqlTxn.commit(s)
+        // box explicitly: Seq(int, long) would numerically WIDEN the
+        // Int to Long and break the INT result column
+        Seq(Int.box(ids.size), Long.box(ids.headOption.getOrElse(0L)))
+      }),
+    Spec("abort_txn",
+      "discard every staged INSERT of the active transaction",
+      Seq.empty,
+      StructType.fromDDL("discarded INT"),
+      (s, _, _) => Seq(SqlTxn.abort(s))))
 
   def names: Seq[String] = specs.map(_.name)
 
@@ -157,4 +177,74 @@ private[sources] object SnapshotProcedures {
           }
         }
     })
+}
+
+/** Session-scoped SQL transaction staging — the state behind `CALL
+  * snap.system.begin_txn / commit_txn / abort_txn`: between begin and
+  * commit, every `INSERT INTO` a snapshot table takes
+  * ([[SnapshotWriteBuilder]] consults [[stage]]) BUFFERS its frame
+  * instead of committing; commit_txn lands the whole buffer through
+  * the library's [[graft.operators.SnapshotLog.commitTransaction]] —
+  * one two-phase, all-or-nothing, crash-recoverable multi-table
+  * commit. Frames are LAZY until commit: their sources (temp views,
+  * files) must stay valid until commit_txn runs. Two appends to the
+  * same table union; INSERT OVERWRITE marks the table's transactional
+  * overwrite form. Keyed per SparkSession, so concurrent sessions
+  * stage independently.
+  */
+private[sources] object SqlTxn {
+
+  private final case class Staged(txnDir: String,
+      var frames: Vector[(String, org.apache.spark.sql.DataFrame)],
+      var overwrites: Set[String])
+
+  private val active =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Staged]()
+
+  def begin(s: SparkSession, txnDir: String): Unit = {
+    val prev = active.putIfAbsent(s, Staged(txnDir, Vector.empty, Set.empty))
+    require(prev == null,
+      s"a transaction is already active (${prev.txnDir}); " +
+        "commit_txn or abort_txn first")
+  }
+
+  /** Buffer an insert if a transaction is active; false = no txn, the
+    * caller commits normally.
+    */
+  def stage(s: SparkSession, root: String,
+      df: org.apache.spark.sql.DataFrame, overwrite: Boolean): Boolean = {
+    val st = active.get(s)
+    if (st == null) return false
+    st.synchronized {
+      val existing = st.frames.indexWhere(_._1 == root)
+      if (overwrite) {
+        require(existing < 0 || st.overwrites.contains(root),
+          s"cannot OVERWRITE $root after staging an append to it in the " +
+            "same transaction")
+        st.frames = st.frames.filterNot(_._1 == root) :+ (root -> df)
+        st.overwrites += root
+      } else if (existing >= 0) {
+        require(!st.overwrites.contains(root),
+          s"cannot append to $root after staging an overwrite of it in " +
+            "the same transaction")
+        val merged = st.frames(existing)._2.unionByName(df)
+        st.frames = st.frames.updated(existing, root -> merged)
+      } else st.frames :+= (root -> df)
+    }
+    true
+  }
+
+  def commit(s: SparkSession): Seq[Long] = {
+    val st = active.remove(s)
+    require(st != null, "no active transaction; CALL begin_txn first")
+    require(st.frames.nonEmpty, "transaction staged nothing to commit")
+    graft.operators.SnapshotLog.commitTransaction(
+      s, st.frames, st.txnDir, overwriteRoots = st.overwrites)
+  }
+
+  def abort(s: SparkSession): Int = {
+    val st = active.remove(s)
+    require(st != null, "no active transaction; CALL begin_txn first")
+    st.frames.size
+  }
 }

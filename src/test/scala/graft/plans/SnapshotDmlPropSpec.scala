@@ -146,6 +146,43 @@ class SnapshotDmlPropSpec extends SparkSpec {
     }
   }
 
+  test("8 random DML races: disjoint keys both commit, overlaps abort") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val rnd = new Random(1117)
+    (1 to 8).foreach { scenario =>
+      val root = graft.TempDirs.create(s"dmlrace_$scenario")
+        .resolve("log").toString
+      val tgt = (1L to 40L).map(k => (k, s"v$k"))
+      SnapshotLog.append(spark, root, tgt.toDF("k", "v").repartition(3))
+      val keysA = rnd.shuffle((1L to 40L).toList).take(1 + rnd.nextInt(8))
+      val keysB = rnd.shuffle((1L to 40L).toList).take(1 + rnd.nextInt(8))
+      def parts(keys: Seq[Long], tag: String) = {
+        val (_, pos, _) = SnapshotLog.readPosForDml(spark, root, asOf = 1L)
+        val hit = pos.filter(col("k").isin(keys: _*))
+        (hit.select(col("__path").as("t_path"), col("__pos").as("t_pos")),
+          hit.select(col("k"), concat(lit(tag), col("k")).as("v")))
+      }
+      val (deadA, addsA) = parts(keysA, "a")
+      val (deadB, addsB) = parts(keysB, "b")
+      SnapshotLog.morCommit(spark, root, 1L, Some(deadA), addsA)
+      val overlap = keysA.toSet.intersect(keysB.toSet).nonEmpty
+      val bCommitted =
+        try { SnapshotLog.morCommit(spark, root, 1L, Some(deadB), addsB); true }
+        catch { case _: IllegalStateException => false }
+      assert(bCommitted == !overlap,
+        s"scenario $scenario: overlap=$overlap but B committed=$bCommitted")
+      val want = tgt.map { case (k, v) =>
+        if (bCommitted && keysB.contains(k)) (k, s"b$k")
+        else if (keysA.contains(k)) (k, s"a$k")
+        else (k, v)
+      }.sorted
+      val got = SnapshotLog.read(spark, root)
+        .as[(Long, String)].collect().toSeq.sorted
+      assert(got == want, s"race scenario $scenario diverged")
+    }
+  }
+
   test("5 random schema-evolution merges match the reference model") {
     import spark.implicits._
     val rnd = new Random(913)

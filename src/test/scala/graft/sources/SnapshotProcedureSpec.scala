@@ -128,4 +128,46 @@ class SnapshotProcedureSpec extends SparkSpec {
     // unknown procedures fail loudly
     intercept[Exception] { spark.sql(s"CALL $cat.system.nope('$a')") }
   }
+
+  test("begin_txn / commit_txn land staged INSERTs as one transaction") {
+    import spark.implicits._
+    val a = newLog("txna")
+    val b = newLog("txnb")
+    val tx = graft.TempDirs.create("proc_tx").resolve("tx").toString
+    Seq((200L, "a+")).toDF("k", "v").createOrReplaceTempView("proc_txn_a")
+    Seq((201L, "b+")).toDF("k", "v").createOrReplaceTempView("proc_txn_b")
+    spark.sql(s"CALL $cat.system.begin_txn('$tx')")
+    spark.sql(s"INSERT INTO $cat.`$a` SELECT * FROM proc_txn_a")
+    spark.sql(s"INSERT INTO $cat.`$b` SELECT * FROM proc_txn_b")
+    // invisible until the decision
+    assert(SnapshotLog.read(spark, a).count() == 50L)
+    assert(SnapshotLog.read(spark, b).count() == 50L)
+    val res = spark.sql(s"CALL $cat.system.commit_txn()").head()
+    assert(res.getInt(0) == 2)
+    assert(SnapshotLog.read(spark, a).count() == 51L)
+    assert(SnapshotLog.read(spark, b).count() == 51L)
+    // the decided transaction is readable as one consistent unit
+    assert(SnapshotLog.readTransaction(spark, tx).keySet == Set(a, b))
+  }
+
+  test("abort_txn discards the stage; txn misuse fails loudly") {
+    import spark.implicits._
+    val a = newLog("abta")
+    val tx = graft.TempDirs.create("proc_abt").resolve("tx").toString
+    Seq((300L, "x")).toDF("k", "v").createOrReplaceTempView("proc_abt_a")
+    spark.sql(s"CALL $cat.system.begin_txn('$tx')")
+    spark.sql(s"INSERT INTO $cat.`$a` SELECT * FROM proc_abt_a")
+    // double begin refuses while one is active
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.begin_txn('${tx}2')")
+    }
+    assert(spark.sql(s"CALL $cat.system.abort_txn()").head().getInt(0) == 1)
+    assert(SnapshotLog.read(spark, a).count() == 50L)
+    assert(SnapshotLog.currentId(spark, a) == 1L, "abort committed nothing")
+    // commit with no active txn refuses
+    intercept[Exception] { spark.sql(s"CALL $cat.system.commit_txn()") }
+    // after abort, normal inserts commit directly again
+    spark.sql(s"INSERT INTO $cat.`$a` SELECT * FROM proc_abt_a")
+    assert(SnapshotLog.read(spark, a).count() == 51L)
+  }
 }
