@@ -1569,7 +1569,7 @@ object SnapshotLog {
     * (exact across renames), or `cur` itself for id-less legacy files;
     * None when the file predates the column.
     */
-  private def physNameIn(f: FileEntry, cur: String,
+  private[graft] def physNameIn(f: FileEntry, cur: String,
       curIds: Map[String, Int]): Option[String] =
     if (f.ids.isEmpty) Some(cur)
     else curIds.get(cur).flatMap(id =>
@@ -6593,15 +6593,14 @@ object SnapshotLog {
       (s, dir) => {
         val root = morLog(s, dir)
         s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
-        // conf stays set until the frame EXECUTES — the scan resolves
-        // its window lazily, and nothing but the changes meta table
-        // consults these keys
-        s.conf.set("spark.graft.changes.fromId", "2")
-        s.conf.set("spark.graft.changes.toId", "3")
-        s.sql(
-          s"""SELECT o_orderkey, o_custkey, o_orderstatus, change
-             |FROM snapcat.`$root`.changes
-             |ORDER BY o_orderkey""".stripMargin)
+        // window via READER OPTIONS, not session confs — a leaked conf
+        // would silently re-window every later default-window .changes
+        // read in the shared session (the SET route is spec-covered
+        // with a proper unset)
+        s.read.option("fromId", "2").option("toId", "3")
+          .table(s"snapcat.`$root`.changes")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "change")
+          .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
              |       'delete' AS change

@@ -135,11 +135,8 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
     * physical name carrying its id, None = absent (NULL).
     */
   private def projectionOf(f: SnapshotLog.FileEntry): Seq[Option[String]] =
-    required.fields.toSeq.map { c =>
-      if (f.ids.isEmpty) Some(c.name)
-      else plan0.curIds.get(c.name).flatMap(id =>
-        f.ids.collectFirst { case (p, i) if i == id => p })
-    }
+    required.fields.toSeq.map(c =>
+      SnapshotLog.physNameIn(f, c.name, plan0.curIds))
 
   private def isIdentity(proj: Seq[Option[String]]): Boolean =
     proj.zip(required.fields).forall {
@@ -204,7 +201,12 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
       SnapshotGroupSpec(
         ParquetReadBridge.reader(spark, readSchema, pushable, columnar),
         physFields, outMap, posIdx = physFields.length,
-        identity = isIdentity(proj) && outMap.forall(_ >= 0))
+        // identity (reader rows ARE the output rows) requires the read
+        // schema to be EXACTLY the required schema — a group that
+        // appended the row-index column must project it away even for
+        // its clean files, or their rows carry a phantom extra field
+        identity = isIdentity(proj) && outMap.forall(_ >= 0) && !dirty,
+        hasPos = dirty)
     }.toArray
     // per-dirty-file DV reader closures: pushed t_path filter, so each
     // reader loads only its own rows from the shared DV parquet dirs
@@ -219,8 +221,12 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
       val dvDirs = plan0.dvByTarget.getOrElse(f.path, Seq.empty)
       SnapshotFilePartition(
         groupIdx(f.path),
-        s"$root/${f.path}",
+        s"$root/${f.path}", relPath = f.path,
         dirty = dvDirs.nonEmpty,
+        // the pushed t_path filter is row-group INEXACT — the reader
+        // re-checks t_path exactly (one DV dir holds coordinates for
+        // EVERY target file of its commit; adopting another file's
+        // positions would silently drop live rows)
         dvReader = if (dvDirs.isEmpty) null
           else ParquetReadBridge.reader(spark, dvSchema,
             Seq(sources.EqualTo("t_path", f.path)), returningBatch = false),
@@ -244,10 +250,10 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
 private[sources] final case class SnapshotGroupSpec(
     reader: PartitionedFile => Iterator[InternalRow],
     physFields: StructType, outMap: Array[Int], posIdx: Int,
-    identity: Boolean) extends Serializable
+    identity: Boolean, hasPos: Boolean) extends Serializable
 
 private[sources] final case class SnapshotFilePartition(
-    group: Int, path: String,
+    group: Int, path: String, relPath: String,
     dirty: Boolean,
     dvReader: PartitionedFile => Iterator[InternalRow],
     dvDirs: Array[String],
@@ -295,6 +301,8 @@ private[sources] class SnapshotReaderFactory(
         // the file's dead positions, loaded HERE (executor), bounded by
         // this file's own DV rows — sorted array + binary search
         val b = Array.newBuilder[Long]
+        val me = org.apache.spark.unsafe.types.UTF8String
+          .fromString(part.relPath)
         part.dvDirs.foreach { dir =>
           val dp = new Path(dir)
           val fs = dp.getFileSystem(conf.value)
@@ -303,6 +311,8 @@ private[sources] class SnapshotReaderFactory(
             .foreach { st =>
               part.dvReader(ParquetReadBridge.partitionedFile(
                 st.getPath.toString, st.getLen, st.getModificationTime))
+                // exact match: the pushed filter only skips row groups
+                .filter(r => r.getUTF8String(0) == me)
                 .foreach(r => b += r.getLong(1))
             }
         }
@@ -312,7 +322,7 @@ private[sources] class SnapshotReaderFactory(
           java.util.Arrays.binarySearch(dead, r.getLong(g.posIdx)) < 0)
       }
     val out: Iterator[InternalRow] =
-      if (g.identity && !part.dirty) alive
+      if (g.identity) alive
       else {
         val exprs = required.fields.toIndexedSeq.zipWithIndex.map { case (c, i) =>
           g.outMap(i) match {

@@ -643,6 +643,12 @@ private[graft] class SnapshotTableV2(val root: String, val asOf: Long,
     // table this session already reads through WAP also routes here.
     SnapshotCatalog.wapBranch(SparkSession.active) match {
       case Some(b) if asOf == 0L && branch.forall(_._1 == b) =>
+        // a WAP write bypasses transaction staging — combining the two
+        // would silently tear the transaction's all-or-nothing batch
+        require(!SqlTxn.isActive(SparkSession.active),
+          "cannot INSERT under spark.graft.wap.branch while a SQL " +
+            "transaction is active; commit_txn/abort_txn first (or " +
+            "unset the WAP branch)")
         return new SnapshotBranchWriteBuilder(root, b)
       case _ => ()
     }
@@ -747,19 +753,16 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
     * runtime-filterable planning shape); the V1 join read remains for
     * snapshots carrying outstanding EQUALITY deletes (their
     * sequence-rule anti-join is not a per-file test) and as an escape
-    * hatch (`spark.graft.catalog.batchScan=false`). Decided ONCE here
-    * because the pushdown CONTRACT differs: the V1 read applies its
-    * claimed filters itself (exact — Spark drops them, narrowing the
-    * read schema), while the batch scan's parquet pushdown is
-    * row-group INEXACT, so every filter must stay residual for Spark
-    * to re-apply above.
+    * hatch (`spark.graft.catalog.batchScan=false`). The pushdown
+    * CONTRACT follows the conf alone: the batch scan's parquet
+    * pushdown is row-group INEXACT, so under it every filter stays
+    * residual for Spark to re-apply above (the V1 read self-applies
+    * its claimed set, so residual duplication in the rare
+    * eq-outstanding fallback is merely a re-check, never wrong).
     */
-  private lazy val batchMode: Boolean = {
-    val spark = SparkSession.active
-    spark.conf.getOption("spark.graft.catalog.batchScan")
-      .forall(_.toBoolean) &&
-      !SnapshotLog.eqOutstandingPin(spark, root, pinnedAsOf, branch)
-  }
+  private lazy val batchConf: Boolean =
+    SparkSession.active.conf.getOption("spark.graft.catalog.batchScan")
+      .forall(_.toBoolean)
 
   override def pushFilters(filters: Array[sources.Filter])
       : Array[sources.Filter] = {
@@ -767,7 +770,7 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
     val (ex, residual) =
       filters.partition(f => SnapshotCatalog.columnOf(f).isDefined)
     exact = ex.toSeq
-    if (batchMode) filters else residual
+    if (batchConf) filters else residual
   }
 
   override def pushedFilters(): Array[sources.Filter] = exact.toArray
@@ -777,11 +780,15 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
 
   override def build(): Scan = {
     val pin = pinnedAsOf
-    if (!batchMode)
+    if (!batchConf)
       return new SnapshotScan(root, pin, branch, required, boxes, exact)
+    // ONE manifest resolution decides both the file plan and the
+    // eq-outstanding fallback
     val spark = SparkSession.active
     val plan = SnapshotLog.catalogBatchPlanPin(spark, root, pin, branch, boxes)
-    new SnapshotBatchScan(root, pin, branch, required, plan, exact)
+    if (plan.eqOutstanding)
+      new SnapshotScan(root, pin, branch, required, boxes, exact)
+    else new SnapshotBatchScan(root, pin, branch, required, plan, exact)
   }
 }
 

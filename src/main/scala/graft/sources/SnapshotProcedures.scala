@@ -190,7 +190,10 @@ private[sources] object SnapshotProcedures {
   * files) must stay valid until commit_txn runs. Two appends to the
   * same table union; INSERT OVERWRITE marks the table's transactional
   * overwrite form. Keyed per SparkSession, so concurrent sessions
-  * stage independently.
+  * stage independently. Lifetime contract: an UNDECIDED transaction
+  * pins its session and staged plans until commit_txn/abort_txn runs
+  * — a service wrapping per-request sessions must abort on its error
+  * path (the same discipline an open JDBC transaction demands).
   */
 private[sources] object SqlTxn {
 
@@ -200,6 +203,8 @@ private[sources] object SqlTxn {
 
   private val active =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, Staged]()
+
+  def isActive(s: SparkSession): Boolean = active.containsKey(s)
 
   def begin(s: SparkSession, txnDir: String): Unit = {
     val prev = active.putIfAbsent(s, Staged(txnDir, Vector.empty, Set.empty))

@@ -59,6 +59,46 @@ class SnapshotBatchScanSpec extends SparkSpec {
       .head().getLong(0) == 24L)
   }
 
+  test("a shared DV dir never leaks positions across target files") {
+    val root = freshLog("dvshare")
+    // ONE MoR delete hitting ALL THREE files writes one DV dir whose
+    // parquet rows mix every target's coordinates — each file's reader
+    // must adopt only its OWN positions (the pushed t_path filter is
+    // row-group inexact; position 0 of file 1 must not kill position 0
+    // of files 2 and 3)
+    SnapshotLog.deleteWhereMoR(spark, root,
+      col("k").isin(1L, 101L, 201L))
+    val df = spark.sql(s"SELECT * FROM $cat.`$root` ORDER BY k")
+    assert(rowSet(df) == rowSet(SnapshotLog.read(spark, root)))
+    assert(df.count() == 27L)
+    // the three SURVIVORS at the shared dead position's neighbors
+    assert(df.filter(col("k").isin(2L, 102L, 202L)).count() == 3L)
+  }
+
+  test("clean files in a dirty group emit rows of the declared width") {
+    val root = freshLog("width")
+    // dirty ONE of the three same-schema files: the shared group reads
+    // with the row-index column appended, and the clean files must
+    // still project it away (a phantom trailing field breaks any
+    // consumer that re-materializes rows from the schema, e.g. a
+    // shuffle) — assert through the reader contract directly
+    SnapshotLog.deleteWhereMoR(spark, root, col("k") === 1L)
+    val df = spark.sql(s"SELECT k, v FROM $cat.`$root`")
+    val scan = SnapshotCatalog.scanOf(df).asInstanceOf[SnapshotBatchScan]
+    val batch = scan.toBatch
+    val factory = batch.createReaderFactory()
+    batch.planInputPartitions().foreach { p =>
+      val r = factory.createReader(p)
+      while (r.next()) assert(r.get().numFields == 2,
+        s"partition $p emitted a row of ${r.get().numFields} fields")
+      r.close()
+    }
+    // and the aggregate over a real shuffle still answers
+    assert(spark.sql(
+      s"SELECT count(DISTINCT v) AS n FROM $cat.`$root`")
+      .head().getLong(0) == 29L)
+  }
+
   test("renamed and evolved schemas project per file group") {
     import spark.implicits._
     val root = freshLog("evo")
@@ -149,6 +189,68 @@ class SnapshotBatchScanSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString
       .toLowerCase.contains("dynamicpruning"),
       "the dim-side subquery must be visible in the plan")
+  }
+
+  test("runtime In-sets prune through hidden BUCKET transform bands") {
+    import spark.implicits._
+    val root = graft.TempDirs.create("batscan_bkt").resolve("log").toString
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try SnapshotLog.appendPartitioned(spark, root,
+      (1L to 20000L).map(k => (k, s"v$k")).toDF("k", "v"),
+      Seq(SnapshotLog.PartField("bucket", "k", 8)))
+    finally spark.conf.set(key, old)
+    val dimDir = graft.TempDirs.create("batscan_bkt_dim")
+      .resolve("dim").toString
+    // a handful of keys that all land in the SAME hash bucket — band
+    // stats can't prune these (keys spread the full range) but the
+    // bucket transform bands can
+    val probe = (1L to 20000L).filter(k =>
+      SnapshotLog.bucketOfValue(
+        org.apache.spark.sql.types.LongType, k.toString, 8).contains(3L))
+      .take(4)
+    probe.map(k => (k, "hit")).toDF("d_k", "d_tag")
+      .write.parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("batscan_bkt_dim")
+    val df = spark.sql(
+      s"""SELECT f.k, d.d_tag
+         |FROM $cat.`$root` f JOIN batscan_bkt_dim d ON f.k = d.d_k
+         |WHERE d.d_tag = 'hit'""".stripMargin)
+    // collect df ITSELF: count() executes a cloned plan with its own
+    // scan instance, leaving this one's runtime counters untouched
+    assert(df.collect().length == probe.size)
+    val scan = SnapshotCatalog.scanOf(df).asInstanceOf[SnapshotBatchScan]
+    assert(scan.runtimeDroppedFiles > 0,
+      s"bucket bands must drop other buckets' files at run time " +
+        s"(kept=${scan.keptFiles.size}/${scan.totalFiles})")
+  }
+
+  test("runtime In-sets prune through per-file BLOOMS inside one band") {
+    import spark.implicits._
+    val root = graft.TempDirs.create("batscan_bloom").resolve("log").toString
+    // two files with INTERLEAVED keys (evens/odds): identical min/max
+    // bands, so only the blooms can tell them apart
+    SnapshotLog.appendBloomed(spark, root,
+      (1L to 9999L by 2).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      SnapshotLog.BloomSpec(Seq("k"), expectedPerFile = 10000L))
+    SnapshotLog.appendBloomed(spark, root,
+      (2L to 10000L by 2).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      SnapshotLog.BloomSpec(Seq("k"), expectedPerFile = 10000L))
+    val dimDir = graft.TempDirs.create("batscan_bloom_dim")
+      .resolve("dim").toString
+    Seq((4L, "hit"), (5000L, "hit"), (9000L, "hit"))
+      .toDF("d_k", "d_tag").write.parquet(dimDir)  // all EVEN keys
+    spark.read.parquet(dimDir).createOrReplaceTempView("batscan_bloom_dim")
+    val df = spark.sql(
+      s"""SELECT f.k, d.d_tag
+         |FROM $cat.`$root` f JOIN batscan_bloom_dim d ON f.k = d.d_k
+         |WHERE d.d_tag = 'hit'""".stripMargin)
+    assert(df.collect().length == 3)
+    val scan = SnapshotCatalog.scanOf(df).asInstanceOf[SnapshotBatchScan]
+    assert(scan.runtimeDroppedFiles >= 1,
+      "the odd-keys file shares the band; only its bloom can drop it " +
+        s"(kept=${scan.keptFiles.size}/${scan.totalFiles})")
   }
 
   test("strong form: runtime-pruned files are never opened") {

@@ -170,4 +170,23 @@ class SnapshotProcedureSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $cat.`$a` SELECT * FROM proc_abt_a")
     assert(SnapshotLog.read(spark, a).count() == 51L)
   }
+
+  test("WAP writes refuse while a SQL transaction is staging") {
+    import spark.implicits._
+    val a = newLog("wapmix")
+    val tx = graft.TempDirs.create("proc_wapmix").resolve("tx").toString
+    Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("proc_wapmix_v")
+    spark.sql(s"CALL $cat.system.begin_txn('$tx')")
+    spark.conf.set("spark.graft.wap.branch", "mix")
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.`$a` SELECT * FROM proc_wapmix_v")
+      }
+      assert(e.getMessage.contains("transaction is active"))
+    } finally {
+      spark.conf.unset("spark.graft.wap.branch")
+      spark.sql(s"CALL $cat.system.abort_txn()")
+    }
+    assert(SnapshotLog.currentId(spark, a) == 1L)
+  }
 }
