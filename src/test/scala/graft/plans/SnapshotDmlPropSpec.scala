@@ -110,6 +110,11 @@ class SnapshotDmlPropSpec extends SparkSpec {
         spark.sql(sql.toString)
         val got = SnapshotLog.read(spark, root).as[(Long, String)]
           .collect().toSeq.sorted
+        // cross-door check: the catalog's V2 batch scan must read the
+        // merged state identically to the library read
+        val sqlGot = spark.sql(s"SELECT k, v FROM $cat.`$root`")
+          .as[(Long, String)].collect().toSeq.sorted
+        assert(sqlGot == got, s"scenario $scenario: catalog read diverged")
         // --- reference model: plain Scala over the same rows ---
         val srcByK = src.toMap
         val survivors = tgt.flatMap { t =>

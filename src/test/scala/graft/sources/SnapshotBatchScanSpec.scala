@@ -152,6 +152,24 @@ class SnapshotBatchScanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.catalog.batchScan")
   }
 
+  test("empty tables and self-joins read correctly through the batch scan") {
+    import spark.implicits._
+    // empty table: zero files, zero partitions, schema intact
+    val empty = graft.TempDirs.create("batscan_empty").resolve("log").toString
+    SnapshotLog.createTable(spark, empty,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"),
+      Seq.empty)
+    val e = spark.sql(s"SELECT * FROM $cat.`$empty`")
+    assert(e.count() == 0L)
+    assert(e.schema.fieldNames.toSeq == Seq("k", "v"))
+    // self-join: two independent scan instances of one table
+    val root = freshLog("self")
+    val df = spark.sql(
+      s"""SELECT a.k, b.v FROM $cat.`$root` a
+         |JOIN $cat.`$root` b ON a.k = b.k WHERE a.k <= 2""".stripMargin)
+    assert(rowSet(df) == Seq(Seq("1", "v1"), Seq("2", "v2")))
+  }
+
   /** A star-shaped fixture: the FACT is big enough that the dim
     * broadcasts (DPP reuses that broadcast for the pruning subquery —
     * the 100 TB shape), three fact files in disjoint key bands, and a
