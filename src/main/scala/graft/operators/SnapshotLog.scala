@@ -3550,6 +3550,99 @@ object SnapshotLog {
     (base, df, schema)
   }
 
+  /** [[readPosForDml]] against a BRANCH head — the discovery view a
+    * row-level command under write-audit-publish joins its source
+    * against: the branch's live rows (its own delete vectors and
+    * carried equality deletes applied) with (file, position)
+    * coordinates, plus the branch's commit count `k` (the CAS the
+    * branch MoR commit fires at). Discovery pruning from the branch
+    * manifest's stat bands, same as main.
+    */
+  private[graft] def readPosForDmlBranch(spark: SparkSession, root: String,
+      name: String,
+      preds: Seq[(String, Option[String], Option[String])] = Seq.empty)
+      : (Long, DataFrame, StructType) = {
+    val (raw, _, k) = branchRaw(spark, root, name)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    val usable = preds.filter(p => schema.fieldNames.contains(p._1))
+    val files =
+      if (usable.nonEmpty) boxFilesRaw(spark, root, raw, usable)._1
+      else raw.inline ++
+        raw.refs.flatMap(r => readFileList(fsOf(spark, root), root, r.path))
+    val ids = currentIdsOf(raw, schema)._1
+    val df =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema.add("__path", org.apache.spark.sql.types.StringType)
+            .add("__pos", org.apache.spark.sql.types.LongType))
+      else livePosRead(spark, root, raw, files, schema, ids)
+    (k, df, schema)
+  }
+
+  /** The merge-on-read commit against a BRANCH head — [[morCommit]]'s
+    * WAP twin: the delete vector and appended files land in the
+    * branch's NEXT manifest (k+1), invisible to main until
+    * [[fastForward]] publishes the whole head (which carries the
+    * vector refs verbatim). New files stamp `__seq = fork + 1` exactly
+    * like [[appendToBranch]] — the id the publish lands under, so
+    * post-publish equality deletes sequence correctly against them.
+    * No rebase retry here: a WAP branch is a single-writer staging
+    * area, so a lost race (k advanced since `baseK`) fails loudly.
+    */
+  private[graft] def morCommitBranch(spark: SparkSession, root: String,
+      name: String, baseK: Long, dead: Option[DataFrame], adds: DataFrame,
+      operation: String): Long = {
+    val fs = fsOf(spark, root)
+    val (raw, fork, k) = branchRaw(spark, root, name)
+    require(k == baseK,
+      s"branch $name of $root advanced since discovery ($baseK -> $k); " +
+        "recompute against the branch head and retry")
+    val allFiles = raw.inline ++
+      raw.refs.flatMap(r => readFileList(fs, root, r.path))
+    val tableSchema = StructType.fromDDL(raw.schemaDdl)
+    val (tableIds, lastColId) = currentIdsOf(raw, tableSchema)
+    val tableCols = tableSchema.fieldNames.map(col).toSeq
+    val pubSeq = fork + 1
+    val dvOpt = dead.filter(_ => allFiles.nonEmpty)
+      .flatMap(d => writeDeleteVector(spark, root, d, pubSeq))
+    val written = writeDataFiles(spark, root,
+      adds.select(tableCols: _*), pubSeq, None,
+      inheritedBucketStats(allFiles, tableSchema, tableIds))
+      .map(f => f.copy(
+        ids = tableIds.filter { case (n, _) =>
+          tableSchema.fieldNames.contains(n) },
+        stats = f.stats + (SeqStatName -> (pubSeq.toString, pubSeq.toString))))
+    val newRef = writeFileList(fs, root, pubSeq, written, tableSchema)
+    val srcRows = written.iterator.map(_.rows).sum
+    val delRows = dvOpt.map(_._1.delRows).getOrElse(0L)
+    val next = k + 1
+    val raw2 = RawManifest(next, if (k == 0) fork else k, operation,
+      raw.rows - delRows + srcRows,
+      tableSchema.toDDL.replace("\t", " ").replace("\n", " "),
+      raw.refs :+ newRef, raw.inline, tableIds, lastColId,
+      raw.dRefs ++ dvOpt.map(_._1), raw.eqRefs, raw.spec)
+    val m = branchManifestPath(root, name, next)
+    val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(m.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(manifestText(raw2).getBytes("UTF-8")) finally out.close()
+    if (!publish(fs, tmp, m)) {
+      fs.delete(tmp, false)
+      fs.delete(new Path(s"$root/${newRef.path}"), false)
+      written.map(f => f.path.substring(0, f.path.lastIndexOf('/'))).distinct
+        .foreach(d => fs.delete(new Path(s"$root/$d"), true))
+      dvOpt.foreach { case (dRef, dvDir) =>
+        fs.delete(new Path(s"$root/${dRef.path}"), false)
+        fs.delete(new Path(s"$root/$dvDir"), true)
+      }
+      throw new IllegalStateException(
+        s"$operation on branch $name of $root lost the publish race; " +
+          "recompute against the branch head and retry")
+    }
+    next
+  }
+
   /** Copy-on-write MERGE (upsert): table rows whose `keyCols` match a
     * `source` row are REPLACED by it; source rows matching nothing are
     * appended — Delta/Iceberg `MERGE INTO ... WHEN MATCHED THEN UPDATE
@@ -5693,6 +5786,40 @@ object SnapshotLog {
       ()
     }.resolve("log").toString
 
+  /** Staged SQL-WAP-DML scenario: [[sqlWapLog]]'s staging loop plus
+    * row-level DML on the branch — after the two staged INSERTs, a
+    * WAP `UPDATE` and a WAP `DELETE` commit MoR vectors into the
+    * branch's manifest chain (the staging asserts main still reads
+    * batch 0 only), then fast-forward publishes the audited state.
+    * The oracle recomputes the whole pipeline relationally.
+    */
+  private def sqlWapDmlLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttwapd_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+      val mainRows = read(s, root).count()
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+        .createOrReplaceTempView("tt42_b1")
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 2)
+        .createOrReplaceTempView("tt42_b2")
+      s.conf.set("spark.graft.wap.branch", "curate")
+      try {
+        s.sql(s"INSERT INTO snapcat.`$root` SELECT * FROM tt42_b1")
+        s.sql(s"INSERT INTO snapcat.`$root` SELECT * FROM tt42_b2")
+        s.sql(s"UPDATE snapcat.`$root` SET o_orderstatus = 'W' " +
+          "WHERE o_orderkey % 10 = 0")
+        s.sql(s"DELETE FROM snapcat.`$root` WHERE o_orderkey % 7 = 3")
+        s.conf.unset("spark.graft.wap.branch")
+        require(read(s, root).count() == mainRows,
+          "staged WAP DML leaked into the main line")
+      } finally s.conf.unset("spark.graft.wap.branch")
+      s.sql(s"CALL snapcat.system.fast_forward('$root', 'curate')")
+      ()
+    }.resolve("log").toString
+
   /** Staged TWO-log transaction scenario over `orders`: log A seeds
     * keys ≡ 0 (mod 4), log B keys ≡ 1; then ONE [[commitTransaction]]
     * lands ≡ 2 into A and ≡ 3 into B atomically. tt29 reads the union
@@ -6562,6 +6689,28 @@ object SnapshotLog {
              |WHERE NOT (o_orderkey % 7 = 3 AND o_orderstatus <> 'F')
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { sqlDeleteLog(s, dir); () })
+    ),
+
+    // TT42: the FULL write-audit-publish loop with row-level DML —
+    // staged INSERTs plus a WAP UPDATE and a WAP DELETE (MoR vectors
+    // in the BRANCH's manifest chain), audited by the session's own
+    // reads, invisible to main, published by fast_forward. The oracle
+    // recomputes the whole curated state relationally: a leaked
+    // stage, a vector lost in the publish, or a branch-discovery bug
+    // breaks the hash.
+    Q(
+      "tt42_sql_wap_dml",
+      (s, dir) => {
+        val root = sqlWapDmlLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |       CASE WHEN o_orderkey % 10 = 0 THEN 'W'
+             |            ELSE o_orderstatus END AS o_orderstatus
+             |FROM orders
+             |WHERE NOT (o_orderkey % 7 = 3)
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { sqlWapDmlLog(s, dir); () })
     ),
 
     // TT41: multi-table transactions through SQL — tt29's exact

@@ -63,6 +63,21 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Under write-audit-publish (`spark.graft.wap.branch`), row-level
+    * DML routes to the BRANCH: the target either already resolved to
+    * the WAP branch head (the session's reads pin it) or is the plain
+    * main table of a session whose conf names a branch not yet forked
+    * — both stage on the branch, invisible to main until publish.
+    * Returns the branch name to stage on, or None for a main-line
+    * commit. A branch pin that does NOT match the session's WAP
+    * branch (explicit `VERSION AS OF '<other>'`) stays refused.
+    */
+  private def wapTarget(t: SnapshotTableV2): Option[String] = {
+    val conf = org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.wap.branch").map(_.trim).filter(_.nonEmpty)
+    conf.filter(b => t.asOf == 0L && t.branch.forall(_._1 == b))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     // `… WITH SCHEMA EVOLUTION`: while additive changes are still
     // pending, leave the node untouched so Spark's own
@@ -77,27 +92,30 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
         !(m.evaluateSchemaEvolution && m.changesForSchemaEvolution.nonEmpty) &&
         snapshotTable(m.targetTable).isDefined =>
       val t = snapshotTable(m.targetTable).get
-      require(t.asOf == 0L && t.branch.isEmpty,
+      val wap = wapTarget(t)
+      require(wap.isDefined || (t.asOf == 0L && t.branch.isEmpty),
         s"cannot MERGE into a pinned read of ${t.root}: history is immutable")
       MergeSnapshotCommand(t.root, m.targetTable, m.sourceTable,
         m.mergeCondition, m.matchedActions, m.notMatchedActions,
-        m.notMatchedBySourceActions)
+        m.notMatchedBySourceActions, wap)
     case u: UpdateTable if u.resolved && snapshotTable(u.table).isDefined =>
       val t = snapshotTable(u.table).get
-      require(t.asOf == 0L && t.branch.isEmpty,
+      val wapU = wapTarget(t)
+      require(wapU.isDefined || (t.asOf == 0L && t.branch.isEmpty),
         s"cannot UPDATE a pinned read of ${t.root}: history is immutable")
-      UpdateSnapshotCommand(t.root, u.table, u.assignments, u.condition)
+      UpdateSnapshotCommand(t.root, u.table, u.assignments, u.condition, wapU)
     case d: DeleteFromTable if d.resolved &&
         snapshotTable(d.table).isDefined =>
       val t = snapshotTable(d.table).get
-      require(t.asOf == 0L && t.branch.isEmpty,
+      val wapD = wapTarget(t)
+      require(wapD.isDefined || (t.asOf == 0L && t.branch.isEmpty),
         s"cannot DELETE from a pinned read of ${t.root}: history is immutable")
       require(d.condition.collectFirst { case sq: org.apache.spark.sql
           .catalyst.expressions.SubqueryExpression => sq }.isEmpty,
         "DELETE with a subquery predicate is not supported on " +
           "snapshot-log tables; materialize the subquery and use " +
           "deleteWhereEqual (scan-free key-set delete) instead")
-      DeleteSnapshotCommand(t.root, d.table, d.condition)
+      DeleteSnapshotCommand(t.root, d.table, d.condition, wapD)
   }
 }
 
@@ -109,10 +127,11 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
 final case class MergeSnapshotCommand(root: String,
     target: LogicalPlan, source: LogicalPlan, cond: Expression,
     matched: Seq[MergeAction], notMatched: Seq[MergeAction],
-    bySource: Seq[MergeAction]) extends LeafRunnableCommand {
+    bySource: Seq[MergeAction],
+    wapBranch: Option[String] = None) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     SnapshotDml.runMerge(spark, root, target, source, cond,
-      matched, notMatched, bySource)
+      matched, notMatched, bySource, wapBranch)
     Seq.empty
   }
 }
@@ -125,24 +144,57 @@ final case class MergeSnapshotCommand(root: String,
   * extensions).
   */
 final case class DeleteSnapshotCommand(root: String, table: LogicalPlan,
-    cond: Expression) extends LeafRunnableCommand {
+    cond: Expression,
+    wapBranch: Option[String] = None) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    SnapshotDml.runDelete(spark, root, table, cond)
+    SnapshotDml.runDelete(spark, root, table, cond, wapBranch)
     Seq.empty
   }
 }
 
 /** `UPDATE snap.t SET … WHERE …` — executes [[SnapshotDml.runUpdate]]. */
 final case class UpdateSnapshotCommand(root: String, table: LogicalPlan,
-    assignments: Seq[Assignment], cond: Option[Expression])
-    extends LeafRunnableCommand {
+    assignments: Seq[Assignment], cond: Option[Expression],
+    wapBranch: Option[String] = None) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    SnapshotDml.runUpdate(spark, root, table, assignments, cond)
+    SnapshotDml.runUpdate(spark, root, table, assignments, cond, wapBranch)
     Seq.empty
   }
 }
 
 private[plans] object SnapshotDml {
+
+  /** Discovery view for a row-level command: the MAIN head, or — under
+    * write-audit-publish — the session's WAP branch head (auto-forked
+    * at the current head on first use, exactly like the WAP INSERT
+    * door).
+    */
+  private def discover(spark: SparkSession, root: String,
+      wap: Option[String],
+      preds: Seq[(String, Option[String], Option[String])])
+      : (Long, DataFrame, StructType) = wap match {
+    case Some(b) =>
+      if (!SnapshotLog.branchExists(spark, root, b))
+        SnapshotLog.createBranch(spark, root, b)
+      SnapshotLog.readPosForDmlBranch(spark, root, b, preds)
+    case None => SnapshotLog.readPosForDml(spark, root, preds = preds)
+  }
+
+  /** The matching commit door: main MoR commit (validate-and-retry) or
+    * the branch MoR commit (single-writer staging, loud on races).
+    */
+  private def commitMor(spark: SparkSession, root: String,
+      wap: Option[String], base: Long, dead: Option[DataFrame],
+      adds: DataFrame, operation: String): Unit = {
+    wap match {
+      case Some(b) =>
+        SnapshotLog.morCommitBranch(spark, root, b, base, dead, adds,
+          operation)
+      case None =>
+        SnapshotLog.morCommit(spark, root, base, dead, adds, operation)
+    }
+    ()
+  }
 
   /** Re-bind a statement expression against the run-time frames: every
     * attribute the analyzer resolved to the statement's target
@@ -327,7 +379,8 @@ private[plans] object SnapshotDml {
   def runMerge(spark: SparkSession, root: String,
       target: LogicalPlan, source: LogicalPlan, cond: Expression,
       matched: Seq[MergeAction], notMatched: Seq[MergeAction],
-      bySource: Seq[MergeAction]): Unit = {
+      bySource: Seq[MergeAction],
+      wapBranch: Option[String] = None): Unit = {
     matched.foreach {
       case _: UpdateAction | _: DeleteAction => ()
       case other => throw new UnsupportedOperationException(
@@ -351,8 +404,7 @@ private[plans] object SnapshotDml {
     // match always intersects; BY SOURCE arms disable it — they need
     // every target row). The range costs one bounded agg on the source.
     val pruning = mergePruning(src0, cond, target, source, bySource)
-    val (base, tgt0, schema) =
-      SnapshotLog.readPosForDml(spark, root, preds = pruning)
+    val (base, tgt0, schema) = discover(spark, root, wapBranch, pruning)
     Seq("__path", "__pos", "__t", "__s").foreach(r => require(
       !schema.fieldNames.contains(r), s"column name $r is reserved"))
     // presence markers: outer joins null the absent side's marker, so
@@ -414,13 +466,36 @@ private[plans] object SnapshotDml {
         }
       val adds = addParts.reduceOption(_ unionByName _).getOrElse(
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
-      SnapshotLog.morCommit(spark, root, base, dead, adds, "mor-merge")
+      commitMor(spark, root, wapBranch, base, dead, adds, "mor-merge")
     } finally joined.unpersist()
     ()
   }
 
   def runDelete(spark: SparkSession, root: String, table: LogicalPlan,
-      cond: Expression): Unit = {
+      cond: Expression, wapBranch: Option[String] = None): Unit = {
+    wapBranch.foreach { b =>
+      // WAP DELETE stages on the branch as a MoR delete: one vector in
+      // the branch's next manifest, zero file rewrites, invisible to
+      // main until publish. NULL predicates are not matches (the same
+      // three-valued rule as every delete door).
+      val tgtSet = (e: Expression) => e match {
+        case a: AttributeReference => table.outputSet.contains(a)
+        case _ => false
+      }
+      val pruning = literalBoxes(cond, tgtSet)
+      val (base, tgt, schema) =
+        discover(spark, root, wapBranch, pruning)
+      val tgtBy = outputsByName(tgt)
+      val remap = binder(Seq(table -> tgtBy))
+      val dead = tgt.filter(coalesce(remap(cond), lit(false)))
+        .select(DmlBridge.column(tgtBy("__path")).as("t_path"),
+          DmlBridge.column(tgtBy("__pos")).as("t_pos"))
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+      commitMor(spark, root, wapBranch, base, Some(dead), empty,
+        "mor-delete")
+      return
+    }
     // rebind the predicate's table attributes to UNRESOLVED names and
     // hand it to the library's delete — both deletes scan the table
     // themselves, so their own resolution must bind the columns (a
@@ -443,7 +518,8 @@ private[plans] object SnapshotDml {
   }
 
   def runUpdate(spark: SparkSession, root: String, table: LogicalPlan,
-      assigns: Seq[Assignment], cond: Option[Expression]): Unit = {
+      assigns: Seq[Assignment], cond: Option[Expression],
+      wapBranch: Option[String] = None): Unit = {
     // discovery pruning from the WHERE clause's literal boxes — every
     // row the update can touch satisfies them, so non-intersecting
     // files are carried untouched without ever being opened
@@ -452,8 +528,7 @@ private[plans] object SnapshotDml {
       case _ => false
     }
     val pruning = cond.toSeq.flatMap(literalBoxes(_, tgtSet))
-    val (base, tgt, schema) =
-      SnapshotLog.readPosForDml(spark, root, preds = pruning)
+    val (base, tgt, schema) = discover(spark, root, wapBranch, pruning)
     val tgtBy = outputsByName(tgt)
     val remap = binder(Seq(table -> tgtBy))
     val hit = tgt.filter(cond.map(remap).getOrElse(lit(true)))
@@ -463,7 +538,7 @@ private[plans] object SnapshotDml {
         DmlBridge.column(tgtBy("__path")).as("t_path"),
         DmlBridge.column(tgtBy("__pos")).as("t_pos"))
       val adds = updateProjection(hit, schema, remap, tgtBy, assigns)
-      SnapshotLog.morCommit(spark, root, base, Some(dead), adds, "mor-update")
+      commitMor(spark, root, wapBranch, base, Some(dead), adds, "mor-update")
     } finally hit.unpersist()
     ()
   }
