@@ -5747,6 +5747,27 @@ object SnapshotLog {
       fastForward(s, root, "load")
     }.resolve("log").toString
 
+  /** Staged SQL-DELETE-subquery log: one append, then a pure-SQL
+    * `DELETE … WHERE key IN (SELECT …)` — the uncorrelated-subquery
+    * arm, executed as a merge-on-read commit whose discovery frame
+    * evaluates the subquery as an ordinary semi-join.
+    */
+  private def sqlDeleteSubqLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttsqds_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+      append(s, root,
+        orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+          .repartition(4))
+      orders.select("o_orderkey", "o_orderpriority")
+        .createOrReplaceTempView("tt43_pri")
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      s.sql(s"DELETE FROM snapcat.`$root` WHERE o_orderkey IN " +
+        "(SELECT o_orderkey FROM tt43_pri " +
+        "WHERE o_orderpriority = '1-URGENT')")
+      ()
+    }.resolve("log").toString
+
   /** Staged SQL-WAP scenario: [[branchLog]]'s exact batches, but the
     * branch writes are PURE SQL — `spark.graft.wap.branch` flips the
     * session into staging mode, two `INSERT INTO` land on the
@@ -6689,6 +6710,28 @@ object SnapshotLog {
              |WHERE NOT (o_orderkey % 7 = 3 AND o_orderstatus <> 'F')
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { sqlDeleteLog(s, dir); () })
+    ),
+
+    // TT43: SQL DELETE with an UNCORRELATED SUBQUERY predicate — the
+    // arm the CoW delete can never serve (its self-scan can't hold a
+    // subquery): the MoR route evaluates `key IN (SELECT …)` as a
+    // semi-join against the discovery frame and commits one delete
+    // vector. The oracle recomputes the survivors relationally; a
+    // mis-evaluated subquery or a row deleted under the wrong key
+    // breaks the hash.
+    Q(
+      "tt43_sql_delete_subquery",
+      (s, dir) => {
+        val root = sqlDeleteSubqLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus
+             |FROM orders o
+             |WHERE o.o_orderkey NOT IN
+             |  (SELECT o_orderkey FROM orders
+             |   WHERE o_orderpriority = '1-URGENT')
+             |ORDER BY o.o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { sqlDeleteSubqLog(s, dir); () })
     ),
 
     // TT42: the FULL write-audit-publish loop with row-level DML —

@@ -103,21 +103,47 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
       val wapU = wapTarget(t)
       require(wapU.isDefined || (t.asOf == 0L && t.branch.isEmpty),
         s"cannot UPDATE a pinned read of ${t.root}: history is immutable")
-      UpdateSnapshotCommand(t.root, u.table, u.assignments, u.condition, wapU)
+      require(!(u.condition.toSeq ++ u.assignments).exists(
+          org.apache.spark.sql.catalyst.expressions
+            .SubqueryExpression.hasCorrelatedSubquery),
+        "UPDATE with a CORRELATED subquery is not supported on " +
+          "snapshot-log tables; rewrite as an uncorrelated form")
+      UpdateSnapshotCommand(t.root, u.table,
+        u.assignments.map(a => AssignmentEnvelope(a.key, a.value)),
+        u.condition.map(ExprEnvelope), wapU)
     case d: DeleteFromTable if d.resolved &&
         snapshotTable(d.table).isDefined =>
       val t = snapshotTable(d.table).get
       val wapD = wapTarget(t)
       require(wapD.isDefined || (t.asOf == 0L && t.branch.isEmpty),
         s"cannot DELETE from a pinned read of ${t.root}: history is immutable")
-      require(d.condition.collectFirst { case sq: org.apache.spark.sql
-          .catalyst.expressions.SubqueryExpression => sq }.isEmpty,
-        "DELETE with a subquery predicate is not supported on " +
-          "snapshot-log tables; materialize the subquery and use " +
-          "deleteWhereEqual (scan-free key-set delete) instead")
-      DeleteSnapshotCommand(t.root, d.table, d.condition, wapD)
+      // UNCORRELATED subqueries (IN (SELECT ...), EXISTS over another
+      // table) route through the MoR delete below — the discovery
+      // frame evaluates them as ordinary semi-joins. A CORRELATED
+      // subquery's plan holds OuterReference nodes the run-time rebind
+      // cannot reach; refuse those loudly with the workaround.
+      require(!org.apache.spark.sql.catalyst.expressions
+          .SubqueryExpression.hasCorrelatedSubquery(d.condition),
+        "DELETE with a CORRELATED subquery predicate is not supported " +
+          "on snapshot-log tables; rewrite as an uncorrelated IN/EXISTS " +
+          "or use deleteWhereEqual (scan-free key-set delete)")
+      DeleteSnapshotCommand(t.root, d.table, ExprEnvelope(d.condition), wapD)
   }
 }
+
+/** Opaque expression envelope: keeps an analyzed condition OUT of the
+  * owning command's reflected expression set. CheckAnalysis rejects
+  * IN/EXISTS subqueries under any node it does not recognize as a
+  * DELETE/UPDATE/MERGE command — but the subquery's legality was
+  * already validated on the ORIGINAL statement node before the
+  * rewrite, and at run time it evaluates inside an ordinary `Filter`
+  * (a supported context). The envelope is a plain product member, so
+  * `QueryPlan.expressions` never sees the subquery.
+  */
+final case class ExprEnvelope(e: Expression)
+
+/** [[ExprEnvelope]] for an UPDATE assignment pair. */
+final case class AssignmentEnvelope(key: Expression, value: Expression)
 
 /** `MERGE INTO snap.t …` — executes [[SnapshotDml.runMerge]]. The
   * analyzed target/source subtrees and action expressions ride along
@@ -137,27 +163,32 @@ final case class MergeSnapshotCommand(root: String,
 }
 
 /** `DELETE FROM snap.t WHERE …` with ANY row-level predicate —
-  * executes the library's copy-on-write [[SnapshotLog.deleteWhere]]
-  * (only match-bearing files rewritten, operation `delete`), lifting
-  * the exact-translation restriction the plain SupportsDelete door
-  * has (that door remains the fallback for sessions without the graft
-  * extensions).
+  * lifting the exact-translation restriction the plain SupportsDelete
+  * door has (that door remains the fallback for sessions without the
+  * graft extensions). Plain predicates execute as the library's
+  * copy-on-write [[SnapshotLog.deleteWhere]] (only match-bearing
+  * files rewritten), or the MoR delete while vectors are outstanding;
+  * UNCORRELATED subquery predicates take the MoR discovery route
+  * (the subquery evaluates as a semi-join); under WAP the delete
+  * stages on the session's branch.
   */
 final case class DeleteSnapshotCommand(root: String, table: LogicalPlan,
-    cond: Expression,
+    cond: ExprEnvelope,
     wapBranch: Option[String] = None) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    SnapshotDml.runDelete(spark, root, table, cond, wapBranch)
+    SnapshotDml.runDelete(spark, root, table, cond.e, wapBranch)
     Seq.empty
   }
 }
 
 /** `UPDATE snap.t SET … WHERE …` — executes [[SnapshotDml.runUpdate]]. */
 final case class UpdateSnapshotCommand(root: String, table: LogicalPlan,
-    assignments: Seq[Assignment], cond: Option[Expression],
+    assignments: Seq[AssignmentEnvelope], cond: Option[ExprEnvelope],
     wapBranch: Option[String] = None) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    SnapshotDml.runUpdate(spark, root, table, assignments, cond, wapBranch)
+    SnapshotDml.runUpdate(spark, root, table,
+      assignments.map(a => Assignment(a.key, a.value)), cond.map(_.e),
+      wapBranch)
     Seq.empty
   }
 }
@@ -246,35 +277,45 @@ private[plans] object SnapshotDml {
     * stat boxes — the same translation the catalog scan applies to
     * pushed filters, here over the raw Catalyst condition. Only
     * shrinks the discovery scan; rows are still filtered exactly.
+    *
+    * Operands are accepted when FOLDABLE, not just when already plain
+    * literals: the analyzer's type coercion wraps `k >= 305` in
+    * `Cast(305 AS BIGINT)`, and since the statement expressions ride
+    * inside [[ExprEnvelope]]s the optimizer never constant-folds them
+    * — evaluating foldables here is what keeps the box pruning alive
+    * (and renders the bound in the COMPARISON type, which is what the
+    * stat bands compare in).
     */
   private def literalBoxes(cond: Expression,
       tgtSet: Expression => Boolean)
       : Seq[(String, Option[String], Option[String])] = {
     import org.apache.spark.sql.catalyst.expressions._
-    def r(l: Literal): Option[String] =
-      graft.sources.SnapshotCatalog.render(
+    def r(e: Expression): Option[String] =
+      if (!e.foldable ||
+          e.exists(_.isInstanceOf[SubqueryExpression])) None
+      else graft.sources.SnapshotCatalog.render(
         org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .convertToScala(l.value, l.dataType))
+          .convertToScala(e.eval(), e.dataType))
     conjuncts(cond).flatMap {
-      case EqualTo(a: AttributeReference, l: Literal) if tgtSet(a) =>
+      case EqualTo(a: AttributeReference, l) if tgtSet(a) =>
         r(l).map(v => (a.name, Some(v), Some(v)))
-      case EqualTo(l: Literal, a: AttributeReference) if tgtSet(a) =>
+      case EqualTo(l, a: AttributeReference) if tgtSet(a) =>
         r(l).map(v => (a.name, Some(v), Some(v)))
-      case GreaterThan(a: AttributeReference, l: Literal) if tgtSet(a) =>
+      case GreaterThan(a: AttributeReference, l) if tgtSet(a) =>
         r(l).map(v => (a.name, Some(v), None))
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if tgtSet(a) =>
+      case GreaterThanOrEqual(a: AttributeReference, l) if tgtSet(a) =>
         r(l).map(v => (a.name, Some(v), None))
-      case LessThan(a: AttributeReference, l: Literal) if tgtSet(a) =>
+      case LessThan(a: AttributeReference, l) if tgtSet(a) =>
         r(l).map(v => (a.name, None, Some(v)))
-      case LessThanOrEqual(a: AttributeReference, l: Literal) if tgtSet(a) =>
+      case LessThanOrEqual(a: AttributeReference, l) if tgtSet(a) =>
         r(l).map(v => (a.name, None, Some(v)))
-      case GreaterThan(l: Literal, a: AttributeReference) if tgtSet(a) =>
+      case GreaterThan(l, a: AttributeReference) if tgtSet(a) =>
         r(l).map(v => (a.name, None, Some(v)))
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if tgtSet(a) =>
+      case GreaterThanOrEqual(l, a: AttributeReference) if tgtSet(a) =>
         r(l).map(v => (a.name, None, Some(v)))
-      case LessThan(l: Literal, a: AttributeReference) if tgtSet(a) =>
+      case LessThan(l, a: AttributeReference) if tgtSet(a) =>
         r(l).map(v => (a.name, Some(v), None))
-      case LessThanOrEqual(l: Literal, a: AttributeReference) if tgtSet(a) =>
+      case LessThanOrEqual(l, a: AttributeReference) if tgtSet(a) =>
         r(l).map(v => (a.name, Some(v), None))
       case _ => Seq.empty
     }
@@ -473,6 +514,31 @@ private[plans] object SnapshotDml {
 
   def runDelete(spark: SparkSession, root: String, table: LogicalPlan,
       cond: Expression, wapBranch: Option[String] = None): Unit = {
+    // a subquery-bearing predicate cannot reach the library's
+    // self-scanning CoW delete — take the MoR discovery route, where
+    // the (uncorrelated) subquery evaluates as a plain semi/anti-join
+    // against the coordinate frame
+    val hasSubquery = cond.collectFirst { case sq: org.apache.spark.sql
+        .catalyst.expressions.SubqueryExpression => sq }.isDefined
+    if (wapBranch.isEmpty && hasSubquery) {
+      val tgtSet = (e: Expression) => e match {
+        case a: AttributeReference => table.outputSet.contains(a)
+        case _ => false
+      }
+      val pruning = literalBoxes(cond, tgtSet)
+      val (base, tgt, schema) =
+        SnapshotLog.readPosForDml(spark, root, preds = pruning)
+      val tgtBy = outputsByName(tgt)
+      val remap = binder(Seq(table -> tgtBy))
+      val dead = tgt.filter(coalesce(remap(cond), lit(false)))
+        .select(DmlBridge.column(tgtBy("__path")).as("t_path"),
+          DmlBridge.column(tgtBy("__pos")).as("t_pos"))
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+      SnapshotLog.morCommit(spark, root, base, Some(dead), empty,
+        "mor-delete")
+      return
+    }
     wapBranch.foreach { b =>
       // WAP DELETE stages on the branch as a MoR delete: one vector in
       // the branch's next manifest, zero file rewrites, invisible to

@@ -192,13 +192,12 @@ class SnapshotDmlSpec extends SparkSpec {
     assert(out.filter(col("k") % 7 === 3).count() == 0L)
     // pre-delete snapshot still addressable
     assert(SnapshotLog.read(spark, root, asOf = 1L).count() == 100L)
-    // subquery predicates are refused with the scan-free alternative
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.`$root` WHERE k IN " +
-        s"(SELECT k FROM $cat.`$root` WHERE v = 'v1')")
-    }
-    assert(e.getMessage.contains("deleteWhereEqual") ||
-      String.valueOf(e.getCause).contains("deleteWhereEqual"))
+    // a self-referencing uncorrelated subquery now executes too (the
+    // MoR route — the subquery reads the PRE-delete pinned state)
+    spark.sql(s"DELETE FROM $cat.`$root` WHERE k IN " +
+      s"(SELECT k FROM $cat.`$root` WHERE v = 'v1')")
+    assert(SnapshotLog.read(spark, root).filter(col("k") === 1L)
+      .count() == 0L)
   }
 
   test("merge discovery prunes target files from the source's key range") {
@@ -332,5 +331,45 @@ class SnapshotDmlSpec extends SparkSpec {
     }
     assert(SnapshotLog.read(spark, root).schema.fieldNames.toSeq
       == Seq("k", "v"))
+  }
+
+  test("DELETE with an uncorrelated subquery predicate takes the MoR route") {
+    import spark.implicits._
+    val root = newLog("subq")
+    Seq(1L, 3L, 5L, 200L).toDF("dk").createOrReplaceTempView("dml_subq_keys")
+    spark.sql(s"DELETE FROM $cat.`$root` " +
+      "WHERE k IN (SELECT dk FROM dml_subq_keys) AND v <> 'v5'")
+    val out = SnapshotLog.read(spark, root)
+    assert(out.count() == 98L) // 1 and 3 die; 5 survives (v5); 200 absent
+    assert(out.filter(col("k").isin(1L, 3L)).count() == 0L)
+    assert(out.filter(col("k") === 5L).count() == 1L)
+    assert(SnapshotLog.operationOf(spark, root, 2L) == "mor-delete")
+    // NOT IN (null-free set) and EXISTS forms work too
+    spark.sql(s"DELETE FROM $cat.`$root` WHERE k >= 90 AND " +
+      "k NOT IN (SELECT dk FROM dml_subq_keys)")
+    assert(SnapshotLog.read(spark, root).count() == 87L) // 90..100 die
+    // a CORRELATED subquery still refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.`$root` t WHERE EXISTS " +
+        "(SELECT 1 FROM dml_subq_keys s WHERE s.dk = t.k)")
+    }
+    assert(e.getMessage.contains("CORRELATED"))
+  }
+
+  test("UPDATE with subquery WHERE and scalar-subquery SET") {
+    import spark.implicits._
+    val root = newLog("updsubq")
+    Seq(2L, 4L).toDF("uk").createOrReplaceTempView("dml_upd_keys")
+    spark.sql(s"UPDATE $cat.`$root` SET v = 'S' " +
+      "WHERE k IN (SELECT uk FROM dml_upd_keys)")
+    val out = SnapshotLog.read(spark, root)
+    assert(out.filter(col("v") === "S").count() == 2L)
+    assert(out.filter(col("k") === 2L).select("v").head().getString(0) == "S")
+    // scalar subquery in SET: every k<=1 row takes the max staged key
+    spark.sql(s"UPDATE $cat.`$root` " +
+      "SET v = CAST((SELECT max(uk) FROM dml_upd_keys) AS STRING) " +
+      "WHERE k = 1")
+    assert(SnapshotLog.read(spark, root).filter(col("k") === 1L)
+      .select("v").head().getString(0) == "4")
   }
 }
