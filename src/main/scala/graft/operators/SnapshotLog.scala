@@ -219,6 +219,59 @@ object SnapshotLog {
     x.length > y.length
   }
 
+  /** Parse one stat-rendered value back to its CATALYST-internal form —
+    * the exact inverse of the `min(col).cast("string")` rendering stats
+    * are written with, for the types whose rendering round-trips
+    * losslessly (integrals as digits, float/double via Java's
+    * shortest-round-trip repr incl. NaN/Infinity, decimals plain,
+    * strings as-is, dates ISO, timestamps in the session's UTC
+    * rendering). None = not invertible here; callers must refuse and
+    * fall back to a real scan — conservative, never wrong.
+    */
+  private[graft] def statValueOf(
+      dt: org.apache.spark.sql.types.DataType, s: String): Option[Any] = {
+    import org.apache.spark.sql.types._
+    try dt match {
+      case LongType => Some(java.lang.Long.valueOf(s))
+      case IntegerType => Some(java.lang.Integer.valueOf(s))
+      case ShortType => Some(java.lang.Short.valueOf(s))
+      case ByteType => Some(java.lang.Byte.valueOf(s))
+      case DoubleType => Some(java.lang.Double.valueOf(s))
+      case FloatType => Some(java.lang.Float.valueOf(s))
+      case d: DecimalType =>
+        val dec = Decimal(BigDecimal(s))
+        if (dec.changePrecision(d.precision, d.scale)) Some(dec) else None
+      case StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case DateType => Some(java.lang.Integer.valueOf(
+        java.time.LocalDate.parse(s).toEpochDay.toInt))
+      case TimestampType =>
+        val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        Some(java.lang.Long.valueOf(
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000L))
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Order two [[statValueOf]] results under SPARK's aggregate order:
+    * binary (UTF8String) for strings, total order with NaN greatest for
+    * float/double (exactly `max`/`min`'s comparator), natural order for
+    * the rest — so a min-of-mins / max-of-maxs over file stats equals
+    * the aggregate a full scan would compute.
+    */
+  private[graft] def statValueCompare(
+      dt: org.apache.spark.sql.types.DataType, a: Any, b: Any): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType => java.lang.Double.compare(
+        a.asInstanceOf[java.lang.Double], b.asInstanceOf[java.lang.Double])
+      case FloatType => java.lang.Float.compare(
+        a.asInstanceOf[java.lang.Float], b.asInstanceOf[java.lang.Float])
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
+  }
+
   // ---- hash-bucket layout: a DERIVED per-file stat (reserved name
   // `__bucket:<col>:<n>`, min/max of pmod(hash(col), n) over the file's
   // rows) recorded beside the real column stats. [[optimizeBucketed]]
@@ -2016,7 +2069,8 @@ object SnapshotLog {
       schema: StructType, curIds: Map[String, Int],
       kept: Seq[FileEntry], totalFiles: Int,
       eqOutstanding: Boolean,
-      dvByTarget: Map[String, Seq[String]])
+      dvByTarget: Map[String, Seq[String]],
+      spec: Seq[PartField] = Seq.empty)
 
   /** Snapshot `id`'s parent id — header bytes only. The default
     * changelog window (`parent(current) -> current`) resolves through
@@ -2045,8 +2099,22 @@ object SnapshotLog {
     val curIds = currentIdsOf(raw, schema)._1
     val dv = deleteMapOf(fsOf(spark, root), root, raw)
       .map { case (t, es) => t -> es.map(_.dvDir).distinct }
-    CatalogBatchPlan(schema, curIds, kept, total, raw.eqRefs.nonEmpty, dv)
+    CatalogBatchPlan(schema, curIds, kept, total, raw.eqRefs.nonEmpty, dv,
+      raw.spec)
   }
+
+  /** The single transform VALUE a file covers for one spec field, when
+    * its recorded band is a point (min == max — true by construction
+    * for fanout-written files), resolved through the file's field ids
+    * so renames don't break it. None = band absent or not a point —
+    * the file spans transform values and cannot key a storage
+    * partition.
+    */
+  private[graft] def fileTransformPoint(f: FileEntry, field: PartField,
+      curIds: Map[String, Int]): Option[String] =
+    physNameIn(f, field.column, curIds).flatMap { nm =>
+      f.stats.get(partStatName(PartField(field.transform, nm, field.n)))
+    }.collect { case (mn, mx) if mn == mx => mn }
 
   /** Per-entry box pruning over an ALREADY-PLANNED file set — the
     * file-level half of [[boxFilesRaw]] (stat bands + transform
@@ -4101,16 +4169,29 @@ object SnapshotLog {
     // repartition.
     val spec = declareSpec.getOrElse(prev.map(_.spec).getOrElse(Seq.empty))
     val routed = spec.filter(f => df.columns.contains(f.column))
-    val (dfR, derivedR) =
-      if (derivedStats.nonEmpty || routed.isEmpty) (df, derivedStats)
+    // fanout mode (`spark.graft.write.fanout=true`): the writer SPLITS
+    // files at transform-value boundaries (Iceberg's fanout writer) —
+    // every data file then covers EXACTLY ONE partition tuple, which
+    // (a) makes each transform band a point (perfect file pruning) and
+    // (b) is the layout precondition for storage-partitioned joins
+    // (each file maps to one partition key). Default stays the
+    // range-clustered single-file-per-task layout (fewer, larger files).
+    val fanout = spark.conf.getOption("spark.graft.write.fanout")
+      .exists(_.toBoolean)
+    val (dfR, derivedR, fanoutR) =
+      if (derivedStats.nonEmpty || routed.isEmpty) (df, derivedStats, Nil)
       else {
         val exprs = routed.map(f => partExpr(f, df.schema(f.column).dataType))
-        (df.repartitionByRange(exprs: _*),
-          routed.map(f =>
-            partStatName(f) -> partExpr(f, df.schema(f.column).dataType)))
+        val derived = routed.map(f =>
+          partStatName(f) -> partExpr(f, df.schema(f.column).dataType))
+        // both modes co-locate each transform tuple's rows first, so a
+        // fanout task usually owns whole values (one open writer each)
+        (df.repartitionByRange(exprs: _*), derived,
+          if (fanout) exprs else Nil)
       }
     commitFiles(spark, root, dfR, operation, refs, inline, schema, bloomSpec,
-      derivedStats = derivedR, tableIds0 = ids, lastColId0 = last,
+      derivedStats = derivedR, fanoutExprs = fanoutR,
+      tableIds0 = ids, lastColId0 = last,
       carriedDRefs = dRefs, carriedEqRefs = eqRefs, plannedBase = base,
       appendNewCols = newCols, carriedSpec = spec,
       specDeclared = declareSpec.isDefined,
@@ -4144,11 +4225,24 @@ object SnapshotLog {
     */
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
       idHint: Long, bloomSpec: Option[BloomSpec],
-      derivedStats: Seq[(String, Column)]): Seq[FileEntry] = {
+      derivedStats: Seq[(String, Column)],
+      fanoutExprs: Seq[Column] = Nil): Seq[FileEntry] = {
     val fs = fsOf(spark, root)
     val dataDir =
       s"data/c${idHint}_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(s"$root/$dataDir")
+    if (fanoutExprs.isEmpty) df.write.parquet(s"$root/$dataDir")
+    else {
+      // fanout: split files at transform-value boundaries via the
+      // parquet writer's own dynamic partitioning — the `__fan*`
+      // helper columns live only in the DIRECTORY names (partitionBy
+      // excludes them from the file bytes), so the data files carry
+      // exactly the table's columns; stats below recompute the
+      // transforms from those real columns, never from the dir names
+      val names = fanoutExprs.indices.map(i => s"__fan$i")
+      fanoutExprs.zip(names)
+        .foldLeft(df) { case (d, (e, n)) => d.withColumn(n, e) }
+        .write.partitionBy(names: _*).parquet(s"$root/$dataDir")
+    }
     val sc = statCols(df.schema).map(c => c -> col(c)) ++ derivedStats
     val bloomCols = bloomSpec.map(_.cols).getOrElse(Nil)
     if (bloomCols.nonEmpty) graft.functions.GraftFunctions.register(spark)
@@ -4174,9 +4268,16 @@ object SnapshotLog {
         }.toMap
         relativize(r.getString(0)) -> ((r.getLong(1), stats, blooms))
       }.toMap
-    fs.listStatus(new Path(s"$root/$dataDir")).iterator
-      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-      .map(n => s"$dataDir/$n").toSeq.sorted
+    // recursive: fanout writes land one directory level down per
+    // transform (`__fan0=v/…`); the flat layout lists unchanged
+    def listParquet(dir: Path): Iterator[Path] =
+      fs.listStatus(dir).iterator.flatMap { st =>
+        if (st.isDirectory) listParquet(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Iterator(st.getPath)
+        else Iterator.empty
+      }
+    listParquet(new Path(s"$root/$dataDir"))
+      .map(p => relativize(p.toString)).toSeq.sorted
       .map { p =>
         val (n, stats, blooms) = counted.getOrElse(p,
           (0L, Map.empty[String, (String, String)], Map.empty[String, String]))
@@ -4198,6 +4299,7 @@ object SnapshotLog {
       tableSchema0: StructType = null,
       bloomSpec: Option[BloomSpec] = None,
       derivedStats: Seq[(String, Column)] = Nil,
+      fanoutExprs: Seq[Column] = Nil,
       tableIds0: Map[String, Int] = Map.empty,
       lastColId0: Int = 0,
       carriedDRefs: Seq[DeleteRef] = Seq.empty,
@@ -4225,7 +4327,8 @@ object SnapshotLog {
     // stamp keeps resolving (see the retry's identity merge below)
     val origIds = tableIds
     val written =
-      writeDataFiles(spark, root, df, base + 1, bloomSpec, derivedStats)
+      writeDataFiles(spark, root, df, base + 1, bloomSpec, derivedStats,
+        fanoutExprs)
     val dfCols = df.columns.toSet
     while (true) {
       val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
@@ -6878,6 +6981,34 @@ object SnapshotLog {
              |FROM orders WHERE o_orderkey % 10 = 1
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { sqlMergeEvolveLog(s, dir); () })
+    ),
+
+    // TT44: aggregate pushdown — an unfiltered COUNT(*)/MIN/MAX over
+    // a catalog table answers from the MANIFEST alone (the physical
+    // plan is a LocalTableScan; SnapshotAggPushdownSpec proves it the
+    // strong way by deleting the data files). Runs over tt2/tt3's
+    // staged log, whose final snapshot is a COPY-ON-WRITE delete —
+    // the manifest counts must reflect the delete exactly. The oracle
+    // recomputes all five aggregates relationally: an overcounted
+    // dead row, a stale band, or a mis-parsed stat breaks the hash.
+    Q(
+      "tt44_sql_agg_pushdown",
+      (s, dir) => {
+        val root = ordersLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.sql(
+          s"""SELECT count(*) AS n_rows,
+             |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |       min(o_orderstatus) AS min_status,
+             |       max(o_orderstatus) AS max_status
+             |FROM snapcat.`$root`""".stripMargin)
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+             |       min(o_orderstatus) AS min_status,
+             |       max(o_orderstatus) AS max_status
+             |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin),
+      stage = Some((s, dir) => { ordersLog(s, dir); () })
     )
   )
 }

@@ -732,11 +732,13 @@ private[sources] class SnapshotWriteBuilder(root: String)
 private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
     branch: Option[(String, Long)], tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var exact: Seq[sources.Filter] = Seq.empty
   private var boxes: Seq[(String, Option[String], Option[String])] = Seq.empty
+  private var aggScan: Option[SnapshotAggScan] = None
 
   /** The snapshot this scan reads, resolved ONCE at build time: an
     * asOf=0 (current-head) read pins the head HERE, so the file plan
@@ -778,7 +780,94 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // ---- aggregate pushdown: an UNFILTERED, UNGROUPED
+  // COUNT(*)/MIN/MAX answers from the manifest ALONE — the metadata
+  // query every lakehouse dashboard runs (`SELECT count(*) FROM t`)
+  // costs one manifest read and ZERO data files at any table size.
+  // Complete pushdown only, and only when the answer is provably
+  // exact: no pushed predicates (stat-band pruning is file-INEXACT, so
+  // an aggregate over a filtered scan must run on real rows), no
+  // outstanding delete vectors or equality deletes (file row counts /
+  // bands would overcount dead rows), every kept file carrying a
+  // round-trippable stat for each MIN/MAX column (an all-null file
+  // records no stat — indistinguishable from stats-off, so refuse
+  // rather than guess). Anything else returns false and Spark plans
+  // the ordinary scan + aggregate. ----
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = tryAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggScan = tryAgg(agg)
+    aggScan.isDefined
+  }
+
+  private def tryAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[SnapshotAggScan] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types.{LongType, StructField}
+    if (exact.nonEmpty || boxes.nonEmpty) return None
+    if (agg.groupByExpressions.nonEmpty) return None
+    val spark = SparkSession.active
+    val plan = SnapshotLog.catalogBatchPlanPin(
+      spark, root, pinnedAsOf, branch, Seq.empty)
+    if (plan.eqOutstanding || plan.dvByTarget.nonEmpty) return None
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+    // min-of-file-mins / max-of-file-maxs under the column type's own
+    // aggregate order; None = some file can't contribute (refuse)
+    def minMax(c: String, wantMin: Boolean)
+        : Option[(org.apache.spark.sql.types.DataType, Any)] = {
+      if (!plan.schema.fieldNames.contains(c)) return None
+      val dt = plan.schema(c).dataType
+      val vals = plan.kept.map { f =>
+        SnapshotLog.physNameIn(f, c, plan.curIds) match {
+          case None => Some(None) // column absent in file: all NULL, skips
+          case Some(nm) => f.stats.get(nm) match {
+            case Some((mn, mx)) =>
+              SnapshotLog.statValueOf(dt, if (wantMin) mn else mx).map(Some(_))
+            case None => None // no stat: unknown content, refuse
+          }
+        }
+      }
+      if (vals.exists(_.isEmpty)) return None
+      val flat = vals.flatten.flatten
+      val v =
+        if (flat.isEmpty) null
+        else flat.reduce((a, b) =>
+          if ((SnapshotLog.statValueCompare(dt, a, b) <= 0) == wantMin) a
+          else b)
+      Some((dt, v))
+    }
+    val resolved = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(("count(*)", LongType: org.apache.spark.sql
+        .types.DataType, java.lang.Long.valueOf(plan.kept.map(_.rows).sum)))
+      case m: Min => colOf(m.column).flatMap(c =>
+        minMax(c, wantMin = true).map { case (dt, v) => (s"min($c)", dt, v) })
+      case m: Max => colOf(m.column).flatMap(c =>
+        minMax(c, wantMin = false).map { case (dt, v) => (s"max($c)", dt, v) })
+      case _ => None
+    }
+    if (resolved.exists(_.isEmpty)) return None
+    val cols = resolved.flatten
+    Some(new SnapshotAggScan(root, pinnedAsOf, branch,
+      StructType(cols.map { case (n, dt, _) => StructField(n, dt) }),
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(cols.map(_._3)),
+      plan.kept.size, plan.totalFiles))
+  }
+
   override def build(): Scan = {
+    if (aggScan.isDefined) return aggScan.get
     val pin = pinnedAsOf
     if (!batchConf)
       return new SnapshotScan(root, pin, branch, required, boxes, exact)
@@ -790,6 +879,34 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
       new SnapshotScan(root, pin, branch, required, boxes, exact)
     else new SnapshotBatchScan(root, pin, branch, required, plan, exact)
   }
+}
+
+/** A completely-pushed aggregate over a snapshot-log table: the one
+  * answer row, computed at PLAN time from the pinned manifest's file
+  * metadata (row counts, min/max stat bands) — a [[org.apache.spark
+  * .sql.connector.read.LocalScan]], so the physical plan is a local
+  * table scan: zero data files opened, zero executor tasks launched.
+  * Built only when exactness is provable (see the builder's tryAgg);
+  * at 100 TB this turns `SELECT count(*), min(ts), max(ts) FROM t`
+  * from a full-table scan into a kilobyte manifest read.
+  */
+class SnapshotAggScan(val root: String, val asOf: Long,
+    val branch: Option[(String, Long)],
+    out: StructType,
+    row: org.apache.spark.sql.catalyst.InternalRow,
+    val filesAggregated: Int, val totalFiles: Int)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    Array(row)
+
+  override def readSchema(): StructType = out
+
+  override def description(): String =
+    s"SnapshotAggScan root=$root asOf=$asOf" +
+      branch.map { case (b, k) => s" branch=$b@$k" }.getOrElse("") +
+      s" files=$filesAggregated/$totalFiles (manifest-only)" +
+      s" out=${out.fieldNames.mkString("[", ", ", "]")}"
 }
 
 /** The planned scan: file pruning happens HERE, once, on the driver —

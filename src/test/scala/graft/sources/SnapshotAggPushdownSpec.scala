@@ -1,0 +1,164 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.operators.SnapshotLog
+
+/** Aggregate pushdown into the snapshot catalog: an unfiltered,
+  * ungrouped COUNT(*)/MIN/MAX answers from the MANIFEST alone — the
+  * physical plan is a LocalTableScan, zero data files opened (proven
+  * the strong way: the data files are deleted and the query still
+  * answers). Every condition that would make the metadata answer
+  * inexact must refuse pushdown and fall back to a real scan.
+  */
+class SnapshotAggPushdownSpec extends SparkSpec {
+
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.snagg",
+      classOf[SnapshotCatalog].getName)
+    "snagg"
+  }
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Three appends over (k BIGINT, v STRING, x DOUBLE, ts TIMESTAMP). */
+  private def freshLog(tag: String): String = {
+    import spark.implicits._
+    val root = graft.TempDirs.create(s"aggpush_$tag").resolve("log").toString
+    Seq(1L to 10L, 101L to 110L, 201L to 210L).foreach { ks =>
+      SnapshotLog.append(spark, root,
+        ks.map(k => (k, s"v$k", k * 0.5,
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(k * 1000))))
+          .toDF("k", "v", "x", "ts").coalesce(1))
+    }
+    root
+  }
+
+  private def isLocal(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    plan.contains("LocalTableScan") && !plan.contains("SnapshotBatchScan") &&
+      !plan.contains("SnapshotScan ")
+  }
+
+  test("count/min/max answer from the manifest: LocalTableScan, survives data-file loss") {
+    val root = freshLog("basic")
+    val q = s"SELECT count(*) AS n, min(k) AS mn, max(k) AS mx, " +
+      s"min(v) AS sv, max(x) AS mxx, min(ts) AS mnts FROM $cat.`$root`"
+    val df = spark.sql(q)
+    assert(isLocal(df), "pushed aggregate must plan as a local scan:\n" +
+      df.queryExecution.executedPlan.toString)
+    val r = df.head()
+    assert(r.getLong(0) == 30L)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 210L)
+    assert(r.getString(3) == "v1")
+    assert(r.getDouble(4) == 105.0)
+    assert(r.getTimestamp(5).toInstant ==
+      java.time.Instant.ofEpochSecond(1000L))
+    // strong form: the answer never touched the data files
+    val f = fs(root)
+    f.listStatus(new Path(s"$root/data")).foreach(d =>
+      f.delete(d.getPath, true))
+    val r2 = spark.sql(q).head()
+    assert(r2.getLong(0) == 30L && r2.getLong(1) == 1L)
+  }
+
+  test("a WHERE clause refuses pushdown on both scan modes") {
+    val root = freshLog("filtered")
+    Seq("true", "false").foreach { mode =>
+      spark.conf.set("spark.graft.catalog.batchScan", mode)
+      try {
+        val df = spark.sql(
+          s"SELECT count(*) AS n, max(k) AS mx FROM $cat.`$root` WHERE k < 100")
+        assert(!isLocal(df),
+          s"filtered aggregate must scan rows (batchScan=$mode)")
+        val r = df.head()
+        assert(r.getLong(0) == 10L && r.getLong(1) == 10L)
+      } finally spark.conf.unset("spark.graft.catalog.batchScan")
+    }
+  }
+
+  test("outstanding delete vectors refuse pushdown; counts stay exact") {
+    val root = freshLog("mor")
+    SnapshotLog.deleteWhereMoR(spark, root, col("k") % 2 === 0L)
+    val df = spark.sql(s"SELECT count(*) AS n, max(k) AS mx FROM $cat.`$root`")
+    assert(!isLocal(df), "DV-dirty snapshot must not answer from file rows")
+    val r = df.head()
+    assert(r.getLong(0) == 15L && r.getLong(1) == 209L)
+    // compaction clears the vectors; pushdown comes back, same answer
+    SnapshotLog.rewriteDeletes(spark, root)
+    val df2 = spark.sql(s"SELECT count(*) AS n, max(k) AS mx FROM $cat.`$root`")
+    assert(isLocal(df2), "post-compaction snapshot is clean again")
+    val r2 = df2.head()
+    assert(r2.getLong(0) == 15L && r2.getLong(1) == 209L)
+  }
+
+  test("GROUP BY and COUNT(col) refuse pushdown and stay correct") {
+    val root = freshLog("grouped")
+    val g = spark.sql(
+      s"SELECT v, count(*) AS n FROM $cat.`$root` GROUP BY v")
+    assert(!isLocal(g))
+    assert(g.count() == 30L)
+    val c = spark.sql(s"SELECT count(v) AS n FROM $cat.`$root`")
+    assert(!isLocal(c), "null-count is not in the manifest")
+    assert(c.head().getLong(0) == 30L)
+  }
+
+  test("an all-null column refuses MIN pushdown (no stat recorded)") {
+    import spark.implicits._
+    val root = graft.TempDirs.create("aggpush_nulls").resolve("log").toString
+    SnapshotLog.append(spark, root,
+      Seq((1L, Option.empty[String]), (2L, None))
+        .toDF("k", "v").coalesce(1))
+    val df = spark.sql(s"SELECT min(v) AS mn FROM $cat.`$root`")
+    assert(!isLocal(df),
+      "all-null stat is indistinguishable from stats-off: must fall back")
+    assert(df.head().isNullAt(0))
+    // count(*) alone is still manifest-answerable on the same table
+    val c = spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`")
+    assert(isLocal(c))
+    assert(c.head().getLong(0) == 2L)
+  }
+
+  test("time travel aggregates against the pinned manifest") {
+    val root = freshLog("tt")
+    val df = spark.sql(
+      s"SELECT count(*) AS n, max(k) AS mx FROM $cat.`$root` VERSION AS OF 1")
+    assert(isLocal(df))
+    val r = df.head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L)
+  }
+
+  test("renamed columns aggregate through field ids") {
+    val root = freshLog("rename")
+    SnapshotLog.renameColumn(spark, root, "k", "key")
+    val df = spark.sql(
+      s"SELECT min(key) AS mn, max(key) AS mx FROM $cat.`$root`")
+    assert(isLocal(df), "old files' stats resolve via their field ids")
+    val r = df.head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 210L)
+    // a column ADDED after the files were written: absent everywhere,
+    // MIN is NULL and provably so (absent column = all NULL per file)
+    SnapshotLog.addColumn(spark, root, "w",
+      org.apache.spark.sql.types.StringType)
+    val a = spark.sql(s"SELECT min(w) AS mn FROM $cat.`$root`")
+    assert(isLocal(a), "absent-in-every-file column is exactly all-NULL")
+    assert(a.head().isNullAt(0))
+  }
+
+  test("library reads and SQL aggregates agree after an overwrite") {
+    val root = freshLog("ow")
+    import spark.implicits._
+    SnapshotLog.overwrite(spark, root,
+      (1L to 5L).map(k => (k, s"w$k", 1.0,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(k))))
+        .toDF("k", "v", "x", "ts"))
+    val df = spark.sql(s"SELECT count(*) AS n, max(v) AS mx FROM $cat.`$root`")
+    assert(isLocal(df))
+    val r = df.head()
+    assert(r.getLong(0) == 5L && r.getString(1) == "w5")
+  }
+}
