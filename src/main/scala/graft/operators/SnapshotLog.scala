@@ -4773,6 +4773,36 @@ object SnapshotLog {
       carriedSpec = raw.spec)
   }
 
+  /** OPTIMIZE into the FANOUT layout of the table's DECLARED partition
+    * spec: rewrite the live content so every data file covers EXACTLY
+    * ONE partition tuple — point transform bands (perfect file
+    * pruning) and the layout precondition for storage-partitioned
+    * joins (each file keys one storage partition; see
+    * [[graft.sources.SnapshotBatchScan]]). One overwrite-class commit,
+    * history preserved — how an existing range-clustered table adopts
+    * the SPJ layout without touching its ingest.
+    */
+  def optimizePartitioned(spark: SparkSession, root: String): Long = {
+    val base = currentId(spark, root)
+    require(base > 0, s"optimizePartitioned on empty log $root")
+    val raw = rawManifest(spark, root, base)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    val routed = raw.spec.filter(f => schema.fieldNames.contains(f.column))
+    require(routed.nonEmpty,
+      s"optimizePartitioned needs a declared partition spec on $root " +
+        "(CREATE TABLE … PARTITIONED BY, or declareSpec on append)")
+    val (ids, last) = currentIdsOf(raw, schema)
+    val exprs = routed.map(f => partExpr(f, schema(f.column).dataType))
+    commitFiles(spark, root,
+      read(spark, root).repartitionByRange(exprs: _*),
+      "optimize-partitioned", Seq.empty, Seq.empty, schema,
+      derivedStats = routed.map(f =>
+        partStatName(f) -> partExpr(f, schema(f.column).dataType)),
+      fanoutExprs = exprs,
+      tableIds0 = ids, lastColId0 = last, plannedBase = base,
+      carriedSpec = raw.spec)
+  }
+
   /** OPTIMIZE into a Z-ORDER (Morton) layout over two columns: rewrite
     * the current content range-clustered on the shared equal-depth
     * Morton key ([[LakeMaintenance.withZ]] — the ONE z-key definition,
@@ -5646,6 +5676,32 @@ object SnapshotLog {
         .select("o_orderkey", "o_custkey", "o_orderstatus")
         .repartitionByRange(8, col("o_orderkey")))
     }.resolve("log").toString
+
+  /** Staged CO-BUCKETED pair for the storage-partitioned join: two
+    * tables declaring the same `bucket(8, key)` spec, fanout-written so
+    * every data file covers exactly one bucket — the layout under
+    * which both scans report `KeyGroupedPartitioning` and the join
+    * plans with zero Exchange on either side.
+    */
+  private def spjLogs(s: SparkSession, dir: String): (String, String) = {
+    val p = graft.TempDirs.staged(s"ttspj_${graft.TempDirs.dirKey(dir)}") { p =>
+      val fact = p.resolve("fact").toString
+      val dim = p.resolve("dim").toString
+      val orders = Tables(s, dir, "orders")
+      s.conf.set("spark.graft.write.fanout", "true")
+      try {
+        createTable(s, fact,
+          StructType.fromDDL("o_orderkey BIGINT, o_custkey BIGINT"),
+          Seq(PartField("bucket", "o_orderkey", 8)))
+        append(s, fact, orders.select("o_orderkey", "o_custkey"))
+        createTable(s, dim,
+          StructType.fromDDL("o_orderkey BIGINT, o_orderpriority STRING"),
+          Seq(PartField("bucket", "o_orderkey", 8)))
+        append(s, dim, orders.select("o_orderkey", "o_orderpriority"))
+      } finally s.conf.unset("spark.graft.write.fanout")
+    }
+    (p.resolve("fact").toString, p.resolve("dim").toString)
+  }
 
   /** Staged SQL-DELETE log: one append, then a pure-SQL `DELETE FROM …
     * WHERE` whose predicate has NO sources.Filter translation (modulo
@@ -7009,6 +7065,35 @@ object SnapshotLog {
              |       max(o_orderstatus) AS max_status
              |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin),
       stage = Some((s, dir) => { ordersLog(s, dir); () })
+    ),
+
+    // TT45: storage-partitioned join — two co-bucketed fanout tables
+    // join through SQL with ZERO shuffle on either side (both scans
+    // report KeyGroupedPartitioning(bucket(8, key)); the catalog's V2
+    // bucket function proves compatibility; SnapshotSpjSpec pins the
+    // exchange-free plan). At 100 TB this is the fact⋈fact shape that
+    // otherwise re-shuffles both tables per join. The MERGE hint fixes
+    // the join strategy so the timed plan is the SPJ sort-merge, not a
+    // small-SF broadcast. The oracle recomputes the join relationally.
+    Q(
+      "tt45_spj_join",
+      (s, dir) => {
+        val (fact, dim) = spjLogs(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        // the SPJ opt-in: report KeyGroupedPartitioning (one task per
+        // bucket) for this session — harmless to every other fixture
+        // (only fanout-written point-banded tables can key-group)
+        s.conf.set("spark.graft.catalog.preserveGrouping", "true")
+        s.sql(
+          s"""SELECT /*+ MERGE(f) */ f.o_orderkey, f.o_custkey,
+             |       d.o_orderpriority
+             |FROM snapcat.`$fact` f
+             |JOIN snapcat.`$dim` d ON f.o_orderkey = d.o_orderkey
+             |ORDER BY f.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderpriority
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { spjLogs(s, dir); () })
     )
   )
 }

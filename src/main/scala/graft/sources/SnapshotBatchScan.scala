@@ -61,6 +61,7 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
     reportPushed: Seq[sources.Filter])
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with SnapshotScanLike {
 
   private val spark = SparkSession.active
@@ -89,6 +90,62 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
         math.max(1, required.map(_.dataType.defaultSize).sum))
     override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
   }
+
+  // ---- storage-partitioned join: when the table declares a bucket
+  // spec and every planned file's recorded bucket band is a POINT
+  // (fanout-written layouts guarantee this), each file maps to exactly
+  // one partition key and the scan reports
+  // `KeyGroupedPartitioning(bucket(n, col))` — two co-bucketed tables
+  // then join with ZERO shuffle on either side, the difference between
+  // re-shuffling 100 TB per join and reading both sides in place. The
+  // decision is fixed from the PRE-runtime-filter file set (runtime
+  // filtering only removes files, so the invariant cannot break).
+  // Reporting is DOUBLY gated: Spark's own SPJ conf (default on in
+  // Spark 4) AND the opt-in `spark.graft.catalog.preserveGrouping` —
+  // because a reported KeyGroupedPartitioning makes BatchScanExec read
+  // ONE TASK PER BUCKET (a 10k-file scan collapses to n_buckets tasks:
+  // right for the shuffle-free join, catastrophic for a plain scan's
+  // parallelism at 100 TB). Iceberg's preserve-data-grouping flag,
+  // same default, same reason. ----
+
+  private lazy val spjField: Option[SnapshotLog.PartField] = {
+    val conf = SparkSession.active.conf
+    val on = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      .exists(_.toBoolean) &&
+      conf.getOption("spark.graft.catalog.preserveGrouping")
+        .exists(_.toBoolean)
+    if (!on || plan0.kept.isEmpty) None
+    else plan0.spec.find(f => f.transform == "bucket" &&
+      required.fieldNames.contains(f.column) &&
+      plan0.kept.forall(file =>
+        SnapshotLog.fileTransformPoint(file, f, plan0.curIds).isDefined))
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjField match {
+      case Some(f) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(Expressions.bucket(f.n, f.column)),
+            planInputPartitions().length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(planInputPartitions().length)
+    }
+
+  /** The partition key row a file contributes under the SPJ field —
+    * the bucket id its point band records, as the LongType value the
+    * bucket transform evaluates to.
+    */
+  private def keyOf(f: SnapshotLog.FileEntry): InternalRow =
+    spjField.map { field =>
+      val v = SnapshotLog.fileTransformPoint(f, field, plan0.curIds)
+        .getOrElse(throw new IllegalStateException(
+          s"SPJ-keyed scan lost the point band of ${f.path}"))
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](java.lang.Long.parseLong(v)))
+    }.orNull
 
   // ---- runtime filtering (DPP): every SCANNED column is a candidate
   // (Spark resolves these against the scan's own output — a pruned
@@ -231,7 +288,8 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
           else ParquetReadBridge.reader(spark, dvSchema,
             Seq(sources.EqualTo("t_path", f.path)), returningBatch = false),
         dvDirs = dvDirs.map(d => s"$root/$d").toArray,
-        columnar = columnar): InputPartition
+        columnar = columnar,
+        key = keyOf(f)): InputPartition
     }.toArray
     (groupSpecs, parts, columnar)
   }
@@ -252,12 +310,21 @@ private[sources] final case class SnapshotGroupSpec(
     physFields: StructType, outMap: Array[Int], posIdx: Int,
     identity: Boolean, hasPos: Boolean) extends Serializable
 
+/** `key` is non-null only when the owning scan reports
+  * KeyGroupedPartitioning — Spark consults [[org.apache.spark.sql
+  * .connector.read.HasPartitionKey]] solely on that path, and groups
+  * same-key partitions into one storage partition itself.
+  */
 private[sources] final case class SnapshotFilePartition(
     group: Int, path: String, relPath: String,
     dirty: Boolean,
     dvReader: PartitionedFile => Iterator[InternalRow],
     dvDirs: Array[String],
-    columnar: Boolean) extends InputPartition
+    columnar: Boolean,
+    key: InternalRow = null) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 private[sources] class SnapshotReaderFactory(
     groups: Array[SnapshotGroupSpec], required: StructType,

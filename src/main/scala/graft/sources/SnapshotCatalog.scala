@@ -66,7 +66,8 @@ import graft.operators.SnapshotLog
   */
 class SnapshotCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName: String = "snap"
   private var warehouse: Option[String] = None
@@ -302,6 +303,23 @@ class SnapshotCatalog extends TableCatalog
     if (!namespace.sameElements(Array("system"))) Array.empty
     else SnapshotProcedures.names
       .map(n => Identifier.of(Array("system"), n)).toArray
+
+  // ---- FunctionCatalog: the layout transforms as loadable V2
+  // functions — what Spark's storage-partitioned-join planner resolves
+  // a scan's reported `KeyGroupedPartitioning(bucket(n, col))` against
+  // (V2ExpressionUtils looks the transform up by bare name on the
+  // relation's own catalog). ----
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
+      SnapshotBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
 }
 
 object SnapshotCatalog {

@@ -88,6 +88,12 @@ private[sources] object SnapshotProcedures {
       StructType.fromDDL("snapshot_id BIGINT"),
       (s, r, in) => Seq(SnapshotLog.optimizeBucketed(s, r(str(in, 0)),
         str(in, 1), in.getInt(2)))),
+    Spec("optimize_partitioned",
+      "rewrite into the declared spec's fanout layout: one partition " +
+        "value per file (point bands; storage-partitioned joins)",
+      Seq(("table", StringType, None)),
+      StructType.fromDDL("snapshot_id BIGINT"),
+      (s, r, in) => Seq(SnapshotLog.optimizePartitioned(s, r(str(in, 0))))),
     Spec("rewrite_deletes",
       "fold outstanding equality deletes to vectors, then vectors into files",
       Seq(("table", StringType, None)),

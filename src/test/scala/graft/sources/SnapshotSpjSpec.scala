@@ -1,0 +1,190 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.operators.SnapshotLog
+
+/** Storage-partitioned joins over co-bucketed snapshot tables: fanout
+  * writes give every data file a single bucket value, the scan reports
+  * KeyGroupedPartitioning(bucket(n, col)), the catalog serves the V2
+  * bucket function, and Spark elides BOTH shuffles from the join.
+  */
+class SnapshotSpjSpec extends SparkSpec {
+
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.snspj",
+      classOf[SnapshotCatalog].getName)
+    "snspj"
+  }
+
+  private val Buckets = 4
+
+  /** Two co-bucketed fanout tables over the same key domain. */
+  private def freshPair(tag: String): (String, String) = {
+    import spark.implicits._
+    val dir = graft.TempDirs.create(s"spj_$tag")
+    val fact = dir.resolve("fact").toString
+    val dim = dir.resolve("dim").toString
+    spark.conf.set("spark.graft.write.fanout", "true")
+    try {
+      SnapshotLog.createTable(spark, fact,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, amount BIGINT"),
+        Seq(SnapshotLog.PartField("bucket", "k", Buckets)))
+      SnapshotLog.append(spark, fact,
+        (1L to 400L).map(k => (k, k * 10L)).toDF("k", "amount"))
+      SnapshotLog.createTable(spark, dim,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, label STRING"),
+        Seq(SnapshotLog.PartField("bucket", "k", Buckets)))
+      SnapshotLog.append(spark, dim,
+        (1L to 400L).map(k => (k, s"l$k")).toDF("k", "label"))
+    } finally spark.conf.unset("spark.graft.write.fanout")
+    (fact, dim)
+  }
+
+  /** Final-plan string AFTER execution — AQE re-plans, so assertions
+    * read the executed shape, not the initial wrapper. */
+  private def finalPlan(df: DataFrame): String = {
+    df.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def withSpj[T](f: => T): T = {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.graft.catalog.preserveGrouping", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f
+    finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.graft.catalog.preserveGrouping")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("fanout writes produce point bucket bands; the scan key-groups") {
+    val (fact, _) = freshPair("bands")
+    withSpj {
+      val df = spark.sql(s"SELECT * FROM $cat.`$fact`")
+      val scan = SnapshotCatalog.scanOf(df).asInstanceOf[SnapshotBatchScan]
+      assert(scan.keptFiles.nonEmpty)
+      val part = scan.outputPartitioning()
+      assert(part.isInstanceOf[
+        org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning],
+        s"fanout layout must key-group: $part")
+      // every input partition carries a key, and the keys cover the
+      // bucket domain
+      val keys = scan.toBatch.planInputPartitions().map(
+        _.asInstanceOf[SnapshotFilePartition].partitionKey().getLong(0))
+      assert(keys.forall(k => k >= 0 && k < Buckets))
+      assert(keys.distinct.sorted.toSeq == (0L until Buckets.toLong))
+      assert(df.count() == 400L)
+      assert(rowSet(df) == rowSet(SnapshotLog.read(spark, fact)))
+    }
+  }
+
+  test("co-bucketed join elides both shuffles and matches the plain join") {
+    val (fact, dim) = freshPair("join")
+    withSpj {
+      val df = spark.sql(
+        s"""SELECT /*+ MERGE(f) */ f.k, f.amount, d.label
+           |FROM $cat.`$fact` f JOIN $cat.`$dim` d ON f.k = d.k""".stripMargin)
+      val plan = finalPlan(df)
+      assert(plan.contains("SortMergeJoin"), s"hinted merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join must not shuffle either side:\n$plan")
+      assert(df.count() == 400L)
+      assert(df.filter("k = 7").head().getString(2) == "l7")
+    }
+  }
+
+  test("without opting in, a plain scan never key-groups (keeps task parallelism)") {
+    val (fact, dim) = freshPair("off")
+    // Spark's bucketing conf defaults TRUE in Spark 4; the graft-side
+    // preserveGrouping opt-in (unset here) must keep grouping off so a
+    // plain scan reads one task per FILE, not one per bucket
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql(
+        s"""SELECT /*+ MERGE(f) */ f.k, d.label
+           |FROM $cat.`$fact` f JOIN $cat.`$dim` d ON f.k = d.k""".stripMargin)
+      val plan = finalPlan(df)
+      assert(plan.contains("Exchange hashpartitioning"),
+        s"conf off: the ordinary shuffled join:\n$plan")
+      assert(df.count() == 400L)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("a range-clustered (non-fanout) table refuses SPJ: bands span buckets") {
+    import spark.implicits._
+    val dir = graft.TempDirs.create("spj_wide")
+    val t = dir.resolve("t").toString
+    // default writer: one file per task over a range-clustered frame
+    // coalesced to 2 files over 4 buckets — bands cannot all be points
+    SnapshotLog.createTable(spark, t,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v BIGINT"),
+      Seq(SnapshotLog.PartField("bucket", "k", Buckets)))
+    SnapshotLog.append(spark, t,
+      (1L to 400L).map(k => (k, k)).toDF("k", "v").coalesce(2))
+    withSpj {
+      val df = spark.sql(s"SELECT * FROM $cat.`$t`")
+      val scan = SnapshotCatalog.scanOf(df).asInstanceOf[SnapshotBatchScan]
+      // 2 files over 4 buckets: at least one file spans buckets, so the
+      // whole scan must refuse key-grouping (a lying key would silently
+      // co-locate rows of different buckets)
+      assert(scan.outputPartitioning().isInstanceOf[
+        org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning],
+        "multi-bucket files must not key-group")
+      assert(df.count() == 400L)
+
+      // CALL optimize_partitioned adopts the fanout layout in one
+      // commit — the same table then key-groups, same rows
+      spark.sql(s"CALL $cat.system.optimize_partitioned('$t')").collect()
+      val df2 = spark.sql(s"SELECT * FROM $cat.`$t`")
+      val scan2 = SnapshotCatalog.scanOf(df2).asInstanceOf[SnapshotBatchScan]
+      assert(scan2.outputPartitioning().isInstanceOf[
+        org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning],
+        "post-rewrite layout must key-group")
+      assert(df2.count() == 400L)
+      assert(rowSet(df2) == rowSet(df))
+    }
+  }
+
+  test("SPJ survives merge-on-read deletes: per-file vectors keep keys") {
+    val (fact, dim) = freshPair("mor")
+    SnapshotLog.deleteWhereMoR(spark,
+      fact, org.apache.spark.sql.functions.col("k") % 5 === 0L)
+    withSpj {
+      val df = spark.sql(
+        s"""SELECT /*+ MERGE(f) */ f.k, d.label
+           |FROM $cat.`$fact` f JOIN $cat.`$dim` d ON f.k = d.k""".stripMargin)
+      val plan = finalPlan(df)
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"DVs drop rows per file; bucket membership is unchanged:\n$plan")
+      assert(df.count() == 320L)
+    }
+  }
+
+  test("the V2 bucket function matches the writer's routing hash") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val bound = SnapshotBucketFunction.bind(
+      org.apache.spark.sql.types.StructType.fromDDL("n INT, c BIGINT"))
+      .asInstanceOf[SnapshotBucketBound]
+    import spark.implicits._
+    val expected = spark.range(1, 100)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.col("id")),
+        org.apache.spark.sql.functions.lit(Buckets)).cast("long").as("b"))
+      .collect().map(_.getLong(0))
+    (1L until 100L).zip(expected).foreach { case (k, e) =>
+      assert(bound.produceResult(InternalRow(Buckets, k)) == e,
+        s"bucket($Buckets, $k)")
+    }
+  }
+}
