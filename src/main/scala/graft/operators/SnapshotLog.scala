@@ -7094,6 +7094,27 @@ object SnapshotLog {
       Some("""SELECT o_orderkey, o_custkey, o_orderpriority
              |FROM orders ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { spjLogs(s, dir); () })
+    ),
+
+    // TT46: limit pushdown into catalog file planning — a bare
+    // `LIMIT n` probe plans only the file prefix covering n rows
+    // (SnapshotLimitPushdownSpec pins kept=1 of 3 and every refusal
+    // arm). The count-over-limit shape keeps the oracle deterministic
+    // while the inner scan exercises the truncation; a truncation that
+    // under-delivered rows breaks the count.
+    Q(
+      "tt46_sql_limit_probe",
+      (s, dir) => {
+        val root = ordersLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.sql(
+          s"""SELECT count(*) AS n FROM (
+             |  SELECT o_orderkey FROM snapcat.`$root` LIMIT 500)""".stripMargin)
+      },
+      Some("""SELECT count(*) AS n FROM (
+             |  SELECT o_orderkey FROM orders
+             |  WHERE o_orderstatus <> 'F' LIMIT 500)""".stripMargin),
+      stage = Some((s, dir) => { ordersLog(s, dir); () })
     )
   )
 }

@@ -49,5 +49,30 @@ object SnapshotStreamTableRule extends Rule[LogicalPlan] {
       Project(s.output.zip(v1.output).map { case (v2a, v1a) =>
         Alias(v1a, v2a.name)(exprId = v2a.exprId)
       }, v1)
+
+    // `readStream.table("snap.t.changes")` — the LIVE CDC feed through
+    // the same identifier the batch changes window reads: substitute
+    // the V1 changelog source. The stream carries one extra column the
+    // batch table doesn't declare (`snapshot_id` — a live feed is
+    // per-commit, a batch window is one diff), so the projection maps
+    // the declared columns BY NAME and drops the rest.
+    case s: StreamingRelationV2
+        if s.table.isInstanceOf[graft.sources.SnapshotMetaTable] &&
+          s.table.asInstanceOf[graft.sources.SnapshotMetaTable]
+            .kind == "changes" =>
+      val t = s.table.asInstanceOf[graft.sources.SnapshotMetaTable]
+      val passed = s.extraOptions.asScala.toMap
+      require(!passed.get("mode").exists(!_.equalsIgnoreCase("changelog")),
+        "snap.t.changes streams the changelog; mode cannot be overridden")
+      val v1 = DmlBridge.streamingSourceRelation(
+        org.apache.spark.sql.SparkSession.active,
+        "snapshot-log",
+        passed + ("path" -> t.root) + ("mode" -> "changelog"))
+      val byName = v1.output.map(a => a.name -> a).toMap
+      Project(s.output.map { v2a =>
+        val v1a = byName.getOrElse(v2a.name, throw new IllegalStateException(
+          s"changelog stream lacks declared column ${v2a.name}"))
+        Alias(v1a, v2a.name)(exprId = v2a.exprId)
+      }, v1)
   }
 }

@@ -751,12 +751,45 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
     branch: Option[(String, Long)], tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = tableSchema
   private var exact: Seq[sources.Filter] = Seq.empty
   private var boxes: Seq[(String, Option[String], Option[String])] = Seq.empty
   private var aggScan: Option[SnapshotAggScan] = None
+  private var limit: Option[Int] = None
+
+  // ---- limit pushdown into FILE PLANNING: a bare `LIMIT n` needs
+  // only the first files whose manifest row counts reach n — a probe
+  // query (`SELECT * FROM t LIMIT 10`) on a million-file table then
+  // plans ONE file instead of all of them. Partial by contract (Spark
+  // keeps its own Limit above), so truncating the file list is the
+  // whole optimization; applied only when every planned file's rows
+  // are all live (no filters in play — a kept file might match
+  // nothing; no outstanding deletes — dead rows would shrink a file's
+  // contribution below its manifest count). ----
+
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Truncate a planned file list to the prefix covering `n` rows. */
+  private def limitFiles(kept: Seq[SnapshotLog.FileEntry], n: Int)
+      : Seq[SnapshotLog.FileEntry] = {
+    var acc = 0L
+    val b = Seq.newBuilder[SnapshotLog.FileEntry]
+    val it = kept.iterator
+    while (acc < n && it.hasNext) {
+      val f = it.next()
+      b += f
+      acc += f.rows
+    }
+    b.result()
+  }
 
   /** The snapshot this scan reads, resolved ONCE at build time: an
     * asOf=0 (current-head) read pins the head HERE, so the file plan
@@ -894,8 +927,14 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
     val spark = SparkSession.active
     val plan = SnapshotLog.catalogBatchPlanPin(spark, root, pin, branch, boxes)
     if (plan.eqOutstanding)
-      new SnapshotScan(root, pin, branch, required, boxes, exact)
-    else new SnapshotBatchScan(root, pin, branch, required, plan, exact)
+      return new SnapshotScan(root, pin, branch, required, boxes, exact)
+    val limited = limit match {
+      case Some(n) if exact.isEmpty && boxes.isEmpty &&
+          plan.dvByTarget.isEmpty =>
+        plan.copy(kept = limitFiles(plan.kept, n))
+      case _ => plan
+    }
+    new SnapshotBatchScan(root, pin, branch, required, limited, exact)
   }
 }
 
@@ -1048,7 +1087,7 @@ private[sources] class StagedSnapshotTable(root: String,
   * data files opened; the `files` listing is O(#files) rows, the same
   * class as Iceberg's files table.
   */
-private[sources] class SnapshotMetaTable(root: String, kind: String)
+private[graft] class SnapshotMetaTable(val root: String, val kind: String)
     extends Table with SupportsRead {
 
   override def name(): String = s"snapshot-log `$root`.$kind"
@@ -1067,8 +1106,16 @@ private[sources] class SnapshotMetaTable(root: String, kind: String)
         "n_rows BIGINT, n_files INT")
   }
 
+  // the CHANGES table also admits `readStream.table("snap.t.changes")`
+  // through analysis; graft.plans.SnapshotStreamTableRule then
+  // substitutes the V1 changelog streaming source (mode=changelog) —
+  // the live CDC feed through the same identifier the batch window
+  // reads (its toMicroBatchStream is intentionally unreachable)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (kind == "changes")
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
 
   /** The changes window: reader options (`spark.read.option`) first,
     * then session confs (`SET spark.graft.changes.fromId/toId` — the

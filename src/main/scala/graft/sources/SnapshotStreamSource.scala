@@ -239,6 +239,7 @@ private[sources] object SnapshotChangeSource {
     */
   private val ReadInvariantOps = Set(
     "optimize", "optimize-bucket", "optimize-zorder", "optimize-binpack",
+    "optimize-partitioned",
     "rewrite-deletes", "rewrite-eq", "rename", "drop-column")
 
   private val AppendOps = Set("append", "publish-append")
@@ -649,6 +650,43 @@ object SnapshotStreamQueries {
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
              |ORDER BY o_orderkey""".stripMargin),
       bench = false
+    ),
+
+    // SM32: sm26's changelog feed THROUGH THE TABLE IDENTIFIER —
+    // `readStream.table("snapcat.`root`.changes")`: the CDC meta table
+    // streamed live (SnapshotStreamTableRule substitutes the V1
+    // changelog source and projects the declared columns by name).
+    // The batch table declares no snapshot_id, so the oracle is sm26's
+    // minus that column: same transitions, same change tags, proving
+    // the catalog CDC door and the format CDC door never diverge.
+    Q(
+      "sm32_stream_changes_table",
+      (s, dir) => {
+        val root = SnapshotLog.stagedOrdersLog(s, dir)
+        val out = graft.TempDirs.create("graft_sm32")
+        val sink = out.resolve("sink").toString
+        s.conf.set("spark.sql.catalog.snapcat",
+          "graft.sources.SnapshotCatalog")
+        s.readStream
+          .table(s"snapcat.`$root`.changes")
+          .writeStream.format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", out.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        s.read.parquet(sink)
+          .orderBy("change", "o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |       'insert' AS change
+             |FROM orders
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_orderstatus, 'delete'
+             |FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY change, o_orderkey""".stripMargin),
+      bench = false,
+      stage = Some((s, dir) => { SnapshotLog.stagedOrdersLog(s, dir); () })
     )
   )
 }

@@ -170,6 +170,21 @@ class SnapshotSpjSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY the bucket column aggregates without a shuffle") {
+    val (fact, _) = freshPair("agg")
+    withSpj {
+      val df = spark.sql(
+        s"""SELECT k, sum(amount) AS s
+           |FROM $cat.`$fact` GROUP BY k""".stripMargin)
+      val plan = finalPlan(df)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"same-key rows are co-located; the aggregate needs no exchange:\n" +
+          plan)
+      assert(df.count() == 400L)
+      assert(df.filter("k = 3").head().getLong(1) == 30L)
+    }
+  }
+
   test("the V2 bucket function matches the writer's routing hash") {
     import org.apache.spark.sql.catalyst.InternalRow
     val bound = SnapshotBucketFunction.bind(

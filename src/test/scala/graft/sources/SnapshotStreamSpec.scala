@@ -70,6 +70,45 @@ class SnapshotStreamSpec extends SparkSpec {
       String.valueOf(e.getCause).contains("changelog"))
   }
 
+  test("readStream.table over snap.t.changes streams the live CDC feed") {
+    val (log, sink, ckpt) = newDirs()
+    SnapshotLog.append(spark, log, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    SnapshotLog.append(spark, log, Seq((3L, "c")).toDF("k", "v"))
+    SnapshotLog.deleteWhere(spark, log,
+      org.apache.spark.sql.functions.col("k") === 2L)
+    spark.conf.set("spark.sql.catalog.smcat",
+      classOf[SnapshotCatalog].getName)
+    spark.readStream
+      .table(s"smcat.`$log`.changes")
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    // the stream projects to the BATCH changes table's columns
+    // (k, v, change) — no snapshot_id leaks through the identifier
+    val got = spark.read.parquet(sink)
+    assert(got.columns.toSeq.sorted == Seq("change", "k", "v"))
+    assert(rowSet(got) == Seq(
+      Seq("1", "a", "insert"), Seq("2", "b", "insert"),
+      Seq("2", "b", "delete"), Seq("3", "c", "insert")).sortBy(_.mkString("")))
+    // live resume from the checkpoint: one more commit, only its delta
+    SnapshotLog.append(spark, log, Seq((4L, "d")).toDF("k", "v"))
+    spark.readStream.table(s"smcat.`$log`.changes")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(spark.read.parquet(sink).count() == 5L)
+    // the mode option cannot override the identifier's meaning
+    val e = intercept[Exception] {
+      spark.readStream.option("mode", "appends").table(s"smcat.`$log`.changes")
+        .writeStream.format("noop").start()
+    }
+    assert(e.getMessage.contains("changelog") ||
+      String.valueOf(e.getCause).contains("changelog"))
+  }
+
   test("writeStream.toTable commits through the tagged exactly-once sink") {
     val (log, src, ckpt) = newDirs()
     spark.conf.set("spark.sql.catalog.smcat",
