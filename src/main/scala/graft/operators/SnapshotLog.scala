@@ -140,7 +140,8 @@ object SnapshotLog {
   final case class FileEntry(path: String, rows: Long,
       stats: Map[String, (String, String)] = Map.empty,
       blooms: Map[String, String] = Map.empty,
-      ids: Map[String, Int] = Map.empty)
+      ids: Map[String, Int] = Map.empty,
+      bytes: Long = 0L)
 
   /** One committed snapshot's metadata. `rows` is the TOTAL row count
     * of the table at this snapshot (sum of its files' counts).
@@ -1170,12 +1171,22 @@ object SnapshotLog {
         FileEntry(p2, n.toLong, parseStats(st), parseBlooms(bl))
       case Array(p2, n, st, bl, ids) =>
         FileEntry(p2, n.toLong, parseStats(st), parseBlooms(bl), parseIds(ids))
+      case Array(p2, n, st, bl, ids, by) =>
+        FileEntry(p2, n.toLong, parseStats(st), parseBlooms(bl), parseIds(ids),
+          by.toLong)
       case _ => throw new IllegalStateException(s"bad file line: $l")
     }
 
+  /** Byte size rides the manifest (6th field, written since this
+    * format revision; absent = 0 on legacy lines) — EXACT, from the
+    * committer's own post-write listing, so readers can size-pack
+    * partitions and open parquet footers with ZERO per-file filesystem
+    * metadata calls (no getFileStatus round-trip per task — at 100 TB
+    * on object storage that is one saved HEAD request per file read).
+    */
   private def fileLine(f: FileEntry): String =
     s"${f.path}\t${f.rows}\t${statsField(f.stats)}\t${bloomsField(f.blooms)}" +
-      s"\t${idsField(f.ids)}"
+      s"\t${idsField(f.ids)}\t${f.bytes}"
 
   /** Parse one manifest WITHOUT opening its file lists — O(#commits)
     * bytes, the metadata an append needs to carry its parent forward.
@@ -4270,18 +4281,19 @@ object SnapshotLog {
       }.toMap
     // recursive: fanout writes land one directory level down per
     // transform (`__fan0=v/…`); the flat layout lists unchanged
-    def listParquet(dir: Path): Iterator[Path] =
+    def listParquet(dir: Path): Iterator[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(dir).iterator.flatMap { st =>
         if (st.isDirectory) listParquet(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet")) Iterator(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Iterator(st)
         else Iterator.empty
       }
     listParquet(new Path(s"$root/$dataDir"))
-      .map(p => relativize(p.toString)).toSeq.sorted
-      .map { p =>
+      .map(st => relativize(st.getPath.toString) -> st.getLen)
+      .toSeq.sortBy(_._1)
+      .map { case (p, len) =>
         val (n, stats, blooms) = counted.getOrElse(p,
           (0L, Map.empty[String, (String, String)], Map.empty[String, String]))
-        FileEntry(p, n, stats, blooms)
+        FileEntry(p, n, stats, blooms, bytes = len)
       }
   }
 

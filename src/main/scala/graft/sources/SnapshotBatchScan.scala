@@ -274,11 +274,11 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
         org.apache.spark.sql.types.LongType)))
     val groupIdx = groups.zipWithIndex
       .flatMap { case ((_, gf), gi) => gf.map(f => f.path -> gi) }.toMap
-    val parts: Array[InputPartition] = files.sortBy(_.path).map { f =>
+    def sliceOf(f: SnapshotLog.FileEntry): SnapshotFileSlice = {
       val dvDirs = plan0.dvByTarget.getOrElse(f.path, Seq.empty)
-      SnapshotFilePartition(
+      SnapshotFileSlice(
         groupIdx(f.path),
-        s"$root/${f.path}", relPath = f.path,
+        s"$root/${f.path}", relPath = f.path, bytes = f.bytes,
         dirty = dvDirs.nonEmpty,
         // the pushed t_path filter is row-group INEXACT — the reader
         // re-checks t_path exactly (one DV dir holds coordinates for
@@ -287,10 +287,48 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
         dvReader = if (dvDirs.isEmpty) null
           else ParquetReadBridge.reader(spark, dvSchema,
             Seq(sources.EqualTo("t_path", f.path)), returningBatch = false),
-        dvDirs = dvDirs.map(d => s"$root/$d").toArray,
-        columnar = columnar,
-        key = keyOf(f)): InputPartition
-    }.toArray
+        dvDirs = dvDirs.map(d => s"$root/$d").toArray)
+    }
+    // ---- bin-packing: files pack into tasks up to
+    // `spark.sql.files.maxPartitionBytes` (+ the per-file open cost),
+    // exactly FileSourceScanExec's sizing — a compacted-badly table of
+    // 100k small files reads as ~bytes/maxPartitionBytes tasks, not
+    // 100k. Sizes come from the MANIFEST (exact, committer-recorded);
+    // a legacy entry without one estimates from its row count and the
+    // schema's default widths — conservative either way, a split never
+    // crosses a file boundary. Under key-grouping, packing stays
+    // WITHIN one partition key, so HasPartitionKey remains truthful.
+    val sqlConf = spark.sessionState.conf
+    val maxBytes = sqlConf.filesMaxPartitionBytes
+    val openCost = sqlConf.filesOpenCostInBytes
+    val rowWidth = math.max(1,
+      plan0.schema.map(_.dataType.defaultSize).sum)
+    def costOf(f: SnapshotLog.FileEntry): Long =
+      (if (f.bytes > 0) f.bytes else f.rows * rowWidth) + openCost
+    def pack(fs: Seq[SnapshotLog.FileEntry], key: InternalRow)
+        : Seq[SnapshotFilePartition] = {
+      val out = Seq.newBuilder[SnapshotFilePartition]
+      var cur = Vector.empty[SnapshotFileSlice]
+      var acc = 0L
+      fs.sortBy(_.path).foreach { f =>
+        val c = costOf(f)
+        if (cur.nonEmpty && acc + c > maxBytes) {
+          out += SnapshotFilePartition(cur.toArray, columnar, key)
+          cur = Vector.empty; acc = 0L
+        }
+        cur :+= sliceOf(f); acc += c
+      }
+      if (cur.nonEmpty) out += SnapshotFilePartition(cur.toArray, columnar, key)
+      out.result()
+    }
+    val parts: Array[InputPartition] = (spjField match {
+      case Some(field) =>
+        files.groupBy(f => SnapshotLog.fileTransformPoint(
+          f, field, plan0.curIds).get)
+          .toSeq.sortBy(_._1)
+          .flatMap { case (_, kf) => pack(kf, keyOf(kf.head)) }
+      case None => pack(files, null)
+    }).toArray
     (groupSpecs, parts, columnar)
   }
 
@@ -310,16 +348,21 @@ private[sources] final case class SnapshotGroupSpec(
     physFields: StructType, outMap: Array[Int], posIdx: Int,
     identity: Boolean, hasPos: Boolean) extends Serializable
 
-/** `key` is non-null only when the owning scan reports
-  * KeyGroupedPartitioning — Spark consults [[org.apache.spark.sql
-  * .connector.read.HasPartitionKey]] solely on that path, and groups
-  * same-key partitions into one storage partition itself.
-  */
-private[sources] final case class SnapshotFilePartition(
-    group: Int, path: String, relPath: String,
+/** One file's executor read recipe inside a packed partition. */
+private[sources] final case class SnapshotFileSlice(
+    group: Int, path: String, relPath: String, bytes: Long,
     dirty: Boolean,
     dvReader: PartitionedFile => Iterator[InternalRow],
-    dvDirs: Array[String],
+    dvDirs: Array[String]) extends Serializable
+
+/** One TASK: a bin-packed run of file slices (see the scan's packing
+  * note). `key` is non-null only when the owning scan reports
+  * KeyGroupedPartitioning — Spark consults [[org.apache.spark.sql
+  * .connector.read.HasPartitionKey]] solely on that path, and every
+  * slice in a keyed partition shares that key.
+  */
+private[sources] final case class SnapshotFilePartition(
+    slices: Array[SnapshotFileSlice],
     columnar: Boolean,
     key: InternalRow = null) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
@@ -334,21 +377,29 @@ private[sources] class SnapshotReaderFactory(
 
   override def supportColumnarReads(p: InputPartition): Boolean = columnar
 
-  /** File status resolved HERE (executor) — the driver plans from the
-    * manifest alone.
+  /** Manifest-recorded size when available (ZERO filesystem metadata
+    * calls on the read path); a legacy entry without one resolves its
+    * status here (executor) — the driver never stats data files either
+    * way.
     */
-  private def pfileOf(path: String): PartitionedFile = {
-    val p = new Path(path)
-    val st = p.getFileSystem(conf.value).getFileStatus(p)
-    ParquetReadBridge.partitionedFile(path, st.getLen,
-      st.getModificationTime)
-  }
+  private def pfileOf(slice: SnapshotFileSlice): PartitionedFile =
+    if (slice.bytes > 0)
+      ParquetReadBridge.partitionedFile(slice.path, slice.bytes, 0L)
+    else {
+      val p = new Path(slice.path)
+      val st = p.getFileSystem(conf.value).getFileStatus(p)
+      ParquetReadBridge.partitionedFile(slice.path, st.getLen,
+        st.getModificationTime)
+    }
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[ColumnarBatch] = {
     val part = p.asInstanceOf[SnapshotFilePartition]
-    val it = groups(part.group).reader(pfileOf(part.path))
-      .asInstanceOf[Iterator[ColumnarBatch]]
+    // flatMap is lazy per slice: each file opens when the previous
+    // one's batches are drained
+    val it = part.slices.iterator.flatMap(s =>
+      groups(s.group).reader(pfileOf(s))
+        .asInstanceOf[Iterator[ColumnarBatch]])
     new PartitionReader[ColumnarBatch] {
       private var cur: ColumnarBatch = _
       override def next(): Boolean =
@@ -358,25 +409,25 @@ private[sources] class SnapshotReaderFactory(
     }
   }
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[SnapshotFilePartition]
-    val g = groups(part.group)
-    val raw = g.reader(pfileOf(part.path))
+  /** One slice's live, projected rows. */
+  private def sliceRows(slice: SnapshotFileSlice): Iterator[InternalRow] = {
+    val g = groups(slice.group)
+    val raw = g.reader(pfileOf(slice))
     val alive: Iterator[InternalRow] =
-      if (!part.dirty) raw
+      if (!slice.dirty) raw
       else {
         // the file's dead positions, loaded HERE (executor), bounded by
         // this file's own DV rows — sorted array + binary search
         val b = Array.newBuilder[Long]
         val me = org.apache.spark.unsafe.types.UTF8String
-          .fromString(part.relPath)
-        part.dvDirs.foreach { dir =>
+          .fromString(slice.relPath)
+        slice.dvDirs.foreach { dir =>
           val dp = new Path(dir)
           val fs = dp.getFileSystem(conf.value)
           fs.listStatus(dp).iterator
             .filter(_.getPath.getName.endsWith(".parquet"))
             .foreach { st =>
-              part.dvReader(ParquetReadBridge.partitionedFile(
+              slice.dvReader(ParquetReadBridge.partitionedFile(
                 st.getPath.toString, st.getLen, st.getModificationTime))
                 // exact match: the pushed filter only skips row groups
                 .filter(r => r.getUTF8String(0) == me)
@@ -388,19 +439,23 @@ private[sources] class SnapshotReaderFactory(
         else raw.filter(r =>
           java.util.Arrays.binarySearch(dead, r.getLong(g.posIdx)) < 0)
       }
-    val out: Iterator[InternalRow] =
-      if (g.identity) alive
-      else {
-        val exprs = required.fields.toIndexedSeq.zipWithIndex.map { case (c, i) =>
-          g.outMap(i) match {
-            case -1 => Literal.create(null, c.dataType)
-            case ri => BoundReference(ri,
-              g.physFields.fields(ri).dataType, nullable = true)
-          }
+    if (g.identity) alive
+    else {
+      val exprs = required.fields.toIndexedSeq.zipWithIndex.map { case (c, i) =>
+        g.outMap(i) match {
+          case -1 => Literal.create(null, c.dataType)
+          case ri => BoundReference(ri,
+            g.physFields.fields(ri).dataType, nullable = true)
         }
-        val proj = UnsafeProjection.create(exprs)
-        alive.map(proj)
       }
+      val proj = UnsafeProjection.create(exprs)
+      alive.map(proj)
+    }
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[SnapshotFilePartition]
+    val out = part.slices.iterator.flatMap(sliceRows)
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean =

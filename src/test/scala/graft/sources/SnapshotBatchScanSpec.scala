@@ -33,17 +33,58 @@ class SnapshotBatchScanSpec extends SparkSpec {
     root
   }
 
-  test("batch scan plans per-file partitions and matches the library read") {
+  test("batch scan plans manifest-sized partitions and matches the library read") {
     val root = freshLog("basic")
     val df = spark.sql(s"SELECT * FROM $cat.`$root`")
     val scan = SnapshotCatalog.scanOf(df)
     assert(scan.isInstanceOf[SnapshotBatchScan], "default path is the V2 scan")
-    assert(scan.asInstanceOf[SnapshotBatchScan].toBatch
-      .planInputPartitions().length == 3)
+    val parts = scan.asInstanceOf[SnapshotBatchScan].toBatch
+      .planInputPartitions()
+    // three tiny files bin-pack into ONE task under the default
+    // 128MB maxPartitionBytes; every file is a slice of some partition
+    assert(parts.map(_.asInstanceOf[SnapshotFilePartition].slices.length)
+      .sum == 3)
+    assert(parts.length == 1,
+      s"3 small files pack into one task, got ${parts.length}")
     assert(rowSet(df) == rowSet(SnapshotLog.read(spark, root)))
     // vectorized: the physical plan reads columnar batches
     assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
       "clean identity scan should be vectorized")
+    // a tightened budget splits back to one task per file — sizes are
+    // the committer-recorded manifest bytes, no filesystem calls
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+    try {
+      val df2 = spark.sql(s"SELECT * FROM $cat.`$root`")
+      assert(SnapshotCatalog.scanOf(df2).asInstanceOf[SnapshotBatchScan]
+        .toBatch.planInputPartitions().length == 3)
+      assert(rowSet(df2) == rowSet(df))
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
+  test("legacy manifests without byte sizes still read (estimate + executor stat)") {
+    val root = freshLog("legacy")
+    val before = rowSet(spark.sql(s"SELECT * FROM $cat.`$root`"))
+    // strip the 6th (bytes) field from every list file — the exact
+    // shape of a pre-bytes manifest
+    val f = fs(root)
+    f.listStatus(new Path(s"$root/snap")).filter(
+      _.getPath.getName.endsWith(".list")).foreach { st =>
+      val in = f.open(st.getPath)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val stripped = text.split('\n').map { l =>
+        val cols = l.split('\t')
+        if (cols.length == 6) cols.dropRight(1).mkString("\t") else l
+      }.mkString("\n")
+      f.delete(st.getPath, false)
+      val out = f.create(st.getPath, true)
+      try out.write(stripped.getBytes("UTF-8")) finally out.close()
+    }
+    spark.catalog.clearCache()
+    val df = spark.sql(s"SELECT * FROM $cat.`$root`")
+    val scan = SnapshotCatalog.scanOf(df)
+    assert(scan.keptFiles.forall(_.bytes == 0L), "legacy entries carry no size")
+    assert(rowSet(df) == before)
   }
 
   test("merge-on-read delete vectors apply per file") {
