@@ -247,10 +247,22 @@ object SnapshotLog {
       case DateType => Some(java.lang.Integer.valueOf(
         java.time.LocalDate.parse(s).toEpochDay.toInt))
       case TimestampType =>
-        val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-        Some(java.lang.Long.valueOf(
-          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-            ldt.getNano / 1000L))
+        // timestamp stats render in the WRITER session's zone
+        // (cast-to-string semantics); inversion is lossless only for a
+        // FIXED-offset session zone (a DST zone has ambiguous/skipped
+        // local times). The engine's sessions pin UTC; any other
+        // reader zone refuses here and the query falls back to a real
+        // scan — never a zone-shifted answer.
+        val zone = java.time.ZoneId.of(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+          .normalized()
+        zone match {
+          case off: java.time.ZoneOffset =>
+            val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            Some(java.lang.Long.valueOf(
+              ldt.toEpochSecond(off) * 1000000L + ldt.getNano / 1000L))
+          case _ => None
+        }
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -4254,6 +4266,21 @@ object SnapshotLog {
         .foldLeft(df) { case (d, (e, n)) => d.withColumn(n, e) }
         .write.partitionBy(names: _*).parquet(s"$root/$dataDir")
     }
+    // recursive listing FIRST: a fanout write of an EMPTY frame emits
+    // no parquet at all (dynamic partitioning has no rows to name a
+    // directory with, unlike the flat path's schema-bearing empty
+    // file) — an empty listing short-circuits the stats read-back,
+    // which would otherwise fail schema inference on a fileless dir
+    def listParquet(dir: Path): Iterator[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).iterator.flatMap { st =>
+        if (st.isDirectory) listParquet(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Iterator(st)
+        else Iterator.empty
+      }
+    val listed = listParquet(new Path(s"$root/$dataDir"))
+      .map(st => relativize(st.getPath.toString) -> st.getLen)
+      .toSeq.sortBy(_._1)
+    if (listed.isEmpty) return Seq.empty
     val sc = statCols(df.schema).map(c => c -> col(c)) ++ derivedStats
     val bloomCols = bloomSpec.map(_.cols).getOrElse(Nil)
     if (bloomCols.nonEmpty) graft.functions.GraftFunctions.register(spark)
@@ -4279,22 +4306,11 @@ object SnapshotLog {
         }.toMap
         relativize(r.getString(0)) -> ((r.getLong(1), stats, blooms))
       }.toMap
-    // recursive: fanout writes land one directory level down per
-    // transform (`__fan0=v/…`); the flat layout lists unchanged
-    def listParquet(dir: Path): Iterator[org.apache.hadoop.fs.FileStatus] =
-      fs.listStatus(dir).iterator.flatMap { st =>
-        if (st.isDirectory) listParquet(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet")) Iterator(st)
-        else Iterator.empty
-      }
-    listParquet(new Path(s"$root/$dataDir"))
-      .map(st => relativize(st.getPath.toString) -> st.getLen)
-      .toSeq.sortBy(_._1)
-      .map { case (p, len) =>
-        val (n, stats, blooms) = counted.getOrElse(p,
-          (0L, Map.empty[String, (String, String)], Map.empty[String, String]))
-        FileEntry(p, n, stats, blooms, bytes = len)
-      }
+    listed.map { case (p, len) =>
+      val (n, stats, blooms) = counted.getOrElse(p,
+        (0L, Map.empty[String, (String, String)], Map.empty[String, String]))
+      FileEntry(p, n, stats, blooms, bytes = len)
+    }
   }
 
   /** `plannedBase` is the snapshot the CALLER planned its carried
@@ -7093,15 +7109,21 @@ object SnapshotLog {
         val (fact, dim) = spjLogs(s, dir)
         s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
         // the SPJ opt-in: report KeyGroupedPartitioning (one task per
-        // bucket) for this session — harmless to every other fixture
-        // (only fanout-written point-banded tables can key-group)
+        // bucket) for THIS plan only — the scan builders read the conf
+        // at physical planning, so force the plan while it's set and
+        // unset before returning (a leaked opt-in would key-group every
+        // later point-banded scan in the shared Verify/Bench session)
         s.conf.set("spark.graft.catalog.preserveGrouping", "true")
-        s.sql(
-          s"""SELECT /*+ MERGE(f) */ f.o_orderkey, f.o_custkey,
-             |       d.o_orderpriority
-             |FROM snapcat.`$fact` f
-             |JOIN snapcat.`$dim` d ON f.o_orderkey = d.o_orderkey
-             |ORDER BY f.o_orderkey""".stripMargin)
+        try {
+          val df = s.sql(
+            s"""SELECT /*+ MERGE(f) */ f.o_orderkey, f.o_custkey,
+               |       d.o_orderpriority
+               |FROM snapcat.`$fact` f
+               |JOIN snapcat.`$dim` d ON f.o_orderkey = d.o_orderkey
+               |ORDER BY f.o_orderkey""".stripMargin)
+          df.queryExecution.executedPlan // pin the key-grouped plan
+          df
+        } finally s.conf.unset("spark.graft.catalog.preserveGrouping")
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderpriority
              |FROM orders ORDER BY o_orderkey""".stripMargin),

@@ -845,14 +845,32 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
   // rather than guess). Anything else returns false and Spark plans
   // the ordinary scan + aggregate. ----
 
+  // one manifest resolution per Aggregation: Spark calls BOTH
+  // pushAggregation and supportCompletePushDown with the same
+  // instance — recomputing would double the O(#files) planning cost
+  // of the very query the pushdown makes cheap
+  private var aggTried
+      : (org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+        Option[SnapshotAggScan]) = null
+
+  private def tryAggCached(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[SnapshotAggScan] = {
+    val c = aggTried
+    if (c != null && (c._1 eq agg)) return c._2
+    val r = tryAgg(agg)
+    aggTried = (agg, r)
+    r
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = tryAgg(agg).isDefined
+      : Boolean = tryAggCached(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    aggScan = tryAgg(agg)
+    aggScan = tryAggCached(agg)
     aggScan.isDefined
   }
 

@@ -149,6 +149,26 @@ class SnapshotAggPushdownSpec extends SparkSpec {
     assert(a.head().isNullAt(0))
   }
 
+  test("a DST session zone refuses timestamp MIN/MAX pushdown") {
+    val root = freshLog("zone")
+    // cast-to-string stat rendering is lossless to invert only under a
+    // FIXED-offset zone; a DST zone must fall back to a real scan and
+    // the instants must come back unshifted
+    val utc = spark.sql(
+      s"SELECT min(ts) AS mn, max(ts) AS mx FROM $cat.`$root`").head()
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val df = spark.sql(
+        s"SELECT min(ts) AS mn, max(ts) AS mx FROM $cat.`$root`")
+      assert(!isLocal(df), "DST zone: inversion is lossy, must scan")
+      val r = df.head()
+      assert(r.getTimestamp(0).toInstant == utc.getTimestamp(0).toInstant)
+      assert(r.getTimestamp(1).toInstant == utc.getTimestamp(1).toInstant)
+      // count(*) carries no rendered values — still manifest-only
+      assert(isLocal(spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`")))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("library reads and SQL aggregates agree after an overwrite") {
     val root = freshLog("ow")
     import spark.implicits._

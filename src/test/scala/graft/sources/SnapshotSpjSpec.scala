@@ -185,6 +185,23 @@ class SnapshotSpjSpec extends SparkSpec {
     }
   }
 
+  test("a fanout append of an empty frame commits zero files, not a crash") {
+    import spark.implicits._
+    val t = graft.TempDirs.create("spj_empty").resolve("t").toString
+    spark.conf.set("spark.graft.write.fanout", "true")
+    try {
+      SnapshotLog.createTable(spark, t,
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v BIGINT"),
+        Seq(SnapshotLog.PartField("bucket", "k", Buckets)))
+      SnapshotLog.append(spark, t,
+        (1L to 20L).map(k => (k, k)).toDF("k", "v"))
+      // the no-new-rows ETL tick: dynamic partitioning emits no files
+      SnapshotLog.append(spark, t,
+        Seq.empty[(Long, Long)].toDF("k", "v"))
+    } finally spark.conf.unset("spark.graft.write.fanout")
+    assert(SnapshotLog.read(spark, t).count() == 20L)
+  }
+
   test("the V2 bucket function matches the writer's routing hash") {
     import org.apache.spark.sql.catalyst.InternalRow
     val bound = SnapshotBucketFunction.bind(
