@@ -205,7 +205,47 @@ object SnapshotLog {
   private def statGt(dt: org.apache.spark.sql.types.DataType,
       a: String, b: String): Boolean = dt match {
     case _: org.apache.spark.sql.types.NumericType => BigDecimal(a) > BigDecimal(b)
+    case org.apache.spark.sql.types.TimestampType =>
+      tsStatMicros(a) > tsStatMicros(b)
     case _ => utf8Gt(a, b)
+  }
+
+  /** A timestamp stat/bound string as epoch MICROS. Current manifests
+    * render timestamp stats as epoch micros outright (digits only) —
+    * zone-independent, so any session can compare or invert them
+    * exactly. A legacy datetime rendering (`yyyy-MM-dd HH:mm:ss[.f]`,
+    * written by `cast(ts as string)` under the WRITER's session zone,
+    * which the manifest never recorded) parses under UTC — the zone
+    * every engine session pins and the assumption the old lexical
+    * compare embodied; anything else throws NumberFormatException,
+    * which every pruning caller degrades to "cannot skip".
+    */
+  private def tsStatMicros(s: String): Long =
+    if (isEpochMicrosStat(s)) java.lang.Long.parseLong(s)
+    else
+      try {
+        val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+      } catch {
+        case _: java.time.format.DateTimeParseException =>
+          throw new NumberFormatException(s"not a timestamp stat: $s")
+      }
+
+  /** Digits-only (optionally signed) = the CURRENT epoch-micros stat
+    * rendering; a legacy datetime rendering always contains `-`/`:`
+    * separators past position 0, so the two formats cannot collide.
+    */
+  private def isEpochMicrosStat(s: String): Boolean = {
+    if (s.isEmpty) return false
+    var i = if (s.charAt(0) == '-') 1 else 0
+    if (i >= s.length) return false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') return false
+      i += 1
+    }
+    true
   }
 
   private[graft] def utf8Gt(a: String, b: String): Boolean = {
@@ -237,7 +277,21 @@ object SnapshotLog {
       case IntegerType => Some(java.lang.Integer.valueOf(s))
       case ShortType => Some(java.lang.Short.valueOf(s))
       case ByteType => Some(java.lang.Byte.valueOf(s))
-      case DoubleType => Some(java.lang.Double.valueOf(s))
+      case DoubleType =>
+        // a float→double widen is metadata-only, so a kept file's stat
+        // may have been rendered by FLOAT shortest-round-trip ("0.1"
+        // for 0.1f) — re-parsing it as a double yields 0.1d where a
+        // real scan's upcast yields 0.10000000149…d. When the string
+        // is float-round-trippable AND the two interpretations differ,
+        // the source type is unknowable from the manifest: refuse, and
+        // the caller falls back to a real scan. Strings only a double
+        // renderer emits (more digits than a float carries) are exact.
+        val d = java.lang.Double.parseDouble(s)
+        val ambiguous = try {
+          val f = java.lang.Float.parseFloat(s)
+          java.lang.Float.toString(f) == s && f.toDouble != d
+        } catch { case _: NumberFormatException => false }
+        if (ambiguous) None else Some(java.lang.Double.valueOf(d))
       case FloatType => Some(java.lang.Float.valueOf(s))
       case d: DecimalType =>
         val dec = Decimal(BigDecimal(s))
@@ -247,22 +301,15 @@ object SnapshotLog {
       case DateType => Some(java.lang.Integer.valueOf(
         java.time.LocalDate.parse(s).toEpochDay.toInt))
       case TimestampType =>
-        // timestamp stats render in the WRITER session's zone
-        // (cast-to-string semantics); inversion is lossless only for a
-        // FIXED-offset session zone (a DST zone has ambiguous/skipped
-        // local times). The engine's sessions pin UTC; any other
-        // reader zone refuses here and the query falls back to a real
-        // scan — never a zone-shifted answer.
-        val zone = java.time.ZoneId.of(
-          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
-          .normalized()
-        zone match {
-          case off: java.time.ZoneOffset =>
-            val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-            Some(java.lang.Long.valueOf(
-              ldt.toEpochSecond(off) * 1000000L + ldt.getNano / 1000L))
-          case _ => None
-        }
+        // current stats render as epoch MICROS (digits only) —
+        // zone-independent, inverted exactly under ANY session zone. A
+        // legacy datetime rendering was written under the WRITER's
+        // session zone, which the manifest never recorded — trusting
+        // the READER's zone would return zone-shifted values whenever
+        // the two differ (any fixed offset used to pass here), so
+        // legacy stats refuse outright and the query falls back to a
+        // real scan — never a zone-shifted answer.
+        if (isEpochMicrosStat(s)) Some(java.lang.Long.valueOf(s)) else None
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -1043,13 +1090,10 @@ object SnapshotLog {
     import org.apache.spark.sql.types._
     def micros: Option[Long] = dt match {
       case TimestampType =>
-        scala.util.Try {
-          val base = java.time.LocalDateTime.parse(
-            v.replace(' ', 'T'),
-            java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
-          base.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-            base.getNano / 1000L
-        }.toOption
+        // pushed bounds render as epoch micros (SnapshotCatalog.render);
+        // tsStatMicros also admits a caller-passed datetime string
+        // under the documented UTC reading
+        scala.util.Try(tsStatMicros(v)).toOption
       case DateType => scala.util.Try(
         java.time.LocalDate.parse(v).toEpochDay * 86400000000L).toOption
       case _ => None
@@ -1684,9 +1728,38 @@ object SnapshotLog {
   private def rangeIntersects(dt: org.apache.spark.sql.types.DataType,
       mn: String, mx: String,
       lower: Option[String], upper: Option[String]): Boolean =
-    try upper.forall(u => !statGt(dt, mn, u)) &&
-      lower.forall(l => !statGt(dt, l, mx))
-    catch { case _: NumberFormatException => true }
+    try {
+      // float→double widen hazard: a DoubleType column's stat may have
+      // been rendered by FLOAT shortest-round-trip before a
+      // metadata-only widen, and the decimal reading of that string
+      // ("0.1") sits up to half a float ULP away from the value a real
+      // scan's upcast produces (0.10000000149…). Any such band widens
+      // by one float ULP per side before the skip test — pruning may
+      // keep one extra boundary file, never skips a matching one.
+      val (emn, emx) = dt match {
+        case org.apache.spark.sql.types.DoubleType =>
+          (floatSlackDown(mn), floatSlackUp(mx))
+        case _ => (mn, mx)
+      }
+      upper.forall(u => !statGt(dt, emn, u)) &&
+        lower.forall(l => !statGt(dt, l, emx))
+    } catch { case _: NumberFormatException => true }
+
+  private def floatAmbiguous(s: String): Boolean =
+    try java.lang.Float.toString(java.lang.Float.parseFloat(s)) == s
+    catch { case _: NumberFormatException => false }
+
+  private def floatSlackDown(s: String): String =
+    if (!floatAmbiguous(s)) s
+    else (BigDecimal(s) - BigDecimal(
+      Math.ulp(java.lang.Float.parseFloat(s)).toDouble)).underlying
+      .toPlainString
+
+  private def floatSlackUp(s: String): String =
+    if (!floatAmbiguous(s)) s
+    else (BigDecimal(s) + BigDecimal(
+      Math.ulp(java.lang.Float.parseFloat(s)).toDouble)).underlying
+      .toPlainString
 
   /** The file entries a [[readRange]] would scan — the one-predicate
     * case of [[boxFiles]].
@@ -4281,7 +4354,19 @@ object SnapshotLog {
       .map(st => relativize(st.getPath.toString) -> st.getLen)
       .toSeq.sortBy(_._1)
     if (listed.isEmpty) return Seq.empty
-    val sc = statCols(df.schema).map(c => c -> col(c)) ++ derivedStats
+    // timestamp stats record as epoch MICROS (unix_micros), not
+    // cast-to-string: the datetime rendering depends on the writer
+    // session's zone, which the manifest never records — a reader in
+    // any other zone could only invert it shifted. Micros are the
+    // Catalyst-internal value itself: zone-proof to compare, exact to
+    // invert, and LONG-ordered exactly as the timestamps order.
+    val sc = statCols(df.schema).map { c =>
+      val e =
+        if (df.schema(c).dataType == org.apache.spark.sql.types.TimestampType)
+          unix_micros(col(c))
+        else col(c)
+      c -> e
+    } ++ derivedStats
     val bloomCols = bloomSpec.map(_.cols).getOrElse(Nil)
     if (bloomCols.nonEmpty) graft.functions.GraftFunctions.register(spark)
     val statAggs = sc.zipWithIndex.flatMap { case ((_, e), i) => Seq(
@@ -5716,6 +5801,10 @@ object SnapshotLog {
       val fact = p.resolve("fact").toString
       val dim = p.resolve("dim").toString
       val orders = Tables(s, dir, "orders")
+      // restore the caller's own fanout setting, not a blanket unset —
+      // a user-enabled fanout session staging this fixture must come
+      // out with its flag intact
+      val prior = s.conf.getOption("spark.graft.write.fanout")
       s.conf.set("spark.graft.write.fanout", "true")
       try {
         createTable(s, fact,
@@ -5726,7 +5815,10 @@ object SnapshotLog {
           StructType.fromDDL("o_orderkey BIGINT, o_orderpriority STRING"),
           Seq(PartField("bucket", "o_orderkey", 8)))
         append(s, dim, orders.select("o_orderkey", "o_orderpriority"))
-      } finally s.conf.unset("spark.graft.write.fanout")
+      } finally prior match {
+        case Some(v) => s.conf.set("spark.graft.write.fanout", v)
+        case None => s.conf.unset("spark.graft.write.fanout")
+      }
     }
     (p.resolve("fact").toString, p.resolve("dim").toString)
   }

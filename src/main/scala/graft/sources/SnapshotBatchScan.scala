@@ -125,13 +125,20 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     spjField match {
       case Some(f) =>
+        // the keyed arm needs the REAL task count (Spark matches it
+        // against the partition key values); planInputPartitions is
+        // cached per kept-set identity, so this costs one planning pass
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
             Array(Expressions.bucket(f.n, f.column)),
             planInputPartitions().length)
       case None =>
+        // Spark's V2ScanPartitioningAndOrdering keeps only
+        // KeyGroupedPartitioning; an UnknownPartitioning's count is
+        // never consulted, so don't force O(#files) partition planning
+        // (group projection, DV reader construction) just to report it
         new org.apache.spark.sql.connector.read.partitioning
-          .UnknownPartitioning(planInputPartitions().length)
+          .UnknownPartitioning(kept.size)
     }
 
   /** The partition key row a file contributes under the SPJ field —

@@ -384,8 +384,8 @@ object SnapshotCatalog {
   /** Render a pushed literal the way file stats were rendered at write
     * time (`min(col).cast("string")`), so band comparison is apples to
     * apples: numerics via toString (statGt parses decimals, scientific
-    * included), strings as-is, dates ISO, timestamps in the session's
-    * UTC zone with Spark's trailing-zero-trimmed fraction. None =
+    * included), strings as-is, dates ISO, timestamps as epoch micros
+    * (the zone-independent stat rendering). None =
     * unprunable type (the conjunct still filters rows, it just skips
     * no files).
     */
@@ -405,19 +405,15 @@ object SnapshotCatalog {
     case _ => None
   }
 
-  /** Spark's cast(timestamp as string) under the UTC session zone:
-    * `yyyy-MM-dd HH:mm:ss[.f…]` with the fraction's trailing zeros
-    * trimmed and the dot dropped when zero — matched exactly so string
-    * band compares agree with the written stats.
+  /** Epoch MICROS — the rendering timestamp stats are written with
+    * (`unix_micros`, zone-independent), so band compares are exact
+    * under any session zone; statGt normalizes legacy datetime stats
+    * to the same scale.
     */
-  private def renderInstant(i: java.time.Instant): String = {
-    val ldt = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
-    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d" +
-      f" ${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
-    val micros = ldt.getNano / 1000
-    if (micros == 0) base
-    else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
-  }
+  private def renderInstant(i: java.time.Instant): String =
+    java.lang.Math.addExact(
+      java.lang.Math.multiplyExact(i.getEpochSecond, 1000000L),
+      (i.getNano / 1000).toLong).toString
 
   /** One pushed conjunct → the (column, lower, upper) box its stat
     * band can prune on. Strict bounds prune with their inclusive
@@ -446,9 +442,17 @@ object SnapshotCatalog {
         case d: java.math.BigDecimal => Some(BigDecimal(d))
         case _ => None
       }
+      val instants = vs.flatMap {
+        case t: java.sql.Timestamp => Some(renderInstant(t.toInstant).toLong)
+        case i: java.time.Instant => Some(renderInstant(i).toLong)
+        case _ => None
+      }
       if (nums.length == vs.length)
         Seq((a, Some(nums.min.underlying.toPlainString),
           Some(nums.max.underlying.toPlainString)))
+      else if (instants.length == vs.length)
+        // micros order IS timestamp order, so the envelope is exact
+        Seq((a, Some(instants.min.toString), Some(instants.max.toString)))
       else {
         val strs = vs.flatMap { case s: String => Some(s); case _ => None }
         if (strs.length == vs.length)

@@ -57,6 +57,26 @@ class WidenSpec extends SparkSpec {
       .count() === 4L)
   }
 
+  test("float-era stat bands keep the upcast boundary value (ULP slack)") {
+    val root = newRoot()
+    // two single-value files: 0.7f's stat renders "0.7", but the value
+    // a post-widen scan produces is 0.699999988…d — BELOW the decimal
+    // reading of the band. The float-ULP band slack must keep the file
+    // for a point predicate at the true upcast value.
+    SnapshotLog.append(spark, root,
+      Seq((1L, 0.7f)).toDF("k", "x").coalesce(1))
+    SnapshotLog.append(spark, root,
+      Seq((2L, 100.5f)).toDF("k", "x").coalesce(1))
+    SnapshotLog.widenColumn(spark, root, "x", DoubleType)
+    val v = 0.7f.toDouble // 0.699999988079071
+    val bound = v.toString
+    val (kept, _) = SnapshotLog.rangeFiles(spark, root, "x",
+      Some(bound), Some(bound))
+    assert(kept.size === 1, "slack keeps the 0.7f file, prunes the other")
+    assert(SnapshotLog.readRange(spark, root, "x", Some(bound), Some(bound))
+      .count() === 1L)
+  }
+
   test("lossy retypes refuse; widen to same type is a no-op") {
     val root = newRoot()
     SnapshotLog.append(spark, root, Seq((1L, 1.5d)).toDF("i", "f"))

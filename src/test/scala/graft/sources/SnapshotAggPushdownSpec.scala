@@ -149,24 +149,65 @@ class SnapshotAggPushdownSpec extends SparkSpec {
     assert(a.head().isNullAt(0))
   }
 
-  test("a DST session zone refuses timestamp MIN/MAX pushdown") {
+  test("timestamp MIN/MAX pushdown is zone-proof (epoch-micros stats)") {
     val root = freshLog("zone")
-    // cast-to-string stat rendering is lossless to invert only under a
-    // FIXED-offset zone; a DST zone must fall back to a real scan and
-    // the instants must come back unshifted
+    // stats record epoch micros — the Catalyst-internal value itself —
+    // so ANY reader zone (DST region included) inverts them exactly
+    // and the manifest keeps answering; the instants come back
+    // unshifted
     val utc = spark.sql(
       s"SELECT min(ts) AS mn, max(ts) AS mx FROM $cat.`$root`").head()
-    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-    try {
-      val df = spark.sql(
-        s"SELECT min(ts) AS mn, max(ts) AS mx FROM $cat.`$root`")
-      assert(!isLocal(df), "DST zone: inversion is lossy, must scan")
-      val r = df.head()
-      assert(r.getTimestamp(0).toInstant == utc.getTimestamp(0).toInstant)
-      assert(r.getTimestamp(1).toInstant == utc.getTimestamp(1).toInstant)
-      // count(*) carries no rendered values — still manifest-only
-      assert(isLocal(spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`")))
-    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for (zone <- Seq("America/New_York", "+05:30")) {
+      spark.conf.set("spark.sql.session.timeZone", zone)
+      try {
+        val df = spark.sql(
+          s"SELECT min(ts) AS mn, max(ts) AS mx FROM $cat.`$root`")
+        assert(isLocal(df), s"micros stats invert under $zone")
+        val r = df.head()
+        assert(r.getTimestamp(0).toInstant == utc.getTimestamp(0).toInstant)
+        assert(r.getTimestamp(1).toInstant == utc.getTimestamp(1).toInstant)
+      } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
+  }
+
+  test("a LEGACY datetime-rendered timestamp stat refuses inversion") {
+    import org.apache.spark.sql.types.TimestampType
+    // a legacy stat was rendered under the WRITER's session zone, which
+    // the manifest never recorded — trusting the reader's zone would
+    // hand back shifted values, so statValueOf refuses and the query
+    // falls back to a scan; the current micros rendering inverts
+    assert(SnapshotLog.statValueOf(TimestampType,
+      "2023-01-02 03:04:05.123456").isEmpty)
+    assert(SnapshotLog.statValueOf(TimestampType, "1672628645123456")
+      .contains(java.lang.Long.valueOf(1672628645123456L)))
+  }
+
+  test("float->double widen refuses ULP-ambiguous MIN/MAX pushdown") {
+    import spark.implicits._
+    val root = graft.TempDirs.create("aggpush_widen").resolve("log").toString
+    // 0.1f's stat renders "0.1"; after the metadata-only widen a
+    // manifest re-parse under DoubleType would answer 0.1d where the
+    // real scan's upcast answers 0.10000000149…d — the pushdown must
+    // refuse and the scan answer must win
+    SnapshotLog.append(spark, root,
+      Seq((1L, 0.1f), (2L, 0.7f)).toDF("k", "x").coalesce(1))
+    SnapshotLog.widenColumn(spark, root, "x",
+      org.apache.spark.sql.types.DoubleType)
+    val df = spark.sql(s"SELECT min(x) AS mn, max(x) AS mx FROM $cat.`$root`")
+    assert(!isLocal(df), "float-ambiguous stat string: must scan")
+    val r = df.head()
+    assert(r.getDouble(0) == 0.1f.toDouble)
+    assert(r.getDouble(1) == 0.7f.toDouble)
+    // an unambiguous rendering (exact in both widths) still pushes down
+    val root2 = graft.TempDirs.create("aggpush_widen2").resolve("log").toString
+    SnapshotLog.append(spark, root2,
+      Seq((1L, 0.5f), (2L, 2.0f)).toDF("k", "x").coalesce(1))
+    SnapshotLog.widenColumn(spark, root2, "x",
+      org.apache.spark.sql.types.DoubleType)
+    val df2 = spark.sql(s"SELECT min(x) AS mn, max(x) AS mx FROM $cat.`$root2`")
+    assert(isLocal(df2), "0.5/2.0 parse identically in both widths")
+    val r2 = df2.head()
+    assert(r2.getDouble(0) == 0.5d && r2.getDouble(1) == 2.0d)
   }
 
   test("library reads and SQL aggregates agree after an overwrite") {

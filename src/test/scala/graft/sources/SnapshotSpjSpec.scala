@@ -20,14 +20,25 @@ class SnapshotSpjSpec extends SparkSpec {
 
   private val Buckets = 4
 
+  /** Fanout on for `body`, the session's OWN prior value restored
+    * after — set-or-unset, never a blanket unset. */
+  private def withFanout[T](body: => T): T = {
+    val prior = spark.conf.getOption("spark.graft.write.fanout")
+    spark.conf.set("spark.graft.write.fanout", "true")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set("spark.graft.write.fanout", v)
+      case None => spark.conf.unset("spark.graft.write.fanout")
+    }
+  }
+
   /** Two co-bucketed fanout tables over the same key domain. */
   private def freshPair(tag: String): (String, String) = {
     import spark.implicits._
     val dir = graft.TempDirs.create(s"spj_$tag")
     val fact = dir.resolve("fact").toString
     val dim = dir.resolve("dim").toString
-    spark.conf.set("spark.graft.write.fanout", "true")
-    try {
+    withFanout {
       SnapshotLog.createTable(spark, fact,
         org.apache.spark.sql.types.StructType.fromDDL(
           "k BIGINT, amount BIGINT"),
@@ -40,7 +51,7 @@ class SnapshotSpjSpec extends SparkSpec {
         Seq(SnapshotLog.PartField("bucket", "k", Buckets)))
       SnapshotLog.append(spark, dim,
         (1L to 400L).map(k => (k, s"l$k")).toDF("k", "label"))
-    } finally spark.conf.unset("spark.graft.write.fanout")
+    }
     (fact, dim)
   }
 
@@ -188,8 +199,7 @@ class SnapshotSpjSpec extends SparkSpec {
   test("a fanout append of an empty frame commits zero files, not a crash") {
     import spark.implicits._
     val t = graft.TempDirs.create("spj_empty").resolve("t").toString
-    spark.conf.set("spark.graft.write.fanout", "true")
-    try {
+    withFanout {
       SnapshotLog.createTable(spark, t,
         org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v BIGINT"),
         Seq(SnapshotLog.PartField("bucket", "k", Buckets)))
@@ -198,7 +208,7 @@ class SnapshotSpjSpec extends SparkSpec {
       // the no-new-rows ETL tick: dynamic partitioning emits no files
       SnapshotLog.append(spark, t,
         Seq.empty[(Long, Long)].toDF("k", "v"))
-    } finally spark.conf.unset("spark.graft.write.fanout")
+    }
     assert(SnapshotLog.read(spark, t).count() == 20L)
   }
 
