@@ -6047,6 +6047,49 @@ object SnapshotLog {
       ()
     }.resolve("log").toString
 
+  /** Staged CORRELATED-DELETE log: the canonical retention/GC
+    * statement — `DELETE … WHERE EXISTS (… s.key = t.key AND s.cond)`
+    * against a tombstone view. The binder rebinds the subquery's outer
+    * references onto the MoR discovery frame and Catalyst decorrelates
+    * it into the semi-join it really is — never a per-row probe.
+    */
+  private def sqlCorrDeleteLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttcord_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+      append(s, root,
+        orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+          .repartition(4))
+      orders.select("o_orderkey", "o_orderpriority")
+        .createOrReplaceTempView("tt47_tomb")
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      s.sql(s"DELETE FROM snapcat.`$root` t WHERE EXISTS " +
+        "(SELECT 1 FROM tt47_tomb s WHERE s.o_orderkey = t.o_orderkey " +
+        "AND s.o_orderpriority = '1-URGENT')")
+      ()
+    }.resolve("log").toString
+
+  /** Staged CORRELATED-UPDATE log: a correlated scalar subquery in SET
+    * (left join + projection after decorrelation) gated by a plain
+    * WHERE — the enrich-in-place statement.
+    */
+  private def sqlCorrUpdateLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttcoru_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+      append(s, root,
+        orders.select("o_orderkey", "o_custkey", "o_orderstatus")
+          .repartition(4))
+      orders.select("o_orderkey", "o_orderpriority")
+        .createOrReplaceTempView("tt47_pri")
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      s.sql(s"UPDATE snapcat.`$root` t SET o_orderstatus = " +
+        "(SELECT substring(s.o_orderpriority, 1, 1) FROM tt47_pri s " +
+        "WHERE s.o_orderkey = t.o_orderkey) " +
+        "WHERE t.o_custkey % 10 = 0")
+      ()
+    }.resolve("log").toString
+
   /** Staged SQL-WAP scenario: [[branchLog]]'s exact batches, but the
     * branch writes are PURE SQL — `spark.graft.wap.branch` flips the
     * session into staging mode, two `INSERT INTO` land on the
@@ -7241,6 +7284,46 @@ object SnapshotLog {
              |  SELECT o_orderkey FROM orders
              |  WHERE o_orderstatus <> 'F' LIMIT 500)""".stripMargin),
       stage = Some((s, dir) => { ordersLog(s, dir); () })
+    ),
+
+    // TT47: SQL DELETE with a CORRELATED EXISTS — the canonical
+    // retention statement. The binder rebinds the subquery's outer
+    // references onto the MoR discovery frame; Catalyst decorrelates
+    // to a semi-join, one delete vector commits. The oracle recomputes
+    // the survivors with the same correlated NOT EXISTS in DuckDB — a
+    // mis-decorrelated probe or a row deleted under the wrong key
+    // breaks the hash.
+    Q(
+      "tt47_sql_delete_correlated",
+      (s, dir) => {
+        val root = sqlCorrDeleteLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus
+             |FROM orders o
+             |WHERE NOT EXISTS
+             |  (SELECT 1 FROM orders i
+             |   WHERE i.o_orderkey = o.o_orderkey
+             |   AND i.o_orderpriority = '1-URGENT')
+             |ORDER BY o.o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { sqlCorrDeleteLog(s, dir); () })
+    ),
+
+    // TT47B: the UPDATE twin — a correlated SCALAR subquery in SET
+    // (decorrelates to a left join + projection) under a plain WHERE
+    // gate; rows outside the gate must ride through byte-identical.
+    Q(
+      "tt47b_sql_update_correlated",
+      (s, dir) => {
+        val root = sqlCorrUpdateLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CASE WHEN o_custkey % 10 = 0
+             |       THEN substring(o_orderpriority, 1, 1)
+             |       ELSE o_orderstatus END AS o_orderstatus
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { sqlCorrUpdateLog(s, dir); () })
     )
   )
 }

@@ -103,11 +103,9 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
       val wapU = wapTarget(t)
       require(wapU.isDefined || (t.asOf == 0L && t.branch.isEmpty),
         s"cannot UPDATE a pinned read of ${t.root}: history is immutable")
-      require(!(u.condition.toSeq ++ u.assignments).exists(
-          org.apache.spark.sql.catalyst.expressions
-            .SubqueryExpression.hasCorrelatedSubquery),
-        "UPDATE with a CORRELATED subquery is not supported on " +
-          "snapshot-log tables; rewrite as an uncorrelated form")
+      // correlated subqueries (WHERE and SET alike) are admitted: the
+      // run-time binder rebinds their outer references onto the MoR
+      // discovery frame and Catalyst decorrelates them into joins
       UpdateSnapshotCommand(t.root, u.table,
         u.assignments.map(a => AssignmentEnvelope(a.key, a.value)),
         u.condition.map(ExprEnvelope), wapU)
@@ -117,16 +115,10 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
       val wapD = wapTarget(t)
       require(wapD.isDefined || (t.asOf == 0L && t.branch.isEmpty),
         s"cannot DELETE from a pinned read of ${t.root}: history is immutable")
-      // UNCORRELATED subqueries (IN (SELECT ...), EXISTS over another
-      // table) route through the MoR delete below — the discovery
-      // frame evaluates them as ordinary semi-joins. A CORRELATED
-      // subquery's plan holds OuterReference nodes the run-time rebind
-      // cannot reach; refuse those loudly with the workaround.
-      require(!org.apache.spark.sql.catalyst.expressions
-          .SubqueryExpression.hasCorrelatedSubquery(d.condition),
-        "DELETE with a CORRELATED subquery predicate is not supported " +
-          "on snapshot-log tables; rewrite as an uncorrelated IN/EXISTS " +
-          "or use deleteWhereEqual (scan-free key-set delete)")
+      // subquery predicates — uncorrelated AND correlated — route
+      // through the MoR delete below: the binder rebinds outer
+      // references onto the discovery frame and the (correlated)
+      // subquery decorrelates into the semi/anti-join it really is
       DeleteSnapshotCommand(t.root, d.table, ExprEnvelope(d.condition), wapD)
   }
 }
@@ -232,17 +224,43 @@ private[plans] object SnapshotDml {
     * relation is substituted by the SAME-NAMED attribute of the MoR
     * discovery frame (fresh ids), source attributes by the source
     * frame's (identity — the source plan is reused, ids preserved).
+    *
+    * The rewrite DESCENDS INTO SUBQUERY PLANS: a correlated
+    * EXISTS/IN/scalar subquery holds `OuterReference(attr)` nodes
+    * whose attrs resolved to the statement's target — rebinding them
+    * to the discovery frame turns the condition into an ordinary
+    * correlated-subquery Filter/Project over that frame, which
+    * Catalyst's own decorrelation (PullupCorrelatedPredicates /
+    * RewritePredicateSubquery / RewriteCorrelatedScalarSubquery) then
+    * plans as the semi/anti/left join it really is. The engine never
+    * evaluates correlation row-at-a-time — `DELETE … WHERE EXISTS
+    * (… s.k = t.k)` runs as one join against the coordinate frame.
     */
   private def binder(stmtSides: Seq[(LogicalPlan, Map[String, Attribute])])
       : Expression => Column = { e =>
-    DmlBridge.column(e.transform {
-      case a: AttributeReference =>
-        stmtSides.collectFirst {
-          case (side, byName) if side.outputSet.contains(a) =>
-            byName.getOrElse(a.name, throw new IllegalStateException(
-              s"merge rebind lost column ${a.name}"))
-        }.getOrElse(a)
-    })
+    def look(a: AttributeReference): Option[Attribute] =
+      stmtSides.collectFirst {
+        case (side, byName) if side.outputSet.contains(a) =>
+          byName.getOrElse(a.name, throw new IllegalStateException(
+            s"merge rebind lost column ${a.name}"))
+      }
+    lazy val pf: PartialFunction[Expression, Expression] = {
+      case a: AttributeReference => look(a).getOrElse(a)
+      // OuterReference is a LEAF expression (its wrapped attribute is
+      // a field, not a child) — without this case the transform would
+      // rebind the subquery's outerAttrs but leave the in-plan
+      // `outer(attr)` pointing at the dead statement relation
+      case o @ org.apache.spark.sql.catalyst.expressions
+          .OuterReference(a: AttributeReference) =>
+        look(a).map(org.apache.spark.sql.catalyst.expressions
+          .OuterReference(_)).getOrElse(o)
+      case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        // inner-plan rewrite first; the outer transform then continues
+        // into the node's own children (outerAttrs), rebinding those
+        // through the AttributeReference case
+        sq.withNewPlan(sq.plan.transformAllExpressions(pf))
+    }
+    DmlBridge.column(e.transform(pf))
   }
 
   private def outputsByName(df: DataFrame): Map[String, Attribute] =

@@ -348,12 +348,90 @@ class SnapshotDmlSpec extends SparkSpec {
     spark.sql(s"DELETE FROM $cat.`$root` WHERE k >= 90 AND " +
       "k NOT IN (SELECT dk FROM dml_subq_keys)")
     assert(SnapshotLog.read(spark, root).count() == 87L) // 90..100 die
-    // a CORRELATED subquery still refuses loudly
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.`$root` t WHERE EXISTS " +
-        "(SELECT 1 FROM dml_subq_keys s WHERE s.dk = t.k)")
+    // a CORRELATED EXISTS decorrelates into a semi-join on the
+    // discovery frame: kills the remaining listed key (5)
+    spark.sql(s"DELETE FROM $cat.`$root` t WHERE EXISTS " +
+      "(SELECT 1 FROM dml_subq_keys s WHERE s.dk = t.k)")
+    val after = SnapshotLog.read(spark, root)
+    assert(after.count() == 86L)
+    assert(after.filter(col("k") === 5L).count() == 0L)
+    assert(SnapshotLog.operationOf(spark, root,
+      SnapshotLog.currentId(spark, root)) == "mor-delete")
+  }
+
+  test("correlated DELETE/UPDATE decorrelate into joins (retention shape)") {
+    import spark.implicits._
+    val root = newLog("corr")
+    // tombstones: the canonical retention/GC statement `DELETE …
+    // WHERE EXISTS (… s.k = t.k AND s.cond)`
+    Seq((10L, true), (20L, true), (30L, false))
+      .toDF("tk", "purge").createOrReplaceTempView("dml_corr_tomb")
+    spark.sql(s"DELETE FROM $cat.`$root` t WHERE EXISTS " +
+      "(SELECT 1 FROM dml_corr_tomb s WHERE s.tk = t.k AND s.purge)")
+    val out = SnapshotLog.read(spark, root)
+    assert(out.count() == 98L)
+    assert(out.filter(col("k").isin(10L, 20L)).count() == 0L)
+    assert(out.filter(col("k") === 30L).count() == 1L, "purge=false survives")
+    // correlated NOT EXISTS = anti-join: keep only tombstoned keys
+    spark.sql(s"DELETE FROM $cat.`$root` t WHERE k <= 5 AND NOT EXISTS " +
+      "(SELECT 1 FROM dml_corr_tomb s WHERE s.tk = t.k)")
+    assert(SnapshotLog.read(spark, root).filter(col("k") <= 5L).count() == 0L)
+    // correlated scalar subquery in SET, correlated IN in WHERE
+    Seq((50L, "A"), (60L, "B")).toDF("mk", "label")
+      .createOrReplaceTempView("dml_corr_lab")
+    spark.sql(s"UPDATE $cat.`$root` t SET v = " +
+      "(SELECT concat(label, '!') FROM dml_corr_lab s WHERE s.mk = t.k) " +
+      "WHERE t.k IN (SELECT mk FROM dml_corr_lab WHERE label <> 'zzz')")
+    val upd = SnapshotLog.read(spark, root)
+    assert(upd.filter(col("k") === 50L).select("v").head().getString(0) == "A!")
+    assert(upd.filter(col("k") === 60L).select("v").head().getString(0) == "B!")
+    assert(upd.filter(col("k") === 70L).select("v").head().getString(0) == "v70",
+      "rows outside the WHERE keep their value")
+    // correlated EXISTS in UPDATE's WHERE
+    spark.sql(s"UPDATE $cat.`$root` t SET v = 'E' WHERE EXISTS " +
+      "(SELECT 1 FROM dml_corr_tomb s WHERE s.tk = t.k AND NOT s.purge)")
+    assert(SnapshotLog.read(spark, root).filter(col("v") === "E")
+      .select("k").as[Long].collect().toSet == Set(30L))
+  }
+
+  test("correlated DELETE races a concurrent MERGE: disjoint rebases, same-key aborts") {
+    import spark.implicits._
+    val root = newLog("corrrace")
+    Seq(1L, 2L, 3L).toDF("tk").createOrReplaceTempView("dml_race_tomb")
+    // a MERGE discovers against base 1 (stale once the DELETE lands)
+    val (_, pos, _) = SnapshotLog.readPosForDml(spark, root, asOf = 1L)
+    val hit = pos.filter(col("k").isin(90L, 91L))
+    val dead = hit.select(col("__path").as("t_path"),
+      col("__pos").as("t_pos"))
+    val adds = hit.select(col("k"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("m"), col("k")).as("v"))
+    // the correlated DELETE wins the publish first (snapshot 2)
+    spark.sql(s"DELETE FROM $cat.`$root` t WHERE EXISTS " +
+      "(SELECT 1 FROM dml_race_tomb s WHERE s.tk = t.k)")
+    assert(SnapshotLog.currentId(spark, root) == 2L)
+    // disjoint keys: the stale merge validates and REBASES onto 2
+    assert(SnapshotLog.morCommit(spark, root, 1L, Some(dead), adds) == 3L)
+    val out = SnapshotLog.read(spark, root)
+    assert(out.count() == 97L)
+    assert(out.filter(col("k") <= 3L).count() == 0L, "delete held")
+    assert(out.filter(col("v").startsWith("m")).count() == 2L, "merge held")
+    // same-key race: a stale merge touching a row the correlated
+    // DELETE killed must abort loudly, never resurrect it
+    Seq(50L).toDF("tk").createOrReplaceTempView("dml_race_tomb2")
+    val (_, pos2, _) = SnapshotLog.readPosForDml(spark, root, asOf = 3L)
+    val hit2 = pos2.filter(col("k") === 50L)
+    val dead2 = hit2.select(col("__path").as("t_path"),
+      col("__pos").as("t_pos"))
+    val adds2 = hit2.select(col("k"),
+      org.apache.spark.sql.functions.lit("clobber").as("v"))
+    spark.sql(s"DELETE FROM $cat.`$root` t WHERE EXISTS " +
+      "(SELECT 1 FROM dml_race_tomb2 s WHERE s.tk = t.k)")
+    intercept[Exception] {
+      SnapshotLog.morCommit(spark, root, 3L, Some(dead2), adds2)
     }
-    assert(e.getMessage.contains("CORRELATED"))
+    assert(SnapshotLog.read(spark, root).filter(col("k") === 50L)
+      .count() == 0L, "the deleted row stayed dead")
   }
 
   test("UPDATE with subquery WHERE and scalar-subquery SET") {
