@@ -141,7 +141,13 @@ object SnapshotLog {
       stats: Map[String, (String, String)] = Map.empty,
       blooms: Map[String, String] = Map.empty,
       ids: Map[String, Int] = Map.empty,
-      bytes: Long = 0L)
+      bytes: Long = 0L,
+      // per-column (nullCount, KMV bottom-k xxhash64 sketch) — a
+      // TRANSIENT commit-time carrier, never rendered into file lines
+      // (per-file sketches would bloat a million-file manifest);
+      // writeFileList folds it into the LIST-level meta on the M line,
+      // which is O(#commits) bytes
+      meta: Map[String, (Long, Array[Long])] = Map.empty)
 
   /** One committed snapshot's metadata. `rows` is the TOTAL row count
     * of the table at this snapshot (sum of its files' counts).
@@ -934,7 +940,17 @@ object SnapshotLog {
     * legacy line or no foldable stats — the list is always opened.
     */
   private final case class ListRef(path: String, nFiles: Int, rows: Long,
-      band: Map[String, (String, String)] = Map.empty)
+      band: Map[String, (String, String)] = Map.empty,
+      // per-column (nullCount, KMV bottom-k xxhash64 sketch) over the
+      // list's live files — null counts are exactly additive across
+      // lists and KMV sketches merge (k smallest of the union), so
+      // TABLE-level null/NDV statistics fold from O(#commits) manifest
+      // bytes with zero data reads: the CBO feed (estimateStatistics
+      // column stats) and the `snap.t.stats` table. Recorded only for
+      // columns EVERY live file contributed at write time; carried
+      // verbatim with the ref; empty = legacy line (no answer, never a
+      // wrong one).
+      meta: Map[String, (Long, Array[Long])] = Map.empty)
 
   /** One DELETE-VECTOR list reference inside a manifest (line
     * `D<TAB>listpath<TAB>nTargets<TAB>delRows`): the merge-on-read twin
@@ -1198,6 +1214,36 @@ object SnapshotLog {
       dec(c) -> b64
     }.toMap
 
+  // ---- column-meta encoding (list-level null counts + KMV NDV
+  // sketches): `col=<nulls>:<h1>,<h2>,…` per column, ';'-joined,
+  // URL-encoded names; "-" marks none. Hashes are signed longs in
+  // ascending order (the sketch's own order).
+  private def metaField(meta: Map[String, (Long, Array[Long])]): String =
+    if (meta.isEmpty) "-"
+    else meta.toSeq.sortBy(_._1).map { case (c, (nulls, ks)) =>
+      s"${enc(c)}=$nulls:${ks.mkString(",")}"
+    }.mkString(";")
+
+  private def parseMetaField(field: String): Map[String, (Long, Array[Long])] =
+    if (field == "-" || field.isEmpty) Map.empty
+    else field.split(';').iterator.map { kv =>
+      val Array(c, payload) = kv.split("=", 2)
+      val Array(nulls, ks) = payload.split(":", -1)
+      dec(c) -> ((nulls.toLong,
+        if (ks.isEmpty) Array.empty[Long]
+        else ks.split(',').map(_.toLong)))
+    }.toMap
+
+  /** One manifest file-list reference line: `M<TAB>path<TAB>nFiles
+    * <TAB>rows<TAB>band[<TAB>meta]` — THE one renderer every commit
+    * path (fresh writes and carried refs alike) shares, so the
+    * list-level column meta can never be dropped by one re-render
+    * site.
+    */
+  private def refLine(r: ListRef): String =
+    s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}" +
+      s"\t${metaField(r.meta)}"
+
   // ---- field-id encoding: `name=id;name=id` with URL-encoded names
   // ("-" = none). Ids are the table's COLUMN IDENTITY across
   // rename/drop (Iceberg's field ids): the manifest header carries the
@@ -1275,6 +1321,8 @@ object SnapshotLog {
         case Array(_, lp, n, r) => ListRef(lp, n.toInt, r.toLong)
         case Array(_, lp, n, r, bd) =>
           ListRef(lp, n.toInt, r.toLong, parseStats(bd))
+        case Array(_, lp, n, r, bd, mt) =>
+          ListRef(lp, n.toInt, r.toLong, parseStats(bd), parseMetaField(mt))
         case _ => throw new IllegalStateException(s"bad manifest line: $l")
       }
     }
@@ -1418,10 +1466,59 @@ object SnapshotLog {
     }.toMap
   }
 
+  /** KMV sketch size: 64 smallest distinct xxhash64 values per column.
+    * Exact NDV below 64 distincts; ~12% standard error above (1/√(k−2)).
+    */
+  private[graft] val NdvSketchK = 64
+
+  /** Merge KMV sketches: the k smallest distinct hashes of the union —
+    * the lossless sketch-union, associative and order-independent.
+    */
+  private[graft] def kmvMerge(sketches: Iterable[Array[Long]]): Array[Long] = {
+    val set = scala.collection.mutable.TreeSet.empty[Long]
+    sketches.foreach(_.foreach { h =>
+      if (set.size < NdvSketchK) set += h
+      else if (h < set.last && !set.contains(h)) { set -= set.last; set += h }
+    })
+    set.toArray
+  }
+
+  /** Distinct-count estimate of a KMV sketch: exact when the sketch
+    * is not full (it IS the distinct hash set); else the classic
+    * (k−1)/x_k estimator with x_k the k-th smallest hash mapped to a
+    * (0,1] fraction of the unsigned 64-bit range.
+    */
+  private[graft] def kmvEstimate(sketch: Array[Long]): Long =
+    if (sketch.length < NdvSketchK) sketch.length.toLong
+    else {
+      val kth = sketch.last
+      // unsigned position of the k-th hash in [1, 2^64]
+      val frac = ((kth.toDouble - Long.MinValue.toDouble) + 1.0) /
+        math.pow(2.0, 64)
+      math.max(NdvSketchK.toLong, math.round((NdvSketchK - 1) / frac))
+    }
+
+  /** Fold per-file column meta into a LIST's meta: null counts sum,
+    * sketches union — recorded only for columns EVERY live file
+    * carries meta for (a partial fold would under-count; the same
+    * intersection rule as [[bandOf]]).
+    */
+  private def metaOf(entries: Seq[FileEntry])
+      : Map[String, (Long, Array[Long])] = {
+    val live = entries.filter(_.rows > 0)
+    if (live.isEmpty || live.exists(_.meta.isEmpty)) return Map.empty
+    val keys = live.map(_.meta.keySet).reduce(_ intersect _)
+    keys.iterator.map { k =>
+      val ms = live.map(_.meta(k))
+      k -> ((ms.iterator.map(_._1).sum, kmvMerge(ms.map(_._2))))
+    }.toMap
+  }
+
   /** Write a new immutable file list; returns its ListRef (with the
-    * band [[bandOf]] aggregates from the entries' stats). No atomic
-    * publish needed: the uuid name is unreferenced until some manifest's
-    * rename points at it (a lost commit race strands it for
+    * band [[bandOf]] aggregates from the entries' stats and the
+    * column meta [[metaOf]] folds from their transient sketches). No
+    * atomic publish needed: the uuid name is unreferenced until some
+    * manifest's rename points at it (a lost commit race strands it for
     * [[vacuumOrphans]]).
     */
   private def writeFileList(fs: FileSystem, root: String, snapId: Long,
@@ -1433,7 +1530,7 @@ object SnapshotLog {
     try out.write(entries.map(fileLine).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     ListRef(rel, entries.size, entries.iterator.map(_.rows).sum,
-      bandOf(entries, schema))
+      bandOf(entries, schema), metaOf(entries))
   }
 
   /** The head snapshot's operation tag WITHOUT resolving file lists —
@@ -1922,6 +2019,58 @@ object SnapshotLog {
     * SnapshotStatsOnlySpec proves the independence by deleting the
     * data files and still answering.
     */
+  /** TABLE-level column meta from the manifest's list-level sketches:
+    * null counts (exact sums) and KMV NDV estimates, per CURRENT-name
+    * column covered by EVERY live file list. Refuses (empty map) on
+    * legacy flat manifests, on outstanding MoR deletes (dead rows
+    * would overcount), and for any column some list lacks meta for —
+    * metadata answers exactly or not at all.
+    */
+  private[graft] def tableColMeta(raw: RawManifest)
+      : Map[String, (Long, Long)] = {
+    if (raw.inline.nonEmpty || raw.dRefs.nonEmpty || raw.eqRefs.nonEmpty)
+      return Map.empty
+    val live = raw.refs.filter(_.rows > 0)
+    if (live.isEmpty || live.exists(_.meta.isEmpty)) return Map.empty
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    val names = schema.fieldNames.toSet
+    val keys = live.map(_.meta.keySet).reduce(_ intersect _).filter(names)
+    keys.iterator.map { k =>
+      val ms = live.map(_.meta(k))
+      k -> ((ms.iterator.map(_._1).sum,
+        kmvEstimate(kmvMerge(ms.map(_._2)))))
+    }.toMap
+  }
+
+  /** The `snap.t.stats` frame: one row per stat-worthy column with the
+    * live row count, null count, NDV estimate (exact below
+    * [[NdvSketchK]] distincts), and min/max bounds — every value
+    * answered from MANIFEST metadata alone (zero data files opened),
+    * null where metadata cannot answer exactly ([[statsSummary]]'s
+    * refusal discipline for bounds, [[tableColMeta]]'s for meta).
+    */
+  def statsTable(spark: SparkSession, root: String,
+      asOf: Long = 0L): DataFrame = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    val raw = rawManifest(spark, root, id)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    val cols = statCols(schema)
+    val meta = tableColMeta(raw)
+    val bounds = statsSummary(spark, root, cols, id).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rows = cols.sorted.map { c =>
+      val b = bounds(c)
+      val m = meta.get(c)
+      Row(c, if (b.isNullAt(1)) null else b.getLong(1),
+        m.map(v => java.lang.Long.valueOf(v._1)).orNull,
+        m.map(v => java.lang.Long.valueOf(v._2)).orNull,
+        b.getString(2), b.getString(3))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType.fromDDL("col_name STRING, n_rows BIGINT, " +
+        "null_count BIGINT, ndv BIGINT, min_val STRING, max_val STRING"))
+  }
+
   def statsSummary(spark: SparkSession, root: String,
       columns: Seq[String], asOf: Long = 0L): DataFrame = {
     val id = if (asOf > 0) asOf else currentId(spark, root)
@@ -2166,7 +2315,10 @@ object SnapshotLog {
       kept: Seq[FileEntry], totalFiles: Int,
       eqOutstanding: Boolean,
       dvByTarget: Map[String, Seq[String]],
-      spec: Seq[PartField] = Seq.empty)
+      spec: Seq[PartField] = Seq.empty,
+      // table-level (nullCount, ndvEstimate) per column, from the
+      // manifest's list meta — the scan's CBO column statistics
+      colMeta: Map[String, (Long, Long)] = Map.empty)
 
   /** Snapshot `id`'s parent id — header bytes only. The default
     * changelog window (`parent(current) -> current`) resolves through
@@ -2196,7 +2348,7 @@ object SnapshotLog {
     val dv = deleteMapOf(fsOf(spark, root), root, raw)
       .map { case (t, es) => t -> es.map(_.dvDir).distinct }
     CatalogBatchPlan(schema, curIds, kept, total, raw.eqRefs.nonEmpty, dv,
-      raw.spec)
+      raw.spec, tableColMeta(raw))
   }
 
   /** The single transform VALUE a file covers for one spec field, when
@@ -2759,7 +2911,7 @@ object SnapshotLog {
         ((s"$next\t$base\tpublish-append\t${head.rows + staged.rows}\t$ddl" +
           s"\t${idsField(ids)}\t$last") +:
           (refs.map(r =>
-            s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+            refLine(r)) ++
             head.inline.map(fileLine) ++
             dRefLines(head.dRefs) ++
             // staged rows sequence at STAGE time (their dir id), so an
@@ -2940,7 +3092,7 @@ object SnapshotLog {
           ((s"$next\t$base\tmor-delete\t${raw.rows - dRef.delRows}\t$ddl" +
             s"\t${idsField(tableIds)}\t$lastColId") +:
             (raw.refs.map(r =>
-              s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+              refLine(r)) ++
               raw.inline.map(fileLine) ++
               dRefLines(raw.dRefs :+ dRef) ++
               eqLines(raw.eqRefs) ++
@@ -3081,7 +3233,7 @@ object SnapshotLog {
       ((s"$next\t$base\teq-delete\t${raw.rows}\t$ddl" +
         s"\t${idsField(tableIds)}\t$lastColId") +:
         (raw.refs.map(r =>
-          s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+          refLine(r)) ++
           raw.inline.map(fileLine) ++
           dRefLines(raw.dRefs) ++
           eqLines(raw.eqRefs :+ eq) ++
@@ -3260,7 +3412,7 @@ object SnapshotLog {
         ((s"$next\t$base\t$operation\t${baseRows + srcRows}\t$ddl" +
           s"\t${idsField(tableIds)}\t$lastColId") +:
           (refs.map(r =>
-            s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+            refLine(r)) ++
             rawOpt.map(_.inline).getOrElse(Seq.empty).map(fileLine) ++
             dRefLines(rawOpt.map(_.dRefs).getOrElse(Seq.empty)) ++
             eqLines(rawOpt.map(_.eqRefs).getOrElse(Seq.empty) ++ eqOpt) ++
@@ -3432,7 +3584,7 @@ object SnapshotLog {
       ((s"$next\t$base\trewrite-eq\t${raw.rows - delRows}\t$ddl" +
         s"\t${idsField(tableIds)}\t$lastColId") +:
         (raw.refs.map(r =>
-          s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+          refLine(r)) ++
           raw.inline.map(fileLine) ++
           dRefLines(raw.dRefs ++ dvOpt.map(_._1)) ++
           specLines(raw.spec)))
@@ -3660,7 +3812,7 @@ object SnapshotLog {
         ((s"$next\t$base\t$operation\t${raw.rows - delRows + srcRows}\t$ddl" +
           s"\t${idsField(tableIds)}\t$lastColId") +:
           ((raw.refs :+ newRef).map(r =>
-            s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+            refLine(r)) ++
             raw.inline.map(fileLine) ++
             dRefLines(raw.dRefs ++ dvOpt.map(_._1)) ++
             eqLines(raw.eqRefs) ++
@@ -4152,7 +4304,7 @@ object SnapshotLog {
       ((s"$next\t$base\t$operation\t${raw.rows}\t$ddl" +
         s"\t${idsField(ids)}\t$lastColId") +:
         (refs.map(r =>
-          s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+          refLine(r)) ++
           raw.inline.map(fileLine) ++
           // delete vectors ride metadata-only commits untouched: DV
           // rows hold (file, position) coordinates, no column data, so
@@ -4368,14 +4520,30 @@ object SnapshotLog {
       c -> e
     } ++ derivedStats
     val bloomCols = bloomSpec.map(_.cols).getOrElse(Nil)
-    if (bloomCols.nonEmpty) graft.functions.GraftFunctions.register(spark)
+    // column meta (null counts + KMV NDV sketches) rides the SAME
+    // read-back aggregation as min/max — one pass over the written
+    // bytes per commit, pay once; opt out via spark.graft.stats.colmeta
+    val metaCols =
+      if (spark.conf.getOption("spark.graft.stats.colmeta")
+          .forall(_.toBoolean)) statCols(df.schema)
+      else Seq.empty
+    if (bloomCols.nonEmpty || metaCols.nonEmpty)
+      graft.functions.GraftFunctions.register(spark)
     val statAggs = sc.zipWithIndex.flatMap { case ((_, e), i) => Seq(
       min(e).cast("string").as(s"mn_$i"),
       max(e).cast("string").as(s"mx_$i")) } ++
       bloomSpec.toSeq.flatMap(bs => bs.cols.map(c =>
         call_function(graft.functions.GraftFunctions.BloomAggName,
           col(c).cast("long"), lit(bs.expectedPerFile), lit(bs.fpp))
-          .as(s"bf_$c")))
+          .as(s"bf_$c"))) ++
+      metaCols.zipWithIndex.flatMap { case (c, i) => Seq(
+        count(when(col(c).isNull, lit(1))).as(s"nu_$i"),
+        // null rows hash to NULL and the sketch skips them — NDV is
+        // non-null distinct, the ColumnStat convention
+        call_function(graft.functions.GraftFunctions.BottomKName,
+          when(col(c).isNotNull, xxhash64(col(c))), lit(NdvSketchK))
+          .as(s"kv_$i")) }
+    val metaBase = 2 + 2 * sc.size + bloomCols.size
     val counted = spark.read.parquet(s"$root/$dataDir")
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("n"), statAggs: _*)
@@ -4389,12 +4557,17 @@ object SnapshotLog {
           Option(r.getAs[Array[Byte]](2 + 2 * sc.size + j)).map(b =>
             c -> java.util.Base64.getEncoder.encodeToString(b))
         }.toMap
-        relativize(r.getString(0)) -> ((r.getLong(1), stats, blooms))
+        val meta = metaCols.zipWithIndex.map { case (c, i) =>
+          c -> ((r.getLong(metaBase + 2 * i),
+            r.getSeq[Long](metaBase + 2 * i + 1).toArray))
+        }.toMap
+        relativize(r.getString(0)) -> ((r.getLong(1), stats, blooms, meta))
       }.toMap
     listed.map { case (p, len) =>
-      val (n, stats, blooms) = counted.getOrElse(p,
-        (0L, Map.empty[String, (String, String)], Map.empty[String, String]))
-      FileEntry(p, n, stats, blooms, bytes = len)
+      val (n, stats, blooms, meta) = counted.getOrElse(p,
+        (0L, Map.empty[String, (String, String)],
+          Map.empty[String, String], Map.empty[String, (Long, Array[Long])]))
+      FileEntry(p, n, stats, blooms, bytes = len, meta = meta)
     }
   }
 
@@ -4483,7 +4656,7 @@ object SnapshotLog {
         ((s"$next\t$base\t$operation\t$total\t$ddl" +
           s"\t${idsField(tableIds)}\t$lastColId") +:
           (refs.map(r =>
-            s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+            refLine(r)) ++
             dRefLines(carriedD) ++
             eqLines(carriedE) ++
             specLines(carriedP)))
@@ -5161,7 +5334,7 @@ object SnapshotLog {
     ((s"${raw.id}\t${raw.parent}\t${raw.operation}\t${raw.rows}" +
       s"\t${raw.schemaDdl}\t${idsField(raw.ids)}\t${raw.lastColId}") +:
       (raw.refs.map(r =>
-        s"M\t${r.path}\t${r.nFiles}\t${r.rows}\t${statsField(r.band)}") ++
+        refLine(r)) ++
         raw.inline.map(fileLine) ++
         dRefLines(raw.dRefs) ++
         eqLines(raw.eqRefs) ++
@@ -6087,6 +6260,22 @@ object SnapshotLog {
         "(SELECT substring(s.o_orderpriority, 1, 1) FROM tt47_pri s " +
         "WHERE s.o_orderkey = t.o_orderkey) " +
         "WHERE t.o_custkey % 10 = 0")
+      ()
+    }.resolve("log").toString
+
+  /** Staged COLUMN-STATS log: orders columns whose distinct counts sit
+    * below the KMV sketch size, so the manifest-recorded NDVs are
+    * EXACT and the DuckDB oracle can recompute every cell — plus a
+    * derived nullable column proving null accounting.
+    */
+  private def statsTableLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttstats_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+      append(s, root, orders.select(
+        col("o_orderstatus"), col("o_orderpriority"),
+        expr("nullif(o_orderstatus, 'F')").as("status_n"))
+        .repartition(3))
       ()
     }.resolve("log").toString
 
@@ -7324,6 +7513,45 @@ object SnapshotLog {
              |       ELSE o_orderstatus END AS o_orderstatus
              |FROM orders ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { sqlCorrUpdateLog(s, dir); () })
+    ),
+
+    // TT48: the `snap.t.stats` metadata table — exact live counts,
+    // null counts, and KMV NDVs (exact below the sketch size, the
+    // fixture's columns by construction) plus stat-band min/max, all
+    // answered from MANIFEST bytes alone. The oracle recomputes every
+    // cell relationally in DuckDB: a sketch that under-merged across
+    // lists, a null mis-counted into the NDV, or a band folded under
+    // the wrong order breaks the hash.
+    Q(
+      "tt48_sql_stats_table",
+      (s, dir) => {
+        val root = statsTableLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.sql(s"SELECT * FROM snapcat.`$root`.stats ORDER BY col_name")
+      },
+      Some("""SELECT 'o_orderpriority' AS col_name,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+             |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS ndv,
+             |  CAST(min(o_orderpriority) AS VARCHAR) AS min_val,
+             |  CAST(max(o_orderpriority) AS VARCHAR) AS max_val
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             |  CAST(min(o_orderstatus) AS VARCHAR),
+             |  CAST(max(o_orderstatus) AS VARCHAR)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'status_n', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CASE WHEN nullif(o_orderstatus, 'F') IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  CAST(count(DISTINCT nullif(o_orderstatus, 'F')) AS BIGINT),
+             |  CAST(min(nullif(o_orderstatus, 'F')) AS VARCHAR),
+             |  CAST(max(nullif(o_orderstatus, 'F')) AS VARCHAR)
+             |FROM orders
+             |ORDER BY col_name""".stripMargin),
+      stage = Some((s, dir) => { statsTableLog(s, dir); () })
     )
   )
 }

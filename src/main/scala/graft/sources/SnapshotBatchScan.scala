@@ -89,6 +89,30 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
       util.OptionalLong.of(math.max(1L, rows) *
         math.max(1, required.map(_.dataType.defaultSize).sum))
     override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+    // manifest-recorded column statistics (exact null counts, KMV NDV
+    // estimates) — Spark's transformV2Stats folds these into the
+    // logical plan's attributeStats, so with CBO on, a filtered dim's
+    // estimated cardinality shrinks by 1/ndv and the join build side
+    // flips to the genuinely smaller side. Zero data reads: the meta
+    // folded from O(#commits) manifest bytes at plan time.
+    override def columnStats(): util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      required.fieldNames.foreach { c =>
+        plan0.colMeta.get(c).foreach { case (nulls, ndv) =>
+          out.put(Expressions.column(c),
+            new org.apache.spark.sql.connector.read.colstats
+                .ColumnStatistics {
+              override def distinctCount(): util.OptionalLong =
+                util.OptionalLong.of(ndv)
+              override def nullCount(): util.OptionalLong =
+                util.OptionalLong.of(nulls)
+            })
+        }
+      }
+      out
+    }
   }
 
   // ---- storage-partitioned join: when the table declares a bucket

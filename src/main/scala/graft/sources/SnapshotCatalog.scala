@@ -333,7 +333,7 @@ object SnapshotCatalog {
       .map(_.trim).filter(_.nonEmpty)
 
   private[sources] val MetaKinds =
-    Set("history", "snapshots", "files", "changes")
+    Set("history", "snapshots", "files", "changes", "stats")
 
   /** One DSv2 partition transform → the library's [[SnapshotLog
     * .PartField]] — the inverse of [[SnapshotTableV2.partitioning]].
@@ -1116,6 +1116,9 @@ private[graft] class SnapshotMetaTable(val root: String, val kind: String)
 
   override def schema: StructType = kind match {
     case "files" => StructType.fromDDL("path STRING, n_rows BIGINT")
+    case "stats" => StructType.fromDDL(
+      "col_name STRING, n_rows BIGINT, null_count BIGINT, ndv BIGINT, " +
+        "min_val STRING, max_val STRING")
     case "changes" =>
       // the table's own columns plus the change tag — the exact frame
       // SnapshotLog.changes produces
@@ -1179,6 +1182,10 @@ private[graft] class SnapshotMetaTable(val root: String, val kind: String)
                 // only this one of the meta kinds reads data files
                 val (from, to) = changesWindow(s, options)
                 SnapshotLog.changes(s, root, from, to)
+              case "stats" =>
+                // column statistics from manifest metadata alone:
+                // exact live counts/nulls, KMV NDV, stat-band bounds
+                SnapshotLog.statsTable(s, root)
               case _ =>
                 val rows = SnapshotLog.history(s, root).map(h =>
                   Row(h.id, h.parent, h.operation, h.rows, h.files.size))

@@ -58,7 +58,8 @@ class ManifestBandSpec extends SparkSpec {
     val mLines = textOf(root, "snap/v00000006.manifest")
       .split('\n').filter(_.startsWith("M\t"))
     assert(mLines.length === 6)
-    assert(mLines.forall(_.split('\t').length === 5), "band field missing")
+    // 6 fields since the column-meta revision: band + list-level meta
+    assert(mLines.forall(_.split('\t').length === 6), "band/meta field missing")
     assert(mLines.forall(l => l.split('\t')(4).contains("k%3D")
       || l.split('\t')(4).contains("k=")), s"no k band in: ${mLines.head}")
   }
