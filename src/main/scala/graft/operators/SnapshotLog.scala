@@ -5996,6 +5996,40 @@ object SnapshotLog {
     (p.resolve("fact").toString, p.resolve("dim").toString)
   }
 
+  /** Staged CO-DAY-FANOUT pair for the time-transform storage
+    * partitioned join: two tables declaring `days(d)`, fanout-written
+    * so every data file covers exactly one day — the layout under
+    * which both scans report `KeyGroupedPartitioning(days(d))` (the
+    * catalog serves the V2 `days` function) and the join plans with
+    * zero Exchange on either side. The day column derives from the
+    * order key so the fixture stays bounded (8 days) at every SF.
+    */
+  private def spjDaysLogs(s: SparkSession, dir: String): (String, String) = {
+    val p = graft.TempDirs.staged(s"ttspjd_${graft.TempDirs.dirKey(dir)}") { p =>
+      val fact = p.resolve("fact").toString
+      val dim = p.resolve("dim").toString
+      val withDay = Tables(s, dir, "orders").withColumn("d",
+        date_add(lit("1970-01-01").cast("date"),
+          pmod(col("o_orderkey"), lit(8)).cast("int")).cast("timestamp"))
+      val prior = s.conf.getOption("spark.graft.write.fanout")
+      s.conf.set("spark.graft.write.fanout", "true")
+      try {
+        createTable(s, fact,
+          StructType.fromDDL("d TIMESTAMP, o_orderkey BIGINT, o_custkey BIGINT"),
+          Seq(PartField("days", "d")))
+        append(s, fact, withDay.select("d", "o_orderkey", "o_custkey"))
+        createTable(s, dim,
+          StructType.fromDDL("d TIMESTAMP, o_orderkey BIGINT, o_orderpriority STRING"),
+          Seq(PartField("days", "d")))
+        append(s, dim, withDay.select("d", "o_orderkey", "o_orderpriority"))
+      } finally prior match {
+        case Some(v) => s.conf.set("spark.graft.write.fanout", v)
+        case None => s.conf.unset("spark.graft.write.fanout")
+      }
+    }
+    (p.resolve("fact").toString, p.resolve("dim").toString)
+  }
+
   /** Staged SQL-DELETE log: one append, then a pure-SQL `DELETE FROM …
     * WHERE` whose predicate has NO sources.Filter translation (modulo
     * arithmetic) — the arm the DML rewrite exists for; executed as the
@@ -7452,6 +7486,39 @@ object SnapshotLog {
       Some("""SELECT o_orderkey, o_custkey, o_orderpriority
              |FROM orders ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { spjLogs(s, dir); () })
+    ),
+
+    // TT49: storage-partitioned join over a TIME transform — two
+    // day-fanout tables (`days(d)` spec) join through SQL with zero
+    // Exchange on either side: the scans report
+    // KeyGroupedPartitioning(days(d)) and the catalog's V2 `days`
+    // function proves both sides partition compatibly
+    // (SnapshotSpjSpec pins the exchange-free plan and the
+    // function-vs-writer value equivalence). The oracle recomputes the
+    // derived-day join relationally.
+    Q(
+      "tt49_spj_days",
+      (s, dir) => {
+        val (fact, dim) = spjDaysLogs(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.conf.set("spark.graft.catalog.preserveGrouping", "true")
+        try {
+          val df = s.sql(
+            s"""SELECT /*+ MERGE(f) */ f.d, f.o_orderkey, f.o_custkey,
+               |       m.o_orderpriority
+               |FROM snapcat.`$fact` f
+               |JOIN snapcat.`$dim` m
+               |  ON f.d = m.d AND f.o_orderkey = m.o_orderkey
+               |ORDER BY f.o_orderkey""".stripMargin)
+          df.queryExecution.executedPlan // pin the key-grouped plan
+          df
+        } finally s.conf.unset("spark.graft.catalog.preserveGrouping")
+      },
+      Some("""SELECT CAST(DATE '1970-01-01' AS TIMESTAMP)
+             |         + (o_orderkey % 8) * INTERVAL 1 DAY AS d,
+             |       o_orderkey, o_custkey, o_orderpriority
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { spjDaysLogs(s, dir); () })
     ),
 
     // TT46: limit pushdown into catalog file planning — a bare

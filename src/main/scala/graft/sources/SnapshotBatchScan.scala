@@ -115,11 +115,13 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
     }
   }
 
-  // ---- storage-partitioned join: when the table declares a bucket
-  // spec and every planned file's recorded bucket band is a POINT
+  // ---- storage-partitioned join: when the table declares a partition
+  // spec and every planned file's recorded transform band is a POINT
   // (fanout-written layouts guarantee this), each file maps to exactly
   // one partition key and the scan reports
-  // `KeyGroupedPartitioning(bucket(n, col))` — two co-bucketed tables
+  // `KeyGroupedPartitioning(<transform>(col))` — ANY declared
+  // transform (bucket, days/hours/months, trunc), since the catalog's
+  // FunctionCatalog serves every one of them: two co-fanout tables
   // then join with ZERO shuffle on either side, the difference between
   // re-shuffling 100 TB per join and reading both sides in place. The
   // decision is fixed from the PRE-runtime-filter file set (runtime
@@ -127,7 +129,7 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
   // Reporting is DOUBLY gated: Spark's own SPJ conf (default on in
   // Spark 4) AND the opt-in `spark.graft.catalog.preserveGrouping` —
   // because a reported KeyGroupedPartitioning makes BatchScanExec read
-  // ONE TASK PER BUCKET (a 10k-file scan collapses to n_buckets tasks:
+  // ONE TASK PER KEY (a 10k-file scan collapses to n_keys tasks:
   // right for the shuffle-free join, catastrophic for a plain scan's
   // parallelism at 100 TB). Iceberg's preserve-data-grouping flag,
   // same default, same reason. ----
@@ -139,11 +141,40 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
       conf.getOption("spark.graft.catalog.preserveGrouping")
         .exists(_.toBoolean)
     if (!on || plan0.kept.isEmpty) None
-    else plan0.spec.find(f => f.transform == "bucket" &&
+    else plan0.spec.find(f =>
       required.fieldNames.contains(f.column) &&
       plan0.kept.forall(file =>
         SnapshotLog.fileTransformPoint(file, f, plan0.curIds).isDefined))
   }
+
+  /** The reported V2 transform for the SPJ field — by the NAME the
+    * catalog's FunctionCatalog serves, so Spark's SPJ planner binds
+    * both join sides to the same canonical function.
+    */
+  private def spjTransform(f: SnapshotLog.PartField)
+      : org.apache.spark.sql.connector.expressions.Transform =
+    f.transform match {
+      case "bucket" => Expressions.bucket(f.n, f.column)
+      case "days" => Expressions.days(f.column)
+      case "hours" => Expressions.hours(f.column)
+      case "months" => Expressions.months(f.column)
+      // width-curried: a literal child would fail Spark's key-grouped
+      // clustering check (see SnapshotTruncFunction)
+      case "trunc" => Expressions.apply(s"trunc_${f.n}",
+        Expressions.column(f.column))
+      case other => throw new IllegalStateException(
+        s"unknown partition transform $other")
+    }
+
+  /** A point-band string as the transform's partition-key VALUE —
+    * matching the served function's result type: string-trunc keys are
+    * the prefix itself, every other transform keys as LONG.
+    */
+  private def spjKeyValue(f: SnapshotLog.PartField, v: String): Any =
+    if (f.transform == "trunc" && tableSchema(f.column).dataType ==
+        org.apache.spark.sql.types.StringType)
+      org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    else java.lang.Long.valueOf(java.lang.Long.parseLong(v))
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -154,8 +185,7 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
         // cached per kept-set identity, so this costs one planning pass
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
-            Array(Expressions.bucket(f.n, f.column)),
-            planInputPartitions().length)
+            Array(spjTransform(f)), planInputPartitions().length)
       case None =>
         // Spark's V2ScanPartitioningAndOrdering keeps only
         // KeyGroupedPartitioning; an UnknownPartitioning's count is
@@ -166,8 +196,8 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
     }
 
   /** The partition key row a file contributes under the SPJ field —
-    * the bucket id its point band records, as the LongType value the
-    * bucket transform evaluates to.
+    * the transform value its point band records, typed as the served
+    * function evaluates it.
     */
   private def keyOf(f: SnapshotLog.FileEntry): InternalRow =
     spjField.map { field =>
@@ -175,7 +205,7 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
         .getOrElse(throw new IllegalStateException(
           s"SPJ-keyed scan lost the point band of ${f.path}"))
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](java.lang.Long.parseLong(v)))
+        Array[Any](spjKeyValue(field, v)))
     }.orNull
 
   // ---- runtime filtering (DPP): every SCANNED column is a candidate

@@ -312,13 +312,25 @@ class SnapshotCatalog extends TableCatalog
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
-      SnapshotBucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchFunctionException(ident)
+    if (ident.namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    else ident.name.toLowerCase match {
+      case "bucket" => SnapshotBucketFunction
+      case t @ ("days" | "hours" | "months") => new SnapshotTimeFunction(t)
+      case t if t.startsWith("trunc_") &&
+          t.stripPrefix("trunc_").matches("[0-9]+") =>
+        new SnapshotTruncFunction(t.stripPrefix("trunc_").toInt)
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty)
+      // the width-curried trunc_<n> family resolves dynamically in
+      // loadFunction; the listing names the fixed transforms
+      Array("bucket", "days", "hours", "months")
+        .map(Identifier.of(Array.empty, _))
     else Array.empty
 }
 

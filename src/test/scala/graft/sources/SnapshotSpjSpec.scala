@@ -196,6 +196,79 @@ class SnapshotSpjSpec extends SparkSpec {
     }
   }
 
+  test("co-day-fanout tables join with zero Exchange (days SPJ)") {
+    import spark.implicits._
+    val dir = graft.TempDirs.create("spj_days")
+    val fact = dir.resolve("fact").toString
+    val dim = dir.resolve("dim").toString
+    def tsOf(k: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond((k % 4) * 86400L + k))
+    withFanout {
+      SnapshotLog.createTable(spark, fact,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "ts TIMESTAMP, amount BIGINT"),
+        Seq(SnapshotLog.PartField("days", "ts")))
+      SnapshotLog.append(spark, fact,
+        (1L to 200L).map(k => (tsOf(k), k)).toDF("ts", "amount"))
+      SnapshotLog.createTable(spark, dim,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "ts TIMESTAMP, label STRING"),
+        Seq(SnapshotLog.PartField("days", "ts")))
+      SnapshotLog.append(spark, dim,
+        (1L to 200L).map(k => (tsOf(k), s"l$k")).toDF("ts", "label"))
+    }
+    withSpj {
+      val scan = SnapshotCatalog.scanOf(
+        spark.sql(s"SELECT * FROM $cat.`$fact`"))
+        .asInstanceOf[SnapshotBatchScan]
+      assert(scan.outputPartitioning().isInstanceOf[
+        org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning],
+        "day-fanout layout must key-group")
+      val df = spark.sql(
+        s"""SELECT /*+ MERGE(f) */ f.ts, f.amount, d.label
+           |FROM $cat.`$fact` f JOIN $cat.`$dim` d ON f.ts = d.ts""".stripMargin)
+      val plan = finalPlan(df)
+      assert(plan.contains("SortMergeJoin"), s"hinted merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"day-partitioned join must not shuffle either side:\n$plan")
+      assert(df.count() == 200L)
+    }
+  }
+
+  test("co-trunc-fanout string tables join with zero Exchange") {
+    import spark.implicits._
+    val dir = graft.TempDirs.create("spj_trunc")
+    val fact = dir.resolve("fact").toString
+    val dim = dir.resolve("dim").toString
+    withFanout {
+      SnapshotLog.createTable(spark, fact,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "s STRING, amount BIGINT"),
+        Seq(SnapshotLog.PartField("trunc", "s", 1)))
+      SnapshotLog.append(spark, fact,
+        (1L to 120L).map(k => (s"${('a' + (k % 3).toInt).toChar}_$k", k))
+          .toDF("s", "amount"))
+      SnapshotLog.createTable(spark, dim,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "s STRING, label STRING"),
+        Seq(SnapshotLog.PartField("trunc", "s", 1)))
+      SnapshotLog.append(spark, dim,
+        (1L to 120L).map(k => (s"${('a' + (k % 3).toInt).toChar}_$k", s"l$k"))
+          .toDF("s", "label"))
+    }
+    withSpj {
+      val df = spark.sql(
+        s"""SELECT /*+ MERGE(f) */ f.s, f.amount, d.label
+           |FROM $cat.`$fact` f JOIN $cat.`$dim` d ON f.s = d.s""".stripMargin)
+      val plan = finalPlan(df)
+      assert(plan.contains("SortMergeJoin"), s"hinted merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"trunc-partitioned join must not shuffle either side:\n$plan")
+      assert(df.count() == 120L)
+    }
+  }
+
   test("a fanout append of an empty frame commits zero files, not a crash") {
     import spark.implicits._
     val t = graft.TempDirs.create("spj_empty").resolve("t").toString
