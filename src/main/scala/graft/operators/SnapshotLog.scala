@@ -7521,6 +7521,30 @@ object SnapshotLog {
       stage = Some((s, dir) => { spjDaysLogs(s, dir); () })
     ),
 
+    // TT50: GROUPED aggregate pushdown — per-day COUNT/MIN/MAX over a
+    // day-fanout table answers from the MANIFEST alone (every kept
+    // file is point-banded on d, so each group is a set of whole
+    // files; the plan is a LocalTableScan — SnapshotAggPushdownSpec
+    // proves it survives data-file deletion). The oracle recomputes
+    // the grouped aggregate relationally.
+    Q(
+      "tt50_sql_agg_group_pushdown",
+      (s, dir) => {
+        val (fact, _) = spjDaysLogs(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.sql(
+          s"""SELECT d, count(*) AS n, min(o_orderkey) AS mn,
+             |       max(o_orderkey) AS mx
+             |FROM snapcat.`$fact` GROUP BY d ORDER BY d""".stripMargin)
+      },
+      Some("""SELECT CAST(DATE '1970-01-01' AS TIMESTAMP)
+             |         + (o_orderkey % 8) * INTERVAL 1 DAY AS d,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       min(o_orderkey) AS mn, max(o_orderkey) AS mx
+             |FROM orders GROUP BY 1 ORDER BY d""".stripMargin),
+      stage = Some((s, dir) => { spjDaysLogs(s, dir); () })
+    ),
+
     // TT46: limit pushdown into catalog file planning — a bare
     // `LIMIT n` probe plans only the file prefix covering n rows
     // (SnapshotLimitPushdownSpec pins kept=1 of 3 and every refusal

@@ -897,7 +897,6 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.types.{LongType, StructField}
     if (exact.nonEmpty || boxes.nonEmpty) return None
-    if (agg.groupByExpressions.nonEmpty) return None
     val spark = SparkSession.active
     val plan = SnapshotLog.catalogBatchPlanPin(
       spark, root, pinnedAsOf, branch, Seq.empty)
@@ -909,13 +908,45 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
         Some(f.fieldNames()(0))
       case _ => None
     }
+    // ---- GROUP BY pushdown: admitted when every grouping expression
+    // is a plain column on which EVERY kept file is POINT-banded
+    // (min == max, invertible) — true by construction for fanout
+    // layouts grouping on the routed column. Each group is then a set
+    // of whole files, and per-group COUNT/MIN/MAX folds from the
+    // manifest exactly as the global case does: one output row per
+    // partition value, zero data files opened. Anything else refuses
+    // and Spark plans the ordinary scan + aggregate. ----
+    val groupCols: Seq[String] = {
+      val cs = agg.groupByExpressions.toSeq.map(colOf)
+      if (cs.exists(_.isEmpty)) return None
+      cs.flatten
+    }
+    def pointOf(f: SnapshotLog.FileEntry, c: String): Option[Any] = {
+      val dt = plan.schema(c).dataType
+      SnapshotLog.physNameIn(f, c, plan.curIds).flatMap(f.stats.get)
+        .collect { case (mn, mx) if mn == mx => mn }
+        .flatMap(SnapshotLog.statValueOf(dt, _))
+    }
+    val groups: Seq[(Seq[Any], Seq[SnapshotLog.FileEntry])] =
+      if (groupCols.isEmpty) Seq((Seq.empty, plan.kept))
+      else {
+        if (groupCols.exists(c => !plan.schema.fieldNames.contains(c)))
+          return None
+        val keyed = plan.kept.map { f =>
+          val ks = groupCols.map(c => pointOf(f, c))
+          if (ks.exists(_.isEmpty)) return None
+          (ks.flatten, f)
+        }
+        keyed.groupBy(_._1).toSeq.map { case (k, fs) => (k, fs.map(_._2)) }
+      }
     // min-of-file-mins / max-of-file-maxs under the column type's own
     // aggregate order; None = some file can't contribute (refuse)
-    def minMax(c: String, wantMin: Boolean)
+    def minMax(files: Seq[SnapshotLog.FileEntry], c: String,
+        wantMin: Boolean)
         : Option[(org.apache.spark.sql.types.DataType, Any)] = {
       if (!plan.schema.fieldNames.contains(c)) return None
       val dt = plan.schema(c).dataType
-      val vals = plan.kept.map { f =>
+      val vals = files.map { f =>
         SnapshotLog.physNameIn(f, c, plan.curIds) match {
           case None => Some(None) // column absent in file: all NULL, skips
           case Some(nm) => f.stats.get(nm) match {
@@ -934,21 +965,36 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
           else b)
       Some((dt, v))
     }
-    val resolved = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => Some(("count(*)", LongType: org.apache.spark.sql
-        .types.DataType, java.lang.Long.valueOf(plan.kept.map(_.rows).sum)))
-      case m: Min => colOf(m.column).flatMap(c =>
-        minMax(c, wantMin = true).map { case (dt, v) => (s"min($c)", dt, v) })
-      case m: Max => colOf(m.column).flatMap(c =>
-        minMax(c, wantMin = false).map { case (dt, v) => (s"max($c)", dt, v) })
-      case _ => None
+    // resolve each aggregate per group; the SCHEMA must agree across
+    // groups (same expressions), so compute names/types from the first
+    val perGroup: Seq[Option[Seq[(String, org.apache.spark.sql.types
+        .DataType, Any)]]] = groups.map { case (_, files) =>
+      val resolved = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(("count(*)", LongType: org.apache.spark
+          .sql.types.DataType, java.lang.Long.valueOf(files.map(_.rows).sum)))
+        case m: Min => colOf(m.column).flatMap(c =>
+          minMax(files, c, wantMin = true)
+            .map { case (dt, v) => (s"min($c)", dt, v) })
+        case m: Max => colOf(m.column).flatMap(c =>
+          minMax(files, c, wantMin = false)
+            .map { case (dt, v) => (s"max($c)", dt, v) })
+        case _ => None
+      }
+      if (resolved.exists(_.isEmpty)) None else Some(resolved.flatten)
     }
-    if (resolved.exists(_.isEmpty)) return None
-    val cols = resolved.flatten
-    Some(new SnapshotAggScan(root, pinnedAsOf, branch,
-      StructType(cols.map { case (n, dt, _) => StructField(n, dt) }),
-      org.apache.spark.sql.catalyst.InternalRow.fromSeq(cols.map(_._3)),
-      plan.kept.size, plan.totalFiles))
+    if (perGroup.exists(_.isEmpty) || perGroup.isEmpty) return None
+    val aggFields = perGroup.head.get
+      .map { case (n, dt, _) => StructField(n, dt) }
+    // complete-pushdown output convention: grouping columns FIRST,
+    // then the aggregate columns, one row per group
+    val outSchema = StructType(
+      groupCols.map(c => plan.schema(c)) ++ aggFields)
+    val outRows = groups.zip(perGroup).map { case ((key, _), vals) =>
+      org.apache.spark.sql.catalyst.InternalRow
+        .fromSeq(key ++ vals.get.map(_._3))
+    }.toArray
+    Some(new SnapshotAggScan(root, pinnedAsOf, branch, outSchema,
+      outRows, plan.kept.size, plan.totalFiles))
   }
 
   override def build(): Scan = {
@@ -984,12 +1030,12 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
 class SnapshotAggScan(val root: String, val asOf: Long,
     val branch: Option[(String, Long)],
     out: StructType,
-    row: org.apache.spark.sql.catalyst.InternalRow,
+    answer: Array[org.apache.spark.sql.catalyst.InternalRow],
     val filesAggregated: Int, val totalFiles: Int)
     extends org.apache.spark.sql.connector.read.LocalScan {
 
   override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-    Array(row)
+    answer
 
   override def readSchema(): StructType = out
 

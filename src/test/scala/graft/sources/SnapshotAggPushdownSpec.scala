@@ -170,6 +170,51 @@ class SnapshotAggPushdownSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY a point-banded column pushes down: one row per partition value") {
+    import spark.implicits._
+    val root = graft.TempDirs.create("aggpush_grp").resolve("log").toString
+    // fanout on days(d): every file covers exactly one d (the fixture
+    // routes whole-day timestamps), so d is point-banded per file
+    val prior = spark.conf.getOption("spark.graft.write.fanout")
+    spark.conf.set("spark.graft.write.fanout", "true")
+    try {
+      SnapshotLog.createTable(spark, root,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "d TIMESTAMP, k BIGINT"),
+        Seq(SnapshotLog.PartField("days", "d")))
+      SnapshotLog.append(spark, root,
+        (1L to 90L).map(k => (java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond((k % 3) * 86400L)), k))
+          .toDF("d", "k"))
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.graft.write.fanout", v)
+      case None => spark.conf.unset("spark.graft.write.fanout")
+    }
+    val df = spark.sql(
+      s"""SELECT d, count(*) AS n, min(k) AS mn, max(k) AS mx
+         |FROM $cat.`$root` GROUP BY d ORDER BY d""".stripMargin)
+    assert(isLocal(df), "grouped pushdown must plan as a local scan:\n" +
+      df.queryExecution.executedPlan.toString)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(1)).sum == 90L)
+    // day 0 holds k % 3 == 0: min 3, max 90
+    assert(rows(0).getTimestamp(0).toInstant ==
+      java.time.Instant.ofEpochSecond(0L))
+    assert(rows(0).getLong(2) == 3L && rows(0).getLong(3) == 90L)
+    // the answer really is manifest-only: delete the data files
+    val f = fs(root)
+    SnapshotLog.snapshot(spark, root, SnapshotLog.currentId(spark, root))
+      .files.foreach(e =>
+        require(f.delete(new Path(s"$root/${e.path}"), false)))
+    assert(spark.sql(s"SELECT d, count(*) AS n FROM $cat.`$root` GROUP BY d")
+      .collect().length == 3)
+    // a NON-point-banded grouping column still refuses (k spans files)
+    val g2 = spark.sql(
+      s"SELECT k, count(*) AS n FROM $cat.`$root` GROUP BY k")
+    assert(!isLocal(g2), "k is not point-banded: must fall back")
+  }
+
   test("a LEGACY datetime-rendered timestamp stat refuses inversion") {
     import org.apache.spark.sql.types.TimestampType
     // a legacy stat was rendered under the WRITER's session zone, which
