@@ -5860,6 +5860,36 @@ object SnapshotLog {
       deleteWhereMoR(s, root, pmod(col("o_orderkey"), lit(10)) === 3)
     }.resolve("log").toString
 
+  /** [[morLog]]'s exact commits with PINNED, strictly-increasing
+    * manifest mtimes (one minute apart) — the fixture for
+    * timestamp-window CDC, where commit-time resolution must be exact
+    * regardless of how fast the staging committed.
+    */
+  private def morTsLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttmort_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .repartition(4))
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .repartition(4))
+      deleteWhereMoR(s, root, col("o_orderstatus") === "F")
+      deleteWhereMoR(s, root, pmod(col("o_orderkey"), lit(10)) === 3)
+      val f = fsOf(s, root)
+      val base = f.getFileStatus(manifestPath(root, 1L)).getModificationTime
+      (1L to 4L).foreach(i =>
+        f.setTimes(manifestPath(root, i), base + (i - 1L) * 60000L, -1L))
+    }.resolve("log").toString
+
+  /** A snapshot's commit time (manifest mtime, epoch millis) — what
+    * the timestamp-window CDC fixture hands to `fromTs`/`toTs`.
+    */
+  private[graft] def commitTimeOf(spark: SparkSession, root: String,
+      id: Long): Long =
+    fsOf(spark, root).getFileStatus(manifestPath(root, id))
+      .getModificationTime
+
   /** Staged MoR-compaction log: [[morLog]]'s shape, then
     * [[rewriteDeletes]] folds the vectors into data files, then a CoW
     * delete of the 'O' rows — legal only BECAUSE the fold dropped the
@@ -7344,6 +7374,33 @@ object SnapshotLog {
              |FROM orders WHERE o_orderstatus = 'F'
              |ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { morLog(s, dir); () })
+    ),
+
+    // TT51: timestamp-window CDC — tt40's exact changelog addressed by
+    // COMMIT TIME instead of snapshot ids: `fromTs`/`toTs` resolve
+    // through the snapshot log's manifest mtimes (the same
+    // snapshotAtTime walk TIMESTAMP AS OF reads through), so a
+    // consumer asks for "changes between 09:00 and 09:01" without
+    // knowing ids. The fixture pins strictly-increasing commit times;
+    // shares tt40's oracle VERBATIM — a mis-resolved boundary would
+    // widen or shrink the window and break the hash.
+    Q(
+      "tt51_changes_by_time",
+      (s, dir) => {
+        val root = morTsLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.read
+          .option("fromTs", commitTimeOf(s, root, 2L).toString)
+          .option("toTs", commitTimeOf(s, root, 3L).toString)
+          .table(s"snapcat.`$root`.changes")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "change")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
+             |       'delete' AS change
+             |FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { morTsLog(s, dir); () })
     ),
 
     // TT38: SQL write-audit-publish — tt28's exact branch scenario

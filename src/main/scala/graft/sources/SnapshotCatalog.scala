@@ -1203,15 +1203,31 @@ private[graft] class SnapshotMetaTable(val root: String, val kind: String)
   /** The changes window: reader options (`spark.read.option`) first,
     * then session confs (`SET spark.graft.changes.fromId/toId` — the
     * pure-SQL route), defaulting to the LAST transition (parent of the
-    * current snapshot -> current).
+    * current snapshot -> current). Timestamp twins `fromTs`/`toTs`
+    * (epoch millis, or an ISO instant / UTC datetime string) resolve
+    * through the snapshot log's commit times — the same
+    * `snapshotAtTime` walk `TIMESTAMP AS OF` reads through — so a
+    * consumer can ask for "changes since 09:00" without knowing
+    * snapshot ids. An explicit id wins over its timestamp twin.
     */
   private def changesWindow(s: SparkSession,
       options: CaseInsensitiveStringMap): (Long, Long) = {
-    def opt(key: String): Option[Long] =
-      Option(options.get(key)).map(_.toLong)
-        .orElse(s.conf.getOption(s"spark.graft.changes.$key").map(_.toLong))
-    val to = opt("toId").getOrElse(SnapshotLog.currentId(s, root))
-    val from = opt("fromId").getOrElse(
+    def opt(key: String): Option[String] =
+      Option(options.get(key))
+        .orElse(s.conf.getOption(s"spark.graft.changes.$key"))
+    def tsMillis(v: String): Long =
+      if (v.matches("-?[0-9]+")) v.toLong
+      else try java.time.Instant.parse(v).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+    def idOf(idKey: String, tsKey: String): Option[Long] =
+      opt(idKey).map(_.toLong).orElse(
+        opt(tsKey).map(v => SnapshotLog.snapshotAtTime(s, root, tsMillis(v))))
+    val to = idOf("toId", "toTs").getOrElse(SnapshotLog.currentId(s, root))
+    val from = idOf("fromId", "fromTs").getOrElse(
       SnapshotLog.parentOf(s, root, to))
     (from, to)
   }

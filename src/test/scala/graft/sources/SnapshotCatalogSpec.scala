@@ -259,6 +259,39 @@ class SnapshotCatalogSpec extends SparkSpec {
     // content (k=10's delete applied) as inserts
     assert(spark.read.option("fromId", "0").option("toId", "5")
       .table(s"$cat.`$root`.changes").count() == 6L)
+    // TIMESTAMP window: pin distinct commit times, then address the
+    // same MoR-delete transition by time — millis and ISO forms both;
+    // an explicit id wins over its timestamp twin
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def mpath(i: Long) = new org.apache.hadoop.fs.Path(
+      f"$root/snap/v$i%08d.manifest")
+    val base = fs.getFileStatus(mpath(1L)).getModificationTime
+    (1L to 5L).foreach(i => fs.setTimes(mpath(i), base + (i - 1) * 60000L, -1L))
+    val (t3, t4) = (base + 2 * 60000L, base + 3 * 60000L)
+    assert(rowSet(spark.read
+      .option("fromTs", t3.toString).option("toTs", t4.toString)
+      .table(s"$cat.`$root`.changes")
+      .selectExpr("k", "v", "change"))
+      == Seq(Seq("10", "c", "delete")))
+    val iso = java.time.Instant.ofEpochMilli(t4).toString
+    assert(rowSet(spark.read
+      .option("fromTs", java.time.Instant.ofEpochMilli(t3).toString)
+      .option("toTs", iso)
+      .table(s"$cat.`$root`.changes")
+      .selectExpr("k", "v", "change"))
+      == Seq(Seq("10", "c", "delete")))
+    assert(spark.read
+      .option("fromId", "0").option("fromTs", t3.toString)
+      .option("toTs", t4.toString)
+      .table(s"$cat.`$root`.changes").count() == 5L,
+      "explicit id beats its timestamp twin")
+    // a pre-first-commit timestamp refuses loudly, never a wrong window
+    intercept[Exception] {
+      spark.read.option("fromTs", (base - 10000L).toString)
+        .option("toTs", t4.toString)
+        .table(s"$cat.`$root`.changes").count()
+    }
   }
 
   test("WAP: inserts stage on the branch, audit reads see them, publish lands them") {
