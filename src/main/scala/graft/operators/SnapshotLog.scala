@@ -7496,13 +7496,13 @@ object SnapshotLog {
         val root = ordersLog(s, dir)
         s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
         s.sql(
-          s"""SELECT count(*) AS n_rows,
+          s"""SELECT count(*) AS n_rows, count(o_custkey) AS n_cust,
              |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
              |       min(o_orderstatus) AS min_status,
              |       max(o_orderstatus) AS max_status
              |FROM snapcat.`$root`""".stripMargin)
       },
-      Some("""SELECT count(*) AS n_rows,
+      Some("""SELECT count(*) AS n_rows, count(o_custkey) AS n_cust,
              |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
              |       min(o_orderstatus) AS min_status,
              |       max(o_orderstatus) AS max_status

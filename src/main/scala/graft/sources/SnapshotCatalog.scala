@@ -972,6 +972,17 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
       val resolved = agg.aggregateExpressions.toSeq.map {
         case _: CountStar => Some(("count(*)", LongType: org.apache.spark
           .sql.types.DataType, java.lang.Long.valueOf(files.map(_.rows).sum)))
+        // COUNT(col) = rows − nulls, answered from the list-level null
+        // counts — exact sums, but recorded per LIST, so only the
+        // whole-table (ungrouped) case can use them; absent meta
+        // (legacy lines, MoR dirt, renamed columns) refuses
+        case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+            if !c.isDistinct && groupCols.isEmpty =>
+          colOf(c.column).flatMap(cn => plan.colMeta.get(cn).map {
+            case (nulls, _) => (s"count($cn)",
+              LongType: org.apache.spark.sql.types.DataType,
+              java.lang.Long.valueOf(files.map(_.rows).sum - nulls))
+          })
         case m: Min => colOf(m.column).flatMap(c =>
           minMax(files, c, wantMin = true)
             .map { case (dt, v) => (s"min($c)", dt, v) })

@@ -96,15 +96,31 @@ class SnapshotAggPushdownSpec extends SparkSpec {
     assert(r2.getLong(0) == 15L && r2.getLong(1) == 209L)
   }
 
-  test("GROUP BY and COUNT(col) refuse pushdown and stay correct") {
+  test("non-point GROUP BY refuses; COUNT(col) answers from list null counts") {
+    import spark.implicits._
     val root = freshLog("grouped")
     val g = spark.sql(
       s"SELECT v, count(*) AS n FROM $cat.`$root` GROUP BY v")
-    assert(!isLocal(g))
+    assert(!isLocal(g), "v spans files: grouped pushdown must refuse")
     assert(g.count() == 30L)
+    // COUNT(col) = rows − nulls from the manifest's list-level meta
     val c = spark.sql(s"SELECT count(v) AS n FROM $cat.`$root`")
-    assert(!isLocal(c), "null-count is not in the manifest")
+    assert(isLocal(c), "null counts ride the manifest since the " +
+      "column-meta revision")
     assert(c.head().getLong(0) == 30L)
+    // nulls actually subtract: a nullable column counts its non-nulls
+    val root2 = graft.TempDirs.create("aggpush_cnt").resolve("log").toString
+    SnapshotLog.append(spark, root2,
+      (1 to 20).map(i => (i.toLong, if (i % 4 == 0) null else s"v$i"))
+        .toDF("k", "v").repartition(2))
+    val c2 = spark.sql(s"SELECT count(v) AS n, count(*) AS a FROM $cat.`$root2`")
+    assert(isLocal(c2))
+    val r2 = c2.head()
+    assert(r2.getLong(0) == 15L && r2.getLong(1) == 20L)
+    // COUNT(DISTINCT col) is an estimate in the manifest: must refuse
+    val cd = spark.sql(s"SELECT count(DISTINCT v) AS n FROM $cat.`$root2`")
+    assert(!isLocal(cd))
+    assert(cd.head().getLong(0) == 15L)
   }
 
   test("an all-null column refuses MIN pushdown (no stat recorded)") {
