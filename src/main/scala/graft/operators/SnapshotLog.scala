@@ -212,19 +212,29 @@ object SnapshotLog {
       a: String, b: String): Boolean = dt match {
     case _: org.apache.spark.sql.types.NumericType => BigDecimal(a) > BigDecimal(b)
     case org.apache.spark.sql.types.TimestampType =>
-      tsStatMicros(a) > tsStatMicros(b)
+      // same-provenance compare (two STATS of one table): micros
+      // compare numerically; two legacy renderings share the writer's
+      // zone, so their lexical order is the value order even though
+      // the zone itself is unknown. MIXED formats span the format
+      // revision — eras could differ in zone, no sound order exists:
+      // throw, and every caller degrades to "cannot answer".
+      val (da, db) = (isEpochMicrosStat(a), isEpochMicrosStat(b))
+      if (da != db) throw new NumberFormatException(
+        s"mixed timestamp stat formats: $a vs $b")
+      if (da) java.lang.Long.parseLong(a) > java.lang.Long.parseLong(b)
+      else utf8Gt(a, b)
     case _ => utf8Gt(a, b)
   }
 
-  /** A timestamp stat/bound string as epoch MICROS. Current manifests
-    * render timestamp stats as epoch micros outright (digits only) —
-    * zone-independent, so any session can compare or invert them
-    * exactly. A legacy datetime rendering (`yyyy-MM-dd HH:mm:ss[.f]`,
-    * written by `cast(ts as string)` under the WRITER's session zone,
-    * which the manifest never recorded) parses under UTC — the zone
-    * every engine session pins and the assumption the old lexical
-    * compare embodied; anything else throws NumberFormatException,
-    * which every pruning caller degrades to "cannot skip".
+  /** A READER-side timestamp bound as epoch MICROS: digits pass
+    * through; a datetime string (a caller-typed bound) reads under
+    * UTC — the reader wrote it, the reader's documented zone applies.
+    * NOT for manifest STATS: a legacy stat's rendering zone is the
+    * WRITER's, which the manifest never recorded — stat-side parsing
+    * must refuse instead ([[rangeIntersects]]' timestamp arm), or a
+    * non-UTC-written table would prune zone-shifted. Throws
+    * NumberFormatException on unparseable input, which every pruning
+    * caller degrades to "cannot skip".
     */
   private def tsStatMicros(s: String): Long =
     if (isEpochMicrosStat(s)) java.lang.Long.parseLong(s)
@@ -1502,14 +1512,30 @@ object SnapshotLog {
     * sketches union — recorded only for columns EVERY live file
     * carries meta for (a partial fold would under-count; the same
     * intersection rule as [[bandOf]]).
+    *
+    * Keys are FIELD IDS (`#<id>`, resolved through each entry's own
+    * ids stamp), not names: a rename keeps the meta attached to the
+    * real column, and a rename-then-REUSE of the old name can never
+    * merge two different columns' sketches (the reused name gets a
+    * fresh id, so old lists simply lack its key — refused, never
+    * misattributed). Entries without an ids stamp (legacy flows) drop
+    * the whole list's meta — no answer beats a wrong one.
     */
   private def metaOf(entries: Seq[FileEntry])
       : Map[String, (Long, Array[Long])] = {
     val live = entries.filter(_.rows > 0)
-    if (live.isEmpty || live.exists(_.meta.isEmpty)) return Map.empty
-    val keys = live.map(_.meta.keySet).reduce(_ intersect _)
+    if (live.isEmpty) return Map.empty
+    val perFile = live.map { f =>
+      if (f.meta.isEmpty || f.ids.isEmpty)
+        Map.empty[String, (Long, Array[Long])]
+      else f.meta.flatMap { case (n, v) =>
+        f.ids.get(n).map(id => s"#$id" -> v)
+      }
+    }
+    if (perFile.exists(_.isEmpty)) return Map.empty
+    val keys = perFile.map(_.keySet).reduce(_ intersect _)
     keys.iterator.map { k =>
-      val ms = live.map(_.meta(k))
+      val ms = perFile.map(_(k))
       k -> ((ms.iterator.map(_._1).sum, kmvMerge(ms.map(_._2))))
     }.toMap
   }
@@ -1833,13 +1859,26 @@ object SnapshotLog {
       // scan's upcast produces (0.10000000149…). Any such band widens
       // by one float ULP per side before the skip test — pruning may
       // keep one extra boundary file, never skips a matching one.
-      val (emn, emx) = dt match {
+      dt match {
         case org.apache.spark.sql.types.DoubleType =>
-          (floatSlackDown(mn), floatSlackUp(mx))
-        case _ => (mn, mx)
+          upper.forall(u => !statGt(dt, floatSlackDown(mn), u)) &&
+            lower.forall(l => !statGt(dt, l, floatSlackUp(mx)))
+        case org.apache.spark.sql.types.TimestampType =>
+          // ROLE-AWARE parsing: the STAT side must be the micros
+          // rendering (a legacy stat's writer zone is unrecorded —
+          // refuse, degrade to keep); the BOUND side is reader-typed
+          // and reads leniently (micros or UTC datetime)
+          def statM(s: String): Long = {
+            if (!isEpochMicrosStat(s)) throw new NumberFormatException(
+              s"legacy timestamp stat (writer zone unrecorded): $s")
+            java.lang.Long.parseLong(s)
+          }
+          upper.forall(u => statM(mn) <= tsStatMicros(u)) &&
+            lower.forall(l => tsStatMicros(l) <= statM(mx))
+        case _ =>
+          upper.forall(u => !statGt(dt, mn, u)) &&
+            lower.forall(l => !statGt(dt, l, mx))
       }
-      upper.forall(u => !statGt(dt, emn, u)) &&
-        lower.forall(l => !statGt(dt, l, emx))
     } catch { case _: NumberFormatException => true }
 
   private def floatAmbiguous(s: String): Boolean =
@@ -2020,25 +2059,27 @@ object SnapshotLog {
     * data files and still answering.
     */
   /** TABLE-level column meta from the manifest's list-level sketches:
-    * null counts (exact sums) and KMV NDV estimates, per CURRENT-name
-    * column covered by EVERY live file list. Refuses (empty map) on
-    * legacy flat manifests, on outstanding MoR deletes (dead rows
-    * would overcount), and for any column some list lacks meta for —
-    * metadata answers exactly or not at all.
+    * null counts (exact sums) and KMV NDV estimates, per current
+    * column (resolved by FIELD ID — renames keep their meta, a reused
+    * name refuses until its fresh id is covered) when EVERY live file
+    * list carries the key. Refuses (empty map) on legacy flat
+    * manifests and on outstanding MoR deletes (dead rows would
+    * overcount) — metadata answers exactly or not at all.
     */
-  private[graft] def tableColMeta(raw: RawManifest)
+  private[graft] def tableColMeta(raw: RawManifest, schema: StructType)
       : Map[String, (Long, Long)] = {
     if (raw.inline.nonEmpty || raw.dRefs.nonEmpty || raw.eqRefs.nonEmpty)
       return Map.empty
     val live = raw.refs.filter(_.rows > 0)
     if (live.isEmpty || live.exists(_.meta.isEmpty)) return Map.empty
-    val schema = StructType.fromDDL(raw.schemaDdl)
-    val names = schema.fieldNames.toSet
-    val keys = live.map(_.meta.keySet).reduce(_ intersect _).filter(names)
-    keys.iterator.map { k =>
-      val ms = live.map(_.meta(k))
-      k -> ((ms.iterator.map(_._1).sum,
-        kmvEstimate(kmvMerge(ms.map(_._2)))))
+    val keys = live.map(_.meta.keySet).reduce(_ intersect _)
+    val curIds = currentIdsOf(raw, schema)._1
+    schema.fieldNames.iterator.flatMap { c =>
+      curIds.get(c).map(id => s"#$id").filter(keys.contains).map { k =>
+        val ms = live.map(_.meta(k))
+        c -> ((ms.iterator.map(_._1).sum,
+          kmvEstimate(kmvMerge(ms.map(_._2)))))
+      }
     }.toMap
   }
 
@@ -2055,7 +2096,7 @@ object SnapshotLog {
     val raw = rawManifest(spark, root, id)
     val schema = StructType.fromDDL(raw.schemaDdl)
     val cols = statCols(schema)
-    val meta = tableColMeta(raw)
+    val meta = tableColMeta(raw, schema)
     val bounds = statsSummary(spark, root, cols, id).collect()
       .map(r => r.getString(0) -> r).toMap
     val rows = cols.sorted.map { c =>
@@ -2317,8 +2358,11 @@ object SnapshotLog {
       dvByTarget: Map[String, Seq[String]],
       spec: Seq[PartField] = Seq.empty,
       // table-level (nullCount, ndvEstimate) per column, from the
-      // manifest's list meta — the scan's CBO column statistics
-      colMeta: Map[String, (Long, Long)] = Map.empty)
+      // manifest's list meta — the scan's CBO column statistics. A
+      // THUNK (memoized at first use): only CBO columnStats and the
+      // ungrouped COUNT(col)/GROUP BY pushdowns consume it, and every
+      // other plan must not pay the O(#lists x #cols) sketch fold
+      colMeta: () => Map[String, (Long, Long)] = () => Map.empty)
 
   /** Snapshot `id`'s parent id — header bytes only. The default
     * changelog window (`parent(current) -> current`) resolves through
@@ -2347,8 +2391,9 @@ object SnapshotLog {
     val curIds = currentIdsOf(raw, schema)._1
     val dv = deleteMapOf(fsOf(spark, root), root, raw)
       .map { case (t, es) => t -> es.map(_.dvDir).distinct }
+    lazy val colMeta = tableColMeta(raw, schema)
     CatalogBatchPlan(schema, curIds, kept, total, raw.eqRefs.nonEmpty, dv,
-      raw.spec, tableColMeta(raw))
+      raw.spec, () => colMeta)
   }
 
   /** The single transform VALUE a file covers for one spec field, when
@@ -5993,6 +6038,22 @@ object SnapshotLog {
         .repartitionByRange(8, col("o_orderkey")))
     }.resolve("log").toString
 
+  /** Run `body` with a session conf pinned, restoring the CALLER's own
+    * prior value after — set-or-unset, never a blanket unset (a
+    * user-enabled flag must survive a fixture or query that borrows
+    * it). The one restore discipline every conf-borrowing site shares.
+    */
+  private def withSessionConf[T](s: SparkSession, key: String,
+      value: String)(body: => T): T = {
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body
+    finally prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Staged CO-BUCKETED pair for the storage-partitioned join: two
     * tables declaring the same `bucket(8, key)` spec, fanout-written so
     * every data file covers exactly one bucket — the layout under
@@ -6004,12 +6065,7 @@ object SnapshotLog {
       val fact = p.resolve("fact").toString
       val dim = p.resolve("dim").toString
       val orders = Tables(s, dir, "orders")
-      // restore the caller's own fanout setting, not a blanket unset —
-      // a user-enabled fanout session staging this fixture must come
-      // out with its flag intact
-      val prior = s.conf.getOption("spark.graft.write.fanout")
-      s.conf.set("spark.graft.write.fanout", "true")
-      try {
+      withSessionConf(s, "spark.graft.write.fanout", "true") {
         createTable(s, fact,
           StructType.fromDDL("o_orderkey BIGINT, o_custkey BIGINT"),
           Seq(PartField("bucket", "o_orderkey", 8)))
@@ -6018,9 +6074,6 @@ object SnapshotLog {
           StructType.fromDDL("o_orderkey BIGINT, o_orderpriority STRING"),
           Seq(PartField("bucket", "o_orderkey", 8)))
         append(s, dim, orders.select("o_orderkey", "o_orderpriority"))
-      } finally prior match {
-        case Some(v) => s.conf.set("spark.graft.write.fanout", v)
-        case None => s.conf.unset("spark.graft.write.fanout")
       }
     }
     (p.resolve("fact").toString, p.resolve("dim").toString)
@@ -6041,9 +6094,7 @@ object SnapshotLog {
       val withDay = Tables(s, dir, "orders").withColumn("d",
         date_add(lit("1970-01-01").cast("date"),
           pmod(col("o_orderkey"), lit(8)).cast("int")).cast("timestamp"))
-      val prior = s.conf.getOption("spark.graft.write.fanout")
-      s.conf.set("spark.graft.write.fanout", "true")
-      try {
+      withSessionConf(s, "spark.graft.write.fanout", "true") {
         createTable(s, fact,
           StructType.fromDDL("d TIMESTAMP, o_orderkey BIGINT, o_custkey BIGINT"),
           Seq(PartField("days", "d")))
@@ -6052,9 +6103,6 @@ object SnapshotLog {
           StructType.fromDDL("d TIMESTAMP, o_orderkey BIGINT, o_orderpriority STRING"),
           Seq(PartField("days", "d")))
         append(s, dim, withDay.select("d", "o_orderkey", "o_orderpriority"))
-      } finally prior match {
-        case Some(v) => s.conf.set("spark.graft.write.fanout", v)
-        case None => s.conf.unset("spark.graft.write.fanout")
       }
     }
     (p.resolve("fact").toString, p.resolve("dim").toString)
@@ -7526,10 +7574,10 @@ object SnapshotLog {
         // the SPJ opt-in: report KeyGroupedPartitioning (one task per
         // bucket) for THIS plan only — the scan builders read the conf
         // at physical planning, so force the plan while it's set and
-        // unset before returning (a leaked opt-in would key-group every
-        // later point-banded scan in the shared Verify/Bench session)
-        s.conf.set("spark.graft.catalog.preserveGrouping", "true")
-        try {
+        // restore the caller's own value before returning (a leaked
+        // opt-in would key-group every later point-banded scan in the
+        // shared Verify/Bench session)
+        withSessionConf(s, "spark.graft.catalog.preserveGrouping", "true") {
           val df = s.sql(
             s"""SELECT /*+ MERGE(f) */ f.o_orderkey, f.o_custkey,
                |       d.o_orderpriority
@@ -7538,7 +7586,7 @@ object SnapshotLog {
                |ORDER BY f.o_orderkey""".stripMargin)
           df.queryExecution.executedPlan // pin the key-grouped plan
           df
-        } finally s.conf.unset("spark.graft.catalog.preserveGrouping")
+        }
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderpriority
              |FROM orders ORDER BY o_orderkey""".stripMargin),
@@ -7558,8 +7606,7 @@ object SnapshotLog {
       (s, dir) => {
         val (fact, dim) = spjDaysLogs(s, dir)
         s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
-        s.conf.set("spark.graft.catalog.preserveGrouping", "true")
-        try {
+        withSessionConf(s, "spark.graft.catalog.preserveGrouping", "true") {
           val df = s.sql(
             s"""SELECT /*+ MERGE(f) */ f.d, f.o_orderkey, f.o_custkey,
                |       m.o_orderpriority
@@ -7569,7 +7616,7 @@ object SnapshotLog {
                |ORDER BY f.o_orderkey""".stripMargin)
           df.queryExecution.executedPlan // pin the key-grouped plan
           df
-        } finally s.conf.unset("spark.graft.catalog.preserveGrouping")
+        }
       },
       Some("""SELECT CAST(DATE '1970-01-01' AS TIMESTAMP)
              |         + (o_orderkey % 8) * INTERVAL 1 DAY AS d,

@@ -99,8 +99,12 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
       val out = new util.HashMap[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      // meta is whole-table; a pruned/limited plan's numRows is not —
+      // handing CBO a nullCount above rowCount would corrupt its
+      // selectivities, so column stats report only on unpruned scans
+      if (kept.size != totalFiles) return out
       required.fieldNames.foreach { c =>
-        plan0.colMeta.get(c).foreach { case (nulls, ndv) =>
+        plan0.colMeta().get(c).foreach { case (nulls, ndv) =>
           out.put(Expressions.column(c),
             new org.apache.spark.sql.connector.read.colstats
                 .ColumnStatistics {

@@ -318,8 +318,12 @@ class SnapshotCatalog extends TableCatalog
     else ident.name.toLowerCase match {
       case "bucket" => SnapshotBucketFunction
       case t @ ("days" | "hours" | "months") => new SnapshotTimeFunction(t)
+      // width 1..999999999: positive (the writer validates trunc n>0;
+      // a zero width would floorMod-by-zero at evaluation) and within
+      // Int (an unparseable width is "no such function", not a
+      // NumberFormatException out of resolution)
       case t if t.startsWith("trunc_") &&
-          t.stripPrefix("trunc_").matches("[0-9]+") =>
+          t.stripPrefix("trunc_").matches("[1-9][0-9]{0,8}") =>
         new SnapshotTruncFunction(t.stripPrefix("trunc_").toInt)
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
@@ -932,6 +936,14 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
       else {
         if (groupCols.exists(c => !plan.schema.fieldNames.contains(c)))
           return None
+        // a point band proves nothing about NULLS in the grouping
+        // column (min/max skip them): a file with rows at the point
+        // value AND null-group rows would mis-attribute the nulls to
+        // the point group and drop the NULL group entirely. Admit the
+        // pushdown only when the manifest's column meta proves the
+        // grouping column is null-free table-wide.
+        if (groupCols.exists(c => !plan.colMeta().get(c).exists(_._1 == 0L)))
+          return None
         val keyed = plan.kept.map { f =>
           val ks = groupCols.map(c => pointOf(f, c))
           if (ks.exists(_.isEmpty)) return None
@@ -978,7 +990,7 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
         // (legacy lines, MoR dirt, renamed columns) refuses
         case c: org.apache.spark.sql.connector.expressions.aggregate.Count
             if !c.isDistinct && groupCols.isEmpty =>
-          colOf(c.column).flatMap(cn => plan.colMeta.get(cn).map {
+          colOf(c.column).flatMap(cn => plan.colMeta().get(cn).map {
             case (nulls, _) => (s"count($cn)",
               LongType: org.apache.spark.sql.types.DataType,
               java.lang.Long.valueOf(files.map(_.rows).sum - nulls))

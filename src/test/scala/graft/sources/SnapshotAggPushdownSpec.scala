@@ -231,6 +231,31 @@ class SnapshotAggPushdownSpec extends SparkSpec {
     assert(!isLocal(g2), "k is not point-banded: must fall back")
   }
 
+  test("NULL values in the grouping column refuse grouped pushdown") {
+    import spark.implicits._
+    val root = graft.TempDirs.create("aggpush_gnull").resolve("log").toString
+    // ONE file whose d stats are a point (min/max skip nulls) but
+    // which also holds a NULL-d row: a metadata answer would attribute
+    // the null row to the point group and drop the NULL group — the
+    // null-free guard (manifest column meta) must force the real scan
+    val ts0 = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0L))
+    SnapshotLog.append(spark, root,
+      Seq((Option(ts0), 1L), (Option(ts0), 2L),
+        (Option.empty[java.sql.Timestamp], 3L))
+        .toDF("d", "k").coalesce(1))
+    val df = spark.sql(
+      s"""SELECT d, count(*) AS n, min(k) AS mn
+         |FROM $cat.`$root` GROUP BY d ORDER BY d""".stripMargin)
+    assert(!isLocal(df), "nullable grouping column must fall back:\n" +
+      df.queryExecution.executedPlan.toString)
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.exists(r => r.isNullAt(0) && r.getLong(1) == 1L &&
+      r.getLong(2) == 3L), "the NULL group must surface")
+    assert(rows.exists(r => !r.isNullAt(0) && r.getLong(1) == 2L &&
+      r.getLong(2) == 1L))
+  }
+
   test("a LEGACY datetime-rendered timestamp stat refuses inversion") {
     import org.apache.spark.sql.types.TimestampType
     // a legacy stat was rendered under the WRITER's session zone, which

@@ -144,7 +144,7 @@ class SnapshotColStatsSpec extends SparkSpec {
     }
   }
 
-  test("manifest roundtrip: meta survives carry, rename drops it safely") {
+  test("meta survives carry and rename; a REUSED name refuses") {
     import spark.implicits._
     val root = newRoot("carry")
     SnapshotLog.append(spark, root,
@@ -155,12 +155,25 @@ class SnapshotColStatsSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT ndv FROM $cat.`$root`.stats WHERE col_name = 'c'")
       .head().getLong(0) == 4L)
-    // rename: old lists' meta keys carry the OLD physical name — the
-    // table fold must refuse the renamed column, never misattribute
+    // meta keys are FIELD IDS: a rename keeps the column's sketches
     SnapshotLog.renameColumn(spark, root, "c", "cat_col")
-    val r = spark.sql(
+    assert(spark.sql(
       s"SELECT ndv FROM $cat.`$root`.stats WHERE col_name = 'cat_col'")
+      .head().getLong(0) == 4L, "meta follows the field id through rename")
+    // REUSING the old name mints a fresh id: old lists lack its key,
+    // so the fold refuses — two different columns' sketches can never
+    // merge under one name
+    SnapshotLog.addColumn(spark, root, "c",
+      org.apache.spark.sql.types.StringType)
+    SnapshotLog.append(spark, root,
+      (81 to 90).map(i => (i.toLong, "x", "fresh")).toDF("k", "cat_col", "c"))
+    val r = spark.sql(
+      s"SELECT ndv, null_count FROM $cat.`$root`.stats WHERE col_name = 'c'")
       .head()
-    assert(r.isNullAt(0), "renamed column refuses list-meta until rewrite")
+    assert(r.isNullAt(0) && r.isNullAt(1),
+      "reused name refuses until every list covers its fresh id")
+    // COUNT(c) must fall back to a real scan, not rows - wrong-nulls
+    val cnt = spark.sql(s"SELECT count(c) AS n FROM $cat.`$root`")
+    assert(cnt.head().getLong(0) == 10L)
   }
 }

@@ -43,6 +43,12 @@ def main():
     names = set()
     for f in fulls:
         names |= set(f.get("queries", {}))
+    # a prior query missing from every sweep is a shrunk regression
+    # surface, not a pass — surface it loudly (renames/drops must be
+    # explained in BENCH_NOTES, never silent)
+    uncompared = sorted(set(prior) - names)
+    for n in uncompared:
+        print(f"UNCOMPARED {n}: in bench_prior but absent from the sweep(s)")
     flags = []
     for n in sorted(names):
         p = prior.get(n)
@@ -52,14 +58,18 @@ def main():
         pt = p.get("task") if isinstance(p, dict) else None
         w, t = best("queries", n), best("task_s", n)
         wall_bad = w is not None and w > 2 * pw + EPS
-        task_bad = pt is None or (t is not None and t > 2 * pt + EPS)
+        # a prior task floor with NO task data in the sweep cannot
+        # acquit a wall regression — treat missing task data as bad
+        task_bad = pt is None or t is None or t > 2 * pt + EPS
         if wall_bad and task_bad:
             flags.append((n, pw, w, pt, t))
     for n, pw, w, pt, t in flags:
         print(f"FLAG {n}: wall {pw:.3f}->{w:.3f} task {pt}->{t}")
     if not flags:
         print(f"no flags ({len(names)} queries, {len(fulls)} sweep(s), "
-              f"eps={EPS}s, two-key rule)")
+              f"eps={EPS}s, two-key rule"
+              + (f", {len(uncompared)} UNCOMPARED" if uncompared else "")
+              + ")")
     return 1 if flags else 0
 
 
