@@ -2097,23 +2097,26 @@ object SnapshotLog {
     val schema = StructType.fromDDL(raw.schemaDdl)
     val cols = statCols(schema)
     val meta = tableColMeta(raw, schema)
-    val bounds = statsSummary(spark, root, cols, id).collect()
-      .map(r => r.getString(0) -> r).toMap
-    val rows = cols.sorted.map { c =>
-      val b = bounds(c)
-      val m = meta.get(c)
-      Row(c, if (b.isNullAt(1)) null else b.getLong(1),
-        m.map(v => java.lang.Long.valueOf(v._1)).orNull,
-        m.map(v => java.lang.Long.valueOf(v._2)).orNull,
-        b.getString(2), b.getString(3))
+    val rows = statsSummaryRows(spark, root, cols, id).map {
+      case (c, nRows, mn, mx) =>
+        val m = meta.get(c)
+        Row(c, nRows.map(java.lang.Long.valueOf).orNull,
+          m.map(v => java.lang.Long.valueOf(v._1)).orNull,
+          m.map(v => java.lang.Long.valueOf(v._2)).orNull,
+          mn, mx)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       StructType.fromDDL("col_name STRING, n_rows BIGINT, " +
         "null_count BIGINT, ndv BIGINT, min_val STRING, max_val STRING"))
   }
 
-  def statsSummary(spark: SparkSession, root: String,
-      columns: Seq[String], asOf: Long = 0L): DataFrame = {
+  /** [[statsSummary]]'s driver-side rows: (col, liveRows, min, max) —
+    * shared with [[statsTable]] so neither path ever collect()s the
+    * other's frame.
+    */
+  private def statsSummaryRows(spark: SparkSession, root: String,
+      columns: Seq[String], asOf: Long = 0L)
+      : Seq[(String, Option[Long], String, String)] = {
     val id = if (asOf > 0) asOf else currentId(spark, root)
     val s = snapshot(spark, root, id)
     val raw = rawManifest(spark, root, id)
@@ -2164,8 +2167,14 @@ object SnapshotLog {
         } catch { case _: NumberFormatException => None }
       (c, nRows, bounds.map(_._1).orNull, bounds.map(_._2).orNull)
     }
+    out
+  }
+
+  def statsSummary(spark: SparkSession, root: String,
+      columns: Seq[String], asOf: Long = 0L): DataFrame = {
     import spark.implicits._
-    out.toDF("col_name", "n_rows", "min_val", "max_val")
+    statsSummaryRows(spark, root, columns, asOf)
+      .toDF("col_name", "n_rows", "min_val", "max_val")
   }
 
   // ---- DSv2 catalog support: the SQL front door (graft.sources
@@ -7607,15 +7616,22 @@ object SnapshotLog {
         val (fact, dim) = spjDaysLogs(s, dir)
         s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
         withSessionConf(s, "spark.graft.catalog.preserveGrouping", "true") {
-          val df = s.sql(
-            s"""SELECT /*+ MERGE(f) */ f.d, f.o_orderkey, f.o_custkey,
-               |       m.o_orderpriority
-               |FROM snapcat.`$fact` f
-               |JOIN snapcat.`$dim` m
-               |  ON f.d = m.d AND f.o_orderkey = m.o_orderkey
-               |ORDER BY f.o_orderkey""".stripMargin)
-          df.queryExecution.executedPlan // pin the key-grouped plan
-          df
+          // the join carries the orderkey equi-pair BESIDE the day key;
+          // Spark's co-partition check demands partition keys cover ALL
+          // clustering keys unless this (documented) switch relaxes it
+          // to the subset case — days(d) ⊆ {d, o_orderkey}
+          withSessionConf(s,
+            "spark.sql.requireAllClusterKeysForCoPartition", "false") {
+            val df = s.sql(
+              s"""SELECT /*+ MERGE(f) */ f.d, f.o_orderkey, f.o_custkey,
+                 |       m.o_orderpriority
+                 |FROM snapcat.`$fact` f
+                 |JOIN snapcat.`$dim` m
+                 |  ON f.d = m.d AND f.o_orderkey = m.o_orderkey
+                 |ORDER BY f.o_orderkey""".stripMargin)
+            df.queryExecution.executedPlan // pin the key-grouped plan
+            df
+          }
         }
       },
       Some("""SELECT CAST(DATE '1970-01-01' AS TIMESTAMP)

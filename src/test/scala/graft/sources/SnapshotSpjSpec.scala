@@ -233,6 +233,24 @@ class SnapshotSpjSpec extends SparkSpec {
       assert(!plan.contains("Exchange hashpartitioning"),
         s"day-partitioned join must not shuffle either side:\n$plan")
       assert(df.count() == 200L)
+      // MULTI-KEY join (day + another equi-pair): Spark's co-partition
+      // check requires partition keys to cover ALL clustering keys
+      // unless requireAllClusterKeysForCoPartition relaxes it to the
+      // subset case — days(ts) ⊆ {ts, amount}
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+        "false")
+      try {
+        val df2 = spark.sql(
+          s"""SELECT /*+ MERGE(f) */ f.ts, f.amount
+             |FROM $cat.`$fact` f JOIN $cat.`$dim` d
+             |  ON f.ts = d.ts AND f.amount = CAST(substring(d.label, 2, 10) AS BIGINT)
+             |""".stripMargin)
+        val plan2 = finalPlan(df2)
+        assert(!plan2.contains("Exchange hashpartitioning"),
+          s"subset co-partitioning must hold the day grouping:\n$plan2")
+        assert(df2.count() == 200L)
+      } finally
+        spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
     }
   }
 
