@@ -2177,6 +2177,50 @@ object SnapshotLog {
       .toDF("col_name", "n_rows", "min_val", "max_val")
   }
 
+  /** The `snap.t.partitions` frame: one row per PARTITION TUPLE of the
+    * declared spec — live row count (DV kills subtracted per file,
+    * exact), file count, and committed bytes — from MANIFEST metadata
+    * alone (Iceberg's partitions table). A file without a point band
+    * for some spec field spans values and reports under `*` for that
+    * field; outstanding EQUALITY deletes null the row counts (the
+    * scan-free commit never knew its kill count). Tables without a
+    * declared spec yield one `(unpartitioned)` row.
+    */
+  def partitionsTable(spark: SparkSession, root: String,
+      asOf: Long = 0L): DataFrame = {
+    val id = if (asOf > 0) asOf else currentId(spark, root)
+    val raw = rawManifest(spark, root, id)
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    val curIds = currentIdsOf(raw, schema)._1
+    val fs = fsOf(spark, root)
+    val files = (raw.inline ++
+      raw.refs.flatMap(r => readFileList(fs, root, r.path)))
+      .filter(_.rows > 0)
+    val killsByTarget: Map[String, Long] = deleteMapOf(fs, root, raw)
+      .map { case (t, es) => t -> es.iterator.map(_.delRows).sum }
+    val eqDirty = raw.eqRefs.nonEmpty
+    def label(f: PartField, v: Option[String]): String = {
+      val nm = if (f.n > 0) s"${f.transform}(${f.n},${f.column})"
+        else s"${f.transform}(${f.column})"
+      s"$nm=${v.getOrElse("*")}"
+    }
+    val grouped = files.groupBy { f =>
+      if (raw.spec.isEmpty) "(unpartitioned)"
+      else raw.spec.map(p =>
+        label(p, fileTransformPoint(f, p, curIds))).mkString("/")
+    }
+    val rows = grouped.toSeq.sortBy(_._1).map { case (part, fs0) =>
+      val live = fs0.iterator.map(f =>
+        f.rows - killsByTarget.getOrElse(f.path, 0L)).sum
+      Row(part, fs0.size.toLong,
+        if (eqDirty) null else java.lang.Long.valueOf(live),
+        java.lang.Long.valueOf(fs0.iterator.map(_.bytes).sum))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType.fromDDL(
+        "partition STRING, n_files BIGINT, n_rows BIGINT, bytes BIGINT"))
+  }
+
   // ---- DSv2 catalog support: the SQL front door (graft.sources
   // .SnapshotCatalog) plans reads through these three hooks, so the
   // catalog path and the library API share one pruning + MoR
@@ -7662,6 +7706,28 @@ object SnapshotLog {
              |       CAST(count(*) AS BIGINT) AS n,
              |       min(o_orderkey) AS mn, max(o_orderkey) AS mx
              |FROM orders GROUP BY 1 ORDER BY d""".stripMargin),
+      stage = Some((s, dir) => { spjDaysLogs(s, dir); () })
+    ),
+
+    // TT52: the `snap.t.partitions` metadata table — per-partition
+    // live row counts from the manifest's transform point bands, the
+    // table a compaction/maintenance planner reads to find skewed or
+    // fragmented partitions without scanning data (Iceberg's
+    // partitions table). The oracle recomputes the per-day counts
+    // relationally; file counts/bytes are metadata-only facts the
+    // spec asserts instead.
+    Q(
+      "tt52_sql_partitions_table",
+      (s, dir) => {
+        val (fact, _) = spjDaysLogs(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.sql(s"SELECT partition, n_rows FROM snapcat.`$fact`.partitions " +
+          "ORDER BY partition")
+      },
+      Some("""SELECT concat('days(d)=', CAST(o_orderkey % 8 AS VARCHAR))
+             |         AS partition,
+             |       CAST(count(*) AS BIGINT) AS n_rows
+             |FROM orders GROUP BY 1 ORDER BY partition""".stripMargin),
       stage = Some((s, dir) => { spjDaysLogs(s, dir); () })
     ),
 

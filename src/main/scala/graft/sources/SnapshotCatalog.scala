@@ -349,7 +349,7 @@ object SnapshotCatalog {
       .map(_.trim).filter(_.nonEmpty)
 
   private[sources] val MetaKinds =
-    Set("history", "snapshots", "files", "changes", "stats")
+    Set("history", "snapshots", "files", "changes", "stats", "partitions")
 
   /** One DSv2 partition transform → the library's [[SnapshotLog
     * .PartField]] — the inverse of [[SnapshotTableV2.partitioning]].
@@ -1200,6 +1200,8 @@ private[graft] class SnapshotMetaTable(val root: String, val kind: String)
     case "stats" => StructType.fromDDL(
       "col_name STRING, n_rows BIGINT, null_count BIGINT, ndv BIGINT, " +
         "min_val STRING, max_val STRING")
+    case "partitions" => StructType.fromDDL(
+      "partition STRING, n_files BIGINT, n_rows BIGINT, bytes BIGINT")
     case "changes" =>
       // the table's own columns plus the change tag — the exact frame
       // SnapshotLog.changes produces
@@ -1283,6 +1285,10 @@ private[graft] class SnapshotMetaTable(val root: String, val kind: String)
                 // column statistics from manifest metadata alone:
                 // exact live counts/nulls, KMV NDV, stat-band bounds
                 SnapshotLog.statsTable(s, root)
+              case "partitions" =>
+                // per-partition-tuple live rows/files/bytes from the
+                // manifest's transform point bands (Iceberg parity)
+                SnapshotLog.partitionsTable(s, root)
               case _ =>
                 val rows = SnapshotLog.history(s, root).map(h =>
                   Row(h.id, h.parent, h.operation, h.rows, h.files.size))

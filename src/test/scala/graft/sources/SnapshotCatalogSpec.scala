@@ -294,6 +294,41 @@ class SnapshotCatalogSpec extends SparkSpec {
     }
   }
 
+  test("the partitions meta table reports live rows/files/bytes per tuple") {
+    import spark.implicits._
+    val root = graft.TempDirs.create("cat_parts").resolve("log").toString
+    val prior = spark.conf.getOption("spark.graft.write.fanout")
+    spark.conf.set("spark.graft.write.fanout", "true")
+    try {
+      SnapshotLog.createTable(spark, root,
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"),
+        Seq(SnapshotLog.PartField("bucket", "k", 4)))
+      SnapshotLog.append(spark, root,
+        (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"))
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.graft.write.fanout", v)
+      case None => spark.conf.unset("spark.graft.write.fanout")
+    }
+    val rows = spark.sql(
+      s"SELECT * FROM $cat.`$root`.partitions ORDER BY partition").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(2)).sum == 100L)
+    assert(rows.forall(_.getLong(1) >= 1L), "file counts present")
+    assert(rows.forall(_.getLong(3) > 0L), "manifest byte sizes present")
+    assert(rows.forall(_.getString(0).startsWith("bucket(4,k)=")))
+    // MoR delete: live counts subtract the DV kills per file, exactly
+    SnapshotLog.deleteWhereMoR(spark, root,
+      org.apache.spark.sql.functions.col("k") <= 10L)
+    val after = spark.sql(
+      s"SELECT sum(n_rows) FROM $cat.`$root`.partitions").head().getLong(0)
+    assert(after == 90L)
+    // an unpartitioned table reports one tuple
+    val flat = graft.TempDirs.create("cat_parts_flat").resolve("log").toString
+    SnapshotLog.append(spark, flat, Seq((1L, "a")).toDF("k", "v"))
+    val f = spark.sql(s"SELECT * FROM $cat.`$flat`.partitions").head()
+    assert(f.getString(0) == "(unpartitioned)" && f.getLong(2) == 1L)
+  }
+
   test("WAP: inserts stage on the branch, audit reads see them, publish lands them") {
     val root = freshLog()
     spark.conf.set("spark.graft.wap.branch", "wapcheck")
