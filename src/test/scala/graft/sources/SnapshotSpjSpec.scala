@@ -287,6 +287,51 @@ class SnapshotSpjSpec extends SparkSpec {
     }
   }
 
+  test("MISMATCHED partition value sets still join exchange-free (pushPartValues)") {
+    import spark.implicits._
+    val dir = graft.TempDirs.create("spj_miss")
+    val fact = dir.resolve("fact").toString
+    val dim = dir.resolve("dim").toString
+    withFanout {
+      SnapshotLog.createTable(spark, fact,
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v BIGINT"),
+        Seq(SnapshotLog.PartField("bucket", "k", Buckets)))
+      SnapshotLog.append(spark, fact,
+        (1L to 400L).map(k => (k, k)).toDF("k", "v"))
+      SnapshotLog.createTable(spark, dim,
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, l STRING"),
+        Seq(SnapshotLog.PartField("bucket", "k", Buckets)))
+      // the dim holds only keys hashing into HALF the bucket domain:
+      // its fanout layout covers fewer partition values than the fact's
+      val dimKeys = (1L to 400L).toDF("k")
+        .withColumn("b", org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(
+            org.apache.spark.sql.functions.col("k")),
+          org.apache.spark.sql.functions.lit(Buckets)))
+        .filter("b < 2").select("k").as[Long].collect().toSeq
+      SnapshotLog.append(spark, dim,
+        dimKeys.map(k => (k, s"l$k")).toDF("k", "l"))
+    }
+    withSpj {
+      val dimScan = SnapshotCatalog.scanOf(
+        spark.sql(s"SELECT * FROM $cat.`$dim`"))
+        .asInstanceOf[SnapshotBatchScan]
+      val dimParts = dimScan.toBatch.planInputPartitions().length
+      assume(dimParts < Buckets, "fixture must under-cover the domain")
+      // Spark's pushPartValues (v2 bucketing, default on in Spark 4)
+      // aligns the two sides' partition value sets by filling the
+      // missing ones — the join stays exchange-free even though the
+      // dim never wrote some buckets
+      val df = spark.sql(
+        s"""SELECT /*+ MERGE(f) */ f.k, f.v, d.l
+           |FROM $cat.`$fact` f JOIN $cat.`$dim` d ON f.k = d.k""".stripMargin)
+      val plan = finalPlan(df)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"value-set mismatch must not force a shuffle:\n$plan")
+      assert(df.count() > 0L && df.count() < 400L)
+    }
+  }
+
   test("a fanout append of an empty frame commits zero files, not a crash") {
     import spark.implicits._
     val t = graft.TempDirs.create("spj_empty").resolve("t").toString
