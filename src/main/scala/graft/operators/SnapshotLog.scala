@@ -2083,6 +2083,37 @@ object SnapshotLog {
     }.toMap
   }
 
+  /** TABLE-level typed min/max per column, folded from the manifest's
+    * LIST bands alone (no list file is opened): the CBO range feed
+    * beside [[tableColMeta]]'s NDV/nulls. Served only for columns
+    * whose band strings invert losslessly under the CURRENT type
+    * ([[statValueOf]]'s refusals — legacy timestamp renderings,
+    * float-ambiguous doubles — drop the column), with the same
+    * conservative gates: legacy flat manifests and outstanding
+    * deletes refuse (a dead row may carry the extremum).
+    */
+  private[graft] def tableBandBounds(raw: RawManifest, schema: StructType)
+      : Map[String, (Any, Any)] = {
+    if (raw.inline.nonEmpty || raw.dRefs.nonEmpty || raw.eqRefs.nonEmpty)
+      return Map.empty
+    val live = raw.refs.filter(_.rows > 0)
+    if (live.isEmpty || live.exists(_.band.isEmpty)) return Map.empty
+    val keys = live.map(_.band.keySet).reduce(_ intersect _)
+    schema.fields.iterator.filter(f => keys.contains(f.name)).flatMap { f =>
+      try {
+        val bs = live.map(_.band(f.name))
+        val mn = bs.map(_._1).reduce((a, b) =>
+          if (statGt(f.dataType, a, b)) b else a)
+        val mx = bs.map(_._2).reduce((a, b) =>
+          if (statGt(f.dataType, a, b)) a else b)
+        for {
+          lo <- statValueOf(f.dataType, mn)
+          hi <- statValueOf(f.dataType, mx)
+        } yield f.name -> ((lo, hi))
+      } catch { case _: NumberFormatException => None }
+    }.toMap
+  }
+
   /** The `snap.t.stats` frame: one row per stat-worthy column with the
     * live row count, null count, NDV estimate (exact below
     * [[NdvSketchK]] distincts), and min/max bounds — every value
@@ -2415,7 +2446,10 @@ object SnapshotLog {
       // THUNK (memoized at first use): only CBO columnStats and the
       // ungrouped COUNT(col)/GROUP BY pushdowns consume it, and every
       // other plan must not pay the O(#lists x #cols) sketch fold
-      colMeta: () => Map[String, (Long, Long)] = () => Map.empty)
+      colMeta: () => Map[String, (Long, Long)] = () => Map.empty,
+      // table-level typed (min, max) per column from the list bands —
+      // the CBO range feed; same thunk discipline as colMeta
+      colBounds: () => Map[String, (Any, Any)] = () => Map.empty)
 
   /** Snapshot `id`'s parent id — header bytes only. The default
     * changelog window (`parent(current) -> current`) resolves through
@@ -2445,8 +2479,9 @@ object SnapshotLog {
     val dv = deleteMapOf(fsOf(spark, root), root, raw)
       .map { case (t, es) => t -> es.map(_.dvDir).distinct }
     lazy val colMeta = tableColMeta(raw, schema)
+    lazy val colBounds = tableBandBounds(raw, schema)
     CatalogBatchPlan(schema, curIds, kept, total, raw.eqRefs.nonEmpty, dv,
-      raw.spec, () => colMeta)
+      raw.spec, () => colMeta, () => colBounds)
   }
 
   /** The single transform VALUE a file covers for one spec field, when

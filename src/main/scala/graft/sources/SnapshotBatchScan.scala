@@ -105,6 +105,18 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
       if (kept.size != totalFiles) return out
       required.fieldNames.foreach { c =>
         plan0.colMeta().get(c).foreach { case (nulls, ndv) =>
+          // typed min/max beside ndv/nulls — the range-selectivity
+          // feed. ORDERABLE-NUMERIC types only (numeric, date,
+          // timestamp as their Catalyst-internal values): CBO's
+          // estimators convert bounds via toDouble, which a string
+          // would break
+          val bounds = tableSchema(c).dataType match {
+            case _: org.apache.spark.sql.types.NumericType |
+                 org.apache.spark.sql.types.DateType |
+                 org.apache.spark.sql.types.TimestampType =>
+              plan0.colBounds().get(c)
+            case _ => None
+          }
           out.put(Expressions.column(c),
             new org.apache.spark.sql.connector.read.colstats
                 .ColumnStatistics {
@@ -112,6 +124,14 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
                 util.OptionalLong.of(ndv)
               override def nullCount(): util.OptionalLong =
                 util.OptionalLong.of(nulls)
+              override def min(): java.util.Optional[Object] =
+                bounds.map(b => java.util.Optional.of(
+                  b._1.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                bounds.map(b => java.util.Optional.of(
+                  b._2.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
             })
         }
       }

@@ -144,6 +144,38 @@ class SnapshotColStatsSpec extends SparkSpec {
     }
   }
 
+  test("range predicates estimate through manifest min/max (CBO flip)") {
+    import spark.implicits._
+    val fact = newRoot("rfact")
+    val dim = newRoot("rdim")
+    SnapshotLog.append(spark, fact,
+      (1 to 20000).map(i => (i.toLong % 2000L, i.toLong)).toDF("k", "m")
+        .repartition(4))
+    // dim.w spans [1, 2000]; a `w <= 20` filter is 1% selective — CBO
+    // can only know that from the manifest's folded band bounds
+    SnapshotLog.append(spark, dim,
+      (1 to 2000).map(i => (i.toLong, i.toLong)).toDF("k", "w")
+        .repartition(2))
+    val restore = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+      val plan = spark.sql(
+        s"""SELECT count(*) FROM $cat.`$fact` f
+           |JOIN $cat.`$dim` d ON f.k = d.k
+           |WHERE d.w <= 20""".stripMargin)
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"range-shrunk dim must broadcast:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("meta survives carry and rename; a REUSED name refuses") {
     import spark.implicits._
     val root = newRoot("carry")
