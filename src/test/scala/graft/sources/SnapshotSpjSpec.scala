@@ -332,6 +332,28 @@ class SnapshotSpjSpec extends SparkSpec {
     }
   }
 
+  test("fanout writes bound file counts: the routing shuffle co-locates tuples") {
+    import spark.implicits._
+    // the append path range-partitions rows by the transform exprs
+    // BEFORE the dynamic-partitioned write, so a wide input frame
+    // (16 tasks over 4 buckets) still lands ~one file per bucket —
+    // without that routing every task would fan into a file per value
+    // it sees (100k small files per 1000-task commit at cluster scale)
+    val t = graft.TempDirs.create("spj_dist").resolve("t").toString
+    withFanout {
+      SnapshotLog.createTable(spark, t,
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v BIGINT"),
+        Seq(SnapshotLog.PartField("bucket", "k", Buckets)))
+      SnapshotLog.append(spark, t,
+        (1L to 400L).map(k => (k, k)).toDF("k", "v").repartition(16))
+    }
+    val files = SnapshotLog.snapshot(spark, t,
+      SnapshotLog.currentId(spark, t)).files
+    assert(files.size == Buckets,
+      s"expected one file per bucket, got ${files.size}")
+    assert(SnapshotLog.read(spark, t).count() == 400L)
+  }
+
   test("a fanout append of an empty frame commits zero files, not a crash") {
     import spark.implicits._
     val t = graft.TempDirs.create("spj_empty").resolve("t").toString
