@@ -143,7 +143,14 @@ private[sources] final class SnapshotTruncFunction(width: Int)
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 1,
       s"trunc_$width takes (col); got ${inputType.catalogString}")
-    new SnapshotTruncBound(width, inputType.fields(0).dataType)
+    // reject unsupported column types HERE (resolution), mirroring
+    // SnapshotTimeFunction — produceResult only evaluates long/int/
+    // string, and an execution-time UnsupportedOperationException out
+    // of a running join is a far worse failure than a bind refusal
+    val dt = inputType.fields(0).dataType
+    require(dt == StringType || dt == LongType || dt == IntegerType,
+      s"trunc_$width needs a string/bigint/int column; got ${dt.catalogString}")
+    new SnapshotTruncBound(width, dt)
   }
 }
 

@@ -70,7 +70,10 @@ def main():
               f"eps={EPS}s, two-key rule"
               + (f", {len(uncompared)} UNCOMPARED" if uncompared else "")
               + ")")
-    return 1 if flags else 0
+    # UNCOMPARED is a gate failure too: a silently shrunk regression
+    # surface must not exit 0 — a rename/drop is acknowledged by
+    # updating bench_prior.json, never by the sweep just omitting it
+    return 1 if (flags or uncompared) else 0
 
 
 if __name__ == "__main__":
