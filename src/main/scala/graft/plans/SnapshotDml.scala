@@ -96,8 +96,10 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
       require(wap.isDefined || (t.asOf == 0L && t.branch.isEmpty),
         s"cannot MERGE into a pinned read of ${t.root}: history is immutable")
       MergeSnapshotCommand(t.root, m.targetTable, m.sourceTable,
-        m.mergeCondition, m.matchedActions, m.notMatchedActions,
-        m.notMatchedBySourceActions, wap)
+        ExprEnvelope(m.mergeCondition),
+        m.matchedActions.map(MergeArmEnvelope),
+        m.notMatchedActions.map(MergeArmEnvelope),
+        m.notMatchedBySourceActions.map(MergeArmEnvelope), wap)
     case u: UpdateTable if u.resolved && snapshotTable(u.table).isDefined =>
       val t = snapshotTable(u.table).get
       val wapU = wapTarget(t)
@@ -137,19 +139,29 @@ final case class ExprEnvelope(e: Expression)
 /** [[ExprEnvelope]] for an UPDATE assignment pair. */
 final case class AssignmentEnvelope(key: Expression, value: Expression)
 
+/** [[ExprEnvelope]] for a whole MERGE arm: keeps the action's
+  * condition (which may hold a CORRELATED subquery — `WHEN MATCHED AND
+  * EXISTS(… = t.k)`) out of the command's reflected expression set for
+  * the same reason. At run time the binder rebinds the subquery's
+  * outer references onto the discovery frames and it decorrelates
+  * inside an ordinary Filter.
+  */
+final case class MergeArmEnvelope(action: MergeAction)
+
 /** `MERGE INTO snap.t …` — executes [[SnapshotDml.runMerge]]. The
   * analyzed target/source subtrees and action expressions ride along
   * as fields (not children): they are fully resolved, and the command
   * re-binds them against its own discovery frames at run time.
   */
 final case class MergeSnapshotCommand(root: String,
-    target: LogicalPlan, source: LogicalPlan, cond: Expression,
-    matched: Seq[MergeAction], notMatched: Seq[MergeAction],
-    bySource: Seq[MergeAction],
+    target: LogicalPlan, source: LogicalPlan, cond: ExprEnvelope,
+    matched: Seq[MergeArmEnvelope], notMatched: Seq[MergeArmEnvelope],
+    bySource: Seq[MergeArmEnvelope],
     wapBranch: Option[String] = None) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    SnapshotDml.runMerge(spark, root, target, source, cond,
-      matched, notMatched, bySource, wapBranch)
+    SnapshotDml.runMerge(spark, root, target, source, cond.e,
+      matched.map(_.action), notMatched.map(_.action),
+      bySource.map(_.action), wapBranch)
     Seq.empty
   }
 }

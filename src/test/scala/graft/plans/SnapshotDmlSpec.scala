@@ -434,6 +434,74 @@ class SnapshotDmlSpec extends SparkSpec {
       .count() == 0L, "the deleted row stayed dead")
   }
 
+  test("correlated subqueries in MERGE arm conditions decorrelate") {
+    import spark.implicits._
+    val root = newLog("corrmerge")
+    Seq(10L, 20L, 30L).toDF("ak").createOrReplaceTempView("dml_cm_allow")
+    (1 to 10).map(k => (k * 10L, "S")).toDF("k", "v")
+      .createOrReplaceTempView("dml_cm_src")
+    // EXISTS in WHEN MATCHED: only the allow-listed keys update — the
+    // binder rebinds t.k onto the discovery frame and the probe plans
+    // as a semi-join inside the arm filter
+    spark.sql(
+      s"""MERGE INTO $cat.`$root` t USING dml_cm_src s ON t.k = s.k
+         |WHEN MATCHED AND EXISTS (
+         |  SELECT 1 FROM dml_cm_allow a WHERE a.ak = t.k)
+         |THEN UPDATE SET v = s.v""".stripMargin)
+    val out = SnapshotLog.read(spark, root)
+    assert(out.filter(col("v") === "S").select("k").as[Long]
+      .collect().toSet == Set(10L, 20L, 30L))
+    assert(out.count() == 100L, "non-allowed matches ride through")
+    assert(SnapshotLog.operationOf(spark, root, 2L) == "mor-merge")
+    // NOT EXISTS in a DELETE arm: matched keys OUTSIDE the allow list
+    // die (40..100 by tens = 7 rows)
+    spark.sql(
+      s"""MERGE INTO $cat.`$root` t USING dml_cm_src s ON t.k = s.k
+         |WHEN MATCHED AND NOT EXISTS (
+         |  SELECT 1 FROM dml_cm_allow a WHERE a.ak = t.k)
+         |THEN DELETE""".stripMargin)
+    val out2 = SnapshotLog.read(spark, root)
+    assert(out2.count() == 93L)
+    assert(out2.filter(col("k") === 40L).count() == 0L)
+    assert(out2.filter(col("k") === 30L).count() == 1L, "allowed key kept")
+  }
+
+  test("correlated MERGE races a stale commit: disjoint rebases, same-key aborts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val root = newLog("cmrace")
+    Seq(50L, 60L).toDF("ak").createOrReplaceTempView("dml_cmr_allow")
+    Seq((50L, "C"), (60L, "C")).toDF("k", "v")
+      .createOrReplaceTempView("dml_cmr_src")
+    // both stale commits discover against base 1
+    val (_, pos, _) = SnapshotLog.readPosForDml(spark, root, asOf = 1L)
+    val disjoint = pos.filter(col("k") === 90L)
+    val deadD = disjoint.select(col("__path").as("t_path"),
+      col("__pos").as("t_pos"))
+    val addsD = disjoint.select(col("k"), lit("m90").as("v"))
+    val same = pos.filter(col("k") === 50L)
+    val deadS = same.select(col("__path").as("t_path"),
+      col("__pos").as("t_pos"))
+    val addsS = same.select(col("k"), lit("clobber").as("v"))
+    // the correlated MERGE publishes first: deletes 50 and 60
+    spark.sql(
+      s"""MERGE INTO $cat.`$root` t USING dml_cmr_src s ON t.k = s.k
+         |WHEN MATCHED AND EXISTS (
+         |  SELECT 1 FROM dml_cmr_allow a WHERE a.ak = t.k)
+         |THEN DELETE""".stripMargin)
+    assert(SnapshotLog.currentId(spark, root) == 2L)
+    // disjoint keys: the stale commit validates and rebases onto 2
+    assert(SnapshotLog.morCommit(spark, root, 1L, Some(deadD), addsD) == 3L)
+    // same-key: the stale commit must abort, never resurrect the row
+    intercept[Exception] {
+      SnapshotLog.morCommit(spark, root, 1L, Some(deadS), addsS)
+    }
+    val out = SnapshotLog.read(spark, root)
+    assert(out.filter(col("k").isin(50L, 60L)).count() == 0L,
+      "the correlated MERGE's deletes held")
+    assert(out.filter(col("v") === "m90").count() == 1L, "rebased commit held")
+  }
+
   test("UPDATE with subquery WHERE and scalar-subquery SET") {
     import spark.implicits._
     val root = newLog("updsubq")
