@@ -142,12 +142,24 @@ object SnapshotLog {
       blooms: Map[String, String] = Map.empty,
       ids: Map[String, Int] = Map.empty,
       bytes: Long = 0L,
-      // per-column (nullCount, KMV bottom-k xxhash64 sketch) — a
-      // TRANSIENT commit-time carrier, never rendered into file lines
-      // (per-file sketches would bloat a million-file manifest);
-      // writeFileList folds it into the LIST-level meta on the M line,
-      // which is O(#commits) bytes
-      meta: Map[String, (Long, Array[Long])] = Map.empty)
+      // per-column (nullCount, KMV bottom-k xxhash64 sketch) —
+      // SERIALIZED on the file line (7th field) since this format
+      // revision: per-file null counts are what keep COUNT(col) and
+      // the CBO column statistics EXACT on pruned scans (the
+      // LIST-level fold only answers whole-table questions), and the
+      // per-file sketch is what lets publish-time round-trips (WAP,
+      // inline carries) refold list meta losslessly instead of
+      // silently disabling stats forever. Same order of manifest
+      // weight as Iceberg's per-file column stats; tables that can't
+      // afford it opt out via spark.graft.stats.colmeta=false.
+      meta: Map[String, (Long, Vector[Long])] = Map.empty,
+      // per-column equi-height histogram BOUNDARIES (HistBins+1
+      // approximate quantiles over the file's non-null values, in the
+      // column's CBO double domain — numeric value, epoch day, epoch
+      // micros), 8th field: the range-selectivity feed that corrects
+      // CBO where min/max-uniform misleads on skew. Opt out via
+      // spark.graft.stats.histogram=false.
+      hist: Map[String, Vector[Double]] = Map.empty)
 
   /** One committed snapshot's metadata. `rows` is the TOTAL row count
     * of the table at this snapshot (sum of its files' counts).
@@ -960,7 +972,7 @@ object SnapshotLog {
       // columns EVERY live file contributed at write time; carried
       // verbatim with the ref; empty = legacy line (no answer, never a
       // wrong one).
-      meta: Map[String, (Long, Array[Long])] = Map.empty)
+      meta: Map[String, (Long, Vector[Long])] = Map.empty)
 
   /** One DELETE-VECTOR list reference inside a manifest (line
     * `D<TAB>listpath<TAB>nTargets<TAB>delRows`): the merge-on-read twin
@@ -1082,26 +1094,44 @@ object SnapshotLog {
     * `v - (v mod w)` (floor semantics via pmod) / string prefix.
     */
   private def partExpr(f: PartField,
-      dt: org.apache.spark.sql.types.DataType): Column = f.transform match {
-    case "bucket" => bucketExpr(f.column, f.n)
-    case "days" =>
-      datediff(col(f.column).cast("date"), lit("1970-01-01").cast("date"))
-        .cast("long")
-    case "hours" =>
-      // exact integer floor-div: `/` on longs is DOUBLE division in
-      // Spark, and beyond 2^53 µs (~year 2255) its floor can be off by
-      // one — pruning must never depend on float rounding. x - pmod is
-      // an exact multiple of the divisor, so the decimal divide is exact.
+      dt: org.apache.spark.sql.types.DataType): Column = {
+    // exact integer floor-div: `/` on longs is DOUBLE division in
+    // Spark, and beyond 2^53 µs (~year 2255) its floor can be off by
+    // one — pruning must never depend on float rounding. x - pmod is
+    // an exact multiple of the divisor, so the decimal divide is exact.
+    def microsDiv(unit: Long): Column =
       ((unix_micros(col(f.column)) -
-        pmod(unix_micros(col(f.column)), lit(3600000000L)))
-        .cast("decimal(30,0)") / lit(3600000000L)).cast("long")
-    case "months" =>
-      ((year(col(f.column)) - lit(1970)) * lit(12) + month(col(f.column))
-        - lit(1)).cast("long")
-    case "trunc" => dt match {
-      case org.apache.spark.sql.types.StringType =>
-        substring(col(f.column), 1, f.n)
-      case _ => (col(f.column) - pmod(col(f.column), lit(f.n))).cast("long")
+        pmod(unix_micros(col(f.column)), lit(unit)))
+        .cast("decimal(30,0)") / lit(unit)).cast("long")
+    // ZONE-PROOF day number: a DATE column is already a zone-free epoch
+    // day; a TIMESTAMP routes through unix_micros floor-div — NOT a
+    // cast-to-date, whose rendering follows the writer session's zone.
+    // The V2 SnapshotTimeFunction and partBound both compute fixed-UTC
+    // values from the same micros, so writer routing, band pruning, and
+    // the SPJ function can never disagree under a non-UTC session.
+    def daysExpr: Column = dt match {
+      case org.apache.spark.sql.types.DateType =>
+        datediff(col(f.column), lit("1970-01-01").cast("date")).cast("long")
+      case _ => microsDiv(86400000000L)
+    }
+    f.transform match {
+      case "bucket" => bucketExpr(f.column, f.n)
+      case "days" => daysExpr
+      case "hours" => dt match {
+        case org.apache.spark.sql.types.DateType => daysExpr * lit(24L)
+        case _ => microsDiv(3600000000L)
+      }
+      case "months" =>
+        // year/month of a DATE value are zone-free; deriving that date
+        // from the zone-proof day number (not from the raw timestamp)
+        // keeps months consistent with days/hours under any zone
+        val d = date_add(lit("1970-01-01").cast("date"), daysExpr.cast("int"))
+        ((year(d) - lit(1970)) * lit(12) + month(d) - lit(1)).cast("long")
+      case "trunc" => dt match {
+        case org.apache.spark.sql.types.StringType =>
+          substring(col(f.column), 1, f.n)
+        case _ => (col(f.column) - pmod(col(f.column), lit(f.n))).cast("long")
+      }
     }
   }
 
@@ -1228,20 +1258,20 @@ object SnapshotLog {
   // sketches): `col=<nulls>:<h1>,<h2>,…` per column, ';'-joined,
   // URL-encoded names; "-" marks none. Hashes are signed longs in
   // ascending order (the sketch's own order).
-  private def metaField(meta: Map[String, (Long, Array[Long])]): String =
+  private def metaField(meta: Map[String, (Long, Vector[Long])]): String =
     if (meta.isEmpty) "-"
     else meta.toSeq.sortBy(_._1).map { case (c, (nulls, ks)) =>
       s"${enc(c)}=$nulls:${ks.mkString(",")}"
     }.mkString(";")
 
-  private def parseMetaField(field: String): Map[String, (Long, Array[Long])] =
+  private def parseMetaField(field: String): Map[String, (Long, Vector[Long])] =
     if (field == "-" || field.isEmpty) Map.empty
     else field.split(';').iterator.map { kv =>
       val Array(c, payload) = kv.split("=", 2)
       val Array(nulls, ks) = payload.split(":", -1)
       dec(c) -> ((nulls.toLong,
-        if (ks.isEmpty) Array.empty[Long]
-        else ks.split(',').map(_.toLong)))
+        if (ks.isEmpty) Vector.empty[Long]
+        else ks.split(',').iterator.map(_.toLong).toVector))
     }.toMap
 
   /** One manifest file-list reference line: `M<TAB>path<TAB>nFiles
@@ -1272,9 +1302,24 @@ object SnapshotLog {
       dec(c) -> i.toInt
     }.toMap
 
-  // file line: path<TAB>rows[<TAB>stats[<TAB>blooms[<TAB>ids]]] —
-  // shorter lines are legacy entries and parse with the missing fields
-  // empty
+  // per-file histogram field: `col=b0,b1,…;col=…` with URL-encoded
+  // names, boundaries as shortest-round-trip doubles ("-" = none)
+  private def histField(hist: Map[String, Vector[Double]]): String =
+    if (hist.isEmpty) "-"
+    else hist.toSeq.sortBy(_._1).map { case (c, bs) =>
+      s"${enc(c)}=${bs.mkString(",")}"
+    }.mkString(";")
+
+  private def parseHistField(field: String): Map[String, Vector[Double]] =
+    if (field == "-" || field.isEmpty) Map.empty
+    else field.split(';').iterator.map { kv =>
+      val Array(c, bs) = kv.split("=", 2)
+      dec(c) -> bs.split(',').iterator.map(_.toDouble).toVector
+    }.toMap
+
+  // file line: path<TAB>rows[<TAB>stats[<TAB>blooms[<TAB>ids[<TAB>bytes
+  // [<TAB>meta[<TAB>hist]]]]]] — shorter lines are legacy entries and
+  // parse with the missing fields empty
   private def parseFileLine(l: String): FileEntry =
     l.split('\t') match {
       case Array(p2, n) => FileEntry(p2, n.toLong)
@@ -1286,6 +1331,12 @@ object SnapshotLog {
       case Array(p2, n, st, bl, ids, by) =>
         FileEntry(p2, n.toLong, parseStats(st), parseBlooms(bl), parseIds(ids),
           by.toLong)
+      case Array(p2, n, st, bl, ids, by, mt) =>
+        FileEntry(p2, n.toLong, parseStats(st), parseBlooms(bl), parseIds(ids),
+          by.toLong, parseMetaField(mt))
+      case Array(p2, n, st, bl, ids, by, mt, hs) =>
+        FileEntry(p2, n.toLong, parseStats(st), parseBlooms(bl), parseIds(ids),
+          by.toLong, parseMetaField(mt), parseHistField(hs))
       case _ => throw new IllegalStateException(s"bad file line: $l")
     }
 
@@ -1298,7 +1349,8 @@ object SnapshotLog {
     */
   private def fileLine(f: FileEntry): String =
     s"${f.path}\t${f.rows}\t${statsField(f.stats)}\t${bloomsField(f.blooms)}" +
-      s"\t${idsField(f.ids)}\t${f.bytes}"
+      s"\t${idsField(f.ids)}\t${f.bytes}\t${metaField(f.meta)}" +
+      s"\t${histField(f.hist)}"
 
   /** Parse one manifest WITHOUT opening its file lists — O(#commits)
     * bytes, the metadata an append needs to carry its parent forward.
@@ -1481,16 +1533,36 @@ object SnapshotLog {
     */
   private[graft] val NdvSketchK = 64
 
+  /** Equi-height histogram bins per column (boundaries = bins + 1). */
+  private[graft] val HistBins = 16
+
+  /** The CBO double-domain expression of a column, if it has one —
+    * the domain catalyst's EstimationUtils.toDouble maps literals
+    * into: numerics as-is, dates as epoch days, timestamps as epoch
+    * micros. Histogram boundaries are recorded in this domain so the
+    * estimator compares apples to apples.
+    */
+  private def histExprOf(f: org.apache.spark.sql.types.StructField)
+      : Option[Column] = f.dataType match {
+    case _: org.apache.spark.sql.types.NumericType =>
+      Some(col(f.name).cast("double"))
+    case org.apache.spark.sql.types.DateType =>
+      Some(unix_date(col(f.name)).cast("double"))
+    case org.apache.spark.sql.types.TimestampType =>
+      Some(unix_micros(col(f.name)).cast("double"))
+    case _ => None
+  }
+
   /** Merge KMV sketches: the k smallest distinct hashes of the union —
     * the lossless sketch-union, associative and order-independent.
     */
-  private[graft] def kmvMerge(sketches: Iterable[Array[Long]]): Array[Long] = {
+  private[graft] def kmvMerge(sketches: Iterable[Seq[Long]]): Vector[Long] = {
     val set = scala.collection.mutable.TreeSet.empty[Long]
     sketches.foreach(_.foreach { h =>
       if (set.size < NdvSketchK) set += h
       else if (h < set.last && !set.contains(h)) { set -= set.last; set += h }
     })
-    set.toArray
+    set.toVector
   }
 
   /** Distinct-count estimate of a KMV sketch: exact when the sketch
@@ -1498,7 +1570,7 @@ object SnapshotLog {
     * (k−1)/x_k estimator with x_k the k-th smallest hash mapped to a
     * (0,1] fraction of the unsigned 64-bit range.
     */
-  private[graft] def kmvEstimate(sketch: Array[Long]): Long =
+  private[graft] def kmvEstimate(sketch: Seq[Long]): Long =
     if (sketch.length < NdvSketchK) sketch.length.toLong
     else {
       val kth = sketch.last
@@ -1522,12 +1594,12 @@ object SnapshotLog {
     * the whole list's meta — no answer beats a wrong one.
     */
   private def metaOf(entries: Seq[FileEntry])
-      : Map[String, (Long, Array[Long])] = {
+      : Map[String, (Long, Vector[Long])] = {
     val live = entries.filter(_.rows > 0)
     if (live.isEmpty) return Map.empty
     val perFile = live.map { f =>
       if (f.meta.isEmpty || f.ids.isEmpty)
-        Map.empty[String, (Long, Array[Long])]
+        Map.empty[String, (Long, Vector[Long])]
       else f.meta.flatMap { case (n, v) =>
         f.ids.get(n).map(id => s"#$id" -> v)
       }
@@ -1665,12 +1737,9 @@ object SnapshotLog {
             org.apache.spark.sql.types.LongType)))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], out)
     }
-    def projectionOf(f: FileEntry): Seq[Option[String]] =
-      schema.fields.toSeq.map { c =>
-        if (f.ids.isEmpty) Some(c.name)
-        else curIds.get(c.name).flatMap(id =>
-          f.ids.collectFirst { case (phys, i) if i == id => phys })
-      }
+    def projectionOf(f: FileEntry)
+        : Seq[Option[org.apache.spark.sql.types.StructField]] =
+      schema.fields.toSeq.map(c => physFieldIn(f, c, curIds))
     val posCols =
       if (!withPos) Seq.empty
       else Seq(
@@ -1679,14 +1748,18 @@ object SnapshotLog {
         col("_metadata.row_index").as("__pos"))
     files.groupBy(projectionOf).toSeq.sortBy(_._2.head.path)
       .map { case (proj, group) =>
-        val physFields = schema.fields.toSeq.zip(proj).collect {
-          case (c, Some(phys)) =>
-            org.apache.spark.sql.types.StructField(phys, c.dataType, nullable = true)
+        val physFields = proj.collect {
+          case Some(pf) => pf.copy(nullable = true)
         }
         spark.read.schema(StructType(physFields))
           .parquet(group.map(f => s"$root/${f.path}"): _*)
           .select(schema.fields.toSeq.zip(proj).map {
-            case (c, Some(phys)) => col(phys).as(c.name)
+            // a struct whose NESTED names were resolved to an older
+            // era casts to the current type — positional (struct
+            // layout is ordinal), so the cast is a pure rename
+            case (c, Some(pf)) if pf.dataType != c.dataType =>
+              col(pf.name).cast(c.dataType).as(c.name)
+            case (c, Some(pf)) => col(pf.name).as(c.name)
             case (c, None) => lit(null).cast(c.dataType).as(c.name)
           } ++ posCols: _*)
       }.reduce(_ unionByName _)
@@ -1817,6 +1890,99 @@ object SnapshotLog {
     if (f.ids.isEmpty) Some(cur)
     else curIds.get(cur).flatMap(id =>
       f.ids.collectFirst { case (p, i) if i == id => p })
+
+  /** A clean identifier segment — the only names nested field ids are
+    * minted for, so a literal '.' in a column name can never make a
+    * dotted path ambiguous.
+    */
+  private def cleanSegment(n: String): Boolean =
+    n.matches("[A-Za-z_][A-Za-z0-9_]*")
+
+  /** Every nested STRUCT descendant of `schema` as (dottedPath, field)
+    * in depth-first order — the paths field ids are assigned under.
+    * Recursion stops at arrays/maps (no ids, no nested evolution
+    * there) and at any unclean name segment.
+    */
+  private def nestedPaths(schema: StructType): Seq[(String, org.apache
+      .spark.sql.types.StructField)] = {
+    def walk(prefix: String, st: StructType): Seq[(String,
+        org.apache.spark.sql.types.StructField)] =
+      st.fields.toSeq.flatMap { f =>
+        if (!cleanSegment(f.name)) Seq.empty
+        else {
+          val p = s"$prefix.${f.name}"
+          (p, f) +: (f.dataType match {
+            case s: StructType => walk(p, s)
+            case _ => Seq.empty
+          })
+        }
+      }
+    schema.fields.toSeq.flatMap { f =>
+      if (!cleanSegment(f.name)) Seq.empty
+      else f.dataType match {
+        case s: StructType => walk(f.name, s)
+        case _ => Seq.empty
+      }
+    }
+  }
+
+  /** The file's PHYSICAL read field for a CURRENT top-level column —
+    * name AND nested struct names resolved by field id, so a file
+    * written before a nested rename reads its old inner names and the
+    * positional struct layout stays the current schema's. Resolution
+    * rules, per struct:
+    *   - a file with NO nested ids under the column (pre-nested-id
+    *     stamp) reads children BY CURRENT NAME — exactly the read it
+    *     always had; nested RENAME/DROP refuse while such files are
+    *     live so this can never misread;
+    *   - a file WITH nested ids resolves each child by id; a child id
+    *     the file never stamped is ABSENT (reads NULL) — requested
+    *     under a name proven not to collide with any physical sibling
+    *     (a sentinel otherwise).
+    * None = the top-level column is absent from the file entirely.
+    */
+  private[graft] def physFieldIn(f: FileEntry,
+      cur: org.apache.spark.sql.types.StructField,
+      curIds: Map[String, Int]): Option[org.apache.spark.sql.types
+      .StructField] = {
+    if (f.ids.isEmpty) return Some(cur)
+    val idToPhys: Map[Int, String] = f.ids.map(_.swap)
+    def resolveType(curPath: String, physPath: String,
+        dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case st: StructType =>
+        val hasNested = f.ids.keysIterator.exists(_.startsWith(physPath + "."))
+        StructType(st.fields.map { k =>
+          val kCur = s"$curPath.${k.name}"
+          val resolved: Option[(String, org.apache.spark.sql.types.DataType)] =
+            if (!hasNested || !cleanSegment(k.name))
+              // pre-nested-id file (or unevolvable name): by NAME
+              Some((k.name,
+                resolveType(kCur, s"$physPath.${k.name}", k.dataType)))
+            else curIds.get(kCur).flatMap(idToPhys.get) match {
+              case Some(kPhys) =>
+                Some((kPhys.substring(kPhys.lastIndexOf('.') + 1),
+                  resolveType(kCur, kPhys, k.dataType)))
+              case None =>
+                // absent in this file: read NULL under a name that
+                // provably names nothing (sentinel on collision)
+                val safe =
+                  if (f.ids.contains(s"$physPath.${k.name}"))
+                    s"__graft_absent_${curIds.getOrElse(kCur, 0)}"
+                  else k.name
+                Some((safe, k.dataType))
+            }
+          resolved.map { case (nm, t) =>
+            k.copy(name = nm, dataType = t)
+          }.getOrElse(k)
+        })
+      case other => other
+    }
+    physNameIn(f, cur.name, curIds).map { phys =>
+      cur.copy(name = phys,
+        dataType = resolveType(cur.name, phys, cur.dataType))
+    }
+  }
 
   /** Range read with manifest-stats file pruning: files whose recorded
     * `[min,max]` on `column` cannot intersect `[lower, upper]` are
@@ -2114,6 +2280,133 @@ object SnapshotLog {
     }.toMap
   }
 
+  /** One file's null count for a CURRENT column, from its per-file
+    * meta line: a column ABSENT from the file (pre-evolution) is
+    * all-NULL there — exactly `rows` — and a present column answers
+    * from its recorded count. None = the file carries no meta for it
+    * (pre-format lines, colmeta opt-out) — metadata cannot answer.
+    */
+  private[graft] def fileNullCount(f: FileEntry, cur: String,
+      curIds: Map[String, Int]): Option[Long] =
+    physNameIn(f, cur, curIds) match {
+      case None => Some(f.rows)
+      case Some(nm) => f.meta.get(nm).map(_._1)
+    }
+
+  /** Column meta over a FILE SUBSET from the per-file meta lines:
+    * exact null-count sums plus a merged-KMV NDV for the kept files of
+    * a PRUNED scan — the case [[tableColMeta]] must refuse (its
+    * list-level fold only answers whole-table questions). Served per
+    * column only when EVERY live kept file answers ([[fileNullCount]]
+    * discipline); outstanding DV/equality dirt is the CALLER's gate —
+    * per-file counts include dead rows.
+    */
+  private[graft] def subsetColMeta(files: Seq[FileEntry], schema: StructType,
+      curIds: Map[String, Int]): Map[String, (Long, Long)] = {
+    val live = files.filter(_.rows > 0)
+    if (live.isEmpty) return Map.empty
+    schema.fieldNames.iterator.flatMap { c =>
+      val nulls = live.map(f => fileNullCount(f, c, curIds))
+      if (nulls.exists(_.isEmpty)) None
+      else {
+        // an ABSENT column contributes rows to the null count and an
+        // empty sketch to the NDV merge — both exact (all-null adds no
+        // distinct values)
+        val sketches = live.map(f =>
+          physNameIn(f, c, curIds).flatMap(f.meta.get).map(_._2)
+            .getOrElse(Vector.empty[Long]))
+        Some(c -> ((nulls.flatten.sum,
+          kmvEstimate(kmvMerge(sketches)))))
+      }
+    }.toMap
+  }
+
+  /** Typed min/max per column over a FILE SUBSET, folded from the
+    * per-file stat bands — the pruned-scan twin of [[tableBandBounds]],
+    * with the same refusal discipline: a live file with an entirely
+    * empty stats map is unknown content (refuse all columns), a file
+    * merely missing THIS column's entry is all-null there (contributes
+    * no bound), and values that don't invert losslessly under the
+    * current type ([[statValueOf]]) drop the column.
+    */
+  private[graft] def subsetColBounds(files: Seq[FileEntry],
+      schema: StructType, curIds: Map[String, Int]): Map[String, (Any, Any)] = {
+    val live = files.filter(_.rows > 0)
+    if (live.isEmpty || live.exists(_.stats.isEmpty)) return Map.empty
+    schema.fields.iterator.flatMap { f =>
+      try {
+        val per = live.flatMap(e =>
+          physNameIn(e, f.name, curIds).flatMap(e.stats.get))
+        if (per.isEmpty) None
+        else {
+          val mn = per.map(_._1).reduce((a, b) =>
+            if (statGt(f.dataType, a, b)) b else a)
+          val mx = per.map(_._2).reduce((a, b) =>
+            if (statGt(f.dataType, a, b)) a else b)
+          for {
+            lo <- statValueOf(f.dataType, mn)
+            hi <- statValueOf(f.dataType, mx)
+          } yield f.name -> ((lo, hi))
+        }
+      } catch { case _: NumberFormatException => None }
+    }.toMap
+  }
+
+  /** Merged equi-height histogram over a FILE SUBSET: each kept file's
+    * recorded boundaries re-merge into [[HistBins]] equi-height bins
+    * by the point-mass quantile approximation — every boundary of
+    * file f carries weight nonNullRows(f)/boundaries(f), and the
+    * merged boundaries are the weighted quantiles of those point
+    * masses (the standard mergeable-summary approximation; exactness
+    * is not the contract, estimation is). Returns (totalNonNullRows,
+    * boundaries) per column, served only when EVERY live kept file
+    * carries both a histogram and a null count for it.
+    */
+  private[graft] def subsetColHist(files: Seq[FileEntry], schema: StructType,
+      curIds: Map[String, Int]): Map[String, (Long, Vector[Double])] = {
+    val live = files.filter(_.rows > 0)
+    if (live.isEmpty) return Map.empty
+    schema.fieldNames.iterator.flatMap { c =>
+      val per: Seq[Option[(Long, Vector[Double])]] = live.map { f =>
+        for {
+          nm <- physNameIn(f, c, curIds)
+          bs <- f.hist.get(nm)
+          nulls <- f.meta.get(nm).map(_._1)
+        } yield (f.rows - nulls, bs)
+      }
+      if (per.exists(_.isEmpty)) None
+      else {
+        val weighted = per.flatten.filter(_._1 > 0)
+        if (weighted.isEmpty) None
+        else Some(c -> ((weighted.iterator.map(_._1).sum,
+          mergeBoundaries(weighted.map(w => (w._1.toDouble, w._2))))))
+      }
+    }.toMap
+  }
+
+  /** Weighted-quantile merge of per-file boundary sets (see
+    * [[subsetColHist]]).
+    */
+  private def mergeBoundaries(per: Seq[(Double, Vector[Double])])
+      : Vector[Double] = {
+    val pts = per.flatMap { case (w, bs) => bs.map(b => (b, w / bs.length)) }
+      .sortBy(_._1)
+    val total = pts.iterator.map(_._2).sum
+    val out = new Array[Double](HistBins + 1)
+    out(0) = pts.head._1
+    out(HistBins) = pts.last._1
+    var acc = 0.0
+    var j = 1
+    pts.foreach { case (v, w) =>
+      acc += w
+      while (j < HistBins && acc >= total * j / HistBins) {
+        out(j) = v; j += 1
+      }
+    }
+    while (j < HistBins) { out(j) = out(HistBins); j += 1 }
+    out.toVector
+  }
+
   /** The `snap.t.stats` frame: one row per stat-worthy column with the
     * live row count, null count, NDV estimate (exact below
     * [[NdvSketchK]] distincts), and min/max bounds — every value
@@ -2250,6 +2543,45 @@ object SnapshotLog {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       StructType.fromDDL(
         "partition STRING, n_files BIGINT, n_rows BIGINT, bytes BIGINT"))
+  }
+
+  /** The `snap.t.refs` frame: one row per NAMED REF — tags and
+    * branches with the snapshot they pin, the branch's staged commit
+    * count, and the head's commit time (Iceberg's refs table, the
+    * write-audit-publish audit door: "what is staged, where would it
+    * land, how stale is it" without reading the log directory).
+    * Unparseable/foreign files under refs/ are skipped, the same
+    * tolerance [[tagIds]] applies — one bad ref must not blind the
+    * whole audit.
+    */
+  def refsTable(spark: SparkSession, root: String): DataFrame = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(s"$root/refs")
+    val rows: Seq[Row] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).iterator
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          val fname = st.getPath.getName
+          try {
+            val pinned = readTextFile(fs, st.getPath).trim.toLong
+            if (fname.startsWith("branch_")) {
+              val name = fname.stripPrefix("branch_")
+              val k = branchHeadK(fs, root, name)
+              val headM = if (k == 0) manifestPath(root, pinned)
+                else branchManifestPath(root, name, k)
+              Some(Row(name, "branch", pinned, k,
+                new java.sql.Timestamp(
+                  fs.getFileStatus(headM).getModificationTime)))
+            } else Some(Row(fname, "tag", pinned, null,
+              new java.sql.Timestamp(fs.getFileStatus(
+                manifestPath(root, pinned)).getModificationTime)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.toSeq.sortBy(_.getString(0))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType.fromDDL(
+        "name STRING, type STRING, snapshot_id BIGINT, commits BIGINT, " +
+          "committed_at TIMESTAMP"))
   }
 
   // ---- DSv2 catalog support: the SQL front door (graft.sources
@@ -2950,7 +3282,7 @@ object SnapshotLog {
     }
     val (curIds, last) = currentIdsOf(raw, schema)
     val fs = fsOf(spark, root)
-    val stagedIds = curIds.filter { case (n, _) => df.columns.contains(n) }
+    val stagedIds = idsForWrittenCols(curIds, df.columns.toSet)
     val written = writeDataFiles(spark, root, df, base + 1, None, Nil)
       .map(f => f.copy(ids = stagedIds))
     val ref = writeFileList(fs, root, 0L, written, schema)
@@ -3875,7 +4207,7 @@ object SnapshotLog {
       adds.select(tableCols: _*), base0 + 1, None,
       inheritedBucketStats(allFiles, tableSchema, tableIds))
       .map(f => f.copy(ids =
-        tableIds.filter { case (n, _) => tableSchema.fieldNames.contains(n) }))
+        idsForWrittenCols(tableIds, tableSchema.fieldNames.toSet)))
     val srcRows = written0.iterator.map(_.rows).sum
     val delRows = dvOpt.map(_._1.delRows).getOrElse(0L)
     val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
@@ -4277,12 +4609,57 @@ object SnapshotLog {
         "rewrite pre-field-id files first (optimize)")
   }
 
+  /** The field at a dotted path, if the path navigates structs. */
+  private def fieldAt(schema: StructType,
+      segs: Seq[String]): Option[org.apache.spark.sql.types.StructField] =
+    segs match {
+      case Seq() => None
+      case Seq(n) => schema.fields.find(_.name == n)
+      case n +: rest => schema.fields.find(_.name == n).flatMap(
+        _.dataType match {
+          case st: StructType => fieldAt(st, rest)
+          case _ => None
+        })
+    }
+
+  /** Rewrite (or remove, when `edit` yields None) the field at a
+    * dotted path inside nested structs — the schema half of nested
+    * rename/drop.
+    */
+  private def rewriteStructAt(schema: StructType, segs: Seq[String],
+      edit: org.apache.spark.sql.types.StructField =>
+        Option[org.apache.spark.sql.types.StructField]): StructType =
+    StructType(schema.fields.flatMap { f =>
+      if (f.name != segs.head) Some(f)
+      else if (segs.length == 1) edit(f)
+      else f.dataType match {
+        case st: StructType =>
+          Some(f.copy(dataType = rewriteStructAt(st, segs.tail, edit)))
+        case other => throw new IllegalArgumentException(
+          s"${segs.head} is not a struct (${other.catalogString})")
+      }
+    })
+
+  /** Every live file of `raw` — the set evolution preconditions check. */
+  private def liveFilesOf(spark: SparkSession, root: String,
+      raw: RawManifest): Seq[FileEntry] = {
+    val fs = fsOf(spark, root)
+    raw.inline ++ raw.refs.flatMap(r => readFileList(fs, root, r.path))
+  }
+
   /** Rename a column WITHOUT touching data — a metadata-only commit:
     * new schema DDL, same field id under the new name, every file list
     * carried by reference (bands re-keyed). Old files keep reading
     * correctly because reads resolve by id; time travel to a
     * pre-rename snapshot still shows the old name (its manifest
     * recorded it).
+    *
+    * NESTED fields rename too (`from` as a dotted path, e.g.
+    * `meta.name`): same id under the new path, descendants' paths
+    * re-prefixed, zero data movement — the docstore-shaped evolution a
+    * document table needs. Refused unless EVERY live file stamped the
+    * nested field's id (pre-nested-id files would silently read the
+    * renamed field as NULL; rewrite them first via optimize).
     */
   def renameColumn(spark: SparkSession, root: String,
       from: String, to: String): Long = {
@@ -4291,15 +4668,44 @@ object SnapshotLog {
     require(to.matches("[A-Za-z_][A-Za-z0-9_]*"), s"invalid column name: $to")
     val raw = rawManifest(spark, root, base)
     val schema = StructType.fromDDL(raw.schemaDdl)
-    require(schema.fieldNames.contains(from), s"no column $from in $root")
-    require(!schema.fieldNames.contains(to), s"column $to already exists in $root")
     requireAllFilesCarryIds(spark, root, raw)
     val (ids, last) = currentIdsOf(raw, schema)
-    val newSchema = StructType(schema.fields.map(f =>
-      if (f.name == from) f.copy(name = to) else f))
-    commitMetadata(spark, root, base, raw, newSchema,
-      (ids - from) + (to -> ids(from)), last, "rename",
-      editKey = c => Some(if (c == from) to else c))
+    if (!from.contains('.')) {
+      require(schema.fieldNames.contains(from), s"no column $from in $root")
+      require(!schema.fieldNames.contains(to),
+        s"column $to already exists in $root")
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      return commitMetadata(spark, root, base, raw, newSchema,
+        (ids - from) + (to -> ids(from)), last, "rename",
+        editKey = c => Some(if (c == from) to else c))
+    }
+    // ---- nested rename ----
+    val segs = from.split('.').toSeq
+    require(fieldAt(schema, segs).isDefined, s"no nested field $from in $root")
+    val parent = segs.init.mkString(".")
+    val newPath = s"$parent.$to"
+    require(fieldAt(schema, segs.init :+ to).isEmpty,
+      s"field $newPath already exists in $root")
+    val id = ids.getOrElse(from, throw new IllegalArgumentException(
+      s"nested field $from of $root carries no field id; the table " +
+        "predates nested ids — rewrite files first (optimize), then retry"))
+    liveFilesOf(spark, root, raw).foreach(f => require(
+      f.ids.valuesIterator.contains(id),
+      s"file ${f.path} predates the nested id of $from; a rename would " +
+        "read its data as NULL — rewrite files first (optimize)"))
+    val newSchema = rewriteStructAt(schema, segs,
+      f => Some(f.copy(name = to)))
+    val prefixOld = from + "."
+    val newIds = ids.map { case (k, v) =>
+      (if (k == from) newPath
+       else if (k.startsWith(prefixOld)) newPath + "." +
+         k.substring(prefixOld.length)
+       else k) -> v
+    }
+    // nested names never key stats/bands/specs: top-level keys untouched
+    commitMetadata(spark, root, base, raw, newSchema, newIds, last,
+      "rename", editKey = Some(_))
   }
 
   /** Legal lossless type promotions — the widenings Spark 4's parquet
@@ -4377,19 +4783,39 @@ object SnapshotLog {
     require(base > 0, s"dropColumn on empty log $root")
     val raw = rawManifest(spark, root, base)
     val schema = StructType.fromDDL(raw.schemaDdl)
-    require(schema.fieldNames.contains(name), s"no column $name in $root")
-    require(schema.fields.length > 1, "cannot drop the only column")
     requireAllFilesCarryIds(spark, root, raw)
     val (ids, last) = currentIdsOf(raw, schema)
-    // an outstanding equality delete keyed on this column could never
-    // apply again — refuse rather than silently resurrect its rows
-    raw.eqRefs.foreach(e => require(!e.keyIds.values.toSet.contains(ids(name)),
-      s"column $name is a key of outstanding equality delete ${e.dir}; " +
-        "run rewriteEqualityDeletes first"))
-    commitMetadata(spark, root, base, raw,
-      StructType(schema.fields.filterNot(_.name == name)),
-      ids - name, last, "drop-column",
-      editKey = c => if (c == name) None else Some(c))
+    if (!name.contains('.')) {
+      require(schema.fieldNames.contains(name), s"no column $name in $root")
+      require(schema.fields.length > 1, "cannot drop the only column")
+      // an outstanding equality delete keyed on this column could never
+      // apply again — refuse rather than silently resurrect its rows
+      raw.eqRefs.foreach(e => require(!e.keyIds.values.toSet.contains(ids(name)),
+        s"column $name is a key of outstanding equality delete ${e.dir}; " +
+          "run rewriteEqualityDeletes first"))
+      return commitMetadata(spark, root, base, raw,
+        StructType(schema.fields.filterNot(_.name == name)),
+        ids - name, last, "drop-column",
+        editKey = c => if (c == name) None else Some(c))
+    }
+    // ---- nested drop: metadata-only, like the top-level verb. Sound
+    // for BOTH file eras: id-stamped files stop resolving the dropped
+    // id, pre-nested-id files read children by name and simply never
+    // get asked for the dropped one. The retired id is never reused
+    // (nested ADD does not exist), so the data can never resurrect. ----
+    val segs = name.split('.').toSeq
+    require(fieldAt(schema, segs).isDefined, s"no nested field $name in $root")
+    val parentType = fieldAt(schema, segs.init).map(_.dataType)
+    parentType.foreach {
+      case st: StructType => require(st.fields.length > 1,
+        s"cannot drop the only field of struct ${segs.init.mkString(".")}")
+      case _ => ()
+    }
+    val newSchema = rewriteStructAt(schema, segs, _ => None)
+    val prefix = name + "."
+    commitMetadata(spark, root, base, raw, newSchema,
+      ids.filterNot { case (k, _) => k == name || k.startsWith(prefix) },
+      last, "drop-column", editKey = Some(_))
   }
 
   /** ROLLBACK: make snapshot `toId`'s state current again as a NEW
@@ -4479,15 +4905,31 @@ object SnapshotLog {
   /** Fresh ids for fields `baseIds` doesn't know, appended after
     * `baseLast` — a retired id is never reused, so a dropped-then-
     * readded name gets a NEW identity and old data stays dead.
+    * NESTED struct fields get ids too (dotted paths, clean segments
+    * only) — the identities nested rename/drop resolve through.
     */
   private def assignNewIds(schema: StructType, baseIds: Map[String, Int],
       baseLast: Int): (Map[String, Int], Int) = {
     var last = baseLast
-    val ids = schema.fields.map { f =>
-      f.name -> baseIds.getOrElse(f.name, { last += 1; last })
-    }.toMap
-    (ids, last)
+    def idFor(path: String): (String, Int) =
+      path -> baseIds.getOrElse(path, { last += 1; last })
+    val tops = schema.fields.map(f => idFor(f.name))
+    val nested = nestedPaths(schema).map { case (p, _) => idFor(p) }
+    ((tops ++ nested).toMap, last)
   }
+
+  /** The subset of an ids map a file written from columns `cols`
+    * should carry: the top-level entries plus every nested descendant
+    * path under a written column.
+    */
+  private def idsForWrittenCols(ids: Map[String, Int],
+      cols: Set[String]): Map[String, Int] =
+    ids.filter { case (n, _) =>
+      cols.contains(n) || {
+        val i = n.indexOf('.')
+        i > 0 && cols.contains(n.substring(0, i))
+      }
+    }
 
   private def commit(spark: SparkSession, root: String, df: DataFrame,
       operation: String, keepBase: Boolean,
@@ -4660,8 +5102,19 @@ object SnapshotLog {
       if (spark.conf.getOption("spark.graft.stats.colmeta")
           .forall(_.toBoolean)) statCols(df.schema)
       else Seq.empty
+    // per-file equi-height histogram boundaries for CBO-double-domain
+    // columns — approximate quantiles riding the SAME one-pass
+    // read-back aggregation as min/max/meta (never a second scan of
+    // the written bytes); opt out independently of colmeta
+    val histCols: Seq[(String, Column)] =
+      if (spark.conf.getOption("spark.graft.stats.histogram")
+          .forall(_.toBoolean))
+        df.schema.fields.toSeq.flatMap(f => histExprOf(f).map(f.name -> _))
+      else Seq.empty
     if (bloomCols.nonEmpty || metaCols.nonEmpty)
       graft.functions.GraftFunctions.register(spark)
+    val histPcts = array((0 to HistBins).map(j =>
+      lit(j.toDouble / HistBins)): _*)
     val statAggs = sc.zipWithIndex.flatMap { case ((_, e), i) => Seq(
       min(e).cast("string").as(s"mn_$i"),
       max(e).cast("string").as(s"mx_$i")) } ++
@@ -4675,8 +5128,11 @@ object SnapshotLog {
         // non-null distinct, the ColumnStat convention
         call_function(graft.functions.GraftFunctions.BottomKName,
           when(col(c).isNotNull, xxhash64(col(c))), lit(NdvSketchK))
-          .as(s"kv_$i")) }
+          .as(s"kv_$i")) } ++
+      histCols.zipWithIndex.map { case ((_, e), i) =>
+        percentile_approx(e, histPcts, lit(1000)).as(s"hq_$i") }
     val metaBase = 2 + 2 * sc.size + bloomCols.size
+    val histBase = metaBase + 2 * metaCols.size
     val counted = spark.read.parquet(s"$root/$dataDir")
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("n"), statAggs: _*)
@@ -4692,15 +5148,21 @@ object SnapshotLog {
         }.toMap
         val meta = metaCols.zipWithIndex.map { case (c, i) =>
           c -> ((r.getLong(metaBase + 2 * i),
-            r.getSeq[Long](metaBase + 2 * i + 1).toArray))
+            r.getSeq[Long](metaBase + 2 * i + 1).toVector))
         }.toMap
-        relativize(r.getString(0)) -> ((r.getLong(1), stats, blooms, meta))
+        // an all-null column's percentile array is NULL — no histogram
+        val hist = histCols.zipWithIndex.flatMap { case ((c, _), i) =>
+          Option(r.getSeq[Double](histBase + i)).map(c -> _.toVector)
+        }.toMap
+        relativize(r.getString(0)) ->
+          ((r.getLong(1), stats, blooms, meta, hist))
       }.toMap
     listed.map { case (p, len) =>
-      val (n, stats, blooms, meta) = counted.getOrElse(p,
+      val (n, stats, blooms, meta, hist) = counted.getOrElse(p,
         (0L, Map.empty[String, (String, String)],
-          Map.empty[String, String], Map.empty[String, (Long, Array[Long])]))
-      FileEntry(p, n, stats, blooms, bytes = len, meta = meta)
+          Map.empty[String, String], Map.empty[String, (Long, Vector[Long])],
+          Map.empty[String, Vector[Double]]))
+      FileEntry(p, n, stats, blooms, bytes = len, meta = meta, hist = hist)
     }
   }
 
@@ -4764,9 +5226,10 @@ object SnapshotLog {
       // (fileSeq prefers the stat).
       val stamped = written.map(f =>
         f.copy(
-          ids = dfCols.iterator
-            .flatMap(n => tableIds.get(n).orElse(origIds.get(n)).map(n -> _))
-            .toMap,
+          // origIds ++ tableIds = per-path tableIds first, first-attempt
+          // fallback for names a race winner renamed away; nested
+          // descendants of the written columns ride along
+          ids = idsForWrittenCols(origIds ++ tableIds, dfCols),
           stats = f.stats + (SeqStatName -> (next.toString, next.toString))))
       // the commit's one new file list (absent when it neither wrote
       // nor inherited inline entries — e.g. an overwrite to empty)
@@ -5529,7 +5992,7 @@ object SnapshotLog {
     val dfCols = df.columns.toSet
     val pubSeq = (fork + 1).toString
     val stamped = written.map(f => f.copy(
-      ids = dfCols.iterator.flatMap(n => ids.get(n).map(n -> _)).toMap,
+      ids = idsForWrittenCols(ids, dfCols),
       stats = f.stats + (SeqStatName -> (pubSeq, pubSeq))))
     val newRef = writeFileList(fs, root, fork + 1, base.inline ++ stamped,
       merged)
@@ -6195,6 +6658,166 @@ object SnapshotLog {
     }
     (p.resolve("fact").toString, p.resolve("dim").toString)
   }
+
+  /** Staged day-fanout log for the PRUNED aggregate pushdown: `days(d)`
+    * spec, fanout-written (every file covers one day — d point-banded
+    * and null-free per file), with o_custkey NULLED on a key slice so
+    * COUNT(o_custkey) ≠ COUNT(*) and the answer must come from the
+    * PER-FILE null counts of exactly the pruned file set.
+    */
+  private def countPrunedLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttcpr_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val withDay = Tables(s, dir, "orders")
+        .withColumn("d",
+          date_add(lit("1970-01-01").cast("date"),
+            pmod(col("o_orderkey"), lit(8)).cast("int")).cast("timestamp"))
+        .withColumn("o_custkey",
+          when(pmod(col("o_orderkey"), lit(5)) === 0, lit(null))
+            .otherwise(col("o_custkey")))
+      withSessionConf(s, "spark.graft.write.fanout", "true") {
+        createTable(s, root,
+          StructType.fromDDL(
+            "d TIMESTAMP, o_orderkey BIGINT, o_custkey BIGINT"),
+          Seq(PartField("days", "d")))
+        append(s, root, withDay.select("d", "o_orderkey", "o_custkey"))
+      }
+      ()
+    }.resolve("log").toString
+
+  /** Staged nested-evolution log: era-A files written with
+    * `meta STRUCT<name, qty>`, a pure-SQL nested RENAME
+    * (`meta.name` → `label`, metadata-only, field-id preserved), then
+    * era-B files under the evolved shape — both eras must read through
+    * the current schema.
+    */
+  private def sqlNestedEvolveLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttnest_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+      append(s, root, orders
+        .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("name"),
+            col("o_custkey").as("qty")).as("meta")))
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      s.sql(s"ALTER TABLE snapcat.`$root` RENAME COLUMN meta.name TO label")
+      append(s, root, orders
+        .filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("label"),
+            col("o_custkey").as("qty")).as("meta")))
+      ()
+    }.resolve("log").toString
+
+  /** Staged SKEWED co-day-fanout pair: fact day 0 holds ~50% of the
+    * rows (the hot partition), written in three slices so the hot day
+    * spans multiple files — the layout where plain key-grouped SPJ
+    * serializes the hot day onto one task and Spark's
+    * partially-clustered distribution splits it while the join stays
+    * exchange-free.
+    */
+  private def spjSkewLogs(s: SparkSession, dir: String): (String, String) = {
+    val p = graft.TempDirs.staged(s"ttspjsk_${graft.TempDirs.dirKey(dir)}") { p =>
+      val fact = p.resolve("fact").toString
+      val dim = p.resolve("dim").toString
+      val dayCol = when(pmod(col("o_orderkey"), lit(2)) === 0, lit(0))
+        .otherwise(pmod(col("o_orderkey"), lit(8)))
+      val withDay = Tables(s, dir, "orders").withColumn("d",
+        date_add(lit("1970-01-01").cast("date"), dayCol.cast("int"))
+          .cast("timestamp"))
+      withSessionConf(s, "spark.graft.write.fanout", "true") {
+        // the STRING column rides the FACT: Spark's partial-clustering
+        // heuristic leaves the LARGER-estimated side split and
+        // replicates the other — the fact must be the big one for the
+        // hot day to actually parallelize
+        createTable(s, fact,
+          StructType.fromDDL("d TIMESTAMP, o_orderkey BIGINT, " +
+            "o_custkey BIGINT, o_orderpriority STRING"),
+          Seq(PartField("days", "d")))
+        (0 to 2).foreach(slice => append(s, fact,
+          withDay.filter(pmod(col("o_orderkey"), lit(3)) === slice)
+            .select("d", "o_orderkey", "o_custkey", "o_orderpriority")))
+        createTable(s, dim,
+          StructType.fromDDL("d TIMESTAMP, o_orderkey BIGINT"),
+          Seq(PartField("days", "d")))
+        append(s, dim, withDay.select("d", "o_orderkey"))
+      }
+    }
+    (p.resolve("fact").toString, p.resolve("dim").toString)
+  }
+
+  /** Staged histogram pair: a fact keyed into [0,2000) and a SKEWED
+    * dim — 95% of `w` packed into [1,10], the rest spread to ~2000 —
+    * the distribution where a min/max-uniform range estimate is off
+    * by two orders of magnitude and only the manifest histogram gets
+    * `w <= 10` right.
+    */
+  private def histLogs(s: SparkSession, dir: String): (String, String) = {
+    val p = graft.TempDirs.staged(s"tthist_${graft.TempDirs.dirKey(dir)}") { p =>
+      val fact = p.resolve("fact").toString
+      val dim = p.resolve("dim").toString
+      val orders = Tables(s, dir, "orders")
+      append(s, fact, orders
+        .select(pmod(col("o_orderkey"), lit(2000)).as("k"),
+          col("o_orderkey").as("m")).repartition(4))
+      append(s, dim, orders
+        .select(col("o_orderkey").as("k"),
+          when(pmod(col("o_orderkey"), lit(20)) === 0,
+            pmod(col("o_orderkey"), lit(2000)))
+            .otherwise(pmod(col("o_orderkey"), lit(10)) + 1).as("w"))
+        .repartition(2))
+    }
+    (p.resolve("fact").toString, p.resolve("dim").toString)
+  }
+
+  /** Staged correlated-MERGE log: one append, then a MERGE whose WHEN
+    * MATCHED arm carries a CORRELATED EXISTS — the binder rebinds the
+    * subquery's outer references onto the discovery frame and Catalyst
+    * decorrelates it to a semi-join inside the arm filter.
+    */
+  private def sqlCorrMergeLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttsqlcm_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.repartition(4))
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("u_key"))
+        .createOrReplaceTempView("tt58_urgent")
+      Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("s_key"))
+        .createOrReplaceTempView("tt58_src")
+      s.sql(
+        s"""MERGE INTO snapcat.`$root` t USING tt58_src s
+           |ON t.o_orderkey = s.s_key
+           |WHEN MATCHED AND EXISTS (
+           |  SELECT 1 FROM tt58_urgent u WHERE u.u_key = t.o_orderkey)
+           |THEN UPDATE SET o_orderstatus = 'M'""".stripMargin)
+      ()
+    }.resolve("log").toString
+
+  /** Staged refs log: two appends with a TAG pinned at v1 and a live
+    * branch (fork v2, one staged commit) — the mid-audit state the
+    * refs table exists to surface.
+    */
+  private def refsLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttrefs_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      append(s, root, orders.filter(col("o_orderkey") % 2 === 0))
+      tag(s, root, "q1-close")
+      append(s, root, orders.filter(col("o_orderkey") % 2 === 1))
+      createBranch(s, root, "audit")
+      appendToBranch(s, root, "audit",
+        orders.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_orderstatus", lit("A")))
+      ()
+    }.resolve("log").toString
 
   /** Staged SQL-DELETE log: one append, then a pure-SQL `DELETE FROM …
     * WHERE` whose predicate has NO sources.Filter translation (modulo
@@ -7864,6 +8487,184 @@ object SnapshotLog {
              |FROM orders
              |ORDER BY col_name""".stripMargin),
       stage = Some((s, dir) => { statsTableLog(s, dir); () })
+    ),
+
+    // TT53: PRUNED aggregate pushdown — COUNT(*)/COUNT(col)/MIN/MAX
+    // under a PARTITION predicate still answer from the MANIFEST alone:
+    // the day-equality filter is file-decidable (point-banded d + zero
+    // per-file nulls), so the scan claims it EXACT, drops the other
+    // days' files, and the aggregate folds per-file row/null counts of
+    // exactly the kept set (the plan is a LocalTableScan; the spec
+    // proves zero data files opened by deleting them). COUNT(col)
+    // works because null counts ride each FILE line — the list-level
+    // fold alone cannot answer a pruned set. The oracle recomputes the
+    // filtered aggregates relationally.
+    Q(
+      "tt53_sql_count_pruned",
+      (s, dir) => {
+        val root = countPrunedLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.sql(
+          s"""SELECT count(*) AS n, count(o_custkey) AS n_cust,
+             |       min(o_orderkey) AS mn, max(o_orderkey) AS mx
+             |FROM snapcat.`$root`
+             |WHERE d = TIMESTAMP '1970-01-02 00:00:00'""".stripMargin)
+      },
+      Some("""SELECT count(*) AS n,
+             |  count(CASE WHEN o_orderkey % 5 = 0 THEN NULL
+             |             ELSE o_custkey END) AS n_cust,
+             |  min(o_orderkey) AS mn, max(o_orderkey) AS mx
+             |FROM orders WHERE o_orderkey % 8 = 1""".stripMargin),
+      stage = Some((s, dir) => { countPrunedLog(s, dir); () })
+    ),
+
+    // TT56: the `snap.t.refs` metadata table — tags and branches with
+    // the snapshots they pin and the staged commit count, answered
+    // from the refs directory + manifest headers alone (Iceberg's refs
+    // table; the WAP audit door: what is staged and where it would
+    // land). The fixture pins a tag at v1 and stages one commit on a
+    // branch forked at v2; the oracle states those deterministic
+    // facts. SnapshotRefsTableSpec covers the fast-forward transition
+    // and commit-time columns.
+    Q(
+      "tt56_sql_refs",
+      (s, dir) => {
+        val root = refsLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.sql(s"SELECT name, type, snapshot_id, commits " +
+          s"FROM snapcat.`$root`.refs ORDER BY name")
+      },
+      Some("""SELECT 'audit' AS name, 'branch' AS type,
+             |       CAST(2 AS BIGINT) AS snapshot_id,
+             |       CAST(1 AS BIGINT) AS commits
+             |UNION ALL
+             |SELECT 'q1-close', 'tag', CAST(1 AS BIGINT),
+             |       CAST(NULL AS BIGINT)
+             |ORDER BY name""".stripMargin),
+      stage = Some((s, dir) => { refsLog(s, dir); () })
+    ),
+
+    // TT58: MERGE with a CORRELATED EXISTS in a WHEN MATCHED condition
+    // — tt47's decorrelation machinery reaching the merge arms: the
+    // arm condition rides an envelope past CheckAnalysis, the binder
+    // rebinds its outer references onto the join's discovery frame,
+    // and the EXISTS plans as a semi-join inside the arm filter. The
+    // oracle recomputes the conditional upsert relationally: a
+    // mis-decorrelated probe updates the wrong rows and breaks the
+    // hash.
+    Q(
+      "tt58_sql_merge_correlated",
+      (s, dir) => {
+        val root = sqlCorrMergeLog(s, dir)
+        read(s, root).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CASE WHEN o_orderkey % 3 = 0 AND o_orderpriority = '1-URGENT'
+             |       THEN 'M' ELSE o_orderstatus END AS o_orderstatus
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { sqlCorrMergeLog(s, dir); () })
+    ),
+
+    // TT55: equi-height histograms from the manifest — the skewed-dim
+    // join planned under CBO with the per-file quantile boundaries
+    // folded table-level (zero data reads at plan time). 95% of d.w
+    // sits in [1,10]: min/max-uniform estimates `w <= 10` at ~0.5%
+    // and wrongly broadcasts the dim; the histogram estimates ~95%
+    // and keeps the shuffle join (SnapshotHistogramSpec pins the
+    // flip both ways). The oracle recomputes the filtered join
+    // relationally — the plan may differ, the count may not.
+    Q(
+      "tt55_sql_stats_histogram",
+      (s, dir) => {
+        val (fact, dim) = histLogs(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        withSessionConf(s, "spark.sql.cbo.enabled", "true") {
+          val df = s.sql(
+            s"""SELECT count(*) AS n
+               |FROM snapcat.`$fact` f
+               |JOIN snapcat.`$dim` d ON f.k = d.k
+               |WHERE d.w <= 10""".stripMargin)
+          df.queryExecution.executedPlan // pin the CBO plan
+          df
+        }
+      },
+      Some("""SELECT count(*) AS n FROM
+             |  (SELECT o_orderkey % 2000 AS k FROM orders) f
+             |JOIN
+             |  (SELECT o_orderkey AS k,
+             |          CASE WHEN o_orderkey % 20 = 0
+             |               THEN o_orderkey % 2000
+             |               ELSE o_orderkey % 10 + 1 END AS w
+             |   FROM orders) d
+             |ON f.k = d.k
+             |WHERE d.w <= 10""".stripMargin),
+      stage = Some((s, dir) => { histLogs(s, dir); () })
+    ),
+
+    // TT54: partially-clustered storage-partitioned join — the skew
+    // arm SPJ was missing: plain key-grouping reads ONE task per
+    // partition value, so a hot day serializes onto one core; with
+    // Spark's partially-clustered distribution the hot day's files
+    // stay separate tasks on the fact side while the dim's groups
+    // replicate to match — and the join still plans ZERO Exchange
+    // (SnapshotSpjSkewSpec pins >1 hot-key task + the exchange-free
+    // subtree). The oracle recomputes the skewed join relationally.
+    Q(
+      "tt54_spj_skew",
+      (s, dir) => {
+        val (fact, dim) = spjSkewLogs(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        withSessionConf(s, "spark.graft.catalog.preserveGrouping", "true") {
+          withSessionConf(s,
+            "spark.sql.requireAllClusterKeysForCoPartition", "false") {
+            withSessionConf(s,
+              "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+              "true") {
+              withSessionConf(s, "spark.sql.sources.v2.bucketing" +
+                ".partiallyClusteredDistribution.enabled", "true") {
+                val df = s.sql(
+                  s"""SELECT /*+ MERGE(f) */ f.d, f.o_orderkey, f.o_custkey,
+                     |       f.o_orderpriority
+                     |FROM snapcat.`$fact` f
+                     |JOIN snapcat.`$dim` m
+                     |  ON f.d = m.d AND f.o_orderkey = m.o_orderkey
+                     |ORDER BY f.o_orderkey""".stripMargin)
+                df.queryExecution.executedPlan // pin the SPJ plan
+                df
+              }
+            }
+          }
+        }
+      },
+      Some("""SELECT CAST(DATE '1970-01-01' AS TIMESTAMP)
+             |         + (CASE WHEN o_orderkey % 2 = 0 THEN 0
+             |                 ELSE o_orderkey % 8 END) * INTERVAL 1 DAY AS d,
+             |       o_orderkey, o_custkey, o_orderpriority
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { spjSkewLogs(s, dir); () })
+    ),
+
+    // TT57: NESTED column evolution — `ALTER TABLE … RENAME COLUMN
+    // meta.name TO label` is a metadata-only commit (field-id
+    // preserved under the new dotted path, zero data movement), and
+    // files from BOTH eras read through the current schema: the old
+    // era's struct resolves its inner name by id and re-labels
+    // positionally. The document-shaped evolution the docstore tier
+    // needs. The oracle recomputes both eras relationally; a lost
+    // pre-rename value (silent NULL) or a mis-resolved inner name
+    // breaks the hash.
+    Q(
+      "tt57_nested_rename",
+      (s, dir) => {
+        val root = sqlNestedEvolveLog(s, dir)
+        read(s, root)
+          .select(col("o_orderkey"),
+            col("meta.label").as("label"), col("meta.qty").as("qty"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus AS label, o_custkey AS qty
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { sqlNestedEvolveLog(s, dir); () })
     )
   )
 }

@@ -99,12 +99,31 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
       val out = new util.HashMap[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      // meta is whole-table; a pruned/limited plan's numRows is not —
-      // handing CBO a nullCount above rowCount would corrupt its
-      // selectivities, so column stats report only on unpruned scans
-      if (kept.size != totalFiles) return out
+      // UNPRUNED scans answer from the LIST-level fold (O(#lists));
+      // pruned/limited scans re-fold from the kept files' PER-FILE
+      // meta lines — null counts stay exact sums over exactly the
+      // files this scan reads and the NDV re-merges from the kept
+      // sketches, so the stats always describe the rows numRows()
+      // reports (a whole-table nullCount above a pruned rowCount
+      // would corrupt CBO's selectivities). Outstanding DVs refuse
+      // the pruned path: per-file counts include dead rows.
+      val pruned = kept.size != totalFiles
+      val (metaMap, boundsMap): (Map[String, (Long, Long)],
+          Map[String, (Any, Any)]) =
+        if (!pruned) (plan0.colMeta(), plan0.colBounds())
+        else if (plan0.dvByTarget.nonEmpty) (Map.empty, Map.empty)
+        else (SnapshotLog.subsetColMeta(kept, tableSchema, plan0.curIds),
+          SnapshotLog.subsetColBounds(kept, tableSchema, plan0.curIds))
+      // equi-height histogram boundaries fold from the kept files'
+      // per-file quantiles (pruned or not — one code path): the
+      // range-selectivity feed that corrects CBO where min/max-uniform
+      // misleads on a skewed column. DV dirt refuses: dead rows would
+      // distort the weights.
+      val histMap: Map[String, (Long, Vector[Double])] =
+        if (plan0.dvByTarget.nonEmpty) Map.empty
+        else SnapshotLog.subsetColHist(kept, tableSchema, plan0.curIds)
       required.fieldNames.foreach { c =>
-        plan0.colMeta().get(c).foreach { case (nulls, ndv) =>
+        metaMap.get(c).foreach { case (nulls, ndv) =>
           // typed min/max beside ndv/nulls — the range-selectivity
           // feed. ORDERABLE-NUMERIC types only (numeric, date,
           // timestamp as their Catalyst-internal values): CBO's
@@ -114,8 +133,25 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
             case _: org.apache.spark.sql.types.NumericType |
                  org.apache.spark.sql.types.DateType |
                  org.apache.spark.sql.types.TimestampType =>
-              plan0.colBounds().get(c)
+              boundsMap.get(c)
             case _ => None
+          }
+          val histOpt = histMap.get(c).map { case (nonNull, bs) =>
+            val binNdv = math.max(1L, ndv / SnapshotLog.HistBins)
+            new org.apache.spark.sql.connector.read.colstats.Histogram {
+              override def height(): Double =
+                nonNull.toDouble / SnapshotLog.HistBins
+              override def bins(): Array[org.apache.spark.sql.connector
+                  .read.colstats.HistogramBin] =
+                (0 until SnapshotLog.HistBins).map { j =>
+                  new org.apache.spark.sql.connector.read.colstats
+                      .HistogramBin {
+                    override def lo(): Double = bs(j)
+                    override def hi(): Double = bs(j + 1)
+                    override def ndv(): Long = binNdv
+                  }
+                }.toArray
+            }
           }
           out.put(Expressions.column(c),
             new org.apache.spark.sql.connector.read.colstats
@@ -132,6 +168,10 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
                 bounds.map(b => java.util.Optional.of(
                   b._2.asInstanceOf[Object]))
                   .getOrElse(java.util.Optional.empty[Object]())
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                histOpt.map(h => java.util.Optional.of(h))
+                  .getOrElse(java.util.Optional.empty())
             })
         }
       }
@@ -273,16 +313,22 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
 
   /** Per-file physical projection under the current field ids —
     * [[SnapshotLog]]'s resolvedRead rule: ids-less files (legacy) read
-    * by current name; stamped files resolve each current column to the
-    * physical name carrying its id, None = absent (NULL).
+    * by current name; stamped files resolve each current column — and
+    * its NESTED struct names — to the physical field carrying the id,
+    * None = absent (NULL).
     */
-  private def projectionOf(f: SnapshotLog.FileEntry): Seq[Option[String]] =
+  private def projectionOf(f: SnapshotLog.FileEntry)
+      : Seq[Option[org.apache.spark.sql.types.StructField]] =
     required.fields.toSeq.map(c =>
-      SnapshotLog.physNameIn(f, c.name, plan0.curIds))
+      SnapshotLog.physFieldIn(f, c, plan0.curIds))
 
-  private def isIdentity(proj: Seq[Option[String]]): Boolean =
+  private def isIdentity(
+      proj: Seq[Option[org.apache.spark.sql.types.StructField]]): Boolean =
     proj.zip(required.fields).forall {
-      case (Some(p), c) => p == c.name
+      // name AND type (nested names included) must match — a
+      // nested-renamed era reads under physical inner names and must
+      // take the projected row path, not the identity/vectorized one
+      case (Some(p), c) => p.name == c.name && p.dataType == c.dataType
       case _ => false
     }
 
@@ -326,8 +372,8 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
     val columnar = columnarMode
     val groupSpecs = groups.zipWithIndex.map { case ((proj, gFiles), gi) =>
       val present = proj.zipWithIndex.collect { case (Some(p), i) => (p, i) }
-      val physFields = StructType(present.map { case (p, i) =>
-        required.fields(i).copy(name = p, nullable = true) })
+      val physFields = StructType(present.map { case (p, _) =>
+        p.copy(nullable = true) })
       val outMap: Array[Int] = {
         val readIdx = present.map(_._2).zipWithIndex.toMap // requiredIdx -> readIdx
         required.fields.indices.map(i => readIdx.getOrElse(i, -1)).toArray
@@ -335,8 +381,16 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
       val dirty = gFiles.exists(f => plan0.dvByTarget.contains(f.path))
       // pushed filters reach the parquet reader (row-group/page skip)
       // only when the group reads under CURRENT names — renamed files
-      // skip pushdown, the residual Filter above re-applies exactly
-      val pushable = if (isIdentity(proj)) reportPushed else Seq.empty
+      // skip pushdown, the residual Filter above re-applies exactly.
+      // And only filters whose EVERY column is in the read schema: a
+      // filter on a pruned-away column (possible once a claimed-exact
+      // partition predicate stops forcing its column into the
+      // projection) evaluates against parquet's requested schema,
+      // where the missing column reads as all-NULL and the predicate
+      // silently drops every row
+      val pushable = if (isIdentity(proj))
+        reportPushed.filter(_.references.forall(required.fieldNames.contains))
+      else Seq.empty
       val readSchema =
         if (dirty) StructType(physFields.fields :+ ParquetReadBridge.RowIndexField)
         else physFields

@@ -208,16 +208,19 @@ class SnapshotCatalog extends TableCatalog
     val root = rootOf(ident)
     def one(names: Array[String]): String = {
       require(names.length == 1,
-        "nested-column ALTER is not supported on snapshot-log tables")
+        "this ALTER only supports top-level columns on snapshot-log tables")
       names(0)
     }
+    // RENAME/DROP take dotted paths into nested structs (field-id
+    // resolved, metadata-only); widen/add stay top-level
+    def path(names: Array[String]): String = names.mkString(".")
     changes.foreach {
       case r: TableChange.RenameColumn =>
-        SnapshotLog.renameColumn(spark, root, one(r.fieldNames), r.newName)
+        SnapshotLog.renameColumn(spark, root, path(r.fieldNames), r.newName)
       case u: TableChange.UpdateColumnType =>
         SnapshotLog.widenColumn(spark, root, one(u.fieldNames), u.newDataType)
       case d: TableChange.DeleteColumn =>
-        SnapshotLog.dropColumn(spark, root, one(d.fieldNames))
+        SnapshotLog.dropColumn(spark, root, path(d.fieldNames))
       case a: TableChange.AddColumn =>
         require(a.isNullable,
           "added columns must be nullable: existing rows read NULL")
@@ -349,7 +352,8 @@ object SnapshotCatalog {
       .map(_.trim).filter(_.nonEmpty)
 
   private[sources] val MetaKinds =
-    Set("history", "snapshots", "files", "changes", "stats", "partitions")
+    Set("history", "snapshots", "files", "changes", "stats", "partitions",
+      "refs")
 
   /** One DSv2 partition transform → the library's [[SnapshotLog
     * .PartField]] — the inverse of [[SnapshotTableV2.partitioning]].
@@ -516,6 +520,105 @@ object SnapshotCatalog {
     case sources.AlwaysTrue() => Some(lit(true))
     case sources.AlwaysFalse() => Some(lit(false))
     case _ => None
+  }
+
+  /** Tri-state per-FILE filter evaluation from manifest metadata:
+    * Some(true) = EVERY row of the file satisfies the filter,
+    * Some(false) = NO row does, None = undecidable from metadata.
+    *
+    * Decidability rests on two per-file facts the manifest records for
+    * fanout layouts: POINT stats (min == max — the whole file holds one
+    * value of the column, invertible under the current type) and the
+    * per-file NULL COUNT (point stats skip nulls, so a point alone
+    * never proves "every row" — a hidden NULL row fails an EqualTo the
+    * point satisfies). A column ABSENT from the file (pre-evolution)
+    * is all-NULL there and decides comparisons to false exactly.
+    *
+    * This is what lets a partition predicate be claimed EXACT on the
+    * batch scan: all-true files need no row re-check, all-false files
+    * drop from the plan, and with no residual Filter left Spark can
+    * push aggregates over the PRUNED set — `SELECT count(*) FROM t
+    * WHERE day = …` answers from kilobytes of manifest at any size.
+    */
+  private[sources] def fileFilterState(f: SnapshotLog.FileEntry,
+      schema: StructType, curIds: Map[String, Int],
+      filter: sources.Filter): Option[Boolean] = {
+    def nullCount(c: String): Option[Long] =
+      SnapshotLog.fileNullCount(f, c, curIds)
+    def nullFree(c: String): Boolean = nullCount(c).contains(0L)
+    def known(c: String): Boolean = schema.fieldNames.contains(c)
+    def absent(c: String): Boolean =
+      known(c) && SnapshotLog.physNameIn(f, c, curIds).isEmpty
+    def point(c: String): Option[Any] =
+      if (!known(c)) None
+      else SnapshotLog.physNameIn(f, c, curIds).flatMap(f.stats.get)
+        .collect { case (mn, mx) if mn == mx => mn }
+        .flatMap(SnapshotLog.statValueOf(schema(c).dataType, _))
+    def typed(c: String, v: Any): Option[Any] =
+      render(v).flatMap(SnapshotLog.statValueOf(schema(c).dataType, _))
+    // SQL comparisons to NULL never match: an all-null column decides
+    // any comparison filter to all-false
+    def cmp(c: String, v: Any)(test: Int => Boolean): Option[Boolean] =
+      if (absent(c)) Some(false)
+      else if (!nullFree(c)) None
+      else for (p <- point(c); t <- typed(c, v))
+        yield test(SnapshotLog.statValueCompare(schema(c).dataType, p, t))
+    def strPoint(c: String): Option[String] =
+      if (absent(c) || !nullFree(c)) None
+      else point(c).collect {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      }
+    filter match {
+      case sources.EqualTo(c, v) if v != null => cmp(c, v)(_ == 0)
+      case sources.EqualNullSafe(c, null) =>
+        if (absent(c)) Some(true)
+        else nullCount(c).flatMap(n =>
+          if (n == 0L) Some(false)
+          else if (n == f.rows) Some(true) else None)
+      case sources.EqualNullSafe(c, v) => cmp(c, v)(_ == 0)
+      case sources.GreaterThan(c, v) if v != null => cmp(c, v)(_ > 0)
+      case sources.GreaterThanOrEqual(c, v) if v != null => cmp(c, v)(_ >= 0)
+      case sources.LessThan(c, v) if v != null => cmp(c, v)(_ < 0)
+      case sources.LessThanOrEqual(c, v) if v != null => cmp(c, v)(_ <= 0)
+      case sources.In(c, vs) if vs != null && vs.nonEmpty =>
+        if (absent(c)) Some(false)
+        else if (!nullFree(c)) None
+        else {
+          val ts = vs.toSeq.filter(_ != null).map(typed(c, _))
+          if (ts.exists(_.isEmpty)) None
+          else point(c).map(p => ts.flatten.exists(t =>
+            SnapshotLog.statValueCompare(schema(c).dataType, p, t) == 0))
+        }
+      case sources.IsNull(c) =>
+        if (absent(c)) Some(true)
+        else nullCount(c).flatMap(n =>
+          if (n == 0L) Some(false)
+          else if (n == f.rows) Some(true) else None)
+      case sources.IsNotNull(c) =>
+        if (absent(c)) Some(false)
+        else nullCount(c).flatMap(n =>
+          if (n == 0L) Some(true)
+          else if (n == f.rows) Some(false) else None)
+      case sources.StringStartsWith(c, p) => strPoint(c).map(_.startsWith(p))
+      case sources.StringEndsWith(c, p) => strPoint(c).map(_.endsWith(p))
+      case sources.StringContains(c, p) => strPoint(c).map(_.contains(p))
+      case sources.And(l, r) =>
+        // sound over all-or-nothing operands: each side is uniform
+        // across the file's rows, so the row-wise conjunction is too
+        for {
+          a <- fileFilterState(f, schema, curIds, l)
+          b <- fileFilterState(f, schema, curIds, r)
+        } yield a && b
+      case sources.Or(l, r) =>
+        for {
+          a <- fileFilterState(f, schema, curIds, l)
+          b <- fileFilterState(f, schema, curIds, r)
+        } yield a || b
+      case sources.Not(x) => fileFilterState(f, schema, curIds, x).map(!_)
+      case sources.AlwaysTrue() => Some(true)
+      case sources.AlwaysFalse() => Some(false)
+      case _ => None
+    }
   }
 }
 
@@ -776,9 +879,39 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
 
   private var required: StructType = tableSchema
   private var exact: Seq[sources.Filter] = Seq.empty
+  private var allPushed: Seq[sources.Filter] = Seq.empty
+  private var claimed: Seq[sources.Filter] = Seq.empty
   private var boxes: Seq[(String, Option[String], Option[String])] = Seq.empty
   private var aggScan: Option[SnapshotAggScan] = None
   private var limit: Option[Int] = None
+
+  /** ONE manifest resolution shared by pushFilters' claim decision,
+    * the aggregate pushdown, and build() — keyed by the pruning boxes
+    * (identical within one builder lifecycle after pushFilters ran).
+    */
+  private var planCache
+      : (Seq[(String, Option[String], Option[String])],
+        SnapshotLog.CatalogBatchPlan) = null
+
+  private def resolvePlan(): SnapshotLog.CatalogBatchPlan = {
+    val c = planCache
+    if (c != null && c._1 == boxes) return c._2
+    val p = SnapshotLog.catalogBatchPlanPin(
+      SparkSession.active, root, pinnedAsOf, branch, boxes)
+    planCache = (boxes, p)
+    p
+  }
+
+  /** The planned file set with the CLAIMED filters applied exactly:
+    * all-true files stay, all-false files drop. Sound because claiming
+    * required every planned file to decide every claimed filter.
+    */
+  private def refinedKept(plan: SnapshotLog.CatalogBatchPlan)
+      : Seq[SnapshotLog.FileEntry] =
+    if (claimed.isEmpty) plan.kept
+    else plan.kept.filter(f => claimed.forall(c =>
+      SnapshotCatalog.fileFilterState(f, plan.schema, plan.curIds, c)
+        .contains(true)))
 
   // ---- limit pushdown into FILE PLANNING: a bare `LIMIT n` needs
   // only the first files whose manifest row counts reach n — a probe
@@ -839,11 +972,31 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
 
   override def pushFilters(filters: Array[sources.Filter])
       : Array[sources.Filter] = {
+    allPushed = filters.toSeq
     boxes = filters.toSeq.flatMap(SnapshotCatalog.boxOf)
     val (ex, residual) =
       filters.partition(f => SnapshotCatalog.columnOf(f).isDefined)
     exact = ex.toSeq
-    if (batchConf) filters else residual
+    if (!batchConf) return residual
+    // ---- partition-exact claiming: a filter EVERY planned file
+    // decides (all-rows-true or all-rows-false, from point stats +
+    // per-file null counts — fileFilterState) is claimed EXACT even
+    // though the parquet-level pushdown is row-group-inexact: build()
+    // drops the all-false files and the all-true survivors need no row
+    // re-check. Removing the residual Filter is what unlocks aggregate
+    // pushdown over a FILTERED scan (`count(*) WHERE day = …` answers
+    // from the manifest) and saves the per-row re-check on partition-
+    // aligned predicates. Translatable filters only (the V1
+    // eq-outstanding fallback self-applies its claimed set, so the
+    // claim must be expressible there too).
+    if (exact.isEmpty) return filters
+    val plan = resolvePlan()
+    claimed =
+      if (plan.eqOutstanding) Seq.empty
+      else exact.filter(f => plan.kept.forall(file =>
+        SnapshotCatalog.fileFilterState(file, plan.schema, plan.curIds, f)
+          .isDefined))
+    filters.filterNot(claimed.contains)
   }
 
   override def pushedFilters(): Array[sources.Filter] = exact.toArray
@@ -900,11 +1053,18 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.types.{LongType, StructField}
-    if (exact.nonEmpty || boxes.nonEmpty) return None
-    val spark = SparkSession.active
-    val plan = SnapshotLog.catalogBatchPlanPin(
-      spark, root, pinnedAsOf, branch, Seq.empty)
-    if (plan.eqOutstanding || plan.dvByTarget.nonEmpty) return None
+    if (!batchConf) return None
+    // filters are admitted ONLY when every pushed one was CLAIMED
+    // exact (file-decidable): the refined kept set is then exactly the
+    // matching rows — whole files — and the manifest fold below is the
+    // true filtered aggregate. Any unclaimed filter leaves a residual
+    // Filter in the plan (Spark would not ask for aggregate pushdown),
+    // but the refusal is kept explicit rather than assumed.
+    if (!allPushed.forall(claimed.contains)) return None
+    val plan0 = resolvePlan()
+    if (plan0.eqOutstanding || plan0.dvByTarget.nonEmpty) return None
+    val plan = if (claimed.isEmpty) plan0
+      else plan0.copy(kept = refinedKept(plan0))
 
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -940,9 +1100,13 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
         // column (min/max skip them): a file with rows at the point
         // value AND null-group rows would mis-attribute the nulls to
         // the point group and drop the NULL group entirely. Admit the
-        // pushdown only when the manifest's column meta proves the
-        // grouping column is null-free table-wide.
-        if (groupCols.exists(c => !plan.colMeta().get(c).exists(_._1 == 0L)))
+        // pushdown only when null-freedom is PROVEN — table-wide by
+        // the list-level meta, or per kept file by the per-file null
+        // counts (the proof that also holds under pruning).
+        if (groupCols.exists(c =>
+            !plan.colMeta().get(c).exists(_._1 == 0L) &&
+            !(plan.kept.nonEmpty && plan.kept.forall(f =>
+              SnapshotLog.fileNullCount(f, c, plan.curIds).contains(0L)))))
           return None
         val keyed = plan.kept.map { f =>
           val ks = groupCols.map(c => pointOf(f, c))
@@ -984,17 +1148,27 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
       val resolved = agg.aggregateExpressions.toSeq.map {
         case _: CountStar => Some(("count(*)", LongType: org.apache.spark
           .sql.types.DataType, java.lang.Long.valueOf(files.map(_.rows).sum)))
-        // COUNT(col) = rows − nulls, answered from the list-level null
-        // counts — exact sums, but recorded per LIST, so only the
-        // whole-table (ungrouped) case can use them; absent meta
-        // (legacy lines, MoR dirt, renamed columns) refuses
+        // COUNT(col) = rows − nulls. PER-FILE null counts answer it
+        // for any file subset — grouped and filter-pruned sets alike;
+        // the LIST-level fold remains the whole-table fallback for
+        // pre-format manifests. Absent meta everywhere refuses.
         case c: org.apache.spark.sql.connector.expressions.aggregate.Count
-            if !c.isDistinct && groupCols.isEmpty =>
-          colOf(c.column).flatMap(cn => plan.colMeta().get(cn).map {
-            case (nulls, _) => (s"count($cn)",
-              LongType: org.apache.spark.sql.types.DataType,
-              java.lang.Long.valueOf(files.map(_.rows).sum - nulls))
-          })
+            if !c.isDistinct =>
+          colOf(c.column).flatMap { cn =>
+            if (!plan.schema.fieldNames.contains(cn)) None
+            else {
+              val perFile = files.map(f =>
+                SnapshotLog.fileNullCount(f, cn, plan.curIds))
+              val nulls: Option[Long] =
+                if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum)
+                else if (groupCols.isEmpty && claimed.isEmpty)
+                  plan.colMeta().get(cn).map(_._1)
+                else None
+              nulls.map(nu => (s"count($cn)",
+                LongType: org.apache.spark.sql.types.DataType,
+                java.lang.Long.valueOf(files.map(_.rows).sum - nu)))
+            }
+          }
         case m: Min => colOf(m.column).flatMap(c =>
           minMax(files, c, wantMin = true)
             .map { case (dt, v) => (s"min($c)", dt, v) })
@@ -1025,12 +1199,16 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
     val pin = pinnedAsOf
     if (!batchConf)
       return new SnapshotScan(root, pin, branch, required, boxes, exact)
-    // ONE manifest resolution decides both the file plan and the
+    // ONE manifest resolution (shared with pushFilters' claim decision
+    // and the aggregate pushdown) decides both the file plan and the
     // eq-outstanding fallback
-    val spark = SparkSession.active
-    val plan = SnapshotLog.catalogBatchPlanPin(spark, root, pin, branch, boxes)
-    if (plan.eqOutstanding)
+    val plan0 = resolvePlan()
+    if (plan0.eqOutstanding)
       return new SnapshotScan(root, pin, branch, required, boxes, exact)
+    // claimed filters apply exactly at FILE granularity: the all-false
+    // files drop here, the all-true survivors are the claim's contract
+    val plan = if (claimed.isEmpty) plan0
+      else plan0.copy(kept = refinedKept(plan0))
     val limited = limit match {
       case Some(n) if exact.isEmpty && boxes.isEmpty &&
           plan.dvByTarget.isEmpty =>
@@ -1202,6 +1380,9 @@ private[graft] class SnapshotMetaTable(val root: String, val kind: String)
         "min_val STRING, max_val STRING")
     case "partitions" => StructType.fromDDL(
       "partition STRING, n_files BIGINT, n_rows BIGINT, bytes BIGINT")
+    case "refs" => StructType.fromDDL(
+      "name STRING, type STRING, snapshot_id BIGINT, commits BIGINT, " +
+        "committed_at TIMESTAMP")
     case "changes" =>
       // the table's own columns plus the change tag — the exact frame
       // SnapshotLog.changes produces
@@ -1240,17 +1421,39 @@ private[graft] class SnapshotMetaTable(val root: String, val kind: String)
     def opt(key: String): Option[String] =
       Option(options.get(key))
         .orElse(s.conf.getOption(s"spark.graft.changes.$key"))
-    def tsMillis(v: String): Long =
-      if (v.matches("-?[0-9]+")) v.toLong
-      else try java.time.Instant.parse(v).toEpochMilli
+    // bare digits auto-detect millis vs MICROS by magnitude: every
+    // other timestamp surface in the format (stats, pushed bounds)
+    // renders epoch micros, so a caller pasting one of those must not
+    // silently resolve a snapshot ~50,000 years out. 10^14 ms is year
+    // ~5138 — unambiguous as a millis/micros divider. ISO dates
+    // ('2026-08-16') read as UTC midnight; any parse failure names the
+    // option instead of escaping as a raw DateTimeParseException.
+    def tsMillis(key: String, v: String): Long =
+      if (v.matches("-?[0-9]+")) {
+        val n = v.toLong
+        if (math.abs(n) >= 100000000000000L) Math.floorDiv(n, 1000L) else n
+      } else try java.time.Instant.parse(v).toEpochMilli
       catch {
         case _: java.time.format.DateTimeParseException =>
-          java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+          try java.time.LocalDateTime.parse(v.replace(' ', 'T'))
             .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              try java.time.LocalDate.parse(v)
+                .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+              catch {
+                case e: java.time.format.DateTimeParseException =>
+                  throw new IllegalArgumentException(
+                    s"changes option $key: cannot parse '$v' — use epoch " +
+                      "millis/micros, an ISO instant, a UTC datetime, or " +
+                      "an ISO date", e)
+              }
+          }
       }
     def idOf(idKey: String, tsKey: String): Option[Long] =
       opt(idKey).map(_.toLong).orElse(
-        opt(tsKey).map(v => SnapshotLog.snapshotAtTime(s, root, tsMillis(v))))
+        opt(tsKey).map(v =>
+          SnapshotLog.snapshotAtTime(s, root, tsMillis(tsKey, v))))
     val to = idOf("toId", "toTs").getOrElse(SnapshotLog.currentId(s, root))
     val from = idOf("fromId", "fromTs").getOrElse(
       SnapshotLog.parentOf(s, root, to))
@@ -1289,6 +1492,11 @@ private[graft] class SnapshotMetaTable(val root: String, val kind: String)
                 // per-partition-tuple live rows/files/bytes from the
                 // manifest's transform point bands (Iceberg parity)
                 SnapshotLog.partitionsTable(s, root)
+              case "refs" =>
+                // named refs: tags + branches with pinned/fork ids,
+                // staged commit counts, head commit times — the
+                // write-audit-publish audit door
+                SnapshotLog.refsTable(s, root)
               case _ =>
                 val rows = SnapshotLog.history(s, root).map(h =>
                   Row(h.id, h.parent, h.operation, h.rows, h.files.size))

@@ -74,7 +74,9 @@ class SnapshotBatchScanSpec extends SparkSpec {
         finally in.close()
       val stripped = text.split('\n').map { l =>
         val cols = l.split('\t')
-        if (cols.length == 6) cols.dropRight(1).mkString("\t") else l
+        // pre-bytes manifests ended at the ids field (5 columns);
+        // drop bytes AND the per-file meta behind it
+        if (cols.length >= 6) cols.take(5).mkString("\t") else l
       }.mkString("\n")
       f.delete(st.getPath, false)
       val out = f.create(st.getPath, true)
