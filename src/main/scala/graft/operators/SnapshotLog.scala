@@ -4676,8 +4676,18 @@ object SnapshotLog {
         s"column $to already exists in $root")
       val newSchema = StructType(schema.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f))
+      // a struct column's NESTED id paths re-prefix with it — a stale
+      // `from.child` key would make every child resolve as absent
+      // (silent NULLs) once the current path reads `to.child`
+      val prefixOld = from + "."
+      val renamedIds = ids.map { case (k, v) =>
+        (if (k == from) to
+         else if (k.startsWith(prefixOld)) to + "." +
+           k.substring(prefixOld.length)
+         else k) -> v
+      }
       return commitMetadata(spark, root, base, raw, newSchema,
-        (ids - from) + (to -> ids(from)), last, "rename",
+        renamedIds, last, "rename",
         editKey = c => Some(if (c == from) to else c))
     }
     // ---- nested rename ----
@@ -4737,12 +4747,28 @@ object SnapshotLog {
     require(base > 0, s"widenColumn on empty log $root")
     val raw = rawManifest(spark, root, base)
     val schema = StructType.fromDDL(raw.schemaDdl)
+    val (ids, last) = currentIdsOf(raw, schema)
+    if (name.contains('.')) {
+      // NESTED widen: metadata-only like the top-level verb — the
+      // per-era read schema carries the CURRENT (wider) child type and
+      // the parquet reader upcasts old narrow values at the scan, the
+      // same mechanism the top-level widen rides
+      val segs = name.split('.').toSeq
+      val cur = fieldAt(schema, segs).getOrElse(
+        throw new IllegalArgumentException(s"no nested field $name in $root"))
+      if (cur.dataType == to) return base
+      require(isWidening(cur.dataType, to),
+        s"cannot widen $name: ${cur.dataType} -> $to is not a lossless " +
+          "promotion")
+      return commitMetadata(spark, root, base, raw,
+        rewriteStructAt(schema, segs, f => Some(f.copy(dataType = to))),
+        ids, last, "widen", editKey = Some(_))
+    }
     require(schema.fieldNames.contains(name), s"no column $name in $root")
     val from = schema(name).dataType
     if (from == to) return base
     require(isWidening(from, to),
       s"cannot widen $name: $from -> $to is not a lossless promotion")
-    val (ids, last) = currentIdsOf(raw, schema)
     commitMetadata(spark, root, base, raw,
       StructType(schema.fields.map(f =>
         if (f.name == name) f.copy(dataType = to) else f)),
@@ -4765,13 +4791,58 @@ object SnapshotLog {
       dataType: org.apache.spark.sql.types.DataType): Long = {
     val base = currentId(spark, root)
     require(base > 0, s"addColumn on empty log $root")
-    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"invalid column name: $name")
     val raw = rawManifest(spark, root, base)
     val schema = StructType.fromDDL(raw.schemaDdl)
+    val (ids, last) = currentIdsOf(raw, schema)
+    if (name.contains('.')) {
+      // NESTED add: the struct gains a child at its END under a fresh
+      // id — id-era files resolve it as absent (NULL; the sentinel
+      // guard covers a same-named physical sibling left by an earlier
+      // nested drop). Files WITHOUT nested ids under the column read
+      // children BY NAME, where a dropped-then-readded name would
+      // silently resurrect old data — refused until a rewrite.
+      val segs = name.split('.').toSeq
+      val child = segs.last
+      require(cleanSegment(child), s"invalid column name: $child")
+      val parentSegs = segs.init
+      val parent = fieldAt(schema, parentSegs).getOrElse(
+        throw new IllegalArgumentException(
+          s"no struct ${parentSegs.mkString(".")} in $root"))
+      parent.dataType match {
+        case st: StructType => require(!st.fieldNames.contains(child),
+          s"field $name already exists in $root")
+        case other => throw new IllegalArgumentException(
+          s"${parentSegs.mkString(".")} is not a struct " +
+            s"(${other.catalogString})")
+      }
+      requireAllFilesCarryIds(spark, root, raw)
+      liveFilesOf(spark, root, raw).foreach { f =>
+        physNameIn(f, segs.head, ids).foreach { phys =>
+          require(f.ids.keysIterator.exists(_.startsWith(phys + ".")),
+            s"file ${f.path} predates nested ids under ${segs.head}; " +
+              s"adding $name could resurrect same-named old data — " +
+              "rewrite files first (optimize)")
+        }
+      }
+      val addedPaths = name +: (dataType match {
+        case st: StructType => nestedPaths(st).map { case (p, _) =>
+          s"$name.$p" }
+        case _ => Seq.empty
+      })
+      var l = last
+      val newIds = ids ++ addedPaths.map { p => l += 1; p -> l }
+      val newSchema = rewriteStructAt(schema, parentSegs, f =>
+        Some(f.copy(dataType = StructType(
+          f.dataType.asInstanceOf[StructType].fields :+
+            org.apache.spark.sql.types.StructField(child, dataType,
+              nullable = true)))))
+      return commitMetadata(spark, root, base, raw, newSchema,
+        newIds, l, "add-column", editKey = Some(_))
+    }
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"invalid column name: $name")
     require(!schema.fieldNames.contains(name),
       s"column $name already exists in $root")
-    val (ids, last) = currentIdsOf(raw, schema)
     commitMetadata(spark, root, base, raw,
       schema.add(name, dataType, nullable = true),
       ids + (name -> (last + 1)), last + 1, "add-column",
@@ -4793,9 +4864,13 @@ object SnapshotLog {
       raw.eqRefs.foreach(e => require(!e.keyIds.values.toSet.contains(ids(name)),
         s"column $name is a key of outstanding equality delete ${e.dir}; " +
           "run rewriteEqualityDeletes first"))
+      // a dropped struct's nested id paths retire with it — orphaned
+      // dotted keys would survive every later commit for nothing
       return commitMetadata(spark, root, base, raw,
         StructType(schema.fields.filterNot(_.name == name)),
-        ids - name, last, "drop-column",
+        ids.filterNot { case (k, _) =>
+          k == name || k.startsWith(name + ".") },
+        last, "drop-column",
         editKey = c => if (c == name) None else Some(c))
     }
     // ---- nested drop: metadata-only, like the top-level verb. Sound

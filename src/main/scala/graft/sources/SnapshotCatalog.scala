@@ -206,19 +206,14 @@ class SnapshotCatalog extends TableCatalog
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
-    def one(names: Array[String]): String = {
-      require(names.length == 1,
-        "this ALTER only supports top-level columns on snapshot-log tables")
-      names(0)
-    }
-    // RENAME/DROP take dotted paths into nested structs (field-id
-    // resolved, metadata-only); widen/add stay top-level
+    // every verb takes dotted paths into nested structs (field-id
+    // resolved, metadata-only) — the library refuses the unsound arms
     def path(names: Array[String]): String = names.mkString(".")
     changes.foreach {
       case r: TableChange.RenameColumn =>
         SnapshotLog.renameColumn(spark, root, path(r.fieldNames), r.newName)
       case u: TableChange.UpdateColumnType =>
-        SnapshotLog.widenColumn(spark, root, one(u.fieldNames), u.newDataType)
+        SnapshotLog.widenColumn(spark, root, path(u.fieldNames), u.newDataType)
       case d: TableChange.DeleteColumn =>
         SnapshotLog.dropColumn(spark, root, path(d.fieldNames))
       case a: TableChange.AddColumn =>
@@ -226,7 +221,7 @@ class SnapshotCatalog extends TableCatalog
           "added columns must be nullable: existing rows read NULL")
         require(a.position == null,
           "ADD COLUMN … FIRST/AFTER is not supported; columns append")
-        SnapshotLog.addColumn(spark, root, one(a.fieldNames), a.dataType)
+        SnapshotLog.addColumn(spark, root, path(a.fieldNames), a.dataType)
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER on snapshot-log tables: $other")
     }

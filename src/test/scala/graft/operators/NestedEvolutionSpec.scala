@@ -152,6 +152,31 @@ class NestedEvolutionSpec extends SparkSpec {
       (1 to 5).map(_ * 10L))
   }
 
+  test("a TOP-LEVEL rename of a struct column re-prefixes its nested ids") {
+    import spark.implicits._
+    val root = newRoot("reprefix")
+    eraA(root, 1 to 8)
+    // meta -> info: the children's dotted id paths must move with it,
+    // or every child would resolve as absent (silent NULLs)
+    SnapshotLog.renameColumn(spark, root, "meta", "info")
+    val out = SnapshotLog.read(spark, root)
+      .select(col("k"), col("info.name"), col("info.qty")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(out.length == 8)
+    assert(out.forall { case (k, n, q) => n == s"n$k" && q == k * 10 },
+      s"children must survive the parent rename: ${out.take(3).toSeq}")
+    // and a NESTED rename still works through the new parent path
+    SnapshotLog.renameColumn(spark, root, "info.name", "label")
+    assert(SnapshotLog.read(spark, root).select(col("info.label"))
+      .collect().map(_.getString(0)).sorted.toSeq ==
+      (1 to 8).map(i => s"n$i").sorted)
+    // dropping the struct retires every nested id with it
+    SnapshotLog.addColumn(spark, root, "w",
+      org.apache.spark.sql.types.StringType)
+    SnapshotLog.dropColumn(spark, root, "info")
+    assert(SnapshotLog.read(spark, root).columns.toSeq == Seq("k", "w"))
+  }
+
   test("SQL ALTER drives nested rename and drop through the catalog") {
     import spark.implicits._
     val root = newRoot("sql")
@@ -162,5 +187,82 @@ class NestedEvolutionSpec extends SparkSpec {
       .collect()
     assert(out.length == 6)
     assert(out.map(_.getString(1)).toSeq == (1 to 6).map(i => s"n$i"))
+  }
+
+  test("nested WIDEN upcasts old narrow values at the scan") {
+    import spark.implicits._
+    val root = newRoot("widen")
+    SnapshotLog.append(spark, root,
+      (1 to 5).map(k => (k.toLong, (s"n$k", k)))
+        .toDF("k", "meta")
+        .select(col("k"), col("meta").cast(
+          "struct<name: string, qty: int>").as("meta")).coalesce(1))
+    SnapshotLog.widenColumn(spark, root, "meta.qty",
+      org.apache.spark.sql.types.LongType)
+    val out = SnapshotLog.read(spark, root)
+    assert(out.schema("meta").dataType.catalogString ==
+      "struct<name:string,qty:bigint>")
+    assert(out.select(col("meta.qty")).collect().map(_.getLong(0)).sorted
+      .toSeq == (1L to 5L))
+    // a lossy narrowing refuses
+    intercept[IllegalArgumentException] {
+      SnapshotLog.widenColumn(spark, root, "meta.qty",
+        org.apache.spark.sql.types.IntegerType)
+    }
+  }
+
+  test("nested ADD reads NULL on old files; refuses over by-name eras") {
+    import spark.implicits._
+    val root = newRoot("add")
+    eraA(root, 1 to 4)
+    SnapshotLog.addColumn(spark, root, "meta.note",
+      org.apache.spark.sql.types.StringType)
+    val out = SnapshotLog.read(spark, root)
+    assert(out.schema("meta").dataType.catalogString ==
+      "struct<name:string,qty:bigint,note:string>")
+    assert(out.select(col("meta.note")).collect().forall(_.isNullAt(0)),
+      "pre-add files read NULL for the new child")
+    // era-B rows carry real values; both eras coexist
+    SnapshotLog.append(spark, root,
+      (5 to 6).map(k => (k.toLong, (s"n$k", k.toLong * 10, s"x$k")))
+        .toDF("k", "meta")
+        .select(col("k"), col("meta").cast(
+          "struct<name: string, qty: bigint, note: string>").as("meta"))
+        .coalesce(1))
+    val vals = SnapshotLog.read(spark, root)
+      .select(col("k"), col("meta.note")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(vals(1L) == null && vals(5L) == "x5" && vals(6L) == "x6")
+    // a by-name-era file (no nested ids) refuses the add: re-adding a
+    // once-dropped name would resurrect its old data through the
+    // by-name read
+    val root2 = newRoot("addlegacy")
+    eraA(root2, 1 to 3)
+    val fs = new Path(root2).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(s"$root2/snap"))
+      .filter(_.getPath.getName.endsWith(".list")).foreach { st =>
+        val in = fs.open(st.getPath)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val stripped = text.split('\n').map { l =>
+          val cols = l.split('\t')
+          if (cols.length >= 5)
+            cols.updated(4, cols(4).split(';').filterNot(kv =>
+              java.net.URLDecoder.decode(kv.split("=")(0), "UTF-8")
+                .contains(".")).mkString(";")).mkString("\t")
+          else l
+        }.mkString("\n")
+        fs.delete(st.getPath, false)
+        val out2 = fs.create(st.getPath, true)
+        try out2.write(stripped.getBytes("UTF-8")) finally out2.close()
+      }
+    val e = intercept[Exception] {
+      SnapshotLog.addColumn(spark, root2, "meta.note",
+        org.apache.spark.sql.types.StringType)
+    }
+    assert(e.getMessage.contains("rewrite files first"),
+      s"by-name era must refuse nested add: ${e.getMessage}")
   }
 }
