@@ -550,7 +550,8 @@ object SnapshotLog {
     val (ids, last) = assignNewIds(schema, Map.empty, 0)
     val raw = RawManifest(1L, 0L, "create", 0L,
       schema.toDDL.replace("\t", " ").replace("\n", " "),
-      Seq.empty, Seq.empty, ids, last, Seq.empty, Seq.empty, spec)
+      Seq.empty, Seq.empty, ids, last, Seq.empty, Seq.empty, spec,
+      System.currentTimeMillis())
     val m = manifestPath(root, 1L)
     val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     fs.mkdirs(m.getParent)
@@ -1225,7 +1226,11 @@ object SnapshotLog {
       ids: Map[String, Int] = Map.empty, lastColId: Int = 0,
       dRefs: Seq[DeleteRef] = Seq.empty,
       eqRefs: Seq[EqRef] = Seq.empty,
-      spec: Seq[PartField] = Seq.empty)
+      spec: Seq[PartField] = Seq.empty,
+      // commit wall-clock millis stamped IN the manifest (`T` line) —
+      // authoritative where file mtime is not (mtime survives neither
+      // rsync nor a DR restore); 0 on pre-stamp legacy manifests
+      commitTime: Long = 0L)
 
   private def readTextFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -1334,7 +1339,11 @@ object SnapshotLog {
       case Array(p2, n, st, bl, ids, by, mt) =>
         FileEntry(p2, n.toLong, parseStats(st), parseBlooms(bl), parseIds(ids),
           by.toLong, parseMetaField(mt))
-      case Array(p2, n, st, bl, ids, by, mt, hs) =>
+      // trailing `_*`: fields beyond hist are FUTURE format revisions —
+      // an older reader binary must ignore them (degrade to the stats
+      // it knows), not throw, or every field addition strands deployed
+      // readers. Mirrors how parquet readers skip unknown footer keys.
+      case Array(p2, n, st, bl, ids, by, mt, hs, _*) =>
         FileEntry(p2, n.toLong, parseStats(st), parseBlooms(bl), parseIds(ids),
           by.toLong, parseMetaField(mt), parseHistField(hs))
       case _ => throw new IllegalStateException(s"bad file line: $l")
@@ -1377,7 +1386,8 @@ object SnapshotLog {
     val (refLines, rest0) = body.partition(_.startsWith("M\t"))
     val (eLines, rest1) = rest0.partition(_.startsWith("E\t"))
     val (pLines, rest) = rest1.partition(_.startsWith("P\t"))
-    val (dLines, inlineLines) = rest.partition(_.startsWith("D\t"))
+    val (dLines, rest2) = rest.partition(_.startsWith("D\t"))
+    val (tLines, inlineLines) = rest2.partition(_.startsWith("T\t"))
     val refs = refLines.map { l =>
       l.split('\t') match {
         case Array(_, lp, n, r) => ListRef(lp, n.toInt, r.toLong)
@@ -1403,8 +1413,23 @@ object SnapshotLog {
     }
     RawManifest(hid.toLong, parent.toLong, op, rows.toLong, ddl,
       refs, inlineLines.map(parseFileLine), hIds, hLast, dRefs, eqRefs,
-      pLines.map(parsePartLine))
+      pLines.map(parsePartLine),
+      tLines.headOption.map(_.split('\t')(1).toLong).getOrElse(0L))
   }
+
+  /** Commit-time body line (`T<TAB>epochMillis`), stamped by every
+    * commit path so audit surfaces report a time that survives
+    * copy/restore of the log directory.
+    */
+  private def commitTimeLine(): String = s"T\t${System.currentTimeMillis()}"
+
+  /** A manifest's commit time: the stamped `T` line when present
+    * (authoritative), file modification time as the legacy fallback.
+    */
+  private def manifestCommitTime(fs: FileSystem, p: Path): Long =
+    readTextFile(fs, p).linesIterator.find(_.startsWith("T\t"))
+      .map(_.split('\t')(1).trim.toLong)
+      .getOrElse(fs.getFileStatus(p).getModificationTime)
 
   /** The snapshot's name→id map plus high-water id, with the legacy
     * fallback (pre-field-id manifest: ids assigned by position — a
@@ -2561,22 +2586,32 @@ object SnapshotLog {
       if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).iterator
         .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
-        .flatMap { st =>
+        .map { st =>
           val fname = st.getPath.getName
+          val (name, typ) =
+            if (fname.startsWith("branch_"))
+              (fname.stripPrefix("branch_"), "branch")
+            else (fname, "tag")
           try {
             val pinned = readTextFile(fs, st.getPath).trim.toLong
-            if (fname.startsWith("branch_")) {
-              val name = fname.stripPrefix("branch_")
+            if (typ == "branch") {
               val k = branchHeadK(fs, root, name)
               val headM = if (k == 0) manifestPath(root, pinned)
                 else branchManifestPath(root, name, k)
-              Some(Row(name, "branch", pinned, k,
-                new java.sql.Timestamp(
-                  fs.getFileStatus(headM).getModificationTime)))
-            } else Some(Row(fname, "tag", pinned, null,
-              new java.sql.Timestamp(fs.getFileStatus(
-                manifestPath(root, pinned)).getModificationTime)))
-          } catch { case scala.util.control.NonFatal(_) => None }
+              Row(name, "branch", pinned, k,
+                new java.sql.Timestamp(manifestCommitTime(fs, headM)))
+            } else Row(name, "tag", pinned, null,
+              new java.sql.Timestamp(
+                manifestCommitTime(fs, manifestPath(root, pinned))))
+          } catch {
+            // an unreadable ref (pin fails to parse, or its pinned
+            // manifest was expired) is SURFACED as a null-snapshot row,
+            // never silently dropped — this is a WAP audit table, and
+            // omitting a staged branch would understate risk. Hard IO
+            // errors (permissions, network) still propagate.
+            case _: NumberFormatException | _: java.io.FileNotFoundException =>
+              Row(name, typ, null, null, null)
+          }
         }.toSeq.sortBy(_.getString(0))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       StructType.fromDDL(
@@ -3384,7 +3419,7 @@ object SnapshotLog {
             // applies to them exactly as to a same-era append — one
             // consistent rule, not publish-order-dependent
             eqLines(head.eqRefs) ++
-            specLines(head.spec)))
+            specLines(head.spec) :+ commitTimeLine()))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       if (publish(fs, tmp, m)) {
@@ -3561,7 +3596,7 @@ object SnapshotLog {
               raw.inline.map(fileLine) ++
               dRefLines(raw.dRefs :+ dRef) ++
               eqLines(raw.eqRefs) ++
-              specLines(raw.spec)))
+              specLines(raw.spec) :+ commitTimeLine()))
             .mkString("\n").getBytes("UTF-8"))
         finally out.close()
         if (!publish(fs, tmp, m)) {
@@ -3702,7 +3737,7 @@ object SnapshotLog {
           raw.inline.map(fileLine) ++
           dRefLines(raw.dRefs) ++
           eqLines(raw.eqRefs :+ eq) ++
-          specLines(raw.spec)))
+          specLines(raw.spec) :+ commitTimeLine()))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publish(fs, tmp, m)) {
@@ -3881,7 +3916,8 @@ object SnapshotLog {
             rawOpt.map(_.inline).getOrElse(Seq.empty).map(fileLine) ++
             dRefLines(rawOpt.map(_.dRefs).getOrElse(Seq.empty)) ++
             eqLines(rawOpt.map(_.eqRefs).getOrElse(Seq.empty) ++ eqOpt) ++
-            specLines(rawOpt.map(_.spec).getOrElse(Seq.empty))))
+            specLines(rawOpt.map(_.spec).getOrElse(Seq.empty)) :+
+            commitTimeLine()))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       if (publish(fs, tmp, m)) {
@@ -4052,7 +4088,7 @@ object SnapshotLog {
           refLine(r)) ++
           raw.inline.map(fileLine) ++
           dRefLines(raw.dRefs ++ dvOpt.map(_._1)) ++
-          specLines(raw.spec)))
+          specLines(raw.spec) :+ commitTimeLine()))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publish(fs, tmp, m)) {
@@ -4281,7 +4317,7 @@ object SnapshotLog {
             raw.inline.map(fileLine) ++
             dRefLines(raw.dRefs ++ dvOpt.map(_._1)) ++
             eqLines(raw.eqRefs) ++
-            specLines(raw.spec)))
+            specLines(raw.spec) :+ commitTimeLine()))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       if (publish(fs, tmp, m)) return next
@@ -4402,7 +4438,8 @@ object SnapshotLog {
       raw.rows - delRows + srcRows,
       tableSchema.toDDL.replace("\t", " ").replace("\n", " "),
       raw.refs :+ newRef, raw.inline, tableIds, lastColId,
-      raw.dRefs ++ dvOpt.map(_._1), raw.eqRefs, raw.spec)
+      raw.dRefs ++ dvOpt.map(_._1), raw.eqRefs, raw.spec,
+      System.currentTimeMillis())
     val m = branchManifestPath(root, name, next)
     val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     fs.mkdirs(m.getParent)
@@ -4950,7 +4987,7 @@ object SnapshotLog {
           // target's key sets exactly like its vectors.
           dRefLines(raw.dRefs) ++
           eqLines(raw.eqRefs) ++
-          specLines(spec)))
+          specLines(spec) :+ commitTimeLine()))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publish(fs, tmp, m)) {
@@ -5173,17 +5210,22 @@ object SnapshotLog {
     // column meta (null counts + KMV NDV sketches) rides the SAME
     // read-back aggregation as min/max — one pass over the written
     // bytes per commit, pay once; opt out via spark.graft.stats.colmeta
-    val metaCols =
-      if (spark.conf.getOption("spark.graft.stats.colmeta")
-          .forall(_.toBoolean)) statCols(df.schema)
-      else Seq.empty
     // per-file equi-height histogram boundaries for CBO-double-domain
     // columns — approximate quantiles riding the SAME one-pass
     // read-back aggregation as min/max/meta (never a second scan of
-    // the written bytes); opt out independently of colmeta
+    // the written bytes)
+    val histEnabled = spark.conf.getOption("spark.graft.stats.histogram")
+      .forall(_.toBoolean)
+    // histogram SERVING weights each file's boundaries by its non-null
+    // count, which lives in meta — so histogram=true forces colmeta on
+    // (else boundaries would be written into every manifest yet never
+    // servable). colmeta=false alone still disables both.
+    val metaCols =
+      if (histEnabled || spark.conf.getOption("spark.graft.stats.colmeta")
+          .forall(_.toBoolean)) statCols(df.schema)
+      else Seq.empty
     val histCols: Seq[(String, Column)] =
-      if (spark.conf.getOption("spark.graft.stats.histogram")
-          .forall(_.toBoolean))
+      if (histEnabled)
         df.schema.fields.toSeq.flatMap(f => histExprOf(f).map(f.name -> _))
       else Seq.empty
     if (bloomCols.nonEmpty || metaCols.nonEmpty)
@@ -5330,7 +5372,7 @@ object SnapshotLog {
             refLine(r)) ++
             dRefLines(carriedD) ++
             eqLines(carriedE) ++
-            specLines(carriedP)))
+            specLines(carriedP) :+ commitTimeLine()))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       // publish must be atomic no-replace: on HDFS, rename to an
@@ -6009,7 +6051,9 @@ object SnapshotLog {
         raw.inline.map(fileLine) ++
         dRefLines(raw.dRefs) ++
         eqLines(raw.eqRefs) ++
-        specLines(raw.spec))).mkString("\n")
+        specLines(raw.spec) ++
+        (if (raw.commitTime > 0) Seq(s"T\t${raw.commitTime}")
+        else Seq.empty))).mkString("\n")
 
   /** Fork a writable branch at `fromId` (default: current head).
     * Returns the fork id. The branch ref pins the fork against
@@ -6077,7 +6121,8 @@ object SnapshotLog {
       refs.iterator.map(_.rows).sum -
         base.dRefs.iterator.map(_.delRows).sum,
       merged.toDDL.replace("\t", " ").replace("\n", " "),
-      refs, Seq.empty, ids, last, base.dRefs, base.eqRefs, base.spec)
+      refs, Seq.empty, ids, last, base.dRefs, base.eqRefs, base.spec,
+      System.currentTimeMillis())
     val m = branchManifestPath(root, name, next)
     val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     fs.mkdirs(m.getParent)
@@ -6123,7 +6168,8 @@ object SnapshotLog {
         "since the fork (diverged); rebase or drop the branch")
     val next = fork + 1
     val raw2 = head.copy(id = next, parent = fork,
-      operation = s"fast-forward=$name")
+      operation = s"fast-forward=$name",
+      commitTime = System.currentTimeMillis())
     val m = manifestPath(root, next)
     val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     fs.mkdirs(m.getParent)

@@ -517,9 +517,49 @@ object SnapshotCatalog {
     case _ => None
   }
 
+  // ---- three-valued per-file filter evaluation: the per-row outcome
+  // set. Each constant is a bit; a value is a provable SUPERSET of the
+  // outcomes {TRUE, FALSE, NULL} the filter takes across the file's
+  // rows. Supersets keep every combinator sound: And/Or form the
+  // Kleene product over the operand sets, Not maps elementwise
+  // (TRUE↔FALSE, NULL fixed). Collapsing NULL into FALSE here would be
+  // fine for "does any row pass" but flips to a WRONG all-true under
+  // Not — `x NOT IN (1, NULL)` is NULL, never TRUE, yet a
+  // false-collapsed inner In would negate to "every row passes".
+  private final val TvT = 1 // some rows may evaluate TRUE
+  private final val TvF = 2 // some rows may evaluate FALSE
+  private final val TvN = 4 // some rows may evaluate NULL
+  private final val TvAll = TvT | TvF | TvN
+
+  private def tvNot(s: Int): Int =
+    (if ((s & TvT) != 0) TvF else 0) |
+      (if ((s & TvF) != 0) TvT else 0) | (s & TvN)
+
+  private def tvPairs(a: Int, b: Int)(op: (Int, Int) => Int): Int = {
+    var out = 0
+    for (x <- Seq(TvT, TvF, TvN) if (a & x) != 0;
+         y <- Seq(TvT, TvF, TvN) if (b & y) != 0) out |= op(x, y)
+    out
+  }
+
+  // Kleene AND / OR on single outcomes
+  private def tvAnd1(x: Int, y: Int): Int =
+    if (x == TvF || y == TvF) TvF
+    else if (x == TvN || y == TvN) TvN else TvT
+  private def tvOr1(x: Int, y: Int): Int =
+    if (x == TvT || y == TvT) TvT
+    else if (x == TvN || y == TvN) TvN else TvF
+
   /** Tri-state per-FILE filter evaluation from manifest metadata:
     * Some(true) = EVERY row of the file satisfies the filter,
-    * Some(false) = NO row does, None = undecidable from metadata.
+    * Some(false) = NO row does (each row is FALSE or NULL — both are
+    * non-matches to a WHERE), None = undecidable from metadata.
+    *
+    * Internally evaluates in genuine three-valued logic (the per-row
+    * outcome SET over {TRUE, FALSE, NULL}) so that `Not` stays sound:
+    * NULL-derived non-matches negate to NULL (still a non-match),
+    * never to TRUE. The final Option collapses: all-true needs the
+    * set to be exactly {TRUE}; all-false needs TRUE excluded.
     *
     * Decidability rests on two per-file facts the manifest records for
     * fanout layouts: POINT stats (min == max — the whole file holds one
@@ -527,7 +567,7 @@ object SnapshotCatalog {
     * per-file NULL COUNT (point stats skip nulls, so a point alone
     * never proves "every row" — a hidden NULL row fails an EqualTo the
     * point satisfies). A column ABSENT from the file (pre-evolution)
-    * is all-NULL there and decides comparisons to false exactly.
+    * is all-NULL there: comparisons on it are uniformly NULL.
     *
     * This is what lets a partition predicate be claimed EXACT on the
     * batch scan: all-true files need no row re-check, all-false files
@@ -538,12 +578,22 @@ object SnapshotCatalog {
   private[sources] def fileFilterState(f: SnapshotLog.FileEntry,
       schema: StructType, curIds: Map[String, Int],
       filter: sources.Filter): Option[Boolean] = {
+    val s = eval3(f, schema, curIds, filter)
+    if (s == TvT) Some(true)
+    else if ((s & TvT) == 0) Some(false)
+    else None
+  }
+
+  /** The per-row outcome superset of `filter` over `f`'s rows. */
+  private def eval3(f: SnapshotLog.FileEntry, schema: StructType,
+      curIds: Map[String, Int], filter: sources.Filter): Int = {
     def nullCount(c: String): Option[Long] =
       SnapshotLog.fileNullCount(f, c, curIds)
-    def nullFree(c: String): Boolean = nullCount(c).contains(0L)
     def known(c: String): Boolean = schema.fieldNames.contains(c)
     def absent(c: String): Boolean =
       known(c) && SnapshotLog.physNameIn(f, c, curIds).isEmpty
+    def allNull(c: String): Boolean =
+      absent(c) || nullCount(c).contains(f.rows)
     def point(c: String): Option[Any] =
       if (!known(c)) None
       else SnapshotLog.physNameIn(f, c, curIds).flatMap(f.stats.get)
@@ -551,68 +601,102 @@ object SnapshotCatalog {
         .flatMap(SnapshotLog.statValueOf(schema(c).dataType, _))
     def typed(c: String, v: Any): Option[Any] =
       render(v).flatMap(SnapshotLog.statValueOf(schema(c).dataType, _))
-    // SQL comparisons to NULL never match: an all-null column decides
-    // any comparison filter to all-false
-    def cmp(c: String, v: Any)(test: Int => Boolean): Option[Boolean] =
-      if (absent(c)) Some(false)
-      else if (!nullFree(c)) None
-      else for (p <- point(c); t <- typed(c, v))
-        yield test(SnapshotLog.statValueCompare(schema(c).dataType, p, t))
+    // the null-row contribution of a null-ELIMINATING op on column c:
+    // rows where c IS NULL evaluate to NULL; none exist iff proven
+    // null-free
+    def nullBit(c: String): Int =
+      if (nullCount(c).contains(0L)) 0 else TvN
+    // null-eliminating comparison: value rows decide by the point stat
+    // (when the file is single-valued), null rows contribute NULL
+    def cmp(c: String, v: Any)(test: Int => Boolean): Int =
+      if (!known(c)) TvAll
+      else if (allNull(c)) TvN
+      else (point(c), typed(c, v)) match {
+        case (Some(p), Some(t)) =>
+          val r = test(SnapshotLog.statValueCompare(schema(c).dataType, p, t))
+          (if (r) TvT else TvF) | nullBit(c)
+        case _ => TvT | TvF | nullBit(c)
+      }
     def strPoint(c: String): Option[String] =
-      if (absent(c) || !nullFree(c)) None
-      else point(c).collect {
+      point(c).collect {
         case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      }
+    def strOp(c: String)(test: String => Boolean): Int =
+      if (!known(c)) TvAll
+      else if (allNull(c)) TvN
+      else strPoint(c) match {
+        case Some(p) => (if (test(p)) TvT else TvF) | nullBit(c)
+        case None => TvT | TvF | nullBit(c)
       }
     filter match {
       case sources.EqualTo(c, v) if v != null => cmp(c, v)(_ == 0)
+      case sources.EqualTo(c, _) => // = NULL is uniformly NULL
+        if (known(c)) TvN else TvAll
       case sources.EqualNullSafe(c, null) =>
-        if (absent(c)) Some(true)
-        else nullCount(c).flatMap(n =>
-          if (n == 0L) Some(false)
-          else if (n == f.rows) Some(true) else None)
-      case sources.EqualNullSafe(c, v) => cmp(c, v)(_ == 0)
+        // <=> NULL is IS NULL: two-valued, never NULL
+        if (allNull(c)) TvT
+        else nullCount(c) match {
+          case Some(0L) => TvF
+          case Some(_) => TvT | TvF
+          case None => TvT | TvF
+        }
+      case sources.EqualNullSafe(c, v) =>
+        // null-SAFE: null rows compare FALSE to a non-null v, not NULL
+        if (!known(c)) TvAll
+        else if (allNull(c)) TvF
+        else (point(c), typed(c, v)) match {
+          case (Some(p), Some(t)) =>
+            val r = SnapshotLog.statValueCompare(schema(c).dataType, p, t) == 0
+            (if (r) TvT else TvF) |
+              (if (nullCount(c).contains(0L)) 0 else TvF)
+          case _ => TvT | TvF
+        }
       case sources.GreaterThan(c, v) if v != null => cmp(c, v)(_ > 0)
       case sources.GreaterThanOrEqual(c, v) if v != null => cmp(c, v)(_ >= 0)
       case sources.LessThan(c, v) if v != null => cmp(c, v)(_ < 0)
       case sources.LessThanOrEqual(c, v) if v != null => cmp(c, v)(_ <= 0)
       case sources.In(c, vs) if vs != null && vs.nonEmpty =>
-        if (absent(c)) Some(false)
-        else if (!nullFree(c)) None
+        // SQL IN: match → TRUE; no match → NULL if the list carries a
+        // NULL, else FALSE; a NULL probe row → NULL
+        if (!known(c)) TvAll
+        else if (allNull(c)) TvN
         else {
+          val hasNullElem = vs.exists(_ == null)
           val ts = vs.toSeq.filter(_ != null).map(typed(c, _))
-          if (ts.exists(_.isEmpty)) None
-          else point(c).map(p => ts.flatten.exists(t =>
-            SnapshotLog.statValueCompare(schema(c).dataType, p, t) == 0))
+          if (ts.isEmpty) TvN // IN (NULL,…) only: never TRUE, never FALSE
+          else if (ts.exists(_.isEmpty)) TvAll
+          else point(c) match {
+            case Some(p) =>
+              val m = ts.flatten.exists(t =>
+                SnapshotLog.statValueCompare(schema(c).dataType, p, t) == 0)
+              (if (m) TvT else if (hasNullElem) TvN else TvF) | nullBit(c)
+            case None =>
+              TvT | (if (hasNullElem) TvN else TvF) | nullBit(c)
+          }
         }
-      case sources.IsNull(c) =>
-        if (absent(c)) Some(true)
-        else nullCount(c).flatMap(n =>
-          if (n == 0L) Some(false)
-          else if (n == f.rows) Some(true) else None)
+      case sources.IsNull(c) => // two-valued, never NULL
+        if (allNull(c)) TvT
+        else nullCount(c) match {
+          case Some(0L) => TvF
+          case _ => TvT | TvF
+        }
       case sources.IsNotNull(c) =>
-        if (absent(c)) Some(false)
-        else nullCount(c).flatMap(n =>
-          if (n == 0L) Some(true)
-          else if (n == f.rows) Some(false) else None)
-      case sources.StringStartsWith(c, p) => strPoint(c).map(_.startsWith(p))
-      case sources.StringEndsWith(c, p) => strPoint(c).map(_.endsWith(p))
-      case sources.StringContains(c, p) => strPoint(c).map(_.contains(p))
+        if (allNull(c)) TvF
+        else nullCount(c) match {
+          case Some(0L) => TvT
+          case _ => TvT | TvF
+        }
+      case sources.StringStartsWith(c, p) => strOp(c)(_.startsWith(p))
+      case sources.StringEndsWith(c, p) => strOp(c)(_.endsWith(p))
+      case sources.StringContains(c, p) => strOp(c)(_.contains(p))
       case sources.And(l, r) =>
-        // sound over all-or-nothing operands: each side is uniform
-        // across the file's rows, so the row-wise conjunction is too
-        for {
-          a <- fileFilterState(f, schema, curIds, l)
-          b <- fileFilterState(f, schema, curIds, r)
-        } yield a && b
+        tvPairs(eval3(f, schema, curIds, l), eval3(f, schema, curIds, r))(tvAnd1)
       case sources.Or(l, r) =>
-        for {
-          a <- fileFilterState(f, schema, curIds, l)
-          b <- fileFilterState(f, schema, curIds, r)
-        } yield a || b
-      case sources.Not(x) => fileFilterState(f, schema, curIds, x).map(!_)
-      case sources.AlwaysTrue() => Some(true)
-      case sources.AlwaysFalse() => Some(false)
-      case _ => None
+        tvPairs(eval3(f, schema, curIds, l), eval3(f, schema, curIds, r))(tvOr1)
+      case sources.Not(x) => tvNot(eval3(f, schema, curIds, x))
+      case sources.AlwaysTrue() => TvT
+      case sources.AlwaysFalse() => TvF
+      case _ => TvAll
     }
   }
 }

@@ -62,15 +62,46 @@ class SnapshotRefsTableSpec extends SparkSpec {
     assert(r.getLong(0) == 2L && r.getLong(1) == 0L)
   }
 
-  test("an unparseable foreign file under refs/ is skipped, not thrown on") {
+  test("an unparseable foreign file under refs/ is SURFACED with null " +
+      "snapshot details, never silently dropped") {
     val root = freshLog("foreign")
     SnapshotLog.tag(spark, root, "good", 2L)
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(s"$root/refs/garbage"), true)
     try out.write("not-a-snapshot-id".getBytes("UTF-8")) finally out.close()
-    val rows = spark.sql(s"SELECT name FROM $cat.`$root`.refs").collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("good"))
+    // this is a WAP AUDIT table: a ref that cannot be resolved still
+    // appears (with null snapshot_id), because omitting it would
+    // understate risk
+    val rows = spark.sql(
+      s"SELECT name, snapshot_id FROM $cat.`$root`.refs ORDER BY name")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("garbage", "good"))
+    assert(rows(0).isNullAt(1), "unresolvable ref surfaces as null pin")
+    assert(rows(1).getLong(1) == 2L)
+  }
+
+  test("committed_at is the STAMPED commit time: it survives a " +
+      "copy/restore that rewrites every file mtime") {
+    val root = freshLog("drcopy")
+    SnapshotLog.tag(spark, root, "pin", 2L)
+    val before = spark.sql(
+      s"SELECT committed_at FROM $cat.`$root`.refs WHERE name = 'pin'")
+      .head().getTimestamp(0)
+    // simulate a DR restore / rsync: every manifest gets a NEW mtime
+    val dir = java.nio.file.Paths.get(
+      new java.net.URI(new Path(s"$root/snap").toUri.toString).getPath)
+    java.nio.file.Files.list(dir).forEach { p =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 86400000L))
+    }
+    val after = spark.sql(
+      s"SELECT committed_at FROM $cat.`$root`.refs WHERE name = 'pin'")
+      .head().getTimestamp(0)
+    assert(after == before,
+      s"commit time must come from the manifest's T line, not mtime " +
+        s"($before -> $after)")
   }
 
   test("a table without refs yields an empty frame") {
