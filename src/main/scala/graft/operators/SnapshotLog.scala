@@ -1923,31 +1923,40 @@ object SnapshotLog {
   private def cleanSegment(n: String): Boolean =
     n.matches("[A-Za-z_][A-Za-z0-9_]*")
 
-  /** Every nested STRUCT descendant of `schema` as (dottedPath, field)
-    * in depth-first order — the paths field ids are assigned under.
-    * Recursion stops at arrays/maps (no ids, no nested evolution
-    * there) and at any unclean name segment.
+  /** Every nested STRUCT-FIELD descendant of `schema` as (dottedPath,
+    * field) in depth-first order — the paths field ids are assigned
+    * under. Containers recurse with a PATH STEP rather than stopping:
+    * `element` through an array, `key`/`value` through a map (the
+    * Iceberg/Spark convention — the same steps SQL `ALTER TABLE`
+    * addresses them by), so `ingredients.element.name` inside
+    * `ingredients: array<struct<…>>` is an identified, evolvable
+    * field. Unambiguous against a real struct child named `element`:
+    * a path resolves by walking the actual types, and one position in
+    * one schema is either an array or a struct, never both.
+    * Recursion still stops at any unclean name segment.
     */
   private def nestedPaths(schema: StructType): Seq[(String, org.apache
       .spark.sql.types.StructField)] = {
-    def walk(prefix: String, st: StructType): Seq[(String,
-        org.apache.spark.sql.types.StructField)] =
-      st.fields.toSeq.flatMap { f =>
-        if (!cleanSegment(f.name)) Seq.empty
-        else {
-          val p = s"$prefix.${f.name}"
-          (p, f) +: (f.dataType match {
-            case s: StructType => walk(p, s)
-            case _ => Seq.empty
-          })
+    def walkType(prefix: String, dt: org.apache.spark.sql.types.DataType)
+        : Seq[(String, org.apache.spark.sql.types.StructField)] = dt match {
+      case s: StructType =>
+        s.fields.toSeq.flatMap { f =>
+          if (!cleanSegment(f.name)) Seq.empty
+          else {
+            val p = s"$prefix.${f.name}"
+            (p, f) +: walkType(p, f.dataType)
+          }
         }
-      }
+      case a: org.apache.spark.sql.types.ArrayType =>
+        walkType(s"$prefix.element", a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        walkType(s"$prefix.key", m.keyType) ++
+          walkType(s"$prefix.value", m.valueType)
+      case _ => Seq.empty
+    }
     schema.fields.toSeq.flatMap { f =>
       if (!cleanSegment(f.name)) Seq.empty
-      else f.dataType match {
-        case s: StructType => walk(f.name, s)
-        case _ => Seq.empty
-      }
+      else walkType(f.name, f.dataType)
     }
   }
 
@@ -2001,6 +2010,18 @@ object SnapshotLog {
             k.copy(name = nm, dataType = t)
           }.getOrElse(k)
         })
+      // containers thread the path step through to their inner structs
+      // — `element`/`key`/`value` never rename (they are steps, not
+      // fields), but the struct fields BENEATH them resolve by id
+      // exactly like direct struct children
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = resolveType(s"$curPath.element",
+          s"$physPath.element", a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(
+          keyType = resolveType(s"$curPath.key", s"$physPath.key", m.keyType),
+          valueType = resolveType(s"$curPath.value", s"$physPath.value",
+            m.valueType))
       case other => other
     }
     physNameIn(f, cur.name, curIds).map { phys =>
@@ -4646,36 +4667,93 @@ object SnapshotLog {
         "rewrite pre-field-id files first (optimize)")
   }
 
-  /** The field at a dotted path, if the path navigates structs. */
+  /** The field at a dotted path. Navigates structs by field name and
+    * containers by path step — `element` through arrays, `key`/`value`
+    * through maps; a container step with nothing after it yields a
+    * SYNTHESIZED field of the container's inner type so verbs can
+    * inspect "the parent" uniformly (e.g. `arr.element` for a rename
+    * inside `arr: array<struct<…>>`).
+    */
   private def fieldAt(schema: StructType,
-      segs: Seq[String]): Option[org.apache.spark.sql.types.StructField] =
-    segs match {
-      case Seq() => None
-      case Seq(n) => schema.fields.find(_.name == n)
-      case n +: rest => schema.fields.find(_.name == n).flatMap(
-        _.dataType match {
-          case st: StructType => fieldAt(st, rest)
-          case _ => None
-        })
-    }
+      segs: Seq[String]): Option[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField}
+    def at(dt: DataType, segs: Seq[String]): Option[StructField] =
+      (dt, segs) match {
+        case (_, Seq()) => None
+        case (st: StructType, Seq(n)) => st.fields.find(_.name == n)
+        case (st: StructType, n +: rest) =>
+          st.fields.find(_.name == n).flatMap(f => at(f.dataType, rest))
+        case (a: ArrayType, "element" +: rest) =>
+          if (rest.isEmpty)
+            Some(StructField("element", a.elementType, a.containsNull))
+          else at(a.elementType, rest)
+        case (m: MapType, "key" +: rest) =>
+          if (rest.isEmpty)
+            Some(StructField("key", m.keyType, nullable = false))
+          else at(m.keyType, rest)
+        case (m: MapType, "value" +: rest) =>
+          if (rest.isEmpty)
+            Some(StructField("value", m.valueType, m.valueContainsNull))
+          else at(m.valueType, rest)
+        case _ => None
+      }
+    at(schema, segs)
+  }
 
   /** Rewrite (or remove, when `edit` yields None) the field at a
-    * dotted path inside nested structs — the schema half of nested
-    * rename/drop.
+    * dotted path — the schema half of nested rename/drop/widen.
+    * Containers traverse by path step (`element`, `key`, `value`);
+    * the step itself is never editable (an array element has no name
+    * to rename and cannot be dropped), only fields beneath it.
     */
   private def rewriteStructAt(schema: StructType, segs: Seq[String],
       edit: org.apache.spark.sql.types.StructField =>
-        Option[org.apache.spark.sql.types.StructField]): StructType =
-    StructType(schema.fields.flatMap { f =>
-      if (f.name != segs.head) Some(f)
-      else if (segs.length == 1) edit(f)
-      else f.dataType match {
+        Option[org.apache.spark.sql.types.StructField]): StructType = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+    def rewriteType(dt: DataType, segs: Seq[String]): DataType =
+      dt match {
         case st: StructType =>
-          Some(f.copy(dataType = rewriteStructAt(st, segs.tail, edit)))
+          StructType(st.fields.flatMap { f =>
+            if (f.name != segs.head) Some(f)
+            else if (segs.length == 1) edit(f)
+            else Some(f.copy(dataType = rewriteType(f.dataType, segs.tail)))
+          })
+        case a: ArrayType if segs.head == "element" && segs.length > 1 =>
+          a.copy(elementType = rewriteType(a.elementType, segs.tail))
+        case m: MapType if segs.head == "key" && segs.length > 1 =>
+          m.copy(keyType = rewriteType(m.keyType, segs.tail))
+        case m: MapType if segs.head == "value" && segs.length > 1 =>
+          m.copy(valueType = rewriteType(m.valueType, segs.tail))
+        // TERMINAL container step: the edit applies to a synthesized
+        // field and only its dataType is kept — a step has no name to
+        // rename and cannot be dropped (what would `array<?>` mean?)
+        case a: ArrayType if segs == Seq("element") =>
+          edit(org.apache.spark.sql.types.StructField("element",
+            a.elementType, a.containsNull)) match {
+            case Some(f2) => a.copy(elementType = f2.dataType)
+            case None => throw new IllegalArgumentException(
+              "cannot drop an array's element")
+          }
+        case m: MapType if segs == Seq("key") =>
+          edit(org.apache.spark.sql.types.StructField("key", m.keyType,
+            nullable = false)) match {
+            case Some(f2) => m.copy(keyType = f2.dataType)
+            case None => throw new IllegalArgumentException(
+              "cannot drop a map's key")
+          }
+        case m: MapType if segs == Seq("value") =>
+          edit(org.apache.spark.sql.types.StructField("value", m.valueType,
+            m.valueContainsNull)) match {
+            case Some(f2) => m.copy(valueType = f2.dataType)
+            case None => throw new IllegalArgumentException(
+              "cannot drop a map's value")
+          }
         case other => throw new IllegalArgumentException(
-          s"${segs.head} is not a struct (${other.catalogString})")
+          s"${segs.head} is not a navigable struct path " +
+            s"(${other.catalogString})")
       }
-    })
+    rewriteType(schema, segs).asInstanceOf[StructType]
+  }
 
   /** Every live file of `raw` — the set evolution preconditions check. */
   private def liveFilesOf(spark: SparkSession, root: String,
@@ -4861,11 +4939,14 @@ object SnapshotLog {
               "rewrite files first (optimize)")
         }
       }
-      val addedPaths = name +: (dataType match {
-        case st: StructType => nestedPaths(st).map { case (p, _) =>
-          s"$name.$p" }
-        case _ => Seq.empty
-      })
+      // descendants of the new child — through structs AND containers
+      // (a new `array<struct>` child's element fields get ids too) —
+      // enumerated via a synthetic one-field struct so the path walk
+      // is the one nestedPaths defines
+      val parentPath = parentSegs.mkString(".")
+      val addedPaths = name +: nestedPaths(StructType(Seq(
+        org.apache.spark.sql.types.StructField(child, dataType))))
+        .map { case (p, _) => s"$parentPath.$p" }
       var l = last
       val newIds = ids ++ addedPaths.map { p => l += 1; p -> l }
       val newSchema = rewriteStructAt(schema, parentSegs, f =>
@@ -4880,9 +4961,16 @@ object SnapshotLog {
       s"invalid column name: $name")
     require(!schema.fieldNames.contains(name),
       s"column $name already exists in $root")
+    // a struct/array/map-typed new column mints ids for its whole
+    // nested subtree now, so its fields are evolvable before the
+    // first append re-runs assignNewIds
+    var l = last
+    val newIds = ids ++ (name +: nestedPaths(StructType(Seq(
+      org.apache.spark.sql.types.StructField(name, dataType)))).map(_._1))
+      .map { p => l += 1; p -> l }
     commitMetadata(spark, root, base, raw,
       schema.add(name, dataType, nullable = true),
-      ids + (name -> (last + 1)), last + 1, "add-column",
+      newIds, l, "add-column",
       editKey = c => Some(c))
   }
 
@@ -6828,6 +6916,48 @@ object SnapshotLog {
         .select(col("o_orderkey"),
           struct(col("o_orderstatus").as("label"),
             col("o_custkey").as("qty")).as("meta")))
+      ()
+    }.resolve("log").toString
+
+  /** Staged ARRAY-OF-STRUCT evolution log over `orders`: era A writes
+    * `ingredients: array<struct<name, qty>>`, SQL `ALTER TABLE` then
+    * renames `ingredients.element.name` to `label` and ADDs
+    * `ingredients.element.unit` (both metadata-only — the container
+    * path steps thread the field ids through the array), and era B
+    * appends under the evolved shape with real units. The document
+    * shape the reference's recipe schema uses
+    * (reference schema/recipe.json:9-70, exploded at
+    * src/etl_pipeline.py:71-79).
+    */
+  private def sqlArrayEvolveLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttarrev_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+      append(s, root, orders
+        .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), array(
+          struct(col("o_orderstatus").as("name"),
+            col("o_custkey").cast("long").as("qty")),
+          struct(col("o_orderpriority").as("name"),
+            pmod(col("o_orderkey"), lit(100)).cast("long").as("qty")))
+          .as("ingredients")))
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      s.sql(s"ALTER TABLE snapcat.`$root` " +
+        "RENAME COLUMN ingredients.element.name TO label")
+      s.sql(s"ALTER TABLE snapcat.`$root` " +
+        "ADD COLUMN ingredients.element.unit STRING")
+      append(s, root, orders
+        .filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), array(
+          struct(col("o_orderstatus").as("label"),
+            col("o_custkey").cast("long").as("qty"), lit("g").as("unit")),
+          struct(col("o_orderpriority").as("label"),
+            pmod(col("o_orderkey"), lit(100)).cast("long").as("qty"),
+            lit("g").as("unit")))
+          // literal fields come out non-nullable; the table's element
+          // struct is nullable — align via cast before the merge
+          .cast("array<struct<label: string, qty: bigint, unit: string>>")
+          .as("ingredients")))
       ()
     }.resolve("log").toString
 
@@ -8786,6 +8916,41 @@ object SnapshotLog {
       Some("""SELECT o_orderkey, o_orderstatus AS label, o_custkey AS qty
              |FROM orders ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { sqlNestedEvolveLog(s, dir); () })
+    ),
+
+    // TT59: nested evolution THROUGH ARRAYS — `ALTER TABLE … RENAME
+    // COLUMN ingredients.element.name TO label` and `ADD COLUMN
+    // ingredients.element.unit` are metadata-only commits: the dotted
+    // field-id paths gain an `element` step through the container, so
+    // struct fields inside `array<struct<…>>` (the reference's own
+    // recipe document shape) resolve by id across eras exactly like
+    // direct struct children. Era-A files read the renamed field by
+    // id and NULL for the added one; era-B files read natively. The
+    // oracle recomputes both exploded element rows relationally — a
+    // silent NULL on the old era or a mis-resolved element name
+    // breaks the hash.
+    Q(
+      "tt59_array_element_rename",
+      (s, dir) => {
+        val root = sqlArrayEvolveLog(s, dir)
+        read(s, root)
+          .select(col("o_orderkey"), explode(col("ingredients")).as("ing"))
+          .select(col("o_orderkey"), col("ing.label").as("label"),
+            col("ing.qty").as("qty"), col("ing.unit").as("unit"))
+          .orderBy("o_orderkey", "label", "qty")
+      },
+      Some("""SELECT o_orderkey, label, qty, unit FROM (
+             |  SELECT o_orderkey, o_orderstatus AS label,
+             |         CAST(o_custkey AS BIGINT) AS qty,
+             |         CASE WHEN o_orderkey % 2 = 1 THEN 'g' END AS unit
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderpriority AS label,
+             |         CAST(o_orderkey % 100 AS BIGINT) AS qty,
+             |         CASE WHEN o_orderkey % 2 = 1 THEN 'g' END AS unit
+             |  FROM orders)
+             |ORDER BY o_orderkey, label, qty""".stripMargin),
+      stage = Some((s, dir) => { sqlArrayEvolveLog(s, dir); () })
     )
   )
 }
