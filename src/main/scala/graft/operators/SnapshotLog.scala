@@ -2347,17 +2347,34 @@ object SnapshotLog {
     * discipline); outstanding DV/equality dirt is the CALLER's gate —
     * per-file counts include dead rows.
     */
+  /** LIVE null count of a file under `kill` dead rows: exact when the
+    * file is null-free (0), all-null (live rows), or undeleted (the
+    * recorded count); a mixed-null file with kills estimates
+    * proportionally — the killed rows' null status is unrecorded, and
+    * this feeds CBO estimates, never an exact-answer path (the
+    * aggregate pushdown requires one of the exact cases).
+    */
+  private def liveNullCount(nulls: Long, rows: Long, kill: Long): Long =
+    if (kill == 0L) nulls
+    else if (nulls == 0L) 0L
+    else if (nulls == rows) rows - kill
+    else math.round(nulls.toDouble * (rows - kill) / rows)
+
   private[graft] def subsetColMeta(files: Seq[FileEntry], schema: StructType,
-      curIds: Map[String, Int]): Map[String, (Long, Long)] = {
+      curIds: Map[String, Int],
+      kills: Map[String, Long] = Map.empty): Map[String, (Long, Long)] = {
     val live = files.filter(_.rows > 0)
     if (live.isEmpty) return Map.empty
     schema.fieldNames.iterator.flatMap { c =>
-      val nulls = live.map(f => fileNullCount(f, c, curIds))
+      val nulls = live.map(f => fileNullCount(f, c, curIds)
+        .map(n => liveNullCount(n, f.rows, kills.getOrElse(f.path, 0L))))
       if (nulls.exists(_.isEmpty)) None
       else {
         // an ABSENT column contributes rows to the null count and an
         // empty sketch to the NDV merge — both exact (all-null adds no
-        // distinct values)
+        // distinct values). Under kills the NDV keeps the full-file
+        // sketch (dead values may inflate it — an estimate, like KMV
+        // itself).
         val sketches = live.map(f =>
           physNameIn(f, c, curIds).flatMap(f.meta.get).map(_._2)
             .getOrElse(Vector.empty[Long]))
@@ -2409,16 +2426,22 @@ object SnapshotLog {
     * carries both a histogram and a null count for it.
     */
   private[graft] def subsetColHist(files: Seq[FileEntry], schema: StructType,
-      curIds: Map[String, Int]): Map[String, (Long, Vector[Double])] = {
+      curIds: Map[String, Int],
+      kills: Map[String, Long] = Map.empty)
+      : Map[String, (Long, Vector[Double])] = {
     val live = files.filter(_.rows > 0)
     if (live.isEmpty) return Map.empty
     schema.fieldNames.iterator.flatMap { c =>
       val per: Seq[Option[(Long, Vector[Double])]] = live.map { f =>
+        // under DV kills the file's weight shrinks to its LIVE
+        // non-null estimate; boundaries keep the full-file quantiles
+        // (an estimation layer — see the point-mass note above)
+        val kill = kills.getOrElse(f.path, 0L)
         for {
           nm <- physNameIn(f, c, curIds)
           bs <- f.hist.get(nm)
           nulls <- f.meta.get(nm).map(_._1)
-        } yield (f.rows - nulls, bs)
+        } yield ((f.rows - kill) - liveNullCount(nulls, f.rows, kill), bs)
       }
       if (per.exists(_.isEmpty)) None
       else {
@@ -2837,7 +2860,14 @@ object SnapshotLog {
       colMeta: () => Map[String, (Long, Long)] = () => Map.empty,
       // table-level typed (min, max) per column from the list bands —
       // the CBO range feed; same thunk discipline as colMeta
-      colBounds: () => Map[String, (Any, Any)] = () => Map.empty)
+      colBounds: () => Map[String, (Any, Any)] = () => Map.empty,
+      // per-TARGET-FILE delete-vector kill counts (sum of each DV's
+      // recorded delRows for the file — disjoint by construction: a
+      // MoR delete computes positions from a MoR read, so an already-
+      // dead row never re-kills). What lets row counts, COUNT(col)
+      // pushdown, and CBO stats stay truthful while DVs are
+      // outstanding instead of refusing until compaction.
+      dvKills: Map[String, Long] = Map.empty)
 
   /** Snapshot `id`'s parent id — header bytes only. The default
     * changelog window (`parent(current) -> current`) resolves through
@@ -2864,12 +2894,13 @@ object SnapshotLog {
     val raw = pinnedManifest(spark, root, asOf, branch)
     val (kept, total, schema) = catalogPlanRaw(spark, root, raw, preds)
     val curIds = currentIdsOf(raw, schema)._1
-    val dv = deleteMapOf(fsOf(spark, root), root, raw)
-      .map { case (t, es) => t -> es.map(_.dvDir).distinct }
+    val dMap = deleteMapOf(fsOf(spark, root), root, raw)
+    val dv = dMap.map { case (t, es) => t -> es.map(_.dvDir).distinct }
+    val kills = dMap.map { case (t, es) => t -> es.map(_.delRows).sum }
     lazy val colMeta = tableColMeta(raw, schema)
     lazy val colBounds = tableBandBounds(raw, schema)
     CatalogBatchPlan(schema, curIds, kept, total, raw.eqRefs.nonEmpty, dv,
-      raw.spec, () => colMeta, () => colBounds)
+      raw.spec, () => colMeta, () => colBounds, kills)
   }
 
   /** The single transform VALUE a file covers for one spec field, when
@@ -6961,6 +6992,20 @@ object SnapshotLog {
       ()
     }.resolve("log").toString
 
+  /** Staged MoR-dirty log over `orders`: one append, then a
+    * positional-delete-vector delete of every 10th order key — the
+    * outstanding-DV state tt60 proves COUNT pushdown survives.
+    */
+  private def sqlDvCountLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttdvcnt_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      append(s, root, Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .repartition(4))
+      deleteWhereMoR(s, root, pmod(col("o_orderkey"), lit(10)) === 0)
+      ()
+    }.resolve("log").toString
+
   /** Staged SKEWED co-day-fanout pair: fact day 0 holds ~50% of the
     * rows (the hot partition), written in three slices so the hot day
     * spans multiple files — the layout where plain key-grouped SPJ
@@ -8951,6 +8996,31 @@ object SnapshotLog {
              |  FROM orders)
              |ORDER BY o_orderkey, label, qty""".stripMargin),
       stage = Some((s, dir) => { sqlArrayEvolveLog(s, dir); () })
+    ),
+
+    // TT60: COUNT under outstanding DELETE VECTORS — the dashboard
+    // count tt53 made manifest-only now stays manifest-only on a
+    // MoR-dirty table: each DV records its per-target kill count, so
+    // count(*) = Σ(rows − kills) and count(col) = Σ(rows − kills) over
+    // null-free files, exactly, with ZERO data files opened (the spec
+    // deletes the data files to prove it). Before this, any
+    // outstanding DV dropped the table back to full scans until
+    // compaction. The oracle recomputes the post-delete counts
+    // relationally.
+    Q(
+      "tt60_count_under_dv",
+      (s, dir) => {
+        val root = sqlDvCountLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        val df = s.sql(
+          s"""SELECT count(*) AS n_rows, count(o_custkey) AS n_cust
+             |FROM snapcat.`$root`""".stripMargin)
+        df.queryExecution.executedPlan // pin the manifest-only plan
+        df
+      },
+      Some("""SELECT count(*) AS n_rows, count(o_custkey) AS n_cust
+             |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin),
+      stage = Some((s, dir) => { sqlDvCountLog(s, dir); () })
     )
   )
 }

@@ -84,7 +84,11 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
       s" pushed=${reportPushed.mkString("[", ", ", "]")}"
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = kept.map(_.rows).sum
+    // LIVE rows: per-file manifest counts minus each file's recorded
+    // DV kill count — exact, so a MoR-heavy table's CBO sees the true
+    // cardinality instead of dead-row-inflated counts
+    private val rows =
+      kept.map(f => f.rows - plan0.dvKills.getOrElse(f.path, 0L)).sum
     override def sizeInBytes(): util.OptionalLong =
       util.OptionalLong.of(math.max(1L, rows) *
         math.max(1, required.map(_.dataType.defaultSize).sum))
@@ -99,29 +103,35 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
       val out = new util.HashMap[NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      // UNPRUNED scans answer from the LIST-level fold (O(#lists));
-      // pruned/limited scans re-fold from the kept files' PER-FILE
-      // meta lines — null counts stay exact sums over exactly the
-      // files this scan reads and the NDV re-merges from the kept
-      // sketches, so the stats always describe the rows numRows()
-      // reports (a whole-table nullCount above a pruned rowCount
-      // would corrupt CBO's selectivities). Outstanding DVs refuse
-      // the pruned path: per-file counts include dead rows.
+      // UNPRUNED clean scans answer from the LIST-level fold
+      // (O(#lists)); pruned scans — and ANY scan with outstanding DV
+      // kills — re-fold from the kept files' PER-FILE meta lines, so
+      // the stats always describe the rows numRows() reports (a
+      // whole-table nullCount above a pruned rowCount would corrupt
+      // CBO's selectivities). Under kills the null counts are exact
+      // for null-free/all-null files and proportional estimates for
+      // mixed ones (see liveNullCount) — estimate-grade, which is
+      // this surface's contract; the EXACT-answer aggregate pushdown
+      // has its own stricter gate.
       val pruned = kept.size != totalFiles
+      val hasKills =
+        kept.exists(f => plan0.dvKills.getOrElse(f.path, 0L) > 0L)
       val (metaMap, boundsMap): (Map[String, (Long, Long)],
           Map[String, (Any, Any)]) =
-        if (!pruned) (plan0.colMeta(), plan0.colBounds())
-        else if (plan0.dvByTarget.nonEmpty) (Map.empty, Map.empty)
-        else (SnapshotLog.subsetColMeta(kept, tableSchema, plan0.curIds),
+        if (!pruned && !hasKills) (plan0.colMeta(), plan0.colBounds())
+        else (SnapshotLog.subsetColMeta(kept, tableSchema, plan0.curIds,
+          plan0.dvKills),
+          // bounds may include dead extremes — a (slightly) widened
+          // band, safe for range-selectivity estimation
           SnapshotLog.subsetColBounds(kept, tableSchema, plan0.curIds))
       // equi-height histogram boundaries fold from the kept files'
       // per-file quantiles (pruned or not — one code path): the
       // range-selectivity feed that corrects CBO where min/max-uniform
-      // misleads on a skewed column. DV dirt refuses: dead rows would
-      // distort the weights.
+      // misleads on a skewed column. DV kills shrink each file's
+      // weight to its live non-null estimate.
       val histMap: Map[String, (Long, Vector[Double])] =
-        if (plan0.dvByTarget.nonEmpty) Map.empty
-        else SnapshotLog.subsetColHist(kept, tableSchema, plan0.curIds)
+        SnapshotLog.subsetColHist(kept, tableSchema, plan0.curIds,
+          plan0.dvKills)
       required.fieldNames.foreach { c =>
         metaMap.get(c).foreach { case (nulls, ndv) =>
           // typed min/max beside ndv/nulls — the range-selectivity

@@ -1089,13 +1089,17 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
   // costs one manifest read and ZERO data files at any table size.
   // Complete pushdown only, and only when the answer is provably
   // exact: no pushed predicates (stat-band pruning is file-INEXACT, so
-  // an aggregate over a filtered scan must run on real rows), no
-  // outstanding delete vectors or equality deletes (file row counts /
-  // bands would overcount dead rows), every kept file carrying a
-  // round-trippable stat for each MIN/MAX column (an all-null file
+  // an aggregate over a filtered scan must run on real rows — CLAIMED
+  // predicates excepted), no outstanding equality deletes (their
+  // sequence-rule anti-join is not per-file), every kept file carrying
+  // a round-trippable stat for each MIN/MAX column (an all-null file
   // records no stat — indistinguishable from stats-off, so refuse
-  // rather than guess). Anything else returns false and Spark plans
-  // the ordinary scan + aggregate. ----
+  // rather than guess). Outstanding DELETE VECTORS are fine for the
+  // COUNTs — manifest-recorded per-target kill counts subtract exactly
+  // (COUNT(col) additionally needs each killed file proven null-free
+  // or all-null) — while MIN/MAX refuse per killed file (the extremum
+  // may be dead). Anything else returns false and Spark plans the
+  // ordinary scan + aggregate. ----
 
   // one manifest resolution per Aggregation: Spark calls BOTH
   // pushAggregation and supportCompletePushDown with the same
@@ -1141,9 +1145,16 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
     // but the refusal is kept explicit rather than assumed.
     if (!allPushed.forall(claimed.contains)) return None
     val plan0 = resolvePlan()
-    if (plan0.eqOutstanding || plan0.dvByTarget.nonEmpty) return None
+    // equality deletes refuse (their sequence-rule anti-join is not a
+    // per-file count); DELETE VECTORS do not — each target's kill
+    // count is manifest-recorded, so COUNT stays exact under MoR
+    // (per-file rules below); MIN/MAX refuse per killed file (the
+    // extremum may be dead).
+    if (plan0.eqOutstanding) return None
     val plan = if (claimed.isEmpty) plan0
       else plan0.copy(kept = refinedKept(plan0))
+    def killOf(f: SnapshotLog.FileEntry): Long =
+      plan.dvKills.getOrElse(f.path, 0L)
 
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -1200,6 +1211,9 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
         wantMin: Boolean)
         : Option[(org.apache.spark.sql.types.DataType, Any)] = {
       if (!plan.schema.fieldNames.contains(c)) return None
+      // a DV may have killed exactly the extremal row — file bands
+      // cannot answer min/max over the survivors
+      if (files.exists(killOf(_) > 0L)) return None
       val dt = plan.schema(c).dataType
       val vals = files.map { f =>
         SnapshotLog.physNameIn(f, c, plan.curIds) match {
@@ -1226,26 +1240,39 @@ private[sources] class SnapshotScanBuilder(root: String, asOf: Long,
         .DataType, Any)]]] = groups.map { case (_, files) =>
       val resolved = agg.aggregateExpressions.toSeq.map {
         case _: CountStar => Some(("count(*)", LongType: org.apache.spark
-          .sql.types.DataType, java.lang.Long.valueOf(files.map(_.rows).sum)))
-        // COUNT(col) = rows − nulls. PER-FILE null counts answer it
-        // for any file subset — grouped and filter-pruned sets alike;
-        // the LIST-level fold remains the whole-table fallback for
-        // pre-format manifests. Absent meta everywhere refuses.
+          .sql.types.DataType, java.lang.Long.valueOf(
+          files.map(f => f.rows - killOf(f)).sum)))
+        // COUNT(col) = live rows − live nulls. PER-FILE null counts
+        // answer it for any file subset — grouped and filter-pruned
+        // sets alike. Under DV kills a file contributes exactly when
+        // the answer is PROVABLE: no kills (rows − nulls), null-free
+        // (rows − kills), or all-null (0); a mixed-null killed file
+        // refuses (the dead rows' null status is unrecorded). The
+        // LIST-level fold remains the whole-table fallback for
+        // pre-format manifests on clean tables.
         case c: org.apache.spark.sql.connector.expressions.aggregate.Count
             if !c.isDistinct =>
           colOf(c.column).flatMap { cn =>
             if (!plan.schema.fieldNames.contains(cn)) None
             else {
-              val perFile = files.map(f =>
-                SnapshotLog.fileNullCount(f, cn, plan.curIds))
-              val nulls: Option[Long] =
+              val perFile: Seq[Option[Long]] = files.map { f =>
+                SnapshotLog.fileNullCount(f, cn, plan.curIds).flatMap { nu =>
+                  val k = killOf(f)
+                  if (k == 0L) Some(f.rows - nu)
+                  else if (nu == 0L) Some(f.rows - k)
+                  else if (nu == f.rows) Some(0L)
+                  else None
+                }
+              }
+              val count: Option[Long] =
                 if (perFile.forall(_.isDefined)) Some(perFile.flatten.sum)
-                else if (groupCols.isEmpty && claimed.isEmpty)
-                  plan.colMeta().get(cn).map(_._1)
+                else if (groupCols.isEmpty && claimed.isEmpty &&
+                    files.forall(killOf(_) == 0L))
+                  plan.colMeta().get(cn).map(nu => files.map(_.rows).sum - nu._1)
                 else None
-              nulls.map(nu => (s"count($cn)",
+              count.map(n => (s"count($cn)",
                 LongType: org.apache.spark.sql.types.DataType,
-                java.lang.Long.valueOf(files.map(_.rows).sum - nu)))
+                java.lang.Long.valueOf(n)))
             }
           }
         case m: Min => colOf(m.column).flatMap(c =>
