@@ -2490,17 +2490,30 @@ object SnapshotLog {
     val schema = StructType.fromDDL(raw.schemaDdl)
     val cols = statCols(schema)
     val meta = tableColMeta(raw, schema)
+    // the SAME merged equi-height boundaries the scan serves CBO
+    // (kill-adjusted weights under outstanding DVs) — SQL-visible so a
+    // user tuning a skewed workload can audit what the optimizer sees;
+    // null for non-CBO-double-domain columns and pre-histogram files
+    val curIds = currentIdsOf(raw, schema)._1
+    val kills = deleteMapOf(fsOf(spark, root), root, raw)
+      .map { case (t, es) => t -> es.map(_.delRows).sum }
+    val hist = subsetColHist(
+      raw.inline ++ raw.refs.flatMap(r =>
+        readFileList(fsOf(spark, root), root, r.path)),
+      schema, curIds, kills)
     val rows = statsSummaryRows(spark, root, cols, id).map {
       case (c, nRows, mn, mx) =>
         val m = meta.get(c)
         Row(c, nRows.map(java.lang.Long.valueOf).orNull,
           m.map(v => java.lang.Long.valueOf(v._1)).orNull,
           m.map(v => java.lang.Long.valueOf(v._2)).orNull,
-          mn, mx)
+          mn, mx,
+          hist.get(c).map(_._2).orNull)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       StructType.fromDDL("col_name STRING, n_rows BIGINT, " +
-        "null_count BIGINT, ndv BIGINT, min_val STRING, max_val STRING"))
+        "null_count BIGINT, ndv BIGINT, min_val STRING, max_val STRING, " +
+        "histogram ARRAY<DOUBLE>"))
   }
 
   /** [[statsSummary]]'s driver-side rows: (col, liveRows, min, max) —
@@ -7006,6 +7019,26 @@ object SnapshotLog {
       ()
     }.resolve("log").toString
 
+  /** Staged null-audit log over `orders`: one all-null-`note` append
+    * (even keys) and one null-free append (odd keys) — the layout
+    * where `WHERE note IS NULL` is file-decidable from null counts
+    * alone.
+    */
+  private def sqlNullAuditLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttnullaud_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders")
+      append(s, root, orders
+        .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"),
+          lit(null).cast("string").as("note")))
+      append(s, root, orders
+        .filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"),
+          concat(lit("n"), col("o_orderkey")).as("note")))
+      ()
+    }.resolve("log").toString
+
   /** Staged SKEWED co-day-fanout pair: fact day 0 holds ~50% of the
     * rows (the hot partition), written in three slices so the hot day
     * spans multiple files — the layout where plain key-grouped SPJ
@@ -8758,7 +8791,8 @@ object SnapshotLog {
       (s, dir) => {
         val root = statsTableLog(s, dir)
         s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
-        s.sql(s"SELECT * FROM snapcat.`$root`.stats ORDER BY col_name")
+        s.sql(s"SELECT col_name, n_rows, null_count, ndv, min_val, " +
+          s"max_val FROM snapcat.`$root`.stats ORDER BY col_name")
       },
       Some("""SELECT 'o_orderpriority' AS col_name,
              |  CAST(count(*) AS BIGINT) AS n_rows,
@@ -9021,6 +9055,63 @@ object SnapshotLog {
       Some("""SELECT count(*) AS n_rows, count(o_custkey) AS n_cust
              |FROM orders WHERE o_orderkey % 10 <> 0""".stripMargin),
       stage = Some((s, dir) => { sqlDvCountLog(s, dir); () })
+    ),
+
+    // TT61: SQL-VISIBLE histograms — `snap.t.stats.histogram` serves
+    // the SAME merged equi-height boundaries the scan feeds CBO, so a
+    // user tuning a skewed workload can audit what the optimizer sees
+    // (round 15 had them CBO-only). Deterministic projection: the
+    // boundary COUNT is HistBins+1 and the first/last boundaries are
+    // the column's exact min/max (GK quantile sketches keep extremes
+    // exactly; the merge preserves them) — recomputed relationally by
+    // the oracle. Interior boundaries are estimation-grade by design
+    // and pinned in SnapshotHistogramSpec instead.
+    Q(
+      "tt61_sql_stats_histogram_serve",
+      (s, dir) => {
+        val root = sqlDvCountLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.sql(
+          s"""SELECT col_name, CAST(size(histogram) AS BIGINT) AS n_bounds,
+             |       CAST(histogram[0] AS BIGINT) AS lo,
+             |       CAST(histogram[${HistBins}] AS BIGINT) AS hi
+             |FROM snapcat.`$root`.stats
+             |WHERE histogram IS NOT NULL ORDER BY col_name""".stripMargin)
+      },
+      Some("""SELECT 'o_custkey' AS col_name, CAST(17 AS BIGINT) AS n_bounds,
+             |       CAST(min(o_custkey) AS BIGINT) AS lo,
+             |       CAST(max(o_custkey) AS BIGINT) AS hi
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_orderkey', CAST(17 AS BIGINT),
+             |       CAST(min(o_orderkey) AS BIGINT),
+             |       CAST(max(o_orderkey) AS BIGINT)
+             |FROM orders
+             |ORDER BY col_name""".stripMargin),
+      stage = Some((s, dir) => { sqlDvCountLog(s, dir); () })
+    ),
+
+    // TT62: NULL-AUDIT pushdown — a bare `WHERE c IS NULL` claims
+    // EXACT from per-file null counts alone (no point band needed:
+    // all-null files are uniformly TRUE, null-free files uniformly
+    // FALSE and drop), so the data-quality dashboard's null count
+    // answers from the MANIFEST with zero data files opened — at any
+    // table size. The oracle recomputes the null populations
+    // relationally.
+    Q(
+      "tt62_null_audit_pushdown",
+      (s, dir) => {
+        val root = sqlNullAuditLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        val df = s.sql(
+          s"""SELECT count(*) AS n_null FROM snapcat.`$root`
+             |WHERE note IS NULL""".stripMargin)
+        df.queryExecution.executedPlan // pin the manifest-only plan
+        df
+      },
+      Some("""SELECT count(*) AS n_null FROM orders
+             |WHERE o_orderkey % 2 = 0""".stripMargin),
+      stage = Some((s, dir) => { sqlNullAuditLog(s, dir); () })
     )
   )
 }

@@ -1483,7 +1483,7 @@ private[graft] class SnapshotMetaTable(val root: String, val kind: String)
     case "files" => StructType.fromDDL("path STRING, n_rows BIGINT")
     case "stats" => StructType.fromDDL(
       "col_name STRING, n_rows BIGINT, null_count BIGINT, ndv BIGINT, " +
-        "min_val STRING, max_val STRING")
+        "min_val STRING, max_val STRING, histogram ARRAY<DOUBLE>")
     case "partitions" => StructType.fromDDL(
       "partition STRING, n_files BIGINT, n_rows BIGINT, bytes BIGINT")
     case "refs" => StructType.fromDDL(

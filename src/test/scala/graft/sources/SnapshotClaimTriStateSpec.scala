@@ -101,6 +101,32 @@ class SnapshotClaimTriStateSpec extends SparkSpec {
     assert(rows.length == 75 && rows.forall(_ % 4 != 1))
   }
 
+  test("a bare IS NULL / IS NOT NULL claims from null counts alone — " +
+      "no point band needed — and unlocks the manifest COUNT") {
+    import spark.implicits._
+    val root = graft.TempDirs.create("tristate_isnull").resolve("log").toString
+    // file A: note all-NULL; file B: note null-free — no point stats
+    // on note in either (all-null records none; B's values are unique)
+    SnapshotLog.append(spark, root,
+      (1L to 40L).map(k => (k, Option.empty[String])).toDF("k", "note")
+        .coalesce(1))
+    SnapshotLog.append(spark, root,
+      (41L to 100L).map(k => (k, Option(s"n$k"))).toDF("k", "note")
+        .coalesce(1))
+    val df = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.`$root` WHERE note IS NULL")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") &&
+      !plan.contains("SnapshotBatchScan"),
+      s"null-audit count must fold from the manifest:\n$plan")
+    assert(df.head().getLong(0) == 40L)
+    val df2 = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.`$root` WHERE note IS NOT NULL")
+    assert(df2.head().getLong(0) == 60L)
+    assert(df2.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+  }
+
   test("NOT IN without nulls still claims and drops exactly") {
     val root = dayLog("notin2")
     val df = spark.sql(s"SELECT k FROM $cat.`$root` " +

@@ -112,6 +112,37 @@ class SnapshotHistogramSpec extends SparkSpec {
       s"the dropped file's w range must not leak into the fold: $bs")
   }
 
+  test("snap.t.stats serves the SAME boundaries CBO sees, " +
+      "deterministically from a fixture commit") {
+    import spark.implicits._
+    val root = newRoot("sqlserve")
+    SnapshotLog.append(spark, root,
+      (1 to 1600).map(i => (i.toLong, s"v$i")).toDF("k", "s").coalesce(1))
+    val got = spark.sql(
+      s"SELECT histogram FROM $cat.`$root`.stats WHERE col_name = 'k'")
+      .head().getSeq[Double](0)
+    assert(got.length == SnapshotLog.HistBins + 1)
+    assert(got.head == 1.0 && got.last == 1600.0,
+      s"extreme boundaries are the exact min/max: $got")
+    assert(got.sliding(2).forall(p => p(0) <= p(1)), s"monotone: $got")
+    // uniform data: boundary j within GK tolerance of 1 + j*1599/16
+    got.zipWithIndex.foreach { case (b, j) =>
+      val exact = 1.0 + j * 1599.0 / SnapshotLog.HistBins
+      assert(math.abs(b - exact) <= 4.0,
+        s"boundary $j: got $b, uniform-exact $exact")
+    }
+    // the audit surface IS the CBO feed: identical to the scan's fold
+    val fromScan = SnapshotLog.subsetColHist(
+      SnapshotLog.snapshot(spark, root, 1L).files,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING"),
+      Map("k" -> 1, "s" -> 2))("k")._2
+    assert(got == fromScan, "stats table and CBO must see one histogram")
+    // a string column serves NULL, not an empty array
+    assert(spark.sql(
+      s"SELECT histogram FROM $cat.`$root`.stats WHERE col_name = 's'")
+      .head().isNullAt(0))
+  }
+
   test("an all-null column and a string column record no histogram") {
     import spark.implicits._
     val root = newRoot("nulls")
