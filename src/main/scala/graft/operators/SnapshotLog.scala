@@ -159,7 +159,15 @@ object SnapshotLog {
       // micros), 8th field: the range-selectivity feed that corrects
       // CBO where min/max-uniform misleads on skew. Opt out via
       // spark.graft.stats.histogram=false.
-      hist: Map[String, Vector[Double]] = Map.empty)
+      hist: Map[String, Vector[Double]] = Map.empty,
+      // the rendered sort order ([[renderSortOrder]]) this file's ROWS
+      // are physically sorted by, 9th field ("" = unsorted/legacy/
+      // unknown): stamped by the writer when the commit applied the
+      // table's declared sort, it is what lets a scan PROVE every kept
+      // file is sorted and report a per-partition ordering to Spark
+      // (sort elimination under SMJ). A rewrite that didn't sort
+      // simply leaves it empty — reporting demands unanimity.
+      sortedBy: String = "")
 
   /** One committed snapshot's metadata. `rows` is the TOTAL row count
     * of the table at this snapshot (sum of its files' counts).
@@ -220,7 +228,7 @@ object SnapshotLog {
     * matches. Date/timestamp renderings are ASCII, where the two
     * orders agree.
     */
-  private def statGt(dt: org.apache.spark.sql.types.DataType,
+  private[graft] def statGt(dt: org.apache.spark.sql.types.DataType,
       a: String, b: String): Boolean = dt match {
     case _: org.apache.spark.sql.types.NumericType => BigDecimal(a) > BigDecimal(b)
     case org.apache.spark.sql.types.TimestampType =>
@@ -1077,6 +1085,87 @@ object SnapshotLog {
       case _ => throw new IllegalStateException(s"bad partition line: $l")
     }
 
+  /** One field of the table's DECLARED write sort order (Iceberg's
+    * sort-order metadata): every routed commit sorts its rows by these
+    * fields WITHIN each written file and stamps the file as sorted —
+    * the layout contract behind reported-ordering scans (sort-free
+    * SMJ) and tighter min/max bands. Declared via [[setSortOrder]] or
+    * SQL `ALTER TABLE t SET TBLPROPERTIES ('write.ordered-by' = …)`.
+    */
+  final case class SortField(column: String, asc: Boolean = true)
+
+  // manifest `O` lines: one per declared sort field, carried across
+  // commits exactly like the partition-spec `P` lines
+  private def sortLines(so: Seq[SortField]): Seq[String] =
+    so.map(f => s"O\t${enc(f.column)}\t${if (f.asc) "a" else "d"}")
+
+  private def parseSortLine(l: String): SortField =
+    l.split('\t') match {
+      // trailing `_*`: future sort-field attributes (null ordering)
+      // must not strand older readers
+      case Array(_, c, d, _*) => SortField(dec(c), d == "a")
+      case _ => throw new IllegalStateException(s"bad sort-order line: $l")
+    }
+
+  /** The canonical rendering a sorted FILE is stamped with — column
+    * names URL-encoded (they cannot then contain `,` or `:`), `:d`
+    * marking descending. A file claims sortedness only for the EXACT
+    * declared order; any mismatch (older declaration, partial order)
+    * reads as unsorted.
+    */
+  private[graft] def renderSortOrder(so: Seq[SortField]): String =
+    so.map(f => s"${enc(f.column)}${if (f.asc) "" else ":d"}").mkString(",")
+
+  /** The table's declared write sort order at the current head (empty
+    * when none was ever declared).
+    */
+  def sortOrderOf(spark: SparkSession, root: String): Seq[SortField] = {
+    val id = currentId(spark, root)
+    if (id == 0) Seq.empty else rawManifest(spark, root, id).sortOrder
+  }
+
+  /** Declare (or replace — empty clears) the table's write sort order:
+    * a metadata-only commit; every subsequent routed write sorts its
+    * files by it and stamps them. Existing files are NOT rewritten —
+    * scans report ordering only once every live file carries the
+    * stamp ([[optimizeSorted]] or natural churn gets them there).
+    */
+  def setSortOrder(spark: SparkSession, root: String,
+      so: Seq[SortField]): Long = {
+    so.foreach(f => require(
+      !f.column.exists(c => c == '\t' || c == '\n'),
+      s"sort column name may not contain tab/newline: ${f.column}"))
+    val fs = fsOf(spark, root)
+    var attempt = 0
+    while (true) {
+      val base = currentId(spark, root)
+      require(base > 0, s"no table at $root to declare a sort order on")
+      val raw = rawManifest(spark, root, base)
+      val schema = StructType.fromDDL(raw.schemaDdl)
+      so.foreach(f => require(schema.fieldNames.contains(f.column),
+        s"sort column ${f.column} is not in the table schema"))
+      val next = base + 1
+      val m = manifestPath(root, next)
+      val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      fs.mkdirs(m.getParent)
+      val ddl = raw.schemaDdl
+      val out = fs.create(tmp, true)
+      try out.write(
+        ((s"$next\t$base\tset-sort-order\t${raw.rows}\t$ddl" +
+          s"\t${idsField(raw.ids)}\t${raw.lastColId}") +:
+          (raw.refs.map(refLine) ++ raw.inline.map(fileLine) ++
+            dRefLines(raw.dRefs) ++ eqLines(raw.eqRefs) ++
+            specLines(raw.spec) ++ sortLines(so) :+ commitTimeLine()))
+          .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      if (publish(fs, tmp, m)) return next
+      fs.delete(tmp, false)
+      attempt += 1
+      require(attempt < 20, s"set-sort-order on $root lost $attempt races")
+    }
+    -1L // unreachable
+  }
+
   /** The derived-stat key a spec field records per file. Bucket fields
     * reuse the `__bucket:` layout key so every existing bucket-pruning
     * path ([[keyFilesOf]], [[eqPruneKeeps]], [[readBuckets]]) prunes
@@ -1230,7 +1319,10 @@ object SnapshotLog {
       // commit wall-clock millis stamped IN the manifest (`T` line) —
       // authoritative where file mtime is not (mtime survives neither
       // rsync nor a DR restore); 0 on pre-stamp legacy manifests
-      commitTime: Long = 0L)
+      commitTime: Long = 0L,
+      // the table's declared write sort order (`O` lines), carried
+      // across commits like the partition spec
+      sortOrder: Seq[SortField] = Seq.empty)
 
   private def readTextFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -1339,13 +1431,18 @@ object SnapshotLog {
       case Array(p2, n, st, bl, ids, by, mt) =>
         FileEntry(p2, n.toLong, parseStats(st), parseBlooms(bl), parseIds(ids),
           by.toLong, parseMetaField(mt))
-      // trailing `_*`: fields beyond hist are FUTURE format revisions —
-      // an older reader binary must ignore them (degrade to the stats
-      // it knows), not throw, or every field addition strands deployed
-      // readers. Mirrors how parquet readers skip unknown footer keys.
-      case Array(p2, n, st, bl, ids, by, mt, hs, _*) =>
+      case Array(p2, n, st, bl, ids, by, mt, hs) =>
         FileEntry(p2, n.toLong, parseStats(st), parseBlooms(bl), parseIds(ids),
           by.toLong, parseMetaField(mt), parseHistField(hs))
+      // trailing `_*`: fields beyond sortedBy are FUTURE format
+      // revisions — an older reader binary must ignore them (degrade
+      // to the stats it knows), not throw, or every field addition
+      // strands deployed readers. Mirrors parquet readers skipping
+      // unknown footer keys.
+      case Array(p2, n, st, bl, ids, by, mt, hs, so, _*) =>
+        FileEntry(p2, n.toLong, parseStats(st), parseBlooms(bl), parseIds(ids),
+          by.toLong, parseMetaField(mt), parseHistField(hs),
+          sortedBy = if (so == "-") "" else so)
       case _ => throw new IllegalStateException(s"bad file line: $l")
     }
 
@@ -1359,7 +1456,8 @@ object SnapshotLog {
   private def fileLine(f: FileEntry): String =
     s"${f.path}\t${f.rows}\t${statsField(f.stats)}\t${bloomsField(f.blooms)}" +
       s"\t${idsField(f.ids)}\t${f.bytes}\t${metaField(f.meta)}" +
-      s"\t${histField(f.hist)}"
+      s"\t${histField(f.hist)}" +
+      s"\t${if (f.sortedBy.isEmpty) "-" else f.sortedBy}"
 
   /** Parse one manifest WITHOUT opening its file lists — O(#commits)
     * bytes, the metadata an append needs to carry its parent forward.
@@ -1387,7 +1485,8 @@ object SnapshotLog {
     val (eLines, rest1) = rest0.partition(_.startsWith("E\t"))
     val (pLines, rest) = rest1.partition(_.startsWith("P\t"))
     val (dLines, rest2) = rest.partition(_.startsWith("D\t"))
-    val (tLines, inlineLines) = rest2.partition(_.startsWith("T\t"))
+    val (oLines, rest3) = rest2.partition(_.startsWith("O\t"))
+    val (tLines, inlineLines) = rest3.partition(_.startsWith("T\t"))
     val refs = refLines.map { l =>
       l.split('\t') match {
         case Array(_, lp, n, r) => ListRef(lp, n.toInt, r.toLong)
@@ -1414,7 +1513,8 @@ object SnapshotLog {
     RawManifest(hid.toLong, parent.toLong, op, rows.toLong, ddl,
       refs, inlineLines.map(parseFileLine), hIds, hLast, dRefs, eqRefs,
       pLines.map(parsePartLine),
-      tLines.headOption.map(_.split('\t')(1).toLong).getOrElse(0L))
+      tLines.headOption.map(_.split('\t')(1).toLong).getOrElse(0L),
+      oLines.map(parseSortLine))
   }
 
   /** Commit-time body line (`T<TAB>epochMillis`), stamped by every
@@ -2838,6 +2938,13 @@ object SnapshotLog {
       asOf: Long, branch: Option[(String, Long)]): Seq[PartField] =
     pinnedManifest(spark, root, asOf, branch).spec
 
+  private[graft] def sortOrderOfPin(spark: SparkSession, root: String,
+      asOf: Long, branch: Option[(String, Long)]): Seq[SortField] =
+    // an empty table has no manifest to read an order from
+    if (asOf == 0L && branch.isEmpty && currentId(spark, root) == 0L)
+      Seq.empty
+    else pinnedManifest(spark, root, asOf, branch).sortOrder
+
   private[graft] def catalogPlanPin(spark: SparkSession, root: String,
       asOf: Long, branch: Option[(String, Long)],
       preds: Seq[(String, Option[String], Option[String])])
@@ -2880,7 +2987,10 @@ object SnapshotLog {
       // dead row never re-kills). What lets row counts, COUNT(col)
       // pushdown, and CBO stats stay truthful while DVs are
       // outstanding instead of refusing until compaction.
-      dvKills: Map[String, Long] = Map.empty)
+      dvKills: Map[String, Long] = Map.empty,
+      // the table's declared write sort order — the scan's reported-
+      // ordering gate reads it together with each file's sortedBy stamp
+      sortOrder: Seq[SortField] = Seq.empty)
 
   /** Snapshot `id`'s parent id — header bytes only. The default
     * changelog window (`parent(current) -> current`) resolves through
@@ -2913,7 +3023,8 @@ object SnapshotLog {
     lazy val colMeta = tableColMeta(raw, schema)
     lazy val colBounds = tableBandBounds(raw, schema)
     CatalogBatchPlan(schema, curIds, kept, total, raw.eqRefs.nonEmpty, dv,
-      raw.spec, () => colMeta, () => colBounds, kills)
+      raw.spec, () => colMeta, () => colBounds, kills,
+      sortOrder = raw.sortOrder)
   }
 
   /** The single transform VALUE a file covers for one spec field, when
@@ -3484,7 +3595,8 @@ object SnapshotLog {
             // applies to them exactly as to a same-era append — one
             // consistent rule, not publish-order-dependent
             eqLines(head.eqRefs) ++
-            specLines(head.spec) :+ commitTimeLine()))
+            specLines(head.spec) ++
+            sortLines(head.sortOrder) :+ commitTimeLine()))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       if (publish(fs, tmp, m)) {
@@ -3534,6 +3646,51 @@ object SnapshotLog {
   /** Replace the table content with `df` (history stays addressable). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long =
     commit(spark, root, df, "overwrite", keepBase = false)
+
+  /** What a DSv2 batch write must know up front: the declared spec
+    * (its required distribution), the sort order it will stamp (empty
+    * when some sort column is missing from the write schema), and the
+    * derived band expressions the describe pass records per file.
+    */
+  private[graft] def writeLayout(spark: SparkSession, root: String,
+      schema: StructType)
+      : (Seq[PartField], Seq[SortField], Seq[(String, Column)]) = {
+    val id = currentId(spark, root)
+    val raw = if (id > 0) Some(rawManifest(spark, root, id)) else None
+    val spec = raw.map(_.spec).getOrElse(Seq.empty)
+    val routed = spec.filter(f => schema.fieldNames.contains(f.column))
+    val derived = routed.map(f =>
+      partStatName(f) -> partExpr(f, schema(f.column).dataType))
+    val so = raw.map(_.sortOrder).getOrElse(Seq.empty)
+    val sortApply =
+      if (so.nonEmpty && so.forall(f => schema.fieldNames.contains(f.column)))
+        so
+      else Nil
+    (spec, sortApply, derived)
+  }
+
+  /** Publish files a DSv2 batch write's executors wrote (and
+    * [[describeDataDir]] described) as one append/overwrite commit —
+    * the commit protocol (CAS, race retry, evolution, spec/sort
+    * carry, id + seq + sorted stamping) is exactly [[append]]'s; only
+    * the data write itself already happened.
+    */
+  private[graft] def commitDescribed(spark: SparkSession, root: String,
+      schema: StructType, written: Seq[FileEntry],
+      overwrite: Boolean, sortApplied: Seq[SortField]): Long = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    commit(spark, root, df,
+      if (overwrite) "overwrite" else "append",
+      keepBase = !overwrite, sparkPrepared = true,
+      preWritten = Some(written),
+      // stamp the order the WRITE requested of Spark, never a
+      // recomputed one: a concurrent setSortOrder between write
+      // planning and this commit must not stamp rows with an order
+      // they were never sorted by (a lying stamp would corrupt every
+      // reported-ordering merge downstream)
+      sortOverride = Some(sortApplied))
+  }
 
   /** Overwrite under a caller-supplied operation tag — lets a consumer
     * record ITS state (e.g. [[IncrementalView.refresh]]'s applied-table
@@ -3603,7 +3760,7 @@ object SnapshotLog {
       intact.map(_._1), keepInline, tableSchema,
       derivedStats = inheritedBucketStats(allFiles, tableSchema, tableIds),
       tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base,
-      carriedSpec = raw.spec)
+      carriedSpec = raw.spec, carriedSort = raw.sortOrder)
   }
 
   /** MERGE-ON-READ delete: record the matched rows as a positional
@@ -3661,7 +3818,8 @@ object SnapshotLog {
               raw.inline.map(fileLine) ++
               dRefLines(raw.dRefs :+ dRef) ++
               eqLines(raw.eqRefs) ++
-              specLines(raw.spec) :+ commitTimeLine()))
+              specLines(raw.spec) ++
+              sortLines(raw.sortOrder) :+ commitTimeLine()))
             .mkString("\n").getBytes("UTF-8"))
         finally out.close()
         if (!publish(fs, tmp, m)) {
@@ -3802,7 +3960,8 @@ object SnapshotLog {
           raw.inline.map(fileLine) ++
           dRefLines(raw.dRefs) ++
           eqLines(raw.eqRefs :+ eq) ++
-          specLines(raw.spec) :+ commitTimeLine()))
+          specLines(raw.spec) ++
+          sortLines(raw.sortOrder) :+ commitTimeLine()))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publish(fs, tmp, m)) {
@@ -3981,7 +4140,8 @@ object SnapshotLog {
             rawOpt.map(_.inline).getOrElse(Seq.empty).map(fileLine) ++
             dRefLines(rawOpt.map(_.dRefs).getOrElse(Seq.empty)) ++
             eqLines(rawOpt.map(_.eqRefs).getOrElse(Seq.empty) ++ eqOpt) ++
-            specLines(rawOpt.map(_.spec).getOrElse(Seq.empty)) :+
+            specLines(rawOpt.map(_.spec).getOrElse(Seq.empty)) ++
+            sortLines(rawOpt.map(_.sortOrder).getOrElse(Seq.empty)) :+
             commitTimeLine()))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
@@ -4153,7 +4313,8 @@ object SnapshotLog {
           refLine(r)) ++
           raw.inline.map(fileLine) ++
           dRefLines(raw.dRefs ++ dvOpt.map(_._1)) ++
-          specLines(raw.spec) :+ commitTimeLine()))
+          specLines(raw.spec) ++
+          sortLines(raw.sortOrder) :+ commitTimeLine()))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publish(fs, tmp, m)) {
@@ -4206,7 +4367,7 @@ object SnapshotLog {
       intact.map(_._1), keepInline, tableSchema,
       derivedStats = inheritedBucketStats(allFiles, tableSchema, tableIds),
       tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base,
-      carriedSpec = raw.spec)
+      carriedSpec = raw.spec, carriedSort = raw.sortOrder)
   }
 
   /** MERGE-ON-READ upsert: matched table rows die via a positional
@@ -4382,7 +4543,8 @@ object SnapshotLog {
             raw.inline.map(fileLine) ++
             dRefLines(raw.dRefs ++ dvOpt.map(_._1)) ++
             eqLines(raw.eqRefs) ++
-            specLines(raw.spec) :+ commitTimeLine()))
+            specLines(raw.spec) ++
+            sortLines(raw.sortOrder) :+ commitTimeLine()))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       if (publish(fs, tmp, m)) return next
@@ -4504,7 +4666,7 @@ object SnapshotLog {
       tableSchema.toDDL.replace("\t", " ").replace("\n", " "),
       raw.refs :+ newRef, raw.inline, tableIds, lastColId,
       raw.dRefs ++ dvOpt.map(_._1), raw.eqRefs, raw.spec,
-      System.currentTimeMillis())
+      System.currentTimeMillis(), raw.sortOrder)
     val m = branchManifestPath(root, name, next)
     val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     fs.mkdirs(m.getParent)
@@ -4588,7 +4750,7 @@ object SnapshotLog {
         source.select(tableSchema.fieldNames.map(col).toSeq: _*),
         "merge", Seq.empty, Seq.empty, tableSchema,
         tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base,
-        carriedSpec = raw.spec)
+        carriedSpec = raw.spec, carriedSort = raw.sortOrder)
     val scan = resolvedRead(spark, root, allFiles, tableSchema, tableIds)
     val keys = source.select(keyCols.map(col): _*).distinct()
     // bounded driver value — O(#matching files); file column projected
@@ -4620,7 +4782,7 @@ object SnapshotLog {
       "merge", intact.map(_._1), carriedInline, tableSchema,
       derivedStats = inheritedBucketStats(allFiles, tableSchema, tableIds),
       tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base,
-      carriedSpec = raw.spec)
+      carriedSpec = raw.spec, carriedSort = raw.sortOrder)
   }
 
   /** Atomically publish `tmp` as `m`, failing (false) if `m` already
@@ -5119,7 +5281,8 @@ object SnapshotLog {
           // target's key sets exactly like its vectors.
           dRefLines(raw.dRefs) ++
           eqLines(raw.eqRefs) ++
-          specLines(spec) :+ commitTimeLine()))
+          specLines(spec) ++
+          sortLines(raw.sortOrder) :+ commitTimeLine()))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!publish(fs, tmp, m)) {
@@ -5180,7 +5343,23 @@ object SnapshotLog {
       bloomSpec: Option[BloomSpec] = None,
       derivedStats: Seq[(String, Column)] = Nil,
       declareSpec: Option[Seq[PartField]] = None,
-      basePin: Long = -1L): Long = {
+      basePin: Long = -1L,
+      // sparkPrepared: the frame arrived through the SQL write path
+      // whose V2 Write REQUESTED the table's clustering + sort from
+      // Spark (RequiresDistributionAndOrdering) — the rows are already
+      // routed and sorted, so the library-side repartitionByRange and
+      // sortWithinPartitions would be pure waste (and the repartition
+      // would UNDO Spark's AQE-rebalanced sizing). Derived band stats
+      // and the sorted stamp still apply — layout facts, not layout
+      // work.
+      sparkPrepared: Boolean = false,
+      // files a DSv2 batch write already wrote and described — the
+      // commit publishes them instead of writing `df` (whose SCHEMA
+      // still drives evolution/routing decisions)
+      preWritten: Option[Seq[FileEntry]] = None,
+      // the sort order to stamp, overriding the head-manifest lookup —
+      // the DSv2 write passes what it actually requested of Spark
+      sortOverride: Option[Seq[SortField]] = None): Long = {
     // basePin: the snapshot the CALLER computed its content against —
     // the CAS then fires at pin+1, so any commit that landed after the
     // caller's read fails the publish loudly instead of being clobbered
@@ -5253,15 +5432,26 @@ object SnapshotLog {
           partStatName(f) -> partExpr(f, df.schema(f.column).dataType))
         // both modes co-locate each transform tuple's rows first, so a
         // fanout task usually owns whole values (one open writer each)
-        (df.repartitionByRange(exprs: _*), derived,
-          if (fanout) exprs else Nil)
+        (if (sparkPrepared) df else df.repartitionByRange(exprs: _*),
+          derived, if (fanout) exprs else Nil)
       }
+    // declared write sort order: applies (and stamps) only when the
+    // frame carries EVERY sort column — a partial sort would stamp a
+    // claim the file's rows don't honor
+    val sortOrd = prev.map(_.sortOrder).getOrElse(Seq.empty)
+    val sortApply = sortOverride.getOrElse {
+      if (sortOrd.nonEmpty && sortOrd.forall(f => df.columns.contains(f.column)))
+        sortOrd
+      else Nil
+    }
     commitFiles(spark, root, dfR, operation, refs, inline, schema, bloomSpec,
       derivedStats = derivedR, fanoutExprs = fanoutR,
       tableIds0 = ids, lastColId0 = last,
       carriedDRefs = dRefs, carriedEqRefs = eqRefs, plannedBase = base,
       appendNewCols = newCols, carriedSpec = spec,
       specDeclared = declareSpec.isDefined,
+      carriedSort = sortOrd, sortApplied = sortApply,
+      preSorted = sparkPrepared, preWritten = preWritten,
       // only an APPEND-class commit may re-merge against a race
       // winner's refs; an overwrite (txn or not) replayed that way
       // would resurrect the winner's files it meant to replace
@@ -5293,12 +5483,21 @@ object SnapshotLog {
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
       idHint: Long, bloomSpec: Option[BloomSpec],
       derivedStats: Seq[(String, Column)],
-      fanoutExprs: Seq[Column] = Nil): Seq[FileEntry] = {
+      fanoutExprs: Seq[Column] = Nil,
+      sortApply: Seq[SortField] = Nil,
+      preSorted: Boolean = false): Seq[FileEntry] = {
     val fs = fsOf(spark, root)
     val dataDir =
       s"data/c${idHint}_${java.util.UUID.randomUUID().toString.take(8)}"
-    if (fanoutExprs.isEmpty) df.write.parquet(s"$root/$dataDir")
-    else {
+    val sortCols = sortApply.map(f =>
+      if (f.asc) col(f.column).asc else col(f.column).desc)
+    if (fanoutExprs.isEmpty) {
+      // declared sort order: one task = one parquet file here, so
+      // sorting within partitions makes every written file S-sorted
+      val d = if (sortCols.nonEmpty && !preSorted)
+        df.sortWithinPartitions(sortCols: _*) else df
+      d.write.parquet(s"$root/$dataDir")
+    } else {
       // fanout: split files at transform-value boundaries via the
       // parquet writer's own dynamic partitioning — the `__fan*`
       // helper columns live only in the DIRECTORY names (partitionBy
@@ -5306,10 +5505,43 @@ object SnapshotLog {
       // exactly the table's columns; stats below recompute the
       // transforms from those real columns, never from the dir names
       val names = fanoutExprs.indices.map(i => s"__fan$i")
-      fanoutExprs.zip(names)
+      val withFan = fanoutExprs.zip(names)
         .foldLeft(df) { case (d, (e, n)) => d.withColumn(n, e) }
-        .write.partitionBy(names: _*).parquet(s"$root/$dataDir")
+      // under a declared sort the task sorts by (partition, S): the
+      // partition prefix satisfies FileFormatWriter's dynamic-
+      // partition ordering requirement (so it inserts NO writer-side
+      // re-sort of its own, which would not preserve S among equal
+      // partition values), and each value's contiguous run is then
+      // S-sorted — exactly what the per-file stamp claims. Applied
+      // even for preSorted frames: skipping would bet the stamp on the
+      // writer's alias-aware ordering match, and a sort over already-
+      // sorted runs is near-linear anyway.
+      val d = if (sortCols.nonEmpty)
+        withFan.sortWithinPartitions(names.map(col) ++ sortCols: _*)
+      else withFan
+      d.write.partitionBy(names: _*).parquet(s"$root/$dataDir")
     }
+    describeDataDir(spark, root, dataDir, df.schema, bloomSpec,
+      derivedStats)
+  }
+
+  /** The stats read-back: list `root/dataDir`'s parquet files and fold
+    * each one's manifest facts (row count, min/max bands, blooms,
+    * column meta, histogram boundaries) in ONE aggregation pass over
+    * the written bytes. Factored out of [[writeDataFiles]] so the DSv2
+    * batch write (whose EXECUTORS wrote the files) describes its
+    * commit-message files through the identical path. `only` restricts
+    * to those committed task files — a crashed speculative attempt's
+    * orphan must not enter the manifest (vacuum reclaims it).
+    */
+  private[graft] def describeDataDir(spark: SparkSession, root: String,
+      dataDir: String, schema: StructType,
+      bloomSpec: Option[BloomSpec],
+      derivedStats: Seq[(String, Column)],
+      only: Option[Set[String]] = None): Seq[FileEntry] = {
+    val fs = fsOf(spark, root)
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     // recursive listing FIRST: a fanout write of an EMPTY frame emits
     // no parquet at all (dynamic partitioning has no rows to name a
     // directory with, unlike the flat path's schema-bearing empty
@@ -5323,6 +5555,7 @@ object SnapshotLog {
       }
     val listed = listParquet(new Path(s"$root/$dataDir"))
       .map(st => relativize(st.getPath.toString) -> st.getLen)
+      .filter(pl => only.forall(_.contains(pl._1)))
       .toSeq.sortBy(_._1)
     if (listed.isEmpty) return Seq.empty
     // timestamp stats record as epoch MICROS (unix_micros), not
@@ -5346,16 +5579,19 @@ object SnapshotLog {
     // columns — approximate quantiles riding the SAME one-pass
     // read-back aggregation as min/max/meta (never a second scan of
     // the written bytes)
-    val histEnabled = spark.conf.getOption("spark.graft.stats.histogram")
-      .forall(_.toBoolean)
     // histogram SERVING weights each file's boundaries by its non-null
-    // count, which lives in meta — so histogram=true forces colmeta on
-    // (else boundaries would be written into every manifest yet never
-    // servable). colmeta=false alone still disables both.
+    // count, which lives in meta — the two confs couple with the
+    // colmeta OPT-OUT winning: colmeta=false disables BOTH (a user who
+    // priced out per-file meta must not get it back as a histogram
+    // side effect, and boundaries without weights could never serve),
+    // while histogram=false alone keeps meta on.
+    val colmetaOff = spark.conf.getOption("spark.graft.stats.colmeta")
+      .exists(!_.toBoolean)
+    val histEnabled = !colmetaOff &&
+      spark.conf.getOption("spark.graft.stats.histogram")
+        .forall(_.toBoolean)
     val metaCols =
-      if (histEnabled || spark.conf.getOption("spark.graft.stats.colmeta")
-          .forall(_.toBoolean)) statCols(df.schema)
-      else Seq.empty
+      if (colmetaOff) Seq.empty else statCols(df.schema)
     val histCols: Seq[(String, Column)] =
       if (histEnabled)
         df.schema.fields.toSeq.flatMap(f => histExprOf(f).map(f.name -> _))
@@ -5382,7 +5618,10 @@ object SnapshotLog {
         percentile_approx(e, histPcts, lit(1000)).as(s"hq_$i") }
     val metaBase = 2 + 2 * sc.size + bloomCols.size
     val histBase = metaBase + 2 * metaCols.size
-    val counted = spark.read.parquet(s"$root/$dataDir")
+    // read exactly the listed files (under `only`, a crashed attempt's
+    // orphan in the same directory must not pollute the fold)
+    val counted = spark.read
+      .parquet(listed.map(pl => s"$root/${pl._1}"): _*)
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("n"), statAggs: _*)
       .agg(collect_list(struct(col("*")))).head().getSeq[Row](0)
@@ -5438,7 +5677,17 @@ object SnapshotLog {
       appendNewCols: Set[String] = Set.empty,
       carriedSpec: Seq[PartField] = Seq.empty,
       specDeclared: Boolean = false,
-      retryAsAppend: Boolean = false): Long = {
+      retryAsAppend: Boolean = false,
+      carriedSort: Seq[SortField] = Seq.empty,
+      // the sort order THIS commit's files were (or are about to be)
+      // physically sorted by — stamps each written file's sortedBy
+      sortApplied: Seq[SortField] = Nil,
+      // rows already sorted by the SQL write path — skip the writer's
+      // own sortWithinPartitions, keep the stamp
+      preSorted: Boolean = false,
+      // files the DSv2 batch write's EXECUTORS already wrote and
+      // described — the commit skips its own write and publishes these
+      preWritten: Option[Seq[FileEntry]] = None): Long = {
     var tableSchema = Option(tableSchema0).getOrElse(df.schema)
     var (tableIds, lastColId) =
       if (tableIds0.nonEmpty) (tableIds0, lastColId0)
@@ -5450,16 +5699,19 @@ object SnapshotLog {
     var carriedD = carriedDRefs
     var carriedE = carriedEqRefs
     var carriedP = carriedSpec
+    var carriedO = carriedSort
     var base = if (plannedBase >= 0) plannedBase else currentId(spark, root)
     // first-attempt binding of the written files' PHYSICAL column names
     // to their ids — a later retry's schema may know a column only
     // under a rename's new name, but the id is rename-stable, so the
     // stamp keeps resolving (see the retry's identity merge below)
     val origIds = tableIds
-    val written =
+    val written = preWritten.getOrElse(
       writeDataFiles(spark, root, df, base + 1, bloomSpec, derivedStats,
-        fanoutExprs)
+        fanoutExprs, sortApply = sortApplied, preSorted = preSorted))
     val dfCols = df.columns.toSet
+    val sortStamp =
+      if (sortApplied.isEmpty) "" else renderSortOrder(sortApplied)
     while (true) {
       val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
       val next = base + 1
@@ -5479,7 +5731,8 @@ object SnapshotLog {
           // fallback for names a race winner renamed away; nested
           // descendants of the written columns ride along
           ids = idsForWrittenCols(origIds ++ tableIds, dfCols),
-          stats = f.stats + (SeqStatName -> (next.toString, next.toString))))
+          stats = f.stats + (SeqStatName -> (next.toString, next.toString)),
+          sortedBy = sortStamp))
       // the commit's one new file list (absent when it neither wrote
       // nor inherited inline entries — e.g. an overwrite to empty)
       val newEntries = carriedInline ++ stamped
@@ -5504,7 +5757,8 @@ object SnapshotLog {
             refLine(r)) ++
             dRefLines(carriedD) ++
             eqLines(carriedE) ++
-            specLines(carriedP) :+ commitTimeLine()))
+            specLines(carriedP) ++
+            sortLines(carriedO) :+ commitTimeLine()))
           .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       // publish must be atomic no-replace: on HDFS, rename to an
@@ -5548,6 +5802,10 @@ object SnapshotLog {
         carriedE = winner.eqRefs
         // a concurrent spec change wins unless THIS commit declared one
         if (!specDeclared) carriedP = winner.spec
+        // a concurrent sort-order change always wins (commits never
+        // declare one); the files' sortedBy stamps stay truthful — they
+        // record what the rows ARE sorted by, not the current policy
+        carriedO = winner.sortOrder
         val ws = StructType.fromDDL(winner.schemaDdl)
         val (wIds, wLast) = currentIdsOf(winner, ws)
         tableSchema.fields.foreach(f =>
@@ -5871,7 +6129,7 @@ object SnapshotLog {
       cur.repartitionByRange(numFiles, col(clusterBy)), "optimize",
       Seq.empty, Seq.empty, schema,
       tableIds0 = ids, lastColId0 = last, plannedBase = base,
-      carriedSpec = raw.spec)
+      carriedSpec = raw.spec, carriedSort = raw.sortOrder)
   }
 
   /** OPTIMIZE into a HASH-BUCKET layout: rewrite the current content
@@ -5901,7 +6159,7 @@ object SnapshotLog {
       "optimize-bucket", Seq.empty, Seq.empty, schema,
       derivedStats = bucketDerived(bucketBy, numBuckets),
       tableIds0 = ids, lastColId0 = last, plannedBase = base,
-      carriedSpec = raw.spec)
+      carriedSpec = raw.spec, carriedSort = raw.sortOrder)
   }
 
   /** OPTIMIZE into the FANOUT layout of the table's DECLARED partition
@@ -5931,7 +6189,7 @@ object SnapshotLog {
         partStatName(f) -> partExpr(f, schema(f.column).dataType)),
       fanoutExprs = exprs,
       tableIds0 = ids, lastColId0 = last, plannedBase = base,
-      carriedSpec = raw.spec)
+      carriedSpec = raw.spec, carriedSort = raw.sortOrder)
   }
 
   /** OPTIMIZE into a Z-ORDER (Morton) layout over two columns: rewrite
@@ -5977,7 +6235,65 @@ object SnapshotLog {
     commitFiles(spark, root, clustered,
       "optimize-zorder", Seq.empty, Seq.empty, schema,
       tableIds0 = ids, lastColId0 = last, plannedBase = base,
-      carriedSpec = raw.spec)
+      carriedSpec = raw.spec, carriedSort = raw.sortOrder)
+  }
+
+  /** OPTIMIZE into the DECLARED write sort order: rewrite the live
+    * content clustered AND interior-sorted on the sort key(s), every
+    * file stamped — how a table whose history predates
+    * [[setSortOrder]] (or whose stamps churned away under MoR writes)
+    * becomes reported-ordering eligible, so downstream sort-merge
+    * joins plan with ZERO Sort on this side
+    * ([[graft.sources.SnapshotBatchScan]]'s `SupportsReportOrdering`
+    * gate): at 100 TB the rewrite pays once the sort every join would
+    * otherwise re-run. Layout by spec:
+    *  - a declared partition spec keeps its fanout point-band layout
+    *    (one partition tuple per file, interior-sorted — the SPJ +
+    *    ordering combo a sorted storage-partitioned join needs);
+    *    `numFiles` is ignored;
+    *  - otherwise `numFiles` range-clustered files on the sort key —
+    *    equal leading keys land in ONE range partition, so per-file
+    *    leading bands are disjoint by construction (the ordering
+    *    gate's chain test).
+    * Content is bit-preserved ([[changes]] across the commit is
+    * empty), time travel sees the old layout, field ids carry.
+    */
+  def optimizeSorted(spark: SparkSession, root: String,
+      numFiles: Int = 8): Long = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val base = currentId(spark, root)
+    require(base > 0, s"optimizeSorted on empty log $root")
+    val raw = rawManifest(spark, root, base)
+    val so = raw.sortOrder
+    require(so.nonEmpty,
+      s"optimizeSorted needs a declared write sort order on $root " +
+        "(setSortOrder, or ALTER TABLE … SET TBLPROPERTIES " +
+        "('write.ordered-by' = …))")
+    val schema = StructType.fromDDL(raw.schemaDdl)
+    require(so.forall(f => schema.fieldNames.contains(f.column)),
+      s"declared sort order of $root references a column the current " +
+        "schema no longer carries")
+    val (ids, last) = currentIdsOf(raw, schema)
+    val cur = read(spark, root)
+    val routed = raw.spec.filter(f => schema.fieldNames.contains(f.column))
+    if (routed.nonEmpty) {
+      val exprs = routed.map(f => partExpr(f, schema(f.column).dataType))
+      commitFiles(spark, root, cur.repartitionByRange(exprs: _*),
+        "optimize-sorted", Seq.empty, Seq.empty, schema,
+        derivedStats = routed.map(f =>
+          partStatName(f) -> partExpr(f, schema(f.column).dataType)),
+        fanoutExprs = exprs,
+        tableIds0 = ids, lastColId0 = last, plannedBase = base,
+        carriedSpec = raw.spec, carriedSort = so, sortApplied = so)
+    } else {
+      val sortCols = so.map(f =>
+        if (f.asc) col(f.column).asc else col(f.column).desc)
+      commitFiles(spark, root,
+        cur.repartitionByRange(numFiles, sortCols: _*),
+        "optimize-sorted", Seq.empty, Seq.empty, schema,
+        tableIds0 = ids, lastColId0 = last, plannedBase = base,
+        carriedSpec = raw.spec, carriedSort = so, sortApplied = so)
+    }
   }
 
   /** Targeted small-file compaction — the INCREMENTAL optimize: bin-pack
@@ -6031,7 +6347,7 @@ object SnapshotLog {
       derivedStats =
         inheritedBucketStats(raw.inline ++ groups.flatMap(_._2), tableSchema, tableIds),
       tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base,
-      carriedSpec = raw.spec)
+      carriedSpec = raw.spec, carriedSort = raw.sortOrder)
   }
 
   /** Expire all but the latest `keepLast` snapshots: their manifests are
@@ -6184,6 +6500,7 @@ object SnapshotLog {
         dRefLines(raw.dRefs) ++
         eqLines(raw.eqRefs) ++
         specLines(raw.spec) ++
+        sortLines(raw.sortOrder) ++
         (if (raw.commitTime > 0) Seq(s"T\t${raw.commitTime}")
         else Seq.empty))).mkString("\n")
 
@@ -6239,12 +6556,22 @@ object SnapshotLog {
         routed.map(f => partExpr(f, df.schema(f.column).dataType)): _*),
         routed.map(f =>
           partStatName(f) -> partExpr(f, df.schema(f.column).dataType)))
-    val written = writeDataFiles(spark, root, dfR, fork + 1, None, derived)
+    // the declared sort order applies on a branch exactly as on main —
+    // WAP-staged files arrive on main (fast-forward) already stamped
+    val sortApply =
+      if (base.sortOrder.nonEmpty &&
+          base.sortOrder.forall(f => df.columns.contains(f.column)))
+        base.sortOrder
+      else Nil
+    val written = writeDataFiles(spark, root, dfR, fork + 1, None, derived,
+      sortApply = sortApply)
     val dfCols = df.columns.toSet
     val pubSeq = (fork + 1).toString
     val stamped = written.map(f => f.copy(
       ids = idsForWrittenCols(ids, dfCols),
-      stats = f.stats + (SeqStatName -> (pubSeq, pubSeq))))
+      stats = f.stats + (SeqStatName -> (pubSeq, pubSeq)),
+      sortedBy =
+        if (sortApply.isEmpty) "" else renderSortOrder(sortApply)))
     val newRef = writeFileList(fs, root, fork + 1, base.inline ++ stamped,
       merged)
     val refs = base.refs :+ newRef
@@ -6254,7 +6581,7 @@ object SnapshotLog {
         base.dRefs.iterator.map(_.delRows).sum,
       merged.toDDL.replace("\t", " ").replace("\n", " "),
       refs, Seq.empty, ids, last, base.dRefs, base.eqRefs, base.spec,
-      System.currentTimeMillis())
+      System.currentTimeMillis(), base.sortOrder)
     val m = branchManifestPath(root, name, next)
     val tmp = new Path(s"$m.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     fs.mkdirs(m.getParent)
@@ -6882,6 +7209,78 @@ object SnapshotLog {
     }
     (p.resolve("fact").toString, p.resolve("dim").toString)
   }
+
+  /** tt63's staged table: bucket(8, o_custkey) spec + declared
+    * `o_orderkey` sort order, loaded by ONE SQL INSERT that rides the
+    * DSv2 batch write — Spark plans the AQE rebalance on the bucket
+    * transform and the in-task sort (RequiresDistributionAndOrdering),
+    * executors write the parquet files directly, and the manifest
+    * commit stamps bands + sorted marks. The row's oracle proves the
+    * distributed write lost nothing.
+    */
+  private def sqlWriteDistLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttwdist_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      createTable(s, root, StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT"),
+        Seq(PartField("bucket", "o_custkey", 8)))
+      setSortOrder(s, root, Seq(SortField("o_orderkey")))
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("tt63_src")
+      s.sql(s"INSERT INTO snapcat.`$root` " +
+        "SELECT o_orderkey, o_custkey, cents FROM tt63_src")
+    }.resolve("log").toString
+
+  /** tt64's staged pair: co-bucketed fanout tables (one file per
+    * bucket) BOTH declared sorted on the join key — the layout under
+    * which the scans report KeyGroupedPartitioning AND per-partition
+    * ordering, so the join plans with zero Exchange and zero Sort
+    * (SnapshotSortOrderSpec pins that plan).
+    */
+  private def sortedSpjLogs(s: SparkSession, dir: String): (String, String) = {
+    val p = graft.TempDirs.staged(s"ttsspj_${graft.TempDirs.dirKey(dir)}") { p =>
+      val fact = p.resolve("fact").toString
+      val dim = p.resolve("dim").toString
+      val orders = Tables(s, dir, "orders")
+      createTable(s, fact,
+        StructType.fromDDL("o_orderkey BIGINT, o_custkey BIGINT"),
+        Seq(PartField("bucket", "o_orderkey", 8)))
+      setSortOrder(s, fact, Seq(SortField("o_orderkey")))
+      createTable(s, dim,
+        StructType.fromDDL("o_orderkey BIGINT, o_orderpriority STRING"),
+        Seq(PartField("bucket", "o_orderkey", 8)))
+      setSortOrder(s, dim, Seq(SortField("o_orderkey")))
+      withSessionConf(s, "spark.graft.write.fanout", "true") {
+        append(s, fact, orders.select("o_orderkey", "o_custkey"))
+        append(s, dim, orders.select("o_orderkey", "o_orderpriority"))
+      }
+    }
+    (p.resolve("fact").toString, p.resolve("dim").toString)
+  }
+
+  /** tt65's staged log: orders loaded round-robin BEFORE any layout
+    * declaration (overlapping bands, no stamps — the ordering gate
+    * refuses), then `write.ordered-by` declared and the SQL
+    * `CALL system.optimize_sorted` rewrite run: the live files come
+    * out stamped, interior-sorted, and chain-disjoint, so scans report
+    * ordering from then on. The row's oracle proves the rewrite is
+    * content-preserving.
+    */
+  private def optimizeSortedLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttosort_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      append(s, root, Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .repartition(4))
+      setSortOrder(s, root, Seq(SortField("o_orderkey")))
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      s.sql(s"CALL snapcat.system.optimize_sorted('$root', 8)")
+      ()
+    }.resolve("log").toString
 
   /** Staged CO-DAY-FANOUT pair for the time-transform storage
     * partitioned join: two tables declaring `days(d)`, fanout-written
@@ -9112,6 +9511,79 @@ object SnapshotLog {
       Some("""SELECT count(*) AS n_null FROM orders
              |WHERE o_orderkey % 2 = 0""".stripMargin),
       stage = Some((s, dir) => { sqlNullAuditLog(s, dir); () })
+    ),
+
+    // TT63: DISTRIBUTED SQL WRITE — INSERT INTO a bucket-spec'd,
+    // sort-ordered table takes the true DSv2 batch write: Spark plans
+    // ONE AQE-rebalanced exchange on the bucket transform (small
+    // partitions coalesce toward the advisory size, skewed values
+    // split) plus the declared in-task sort, executors write final
+    // parquet directly, and the manifest commit stamps bands + sorted
+    // marks. The V1 bridge hands InsertableRelation the UNPREPARED
+    // query, so this path is what makes write clustering REAL at
+    // scale. Oracle: the written table IS the source.
+    Q(
+      "tt63_sql_write_distribution",
+      (s, dir) => {
+        val root = sqlWriteDistLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.sql(s"""SELECT o_orderkey, o_custkey, cents
+                 |FROM snapcat.`$root` ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { sqlWriteDistLog(s, dir); () })
+    ),
+
+    // TT64: SORTED STORAGE-PARTITIONED JOIN — both sides co-bucketed
+    // fanout AND declared sorted on the join key, every file stamped:
+    // the scans report KeyGroupedPartitioning + per-partition ordering
+    // (SupportsReportOrdering), so the SMJ plans with ZERO Exchange
+    // and ZERO Sort on either side (plan pinned in
+    // SnapshotSortOrderSpec). At 100 TB this is the difference between
+    // re-sorting both sides per join and merging them in place.
+    Q(
+      "tt64_sorted_spj",
+      (s, dir) => {
+        val (fact, dim) = sortedSpjLogs(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        withSessionConf(s, "spark.graft.catalog.preserveGrouping", "true") {
+          val df = s.sql(
+            s"""SELECT /*+ MERGE(f) */ f.o_orderkey, f.o_custkey,
+               |       d.o_orderpriority
+               |FROM snapcat.`$fact` f
+               |JOIN snapcat.`$dim` d ON f.o_orderkey = d.o_orderkey
+               |ORDER BY f.o_orderkey""".stripMargin)
+          df.queryExecution.executedPlan // pin the sort-free keyed plan
+          df
+        }
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderpriority
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { sortedSpjLogs(s, dir); () })
+    ),
+
+    // TT65: SORTED COMPACTION — a table whose history predates its
+    // sort-order declaration (round-robin files: overlapping bands,
+    // no stamps) is rewritten by `CALL system.optimize_sorted` into
+    // stamped, interior-sorted, chain-disjoint files; scans report
+    // ordering from then on (SnapshotSortOrderSpec pins the flip and
+    // the resulting sort-free SMJ). The oracle proves the rewrite
+    // preserved every row — at 100 TB this is the ONE-TIME sort that
+    // every later merge join gets to skip.
+    Q(
+      "tt65_optimize_sorted",
+      (s, dir) => {
+        val root = optimizeSortedLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.sql(s"""SELECT o_orderkey, o_custkey, cents
+                 |FROM snapcat.`$root` ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { optimizeSortedLog(s, dir); () })
     )
   )
 }

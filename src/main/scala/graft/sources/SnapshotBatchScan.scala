@@ -61,6 +61,7 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
     reportPushed: Seq[sources.Filter])
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with SnapshotScanLike {
 
@@ -269,6 +270,112 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
           .UnknownPartitioning(kept.size)
     }
 
+  // ---- reported ordering: when the table declares a write sort order
+  // and EVERY kept file both carries the matching sortedBy stamp and
+  // proves itself safe to CONCATENATE (null-free sort columns per the
+  // per-file meta — stats don't see nulls, and a null row sorts to an
+  // end the chain test can't check — plus chain-disjoint ranges on the
+  // leading sort column), the scan packs each task's files in sort-key
+  // order and reports the per-partition ordering
+  // (`SupportsReportOrdering`) — a sort-merge join over two such
+  // tables then plans with NO Sort on either side (and, combined with
+  // the SPJ arm above, no Exchange either): at 100 TB the sort that
+  // isn't run is the win. The decision is frozen from the
+  // PRE-runtime-filter file set, like [[spjField]]: runtime filtering
+  // only removes files, and a subsequence of a sorted, disjoint chain
+  // stays sorted and disjoint. ----
+
+  private lazy val orderedLayout: Option[Seq[SnapshotLog.SortField]] = {
+    val so = plan0.sortOrder
+    val on = SparkSession.active.conf
+      .getOption("spark.graft.catalog.reportOrdering").forall(_.toBoolean)
+    if (!on || so.isEmpty || plan0.kept.isEmpty) None
+    else if (!so.forall(f => required.fieldNames.contains(f.column))) None
+    else {
+      val tag = SnapshotLog.renderSortOrder(so)
+      val lead = so.head
+      val dt = tableSchema(lead.column).dataType
+      // a zero-row file contributes nothing to any concatenation —
+      // stamped or not, it cannot break the order
+      val bearing = plan0.kept.filter(_.rows > 0L)
+      def eligible(f: SnapshotLog.FileEntry): Boolean =
+        f.sortedBy == tag &&
+          f.stats.contains(lead.column) &&
+          // zero nulls in EVERY sort column, proven by per-file meta —
+          // absent meta (colmeta opted out, legacy file) refuses
+          so.forall(c => f.meta.get(c.column).exists(_._1 == 0L))
+      // multi-field orders need STRICT leading-column disjointness:
+      // two files sharing a boundary value could interleave on the
+      // second field. A single-field order tolerates equal boundaries
+      // (…v | v… concatenates sorted).
+      val strict = so.size > 1
+      def chainOk(fs: Seq[SnapshotLog.FileEntry]): Boolean = {
+        val chain = sortedByLead(fs, lead, dt)
+        chain.zip(chain.tail).forall { case (a, b) =>
+          val (aLo, aHi) = a.stats(lead.column)
+          val (bLo, bHi) = b.stats(lead.column)
+          if (lead.asc) {
+            if (strict) SnapshotLog.statGt(dt, bLo, aHi)
+            else !SnapshotLog.statGt(dt, aHi, bLo)
+          } else {
+            if (strict) SnapshotLog.statGt(dt, aLo, bHi)
+            else !SnapshotLog.statGt(dt, bHi, aLo)
+          }
+        }
+      }
+      // tasks concatenate only WITHIN a packing unit: under key-grouped
+      // SPJ reads each partition value packs separately (a bucket's
+      // files overlap other buckets on the sort key freely — one file
+      // per bucket is the common fanout shape and trivially sorted);
+      // otherwise the whole kept set packs as one chain
+      def fits = spjField match {
+        case Some(field) =>
+          bearing.groupBy(f => SnapshotLog.fileTransformPoint(
+            f, field, plan0.curIds).get).values.forall(chainOk)
+        case None => chainOk(bearing)
+      }
+      try {
+        if (bearing.nonEmpty && bearing.forall(eligible) && fits) Some(so)
+        else None
+      } catch {
+        // unparseable / mixed-era stat renderings: no sound order
+        case _: NumberFormatException => None
+      }
+    }
+  }
+
+  /** Files ordered by the leading sort field's band — ascending orders
+    * chain on min, descending on max; ties break by path (stable).
+    */
+  private def sortedByLead(fs: Seq[SnapshotLog.FileEntry],
+      lead: SnapshotLog.SortField,
+      dt: org.apache.spark.sql.types.DataType)
+      : Seq[SnapshotLog.FileEntry] =
+    fs.sortWith { (a, b) =>
+      val ka = if (lead.asc) a.stats(lead.column)._1 else a.stats(lead.column)._2
+      val kb = if (lead.asc) b.stats(lead.column)._1 else b.stats(lead.column)._2
+      if (lead.asc) {
+        if (SnapshotLog.statGt(dt, kb, ka)) true
+        else if (SnapshotLog.statGt(dt, ka, kb)) false
+        else a.path < b.path
+      } else {
+        if (SnapshotLog.statGt(dt, ka, kb)) true
+        else if (SnapshotLog.statGt(dt, kb, ka)) false
+        else a.path < b.path
+      }
+    }
+
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    orderedLayout.map(_.map(f =>
+      Expressions.sort(
+        Expressions.column(f.column),
+        if (f.asc)
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+        else
+          org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING))
+      .toArray).getOrElse(Array.empty)
+
   /** The partition key row a file contributes under the SPJ field —
     * the transform value its point band records, typed as the served
     * function evaluates it.
@@ -454,12 +561,26 @@ class SnapshotBatchScan(val root: String, val asOf: Long,
       plan0.schema.map(_.dataType.defaultSize).sum)
     def costOf(f: SnapshotLog.FileEntry): Long =
       (if (f.bytes > 0) f.bytes else f.rows * rowWidth) + openCost
+    // under a reported ordering, tasks must concatenate files in
+    // sort-key order (the chain-disjointness the gate proved makes the
+    // concatenation sorted); otherwise path order (stable, locality-
+    // friendly for commit-clustered files)
+    def packOrder(fs: Seq[SnapshotLog.FileEntry])
+        : Seq[SnapshotLog.FileEntry] = orderedLayout match {
+      case Some(so) =>
+        // zero-row files have no band to order by and no rows to
+        // misplace — they append at the end
+        val (bearing, empty) = fs.partition(_.rows > 0L)
+        sortedByLead(bearing, so.head,
+          tableSchema(so.head.column).dataType) ++ empty
+      case None => fs.sortBy(_.path)
+    }
     def pack(fs: Seq[SnapshotLog.FileEntry], key: InternalRow)
         : Seq[SnapshotFilePartition] = {
       val out = Seq.newBuilder[SnapshotFilePartition]
       var cur = Vector.empty[SnapshotFileSlice]
       var acc = 0L
-      fs.sortBy(_.path).foreach { f =>
+      packOrder(fs).foreach { f =>
         val c = costOf(f)
         if (cur.nonEmpty && acc + c > maxBytes) {
           out += SnapshotFilePartition(cur.toArray, columnar, key)

@@ -222,6 +222,16 @@ class SnapshotCatalog extends TableCatalog
         require(a.position == null,
           "ADD COLUMN … FIRST/AFTER is not supported; columns append")
         SnapshotLog.addColumn(spark, root, path(a.fieldNames), a.dataType)
+      // declared write sort order: `ALTER TABLE t SET TBLPROPERTIES
+      // ('write.ordered-by' = 'k, ts desc')` — a metadata-only commit;
+      // subsequent writes sort their files by it and stamp them
+      case s: TableChange.SetProperty
+          if s.property == SnapshotCatalog.SortOrderKey =>
+        SnapshotLog.setSortOrder(spark, root,
+          SnapshotCatalog.parseSortOrderProp(s.value))
+      case r: TableChange.RemoveProperty
+          if r.property == SnapshotCatalog.SortOrderKey =>
+        SnapshotLog.setSortOrder(spark, root, Seq.empty)
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER on snapshot-log tables: $other")
     }
@@ -349,6 +359,70 @@ object SnapshotCatalog {
   private[sources] val MetaKinds =
     Set("history", "snapshots", "files", "changes", "stats", "partitions",
       "refs")
+
+  /** Table property carrying the declared write sort order —
+    * `'write.ordered-by' = 'k, ts desc'` (fields comma-separated, an
+    * optional `asc`/`desc` per field, `:d` accepted as a compact
+    * desc marker).
+    */
+  private[sources] val SortOrderKey = "write.ordered-by"
+
+  private[sources] def parseSortOrderProp(v: String)
+      : Seq[SnapshotLog.SortField] =
+    v.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map { t =>
+      val lower = t.toLowerCase(java.util.Locale.ROOT)
+      if (t.endsWith(":d")) SnapshotLog.SortField(t.dropRight(2).trim, asc = false)
+      else if (lower.endsWith(" desc"))
+        SnapshotLog.SortField(t.dropRight(5).trim, asc = false)
+      else if (lower.endsWith(" asc"))
+        SnapshotLog.SortField(t.dropRight(4).trim, asc = true)
+      else SnapshotLog.SortField(t, asc = true)
+    }
+
+  private[sources] def renderSortOrderProp(
+      so: Seq[SnapshotLog.SortField]): String =
+    so.map(f => if (f.asc) f.column else s"${f.column} desc").mkString(", ")
+
+  /** Whether writes to `root` take the true DSv2 BATCH_WRITE path
+    * (executor-written files under Spark's prepared distribution +
+    * ordering) — exactly when the table declares a layout worth
+    * distributing for, and no frame-level machinery (WAP branch
+    * routing, SQL transaction staging, fanout file splitting) needs
+    * the whole DataFrame driver-side. Must agree between
+    * [[SnapshotTableV2.capabilities]] and the write builder: the
+    * planner errors on a V1_BATCH_WRITE table whose Write isn't V1.
+    */
+  private[sources] def v2WritePath(spark: SparkSession,
+      root: String): Boolean = {
+    val fanout = spark.conf.getOption("spark.graft.write.fanout")
+      .exists(_.toBoolean)
+    !fanout && wapBranch(spark).isEmpty && !SqlTxn.isActive(spark) &&
+      SnapshotLog.currentId(spark, root) > 0L &&
+      (SnapshotLog.specOfPin(spark, root, 0L, None).nonEmpty ||
+        SnapshotLog.sortOrderOf(spark, root).nonEmpty)
+  }
+
+  /** A declared partition field as the V2 transform THE CATALOG'S OWN
+    * FunctionCatalog serves (trunc stays width-curried as `trunc_<n>`
+    * — a literal child would fail Spark's clustering checks): the
+    * vocabulary both the scan's reported partitioning and the write's
+    * required distribution must share, or SPJ/write planning would
+    * bind two names for one function.
+    */
+  private[sources] def v2TransformOf(f: SnapshotLog.PartField)
+      : org.apache.spark.sql.connector.expressions.Transform = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    f.transform match {
+      case "bucket" => Expressions.bucket(f.n, f.column)
+      case "days" => Expressions.days(f.column)
+      case "hours" => Expressions.hours(f.column)
+      case "months" => Expressions.months(f.column)
+      case "trunc" => Expressions.apply(s"trunc_${f.n}",
+        Expressions.column(f.column))
+      case other => throw new IllegalStateException(
+        s"unknown partition transform $other")
+    }
+  }
 
   /** One DSv2 partition transform → the library's [[SnapshotLog
     * .PartField]] — the inverse of [[SnapshotTableV2.partitioning]].
@@ -798,11 +872,29 @@ private[graft] class SnapshotTableV2(val root: String, val asOf: Long,
   // (the library's metadata-only addColumn commit) before the merge
   // resolves — existing rows read NULL for the new columns, zero data
   // movement, exactly the additive-evolution path a library append takes.
+  //
+  // The WRITE capability is the V1/V2 fork, and Spark's planner forces
+  // it to be exclusive (a V1_BATCH_WRITE table whose Write is not a
+  // V1Write is a planner error): a table with a DECLARED layout (spec
+  // or sort order) advertises the true V2 BATCH_WRITE — executors
+  // write the parquet files themselves under Spark's
+  // RequiresDistributionAndOrdering-prepared query (AQE-rebalanced
+  // clustering + in-task sort; the V1 fallback hands InsertableRelation
+  // the UNPREPARED analyzed query, so distribution can never reach it)
+  // — while plain tables, WAP sessions, active SQL transactions, and
+  // fanout writes keep the library's V1 path (frame-level staging /
+  // point-banded file splitting need the whole DataFrame).
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    if (SnapshotCatalog.v2WritePath(SparkSession.active, root))
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    else
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** The table's declared hidden-partitioning spec, reported through
     * the standard DSv2 transform vocabulary (`DESCRIBE` / catalog
@@ -821,8 +913,13 @@ private[graft] class SnapshotTableV2(val root: String, val asOf: Long,
       }
     }.toArray
 
-  override def properties(): util.Map[String, String] =
-    Map("provider" -> "snapshot-log", "location" -> root).asJava
+  override def properties(): util.Map[String, String] = {
+    val so = SnapshotLog.sortOrderOfPin(SparkSession.active, root, asOf, branch)
+    (Map("provider" -> "snapshot-log", "location" -> root) ++
+      (if (so.isEmpty) Map.empty[String, String]
+       else Map(SnapshotCatalog.SortOrderKey ->
+         SnapshotCatalog.renderSortOrderProp(so)))).asJava
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(root, asOf, branch, schema)
@@ -876,7 +973,7 @@ private[graft] class SnapshotTableV2(val root: String, val asOf: Long,
       s"cannot write to a pinned read of $root: history is immutable " +
         "(branch writes go through SnapshotLog.appendToBranch, or set " +
         "spark.graft.wap.branch for SQL write-audit-publish)")
-    new SnapshotWriteBuilder(root)
+    new SnapshotWriteBuilder(root, info.schema())
   }
 }
 
@@ -912,8 +1009,20 @@ private[sources] class SnapshotBranchWriteBuilder(root: String, name: String)
   * InsertableRelation — whose body here is just the library call, so
   * SQL writes and API writes share one commit protocol (CAS manifest
   * rename, race retry, spec routing).
+  *
+  * The Write also implements `RequiresDistributionAndOrdering`: a
+  * partitioned table asks Spark to CLUSTER the insert by its declared
+  * transforms (non-strict, so Spark plans an AQE `RebalancePartitions`
+  * — small shuffle partitions coalesce toward the advisory size and a
+  * SKEWED partition value splits across tasks, neither of which the
+  * library's own repartitionByRange can do), and a sort-ordered table
+  * asks for the declared sort within those tasks. The insert body then
+  * commits through [[SnapshotLog.appendPrepared]], which skips the
+  * library-side repartition+sort — one shuffle total, sized by AQE,
+  * instead of Spark's exchange FOLLOWED by the library's.
   */
-private[sources] class SnapshotWriteBuilder(root: String)
+private[sources] class SnapshotWriteBuilder(root: String,
+    schema: StructType)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
 
@@ -924,22 +1033,280 @@ private[sources] class SnapshotWriteBuilder(root: String)
     this
   }
 
-  override def build(): org.apache.spark.sql.connector.write.Write =
-    new org.apache.spark.sql.connector.write.V1Write {
-      override def toInsertableRelation: sources.InsertableRelation =
-        new sources.InsertableRelation {
-          override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-            val ow = truncateFirst || overwrite
-            // an active SQL transaction (CALL system.begin_txn) buffers
-            // instead of committing; commit_txn lands the whole batch
-            // as one atomic multi-table transaction
-            if (SqlTxn.stage(data.sparkSession, root, data, ow)) return
-            if (ow)
-              SnapshotLog.overwrite(data.sparkSession, root, data)
-            else
-              SnapshotLog.append(data.sparkSession, root, data)
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val spark = SparkSession.active
+    if (SnapshotCatalog.v2WritePath(spark, root))
+      new SnapshotV2Write(root, schema, truncateFirst)
+    else
+      new org.apache.spark.sql.connector.write.V1Write {
+        override def toInsertableRelation: sources.InsertableRelation =
+          new sources.InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val ow = truncateFirst || overwrite
+              // an active SQL transaction (CALL system.begin_txn)
+              // buffers instead of committing; commit_txn lands the
+              // whole batch as one atomic multi-table transaction
+              if (SqlTxn.stage(data.sparkSession, root, data, ow)) return
+              if (ow)
+                SnapshotLog.overwrite(data.sparkSession, root, data)
+              else
+                SnapshotLog.append(data.sparkSession, root, data)
+            }
+          }
+      }
+  }
+}
+
+/** The executor-written data files of one task (relative paths, in
+  * the order they were rolled) — empty for a task that never opened a
+  * writer.
+  */
+private[sources] case class SnapshotWriteMessage(relPaths: Seq[String])
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** The true DSv2 batch write for layout-declared tables: asks Spark
+  * for the table's clustering (non-strict → AQE RebalancePartitions:
+  * small shuffle partitions coalesce toward the advisory size, a
+  * skewed partition value SPLITS across tasks — neither of which the
+  * library's own repartitionByRange can do) and its declared sort;
+  * executors then write their task's rows straight to final parquet
+  * paths ([[org.apache.spark.sql.graft.ParquetWriteBridge]]), and the
+  * driver folds the commit-message files through the SAME describe +
+  * manifest-CAS protocol a library append uses. Visibility is by
+  * manifest, so aborted/speculative attempts leak at worst an orphan
+  * file for vacuum — never a torn table.
+  */
+private[sources] class SnapshotV2Write(root: String, schema: StructType,
+    doOverwrite: Boolean)
+  extends org.apache.spark.sql.connector.write.Write
+  with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  private val spark = SparkSession.active
+  private val (spec, sortApply, derived) =
+    SnapshotLog.writeLayout(spark, root, schema)
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (spec.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions
+        .unspecified()
+    else
+      org.apache.spark.sql.connector.distributions.Distributions
+        .clustered(spec.filter(f => schema.fieldNames.contains(f.column))
+          .map(SnapshotCatalog.v2TransformOf).toArray)
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredNumPartitions(): Int = 0
+
+  override def advisoryPartitionSizeInBytes(): Long =
+    spark.conf.getOption("spark.graft.write.targetFileSize")
+      .map(_.toLong).getOrElse(0L)
+
+  /** The partition transforms lead the required ordering (ascending —
+    * the direction is arbitrary, grouping is what matters), the
+    * declared sort follows: within a task rows then arrive grouped by
+    * partition value, so the writer can roll one file per value
+    * (point bands — what SPJ, bucket pruning, and day-band pruning
+    * all read) while each file's interior order is still exactly the
+    * declared sort.
+    */
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val specLead = spec.filter(f => schema.fieldNames.contains(f.column))
+      .map(f => Expressions.sort(
+        SnapshotCatalog.v2TransformOf(f),
+        org.apache.spark.sql.connector.expressions
+          .SortDirection.ASCENDING))
+    val declared = sortApply.map(f => Expressions.sort(
+      Expressions.column(f.column),
+      if (f.asc)
+        org.apache.spark.sql.connector.expressions
+          .SortDirection.ASCENDING
+      else
+        org.apache.spark.sql.connector.expressions
+          .SortDirection.DESCENDING))
+    (specLead ++ declared).toArray
+  }
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new org.apache.spark.sql.connector.write.BatchWrite {
+      private val dataDir =
+        s"data/c${SnapshotLog.currentId(spark, root) + 1}_" +
+          java.util.UUID.randomUUID().toString.take(8)
+
+      override def createBatchWriterFactory(
+          info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.DataWriterFactory = {
+        val (factory, conf) = org.apache.spark.sql.graft
+          .ParquetWriteBridge.writerFactory(spark, schema)
+        new SnapshotWriterFactory(root, dataDir, schema, spec, factory,
+          conf)
+      }
+
+      override def commit(messages: Array[
+          org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+        val paths = messages.iterator
+          .collect { case m: SnapshotWriteMessage => m.relPaths }
+          .flatten.toSet
+        val described =
+          if (paths.isEmpty) Seq.empty[SnapshotLog.FileEntry]
+          else SnapshotLog.describeDataDir(spark, root, dataDir, schema,
+            bloomSpec = None, derivedStats = derived, only = Some(paths))
+        SnapshotLog.commitDescribed(spark, root, schema, described,
+          overwrite = doOverwrite, sortApplied = sortApply)
+      }
+
+      override def abort(messages: Array[
+          org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+        val fs = new Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        messages.foreach {
+          case m: SnapshotWriteMessage => m.relPaths.foreach { rel =>
+            try fs.delete(new Path(s"$root/$rel"), false)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          case _ => ()
+        }
+      }
+    }
+}
+
+/** Ships the parquet writer factory + its bound conf; each task rolls
+  * ONE FILE PER PARTITION VALUE (rows arrive grouped — the write's
+  * required ordering leads with the partition transforms), so every
+  * written file carries a point band on each spec field: exactly the
+  * layout SPJ, bucket pruning, and time-band pruning read. File names
+  * embed (partition, task, roll-seq) plus a uuid — attempt-unique, so
+  * speculation and retries can never collide, and only the committed
+  * attempt's message reaches the manifest.
+  */
+private[sources] class SnapshotWriterFactory(root: String, dataDir: String,
+    schema: StructType, spec: Seq[SnapshotLog.PartField],
+    factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: org.apache.spark.sql.graft.SerializableHadoopConf)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      import org.apache.spark.sql.catalyst.InternalRow
+
+      // Per-row partition-value evaluators, mirroring the routing
+      // expressions ([[SnapshotLog]] partExpr / the catalog's V2
+      // functions) EXACTLY: bucket = pmod(murmur3(col), n) with null
+      // hashing to the seed, days/hours/months via epoch-micros
+      // floorDiv (zone-proof), trunc = v - floorMod(v, w) / string
+      // prefix. A drifted evaluator would not corrupt data (bands are
+      // described from the written files), it would only widen bands —
+      // but these stay exact so they never do.
+      private val extractors: Array[InternalRow => AnyRef] = {
+        import org.apache.spark.sql.types._
+        spec.filter(f => schema.fieldNames.contains(f.column)).map { f =>
+          val i = schema.fieldIndex(f.column)
+          val dt = schema(i).dataType
+          def nullable(g: InternalRow => AnyRef): InternalRow => AnyRef =
+            r => if (r.isNullAt(i)) null else g(r)
+          def days(r: InternalRow): Long = dt match {
+            case DateType => r.getInt(i).toLong
+            case _ => Math.floorDiv(r.getLong(i), 86400000000L)
+          }
+          f.transform match {
+            case "bucket" =>
+              val h = new org.apache.spark.sql.catalyst.expressions
+                .Murmur3Hash(Seq(org.apache.spark.sql.catalyst.expressions
+                  .BoundReference(i, dt, nullable = true)))
+              (r: InternalRow) => {
+                val v = h.eval(r).asInstanceOf[Int]
+                java.lang.Long.valueOf((((v % f.n) + f.n) % f.n).toLong)
+              }
+            case "days" => nullable(r => java.lang.Long.valueOf(days(r)))
+            case "hours" => nullable(r => java.lang.Long.valueOf(dt match {
+              case DateType => days(r) * 24L
+              case _ => Math.floorDiv(r.getLong(i), 3600000000L)
+            }))
+            case "months" => nullable { r =>
+              val d = java.time.LocalDate.ofEpochDay(days(r))
+              java.lang.Long.valueOf(
+                (d.getYear - 1970).toLong * 12L + d.getMonthValue - 1L)
+            }
+            case "trunc" => dt match {
+              // clone(): the prefix may share the (task-reused) row
+              // buffer — a stored key must own its bytes
+              case StringType => nullable(r =>
+                r.getUTF8String(i).substringSQL(1, f.n).clone())
+              case IntegerType => nullable(r => java.lang.Long.valueOf(
+                (r.getInt(i) - Math.floorMod(r.getInt(i), f.n)).toLong))
+              case _ => nullable(r => java.lang.Long.valueOf(
+                r.getLong(i) - Math.floorMod(r.getLong(i), f.n.toLong)))
+            }
+            case other => throw new IllegalStateException(
+              s"unknown partition transform $other")
+          }
+        }.toArray
+      }
+
+      private var writer
+          : org.apache.spark.sql.execution.datasources.OutputWriter = null
+      private val rels = Seq.newBuilder[String]
+      private var seq = 0
+      private var cur: Array[AnyRef] = null
+
+      /** Updates `cur` to the row's partition key either way; true iff
+        * the key changed against the previous row's.
+        */
+      private def boundary(r: InternalRow): Boolean = {
+        if (cur == null) { cur = extractors.map(_(r)); return false }
+        var j = 0
+        var changed = false
+        while (j < extractors.length) {
+          val v = extractors(j)(r)
+          if (if (v == null) cur(j) != null else v != cur(j)) {
+            changed = true; cur(j) = v
+          }
+          j += 1
+        }
+        changed
+      }
+
+      override def write(r: InternalRow): Unit = {
+        val roll = extractors.nonEmpty && boundary(r)
+        if (writer == null || roll) {
+          if (writer != null) { writer.close(); writer = null }
+          // lazily opened: an empty task commits no file at all
+          val rel = f"$dataDir/part-$partitionId%05d-$taskId-$seq%04d-" +
+            s"${java.util.UUID.randomUUID().toString.take(8)}.snappy.parquet"
+          seq += 1
+          writer = org.apache.spark.sql.graft.ParquetWriteBridge
+            .open(factory, conf.value, s"$root/$rel", schema)
+          rels += rel
+        }
+        writer.write(r)
+      }
+
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        if (writer != null) { writer.close(); writer = null }
+        SnapshotWriteMessage(rels.result())
+      }
+
+      override def abort(): Unit = {
+        if (writer != null) { writer.close(); writer = null }
+        val done = rels.result()
+        if (done.nonEmpty) {
+          val fs = new Path(s"$root/${done.head}").getFileSystem(conf.value)
+          done.foreach { rel =>
+            try fs.delete(new Path(s"$root/$rel"), false)
+            catch { case scala.util.control.NonFatal(_) => () }
           }
         }
+      }
+
+      override def close(): Unit =
+        if (writer != null) { writer.close(); writer = null }
     }
 }
 

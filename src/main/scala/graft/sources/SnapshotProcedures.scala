@@ -88,6 +88,15 @@ private[sources] object SnapshotProcedures {
       StructType.fromDDL("snapshot_id BIGINT"),
       (s, r, in) => Seq(SnapshotLog.optimizeBucketed(s, r(str(in, 0)),
         str(in, 1), in.getInt(2)))),
+    Spec("optimize_sorted",
+      "rewrite into the declared write sort order: stamped, clustered " +
+        "files (fanout point bands under a spec) — scans then report " +
+        "ordering and SMJ plans sort-free",
+      Seq(("table", StringType, None),
+        ("num_files", IntegerType, Some("8"))),
+      StructType.fromDDL("snapshot_id BIGINT"),
+      (s, r, in) => Seq(SnapshotLog.optimizeSorted(s, r(str(in, 0)),
+        in.getInt(1)))),
     Spec("optimize_partitioned",
       "rewrite into the declared spec's fanout layout: one partition " +
         "value per file (point bands; storage-partitioned joins)",

@@ -239,7 +239,7 @@ private[sources] object SnapshotChangeSource {
     */
   private val ReadInvariantOps = Set(
     "optimize", "optimize-bucket", "optimize-zorder", "optimize-binpack",
-    "optimize-partitioned",
+    "optimize-partitioned", "optimize-sorted", "set-sort-order",
     "rewrite-deletes", "rewrite-eq", "rename", "drop-column")
 
   private val AppendOps = Set("append", "publish-append")

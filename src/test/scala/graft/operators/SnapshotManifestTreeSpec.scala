@@ -50,11 +50,14 @@ class SnapshotManifestTreeSpec extends SparkSpec {
     assert(listLines.length === 1, "the new list tracks only the appended file")
 
     // the manifest carries the table by REFERENCE: one header + one M
-    // line per commit, and not a single inline data path
+    // line per commit + the commit-time T line, and not a single
+    // inline data path
     val mLines = textOf(root, added.find(_.endsWith(".manifest")).get)
       .split('\n').filter(_.nonEmpty)
-    assert(mLines.length === 1 + 9, s"manifest lines: ${mLines.length}")
-    assert(mLines.tail.forall(_.startsWith("M\t")),
+    assert(mLines.count(_.startsWith("M\t")) === 9,
+      s"manifest lines: ${mLines.mkString("|")}")
+    assert(mLines.tail.forall(l =>
+      l.startsWith("M\t") || l.startsWith("T\t")),
       "no inline data lines in a tree manifest")
 
     // content is intact: 64 seeded rows + the tail row
@@ -107,7 +110,7 @@ class SnapshotManifestTreeSpec extends SparkSpec {
     // the new manifest is pure-tree (one M line, no inline paths)
     SnapshotLog.append(spark, root, Seq((3, "c")).toDF("k", "v").coalesce(1))
     val m2 = textOf(root, "v00000002.manifest").split('\n').filter(_.nonEmpty)
-    assert(m2.tail.forall(_.startsWith("M\t")))
+    assert(m2.tail.forall(l => l.startsWith("M\t") || l.startsWith("T\t")))
     assert(rowSet(SnapshotLog.read(spark, root)) ===
       rowSet(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")))
   }

@@ -143,6 +143,10 @@ class SnapshotStreamSpec extends SparkSpec {
       (1 to 40).filter(_ % 2 == 0).map(k => (k, s"v$k")).toDF("k", "v")
         .repartition(3))
     SnapshotLog.optimize(spark, log, "k", 2)
+    // layout declarations + the sorted rewrite are content-invariant
+    // too: neither may fail the stream or re-emit rows
+    SnapshotLog.setSortOrder(spark, log, Seq(SnapshotLog.SortField("k")))
+    SnapshotLog.optimizeSorted(spark, log, 2)
     SnapshotLog.append(spark, log,
       (1 to 40).filter(_ % 2 == 1).map(k => (k, s"v$k")).toDF("k", "v")
         .repartition(3))
