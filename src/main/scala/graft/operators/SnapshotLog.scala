@@ -3669,6 +3669,19 @@ object SnapshotLog {
     (spec, sortApply, derived)
   }
 
+  /** The declared sort order IF `df` can honor it (every sort column
+    * present) — what a CoW rewrite passes as `sortApplied` so natural
+    * churn RE-STAMPS its rewritten files instead of silently decaying
+    * the table's reported-ordering eligibility (the scan gate demands
+    * unanimity; one unstamped rewrite would otherwise disable the
+    * sort-free merge path until the next [[optimizeSorted]]).
+    */
+  private def sortApplyFor(sortOrder: Seq[SortField],
+      df: DataFrame): Seq[SortField] =
+    if (sortOrder.nonEmpty &&
+      sortOrder.forall(f => df.columns.contains(f.column))) sortOrder
+    else Nil
+
   /** Publish files a DSv2 batch write's executors wrote (and
     * [[describeDataDir]] described) as one append/overwrite commit —
     * the commit protocol (CAS, race retry, evolution, spec/sort
@@ -3760,7 +3773,8 @@ object SnapshotLog {
       intact.map(_._1), keepInline, tableSchema,
       derivedStats = inheritedBucketStats(allFiles, tableSchema, tableIds),
       tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base,
-      carriedSpec = raw.spec, carriedSort = raw.sortOrder)
+      carriedSpec = raw.spec, carriedSort = raw.sortOrder,
+      sortApplied = sortApplyFor(raw.sortOrder, rewritten))
   }
 
   /** MERGE-ON-READ delete: record the matched rows as a positional
@@ -4367,7 +4381,8 @@ object SnapshotLog {
       intact.map(_._1), keepInline, tableSchema,
       derivedStats = inheritedBucketStats(allFiles, tableSchema, tableIds),
       tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base,
-      carriedSpec = raw.spec, carriedSort = raw.sortOrder)
+      carriedSpec = raw.spec, carriedSort = raw.sortOrder,
+      sortApplied = sortApplyFor(raw.sortOrder, rewritten))
   }
 
   /** MERGE-ON-READ upsert: matched table rows die via a positional
@@ -4465,11 +4480,17 @@ object SnapshotLog {
       .flatMap(d => writeDeleteVector(spark, root, d, base0 + 1))
     // the new files record the table's declared bucket layout
     // (inherited like a CoW rewrite's), so readBuckets stays sharp
+    // declared sort: the appended files sort + stamp like any append —
+    // MoR churn must not decay reported-ordering eligibility (a DV
+    // only removes rows from a sorted file, which stays sorted)
+    val morSort = sortApplyFor(baseRaw.sortOrder, adds)
     val written0 = writeDataFiles(spark, root,
       adds.select(tableCols: _*), base0 + 1, None,
-      inheritedBucketStats(allFiles, tableSchema, tableIds))
+      inheritedBucketStats(allFiles, tableSchema, tableIds),
+      sortApply = morSort)
       .map(f => f.copy(ids =
-        idsForWrittenCols(tableIds, tableSchema.fieldNames.toSet)))
+        idsForWrittenCols(tableIds, tableSchema.fieldNames.toSet),
+        sortedBy = if (morSort.isEmpty) "" else renderSortOrder(morSort)))
     val srcRows = written0.iterator.map(_.rows).sum
     val delRows = dvOpt.map(_._1.delRows).getOrElse(0L)
     val ddl = tableSchema.toDDL.replace("\t", " ").replace("\n", " ")
@@ -4650,13 +4671,18 @@ object SnapshotLog {
     val pubSeq = fork + 1
     val dvOpt = dead.filter(_ => allFiles.nonEmpty)
       .flatMap(d => writeDeleteVector(spark, root, d, pubSeq))
+    // declared sort: branch-staged MoR appends sort + stamp too, so a
+    // WAP publish cannot silently decay ordering eligibility
+    val brSort = sortApplyFor(raw.sortOrder, adds)
     val written = writeDataFiles(spark, root,
       adds.select(tableCols: _*), pubSeq, None,
-      inheritedBucketStats(allFiles, tableSchema, tableIds))
+      inheritedBucketStats(allFiles, tableSchema, tableIds),
+      sortApply = brSort)
       .map(f => f.copy(
         ids = tableIds.filter { case (n, _) =>
           tableSchema.fieldNames.contains(n) },
-        stats = f.stats + (SeqStatName -> (pubSeq.toString, pubSeq.toString))))
+        stats = f.stats + (SeqStatName -> (pubSeq.toString, pubSeq.toString)),
+        sortedBy = if (brSort.isEmpty) "" else renderSortOrder(brSort)))
     val newRef = writeFileList(fs, root, pubSeq, written, tableSchema)
     val srcRows = written.iterator.map(_.rows).sum
     val delRows = dvOpt.map(_._1.delRows).getOrElse(0L)
@@ -4750,7 +4776,8 @@ object SnapshotLog {
         source.select(tableSchema.fieldNames.map(col).toSeq: _*),
         "merge", Seq.empty, Seq.empty, tableSchema,
         tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base,
-        carriedSpec = raw.spec, carriedSort = raw.sortOrder)
+        carriedSpec = raw.spec, carriedSort = raw.sortOrder,
+        sortApplied = sortApplyFor(raw.sortOrder, source))
     val scan = resolvedRead(spark, root, allFiles, tableSchema, tableIds)
     val keys = source.select(keyCols.map(col): _*).distinct()
     // bounded driver value — O(#matching files); file column projected
@@ -4777,12 +4804,13 @@ object SnapshotLog {
         tableSchema, tableIds)
         .join(keys, keyCols, "left_anti")
         .select(tableCols: _*)
-    commitFiles(spark, root,
-      survivors.unionByName(source.select(tableCols: _*)),
+    val merged = survivors.unionByName(source.select(tableCols: _*))
+    commitFiles(spark, root, merged,
       "merge", intact.map(_._1), carriedInline, tableSchema,
       derivedStats = inheritedBucketStats(allFiles, tableSchema, tableIds),
       tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base,
-      carriedSpec = raw.spec, carriedSort = raw.sortOrder)
+      carriedSpec = raw.spec, carriedSort = raw.sortOrder,
+      sortApplied = sortApplyFor(raw.sortOrder, merged))
   }
 
   /** Atomically publish `tmp` as `m`, failing (false) if `m` already

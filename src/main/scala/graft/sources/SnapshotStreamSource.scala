@@ -240,6 +240,11 @@ private[sources] object SnapshotChangeSource {
   private val ReadInvariantOps = Set(
     "optimize", "optimize-bucket", "optimize-zorder", "optimize-binpack",
     "optimize-partitioned", "optimize-sorted", "set-sort-order",
+    // spec evolution and metadata-only ADD COLUMN move no rows, and a
+    // pinned-schema read stays valid (the new column is simply not
+    // selected) — unlike `widen`, which re-types bytes the pinned
+    // reader cannot convert and so still fails the stream loudly
+    "set-spec", "add-column",
     "rewrite-deletes", "rewrite-eq", "rename", "drop-column")
 
   private val AppendOps = Set("append", "publish-append")

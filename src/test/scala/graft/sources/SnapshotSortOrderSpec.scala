@@ -311,6 +311,48 @@ class SnapshotSortOrderSpec extends SparkSpec {
       == 800L)
   }
 
+  test("CoW churn re-stamps: delete keeps ordering, merge keeps stamps") {
+    import spark.implicits._
+    val root = newRoot("churn")
+    SnapshotLog.createTable(spark, root,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"))
+    spark.sql(s"ALTER TABLE $cat.`$root` SET TBLPROPERTIES " +
+      s"('write.ordered-by' = 'k')")
+    SnapshotLog.append(spark, root,
+      (1 to 1200).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .repartitionByRange(3, col("k")))
+    assert(reportsOrdering(root))
+
+    // a CoW delete confined to one file's band: the rewrite's file is
+    // sorted + stamped and its band shrinks INSIDE the old one, so the
+    // chain stays disjoint and the table stays ordering-eligible —
+    // churn must not force an optimizeSorted
+    SnapshotLog.deleteWhere(spark, root,
+      col("k") >= 100L && col("k") < 200L)
+    val afterDelete = liveFiles(root)
+    assert(afterDelete.forall(_.sortedBy == "k"),
+      s"delete rewrite must re-stamp: ${afterDelete.map(_.sortedBy)}")
+    assert(filesSortedBy(afterDelete.map(f => s"$root/${f.path}"), "k"))
+    assert(reportsOrdering(root),
+      "a band-confined CoW delete keeps reported ordering")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$root`").head.getLong(0)
+      == 1100L)
+
+    // a CoW merge re-stamps too (its survivors+source files each stay
+    // interior-sorted); the GATE may still refuse if the new bands
+    // overlap — stamps must stay truthful either way
+    SnapshotLog.mergeInto(spark, root,
+      Seq((250L, "upd250"), (1300L, "new1300")).toDF("k", "v"), Seq("k"))
+    val afterMerge = liveFiles(root)
+    assert(afterMerge.forall(_.sortedBy == "k"),
+      s"merge rewrite must re-stamp: ${afterMerge.map(_.sortedBy)}")
+    assert(filesSortedBy(afterMerge.map(f => s"$root/${f.path}"), "k"),
+      "every stamped post-merge file is physically sorted")
+    assert(spark.sql(
+      s"SELECT v FROM $cat.`$root` WHERE k = 250").head.getString(0)
+      == "upd250")
+  }
+
   test("DESC order: stamped, physically descending, reported") {
     import spark.implicits._
     val root = newRoot("desc")

@@ -143,17 +143,27 @@ class SnapshotStreamSpec extends SparkSpec {
       (1 to 40).filter(_ % 2 == 0).map(k => (k, s"v$k")).toDF("k", "v")
         .repartition(3))
     SnapshotLog.optimize(spark, log, "k", 2)
-    // layout declarations + the sorted rewrite are content-invariant
-    // too: neither may fail the stream or re-emit rows
+    // layout declarations, the sorted rewrite, spec evolution, and a
+    // metadata-only ADD COLUMN are content-invariant too: none may
+    // fail the stream or re-emit rows (the added column is invisible
+    // under the stream's pinned schema)
     SnapshotLog.setSortOrder(spark, log, Seq(SnapshotLog.SortField("k")))
     SnapshotLog.optimizeSorted(spark, log, 2)
+    SnapshotLog.setPartitionSpec(spark, log,
+      Seq(SnapshotLog.PartField("bucket", "k", 4)))
     SnapshotLog.append(spark, log,
       (1 to 40).filter(_ % 2 == 1).map(k => (k, s"v$k")).toDF("k", "v")
         .repartition(3))
+    SnapshotLog.addColumn(spark, log, "note",
+      org.apache.spark.sql.types.StringType)
     drain(log, sink, ckpt, Map("maxSnapshotsPerTrigger" -> "1"))
     val got = spark.read.parquet(sink)
     assert(got.count() === 40L)
-    assert(rowSet(got) === rowSet((1 to 40).map(k => (k, s"v$k")).toDF("k", "v")))
+    // the metadata-only ADD COLUMN reads NULL for all replayed rows
+    assert(got.schema.fieldNames.contains("note") &&
+      got.filter(col("note").isNotNull).isEmpty)
+    assert(rowSet(got.select("k", "v")) ===
+      rowSet((1 to 40).map(k => (k, s"v$k")).toDF("k", "v")))
   }
 
   test("checkpointed resume under rate limiting is exactly-once") {
