@@ -7310,6 +7310,31 @@ object SnapshotLog {
       ()
     }.resolve("log").toString
 
+  /** tt66's staged log: half the orders loaded under a
+    * `bucket(8, o_custkey)` spec, the spec then CHANGED through the
+    * SQL door (`CALL system.set_partition_spec`) to
+    * `days(o_orderdate)` — a metadata-only commit, Iceberg's spec
+    * evolution — and the other half appended under the NEW spec: old
+    * files keep their bucket bands, new files carry day bands, and
+    * each era keeps pruning under the stats IT recorded
+    * (HiddenPartitionSpec pins the mixed-era pruning; no rewrite
+    * anywhere). The row's oracle proves the evolution lost nothing.
+    */
+  private def specEvolutionLog(s: SparkSession, dir: String): String =
+    graft.TempDirs.staged(s"ttsevo_${graft.TempDirs.dirKey(dir)}") { p =>
+      val root = p.resolve("log").toString
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      appendPartitioned(s, root,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        Seq(PartField("bucket", "o_custkey", 8)))
+      s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+      s.sql(s"CALL snapcat.system.set_partition_spec(" +
+        s"'$root', 'days(o_orderdate)')")
+      append(s, root, orders.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+      ()
+    }.resolve("log").toString
+
   /** Staged CO-DAY-FANOUT pair for the time-transform storage
     * partitioned join: two tables declaring `days(d)`, fanout-written
     * so every data file covers exactly one day — the layout under
@@ -9612,6 +9637,28 @@ object SnapshotLog {
              |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
              |FROM orders ORDER BY o_orderkey""".stripMargin),
       stage = Some((s, dir) => { optimizeSortedLog(s, dir); () })
+    ),
+
+    // TT66: PARTITION SPEC EVOLUTION through the SQL door — half the
+    // table written under bucket(8, o_custkey), the spec changed by
+    // `CALL system.set_partition_spec` (metadata-only, zero rewrite),
+    // the other half written under days(o_orderdate); each era prunes
+    // under the stats it recorded (HiddenPartitionSpec pins the
+    // mixed-era kept-file sets). At 100 TB this is how a table
+    // re-partitions without rewriting a byte — exactly Iceberg's spec
+    // evolution contract. The oracle proves content survived the
+    // spec change and the mixed-era read.
+    Q(
+      "tt66_spec_evolution",
+      (s, dir) => {
+        val root = specEvolutionLog(s, dir)
+        s.conf.set("spark.sql.catalog.snapcat", "graft.sources.SnapshotCatalog")
+        s.sql(s"""SELECT o_orderkey, o_custkey, o_orderdate
+                 |FROM snapcat.`$root` ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderdate
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      stage = Some((s, dir) => { specEvolutionLog(s, dir); () })
     )
   )
 }

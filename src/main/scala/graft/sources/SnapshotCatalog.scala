@@ -383,6 +383,57 @@ object SnapshotCatalog {
       so: Seq[SnapshotLog.SortField]): String =
     so.map(f => if (f.asc) f.column else s"${f.column} desc").mkString(", ")
 
+  /** Parse a textual partition spec — `"bucket(8, k), days(ts)"` —
+    * into [[SnapshotLog.PartField]]s: the `CALL system
+    * .set_partition_spec` argument vocabulary, matching the DDL
+    * transform names ([[partFieldOf]]). Two-argument transforms take
+    * the integer as the width and the other token as the column, in
+    * either order (Iceberg SQL writes `truncate(col, n)`, its Java API
+    * `truncate(n, col)` — both read the same here). Empty/blank =
+    * clear the spec.
+    */
+  private[sources] def parsePartSpecProp(v: String)
+      : Seq[SnapshotLog.PartField] = {
+    val token = """(?i)\s*([a-z]+)\s*\(([^)]*)\)\s*""".r
+    val trail = v.trim
+    if (trail.isEmpty) Seq.empty
+    else trail.split(',').toSeq
+      // re-join args split apart by the top-level comma split:
+      // "bucket(8" + " k)" — a fragment without ')' glues forward
+      .foldLeft(Vector.empty[String]) { (acc, part) =>
+        if (acc.nonEmpty && acc.last.count(_ == '(') >
+          acc.last.count(_ == ')')) acc.init :+ s"${acc.last},$part"
+        else acc :+ part
+      }
+      .map {
+        case token(name, args) =>
+          val as = args.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          def oneCol = {
+            require(as.size == 1,
+              s"$name(col) takes exactly one column, got ($args)")
+            as.head
+          }
+          name.toLowerCase(java.util.Locale.ROOT) match {
+            case t @ ("days" | "hours" | "months") =>
+              SnapshotLog.PartField(t, oneCol)
+            case t @ ("bucket" | "trunc" | "truncate") =>
+              require(as.size == 2,
+                s"$name takes (n, col) or (col, n), got ($args)")
+              val (w, c) = as.partition(_.forall(_.isDigit))
+              require(w.size == 1 && c.size == 1,
+                s"$name needs one integer width and one column, got ($args)")
+              SnapshotLog.PartField(
+                if (t == "bucket") "bucket" else "trunc", c.head, w.head.toInt)
+            case other => throw new UnsupportedOperationException(
+              s"unsupported partition transform $other(...); supported: " +
+                "days/hours/months(col), bucket(n, col), truncate(col, n)")
+          }
+        case bad => throw new IllegalArgumentException(
+          s"cannot parse partition spec fragment '$bad' " +
+            "(expected name(args), comma-separated)")
+      }
+  }
+
   /** Whether writes to `root` take the true DSv2 BATCH_WRITE path
     * (executor-written files under Spark's prepared distribution +
     * ordering) — exactly when the table declares a layout worth

@@ -88,6 +88,14 @@ private[sources] object SnapshotProcedures {
       StructType.fromDDL("snapshot_id BIGINT"),
       (s, r, in) => Seq(SnapshotLog.optimizeBucketed(s, r(str(in, 0)),
         str(in, 1), in.getInt(2)))),
+    Spec("set_partition_spec",
+      "declare or change the hidden partition spec ('' clears): " +
+        "future writes route by it, existing files keep pruning under " +
+        "the stats they recorded (Iceberg spec evolution, no rewrite)",
+      Seq(("table", StringType, None), ("spec", StringType, None)),
+      StructType.fromDDL("snapshot_id BIGINT"),
+      (s, r, in) => Seq(SnapshotLog.setPartitionSpec(s, r(str(in, 0)),
+        SnapshotCatalog.parsePartSpecProp(str(in, 1))))),
     Spec("optimize_sorted",
       "rewrite into the declared write sort order: stamped, clustered " +
         "files (fanout point bands under a spec) — scans then report " +

@@ -83,6 +83,35 @@ class SnapshotProcedureSpec extends SparkSpec {
         .col("x") === 17L).count() == 1L)
   }
 
+  test("set_partition_spec and optimize_sorted relayout through CALL") {
+    import spark.implicits._
+    import SnapshotLog.PartField
+    val root = newLog("spec")
+    // declare, evolve, and clear — each a metadata-only commit
+    spark.sql(s"CALL $cat.system.set_partition_spec('$root', 'bucket(8, k)')")
+    assert(SnapshotLog.partitionSpecOf(spark, root) ==
+      Seq(PartField("bucket", "k", 8)))
+    // width/column accepted in either order; multi-field specs parse
+    spark.sql(s"CALL $cat.system.set_partition_spec(" +
+      s"'$root', 'trunc(k, 10), bucket(4, k)')")
+    assert(SnapshotLog.partitionSpecOf(spark, root) ==
+      Seq(PartField("trunc", "k", 10), PartField("bucket", "k", 4)))
+    spark.sql(s"CALL $cat.system.set_partition_spec('$root', '')")
+    assert(SnapshotLog.partitionSpecOf(spark, root).isEmpty)
+    // an unknown transform fails loudly with the vocabulary
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.system.set_partition_spec('$root', 'year(k)')"))
+    assert(e.getMessage.contains("days/hours/months"))
+
+    // optimize_sorted through CALL: declared order + rewrite = stamped
+    spark.sql(s"ALTER TABLE $cat.`$root` SET TBLPROPERTIES " +
+      "('write.ordered-by' = 'k')")
+    val id = spark.sql(s"CALL $cat.system.optimize_sorted('$root', 2)")
+      .head().getLong(0)
+    assert(SnapshotLog.operationOf(spark, root, id) == "optimize-sorted")
+    assert(SnapshotLog.read(spark, root).count() == 50L)
+  }
+
   test("expire_snapshots and vacuum_orphans reclaim through CALL") {
     import spark.implicits._
     val root = newLog("exp")
