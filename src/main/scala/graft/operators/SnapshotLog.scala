@@ -3494,8 +3494,13 @@ object SnapshotLog {
     val (curIds, last) = currentIdsOf(raw, schema)
     val fs = fsOf(spark, root)
     val stagedIds = idsForWrittenCols(curIds, df.columns.toSet)
-    val written = writeDataFiles(spark, root, df, base + 1, None, Nil)
-      .map(f => f.copy(ids = stagedIds))
+    // staged WAP batches honor the declared sort like a live append —
+    // a publish must not dilute the table's stamp unanimity
+    val wapSort = sortApplyFor(raw.sortOrder, df)
+    val written = writeDataFiles(spark, root, df, base + 1, None, Nil,
+      sortApply = wapSort)
+      .map(f => f.copy(ids = stagedIds,
+        sortedBy = if (wapSort.isEmpty) "" else renderSortOrder(wapSort)))
     val ref = writeFileList(fs, root, 0L, written, schema)
     val key = java.util.UUID.randomUUID().toString.take(8)
     val ddl = df.schema.toDDL.replace("\t", " ").replace("\n", " ")
@@ -4109,9 +4114,14 @@ object SnapshotLog {
     // from band metadata, field ids stamped, and the EXPLICIT sequence
     // stat (re-stamped per attempt) — fileSeq(next) is not < seq(next),
     // so the commit's own key set never eats its own rows
+    // declared sort: the upsert's data files sort + stamp like any
+    // append (churn must not decay reported-ordering eligibility)
+    val eqSort = sortApplyFor(
+      rawOpt.map(_.sortOrder).getOrElse(Seq.empty), source)
     val written0 = writeDataFiles(spark, root,
       source.select(tableCols: _*), firstNext, None,
-      rawOpt.map(bandBucketSpecs(_, tableSchema, tableIds)).getOrElse(Nil))
+      rawOpt.map(bandBucketSpecs(_, tableSchema, tableIds)).getOrElse(Nil),
+      sortApply = eqSort)
     val srcRows = written0.iterator.map(_.rows).sum
     def cleanupData(): Unit = {
       fs.delete(new Path(s"$root/$dir"), true)
@@ -4128,7 +4138,8 @@ object SnapshotLog {
       val writtenNames = writtenFields.map(_._1).toSet
       val written = written0.map(f => f.copy(
         ids = tableIds.filter { case (n, _) => writtenNames.contains(n) },
-        stats = f.stats + (SeqStatName -> (next.toString, next.toString))))
+        stats = f.stats + (SeqStatName -> (next.toString, next.toString)),
+        sortedBy = if (eqSort.isEmpty) "" else renderSortOrder(eqSort)))
       // a key set on an EMPTY table retracts nothing — the bootstrap
       // commit records only the data (no eq ref, no read-side join)
       val eqOpt =
@@ -6375,7 +6386,12 @@ object SnapshotLog {
       derivedStats =
         inheritedBucketStats(raw.inline ++ groups.flatMap(_._2), tableSchema, tableIds),
       tableIds0 = tableIds, lastColId0 = lastColId, plannedBase = base,
-      carriedSpec = raw.spec, carriedSort = raw.sortOrder)
+      carriedSpec = raw.spec, carriedSort = raw.sortOrder,
+      // under a declared sort the packed outputs re-sort + stamp
+      // (O(small bytes) — maintenance must repair stamp unanimity,
+      // not erode it; streaming debris is exactly the churn that
+      // needs this)
+      sortApplied = sortApplyFor(raw.sortOrder, packed))
   }
 
   /** Expire all but the latest `keepLast` snapshots: their manifests are

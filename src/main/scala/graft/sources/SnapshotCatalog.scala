@@ -1055,22 +1055,20 @@ private[sources] class SnapshotBranchWriteBuilder(root: String, name: String)
     }
 }
 
-/** V1 write bridge: Spark's `V1_BATCH_WRITE` capability plans inserts
-  * through [[org.apache.spark.sql.connector.write.V1Write]]'s
-  * InsertableRelation — whose body here is just the library call, so
-  * SQL writes and API writes share one commit protocol (CAS manifest
-  * rename, race retry, spec routing).
+/** The catalog's write builder, two paths chosen by
+  * [[SnapshotCatalog.v2WritePath]]:
   *
-  * The Write also implements `RequiresDistributionAndOrdering`: a
-  * partitioned table asks Spark to CLUSTER the insert by its declared
-  * transforms (non-strict, so Spark plans an AQE `RebalancePartitions`
-  * — small shuffle partitions coalesce toward the advisory size and a
-  * SKEWED partition value splits across tasks, neither of which the
-  * library's own repartitionByRange can do), and a sort-ordered table
-  * asks for the declared sort within those tasks. The insert body then
-  * commits through [[SnapshotLog.appendPrepared]], which skips the
-  * library-side repartition+sort — one shuffle total, sized by AQE,
-  * instead of Spark's exchange FOLLOWED by the library's.
+  *  - a LAYOUT-DECLARED table (partition spec or sort order) builds
+  *    [[SnapshotV2Write]] — Spark's true DSv2 batch write, where
+  *    `RequiresDistributionAndOrdering` plans the AQE
+  *    `RebalancePartitions` clustering + the declared sort ONCE and
+  *    executors stream rows straight into final parquet files;
+  *  - otherwise (or when WAP routing / SQL transaction staging /
+  *    forced fanout needs the whole DataFrame driver-side) the
+  *    `V1_BATCH_WRITE` fallback hands `InsertableRelation` the query
+  *    and the body is just the library call — SQL writes and API
+  *    writes share one commit protocol (CAS manifest rename, race
+  *    retry, spec routing) either way.
   */
 private[sources] class SnapshotWriteBuilder(root: String,
     schema: StructType)
@@ -1898,7 +1896,8 @@ private[graft] class SnapshotMetaTable(val root: String, val kind: String)
   override def name(): String = s"snapshot-log `$root`.$kind"
 
   override def schema: StructType = kind match {
-    case "files" => StructType.fromDDL("path STRING, n_rows BIGINT")
+    case "files" => StructType.fromDDL(
+      "path STRING, n_rows BIGINT, bytes BIGINT, sorted_by STRING")
     case "stats" => StructType.fromDDL(
       "col_name STRING, n_rows BIGINT, null_count BIGINT, ndv BIGINT, " +
         "min_val STRING, max_val STRING, histogram ARRAY<DOUBLE>")
@@ -1998,8 +1997,13 @@ private[graft] class SnapshotMetaTable(val root: String, val kind: String)
             val df = kind match {
               case "files" =>
                 val cur = SnapshotLog.currentId(s, root)
+                // sorted_by: the file's physical-sort stamp (NULL =
+                // unsorted/legacy) — the layout-audit twin of Iceberg's
+                // files.sort_order_id; a user can see exactly which
+                // files still block the reported-ordering gate
                 val rows = SnapshotLog.snapshot(s, root, cur).files
-                  .map(f => Row(f.path, f.rows))
+                  .map(f => Row(f.path, f.rows, f.bytes,
+                    if (f.sortedBy.isEmpty) null else f.sortedBy))
                 s.createDataFrame(s.sparkContext.parallelize(rows, 1),
                   SnapshotMetaTable.this.schema)
               case "changes" =>

@@ -215,9 +215,14 @@ class SnapshotCatalogSpec extends SparkSpec {
     // snapshots is an alias of the same ledger
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.`$root`.snapshots")
       .head().getLong(0) == 4L)
-    val files = spark.sql(s"SELECT path, n_rows FROM $cat.`$root`.files")
+    val files = spark.sql(
+      s"SELECT path, n_rows, bytes, sorted_by FROM $cat.`$root`.files")
     assert(files.count() == 3L)
     assert(files.select("n_rows").collect().map(_.getLong(0)).sum == 6L)
+    // layout-audit columns: real byte sizes, NULL stamp (no declared
+    // sort anywhere in this fixture)
+    assert(files.select("bytes").collect().forall(_.getLong(0) > 0L))
+    assert(files.filter(files("sorted_by").isNotNull).isEmpty)
     // THE metadata-table property: delete every data file — the
     // introspection queries must still answer (they never open data)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -275,6 +275,10 @@ class SnapshotSortOrderSpec extends SparkSpec {
       "rewritten files are physically sorted")
     assert(reportsOrdering(root),
       "the rewritten chain reports ordering")
+    // the stamp is SQL-auditable: snap.t.files serves sorted_by
+    assert(spark.sql(s"SELECT sorted_by FROM $cat.`$root`.files")
+      .collect().forall(_.getString(0) == "k"),
+      "files metadata table surfaces the sort stamp")
     // layout-only: the multiset diff across the commit is empty, and
     // time travel still sees the pre-rewrite layout
     assert(SnapshotLog.changes(spark, root, base, id).isEmpty,
@@ -351,6 +355,51 @@ class SnapshotSortOrderSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT v FROM $cat.`$root` WHERE k = 250").head.getString(0)
       == "upd250")
+  }
+
+  test("binpack under a declared order repairs stamps") {
+    import spark.implicits._
+    val root = newRoot("pack")
+    // small-file debris written BEFORE the declaration: unstamped
+    SnapshotLog.append(spark, root,
+      (1 to 300).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .repartition(5))
+    spark.sql(s"ALTER TABLE $cat.`$root` SET TBLPROPERTIES " +
+      s"('write.ordered-by' = 'k')")
+    assert(liveFiles(root).forall(_.sortedBy == ""))
+    val id = SnapshotLog.optimizeBinPack(spark, root,
+      smallBytes = 1L << 30)
+    assert(id > 0L)
+    val files = liveFiles(root)
+    assert(files.forall(_.sortedBy == "k"),
+      s"binpack outputs re-sort + stamp: ${files.map(_.sortedBy)}")
+    assert(filesSortedBy(files.map(f => s"$root/${f.path}"), "k"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$root`").head.getLong(0)
+      == 300L)
+  }
+
+  test("reported ordering survives a MoR delete: DVs only remove rows") {
+    import spark.implicits._
+    val root = newRoot("mor")
+    SnapshotLog.createTable(spark, root,
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"))
+    spark.sql(s"ALTER TABLE $cat.`$root` SET TBLPROPERTIES " +
+      s"('write.ordered-by' = 'k')")
+    SnapshotLog.append(spark, root,
+      (1 to 900).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .repartitionByRange(3, col("k")))
+    assert(reportsOrdering(root))
+    // a positional delete vector removes rows from a sorted file —
+    // what remains is still sorted, so eligibility must survive
+    SnapshotLog.deleteWhereMoR(spark, root, col("k") % 10L === 0L)
+    assert(reportsOrdering(root),
+      "DV kills must not decay the reported ordering")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`$root`").head.getLong(0)
+      == 810L)
+    val got = spark.sql(
+      s"SELECT k FROM $cat.`$root` ORDER BY k LIMIT 3")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L))
   }
 
   test("DESC order: stamped, physically descending, reported") {
