@@ -472,11 +472,17 @@ object Dedup {
               |SELECT doc_id, seed, minhash FROM mh ORDER BY doc_id, seed""".stripMargin)
     ),
 
-    // LSH banding: candidate pairs sharing a band bucket.
+    // LSH banding: candidate pairs sharing a band bucket. Bare orderBy,
+    // NOT sortedOut: the candidate plan ends in distinct()'s aggregate
+    // exchange, so the sort's range-sampling pass reuses the shuffle
+    // map files and re-runs only the reduce-side dedup — persisting the
+    // full pair set first copied 2.4M rows through the block store to
+    // save that tiny re-run (r16 decomposition at sf0.1: persist+sort
+    // 33.8 task-s vs bare sort 12.3).
     Q(
       "dd3_lsh_candidates",
       (s, dir) =>
-        sortedOut(lshCandidates(s, dir), "doc_a", "doc_b"),
+        lshCandidates(s, dir).orderBy("doc_a", "doc_b"),
       Some(s"""WITH $candSql
               |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin)
     ),

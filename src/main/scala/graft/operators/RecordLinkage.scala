@@ -44,9 +44,6 @@ object RecordLinkage {
       (col("n_chars") / 20).cast("long").as("len_bucket"),
       split(col("text"), " ").getItem(0).as("w1"))
 
-  /** Score candidate pairs (must carry a.doc_id/a_head/b.doc_id/b_head),
-    * keep those at or above `threshold`, round for oracle-stable output.
-    */
   /** rl4's oracle weight columns: the six trained log-likelihood
     * ratios through [[graft.functions.LnExact]] — the same staged ln
     * the Spark side folds over the one-row aggregate.
@@ -61,12 +58,30 @@ object RecordLinkage {
           s"((1.0 - $m) / (1.0 - $u))", s"${f}_dis6"))
     }.mkString(",\n    ")
 
-  private def score(pairs: DataFrame, threshold: Double): DataFrame =
-    pairs
+  /** Score candidate pairs (must carry doc_a/head_a/doc_b/head_b), keep
+    * those at or above `threshold`, round for oracle-stable output.
+    *
+    * The JW runs IN THE JOIN TASKS: the probe side of every caller's
+    * blocking join is round-robined, so the pair stream (and the scoring
+    * on it) is already spread across the full task fan-out — the
+    * repartition-by-pair this used to do shuffled ~200 bytes of heads
+    * per candidate (≈100 MB at sf0.1) only to re-establish a parallelism
+    * the broadcast-probe shape already has (r16 decomposition: the
+    * heads shuffle plus the sort-sampling's second JW pass were ~2/3 of
+    * rl1's task-seconds). Survivors are persisted BEFORE the sort:
+    * the filter keeps ≤ per-mille of candidates, so the persist is tiny
+    * while guaranteeing the range-sampling pass never re-runs the JW
+    * over the full candidate stream.
+    */
+  private def score(pairs: DataFrame, threshold: Double): DataFrame = {
+    val scored = pairs
       .withColumn("sim", round(jw(col("head_a"), col("head_b")), 6))
       .filter(col("sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("sim"))
+    graft.CacheScope.track(
+        scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .orderBy("doc_a", "doc_b")
+  }
 
   val all: Seq[Q] = Seq(
     Q(
@@ -88,17 +103,14 @@ object RecordLinkage {
           .select(col("doc_id").as("doc_a"), col("head").as("head_a"), col("w1"))
         val b = d.select(col("doc_id").as("doc_b"), col("head").as("head_b"), col("w1"))
         val cand = a.join(b, a("w1") === b("w1") && col("doc_a") < col("doc_b"))
-        // Blocking keys are few and skewed (a ~30-word vocabulary), so
-        // the join leaves every candidate of a block in one task — and
-        // the JW scoring would run there too (measured: 16 task-seconds
-        // at 16s wall, zero parallelism). Reshuffle candidates by pair
-        // before scoring: linear in candidates, restores full fan-out,
-        // and is exactly what a 1000-executor run needs when one block
-        // holds a hot key. The partition count is pinned because AQE
-        // coalesces a column-only repartition by BYTES (~80 MB of pairs
-        // → 2 partitions), re-serializing the CPU-bound scoring stage.
-        // rl2 gets its spread from distinct()'s full-width shuffle.
-        score(cand.repartition(n, col("doc_a"), col("doc_b")), 0.9)
+        // The probe side is round-robined, so the broadcast-blocking
+        // join emits each task's share of the Σ|block|² pairs locally —
+        // scoring parallelism comes from the probe spread, not from a
+        // pair reshuffle (the old repartition-by-pair moved every
+        // candidate's two 80-char heads across the wire only to restore
+        // a fan-out this shape already has; at cluster scale a salted
+        // SMJ spreads the same way on the probe rows).
+        score(cand, 0.9)
       },
       Some("""WITH d AS (SELECT doc_id, substr(text,1,80) AS head,
              |                  split_part(text,' ',1) AS w1 FROM documents)
@@ -118,7 +130,14 @@ object RecordLinkage {
             .select((Seq(col("doc_id").as(s"doc_$suffix"),
               col("head").as(s"head_$suffix")) ++ keys.map(col)): _*)
         // pass 1: first token; pass 2: (lang, length bucket). Union THEN
-        // distinct so overlapping candidates score once, not twice.
+        // distinct so overlapping candidates score once, not twice. The
+        // heads ride THROUGH the distinct on purpose: an id-only dedup
+        // with broadcast head re-attachment was tried in r16 and
+        // measured 2.2× the task-seconds (the re-attach planned as two
+        // extra sort-merge joins), while the head payload through the
+        // exchange compresses to ~nothing (lz4 over a 40-word
+        // vocabulary) — the distinct is also the exchange score()'s
+        // sort-sampling pass reuses, so JW runs once.
         val p1 = side("a", Seq("w1")).join(side("b", Seq("w1")), "w1")
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "head_a", "doc_b", "head_b")
@@ -166,7 +185,7 @@ object RecordLinkage {
           .select(col("doc_id").as("doc_a"), col("head").as("head_a"), col("w1"))
         val b = d.select(col("doc_id").as("doc_b"), col("head").as("head_b"), col("w1"))
         val cand = a.join(b, a("w1") === b("w1") && col("doc_a") < col("doc_b"))
-        val m = score(cand.repartition(n, col("doc_a"), col("doc_b")), 0.9)
+        val m = score(cand, 0.9) // probe-spread scoring; see score()
         val nodes = m.select(col("doc_a").as("node"))
           .unionByName(m.select(col("doc_b").as("node"))).distinct()
         val comp = GraphOps.connectedComponents(nodes,
@@ -239,10 +258,12 @@ object RecordLinkage {
           col("lang").as("lang_b"), col("len_bucket").as("lb_b"), col("w1"))
         // persisted: both the training aggregate and the scoring probe
         // consume `feat` — without the persist the Σ|block|² candidate
-        // join materializes twice per run (CacheScope per repo rule)
+        // join materializes twice per run (CacheScope per repo rule).
+        // The JW runs in the (round-robin-spread) join tasks and the
+        // persist holds ids+booleans only — no pair reshuffle of head
+        // text (see score()'s rationale).
         val feat = graft.CacheScope.track(
           a.join(b, a("w1") === b("w1") && col("doc_a") < col("doc_b"))
-            .repartition(n, col("doc_a"), col("doc_b"))
             .withColumn("sim", round(jw(col("head_a"), col("head_b")), 6))
             .select(
               col("doc_a"), col("doc_b"),
