@@ -5934,11 +5934,23 @@ object SnapshotLog {
     def readFiles(files: Seq[FileEntry], dv: Map[String, Seq[DeleteEntry]],
         eqs: Seq[EqRef]): DataFrame =
       morApply(spark, root, files.sortBy(_.path), schema, toIds, dv, eqs)
-    val added = readFiles(to.files.filter(f => !fromPaths(f.path)), toDv, eqTo)
-    val removed =
-      readFiles(from.files.filter(f => !toPaths(f.path)), fromDv, eqFrom)
-    val fileDiff0 = added.exceptAll(removed).withColumn("change", lit("insert"))
-      .unionByName(removed.exceptAll(added).withColumn("change", lit("delete")))
+    val addedFiles = to.files.filter(f => !fromPaths(f.path))
+    val removedFiles = from.files.filter(f => !toPaths(f.path))
+    val added = readFiles(addedFiles, toDv, eqTo)
+    val removed = readFiles(removedFiles, fromDv, eqFrom)
+    // One-sided file diffs skip the exceptAll pair outright:
+    // exceptAll(x, empty) = x and exceptAll(empty, x) = empty, so a
+    // bootstrap window (fromId = 0), a pure-append window, or a
+    // pure-retire window needs no multiset difference at all — the
+    // exceptAll formulation costs two full-width count-replicate
+    // shuffles of every delta row (r16 decomposition: iv3's
+    // changes(0, hi) bootstrap spent most of its 32 task-s there).
+    // Two-sided windows (CoW rewrites) keep the exact multiset diff.
+    val fileDiff0 =
+      if (removedFiles.isEmpty) added.withColumn("change", lit("insert"))
+      else if (addedFiles.isEmpty) removed.withColumn("change", lit("delete"))
+      else added.exceptAll(removed).withColumn("change", lit("insert"))
+        .unionByName(removed.exceptAll(added).withColumn("change", lit("delete")))
     // EQUALITY-delete delta: a key-set commit moves no files, so the
     // file diff is blind to it — the delta is the rows of files carried
     // through BOTH snapshots that the changed key sets kill (a new set:
