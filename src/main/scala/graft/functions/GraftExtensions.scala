@@ -164,5 +164,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "_FUNC_(a, b) - Jaro-Winkler similarity", ""),
       (children: Seq[Expression]) =>
         JaroWinklerSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.LevenshteinKName),
+      new ExpressionInfo(classOf[BandedLevenshtein].getName, null,
+        GraftFunctions.LevenshteinKName,
+        "_FUNC_(a, b, k) - Levenshtein distance when <= k, else -1", ""),
+      (children: Seq[Expression]) => BandedLevenshtein(children(0), children(1),
+        children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other =>
+            throw new IllegalArgumentException(s"threshold must be an int literal, got $other")
+        })))
   }
 }

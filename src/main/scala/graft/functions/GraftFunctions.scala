@@ -94,6 +94,9 @@ object GraftFunctions {
   /** Jaro-Winkler similarity of two strings (DuckDB-compatible). */
   val JaroWinklerName = "graft_jaro_winkler"
 
+  /** Thresholded Levenshtein, result-identical to levenshtein(a, b, k). */
+  val LevenshteinKName = "graft_levenshtein_k"
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(getClass.getName, null, name, usage, "")
 
@@ -229,6 +232,14 @@ object GraftFunctions {
       children => NormalizeText(children(0)))
     ensure(JaroWinklerName, "_FUNC_(a, b) - Jaro-Winkler similarity")(
       children => JaroWinklerSimilarity(children(0), children(1)))
+    ensure(LevenshteinKName,
+      "_FUNC_(a, b, k) - Levenshtein distance when <= k, else -1")(
+      children => BandedLevenshtein(children(0), children(1),
+        children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other =>
+            throw new IllegalArgumentException(s"threshold must be an int literal, got $other")
+        }))
   }
 }
 

@@ -544,13 +544,21 @@ object Dedup {
     Q(
       "dd9_edit_verify",
       (s, dir) => {
+        GraftFunctions.register(s)
         val txt = docs(s, dir)
           .select(col("doc_id"), substring(col("text"), 1, 64).as("t"))
+        // native BandedLevenshtein, result-identical to
+        // levenshtein(a, b, 16): equality memcmp short-circuit + raw-byte
+        // Ukkonen band for ASCII (BandedLevenshteinSpec pins parity with
+        // Spark's kernel) — Spark's general code-point DP measured
+        // 10.8 µs/call on these 64-char prefixes, and dd9 pays one call
+        // per candidate pair.
         val scored = lshCandidates(s, dir)
           .join(txt.as("xa"), col("doc_a") === col("xa.doc_id"))
           .join(txt.as("xb"), col("doc_b") === col("xb.doc_id"))
           .select(col("doc_a"), col("doc_b"),
-            levenshtein(col("xa.t"), col("xb.t"), 16).cast("long").as("edit_dist"))
+            call_function(GraftFunctions.LevenshteinKName,
+              col("xa.t"), col("xb.t"), lit(16)).cast("long").as("edit_dist"))
           .filter(col("edit_dist") >= 0)
         sortedOut(scored, "doc_a", "doc_b")
       },
