@@ -392,12 +392,54 @@ object ExtendedOps {
     Q(
       "wq4_winsorized_stats",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val li = Tables(s, dir, "lineitem")
           .select("l_returnflag", "l_extendedprice")
-        val bands = li.groupBy("l_returnflag")
+        // Exact percentile via VALUE HISTOGRAM + cumulative window (the
+        // wq3 discipline) instead of percentile(): l_extendedprice is
+        // ~unique per row, so Spark's ObjectHashAggregate buffered a
+        // corpus-sized value->count map per partial, shuffled it
+        // (21 MB), and merge-sorted per group single-threaded (474 ms
+        // GC in-sweep). The histogram form shuffles one count per
+        // (group, value) with map-side partials and the window runs
+        // over value-sorted histogram rows. The interpolation below is
+        // Spark Percentile.getPercentile VERBATIM — position
+        // p·(n−1), lower/higher keys by cumulative count, then
+        // (higher−pos)·lowerKey + (pos−lower)·higherKey — so the
+        // doubles are bit-identical to percentile()'s (oracle-proven).
+        val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+          .agg(count(lit(1)).as("cnt"))
+        val cw = sum(col("cnt")).over(
+          Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        val cum = hist.withColumn("cw", cw)
+        val tot = hist.groupBy("l_returnflag").agg(sum("cnt").as("n_tot"))
+        def pctl(p: Double, out: String): Seq[org.apache.spark.sql.Column] = {
+          val pos = lit(p) * (col("n_tot") - 1).cast("double")
+          Seq(pos.as(s"${out}_pos"),
+            floor(pos).as(s"${out}_lo"), ceil(pos).as(s"${out}_hi"))
+        }
+        val marks = cum.join(broadcast(tot), Seq("l_returnflag"))
+          .select(Seq(col("l_returnflag"), col("l_extendedprice"), col("cw")) ++
+            pctl(0.01, "a") ++ pctl(0.99, "b"): _*)
+        def key(idx: org.apache.spark.sql.Column) =
+          min(when(col("cw") >= idx + 1, col("l_extendedprice")))
+        val bands = marks.groupBy("l_returnflag")
           .agg(
-            expr("percentile(l_extendedprice, 0.01)").as("p01"),
-            expr("percentile(l_extendedprice, 0.99)").as("p99"))
+            key(col("a_lo")).as("a_lok"), key(col("a_hi")).as("a_hik"),
+            max(col("a_pos")).as("a_pos"), max(col("a_lo")).as("a_lo"),
+            max(col("a_hi")).as("a_hi"),
+            key(col("b_lo")).as("b_lok"), key(col("b_hi")).as("b_hik"),
+            max(col("b_pos")).as("b_pos"), max(col("b_lo")).as("b_lo"),
+            max(col("b_hi")).as("b_hi"))
+          .select(
+            col("l_returnflag"),
+            when(col("a_hi") === col("a_lo"), col("a_lok"))
+              .otherwise((col("a_hi") - col("a_pos")) * col("a_lok") +
+                (col("a_pos") - col("a_lo")) * col("a_hik")).as("p01"),
+            when(col("b_hi") === col("b_lo"), col("b_lok"))
+              .otherwise((col("b_hi") - col("b_pos")) * col("b_lok") +
+                (col("b_pos") - col("b_lo")) * col("b_hik")).as("p99"))
         li.join(broadcast(bands), Seq("l_returnflag"))
           .select(
             col("l_returnflag"), col("p01"), col("p99"),
