@@ -59,6 +59,17 @@ object MinhashSigs {
     * from token i's start to token i+1's end). A gram-2 input with fewer
     * than two tokens has no shingle: the mins stay Long.MaxValue, and
     * callers must pre-filter (a shingle-less doc belongs in no band).
+    *
+    * REPEATED shingles are byte-compared away before the md5: a
+    * duplicate cannot change any of the k mins, but it used to pay a
+    * full digest + k-long seed loop per OCCURRENCE. On a repetitive
+    * corpus (this testdata: ~40-word vocabulary, ~10x occurrence/
+    * distinct ratio) that was ~90% of the expression's work. The dedup
+    * set is open-addressed over (offset, len) slices with byte-exact
+    * confirmation on probe hits, so a 32-bit mix collision can only
+    * cost a probe step, never drop a distinct shingle — the result is
+    * bit-identical to the dedup-free pass by the duplicates-cannot-
+    * change-a-min argument.
     */
   private[functions] def computeMins(s: UTF8String, k: Int, gram: Int): Array[Long] = {
     val bytes = s.getBytes
@@ -66,6 +77,22 @@ object MinhashSigs {
     val digest = Md5Local.get()
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
+    // open-addressed seen-set: slot -> packed (offset << 24 | len),
+    // -1 = empty. Sized for ~hundreds of distinct shingles, grown 2x
+    // at 60% load; offsets fit 40 bits (UTF8String payloads are far
+    // below 2^40 bytes) and token lengths 24 bits.
+    var cap = 256
+    var mask = cap - 1
+    var table = new Array[Long](cap)
+    java.util.Arrays.fill(table, -1L)
+    var used = 0
+    def mix(from: Int, len: Int): Int = {
+      var h = 0x9e3779b9
+      var j = from
+      val end = from + len
+      while (j < end) { h = (h ^ bytes(j)) * 0x01000193; j += 1 }
+      h
+    }
     var start = 0
     var prevStart = -1 // previous token's start; -1 until one token seen
     var i = 0
@@ -73,19 +100,64 @@ object MinhashSigs {
       if (i == n || bytes(i) == ' ') { // token is bytes[start, i)
         val from = if (gram == 1) start else prevStart
         if (from >= 0) { // shingle is bytes[from, i)
-          digest.reset()
-          digest.update(bytes, from, i - from)
-          val d = digest.digest()
-          val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-          val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-          var seed = 0
-          var h = h1 // (h1 + seed*h2) built incrementally, masked to 32 bits
-          while (seed < k) {
-            if (h < mins(seed)) mins(seed) = h
-            h = (h + h2) & Mod
-            seed += 1
+          val len = i - from
+          // probe the seen-set; byte-compare on every non-empty slot.
+          // A shingle too long for the 24-bit len field (>= 16 MiB)
+          // skips dedup entirely (treated as fresh, never stored) —
+          // pure wasted-work, never wrong.
+          val dedupable = len < (1 << 24)
+          var slot = mix(from, len) & mask
+          var fresh = true
+          var probing = dedupable
+          while (probing) {
+            val packed = table(slot)
+            if (packed == -1L) probing = false
+            else {
+              val off2 = (packed >>> 24).toInt
+              val len2 = (packed & 0xffffffL).toInt
+              if (len2 == len && {
+                var j = 0
+                while (j < len && bytes(off2 + j) == bytes(from + j)) j += 1
+                j == len
+              }) { fresh = false; probing = false }
+              else slot = (slot + 1) & mask
+            }
+          }
+          if (fresh) {
+            if (dedupable) {
+              table(slot) = (from.toLong << 24) | len.toLong
+              used += 1
+            }
+            if (used * 5 > cap * 3) { // grow at 60% load
+              val old = table
+              cap <<= 1; mask = cap - 1
+              table = new Array[Long](cap)
+              java.util.Arrays.fill(table, -1L)
+              var t = 0
+              while (t < old.length) {
+                val p = old(t)
+                if (p != -1L) {
+                  var s2 = mix((p >>> 24).toInt, (p & 0xffffffL).toInt) & mask
+                  while (table(s2) != -1L) s2 = (s2 + 1) & mask
+                  table(s2) = p
+                }
+                t += 1
+              }
+            }
+            digest.reset()
+            digest.update(bytes, from, len)
+            val d = digest.digest()
+            val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+              ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+            var seed = 0
+            var h = h1 // (h1 + seed*h2) built incrementally, masked to 32 bits
+            while (seed < k) {
+              if (h < mins(seed)) mins(seed) = h
+              h = (h + h2) & Mod
+              seed += 1
+            }
           }
         }
         prevStart = start

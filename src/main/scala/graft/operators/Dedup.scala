@@ -56,6 +56,28 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
 
+  /** Round-robin a frame out to the session's shuffle parallelism iff
+    * its scan is narrower than that — at bench SFs the corpus is ONE
+    * parquet split (single row group), so every persisted producer
+    * below otherwise computes serially in one task AND the banding
+    * self-join + partial-distinct inherit the single partition
+    * (measured: dd8's pair generation 2.0-2.5s in one task, candidates
+    * wall 2.6s -> 0.6s with the spread at 32 cores). At cluster scale
+    * the scan already has >= parallelism splits and this is the
+    * identity — no corpus-wide reshuffle is ever added.
+    *
+    * Width = HALF the session parallelism (floor 4): the md5 + probe +
+    * partial-distinct work contends on memory at full SMT width — the
+    * parts sweep at 32 cores measured wall/task-s of 2.6/3.5 serial,
+    * 0.67/3.3 at 8, 0.57/4.4 at 16, 0.72/10.8 at 32 — half keeps
+    * task-seconds near the serial floor while taking ~all of the wall
+    * win, at any SPARK_GRAFT_CPUS the driver sweeps.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val n = math.max(4, df.sparkSession.sessionState.conf.numShufflePartitions / 2)
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
+
   // ---- exact-substring scrub primitives (dd10 + the sm15 streaming
   // twin share these; semantics documented at dd10's registry entry) ----
 
@@ -148,7 +170,7 @@ object Dedup {
     */
   private def hashedTokens(s: SparkSession, dir: String): DataFrame =
     graft.CacheScope.track(
-      docs(s, dir)
+      spread(docs(s, dir))
         .select(col("doc_id"),
           sort_array(array_distinct(transform(tokensCol,
             t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))))
@@ -179,7 +201,7 @@ object Dedup {
 
   private def signatures(s: SparkSession, dir: String): DataFrame =
     graft.CacheScope.track(
-      sigArrayOf(docs(s, dir)).persist(StorageLevel.MEMORY_AND_DISK))
+      sigArrayOf(spread(docs(s, dir))).persist(StorageLevel.MEMORY_AND_DISK))
 
   /** (doc_id, band, sig) LSH banding computed by the FUSED native
     * [[graft.functions.MinhashBandSigs]] expression: minhash → band
@@ -214,7 +236,7 @@ object Dedup {
     */
   private def bandSigs(s: SparkSession, dir: String): DataFrame =
     graft.CacheScope.track(
-      bandSigsOf(docs(s, dir)).persist(StorageLevel.MEMORY_AND_DISK))
+      bandSigsOf(spread(docs(s, dir))).persist(StorageLevel.MEMORY_AND_DISK))
 
   /** Band signatures of an arbitrary (doc_id, text, ...) frame — the same
     * minhash→banding math the batch queries run, exposed un-persisted so
@@ -338,7 +360,7 @@ object Dedup {
     */
   private def bigramLshCandidates(s: SparkSession, dir: String): DataFrame =
     candidatesFrom(graft.CacheScope.track(
-      bandSigsOf(docs(s, dir).filter(col("text").contains(" ")), gram = 2)
+      bandSigsOf(spread(docs(s, dir).filter(col("text").contains(" "))), gram = 2)
         .persist(StorageLevel.MEMORY_AND_DISK)))
 
   /** Candidate pairs with their bigram-shingle intersection counts —
@@ -352,7 +374,7 @@ object Dedup {
     */
   private def bigramIntersects(s: SparkSession, dir: String): DataFrame = {
     val bg = graft.CacheScope.track(
-      docs(s, dir)
+      spread(docs(s, dir))
         .select(
           col("doc_id"),
           call_function(GraftFunctions.BigramName, col("text")).as("bg"))
@@ -805,7 +827,14 @@ object Dedup {
             col("n_agree"),
             round(col("n_agree").cast("double") / NumHashes, 6).as("est_jaccard"))
           .filter(col("est_jaccard") >= JaccardThreshold)
-        sortedOut(scored, "doc_a", "doc_b")
+        // bare orderBy, NOT sortedOut: the estimator's survivor set is a
+        // third of the candidates (858k rows at sf0.1), so persisting it
+        // for the sort costs two extra cache passes over corpus-sized
+        // data; the plan below the sort ends at the candidate distinct's
+        // exchange and the per-pair work above it is one zipped compare,
+        // cheap to re-run in the sampling pass (measured at sf0.1/32:
+        // persist+sort 18.3 task-s vs bare 8.6 on the identical plan)
+        scored.orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $candSql,
               |sg AS (SELECT doc_id, list(minhash ORDER BY seed) AS sig FROM mh GROUP BY doc_id)

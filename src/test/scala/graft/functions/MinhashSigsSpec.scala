@@ -49,6 +49,37 @@ class MinhashSigsSpec extends SparkSpec {
     assert(rows.length === cases.length)
   }
 
+  test("seen-set dedup is invisible: random corpora, table growth, heavy dups") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val k = 16
+    val rnd = new scala.util.Random(42)
+    // vocab large enough to force the 256-slot seen-set to grow twice;
+    // docs mix heavy duplication with one-off tokens and empty tokens
+    val vocab = (0 until 600).map(i => s"tok$i${"x" * (i % 5)}")
+    val docs = (0 until 30).map { _ =>
+      val n = 50 + rnd.nextInt(900)
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ") + (if (rnd.nextBoolean()) "  " else "")
+    }
+    val words = split(col("text"), " ")
+    val hp = transform(words, t => struct(
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(t), 9, 8), 16, 10).cast("long").as("h2")))
+    val ref = transform(
+      sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hp,
+        p => pmod(p.getField("h1") + i.cast("long") * p.getField("h2"),
+          lit(4294967296L)))))
+    val rows = docs.toDF("text")
+      .select(
+        call_function(GraftFunctions.MinhashName, col("text"), lit(k)).as("native"),
+        ref.as("reference"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    assert(rows.length === docs.length)
+  }
+
   test("fused band signatures == banding the native signature column chain") {
     GraftFunctions.register(spark)
     import spark.implicits._
