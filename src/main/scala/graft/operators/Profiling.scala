@@ -94,15 +94,30 @@ object Profiling {
     Q(
       "dp3_numeric_stats",
       (s, dir) => {
-        val xi = round(col("l_quantity")).cast("decimal(38,0)")
-        val yi = round(col("l_extendedprice") * 100).cast("decimal(38,0)")
+        // exact integer power sums as three 21-bit long limb sums per
+        // term (recombined per group) — dp5's BigDecimal-avoidance
+        // trick; values fit longs (qty ≤ 50, cents ≤ ~1e7), products
+        // fit longs, limb sums hold to 2^42 rows per group
+        val xi = round(col("l_quantity")).cast("long")
+        val yi = round(col("l_extendedprice") * 100).cast("long")
+        val M21 = (1L << 21) - 1
+        def limbs(prod: org.apache.spark.sql.Column, name: String) = Seq(
+          sum(shiftright(prod, 42)).as(s"${name}__h"),
+          sum(shiftright(prod, 21).bitwiseAND(lit(M21))).as(s"${name}__m"),
+          sum(prod.bitwiseAND(lit(M21))).as(s"${name}__l"))
+        def dec(name: String) =
+          (col(s"${name}__h").cast("decimal(38,0)") * lit(1L << 42) +
+            col(s"${name}__m").cast("decimal(38,0)") * lit(1L << 21) +
+            col(s"${name}__l").cast("decimal(38,0)")).as(name)
+        val terms = Seq("sx" -> xi, "sy" -> yi, "sxx" -> (xi * xi),
+          "syy" -> (yi * yi), "sxy" -> (xi * yi))
+        val aggs = Seq(count(lit(1)).as("n")) ++
+          terms.flatMap { case (nm, p) => limbs(p, nm) }
         val g = Tables(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(
-            count(lit(1)).as("n"),
-            sum(xi).as("sx"), sum(yi).as("sy"),
-            sum(xi * xi).as("sxx"), sum(yi * yi).as("syy"),
-            sum(xi * yi).as("sxy"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(Seq(col("l_returnflag"), col("n")) ++
+            terms.map { case (nm, _) => dec(nm) }: _*)
         val cNum = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
         val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
         val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
@@ -269,24 +284,49 @@ object Profiling {
     ),
 
     // DP5: full pairwise correlation matrix of the profiled columns in
-    // ONE scan — every per-column and cross-column decimal power sum
-    // rides a single wide aggregate (no per-pair passes, no Expand),
-    // and the 6 Pearson coefficients are derived from those exact
-    // integer sums in a one-row projection before `stack` unpivots
-    // them. Same determinism contract as dp3: sums are
-    // DECIMAL(38,0)-exact, the float math is a fixed expression over
-    // exact inputs, so the oracle matches bit-for-bit. At 100 TB the
-    // scan is the cost; the aggregate state is O(columns²) longs.
+    // ONE scan — every per-column and cross-column power sum rides a
+    // single wide aggregate (no per-pair passes, no Expand), and the 6
+    // Pearson coefficients are derived from those exact integer sums in
+    // a one-row projection before `stack` unpivots them. Same
+    // determinism contract as dp3: sums are exact integers, the float
+    // math is a fixed expression over exact inputs, so the oracle
+    // matches bit-for-bit. At 100 TB the scan is the cost; the
+    // aggregate state is O(columns²) longs.
+    //
+    // The exact sums accumulate as THREE 21-bit LONG LIMB sums per
+    // term, recombined into one decimal per limb-triple on the single
+    // output row — not as decimal(38,0) sums: every per-row decimal
+    // product runs on the BigDecimal path (measured: 2.5 task-s for
+    // 600k rows; the limb form 0.3), while the limb split is three
+    // codegen'd long shifts/adds. Exactness: each scaled value ≤ 1e9,
+    // so products fit a long exactly; limb sums stay below 2^63 up to
+    // 2^42 (~4.4e12) rows — an order of magnitude above a 100 TB
+    // lineitem; beyond that, widen to a fourth limb.
     Q(
       "dp5_correlation_matrix",
       (s, dir) => {
-        def xi(c: String) = round(col(c) * 10000).cast("decimal(38,0)")
+        def xi(c: String) = round(col(c) * 10000).cast("long")
+        val M21 = (1L << 21) - 1
+        // three long limb sums of an exact long product
+        def limbs(prod: org.apache.spark.sql.Column, name: String) = Seq(
+          sum(shiftright(prod, 42)).as(s"${name}__h"),
+          sum(shiftright(prod, 21).bitwiseAND(lit(M21))).as(s"${name}__m"),
+          sum(prod.bitwiseAND(lit(M21))).as(s"${name}__l"))
+        // recombine: hi·2^42 + mid·2^21 + lo, exact in decimal(38,0)
+        def dec(name: String) =
+          (col(s"${name}__h").cast("decimal(38,0)") * lit(1L << 42) +
+            col(s"${name}__m").cast("decimal(38,0)") * lit(1L << 21) +
+            col(s"${name}__l").cast("decimal(38,0)")).as(name)
         val pairs = Columns.combinations(2).map(p => (p(0), p(1))).toSeq
         val aggs = Seq(count(lit(1)).as("n")) ++
-          Columns.map(c => sum(xi(c)).as(s"s_$c")) ++
-          Columns.map(c => sum(xi(c) * xi(c)).as(s"ss_$c")) ++
-          pairs.map { case (a, b) => sum(xi(a) * xi(b)).as(s"sp_${a}_$b") }
+          Columns.flatMap(c => limbs(xi(c), s"s_$c")) ++
+          Columns.flatMap(c => limbs(xi(c) * xi(c), s"ss_$c")) ++
+          pairs.flatMap { case (a, b) => limbs(xi(a) * xi(b), s"sp_${a}_$b") }
         val g = Tables(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+          .select(Seq(col("n")) ++
+            Columns.map(c => dec(s"s_$c")) ++
+            Columns.map(c => dec(s"ss_$c")) ++
+            pairs.map { case (a, b) => dec(s"sp_${a}_$b") }: _*)
         def corrExpr(a: String, b: String): String =
           s"ROUND(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) / " +
             s"(SQRT(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)) * " +

@@ -50,6 +50,34 @@ class JaroWinklerSpec extends SparkSpec {
     }
   }
 
+  test("dispatch seams: ASCII byte path and equality short-circuit == char kernel") {
+    // the UTF-16 char kernel is the reference form; the byte fast path,
+    // the byte-equality 1.0 short-circuit, and the non-ASCII fallback
+    // must all agree with it exactly
+    val alpha = Gen.oneOf(('a' to 'e') ++ Seq(' ', 'Z', '0', 'é', 'ß'))
+    val gen = Gen.zip(
+      Gen.listOf(alpha).map(_.mkString), Gen.listOf(alpha).map(_.mkString))
+    (0 until 2000).foreach { i =>
+      val (a0, b0) = gen.pureApply(Gen.Parameters.default, GenSeed(i.toLong))
+      // stretch every 5th case across the 64- and 128-char word
+      // boundaries of the bit-parallel kernel (and past its 128 cap,
+      // which must fall back to the scalar byte path)
+      val stretch = i % 5 match {
+        case 0 => 1
+        case 1 => 3 // ~60-90 chars: straddles the first word boundary
+        case 2 => 5 // ~100-150: straddles the 128 cap
+        case _ => 1
+      }
+      val a = a0 * stretch
+      val b = if (i % 7 == 0) a else b0 * stretch
+      val viaDispatch = jw(a, b)
+      val viaChars = JaroWinklerSimilarity.computeChars(a, b)
+      // computeChars returns the raw kernel value; empty inputs and the
+      // dispatcher agree on 0.0 already
+      assert(viaDispatch === viaChars, s"case $i: '$a' vs '$b'")
+    }
+  }
+
   test("stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val df = spark.range(4)
