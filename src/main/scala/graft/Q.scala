@@ -50,6 +50,25 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     normalize(spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** Round-robin a frame out to HALF the session's shuffle parallelism
+    * iff its scan is narrower than that (identity otherwise — at
+    * cluster scale a table arrives as many splits and no reshuffle is
+    * ever added). At bench SFs every table is ONE parquet split (single
+    * row group), so any query whose map side does real per-row work
+    * (digesting, joins feeding partial aggregation, scoring) otherwise
+    * runs that stage serially in one task. Width = half parallelism
+    * with floor 4: the Dedup width sweep at 32 cores measured wall /
+    * task-s of 2.6/3.5 serial, 0.67/3.3 at 8, 0.57/4.4 at 16,
+    * 0.72/10.8 at 32 — full SMT width triples CPU through memory
+    * contention, half keeps task-seconds near the serial floor while
+    * taking ~all of the wall win, at any SPARK_GRAFT_CPUS the driver
+    * sweeps.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val n = math.max(4, df.sparkSession.sessionState.conf.numShufflePartitions / 2)
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
+
   /** Normalize timestamp-bearing columns to `TimestampType` (see [[apply]]).
     * Safe on any frame, batch or streaming; no-op when nothing matches.
     */

@@ -71,12 +71,10 @@ object Dedup {
     * parts sweep at 32 cores measured wall/task-s of 2.6/3.5 serial,
     * 0.67/3.3 at 8, 0.57/4.4 at 16, 0.72/10.8 at 32 — half keeps
     * task-seconds near the serial floor while taking ~all of the wall
-    * win, at any SPARK_GRAFT_CPUS the driver sweeps.
+    * win, at any SPARK_GRAFT_CPUS the driver sweeps. (Shared impl:
+    * [[graft.Tables.spread]].)
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val n = math.max(4, df.sparkSession.sessionState.conf.numShufflePartitions / 2)
-    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
-  }
+  private def spread(df: DataFrame): DataFrame = Tables.spread(df)
 
   // ---- exact-substring scrub primitives (dd10 + the sm15 streaming
   // twin share these; semantics documented at dd10's registry entry) ----
@@ -539,7 +537,13 @@ object Dedup {
             (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
               .as("jaccard"))
           .filter(col("jaccard") >= JaccardThreshold)
-        sortedOut(scored, "doc_a", "doc_b")
+        // bare orderBy, same rationale as dd8: survivors are a third of
+        // the candidate set (corpus-sized), the plan below the sort ends
+        // at the distinct's exchange, and the per-pair merge-intersect
+        // over ~23-long sorted arrays is cheap to re-run in the
+        // sampling pass — cheaper than persisting 850k rows and reading
+        // them back twice
+        scored.orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $candSql,
               |$tkSql
@@ -616,9 +620,9 @@ object Dedup {
         // the corpus arrives as one parquet split at these SFs, and the
         // gram construction is the md5-heavy stage — round-robin it
         // wide first (rl1's lesson: a single input split serializes
-        // every row-local stage built on it)
-        val base = docs(s, dir)
-          .repartition(s.sessionState.conf.numShufflePartitions)
+        // every row-local stage built on it); width via spread() —
+        // half parallelism, see its SMT-contention sweep
+        val base = spread(docs(s, dir))
           .select(col("doc_id"), col("text"))
         val toks = base.select(col("doc_id"), split(col("text"), " ").as("toks"))
         val grams = gramOccurrences(base, ScrubW)

@@ -393,6 +393,9 @@ object ExtendedOps {
       "wq4_winsorized_stats",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // NO scan spread: tried in r16 and reverted — the histogram
+        // partial agg is too cheap per row for the round-robin to pay
+        // (wall 3.91 -> 3.65 but task-s 4.5 -> 10.6 in the matched A/B)
         val li = Tables(s, dir, "lineitem")
           .select("l_returnflag", "l_extendedprice")
         // Exact percentile via VALUE HISTOGRAM + cumulative window (the

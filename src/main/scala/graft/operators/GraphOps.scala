@@ -638,6 +638,10 @@ object GraphOps {
       "gr6_copurchase_projection",
       (s, dir) => {
         val capN = CoPurchaseCap
+        // NO fact-side spread: tried in r16 and reverted — the probe +
+        // (cust, part) partial count is too cheap per row for a
+        // round-robin to pay (wall 3.79 -> 3.01 but task-s 7.1 -> 20.2
+        // in the matched A/B; the low-core sweep keys on task-s)
         val bought = Tables(s, dir, "lineitem")
           .join(Tables(s, dir, "orders"),
             col("l_orderkey") === col("o_orderkey"))
