@@ -159,8 +159,11 @@ object GraphOps {
       // 1) neighbour min: the smallest label any in-neighbour carries
       val nbr = e.join(labels, e("src") === labels("node"))
         .groupBy(e("dst").as("n2")).agg(min("label").as("nl"))
+      // the round-START label rides along as `old` so the convergence
+      // count needs no third join back onto `labels` — it compares the
+      // jumped label against the carried column in the same rows
       val stepped = labels.join(nbr, labels("node") === nbr("n2"), "left")
-        .select(labels("node"),
+        .select(labels("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       // 2) pointer jump: follow the label one hop (labels are node ids,
       // and every label value is a node in v, so the lookup is total)
@@ -170,12 +173,10 @@ object GraphOps {
       // clusterBands discipline; the tail rounds of a fixed point are
       // driver-round-trip-bound, not data-bound)
       val obs = org.apache.spark.sql.Observation()
-      val jumped = stepped.join(l2, stepped("label") === l2("jn"))
-        .select(stepped("node"), l2("jl").as("label")).as("a")
-        .join(labels.as("b"), col("a.node") === col("b.node"))
-        .observe(obs, coalesce(sum(when(col("a.label") =!= col("b.label"), 1L)
+      val jumped = stepped.as("a").join(l2.as("j"), col("a.label") === col("j.jn"))
+        .observe(obs, coalesce(sum(when(col("j.jl") =!= col("a.old"), 1L)
           .otherwise(0L)), lit(0L)).as("changed"))
-        .select(col("a.node").as("node"), col("a.label").as("label"))
+        .select(col("a.node").as("node"), col("j.jl").as("label"))
         .localCheckpoint(true)
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = jumped
