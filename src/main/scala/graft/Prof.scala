@@ -31,18 +31,21 @@ object Prof {
 
     final case class St(name: String, tasks: Int, taskMs: Long, inMb: Double,
         shReadMb: Double, shWriteMb: Double, recsIn: Long, recsOut: Long)
+    // appended from the listener-bus thread, cleared/read on main:
+    // guard every access, and flush the bus before clearing so fixture
+    // stragglers can't book against run1 (ADVICE r16)
     val stages = scala.collection.mutable.ArrayBuffer[St]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val i = e.stageInfo
         val m = i.taskMetrics
-        stages += St(
+        stages.synchronized { stages += St(
           i.name.take(120), i.numTasks, m.executorRunTime,
           m.inputMetrics.bytesRead / 1e6,
           m.shuffleReadMetrics.totalBytesRead / 1e6,
           m.shuffleWriteMetrics.bytesWritten / 1e6,
           m.shuffleReadMetrics.recordsRead + m.inputMetrics.recordsRead,
-          m.shuffleWriteMetrics.recordsWritten + m.outputMetrics.recordsWritten)
+          m.shuffleWriteMetrics.recordsWritten + m.outputMetrics.recordsWritten) }
       }
     })
 
@@ -53,13 +56,15 @@ object Prof {
       spark.catalog.clearCache()
       TempDirs.sweep()
       System.gc()
-      stages.clear()
+      org.apache.spark.graft.BusFlush.flush(spark.sparkContext)
+      stages.synchronized { stages.clear() }
       val t0 = System.nanoTime()
       q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       org.apache.spark.graft.BusFlush.flush(spark.sparkContext)
-      println(f"%n== $name $label wall ${wall}%.2fs task ${stages.map(_.taskMs).sum / 1000.0}%.1fs stages ${stages.size}%d ==")
-      stages.sortBy(-_.taskMs).take(18).foreach { s =>
+      val snap = stages.synchronized { stages.toVector }
+      println(f"%n== $name $label wall ${wall}%.2fs task ${snap.map(_.taskMs).sum / 1000.0}%.1fs stages ${snap.size}%d ==")
+      snap.sortBy(-_.taskMs).take(18).foreach { s =>
         println(f"  ${s.taskMs / 1000.0}%7.2fs  n=${s.tasks}%-4d in=${s.inMb}%8.1fMB shR=${s.shReadMb}%8.1fMB shW=${s.shWriteMb}%8.1fMB recsIn=${s.recsIn}%-10d recsOut=${s.recsOut}%-10d ${s.name}%s")
       }
     }

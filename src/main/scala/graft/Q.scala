@@ -66,7 +66,38 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val n = math.max(4, df.sparkSession.sessionState.conf.numShufflePartitions / 2)
-    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+    if (scanParts(df) >= n) df else df.repartition(n)
+  }
+
+  /** Split count of `df`'s scan, memoized per (session, file set): the
+    * `df.rdd` probe forces a full physical planning + RDD conversion of
+    * the subtree per call (ADVICE r16), but the answer depends only on
+    * the files and the session's split confs — spread() only ever wraps
+    * near-scan frames (projections/filters never change split packing
+    * on these unpartitioned tables), so one probe per input table per
+    * session covers every caller. Sessions are weakly keyed: test
+    * suites churn sessions and must not accumulate entries.
+    */
+  private val spreadParts =
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, java.lang.Integer]]()
+
+  private def scanParts(df: DataFrame): Int = {
+    val s = df.sparkSession
+    val key = df.inputFiles.sorted.mkString("\n")
+    spreadParts.synchronized {
+      var m = spreadParts.get(s)
+      if (m == null) {
+        m = new java.util.HashMap[String, java.lang.Integer]()
+        spreadParts.put(s, m)
+      }
+      val cached = m.get(key)
+      if (cached != null) cached.intValue()
+      else {
+        val p = df.rdd.getNumPartitions
+        m.put(key, Integer.valueOf(p))
+        p
+      }
+    }
   }
 
   /** Normalize timestamp-bearing columns to `TimestampType` (see [[apply]]).

@@ -127,21 +127,23 @@ object MinhashSigs {
             if (dedupable) {
               table(slot) = (from.toLong << 24) | len.toLong
               used += 1
-            }
-            if (used * 5 > cap * 3) { // grow at 60% load
-              val old = table
-              cap <<= 1; mask = cap - 1
-              table = new Array[Long](cap)
-              java.util.Arrays.fill(table, -1L)
-              var t = 0
-              while (t < old.length) {
-                val p = old(t)
-                if (p != -1L) {
-                  var s2 = mix((p >>> 24).toInt, (p & 0xffffffL).toInt) & mask
-                  while (table(s2) != -1L) s2 = (s2 + 1) & mask
-                  table(s2) = p
+              // grow only when an insert actually happened — a
+              // non-dedupable (never-inserted) shingle can't raise load
+              if (used * 5 > cap * 3) { // grow at 60% load
+                val old = table
+                cap <<= 1; mask = cap - 1
+                table = new Array[Long](cap)
+                java.util.Arrays.fill(table, -1L)
+                var t = 0
+                while (t < old.length) {
+                  val p = old(t)
+                  if (p != -1L) {
+                    var s2 = mix((p >>> 24).toInt, (p & 0xffffffL).toInt) & mask
+                    while (table(s2) != -1L) s2 = (s2 + 1) & mask
+                    table(s2) = p
+                  }
+                  t += 1
                 }
-                t += 1
               }
             }
             digest.reset()

@@ -96,8 +96,11 @@ object GraphOps {
 
     var ranks = v.withColumn("rank", lit(Scale / n))
     for (r <- 0 until iterations) {
-      val contribs = e.join(ranks, e("src") === ranks("node"))
-        .select(e("dst"), expr("(rank * w) div outw").as("c"))
+      // explicit dataset aliases (the shortestPaths discipline): on
+      // un-severed rounds `ranks` contains e's subtree, so bare
+      // e("dst")/e("w") would resolve only by join-leg order
+      val contribs = e.as("e").join(ranks.as("r"), col("e.src") === col("r.node"))
+        .select(col("e.dst").as("dst"), expr("(r.rank * e.w) div e.outw").as("c"))
         .groupBy("dst").agg(sum("c").as("c"))
       val next = v.join(contribs, v("node") === contribs("dst"), "left")
         .select(v("node"),
