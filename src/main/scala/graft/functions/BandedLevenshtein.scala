@@ -64,6 +64,12 @@ object BandedLevenshtein {
     val n = s.length
     val m = t.length
     if (m - n > k) return -1
+    if (n == 0) return m // m - 0 <= k here, so the distance is just m
+    // shorter side fits one machine word -> Myers' bit-parallel DP:
+    // exact distance at ~14 word ops per text byte, vs ~8 ops per CELL
+    // over the (2k+1)-wide band below (k=16 -> 33 cells/row). dd9's
+    // 64-char prefixes always land here.
+    if (n <= 64) return myers(s, t, k)
     val inf = k + 1
     var prev = new Array[Int](m + 1)
     var cur = new Array[Int](m + 1)
@@ -96,6 +102,60 @@ object BandedLevenshtein {
       i += 1
     }
     if (prev(m) > k) -1 else prev(m)
+  }
+
+  /** Per-thread positions-of-char masks for [[myers]] (byte value ->
+    * 64-bit mask over the pattern); only the entries a call touches are
+    * re-zeroed on exit, the same reuse discipline as JaroWinkler's.
+    */
+  private val peqScratch = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](256)
+  }
+
+  /** Myers' bit-parallel Levenshtein (1999) for an ASCII pattern `s` of
+    * at most 64 bytes against text `t`: the DP column's vertical deltas
+    * live in two words (Pv = +1 positions, Mv = -1 positions) and each
+    * text byte advances the whole column in ~14 word ops. The score
+    * tracks D[n][j] exactly, so the result is the exact distance —
+    * thresholded to -1 beyond k like Spark's kernel. Early exit: the
+    * final distance is at least score - (remaining text bytes), since
+    * one text byte moves D[n][.] by at most 1.
+    *
+    * Bits >= n hold phantom pattern positions whose Eq is always 0; all
+    * information flow in the recurrence is upward (addition carries and
+    * left shifts), so they never corrupt bits < n, and the score is
+    * read at bit n-1 only. (BandedLevenshteinSpec pins parity against
+    * Spark's kernel across the n = 64 seam property-style.)
+    */
+  private def myers(s: Array[Byte], t: Array[Byte], k: Int): Int = {
+    val n = s.length
+    val m = t.length
+    val peq = peqScratch.get()
+    var i = 0
+    while (i < n) { peq(s(i) & 0xff) |= 1L << i; i += 1 }
+    val last = 1L << (n - 1)
+    var pv = -1L
+    var mv = 0L
+    var score = n
+    var j = 0
+    var live = true
+    while (live && j < m) {
+      val eq = peq(t(j) & 0xff)
+      val xv = eq | mv
+      val xh = (((eq & pv) + pv) ^ pv) | eq
+      var ph = mv | ~(xh | pv)
+      val mh = pv & xh
+      if ((ph & last) != 0L) score += 1
+      else if ((mh & last) != 0L) score -= 1
+      ph = (ph << 1) | 1L
+      pv = (mh << 1) | ~(xv | ph)
+      mv = ph & xv
+      if (score - (m - 1 - j) > k) live = false // can't get back under k
+      j += 1
+    }
+    i = 0
+    while (i < n) { peq(s(i) & 0xff) = 0L; i += 1 }
+    if (!live || score > k) -1 else score
   }
 
   /** One linear high-bit scan; ≤ 64 bytes for dd9's prefixes. */

@@ -410,29 +410,106 @@ object ExtendedOps {
         // p·(n−1), lower/higher keys by cumulative count, then
         // (higher−pos)·lowerKey + (pos−lower)·higherKey — so the
         // doubles are bit-identical to percentile()'s (oracle-proven).
+        // Cumulative count via TWO-LEVEL prefix sum (the lk3 grade-CDF
+        // discipline) instead of a Window partitioned by l_returnflag:
+        // that window put each group's whole distinct-value histogram
+        // through ONE task (3 tasks total at any scale — at 100 TB that
+        // is millions of rows through a single sorted window buffer).
+        // Level 1: stamp each histogram row with a VALUE BUCKET — the
+        // count of precomputed quantile boundaries at or below its
+        // value, a deterministic monotone label, so unlike a
+        // spark_partition_id over a range exchange it needs no persist
+        // to stay consistent across its consumers (any monotone,
+        // execution-consistent bucketing yields the same cw; the
+        // sketch's own precision only balances bucket sizes). Take
+        // per-(bucket, group) subtotals, a |buckets|×|groups|-row frame.
+        // Level 2: cumulate the subtotals into per-bucket offsets (a
+        // window over the tiny subtotal frame) and finish with a
+        // per-(bucket, group) local running sum over ONLY the buckets a
+        // percentile lands in (see the pruning note below).
+        // cw per row is the identical long, so the interpolated doubles
+        // below are bit-identical to the single-window form
+        // (oracle-proven at sf0.01/sf0.1).
+        val parts = math.max(1,
+          s.sessionState.conf.numShufflePartitions)
+        // one bounded driver fetch (the gr3/gradeMap discipline): one
+        // boundary per session core from a mergeable sketch, folded
+        // into the plan as literals — the histogram keeps its map-side
+        // partial aggregation (a range exchange would drop it), and the
+        // bucket label is a codegen'd comparison chain, not a HOF (the
+        // chain must stay small enough for whole-stage codegen: a
+        // 4x-cores chain blew the generated-method budget and fell back
+        // to interpreted eval at ~25 us/row)
+        val bRow = li.agg(expr(
+          s"approx_percentile(l_extendedprice, array(${
+            (1 until parts).map(i => i.toDouble / parts).mkString(",")
+          }), 10000)").as("b")).head()
+        val bnds =
+          if (bRow.isNullAt(0)) Array.empty[Double]
+          else bRow.getSeq[Double](0).distinct.sorted.toArray
+        val bucket = bnds.map(b =>
+            when(col("l_extendedprice") >= lit(b), 1).otherwise(0))
+          .reduceOption[org.apache.spark.sql.Column](_ + _).getOrElse(lit(0))
         val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
           .agg(count(lit(1)).as("cnt"))
-        val cw = sum(col("cnt")).over(
-          Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        val cum = hist.withColumn("cw", cw)
-        val tot = hist.groupBy("l_returnflag").agg(sum("cnt").as("n_tot"))
+          .withColumn("_b", bucket)
+        // Level-2 offsets, totals, positions and hot buckets all derive
+        // from the |buckets|×|groups|-row subtotal frame INSIDE the one
+        // query execution (broadcast subqueries), so the histogram's
+        // exchange map side runs once and is reused — a bounded driver
+        // fetch of the subtotals was tried and REVERTED: it is a second
+        // ACTION, and exchange reuse never crosses actions, so the
+        // histogram map pass ran twice (+0.5 task-s, +0.3 s wall).
+        val offW = Window.partitionBy("l_returnflag").orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = hist.groupBy("_b", "l_returnflag")
+          .agg(sum("cnt").as("_pn"))
+          .select(col("_b"), col("l_returnflag"), col("_pn"),
+            coalesce(sum("_pn").over(offW), lit(0L)).as("_off"))
+        // group totals fall out of the subtotals — no third histogram pass
+        val tot = offs.groupBy("l_returnflag").agg(sum("_pn").as("n_tot"))
         def pctl(p: Double, out: String): Seq[org.apache.spark.sql.Column] = {
           val pos = lit(p) * (col("n_tot") - 1).cast("double")
           Seq(pos.as(s"${out}_pos"),
             floor(pos).as(s"${out}_lo"), ceil(pos).as(s"${out}_hi"))
         }
-        val marks = cum.join(broadcast(tot), Seq("l_returnflag"))
-          .select(Seq(col("l_returnflag"), col("l_extendedprice"), col("cw")) ++
-            pctl(0.01, "a") ++ pctl(0.99, "b"): _*)
-        def key(idx: org.apache.spark.sql.Column) =
-          min(when(col("cw") >= idx + 1, col("l_extendedprice")))
-        val bands = marks.groupBy("l_returnflag")
+        val markPos = tot.select(
+          Seq(col("l_returnflag")) ++ pctl(0.01, "a") ++ pctl(0.99, "b"): _*)
+        // The interpolation below reads the histogram at FOUR cumulative
+        // positions per group (P1/P99's floor and ceil neighbours). A
+        // cumulative position's crossing row — the first row with
+        // cw >= t, i.e. min(value | cw >= t), since cw ascends with
+        // value — lives in exactly the bucket whose offset range
+        // (_off, _off + _pn] brackets it, so only those <= 4 buckets
+        // per group enter the local running-sum window at all; the rest
+        // of the histogram never reaches a window task at any scale.
+        val tgt = markPos
+          .select(col("l_returnflag"),
+            explode(array(col("a_lo") + 1, col("a_hi") + 1,
+              col("b_lo") + 1, col("b_hi") + 1)).as("t"))
+          .distinct()
+        val hot = offs.join(tgt, Seq("l_returnflag"))
+          .filter(col("t") > col("_off") && col("t") <= col("_off") + col("_pn"))
+        val hotParts = hot.select("_b", "l_returnflag", "_off").distinct()
+        val localW = Window.partitionBy("_b", "l_returnflag")
+          .orderBy("l_extendedprice")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cumHot = hist.join(broadcast(hotParts), Seq("_b", "l_returnflag"))
+          .withColumn("cw", sum(col("cnt")).over(localW) + col("_off"))
+        val keys = cumHot
+          .join(broadcast(tgt), Seq("l_returnflag"))
+          .filter(col("cw") >= col("t"))
+          .groupBy("l_returnflag", "t")
+          .agg(min(col("l_extendedprice")).as("key"))
+        def keyAt(idx: org.apache.spark.sql.Column) =
+          min(when(col("t") === idx + 1, col("key")))
+        val bands = markPos.join(keys, Seq("l_returnflag"))
+          .groupBy("l_returnflag")
           .agg(
-            key(col("a_lo")).as("a_lok"), key(col("a_hi")).as("a_hik"),
+            keyAt(col("a_lo")).as("a_lok"), keyAt(col("a_hi")).as("a_hik"),
             max(col("a_pos")).as("a_pos"), max(col("a_lo")).as("a_lo"),
             max(col("a_hi")).as("a_hi"),
-            key(col("b_lo")).as("b_lok"), key(col("b_hi")).as("b_hik"),
+            keyAt(col("b_lo")).as("b_lok"), keyAt(col("b_hi")).as("b_hik"),
             max(col("b_pos")).as("b_pos"), max(col("b_lo")).as("b_lo"),
             max(col("b_hi")).as("b_hi"))
           .select(

@@ -61,6 +61,32 @@ class BandedLevenshteinSpec extends SparkSpec {
     }
   }
 
+  test("property: the Myers/band dispatch seam at shorter-side length 64") {
+    // the bit-parallel tier handles min(|a|,|b|) <= 64; the band handles
+    // the rest — straddle the seam on both sides, at thresholds around
+    // the lengths, so a wrong word-boundary bit or band edge must fail
+    val gen = for {
+      la <- Gen.choose(58, 70)
+      lb <- Gen.choose(58, 70)
+      a <- Gen.listOfN(la, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+      b <- Gen.listOfN(lb, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+      k <- Gen.choose(0, 70)
+    } yield (a, b, k)
+    (0 until 2000).foreach { i =>
+      val (a, b, k) = gen.pureApply(Gen.Parameters.default, GenSeed(1000000L + i))
+      assert(ours(a, b, k) === sparks(a, b, k), s"a='$a' b='$b' k=$k")
+    }
+    // exactly-64 pattern: bit 63 is the score bit — exercise carry into it
+    val s64 = "a" * 64
+    for (k <- Seq(0, 1, 16, 64)) {
+      assert(ours(s64, s64, k) === sparks(s64, s64, k))
+      assert(ours(s64, "b" + s64.drop(1), k) === sparks(s64, "b" + s64.drop(1), k))
+      assert(ours(s64, s64.dropRight(1) + "b", k) === sparks(s64, s64.dropRight(1) + "b", k))
+      assert(ours(s64, s64 + "cdef", k) === sparks(s64, s64 + "cdef", k))
+      assert(ours(s64.take(63), s64, k) === sparks(s64.take(63), s64, k))
+    }
+  }
+
   test("non-ASCII inputs delegate to Spark's kernel (parity by construction)") {
     val cases = Seq(
       ("héllo", "hello", 5), ("héllo", "héllo", 3), ("日本語", "日本誤", 2),
