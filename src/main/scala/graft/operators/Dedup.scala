@@ -499,6 +499,14 @@ object Dedup {
     // full pair set first copied 2.4M rows through the block store to
     // save that tiny re-run (r16 decomposition at sf0.1: persist+sort
     // 33.8 task-s vs bare sort 12.3).
+    // r17 fusion experiment, tried and REVERTED (VERDICT r16 item 3,
+    // closed): repartitionByRange(doc_a, doc_b) + dropDuplicates +
+    // sortWithinPartitions does fuse to ONE exchange, but that exchange
+    // sits BELOW the dedup aggregate, so it forfeits the hash-distinct's
+    // map-side partial dedup — the raw pair stream is 4.83M rows where
+    // the partially-deduped one is 2.36M (23.2 vs 16.0 MB shuffled), and
+    // the range sampling re-enumerates all 4.83M pairs. Matched Prof A/B
+    // at sf0.1/32, warm run3: 8.9 -> 16.7 task-s, wall 1.23 -> 1.56.
     Q(
       "dd3_lsh_candidates",
       (s, dir) =>
@@ -815,6 +823,10 @@ object Dedup {
         val sg = signatures(s, dir)
         // sg is full-corpus-sized: strategy left to AQE (broadcast at
         // bench SFs, shuffle join on doc_id at scale — VERDICT r5 #2).
+        // (Sorting the candidate ids BELOW the joins was tried in r17
+        // to keep the agree pass out of the sort's sampling job — the
+        // optimizer's EliminateSorts strips any sort under a join
+        // child, so the shape is unreachable declaratively.)
         val scored = lshCandidates(s, dir)
           .join(sg.select(col("doc_id"), col("sig").as("sig_a")),
             col("doc_a") === col("doc_id")).drop("doc_id")
@@ -831,13 +843,16 @@ object Dedup {
             col("n_agree"),
             round(col("n_agree").cast("double") / NumHashes, 6).as("est_jaccard"))
           .filter(col("est_jaccard") >= JaccardThreshold)
-        // bare orderBy, NOT sortedOut: the estimator's survivor set is a
-        // third of the candidates (858k rows at sf0.1), so persisting it
-        // for the sort costs two extra cache passes over corpus-sized
-        // data; the plan below the sort ends at the candidate distinct's
-        // exchange and the per-pair work above it is one zipped compare,
-        // cheap to re-run in the sampling pass (measured at sf0.1/32:
-        // persist+sort 18.3 task-s vs bare 8.6 on the identical plan)
+        // bare orderBy, NOT sortedOut — re-litigated in r17 and KEPT.
+        // The sort's range-sampling job does re-run both signature
+        // joins and the 104-element agree compare (Prof decomposition:
+        // 5.2 of 19.0 warm task-s is that second scoring pass), and a
+        // warm Prof A/B favored persisting the 858k survivors
+        // (19.0 -> 13.3 task-s). But the bench's measurement is the
+        // COLD first run, where the persist's extra cache-build pass
+        // costs more than it saves: matched cold bench A/Bs showed
+        // persisted 18-26 task-s run-1 vs bare 21-22 — no better, with
+        // extra block-store memory held. r16's call stands.
         scored.orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $candSql,
