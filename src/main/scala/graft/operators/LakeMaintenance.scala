@@ -257,27 +257,40 @@ object LakeMaintenance {
       outDir: String,
       numFiles: Int,
       x: String,
-      y: String): Unit =
-    withZ(df, x, y, "z")
+      y: String): Unit = {
+    val frame = withZ(df, x, y, "z")
       .repartitionByRange(numFiles, col("z"))
       .sortWithinPartitions("z")
-      .write.mode("overwrite").option("compression", "zstd").parquet(outDir)
+    // measurement aid (same pattern as SPARK_GRAFT_PIPELINE_TIMING): the
+    // write-side plan is invisible to Explain/Prof because the write runs
+    // as a side effect inside the query builder
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN_WRITE").contains("1"))
+      println(frame.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    frame.write.mode("overwrite").option("compression", "zstd").parquet(outDir)
+  }
 
   /** One dimension's EQUAL-DEPTH grade map: (distinct value, 8-bit
     * cell) with each cell holding ~1/256 of the ROWS — the exact
     * two-level prefix-sum CDF [[zCluster]]'s doc motivates (equal-width
     * collapses on skew; a single-partition running sum was the r5
-    * scale-killer).
+    * scale-killer). Takes the dimension's distinct-value counts
+    * `(c, _n)` — a column-pruned one-column pass over the fact table
+    * ([[withZ]] explains why the two dimensions' passes are NOT fused).
     */
-  private def gradeMap(df: org.apache.spark.sql.DataFrame, c: String,
+  private def gradeMap(counts: org.apache.spark.sql.DataFrame, c: String,
       alias: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
+    val spark = counts.sparkSession
     val parts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
     // distinct-value counts, range-partitioned so partition-id order ==
-    // value order (equal keys never straddle a range boundary)
+    // value order (equal keys never straddle a range boundary). The
+    // grade is boundary-independent (_cum is the value's GLOBAL rank
+    // whatever intervals the range sampler picks), but _pid must stay
+    // stable across the subtotal action and the map join — hence the
+    // persist.
     val ranged = graft.CacheScope.track(
-      df.groupBy(col(c)).agg(count(lit(1)).as("_n"))
+      counts
         .repartitionByRange(parts, col(c))
         .withColumn("_pid", spark_partition_id())
         .persist())
@@ -313,8 +326,25 @@ object LakeMaintenance {
     */
   private[operators] def withZ(df: org.apache.spark.sql.DataFrame,
       x: String, y: String, out: String): org.apache.spark.sql.DataFrame = {
-    val gx = gradeMap(df, x, "_xb").withColumnRenamed(x, "_gx")
-    val gy = gradeMap(df, y, "_yb").withColumnRenamed(y, "_gy")
+    // CLOSED EXPERIMENT (r17): building BOTH dimensions' counts from one
+    // grouping-sets pass ({x},{y} + grouping_id split) was tried and
+    // REVERTED. (a) It saves no I/O at scale — the two stats scans are
+    // column-pruned and column-DISJOINT (one reads x, the other y), so
+    // one fused scan reads the same bytes; (b) the shared cached counts
+    // parent breaks cache substitution on whichever grade map the final
+    // attach joins SECOND (DeduplicateRelations rewrites that leg's
+    // exprIds and the Expand-bearing cached subtree no longer
+    // sameResult-matches — swapping join order moved the miss from gy to
+    // gx), silently recomputing the ranged table with a FRESH
+    // nondeterministic spark_partition_id assignment that need not match
+    // the offsets fetched from the cached run; (c) measured at sf0.1:
+    // warm 10.4 -> 12.7 task-s, wall flat. Per-dimension groupBys keep
+    // every cached subtree Expand-free, which dedup-rewritten legs still
+    // match.
+    val gx = gradeMap(df.groupBy(col(x)).agg(count(lit(1)).as("_n")),
+      x, "_xb").withColumnRenamed(x, "_gx")
+    val gy = gradeMap(df.groupBy(col(y)).agg(count(lit(1)).as("_n")),
+      y, "_yb").withColumnRenamed(y, "_gy")
     df.join(gx, col(x) <=> col("_gx"))
       .join(gy, col(y) <=> col("_gy"))
       .withColumn(out, zValue(col("_xb"), col("_yb"), 8))
